@@ -1,0 +1,299 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types._
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Table metadata model for the graft lakehouse format.
+ *
+ * Capability modeled on apache/paimon's snapshot/manifest layering
+ * (reference: paimon-api/src/main/java/org/apache/paimon/Snapshot.java:44,
+ * paimon-core/.../manifest/ManifestEntry.java), re-expressed as JSON +
+ * JSON-lines files. Layout under a table directory:
+ *
+ * {{{
+ *   schema/schema-<id>.json        versioned schema + table config
+ *   snapshot/snapshot-<id>.json    commit metadata, ordered manifest list
+ *   snapshot/LATEST                hint file with the latest snapshot id
+ *   manifest/<uuid>.json           JSON-lines of ManifestEntry
+ *   tag/<name>.json                named snapshot references
+ *   data/c-<uuid>/...              immutable data files, one dir per commit
+ * }}}
+ *
+ * Visibility is manifest-driven: a data file exists only once a committed
+ * snapshot references it, so writers can write directly into `data/` with
+ * no renames (uncommitted files are orphans, cleaned by removeOrphanFiles).
+ */
+object Json {
+  val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  def write(v: Any): String = mapper.writeValueAsString(v)
+  def read[T](s: String, c: Class[T]): T = mapper.readValue(s, c)
+}
+
+/** Table-level configuration (subset of paimon CoreOptions we support). */
+case class TableConfig(
+    primaryKeys: Seq[String] = Nil,
+    partitionKeys: Seq[String] = Nil,
+    numBuckets: Int = 4,
+    // deduplicate | partial-update | aggregation | first-row  (PK tables)
+    mergeEngine: String = "deduplicate",
+    sequenceField: Option[String] = None,
+    // field name -> aggregate function name (aggregation merge engine)
+    fieldAggregates: Map[String, String] = Map.empty,
+    defaultAggregate: Option[String] = None,
+    options: Map[String, String] = Map.empty) {
+  def isPrimaryKeyed: Boolean = primaryKeys.nonEmpty
+  def option(k: String, default: String): String = options.getOrElse(k, default)
+}
+
+/** Versioned schema; fields matched by id across versions (cf. paimon
+  * DataField ids, paimon-api/.../types/DataField.java). */
+case class FieldDef(id: Int, name: String, dataType: String, nullable: Boolean = true)
+case class TableSchema(
+    id: Long,
+    fields: Seq[FieldDef],
+    config: TableConfig,
+    timestampMs: Long) {
+  def sparkSchema: StructType =
+    StructType(fields.map(f => StructField(f.name, DataType.fromDDL(f.dataType), f.nullable)))
+}
+object TableSchema {
+  def fromSpark(id: Long, st: StructType, config: TableConfig): TableSchema =
+    TableSchema(id, st.fields.zipWithIndex.map { case (f, i) =>
+      FieldDef(i, f.name, f.dataType.sql, f.nullable)
+    }.toSeq, config, System.currentTimeMillis())
+}
+
+/** Per-column file statistics; min/max serialized as strings, interpreted
+  * against the schema type at prune time. */
+case class ColStat(min: String, max: String, nullCount: Long)
+
+/** One data-file entry in a manifest (cf. paimon ManifestEntry + DataFileMeta,
+  * paimon-core/.../io/DataFileMeta.java:61). kind: 0=ADD, 1=DELETE. */
+case class ManifestEntry(
+    kind: Int,
+    path: String, // relative to table root
+    partition: Map[String, String],
+    bucket: Int,
+    rowCount: Long,
+    fileSize: Long,
+    minSeq: Long,
+    maxSeq: Long,
+    level: Int,
+    stats: Map[String, ColStat])
+
+/** Snapshot: ordered manifest list; effective file set = fold ADD/DELETE
+  * entries over `manifests` in order (cf. paimon Snapshot.java:44). */
+case class SnapshotMeta(
+    id: Long,
+    schemaId: Long,
+    kind: String, // APPEND | COMPACT | OVERWRITE
+    commitUser: String,
+    identifier: String,
+    timestampMs: Long,
+    manifests: Seq[String],      // full ordered list (base ++ delta)
+    deltaManifests: Seq[String], // manifests added by THIS commit
+    totalRecords: Long,
+    deltaRecords: Long,
+    watermark: Option[Long] = None)
+
+case class TagMeta(name: String, snapshotId: Long, timestampMs: Long)
+
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/**
+ * Driver-side metadata IO + optimistic commit protocol.
+ *
+ * Commit = write manifests, then CAS-create `snapshot/snapshot-<n>.json`
+ * via write-temp + atomic rename (rename fails if destination exists, on
+ * both HDFS and local fs) — same optimistic loop as paimon's
+ * FileStoreCommitImpl.tryCommit (paimon-core/.../operation/FileStoreCommitImpl.java:832).
+ */
+class SnapshotManager(val tableRoot: String, hadoopConf: Configuration) {
+  private val root = new Path(tableRoot)
+  def fs: FileSystem = root.getFileSystem(hadoopConf)
+
+  def schemaDir = new Path(root, "schema")
+  def snapshotDir = new Path(root, "snapshot")
+  def manifestDir = new Path(root, "manifest")
+  def tagDir = new Path(root, "tag")
+  def dataDir = new Path(root, "data")
+
+  // ---- generic small-file IO ----
+  def writeString(p: Path, s: String): Unit = {
+    val out = new OutputStreamWriter(fs.create(p, true), StandardCharsets.UTF_8)
+    try out.write(s) finally out.close()
+  }
+  def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+  /** Atomic create-if-absent: write temp file then rename (no overwrite). */
+  def casWrite(target: Path, content: String): Boolean = {
+    if (fs.exists(target)) return false
+    val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
+    writeString(tmp, content)
+    val ok = try fs.rename(tmp, target) catch { case _: Exception => false }
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+
+  // ---- schema ----
+  def writeSchema(s: TableSchema): Unit =
+    writeString(new Path(schemaDir, s"schema-${s.id}.json"), Json.write(s))
+  def readSchema(id: Long): TableSchema =
+    Json.read(readString(new Path(schemaDir, s"schema-$id.json")), classOf[TableSchema])
+  def latestSchemaId: Long = listIds(schemaDir, "schema-", ".json").max
+  def latestSchema: TableSchema = readSchema(latestSchemaId)
+  def tableExists: Boolean = fs.exists(schemaDir)
+
+  // ---- snapshots ----
+  private def snapshotPath(id: Long) = new Path(snapshotDir, s"snapshot-$id.json")
+  def readSnapshot(id: Long): SnapshotMeta =
+    Json.read(readString(snapshotPath(id)), classOf[SnapshotMeta])
+  def snapshotExists(id: Long): Boolean = fs.exists(snapshotPath(id))
+
+  private def listIds(dir: Path, prefix: String, suffix: String): Seq[Long] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
+      .map(n => n.substring(prefix.length, n.length - suffix.length).toLong)
+  }
+  def snapshotIds: Seq[Long] = listIds(snapshotDir, "snapshot-", ".json").sorted
+
+  /** Latest snapshot id: LATEST hint, verified + advanced by probing. */
+  def latestSnapshotId: Option[Long] = {
+    val hintPath = new Path(snapshotDir, "LATEST")
+    val hint: Long =
+      try readString(hintPath).trim.toLong catch { case _: Exception => -1L }
+    var cur = if (hint >= 0 && snapshotExists(hint)) hint else {
+      val ids = snapshotIds; if (ids.isEmpty) return None else ids.max
+    }
+    while (snapshotExists(cur + 1)) cur += 1
+    Some(cur)
+  }
+  def latestSnapshot: Option[SnapshotMeta] = latestSnapshotId.map(readSnapshot)
+
+  // ---- manifests ----
+  def writeManifest(entries: Seq[ManifestEntry]): String = {
+    val name = s"manifest-${UUID.randomUUID()}.json"
+    val sb = new StringBuilder
+    entries.foreach { e => sb.append(Json.write(e)).append('\n') }
+    writeString(new Path(manifestDir, name), sb.toString)
+    name
+  }
+  def readManifest(name: String): Seq[ManifestEntry] = {
+    val in = new BufferedReader(new InputStreamReader(
+      fs.open(new Path(manifestDir, name)), StandardCharsets.UTF_8))
+    try {
+      val buf = ArrayBuffer[ManifestEntry]()
+      var line = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty) buf += Json.read(line, classOf[ManifestEntry])
+        line = in.readLine()
+      }
+      buf.toSeq
+    } finally in.close()
+  }
+
+  /** Effective (live) data files of a snapshot: fold ADD/DELETE in order. */
+  def liveEntries(s: SnapshotMeta): Seq[ManifestEntry] = {
+    val acc = new java.util.LinkedHashMap[String, ManifestEntry]()
+    s.manifests.foreach { m =>
+      readManifest(m).foreach { e =>
+        if (e.kind == 0) acc.put(e.path, e) else acc.remove(e.path)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    acc.values().asScala.toSeq
+  }
+
+  /**
+   * Optimistic commit loop. `delta` = this commit's ADD/DELETE entries.
+   * On CAS race: re-read latest, verify none of the files WE delete were
+   * already deleted (conflict), rebase, retry.
+   */
+  def commit(delta: Seq[ManifestEntry], kind: String, identifier: String,
+             schemaId: Long, maxRetries: Int = 20): SnapshotMeta = {
+    val deltaName = writeManifest(delta)
+    val deletedPaths = delta.filter(_.kind == 1).map(_.path).toSet
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestSnapshot
+      val nextId = base.map(_.id + 1).getOrElse(1L)
+      base.foreach { b =>
+        if (deletedPaths.nonEmpty) {
+          val live = liveEntries(b).map(_.path).toSet
+          val gone = deletedPaths -- live
+          if (gone.nonEmpty) throw new CommitConflictException(
+            s"files deleted concurrently: ${gone.take(3).mkString(",")}")
+        }
+      }
+      val addRows = delta.filter(_.kind == 0).map(_.rowCount).sum
+      val delRows = delta.filter(_.kind == 1).map(_.rowCount).sum
+      val snap = SnapshotMeta(
+        id = nextId, schemaId = schemaId, kind = kind,
+        commitUser = "graft", identifier = identifier,
+        timestampMs = System.currentTimeMillis(),
+        manifests = base.map(_.manifests).getOrElse(Nil) :+ deltaName,
+        deltaManifests = Seq(deltaName),
+        totalRecords = base.map(_.totalRecords).getOrElse(0L) + addRows - delRows,
+        deltaRecords = addRows)
+      if (casWrite(snapshotPath(nextId), Json.write(snap))) {
+        writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
+        return snap
+      }
+      attempt += 1
+    }
+    throw new CommitConflictException(s"commit lost CAS race $maxRetries times")
+  }
+
+  /** Rewrite the manifest list of the latest state into one consolidated
+    * ADD-only manifest (paimon `compact_manifest`). */
+  def compactManifests(schemaId: Long): SnapshotMeta = {
+    val live = latestSnapshot.map(liveEntries).getOrElse(Nil)
+    val name = writeManifest(live)
+    var attempt = 0
+    while (attempt < 20) {
+      val base = latestSnapshot
+      val nextId = base.map(_.id + 1).getOrElse(1L)
+      val snap = SnapshotMeta(nextId, schemaId, "COMPACT", "graft",
+        s"manifest-compact-$nextId", System.currentTimeMillis(),
+        Seq(name), Seq(name),
+        base.map(_.totalRecords).getOrElse(0L), 0L)
+      if (casWrite(snapshotPath(nextId), Json.write(snap))) {
+        writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
+        return snap
+      }
+      attempt += 1
+    }
+    throw new CommitConflictException("compactManifests lost CAS race")
+  }
+
+  // ---- tags ----
+  def createTag(name: String, snapshotId: Long): Unit =
+    writeString(new Path(tagDir, s"$name.json"),
+      Json.write(TagMeta(name, snapshotId, System.currentTimeMillis())))
+  def readTag(name: String): TagMeta =
+    Json.read(readString(new Path(tagDir, s"$name.json")), classOf[TagMeta])
+  def deleteTag(name: String): Unit = fs.delete(new Path(tagDir, s"$name.json"), false)
+  def listTags(): Seq[TagMeta] = {
+    if (!fs.exists(tagDir)) return Nil
+    fs.listStatus(tagDir).toSeq.filter(_.getPath.getName.endsWith(".json"))
+      .map(s => Json.read(readString(s.getPath), classOf[TagMeta]))
+      .sortBy(_.name)
+  }
+}

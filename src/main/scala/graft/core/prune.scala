@@ -1,0 +1,156 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/**
+ * Manifest-level file skipping: evaluate simple predicate conjuncts against
+ * per-file min/max/nullCount stats (cf. paimon
+ * KeyValueFileStoreScan.filterByStats, paimon-core/.../operation/KeyValueFileStoreScan.java:141).
+ *
+ * Conservative: a file is kept unless a conjunct PROVES it cannot match.
+ * Correctness never depends on this — Spark re-applies the full filter on
+ * read; this only reduces planned files/tasks.
+ */
+object StatsPrune {
+
+  /** Ordering-aware comparison of two stat values under a schema type. */
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case _: FloatType | _: DoubleType | _: DecimalType =>
+      BigDecimal(a).compare(BigDecimal(b))
+    case _: BooleanType => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    // dates/timestamps serialized in ISO form by Spark's cast-to-string: the
+    // lexicographic order matches chronological order
+    case _ => a.compareTo(b)
+  }
+
+  private def litStr(l: Literal): Option[String] = Option(l.value).map {
+    case d: org.apache.spark.unsafe.types.UTF8String => d.toString
+    case v => v.toString
+  }
+
+  /** Normalize timestamp/date literals to the same textual space as stats
+    * (stats come from Spark `cast(col as string)`). */
+  private def litText(dt: DataType, l: Literal): Option[String] = dt match {
+    case _: TimestampType | _: TimestampNTZType =>
+      Option(l.value).map { v =>
+        val micros = v.asInstanceOf[Long]
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToInstant(micros).toString.replace("T", " ").stripSuffix("Z")
+      }
+    case _: DateType =>
+      Option(l.value).map { v =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .daysToLocalDate(v.asInstanceOf[Int]).toString
+      }
+    case _ => litStr(l)
+  }
+
+  /** True iff the file given by `stats`/`rowCount` MIGHT contain a matching
+    * row for every conjunct of `pred` we understand. */
+  def mightMatch(pred: Expression, schema: StructType,
+                 stats: Map[String, ColStat], rowCount: Long): Boolean = {
+    val conjuncts = splitConjuncts(pred)
+    conjuncts.forall(c => conjunctMightMatch(c, schema, stats, rowCount))
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def colAndLit(a: Expression, b: Expression): Option[(String, Literal, Boolean)] =
+    (a, b) match {
+      case (ar: AttributeReference, l: Literal) => Some((ar.name, l, false))
+      case (l: Literal, ar: AttributeReference) => Some((ar.name, l, true))
+      case _ => None
+    }
+
+  private def conjunctMightMatch(e: Expression, schema: StructType,
+                                 stats: Map[String, ColStat], rowCount: Long): Boolean = {
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    def withStat(name: String)(f: (DataType, ColStat) => Boolean): Boolean =
+      (dtOf(name), stats.get(name)) match {
+        case (Some(dt), Some(st)) =>
+          if (st.min == null || st.max == null) st.nullCount > 0 || rowCount == 0
+          else f(dt, st)
+        case _ => true
+      }
+
+    e match {
+      case EqualTo(a, b) => colAndLit(a, b) match {
+        case Some((name, l, _)) => withStat(name) { (dt, st) =>
+          litText(dt, l) match {
+            case Some(v) => cmp(dt, v, st.min) >= 0 && cmp(dt, v, st.max) <= 0
+            case None => false // col = null never matches
+          }
+        }
+        case None => true
+      }
+      case GreaterThan(a, b) => colAndLit(a, b) match {
+        case Some((name, l, flipped)) => withStat(name) { (dt, st) =>
+          litText(dt, l) match {
+            case Some(v) =>
+              if (!flipped) cmp(dt, st.max, v) > 0 else cmp(dt, st.min, v) < 0
+            case None => false
+          }
+        }
+        case None => true
+      }
+      case GreaterThanOrEqual(a, b) => colAndLit(a, b) match {
+        case Some((name, l, flipped)) => withStat(name) { (dt, st) =>
+          litText(dt, l) match {
+            case Some(v) =>
+              if (!flipped) cmp(dt, st.max, v) >= 0 else cmp(dt, st.min, v) <= 0
+            case None => false
+          }
+        }
+        case None => true
+      }
+      case LessThan(a, b) => conjunctMightMatch(GreaterThan(b, a), schema, stats, rowCount)
+      case LessThanOrEqual(a, b) =>
+        conjunctMightMatch(GreaterThanOrEqual(b, a), schema, stats, rowCount)
+      case In(ar: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        withStat(ar.name) { (dt, st) =>
+          list.exists { case l: Literal =>
+            litText(dt, l).exists(v => cmp(dt, v, st.min) >= 0 && cmp(dt, v, st.max) <= 0)
+          }
+        }
+      case IsNull(ar: AttributeReference) =>
+        stats.get(ar.name).forall(_.nullCount > 0)
+      case IsNotNull(ar: AttributeReference) =>
+        stats.get(ar.name).forall(st => st.nullCount < rowCount)
+      case Or(l, r) =>
+        conjunctMightMatch(l, schema, stats, rowCount) ||
+          conjunctMightMatch(r, schema, stats, rowCount)
+      case StartsWith(ar: AttributeReference, l: Literal) =>
+        withStat(ar.name) { (_, st) =>
+          litStr(l) match {
+            case Some(p) =>
+              // file may match if prefix is within [min, max] prefix range
+              st.max.compareTo(p) >= 0 && {
+                val minP = st.min.take(p.length); minP.compareTo(p) <= 0
+              }
+            case None => false
+          }
+        }
+      case _ => true // unknown predicate shape: cannot prune
+    }
+  }
+
+  /** Resolve a user Column predicate against `schema` into a Catalyst
+    * expression, via the analyzer on an empty relation (public API only). */
+  def resolve(spark: org.apache.spark.sql.SparkSession, schema: StructType,
+              cond: Column): Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    empty.filter(cond).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }.getOrElse(Literal(true))
+  }
+}

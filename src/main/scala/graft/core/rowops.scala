@@ -1,0 +1,428 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+
+import java.util.UUID
+
+/**
+ * Row-level operations, compaction, system tables and maintenance for
+ * [[GraftTable]] (SURVEY §2.10 / §2.6 / §2.1-system-tables).
+ *
+ * Strategies mirror the reference:
+ *  - DELETE: metadata-only drop when the predicate exactly covers whole
+ *    partitions (cf. paimon OptimizeMetadataOnlyDeleteFromPaimonTable.scala),
+ *    else copy-on-write rewrite of the touched buckets/files
+ *    (commands/DeleteFromPaimonTableCommand.scala).
+ *  - UPDATE: COW rewrite (commands/UpdatePaimonTableCommand.scala).
+ *  - MERGE INTO: MOR upsert — matched/not-matched actions become new row
+ *    versions / delete tombstones appended as a normal commit, resolved by
+ *    the merge engine at read time (commands/MergeIntoPaimonTable.scala).
+ *  - compact: full compaction per (partition, bucket), result at level 1 →
+ *    subsequent reads take the raw (no-merge, no-shuffle) path
+ *    (procedure/CompactProcedure.java:113).
+ */
+object RowOps {
+
+  implicit class GraftTableOps(val t: GraftTable) {
+    import GraftTable._
+    private def spark = t.spark
+    private def cfg = t.config
+    private def dataCols: Seq[String] = t.dataSchema.fields.map(_.name).toSeq
+
+    // ----------------------------------------------------------------
+    // COMPACTION
+    // ----------------------------------------------------------------
+
+    /** Full compaction: merge every bucket to a single level-1 file set.
+      * No-op when the table is already fully compacted. */
+    def compact(): Option[SnapshotMeta] = {
+      val live = t.planFiles()
+      if (live.isEmpty) return None
+      val alreadyCompact = live.groupBy(e => (e.partition, e.bucket))
+        .forall { case (_, es) => es.size == 1 && es.head.level > 0 }
+      if (alreadyCompact) return None
+      val adds =
+        if (t.isPk) {
+          val merged = MergeEngines.merge(
+            t.readEntries(live, withInternal = true), cfg, t.dataSchema)
+          t.writeFiles(merged, preMerged = true, level = 1)
+        } else {
+          t.writeFiles(t.readEntries(live, withInternal = false), level = 1)
+        }
+      val delta = live.map(_.copy(kind = 1)) ++ adds
+      Some(t.sm.commit(delta, "COMPACT", s"compact-${UUID.randomUUID().toString.take(8)}",
+        t.schema.id))
+    }
+
+    /** Sort compaction for append tables: rewrite the whole table ordered by
+      * `order` / z-order of `cols` (paimon CompactProcedure order_strategy +
+      * SparkZOrderUDF; SURVEY §2.6). Clusters data for downstream range
+      * pruning; at scale use repartitionByRange so output files carry
+      * non-overlapping sort-key ranges. */
+    def compactSorted(strategy: String, cols: Seq[String],
+                      targetPartitions: Int = 0): SnapshotMeta = {
+      require(!t.isPk, "sort compaction targets append tables")
+      val live = t.planFiles()
+      val df = t.readEntries(live, withInternal = false)
+      val n = if (targetPartitions > 0) targetPartitions
+        else spark.sessionState.conf.numShufflePartitions
+      val sorted = strategy match {
+        case "order" =>
+          df.repartitionByRange(n, cols.map(col).toIndexedSeq: _*)
+            .sortWithinPartitions(cols.map(col).toIndexedSeq: _*)
+        case "zorder" =>
+          val z = graft.functions.ZOrder.zvalue(df, cols)
+          df.withColumn("__z", z)
+            .repartitionByRange(n, col("__z"))
+            .sortWithinPartitions(col("__z"))
+            .drop("__z")
+        case other => throw new IllegalArgumentException(s"unknown strategy $other")
+      }
+      val adds = t.writeFiles(sorted, level = 1)
+      t.sm.commit(live.map(_.copy(kind = 1)) ++ adds, "COMPACT",
+        s"sort-compact-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+    }
+
+    // ----------------------------------------------------------------
+    // DELETE / UPDATE
+    // ----------------------------------------------------------------
+
+    private def resolveCond(cond: Column): Expression =
+      StatsPrune.resolve(spark, t.dataSchema, cond)
+
+    /** Conjuncts reference only partition columns with exact-prunable shapes
+      * → per-file match decisions are exact (partition value is constant
+      * per file). */
+    private def isPartitionExact(e: Expression): Boolean = {
+      val partSet = cfg.partitionKeys.toSet
+      def exact(x: Expression): Boolean = x match {
+        case And(l, r) => exact(l) && exact(r)
+        case Or(l, r) => exact(l) && exact(r)
+        case EqualTo(a: AttributeReference, _: Literal) => partSet(a.name)
+        case EqualTo(_: Literal, a: AttributeReference) => partSet(a.name)
+        case GreaterThan(a: AttributeReference, _: Literal) => partSet(a.name)
+        case GreaterThan(_: Literal, a: AttributeReference) => partSet(a.name)
+        case GreaterThanOrEqual(a: AttributeReference, _: Literal) => partSet(a.name)
+        case GreaterThanOrEqual(_: Literal, a: AttributeReference) => partSet(a.name)
+        case LessThan(a: AttributeReference, _: Literal) => partSet(a.name)
+        case LessThan(_: Literal, a: AttributeReference) => partSet(a.name)
+        case LessThanOrEqual(a: AttributeReference, _: Literal) => partSet(a.name)
+        case LessThanOrEqual(_: Literal, a: AttributeReference) => partSet(a.name)
+        case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) => partSet(a.name)
+        case _ => false
+      }
+      cfg.partitionKeys.nonEmpty && exact(e)
+    }
+
+    /** DELETE FROM t WHERE cond. */
+    def delete(cond: Column): SnapshotMeta = {
+      val expr = resolveCond(cond)
+      val live = t.planFiles()
+      if (isPartitionExact(expr)) {
+        // metadata-only: drop whole files whose partition matches
+        val victims = live.filter(e =>
+          StatsPrune.mightMatch(expr, t.dataSchema, e.stats, e.rowCount))
+        return t.sm.commit(victims.map(_.copy(kind = 1)), "OVERWRITE",
+          s"delete-meta-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+      }
+      val keep = !coalesce(cond, lit(false))
+      if (t.isPk) {
+        val touched = t.planFiles(filter = Some(cond))
+          .map(e => (e.partition, e.bucket)).toSet
+        val bucketEntries = live.filter(e => touched.contains((e.partition, e.bucket)))
+        if (bucketEntries.isEmpty)
+          return t.sm.commit(Nil, "OVERWRITE", "delete-noop", t.schema.id)
+        val merged = MergeEngines.merge(
+          t.readEntries(bucketEntries, withInternal = true), cfg, t.dataSchema)
+        val adds = t.writeFiles(merged.filter(keep), preMerged = true, level = 1)
+        t.sm.commit(bucketEntries.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
+          s"delete-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+      } else {
+        val victims = t.planFiles(filter = Some(cond))
+        if (victims.isEmpty)
+          return t.sm.commit(Nil, "OVERWRITE", "delete-noop", t.schema.id)
+        val rewritten = t.readEntries(victims, withInternal = false).filter(keep)
+        val adds = t.writeFiles(rewritten, level = 0)
+        t.sm.commit(victims.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
+          s"delete-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+      }
+    }
+
+    /** UPDATE t SET assignments WHERE cond (COW). */
+    def update(assignments: Map[String, Column], cond: Column): SnapshotMeta = {
+      val hit = coalesce(cond, lit(false))
+      def applySet(df: DataFrame, bumpSeq: Option[Long]): DataFrame = {
+        var d = df
+        assignments.foreach { case (c, e) =>
+          val dt = t.dataSchema.fields.find(_.name == c).get.dataType
+          d = d.withColumn(c, when(hit, e.cast(dt)).otherwise(col(c)))
+        }
+        bumpSeq.foreach { s =>
+          d = d.withColumn(GraftTable.SEQ, when(hit, lit(s)).otherwise(col(GraftTable.SEQ)))
+            .withColumn(GraftTable.COMMIT, when(hit, lit(s)).otherwise(col(GraftTable.COMMIT)))
+        }
+        d
+      }
+      val live = t.planFiles()
+      if (t.isPk) {
+        require(!assignments.keys.exists(cfg.primaryKeys.contains),
+          "cannot update primary key columns")
+        val touched = t.planFiles(filter = Some(cond))
+          .map(e => (e.partition, e.bucket)).toSet
+        val bucketEntries = live.filter(e => touched.contains((e.partition, e.bucket)))
+        if (bucketEntries.isEmpty)
+          return t.sm.commit(Nil, "OVERWRITE", "update-noop", t.schema.id)
+        val merged = MergeEngines.merge(
+          t.readEntries(bucketEntries, withInternal = true), cfg, t.dataSchema)
+        val adds = t.writeFiles(applySet(merged, Some(t.nextCommitSeq)),
+          preMerged = true, level = 1)
+        t.sm.commit(bucketEntries.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
+          s"update-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+      } else {
+        val victims = t.planFiles(filter = Some(cond))
+        if (victims.isEmpty)
+          return t.sm.commit(Nil, "OVERWRITE", "update-noop", t.schema.id)
+        val rewritten = applySet(t.readEntries(victims, withInternal = false), None)
+        val adds = t.writeFiles(rewritten, level = 0)
+        t.sm.commit(victims.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
+          s"update-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+      }
+    }
+
+    /** MERGE INTO builder. */
+    def mergeInto(source: DataFrame, cond: Column): MergeIntoBuilder =
+      new MergeIntoBuilder(t, source, cond)
+
+    // ----------------------------------------------------------------
+    // SYSTEM TABLES (paimon-core/.../table/system/SystemTableLoader.java)
+    // ----------------------------------------------------------------
+
+    def systemTable(name: String): DataFrame = {
+      val ss = t.spark
+      import ss.implicits._
+      name match {
+        case "snapshots" =>
+          t.sm.snapshotIds.map(t.sm.readSnapshot).map(s =>
+            (s.id, s.schemaId, s.kind, s.commitUser, s.identifier,
+              new java.sql.Timestamp(s.timestampMs), s.totalRecords, s.deltaRecords))
+            .toDF("snapshot_id", "schema_id", "commit_kind", "commit_user",
+              "commit_identifier", "commit_time", "total_record_count",
+              "delta_record_count")
+        case "files" =>
+          t.planFiles().map(e =>
+            (e.path, e.partition.toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]"),
+              e.bucket, e.rowCount, e.fileSize, e.minSeq, e.maxSeq, e.level))
+            .toDF("file_path", "partition", "bucket", "record_count",
+              "file_size_in_bytes", "min_sequence_number", "max_sequence_number", "level")
+        case "manifests" =>
+          t.sm.latestSnapshot.toSeq.flatMap(_.manifests).map { m =>
+            val es = t.sm.readManifest(m)
+            (m, es.count(_.kind == 0).toLong, es.count(_.kind == 1).toLong,
+              es.filter(_.kind == 0).map(_.fileSize).sum)
+          }.toDF("manifest_name", "num_added_files", "num_deleted_files", "added_file_size")
+        case "partitions" =>
+          t.planFiles().groupBy(_.partition).map { case (p, es) =>
+            (p.toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]"),
+              es.map(_.rowCount).sum, es.size.toLong, es.map(_.fileSize).sum)
+          }.toSeq.toDF("partition", "record_count", "file_count", "total_size_in_bytes")
+        case "buckets" =>
+          t.planFiles().groupBy(e => (e.partition, e.bucket)).map { case ((p, b), es) =>
+            (p.toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]"), b,
+              es.map(_.rowCount).sum, es.size.toLong, es.map(_.fileSize).sum)
+          }.toSeq.toDF("partition", "bucket", "record_count", "file_count", "total_size_in_bytes")
+        case "tags" =>
+          t.sm.listTags().map(tg => (tg.name, tg.snapshotId,
+            new java.sql.Timestamp(tg.timestampMs))).toDF("tag_name", "snapshot_id", "create_time")
+        case "schemas" =>
+          (0L to t.sm.latestSchemaId).map(t.sm.readSchema).map(s =>
+            (s.id, s.fields.map(f => s"${f.name} ${f.dataType}").mkString(", "),
+              s.config.primaryKeys.mkString(","), s.config.partitionKeys.mkString(","),
+              new java.sql.Timestamp(s.timestampMs)))
+            .toDF("schema_id", "fields", "primary_keys", "partition_keys", "update_time")
+        case "options" =>
+          (Seq(
+            "primary-key" -> cfg.primaryKeys.mkString(","),
+            "partition" -> cfg.partitionKeys.mkString(","),
+            "bucket" -> cfg.numBuckets.toString,
+            "merge-engine" -> cfg.mergeEngine) ++
+            cfg.sequenceField.map("sequence.field" -> _).toSeq ++
+            cfg.fieldAggregates.toSeq.map { case (k, v) => s"fields.$k.aggregate-function" -> v } ++
+            cfg.options.toSeq).toDF("key", "value")
+        case "audit_log" => t.auditLog()
+        case "ro" => t.readRaw()
+        case "consumers" =>
+          Seq.empty[(String, Long)].toDF("consumer_id", "next_snapshot_id")
+        case other => throw new IllegalArgumentException(s"unknown system table $other")
+      }
+    }
+
+    // ----------------------------------------------------------------
+    // MAINTENANCE
+    // ----------------------------------------------------------------
+
+    /** Expire old snapshots, deleting data files / manifests no longer
+      * referenced by retained snapshots or tags (paimon ExpireSnapshotsImpl). */
+    def expireSnapshots(retainLast: Int): Int = {
+      val ids = t.sm.snapshotIds
+      if (ids.size <= retainLast) return 0
+      val keepIds = ids.takeRight(retainLast).toSet ++ t.sm.listTags().map(_.snapshotId)
+      val dropIds = ids.filterNot(keepIds.contains).filter(_ < keepIds.min)
+      if (dropIds.isEmpty) return 0
+      val keepSnaps = keepIds.toSeq.sorted.map(t.sm.readSnapshot)
+      val keptManifests = keepSnaps.flatMap(_.manifests).toSet
+      val keptFiles = keepSnaps.flatMap(s => t.sm.liveEntries(s).map(_.path)).toSet
+      val fs = t.sm.fs
+      dropIds.foreach { id =>
+        val s = t.sm.readSnapshot(id)
+        s.manifests.filterNot(keptManifests.contains).foreach { m =>
+          t.sm.readManifest(m).filter(_.kind == 0).map(_.path)
+            .filterNot(keptFiles.contains)
+            .foreach(p => fs.delete(new Path(t.location, p), false))
+          fs.delete(new Path(t.sm.manifestDir, m), false)
+        }
+        fs.delete(new Path(t.sm.snapshotDir, s"snapshot-$id.json"), false)
+      }
+      dropIds.size
+    }
+
+    /** Delete data files on disk not referenced by any snapshot and older
+      * than `olderThanMs` (paimon remove_orphan_files; the reference also
+      * ships a distributed Spark variant — at 100 TB run the listing as a
+      * DataFrame job; driver listing is fine below ~10^6 files). */
+    def removeOrphanFiles(olderThanMs: Long = System.currentTimeMillis() - 3600_000L): Int = {
+      val fs = t.sm.fs
+      val referenced: Set[String] = t.sm.snapshotIds.flatMap { id =>
+        t.sm.readSnapshot(id).manifests.flatMap(m =>
+          t.sm.readManifest(m).filter(_.kind == 0).map(_.path))
+      }.toSet
+      val dataRoot = t.sm.dataDir
+      if (!fs.exists(dataRoot)) return 0
+      val it = fs.listFiles(dataRoot, true)
+      var deleted = 0
+      val rootLen = new Path(t.location).toUri.getPath.length
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.substring(rootLen).stripPrefix("/")
+        val isDataFile = st.isFile && rel.endsWith(".parquet")
+        if (isDataFile && !referenced.contains(rel) &&
+            st.getModificationTime < olderThanMs) {
+          fs.delete(st.getPath, false)
+          deleted += 1
+        }
+      }
+      deleted
+    }
+
+    /** Roll the table back to an earlier snapshot (paimon rollback). */
+    def rollback(snapshotId: Long): SnapshotMeta = {
+      val target = t.sm.readSnapshot(snapshotId)
+      val targetLive = t.sm.liveEntries(target)
+      val curLive = t.planFiles()
+      val targetSet = targetLive.map(_.path).toSet
+      val dels = curLive.filterNot(e => targetSet.contains(e.path)).map(_.copy(kind = 1))
+      val curSet = curLive.map(_.path).toSet
+      val adds = targetLive.filterNot(e => curSet.contains(e.path))
+      t.sm.commit(dels ++ adds, "OVERWRITE", s"rollback-to-$snapshotId", t.schema.id)
+    }
+  }
+
+  /** Ordered-clause MERGE INTO (SQL semantics: first matching clause wins). */
+  final class MergeIntoBuilder(t: GraftTable, source: DataFrame, cond: Column) {
+    import GraftTable._
+    private case class Clause(kind: String, condition: Option[Column],
+                              set: Map[String, Column])
+    private var matched: Seq[Clause] = Nil
+    private var notMatched: Seq[Clause] = Nil
+    private var notMatchedBySource: Seq[Clause] = Nil
+
+    def whenMatchedUpdate(condition: Option[Column] = None,
+                          set: Map[String, Column]): this.type = {
+      matched :+= Clause("update", condition, set); this
+    }
+    def whenMatchedDelete(condition: Option[Column] = None): this.type = {
+      matched :+= Clause("delete", condition, Map.empty); this
+    }
+    def whenNotMatchedInsert(condition: Option[Column] = None,
+                             values: Map[String, Column] = Map.empty): this.type = {
+      notMatched :+= Clause("insert", condition, values); this
+    }
+    def whenNotMatchedBySourceDelete(condition: Option[Column] = None): this.type = {
+      notMatchedBySource :+= Clause("delete", condition, Map.empty); this
+    }
+
+    /** Execute as a MOR upsert commit (new versions + tombstones). */
+    def execute(): SnapshotMeta = {
+      require(t.isPk, "MERGE INTO requires a primary-keyed table")
+      val spark = t.spark
+      val commitSeq = t.nextCommitSeq
+      val dataCols = t.dataSchema.fields.map(_.name).toSeq
+      val tgt = t.read().alias("t")
+      val src = source.alias("s")
+
+      def envelope(df: DataFrame, kind: Int): DataFrame =
+        df.withColumn(SEQ, lit(commitSeq))
+          .withColumn(COMMIT, lit(commitSeq))
+          .withColumn(KIND, lit(kind))
+
+      var outputs: Seq[DataFrame] = Nil
+
+      if (matched.nonEmpty) {
+        val joined = src.join(tgt, cond, "inner")
+        // first-match-wins action index
+        var action = lit(0)
+        matched.zipWithIndex.reverse.foreach { case (c, i) =>
+          val hit = c.condition.getOrElse(lit(true))
+          action = when(coalesce(hit, lit(false)), lit(i + 1)).otherwise(action)
+        }
+        val withAction = joined.withColumn("__action", action)
+        matched.zipWithIndex.foreach { case (c, i) =>
+          val rows = withAction.filter(col("__action") === (i + 1))
+          c.kind match {
+            case "update" =>
+              val cols = dataCols.map { cn =>
+                c.set.get(cn).map(_.as(cn)).getOrElse(col(s"t.$cn").as(cn))
+              }
+              outputs :+= envelope(rows.select(cols.toIndexedSeq: _*), KIND_UPDATE_AFTER)
+            case "delete" =>
+              val cols = dataCols.map(cn => col(s"t.$cn").as(cn))
+              outputs :+= envelope(rows.select(cols.toIndexedSeq: _*), KIND_DELETE)
+          }
+        }
+      }
+      if (notMatched.nonEmpty) {
+        val anti = src.join(tgt, cond, "left_anti")
+        var action = lit(0)
+        notMatched.zipWithIndex.reverse.foreach { case (c, i) =>
+          val hit = c.condition.getOrElse(lit(true))
+          action = when(coalesce(hit, lit(false)), lit(i + 1)).otherwise(action)
+        }
+        val withAction = anti.withColumn("__action", action)
+        notMatched.zipWithIndex.foreach { case (c, i) =>
+          val rows = withAction.filter(col("__action") === (i + 1))
+          val cols = dataCols.map { cn =>
+            val dt = t.dataSchema.fields.find(_.name == cn).get.dataType
+            c.set.get(cn).map(_.cast(dt).as(cn)).getOrElse(
+              if (rows.columns.contains(cn)) col(cn).cast(dt).as(cn)
+              else lit(null).cast(dt).as(cn))
+          }
+          outputs :+= envelope(rows.select(cols.toIndexedSeq: _*), KIND_INSERT)
+        }
+      }
+      if (notMatchedBySource.nonEmpty) {
+        val anti = tgt.join(src, cond, "left_anti")
+        notMatchedBySource.foreach { c =>
+          val rows = c.condition.map(x => anti.filter(coalesce(x, lit(false)))).getOrElse(anti)
+          outputs :+= envelope(rows.select(dataCols.map(col).toIndexedSeq: _*), KIND_DELETE)
+        }
+      }
+      require(outputs.nonEmpty, "MERGE INTO needs at least one clause")
+      val all = outputs.reduce(_ unionAll _)
+      val adds = t.writeFiles(all, preMerged = true, commitSeqOverride = Some(commitSeq))
+      t.sm.commit(adds, "APPEND", s"merge-into-${UUID.randomUUID().toString.take(8)}",
+        t.schema.id)
+    }
+  }
+}

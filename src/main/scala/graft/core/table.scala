@@ -1,0 +1,499 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftAggs
+import java.util.UUID
+
+/**
+ * A graft table: versioned, snapshot-isolated, bucketed parquet storage with
+ * LSM-style merge-on-read semantics for primary-key tables.
+ *
+ * Capability parity targets (apache/paimon, cites into /root/reference):
+ *  - PK tables with merge engines deduplicate / partial-update / aggregation /
+ *    first-row (paimon-core/.../mergetree/compact/DeduplicateMergeFunction.java:32,
+ *    PartialUpdateMergeFunction.java:65, aggregate/AggregateMergeFunction.java,
+ *    FirstRowMergeFunction.java) — expressed as window/groupBy plans so
+ *    Catalyst plans partial aggregation + whole-stage codegen.
+ *  - Append-only tables (paimon-core/.../table/AppendOnlyFileStoreTable.java).
+ *  - Snapshots, time travel, incremental reads, tags (Snapshot.java:44).
+ *
+ * Design notes for 100 TB scale:
+ *  - Data movement is entirely DataFrame-planned (shuffle by partition+bucket,
+ *    Spark parquet committer); the driver touches only metadata.
+ *  - Stats collection is a distributed aggregation over the just-written
+ *    files, grouped by `input_file_name()` (one pass, map-side combined).
+ *  - Reads hand Spark an explicit file list + schema: no inference, parquet
+ *    footer pruning and filter pushdown still apply per file.
+ *  - Buckets with a single (compacted) file and no tombstones take the raw
+ *    path (no shuffle); only overlapping buckets pay the merge window.
+ */
+class GraftTable private (
+    val spark: SparkSession,
+    val location: String,
+    val sm: SnapshotManager) {
+
+  import GraftTable._
+
+  def schema: TableSchema = sm.latestSchema
+  def config: TableConfig = schema.config
+  private[core] def dataSchema: StructType = schema.sparkSchema
+  private[core] def pks: Seq[String] = config.primaryKeys
+  private[core] def isPk: Boolean = config.isPrimaryKeyed
+
+  /** Schema of data files on disk (adds LSM envelope cols for PK tables;
+    * cf. paimon KeyValue envelope, SURVEY §1.3). */
+  def fileSchema: StructType = {
+    if (!isPk) dataSchema
+    else StructType(dataSchema.fields ++ Array(
+      StructField(SEQ, LongType, false),
+      StructField(COMMIT, LongType, false),
+      StructField(KIND, IntegerType, false)))
+  }
+
+  // ------------------------------------------------------------------
+  // WRITE PATH
+  // ------------------------------------------------------------------
+
+  /** Next commit sequence (== next snapshot id under single writer). */
+  private[core] def nextCommitSeq: Long = sm.latestSnapshotId.getOrElse(0L) + 1
+
+  /** Align an input frame to the table schema (by name, with implicit cast —
+    * cf. paimon PaimonAnalysis.scala output resolution). */
+  private def align(df: DataFrame): DataFrame = {
+    val cols = dataSchema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  private def seqExpr(commitSeq: Long): Column = config.sequenceField match {
+    case Some(f) =>
+      val dt = dataSchema.fields.find(_.name == f)
+        .getOrElse(throw new IllegalArgumentException(s"sequence field $f missing"))
+        .dataType
+      dt match {
+        case _: TimestampType | _: TimestampNTZType => unix_micros(col(f).cast(TimestampType))
+        case _: DateType => col(f).cast(IntegerType).cast(LongType)
+        case _ => col(f).cast(LongType)
+      }
+    case None => lit(commitSeq)
+  }
+
+  /** Hash-bucket routing (cf. paimon DefaultBucketFunction.java:31 — ours is
+    * xxhash64-based; stability matters only within this format). */
+  private def bucketExpr: Column =
+    if (isPk) pmod(xxhash64(pks.map(col).toIndexedSeq: _*), lit(config.numBuckets)).cast(IntegerType)
+    else lit(0)
+
+  /**
+   * Write `df` as new data files under data/c-<uuid>/ and return manifest
+   * ADD entries. No commit — caller composes the delta. Files are invisible
+   * until a snapshot references them.
+   *
+   * `preMerged` marks frames that already carry the LSM envelope
+   * (compaction / upsert-with-kinds paths).
+   */
+  def writeFiles(dfIn: DataFrame, preMerged: Boolean = false,
+                 commitSeqOverride: Option[Long] = None,
+                 level: Int = 0): Seq[ManifestEntry] = {
+    val commitSeq = commitSeqOverride.getOrElse(nextCommitSeq)
+    var df =
+      if (preMerged) {
+        val cols = dataSchema.fields.map(f => col(f.name)) ++
+          Seq(col(SEQ), col(COMMIT), col(KIND))
+        dfIn.select(cols.toIndexedSeq: _*)
+      } else {
+        var d = align(dfIn)
+        if (isPk) {
+          d = d.withColumn(SEQ, seqExpr(commitSeq))
+            .withColumn(COMMIT, lit(commitSeq))
+            .withColumn(KIND, lit(KIND_INSERT))
+          // within-batch pre-merge for the deduplicate engine: last row per
+          // key by sequence wins (paimon dedups in its write buffer)
+          if (config.mergeEngine == "deduplicate") {
+            val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
+              .orderBy(col(SEQ).desc)
+            d = d.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+          }
+        }
+        d
+      }
+
+    // partition + bucket routing. PT is a filesystem-safe 64-bit hash of the
+    // partition values (real values live inside the files and in manifest
+    // stats) — avoids Hive path-escaping roundtrip issues entirely.
+    val partCols = config.partitionKeys
+    val ptExpr =
+      if (partCols.isEmpty) lit("-")
+      else format_string("%016x", xxhash64(
+        partCols.map(c => coalesce(col(c).cast(StringType), lit("__NULL__"))).toIndexedSeq: _*))
+    df = df.withColumn(PT, ptExpr).withColumn(BUCKET, bucketExpr)
+    if (isPk) {
+      val routeCols = partCols.map(col) :+ col(BUCKET)
+      df = df.repartition(routeCols: _*)
+        .sortWithinPartitions(pks.map(col).toIndexedSeq: _*)
+    }
+
+    val commitDir = s"data/c-${UUID.randomUUID().toString.take(12)}"
+    val stagingAbs = new Path(location, commitDir).toString
+    df.write.partitionBy(PT, BUCKET).parquet(stagingAbs)
+
+    collectStats(stagingAbs, level)
+  }
+
+  /** Distributed per-file stats: one aggregation pass over the new files. */
+  private def collectStats(stagingAbs: String, level: Int): Seq[ManifestEntry] = {
+    val written = spark.read.schema(
+      StructType(fileSchema.fields ++ Array(
+        StructField(PT, StringType), StructField(BUCKET, IntegerType))))
+      .option("basePath", stagingAbs).parquet(stagingAbs)
+    val statCols = fileSchema.fields.flatMap { f =>
+      Seq(min(col(f.name)).cast(StringType).as(s"min__${f.name}"),
+          max(col(f.name)).cast(StringType).as(s"max__${f.name}"),
+          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nc__${f.name}"))
+    }
+    val agg = written
+      .groupBy(input_file_name().as("__file"), col(BUCKET).as("__b"))
+      .agg(count(lit(1)).as("__rc"), statCols.toIndexedSeq: _*)
+      .collect()
+
+    val fsys = sm.fs
+    val locUri = new Path(location).toUri.getPath
+    agg.toSeq.map { row =>
+      val full = new Path(new java.net.URI(row.getAs[String]("__file"))).toUri.getPath
+      val rel = full.stripPrefix(locUri).stripPrefix("/")
+      val stats = fileSchema.fields.map { f =>
+        f.name -> ColStat(
+          row.getAs[String](s"min__${f.name}"),
+          row.getAs[String](s"max__${f.name}"),
+          row.getAs[Long](s"nc__${f.name}"))
+      }.toMap
+      val partition = config.partitionKeys.map { pc =>
+        pc -> stats(pc).min // constant within a file (partitionBy on PT)
+      }.toMap
+      val size = fsys.getFileStatus(new Path(location, rel)).getLen
+      val (minSeq, maxSeq) =
+        if (isPk) (stats(SEQ).min.toLong, stats(SEQ).max.toLong) else (0L, 0L)
+      ManifestEntry(0, rel, partition, row.getAs[Int]("__b"),
+        row.getAs[Long]("__rc"), size, minSeq, maxSeq, level = level, stats = stats)
+    }
+  }
+
+  /** INSERT INTO (append / upsert by merge engine). */
+  def write(df: DataFrame): SnapshotMeta = {
+    val adds = writeFiles(df)
+    sm.commit(adds, "APPEND", s"append-${UUID.randomUUID().toString.take(8)}", schema.id)
+  }
+
+  /** INSERT OVERWRITE. `dynamic`: only replace partitions present in `df`
+    * (paimon PaimonDynamicPartitionOverwriteCommand.scala). */
+  def overwrite(df: DataFrame, dynamic: Boolean = false,
+                staticPartition: Map[String, String] = Map.empty): SnapshotMeta = {
+    val adds = writeFiles(df)
+    val live = sm.latestSnapshot.map(sm.liveEntries).getOrElse(Nil)
+    val victims =
+      if (dynamic) {
+        val newParts = adds.map(_.partition).toSet
+        live.filter(e => newParts.contains(e.partition))
+      } else if (staticPartition.nonEmpty) {
+        live.filter(e => staticPartition.forall { case (k, v) => e.partition.get(k).contains(v) })
+      } else live
+    val deletes = victims.map(_.copy(kind = 1))
+    sm.commit(deletes ++ adds, "OVERWRITE",
+      s"overwrite-${UUID.randomUUID().toString.take(8)}", schema.id)
+  }
+
+  def truncate(): SnapshotMeta = {
+    val live = sm.latestSnapshot.map(sm.liveEntries).getOrElse(Nil)
+    sm.commit(live.map(_.copy(kind = 1)), "OVERWRITE", "truncate", schema.id)
+  }
+
+  // ------------------------------------------------------------------
+  // READ PATH
+  // ------------------------------------------------------------------
+
+  private[core] def emptyDf: DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema)
+
+  /** Plan live files for a snapshot, with manifest-level filter pruning. */
+  def planFiles(snapshotId: Option[Long] = None,
+                filter: Option[Column] = None): Seq[ManifestEntry] = {
+    val snap = snapshotId.map(sm.readSnapshot).orElse(sm.latestSnapshot)
+      .getOrElse(return Nil)
+    val live = sm.liveEntries(snap)
+    filter match {
+      case Some(c) =>
+        val expr = StatsPrune.resolve(spark, dataSchema, c)
+        live.filter(e => StatsPrune.mightMatch(expr, dataSchema, e.stats, e.rowCount))
+      case None => live
+    }
+  }
+
+  private[core] def readEntries(entries: Seq[ManifestEntry], withInternal: Boolean): DataFrame = {
+    if (entries.isEmpty) {
+      val s = if (withInternal && isPk) fileSchema else dataSchema
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+    }
+    val paths = entries.map(e => new Path(location, e.path).toString)
+    val df = spark.read.schema(fileSchema).parquet(paths: _*)
+    if (withInternal || !isPk) df
+    else df.select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Snapshot read with merge-on-read. Buckets already reduced to a single
+    * tombstone-free file skip the merge (raw path, cf. paimon
+    * DataSplit.rawConvertible, table/source/DataSplit.java:83). */
+  def read(filter: Option[Column] = None, snapshotId: Option[Long] = None): DataFrame = {
+    val entries = planFiles(snapshotId, filter)
+    if (entries.isEmpty) return filter.foldLeft(emptyDf)((d, c) => d.filter(c))
+    val out =
+      if (!isPk) readEntries(entries, withInternal = false)
+      else {
+        val byBucket = entries.groupBy(e => (e.partition, e.bucket))
+        // raw-convertible: single file, no delete tombstones, and either a
+        // compacted (level>0, already fully merged) file or a deduplicate-
+        // engine level-0 file (unique keys guaranteed by within-batch
+        // pre-merge). partial-update/aggregation level-0 files may hold
+        // several versions of a key inside one file, so they must merge.
+        val (rawB, mergeB) = byBucket.partition { case (_, es) =>
+          es.size == 1 && {
+            val e = es.head
+            val noTombstone =
+              e.stats.get(KIND).forall(s => s.max == null || s.max.toInt <= KIND_UPDATE_AFTER)
+            noTombstone && (e.level > 0 || config.mergeEngine == "deduplicate")
+          }
+        }
+        val rawEntries = rawB.values.flatten.toSeq
+        val mergeEntries = mergeB.values.flatten.toSeq
+        val parts = Seq(
+          if (rawEntries.nonEmpty) Some(readEntries(rawEntries, withInternal = false)) else None,
+          if (mergeEntries.nonEmpty)
+            Some(MergeEngines.merge(readEntries(mergeEntries, withInternal = true),
+              config, dataSchema).select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*))
+          else None).flatten
+        parts.reduce(_ unionAll _)
+      }
+    filter.foldLeft(out)((d, c) => d.filter(c))
+  }
+
+  /** Read-optimized scan: raw files only, no merge (paimon `t$ro`). */
+  def readRaw(snapshotId: Option[Long] = None): DataFrame =
+    readEntries(planFiles(snapshotId, None), withInternal = false)
+
+  /** Full rows incl. LSM envelope, rowkind as string (paimon `t$audit_log`). */
+  def auditLog(snapshotId: Option[Long] = None): DataFrame = {
+    val df = readEntries(planFiles(snapshotId, None), withInternal = true)
+    if (!isPk) df.withColumn("rowkind", lit("+I"))
+    else df.withColumn("rowkind",
+        when(col(KIND) === KIND_DELETE, "-D")
+          .when(col(KIND) === KIND_UPDATE_AFTER, "+U").otherwise("+I"))
+      .drop(SEQ, COMMIT, KIND)
+  }
+
+  def readTag(tag: String): DataFrame = read(None, Some(sm.readTag(tag).snapshotId))
+
+  /** TIMESTAMP AS OF: latest snapshot committed at or before `tsMillis`. */
+  def readTimestamp(tsMillis: Long): DataFrame = {
+    val ids = sm.snapshotIds.filter(id => sm.readSnapshot(id).timestampMs <= tsMillis)
+    if (ids.isEmpty) emptyDf else read(None, Some(ids.max))
+  }
+
+  // ------------------------------------------------------------------
+  // INCREMENTAL / CHANGELOG
+  // ------------------------------------------------------------------
+
+  /** Files added by snapshots in (from, to], skipping compactions (paimon
+    * IncrementalDeltaStartingScanner semantics). */
+  private def deltaEntriesBetween(from: Long, to: Long): Seq[ManifestEntry] = {
+    (from + 1 to to).flatMap { id =>
+      val s = sm.readSnapshot(id)
+      if (s.kind == "COMPACT") Nil
+      else s.deltaManifests.flatMap(sm.readManifest).filter(_.kind == 0)
+    }
+  }
+
+  /** Incremental upsert rows between two snapshots (paimon
+    * `paimon_incremental_query` TVF, delta mode). For PK tables, the latest
+    * version per key among the delta, minus tombstones. */
+  def incremental(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    val entries = deltaEntriesBetween(fromSnapshot, toSnapshot)
+    if (entries.isEmpty) return emptyDf
+    if (!isPk) readEntries(entries, withInternal = false)
+    else MergeEngines.merge(readEntries(entries, withInternal = true), config, dataSchema)
+      .select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Row-level changelog between snapshots as +I/-U/+U/-D rows (paimon
+    * incremental diff / binlog; SURVEY §2.9). Computed as a full-state diff
+    * join on the primary key — exact regardless of changelog-producer. */
+  def changelog(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    require(isPk, "changelog diff requires a primary-keyed table")
+    val before = read(None, Some(fromSnapshot)).withColumn("__side", lit("b"))
+    val after = read(None, Some(toSnapshot)).withColumn("__side", lit("a"))
+    val dataCols = dataSchema.fields.map(_.name).toSeq
+    val b = before.select((dataCols.map(col) :+ col("__side")).toIndexedSeq: _*).alias("b")
+    val a = after.select((dataCols.map(col) :+ col("__side")).toIndexedSeq: _*).alias("a")
+    val joinCond = pks.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _)
+    val joined = b.join(a, joinCond, "full_outer")
+    val changedCond = dataCols.filterNot(pks.contains)
+      .map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val inserts = joined.filter(col("b.__side").isNull)
+      .select(dataCols.map(c => col(s"a.$c").as(c)).toIndexedSeq: _*)
+      .withColumn("_row_kind", lit("+I"))
+    val deletes = joined.filter(col("a.__side").isNull)
+      .select(dataCols.map(c => col(s"b.$c").as(c)).toIndexedSeq: _*)
+      .withColumn("_row_kind", lit("-D"))
+    val updBase = joined.filter(col("b.__side").isNotNull && col("a.__side").isNotNull && changedCond)
+    val ubefore = updBase.select(dataCols.map(c => col(s"b.$c").as(c)).toIndexedSeq: _*)
+      .withColumn("_row_kind", lit("-U"))
+    val uafter = updBase.select(dataCols.map(c => col(s"a.$c").as(c)).toIndexedSeq: _*)
+      .withColumn("_row_kind", lit("+U"))
+    inserts.unionAll(deletes).unionAll(ubefore).unionAll(uafter)
+  }
+}
+
+object GraftTable {
+  // internal (LSM envelope / routing) column names
+  val SEQ = "__seq"
+  val COMMIT = "__commit"
+  val KIND = "__kind"
+  val PT = "__pt"
+  val BUCKET = "__bucket"
+  val KIND_INSERT = 0
+  val KIND_UPDATE_AFTER = 2
+  val KIND_DELETE = 3
+
+  def create(spark: SparkSession, location: String, schema: StructType,
+             config: TableConfig): GraftTable = {
+    val sm = new SnapshotManager(location, spark.sessionState.newHadoopConf())
+    require(!sm.tableExists, s"table exists at $location")
+    config.primaryKeys.foreach(k => require(schema.fieldNames.contains(k),
+      s"primary key $k not in schema"))
+    config.partitionKeys.foreach(k => require(schema.fieldNames.contains(k),
+      s"partition key $k not in schema"))
+    sm.writeSchema(TableSchema.fromSpark(0, schema, config))
+    new GraftTable(spark, location, sm)
+  }
+
+  def load(spark: SparkSession, location: String): GraftTable = {
+    val sm = new SnapshotManager(location, spark.sessionState.newHadoopConf())
+    require(sm.tableExists, s"no graft table at $location")
+    new GraftTable(spark, location, sm)
+  }
+
+  def exists(spark: SparkSession, location: String): Boolean =
+    new SnapshotManager(location, spark.sessionState.newHadoopConf()).tableExists
+
+  /** Create-or-replace helper for tests/benchmarks. */
+  def createOrReplace(spark: SparkSession, location: String, schema: StructType,
+                      config: TableConfig): GraftTable = {
+    val sm = new SnapshotManager(location, spark.sessionState.newHadoopConf())
+    if (sm.fs.exists(new Path(location))) sm.fs.delete(new Path(location), true)
+    create(spark, location, schema, config)
+  }
+}
+
+/**
+ * The four storage-side merge engines, expressed as Catalyst-friendly
+ * window/groupBy plans (SURVEY §2.4a). Input carries the LSM envelope
+ * (__seq/__commit/__kind); output is one row per key, envelope retained
+ * (so compaction can persist it).
+ */
+object MergeEngines {
+  import GraftTable._
+
+  def merge(df: DataFrame, config: TableConfig, schema: StructType): DataFrame = {
+    val pks = config.primaryKeys
+    config.mergeEngine match {
+      case "deduplicate" => dedup(df, pks, latestFirst = true)
+      case "first-row" => dedup(df, pks, latestFirst = false)
+      case "partial-update" => partialUpdate(df, pks, schema)
+      case "aggregation" => aggregation(df, pks, schema, config)
+      case other => throw new IllegalArgumentException(s"unknown merge engine $other")
+    }
+  }
+
+  /** deduplicate: last (or first) row per key by (seq, commit); drop delete
+    * tombstones after selection. */
+  private def dedup(df: DataFrame, pks: Seq[String], latestFirst: Boolean): DataFrame = {
+    val ord =
+      if (latestFirst) Seq(col(SEQ).desc, col(COMMIT).desc)
+      else Seq(col(SEQ).asc, col(COMMIT).asc)
+    val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col(KIND) =!= KIND_DELETE)
+  }
+
+  /** partial-update: per non-key field, last non-null value by (seq, commit)
+    * (paimon PartialUpdateMergeFunction.java:65 — sequence-group subset). */
+  private def partialUpdate(df: DataFrame, pks: Seq[String], schema: StructType): DataFrame = {
+    val alive = df.filter(col(KIND) =!= KIND_DELETE)
+    val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
+      .orderBy(col(SEQ).asc, col(COMMIT).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nonKey = schema.fields.map(_.name).filterNot(pks.contains)
+    val folded = nonKey.foldLeft(alive) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    folded.withColumn(SEQ, max(col(SEQ)).over(w))
+      .withColumn(COMMIT, max(col(COMMIT)).over(w))
+      .withColumn(KIND, lit(KIND_INSERT))
+      .dropDuplicates(pks)
+  }
+
+  /** aggregation engine: per-field aggregate functions over each key group
+    * (paimon aggregate/FieldAggregator.java factories; SURVEY §2.4a). */
+  private def aggregation(df: DataFrame, pks: Seq[String], schema: StructType,
+                          config: TableConfig): DataFrame = {
+    val alive = df.filter(col(KIND) =!= KIND_DELETE)
+    val ordKey = struct(col(SEQ), col(COMMIT))
+    def aggFor(name: String, dt: DataType): Column = {
+      val fn = config.fieldAggregates.getOrElse(name,
+        config.defaultAggregate.getOrElse("last_non_null_value"))
+      val c = col(name)
+      fn match {
+        case "sum" => sum(c).cast(dt)
+        case "max" => max(c)
+        case "min" => min(c)
+        case "count" => count(c).cast(dt)
+        case "product" =>
+          aggregate(collect_list(c.cast(DoubleType)), lit(1.0), (acc, x) => acc * x).cast(dt)
+        case "bool_and" => bool_and(c)
+        case "bool_or" => bool_or(c)
+        case "last_value" => max_by(c, ordKey)
+        case "first_value" => min_by(c, ordKey)
+        case "last_non_null_value" => max_by(c, when(c.isNotNull, ordKey))
+        case "first_non_null_value" => min_by(c, when(c.isNotNull, ordKey))
+        case "listagg" =>
+          array_join(transform(
+            array_sort(collect_list(when(c.isNotNull,
+              struct(col(SEQ), col(COMMIT), c.cast(StringType).as("v"))))),
+            x => x.getField("v")), ",")
+        case "collect" =>
+          transform(array_sort(collect_list(when(c.isNotNull,
+            struct(col(SEQ), col(COMMIT), c.as("v"))))), x => x.getField("v"))
+        case "rbm32" => GraftAggs.rbm32(c)
+        case "rbm64" => GraftAggs.rbm64(c)
+        case "hll_sketch" => GraftAggs.hllSketch(c)
+        case "theta_sketch" => GraftAggs.thetaSketch(c)
+        case other => throw new IllegalArgumentException(s"unknown aggregate $other")
+      }
+    }
+    val aggCols = schema.fields.filterNot(f => pks.contains(f.name)).map { f =>
+      aggFor(f.name, f.dataType).as(f.name)
+    } ++ Seq(max(col(SEQ)).as(SEQ), max(col(COMMIT)).as(COMMIT),
+      lit(KIND_INSERT).as(KIND))
+    alive.groupBy(pks.map(col).toIndexedSeq: _*).agg(aggCols.head, aggCols.tail.toIndexedSeq: _*)
+      .select((pks.map(col) ++ schema.fields.filterNot(f => pks.contains(f.name)).map(f => col(f.name)) ++
+        Seq(col(SEQ), col(COMMIT), col(KIND))).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,191 @@
+package graft
+
+import graft.core._
+import graft.core.RowOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { /* shared session across suites */ }
+
+  def tmpLoc(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("t").toString
+
+  def rowsOf(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case d: Double => BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      case x => x
+    }.toList: Seq[Any]).toSet
+
+  def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val (ra, rb) = (rowsOf(a), rowsOf(b))
+    assert(ra == rb, s"\nonly in left: ${(ra -- rb).take(5)}\nonly in right: ${(rb -- ra).take(5)}")
+  }
+}
+
+class CoreTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkOrders: DataFrame = Seq(
+    (1L, "A", 10.0, "2024-01-01"),
+    (2L, "B", 20.0, "2024-01-01"),
+    (3L, "A", 30.0, "2024-01-02"),
+    (4L, "C", 40.0, "2024-01-02")
+  ).toDF("k", "status", "price", "dt")
+
+  test("pk dedup: second write wins, raw vs merge paths agree") {
+    val loc = tmpLoc("dedup")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+    t.write(mkOrders)
+    t.write(Seq((2L, "B2", 99.0, "2024-01-01"), (5L, "D", 50.0, "2024-01-03"))
+      .toDF("k", "status", "price", "dt"))
+    val got = t.read()
+    val expected = Seq(
+      (1L, "A", 10.0, "2024-01-01"), (2L, "B2", 99.0, "2024-01-01"),
+      (3L, "A", 30.0, "2024-01-02"), (4L, "C", 40.0, "2024-01-02"),
+      (5L, "D", 50.0, "2024-01-03")).toDF("k", "status", "price", "dt")
+    assertSameRows(got, expected)
+    // compaction preserves results and flips to raw path
+    assert(t.compact().isDefined)
+    assertSameRows(t.read(), expected)
+    assert(t.compact().isEmpty) // idempotent no-op
+    // filter pushdown + pruning path
+    assertSameRows(t.read(filter = Some(col("k") === 2L)),
+      expected.filter(col("k") === 2L))
+  }
+
+  test("time travel, tags, incremental, changelog") {
+    val loc = tmpLoc("tt")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+    t.write(mkOrders) // snapshot 1
+    t.write(Seq((2L, "B2", 99.0, "2024-01-01")).toDF("k", "status", "price", "dt")) // 2
+    t.sm.createTag("v1", 1)
+    assertSameRows(t.read(None, Some(1L)), mkOrders)
+    assertSameRows(t.readTag("v1"), mkOrders)
+    // incremental between 1 and 2: only the changed row
+    assertSameRows(t.incremental(1, 2),
+      Seq((2L, "B2", 99.0, "2024-01-01")).toDF("k", "status", "price", "dt"))
+    // changelog: -U/+U pair for key 2
+    val cl = t.changelog(1, 2).select("k", "_row_kind").as[(Long, String)].collect().toSet
+    assert(cl == Set((2L, "-U"), (2L, "+U")))
+  }
+
+  test("partial-update merge engine folds non-null fields by sequence") {
+    val loc = tmpLoc("pu")
+    val schema = Seq((1L, Option("a"), Option(1.0), 1L)).toDF("k", "name", "score", "ver").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "partial-update", sequenceField = Some("ver")))
+    t.write(Seq((1L, Option("a"), Option(1.0), 1L), (2L, Option("b"), None: Option[Double], 1L))
+      .toDF("k", "name", "score", "ver"))
+    t.write(Seq((1L, None: Option[String], Option(9.0), 2L), (2L, Option("b2"), None: Option[Double], 2L))
+      .toDF("k", "name", "score", "ver"))
+    val expected = Seq((1L, Option("a"), Option(9.0), 2L), (2L, Option("b2"), None: Option[Double], 2L))
+      .toDF("k", "name", "score", "ver")
+    assertSameRows(t.read(), expected)
+    t.compact()
+    assertSameRows(t.read(), expected)
+  }
+
+  test("aggregation merge engine: sum/max/last_non_null") {
+    val loc = tmpLoc("agg")
+    val schema = Seq((1L, 1.0, 1, "x")).toDF("k", "total", "hi", "note").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "aggregation",
+        fieldAggregates = Map("total" -> "sum", "hi" -> "max")))
+    t.write(Seq((1L, 1.0, 5, "a"), (1L, 2.0, 3, "b"), (2L, 10.0, 1, "c")).toDF("k", "total", "hi", "note"))
+    t.write(Seq((1L, 4.0, 9, "d")).toDF("k", "total", "hi", "note"))
+    val got = t.read().orderBy("k").as[(Long, Double, Int, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((1L, 7.0, 9), (2L, 10.0, 1)))
+    t.compact()
+    val got2 = t.read().orderBy("k").as[(Long, Double, Int, String)].collect().toSeq
+    assert(got2.map(r => (r._1, r._2, r._3)) == Seq((1L, 7.0, 9), (2L, 10.0, 1)))
+  }
+
+  test("first-row merge engine keeps earliest version") {
+    val loc = tmpLoc("fr")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1, mergeEngine = "first-row"))
+    t.write(mkOrders)
+    t.write(Seq((1L, "ZZZ", 0.0, "2024-09-09")).toDF("k", "status", "price", "dt"))
+    assertSameRows(t.read(), mkOrders)
+  }
+
+  test("delete / update / merge into on pk table") {
+    val loc = tmpLoc("rowops")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+    t.write(mkOrders)
+    t.delete(col("status") === "C")
+    assertSameRows(t.read(), mkOrders.filter(col("status") =!= "C"))
+    t.update(Map("price" -> (col("price") * 2)), col("status") === "A")
+    val afterUpd = Seq((1L, "A", 20.0, "2024-01-01"), (2L, "B", 20.0, "2024-01-01"),
+      (3L, "A", 60.0, "2024-01-02")).toDF("k", "status", "price", "dt")
+    assertSameRows(t.read(), afterUpd)
+    // MERGE INTO: update k=2, delete k=3, insert k=9
+    val src = Seq((2L, 777.0), (3L, 0.0), (9L, 9.0)).toDF("sk", "sprice")
+    t.mergeInto(src, col("sk") === col("k"))
+      .whenMatchedDelete(Some(col("sk") === 3L))
+      .whenMatchedUpdate(set = Map("price" -> col("sprice")))
+      .whenNotMatchedInsert(values = Map(
+        "k" -> col("sk"), "status" -> lit("NEW"), "price" -> col("sprice"), "dt" -> lit("2024-02-01")))
+      .execute()
+    val afterMerge = Seq((1L, "A", 20.0, "2024-01-01"), (2L, "B", 777.0, "2024-01-01"),
+      (9L, "NEW", 9.0, "2024-02-01")).toDF("k", "status", "price", "dt")
+    assertSameRows(t.read(), afterMerge)
+    t.compact()
+    assertSameRows(t.read(), afterMerge)
+  }
+
+  test("partitioned table: metadata-only delete + dynamic overwrite") {
+    val loc = tmpLoc("part")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k", "dt"), partitionKeys = Seq("dt"), numBuckets = 2))
+    t.write(mkOrders)
+    val s = t.delete(col("dt") === "2024-01-02")
+    assert(s.kind == "OVERWRITE")
+    assertSameRows(t.read(), mkOrders.filter(col("dt") =!= "2024-01-02"))
+    // dynamic partition overwrite replaces only dt=2024-01-01
+    val t2loc = tmpLoc("dynov")
+    val t2 = GraftTable.create(spark, t2loc, mkOrders.schema,
+      TableConfig(partitionKeys = Seq("dt")))
+    t2.write(mkOrders)
+    t2.overwrite(Seq((8L, "X", 1.0, "2024-01-01")).toDF("k", "status", "price", "dt"), dynamic = true)
+    assertSameRows(t2.read(),
+      Seq((8L, "X", 1.0, "2024-01-01"), (3L, "A", 30.0, "2024-01-02"), (4L, "C", 40.0, "2024-01-02"))
+        .toDF("k", "status", "price", "dt"))
+  }
+
+  test("append table: write, filter prune, sort compact, system tables, expire") {
+    val loc = tmpLoc("append")
+    val t = GraftTable.create(spark, loc, mkOrders.schema, TableConfig())
+    t.write(mkOrders)
+    t.write(mkOrders)
+    assert(t.read().count() == 8)
+    t.compactSorted("zorder", Seq("k", "price"))
+    assert(t.read().count() == 8)
+    assert(t.systemTable("snapshots").count() == 3)
+    assert(t.systemTable("files").count() >= 1)
+    assert(t.systemTable("partitions").count() == 1)
+    val expired = t.expireSnapshots(1)
+    assert(expired == 2)
+    assert(t.read().count() == 8)
+    assert(t.removeOrphanFiles(System.currentTimeMillis() + 1000) == 0)
+  }
+}
