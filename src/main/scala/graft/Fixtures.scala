@@ -1,0 +1,233 @@
+package graft
+
+import graft.core._
+import graft.core.RowOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import scala.collection.concurrent.TrieMap
+
+/**
+ * Engine-table fixtures for the correctness/bench queries: each builder
+ * writes a graft table from the driver-generated parquet inputs with a
+ * DETERMINISTIC transformation, so every result is expressible as DuckDB
+ * SQL over the raw tables (the driver's oracle).
+ *
+ * Built once per (sfDir, name) per JVM; table dirs live under /tmp.
+ */
+object Fixtures {
+
+  private val built = TrieMap[(String, String), GraftTable]()
+
+  private def fixRoot(sfDir: String): String =
+    s"/tmp/graft-fixtures/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+
+  def src(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS): read as long, convert to micros
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def fixture(spark: SparkSession, sfDir: String, name: String)
+                     (build: String => GraftTable): GraftTable =
+    built.getOrElseUpdate((sfDir, name), build(s"${fixRoot(sfDir)}/$name"))
+
+  /** PK dedup table over orders; snapshots: 1 = orders, 2 = +10%-key updates
+    * (price*2, priority X-UPD), 3 = COMPACT. Tag v1 → snapshot 1. */
+  def ordersPk(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_pk") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4))
+      t.write(orders)
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", lit("X-UPD")))
+      t.sm.createTag("v1", 1)
+      t.compact()
+      t
+    }
+
+  /** Partial-update engine over customer: v1 = all fields but mktsegment,
+    * v2 (custkey%3==0) = +100 acctbal and mktsegment, name null. */
+  def custPu(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "cust_pu") { loc =>
+      val c = src(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+          lit(1L).as("ver"))
+      val t = GraftTable.createOrReplace(spark, loc, c.schema,
+        TableConfig(primaryKeys = Seq("c_custkey"), numBuckets = 2,
+          mergeEngine = "partial-update", sequenceField = Some("ver")))
+      t.write(c.withColumn("c_mktsegment", lit(null).cast("string")))
+      t.write(c.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_name", lit(null).cast("string"))
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("ver", lit(2L)))
+      t
+    }
+
+  /** Aggregation engine over lineitem: per orderkey sum/max/count/listagg. */
+  def aggTbl(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "agg_tbl") { loc =>
+      val li = src(spark, sfDir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_quantity").as("qty_sum"),
+        col("l_extendedprice").as("price_max"),
+        col("l_partkey").as("item_cnt"),
+        col("l_returnflag").as("flags"))
+      val t = GraftTable.createOrReplace(spark, loc, li.schema,
+        TableConfig(primaryKeys = Seq("l_orderkey"), numBuckets = 4,
+          mergeEngine = "aggregation",
+          fieldAggregates = Map("qty_sum" -> "sum", "price_max" -> "max",
+            "item_cnt" -> "count", "flags" -> "listagg")))
+      t.write(li)
+      t
+    }
+
+  /** First-row engine over orders: second write must lose. */
+  def ordersFr(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_fr") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4,
+          mergeEngine = "first-row"))
+      t.write(orders)
+      t.write(orders.withColumn("o_totalprice", col("o_totalprice") * 3))
+      t
+    }
+
+  /** Append table over events, partitioned by event_type. */
+  def eventsAp(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "events_ap") { loc =>
+      val e = src(spark, sfDir, "events")
+      val t = GraftTable.createOrReplace(spark, loc, e.schema,
+        TableConfig(partitionKeys = Seq("event_type")))
+      t.write(e)
+      t
+    }
+
+  /** events_ap + metadata-only DELETE of partition event_type='click'. */
+  def eventsDel(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "events_del") { loc =>
+      val e = src(spark, sfDir, "events")
+      val t = GraftTable.createOrReplace(spark, loc, e.schema,
+        TableConfig(partitionKeys = Seq("event_type")))
+      t.write(e)
+      t.delete(col("event_type") === "click")
+      t
+    }
+
+  /** events + dynamic-partition overwrite of 'error' rows with value=0. */
+  def eventsOw(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "events_ow") { loc =>
+      val e = src(spark, sfDir, "events")
+      val t = GraftTable.createOrReplace(spark, loc, e.schema,
+        TableConfig(partitionKeys = Seq("event_type")))
+      t.write(e)
+      t.overwrite(e.filter(col("event_type") === "error").withColumn("value", lit(0.0)),
+        dynamic = true)
+      t
+    }
+
+  /** PK orders + COW DELETE of status 'F'. */
+  def ordersDel(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_del") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4))
+      t.write(orders)
+      t.delete(col("o_orderstatus") === "F")
+      t
+    }
+
+  /** PK orders + COW UPDATE price*0.9 for status 'O'. */
+  def ordersUpd(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_upd") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4))
+      t.write(orders)
+      t.update(Map("o_totalprice" -> (col("o_totalprice") * 0.9)),
+        col("o_orderstatus") === "O")
+      t
+    }
+
+  /** PK orders + MERGE INTO: matched %5==0 → price+1000; source-only keys
+    * (orderkey+10000000 for %7==3) inserted with status NEW. */
+  def ordersMi(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_mi") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4))
+      t.write(orders)
+      val updates = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("sk"), (col("o_totalprice") + 1000.0).as("sprice"))
+      val inserts = orders.filter(col("o_orderkey") % 7 === 3)
+        .select((col("o_orderkey") + 10000000L).as("sk"), col("o_totalprice").as("sprice"))
+      t.mergeInto(updates.unionAll(inserts), col("sk") === col("o_orderkey"))
+        .whenMatchedUpdate(set = Map("o_totalprice" -> col("sprice")))
+        .whenNotMatchedInsert(values = Map(
+          "o_orderkey" -> col("sk"), "o_custkey" -> lit(0L),
+          "o_orderstatus" -> lit("NEW"), "o_totalprice" -> col("sprice"),
+          "o_orderdate" -> lit("2024-01-01").cast("timestamp_ntz"),
+          "o_orderpriority" -> lit("5-LOW")))
+        .execute()
+      t
+    }
+
+  /** Append lineitem, z-order sort-compacted on (l_shipdate, l_extendedprice). */
+  def lineitemZ(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lineitem_z") { loc =>
+      val li = src(spark, sfDir, "lineitem")
+      val t = GraftTable.createOrReplace(spark, loc, li.schema, TableConfig())
+      t.write(li)
+      t.compactSorted("zorder", Seq("l_shipdate", "l_extendedprice"))
+      t
+    }
+
+  /** Schema evolution: append orders, add `note` column, write tagged subset. */
+  def ordersEvo(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_evo") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema, TableConfig())
+      t.write(orders)
+      t.addColumns(org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType))
+      val t2 = GraftTable.load(spark, t.location)
+      t2.write(orders.filter(col("o_orderkey") % 10 === 0).withColumn("note", lit("evolved")))
+      t2
+    }
+
+  /** Streaming upsert: AvailableNow stream of orders micro-batched through
+    * foreachBatch into a PK dedup table (SURVEY §2.9 stateful upsert sink). */
+  def ordersStream(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_stream") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4))
+      // deterministic input + checkpoint dirs, wiped per build: a stale
+      // checkpoint must never outlive its input dir across JVM restarts
+      val streamDir = java.nio.file.Paths.get(s"$loc-in")
+      val ckptDir = s"$loc-ckpt"
+      for (d <- Seq(streamDir.toString, ckptDir)) {
+        val f = new java.io.File(d)
+        if (f.exists()) { org.apache.hadoop.fs.FileUtil.fullyDelete(f); () }
+      }
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+        streamDir.resolve("orders.parquet"))
+      val stream = spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) => t.write(batch); () }
+        .start()
+      q.awaitTermination(120000)
+      t
+    }
+}

@@ -1,13 +1,412 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core._
+import graft.core.RowOps._
+import graft.functions.GraftAggs
+import graft.pipeline.{Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` over the raw
+ * parquet tables. Engine-backed queries run against deterministic fixture
+ * tables (see [[Fixtures]]) so their results are SQL-expressible.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: merged MOR read
+    * of the PK dedup table, aggregated. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qPkDedup(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Fixtures.src(spark, sfDir, name)
+
+  private def statusAgg(df: DataFrame): DataFrame =
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+
+  private def qPkDedup(spark: SparkSession, sf: String): DataFrame =
+    statusAgg(Fixtures.ordersPk(spark, sf).read())
+
+  private val dedupOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+      | round(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+      |               ELSE o_totalprice END), 2) AS total
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  // language-ID oracle: mirrors TextOps.langId exactly
+  private def langScoreSql(lang: String): String =
+    TextOps.langMarkers(lang).map { m =>
+      s"CAST((length(p)-length(replace(p,'$m','')))/${m.length} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+  private val langIdOracle: String = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scores = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH scored AS (
+       |  SELECT $scores FROM (SELECT ' '||lower(text)||' ' AS p FROM documents)
+       |), best_t AS (SELECT *, $best AS best FROM scored)
+       |SELECT $pred AS lang_pred, CAST(count(*) AS BIGINT) AS cnt
+       |FROM best_t GROUP BY 1""".stripMargin
+  }
+
+  // quality-score oracle fragments: mirror TextOps.qualityScore
+  private val tokCntSql =
+    "CASE WHEN length(trim(text))=0 THEN 0 ELSE length(regexp_split_to_array(trim(text),'\\s+')) END"
+  private val qualitySql =
+    s"""round(
+       | least(($tokCntSql)/100.0, 1.0) * 0.5 +
+       | (CASE WHEN ($tokCntSql) > 0 AND
+       |   (length(text)*1.0/($tokCntSql)) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+       | (CASE WHEN length(text) > 0 AND
+       |   ((length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text)) <= 0.1
+       |   THEN 1.0 ELSE 0.5 END) * 0.2, 4)""".stripMargin
+
+  // ---------------------------------------------------------------- catalog
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / snapshots / time travel (SURVEY §2.1) ----
+    "q_pk_dedup" -> ((s, d) => qPkDedup(s, d)),
+    "q_mor_read" -> ((s, d) => statusAgg(Fixtures.ordersPk(s, d).read(None, Some(2L)))),
+    "q_ro_read" -> ((s, d) => statusAgg(Fixtures.ordersPk(s, d).readRaw())),
+    "q_filter_pushdown" -> ((s, d) => Fixtures.ordersPk(s, d)
+      .read(filter = Some(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz")))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+    "q_time_travel" -> ((s, d) => Fixtures.ordersPk(s, d).read(None, Some(1L))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+    "q_tag_read" -> ((s, d) => Fixtures.ordersPk(s, d).readTag("v1")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+    "q_incremental" -> ((s, d) => Fixtures.ordersPk(s, d).incremental(1, 2)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("o_orderpriority"))),
+    "q_changelog" -> ((s, d) => Fixtures.ordersPk(s, d).changelog(1, 2)
+      .select(col("o_orderkey"), col("_row_kind"), round(col("o_totalprice"), 2).as("price"))),
+    "q_audit_log" -> ((s, d) => Fixtures.ordersPk(s, d).auditLog(Some(2L))
+      .groupBy("rowkind").agg(count(lit(1)).as("cnt"))),
+    "q_system_snapshots" -> ((s, d) => Fixtures.ordersPk(s, d)
+      .systemTable("snapshots").select("snapshot_id", "commit_kind")),
+    "q_format_table" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))),
+
+    // ---- merge engines (§2.4a) ----
+    "q_partial_update" -> ((s, d) => Fixtures.custPu(s, d).read()
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("c_mktsegment"))),
+    "q_agg_engine" -> ((s, d) => Fixtures.aggTbl(s, d).read()
+      .select(col("l_orderkey"), round(col("qty_sum"), 2).as("qty_sum"),
+        round(col("price_max"), 2).as("price_max"), col("item_cnt"), col("flags"))),
+    "q_first_row" -> ((s, d) => Fixtures.ordersFr(s, d).read()
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+    "q_rbm_cardinality" -> ((s, d) => {
+      val card = udf((b: Array[Byte]) => GraftAggs.rbm64Cardinality(b))
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(GraftAggs.rbm64(col("o_custkey")).as("rbm"))
+        .select(col("o_orderstatus"), card(col("rbm")).as("uniq"))
+    }),
+    "q_hll_estimate" -> ((s, d) => t(s, d, "orders").groupBy("o_orderstatus")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("approx_uniq"))),
+
+    // ---- aggregate/limit pushdown, sorts (§2.4b / §2.6) ----
+    "q_agg_pushdown" -> ((s, d) => Fixtures.eventsAp(s, d).aggFromManifest(Seq(
+      ("cnt", "count", ""), ("min_id", "min", "event_id"), ("max_id", "max", "event_id")))),
+    "q_topn" -> ((s, d) => Fixtures.lineitemZ(s, d).read()
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))),
+    "q_zorder_scan" -> ((s, d) => Fixtures.lineitemZ(s, d)
+      .read(filter = Some(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("rev"))),
+
+    // ---- row-level ops (§2.10) ----
+    "q_delete_cow" -> ((s, d) => statusAgg(Fixtures.ordersDel(s, d).read())),
+    "q_update_cow" -> ((s, d) => statusAgg(Fixtures.ordersUpd(s, d).read())),
+    "q_merge_into" -> ((s, d) => statusAgg(Fixtures.ordersMi(s, d).read())),
+    "q_metadata_delete" -> ((s, d) => Fixtures.eventsDel(s, d).read()
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))),
+    "q_partition_prune" -> ((s, d) => Fixtures.eventsAp(s, d)
+      .read(filter = Some(col("event_type") === "purchase"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
+    "q_overwrite_dynamic" -> ((s, d) => Fixtures.eventsOw(s, d).read()
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
+    "q_schema_evolution" -> ((s, d) => Fixtures.ordersEvo(s, d).read()
+      .agg(count(lit(1)).as("cnt"), count(col("note")).as("notes"))),
+
+    // ---- streaming (§2.9) ----
+    "q_stream_upsert" -> ((s, d) => Fixtures.ordersStream(s, d).read()
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+
+    // ---- delegated relational (§2.3–2.7) ----
+    "q1_agg" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("cnt"))),
+    "q_join_broadcast" -> ((s, d) => t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))),
+    "q_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("o_custkey", "o_orderkey", "rn")
+    }),
+    "q_setops" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+    }),
+    "q_rollup" -> ((s, d) => t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))),
+    "q_distinct" -> ((s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+    "q_semijoin" -> ((s, d) => t(s, d, "lineitem")
+      .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt"))),
+    "q_antijoin" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt"))),
+
+    // ---- LLM-pipeline ops (§2.11 + training-data operators) ----
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val d2 = docs.select("doc_id", "text")
+        .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      d2.groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
+    }),
+    "q_text_tokens" -> ((s, d) => t(s, d, "documents")
+      .groupBy("lang")
+      .agg(sum(TextOps.tokenCount(col("text"))).as("n_tokens"), count(lit(1)).as("docs"))),
+    "q_lang_id" -> ((s, d) => t(s, d, "documents")
+      .groupBy(TextOps.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))),
+    "q_fingerprint" -> ((s, d) => t(s, d, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "q_text_quality" -> ((s, d) => t(s, d, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(TextOps.punctCount(col("text"))).as("punct"),
+        round(avg(TextOps.qualityScore(col("text"))), 3).as("avg_q"))),
+    "q_simhash" -> ((s, d) => t(s, d, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"), TextOps.simhash32(col("text")).as("sh"))),
+    "q_ann_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .first().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb, "embedding", q, 10, "cosine", "sim")
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .first().getSeq[Float](0)
+      val model = Similarity.trainIvf(emb, "embedding", 8)
+      val indexed = emb.withColumn("__ivf_cluster", model.assignExpr(col("embedding")))
+      Similarity.ivfTopK(indexed, model, "embedding", "__ivf_cluster", q, 10,
+        nprobe = 8, metric = "cosine", scoreCol = "sim") // nprobe = all → exact
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+    "q_embed_neardup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select("vec_id", "label", "embedding")
+      val e2 = emb.unionAll(emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("label"), col("embedding")))
+      val a = e2.alias("a"); val b = e2.alias("b")
+      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .filter(round(col("sim"), 4) >= 0.9999)
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    }),
+    "q_multimodal_blob" -> ((s, d) => {
+      // BLOB column plumbing: text → opaque binary + typed metadata; the
+      // "decode" is a deterministic stand-in (real image/audio codecs are
+      // out of scope in this container) — schema & distribution are real.
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"), length(col("blob")).as("byte_len"),
+          md5(col("blob")).as("content_hash"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pk_dedup" -> dedupOracle,
+    "q_mor_read" -> dedupOracle,
+    "q_ro_read" -> dedupOracle,
+    "q_filter_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |               ELSE o_totalprice END), 2) AS total
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+    "q_time_travel" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders",
+    "q_tag_read" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders",
+    "q_incremental" ->
+      """SELECT o_orderkey, round(o_totalprice * 2, 2) AS price, 'X-UPD' AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "q_changelog" ->
+      """SELECT o_orderkey, '-U' AS _row_kind, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey, '+U' AS _row_kind, round(o_totalprice * 2, 2) AS price
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "q_audit_log" ->
+      """SELECT '+I' AS rowkind,
+        | CAST((SELECT count(*) FROM orders) +
+        |      (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT) AS cnt""".stripMargin,
+    "q_system_snapshots" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot_id, 'APPEND' AS commit_kind
+        |UNION ALL SELECT 2, 'APPEND' UNION ALL SELECT 3, 'COMPACT'""".stripMargin,
+    "q_format_table" ->
+      "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "q_partial_update" ->
+      """SELECT c_custkey, c_name,
+        | round(c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END, 2) AS acctbal,
+        | CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS c_mktsegment
+        |FROM customer""".stripMargin,
+    "q_agg_engine" ->
+      """SELECT l_orderkey, round(sum(l_quantity), 2) AS qty_sum,
+        | round(max(l_extendedprice), 2) AS price_max,
+        | CAST(count(l_partkey) AS BIGINT) AS item_cnt,
+        | array_to_string(list_sort(list(l_returnflag)), ',') AS flags
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_first_row" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders",
+    "q_rbm_cardinality" ->
+      """SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS uniq
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(min(event_id) AS BIGINT) AS min_id,
+        | CAST(max(event_id) AS BIGINT) AS max_id FROM events""".stripMargin,
+    "q_topn" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+    "q_delete_cow" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus""".stripMargin,
+    "q_update_cow" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 0.9
+        |               ELSE o_totalprice END), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_merge_into" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, round(sum(price), 2) AS total
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'NEW' AS o_orderstatus, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |) GROUP BY o_orderstatus""".stripMargin,
+    "q_metadata_delete" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events WHERE event_type <> 'click' GROUP BY event_type""".stripMargin,
+    "q_partition_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS total
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_overwrite_dynamic" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN event_type = 'error' THEN 0 ELSE value END), 2) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT CAST((SELECT count(*) FROM orders) +
+        |   (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT) AS cnt,
+        | CAST((SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT) AS notes""".stripMargin,
+    "q_stream_upsert" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 2) AS avg_qty, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_semijoin" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_antijoin" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM d2 GROUP BY md5(text)""".stripMargin,
+    "q_text_tokens" ->
+      s"""SELECT lang, CAST(sum($tokCntSql) AS BIGINT) AS n_tokens,
+         | CAST(count(*) AS BIGINT) AS docs
+         |FROM documents GROUP BY lang""".stripMargin,
+    "q_lang_id" -> langIdOracle,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents WHERE doc_id < 100""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         | CAST(sum(length(text)-length(regexp_replace(text,'[.,;:!?]','','g'))) AS BIGINT) AS punct,
+         | round(avg($qualitySql), 3) AS avg_q
+         |FROM documents GROUP BY source""".stripMargin,
+    "q_multimodal_blob" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | md5(text) AS content_hash
+        |FROM documents WHERE doc_id < 100""".stripMargin,
+    "q_ann_cosine" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT vec_id AS v1, vec_id + 1000000 AS v2 FROM embeddings""".stripMargin
+  )
 }

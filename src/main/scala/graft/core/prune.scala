@@ -27,6 +27,9 @@ object StatsPrune {
     case _ => a.compareTo(b)
   }
 
+  /** Public ordering-aware stat comparison (used by aggregate pushdown). */
+  def compare(dt: DataType, a: String, b: String): Int = cmp(dt, a, b)
+
   private def litStr(l: Literal): Option[String] = Option(l.value).map {
     case d: org.apache.spark.unsafe.types.UTF8String => d.toString
     case v => v.toString

@@ -309,6 +309,58 @@ class GraftTable private (
   // INCREMENTAL / CHANGELOG
   // ------------------------------------------------------------------
 
+  /** Add nullable columns to the schema (schema evolution; cf. paimon
+    * SchemaManager.commitChanges, paimon-core/.../schema/SchemaManager.java:254).
+    * Files written before the change read back with nulls in the new cols. */
+  def addColumns(newCols: StructField*): Unit = {
+    val cur = schema
+    newCols.foreach(f => require(!cur.fields.exists(_.name == f.name),
+      s"column ${f.name} exists"))
+    val maxId = cur.fields.map(_.id).max
+    val added = newCols.zipWithIndex.map { case (f, i) =>
+      FieldDef(maxId + 1 + i, f.name, f.dataType.sql, nullable = true)
+    }
+    sm.writeSchema(TableSchema(cur.id + 1, cur.fields ++ added, cur.config,
+      System.currentTimeMillis()))
+  }
+
+  /**
+   * Scan-level aggregate pushdown: COUNT(*) / MIN(col) / MAX(col) answered
+   * purely from manifest stats — zero data files read (paimon
+   * SupportsPushDownAggregates path, paimon-spark/.../PaimonScanBuilder.scala:93
+   * + AggregatePushDownUtils.scala:36). Requires every bucket raw-convertible
+   * (append table, or fully compacted PK table) so file stats equal table
+   * stats. `aggs` = (alias, func, col).
+   */
+  def aggFromManifest(aggs: Seq[(String, String, String)],
+                      snapshotId: Option[Long] = None): DataFrame = {
+    val entries = planFiles(snapshotId, None)
+    val rawOk = !isPk || entries.groupBy(e => (e.partition, e.bucket)).forall {
+      case (_, es) => es.size == 1 && es.head.level > 0
+    }
+    require(rawOk, "aggregate pushdown needs an append or fully-compacted table")
+    val rowCount = entries.map(_.rowCount).sum
+    def fold(colName: String, wantMax: Boolean): Option[String] = {
+      val dt = dataSchema.fields.find(_.name == colName).get.dataType
+      val vals = entries.flatMap(_.stats.get(colName))
+        .flatMap(s => Option(if (wantMax) s.max else s.min))
+      if (vals.isEmpty) None
+      else Some(vals.reduce((a, b) =>
+        if (StatsPrune.compare(dt, a, b) >= 0 == wantMax) a else b))
+    }
+    val exprs = aggs.map {
+      case (alias, "count", _) => lit(rowCount).cast(LongType).as(alias)
+      case (alias, "min", c) =>
+        val dt = dataSchema.fields.find(_.name == c).get.dataType
+        lit(fold(c, wantMax = false).orNull).cast(dt).as(alias)
+      case (alias, "max", c) =>
+        val dt = dataSchema.fields.find(_.name == c).get.dataType
+        lit(fold(c, wantMax = true).orNull).cast(dt).as(alias)
+      case (_, f, _) => throw new IllegalArgumentException(s"unsupported pushdown agg $f")
+    }
+    spark.range(1).select(exprs.toIndexedSeq: _*)
+  }
+
   /** Files added by snapshots in (from, to], skipping compactions (paimon
     * IncrementalDeltaStartingScanner semantics). */
   private def deltaEntriesBetween(from: Long, to: Long): Seq[ManifestEntry] = {

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over embedding columns (`array<float>`): exact
+ * brute-force scoring as the baseline, IVF (k-means coarse quantizer) as the
+ * scale path — capability parity with paimon's vector global indexes
+ * (reference: paimon-vector/.../IvfFlatVectorGlobalIndexerFactory.java:24,
+ * metrics per paimon-core/.../globalindex/VectorSearchMetric.java), JNI-free.
+ *
+ * Score math runs on codegen'd higher-order functions (`zip_with` +
+ * `aggregate`), all in double precision. Top-k uses `orderBy().limit(k)` —
+ * Spark plans that as per-partition TakeOrdered + driver merge, the same
+ * distributed top-k-merge shape the reference implements by hand.
+ */
+object Similarity {
+
+  /** Dot product of two numeric arrays (double math). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val diff = x.cast(DoubleType) - y.cast(DoubleType)
+      diff * diff
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Exact brute-force top-k by metric against a literal query vector.
+    * `metric`: cosine | dot | l2 (l2 ranks ascending). */
+  def bruteForceTopK(df: DataFrame, embedCol: String, query: Seq[Float],
+                     k: Int, metric: String = "cosine",
+                     scoreCol: String = "__score"): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val e = col(embedCol)
+    val (score, asc) = metric match {
+      case "cosine" => (cosine(e, q), false)
+      case "dot" => (dot(e, q), false)
+      case "l2" => (l2sq(e, q), true)
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    val scored = df.withColumn(scoreCol, score)
+    scored.orderBy(if (asc) col(scoreCol).asc else col(scoreCol).desc).limit(k)
+  }
+
+  /**
+   * IVF index: k-means centroids over a sample + cluster assignment column.
+   * Search probes only the `nprobe` nearest clusters — at scale the
+   * assignment column is a partition/cluster key, so a probe reads a small
+   * fraction of files (manifest stats on `__ivf_cluster` prune the rest).
+   */
+  case class IvfModel(centroids: Array[Array[Double]]) {
+    def assignExpr(embedCol: Column): Column = {
+      // nearest centroid id by squared L2, unrolled over centroid literals
+      val dists = centroids.map { c =>
+        l2sq(embedCol, array(c.map(lit): _*))
+      }
+      val minDist = least(dists.toIndexedSeq: _*)
+      dists.zipWithIndex.foldRight(lit(-1): Column) { case ((d, i), acc) =>
+        when(d === minDist, lit(i)).otherwise(acc)
+      }
+    }
+    def nearestClusters(query: Seq[Float], nprobe: Int): Seq[Int] = {
+      centroids.zipWithIndex.map { case (c, i) =>
+        val d = c.zip(query).map { case (x, y) => val z = x - y; z * z }.sum
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    }
+  }
+
+  /** Train IVF centroids with k-means|| (spark.ml) over a sample. */
+  def trainIvf(df: DataFrame, embedCol: String, nClusters: Int,
+               sampleFraction: Double = 1.0, seed: Long = 42L): IvfModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
+      .select(array_to_vector(col(embedCol).cast(ArrayType(DoubleType))).as("features"))
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(20).fit(sample)
+    IvfModel(model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF-pruned top-k: score only rows in the nprobe nearest clusters. The
+    * cluster column should be precomputed (e.g. persisted in the table) so
+    * the probe filter prunes at the manifest/file level. */
+  def ivfTopK(indexed: DataFrame, model: IvfModel, embedCol: String,
+              clusterCol: String, query: Seq[Float], k: Int,
+              nprobe: Int, metric: String = "cosine",
+              scoreCol: String = "__score"): DataFrame = {
+    val probes = model.nearestClusters(query, nprobe)
+    bruteForceTopK(indexed.filter(col(clusterCol).isin(probes: _*)),
+      embedCol, query, k, metric, scoreCol)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization stats, language ID, quality scoring, fingerprinting, and the
+ * hashing primitives behind MinHash/SimHash deduplication.
+ *
+ * All built from codegen'd `org.apache.spark.sql.functions` (no UDFs on the
+ * hot path) so they survive whole-stage codegen at 100 TB. Hash functions are
+ * md5-prefix based — deliberately portable (identical values are computable
+ * in any engine with md5), which also makes results oracle-checkable.
+ */
+object TextOps {
+
+  /** Whitespace token count (empty/blank text → 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Words (lowercased, whitespace split). */
+  def words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** Occurrences of a literal substring. */
+  def countOccurrences(text: Column, sub: String): Column =
+    ((length(text) - length(replace(text, lit(sub), lit("")))) / sub.length)
+      .cast(LongType)
+
+  /** Tiny stopword-profile language scorer: count hits of per-language marker
+    * words (padded text so boundary words count). Deterministic, portable. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to "),
+    "de" -> Seq(" der ", " die ", " und ", " das "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "),
+    "es" -> Seq(" el ", " los ", " que ", " y "))
+
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langMarkers(lang).map(m => countOccurrences(padded, m)).reduce(_ + _)
+  }
+
+  /** Predicted language = argmax marker score, 'und' when all zero.
+    * Ties break by fixed language order en,de,fr,es. */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scores = langs.map(l => langScore(text, l))
+    val best = greatest(scores: _*)
+    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Punctuation character count (.,;:!?). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Quality heuristics: word count, mean word length, punctuation ratio,
+    * uppercase-start ratio — composed into a [0,1] score. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val nChar = length(text).cast(DoubleType)
+    val meanWordLen = when(nTok > 0, nChar / nTok).otherwise(0.0)
+    val punctRatio = when(nChar > 0, punctCount(text) / nChar).otherwise(0.0)
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val wordLenScore =
+      when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.5)
+    val punctScore = when(punctRatio <= 0.1, 1.0).otherwise(0.5)
+    round(lenScore * 0.5 + wordLenScore * 0.3 + punctScore * 0.2, 4)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Portable 32-bit hash: first 8 hex chars of md5(seed || s) as a long.
+    * Matches `('0x'||substr(md5(seed||s),1,8))::UBIGINT` in other engines. */
+  def h32(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), s)), 1, 8), 16, 10).cast(LongType)
+
+  /** Word n-gram shingles of a document. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))
+  }
+
+  /** MinHash signature: `k` portable 32-bit hash minima over shingles.
+    * Empty shingle set → nulls. (SURVEY §2.11 dedup; MinHash per Broder '97.) */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(shingleCol,
+        s => conv(substring(md5(concat(seed.cast(StringType), s)), 1, 8), 16, 10)
+          .cast(LongType))))
+
+  /** LSH band key: hash of the signature slice for `band` (rows per band =
+    * sigLen / nBands). Docs sharing any band key are candidate duplicates. */
+  def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
+    md5(concat(lit(band.toString), lit("_"),
+      array_join(slice(sig, band * rowsPerBand + 1, rowsPerBand), ",")))
+
+  /** SimHash-32: per bit, sign-sum of token-hash bits; bit set iff the sum is
+    * positive. Near-duplicate docs land at small Hamming distance. Token
+    * hashes are the portable 32-bit md5 prefix, so the whole fingerprint is
+    * reproducible in any md5-capable engine. */
+  def simhash32(text: Column): Column = {
+    val tokenHashes = transform(words(text),
+      w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType))
+    (0 until 32).map { i =>
+      val pow2 = 1L << i
+      val bitSum = aggregate(tokenHashes, lit(0L), (acc, h) =>
+        acc + when(pmod(floor(h / lit(pow2.toDouble)).cast(LongType), lit(2)) === 1, 1L)
+          .otherwise(-1L))
+      when(bitSum > 0, lit(pow2)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Jaccard similarity of two string arrays (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast(DoubleType)
+    val uni = size(array_union(ad, bd)).cast(DoubleType)
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+}
