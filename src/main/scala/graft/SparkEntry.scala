@@ -224,11 +224,23 @@ object SparkEntry {
       val emb = t(s, d, "embeddings").select("vec_id", "label", "embedding")
       val e2 = emb.unionAll(emb.select((col("vec_id") + 1000000L).as("vec_id"),
         col("label"), col("embedding")))
-      val a = e2.alias("a"); val b = e2.alias("b")
-      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("sim", Similarity.cosine(col("a.embedding"), col("b.embedding")))
-        .filter(round(col("sim"), 4) >= 0.9999)
-        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      Similarity.nearDupPairs(e2, "vec_id", "embedding", 64,
+        threshold = 0.9999, blockCols = Seq("label"))
+        .select(col("v1"), col("v2"))
+    }),
+    "q_dedup_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val d2 = docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" xq yq zq")).as("text")))
+      graft.pipeline.Dedup.minhashLshPairs(d2, "doc_id", "text",
+        shingleN = 3, sigLen = 8, nBands = 4, threshold = 0.8)
+    }),
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "source", "text")
+      val d2 = docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("source"), concat(col("text"), lit(" xq yq zq")).as("text")))
+      graft.pipeline.Dedup.ngramJaccardPairs(d2, "doc_id", "text", "source",
+        shingleN = 3, threshold = 0.8)
     }),
     "q_multimodal_blob" -> ((s, d) => {
       // BLOB column plumbing: text → opaque binary + typed metadata; the
@@ -240,6 +252,66 @@ object SparkEntry {
           md5(col("blob")).as("content_hash"))
     })
   )
+
+  // shared shingle CTEs for the dedup oracles (mirror TextOps.words/shingles
+  // + the " xq yq zq" near-duplicate construction, word 3-grams)
+  private val dedupDocsCte =
+    """d2 AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, source, text || ' xq yq zq' FROM documents),
+      |words AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> length(w)>0) AS ws
+      |  FROM d2),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)] AS shingles
+      |  FROM words WHERE len(ws) >= 3)""".stripMargin
+
+  private val minhashOracle =
+    s"""WITH $dedupDocsCte,
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |    [list_min(list_transform(shingles, s -> ('0x'||substr(md5(j::VARCHAR||s),1,8))::UBIGINT))
+       |     for j in range(0, 8)] AS sg
+       |  FROM sh WHERE len(shingles) > 0),
+       |banded AS (
+       |  SELECT doc_id, shingles, b,
+       |    md5(b::VARCHAR || '_' || array_to_string(sg[b*2+1:b*2+2], ',')) AS bk
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS v1, b.doc_id AS v2
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT v1, v2,
+       |    len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles))) * 1.0 /
+       |    len(list_distinct(s1.shingles || s2.shingles)) AS jac
+       |  FROM cand JOIN sh s1 ON s1.doc_id = v1 JOIN sh s2 ON s2.doc_id = v2)
+       |SELECT v1, v2, round(jac, 4) AS jac FROM pairs WHERE jac >= 0.8""".stripMargin
+
+  private val ngramJaccardOracle =
+    s"""WITH $dedupDocsCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS v1, b.doc_id AS v2,
+       |    len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) * 1.0 /
+       |    len(list_distinct(a.shingles || b.shingles)) AS jac
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+       |SELECT v1, v2, round(jac, 4) AS jac FROM pairs WHERE jac >= 0.8""".stripMargin
+
+  private val simhashOracle: String = {
+    val terms = (0 until 32).map { i =>
+      val p = 1L << i
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN $p ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> length(w)>0) AS ws
+       |  FROM documents WHERE doc_id < 50),
+       |hashes AS (
+       |  SELECT doc_id, list_transform(ws, w -> ('0x'||substr(md5(w),1,8))::UBIGINT) AS hs
+       |  FROM words)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM hashes""".stripMargin
+  }
 
   // ---------------------------------------------------------------- oracles
 
@@ -407,6 +479,9 @@ object SparkEntry {
         |  FROM embeddings e)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_embed_neardup" ->
-      """SELECT vec_id AS v1, vec_id + 1000000 AS v2 FROM embeddings""".stripMargin
+      """SELECT vec_id AS v1, vec_id + 1000000 AS v2 FROM embeddings""".stripMargin,
+    "q_dedup_minhash" -> minhashOracle,
+    "q_ngram_jaccard" -> ngramJaccardOracle,
+    "q_simhash" -> simhashOracle
   )
 }

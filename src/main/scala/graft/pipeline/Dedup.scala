@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for training-data pipelines (SURVEY §2.11
+ * dedup + builder-prompt operators): exact, MinHash+LSH, and n-gram Jaccard.
+ *
+ * Scale shape of the MinHash path (the standard shingle→minhash→band→
+ * bucket-join pipeline, cf. Broder '97 / LSH chapter of Mining Massive
+ * Datasets): per-doc work is O(shingles · sigLen) map-side; candidate
+ * generation is an equi-join on (band, bandKey) — a hash shuffle whose
+ * fan-in per bucket is tiny for non-duplicate corpora; only candidates pay
+ * the exact-verification cost. No all-pairs stage anywhere.
+ */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct text with
+    * the kept (minimum) id and the duplicate count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
+
+  /**
+   * MinHash+LSH near-duplicate pairs, exact-verified: returns (v1, v2,
+   * jaccard) for candidate pairs (sharing ≥1 LSH band) whose true word
+   * n-gram Jaccard ≥ `threshold`. `sigLen` must be divisible by `nBands`.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, sigLen: Int = 8, nBands: Int = 4,
+                      threshold: Double = 0.8): DataFrame = {
+    require(sigLen % nBands == 0, "sigLen must be divisible by nBands")
+    val rpb = sigLen / nBands
+    val base = df
+      .withColumn("__sh", TextOps.shingles(col(textCol), shingleN))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", TextOps.minhashSignature(col("__sh"), sigLen))
+      .select(col(idCol), col("__sh"), col("__sig"))
+    val banded = base.select(col(idCol), col("__sh"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), TextOps.bandKey(col("__sig"), b, rpb).as("bk"))): _*)).as("b"))
+      .select(col(idCol), col("__sh"), col("b.band").as("band"), col("b.bk").as("bk"))
+    val a = banded.alias("a"); val bb = banded.alias("b")
+    val cand = a.join(bb,
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
+        col("a.__sh").as("sh1"), col("b.__sh").as("sh2"))
+      .dropDuplicates("v1", "v2")
+    cand.withColumn("jac", TextOps.jaccard(col("sh1"), col("sh2")))
+      .filter(col("jac") >= threshold)
+      .select(col("v1"), col("v2"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** All-pairs n-gram Jaccard within blocks (for modest block sizes; the
+    * blocked quadratic baseline the LSH path replaces at scale). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, shingleN: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    val base = df.withColumn("__sh", TextOps.shingles(col(textCol), shingleN))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), col(blockCol), col("__sh"))
+    val a = base.alias("a"); val b = base.alias("b")
+    a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("jac", TextOps.jaccard(col("a.__sh"), col("b.__sh")))
+      .filter(col("jac") >= threshold)
+      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
+        round(col("jac"), 4).as("jac"))
+  }
+
+  /** SimHash near-duplicate pairs: fingerprint equality (hamming 0 buckets)
+    * or small hamming distance within band-rotated buckets. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df.withColumn("__sh32", TextOps.simhash32(col(textCol)))
+      .select(col(idCol), col("__sh32"))
+    val a = fp.alias("a"); val b = fp.alias("b")
+    // bucket by high 16 bits: near-dups with differing low bits still meet;
+    // exact pairs always meet. (Full multi-probe rotation: future work.)
+    val hi = (c: Column) => floor(c / 65536L)
+    a.join(b, hi(col("a.__sh32")) === hi(col("b.__sh32")) &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("ham", bit_count(col("a.__sh32").bitwiseXOR(col("b.__sh32"))))
+      .filter(col("ham") <= maxHamming)
+      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"), col("ham"))
+  }
+}

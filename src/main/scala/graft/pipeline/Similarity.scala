@@ -92,6 +92,42 @@ object Similarity {
     IvfModel(model.clusterCenters.map(_.toArray))
   }
 
+  /**
+   * Random-hyperplane sign signature (SimHash for vectors, Charikar '02):
+   * bit i = sign(v · r_i) for `nBits` deterministic pseudo-random ±1
+   * hyperplanes. Cosine-similar vectors agree on most bits, so an equality
+   * join on the signature is a candidate prefilter for near-duplicate
+   * detection — per-row cost O(nBits · dim), versus O(n²) all-pairs.
+   */
+  def signSignature(embedCol: Column, dim: Int, nBits: Int = 16,
+                    seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    (0 until nBits).map { i =>
+      val r = array(planes(i).map(lit).toIndexedSeq: _*)
+      when(dot(embedCol, r) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Near-duplicate pairs by cosine ≥ `threshold`: sign-LSH candidate join
+    * (blocked additionally by `blockCols`) + exact cosine verification.
+    * Exact for thresholds near 1.0 (identical vectors always share the
+    * signature); approximate recall for lower thresholds — raise nBits'
+    * complement (fewer bits → more candidates → higher recall). */
+  def nearDupPairs(df: DataFrame, idCol: String, embedCol: String, dim: Int,
+                   threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
+    val sig = df.withColumn("__sig", signSignature(col(embedCol), dim))
+    val a = sig.alias("a"); val b = sig.alias("b")
+    val joinCond = (Seq(col("a.__sig") === col("b.__sig"),
+      col(s"a.$idCol") < col(s"b.$idCol")) ++
+      blockCols.map(c => col(s"a.$c") === col(s"b.$c"))).reduce(_ && _)
+    a.join(b, joinCond)
+      .withColumn("__sim", cosine(col(s"a.$embedCol"), col(s"b.$embedCol")))
+      .filter(col("__sim") >= threshold)
+      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
+        col("__sim").as("sim"))
+  }
+
   /** IVF-pruned top-k: score only rows in the nprobe nearest clusters. The
     * cluster column should be precomputed (e.g. persisted in the table) so
     * the probe filter prunes at the manifest/file level. */
