@@ -228,6 +228,42 @@ object SparkEntry {
         threshold = 0.9999, blockCols = Seq("label"))
         .select(col("v1"), col("v2"))
     }),
+    "q_point_lookup" -> ((s, d) => Lookup(Fixtures.ordersPk(s, d),
+      Map("o_orderkey" -> 100L))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))),
+    "q_consumer_stream" -> ((s, d) => {
+      val tbl = Fixtures.ordersPk(s, d)
+      Consumers.reset(tbl, "qcons", Some(1L))
+      val (end, batch) = Consumers.nextBatch(tbl, "qcons").get
+      Consumers.commit(tbl, "qcons", end)
+      statusAgg(batch)
+    }),
+    "q_fulltext_bm25" -> ((s, d) => {
+      val postings = graft.pipeline.FullText.buildPostings(
+        t(s, d, "documents"), "doc_id", "text")
+      // rank/cut on the ROUNDED score so the top-k boundary is stable
+      graft.pipeline.FullText.search(postings, Seq("table", "scan", "fast", "merge"), 1000000)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+    "q_hybrid_search" -> ((s, d) => {
+      val ft = graft.pipeline.FullText
+      val postings = ft.buildPostings(t(s, d, "documents"), "doc_id", "text")
+      val textR = ft.ranked(
+        ft.search(postings, Seq("table", "scan", "fast", "merge"), 1000000)
+          .select(col("doc_id"), round(col("score"), 4).as("score")),
+        "doc_id", "score")
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding").first().getSeq[Float](0)
+      val vecR = ft.ranked(
+        Similarity.bruteForceTopK(emb, "embedding", q, 1000000, "cosine", "sim")
+          .select(col("vec_id").as("doc_id"), round(col("sim"), 4).as("sim")),
+        "doc_id", "sim")
+      ft.rrfFuse(textR, vecR, "doc_id")
+        .orderBy(col("rrf").desc, col("id")).limit(10)
+        .select(col("id"), round(col("rrf"), 6).as("rrf"))
+    }),
     "q_dedup_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val d2 = docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -312,6 +348,45 @@ object SparkEntry {
        |  FROM words)
        |SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM hashes""".stripMargin
   }
+
+  private val bm25Cte =
+    """words AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),'\s+'), w -> length(w)>0) AS ws
+      |  FROM documents),
+      |postings AS (
+      |  SELECT term, doc_id, doc_len, count(*) AS tf
+      |  FROM (SELECT doc_id, len(ws) AS doc_len, unnest(ws) AS term FROM words)
+      |  GROUP BY term, doc_id, doc_len),
+      |stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl
+      |          FROM (SELECT DISTINCT doc_id, doc_len FROM postings)),
+      |hits AS (SELECT * FROM postings WHERE term IN ('table','scan','fast','merge')),
+      |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+      |scored AS (
+      |  SELECT h.doc_id,
+      |    sum( ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) * h.tf * (1.2 + 1.0) /
+      |         (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.doc_len / s.avgdl)) ) AS score
+      |  FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+      |  GROUP BY h.doc_id)""".stripMargin
+
+  private val bm25Oracle =
+    s"""WITH $bm25Cte
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin
+
+  private val hybridOracle =
+    s"""WITH $bm25Cte,
+       |txt AS (SELECT doc_id AS id,
+       |  row_number() OVER (ORDER BY round(score,4) DESC, doc_id) AS r FROM scored),
+       |vec AS (SELECT vec_id AS id,
+       |  row_number() OVER (ORDER BY round(sim,4) DESC, vec_id) AS r
+       |  FROM (SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[],
+       |    (SELECT embedding FROM embeddings WHERE vec_id=1)::DOUBLE[]) AS sim
+       |    FROM embeddings e)),
+       |fused AS (
+       |  SELECT COALESCE(t.id, v.id) AS id,
+       |    COALESCE(1.0/(60+t.r), 0) + COALESCE(1.0/(60+v.r), 0) AS rrf
+       |  FROM txt t FULL OUTER JOIN vec v ON t.id = v.id)
+       |SELECT id, round(rrf, 6) AS rrf FROM fused ORDER BY round(rrf,6) DESC, id LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- oracles
 
@@ -480,6 +555,13 @@ object SparkEntry {
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_embed_neardup" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2 FROM embeddings""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | round(o_totalprice * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END, 2) AS price
+        |FROM orders WHERE o_orderkey = 100""".stripMargin,
+    "q_consumer_stream" -> dedupOracle,
+    "q_fulltext_bm25" -> bm25Oracle,
+    "q_hybrid_search" -> hybridOracle,
     "q_dedup_minhash" -> minhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_simhash" -> simhashOracle

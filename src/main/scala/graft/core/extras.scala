@@ -1,0 +1,149 @@
+package graft.core
+
+import graft.core.RowOps._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Maintenance procedures dispatcher — the `CALL sys.*` surface of the
+ * reference (paimon-spark/.../procedure/, 47 procedures; parser entry
+ * PaimonSqlExtensions.g4:72) re-expressed as a name → action registry over
+ * the table API. Returns a one-row status DataFrame like the reference.
+ */
+object Procedures {
+
+  def call(spark: SparkSession, table: GraftTable, name: String,
+           args: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    def ok(msg: String): DataFrame = Seq(msg).toDF("result")
+    name match {
+      case "compact" =>
+        args.get("order_strategy") match {
+          case Some(strategy) =>
+            val cols = args("order_by").split(",").map(_.trim).toSeq
+            table.compactSorted(strategy, cols)
+            ok(s"sort-compacted by $strategy(${cols.mkString(",")})")
+          case None =>
+            val r = table.compact()
+            ok(if (r.isDefined) s"compacted to snapshot ${r.get.id}" else "nothing to compact")
+        }
+      case "compact_manifest" =>
+        val s = table.sm.compactManifests(table.schema.id)
+        ok(s"manifests consolidated at snapshot ${s.id}")
+      case "expire_snapshots" =>
+        val n = table.expireSnapshots(args.getOrElse("retain_last", "10").toInt)
+        ok(s"expired $n snapshots")
+      case "remove_orphan_files" =>
+        val olderThan = args.get("older_than_ms").map(_.toLong)
+          .getOrElse(System.currentTimeMillis() - 3600_000L)
+        ok(s"deleted ${table.removeOrphanFiles(olderThan)} orphan files")
+      case "create_tag" =>
+        val snap = args.get("snapshot").map(_.toLong)
+          .orElse(table.sm.latestSnapshotId).get
+        table.sm.createTag(args("tag"), snap)
+        ok(s"tag ${args("tag")} -> snapshot $snap")
+      case "delete_tag" =>
+        table.sm.deleteTag(args("tag")); ok(s"tag ${args("tag")} deleted")
+      case "rename_tag" =>
+        val t0 = table.sm.readTag(args("tag"))
+        table.sm.createTag(args("target_tag"), t0.snapshotId)
+        table.sm.deleteTag(args("tag"))
+        ok(s"tag ${args("tag")} -> ${args("target_tag")}")
+      case "rollback" =>
+        val s = table.rollback(args("snapshot").toLong)
+        ok(s"rolled back to ${args("snapshot")} (new snapshot ${s.id})")
+      case "rollback_to_timestamp" =>
+        val ts = args("timestamp_ms").toLong
+        val ids = table.sm.snapshotIds.filter(id => table.sm.readSnapshot(id).timestampMs <= ts)
+        require(ids.nonEmpty, "no snapshot at or before timestamp")
+        val s = table.rollback(ids.max)
+        ok(s"rolled back to snapshot ${ids.max} (new snapshot ${s.id})")
+      case "clear_consumers" =>
+        ok(s"cleared ${Consumers.clear(table)} consumers")
+      case "reset_consumer" =>
+        Consumers.reset(table, args("consumer_id"),
+          args.get("next_snapshot").map(_.toLong))
+        ok(s"consumer ${args("consumer_id")} reset")
+      case other => throw new IllegalArgumentException(s"unknown procedure $other")
+    }
+  }
+}
+
+/**
+ * Durable consumer registry + incremental change consumption (paimon
+ * consumer-id files, paimon-core/.../consumer/ConsumerManager.java): a
+ * consumer records the next snapshot to read; `nextBatch` returns the
+ * changes since, and `commit` advances the cursor. Snapshot expiry can
+ * honor registered consumers.
+ */
+object Consumers {
+  private def dir(t: GraftTable) = new Path(t.location, "consumer")
+  private def file(t: GraftTable, id: String) = new Path(dir(t), s"$id.json")
+
+  case class ConsumerState(consumerId: String, nextSnapshot: Long)
+
+  def get(t: GraftTable, id: String): Option[ConsumerState] = {
+    val p = file(t, id)
+    if (t.sm.fs.exists(p)) Some(Json.read(t.sm.readString(p), classOf[ConsumerState]))
+    else None
+  }
+  def reset(t: GraftTable, id: String, next: Option[Long]): Unit =
+    t.sm.writeString(file(t, id),
+      Json.write(ConsumerState(id, next.getOrElse(t.sm.latestSnapshotId.getOrElse(0L) + 1))))
+  def clear(t: GraftTable): Int = {
+    val d = dir(t)
+    if (!t.sm.fs.exists(d)) 0
+    else { val n = t.sm.fs.listStatus(d).length; t.sm.fs.delete(d, true); n }
+  }
+  def list(t: GraftTable): Seq[ConsumerState] = {
+    val d = dir(t)
+    if (!t.sm.fs.exists(d)) Nil
+    else t.sm.fs.listStatus(d).toSeq
+      .map(s => Json.read(t.sm.readString(s.getPath), classOf[ConsumerState]))
+  }
+
+  /** Pull the next change batch for `id` (rows added since the consumer's
+    * cursor, merged per key for PK tables). Returns (endSnapshot, rows);
+    * call `commit` after processing for at-least-once consumption. */
+  def nextBatch(t: GraftTable, id: String): Option[(Long, DataFrame)] = {
+    val latest = t.sm.latestSnapshotId.getOrElse(return None)
+    val from = get(t, id).map(_.nextSnapshot - 1).getOrElse(0L)
+    if (from >= latest) return None
+    Some((latest, t.incremental(from, latest)))
+  }
+  def commit(t: GraftTable, id: String, endSnapshot: Long): Unit =
+    t.sm.writeString(file(t, id), Json.write(ConsumerState(id, endSnapshot + 1)))
+}
+
+/**
+ * COPY INTO (bulk import/export, paimon PaimonSqlExtensions.g4:77-89 +
+ * spark/copyinto/): thin bridges between external format directories and
+ * graft tables, with cast-to-schema alignment handled by the writer.
+ */
+object CopyInto {
+  /** COPY INTO table FROM path (csv/json/parquet). */
+  def copyIn(spark: SparkSession, t: GraftTable, path: String, format: String,
+             options: Map[String, String] = Map.empty): SnapshotMeta = {
+    val reader = spark.read.format(format).options(options)
+    val df = (if (format == "parquet") reader
+              else reader.schema(t.schema.sparkSchema)).load(path)
+    t.write(df)
+  }
+  /** COPY table TO path (csv/json/parquet). */
+  def copyOut(t: GraftTable, path: String, format: String,
+              options: Map[String, String] = Map.empty): Unit =
+    t.read().write.format(format).options(options).mode("overwrite").save(path)
+}
+
+/** Point lookup: key → current row(s), served by manifest pruning + a
+  * filtered scan of only the bucket files that can contain the key (paimon
+  * LocalTableQuery.lookup, paimon-core/.../table/query/LocalTableQuery.java:226).
+  * Driver-friendly: the scan touches one bucket per key. */
+object Lookup {
+  def apply(t: GraftTable, keyValues: Map[String, Any]): DataFrame = {
+    require(t.config.primaryKeys.nonEmpty, "lookup requires a primary-keyed table")
+    val cond = keyValues.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+    t.read(filter = Some(cond))
+  }
+}

@@ -70,20 +70,29 @@ object Dedup {
         round(col("jac"), 4).as("jac"))
   }
 
-  /** SimHash near-duplicate pairs: fingerprint equality (hamming 0 buckets)
-    * or small hamming distance within band-rotated buckets. */
+  /** SimHash near-duplicate pairs via banded buckets: the 32-bit fingerprint
+    * splits into `nBands` 8-bit bands; pairs sharing ANY band are candidates
+    * and get exact hamming verification. Pigeonhole: a pair with hamming
+    * distance < nBands always shares at least one unchanged band, so recall
+    * is total for maxHamming ≤ nBands - 1. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
     val fp = df.withColumn("__sh32", TextOps.simhash32(col(textCol)))
       .select(col(idCol), col("__sh32"))
-    val a = fp.alias("a"); val b = fp.alias("b")
-    // bucket by high 16 bits: near-dups with differing low bits still meet;
-    // exact pairs always meet. (Full multi-probe rotation: future work.)
-    val hi = (c: Column) => floor(c / 65536L)
-    a.join(b, hi(col("a.__sh32")) === hi(col("b.__sh32")) &&
+    val banded = fp.select(col(idCol), col("__sh32"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          pmod(floor(col("__sh32") / lit(math.pow(2.0, 8.0 * b))).cast("long"), lit(256L)).as("key"))
+      }: _*)).as("b"))
+      .select(col(idCol), col("__sh32"), col("b.band").as("band"), col("b.key").as("key"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("ham", bit_count(col("a.__sh32").bitwiseXOR(col("b.__sh32"))))
+      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
+        col("a.__sh32").as("s1"), col("b.__sh32").as("s2"))
+      .dropDuplicates("v1", "v2")
+      .withColumn("ham", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("ham") <= maxHamming)
-      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"), col("ham"))
+      .select(col("v1"), col("v2"), col("ham"))
   }
 }

