@@ -201,6 +201,30 @@ object Fixtures {
       t2
     }
 
+  /** Catalog-SQL fixture: orders loaded into a graft-catalog table via pure
+    * SQL (CREATE TABLE + INSERT through the DSv2 write path). */
+  def sqlCatalogOrders(spark: SparkSession, sfDir: String): String = {
+    val wh = s"${fixRoot(sfDir)}/sql-warehouse"
+    val key = (sfDir, "__sql_catalog")
+    if (!built.contains(key)) {
+      spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+      val loc = s"$wh/db.db/orders_sql"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
+      spark.sql("""CREATE TABLE graft_fix.db.orders_sql (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+        TBLPROPERTIES ('primary-key'='o_orderkey', 'bucket'='4')""")
+      src(spark, sfDir, "orders").createOrReplaceTempView("orders_src_v")
+      spark.sql("INSERT INTO graft_fix.db.orders_sql SELECT * FROM orders_src_v")
+      built.put(key, GraftTable.load(spark, loc))
+    }
+    "graft_fix.db.orders_sql"
+  }
+
   /** Streaming upsert: AvailableNow stream of orders micro-batched through
     * foreachBatch into a PK dedup table (SURVEY §2.9 stateful upsert sink). */
   def ordersStream(spark: SparkSession, sfDir: String): GraftTable =

@@ -139,9 +139,35 @@ object SparkEntry {
     "q_schema_evolution" -> ((s, d) => Fixtures.ordersEvo(s, d).read()
       .agg(count(lit(1)).as("cnt"), count(col("note")).as("notes"))),
 
+    // ---- DSv2 catalog SQL (§3.1 trace through Spark's analyzer/catalog) ----
+    "q_sql_catalog" -> ((s, d) => {
+      val tbl = Fixtures.sqlCatalogOrders(s, d)
+      s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total
+                FROM $tbl GROUP BY o_orderstatus""")
+    }),
+    "q_sql_time_travel" -> ((s, d) => {
+      val tbl = Fixtures.sqlCatalogOrders(s, d)
+      s.sql(s"SELECT count(*) AS cnt FROM $tbl VERSION AS OF 1")
+    }),
+
     // ---- streaming (§2.9) ----
     "q_stream_upsert" -> ((s, d) => Fixtures.ordersStream(s, d).read()
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+    "q_stream_source" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tbl = Fixtures.ordersPk(s, d)
+      val outName = s"graft_stream_src_${math.abs(d.hashCode)}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-src-ckpt").toString
+      val q = s.readStream.format("graft").load(tbl.location)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(outName).start()
+      q.awaitTermination(120000)
+      // changelog-producer=input: raw upsert records of snapshots 1..2
+      s.table(outName)
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+    }),
 
     // ---- delegated relational (§2.3–2.7) ----
     "q1_agg" -> ((s, d) => t(s, d, "lineitem")
@@ -482,6 +508,17 @@ object SparkEntry {
         | CAST((SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT) AS notes""".stripMargin,
     "q_stream_upsert" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders",
+    "q_sql_catalog" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_sql_time_travel" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM orders",
+    "q_stream_source" ->
+      """SELECT CAST((SELECT count(*) FROM orders) +
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT) AS cnt,
+        | round((SELECT sum(o_totalprice) FROM orders) +
+        |  (SELECT sum(o_totalprice * 2) FROM orders WHERE o_orderkey % 10 = 0), 2) AS total""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,

@@ -1,0 +1,159 @@
+package graft.dsv2
+
+import graft.core._
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/**
+ * Spark TableCatalog over a graft warehouse directory (layout
+ * `<warehouse>/<db>.db/<table>`), the counterpart of the reference's
+ * SparkCatalog (paimon-spark/.../SparkCatalog.java:307). Registration:
+ *
+ * {{{
+ * spark.sql.catalog.graft=graft.dsv2.GraftCatalog
+ * spark.sql.catalog.graft.warehouse=/path/wh
+ * }}}
+ *
+ * Supports CREATE/DROP TABLE with TBLPROPERTIES (primary-key, bucket,
+ * merge-engine, sequence.field, fields.<f>.aggregate-function), namespaces,
+ * and SQL time travel: `VERSION AS OF <snapshot|tag>` / `TIMESTAMP AS OF`
+ * route through loadTable(ident, version/timestamp) like the reference
+ * (SparkCatalog.java:315,333).
+ */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $name requires 'warehouse' option"))
+  }
+  override def name(): String = catalogName
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+  private def dbPath(ns: String): Path = new Path(warehouse, s"$ns.db")
+  private def tablePath(ident: Identifier): String = {
+    val ns = ident.namespace().mkString(".")
+    new Path(dbPath(ns), ident.name()).toString
+  }
+
+  // ---- namespaces ----
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(new Path(warehouse))) return Array.empty
+    fs.listStatus(new Path(warehouse)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith(".db"))
+      .map(s => Array(s.getPath.getName.stripSuffix(".db"))).toArray
+  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> dbPath(namespace.mkString(".")).toString).asJava
+  }
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && fs.exists(dbPath(namespace.mkString(".")))
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(dbPath(namespace.mkString(".")))
+    ()
+  }
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit = ()
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    fs.delete(dbPath(namespace.mkString(".")), cascade)
+
+  // ---- tables ----
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = dbPath(namespace.mkString("."))
+    if (!fs.exists(p)) return Array.empty
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .filter(s => GraftTable.exists(spark, s.getPath.toString))
+      .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val loc = tablePath(ident)
+    if (!GraftTable.exists(spark, loc))
+      throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    new GraftSparkTable(GraftTable.load(spark, loc))
+  }
+
+  /** VERSION AS OF: numeric snapshot id or tag name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = GraftTable.load(spark, tablePath(ident))
+    val snapId =
+      if (version.matches("\\d+")) version.toLong
+      else t.sm.readTag(version).snapshotId
+    new GraftSparkTable(t, Some(snapId))
+  }
+
+  /** TIMESTAMP AS OF (micros since epoch from Spark). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = GraftTable.load(spark, tablePath(ident))
+    val tsMillis = timestamp / 1000L
+    val ids = t.sm.snapshotIds.filter(id => t.sm.readSnapshot(id).timestampMs <= tsMillis)
+    if (ids.isEmpty) throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    new GraftSparkTable(t, Some(ids.max))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
+    val partitionKeys = partitions.toSeq.map { tr =>
+      if (tr.name() == "identity") tr.references().head.fieldNames().mkString(".")
+      else throw new UnsupportedOperationException(
+        s"graft supports identity partitioning only, got $tr")
+    }
+    val fieldAggs = props.collect {
+      case (k, v) if k.startsWith("fields.") && k.endsWith(".aggregate-function") =>
+        k.stripPrefix("fields.").stripSuffix(".aggregate-function") -> v
+    }
+    val config = TableConfig(
+      primaryKeys = props.get("primary-key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      partitionKeys = partitionKeys,
+      numBuckets = props.getOrElse("bucket", "4").toInt,
+      mergeEngine = props.getOrElse("merge-engine", "deduplicate"),
+      sequenceField = props.get("sequence.field"),
+      fieldAggregates = fieldAggs,
+      defaultAggregate = props.get("fields.default-aggregate-function"),
+      options = props -- Seq("primary-key", "bucket", "merge-engine", "sequence.field",
+        "path", "provider", "location", "owner"))
+    new GraftSparkTable(GraftTable.create(spark, tablePath(ident), schema, config))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTable.load(spark, tablePath(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "nested add not supported")
+        t.addColumns(org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), add.isNullable))
+      case other => throw new UnsupportedOperationException(s"alter: $other")
+    }
+    new GraftSparkTable(GraftTable.load(spark, tablePath(ident)))
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    fs.delete(new Path(tablePath(ident)), true)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    fs.mkdirs(new Path(tablePath(newIdent)).getParent)
+    if (!fs.rename(new Path(tablePath(oldIdent)), new Path(tablePath(newIdent))))
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+  }
+
+}

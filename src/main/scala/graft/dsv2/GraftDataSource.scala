@@ -1,0 +1,213 @@
+package graft.dsv2
+
+import graft.core._
+import graft.core.RowOps._
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/**
+ * DataSource V2 integration: `spark.read.format("graft").load(path)`,
+ * `df.write.format("graft")`, and the catalog path (see [[GraftCatalog]]).
+ *
+ * Architecture mirrors the reference connector's layering
+ * (paimon-spark/.../SparkTable.scala:55, PaimonBaseScanBuilder.scala:61,
+ * PaimonWriteBuilder V1 fallback): pushdown interfaces collect filters /
+ * required columns / limit; file skipping happens against manifest stats;
+ * execution delegates to the engine's DataFrame plans via the public
+ * V1Scan/V1Write fallback, so merge-on-read, raw-path selection and commit
+ * protocol are shared with the library API (one implementation, two
+ * front-ends). Filters are all kept post-scan — pushdown is used for
+ * pruning only, never for correctness.
+ */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def loadTable(options: CaseInsensitiveStringMap): GraftTable = {
+    val path = Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException("graft: 'path' option required"))
+    GraftTable.load(SparkSession.active, path)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    loadTable(options).schema.sparkSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val t = GraftTable.load(SparkSession.active, properties.get("path"))
+    new GraftSparkTable(t)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+/** DSv2 Table over a graft table (optionally pinned to a snapshot for
+  * VERSION/TIMESTAMP AS OF — cf. paimon SparkCatalog.loadTable(ident,version),
+  * paimon-spark/.../SparkCatalog.java:315). */
+class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = t.location
+  override def schema(): StructType = t.schema.sparkSchema
+  override def capabilities(): util.Set[TableCapability] =
+    // no OVERWRITE_DYNAMIC: Spark's dynamic-overwrite exec needs a native
+    // BatchWrite (no V1 fallback); dynamic overwrite is served by the
+    // library API (GraftTable.overwrite(dynamic = true)). SQL gets static +
+    // partition-scoped overwrite through OverwriteByExpression.
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ).asJava
+
+  override def properties(): util.Map[String, String] = {
+    val c = t.config
+    (Map("primary-key" -> c.primaryKeys.mkString(","),
+      "partition" -> c.partitionKeys.mkString(","),
+      "bucket" -> c.numBuckets.toString,
+      "merge-engine" -> c.mergeEngine,
+      "path" -> t.location) ++ c.options).asJava
+  }
+
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    t.config.partitionKeys.map(Expressions.identity).toArray
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(t, snapshotId)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(t)
+}
+
+/** Pushdown collection: filters (for manifest pruning), column pruning,
+  * limit. All filters remain post-scan (Spark re-evaluates). */
+class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftScanBuilder.convertible)
+    filters // all post-scan: pushdown prunes files, Spark keeps correctness
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+
+  override def build(): Scan =
+    new GraftV1Scan(t, snapshotId, pushed, required, limit)
+}
+
+object GraftScanBuilder {
+  /** Filter shapes our stats pruning understands. */
+  def convertible(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In |
+         _: IsNull | _: IsNotNull | _: StringStartsWith => true
+    case And(l, r) => convertible(l) && convertible(r)
+    case Or(l, r) => convertible(l) && convertible(r)
+    case _ => false
+  }
+
+  /** sources.Filter → Column (for manifest-stat pruning reuse). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case _ => None
+  }
+}
+
+/**
+ * Scan via the public V1 fallback: Spark materializes the relation through
+ * `buildScan`, which reuses the engine's merged DataFrame plan (raw path
+ * when compacted, window-merge otherwise) — identical semantics to the
+ * library API. Streaming: micro-batches over the snapshot log.
+ */
+class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
+                  filters: Array[Filter], required: Option[StructType],
+                  limit: Option[Int]) extends V1Scan {
+
+  override def readSchema(): StructType =
+    required.getOrElse(t.schema.sparkSchema)
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = readSchema()
+      override def buildScan(): RDD[Row] = {
+        val pruneCond = filters.flatMap(GraftScanBuilder.toColumn)
+          .reduceOption(_ && _)
+        var df = t.read(pruneCond, snapshotId)
+        required.foreach { rs =>
+          df = df.select(rs.fieldNames.map(col).toIndexedSeq: _*)
+        }
+        limit.foreach { l => df = df.limit(l) }
+        df.rdd
+      }
+    }
+    rel.asInstanceOf[T]
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(t, checkpointLocation)
+
+  override def description(): String =
+    s"GraftScan(${t.location}, filters=${filters.mkString(",")})"
+}
+
+/** V1 write fallback (paimon PaimonWriteBuilder pattern): INSERT INTO /
+  * INSERT OVERWRITE / truncate / dynamic overwrite route to the engine's
+  * write paths and commit protocol. */
+class GraftWriteBuilder(t: GraftTable) extends WriteBuilder
+    with SupportsTruncate with SupportsOverwrite {
+
+  private var mode: String = "append"
+  private var overwriteFilters: Array[Filter] = Array.empty
+
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    mode = "overwrite"; overwriteFilters = filters; this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data: DataFrame, _: Boolean) => mode match {
+        case "append" => t.write(data)
+        case "truncate" | "overwrite" =>
+          // static partition spec arrives as EqualNullSafe/EqualTo conjuncts
+          val static = overwriteFilters.collect {
+            case EqualTo(a, v) if t.config.partitionKeys.contains(a) =>
+              a -> String.valueOf(v)
+            case EqualNullSafe(a, v) if t.config.partitionKeys.contains(a) =>
+              a -> String.valueOf(v)
+          }.toMap
+          t.overwrite(data, dynamic = false, staticPartition = static)
+      }
+  }
+}
