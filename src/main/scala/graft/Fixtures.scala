@@ -143,6 +143,17 @@ object Fixtures {
       t
     }
 
+  /** PK orders + deletion-vector DELETE of status 'F' (no file rewrite). */
+  def ordersDvDel(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_dv") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4))
+      t.write(orders)
+      t.deleteDv(col("o_orderstatus") === "F")
+      t
+    }
+
   /** PK orders + COW UPDATE price*0.9 for status 'O'. */
   def ordersUpd(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "orders_upd") { loc =>

@@ -127,6 +127,7 @@ object SparkEntry {
 
     // ---- row-level ops (§2.10) ----
     "q_delete_cow" -> ((s, d) => statusAgg(Fixtures.ordersDel(s, d).read())),
+    "q_delete_dv" -> ((s, d) => statusAgg(Fixtures.ordersDvDel(s, d).read())),
     "q_update_cow" -> ((s, d) => statusAgg(Fixtures.ordersUpd(s, d).read())),
     "q_merge_into" -> ((s, d) => statusAgg(Fixtures.ordersMi(s, d).read())),
     "q_metadata_delete" -> ((s, d) => Fixtures.eventsDel(s, d).read()
@@ -474,6 +475,14 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         | AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
     "q_delete_cow" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus""".stripMargin,
+    "q_delete_dv" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus""".stripMargin,
+    "q_delete_dv" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus""".stripMargin,

@@ -108,7 +108,9 @@ case class SnapshotMeta(
     deltaManifests: Seq[String], // manifests added by THIS commit
     totalRecords: Long,
     deltaRecords: Long,
-    watermark: Option[Long] = None)
+    watermark: Option[Long] = None,
+    // deletion-vector index file under dv/ (paimon DeletionVectorsIndexFile)
+    dvIndex: Option[String] = None)
 
 case class TagMeta(name: String, snapshotId: Long, timestampMs: Long)
 
@@ -226,8 +228,10 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration) {
    * On CAS race: re-read latest, verify none of the files WE delete were
    * already deleted (conflict), rebase, retry.
    */
+  /** dvAction: None = carry forward previous dvIndex; Some(opt) = set to opt. */
   def commit(delta: Seq[ManifestEntry], kind: String, identifier: String,
-             schemaId: Long, maxRetries: Int = 20): SnapshotMeta = {
+             schemaId: Long, maxRetries: Int = 20,
+             dvAction: Option[Option[String]] = None): SnapshotMeta = {
     val deltaName = writeManifest(delta)
     val deletedPaths = delta.filter(_.kind == 1).map(_.path).toSet
     var attempt = 0
@@ -251,7 +255,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration) {
         manifests = base.map(_.manifests).getOrElse(Nil) :+ deltaName,
         deltaManifests = Seq(deltaName),
         totalRecords = base.map(_.totalRecords).getOrElse(0L) + addRows - delRows,
-        deltaRecords = addRows)
+        deltaRecords = addRows,
+        dvIndex = dvAction.getOrElse(base.flatMap(_.dvIndex)))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
         return snap
@@ -281,6 +286,26 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration) {
       attempt += 1
     }
     throw new CommitConflictException("compactManifests lost CAS race")
+  }
+
+  // ---- deletion vectors (roaring bitmap of deleted row positions per data
+  //      file; cf. paimon deletionvectors/DeletionVectorsIndexFile.java) ----
+  def dvDir = new Path(root, "dv")
+  def writeDvIndex(dvs: Map[String, Array[Byte]]): String = {
+    val name = s"dv-${UUID.randomUUID()}.json"
+    val sb = new StringBuilder
+    dvs.foreach { case (p, bytes) =>
+      sb.append(Json.write(Map("path" -> p,
+        "bitmap" -> java.util.Base64.getEncoder.encodeToString(bytes)))).append('\n')
+    }
+    writeString(new Path(dvDir, name), sb.toString)
+    name
+  }
+  def readDvIndex(name: String): Map[String, Array[Byte]] = {
+    readString(new Path(dvDir, name)).linesIterator.filter(_.nonEmpty).map { line =>
+      val m = Json.mapper.readValue(line, classOf[java.util.Map[String, String]])
+      m.get("path") -> java.util.Base64.getDecoder.decode(m.get("bitmap"))
+    }.toMap
   }
 
   // ---- tags ----

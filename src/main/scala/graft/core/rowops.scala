@@ -41,20 +41,22 @@ object RowOps {
     def compact(): Option[SnapshotMeta] = {
       val live = t.planFiles()
       if (live.isEmpty) return None
-      val alreadyCompact = live.groupBy(e => (e.partition, e.bucket))
+      val dv = t.dvFor(None)
+      val alreadyCompact = dv.isEmpty && live.groupBy(e => (e.partition, e.bucket))
         .forall { case (_, es) => es.size == 1 && es.head.level > 0 }
       if (alreadyCompact) return None
       val adds =
         if (t.isPk) {
           val merged = MergeEngines.merge(
-            t.readEntries(live, withInternal = true), cfg, t.dataSchema)
+            t.readEntries(live, withInternal = true, dv), cfg, t.dataSchema)
           t.writeFiles(merged, preMerged = true, level = 1)
         } else {
-          t.writeFiles(t.readEntries(live, withInternal = false), level = 1)
+          t.writeFiles(t.readEntries(live, withInternal = false, dv), level = 1)
         }
       val delta = live.map(_.copy(kind = 1)) ++ adds
+      // compaction materializes outstanding deletion vectors → clear them
       Some(t.sm.commit(delta, "COMPACT", s"compact-${UUID.randomUUID().toString.take(8)}",
-        t.schema.id))
+        t.schema.id, dvAction = Some(None)))
     }
 
     /** Sort compaction for append tables: rewrite the whole table ordered by
@@ -149,6 +151,59 @@ object RowOps {
         t.sm.commit(victims.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
           s"delete-${UUID.randomUUID().toString.take(8)}", t.schema.id)
       }
+    }
+
+    /**
+     * DELETE with deletion vectors (merge-on-read): no data files are
+     * rewritten; matched row positions are recorded in roaring bitmaps that
+     * reads filter out (paimon BitmapDeletionVector +
+     * DeletionVectorsIndexFile; SURVEY §2.10). For PK tables ALL stored
+     * versions of a matched key are marked, so LSM merge cannot resurrect an
+     * older version. Compaction materializes and clears the vectors.
+     */
+    def deleteDv(cond: Column): SnapshotMeta = {
+      val live = t.planFiles()
+      val dv = t.dvFor(None)
+      val withMeta = t.readEntries(live, withInternal = t.isPk, dv)
+        .withColumn("__fp", col("_metadata.file_path"))
+        .withColumn("__ri", col("_metadata.row_index"))
+      val hit = coalesce(cond, lit(false))
+      val positions =
+        if (t.isPk) {
+          val deletedKeys = t.read(None, None).filter(hit)
+            .select(cfg.primaryKeys.map(col).toIndexedSeq: _*)
+          withMeta.join(deletedKeys, cfg.primaryKeys, "left_semi")
+            .select(col("__fp"), col("__ri"))
+        } else withMeta.filter(hit).select(col("__fp"), col("__ri"))
+      val grouped = positions
+        .groupBy(col("__fp")).agg(collect_list(col("__ri")).as("rows"))
+        .collect()
+      if (grouped.isEmpty)
+        return t.sm.commit(Nil, "OVERWRITE", "delete-dv-noop", t.schema.id)
+      val locPrefix = new Path(t.location).toUri.getPath
+      val merged = scala.collection.mutable.Map[String, org.roaringbitmap.RoaringBitmap]()
+      // start from existing vectors (keyed by relative path)
+      t.sm.latestSnapshot.flatMap(_.dvIndex).foreach { name =>
+        t.sm.readDvIndex(name).foreach { case (rel, bytes) =>
+          val r = new org.roaringbitmap.RoaringBitmap
+          r.deserialize(java.nio.ByteBuffer.wrap(bytes)); merged(rel) = r
+        }
+      }
+      grouped.foreach { row =>
+        val abs = new Path(new java.net.URI(row.getAs[String]("__fp"))).toUri.getPath
+        val rel = abs.stripPrefix(locPrefix).stripPrefix("/")
+        val bm = merged.getOrElseUpdate(rel, new org.roaringbitmap.RoaringBitmap)
+        row.getSeq[Long](1).foreach(i => bm.add(i.toInt))
+      }
+      val serialized = merged.map { case (k, r) =>
+        r.runOptimize()
+        val bos = new java.io.ByteArrayOutputStream()
+        r.serialize(new java.io.DataOutputStream(bos))
+        k -> bos.toByteArray
+      }.toMap
+      val dvName = t.sm.writeDvIndex(serialized)
+      t.sm.commit(Nil, "OVERWRITE", s"delete-dv-${UUID.randomUUID().toString.take(8)}",
+        t.schema.id, dvAction = Some(Some(dvName)))
     }
 
     /** UPDATE t SET assignments WHERE cond (COW). */

@@ -236,13 +236,46 @@ class GraftTable private (
     }
   }
 
-  private[core] def readEntries(entries: Seq[ManifestEntry], withInternal: Boolean): DataFrame = {
+  /** Deletion vectors in force for a snapshot, keyed by [[GraftTable.dvKey]]
+    * (one Spark write job reuses the same part-file NAME across bucket
+    * directories, so the name alone is ambiguous — the commit-dir/pt/bucket
+    * suffix is required). */
+  private[core] def dvFor(snapshotId: Option[Long]): Map[String, Array[Byte]] = {
+    val snap = snapshotId.map(sm.readSnapshot).orElse(sm.latestSnapshot)
+    snap.flatMap(_.dvIndex) match {
+      case Some(name) => sm.readDvIndex(name).map { case (p, b) => dvKey(p) -> b }
+      case None => Map.empty
+    }
+  }
+
+  private[core] def readEntries(entries: Seq[ManifestEntry], withInternal: Boolean,
+                                dv: Map[String, Array[Byte]] = Map.empty): DataFrame = {
     if (entries.isEmpty) {
       val s = if (withInternal && isPk) fileSchema else dataSchema
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
     }
     val paths = entries.map(e => new Path(location, e.path).toString)
-    val df = spark.read.schema(fileSchema).parquet(paths: _*)
+    var df = spark.read.schema(fileSchema).parquet(paths: _*)
+    if (dv.nonEmpty) {
+      // apply deletion vectors: filter out (file, row_index) marked deleted
+      // (paimon ApplyDeletionVectorReader). Bitmaps deserialize once per
+      // executor via DvCache; _metadata.row_index is Spark's native parquet
+      // row position — no extra shuffle, stays a scan-side filter.
+      val dvMap = dv
+      val keep = udf { (path: String, idx: Long) =>
+        val decoded = if (path.contains('%')) new java.net.URI(path).getPath else path
+        val key = GraftTable.dvKey(decoded)
+        dvMap.get(key) match {
+          case Some(bytes) => !DvCache.bitmap(key, bytes).contains(idx.toInt)
+          case None => true
+        }
+      }
+      df = df
+        .withColumn("__fp", col("_metadata.file_path"))
+        .withColumn("__ri", col("_metadata.row_index"))
+        .filter(keep(col("__fp"), col("__ri")))
+        .drop("__fp", "__ri")
+    }
     if (withInternal || !isPk) df
     else df.select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
   }
@@ -253,8 +286,9 @@ class GraftTable private (
   def read(filter: Option[Column] = None, snapshotId: Option[Long] = None): DataFrame = {
     val entries = planFiles(snapshotId, filter)
     if (entries.isEmpty) return filter.foldLeft(emptyDf)((d, c) => d.filter(c))
+    val dv = dvFor(snapshotId)
     val out =
-      if (!isPk) readEntries(entries, withInternal = false)
+      if (!isPk) readEntries(entries, withInternal = false, dv)
       else {
         val byBucket = entries.groupBy(e => (e.partition, e.bucket))
         // raw-convertible: single file, no delete tombstones, and either a
@@ -273,9 +307,9 @@ class GraftTable private (
         val rawEntries = rawB.values.flatten.toSeq
         val mergeEntries = mergeB.values.flatten.toSeq
         val parts = Seq(
-          if (rawEntries.nonEmpty) Some(readEntries(rawEntries, withInternal = false)) else None,
+          if (rawEntries.nonEmpty) Some(readEntries(rawEntries, withInternal = false, dv)) else None,
           if (mergeEntries.nonEmpty)
-            Some(MergeEngines.merge(readEntries(mergeEntries, withInternal = true),
+            Some(MergeEngines.merge(readEntries(mergeEntries, withInternal = true, dv),
               config, dataSchema).select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*))
           else None).flatten
         parts.reduce(_ unionAll _)
@@ -339,6 +373,8 @@ class GraftTable private (
       case (_, es) => es.size == 1 && es.head.level > 0
     }
     require(rawOk, "aggregate pushdown needs an append or fully-compacted table")
+    require(dvFor(snapshotId).isEmpty,
+      "aggregate pushdown unavailable while deletion vectors are outstanding")
     val rowCount = entries.map(_.rowCount).sum
     def fold(colName: String, wantMax: Boolean): Option[String] = {
       val dt = dataSchema.fields.find(_.name == colName).get.dataType
@@ -413,6 +449,14 @@ class GraftTable private (
 }
 
 object GraftTable {
+  /** Stable per-file key: last 3 path components (commit-dir/pt/bucket/file
+    * collapse to pt-dir/bucket-dir/file-name — unique across commits because
+    * the file name carries the write job UUID). */
+  def dvKey(path: String): String = {
+    val parts = path.split('/')
+    parts.takeRight(3).mkString("/")
+  }
+
   // internal (LSM envelope / routing) column names
   val SEQ = "__seq"
   val COMMIT = "__commit"
@@ -548,4 +592,15 @@ object MergeEngines {
       .select((pks.map(col) ++ schema.fields.filterNot(f => pks.contains(f.name)).map(f => col(f.name)) ++
         Seq(col(SEQ), col(COMMIT), col(KIND))).toIndexedSeq: _*)
   }
+}
+
+/** Executor-side cache of deserialized deletion-vector bitmaps. */
+object DvCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, org.roaringbitmap.RoaringBitmap]()
+  def bitmap(name: String, bytes: Array[Byte]): org.roaringbitmap.RoaringBitmap =
+    cache.computeIfAbsent(name, _ => {
+      val r = new org.roaringbitmap.RoaringBitmap
+      r.deserialize(java.nio.ByteBuffer.wrap(bytes))
+      r
+    })
 }

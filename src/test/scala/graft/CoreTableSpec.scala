@@ -189,3 +189,40 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.removeOrphanFiles(System.currentTimeMillis() + 1000) == 0)
   }
 }
+
+class DeletionVectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dv delete on append table: MOR filter, then compact materializes") {
+    val loc = tmpLoc("dv-append")
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s")
+    val t = GraftTable.create(spark, loc, src.schema, TableConfig())
+    t.write(src)
+    t.deleteDv(col("k") % 2 === 0)
+    assert(t.read().select("k").as[Long].collect().toSet == Set(1L, 3L))
+    // second dv delete merges with the first
+    t.deleteDv(col("k") === 3L)
+    assert(t.read().select("k").as[Long].collect().toSet == Set(1L))
+    val files = t.planFiles().map(_.path).toSet
+    t.compact()
+    assert(t.sm.latestSnapshot.get.dvIndex.isEmpty)
+    assert(t.read().select("k").as[Long].collect().toSet == Set(1L))
+    assert(t.planFiles().map(_.path).toSet.intersect(files).isEmpty) // rewritten
+  }
+
+  test("dv delete on pk table marks every version of a key") {
+    val loc = tmpLoc("dv-pk")
+    val src = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "p")
+    val t = GraftTable.create(spark, loc, src.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(src)
+    t.write(Seq((2L, "b2", 9.0)).toDF("k", "s", "p")) // second version of k=2
+    t.deleteDv(col("s") === "b2")
+    // older version (2,b,2.0) must NOT resurrect
+    assert(t.read().select("k").as[Long].collect().toSet == Set(1L))
+    t.compact()
+    assert(t.read().select("k").as[Long].collect().toSet == Set(1L))
+    // time travel before the delete still sees both keys
+    assert(t.read(None, Some(2L)).count() == 2)
+  }
+}
