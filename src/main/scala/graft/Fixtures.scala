@@ -212,6 +212,23 @@ object Fixtures {
       t2
     }
 
+  /** Branch fixture: main = orders; branch dev applies the %10 updates;
+    * then main fast-forwards to dev. */
+  def ordersBranch(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_branch") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4))
+      t.write(orders)
+      t.createBranch("dev")
+      val dev = t.onBranch("dev")
+      dev.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", lit("X-UPD")))
+      t.fastForward("dev")
+      t
+    }
+
   /** Catalog-SQL fixture: orders loaded into a graft-catalog table via pure
     * SQL (CREATE TABLE + INSERT through the DSv2 write path). */
   def sqlCatalogOrders(spark: SparkSession, sfDir: String): String = {

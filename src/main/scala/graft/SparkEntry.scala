@@ -91,6 +91,7 @@ object SparkEntry {
       .groupBy("rowkind").agg(count(lit(1)).as("cnt"))),
     "q_system_snapshots" -> ((s, d) => Fixtures.ordersPk(s, d)
       .systemTable("snapshots").select("snapshot_id", "commit_kind")),
+    "q_branch_ff" -> ((s, d) => statusAgg(Fixtures.ordersBranch(s, d).read())),
     "q_format_table" -> ((s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))),
 
@@ -446,6 +447,7 @@ object SparkEntry {
     "q_system_snapshots" ->
       """SELECT CAST(1 AS BIGINT) AS snapshot_id, 'APPEND' AS commit_kind
         |UNION ALL SELECT 2, 'APPEND' UNION ALL SELECT 3, 'COMPACT'""".stripMargin,
+    "q_branch_ff" -> dedupOracle,
     "q_format_table" ->
       "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag",
     "q_partial_update" ->

@@ -59,6 +59,14 @@ object Procedures {
         require(ids.nonEmpty, "no snapshot at or before timestamp")
         val s = table.rollback(ids.max)
         ok(s"rolled back to snapshot ${ids.max} (new snapshot ${s.id})")
+      case "create_branch" =>
+        table.createBranch(args("branch"), args.get("snapshot").map(_.toLong))
+        ok(s"branch ${args("branch")} created")
+      case "delete_branch" =>
+        ok(s"branch ${args("branch")} deleted: ${table.deleteBranch(args("branch"))}")
+      case "fast_forward" =>
+        val s = table.fastForward(args("branch"))
+        ok(s"fast-forwarded to branch ${args("branch")} (snapshot ${s.id})")
       case "clear_consumers" =>
         ok(s"cleared ${Consumers.clear(table)} consumers")
       case "reset_consumer" =>

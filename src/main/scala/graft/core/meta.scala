@@ -124,12 +124,20 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
  * both HDFS and local fs) — same optimistic loop as paimon's
  * FileStoreCommitImpl.tryCommit (paimon-core/.../operation/FileStoreCommitImpl.java:832).
  */
-class SnapshotManager(val tableRoot: String, hadoopConf: Configuration) {
+class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
+                      val branch: Option[String] = None) {
   private val root = new Path(tableRoot)
   def fs: FileSystem = root.getFileSystem(hadoopConf)
 
   def schemaDir = new Path(root, "schema")
-  def snapshotDir = new Path(root, "snapshot")
+  /** Branches keep their own snapshot chain under branch/<name>/snapshot,
+    * sharing schema, manifests and data files with main (cf. paimon
+    * branch/BranchManager.java). */
+  def snapshotDir: Path = branch match {
+    case Some(b) => new Path(root, s"branch/$b/snapshot")
+    case None => new Path(root, "snapshot")
+  }
+  def branchRootDir = new Path(root, "branch")
   def manifestDir = new Path(root, "manifest")
   def tagDir = new Path(root, "tag")
   def dataDir = new Path(root, "data")
@@ -307,6 +315,15 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration) {
       m.get("path") -> java.util.Base64.getDecoder.decode(m.get("bitmap"))
     }.toMap
   }
+
+  // ---- branches ----
+  def listBranches(): Seq[String] = {
+    if (!fs.exists(branchRootDir)) return Nil
+    fs.listStatus(branchRootDir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+  def branchExists(name: String): Boolean =
+    fs.exists(new Path(branchRootDir, s"$name/snapshot"))
 
   // ---- tags ----
   def createTag(name: String, snapshotId: Long): Unit =

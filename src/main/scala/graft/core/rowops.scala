@@ -288,6 +288,12 @@ object RowOps {
             (p.toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]"), b,
               es.map(_.rowCount).sum, es.size.toLong, es.map(_.fileSize).sum)
           }.toSeq.toDF("partition", "bucket", "record_count", "file_count", "total_size_in_bytes")
+        case "branches" =>
+          t.sm.listBranches().map { b =>
+            val bsm = new SnapshotManager(t.location,
+              t.spark.sessionState.newHadoopConf(), Some(b))
+            (b, bsm.latestSnapshotId.getOrElse(0L))
+          }.toDF("branch_name", "latest_snapshot_id")
         case "tags" =>
           t.sm.listTags().map(tg => (tg.name, tg.snapshotId,
             new java.sql.Timestamp(tg.timestampMs))).toDF("tag_name", "snapshot_id", "create_time")
@@ -369,6 +375,46 @@ object RowOps {
         }
       }
       deleted
+    }
+
+    // ----------------------------------------------------------------
+    // BRANCHES (paimon create_branch / fast_forward / delete_branch)
+    // ----------------------------------------------------------------
+
+    /** Create a branch starting at `fromSnapshot` (default: latest). The
+      * branch shares data + manifests; its commits are isolated. */
+    def createBranch(name: String, fromSnapshot: Option[Long] = None): Unit = {
+      require(!t.sm.branchExists(name), s"branch $name exists")
+      require(t.sm.branch.isEmpty, "create branches from the main table")
+      val snapId = fromSnapshot.orElse(t.sm.latestSnapshotId)
+        .getOrElse(throw new IllegalStateException("no snapshot to branch from"))
+      val snap = t.sm.readSnapshot(snapId)
+      val bdir = new Path(t.sm.branchRootDir, s"$name/snapshot")
+      t.sm.writeString(new Path(bdir, s"snapshot-$snapId.json"), Json.write(snap))
+      t.sm.writeString(new Path(bdir, "LATEST"), snapId.toString)
+    }
+
+    def deleteBranch(name: String): Boolean =
+      t.sm.fs.delete(new Path(t.sm.branchRootDir, name), true)
+
+    /** Switch to a branch view of this table. */
+    def onBranch(name: String): GraftTable =
+      GraftTable.load(t.spark, t.location, Some(name))
+
+    /** Fast-forward main to a branch's latest state: one commit on main that
+      * replays the branch's file-set diff (paimon fast_forward). */
+    def fastForward(name: String): SnapshotMeta = {
+      require(t.sm.branch.isEmpty, "fast_forward applies to the main table")
+      val b = onBranch(name)
+      val branchLive = b.planFiles()
+      val mainLive = t.planFiles()
+      val branchSet = branchLive.map(_.path).toSet
+      val mainSet = mainLive.map(_.path).toSet
+      val dels = mainLive.filterNot(e => branchSet.contains(e.path)).map(_.copy(kind = 1))
+      val adds = branchLive.filterNot(e => mainSet.contains(e.path))
+      val dvAction = Some(b.sm.latestSnapshot.flatMap(_.dvIndex))
+      t.sm.commit(dels ++ adds, "OVERWRITE", s"fast-forward-$name", t.schema.id,
+        dvAction = dvAction)
     }
 
     /** Roll the table back to an earlier snapshot (paimon rollback). */

@@ -479,9 +479,15 @@ object GraftTable {
     new GraftTable(spark, location, sm)
   }
 
-  def load(spark: SparkSession, location: String): GraftTable = {
-    val sm = new SnapshotManager(location, spark.sessionState.newHadoopConf())
+  def load(spark: SparkSession, location: String): GraftTable =
+    load(spark, location, None)
+
+  /** Load a table, optionally pinned to a branch: same data/manifests,
+    * independent snapshot chain (commits land on the branch only). */
+  def load(spark: SparkSession, location: String, branch: Option[String]): GraftTable = {
+    val sm = new SnapshotManager(location, spark.sessionState.newHadoopConf(), branch)
     require(sm.tableExists, s"no graft table at $location")
+    branch.foreach(b => require(sm.branchExists(b), s"no branch $b at $location"))
     new GraftTable(spark, location, sm)
   }
 

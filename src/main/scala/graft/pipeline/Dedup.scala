@@ -32,23 +32,28 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(sigLen % nBands == 0, "sigLen must be divisible by nBands")
     val rpb = sigLen / nBands
+    // shingle sets + signatures computed once and persisted: the band join
+    // below shuffles only (id, bandKey) pairs — never the shingle arrays
     val base = df
       .withColumn("__sh", TextOps.shingles(col(textCol), shingleN))
       .filter(size(col("__sh")) > 0)
       .withColumn("__sig", TextOps.minhashSignature(col("__sh"), sigLen))
       .select(col(idCol), col("__sh"), col("__sig"))
-    val banded = base.select(col(idCol), col("__sh"),
+      .persist()
+    val banded = base.select(col(idCol),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), TextOps.bandKey(col("__sig"), b, rpb).as("bk"))): _*)).as("b"))
-      .select(col(idCol), col("__sh"), col("b.band").as("band"), col("b.bk").as("bk"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
     val a = banded.alias("a"); val bb = banded.alias("b")
     val cand = a.join(bb,
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
-        col("a.__sh").as("sh1"), col("b.__sh").as("sh2"))
-      .dropDuplicates("v1", "v2")
-    cand.withColumn("jac", TextOps.jaccard(col("sh1"), col("sh2")))
+      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"))
+      .distinct()
+    val s1 = base.select(col(idCol).as("v1"), col("__sh").as("sh1"))
+    val s2 = base.select(col(idCol).as("v2"), col("__sh").as("sh2"))
+    cand.join(s1, "v1").join(s2, "v2")
+      .withColumn("jac", TextOps.jaccard(col("sh1"), col("sh2")))
       .filter(col("jac") >= threshold)
       .select(col("v1"), col("v2"), round(col("jac"), 4).as("jac"))
   }

@@ -226,3 +226,30 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(t.read(None, Some(2L)).count() == 2)
   }
 }
+
+class BranchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("branch isolation + fast-forward") {
+    val loc = tmpLoc("branch")
+    val src = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "p")
+    val t = GraftTable.create(spark, loc, src.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(src)
+    t.createBranch("dev")
+    val dev = t.onBranch("dev")
+    dev.write(Seq((2L, "b-dev", 9.0), (3L, "c-dev", 3.0)).toDF("k", "s", "p"))
+    // main unaffected, branch sees its own commit
+    assert(t.read().count() == 2)
+    assert(dev.read().count() == 3)
+    assert(dev.read().filter(col("s") === "b-dev").count() == 1)
+    // procedures surface
+    assert(Procedures.call(spark, t, "fast_forward", Map("branch" -> "dev"))
+      .head().getString(0).contains("fast-forwarded"))
+    assert(t.read().count() == 3)
+    assert(t.read().filter(col("s") === "b-dev").count() == 1)
+    assert(t.systemTable("branches").count() == 1)
+    t.deleteBranch("dev")
+    assert(t.sm.listBranches().isEmpty)
+  }
+}
