@@ -133,6 +133,12 @@ object SparkEntry {
     "q_merge_into" -> ((s, d) => statusAgg(Fixtures.ordersMi(s, d).read())),
     "q_metadata_delete" -> ((s, d) => Fixtures.eventsDel(s, d).read()
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))),
+    "q_max_pt" -> ((s, d) => {
+      val tbl = Fixtures.eventsAp(s, d)
+      val mp = graft.functions.GraftFunctions.maxPt(tbl, "event_type")
+      tbl.read(filter = Some(col("event_type") === lit(mp)))
+        .agg(count(lit(1)).as("cnt"))
+    }),
     "q_partition_prune" -> ((s, d) => Fixtures.eventsAp(s, d)
       .read(filter = Some(col("event_type") === "purchase"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
@@ -509,6 +515,9 @@ object SparkEntry {
     "q_partition_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS total
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_max_pt" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt FROM events
+        |WHERE event_type = (SELECT max(event_type) FROM events)""".stripMargin,
     "q_overwrite_dynamic" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(CASE WHEN event_type = 'error' THEN 0 ELSE value END), 2) AS total

@@ -151,14 +151,33 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
     val in = fs.open(p)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
   }
-  /** Atomic create-if-absent: write temp file then rename (no overwrite). */
+  /**
+   * Atomic create-if-absent (the commit CAS). On HDFS-like filesystems,
+   * rename-without-overwrite is atomic. On the LOCAL filesystem rename(2)
+   * silently REPLACES the destination, so two racing committers would both
+   * "win" and one snapshot would be lost — there we claim the slot with
+   * link(2) (hard-link creation fails atomically if the target exists).
+   */
   def casWrite(target: Path, content: String): Boolean = {
     if (fs.exists(target)) return false
-    val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
-    writeString(tmp, content)
-    val ok = try fs.rename(tmp, target) catch { case _: Exception => false }
-    if (!ok) fs.delete(tmp, false)
-    ok
+    if (fs.getUri.getScheme == "file") {
+      val t = java.nio.file.Paths.get(target.toUri.getPath)
+      java.nio.file.Files.createDirectories(t.getParent)
+      val tmp = t.getParent.resolve(s".tmp-${UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      try {
+        java.nio.file.Files.createLink(t, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
+      writeString(tmp, content)
+      val ok = try fs.rename(tmp, target) catch { case _: Exception => false }
+      if (!ok) fs.delete(tmp, false)
+      ok
+    }
   }
 
   // ---- schema ----

@@ -253,3 +253,32 @@ class BranchSpec extends SparkTestBase {
     assert(t.sm.listBranches().isEmpty)
   }
 }
+
+class ConcurrencySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("concurrent commits: CAS retry keeps both writers' rows") {
+    val loc = tmpLoc("race")
+    val schema = Seq((1L, 1.0)).toDF("k", "v").schema
+    val t = GraftTable.create(spark, loc, schema, TableConfig())
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(4)
+    val latch = new CountDownLatch(1)
+    val futures = (0 until 4).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          latch.await()
+          val h = GraftTable.load(spark, loc)
+          h.write(Seq(((i + 1).toLong * 100, i.toDouble)).toDF("k", "v"))
+        }
+      })
+    }
+    latch.countDown()
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(t.read().count() == 4)
+    assert(t.sm.latestSnapshotId.contains(4L))
+    // snapshot ids are a contiguous chain despite the race
+    assert(t.sm.snapshotIds == Seq(1L, 2L, 3L, 4L))
+  }
+}
