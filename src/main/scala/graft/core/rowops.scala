@@ -466,6 +466,7 @@ object RowOps {
       def envelope(df: DataFrame, kind: Int): DataFrame =
         df.withColumn(SEQ, lit(commitSeq))
           .withColumn(COMMIT, lit(commitSeq))
+          .withColumn(POS, monotonically_increasing_id())
           .withColumn(KIND, lit(kind))
 
       var outputs: Seq[DataFrame] = Nil

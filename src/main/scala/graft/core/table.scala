@@ -52,6 +52,7 @@ class GraftTable private (
     else StructType(dataSchema.fields ++ Array(
       StructField(SEQ, LongType, false),
       StructField(COMMIT, LongType, false),
+      StructField(POS, LongType, true), // per-record input position (tiebreak)
       StructField(KIND, IntegerType, false)))
   }
 
@@ -106,19 +107,22 @@ class GraftTable private (
     var df =
       if (preMerged) {
         val cols = dataSchema.fields.map(f => col(f.name)) ++
-          Seq(col(SEQ), col(COMMIT), col(KIND))
+          Seq(col(SEQ), col(COMMIT), col(POS), col(KIND))
         dfIn.select(cols.toIndexedSeq: _*)
       } else {
         var d = align(dfIn)
         if (isPk) {
+          // __pos captures input order BEFORE any shuffle: duplicate keys in
+          // one batch resolve last-input-wins, deterministically (paimon
+          // assigns a per-record sequence number in its write buffer)
           d = d.withColumn(SEQ, seqExpr(commitSeq))
             .withColumn(COMMIT, lit(commitSeq))
+            .withColumn(POS, monotonically_increasing_id())
             .withColumn(KIND, lit(KIND_INSERT))
-          // within-batch pre-merge for the deduplicate engine: last row per
-          // key by sequence wins (paimon dedups in its write buffer)
+          // within-batch pre-merge for the deduplicate engine
           if (config.mergeEngine == "deduplicate") {
             val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
-              .orderBy(col(SEQ).desc)
+              .orderBy(col(SEQ).desc, col(POS).desc)
             d = d.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1).drop("__rn")
           }
@@ -460,6 +464,7 @@ object GraftTable {
   // internal (LSM envelope / routing) column names
   val SEQ = "__seq"
   val COMMIT = "__commit"
+  val POS = "__pos"
   val KIND = "__kind"
   val PT = "__pt"
   val BUCKET = "__bucket"
@@ -527,8 +532,8 @@ object MergeEngines {
     * tombstones after selection. */
   private def dedup(df: DataFrame, pks: Seq[String], latestFirst: Boolean): DataFrame = {
     val ord =
-      if (latestFirst) Seq(col(SEQ).desc, col(COMMIT).desc)
-      else Seq(col(SEQ).asc, col(COMMIT).asc)
+      if (latestFirst) Seq(col(SEQ).desc, col(COMMIT).desc, col(POS).desc)
+      else Seq(col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
     val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*).orderBy(ord: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -540,7 +545,7 @@ object MergeEngines {
   private def partialUpdate(df: DataFrame, pks: Seq[String], schema: StructType): DataFrame = {
     val alive = df.filter(col(KIND) =!= KIND_DELETE)
     val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
-      .orderBy(col(SEQ).asc, col(COMMIT).asc)
+      .orderBy(col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val nonKey = schema.fields.map(_.name).filterNot(pks.contains)
     val folded = nonKey.foldLeft(alive) { (d, c) =>
@@ -548,6 +553,7 @@ object MergeEngines {
     }
     folded.withColumn(SEQ, max(col(SEQ)).over(w))
       .withColumn(COMMIT, max(col(COMMIT)).over(w))
+      .withColumn(POS, max(col(POS)).over(w))
       .withColumn(KIND, lit(KIND_INSERT))
       .dropDuplicates(pks)
   }
@@ -557,7 +563,7 @@ object MergeEngines {
   private def aggregation(df: DataFrame, pks: Seq[String], schema: StructType,
                           config: TableConfig): DataFrame = {
     val alive = df.filter(col(KIND) =!= KIND_DELETE)
-    val ordKey = struct(col(SEQ), col(COMMIT))
+    val ordKey = struct(col(SEQ), col(COMMIT), col(POS))
     def aggFor(name: String, dt: DataType): Column = {
       val fn = config.fieldAggregates.getOrElse(name,
         config.defaultAggregate.getOrElse("last_non_null_value"))
@@ -593,10 +599,10 @@ object MergeEngines {
     val aggCols = schema.fields.filterNot(f => pks.contains(f.name)).map { f =>
       aggFor(f.name, f.dataType).as(f.name)
     } ++ Seq(max(col(SEQ)).as(SEQ), max(col(COMMIT)).as(COMMIT),
-      lit(KIND_INSERT).as(KIND))
+      max(col(POS)).as(POS), lit(KIND_INSERT).as(KIND))
     alive.groupBy(pks.map(col).toIndexedSeq: _*).agg(aggCols.head, aggCols.tail.toIndexedSeq: _*)
       .select((pks.map(col) ++ schema.fields.filterNot(f => pks.contains(f.name)).map(f => col(f.name)) ++
-        Seq(col(SEQ), col(COMMIT), col(KIND))).toIndexedSeq: _*)
+        Seq(col(SEQ), col(COMMIT), col(POS), col(KIND))).toIndexedSeq: _*)
   }
 }
 

@@ -1,0 +1,70 @@
+package graft
+
+import graft.core._
+import graft.core.RowOps._
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/**
+ * Randomized model test of the LSM table against an in-memory oracle,
+ * mirroring the reference's randomized write/compact/read cycles
+ * (paimon-core MergeTreeTestBase.testRandom). A scripted random op sequence
+ * (upsert batches, deletes, updates, compactions, dv-deletes) runs against
+ * both the table and a plain Map; every checkpoint must agree exactly.
+ */
+class RandomizedLsmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def runScenario(seed: Long, ops: Int): Unit = {
+    val rnd = new Random(seed)
+    val loc = tmpLoc(s"rand-$seed")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "s", 1.0)).toDF("k", "s", "p").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 3))
+    var model = Map.empty[Long, (String, Double)]
+
+    def check(): Unit = {
+      val got = t.read().as[(Long, String, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == model, s"seed=$seed mismatch: " +
+        s"missing=${(model.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- model.keySet).take(5)} " +
+        s"diff=${model.keySet.intersect(got.keySet).filter(k => model(k) != got(k)).take(5)}")
+    }
+
+    for (i <- 0 until ops) {
+      rnd.nextInt(5) match {
+        case 0 | 1 => // upsert batch
+          val rows = (0 until (1 + rnd.nextInt(15))).map { _ =>
+            val k = rnd.nextInt(40).toLong
+            (k, s"v$i-$k", rnd.nextInt(1000) / 10.0)
+          }
+          // last occurrence per key wins within a batch (write pre-merges)
+          val byKey = rows.groupBy(_._1).map { case (k, vs) => vs.last }
+          t.write(rows.toDF("k", "s", "p"))
+          byKey.foreach { case (k, s, p) => model += k -> (s, p) }
+        case 2 => // delete a key range (COW)
+          val lo = rnd.nextInt(40).toLong
+          val hi = lo + rnd.nextInt(10)
+          t.delete(col("k").between(lo, hi))
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+        case 3 if model.nonEmpty => // dv-delete one existing key
+          val k = model.keySet.toSeq(rnd.nextInt(model.size))
+          t.deleteDv(col("k") === k)
+          model -= k
+        case _ => // compact
+          t.compact()
+      }
+      if (i % 3 == 2) check()
+    }
+    t.compact()
+    check()
+  }
+
+  test("random op sequences agree with the in-memory model (3 seeds)") {
+    runScenario(seed = 7L, ops = 10)
+    runScenario(seed = 42L, ops = 10)
+    runScenario(seed = 1337L, ops = 8)
+  }
+}
