@@ -59,6 +59,15 @@ object Procedures {
         require(ids.nonEmpty, "no snapshot at or before timestamp")
         val s = table.rollback(ids.max)
         ok(s"rolled back to snapshot ${ids.max} (new snapshot ${s.id})")
+      case "rollback_to_watermark" =>
+        val w = args("watermark").toLong
+        val ids = table.sm.snapshotIds.filter(id =>
+          table.sm.readSnapshot(id).watermarkLong.exists(_ <= w))
+        require(ids.nonEmpty, "no snapshot at or before watermark")
+        val s = table.rollback(ids.max)
+        ok(s"rolled back to watermark $w (snapshot ${ids.max}, new ${s.id})")
+      case "analyze" =>
+        table.analyze()
       case "create_branch" =>
         table.createBranch(args("branch"), args.get("snapshot").map(_.toLong))
         ok(s"branch ${args("branch")} created")

@@ -110,7 +110,13 @@ case class SnapshotMeta(
     deltaRecords: Long,
     watermark: Option[Long] = None,
     // deletion-vector index file under dv/ (paimon DeletionVectorsIndexFile)
-    dvIndex: Option[String] = None)
+    dvIndex: Option[String] = None) {
+  /** Erasure-safe watermark accessor: jackson-scala materializes a JSON int
+    * into Option[Long] as a boxed Integer — unboxing via the field throws. */
+  def watermarkLong: Option[Long] =
+    watermark.asInstanceOf[Option[Any]]
+      .map { case n: java.lang.Number => n.longValue }
+}
 
 case class TagMeta(name: String, snapshotId: Long, timestampMs: Long)
 
@@ -258,7 +264,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
   /** dvAction: None = carry forward previous dvIndex; Some(opt) = set to opt. */
   def commit(delta: Seq[ManifestEntry], kind: String, identifier: String,
              schemaId: Long, maxRetries: Int = 20,
-             dvAction: Option[Option[String]] = None): SnapshotMeta = {
+             dvAction: Option[Option[String]] = None,
+             watermark: Option[Long] = None): SnapshotMeta = {
     val deltaName = writeManifest(delta)
     val deletedPaths = delta.filter(_.kind == 1).map(_.path).toSet
     var attempt = 0
@@ -283,6 +290,7 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
         deltaManifests = Seq(deltaName),
         totalRecords = base.map(_.totalRecords).getOrElse(0L) + addRows - delRows,
         deltaRecords = addRows,
+        watermark = watermark.orElse(base.flatMap(_.watermarkLong)),
         dvIndex = dvAction.getOrElse(base.flatMap(_.dvIndex)))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)

@@ -314,6 +314,10 @@ object RowOps {
             cfg.options.toSeq).toDF("key", "value")
         case "audit_log" => t.auditLog()
         case "ro" => t.readRaw()
+        case "statistics" =>
+          val p = new Path(t.location, "statistics/latest.json")
+          val content = if (t.sm.fs.exists(p)) t.sm.readString(p) else "{}"
+          Seq(content).toDF("statistics")
         case "consumers" =>
           Seq.empty[(String, Long)].toDF("consumer_id", "next_snapshot_id")
         case other => throw new IllegalArgumentException(s"unknown system table $other")
@@ -375,6 +379,33 @@ object RowOps {
         }
       }
       deleted
+    }
+
+    /** ANALYZE: table + column statistics for CBO (paimon
+      * PaimonAnalyzeTableColumnCommand + stats/Statistics in snapshot):
+      * row count / size from the manifest, per-column ndv (HLL++) and null
+      * counts in ONE distributed pass; persisted next to snapshots. */
+    def analyze(): DataFrame = {
+      val live = t.planFiles()
+      val df = t.read()
+      val cols = t.dataSchema.fields.map(_.name)
+      val aggs = cols.flatMap { c =>
+        Seq(approx_count_distinct(col(c)).as(s"ndv__$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nc__$c"))
+      }
+      val row = df.agg(count(lit(1)).as("__rc"), aggs.toIndexedSeq: _*).head()
+      val statsJson = Json.write(Map(
+        "snapshotId" -> t.sm.latestSnapshotId.getOrElse(0L),
+        "mergedRecordCount" -> row.getAs[Long]("__rc"),
+        "fileSizeInBytes" -> live.map(_.fileSize).sum,
+        "colStats" -> cols.map(c => c -> Map(
+          "distinctCount" -> row.getAs[Long](s"ndv__$c"),
+          "nullCount" -> row.getAs[Long](s"nc__$c"))).toMap))
+      t.sm.writeString(new Path(t.location, "statistics/latest.json"), statsJson)
+      val ss = t.spark
+      import ss.implicits._
+      cols.map(c => (c, row.getAs[Long](s"ndv__$c"), row.getAs[Long](s"nc__$c")))
+        .toSeq.toDF("column", "distinct_count", "null_count")
     }
 
     // ----------------------------------------------------------------

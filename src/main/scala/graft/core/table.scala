@@ -190,10 +190,20 @@ class GraftTable private (
     }
   }
 
-  /** INSERT INTO (append / upsert by merge engine). */
-  def write(df: DataFrame): SnapshotMeta = {
+  /** INSERT INTO (append / upsert by merge engine). `watermark`: producer
+    * event-time watermark persisted in the snapshot (paimon
+    * Snapshot.FIELD_WATERMARK; carried forward when absent). */
+  def write(df: DataFrame, watermark: Option[Long] = None): SnapshotMeta = {
     val adds = writeFiles(df)
-    sm.commit(adds, "APPEND", s"append-${UUID.randomUUID().toString.take(8)}", schema.id)
+    sm.commit(adds, "APPEND", s"append-${UUID.randomUUID().toString.take(8)}",
+      schema.id, watermark = watermark)
+  }
+
+  /** VERSION AS OF watermark: latest snapshot whose watermark <= `w`. */
+  def readWatermark(w: Long): DataFrame = {
+    val ids = sm.snapshotIds.filter(id =>
+      sm.readSnapshot(id).watermarkLong.exists(_ <= w))
+    if (ids.isEmpty) emptyDf else read(None, Some(ids.max))
   }
 
   /** INSERT OVERWRITE. `dynamic`: only replace partitions present in `df`

@@ -107,3 +107,33 @@ class PipelineSpec extends SparkTestBase {
     assert(joined.filter(col("tier") === "gold").count() == 2)
   }
 }
+
+class StatsWatermarkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("watermarks persist, carry forward, and time-travel") {
+    val loc = tmpLoc("wm")
+    val src = Seq((1L, "a")).toDF("k", "s")
+    val t = GraftTable.create(spark, loc, src.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(src, watermark = Some(1000L))
+    t.write(Seq((2L, "b")).toDF("k", "s")) // no watermark → carries 1000
+    t.write(Seq((3L, "c")).toDF("k", "s"), watermark = Some(2000L))
+    assert(t.sm.readSnapshot(2).watermarkLong.contains(1000L))
+    assert(t.readWatermark(1500L).count() == 2) // snapshot 2 state
+    assert(t.readWatermark(2000L).count() == 3)
+    val r = Procedures.call(spark, t, "rollback_to_watermark", Map("watermark" -> "1500"))
+    assert(r.head().getString(0).contains("rolled back"))
+    assert(t.read().count() == 2)
+  }
+
+  test("analyze produces column statistics") {
+    val loc = tmpLoc("an")
+    val src = Seq((1L, "a"), (2L, "a"), (3L, Option.empty[String].orNull)).toDF("k", "s")
+    val t = GraftTable.create(spark, loc, src.schema, TableConfig())
+    t.write(src)
+    val stats = t.analyze().collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("k")._1 == 3 && stats("s")._2 == 1)
+    assert(t.systemTable("statistics").head().getString(0).contains("mergedRecordCount"))
+  }
+}
