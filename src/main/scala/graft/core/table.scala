@@ -147,7 +147,13 @@ class GraftTable private (
 
     val commitDir = s"data/c-${UUID.randomUUID().toString.take(12)}"
     val stagingAbs = new Path(location, commitDir).toString
-    df.write.partitionBy(PT, BUCKET).parquet(stagingAbs)
+    // table options prefixed "parquet." flow to the writer — e.g.
+    // parquet.bloom.filter.enabled#<col>=true adds file-local bloom filters
+    // (capability of paimon's bloom-filter file index, SURVEY §2.2)
+    val writerOpts = config.options.collect {
+      case (k, v) if k.startsWith("parquet.") => k -> v
+    }
+    df.write.options(writerOpts).partitionBy(PT, BUCKET).parquet(stagingAbs)
 
     collectStats(stagingAbs, level)
   }
