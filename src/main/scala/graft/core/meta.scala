@@ -310,10 +310,14 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
     while (attempt < 20) {
       val base = latestSnapshot
       val nextId = base.map(_.id + 1).getOrElse(1L)
+      // carry forward watermark + dvIndex exactly like commit() does —
+      // dropping the DV index here would resurrect all DV-deleted rows
       val snap = SnapshotMeta(nextId, schemaId, "COMPACT", "graft",
         s"manifest-compact-$nextId", System.currentTimeMillis(),
         Seq(name), Seq(name),
-        base.map(_.totalRecords).getOrElse(0L), 0L)
+        base.map(_.totalRecords).getOrElse(0L), 0L,
+        watermark = base.flatMap(_.watermarkLong),
+        dvIndex = base.flatMap(_.dvIndex))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
         return snap

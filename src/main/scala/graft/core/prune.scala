@@ -15,14 +15,31 @@ import org.apache.spark.sql.types._
  */
 object StatsPrune {
 
+  /** Timestamp stat/literal values normalize to epoch-micros: stats may be
+    * raw micros (TimestampType stats are collected as unix_micros) or an ISO
+    * string (TimestampNTZ cast-to-string). String forms parse through one
+    * canonical UTC path so trailing-fraction-zero trimming can never skew
+    * the comparison. */
+  private def tsMicros(s: String): Long =
+    if (s.nonEmpty && s.forall(c => c.isDigit || c == '-')) s.toLong
+    else org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .stringToTimestamp(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        java.time.ZoneOffset.UTC)
+      .getOrElse(throw new IllegalArgumentException(s"unparseable timestamp stat: $s"))
+
   /** Ordering-aware comparison of two stat values under a schema type. */
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
       java.lang.Long.compare(a.toLong, b.toLong)
-    case _: FloatType | _: DoubleType | _: DecimalType =>
-      BigDecimal(a).compare(BigDecimal(b))
+    case _: FloatType | _: DoubleType =>
+      // parseDouble accepts NaN/Infinity/-Infinity (BigDecimal would throw);
+      // Double.compare orders NaN above +Infinity, matching Spark
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _: DecimalType => BigDecimal(a).compare(BigDecimal(b))
     case _: BooleanType => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
-    // dates/timestamps serialized in ISO form by Spark's cast-to-string: the
+    case _: TimestampType | _: TimestampNTZType =>
+      java.lang.Long.compare(tsMicros(a), tsMicros(b))
+    // dates serialized in ISO form by Spark's cast-to-string: the
     // lexicographic order matches chronological order
     case _ => a.compareTo(b)
   }
@@ -35,15 +52,11 @@ object StatsPrune {
     case v => v.toString
   }
 
-  /** Normalize timestamp/date literals to the same textual space as stats
-    * (stats come from Spark `cast(col as string)`). */
+  /** Normalize literals into the stat comparison space: timestamps as
+    * epoch-micros digits (cmp parses either micros or ISO), dates as ISO. */
   private def litText(dt: DataType, l: Literal): Option[String] = dt match {
     case _: TimestampType | _: TimestampNTZType =>
-      Option(l.value).map { v =>
-        val micros = v.asInstanceOf[Long]
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .microsToInstant(micros).toString.replace("T", " ").stripSuffix("Z")
-      }
+      Option(l.value).map(_.asInstanceOf[Long].toString)
     case _: DateType =>
       Option(l.value).map { v =>
         org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -143,6 +156,60 @@ object StatsPrune {
         }
       case _ => true // unknown predicate shape: cannot prune
     }
+  }
+
+  /**
+   * EXACT predicate evaluation against a file's constant partition values,
+   * with SQL three-valued null semantics (a null partition value makes any
+   * comparison unknown → not a victim). Used by metadata-only DELETE, where
+   * the conservative `mightMatch` would wrongly drop files whose stats are
+   * null/absent. Supports exactly the shapes `isPartitionExact` admits
+   * (And/Or over col-vs-literal comparisons and IN).
+   */
+  def partitionMatches(e: Expression, schema: StructType,
+                       part: Map[String, String]): Boolean = {
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    // three-valued compare: None = null operand (unknown)
+    def cmpTo(a: Expression, b: Expression): Option[Option[Int]] =
+      colAndLit(a, b).flatMap { case (name, l, flipped) =>
+        dtOf(name).map { dt =>
+          (part.get(name).flatMap(Option(_)), litText(dt, l)) match {
+            case (Some(v), Some(lv)) =>
+              val c = cmp(dt, v, lv)
+              Some(if (flipped) -c else c)
+            case _ => None // null partition value or null literal
+          }
+        }
+      }
+    def ev(x: Expression): Option[Boolean] = x match {
+      case And(l, r) => (ev(l), ev(r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (ev(l), ev(r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case EqualTo(a, b) => cmpTo(a, b).map(_.map(_ == 0)).getOrElse(None)
+      case GreaterThan(a, b) => cmpTo(a, b).map(_.map(_ > 0)).getOrElse(None)
+      case GreaterThanOrEqual(a, b) => cmpTo(a, b).map(_.map(_ >= 0)).getOrElse(None)
+      case LessThan(a, b) => cmpTo(a, b).map(_.map(_ < 0)).getOrElse(None)
+      case LessThanOrEqual(a, b) => cmpTo(a, b).map(_.map(_ <= 0)).getOrElse(None)
+      case In(ar: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        (part.get(ar.name).flatMap(Option(_)), dtOf(ar.name)) match {
+          case (Some(v), Some(dt)) =>
+            val hits = vs.map { case l: Literal => litText(dt, l).map(cmp(dt, v, _) == 0) }
+            if (hits.contains(Some(true))) Some(true)
+            else if (hits.contains(None)) None // null in list: unknown
+            else Some(false)
+          case _ => if (vs.isEmpty) Some(false) else None
+        }
+      case _ => None // unknown shape: unknown → not a victim
+    }
+    ev(e).getOrElse(false)
   }
 
   /** Resolve a user Column predicate against `schema` into a Catalyst

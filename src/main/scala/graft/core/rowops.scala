@@ -124,9 +124,12 @@ object RowOps {
       val expr = resolveCond(cond)
       val live = t.planFiles()
       if (isPartitionExact(expr)) {
-        // metadata-only: drop whole files whose partition matches
+        // metadata-only: drop whole files whose partition EXACTLY matches.
+        // Must be exact (not the conservative mightMatch pruner): a file with
+        // null partition stats "might match" anything, and dropping it would
+        // delete rows the predicate does not cover.
         val victims = live.filter(e =>
-          StatsPrune.mightMatch(expr, t.dataSchema, e.stats, e.rowCount))
+          StatsPrune.partitionMatches(expr, t.dataSchema, e.partition))
         return t.sm.commit(victims.map(_.copy(kind = 1)), "OVERWRITE",
           s"delete-meta-${UUID.randomUUID().toString.take(8)}", t.schema.id)
       }
@@ -457,7 +460,10 @@ object RowOps {
       val dels = curLive.filterNot(e => targetSet.contains(e.path)).map(_.copy(kind = 1))
       val curSet = curLive.map(_.path).toSet
       val adds = targetLive.filterNot(e => curSet.contains(e.path))
-      t.sm.commit(dels ++ adds, "OVERWRITE", s"rollback-to-$snapshotId", t.schema.id)
+      // restore the TARGET snapshot's deletion vectors (default carry-forward
+      // would keep post-target deletes in force and reference removed files)
+      t.sm.commit(dels ++ adds, "OVERWRITE", s"rollback-to-$snapshotId", t.schema.id,
+        dvAction = Some(target.dvIndex))
     }
   }
 

@@ -165,8 +165,15 @@ class GraftTable private (
         StructField(PT, StringType), StructField(BUCKET, IntegerType))))
       .option("basePath", stagingAbs).parquet(stagingAbs)
     val statCols = fileSchema.fields.flatMap { f =>
-      Seq(min(col(f.name)).cast(StringType).as(s"min__${f.name}"),
-          max(col(f.name)).cast(StringType).as(s"max__${f.name}"),
+      // TimestampType stats as epoch-micros: cast-to-string renders in the
+      // SESSION timezone, so a reader under a different zone would prune
+      // wrongly. Micros are zone-free; StatsPrune.cmp parses either form.
+      def statVal(c: Column): Column = f.dataType match {
+        case _: TimestampType => unix_micros(c).cast(StringType)
+        case _ => c.cast(StringType)
+      }
+      Seq(statVal(min(col(f.name))).as(s"min__${f.name}"),
+          statVal(max(col(f.name))).as(s"max__${f.name}"),
           sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nc__${f.name}"))
     }
     val agg = written
@@ -404,14 +411,18 @@ class GraftTable private (
       else Some(vals.reduce((a, b) =>
         if (StatsPrune.compare(dt, a, b) >= 0 == wantMax) a else b))
     }
+    def litOf(dt: DataType, v: Option[String]): Column = (dt, v) match {
+      case (_: TimestampType, Some(s)) => timestamp_micros(lit(s.toLong)).cast(dt)
+      case _ => lit(v.orNull).cast(dt)
+    }
     val exprs = aggs.map {
       case (alias, "count", _) => lit(rowCount).cast(LongType).as(alias)
       case (alias, "min", c) =>
         val dt = dataSchema.fields.find(_.name == c).get.dataType
-        lit(fold(c, wantMax = false).orNull).cast(dt).as(alias)
+        litOf(dt, fold(c, wantMax = false)).as(alias)
       case (alias, "max", c) =>
         val dt = dataSchema.fields.find(_.name == c).get.dataType
-        lit(fold(c, wantMax = true).orNull).cast(dt).as(alias)
+        litOf(dt, fold(c, wantMax = true)).as(alias)
       case (_, f, _) => throw new IllegalArgumentException(s"unsupported pushdown agg $f")
     }
     spark.range(1).select(exprs.toIndexedSeq: _*)
@@ -622,11 +633,14 @@ object MergeEngines {
   }
 }
 
-/** Executor-side cache of deserialized deletion-vector bitmaps. */
+/** Executor-side cache of deserialized deletion-vector bitmaps. Keyed by
+  * (file key, serialized-bytes fingerprint): a file's bitmap GROWS across
+  * successive deleteDv commits, so a path-only key would pin the stale
+  * bitmap and resurrect newly deleted rows within the same JVM. */
 object DvCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, org.roaringbitmap.RoaringBitmap]()
   def bitmap(name: String, bytes: Array[Byte]): org.roaringbitmap.RoaringBitmap =
-    cache.computeIfAbsent(name, _ => {
+    cache.computeIfAbsent(s"$name@${bytes.length}:${java.util.Arrays.hashCode(bytes)}", _ => {
       val r = new org.roaringbitmap.RoaringBitmap
       r.deserialize(java.nio.ByteBuffer.wrap(bytes))
       r

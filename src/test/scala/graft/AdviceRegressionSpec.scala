@@ -1,0 +1,100 @@
+package graft
+
+import graft.core._
+import graft.core.RowOps._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Regressions for the round-1 advisor findings: stale DV cache entries,
+  * metadata-delete on null partitions, metadata carry-forward on manifest
+  * compaction and rollback, and timestamp/double stat comparison. */
+class AdviceRegressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("successive deleteDv commits on the same file both apply (DvCache)") {
+    val loc = tmpLoc("dvgrow")
+    // single bucket + single write → all rows share one data file, so the
+    // second vector GROWS the first file's bitmap (the round-1 cache bug)
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.deleteDv(col("k") === 3L)
+    assert(t.read().count() == 9)
+    t.deleteDv(col("k") === 7L)
+    val keys = t.read().select("k").as[Long].collect().toSet
+    assert(keys == (1L to 10L).toSet -- Set(3L, 7L), s"got $keys")
+  }
+
+  test("metadata-only DELETE leaves null-partition files untouched") {
+    val loc = tmpLoc("nullpart")
+    val df = Seq((1L, "us", 1.0), (2L, "eu", 2.0), (3L, null.asInstanceOf[String], 3.0))
+      .toDF("k", "region", "x")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(partitionKeys = Seq("region")))
+    t.write(df)
+    t.delete(col("region") === "us")
+    // null-partition row 3 must survive (null = 'us' is unknown, not a match)
+    val keys = t.read().select("k").as[Long].collect().toSet
+    assert(keys == Set(2L, 3L), s"got $keys")
+    // and the matching partition is gone
+    t.delete(col("region") <=> null) // not partition-exact shape → COW path, fine
+    assert(t.read().count() >= 1)
+  }
+
+  test("compactManifests carries dvIndex and watermark forward") {
+    val loc = tmpLoc("cmdv")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write((1L to 5L).map(i => (i, s"v$i")).toDF("k", "v"), watermark = Some(42L))
+    t.deleteDv(col("k") === 2L)
+    t.sm.compactManifests(t.schema.id)
+    val latest = t.sm.latestSnapshot.get
+    assert(latest.kind == "COMPACT")
+    assert(latest.dvIndex.isDefined, "dvIndex dropped by compactManifests")
+    assert(latest.watermarkLong.contains(42L), "watermark dropped by compactManifests")
+    assert(t.read().select("k").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("rollback restores the target snapshot's deletion vectors") {
+    val loc = tmpLoc("rbdv")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write((1L to 5L).map(i => (i, s"v$i")).toDF("k", "v")) // snapshot 1
+    t.deleteDv(col("k") === 2L) // snapshot 2
+    assert(t.read().count() == 4)
+    t.rollback(1L)
+    assert(t.read().count() == 5, "rollback must undo post-target DV deletes")
+    // rolling back TO a snapshot that had vectors restores them
+    t.deleteDv(col("k") === 5L) // snap: rolled-back + dv on 5
+    val dvSnap = t.sm.latestSnapshotId.get
+    t.write(Seq((6L, "v6")).toDF("k", "v"))
+    t.deleteDv(col("k") === 1L)
+    t.rollback(dvSnap)
+    assert(t.read().select("k").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("timestamp stats prune exactly (trailing-zero fractions) and NaN stats don't throw") {
+    val loc = tmpLoc("tsprune")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.12"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 10:30:00.5"), Double.NaN)
+    ).toDF("k", "ts", "x")
+    val t = GraftTable.create(spark, loc, df.schema, TableConfig())
+    t.write(df)
+    // equality on a fraction that Instant.toString pads ('.120') but Spark
+    // trims ('.12'): round-1 pruning dropped the file → empty result
+    val hit = t.read(filter = Some(col("ts") === lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00.12"))))
+    assert(hit.count() == 1)
+    val planned = t.planFiles(filter =
+      Some(col("ts") === lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00.12"))))
+    assert(planned.nonEmpty, "timestamp equality wrongly pruned the file")
+    // range over a double column whose stats include NaN: no BigDecimal throw
+    assert(t.read(filter = Some(col("x") > 0.5)).count() >= 1)
+    // file-skipping still works: far-future timestamp prunes everything
+    assert(t.planFiles(filter =
+      Some(col("ts") > lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))).isEmpty)
+  }
+}
