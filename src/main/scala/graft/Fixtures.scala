@@ -253,6 +253,33 @@ object Fixtures {
     "graft_fix.db.orders_sql"
   }
 
+  /** Catalog table seeded from orders then mutated by SQL row-level
+    * statements (DELETE/UPDATE/MERGE INTO through GraftSparkExtensions —
+    * requires spark.sql.extensions=graft.dsv2.GraftSparkExtensions). */
+  def sqlRowOps(spark: SparkSession, sfDir: String, name: String,
+                stmts: Seq[String]): String = {
+    val wh = s"${fixRoot(sfDir)}/sql-warehouse"
+    val key = (sfDir, s"__sql_$name")
+    if (!built.contains(key)) {
+      spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+      val loc = s"$wh/db.db/$name"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
+      spark.sql(s"""CREATE TABLE graft_fix.db.$name (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+        TBLPROPERTIES ('primary-key'='o_orderkey', 'bucket'='4')""")
+      src(spark, sfDir, "orders").createOrReplaceTempView("orders_src_v")
+      spark.sql(s"INSERT INTO graft_fix.db.$name SELECT * FROM orders_src_v")
+      stmts.foreach(spark.sql(_))
+      built.put(key, GraftTable.load(spark, loc))
+    }
+    s"graft_fix.db.$name"
+  }
+
   /** Streaming upsert: AvailableNow stream of orders micro-batched through
     * foreachBatch into a PK dedup table (SURVEY §2.9 stateful upsert sink). */
   def ordersStream(spark: SparkSession, sfDir: String): GraftTable =

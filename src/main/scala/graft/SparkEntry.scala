@@ -158,6 +158,41 @@ object SparkEntry {
       val tbl = Fixtures.sqlCatalogOrders(s, d)
       s.sql(s"SELECT count(*) AS cnt FROM $tbl VERSION AS OF 1")
     }),
+    // SQL row-level commands through the session extensions (§2.10)
+    "q_sql_delete" -> ((s, d) => {
+      val tbl = Fixtures.sqlRowOps(s, d, "orders_sqldel",
+        Seq("DELETE FROM graft_fix.db.orders_sqldel WHERE o_orderstatus = 'F'"))
+      s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total
+                FROM $tbl GROUP BY o_orderstatus""")
+    }),
+    "q_sql_update" -> ((s, d) => {
+      val tbl = Fixtures.sqlRowOps(s, d, "orders_sqlupd",
+        Seq("""UPDATE graft_fix.db.orders_sqlupd
+               SET o_totalprice = o_totalprice * 0.9, o_orderpriority = 'SQL-UPD'
+               WHERE o_orderstatus = 'O'"""))
+      s.sql(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total
+                FROM $tbl GROUP BY o_orderstatus, o_orderpriority""")
+    }),
+    "q_sql_merge" -> ((s, d) => {
+      val tbl = Fixtures.sqlRowOps(s, d, "orders_sqlmrg", Seq(
+        """CREATE OR REPLACE TEMPORARY VIEW mi_sql_src AS
+           SELECT o_orderkey AS sk, o_totalprice + 1000.0 AS sprice
+           FROM orders_src_v WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice
+           FROM orders_src_v WHERE o_orderkey % 7 = 3""",
+        """MERGE INTO graft_fix.db.orders_sqlmrg t USING mi_sql_src s
+           ON s.sk = t.o_orderkey
+           WHEN MATCHED THEN UPDATE SET o_totalprice = s.sprice
+           WHEN NOT MATCHED THEN INSERT
+             (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+             VALUES (s.sk, 0, 'NEW', s.sprice, TIMESTAMP_NTZ'2024-01-01', '5-LOW')"""))
+      s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total
+                FROM $tbl GROUP BY o_orderstatus""")
+    }),
 
     // ---- streaming (§2.9) ----
     "q_stream_upsert" -> ((s, d) => Fixtures.ordersStream(s, d).read()
@@ -534,6 +569,27 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_sql_time_travel" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM orders",
+    "q_sql_delete" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus""".stripMargin,
+    "q_sql_update" ->
+      """SELECT o_orderstatus,
+        | CASE WHEN o_orderstatus = 'O' THEN 'SQL-UPD' ELSE o_orderpriority END AS o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 0.9
+        |               ELSE o_totalprice END), 2) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_sql_merge" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, round(sum(price), 2) AS total
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'NEW' AS o_orderstatus, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |) GROUP BY o_orderstatus""".stripMargin,
     "q_stream_source" ->
       """SELECT CAST((SELECT count(*) FROM orders) +
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT) AS cnt,

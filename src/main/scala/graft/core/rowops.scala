@@ -490,6 +490,10 @@ object RowOps {
     def whenNotMatchedBySourceDelete(condition: Option[Column] = None): this.type = {
       notMatchedBySource :+= Clause("delete", condition, Map.empty); this
     }
+    def whenNotMatchedBySourceUpdate(condition: Option[Column] = None,
+                                     set: Map[String, Column] = Map.empty): this.type = {
+      notMatchedBySource :+= Clause("update", condition, set); this
+    }
 
     /** Execute as a MOR upsert commit (new versions + tombstones). */
     def execute(): SnapshotMeta = {
@@ -552,9 +556,25 @@ object RowOps {
       }
       if (notMatchedBySource.nonEmpty) {
         val anti = tgt.join(src, cond, "left_anti")
-        notMatchedBySource.foreach { c =>
-          val rows = c.condition.map(x => anti.filter(coalesce(x, lit(false)))).getOrElse(anti)
-          outputs :+= envelope(rows.select(dataCols.map(col).toIndexedSeq: _*), KIND_DELETE)
+        // first-match-wins across ordered clauses, like the matched branch
+        var action = lit(0)
+        notMatchedBySource.zipWithIndex.reverse.foreach { case (c, i) =>
+          val hit = c.condition.getOrElse(lit(true))
+          action = when(coalesce(hit, lit(false)), lit(i + 1)).otherwise(action)
+        }
+        val withAction = anti.withColumn("__action", action)
+        notMatchedBySource.zipWithIndex.foreach { case (c, i) =>
+          val rows = withAction.filter(col("__action") === (i + 1))
+          c.kind match {
+            case "delete" =>
+              outputs :+= envelope(rows.select(dataCols.map(col).toIndexedSeq: _*), KIND_DELETE)
+            case "update" =>
+              val cols = dataCols.map { cn =>
+                val dt = t.dataSchema.fields.find(_.name == cn).get.dataType
+                c.set.get(cn).map(_.cast(dt).as(cn)).getOrElse(col(s"t.$cn").as(cn))
+              }
+              outputs :+= envelope(rows.select(cols.toIndexedSeq: _*), KIND_UPDATE_AFTER)
+          }
         }
       }
       require(outputs.nonEmpty, "MERGE INTO needs at least one clause")

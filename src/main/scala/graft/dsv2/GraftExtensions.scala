@@ -1,0 +1,170 @@
+package graft.dsv2
+
+import graft.core._
+import graft.core.RowOps._
+import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.SparkShims
+
+/**
+ * SQL row-level operations for graft catalog tables:
+ *
+ * {{{
+ *   DELETE FROM graft.db.t WHERE ...
+ *   UPDATE graft.db.t SET c = expr, ... WHERE ...
+ *   MERGE INTO graft.db.t t USING src s ON ... WHEN MATCHED ... / NOT MATCHED ...
+ * }}}
+ *
+ * Registered via `spark.sql.extensions=graft.dsv2.GraftSparkExtensions`.
+ * A post-hoc resolution rule replaces the analyzed DeleteFromTable /
+ * UpdateTable / MergeIntoTable nodes with runnable commands that execute the
+ * engine's tested paths (RowOps.delete/deleteDv/update, MergeIntoBuilder) —
+ * one implementation behind both the Scala and SQL front-ends. This is the
+ * architecture of the reference connector's command rewrites
+ * (paimon-spark/.../PaimonSparkSessionExtensions.scala:41-62 injecting
+ * DeleteFromPaimonTableCommand / UpdatePaimonTableCommand /
+ * MergeIntoPaimonTable), re-expressed over graft's engine.
+ *
+ * Scale note: these commands inherit the engine's distributed shape — the
+ * DELETE/UPDATE rewrite is a per-touched-bucket DataFrame job, MERGE is a
+ * join + append commit; the driver only handles metadata.
+ */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPostHocResolutionRule(session => new GraftRowLevelSql(session))
+  }
+}
+
+/** Extracts (relation, engine table) when a plan is a graft DSv2 relation. */
+object GraftRel {
+  def unapply(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
+    EliminateSubqueryAliases(plan) match {
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftSparkTable => Some((r, g.t))
+        case _ => None
+      }
+      case _ => None
+    }
+}
+
+class GraftRowLevelSql(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(GraftRel(_, gt), cond) if d.resolved =>
+      GraftDeleteCommand(gt, toColumn(cond))
+    case u: UpdateTable if u.resolved =>
+      u.table match {
+        case GraftRel(_, gt) =>
+          val sets = u.assignments.map { a =>
+            topLevelName(a.key) -> toColumn(a.value)
+          }.toMap
+          GraftUpdateCommand(gt, sets, u.condition.map(toColumn).getOrElse(lit(true)))
+        case _ => plan
+      }
+    case m: MergeIntoTable if m.resolved =>
+      m.targetTable match {
+        case GraftRel(rel, gt) => rewriteMerge(m, rel, gt)
+        case _ => plan
+      }
+    case _ => plan
+  }
+
+  /** Swap resolved attributes for name-based unresolved ones so the engine
+    * can re-resolve the predicate against its own DataFrame plans. */
+  private def toColumn(e: Expression): Column =
+    SparkShims.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private def topLevelName(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case other => throw new UnsupportedOperationException(
+      s"graft SQL UPDATE/MERGE supports top-level column assignment only, got $other")
+  }
+
+  /** Qualify attributes by side ("t" = target, "s" = source) to match the
+    * aliases MergeIntoBuilder puts on its join inputs. */
+  private def sideColumn(e: Expression, targetIds: Set[ExprId], sourceIds: Set[ExprId]): Column =
+    SparkShims.column(e.transform {
+      case a: AttributeReference if targetIds.contains(a.exprId) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if sourceIds.contains(a.exprId) =>
+        UnresolvedAttribute(Seq("s", a.name))
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private def rewriteMerge(m: MergeIntoTable, rel: DataSourceV2Relation,
+                           gt: GraftTable): LogicalPlan = {
+    val targetIds = rel.output.map(_.exprId).toSet
+    val sourceIds = m.sourceTable.output.map(_.exprId).toSet
+    def c(e: Expression): Column = sideColumn(e, targetIds, sourceIds)
+    def actOf(a: MergeAction): MergeActionSpec = a match {
+      case UpdateAction(cond, assigns, _) =>
+        MergeActionSpec("update", cond.map(c),
+          assigns.map(x => topLevelName(x.key) -> c(x.value)).toMap)
+      case DeleteAction(cond) => MergeActionSpec("delete", cond.map(c), Map.empty)
+      case InsertAction(cond, assigns) =>
+        MergeActionSpec("insert", cond.map(c),
+          assigns.map(x => topLevelName(x.key) -> c(x.value)).toMap)
+      case other => throw new UnsupportedOperationException(
+        s"graft MERGE: unsupported action $other (star actions expand during analysis)")
+    }
+    GraftMergeCommand(gt, m.sourceTable, c(m.mergeCondition),
+      m.matchedActions.map(actOf), m.notMatchedActions.map(actOf),
+      m.notMatchedBySourceActions.map(actOf))
+  }
+}
+
+case class MergeActionSpec(kind: String, condition: Option[Column],
+                           set: Map[String, Column])
+
+case class GraftDeleteCommand(t: GraftTable, cond: Column) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    // deletion-vectors mode: mark positions instead of rewriting files
+    if (t.config.option("deletion-vectors.enabled", "false") == "true") t.deleteDv(cond)
+    else t.delete(cond)
+    Nil
+  }
+}
+
+case class GraftUpdateCommand(t: GraftTable, sets: Map[String, Column],
+                              cond: Column) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = { t.update(sets, cond); Nil }
+}
+
+case class GraftMergeCommand(t: GraftTable, source: LogicalPlan, cond: Column,
+                             matched: Seq[MergeActionSpec],
+                             notMatched: Seq[MergeActionSpec],
+                             notMatchedBySource: Seq[MergeActionSpec])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = SparkShims.ofRows(session, source)
+    val b = t.mergeInto(src, cond)
+    matched.foreach { a =>
+      a.kind match {
+        case "update" => b.whenMatchedUpdate(a.condition, a.set)
+        case "delete" => b.whenMatchedDelete(a.condition)
+        case other => throw new UnsupportedOperationException(s"matched action $other")
+      }
+    }
+    notMatched.foreach { a =>
+      require(a.kind == "insert", s"not-matched action ${a.kind}")
+      b.whenNotMatchedInsert(a.condition, a.set)
+    }
+    notMatchedBySource.foreach { a =>
+      a.kind match {
+        case "delete" => b.whenNotMatchedBySourceDelete(a.condition)
+        case "update" => b.whenNotMatchedBySourceUpdate(a.condition, a.set)
+        case other => throw new UnsupportedOperationException(s"not-matched-by-source action $other")
+      }
+    }
+    b.execute()
+    Nil
+  }
+}

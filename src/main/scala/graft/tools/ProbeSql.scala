@@ -7,6 +7,7 @@ object ProbeSql {
   def main(args: Array[String]): Unit = {
     val wh = "/tmp/graft-fixtures/_root_testdata_sf0.01/sql-warehouse"
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.dsv2.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.{classic, Column, DataFrame, SparkSession}
+
+/**
+ * Bridge into Spark's `private[sql]` surface, placed under
+ * `org.apache.spark.sql` for access — the same connector pattern the
+ * reference uses (paimon-spark keeps shims under org.apache.spark.sql.paimon,
+ * e.g. paimon-spark/paimon-spark-common/src/main/scala/org/apache/spark/sql/paimon/shims).
+ * Kept to the minimum: plan→DataFrame and Expression→Column for the SQL
+ * row-level command rewrites.
+ */
+object SparkShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -17,6 +17,7 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.extensions", "graft.dsv2.GraftSparkExtensions")
     .getOrCreate()
 
   override def afterAll(): Unit = { /* shared session across suites */ }

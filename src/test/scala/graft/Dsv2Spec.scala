@@ -19,6 +19,7 @@ class Dsv2Spec extends SparkTestBase {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.catalog.graft", "graft.dsv2.GraftCatalog")
     .config("spark.sql.catalog.graft.warehouse", wh)
+    .config("spark.sql.extensions", "graft.dsv2.GraftSparkExtensions")
     .getOrCreate()
 
   import spark.implicits._
@@ -74,6 +75,54 @@ class Dsv2Spec extends SparkTestBase {
     val got = spark.sql("SELECT k, note FROM graft.db.t2 ORDER BY k")
       .as[(Long, Option[String])].collect().toSeq
     assert(got == Seq((1L, None), (2L, Some("hello"))))
+  }
+
+  test("SQL DELETE / UPDATE on pk and append tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.rl (k BIGINT, s STRING, p DOUBLE)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='2')""")
+    spark.sql("INSERT INTO graft.db.rl VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0),(4,'d',40.0)")
+    spark.sql("DELETE FROM graft.db.rl WHERE p > 35.0")
+    assert(spark.sql("SELECT count(*) FROM graft.db.rl").head().getLong(0) == 3)
+    spark.sql("UPDATE graft.db.rl SET p = p * 2, s = concat(s, '!') WHERE k <= 2")
+    val rows = spark.sql("SELECT k, s, p FROM graft.db.rl ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq((1L, "a!", 20.0), (2L, "b!", 40.0), (3L, "c", 30.0)))
+    // append table + deletion-vectors mode
+    spark.sql("""CREATE TABLE graft.db.rla (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES ('deletion-vectors.enabled'='true')""")
+    spark.sql("INSERT INTO graft.db.rla VALUES (1,1.0),(2,2.0),(3,3.0)")
+    spark.sql("DELETE FROM graft.db.rla WHERE k = 2")
+    assert(spark.sql("SELECT sum(k) FROM graft.db.rla").head().getLong(0) == 4)
+    assert(GraftTable.load(spark, s"$wh/db.db/rla").sm.latestSnapshot.get.dvIndex.isDefined)
+  }
+
+  test("SQL MERGE INTO: update/delete/insert + not matched by source") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.m (k BIGINT, s STRING, p DOUBLE)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='2')""")
+    spark.sql("INSERT INTO graft.db.m VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW msrc AS SELECT * FROM VALUES " +
+      "(2, 'B', 200.0), (3, 'C', -1.0), (4, 'D', 400.0) AS v(k, s, p)")
+    spark.sql("""
+      MERGE INTO graft.db.m t USING msrc s ON t.k = s.k
+      WHEN MATCHED AND s.p < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET s = s.s, p = s.p + t.p
+      WHEN NOT MATCHED THEN INSERT (k, s, p) VALUES (s.k, s.s, s.p)
+    """)
+    val rows = spark.sql("SELECT k, s, p FROM graft.db.m ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq((1L, "a", 10.0), (2L, "B", 220.0), (4L, "D", 400.0)))
+    // star shorthand + not-matched-by-source
+    spark.sql("""
+      MERGE INTO graft.db.m t USING msrc s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET p = 0.0
+    """)
+    val rows2 = spark.sql("SELECT k, s, p FROM graft.db.m ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows2 == Seq((1L, "a", 0.0), (2L, "B", 200.0), (3L, "C", -1.0), (4L, "D", 400.0)))
   }
 
   test("streaming read: micro-batches follow the snapshot log") {
