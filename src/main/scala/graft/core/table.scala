@@ -41,9 +41,9 @@ class GraftTable private (
 
   def schema: TableSchema = sm.latestSchema
   def config: TableConfig = schema.config
-  private[core] def dataSchema: StructType = schema.sparkSchema
+  private[graft] def dataSchema: StructType = schema.sparkSchema
   private[core] def pks: Seq[String] = config.primaryKeys
-  private[core] def isPk: Boolean = config.isPrimaryKeyed
+  private[graft] def isPk: Boolean = config.isPrimaryKeyed
 
   /** Schema of data files on disk (adds LSM envelope cols for PK tables;
     * cf. paimon KeyValue envelope, SURVEY §1.3). */
@@ -342,6 +342,26 @@ class GraftTable private (
         parts.reduce(_ unionAll _)
       }
     filter.foldLeft(out)((d, c) => d.filter(c))
+  }
+
+  /** Entries iff this snapshot+filter plan is servable RAW — every bucket a
+    * single merged (or dedup level-0) file, no tombstones, no deletion
+    * vectors. The native DSv2 columnar scan takes this path; anything else
+    * needs the DataFrame merge plan. */
+  def rawPlan(snapshotId: Option[Long] = None,
+              filter: Option[Column] = None): Option[Seq[ManifestEntry]] = {
+    if (dvFor(snapshotId).nonEmpty) return None
+    val entries = planFiles(snapshotId, filter)
+    if (!isPk) return Some(entries)
+    val ok = entries.groupBy(e => (e.partition, e.bucket)).forall { case (_, es) =>
+      es.size == 1 && {
+        val e = es.head
+        val noTombstone =
+          e.stats.get(KIND).forall(s => s.max == null || s.max.toInt <= KIND_UPDATE_AFTER)
+        noTombstone && (e.level > 0 || config.mergeEngine == "deduplicate")
+      }
+    }
+    if (ok) Some(entries) else None
   }
 
   /** Read-optimized scan: raw files only, no merge (paimon `t$ro`). */

@@ -1,7 +1,7 @@
 package graft.dsv2
 
 import graft.core._
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
@@ -28,7 +28,7 @@ import scala.jdk.CollectionConverters._
  * route through loadTable(ident, version/timestamp) like the reference
  * (SparkCatalog.java:315,333).
  */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -156,4 +156,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
   }
 
+  // ---- functions (bucket transform resolution for storage-partitioned
+  //      joins; cf. paimon SparkCatalog function surface) ----
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
 }

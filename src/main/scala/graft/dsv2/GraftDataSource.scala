@@ -109,8 +109,15 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long])
     required = Some(requiredSchema)
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
-  override def build(): Scan =
-    new GraftV1Scan(t, snapshotId, pushed, required, limit)
+  override def build(): Scan = {
+    val pruneCond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+    // native columnar scan when no merge/DV work is needed (the common case
+    // after compaction); V1 DataFrame plan otherwise (shared merge semantics)
+    t.rawPlan(snapshotId, pruneCond) match {
+      case Some(entries) => new GraftBatchScan(t, entries, pushed, required)
+      case None => new GraftV1Scan(t, snapshotId, pushed, required, limit)
+    }
+  }
 }
 
 object GraftScanBuilder {

@@ -125,6 +125,61 @@ class Dsv2Spec extends SparkTestBase {
     assert(rows2 == Seq((1L, "a", 0.0), (2L, "B", 200.0), (3L, "C", -1.0), (4L, "D", 400.0)))
   }
 
+  test("native columnar scan: BatchScan (no RDD fallback) after compaction, stats reported") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.nat (k BIGINT, s STRING, p DOUBLE)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='2')""")
+    spark.sql("INSERT INTO graft.db.nat VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
+    spark.sql("INSERT INTO graft.db.nat VALUES (2,'b2',99.0)")
+    // uncompacted PK table → merge needed → V1 path still correct
+    val merged = spark.sql("SELECT k, s FROM graft.db.nat ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(merged == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    import graft.core.RowOps._
+    GraftTable.load(spark, s"$wh/db.db/nat").compact()
+    val df = spark.sql("SELECT k, s FROM graft.db.nat WHERE p > 15.0")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"expected native BatchScan, got:\n$plan")
+    assert(!plan.contains("RDDScan"), s"RDD fallback still present:\n$plan")
+    assert(df.as[(Long, String)].collect().toSet == Set((2L, "b2"), (3L, "c")))
+    // manifest statistics reach the optimizer
+    val stats = spark.sql("SELECT * FROM graft.db.nat").queryExecution
+      .optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(3)), s"stats: $stats")
+  }
+
+  test("storage-partitioned join: co-bucketed pk tables join without exchange") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    for (n <- Seq("spj_a", "spj_b")) {
+      spark.sql(s"""CREATE TABLE graft.db.$n (k BIGINT, v DOUBLE)
+                   TBLPROPERTIES ('primary-key'='k', 'bucket'='4')""")
+      spark.sql(s"INSERT INTO graft.db.$n SELECT id AS k, id * 1.0 AS v FROM range(100)")
+      import graft.core.RowOps._
+      GraftTable.load(spark, s"$wh/db.db/$n").compact()
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = spark.sql(
+        """SELECT a.k, a.v + b.v AS s FROM graft.db.spj_a a
+           JOIN graft.db.spj_b b ON a.k = b.k""")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"SPJ should have no exchange:\n$plan")
+      assert(j.count() == 100)
+      assert(j.agg(sum("s")).head().getDouble(0) == (0 until 100).map(_ * 2.0).sum)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("streaming read: micro-batches follow the snapshot log") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.st (k BIGINT, s STRING) TBLPROPERTIES ('primary-key'='k','bucket'='1')")
