@@ -178,10 +178,29 @@ object RowOps {
           withMeta.join(deletedKeys, cfg.primaryKeys, "left_semi")
             .select(col("__fp"), col("__ri"))
         } else withMeta.filter(hit).select(col("__fp"), col("__ri"))
-      val grouped = positions
-        .groupBy(col("__fp")).agg(collect_list(col("__ri")).as("rows"))
-        .collect()
-      if (grouped.isEmpty)
+      // Bitmaps are BUILT AND SERIALIZED IN EXECUTORS: rows hash to the task
+      // owning their file, each task emits one compressed roaring bitmap per
+      // file. The driver never materializes row positions — it only merges
+      // per-file bitmaps with the previous index (O(#touched files × bitmap
+      // bytes), metadata-sized), so a DELETE matching 10^9 rows stays flat
+      // on the driver (round-1 advisor finding).
+      val ss = spark
+      import ss.implicits._
+      val perFile: Array[(String, Array[Byte])] = positions
+        .repartition(col("__fp")).as[(String, Long)]
+        .mapPartitions { it =>
+          val maps = scala.collection.mutable.Map[String, org.roaringbitmap.RoaringBitmap]()
+          it.foreach { case (fp, ri) =>
+            maps.getOrElseUpdate(fp, new org.roaringbitmap.RoaringBitmap).add(ri.toInt)
+          }
+          maps.iterator.map { case (fp, bm) =>
+            bm.runOptimize()
+            val bos = new java.io.ByteArrayOutputStream()
+            bm.serialize(new java.io.DataOutputStream(bos))
+            (fp, bos.toByteArray)
+          }
+        }.collect()
+      if (perFile.isEmpty)
         return t.sm.commit(Nil, "OVERWRITE", "delete-dv-noop", t.schema.id)
       val locPrefix = new Path(t.location).toUri.getPath
       val merged = scala.collection.mutable.Map[String, org.roaringbitmap.RoaringBitmap]()
@@ -192,11 +211,15 @@ object RowOps {
           r.deserialize(java.nio.ByteBuffer.wrap(bytes)); merged(rel) = r
         }
       }
-      grouped.foreach { row =>
-        val abs = new Path(new java.net.URI(row.getAs[String]("__fp"))).toUri.getPath
+      perFile.foreach { case (fp, bytes) =>
+        val abs = new Path(new java.net.URI(fp)).toUri.getPath
         val rel = abs.stripPrefix(locPrefix).stripPrefix("/")
-        val bm = merged.getOrElseUpdate(rel, new org.roaringbitmap.RoaringBitmap)
-        row.getSeq[Long](1).foreach(i => bm.add(i.toInt))
+        val bm = new org.roaringbitmap.RoaringBitmap
+        bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+        merged.get(rel) match {
+          case Some(prev) => prev.or(bm)
+          case None => merged(rel) = bm
+        }
       }
       val serialized = merged.map { case (k, r) =>
         r.runOptimize()

@@ -76,6 +76,24 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(t.read().select("k").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("deleteDv at 10^5 rows: executor-built bitmaps, correct across two deletes + compaction") {
+    val loc = tmpLoc("dvbig")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, 1L)).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 4))
+    val n = 120000L
+    t.write(spark.range(n).select(col("id").as("k"), (col("id") % 1000).as("v")))
+    t.deleteDv(col("v") < 400) // ~48k rows across all 4 buckets
+    assert(t.read().count() == n * 600 / 1000)
+    t.deleteDv(col("v") >= 900) // grows every file's bitmap
+    assert(t.read().count() == n * 500 / 1000)
+    assert(t.read().agg(min("v")).head().getLong(0) == 400L)
+    // compaction materializes the vectors and clears the index
+    t.compact()
+    assert(t.sm.latestSnapshot.get.dvIndex.isEmpty)
+    assert(t.read().count() == n * 500 / 1000)
+  }
+
   test("timestamp stats prune exactly (trailing-zero fractions) and NaN stats don't throw") {
     val loc = tmpLoc("tsprune")
     val df = Seq(
