@@ -253,6 +253,22 @@ object Fixtures {
     "graft_fix.db.orders_sql"
   }
 
+  /** Persisted full-text postings index over documents (term-range-clustered
+    * graft table + corpus-stats sidecar). */
+  def ftIndex(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "ft_index") { loc =>
+      graft.pipeline.Indexes.buildFullText(spark,
+        src(spark, sfDir, "documents"), "doc_id", "text", loc)
+    }
+
+  /** Persisted IVF index over embeddings (cluster-partitioned graft table +
+    * centroid sidecar). */
+  def ivfIndex(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "ivf_index") { loc =>
+      graft.pipeline.Indexes.buildIvf(spark,
+        src(spark, sfDir, "embeddings"), "embedding", loc, nClusters = 8)
+    }
+
   /** Catalog table seeded from orders then mutated by SQL row-level
     * statements (DELETE/UPDATE/MERGE INTO through GraftSparkExtensions —
     * requires spark.sql.extensions=graft.dsv2.GraftSparkExtensions). */

@@ -309,18 +309,29 @@ object SparkEntry {
       statusAgg(batch)
     }),
     "q_fulltext_bm25" -> ((s, d) => {
-      val postings = graft.pipeline.FullText.buildPostings(
-        t(s, d, "documents"), "doc_id", "text")
+      // PERSISTED index: the query reads only the terms' file ranges
+      val idx = Fixtures.ftIndex(s, d)
       // rank/cut on the ROUNDED score so the top-k boundary is stable
-      graft.pipeline.FullText.search(postings, Seq("table", "scan", "fast", "merge"), 1000000)
+      graft.pipeline.Indexes.fullTextSearch(s, idx.location,
+        Seq("table", "scan", "fast", "merge"), 1000000)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      val idx = Fixtures.ivfIndex(s, d)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .first().getSeq[Float](0)
+      graft.pipeline.Indexes.ivfSearch(s, idx.location, "embedding", q, 10,
+        nprobe = 8, scoreCol = "sim") // nprobe = all clusters → exact
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
     "q_hybrid_search" -> ((s, d) => {
       val ft = graft.pipeline.FullText
-      val postings = ft.buildPostings(t(s, d, "documents"), "doc_id", "text")
+      val idx = Fixtures.ftIndex(s, d)
       val textR = ft.ranked(
-        ft.search(postings, Seq("table", "scan", "fast", "merge"), 1000000)
+        graft.pipeline.Indexes.fullTextSearch(s, idx.location,
+          Seq("table", "scan", "fast", "merge"), 1000000)
           .select(col("doc_id"), round(col("score"), 4).as("score")),
         "doc_id", "score")
       val emb = t(s, d, "embeddings")
@@ -660,6 +671,13 @@ object SparkEntry {
         |  FROM embeddings e)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_indexed" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
         |  SELECT e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[],

@@ -67,7 +67,8 @@ case class TableSchema(
     fields: Seq[FieldDef],
     config: TableConfig,
     timestampMs: Long) {
-  def sparkSchema: StructType =
+  // lazy: DataType.fromDDL runs the SQL parser per field — parse once
+  lazy val sparkSchema: StructType =
     StructType(fields.map(f => StructField(f.name, DataType.fromDDL(f.dataType), f.nullable)))
 }
 object TableSchema {
@@ -121,6 +122,16 @@ case class SnapshotMeta(
 case class TagMeta(name: String, snapshotId: Long, timestampMs: Long)
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+object SnapshotManager {
+  /** JVM-wide parsed-manifest cache; safe because manifest names are UUIDs
+    * and manifest files are immutable once committed. */
+  private[core] val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestEntry]]()
+  /** Parsed-schema cache keyed by table root + schema id (immutable). */
+  private[core] val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TableSchema]()
+}
 
 /**
  * Driver-side metadata IO + optimistic commit protocol.
@@ -187,10 +198,21 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
   }
 
   // ---- schema ----
-  def writeSchema(s: TableSchema): Unit =
+  def writeSchema(s: TableSchema): Unit = {
+    // invalidate first: create-or-replace rewrites schema-0 at the same path
+    SnapshotManager.schemaCache.remove(s"$tableRoot#${s.id}")
     writeString(new Path(schemaDir, s"schema-${s.id}.json"), Json.write(s))
-  def readSchema(id: Long): TableSchema =
-    Json.read(readString(new Path(schemaDir, s"schema-$id.json")), classOf[TableSchema])
+  }
+  def readSchema(id: Long): TableSchema = {
+    // schema files are immutable per (table, id) → JVM-wide cache
+    val key = s"$tableRoot#$id"
+    val cached = SnapshotManager.schemaCache.get(key)
+    if (cached != null) return cached
+    val s = Json.read(readString(new Path(schemaDir, s"schema-$id.json")), classOf[TableSchema])
+    if (SnapshotManager.schemaCache.size > 512) SnapshotManager.schemaCache.clear()
+    SnapshotManager.schemaCache.put(key, s)
+    s
+  }
   def latestSchemaId: Long = listIds(schemaDir, "schema-", ".json").max
   def latestSchema: TableSchema = readSchema(latestSchemaId)
   def tableExists: Boolean = fs.exists(schemaDir)
@@ -231,6 +253,10 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
     name
   }
   def readManifest(name: String): Seq[ManifestEntry] = {
+    // manifests are immutable once written → cache parsed entries (bounded;
+    // repeated planFiles of hot tables skip the JSON re-parse)
+    val cached = SnapshotManager.manifestCache.get(name)
+    if (cached != null) return cached
     val in = new BufferedReader(new InputStreamReader(
       fs.open(new Path(manifestDir, name)), StandardCharsets.UTF_8))
     try {
@@ -240,7 +266,10 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
         if (line.nonEmpty) buf += Json.read(line, classOf[ManifestEntry])
         line = in.readLine()
       }
-      buf.toSeq
+      val out = buf.toSeq
+      if (SnapshotManager.manifestCache.size > 512) SnapshotManager.manifestCache.clear()
+      SnapshotManager.manifestCache.put(name, out)
+      out
     } finally in.close()
   }
 

@@ -212,15 +212,28 @@ object StatsPrune {
     ev(e).getOrElse(false)
   }
 
+  // Analysis of a predicate costs a full Catalyst pass (~100ms driver time);
+  // resolution is a pure function of (schema, predicate text), so repeated
+  // plans of the same filter (every bench/verify re-run, every incremental
+  // read of a hot table) hit this cache instead.
+  private val resolveCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Expression]()
+
   /** Resolve a user Column predicate against `schema` into a Catalyst
     * expression, via the analyzer on an empty relation (public API only). */
   def resolve(spark: org.apache.spark.sql.SparkSession, schema: StructType,
               cond: Column): Expression = {
+    val key = (schema.hashCode(), cond.toString)
+    val cached = resolveCache.get(key)
+    if (cached != null) return cached
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    empty.filter(cond).queryExecution.analyzed.collectFirst {
+    val out = empty.filter(cond).queryExecution.analyzed.collectFirst {
       case f: Filter => f.condition
     }.getOrElse(Literal(true))
+    if (resolveCache.size > 1024) resolveCache.clear()
+    resolveCache.put(key, out)
+    out
   }
 }

@@ -257,8 +257,9 @@ class GraftTable private (
     val live = sm.liveEntries(snap)
     filter match {
       case Some(c) =>
-        val expr = StatsPrune.resolve(spark, dataSchema, c)
-        live.filter(e => StatsPrune.mightMatch(expr, dataSchema, e.stats, e.rowCount))
+        val ds = dataSchema // hoisted: schema lookup out of the per-file loop
+        val expr = StatsPrune.resolve(spark, ds, c)
+        live.filter(e => StatsPrune.mightMatch(expr, ds, e.stats, e.rowCount))
       case None => live
     }
   }

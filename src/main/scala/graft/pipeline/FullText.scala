@@ -44,7 +44,14 @@ object FullText {
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val (n, avgdl) = corpusStats(postings)
     val qTerms = query.map(_.toLowerCase)
-    val hits = postings.filter(col("term").isin(qTerms: _*))
+    bm25(postings.filter(col("term").isin(qTerms: _*)), n, avgdl, k, k1, b)
+  }
+
+  /** BM25 scoring over pre-filtered postings rows (the query terms' hits)
+    * with externally supplied corpus stats — the path the persisted index
+    * takes ([[Indexes.fullTextSearch]]): df comes exactly from the hits. */
+  def bm25(hits: DataFrame, n: Long, avgdl: Double, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val df_ = hits.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
     val scored = hits.join(broadcast(df_), "term")
       .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
@@ -69,5 +76,30 @@ object FullText {
     import org.apache.spark.sql.expressions.Window
     df.withColumn("rank",
       row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))))
+  }
+
+  /** weighted_score ranker (paimon hybrid_search ranker variant): min-max
+    * normalize each side's score to [0,1], combine w1·s1 + w2·s2. Inputs
+    * need (id, score) columns named per args. */
+  def weightedFuse(a: DataFrame, b: DataFrame, idCol: String, scoreCol: String,
+                   w1: Double = 0.5, w2: Double = 0.5): DataFrame = {
+    def norm(df: DataFrame, out: String): DataFrame = {
+      val mm = df.agg(min(scoreCol).as("mn"), max(scoreCol).as("mx")).head()
+      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      val denom = if (mx > mn) mx - mn else 1.0
+      df.select(col(idCol).as("id"), ((col(scoreCol) - mn) / denom).as(out))
+    }
+    norm(a, "s1").join(norm(b, "s2"), Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("s1"), lit(0.0)) * w1 + coalesce(col("s2"), lit(0.0)) * w2).as("fused"))
+  }
+
+  /** mrr ranker: score = Σ 1/rank over the result sets containing the id. */
+  def mrrFuse(a: DataFrame, b: DataFrame, idCol: String): DataFrame = {
+    val sa = a.select(col(idCol).as("id"), (lit(1.0) / col("rank")).as("s1"))
+    val sb = b.select(col(idCol).as("id"), (lit(1.0) / col("rank")).as("s2"))
+    sa.join(sb, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))).as("mrr"))
   }
 }

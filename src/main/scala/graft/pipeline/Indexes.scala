@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import graft.core._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/**
+ * PERSISTED search indexes — the scale path for full-text and vector search
+ * (round-1 built both indexes per query; at 100 TB that is a full corpus
+ * scan per search). Capability parity with paimon's global index tables
+ * (reference: paimon-core/.../globalindex/, docs/docs/multimodal-table/
+ * global-index.mdx:110,318-340), re-expressed as graft tables so the
+ * existing manifest machinery provides the pruning:
+ *
+ *  - Full-text: postings persisted as a graft table whose files are
+ *    term-range clustered (repartitionByRange + sort on `term` via sort
+ *    compaction). A query's terms stats-prune to the few files covering
+ *    those term ranges — query cost scales with posting-list size, not
+ *    corpus size.
+ *  - IVF: rows persisted with their coarse-quantizer cluster as a PARTITION
+ *    column; centroids in a JSON sidecar. A probe of `nprobe` clusters is
+ *    partition pruning — only those clusters' files are read.
+ *
+ * Both builds are one-shot distributed jobs (explode+groupBy / k-means fit +
+ * assignment scan); queries are incremental reads of the index tables.
+ */
+object Indexes {
+
+  // ------------------------------------------------------------------
+  // FULL-TEXT (BM25 over a persisted inverted index)
+  // ------------------------------------------------------------------
+
+  private def statsPath(loc: String, name: String) =
+    new Path(loc, s"index/$name.json")
+
+  /** Build (or replace) the postings index table at `loc`. Per-term document
+    * frequency is precomputed INTO the index, so a search is a single pruned
+    * scan (no second pass over the hits for df). */
+  def buildFullText(spark: SparkSession, docs: DataFrame, idCol: String,
+                    textCol: String, loc: String): GraftTable = {
+    import graft.core.RowOps._
+    val postings = FullText.buildPostings(docs, idCol, textCol)
+    val termDf = postings.groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val withDf = postings.join(termDf, "term")
+    val t = GraftTable.createOrReplace(spark, loc, withDf.schema, TableConfig())
+    t.write(withDf)
+    // cluster files by term range → a query's terms prune to few files
+    t.compactSorted("order", Seq("term"))
+    val (n, avgdl) = FullText.corpusStats(t.read())
+    t.sm.writeString(statsPath(loc, "fulltext-stats"),
+      Json.write(Map("docs" -> n, "avgdl" -> avgdl)))
+    t
+  }
+
+  /** BM25 top-k against the persisted index: reads ONLY the query terms'
+    * file ranges (manifest stats on `term`), one scan, one aggregation. */
+  def fullTextSearch(spark: SparkSession, loc: String, query: Seq[String],
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val t = GraftTable.load(spark, loc)
+    val m = Json.mapper.readValue(t.sm.readString(statsPath(loc, "fulltext-stats")),
+      classOf[java.util.Map[String, Any]])
+    val n = m.get("docs").asInstanceOf[Number].longValue()
+    val avgdl = m.get("avgdl").asInstanceOf[Number].doubleValue()
+    val qTerms = query.map(_.toLowerCase)
+    val hits = t.read(filter = Some(col("term").isin(qTerms: _*)))
+    hits
+      .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / lit(avgdl))))
+      .groupBy("doc_id").agg(sum("w").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // IVF (persisted coarse-quantizer index, cluster = partition column)
+  // ------------------------------------------------------------------
+
+  /** Tight-loop nearest-centroid assignment over broadcast centroids (no
+    * O(k) expression unrolling — survives k≈1024 where a when-chain breaks
+    * Catalyst; round-1 advisor finding on IvfModel.assignExpr). */
+  def assignUdf(model: Similarity.IvfModel): UserDefinedFunction = {
+    val cents = model.centroids
+    udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < cents.length) {
+        val c = cents(i); var d = 0.0; var j = 0
+        while (j < c.length && d < bestD) {
+          val z = c(j) - v(j); d += z * z; j += 1
+        }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+  }
+
+  /** Build (or replace) an IVF index table: rows + `__ivf_cluster` partition
+    * column, centroids in a sidecar. */
+  def buildIvf(spark: SparkSession, df: DataFrame, embedCol: String,
+               loc: String, nClusters: Int, seed: Long = 42L): GraftTable = {
+    val model = Similarity.trainIvf(df, embedCol, nClusters, seed = seed)
+    val indexed = df.withColumn("__ivf_cluster", assignUdf(model)(col(embedCol)))
+    val t = GraftTable.createOrReplace(spark, loc, indexed.schema,
+      TableConfig(partitionKeys = Seq("__ivf_cluster")))
+    t.write(indexed)
+    t.sm.writeString(statsPath(loc, "ivf-centroids"),
+      Json.write(model.centroids.map(_.toSeq)))
+    t
+  }
+
+  def loadIvfModel(spark: SparkSession, loc: String): Similarity.IvfModel = {
+    val t = GraftTable.load(spark, loc)
+    val cents = Json.mapper.readValue(
+      t.sm.readString(statsPath(loc, "ivf-centroids")),
+      classOf[Array[Array[Double]]])
+    Similarity.IvfModel(cents)
+  }
+
+  /** Top-k over the persisted IVF index: `nprobe` clusters = partition
+    * pruning, exact scoring only within probed clusters. */
+  def ivfSearch(spark: SparkSession, loc: String, embedCol: String,
+                query: Seq[Float], k: Int, nprobe: Int,
+                metric: String = "cosine", scoreCol: String = "__score"): DataFrame = {
+    val t = GraftTable.load(spark, loc)
+    val model = loadIvfModel(spark, loc)
+    val probes = model.nearestClusters(query, nprobe)
+    val hits = t.read(filter = Some(col("__ivf_cluster").isin(probes: _*)))
+    Similarity.bruteForceTopK(hits.drop("__ivf_cluster"), embedCol, query, k,
+      metric, scoreCol)
+  }
+
+  /** Planned file count for a probe set — lets tests assert that probing
+    * prunes at the manifest level. */
+  def ivfPlannedFiles(spark: SparkSession, loc: String, probes: Seq[Int]): Int =
+    GraftTable.load(spark, loc)
+      .planFiles(filter = Some(col("__ivf_cluster").isin(probes: _*))).size
+}

@@ -35,6 +35,61 @@ class PipelineSpec extends SparkTestBase {
     assert(got(1L) == "en" && got(4L) == "de")
   }
 
+  test("persisted full-text index: pruned term read matches in-memory bm25") {
+    val loc = tmpLoc("ftidx")
+    // larger corpus: distinct vocab ranges so term files separate
+    val corpus = (1L to 200L).map { i =>
+      (i, if (i % 7 == 0) s"alpha zulu shared w$i" else s"kilo mike w$i w${i + 1}")
+    }.toDF("doc_id", "text")
+    val idx = Indexes.buildFullText(spark, corpus, "doc_id", "text", loc)
+    val expected = FullText.search(
+      FullText.buildPostings(corpus, "doc_id", "text"), Seq("alpha", "zulu"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    val got = Indexes.fullTextSearch(spark, loc, Seq("alpha", "zulu"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    // manifest pruning: the two query terms touch fewer files than the table
+    val total = idx.planFiles().size
+    val pruned = idx.planFiles(filter = Some(col("term").isin("alpha", "zulu"))).size
+    assert(pruned < total, s"pruned=$pruned total=$total")
+  }
+
+  test("persisted IVF index: probe = partition pruning; full probe = exact") {
+    val loc = tmpLoc("ivfidx")
+    val rnd = new scala.util.Random(7)
+    // two well-separated blobs
+    val vecs = (1L to 100L).map { i =>
+      val base = if (i % 2 == 0) 10.0f else -10.0f
+      (i, Array.fill(8)(base + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    Indexes.buildIvf(spark, vecs, "embedding", loc, nClusters = 4)
+    val q = vecs.filter($"vec_id" === 2).select("embedding").first().getSeq[Float](0)
+    // nprobe=1 reads fewer files than the table holds
+    val model = Indexes.loadIvfModel(spark, loc)
+    val probes1 = model.nearestClusters(q, 1)
+    val allFiles = GraftTable.load(spark, loc).planFiles().size
+    assert(Indexes.ivfPlannedFiles(spark, loc, probes1) < allFiles)
+    // full probe equals brute force
+    val exact = Similarity.bruteForceTopK(vecs, "embedding", q, 5, "cosine", "s")
+      .select("vec_id").as[Long].collect().toSeq
+    val viaIdx = Indexes.ivfSearch(spark, loc, "embedding", q, 5, nprobe = 4,
+      scoreCol = "s").select("vec_id").as[Long].collect().toSeq
+    assert(viaIdx == exact)
+    // nprobe=1 still finds same-blob neighbors
+    val near = Indexes.ivfSearch(spark, loc, "embedding", q, 5, nprobe = 1,
+      scoreCol = "s").select("vec_id").as[Long].collect().toSeq
+    assert(near.forall(_ % 2 == 0))
+  }
+
+  test("hybrid rankers: weighted_score and mrr fuse sanely") {
+    val a = Seq((1L, 10.0, 1), (2L, 5.0, 2)).toDF("id", "score", "rank")
+    val b = Seq((2L, 0.9, 1), (3L, 0.5, 2)).toDF("id", "score", "rank")
+    val w = FullText.weightedFuse(a, b, "id", "score").as[(Long, Double)].collect().toMap
+    assert(w(2L) > w(1L) || w(2L) > w(3L)) // shared id benefits from both sides
+    val m = FullText.mrrFuse(a, b, "id").as[(Long, Double)].collect().toMap
+    assert(m(2L) == 1.0 / 2 + 1.0 && m(1L) == 1.0)
+  }
+
   test("bm25 ranks the matching doc first; hybrid rrf fuses") {
     val postings = FullText.buildPostings(docs, "doc_id", "text")
     val top = FullText.search(postings, Seq("spark", "columnar"), 2)
