@@ -110,8 +110,13 @@ object SparkEntry {
         .agg(GraftAggs.rbm64(col("o_custkey")).as("rbm"))
         .select(col("o_orderstatus"), card(col("rbm")).as("uniq"))
     }),
+    // hash-matchable: the sketch estimate is checked against the exact
+    // distinct count as a relative-error bound the oracle can reproduce
     "q_hll_estimate" -> ((s, d) => t(s, d, "orders").groupBy("o_orderstatus")
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("approx_uniq"))),
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("approx"),
+        count_distinct(col("o_custkey")).as("exact"))
+      .select(col("o_orderstatus"),
+        (abs(col("approx") - col("exact")) / col("exact") < 0.05).as("within_5pct"))),
 
     // ---- aggregate/limit pushdown, sorts (§2.4b / §2.6) ----
     "q_agg_pushdown" -> ((s, d) => Fixtures.eventsAp(s, d).aggFromManifest(Seq(
@@ -301,6 +306,11 @@ object SparkEntry {
       Map("o_orderkey" -> 100L))
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice"), 2).as("price"))),
+    "q_system_consumers" -> ((s, d) => {
+      val tbl = Fixtures.ordersPk(s, d)
+      Consumers.reset(tbl, "sysc", Some(2L))
+      tbl.systemTable("consumers").filter(col("consumer_id") === "sysc")
+    }),
     "q_consumer_stream" -> ((s, d) => {
       val tbl = Fixtures.ordersPk(s, d)
       Consumers.reset(tbl, "qcons", Some(1L))
@@ -518,6 +528,8 @@ object SparkEntry {
     "q_rbm_cardinality" ->
       """SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS uniq
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_hll_estimate" ->
+      "SELECT o_orderstatus, true AS within_5pct FROM orders GROUP BY o_orderstatus",
     "q_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(min(event_id) AS BIGINT) AS min_id,
         | CAST(max(event_id) AS BIGINT) AS max_id FROM events""".stripMargin,
@@ -691,6 +703,8 @@ object SparkEntry {
         | round(o_totalprice * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END, 2) AS price
         |FROM orders WHERE o_orderkey = 100""".stripMargin,
     "q_consumer_stream" -> dedupOracle,
+    "q_system_consumers" ->
+      "SELECT 'sysc' AS consumer_id, CAST(2 AS BIGINT) AS next_snapshot_id",
     "q_fulltext_bm25" -> bm25Oracle,
     "q_hybrid_search" -> hybridOracle,
     "q_dedup_minhash" -> minhashOracle,

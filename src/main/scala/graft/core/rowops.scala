@@ -345,7 +345,8 @@ object RowOps {
           val content = if (t.sm.fs.exists(p)) t.sm.readString(p) else "{}"
           Seq(content).toDF("statistics")
         case "consumers" =>
-          Seq.empty[(String, Long)].toDF("consumer_id", "next_snapshot_id")
+          Consumers.list(t).map(c => (c.consumerId, c.nextSnapshot))
+            .toDF("consumer_id", "next_snapshot_id")
         case other => throw new IllegalArgumentException(s"unknown system table $other")
       }
     }
@@ -360,7 +361,11 @@ object RowOps {
       val ids = t.sm.snapshotIds
       if (ids.size <= retainLast) return 0
       val keepIds = ids.takeRight(retainLast).toSet ++ t.sm.listTags().map(_.snapshotId)
+      // registered consumers pin history: never expire a snapshot a consumer
+      // has yet to read (paimon ConsumerManager-aware expiry)
+      val consumerFloor = Consumers.list(t).map(_.nextSnapshot).minOption
       val dropIds = ids.filterNot(keepIds.contains).filter(_ < keepIds.min)
+        .filter(id => consumerFloor.forall(id < _))
       if (dropIds.isEmpty) return 0
       val keepSnaps = keepIds.toSeq.sorted.map(t.sm.readSnapshot)
       val keptManifests = keepSnaps.flatMap(_.manifests).toSet

@@ -622,7 +622,17 @@ object MergeEngines {
         case "min" => min(c)
         case "count" => count(c).cast(dt)
         case "product" =>
-          aggregate(collect_list(c.cast(DoubleType)), lit(1.0), (acc, x) => acc * x).cast(dt)
+          // streaming-safe product: sign/zero tracked separately, magnitude
+          // via exp(Σ ln|x|) — no per-group materialization (log(0)/log(null)
+          // are null in Spark, so zeros/nulls drop out of the magnitude sum)
+          val d = c.cast(DoubleType)
+          val zeros = sum(when(d === 0.0, 1L).otherwise(0L))
+          val negs = sum(when(d < 0.0, 1L).otherwise(0L))
+          when(count(d) === 0, lit(null).cast(DoubleType))
+            .when(zeros > 0, lit(0.0))
+            .otherwise(exp(sum(log(abs(d)))) *
+              when(negs % 2 === 1, -1.0).otherwise(1.0))
+            .cast(dt)
         case "bool_and" => bool_and(c)
         case "bool_or" => bool_or(c)
         case "last_value" => max_by(c, ordKey)

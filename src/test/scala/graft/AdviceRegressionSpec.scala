@@ -94,6 +94,30 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(t.read().count() == n * 500 / 1000)
   }
 
+  test("consumers system table lists real state; expiry halts at consumer cursor") {
+    val loc = tmpLoc("consexp")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    (1 to 5).foreach(i => t.write(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    Consumers.reset(t, "c1", Some(3L))
+    val listed = t.systemTable("consumers").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(listed.toSeq == Seq(("c1", 3L)))
+    val expired = t.expireSnapshots(1)
+    assert(expired == 2, s"expected to drop snapshots 1,2 only, dropped $expired")
+    assert(t.sm.snapshotIds == Seq(3L, 4L, 5L))
+    // product aggregate: exp/ln path with sign + zero handling
+    val aloc = tmpLoc("prod")
+    val at = GraftTable.create(spark, aloc,
+      Seq((1L, 1.0)).toDF("k", "x").schema,
+      TableConfig(primaryKeys = Seq("k"), mergeEngine = "aggregation",
+        fieldAggregates = Map("x" -> "product"), numBuckets = 1))
+    at.write(Seq((1L, 2.0), (1L, -3.0), (2L, 4.0), (2L, 0.0), (3L, 2.5))
+      .toDF("k", "x"))
+    val got = at.read().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - (-6.0)) < 1e-9 && got(2L) == 0.0 && got(3L) == 2.5, s"$got")
+  }
+
   test("timestamp stats prune exactly (trailing-zero fractions) and NaN stats don't throw") {
     val loc = tmpLoc("tsprune")
     val df = Seq(
