@@ -51,6 +51,21 @@ object Fixtures {
       t
     }
 
+  /** ordersPk variant with changelog-producer=lookup: each write commits
+    * exact +I/-U/+U changelog files alongside the data. */
+  def ordersPkCl(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_cl") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4,
+          options = Map("changelog-producer" -> "lookup")))
+      t.write(orders)
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", lit("X-UPD")))
+      t
+    }
+
   /** Partial-update engine over customer: v1 = all fields but mktsegment,
     * v2 (custkey%3==0) = +100 acctbal and mktsegment, name null. */
   def custPu(spark: SparkSession, sfDir: String): GraftTable =

@@ -207,13 +207,33 @@ object SparkEntry {
       val tbl = Fixtures.ordersPk(s, d)
       val outName = s"graft_stream_src_${math.abs(d.hashCode)}"
       val ckpt = java.nio.file.Files.createTempDirectory("graft-src-ckpt").toString
-      val q = s.readStream.format("graft").load(tbl.location)
+      val q = s.readStream.format("graft")
+        .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+        .load(tbl.location)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .format("memory").queryName(outName).start()
       q.awaitTermination(120000)
       // changelog-producer=input: raw upsert records of snapshots 1..2
       s.table(outName)
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+    }),
+    "q_stream_changelog" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tbl = Fixtures.ordersPkCl(s, d)
+      val outName = s"graft_stream_cl_${math.abs(d.hashCode)}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cl-ckpt").toString
+      val q = s.readStream.format("graft")
+        .option("read-changelog", "true")
+        .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+        .load(tbl.location)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(outName).start()
+      q.awaitTermination(120000)
+      // write-time changelog: +I for snapshot 1, -U/+U pairs for snapshot 2
+      s.table(outName)
+        .groupBy("_row_kind")
         .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
     }),
 
@@ -613,6 +633,15 @@ object SparkEntry {
         |  SELECT 'NEW' AS o_orderstatus, o_totalprice AS price
         |  FROM orders WHERE o_orderkey % 7 = 3
         |) GROUP BY o_orderstatus""".stripMargin,
+    "q_stream_changelog" ->
+      """SELECT '+I' AS _row_kind, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total FROM orders
+        |UNION ALL
+        |SELECT '-U', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT '+U', CAST(count(*) AS BIGINT), round(sum(o_totalprice * 2), 2)
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
     "q_stream_source" ->
       """SELECT CAST((SELECT count(*) FROM orders) +
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT) AS cnt,

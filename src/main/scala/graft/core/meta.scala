@@ -111,12 +111,16 @@ case class SnapshotMeta(
     deltaRecords: Long,
     watermark: Option[Long] = None,
     // deletion-vector index file under dv/ (paimon DeletionVectorsIndexFile)
-    dvIndex: Option[String] = None) {
+    dvIndex: Option[String] = None,
+    // write-time changelog files (relative paths) for THIS commit — produced
+    // when changelog-producer=lookup (paimon ChangelogManager/changelog files)
+    changelog: Option[Seq[String]] = None) {
   /** Erasure-safe watermark accessor: jackson-scala materializes a JSON int
     * into Option[Long] as a boxed Integer — unboxing via the field throws. */
   def watermarkLong: Option[Long] =
     watermark.asInstanceOf[Option[Any]]
       .map { case n: java.lang.Number => n.longValue }
+  def changelogFiles: Seq[String] = Option(changelog).flatten.getOrElse(Nil)
 }
 
 case class TagMeta(name: String, snapshotId: Long, timestampMs: Long)
@@ -294,7 +298,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
   def commit(delta: Seq[ManifestEntry], kind: String, identifier: String,
              schemaId: Long, maxRetries: Int = 20,
              dvAction: Option[Option[String]] = None,
-             watermark: Option[Long] = None): SnapshotMeta = {
+             watermark: Option[Long] = None,
+             changelog: Seq[String] = Nil): SnapshotMeta = {
     val deltaName = writeManifest(delta)
     val deletedPaths = delta.filter(_.kind == 1).map(_.path).toSet
     var attempt = 0
@@ -320,7 +325,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
         totalRecords = base.map(_.totalRecords).getOrElse(0L) + addRows - delRows,
         deltaRecords = addRows,
         watermark = watermark.orElse(base.flatMap(_.watermarkLong)),
-        dvIndex = dvAction.getOrElse(base.flatMap(_.dvIndex)))
+        dvIndex = dvAction.getOrElse(base.flatMap(_.dvIndex)),
+        changelog = if (changelog.isEmpty) None else Some(changelog))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
         return snap

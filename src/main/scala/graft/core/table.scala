@@ -205,11 +205,75 @@ class GraftTable private (
 
   /** INSERT INTO (append / upsert by merge engine). `watermark`: producer
     * event-time watermark persisted in the snapshot (paimon
-    * Snapshot.FIELD_WATERMARK; carried forward when absent). */
+    * Snapshot.FIELD_WATERMARK; carried forward when absent).
+    *
+    * With `changelog-producer=lookup`, the commit also materializes exact
+    * +I/-U/+U/-D changelog rows by looking up the written keys against the
+    * PREVIOUS state of only the touched buckets (paimon
+    * LookupChangelogMergeFunctionWrapper) — streaming readers then consume
+    * these files instead of diffing snapshots. */
   def write(df: DataFrame, watermark: Option[Long] = None): SnapshotMeta = {
     val adds = writeFiles(df)
+    val clFiles =
+      if (isPk && config.option("changelog-producer", "none") == "lookup")
+        produceChangelog(adds)
+      else Nil
     sm.commit(adds, "APPEND", s"append-${UUID.randomUUID().toString.take(8)}",
-      schema.id, watermark = watermark)
+      schema.id, watermark = watermark, changelog = clFiles)
+  }
+
+  /** Exact changelog rows for a delta (ADD entries not yet committed),
+    * written as parquet under changelog/; returns relative file paths. */
+  private def produceChangelog(adds: Seq[ManifestEntry]): Seq[String] = {
+    val dataCols = dataSchema.fields.map(_.name).toSeq
+    val newRows = readEntries(adds, withInternal = true)
+    val touched = adds.map(e => (e.partition, e.bucket)).toSet
+    val prevEntries = sm.latestSnapshot.map(sm.liveEntries).getOrElse(Nil)
+      .filter(e => touched.contains((e.partition, e.bucket)))
+    val prevState =
+      if (prevEntries.isEmpty) {
+        val s = if (isPk) fileSchema else dataSchema
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+      } else MergeEngines.merge(
+        readEntries(prevEntries, withInternal = true, dvFor(None)), config, dataSchema)
+    // state AFTER this commit, restricted to touched buckets
+    val afterState = MergeEngines.merge(
+      prevState.unionAll(newRows), config, dataSchema)
+    // only keys present in this batch can have changed
+    val batchKeys = newRows.select(pks.map(col).toIndexedSeq: _*).distinct()
+    val prev = prevState.join(batchKeys, pks, "left_semi")
+      .select(dataCols.map(col).toIndexedSeq: _*).alias("p")
+    val after = afterState.join(batchKeys, pks, "left_semi")
+      .select(dataCols.map(col).toIndexedSeq: _*).alias("a")
+    val joinCond = pks.map(k => col(s"p.$k") <=> col(s"a.$k")).reduce(_ && _)
+    val joined = prev.join(after, joinCond, "full_outer")
+    val changedCond = dataCols.filterNot(pks.contains)
+      .map(c => !(col(s"p.$c") <=> col(s"a.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def side(s: String, kind: String, cond: Column): DataFrame =
+      joined.filter(cond)
+        .select(dataCols.map(c => col(s"$s.$c").as(c)).toIndexedSeq: _*)
+        .withColumn("_row_kind", lit(kind))
+    val pKey = col(s"p.${pks.head}"); val aKey = col(s"a.${pks.head}")
+    val pPresent = pks.map(k => col(s"p.$k").isNotNull).reduce(_ && _)
+    val aPresent = pks.map(k => col(s"a.$k").isNotNull).reduce(_ && _)
+    val cl = side("a", "+I", !pPresent && aPresent)
+      .unionAll(side("p", "-D", pPresent && !aPresent))
+      .unionAll(side("p", "-U", pPresent && aPresent && changedCond))
+      .unionAll(side("a", "+U", pPresent && aPresent && changedCond))
+    val clDir = s"changelog/c-${UUID.randomUUID().toString.take(12)}"
+    val clAbs = new Path(location, clDir).toString
+    cl.write.parquet(clAbs)
+    val fsys = sm.fs
+    val locUri = new Path(location).toUri.getPath
+    val it = fsys.listFiles(new Path(clAbs), false)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += st.getPath.toUri.getPath.stripPrefix(locUri).stripPrefix("/")
+    }
+    out.toSeq
   }
 
   /** VERSION AS OF watermark: latest snapshot whose watermark <= `w`. */
@@ -471,10 +535,21 @@ class GraftTable private (
   }
 
   /** Row-level changelog between snapshots as +I/-U/+U/-D rows (paimon
-    * incremental diff / binlog; SURVEY §2.9). Computed as a full-state diff
-    * join on the primary key — exact regardless of changelog-producer. */
+    * incremental diff / binlog; SURVEY §2.9). When every snapshot in the
+    * range carries write-time changelog files (changelog-producer=lookup),
+    * those are read directly — O(delta), no diff join. Otherwise falls back
+    * to the exact full-state diff (O(table), producer-independent). */
   def changelog(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
     require(isPk, "changelog diff requires a primary-keyed table")
+    val snaps = (fromSnapshot + 1 to toSnapshot).map(sm.readSnapshot)
+      .filter(_.kind != "COMPACT")
+    if (snaps.nonEmpty && snaps.forall(_.changelogFiles.nonEmpty)) {
+      val paths = snaps.flatMap(_.changelogFiles)
+        .map(p => new Path(location, p).toString)
+      val clSchema = StructType(dataSchema.fields :+
+        StructField("_row_kind", StringType, false))
+      return spark.read.schema(clSchema).parquet(paths: _*)
+    }
     val before = read(None, Some(fromSnapshot)).withColumn("__side", lit("b"))
     val after = read(None, Some(toSnapshot)).withColumn("__side", lit("a"))
     val dataCols = dataSchema.fields.map(_.name).toSeq

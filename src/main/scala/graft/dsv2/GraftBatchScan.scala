@@ -45,7 +45,8 @@ import java.util.OptionalLong
  * engine's tested DataFrame merge.
  */
 class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
-                     pushed: Array[Filter], required: Option[StructType])
+                     pushed: Array[Filter], required: Option[StructType],
+                     readOptions: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -155,7 +156,7 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(t, checkpointLocation)
+    new GraftMicroBatchStream(t, checkpointLocation, readOptions)
 
   override def description(): String =
     s"GraftBatchScan(${t.location}, files=${entries.size}, pushed=${pushed.mkString(",")})"

@@ -45,7 +45,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val t = GraftTable.load(SparkSession.active, properties.get("path"))
-    new GraftSparkTable(t)
+    new GraftSparkTable(t, readOptions = properties.asScala.toMap)
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -54,11 +54,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 /** DSv2 Table over a graft table (optionally pinned to a snapshot for
   * VERSION/TIMESTAMP AS OF — cf. paimon SparkCatalog.loadTable(ident,version),
   * paimon-spark/.../SparkCatalog.java:315). */
-class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None)
+class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
+                      val readOptions: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite {
 
+  private[dsv2] def readChangelog: Boolean =
+    readOptions.get("read-changelog").contains("true")
+
   override def name(): String = t.location
-  override def schema(): StructType = t.schema.sparkSchema
+  override def schema(): StructType =
+    if (readChangelog)
+      StructType(t.schema.sparkSchema.fields :+
+        org.apache.spark.sql.types.StructField("_row_kind",
+          org.apache.spark.sql.types.StringType, false))
+    else t.schema.sparkSchema
   override def capabilities(): util.Set[TableCapability] =
     // no OVERWRITE_DYNAMIC: Spark's dynamic-overwrite exec needs a native
     // BatchWrite (no V1 fallback); dynamic overwrite is served by the
@@ -83,8 +92,10 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None)
     t.config.partitionKeys.map(Expressions.identity).toArray
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(t, snapshotId)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = readOptions ++ options.asScala
+    new GraftScanBuilder(t, snapshotId, merged)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(t)
@@ -92,7 +103,8 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None)
 
 /** Pushdown collection: filters (for manifest pruning), column pruning,
   * limit. All filters remain post-scan (Spark re-evaluates). */
-class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long])
+class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
+                       readOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -110,12 +122,16 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long])
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
   override def build(): Scan = {
+    // changelog streams keep the V1 scan shell (only toMicroBatchStream is
+    // exercised; the batch path of a changelog scan is unsupported)
+    if (readOptions.get("read-changelog").contains("true"))
+      return new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
     val pruneCond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
     // native columnar scan when no merge/DV work is needed (the common case
     // after compaction); V1 DataFrame plan otherwise (shared merge semantics)
     t.rawPlan(snapshotId, pruneCond) match {
-      case Some(entries) => new GraftBatchScan(t, entries, pushed, required)
-      case None => new GraftV1Scan(t, snapshotId, pushed, required, limit)
+      case Some(entries) => new GraftBatchScan(t, entries, pushed, required, readOptions)
+      case None => new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
     }
   }
 }
@@ -156,7 +172,8 @@ object GraftScanBuilder {
  */
 class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
                   filters: Array[Filter], required: Option[StructType],
-                  limit: Option[Int]) extends V1Scan {
+                  limit: Option[Int],
+                  readOptions: Map[String, String] = Map.empty) extends V1Scan {
 
   override def readSchema(): StructType =
     required.getOrElse(t.schema.sparkSchema)
@@ -182,7 +199,8 @@ class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(t, checkpointLocation)
+    new GraftMicroBatchStream(t, checkpointLocation, readOptions,
+      readOptions.get("read-changelog").contains("true"))
 
   override def description(): String =
     s"GraftScan(${t.location}, filters=${filters.mkString(",")})"

@@ -10,7 +10,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
@@ -20,25 +20,107 @@ import org.apache.spark.util.SerializableConfiguration
  * capability of paimon's PaimonMicroBatchStream
  * (paimon-spark/.../sources/PaimonMicroBatchStream.scala:33; offsets per
  * PaimonSourceOffset.scala:36): offset = snapshot id; a batch is the delta
- * files of snapshots (start, end], skipping compactions (changelog-producer
- * `input` semantics — raw upsert records flow downstream as inserts).
+ * files of snapshots (start, end], skipping compactions.
+ *
+ * Startup modes (`scan.mode`, paimon CoreOptions.java:4823):
+ *  - `latest-full` (default): first batch = the CURRENT table state (live
+ *    files of the latest snapshot), then per-snapshot changes (offset -1
+ *    marks the not-yet-served full state).
+ *  - `latest`: changes after the stream starts only.
+ *  - `from-snapshot` (+ `scan.snapshot-id`): replay from a snapshot.
+ *  - `from-timestamp` (+ `scan.timestamp-millis`): replay from a commit time.
+ *
+ * Admission control (paimon-spark sources/PaimonReadLimits.scala:25):
+ * `scan.max-rows-per-trigger` / `scan.max-snapshots-per-trigger` bound each
+ * micro-batch via SupportsAdmissionControl — the first batch of a large
+ * table no longer arrives as one giant read.
+ *
+ * Changelog mode (`read-changelog=true` read option): rows carry a
+ * `_row_kind` column (+I/-U/+U/-D) sourced from write-time changelog files
+ * (changelog-producer=lookup); delta files of snapshots without changelog
+ * are emitted as +I.
  *
  * Delta files are decoded executor-side by a self-contained parquet Group
  * reader (micro-batches are small; the batch path keeps Spark's vectorized
- * reader). Supported streaming column types: boolean, int, long, float,
- * double, date, timestamp (micros), string, binary.
+ * reader).
  */
-class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String)
-    extends MicroBatchStream {
+class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
+                            readOptions: Map[String, String] = Map.empty,
+                            readChangelog: Boolean = false)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val conf = new SerializableConfiguration(
     t.spark.sessionState.newHadoopConf())
   private val dataSchema = t.schema.sparkSchema
+  private def streamSchema: StructType =
+    if (readChangelog)
+      StructType(dataSchema.fields :+ StructField("_row_kind", StringType, false))
+    else dataSchema
 
-  override def initialOffset(): Offset =
-    GraftOffset(t.config.options.get("scan.snapshot-id").map(_.toLong - 1).getOrElse(0L))
+  private def opt(key: String): Option[String] =
+    readOptions.get(key).orElse(t.config.options.get(key))
+
+  override def initialOffset(): Offset = {
+    val mode = opt("scan.mode").getOrElse(
+      if (opt("scan.snapshot-id").isDefined) "from-snapshot"
+      else if (opt("scan.timestamp-millis").isDefined) "from-timestamp"
+      else "latest-full")
+    mode match {
+      case "latest" => GraftOffset(t.sm.latestSnapshotId.getOrElse(0L))
+      case "latest-full" | "full" => GraftOffset(-1L)
+      case "from-snapshot" =>
+        GraftOffset(opt("scan.snapshot-id").map(_.toLong - 1).getOrElse(0L))
+      case "from-timestamp" =>
+        val ts = opt("scan.timestamp-millis").map(_.toLong).getOrElse(0L)
+        val ids = t.sm.snapshotIds.filter(id => t.sm.readSnapshot(id).timestampMs <= ts)
+        GraftOffset(if (ids.isEmpty) 0L else ids.max)
+      case other => throw new IllegalArgumentException(s"unknown scan.mode $other")
+    }
+  }
+
+  // ---- admission control ----
+  override def getDefaultReadLimit: ReadLimit =
+    opt("scan.max-rows-per-trigger").map(n => ReadLimit.maxRows(n.toLong))
+      .orElse(opt("scan.max-snapshots-per-trigger").map(n => ReadLimit.maxFiles(n.toInt)))
+      .getOrElse(ReadLimit.allAvailable())
+
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def reportLatestOffset(): Offset =
     GraftOffset(t.sm.latestSnapshotId.getOrElse(0L))
+
+  // Trigger.AvailableNow: pin the end of the run at prepare time, keep
+  // honoring per-batch read limits until it is reached
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(t.sm.latestSnapshotId.getOrElse(0L))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftOffset].snapshotId
+    val latest = availableNowEnd.getOrElse(t.sm.latestSnapshotId.getOrElse(0L))
+    if (s < 0) return GraftOffset(math.max(latest, 0L)) // full-state batch
+    val (maxRows, maxSnaps) = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        (r.maxRows(), Int.MaxValue)
+      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        (Long.MaxValue, f.maxFiles())
+      case _ => (Long.MaxValue, Int.MaxValue)
+    }
+    var end = s; var rows = 0L; var snaps = 0
+    while (end < latest && snaps < maxSnaps && rows < maxRows) {
+      val meta = t.sm.readSnapshot(end + 1)
+      val r = if (meta.kind == "COMPACT") 0L else meta.deltaRecords
+      // always admit at least one snapshot so the stream advances
+      if (snaps > 0 && (rows + r > maxRows || snaps + 1 > maxSnaps)) {
+        return GraftOffset(end)
+      }
+      rows += r; snaps += 1; end += 1
+    }
+    GraftOffset(end)
+  }
+
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
@@ -47,38 +129,53 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].snapshotId
     val e = end.asInstanceOf[GraftOffset].snapshotId
-    val entries = (s + 1 to e).flatMap { id =>
+    if (s < 0) {
+      // latest-full: serve the complete current state (raw live files)
+      if (e <= 0) return Array.empty
+      return t.planFiles(Some(e)).map(en => GraftFilePartition(
+        new Path(t.location, en.path).toString, "+I"): InputPartition).toArray
+    }
+    (s + 1 to e).flatMap { id =>
       if (!t.sm.snapshotExists(id)) Nil
       else {
         val snap = t.sm.readSnapshot(id)
         if (snap.kind == "COMPACT") Nil
+        else if (readChangelog && snap.changelogFiles.nonEmpty)
+          snap.changelogFiles.map(p => GraftFilePartition(
+            new Path(t.location, p).toString, null): InputPartition)
         else snap.deltaManifests.flatMap(t.sm.readManifest).filter(_.kind == 0)
+          .map(en => GraftFilePartition(
+            new Path(t.location, en.path).toString, "+I"): InputPartition)
       }
-    }
-    entries.map(en => GraftFilePartition(
-      new Path(t.location, en.path).toString): InputPartition).toArray
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStreamReaderFactory(dataSchema, conf)
+    new GraftStreamReaderFactory(streamSchema, conf)
 }
 
 case class GraftOffset(snapshotId: Long) extends Offset {
   override def json(): String = snapshotId.toString
 }
 
-case class GraftFilePartition(file: String) extends InputPartition
+/** `kindFill`: constant for `_row_kind` when the file lacks the column
+  * (delta files read in changelog mode); null = read from file. */
+case class GraftFilePartition(file: String, kindFill: String) extends InputPartition
 
 class GraftStreamReaderFactory(schema: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftGroupReader(partition.asInstanceOf[GraftFilePartition].file, schema, conf)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    new GraftGroupReader(p.file, schema, conf, Option(p.kindFill))
+  }
 }
 
 /** Row-at-a-time parquet reader (Group API) → InternalRow per `schema`;
-  * columns missing in the file (schema evolution) read as null. */
+  * columns missing in the file (schema evolution) read as null, except
+  * `_row_kind` which takes `kindFill` when provided. */
 class GraftGroupReader(file: String, schema: StructType,
-                       conf: SerializableConfiguration)
+                       conf: SerializableConfiguration,
+                       kindFill: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   @SuppressWarnings(Array("deprecation"))
@@ -86,6 +183,7 @@ class GraftGroupReader(file: String, schema: StructType,
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
       .withConf(conf.value).build()
   private var current: Group = _
+  private val fillKind = kindFill.map(UTF8String.fromString).orNull
 
   override def next(): Boolean = {
     current = reader.read()
@@ -96,8 +194,9 @@ class GraftGroupReader(file: String, schema: StructType,
     val g = current
     val gt = g.getType
     val values = schema.fields.map { f =>
-      if (!gt.containsField(f.name)) null
-      else {
+      if (!gt.containsField(f.name)) {
+        if (f.name == "_row_kind") fillKind else null
+      } else {
         val idx = gt.getFieldIndex(f.name)
         if (g.getFieldRepetitionCount(idx) == 0) null
         else decode(g, idx, f.dataType)

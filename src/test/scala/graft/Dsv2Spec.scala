@@ -180,6 +180,70 @@ class Dsv2Spec extends SparkTestBase {
     }
   }
 
+  test("streaming: admission control bounds batches; scan.mode latest skips history") {
+    import graft.core.RowOps._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.adm (k BIGINT, s STRING) TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.db.adm VALUES ($i,'v$i'),(${i + 100},'w$i')"))
+    val loc = s"$wh/db.db/adm"
+    // maxRows=2 per trigger → 4 snapshots can't fit in one batch
+    val ckpt = Files.createTempDirectory("graft-adm-ckpt").toString
+    val outName = "adm_sink_" + System.nanoTime()
+    val q = spark.readStream.format("graft")
+      .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+      .option("scan.max-rows-per-trigger", "2")
+      .load(loc)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(outName).start()
+    q.awaitTermination(60000)
+    assert(spark.table(outName).count() == 8)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"expected bounded batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 2))
+    // scan.mode=latest: no history replay → zero rows from AvailableNow
+    val ckpt2 = Files.createTempDirectory("graft-latest-ckpt").toString
+    val outName2 = "latest_sink_" + System.nanoTime()
+    val q2 = spark.readStream.format("graft")
+      .option("scan.mode", "latest").load(loc)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt2)
+      .format("memory").queryName(outName2).start()
+    q2.awaitTermination(60000)
+    assert(spark.table(outName2).count() == 0)
+  }
+
+  test("streaming changelog: -U/+U rows from write-time lookup producer") {
+    import graft.core.RowOps._
+    val loc = Files.createTempDirectory("graft-cl").resolve("t").toString
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("changelog-producer" -> "lookup")))
+    t.write(df) // +I x3
+    t.write(Seq((2L, 99.0), (4L, 40.0)).toDF("k", "v")) // -U/+U for 2, +I for 4
+    val ckpt = Files.createTempDirectory("graft-clk-ckpt").toString
+    val outName = "cl_sink_" + System.nanoTime()
+    val q = spark.readStream.format("graft")
+      .option("read-changelog", "true")
+      .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+      .load(loc)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(outName).start()
+    q.awaitTermination(60000)
+    val rows = spark.table(outName).orderBy("k", "_row_kind")
+      .select("k", "v", "_row_kind").as[(Long, Double, String)].collect().toSet
+    assert(rows == Set(
+      (1L, 10.0, "+I"), (2L, 20.0, "+I"), (3L, 30.0, "+I"),
+      (2L, 20.0, "-U"), (2L, 99.0, "+U"), (4L, 40.0, "+I")), s"got $rows")
+    // batch changelog() also serves from the persisted files (no diff join)
+    val cl = t.changelog(1, 2).select("k", "v", "_row_kind")
+      .as[(Long, Double, String)].collect().toSet
+    assert(cl == Set((2L, 20.0, "-U"), (2L, 99.0, "+U"), (4L, 40.0, "+I")), s"got $cl")
+  }
+
   test("streaming read: micro-batches follow the snapshot log") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.st (k BIGINT, s STRING) TBLPROPERTIES ('primary-key'='k','bucket'='1')")
