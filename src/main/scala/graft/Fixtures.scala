@@ -66,6 +66,21 @@ object Fixtures {
       t
     }
 
+  /** Dynamic-bucket (bucket = -1) PK table: key→bucket assignments persist
+    * in index/bucket-index, buckets grow with data volume. */
+  def ordersDyn(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_dyn") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = -1,
+          options = Map("dynamic-bucket.target-row-count" -> "500")))
+      t.write(orders)
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", lit("X-UPD")))
+      t
+    }
+
   /** Partial-update engine over customer: v1 = all fields but mktsegment,
     * v2 (custkey%3==0) = +100 acctbal and mktsegment, name null. */
   def custPu(spark: SparkSession, sfDir: String): GraftTable =

@@ -92,6 +92,7 @@ object SparkEntry {
     "q_system_snapshots" -> ((s, d) => Fixtures.ordersPk(s, d)
       .systemTable("snapshots").select("snapshot_id", "commit_kind")),
     "q_branch_ff" -> ((s, d) => statusAgg(Fixtures.ordersBranch(s, d).read())),
+    "q_dynamic_bucket" -> ((s, d) => statusAgg(Fixtures.ordersDyn(s, d).read())),
     "q_format_table" -> ((s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))),
 
@@ -530,6 +531,7 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS snapshot_id, 'APPEND' AS commit_kind
         |UNION ALL SELECT 2, 'APPEND' UNION ALL SELECT 3, 'COMPACT'""".stripMargin,
     "q_branch_ff" -> dedupOracle,
+    "q_dynamic_bucket" -> dedupOracle,
     "q_format_table" ->
       "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag",
     "q_partial_update" ->

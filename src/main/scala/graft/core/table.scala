@@ -92,6 +92,89 @@ class GraftTable private (
     if (isPk) pmod(xxhash64(pks.map(col).toIndexedSeq: _*), lit(config.numBuckets)).cast(IntegerType)
     else lit(0)
 
+  /** HASH_DYNAMIC mode: `bucket = -1` (paimon BucketMode.java:46,
+    * index/HashBucketAssigner). */
+  private[graft] def isDynamicBucket: Boolean = isPk && config.numBuckets < 0
+
+  // ------------------------------------------------------------------
+  // DYNAMIC BUCKET INDEX (persisted key-hash → bucket assignment)
+  // ------------------------------------------------------------------
+
+  private def bucketIndexDir = new Path(location, "index/bucket-index")
+  private def bucketCountsPath = new Path(location, "index/bucket-counts.json")
+
+  private def readBucketCounts(): Map[String, Long] =
+    if (!sm.fs.exists(bucketCountsPath)) Map.empty
+    else {
+      val m = Json.mapper.readValue(sm.readString(bucketCountsPath),
+        classOf[java.util.Map[String, Any]])
+      import scala.jdk.CollectionConverters._
+      m.asScala.map { case (k, v) => k -> v.asInstanceOf[Number].longValue }.toMap
+    }
+
+  /**
+   * Assign a bucket to every row of `df` (which already carries PT):
+   * existing keys route through the persisted index (a key must ALWAYS land
+   * in its original bucket, or LSM merge breaks); new keys pack into buckets
+   * of `dynamic-bucket.target-row-count` keys each, growing the bucket count
+   * monotonically per partition. The assignment join and the new-key
+   * row_number both shuffle only this batch's distinct keys — the index scan
+   * is a parquet read, nothing driver-side except the per-partition counters.
+   */
+  private def assignDynamicBuckets(df: DataFrame): DataFrame = {
+    val target = config.option("dynamic-bucket.target-row-count", "100000").toLong
+    val KH = "__kh"
+    val khExpr = xxhash64(pks.map(col).toIndexedSeq: _*)
+    val batchKeys = df.select(col(PT), khExpr.as(KH)).distinct()
+    val index: DataFrame =
+      if (sm.fs.exists(bucketIndexDir))
+        spark.read.parquet(bucketIndexDir.toString)
+      else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField(PT, StringType), StructField(KH, LongType),
+          StructField(BUCKET, IntegerType))))
+    val joined = batchKeys.join(index, Seq(PT, KH), "left")
+    val known = joined.filter(col(BUCKET).isNotNull)
+    val newKeys = joined.filter(col(BUCKET).isNull).drop(BUCKET)
+    val counts = readBucketCounts()
+    val countRows = counts.toSeq.map { case (pt, n) => (pt, n) }
+    val countDf =
+      if (countRows.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField(PT, StringType), StructField("__base", LongType))))
+      else {
+        import spark.implicits._
+        countRows.toDF(PT, "__base")
+      }
+    val w = Window.partitionBy(col(PT)).orderBy(col(KH))
+    val assigned = newKeys
+      .join(broadcast(countDf), Seq(PT), "left")
+      .withColumn("__base", coalesce(col("__base"), lit(0L)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn(BUCKET,
+        ((col("__base") + col("__rn") - 1) / target).cast(IntegerType))
+      .select(col(PT), col(KH), col(BUCKET))
+    // persist new assignments + advance per-partition counters, THEN route
+    // the batch through the refreshed on-disk index — the routing plan must
+    // not re-derive "new keys" lazily after the index already contains them
+    val newAssigned = assigned.cache()
+    val perPt = newAssigned.groupBy(PT).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perPt.nonEmpty) {
+      newAssigned.write.mode("append").parquet(bucketIndexDir.toString)
+      val updated = (counts.keySet ++ perPt.keySet).map { pt =>
+        pt -> (counts.getOrElse(pt, 0L) + perPt.getOrElse(pt, 0L))
+      }.toMap
+      sm.writeString(bucketCountsPath, Json.write(updated))
+    }
+    newAssigned.unpersist()
+    val freshIndex =
+      if (sm.fs.exists(bucketIndexDir)) spark.read.parquet(bucketIndexDir.toString)
+      else index
+    df.withColumn(KH, khExpr)
+      .join(freshIndex.select(col(PT), col(KH), col(BUCKET)), Seq(PT, KH))
+      .drop(KH)
+  }
+
   /**
    * Write `df` as new data files under data/c-<uuid>/ and return manifest
    * ADD entries. No commit — caller composes the delta. Files are invisible
@@ -138,7 +221,9 @@ class GraftTable private (
       if (partCols.isEmpty) lit("-")
       else format_string("%016x", xxhash64(
         partCols.map(c => coalesce(col(c).cast(StringType), lit("__NULL__"))).toIndexedSeq: _*))
-    df = df.withColumn(PT, ptExpr).withColumn(BUCKET, bucketExpr)
+    df = df.withColumn(PT, ptExpr)
+    df = if (isDynamicBucket) assignDynamicBuckets(df)
+         else df.withColumn(BUCKET, bucketExpr)
     if (isPk) {
       val routeCols = partCols.map(col) :+ col(BUCKET)
       df = df.repartition(routeCols: _*)

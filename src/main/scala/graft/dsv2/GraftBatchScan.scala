@@ -81,7 +81,7 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
   private def clusteringTransforms: Array[Transform] = {
     val parts = t.config.partitionKeys.map(Expressions.identity(_): Transform)
     val bucket =
-      if (t.isPk)
+      if (t.isPk && t.config.numBuckets > 0)
         Seq(Expressions.bucket(t.config.numBuckets, t.config.primaryKeys: _*): Transform)
       else Nil
     (parts ++ bucket).toArray
@@ -119,7 +119,8 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
       val dt = t.dataSchema.fields.find(_.name == pc).get.dataType
       statValue(dt, e.partition.getOrElse(pc, null))
     }
-    val vals = if (t.isPk) partVals :+ e.bucket else partVals
+    val vals =
+      if (t.isPk && t.config.numBuckets > 0) partVals :+ e.bucket else partVals
     new GenericInternalRow(vals.toArray[Any])
   }
 

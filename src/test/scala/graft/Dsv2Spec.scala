@@ -244,6 +244,35 @@ class Dsv2Spec extends SparkTestBase {
     assert(cl == Set((2L, 20.0, "-U"), (2L, 99.0, "+U"), (4L, 40.0, "+I")), s"got $cl")
   }
 
+  test("dynamic bucket (bucket = -1): buckets grow, keys stay routed, merge correct") {
+    import graft.core.RowOps._
+    val loc = Files.createTempDirectory("graft-dyn").resolve("t").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = -1,
+        options = Map("dynamic-bucket.target-row-count" -> "100")))
+    // 250 keys → 3 buckets (100/100/50)
+    t.write(spark.range(250).select(col("id").as("k"), concat(lit("v"), col("id")).as("v")))
+    val buckets1 = t.planFiles().map(_.bucket).distinct.sorted
+    assert(buckets1 == Seq(0, 1, 2), s"got $buckets1")
+    // update a subset: must land in ORIGINAL buckets (no growth)
+    t.write(spark.range(50).select(col("id").as("k"), lit("upd").as("v")))
+    assert(t.read().count() == 250)
+    assert(t.read().filter(col("v") === "upd").count() == 50)
+    // new keys continue filling: +150 keys → bucket 3 appears
+    t.write(spark.range(250, 400).select(col("id").as("k"), concat(lit("n"), col("id")).as("v")))
+    val buckets3 = t.planFiles().map(_.bucket).distinct.sorted
+    assert(buckets3 == Seq(0, 1, 2, 3), s"got $buckets3")
+    assert(t.read().count() == 400)
+    // compaction preserves routing and results
+    t.compact()
+    assert(t.read().count() == 400)
+    assert(t.read().filter(col("v") === "upd").count() == 50)
+    // delete + merge-into paths still work on dynamic tables
+    t.delete(col("k") < 10)
+    assert(t.read().count() == 390)
+  }
+
   test("streaming read: micro-batches follow the snapshot log") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.st (k BIGINT, s STRING) TBLPROPERTIES ('primary-key'='k','bucket'='1')")

@@ -16,12 +16,14 @@ import scala.util.Random
 class RandomizedLsmSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def runScenario(seed: Long, ops: Int): Unit = {
+  private def runScenario(seed: Long, ops: Int, numBuckets: Int = 3): Unit = {
     val rnd = new Random(seed)
-    val loc = tmpLoc(s"rand-$seed")
+    val loc = tmpLoc(s"rand-$seed-$numBuckets")
     val t = GraftTable.create(spark, loc,
       Seq((1L, "s", 1.0)).toDF("k", "s", "p").schema,
-      TableConfig(primaryKeys = Seq("k"), numBuckets = 3))
+      TableConfig(primaryKeys = Seq("k"), numBuckets = numBuckets,
+        options = if (numBuckets < 0)
+          Map("dynamic-bucket.target-row-count" -> "10") else Map.empty))
     var model = Map.empty[Long, (String, Double)]
 
     def check(): Unit = {
@@ -66,5 +68,9 @@ class RandomizedLsmSpec extends SparkTestBase {
     runScenario(seed = 7L, ops = 10)
     runScenario(seed = 42L, ops = 10)
     runScenario(seed = 1337L, ops = 8)
+  }
+
+  test("random op sequence with dynamic buckets (bucket = -1)") {
+    runScenario(seed = 99L, ops = 10, numBuckets = -1)
   }
 }
