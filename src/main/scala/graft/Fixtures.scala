@@ -229,7 +229,9 @@ object Fixtures {
       t
     }
 
-  /** Schema evolution: append orders, add `note` column, write tagged subset. */
+  /** Schema evolution: add `note`, write under the new schema, RENAME
+    * note → comment (field-id remap keeps old files' data readable), write
+    * again under the renamed schema. */
   def ordersEvo(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "orders_evo") { loc =>
       val orders = src(spark, sfDir, "orders")
@@ -239,7 +241,10 @@ object Fixtures {
         org.apache.spark.sql.types.StringType))
       val t2 = GraftTable.load(spark, t.location)
       t2.write(orders.filter(col("o_orderkey") % 10 === 0).withColumn("note", lit("evolved")))
-      t2
+      t2.renameColumn("note", "comment")
+      val t3 = GraftTable.load(spark, t.location)
+      t3.write(orders.filter(col("o_orderkey") % 7 === 3).withColumn("comment", lit("renamed")))
+      t3
     }
 
   /** Branch fixture: main = orders; branch dev applies the %10 updates;

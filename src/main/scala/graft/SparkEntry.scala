@@ -151,7 +151,8 @@ object SparkEntry {
     "q_overwrite_dynamic" -> ((s, d) => Fixtures.eventsOw(s, d).read()
       .groupBy("event_type").agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
     "q_schema_evolution" -> ((s, d) => Fixtures.ordersEvo(s, d).read()
-      .agg(count(lit(1)).as("cnt"), count(col("note")).as("notes"))),
+      .groupBy(coalesce(col("comment"), lit("-")).as("comment"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
 
     // ---- DSv2 catalog SQL (§3.1 trace through Spark's analyzer/catalog) ----
     "q_sql_catalog" -> ((s, d) => {
@@ -603,9 +604,15 @@ object SparkEntry {
         | round(sum(CASE WHEN event_type = 'error' THEN 0 ELSE value END), 2) AS total
         |FROM events GROUP BY event_type""".stripMargin,
     "q_schema_evolution" ->
-      """SELECT CAST((SELECT count(*) FROM orders) +
-        |   (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT) AS cnt,
-        | CAST((SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT) AS notes""".stripMargin,
+      """WITH all_rows AS (
+        |  SELECT o_totalprice, '-' AS comment FROM orders
+        |  UNION ALL
+        |  SELECT o_totalprice, 'evolved' FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice, 'renamed' FROM orders WHERE o_orderkey % 7 = 3)
+        |SELECT comment, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM all_rows GROUP BY comment""".stripMargin,
     "q_stream_upsert" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders",
     "q_sql_catalog" ->

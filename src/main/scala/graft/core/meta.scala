@@ -94,7 +94,10 @@ case class ManifestEntry(
     minSeq: Long,
     maxSeq: Long,
     level: Int,
-    stats: Map[String, ColStat])
+    stats: Map[String, ColStat],
+    // schema version the file was written under — reads remap old files to
+    // the current schema BY FIELD ID (rename/drop/retype safe)
+    schemaId: Long = 0L)
 
 /** Snapshot: ordered manifest list; effective file set = fold ADD/DELETE
   * entries over `manifests` in order (cf. paimon Snapshot.java:44). */

@@ -284,7 +284,8 @@ class GraftTable private (
       val (minSeq, maxSeq) =
         if (isPk) (stats(SEQ).min.toLong, stats(SEQ).max.toLong) else (0L, 0L)
       ManifestEntry(0, rel, partition, row.getAs[Int]("__b"),
-        row.getAs[Long]("__rc"), size, minSeq, maxSeq, level = level, stats = stats)
+        row.getAs[Long]("__rc"), size, minSeq, maxSeq, level = level, stats = stats,
+        schemaId = schema.id)
     }
   }
 
@@ -431,9 +432,14 @@ class GraftTable private (
       val s = if (withInternal && isPk) fileSchema else dataSchema
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
     }
-    val paths = entries.map(e => new Path(location, e.path).toString)
-    var df = spark.read.schema(fileSchema).parquet(paths: _*)
-    if (dv.nonEmpty) {
+    val curSchema = schema
+    def envelopeOf(st: StructType): StructType =
+      if (!isPk) st
+      else StructType(st.fields ++ Array(
+        StructField(SEQ, LongType, false), StructField(COMMIT, LongType, false),
+        StructField(POS, LongType, true), StructField(KIND, IntegerType, false)))
+    def applyDv(dfIn: DataFrame): DataFrame = {
+      if (dv.isEmpty) return dfIn
       // apply deletion vectors: filter out (file, row_index) marked deleted
       // (paimon ApplyDeletionVectorReader). Bitmaps deserialize once per
       // executor via DvCache; _metadata.row_index is Spark's native parquet
@@ -447,12 +453,37 @@ class GraftTable private (
           case None => true
         }
       }
-      df = df
-        .withColumn("__fp", col("_metadata.file_path"))
+      dfIn.withColumn("__fp", col("_metadata.file_path"))
         .withColumn("__ri", col("_metadata.row_index"))
         .filter(keep(col("__fp"), col("__ri")))
         .drop("__fp", "__ri")
     }
+    // group files by write-schema; old files remap to the current schema BY
+    // FIELD ID (paimon SchemaEvolutionUtil cast/index mapping): renamed
+    // columns keep their data, dropped ids vanish, added ids read as null.
+    val parts = entries.groupBy(_.schemaId).toSeq.sortBy(_._1).map { case (sid, es) =>
+      val paths = es.map(e => new Path(location, e.path).toString)
+      if (sid == curSchema.id) {
+        applyDv(spark.read.schema(fileSchema).parquet(paths: _*))
+      } else {
+        val old = sm.readSchema(sid)
+        val raw = applyDv(
+          spark.read.schema(envelopeOf(old.sparkSchema)).parquet(paths: _*))
+        val byId = old.fields.map(f => f.id -> f).toMap
+        val dataCols = curSchema.fields.map { f =>
+          val dt = DataType.fromDDL(f.dataType)
+          byId.get(f.id) match {
+            case Some(of) => col(of.name).cast(dt).as(f.name)
+            case None => lit(null).cast(dt).as(f.name)
+          }
+        }
+        val cols = if (isPk)
+          dataCols ++ Seq(col(SEQ), col(COMMIT), col(POS), col(KIND))
+        else dataCols
+        raw.select(cols.toIndexedSeq: _*)
+      }
+    }
+    val df = parts.reduce(_ unionAll _)
     if (withInternal || !isPk) df
     else df.select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
   }
@@ -502,6 +533,9 @@ class GraftTable private (
               filter: Option[Column] = None): Option[Seq[ManifestEntry]] = {
     if (dvFor(snapshotId).nonEmpty) return None
     val entries = planFiles(snapshotId, filter)
+    // files from older schema versions need the field-id remap (V1 path);
+    // the native columnar scan reads strictly by current column names
+    if (entries.exists(_.schemaId != schema.id)) return None
     if (!isPk) return Some(entries)
     val ok = entries.groupBy(e => (e.partition, e.bucket)).forall { case (_, es) =>
       es.size == 1 && {
@@ -547,11 +581,55 @@ class GraftTable private (
     val cur = schema
     newCols.foreach(f => require(!cur.fields.exists(_.name == f.name),
       s"column ${f.name} exists"))
-    val maxId = cur.fields.map(_.id).max
+    // max over ALL schema versions: re-using a DROPPED field's id would
+    // resurrect its data from old files through the id remap
+    val maxId = (0L to sm.latestSchemaId)
+      .flatMap(id => sm.readSchema(id).fields.map(_.id)).max
     val added = newCols.zipWithIndex.map { case (f, i) =>
       FieldDef(maxId + 1 + i, f.name, f.dataType.sql, nullable = true)
     }
     sm.writeSchema(TableSchema(cur.id + 1, cur.fields ++ added, cur.config,
+      System.currentTimeMillis()))
+  }
+
+  private def protectedCols: Set[String] =
+    (config.primaryKeys ++ config.partitionKeys ++ config.sequenceField).toSet
+
+  /** Rename a column; files written under older schemas keep serving the
+    * data through the field-id remap (paimon SchemaChange.renameColumn). */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    val cur = schema
+    require(cur.fields.exists(_.name == oldName), s"no column $oldName")
+    require(!cur.fields.exists(_.name == newName), s"column $newName exists")
+    require(!protectedCols.contains(oldName),
+      s"cannot rename key/partition/sequence column $oldName")
+    val fields = cur.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f)
+    sm.writeSchema(TableSchema(cur.id + 1, fields, cur.config,
+      System.currentTimeMillis()))
+  }
+
+  /** Drop a column (field id retired; old files' data becomes invisible). */
+  def dropColumn(name: String): Unit = {
+    val cur = schema
+    require(cur.fields.exists(_.name == name), s"no column $name")
+    require(!protectedCols.contains(name),
+      s"cannot drop key/partition/sequence column $name")
+    require(cur.fields.size > 1, "cannot drop the last column")
+    sm.writeSchema(TableSchema(cur.id + 1, cur.fields.filterNot(_.name == name),
+      cur.config, System.currentTimeMillis()))
+  }
+
+  /** Change a column's type (old files cast on read; paimon
+    * SchemaChange.updateColumnType via casting/CastExecutors). */
+  def updateColumnType(name: String, dt: DataType): Unit = {
+    val cur = schema
+    require(cur.fields.exists(_.name == name), s"no column $name")
+    require(!protectedCols.contains(name),
+      s"cannot retype key/partition/sequence column $name")
+    val fields = cur.fields.map(f =>
+      if (f.name == name) f.copy(dataType = dt.sql) else f)
+    sm.writeSchema(TableSchema(cur.id + 1, fields, cur.config,
       System.currentTimeMillis()))
   }
 

@@ -142,6 +142,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         require(add.fieldNames().length == 1, "nested add not supported")
         t.addColumns(org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType(), add.isNullable))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1, "nested rename not supported")
+        t.renameColumn(rn.fieldNames()(0), rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1, "nested drop not supported")
+        t.dropColumn(del.fieldNames()(0))
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1, "nested retype not supported")
+        t.updateColumnType(ut.fieldNames()(0), ut.newDataType())
       case other => throw new UnsupportedOperationException(s"alter: $other")
     }
     new GraftSparkTable(GraftTable.load(spark, tablePath(ident)))

@@ -273,6 +273,29 @@ class Dsv2Spec extends SparkTestBase {
     assert(t.read().count() == 390)
   }
 
+  test("schema evolution by field id: rename/retype/drop via SQL ALTER") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.evo (k BIGINT, a INT, b STRING)")
+    spark.sql("INSERT INTO graft.db.evo VALUES (1, 10, 'x'), (2, 20, 'y')")
+    // rename: old files keep serving the data under the new name
+    spark.sql("ALTER TABLE graft.db.evo RENAME COLUMN a TO a2")
+    assert(spark.sql("SELECT sum(a2) FROM graft.db.evo").head().getLong(0) == 30)
+    spark.sql("INSERT INTO graft.db.evo VALUES (3, 30, 'z')")
+    assert(spark.sql("SELECT sum(a2) FROM graft.db.evo").head().getLong(0) == 60)
+    // retype: widen int → bigint, old files cast on read
+    spark.sql("ALTER TABLE graft.db.evo ALTER COLUMN a2 TYPE BIGINT")
+    val rows = spark.sql("SELECT k, a2 FROM graft.db.evo ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // drop: column vanishes, other data unaffected
+    spark.sql("ALTER TABLE graft.db.evo DROP COLUMN b")
+    assert(spark.sql("SELECT * FROM graft.db.evo").columns.toSeq == Seq("k", "a2"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.evo").head().getLong(0) == 3)
+    // a column added AFTER a drop must not resurrect the dropped id's data
+    spark.sql("ALTER TABLE graft.db.evo ADD COLUMN b STRING")
+    assert(spark.sql("SELECT count(b) FROM graft.db.evo").head().getLong(0) == 0)
+  }
+
   test("streaming read: micro-batches follow the snapshot log") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.st (k BIGINT, s STRING) TBLPROPERTIES ('primary-key'='k','bucket'='1')")
