@@ -165,6 +165,12 @@ object SparkEntry {
       val tbl = Fixtures.sqlCatalogOrders(s, d)
       s.sql(s"SELECT count(*) AS cnt FROM $tbl VERSION AS OF 1")
     }),
+    // TVF surface (§2.11 / paimon_incremental_query counterpart)
+    "q_tvf_incremental" -> ((s, d) => {
+      val loc = Fixtures.ordersPk(s, d).location
+      s.sql(s"""SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderpriority
+                FROM graft_incremental_query('$loc', 1, 2)""")
+    }),
     // SQL row-level commands through the session extensions (§2.10)
     "q_sql_delete" -> ((s, d) => {
       val tbl = Fixtures.sqlRowOps(s, d, "orders_sqldel",
@@ -621,6 +627,9 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_sql_time_travel" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM orders",
+    "q_tvf_incremental" ->
+      """SELECT o_orderkey, round(o_totalprice * 2, 2) AS price, 'X-UPD' AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
     "q_sql_delete" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total

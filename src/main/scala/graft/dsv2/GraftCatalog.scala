@@ -49,6 +49,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val ns = ident.namespace().mkString(".")
     new Path(dbPath(ns), ident.name()).toString
   }
+  /** Location of `db.table` (used by the TVF identifier resolution). */
+  def tableLocation(db: String, table: String): String =
+    tablePath(Identifier.of(Array(db), table))
 
   // ---- namespaces ----
   override def listNamespaces(): Array[Array[String]] = {
@@ -85,6 +88,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `t$snapshots`, `t$files`, ... — system tables addressable in SQL
+    // (paimon SystemTableLoader / SparkCatalog `$` suffix convention)
+    if (ident.name().contains('$')) {
+      val Array(base, sys) = ident.name().split('$')
+      val loc = tablePath(Identifier.of(ident.namespace(), base))
+      if (!GraftTable.exists(spark, loc))
+        throw new NoSuchTableException(ident.namespace() :+ ident.name())
+      import graft.core.RowOps._
+      return new GraftDataFrameTable(s"$base$$$sys",
+        GraftTable.load(spark, loc).systemTable(sys))
+    }
     val loc = tablePath(ident)
     if (!GraftTable.exists(spark, loc))
       throw new NoSuchTableException(ident.namespace() :+ ident.name())

@@ -206,6 +206,29 @@ class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
     s"GraftScan(${t.location}, filters=${filters.mkString(",")})"
 }
 
+/** Read-only DSv2 Table over a prepared DataFrame (system tables through
+  * the catalog's `t$name` suffix). */
+class GraftDataFrameTable(tableName: String, df: DataFrame)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = df.schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val rel = new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = df.schema
+          override def buildScan(): RDD[Row] = df.rdd
+        }
+        rel.asInstanceOf[T]
+      }
+    }
+}
+
 /** V1 write fallback (paimon PaimonWriteBuilder pattern): INSERT INTO /
   * INSERT OVERWRITE / truncate / dynamic overwrite route to the engine's
   * write paths and commit protocol. */

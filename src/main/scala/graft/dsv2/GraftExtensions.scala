@@ -38,6 +38,7 @@ import org.apache.spark.sql.graft.SparkShims
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => new GraftRowLevelSql(session))
+    GraftTableFunctions.all.foreach(ext.injectTableFunction)
   }
 }
 

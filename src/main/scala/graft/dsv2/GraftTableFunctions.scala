@@ -1,0 +1,108 @@
+package graft.dsv2
+
+import graft.core._
+import graft.core.RowOps._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.SparkShims
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * SQL table-valued functions — the TVF surface of the reference
+ * (paimon-spark/.../catalyst/plans/logical/PaimonTableValuedFunctions.scala:56-61:
+ * paimon_incremental_query, vector_search, full_text_search, hybrid_search),
+ * registered through SparkSessionExtensions.injectTableFunction:
+ *
+ * {{{
+ *   SELECT * FROM graft_incremental_query('<table>', 1, 3)
+ *   SELECT * FROM graft_changelog('<table>', 1, 3)
+ *   SELECT * FROM graft_full_text_search('<index-path>', 'query terms', 10)
+ *   SELECT * FROM graft_vector_search('<ivf-path>', 10, 4, array(0.1, ...))
+ *   SELECT * FROM graft_system('<table>', 'snapshots')
+ *   SELECT * FROM graft_call('<table>', 'compact', 'k=v,...')   -- CALL sugar
+ * }}}
+ *
+ * `<table>` is a filesystem location or a `catalog.db.table` identifier
+ * resolved through the session's catalog manager.
+ */
+object GraftTableFunctions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def str(e: Expression): String = e.eval() match {
+    case s: UTF8String => s.toString
+    case null => throw new IllegalArgumentException("null argument")
+    case o => o.toString
+  }
+  private def lng(e: Expression): Long = e.eval() match {
+    case n: java.lang.Number => n.longValue()
+    case o => o.toString.toLong
+  }
+  private def floats(e: Expression): Seq[Float] = e.eval() match {
+    case a: ArrayData => a.toObjectArray(
+      org.apache.spark.sql.types.DoubleType).toSeq.map {
+        case d: java.lang.Number => d.floatValue()
+      }
+    case o => throw new IllegalArgumentException(s"expected array, got $o")
+  }
+
+  /** Resolve a path or `catalog.db.table` identifier to an engine table. */
+  def resolveTable(ref: String): GraftTable = {
+    if (ref.contains("/")) return GraftTable.load(spark, ref)
+    val parts = ref.split('.')
+    require(parts.length == 3, s"expected path or catalog.db.table, got $ref")
+    SparkShims.catalogPlugin(spark, parts(0)) match {
+      case g: GraftCatalog => GraftTable.load(spark, g.tableLocation(parts(1), parts(2)))
+      case other => throw new IllegalArgumentException(
+        s"${parts(0)} is not a graft catalog: $other")
+    }
+  }
+
+  private def fd(name: String)(builder: Seq[Expression] => LogicalPlan): FunctionDescription =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name), builder)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.logical
+
+  val all: Seq[FunctionDescription] = Seq(
+    fd("graft_incremental_query") { args =>
+      require(args.length == 3, "graft_incremental_query(table, from, to)")
+      plan(resolveTable(str(args(0))).incremental(lng(args(1)), lng(args(2))))
+    },
+    fd("graft_changelog") { args =>
+      require(args.length == 3, "graft_changelog(table, from, to)")
+      plan(resolveTable(str(args(0))).changelog(lng(args(1)), lng(args(2))))
+    },
+    fd("graft_full_text_search") { args =>
+      require(args.length == 3, "graft_full_text_search(indexPath, query, k)")
+      plan(graft.pipeline.Indexes.fullTextSearch(spark, str(args(0)),
+        str(args(1)).split("\\s+").toSeq, lng(args(2)).toInt))
+    },
+    fd("graft_vector_search") { args =>
+      require(args.length == 4, "graft_vector_search(ivfPath, k, nprobe, queryVec)")
+      plan(graft.pipeline.Indexes.ivfSearch(spark, str(args(0)), "embedding",
+        floats(args(3)), lng(args(1)).toInt, lng(args(2)).toInt, scoreCol = "score"))
+    },
+    fd("graft_system") { args =>
+      require(args.length == 2, "graft_system(table, name)")
+      plan(resolveTable(str(args(0))).systemTable(str(args(1))))
+    },
+    fd("graft_call") { args =>
+      require(args.length >= 2, "graft_call(table, procedure[, 'k=v,k=v'])")
+      val t = resolveTable(str(args(0)))
+      val opts =
+        if (args.length < 3) Map.empty[String, String]
+        else str(args(2)).split(',').filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
+        }.toMap
+      plan(Procedures.call(spark, t, str(args(1)), opts))
+    })
+}

@@ -19,4 +19,8 @@ object SparkShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def catalogPlugin(spark: SparkSession,
+                    name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.catalog(name)
 }

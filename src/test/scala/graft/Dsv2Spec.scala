@@ -296,6 +296,38 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT count(b) FROM graft.db.evo").head().getLong(0) == 0)
   }
 
+  test("system tables via t$suffix; TVFs: incremental_query, system, call") {
+    import graft.core.RowOps._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.tvf (k BIGINT, v DOUBLE) TBLPROPERTIES ('primary-key'='k','bucket'='2')")
+    spark.sql("INSERT INTO graft.db.tvf VALUES (1,1.0),(2,2.0)")
+    spark.sql("INSERT INTO graft.db.tvf VALUES (2,22.0),(3,3.0)")
+    // t$snapshots through the catalog
+    val snaps = spark.sql("SELECT snapshot_id, commit_kind FROM graft.db.`tvf$snapshots` ORDER BY snapshot_id")
+      .as[(Long, String)].collect().toSeq
+    assert(snaps == Seq((1L, "APPEND"), (2L, "APPEND")))
+    assert(spark.sql("SELECT * FROM graft.db.`tvf$files`").count() >= 2)
+    // TVF: incremental between snapshots
+    val inc = spark.sql("SELECT k, v FROM graft_incremental_query('graft.db.tvf', 1, 2) ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(inc == Seq((2L, 22.0), (3L, 3.0)))
+    // TVF: system
+    assert(spark.sql("SELECT * FROM graft_system('graft.db.tvf', 'snapshots')").count() == 2)
+    // TVF: call compact, then the table is fully compacted
+    val msg = spark.sql("SELECT * FROM graft_call('graft.db.tvf', 'compact')").head().getString(0)
+    assert(msg.contains("compacted"))
+    val t = GraftTable.load(spark, s"$wh/db.db/tvf")
+    assert(t.planFiles().forall(_.level > 0))
+    // TVF: full-text search over a persisted index
+    val docs = Seq((1L, "spark table formats"), (2L, "vector search engines"))
+      .toDF("doc_id", "text")
+    val idxLoc = Files.createTempDirectory("graft-tvf-ft").resolve("idx").toString
+    graft.pipeline.Indexes.buildFullText(spark, docs, "doc_id", "text", idxLoc)
+    val hit = spark.sql(s"SELECT doc_id FROM graft_full_text_search('$idxLoc', 'vector engines', 1)")
+      .as[Long].head()
+    assert(hit == 2L)
+  }
+
   test("streaming read: micro-batches follow the snapshot log") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.st (k BIGINT, s STRING) TBLPROPERTIES ('primary-key'='k','bucket'='1')")
