@@ -127,9 +127,12 @@ object SparkEntry {
       .limit(10)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice"), 2).as("price"))),
+    // 2-D range filter — the shape z-order interleaving actually serves
+    // (a 1-D slice belongs to `order` clustering, not z-order)
     "q_zorder_scan" -> ((s, d) => Fixtures.lineitemZ(s, d)
       .read(filter = Some(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
-        && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")))
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")
+        && col("l_extendedprice") >= 900.0 && col("l_extendedprice") < 1500.0))
       .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("rev"))),
 
     // ---- row-level ops (§2.10) ----
@@ -568,7 +571,8 @@ object SparkEntry {
     "q_zorder_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(l_extendedprice), 2) AS rev
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        | AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_extendedprice >= 900.0 AND l_extendedprice < 1500.0""".stripMargin,
     "q_delete_cow" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total

@@ -514,11 +514,20 @@ class GraftTable private (
         }
         val rawEntries = rawB.values.flatten.toSeq
         val mergeEntries = mergeB.values.flatten.toSeq
+        // version-pileup estimate: rows per bucket vs the bucket's largest
+        // file (a lower bound on distinct keys). High ratio → hash-agg merge
+        // (map-side duplicate collapse); low ratio → sort window.
+        val heavyDup = mergeB.nonEmpty && {
+          val total = mergeEntries.map(_.rowCount).sum.toDouble
+          val keysLb = mergeB.values.map(_.map(_.rowCount).max).sum.toDouble
+          keysLb > 0 && total / keysLb >= 2.0
+        }
         val parts = Seq(
           if (rawEntries.nonEmpty) Some(readEntries(rawEntries, withInternal = false, dv)) else None,
           if (mergeEntries.nonEmpty)
             Some(MergeEngines.merge(readEntries(mergeEntries, withInternal = true, dv),
-              config, dataSchema).select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*))
+              config, dataSchema, preferHash = heavyDup)
+              .select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*))
           else None).flatten
         parts.reduce(_ unionAll _)
       }
@@ -803,27 +812,44 @@ object GraftTable {
 object MergeEngines {
   import GraftTable._
 
-  def merge(df: DataFrame, config: TableConfig, schema: StructType): DataFrame = {
+  def merge(df: DataFrame, config: TableConfig, schema: StructType,
+            preferHash: Boolean = false): DataFrame = {
     val pks = config.primaryKeys
     config.mergeEngine match {
-      case "deduplicate" => dedup(df, pks, latestFirst = true)
-      case "first-row" => dedup(df, pks, latestFirst = false)
+      case "deduplicate" => dedup(df, pks, latestFirst = true, preferHash)
+      case "first-row" => dedup(df, pks, latestFirst = false, preferHash)
       case "partial-update" => partialUpdate(df, pks, schema)
       case "aggregation" => aggregation(df, pks, schema, config)
       case other => throw new IllegalArgumentException(s"unknown merge engine $other")
     }
   }
 
-  /** deduplicate: last (or first) row per key by (seq, commit); drop delete
-    * tombstones after selection. */
-  private def dedup(df: DataFrame, pks: Seq[String], latestFirst: Boolean): DataFrame = {
-    val ord =
-      if (latestFirst) Seq(col(SEQ).desc, col(COMMIT).desc, col(POS).desc)
-      else Seq(col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
-    val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .filter(col(KIND) =!= KIND_DELETE)
+  /** deduplicate: last (or first) row per key by (seq, commit, pos); drop
+    * delete tombstones after selection. Two physical shapes, same result:
+    *  - sort window (default): cheapest when most keys carry ~1 version;
+    *  - hash aggregation (max_by/min_by over the row struct) when
+    *    `preferHash`: partial aggregation collapses duplicates MAP-SIDE
+    *    before the shuffle — the winner when many versions pile up per key
+    *    (upsert-heavy streams), since it shuffles one row per key. */
+  private def dedup(df: DataFrame, pks: Seq[String], latestFirst: Boolean,
+                    preferHash: Boolean = false): DataFrame = {
+    if (preferHash) {
+      val ordKey = struct(col(SEQ), col(COMMIT), col(POS))
+      val rowStruct = struct(df.columns.map(col).toIndexedSeq: _*)
+      val pick = if (latestFirst) max_by(rowStruct, ordKey) else min_by(rowStruct, ordKey)
+      df.groupBy(pks.map(col).toIndexedSeq: _*)
+        .agg(pick.as("__r"))
+        .select(col("__r.*"))
+        .filter(col(KIND) =!= KIND_DELETE)
+    } else {
+      val ord =
+        if (latestFirst) Seq(col(SEQ).desc, col(COMMIT).desc, col(POS).desc)
+        else Seq(col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
+      val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*).orderBy(ord: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .filter(col(KIND) =!= KIND_DELETE)
+    }
   }
 
   /** partial-update: per non-key field, last non-null value by (seq, commit)

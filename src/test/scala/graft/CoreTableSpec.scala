@@ -69,6 +69,26 @@ class CoreTableSpec extends SparkTestBase {
       expected.filter(col("k") === 2L))
   }
 
+  test("z-order clustering prunes files for 2-D range filters") {
+    val loc = tmpLoc("zprune")
+    val df = spark.range(40000).select(
+      (col("id") % 200).cast("double").as("x"),
+      (floor(col("id") / 200) % 200).cast("double").as("y"),
+      col("id").as("payload"))
+    val t = GraftTable.create(spark, loc, df.schema, TableConfig())
+    t.write(df)
+    t.compactSorted("zorder", Seq("x", "y"), targetPartitions = 16)
+    val total = t.planFiles().size
+    val pruned = t.planFiles(filter =
+      Some(col("x").between(10.0, 30.0) && col("y").between(10.0, 30.0))).size
+    assert(total >= 8, s"expected several files, got $total")
+    assert(pruned <= total / 2,
+      s"z-order should prune most files for a 2-D box: $pruned of $total")
+    // correctness unaffected
+    assert(t.read(filter = Some(col("x").between(10.0, 30.0) && col("y").between(10.0, 30.0)))
+      .count() == 21L * 21L)
+  }
+
   test("time travel, tags, incremental, changelog") {
     val loc = tmpLoc("tt")
     val t = GraftTable.create(spark, loc, mkOrders.schema,
