@@ -399,6 +399,19 @@ object SparkEntry {
       graft.pipeline.Dedup.ngramJaccardPairs(d2, "doc_id", "text", "source",
         shingleN = 3, threshold = 0.8)
     }),
+    "q_blob_roundtrip" -> ((s, d) => {
+      // out-of-line blob storage: payloads → shared blob files, table keeps
+      // struct(uri, offset, length); ranged read verifies the round trip
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      val blobDir = java.nio.file.Files.createTempDirectory("graft-blobs").toString
+      // materialize descriptors BEFORE ranged reads: blob files must be
+      // closed (write job finished) before a reader opens them
+      val withDesc = graft.pipeline.Blob.writeBlobs(docs, "blob", blobDir).cache()
+      withDesc.count()
+      withDesc.select(col("doc_id"), col("blob.length").as("byte_len"),
+        md5(graft.pipeline.Blob.readBlob(s)(col("blob"))).as("content_hash"))
+    }),
     "q_multimodal_blob" -> ((s, d) => {
       // BLOB column plumbing: text → opaque binary + typed metadata; the
       // "decode" is a deterministic stand-in (real image/audio codecs are
@@ -724,6 +737,10 @@ object SparkEntry {
          |FROM documents GROUP BY source""".stripMargin,
     "q_multimodal_blob" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | md5(text) AS content_hash
+        |FROM documents WHERE doc_id < 100""".stripMargin,
+    "q_blob_roundtrip" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         | md5(text) AS content_hash
         |FROM documents WHERE doc_id < 100""".stripMargin,
     "q_ann_cosine" ->

@@ -82,6 +82,57 @@ object Procedures {
         Consumers.reset(table, args("consumer_id"),
           args.get("next_snapshot").map(_.toLong))
         ok(s"consumer ${args("consumer_id")} reset")
+      case "create_tag_from_timestamp" =>
+        val ts = args("timestamp_ms").toLong
+        val ids = table.sm.snapshotIds.filter(id => table.sm.readSnapshot(id).timestampMs <= ts)
+        require(ids.nonEmpty, "no snapshot at or before timestamp")
+        table.sm.createTag(args("tag"), ids.max)
+        ok(s"tag ${args("tag")} -> snapshot ${ids.max}")
+      case "expire_partitions" =>
+        // drop whole partitions whose value sorts below the threshold
+        // (paimon ExpirePartitionsProcedure, values-comparison strategy)
+        val pc = args.getOrElse("partition_column",
+          table.config.partitionKeys.headOption.getOrElse(
+            throw new IllegalArgumentException("table has no partitions")))
+        val threshold = args("older_than")
+        val victims = table.planFiles().filter(e =>
+          e.partition.get(pc).exists(v => v != null && v < threshold))
+        val parts = victims.map(_.partition).distinct.size
+        table.sm.commit(victims.map(_.copy(kind = 1)), "OVERWRITE",
+          s"expire-partitions-$threshold", table.schema.id)
+        ok(s"expired $parts partitions ($threshold)")
+      case "remove_unexisting_files" =>
+        // repair: drop manifest entries whose data file vanished on disk
+        val fs = table.sm.fs
+        val missing = table.planFiles().filter(e =>
+          !fs.exists(new Path(table.location, e.path)))
+        if (missing.nonEmpty)
+          table.sm.commit(missing.map(_.copy(kind = 1)), "OVERWRITE",
+            "remove-unexisting-files", table.schema.id)
+        ok(s"removed ${missing.size} unexisting file entries")
+      case "purge_files" =>
+        // drop ALL data (schema + table identity survive)
+        val live = table.planFiles()
+        table.sm.commit(live.map(_.copy(kind = 1)), "OVERWRITE", "purge-files",
+          table.schema.id, dvAction = Some(None))
+        ok(s"purged ${live.size} files")
+      case "rescale" =>
+        val n = args("bucket").toInt
+        val all = table.read()
+        val cur = table.schema
+        table.sm.writeSchema(TableSchema(cur.id + 1,
+          cur.fields, cur.config.copy(numBuckets = n), System.currentTimeMillis()))
+        val t2 = GraftTable.load(spark, table.location)
+        t2.overwrite(all)
+        ok(s"rescaled to $n buckets")
+      case "fast_forward_snapshot" =>
+        val s = table.rollback(args("snapshot").toLong)
+        ok(s"table set to snapshot ${args("snapshot")} (new ${s.id})")
+      case "migrate_table" =>
+        // import an external format directory (paimon MigrateTableProcedure)
+        val snap = CopyInto.copyIn(spark, table, args("source_path"),
+          args.getOrElse("format", "parquet"))
+        ok(s"migrated ${args("source_path")} (snapshot ${snap.id})")
       case other => throw new IllegalArgumentException(s"unknown procedure $other")
     }
   }

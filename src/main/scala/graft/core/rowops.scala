@@ -347,6 +347,58 @@ object RowOps {
         case "consumers" =>
           Consumers.list(t).map(c => (c.consumerId, c.nextSnapshot))
             .toDF("consumer_id", "next_snapshot_id")
+        case "aggregation_fields" =>
+          t.dataSchema.fields.map { f =>
+            val fn =
+              if (cfg.primaryKeys.contains(f.name)) "primary-key"
+              else cfg.fieldAggregates.getOrElse(f.name,
+                cfg.defaultAggregate.getOrElse("last_non_null_value"))
+            (f.name, f.dataType.sql, fn)
+          }.toSeq.toDF("field_name", "field_type", "function")
+        case "statistics_cols" =>
+          // typed per-column rows from the last ANALYZE
+          val p = new Path(t.location, "statistics/latest.json")
+          if (!t.sm.fs.exists(p))
+            Seq.empty[(Long, String, Long, Long)]
+              .toDF("snapshot_id", "column", "distinct_count", "null_count")
+          else {
+            // jackson + DefaultScalaModule materializes nested objects as
+            // SCALA maps regardless of the declared target type
+            val m = Json.mapper.readValue(t.sm.readString(p),
+              classOf[Map[String, Any]])
+            val snapId = m("snapshotId").asInstanceOf[Number].longValue
+            m("colStats").asInstanceOf[Map[String, Map[String, Any]]]
+              .toSeq.map { case (c, st) =>
+                (snapId, c, st("distinctCount").asInstanceOf[Number].longValue,
+                  st("nullCount").asInstanceOf[Number].longValue)
+              }.toDF("snapshot_id", "column", "distinct_count", "null_count")
+          }
+        case "binlog" =>
+          // pack the LAST commit's changes per key: value columns become
+          // [before, after] arrays (paimon t$binlog -U/+U packing)
+          require(t.isPk, "binlog requires a primary-keyed table")
+          val latest = t.sm.latestSnapshotId.getOrElse(0L)
+          require(latest >= 1, "no snapshots")
+          val cl = t.changelog(latest - 1, latest)
+          val pks = cfg.primaryKeys
+          val valueCols = t.dataSchema.fields.map(_.name).filterNot(pks.contains)
+          val beforeKinds = Seq("-U", "-D"); val afterKinds = Seq("+U", "+I")
+          val aggs = valueCols.flatMap { c =>
+            Seq(max(when(col("_row_kind").isin(beforeKinds: _*), col(c))).as(s"__b_$c"),
+              max(when(col("_row_kind").isin(afterKinds: _*), col(c))).as(s"__a_$c"))
+          } :+ max(when(col("_row_kind").isin(beforeKinds: _*), lit(1)).otherwise(0)).as("__hasB") :+
+            max(when(col("_row_kind").isin(afterKinds: _*), lit(1)).otherwise(0)).as("__hasA")
+          val packed = cl.groupBy(pks.map(col).toIndexedSeq: _*)
+            .agg(aggs.head, aggs.tail: _*)
+          val rowkind = when(col("__hasB") === 1 && col("__hasA") === 1, "+U")
+            .when(col("__hasA") === 1, "+I").otherwise("-D")
+          val outCols = pks.map(col) ++ Seq(rowkind.as("rowkind")) ++ valueCols.map { c =>
+            when(col("__hasB") === 1 && col("__hasA") === 1,
+                array(col(s"__b_$c"), col(s"__a_$c")))
+              .when(col("__hasA") === 1, array(col(s"__a_$c")))
+              .otherwise(array(col(s"__b_$c"))).as(c)
+          }
+          packed.select(outCols.toIndexedSeq: _*)
         case other => throw new IllegalArgumentException(s"unknown system table $other")
       }
     }

@@ -89,6 +89,49 @@ class CoreTableSpec extends SparkTestBase {
       .count() == 21L * 21L)
   }
 
+  test("maintenance procedures: expire_partitions, purge, repair, rescale; binlog/statistics system tables") {
+    val loc = tmpLoc("procs")
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-02-01", 2.0), (3L, "2024-03-01", 3.0))
+      .toDF("k", "dt", "v")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(partitionKeys = Seq("dt")))
+    t.write(df)
+    Procedures.call(spark, t, "expire_partitions", Map("older_than" -> "2024-02-01"))
+    assert(t.read().select("k").as[Long].collect().toSet == Set(2L, 3L))
+    // remove_unexisting_files repairs a manually-broken table
+    val victim = t.planFiles().head
+    t.sm.fs.delete(new org.apache.hadoop.fs.Path(t.location, victim.path), false)
+    Procedures.call(spark, t, "remove_unexisting_files")
+    assert(t.planFiles().size == 1 && t.read().count() == 1)
+    Procedures.call(spark, t, "purge_files")
+    assert(t.read().count() == 0)
+    // rescale a PK table
+    val loc2 = tmpLoc("rescale")
+    val t2 = GraftTable.create(spark, loc2, Seq((1L, "a")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t2.write((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    Procedures.call(spark, t2, "rescale", Map("bucket" -> "4"))
+    val t2r = GraftTable.load(spark, loc2)
+    assert(t2r.config.numBuckets == 4)
+    assert(t2r.planFiles().map(_.bucket).distinct.size == 4)
+    assert(t2r.read().count() == 100)
+    // binlog packs the last commit's changes per key
+    val loc3 = tmpLoc("binlog")
+    val t3 = GraftTable.create(spark, loc3, Seq((1L, 1.0)).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t3.write(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    t3.write(Seq((2L, 22.0), (3L, 3.0)).toDF("k", "v"))
+    val bl = t3.systemTable("binlog").orderBy("k")
+      .select(col("k"), col("rowkind"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Double](2)))
+    assert(bl.toSeq == Seq((2L, "+U", Seq(2.0, 22.0)), (3L, "+I", Seq(3.0))), s"got ${bl.toSeq}")
+    // aggregation_fields + statistics_cols
+    assert(t3.systemTable("aggregation_fields").count() == 2)
+    t3.analyze()
+    val st = t3.systemTable("statistics_cols")
+    assert(st.count() == 2 && st.columns.contains("distinct_count"))
+  }
+
   test("time travel, tags, incremental, changelog") {
     val loc = tmpLoc("tt")
     val t = GraftTable.create(spark, loc, mkOrders.schema,

@@ -90,6 +90,27 @@ class PipelineSpec extends SparkTestBase {
     assert(m(2L) == 1.0 / 2 + 1.0 && m(1L) == 1.0)
   }
 
+  test("blob store: out-of-line payloads round-trip through descriptors") {
+    val dir = java.nio.file.Files.createTempDirectory("blobtest").toString
+    val df = (1L to 50L).map(i => (i, s"payload-$i-${"x" * i.toInt}".getBytes("UTF-8")))
+      .toDF("id", "blob").repartition(4)
+    val withDesc = Blob.writeBlobs(df, "blob", dir).cache()
+    assert(withDesc.schema("blob").dataType == Blob.descriptorType)
+    val back = withDesc
+      .withColumn("bytes", Blob.readBlob(spark)(col("blob")))
+      .select(col("id"), expr("cast(bytes as string)").as("s"))
+      .as[(Long, String)].collect().toMap
+    (1L to 50L).foreach(i => assert(back(i) == s"payload-$i-${"x" * i.toInt}"))
+    // fewer blob files than rows (task-level packing, no per-blob small files)
+    val blobFiles = new java.io.File(dir).listFiles().count(_.getName.startsWith("blob-"))
+    assert(blobFiles <= 4 && blobFiles >= 1, s"got $blobFiles blob files")
+    // decode stub runs over descriptors (real plumbing, fake codec)
+    val meta = withDesc.withColumn("bytes", Blob.readBlob(spark)(col("blob")))
+      .withColumn("img", Blob.fakeDecodeImage(col("bytes")))
+      .select("img.width", "img.height", "img.format").collect()
+    assert(meta.forall(r => r.getInt(0) > 0 && r.getInt(1) > 0))
+  }
+
   test("bm25 ranks the matching doc first; hybrid rrf fuses") {
     val postings = FullText.buildPostings(docs, "doc_id", "text")
     val top = FullText.search(postings, Seq("spark", "columnar"), 2)
