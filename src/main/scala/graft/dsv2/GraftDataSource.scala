@@ -106,11 +106,13 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
 class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
                        readOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None
+  private var topN: Option[(org.apache.spark.sql.connector.expressions.SortOrder, Int)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftScanBuilder.convertible)
@@ -119,7 +121,29 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
+
+  /** LIMIT n planning early-out: the scan keeps only enough FILES to cover
+    * n rows (manifest row counts); Spark still applies the exact limit.
+    * Partial pushdown → correctness never depends on it. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+  override def isPartiallyPushed: Boolean = true
+
+  /** ORDER BY col LIMIT k file pruning: files are ranked by how far their
+    * min/max reaches in the sort direction; only the files that can
+    * contribute to the top-k survive (paimon PaimonScanBuilder.pushTopN).
+    * Partial → Spark re-sorts the survivors. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        l: Int): Boolean = {
+    if (orders.length != 1) return false
+    val o = orders.head
+    o.expression() match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 =>
+        topN = Some((o, l))
+        true
+      case _ => false
+    }
+  }
 
   override def build(): Scan = {
     // changelog streams keep the V1 scan shell (only toMicroBatchStream is
@@ -130,13 +154,79 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     // native columnar scan when no merge/DV work is needed (the common case
     // after compaction); V1 DataFrame plan otherwise (shared merge semantics)
     t.rawPlan(snapshotId, pruneCond) match {
-      case Some(entries) => new GraftBatchScan(t, entries, pushed, required, readOptions)
+      case Some(entries0) =>
+        var entries = entries0
+        topN.foreach { case (o, k) =>
+          entries = GraftScanBuilder.topNPrune(entries, t.schema.sparkSchema, o, k)
+        }
+        // bare LIMIT (Spark only pushes it with no residual operators):
+        // keep just enough files to cover the limit
+        if (topN.isEmpty && pushed.isEmpty) limit.foreach { l =>
+          var cum = 0L
+          entries = entries.takeWhile { e =>
+            val need = cum < l; cum += e.rowCount; need
+          }
+        }
+        new GraftBatchScan(t, entries, pushed, required, readOptions)
       case None => new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
     }
   }
 }
 
 object GraftScanBuilder {
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
+
+  /**
+   * ORDER BY col LIMIT k file pruning from manifest stats: sort candidate
+   * files by how deep they reach in the sort direction, find the value
+   * boundary once k non-null rows are guaranteed, and drop files that
+   * cannot cross it. Exact-safe: dropped files provably contain no top-k
+   * row; Spark re-sorts the survivors.
+   */
+  def topNPrune(entries: Seq[ManifestEntry], schema: StructType,
+                order: V2SortOrder, k: Int): Seq[ManifestEntry] = {
+    val colName = order.expression().asInstanceOf[NamedReference].fieldNames()(0)
+    val dt = schema.fields.find(_.name == colName).map(_.dataType).getOrElse(return entries)
+    val desc = order.direction() == SortDirection.DESCENDING
+    def stat(e: ManifestEntry) = e.stats.get(colName)
+    val (withStats, noStats) = entries.partition(e =>
+      stat(e).exists(s => s.min != null && s.max != null))
+    if (withStats.isEmpty) return entries
+    // rank files by their BEST value in the sort direction
+    val ranked = withStats.sortWith { (a, b) =>
+      val (sa, sb) = (stat(a).get, stat(b).get)
+      if (desc) StatsPrune.compare(dt, sa.max, sb.max) > 0
+      else StatsPrune.compare(dt, sa.min, sb.min) < 0
+    }
+    // walk until k non-null rows are guaranteed; every row in the prefix is
+    // at least as good as the WORST bound across all prefix files (min of
+    // mins for DESC, max of maxes for ASC) — that's the safe boundary
+    var cum = 0L
+    var worst: String = null
+    var boundary: Option[String] = None
+    val it = ranked.iterator
+    while (it.hasNext && cum < k) {
+      val e = it.next()
+      val s = stat(e).get
+      cum += e.rowCount - s.nullCount
+      val edge = if (desc) s.min else s.max
+      if (worst == null ||
+          (if (desc) StatsPrune.compare(dt, edge, worst) < 0
+           else StatsPrune.compare(dt, edge, worst) > 0)) worst = edge
+      if (cum >= k) boundary = Some(worst)
+    }
+    boundary match {
+      case None => entries // fewer than k rows overall
+      case Some(b) =>
+        val surviving = withStats.filter { e =>
+          val s = stat(e).get
+          if (desc) StatsPrune.compare(dt, s.max, b) >= 0
+          else StatsPrune.compare(dt, s.min, b) <= 0
+        }
+        surviving ++ noStats
+    }
+  }
+
   /** Filter shapes our stats pruning understands. */
   def convertible(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |

@@ -328,6 +328,41 @@ class Dsv2Spec extends SparkTestBase {
     assert(hit == 2L)
   }
 
+  test("limit + topN pushdown: file pruning from manifest stats") {
+    import graft.core._
+    import graft.dsv2.GraftScanBuilder
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, NullOrdering}
+    // synthetic entries: 4 files, value ranges [0-9],[10-19],[20-29],[30-39], 10 rows each
+    def entry(i: Int, lo: Int, hi: Int) = ManifestEntry(0, s"f$i", Map.empty, 0, 10, 100, 0, 0, 1,
+      Map("x" -> ColStat(lo.toString, hi.toString, 0)))
+    val entries = (0 until 4).map(i => entry(i, i * 10, i * 10 + 9))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.IntegerType)))
+    val descOrder = Expressions.sort(Expressions.column("x"),
+      SortDirection.DESCENDING, NullOrdering.NULLS_LAST)
+    // top-5 DESC: only the last file (30-39) can contribute
+    val pruned = GraftScanBuilder.topNPrune(entries, schema, descOrder, 5)
+    assert(pruned.map(_.path) == Seq("f3"), s"got ${pruned.map(_.path)}")
+    // top-15 DESC: needs two files
+    val pruned2 = GraftScanBuilder.topNPrune(entries, schema, descOrder, 15)
+    assert(pruned2.map(_.path).toSet == Set("f2", "f3"))
+    val ascOrder = Expressions.sort(Expressions.column("x"),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+    assert(GraftScanBuilder.topNPrune(entries, schema, ascOrder, 5).map(_.path) == Seq("f0"))
+    // end-to-end: SQL ORDER BY/LIMIT over a range-clustered catalog table
+    import graft.core.RowOps._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.topn (x BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.db.topn SELECT id AS x, concat('s', id) AS s FROM range(1000)")
+    GraftTable.load(spark, s"$wh/db.db/topn").compactSorted("order", Seq("x"), 8)
+    val top = spark.sql("SELECT x FROM graft.db.topn ORDER BY x DESC LIMIT 3")
+      .as[Long].collect().toSeq
+    assert(top == Seq(999L, 998L, 997L))
+    val lim = spark.sql("SELECT count(*) FROM (SELECT * FROM graft.db.topn LIMIT 7)")
+      .head().getLong(0)
+    assert(lim == 7)
+  }
+
   test("streaming read: micro-batches follow the snapshot log") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.st (k BIGINT, s STRING) TBLPROPERTIES ('primary-key'='k','bucket'='1')")
