@@ -399,6 +399,19 @@ object SparkEntry {
       graft.pipeline.Dedup.ngramJaccardPairs(d2, "doc_id", "text", "source",
         shingleN = 3, threshold = 0.8)
     }),
+    "q_object_table" -> ((s, d) => {
+      // object table over a deterministic file set: one file per language,
+      // content = that language's docs ('\n'-terminated each)
+      val dir = java.nio.file.Files.createTempDirectory("graft-objects")
+      t(s, d, "documents").select("lang", "text").collect()
+        .groupBy(_.getString(0)).foreach { case (lang, rows) =>
+          val content = rows.map(_.getString(1)).sorted.map(_ + "\n").mkString
+          java.nio.file.Files.write(dir.resolve(s"$lang.txt"),
+            content.getBytes("UTF-8"))
+        }
+      graft.sources.ObjectTable.scan(s, dir.toString, Some("*.txt"))
+        .select(regexp_replace(col("name"), "\\.txt$", "").as("lang"), col("length"))
+    }),
     "q_blob_roundtrip" -> ((s, d) => {
       // out-of-line blob storage: payloads → shared blob files, table keeps
       // struct(uri, offset, length); ranged read verifies the round trip
@@ -739,6 +752,9 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
         | md5(text) AS content_hash
         |FROM documents WHERE doc_id < 100""".stripMargin,
+    "q_object_table" ->
+      """SELECT lang, CAST(sum(octet_length(encode(text)) + 1) AS BIGINT) AS length
+        |FROM documents GROUP BY lang""".stripMargin,
     "q_blob_roundtrip" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         | md5(text) AS content_hash

@@ -64,11 +64,15 @@ class GraftTable private (
   private[core] def nextCommitSeq: Long = sm.latestSnapshotId.getOrElse(0L) + 1
 
   /** Align an input frame to the table schema (by name, with implicit cast —
-    * cf. paimon PaimonAnalysis.scala output resolution). */
+    * cf. paimon PaimonAnalysis.scala output resolution). Missing columns
+    * take their configured DEFAULT value (`fields.<name>.default-value`,
+    * paimon column default values) or null. */
   private def align(df: DataFrame): DataFrame = {
     val cols = dataSchema.fields.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      else config.options.get(s"fields.${f.name}.default-value")
+        .map(v => lit(v).cast(f.dataType).as(f.name))
+        .getOrElse(lit(null).cast(f.dataType).as(f.name))
     }
     df.select(cols.toIndexedSeq: _*)
   }

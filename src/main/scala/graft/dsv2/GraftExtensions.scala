@@ -5,6 +5,7 @@ import graft.core.RowOps._
 import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -39,6 +40,16 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => new GraftRowLevelSql(session))
     GraftTableFunctions.all.foreach(ext.injectTableFunction)
+    // scalar fn: graft_bucket(numBuckets, key...) — the write path's exact
+    // bucket routing, exposed for debugging/repartitioning (paimon
+    // `fixed_bucket` SQL function, docs/spark/sql-functions.md)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bucket"),
+      new ExpressionInfo(classOf[GraftSparkExtensions].getName, "graft_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "graft_bucket(numBuckets, key, ...)")
+        Cast(Pmod(new XxHash64(args.tail), Cast(args.head, LongType)), IntegerType)
+      }))
   }
 }
 

@@ -363,6 +363,26 @@ class Dsv2Spec extends SparkTestBase {
     assert(lim == 7)
   }
 
+  test("graft_bucket SQL function matches write-path routing; column defaults") {
+    // function must agree with the engine's bucket assignment
+    val got = spark.sql("SELECT graft_bucket(4, id) AS b FROM range(100)")
+      .agg(countDistinct(col("b"))).head().getLong(0)
+    assert(got == 4)
+    val viaExpr = spark.range(100)
+      .select(pmod(xxhash64(col("id")), lit(4)).cast("int").as("e"),
+        expr("graft_bucket(4, id)").as("f"))
+      .filter(col("e") =!= col("f")).count()
+    assert(viaExpr == 0, "graft_bucket must equal the engine's routing expression")
+    // column default values fill missing columns on write
+    val loc = Files.createTempDirectory("graft-defaults").resolve("t").toString
+    val schema = Seq((1L, "a", 0.0)).toDF("k", "v", "score").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(options = Map("fields.score.default-value" -> "1.5")))
+    t.write(Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    val scores = t.read().select("score").as[Double].collect().toSet
+    assert(scores == Set(1.5))
+  }
+
   test("streaming read: micro-batches follow the snapshot log") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.st (k BIGINT, s STRING) TBLPROPERTIES ('primary-key'='k','bucket'='1')")
