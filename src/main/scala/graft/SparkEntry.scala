@@ -399,6 +399,24 @@ object SparkEntry {
       graft.pipeline.Dedup.ngramJaccardPairs(d2, "doc_id", "text", "source",
         shingleN = 3, threshold = 0.8)
     }),
+    "q_variant" -> ((s, d) => {
+      // VARIANT column round trip through the table format: JSON documents
+      // stored as variant, fields extracted back with variant_get
+      // (capability: paimon VariantType, SparkTypeUtils.java:260)
+      val loc = s"/tmp/graft-fixtures/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/variant_tbl"
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          parse_json(to_json(struct(col("lang"), col("source"),
+            length(col("text")).as("text_len")))).as("meta"))
+      if (!GraftTable.exists(s, loc)) {
+        val tbl = GraftTable.create(s, loc, docs.schema, TableConfig())
+        tbl.write(docs)
+      }
+      GraftTable.load(s, loc).read()
+        .select(col("doc_id"),
+          expr("variant_get(meta, '$.lang', 'string')").as("lang"),
+          expr("variant_get(meta, '$.text_len', 'int')").as("text_len"))
+    }),
     "q_object_table" -> ((s, d) => {
       // object table over a deterministic file set: one file per language,
       // content = that language's docs ('\n'-terminated each)
@@ -752,6 +770,9 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
         | md5(text) AS content_hash
         |FROM documents WHERE doc_id < 100""".stripMargin,
+    "q_variant" ->
+      """SELECT doc_id, lang, CAST(length(text) AS INT) AS text_len
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "q_object_table" ->
       """SELECT lang, CAST(sum(octet_length(encode(text)) + 1) AS BIGINT) AS length
         |FROM documents GROUP BY lang""".stripMargin,

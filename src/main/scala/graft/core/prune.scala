@@ -92,7 +92,9 @@ object StatsPrune {
     def withStat(name: String)(f: (DataType, ColStat) => Boolean): Boolean =
       (dtOf(name), stats.get(name)) match {
         case (Some(dt), Some(st)) =>
-          if (st.min == null || st.max == null) st.nullCount > 0 || rowCount == 0
+          // null min/max = all-null column OR stats skipped (unorderable
+          // types like VARIANT) — either way: cannot prove a non-match
+          if (st.min == null || st.max == null) true
           else f(dt, st)
         case _ => true
       }

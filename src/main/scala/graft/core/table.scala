@@ -257,12 +257,18 @@ class GraftTable private (
       // TimestampType stats as epoch-micros: cast-to-string renders in the
       // SESSION timezone, so a reader under a different zone would prune
       // wrongly. Micros are zone-free; StatsPrune.cmp parses either form.
+      // VARIANT (and other unorderable types) carry null min/max — pruning
+      // treats them as unknown, null counts still collected.
       def statVal(c: Column): Column = f.dataType match {
         case _: TimestampType => unix_micros(c).cast(StringType)
         case _ => c.cast(StringType)
       }
-      Seq(statVal(min(col(f.name))).as(s"min__${f.name}"),
-          statVal(max(col(f.name))).as(s"max__${f.name}"),
+      val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType)
+      val (mn, mx) =
+        if (orderable) (statVal(min(col(f.name))), statVal(max(col(f.name))))
+        else (lit(null).cast(StringType), lit(null).cast(StringType))
+      Seq(mn.as(s"min__${f.name}"), mx.as(s"max__${f.name}"),
           sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nc__${f.name}"))
     }
     val agg = written
