@@ -342,6 +342,16 @@ object SparkEntry {
       Consumers.reset(tbl, "sysc", Some(2L))
       tbl.systemTable("consumers").filter(col("consumer_id") === "sysc")
     }),
+    "q_lookup_join" -> ((s, d) => {
+      // stream-static lookup join: a consumer micro-batch (the stream side)
+      // enriched against a broadcast dimension (paimon lookup join §2.3)
+      val tbl = Fixtures.ordersPk(s, d)
+      Consumers.reset(tbl, "lkj", Some(2L))
+      val (_, batch) = Consumers.nextBatch(tbl, "lkj").get
+      batch.join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+    }),
     "q_consumer_stream" -> ((s, d) => {
       val tbl = Fixtures.ordersPk(s, d)
       Consumers.reset(tbl, "qcons", Some(1L))
@@ -808,6 +818,11 @@ object SparkEntry {
         | round(o_totalprice * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END, 2) AS price
         |FROM orders WHERE o_orderkey = 100""".stripMargin,
     "q_consumer_stream" -> dedupOracle,
+    "q_lookup_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice * 2), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 10 = 0 GROUP BY c_mktsegment""".stripMargin,
     "q_system_consumers" ->
       "SELECT 'sysc' AS consumer_id, CAST(2 AS BIGINT) AS next_snapshot_id",
     "q_fulltext_bm25" -> bm25Oracle,

@@ -95,29 +95,10 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
       planInputPartitions().length)
   }
 
-  /** Typed partition-key value from a manifest stat string. */
-  private def statValue(dt: DataType, s: String): Any = {
-    if (s == null) return null
-    dt match {
-      case ByteType => s.toByte
-      case ShortType => s.toShort
-      case IntegerType => s.toInt
-      case LongType => s.toLong
-      case FloatType => s.toFloat
-      case DoubleType => s.toDouble
-      case BooleanType => s.toBoolean
-      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
-      case _: TimestampType => s.toLong // stats store epoch-micros
-      case d: DecimalType => org.apache.spark.sql.types.Decimal(BigDecimal(s))
-      case _ => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-    }
-  }
-
   private def partitionKeyRow(e: ManifestEntry): InternalRow = {
     val partVals = t.config.partitionKeys.map { pc =>
       val dt = t.dataSchema.fields.find(_.name == pc).get.dataType
-      statValue(dt, e.partition.getOrElse(pc, null))
+      GraftBatchScan.statValue(dt, e.partition.getOrElse(pc, null))
     }
     val vals =
       if (t.isPk && t.config.numBuckets > 0) partVals :+ e.bucket else partVals
@@ -161,6 +142,56 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
 
   override def description(): String =
     s"GraftBatchScan(${t.location}, files=${entries.size}, pushed=${pushed.mkString(",")})"
+}
+
+object GraftBatchScan {
+  /** Typed (Catalyst-internal) value from a manifest stat string. */
+  def statValue(dt: DataType, s: String): Any = {
+    if (s == null) return null
+    dt match {
+      case ByteType => s.toByte
+      case ShortType => s.toShort
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case BooleanType => s.toBoolean
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case _: TimestampType => s.toLong // stats store epoch-micros
+      case _: TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestampWithoutTimeZone(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)).getOrElse(null)
+      case d: DecimalType => org.apache.spark.sql.types.Decimal(BigDecimal(s))
+      case _ => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    }
+  }
+}
+
+/** Single-row scan serving a manifest-answered aggregation (no data files
+  * read): the DSv2 face of aggFromManifest. */
+class GraftAggScan(outSchema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggResultPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory = GraftAggReaderFactory()
+  override def description(): String =
+    s"GraftAggScan(manifest-only: ${outSchema.fieldNames.mkString(",")})"
+}
+
+case class GraftAggResultPartition(values: Array[Any]) extends InputPartition
+
+case class GraftAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val n = !served; served = true; n }
+      override def get(): InternalRow =
+        new GenericInternalRow(p.asInstanceOf[GraftAggResultPartition].values)
+      override def close(): Unit = ()
+    }
 }
 
 /** File split(s) + partition key ((partition values, bucket)) for

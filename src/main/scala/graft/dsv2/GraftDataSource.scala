@@ -107,7 +107,7 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
                        readOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
@@ -145,7 +145,68 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     }
   }
 
+  // ---- aggregate pushdown: COUNT(*) / MIN / MAX answered from manifest
+  //      stats, zero data files read (paimon PaimonScanBuilder.pushAggregation
+  //      + AggregatePushDownUtils; round-1 had only the library-API variant) ----
+  private var aggScan: Option[GraftAggScan] = None
+
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def aggField(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    buildAggScan(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggScan = buildAggScan(agg)
+    aggScan.isDefined
+  }
+
+  private def buildAggScan(agg: Aggregation): Option[GraftAggScan] = {
+    if (pushed.nonEmpty || topN.nonEmpty || limit.nonEmpty) return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    val entries = t.rawPlan(snapshotId, None).getOrElse(return None)
+    val schema = t.schema.sparkSchema
+    def stat(name: String, wantMax: Boolean): Option[Any] = {
+      val dt = schema.fields.find(_.name == name).map(_.dataType).getOrElse(return None)
+      // files with null min/max for an orderable column are all-null there —
+      // nulls don't contribute to min/max, so folding the rest is exact
+      if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt))
+        return None
+      val vals = entries.flatMap(_.stats.get(name))
+        .flatMap(s => Option(if (wantMax) s.max else s.min))
+      val v = if (vals.isEmpty) null
+        else vals.reduce((a, b) =>
+          if (StatsPrune.compare(dt, a, b) >= 0 == wantMax) a else b)
+      Some(if (v == null) null else GraftBatchScan.statValue(dt, v))
+    }
+    val rowCount = entries.map(_.rowCount).sum
+    val out = agg.aggregateExpressions().map {
+      case _: CountStar => Some(("count(*)", org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType, rowCount: Any))
+      case m: Min => aggField(m.column()).flatMap { f =>
+        val dt = schema.fields.find(_.name == f).map(_.dataType).getOrElse(return None)
+        stat(f, wantMax = false).map(v => (s"min($f)", dt, v))
+      }
+      case m: Max => aggField(m.column()).flatMap { f =>
+        val dt = schema.fields.find(_.name == f).map(_.dataType).getOrElse(return None)
+        stat(f, wantMax = true).map(v => (s"max($f)", dt, v))
+      }
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) return None
+    val cols = out.map(_.get)
+    val outSchema = StructType(cols.map { case (n, dt, _) =>
+      org.apache.spark.sql.types.StructField(n, dt) })
+    Some(new GraftAggScan(outSchema, cols.map(_._3).toArray))
+  }
+
   override def build(): Scan = {
+    if (aggScan.isDefined) return aggScan.get
     // changelog streams keep the V1 scan shell (only toMicroBatchStream is
     // exercised; the batch path of a changelog scan is unsupported)
     if (readOptions.get("read-changelog").contains("true"))

@@ -383,6 +383,22 @@ class Dsv2Spec extends SparkTestBase {
     assert(scores == Set(1.5))
   }
 
+  test("aggregate pushdown: count/min/max answered from manifests (no file read)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.aggp (k BIGINT, v DOUBLE, s STRING)")
+    spark.sql("INSERT INTO graft.db.aggp SELECT id, id * 1.5, concat('s', id) FROM range(1000)")
+    val df = spark.sql("SELECT count(*), min(k), max(k), max(v) FROM graft.db.aggp")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"), s"expected manifest-only agg scan:\n$plan")
+    val r = df.head()
+    assert(r.getLong(0) == 1000 && r.getLong(1) == 0 && r.getLong(2) == 999
+      && r.getDouble(3) == 999 * 1.5)
+    // with a filter → normal scan, still correct
+    val f = spark.sql("SELECT count(*) FROM graft.db.aggp WHERE k < 10")
+    assert(!f.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(f.head().getLong(0) == 10)
+  }
+
   test("streaming read: micro-batches follow the snapshot log") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.st (k BIGINT, s STRING) TBLPROPERTIES ('primary-key'='k','bucket'='1')")
