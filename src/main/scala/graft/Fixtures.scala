@@ -99,6 +99,29 @@ object Fixtures {
       t
     }
 
+  /** Sequence-group partial update: c_acctbal governed by bal_seq,
+    * c_mktsegment by seg_seq. Write 2 carries a STALE bal_seq (must not
+    * clobber) but a newer seg_seq (must apply). */
+  def custSg(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "cust_sg") { loc =>
+      val c = src(spark, sfDir, "customer")
+        .select(col("c_custkey"), lit(2L).as("bal_seq"), col("c_acctbal"),
+          lit(1L).as("seg_seq"), lit(null).cast("string").as("c_mktsegment"))
+      val t = GraftTable.createOrReplace(spark, loc, c.schema,
+        TableConfig(primaryKeys = Seq("c_custkey"), numBuckets = 2,
+          mergeEngine = "partial-update",
+          options = Map(
+            "fields.bal_seq.sequence-group" -> "c_acctbal",
+            "fields.seg_seq.sequence-group" -> "c_mktsegment")))
+      t.write(c)
+      val upd = src(spark, sfDir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), lit(1L).as("bal_seq"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"),
+          lit(2L).as("seg_seq"), col("c_mktsegment"))
+      t.write(upd)
+      t
+    }
+
   /** Aggregation engine over lineitem: per orderkey sum/max/count/listagg. */
   def aggTbl(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "agg_tbl") { loc =>

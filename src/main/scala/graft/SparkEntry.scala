@@ -100,6 +100,9 @@ object SparkEntry {
     "q_partial_update" -> ((s, d) => Fixtures.custPu(s, d).read()
       .select(col("c_custkey"), col("c_name"),
         round(col("c_acctbal"), 2).as("acctbal"), col("c_mktsegment"))),
+    "q_sequence_group" -> ((s, d) => Fixtures.custSg(s, d).read()
+      .select(col("c_custkey"), col("bal_seq"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("seg_seq"), col("c_mktsegment"))),
     "q_agg_engine" -> ((s, d) => Fixtures.aggTbl(s, d).read()
       .select(col("l_orderkey"), round(col("qty_sum"), 2).as("qty_sum"),
         round(col("price_max"), 2).as("price_max"), col("item_cnt"), col("flags"))),
@@ -601,6 +604,12 @@ object SparkEntry {
     "q_partial_update" ->
       """SELECT c_custkey, c_name,
         | round(c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END, 2) AS acctbal,
+        | CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS c_mktsegment
+        |FROM customer""".stripMargin,
+    "q_sequence_group" ->
+      """SELECT c_custkey, CAST(2 AS BIGINT) AS bal_seq,
+        | round(c_acctbal, 2) AS acctbal,
+        | CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS seg_seq,
         | CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS c_mktsegment
         |FROM customer""".stripMargin,
     "q_agg_engine" ->

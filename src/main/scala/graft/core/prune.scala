@@ -78,8 +78,34 @@ object StatsPrune {
     case other => Seq(other)
   }
 
+  /** Predicate transforms (cf. paimon predicate transform mapping,
+    * SURVEY §2.2): fold deterministic constant subtrees to literals (the
+    * analyzer leaves `Cast('1998-01-01' AS TIMESTAMP)` unfolded in the
+    * analyzed plan) and see through order-preserving WIDENING casts on the
+    * column side (`cast(intCol AS BIGINT) = 5L` prunes on intCol stats). */
+  private def normalize(e: Expression): Expression = e match {
+    case l: Literal => l
+    case _ if e.foldable && e.deterministic =>
+      try Literal.create(e.eval(null), e.dataType) catch { case _: Exception => e }
+    case c: Cast => c.child match {
+      case ar: AttributeReference if wideningCast(ar.dataType, c.dataType) => ar
+      case _ => e
+    }
+    case _ => e
+  }
+
+  /** Casts where ordering and textual-numeric comparison survive. */
+  private def wideningCast(from: DataType, to: DataType): Boolean = {
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3; case LongType => 4
+      case _ => -1
+    }
+    val (f, t) = (rank(from), rank(to))
+    f > 0 && t > 0 && t >= f
+  }
+
   private def colAndLit(a: Expression, b: Expression): Option[(String, Literal, Boolean)] =
-    (a, b) match {
+    (normalize(a), normalize(b)) match {
       case (ar: AttributeReference, l: Literal) => Some((ar.name, l, false))
       case (l: Literal, ar: AttributeReference) => Some((ar.name, l, true))
       case _ => None
@@ -132,11 +158,16 @@ object StatsPrune {
       case LessThan(a, b) => conjunctMightMatch(GreaterThan(b, a), schema, stats, rowCount)
       case LessThanOrEqual(a, b) =>
         conjunctMightMatch(GreaterThanOrEqual(b, a), schema, stats, rowCount)
-      case In(ar: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
-        withStat(ar.name) { (dt, st) =>
-          list.exists { case l: Literal =>
-            litText(dt, l).exists(v => cmp(dt, v, st.min) >= 0 && cmp(dt, v, st.max) <= 0)
-          }
+      case In(inCol, list0) =>
+        val list = list0.map(normalize)
+        (normalize(inCol), list.forall(_.isInstanceOf[Literal])) match {
+          case (ar: AttributeReference, true) =>
+            withStat(ar.name) { (dt, st) =>
+              list.exists { case l: Literal =>
+                litText(dt, l).exists(v => cmp(dt, v, st.min) >= 0 && cmp(dt, v, st.max) <= 0)
+              }
+            }
+          case _ => true
         }
       case IsNull(ar: AttributeReference) =>
         stats.get(ar.name).forall(_.nullCount > 0)

@@ -828,7 +828,7 @@ object MergeEngines {
     config.mergeEngine match {
       case "deduplicate" => dedup(df, pks, latestFirst = true, preferHash)
       case "first-row" => dedup(df, pks, latestFirst = false, preferHash)
-      case "partial-update" => partialUpdate(df, pks, schema)
+      case "partial-update" => partialUpdate(df, pks, schema, config)
       case "aggregation" => aggregation(df, pks, schema, config)
       case other => throw new IllegalArgumentException(s"unknown merge engine $other")
     }
@@ -863,20 +863,44 @@ object MergeEngines {
   }
 
   /** partial-update: per non-key field, last non-null value by (seq, commit)
-    * (paimon PartialUpdateMergeFunction.java:65 — sequence-group subset). */
-  private def partialUpdate(df: DataFrame, pks: Seq[String], schema: StructType): DataFrame = {
+    * (paimon PartialUpdateMergeFunction.java:65). SEQUENCE GROUPS
+    * (`fields.<seqCol>.sequence-group = a,b`): fields a,b are versioned by
+    * seqCol instead of the row sequence — a stale seqCol cannot clobber a
+    * newer value even if its row arrived later (paimon sequence-group
+    * semantics; rows with null seqCol never update the group). */
+  private def partialUpdate(df: DataFrame, pks: Seq[String], schema: StructType,
+                            config: TableConfig): DataFrame = {
     val alive = df.filter(col(KIND) =!= KIND_DELETE)
+    // seqCol -> fields it governs
+    val groups: Map[String, Seq[String]] = config.options.collect {
+      case (k, v) if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
+        k.stripPrefix("fields.").stripSuffix(".sequence-group") ->
+          v.split(",").map(_.trim).toSeq
+    }
+    val fieldToGroup: Map[String, String] =
+      groups.flatMap { case (g, fs) => fs.map(_ -> g) }
     val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
       .orderBy(col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def groupWindow(g: String) = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
+      .orderBy(col(g).asc_nulls_first, col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val nonKey = schema.fields.map(_.name).filterNot(pks.contains)
-    val folded = nonKey.foldLeft(alive) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    // one select over the ORIGINAL columns (a withColumn chain would rebind
+    // a sequence column before the fields it governs read it)
+    val valueExprs = nonKey.map { c =>
+      (fieldToGroup.get(c) match {
+        case Some(g) =>
+          last(when(col(g).isNotNull, col(c)), ignoreNulls = true).over(groupWindow(g))
+        case None if groups.contains(c) => max(col(c)).over(w) // high-water mark
+        case None => last(col(c), ignoreNulls = true).over(w)
+      }).as(c)
     }
-    folded.withColumn(SEQ, max(col(SEQ)).over(w))
-      .withColumn(COMMIT, max(col(COMMIT)).over(w))
-      .withColumn(POS, max(col(POS)).over(w))
-      .withColumn(KIND, lit(KIND_INSERT))
+    alive.select((pks.map(col) ++ valueExprs ++ Seq(
+        max(col(SEQ)).over(w).as(SEQ),
+        max(col(COMMIT)).over(w).as(COMMIT),
+        max(col(POS)).over(w).as(POS),
+        lit(KIND_INSERT).as(KIND))).toIndexedSeq: _*)
       .dropDuplicates(pks)
   }
 

@@ -118,6 +118,28 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(math.abs(got(1L) - (-6.0)) < 1e-9 && got(2L) == 0.0 && got(3L) == 2.5, s"$got")
   }
 
+  test("predicate transforms: widened casts and unfolded literals still prune") {
+    val loc = tmpLoc("ptrans")
+    val df = spark.range(100).select(col("id").cast("int").as("k"),
+      (col("id") * 2).as("v"))
+    val t = GraftTable.create(spark, loc, df.schema, TableConfig())
+    t.write(df.filter(col("k") < 50))
+    t.write(df.filter(col("k") >= 50))
+    val total = t.planFiles().size
+    // cast(intCol as bigint) = 60L — must see through the widening cast
+    val c1 = t.planFiles(filter = Some(col("k").cast("long") === lit(60L)))
+    assert(c1.size < total, s"cast-wrapped equality did not prune (${c1.size}/$total)")
+    assert(c1.flatMap(_.stats.get("k")).forall(s => s.max.toLong >= 50))
+    // arithmetic-foldable literal: k > 40 + 20
+    val c2 = t.planFiles(filter = Some(col("k") > (lit(40) + lit(20))))
+    assert(c2.size < total, "foldable literal expression did not prune")
+    // IN over a cast column
+    val c3 = t.planFiles(filter = Some(col("k").cast("long").isin(3L, 7L)))
+    assert(c3.size < total, "IN over cast column did not prune")
+    // correctness unchanged
+    assert(t.read(filter = Some(col("k").cast("long") === 60L)).count() == 1)
+  }
+
   test("timestamp stats prune exactly (trailing-zero fractions) and NaN stats don't throw") {
     val loc = tmpLoc("tsprune")
     val df = Seq(
