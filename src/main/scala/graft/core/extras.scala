@@ -22,8 +22,14 @@ object Procedures {
         args.get("order_strategy") match {
           case Some(strategy) =>
             val cols = args("order_by").split(",").map(_.trim).toSeq
-            table.compactSorted(strategy, cols)
-            ok(s"sort-compacted by $strategy(${cols.mkString(",")})")
+            if (args.get("incremental").contains("true")) {
+              val r = table.clusterIncremental(strategy, cols)
+              ok(if (r.isDefined) s"incrementally clustered by $strategy(${cols.mkString(",")})"
+                 else "nothing new to cluster")
+            } else {
+              table.compactSorted(strategy, cols)
+              ok(s"sort-compacted by $strategy(${cols.mkString(",")})")
+            }
           case None =>
             val r = table.compact()
             ok(if (r.isDefined) s"compacted to snapshot ${r.get.id}" else "nothing to compact")

@@ -64,10 +64,27 @@ object RowOps {
       * SparkZOrderUDF; SURVEY §2.6). Clusters data for downstream range
       * pruning; at scale use repartitionByRange so output files carry
       * non-overlapping sort-key ranges. */
+    /** Incremental clustering (paimon incremental cluster compaction): sort
+      * only the files NOT yet clustered (level 0), leaving previously
+      * clustered output untouched — each run pays for the new data only.
+      * Ranges of successive runs may overlap; stats pruning still cuts
+      * per-file, and a periodic full `compactSorted` re-tightens. */
+    def clusterIncremental(strategy: String, cols: Seq[String],
+                           targetPartitions: Int = 0): Option[SnapshotMeta] = {
+      require(!t.isPk, "sort clustering targets append tables")
+      val l0 = t.planFiles().filter(_.level == 0)
+      if (l0.isEmpty) return None
+      Some(sortAndCommit(l0, strategy, cols, targetPartitions))
+    }
+
     def compactSorted(strategy: String, cols: Seq[String],
                       targetPartitions: Int = 0): SnapshotMeta = {
       require(!t.isPk, "sort compaction targets append tables")
-      val live = t.planFiles()
+      sortAndCommit(t.planFiles(), strategy, cols, targetPartitions)
+    }
+
+    private def sortAndCommit(live: Seq[ManifestEntry], strategy: String,
+                              cols: Seq[String], targetPartitions: Int): SnapshotMeta = {
       val df = t.readEntries(live, withInternal = false)
       val n = if (targetPartitions > 0) targetPartitions
         else spark.sessionState.conf.numShufflePartitions

@@ -132,6 +132,27 @@ class CoreTableSpec extends SparkTestBase {
     assert(st.count() == 2 && st.columns.contains("distinct_count"))
   }
 
+  test("incremental clustering sorts only new files, keeps prior output") {
+    val loc = tmpLoc("inccluster")
+    val df1 = spark.range(1000).select(col("id").as("x"), (col("id") * 2).as("y"))
+    val t = GraftTable.create(spark, loc, df1.schema, TableConfig())
+    t.write(df1)
+    assert(t.clusterIncremental("order", Seq("x"), 4).isDefined)
+    val firstRun = t.planFiles().map(_.path).toSet
+    assert(t.planFiles().forall(_.level == 1))
+    // idempotent when nothing new
+    assert(t.clusterIncremental("order", Seq("x"), 4).isEmpty)
+    // new batch → only IT gets clustered; first run's files untouched
+    t.write(spark.range(1000, 2000).select(col("id").as("x"), (col("id") * 2).as("y")))
+    assert(t.clusterIncremental("order", Seq("x"), 4).isDefined)
+    val afterSecond = t.planFiles().map(_.path).toSet
+    assert(firstRun.subsetOf(afterSecond), "prior clustered files must be preserved")
+    assert(t.read().count() == 2000)
+    // clustered ranges prune
+    val pruned = t.planFiles(filter = Some(col("x") < 100))
+    assert(pruned.size < t.planFiles().size)
+  }
+
   test("time travel, tags, incremental, changelog") {
     val loc = tmpLoc("tt")
     val t = GraftTable.create(spark, loc, mkOrders.schema,
