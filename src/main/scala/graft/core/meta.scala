@@ -99,6 +99,28 @@ case class ManifestEntry(
     // the current schema BY FIELD ID (rename/drop/retype safe)
     schemaId: Long = 0L)
 
+/** Spark-side schema of [[ManifestEntry]] — the shape manifests take when
+  * processed as DataFrames (parquet manifests, distributed planning). */
+object ManifestDf {
+  val colStatType: StructType = StructType(Seq(
+    StructField("min", StringType), StructField("max", StringType),
+    StructField("nullCount", LongType, nullable = false)))
+  val schema: StructType = StructType(Seq(
+    StructField("kind", IntegerType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("partition", MapType(StringType, StringType)),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("rowCount", LongType, nullable = false),
+    StructField("fileSize", LongType, nullable = false),
+    StructField("minSeq", LongType, nullable = false),
+    StructField("maxSeq", LongType, nullable = false),
+    StructField("level", IntegerType, nullable = false),
+    StructField("stats", MapType(StringType, colStatType)),
+    StructField("schemaId", LongType, nullable = false)))
+  def columns: Seq[org.apache.spark.sql.Column] =
+    schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col)
+}
+
 /** Snapshot: ordered manifest list; effective file set = fold ADD/DELETE
   * entries over `manifests` in order (cf. paimon Snapshot.java:44). */
 case class SnapshotMeta(
@@ -117,11 +139,17 @@ case class SnapshotMeta(
     dvIndex: Option[String] = None,
     // write-time changelog files (relative paths) for THIS commit — produced
     // when changelog-producer=lookup (paimon ChangelogManager/changelog files)
-    changelog: Option[Seq[String]] = None) {
+    changelog: Option[Seq[String]] = None,
+    // live data-file count after this snapshot (maintained incrementally);
+    // lets planning pick the distributed manifest path without a fold
+    liveFiles: Option[Long] = None) {
   /** Erasure-safe watermark accessor: jackson-scala materializes a JSON int
     * into Option[Long] as a boxed Integer — unboxing via the field throws. */
   def watermarkLong: Option[Long] =
     watermark.asInstanceOf[Option[Any]]
+      .map { case n: java.lang.Number => n.longValue }
+  def liveFilesLong: Option[Long] =
+    liveFiles.asInstanceOf[Option[Any]]
       .map { case n: java.lang.Number => n.longValue }
   def changelogFiles: Seq[String] = Option(changelog).flatten.getOrElse(Nil)
 }
@@ -224,6 +252,12 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
   def latestSchema: TableSchema = readSchema(latestSchemaId)
   def tableExists: Boolean = fs.exists(schemaDir)
 
+  /** Live-file count above which metadata work (planning, conflict checks,
+    * expire/orphan) runs as DataFrame jobs instead of driver folds. */
+  def planDfThreshold: Long =
+    try latestSchema.config.option("metadata.plan.df-threshold", "50000").toLong
+    catch { case _: Exception => Long.MaxValue }
+
   // ---- snapshots ----
   private def snapshotPath(id: Long) = new Path(snapshotDir, s"snapshot-$id.json")
   def readSnapshot(id: Long): SnapshotMeta =
@@ -252,32 +286,115 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
   def latestSnapshot: Option[SnapshotMeta] = latestSnapshotId.map(readSnapshot)
 
   // ---- manifests ----
-  def writeManifest(entries: Seq[ManifestEntry]): String = {
-    val name = s"manifest-${UUID.randomUUID()}.json"
-    val sb = new StringBuilder
-    entries.foreach { e => sb.append(Json.write(e)).append('\n') }
-    writeString(new Path(manifestDir, name), sb.toString)
-    name
+  // Two physical formats, dispatched by name suffix:
+  //   manifest-<uuid>.json  JSON-lines, written by the driver (small deltas)
+  //   manifest-<uuid>.pq    parquet DIRECTORY written by a Spark job — used
+  //                         above `manifest.parquet-threshold` entries (or
+  //                         when manifest.format=parquet) so a 10^5-file
+  //                         commit never serializes on the driver and
+  //                         re-reads scan columnar (paimon ManifestFile is
+  //                         avro/orc for the same reason).
+  private def manifestFormat(entryCount: Int): String = {
+    val cfg = try latestSchema.config catch { case _: Exception => return "json" }
+    cfg.options.get("manifest.format").getOrElse {
+      val threshold = cfg.option("manifest.parquet-threshold", "10000").toInt
+      if (entryCount > threshold) "parquet" else "json"
+    }
   }
+
+  def writeManifest(entries: Seq[ManifestEntry]): String = {
+    if (manifestFormat(entries.size) == "parquet" && entries.nonEmpty) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val name = s"manifest-${UUID.randomUUID()}.pq"
+      import spark.implicits._
+      val perFile = 200000 // ~40 MB of parquet per manifest part
+      spark.createDataset(entries)
+        .repartition(math.max(1, entries.size / perFile))
+        .select(ManifestDf.columns: _*)
+        .write.parquet(new Path(manifestDir, name).toString)
+      name
+    } else {
+      val name = s"manifest-${UUID.randomUUID()}.json"
+      val sb = new StringBuilder
+      entries.foreach { e => sb.append(Json.write(e)).append('\n') }
+      writeString(new Path(manifestDir, name), sb.toString)
+      name
+    }
+  }
+
   def readManifest(name: String): Seq[ManifestEntry] = {
     // manifests are immutable once written → cache parsed entries (bounded;
     // repeated planFiles of hot tables skip the JSON re-parse)
     val cached = SnapshotManager.manifestCache.get(name)
     if (cached != null) return cached
-    val in = new BufferedReader(new InputStreamReader(
-      fs.open(new Path(manifestDir, name)), StandardCharsets.UTF_8))
-    try {
-      val buf = ArrayBuffer[ManifestEntry]()
-      var line = in.readLine()
-      while (line != null) {
-        if (line.nonEmpty) buf += Json.read(line, classOf[ManifestEntry])
-        line = in.readLine()
+    val out: Seq[ManifestEntry] =
+      if (name.endsWith(".pq")) {
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        spark.read.schema(ManifestDf.schema)
+          .parquet(new Path(manifestDir, name).toString)
+          .as[ManifestEntry].collect().toSeq
+      } else {
+        val in = new BufferedReader(new InputStreamReader(
+          fs.open(new Path(manifestDir, name)), StandardCharsets.UTF_8))
+        try {
+          val buf = ArrayBuffer[ManifestEntry]()
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty) buf += Json.read(line, classOf[ManifestEntry])
+            line = in.readLine()
+          }
+          buf.toSeq
+        } finally in.close()
       }
-      val out = buf.toSeq
-      if (SnapshotManager.manifestCache.size > 512) SnapshotManager.manifestCache.clear()
-      SnapshotManager.manifestCache.put(name, out)
-      out
-    } finally in.close()
+    if (SnapshotManager.manifestCache.size > 512) SnapshotManager.manifestCache.clear()
+    SnapshotManager.manifestCache.put(name, out)
+    out
+  }
+
+  /**
+   * All entries of `manifests` as ONE DataFrame with a `__ord` column (the
+   * manifest's position in the list) — the distributed metadata plane.
+   * JSON-lines and parquet manifests union transparently; the manifest each
+   * row came from is recovered via input_file_name, so a snapshot with 10^7
+   * entries never materializes on the driver (SURVEY §7 100-TB posture).
+   */
+  def entriesDf(spark: org.apache.spark.sql.SparkSession,
+                manifests: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (manifests.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(ManifestDf.schema.fields :+ StructField("__ord", IntegerType)))
+    val mdir = manifestDir.toString
+    val (parqs, jsons) = manifests.partition(_.endsWith(".pq"))
+    val parts = Seq(
+      if (jsons.isEmpty) None
+      else Some(spark.read.schema(ManifestDf.schema)
+        .json(jsons.map(m => s"$mdir/$m"): _*)),
+      if (parqs.isEmpty) None
+      else Some(spark.read.schema(ManifestDf.schema)
+        .parquet(parqs.map(m => s"$mdir/$m"): _*))).flatten
+    val ss = spark
+    import ss.implicits._
+    val ordDf = manifests.zipWithIndex.toDF("__mname", "__ord")
+    parts.reduce(_ unionAll _)
+      .withColumn("__mname", regexp_extract(input_file_name(), "manifest/([^/]+)", 1))
+      .join(broadcast(ordDf), "__mname")
+      .drop("__mname")
+  }
+
+  /** Live entries of a snapshot as a DataFrame: the ADD/DELETE fold runs as
+    * a groupBy(path) → latest-manifest-wins aggregation on executors. */
+  def liveEntriesDf(spark: org.apache.spark.sql.SparkSession,
+                    s: SnapshotMeta): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = entriesDf(spark, s.manifests)
+    // per path, the entry from the LATEST manifest decides: kind=0 stays
+    // live, kind=1 is deleted (paths are never re-added after deletion)
+    df.groupBy(col("path").as("__p"))
+      .agg(max_by(struct(ManifestDf.columns: _*), col("__ord")).as("__e"))
+      .select(col("__e.*"))
+      .filter(col("kind") === 0)
   }
 
   /** Effective (live) data files of a snapshot: fold ADD/DELETE in order. */
@@ -311,14 +428,34 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
       val nextId = base.map(_.id + 1).getOrElse(1L)
       base.foreach { b =>
         if (deletedPaths.nonEmpty) {
-          val live = liveEntries(b).map(_.path).toSet
-          val gone = deletedPaths -- live
+          // conflict check: every file WE delete must still be live. Above
+          // the plan threshold this runs as an anti-join on executors — the
+          // driver never folds the full manifest set.
+          val gone: Seq[String] =
+            if (b.liveFilesLong.exists(_ >= planDfThreshold)) {
+              val spark = org.apache.spark.sql.SparkSession.active
+              import spark.implicits._
+              spark.createDataset(deletedPaths.toSeq).toDF("path")
+                .join(liveEntriesDf(spark, b).select("path"), Seq("path"), "left_anti")
+                .as[String].take(3).toSeq
+            } else {
+              val live = liveEntries(b).map(_.path).toSet
+              (deletedPaths -- live).take(3).toSeq
+            }
           if (gone.nonEmpty) throw new CommitConflictException(
-            s"files deleted concurrently: ${gone.take(3).mkString(",")}")
+            s"files deleted concurrently: ${gone.mkString(",")}")
         }
       }
       val addRows = delta.filter(_.kind == 0).map(_.rowCount).sum
       val delRows = delta.filter(_.kind == 1).map(_.rowCount).sum
+      val addFiles = delta.count(_.kind == 0).toLong
+      val delFiles = delta.count(_.kind == 1).toLong
+      // incremental live-file count (exact: every DELETE references a live
+      // file, enforced by the conflict check above); None base = fresh table
+      val lf: Option[Long] = base match {
+        case None => Some(addFiles - delFiles)
+        case Some(b) => b.liveFilesLong.map(_ + addFiles - delFiles)
+      }
       val snap = SnapshotMeta(
         id = nextId, schemaId = schemaId, kind = kind,
         commitUser = "graft", identifier = identifier,
@@ -329,7 +466,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
         deltaRecords = addRows,
         watermark = watermark.orElse(base.flatMap(_.watermarkLong)),
         dvIndex = dvAction.getOrElse(base.flatMap(_.dvIndex)),
-        changelog = if (changelog.isEmpty) None else Some(changelog))
+        changelog = if (changelog.isEmpty) None else Some(changelog),
+        liveFiles = lf)
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
         return snap
@@ -342,8 +480,20 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
   /** Rewrite the manifest list of the latest state into one consolidated
     * ADD-only manifest (paimon `compact_manifest`). */
   def compactManifests(schemaId: Long): SnapshotMeta = {
-    val live = latestSnapshot.map(liveEntries).getOrElse(Nil)
-    val name = writeManifest(live)
+    val (name, liveCount) =
+      if (latestSnapshot.exists(_.liveFilesLong.exists(_ >= planDfThreshold))) {
+        // consolidate distributed: fold on executors, write a parquet
+        // manifest straight from the DataFrame (no driver materialization)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = s"manifest-${UUID.randomUUID()}.pq"
+        liveEntriesDf(spark, latestSnapshot.get).select(ManifestDf.columns: _*)
+          .write.parquet(new Path(manifestDir, n).toString)
+        val cnt = spark.read.parquet(new Path(manifestDir, n).toString).count()
+        (n, cnt)
+      } else {
+        val live = latestSnapshot.map(liveEntries).getOrElse(Nil)
+        (writeManifest(live), live.size.toLong)
+      }
     var attempt = 0
     while (attempt < 20) {
       val base = latestSnapshot
@@ -355,7 +505,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
         Seq(name), Seq(name),
         base.map(_.totalRecords).getOrElse(0L), 0L,
         watermark = base.flatMap(_.watermarkLong),
-        dvIndex = base.flatMap(_.dvIndex))
+        dvIndex = base.flatMap(_.dvIndex),
+        liveFiles = Some(liveCount))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
         return snap

@@ -424,8 +424,29 @@ object RowOps {
     // MAINTENANCE
     // ----------------------------------------------------------------
 
+    /** Above the plan threshold, maintenance runs as DataFrame jobs. */
+    private def metadataIsBig: Boolean =
+      t.sm.latestSnapshot.exists(_.liveFilesLong.exists(_ >= t.sm.planDfThreshold))
+
+    /** Distributed delete of relative paths; returns #deleted. */
+    private def deleteDistributed(relPaths: DataFrame): Int = {
+      val ss = spark
+      import ss.implicits._
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        ss.sessionState.newHadoopConf())
+      val loc = t.location
+      relPaths.as[String].mapPartitions { it =>
+        val f = new Path(loc).getFileSystem(conf.value)
+        var n = 0
+        it.foreach { rel => if (f.delete(new Path(loc, rel), false)) n += 1 }
+        Iterator.single(n)
+      }.collect().sum
+    }
+
     /** Expire old snapshots, deleting data files / manifests no longer
-      * referenced by retained snapshots or tags (paimon ExpireSnapshotsImpl). */
+      * referenced by retained snapshots or tags (paimon ExpireSnapshotsImpl;
+      * above the plan threshold the referenced-vs-candidate file diff and
+      * the deletions run distributed, like the reference's Spark expire). */
     def expireSnapshots(retainLast: Int): Int = {
       val ids = t.sm.snapshotIds
       if (ids.size <= retainLast) return 0
@@ -438,33 +459,48 @@ object RowOps {
       if (dropIds.isEmpty) return 0
       val keepSnaps = keepIds.toSeq.sorted.map(t.sm.readSnapshot)
       val keptManifests = keepSnaps.flatMap(_.manifests).toSet
-      val keptFiles = keepSnaps.flatMap(s => t.sm.liveEntries(s).map(_.path)).toSet
       val fs = t.sm.fs
-      dropIds.foreach { id =>
-        val s = t.sm.readSnapshot(id)
-        s.manifests.filterNot(keptManifests.contains).foreach { m =>
+      val dropSnaps = dropIds.map(t.sm.readSnapshot)
+      val dropManifests = dropSnaps.flatMap(_.manifests).distinct
+        .filterNot(keptManifests.contains)
+      if (metadataIsBig) {
+        // candidates = files ADDed by dropped-only manifests; survivors =
+        // live in ANY kept snapshot. anti-join + delete on executors.
+        val candDf = t.sm.entriesDf(spark, dropManifests)
+          .filter(col("kind") === 0).select("path").distinct()
+        val keptDf = keepSnaps.map(s => t.sm.liveEntriesDf(spark, s).select("path"))
+          .reduceOption(_ unionAll _)
+          .map(_.distinct())
+        val victims = keptDf.foldLeft(candDf)((c, k) => c.join(k, Seq("path"), "left_anti"))
+        deleteDistributed(victims)
+      } else {
+        val keptFiles = keepSnaps.flatMap(s => t.sm.liveEntries(s).map(_.path)).toSet
+        dropManifests.foreach { m =>
           t.sm.readManifest(m).filter(_.kind == 0).map(_.path)
             .filterNot(keptFiles.contains)
             .foreach(p => fs.delete(new Path(t.location, p), false))
-          fs.delete(new Path(t.sm.manifestDir, m), false)
         }
-        fs.delete(new Path(t.sm.snapshotDir, s"snapshot-$id.json"), false)
       }
+      dropManifests.foreach(m => fs.delete(new Path(t.sm.manifestDir, m), true))
+      dropIds.foreach(id =>
+        fs.delete(new Path(t.sm.snapshotDir, s"snapshot-$id.json"), false))
       dropIds.size
     }
 
     /** Delete data files on disk not referenced by any snapshot and older
-      * than `olderThanMs` (paimon remove_orphan_files; the reference also
-      * ships a distributed Spark variant — at 100 TB run the listing as a
-      * DataFrame job; driver listing is fine below ~10^6 files). */
+      * than `olderThanMs` (paimon remove_orphan_files / its distributed
+      * SparkOrphanFilesClean variant: above the plan threshold the listing
+      * parallelizes over commit directories, the referenced-file diff is an
+      * anti-join, and deletion happens on executors). */
     def removeOrphanFiles(olderThanMs: Long = System.currentTimeMillis() - 3600_000L): Int = {
       val fs = t.sm.fs
+      val dataRoot = t.sm.dataDir
+      if (!fs.exists(dataRoot)) return 0
+      if (metadataIsBig) return removeOrphanFilesDistributed(olderThanMs)
       val referenced: Set[String] = t.sm.snapshotIds.flatMap { id =>
         t.sm.readSnapshot(id).manifests.flatMap(m =>
           t.sm.readManifest(m).filter(_.kind == 0).map(_.path))
       }.toSet
-      val dataRoot = t.sm.dataDir
-      if (!fs.exists(dataRoot)) return 0
       val it = fs.listFiles(dataRoot, true)
       var deleted = 0
       val rootLen = new Path(t.location).toUri.getPath.length
@@ -479,6 +515,43 @@ object RowOps {
         }
       }
       deleted
+    }
+
+    private def removeOrphanFilesDistributed(olderThanMs: Long): Int = {
+      val ss = spark
+      import ss.implicits._
+      val fs = t.sm.fs
+      val allManifests = t.sm.snapshotIds.map(t.sm.readSnapshot)
+        .flatMap(_.manifests).distinct
+      // ever-ADDed paths (logically-deleted files are expire's business, not
+      // orphan clean's)
+      val refDf = t.sm.entriesDf(ss, allManifests)
+        .filter(col("kind") === 0).select("path").distinct()
+      val dirs = fs.listStatus(t.sm.dataDir).filter(_.isDirectory)
+        .map(_.getPath.toString).toSeq
+      if (dirs.isEmpty) return 0
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        ss.sessionState.newHadoopConf())
+      val rootPath = new Path(t.location).toUri.getPath
+      val diskDf = ss.sparkContext
+        .parallelize(dirs, math.max(1, math.min(dirs.size, 64)))
+        .flatMap { d =>
+          val p = new Path(d)
+          val f = p.getFileSystem(conf.value)
+          val it = f.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+              val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+              buf += ((rel, st.getModificationTime))
+            }
+          }
+          buf
+        }.toDF("path", "mtime")
+      val victims = diskDf.filter(col("mtime") < olderThanMs)
+        .join(refDf, Seq("path"), "left_anti").select("path")
+      deleteDistributed(victims)
     }
 
     /** ANALYZE: table + column statistics for CBO (paimon

@@ -409,11 +409,17 @@ class GraftTable private (
   private[core] def emptyDf: DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema)
 
-  /** Plan live files for a snapshot, with manifest-level filter pruning. */
+  /** Plan live files for a snapshot, with manifest-level filter pruning.
+    * Small tables fold manifests on the driver (no job latency); above
+    * `metadata.plan.df-threshold` live files the fold AND the stats pruning
+    * run as a DataFrame job — only surviving entries ever reach the driver
+    * (SURVEY §7: manifests are DataFrames past ~10^6 files). */
   def planFiles(snapshotId: Option[Long] = None,
                 filter: Option[Column] = None): Seq[ManifestEntry] = {
     val snap = snapshotId.map(sm.readSnapshot).orElse(sm.latestSnapshot)
       .getOrElse(return Nil)
+    if (snap.liveFilesLong.exists(_ >= sm.planDfThreshold))
+      return planFilesDistributed(snap, filter)
     val live = sm.liveEntries(snap)
     filter match {
       case Some(c) =>
@@ -422,6 +428,24 @@ class GraftTable private (
         live.filter(e => StatsPrune.mightMatch(expr, ds, e.stats, e.rowCount))
       case None => live
     }
+  }
+
+  /** The distributed planning path: manifest read, ADD/DELETE fold and stats
+    * pruning all execute on executors; the same [[StatsPrune.mightMatch]]
+    * decides survival (one pruning implementation, two execution venues). */
+  private def planFilesDistributed(snap: SnapshotMeta,
+                                   filter: Option[Column]): Seq[ManifestEntry] = {
+    val ss = spark
+    import ss.implicits._
+    val live = sm.liveEntriesDf(ss, snap).as[ManifestEntry]
+    val pruned = filter match {
+      case Some(c) =>
+        val ds = dataSchema
+        val expr = StatsPrune.resolve(ss, ds, c)
+        live.filter((e: ManifestEntry) => StatsPrune.mightMatch(expr, ds, e.stats, e.rowCount))
+      case None => live
+    }
+    pruned.collect().toSeq
   }
 
   /** Deletion vectors in force for a snapshot, keyed by [[GraftTable.dvKey]]
