@@ -141,6 +141,10 @@ object SparkEntry {
     // ---- row-level ops (§2.10) ----
     "q_delete_cow" -> ((s, d) => statusAgg(Fixtures.ordersDel(s, d).read())),
     "q_delete_dv" -> ((s, d) => statusAgg(Fixtures.ordersDvDel(s, d).read())),
+    // same state read through the DSv2 native columnar scan: deletion
+    // vectors apply inside the reader factory (position-skip), no V1 path
+    "q_dv_scan" -> ((s, d) =>
+      statusAgg(s.read.format("graft").load(Fixtures.ordersDvDel(s, d).location))),
     "q_update_cow" -> ((s, d) => statusAgg(Fixtures.ordersUpd(s, d).read())),
     "q_merge_into" -> ((s, d) => statusAgg(Fixtures.ordersMi(s, d).read())),
     "q_metadata_delete" -> ((s, d) => Fixtures.eventsDel(s, d).read()
@@ -154,6 +158,15 @@ object SparkEntry {
     "q_partition_prune" -> ((s, d) => Fixtures.eventsAp(s, d)
       .read(filter = Some(col("event_type") === "purchase"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
+    // runtime filtering (DPP): the dim filter is only known at run time —
+    // SupportsRuntimeFiltering re-prunes the fact scan's planned files
+    "q_runtime_filter" -> ((s, d) => {
+      val fact = s.read.format("graft").load(Fixtures.eventsAp(s, d).location)
+      val dim = t(s, d, "events").select("event_type").distinct()
+        .filter(col("event_type").startsWith("c"))
+      fact.join(broadcast(dim), "event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+    }),
     "q_overwrite_dynamic" -> ((s, d) => Fixtures.eventsOw(s, d).read()
       .groupBy("event_type").agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
     "q_schema_evolution" -> ((s, d) => Fixtures.ordersEvo(s, d).read()
@@ -644,7 +657,7 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus""".stripMargin,
-    "q_delete_dv" ->
+    "q_dv_scan" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus""".stripMargin,
@@ -669,6 +682,11 @@ object SparkEntry {
     "q_partition_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS total
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_runtime_filter" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS total
+        |FROM events e JOIN (SELECT DISTINCT event_type FROM events
+        |                    WHERE event_type LIKE 'c%') d
+        |  ON e.event_type = d.event_type""".stripMargin,
     "q_max_pt" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt FROM events
         |WHERE event_type = (SELECT max(event_type) FROM events)""".stripMargin,

@@ -461,12 +461,18 @@ object RowOps {
       val keptManifests = keepSnaps.flatMap(_.manifests).toSet
       val fs = t.sm.fs
       val dropSnaps = dropIds.map(t.sm.readSnapshot)
-      val dropManifests = dropSnaps.flatMap(_.manifests).distinct
-        .filterNot(keptManifests.contains)
+      // candidate data files come from ALL manifests the dropped snapshots
+      // reference: manifest lists are cumulative (base ++ delta), so a
+      // manifest shared with kept snapshots still holds ADD entries for
+      // files the kept state has logically DELETEd — exactly the files
+      // expire exists to reclaim. Only manifests referenced by NO kept
+      // snapshot may be physically deleted.
+      val candManifests = dropSnaps.flatMap(_.manifests).distinct
+      val dropOnlyManifests = candManifests.filterNot(keptManifests.contains)
       if (metadataIsBig) {
-        // candidates = files ADDed by dropped-only manifests; survivors =
-        // live in ANY kept snapshot. anti-join + delete on executors.
-        val candDf = t.sm.entriesDf(spark, dropManifests)
+        // survivors = live in ANY kept snapshot; anti-join + delete on
+        // executors, the driver never folds the manifest set.
+        val candDf = t.sm.entriesDf(spark, candManifests)
           .filter(col("kind") === 0).select("path").distinct()
         val keptDf = keepSnaps.map(s => t.sm.liveEntriesDf(spark, s).select("path"))
           .reduceOption(_ unionAll _)
@@ -475,13 +481,13 @@ object RowOps {
         deleteDistributed(victims)
       } else {
         val keptFiles = keepSnaps.flatMap(s => t.sm.liveEntries(s).map(_.path)).toSet
-        dropManifests.foreach { m =>
+        candManifests.foreach { m =>
           t.sm.readManifest(m).filter(_.kind == 0).map(_.path)
             .filterNot(keptFiles.contains)
             .foreach(p => fs.delete(new Path(t.location, p), false))
         }
       }
-      dropManifests.foreach(m => fs.delete(new Path(t.sm.manifestDir, m), true))
+      dropOnlyManifests.foreach(m => fs.delete(new Path(t.sm.manifestDir, m), true))
       dropIds.foreach(id =>
         fs.delete(new Path(t.sm.snapshotDir, s"snapshot-$id.json"), false))
       dropIds.size

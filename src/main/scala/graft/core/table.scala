@@ -452,7 +452,7 @@ class GraftTable private (
     * (one Spark write job reuses the same part-file NAME across bucket
     * directories, so the name alone is ambiguous — the commit-dir/pt/bucket
     * suffix is required). */
-  private[core] def dvFor(snapshotId: Option[Long]): Map[String, Array[Byte]] = {
+  private[graft] def dvFor(snapshotId: Option[Long]): Map[String, Array[Byte]] = {
     val snap = snapshotId.map(sm.readSnapshot).orElse(sm.latestSnapshot)
     snap.flatMap(_.dvIndex) match {
       case Some(name) => sm.readDvIndex(name).map { case (p, b) => dvKey(p) -> b }
@@ -476,14 +476,17 @@ class GraftTable private (
       if (dv.isEmpty) return dfIn
       // apply deletion vectors: filter out (file, row_index) marked deleted
       // (paimon ApplyDeletionVectorReader). Bitmaps deserialize once per
-      // executor via DvCache; _metadata.row_index is Spark's native parquet
-      // row position — no extra shuffle, stays a scan-side filter.
-      val dvMap = dv
+      // executor via DvCache — fingerprint keys are precomputed HERE, on the
+      // driver, so the per-row path is map-lookup + bitmap.contains only
+      // (no per-row byte-array hashing); _metadata.row_index is Spark's
+      // native parquet row position — no extra shuffle, scan-side filter.
+      val dvMap: Map[String, (String, Array[Byte])] =
+        dv.map { case (k, b) => k -> (DvCache.fingerprint(k, b), b) }
       val keep = udf { (path: String, idx: Long) =>
         val decoded = if (path.contains('%')) new java.net.URI(path).getPath else path
         val key = GraftTable.dvKey(decoded)
         dvMap.get(key) match {
-          case Some(bytes) => !DvCache.bitmap(key, bytes).contains(idx.toInt)
+          case Some((fp, bytes)) => !DvCache.bitmapFp(fp, bytes).contains(idx.toInt)
           case None => true
         }
       }
@@ -569,12 +572,15 @@ class GraftTable private (
   }
 
   /** Entries iff this snapshot+filter plan is servable RAW — every bucket a
-    * single merged (or dedup level-0) file, no tombstones, no deletion
-    * vectors. The native DSv2 columnar scan takes this path; anything else
-    * needs the DataFrame merge plan. */
+    * single merged (or dedup level-0) file, no tombstones. The native DSv2
+    * columnar scan takes this path; anything else needs the DataFrame merge
+    * plan. `allowDv=false` (default) also demands no deletion vectors —
+    * callers that apply DVs themselves (the native scan's reader factory
+    * skips per-file positions) pass true. */
   def rawPlan(snapshotId: Option[Long] = None,
-              filter: Option[Column] = None): Option[Seq[ManifestEntry]] = {
-    if (dvFor(snapshotId).nonEmpty) return None
+              filter: Option[Column] = None,
+              allowDv: Boolean = false): Option[Seq[ManifestEntry]] = {
+    if (!allowDv && dvFor(snapshotId).nonEmpty) return None
     val entries = planFiles(snapshotId, filter)
     // files from older schema versions need the field-id remap (V1 path);
     // the native columnar scan reads strictly by current column names
@@ -590,6 +596,11 @@ class GraftTable private (
     }
     if (ok) Some(entries) else None
   }
+
+  /** Read exactly `entries` (no merge, current DVs applied) — the data side
+    * of index-driven plans (GlobalIndex names the files to read). */
+  def readFiles(entries: Seq[ManifestEntry]): DataFrame =
+    readEntries(entries, withInternal = false, dvFor(None))
 
   /** Read-optimized scan: raw files only, no merge (paimon `t$ro`). */
   def readRaw(snapshotId: Option[Long] = None): DataFrame =
@@ -992,8 +1003,14 @@ object MergeEngines {
   * bitmap and resurrect newly deleted rows within the same JVM. */
 object DvCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, org.roaringbitmap.RoaringBitmap]()
+  /** Cache key: compute ONCE per (file, vector) on the driver, never per row
+    * (hashing the serialized bytes is O(bitmap size)). */
+  def fingerprint(name: String, bytes: Array[Byte]): String =
+    s"$name@${bytes.length}:${java.util.Arrays.hashCode(bytes)}"
   def bitmap(name: String, bytes: Array[Byte]): org.roaringbitmap.RoaringBitmap =
-    cache.computeIfAbsent(s"$name@${bytes.length}:${java.util.Arrays.hashCode(bytes)}", _ => {
+    bitmapFp(fingerprint(name, bytes), bytes)
+  def bitmapFp(fp: String, bytes: Array[Byte]): org.roaringbitmap.RoaringBitmap =
+    cache.computeIfAbsent(fp, _ => {
       val r = new org.roaringbitmap.RoaringBitmap
       r.deserialize(java.nio.ByteBuffer.wrap(bytes))
       r

@@ -39,18 +39,30 @@ import java.util.OptionalLong
  *  - runtime filtering (DPP): partition-column IN-filters from a joined dim
  *    re-prune the planned entries before execution.
  *
- * Only raw-convertible, DV-free plans take this path (append tables, or
- * compacted PK tables — the overwhelmingly common read at scale). Buckets
- * needing LSM merge keep the V1 plan-based path, whose semantics are the
- * engine's tested DataFrame merge.
+ * Only raw-convertible plans take this path (append tables, or compacted PK
+ * tables — the overwhelmingly common read at scale). Buckets needing LSM
+ * merge keep the V1 plan-based path, whose semantics are the engine's
+ * tested DataFrame merge.
+ *
+ * Deletion vectors apply INSIDE the reader factory (paimon
+ * ApplyDeletionVectorReader shape, deletionvectors/ApplyDeletionVectorReader.java):
+ * a file with an outstanding vector reads row-based with parquet filter
+ * pushdown disabled, so the running row count equals the parquet row index
+ * and deleted positions are skipped with one bitmap lookup per row — no
+ * V1 fallback, no per-row string work.
  */
 class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
                      pushed: Array[Filter], required: Option[StructType],
-                     readOptions: Map[String, String] = Map.empty)
+                     readOptions: Map[String, String] = Map.empty,
+                     dv: Map[String, Array[Byte]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   private var entries: Seq[ManifestEntry] = initial
+
+  /** Surviving planned entries — runtime filtering (DPP) shrinks this;
+    * tests assert on it. */
+  def plannedEntryCount: Int = entries.size
 
   override def readSchema(): StructType = required.getOrElse(t.schema.sparkSchema)
 
@@ -69,12 +81,18 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
     }
   }
 
-  // ---- statistics from the manifest ----
+  // ---- statistics from the manifest (minus DV-deleted positions) ----
+  private lazy val dvDeletedRows: Long =
+    if (dv.isEmpty) 0L
+    else entries.map { e =>
+      val k = GraftTable.dvKey(e.path)
+      dv.get(k).map(b => DvCache.bitmap(k, b).getLongCardinality).getOrElse(0L)
+    }.sum
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(1L, entries.map(_.fileSize).sum))
     override def numRows(): OptionalLong =
-      OptionalLong.of(entries.map(_.rowCount).sum)
+      OptionalLong.of(math.max(0L, entries.map(_.rowCount).sum - dvDeletedRows))
   }
 
   // ---- partitioning report ----
@@ -111,11 +129,15 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
       val abs = new Path(locRoot, e.path)
       val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPath(abs), 0L,
         e.fileSize, Array.empty[String], 0L, e.fileSize, Map.empty)
-      GraftInputPartition(Array(pf), partitionKeyRow(e))
+      val (fp, bytes) = dv.get(GraftTable.dvKey(e.path)) match {
+        case Some(b) => (DvCache.fingerprint(GraftTable.dvKey(e.path), b), b)
+        case None => (null, null)
+      }
+      GraftInputPartition(Array(pf), partitionKeyRow(e), fp, bytes)
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  private def mkParquetFactory(filters: Array[Filter]): ParquetPartitionReaderFactory = {
     val spark = t.spark
     val hadoopConf = spark.sessionState.newHadoopConf()
     // Delegate factory construction to Spark's own ParquetScan so the
@@ -129,11 +151,17 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
       None, None)
     val pscan = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
       spark, hadoopConf, emptyIndex, t.fileSchema, readSchema(),
-      new StructType(), pushed,
+      new StructType(), filters,
       org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), None, Nil, Nil,
       Array.empty)
-    GraftReaderFactory(
-      pscan.createReaderFactory().asInstanceOf[ParquetPartitionReaderFactory])
+    pscan.createReaderFactory().asInstanceOf[ParquetPartitionReaderFactory]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // DV files read through a NO-pushdown delegate: parquet row-group/page
+    // skipping would break the position count that maps rows to vector bits
+    val dvFactory = if (dv.isEmpty) null else mkParquetFactory(Array.empty)
+    GraftReaderFactory(mkParquetFactory(pushed), dvFactory)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -195,23 +223,47 @@ case class GraftAggReaderFactory() extends PartitionReaderFactory {
 }
 
 /** File split(s) + partition key ((partition values, bucket)) for
-  * storage-partitioned joins. */
-case class GraftInputPartition(files: Array[PartitionedFile], key: InternalRow)
+  * storage-partitioned joins. `dvFp`/`dvBytes`: this file's outstanding
+  * deletion vector (fingerprint precomputed on the driver) — null if none. */
+case class GraftInputPartition(files: Array[PartitionedFile], key: InternalRow,
+                               dvFp: String = null, dvBytes: Array[Byte] = null)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
   override def preferredLocations(): Array[String] = Array.empty
 }
 
 /** Adapts graft input partitions onto Spark's vectorized parquet reader
-  * factory (row-group skipping + columnar batches for free). */
-case class GraftReaderFactory(delegate: ParquetPartitionReaderFactory)
+  * factory (row-group skipping + columnar batches for free). Partitions
+  * carrying a deletion vector read row-based through `dvDelegate` (built
+  * WITHOUT parquet filter pushdown, so rows stream in file order and the
+  * running count is the parquet row index), skipping deleted positions. */
+case class GraftReaderFactory(delegate: ParquetPartitionReaderFactory,
+                              dvDelegate: ParquetPartitionReaderFactory = null)
     extends PartitionReaderFactory {
   private def fp(p: InputPartition): FilePartition =
     FilePartition(0, p.asInstanceOf[GraftInputPartition].files)
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    delegate.createReader(fp(p))
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    if (gp.dvBytes == null) return delegate.createReader(fp(p))
+    val bm = DvCache.bitmapFp(gp.dvFp, gp.dvBytes) // once per task, cached per executor
+    val inner = dvDelegate.createReader(fp(p))
+    new PartitionReader[InternalRow] {
+      private var pos = -1L
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          pos += 1
+          if (!bm.contains(pos.toInt)) { cur = inner.get(); return true }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = inner.close()
+    }
+  }
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     delegate.createColumnarReader(fp(p))
   override def supportColumnarReads(p: InputPartition): Boolean =
-    delegate.supportColumnarReads(fp(p))
+    p.asInstanceOf[GraftInputPartition].dvBytes == null &&
+      delegate.supportColumnarReads(fp(p))
 }

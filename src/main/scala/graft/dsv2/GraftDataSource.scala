@@ -212,23 +212,30 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     if (readOptions.get("read-changelog").contains("true"))
       return new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
     val pruneCond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
-    // native columnar scan when no merge/DV work is needed (the common case
-    // after compaction); V1 DataFrame plan otherwise (shared merge semantics)
-    t.rawPlan(snapshotId, pruneCond) match {
+    // native columnar scan when no merge work is needed (the common case
+    // after compaction); deletion vectors apply inside its reader factory.
+    // V1 DataFrame plan otherwise (shared merge semantics).
+    t.rawPlan(snapshotId, pruneCond, allowDv = true) match {
       case Some(entries0) =>
+        val dv = t.dvFor(snapshotId)
         var entries = entries0
-        topN.foreach { case (o, k) =>
-          entries = GraftScanBuilder.topNPrune(entries, t.schema.sparkSchema, o, k)
-        }
-        // bare LIMIT (Spark only pushes it with no residual operators):
-        // keep just enough files to cover the limit
-        if (topN.isEmpty && pushed.isEmpty) limit.foreach { l =>
-          var cum = 0L
-          entries = entries.takeWhile { e =>
-            val need = cum < l; cum += e.rowCount; need
+        // file-truncation pruning trusts manifest row counts, which OVERCOUNT
+        // rows of DV-carrying files — a LIMIT/TopN could come up short. Both
+        // prunes stay off while vectors are outstanding.
+        if (dv.isEmpty) {
+          topN.foreach { case (o, k) =>
+            entries = GraftScanBuilder.topNPrune(entries, t.schema.sparkSchema, o, k)
+          }
+          // bare LIMIT (Spark only pushes it with no residual operators):
+          // keep just enough files to cover the limit
+          if (topN.isEmpty && pushed.isEmpty) limit.foreach { l =>
+            var cum = 0L
+            entries = entries.takeWhile { e =>
+              val need = cum < l; cum += e.rowCount; need
+            }
           }
         }
-        new GraftBatchScan(t, entries, pushed, required, readOptions)
+        new GraftBatchScan(t, entries, pushed, required, readOptions, dv)
       case None => new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
     }
   }

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import graft.core._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * GLOBAL secondary indexes over an UNCLUSTERED column — the last §2.11
+ * family (capability parity with paimon's global index tables, reference:
+ * paimon-core/.../globalindex/sorted/SortedGlobalIndexScanner.java and
+ * globalindex/generic/GenericGlobalIndexScanner.java,
+ * docs/docs/multimodal-table/global-index.mdx:110).
+ *
+ * Both kinds persist as graft tables of (value, file, cnt) rows — one row
+ * per distinct (column value, data file) pair — value-range clustered by
+ * sort compaction, so the existing manifest min/max machinery prunes the
+ * INDEX read and the index result prunes the DATA read:
+ *
+ *  - equality ("bitmap"): `c = v` / `c IN (...)` looks up the value's rows
+ *    in the index (a few index files) and plans only the data files that
+ *    contain it — the file-granular analogue of paimon's value→row-bitmap
+ *    index, matched to Spark's scan unit.
+ *  - sorted ("btree"): `ORDER BY c LIMIT k` walks the best k index rows
+ *    (served by the graft TopN file pruning), derives the value boundary,
+ *    and reads only data files holding rows past it.
+ *
+ * At 100 TB: the index is ~distinct(value,file) rows — metadata-scale next
+ * to the data — and every lookup is a stats-pruned scan of both tables.
+ * Builds are one distributed aggregation; an index records the snapshot it
+ * covers and lookups FALL BACK to a full scan when stale (correctness never
+ * depends on index freshness).
+ */
+object GlobalIndex {
+
+  private def indexLoc(tableLoc: String, colName: String) =
+    s"$tableLoc/index/global-$colName"
+  private def metaPath(tableLoc: String, colName: String) =
+    new Path(tableLoc, s"index/global-$colName.json")
+
+  /** Build (or replace) the global index for `colName`. One distributed
+    * pass: distinct (value, file) pairs + per-pair row count, persisted
+    * value-clustered. Requires a raw-convertible snapshot (append table or
+    * compacted PK table) so file contents equal table contents. */
+  def build(spark: SparkSession, tableLoc: String, colName: String): GraftTable = {
+    import graft.core.RowOps._
+    val t = GraftTable.load(spark, tableLoc)
+    val entries = t.rawPlan(None, None).getOrElse(throw new IllegalStateException(
+      "global index build needs a raw-convertible (compacted, DV-free) snapshot"))
+    val paths = entries.map(e => new Path(t.location, e.path).toString)
+    val rows = spark.read.schema(t.fileSchema).parquet(paths: _*)
+      .select(col(colName).as("value"),
+        // relative path, stable across filesystems (URI-decoded by regexp
+        // on the path tail: data/c-<uuid>/... is the manifest-relative form)
+        regexp_extract(input_file_name(), "(data/.*)$", 1).as("file"))
+    val pairs = rows.groupBy("value", "file").agg(count(lit(1)).as("cnt"))
+    val idx = GraftTable.createOrReplace(spark, indexLoc(tableLoc, colName),
+      pairs.schema, TableConfig())
+    idx.write(pairs)
+    idx.compactSorted("order", Seq("value")) // value-range file clustering
+    t.sm.writeString(metaPath(tableLoc, colName), Json.write(Map(
+      "column" -> colName, "snapshot" -> t.sm.latestSnapshotId.getOrElse(0L))))
+    idx
+  }
+
+  /** Index freshness: Some(index) iff it exists and covers the CURRENT
+    * snapshot; None → caller falls back to a plain scan. */
+  private def freshIndex(spark: SparkSession, tableLoc: String,
+                         colName: String): Option[GraftTable] = {
+    val t = GraftTable.load(spark, tableLoc)
+    val mp = metaPath(tableLoc, colName)
+    if (!t.sm.fs.exists(mp)) return None
+    val m = Json.mapper.readValue(t.sm.readString(mp),
+      classOf[java.util.Map[String, Any]])
+    val at = m.get("snapshot").asInstanceOf[Number].longValue()
+    if (!t.sm.latestSnapshotId.contains(at)) None
+    else Some(GraftTable.load(spark, indexLoc(tableLoc, colName)))
+  }
+
+  /** Data files containing any of `values` in `colName`, from the index
+    * (the index read itself is stats-pruned to the values' file ranges).
+    * None = no fresh index. */
+  def lookupFiles(spark: SparkSession, tableLoc: String, colName: String,
+                  values: Seq[Any]): Option[Seq[String]] =
+    freshIndex(spark, tableLoc, colName).map { idx =>
+      idx.read(filter = Some(col("value").isin(values: _*)))
+        .select("file").distinct()
+        .collect().map(_.getString(0)).toSeq
+    }
+
+  /** Equality/IN read through the index: plans ONLY the files the index
+    * names; falls back to the table's own stats pruning when stale. */
+  def readEquality(spark: SparkSession, tableLoc: String, colName: String,
+                   values: Seq[Any]): DataFrame = {
+    val t = GraftTable.load(spark, tableLoc)
+    val cond = col(colName).isin(values: _*)
+    lookupFiles(spark, tableLoc, colName, values) match {
+      case Some(files) =>
+        val fset = files.toSet
+        val entries = t.planFiles().filter(e => fset.contains(e.path))
+        t.readFiles(entries).filter(cond)
+      case None => t.read(Some(cond))
+    }
+  }
+
+  /** Planned data-file count for an equality lookup — test hook mirroring
+    * ivfPlannedFiles. */
+  def plannedFilesForEquality(spark: SparkSession, tableLoc: String,
+                              colName: String, values: Seq[Any]): Int =
+    lookupFiles(spark, tableLoc, colName, values).map(_.size)
+      .getOrElse(GraftTable.load(spark, tableLoc).planFiles().size)
+
+  /**
+   * Index-driven TopN (`ORDER BY colName [DESC] LIMIT k`, nulls excluded):
+   * 1. top-k INDEX rows by value (graft TopN pushdown prunes index files),
+   * 2. the k-th value is the boundary: every top-k DATA row lies in a file
+   *    holding some value past it,
+   * 3. read only those files; caller re-sorts (ties included, exact-safe).
+   * Returns the candidate rows (a superset of the top-k, already pruned).
+   */
+  def topNCandidates(spark: SparkSession, tableLoc: String, colName: String,
+                     k: Int, desc: Boolean): DataFrame = {
+    val t = GraftTable.load(spark, tableLoc)
+    freshIndex(spark, tableLoc, colName) match {
+      case None => t.read(Some(col(colName).isNotNull))
+      case Some(idx) =>
+        // TopN pushdown on the INDEX table through the DSv2 scan
+        val idxDf = spark.read.format("graft").load(idx.location)
+          .filter(col("value").isNotNull)
+        val ord = if (desc) col("value").desc else col("value").asc
+        val top = idxDf.orderBy(ord).limit(k).select("value").collect()
+        if (top.isEmpty) return t.read(Some(col(colName).isNotNull))
+        val boundary = top.last.get(0)
+        val fileCond =
+          if (desc) col("value") >= lit(boundary) else col("value") <= lit(boundary)
+        val files = idx.read(filter = Some(fileCond))
+          .select("file").distinct().collect().map(_.getString(0)).toSet
+        val entries = t.planFiles().filter(e => files.contains(e.path))
+        val dataCond =
+          if (desc) col(colName) >= lit(boundary) else col(colName) <= lit(boundary)
+        t.readFiles(entries).filter(dataCond && col(colName).isNotNull)
+    }
+  }
+
+  /** Planned data-file count for a TopN — test hook. */
+  def plannedFilesForTopN(spark: SparkSession, tableLoc: String,
+                          colName: String, k: Int, desc: Boolean): Int = {
+    freshIndex(spark, tableLoc, colName) match {
+      case None => GraftTable.load(spark, tableLoc).planFiles().size
+      case Some(idx) =>
+        val idxDf = spark.read.format("graft").load(idx.location)
+          .filter(col("value").isNotNull)
+        val ord = if (desc) col("value").desc else col("value").asc
+        val top = idxDf.orderBy(ord).limit(k).select("value").collect()
+        if (top.isEmpty) return 0
+        val boundary = top.last.get(0)
+        val fileCond =
+          if (desc) col("value") >= lit(boundary) else col("value") <= lit(boundary)
+        idx.read(filter = Some(fileCond)).select("file").distinct().count().toInt
+    }
+  }
+}

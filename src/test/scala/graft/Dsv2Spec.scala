@@ -417,4 +417,75 @@ class Dsv2Spec extends SparkTestBase {
       .as[(Long, String)].collect().toSeq
     assert(rows == Seq((1L, "a"), (2L, "b"), (2L, "b2")))
   }
+
+  test("runtime filtering (DPP): selective dim join re-prunes fact files at runtime") {
+    val loc = tmpLoc("dpp-fact")
+    val df = spark.range(1000).select(
+      (col("id") % 10).cast("int").as("p"),
+      col("id").as("v"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(partitionKeys = Seq("p")))
+    t.write(df.repartition(2))
+    import graft.core.RowOps._
+    t.compact()
+    val total = t.planFiles().size
+    assert(total >= 10, s"want >=10 files (one per partition), got $total")
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false", // plan introspection below
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val fact = spark.read.format("graft").load(loc)
+      // dim must be a real source (a local relation folds the filter away
+      // and PartitionPruning finds no selective predicate to prune with)
+      val dimPath = tmpLoc("dpp-dim")
+      Seq((3, "x"), (7, "y")).toDF("p", "tag").write.parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+      val j = fact.join(dim, "p").where(col("tag") === "x")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+      val row = j.collect().head // execute THIS plan (scan.filter runs lazily in it)
+      assert(row.getLong(0) == 100)
+      assert(row.getLong(1) == (0 until 1000).filter(_ % 10 == 3).map(_.toLong).sum)
+      // the fact scan must have been runtime-filtered down to partition 3
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val scans = j.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.dsv2.GraftBatchScan] =>
+          b.scan.asInstanceOf[graft.dsv2.GraftBatchScan]
+      }
+      assert(scans.nonEmpty, "native fact scan not found in plan")
+      assert(j.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "expected a dynamic pruning subquery on the fact scan")
+      val pruned = scans.map(_.plannedEntryCount).min
+      assert(pruned < total, s"DPP did not prune: $pruned of $total files survived")
+    }
+  }
+
+  test("deletion vectors apply inside the native columnar scan (no V1 fallback)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.dvnat (k BIGINT, s STRING, p DOUBLE)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='2')""")
+    spark.sql("""INSERT INTO graft.db.dvnat
+                 SELECT id, concat('s', id), id * 1.0 FROM range(1000)""")
+    import graft.core.RowOps._
+    val t = GraftTable.load(spark, s"$wh/db.db/dvnat")
+    t.compact()
+    t.deleteDv(col("k") % 10 === 3) // 100 rows across both buckets
+    val df = spark.sql("SELECT k, s FROM graft.db.dvnat")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"expected native BatchScan with DVs:\n$plan")
+    assert(!plan.contains("RDDScan"), s"RDD fallback still present:\n$plan")
+    assert(df.count() == 900)
+    assert(df.filter("k % 10 = 3").count() == 0)
+    // second vector touching the same files: bitmaps grow, reads stay exact
+    t.deleteDv(col("k") === 4)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.db.dvnat").as[Long].head() == 899L)
+    // filter + projection through the no-pushdown DV delegate stays correct
+    val got = spark.sql("SELECT sum(p) FROM graft.db.dvnat WHERE k < 100").as[Double].head()
+    val want = (0 until 100).filter(k => k % 10 != 3 && k != 4).map(_.toDouble).sum
+    assert(got == want)
+    // LIMIT returns the full requested row count despite manifests
+    // overcounting DV-deleted rows (file-truncation pruning must be off)
+    assert(spark.sql("SELECT * FROM graft.db.dvnat LIMIT 895").count() == 895)
+    // compaction materializes the vectors; scan flips back to columnar
+    t.compact()
+    assert(spark.sql("SELECT count(*) AS c FROM graft.db.dvnat").as[Long].head() == 899L)
+  }
 }
