@@ -153,6 +153,29 @@ object Fixtures {
     }
 
   /** Append table over events, partitioned by event_type. */
+  /** Append lineitem (8 unsorted files) + global equality index on the
+    * high-cardinality l_orderkey: a point lookup plans only the few files
+    * holding that key. */
+  def lineitemGi(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lineitem_gi") { loc =>
+      val li = src(spark, sfDir, "lineitem")
+      val t = GraftTable.createOrReplace(spark, loc, li.schema, TableConfig())
+      t.write(li.repartition(8))
+      graft.pipeline.GlobalIndex.build(spark, loc, "l_orderkey")
+      t
+    }
+
+  /** Append orders (8 unsorted files) + global sorted index on
+    * o_totalprice: TopN reads only files past the value boundary. */
+  def ordersGi(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_gi") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema, TableConfig())
+      t.write(orders.repartition(8))
+      graft.pipeline.GlobalIndex.build(spark, loc, "o_totalprice")
+      t
+    }
+
   def eventsAp(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "events_ap") { loc =>
       val e = src(spark, sfDir, "events")

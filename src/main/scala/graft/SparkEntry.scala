@@ -158,6 +158,22 @@ object SparkEntry {
     "q_partition_prune" -> ((s, d) => Fixtures.eventsAp(s, d)
       .read(filter = Some(col("event_type") === "purchase"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
+    // global secondary indexes (§2.11): equality lookup + sorted TopN over
+    // an UNCLUSTERED column, both driven by the persisted index table
+    "q_bitmap_eq" -> ((s, d) => {
+      val gi = Fixtures.lineitemGi(s, d)
+      val k = t(s, d, "lineitem").agg(min("l_orderkey")).head().getLong(0)
+      graft.pipeline.GlobalIndex.readEquality(s, gi.location, "l_orderkey", Seq(k))
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+    }),
+    "q_btree_topn" -> ((s, d) => {
+      val gi = Fixtures.ordersGi(s, d)
+      graft.pipeline.GlobalIndex
+        .topNCandidates(s, gi.location, "o_totalprice", 10, desc = true)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    }),
     // runtime filtering (DPP): the dim filter is only known at run time —
     // SupportsRuntimeFiltering re-prunes the fact scan's planned files
     "q_runtime_filter" -> ((s, d) => {
@@ -687,6 +703,13 @@ object SparkEntry {
         |FROM events e JOIN (SELECT DISTINCT event_type FROM events
         |                    WHERE event_type LIKE 'c%') d
         |  ON e.event_type = d.event_type""".stripMargin,
+    "q_bitmap_eq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)""".stripMargin,
+    "q_btree_topn" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_max_pt" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt FROM events
         |WHERE event_type = (SELECT max(event_type) FROM events)""".stripMargin,

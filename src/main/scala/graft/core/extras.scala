@@ -134,6 +134,17 @@ object Procedures {
       case "fast_forward_snapshot" =>
         val s = table.rollback(args("snapshot").toLong)
         ok(s"table set to snapshot ${args("snapshot")} (new ${s.id})")
+      case "create_global_index" =>
+        // persisted secondary index over an unclustered column (paimon
+        // global index tables; equality + sorted lookups share one build)
+        graft.pipeline.GlobalIndex.build(spark, table.location, args("column"))
+        ok(s"global index built on ${args("column")}")
+      case "drop_global_index" =>
+        val fs = table.sm.fs
+        val c = args("column")
+        fs.delete(new Path(table.location, s"index/global-$c"), true)
+        fs.delete(new Path(table.location, s"index/global-$c.json"), false)
+        ok(s"global index on $c dropped")
       case "migrate_table" =>
         // import an external format directory (paimon MigrateTableProcedure)
         val snap = CopyInto.copyIn(spark, table, args("source_path"),

@@ -1,0 +1,80 @@
+package graft
+
+import graft.core._
+import graft.pipeline.GlobalIndex
+import org.apache.spark.sql.functions._
+
+/** Global secondary indexes (§2.11): equality + sorted lookups over an
+  * unclustered column, with pruned-file assertions and staleness fallback. */
+class GlobalIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 10k rows, unique v, spread RANDOMLY over 10 files: column stats cannot
+  // prune (every file spans ~the full v range); only the index can.
+  private def mkIndexed(name: String): (String, GraftTable) = {
+    val loc = tmpLoc(name)
+    val df = spark.range(10000).select(
+      col("id").as("v"),
+      (col("id") % 97).as("tag"),
+      concat(lit("p"), col("id")).as("payload"))
+    val t = GraftTable.create(spark, loc, df.schema, TableConfig())
+    t.write(df.repartition(10)) // round-robin: values scatter across files
+    GlobalIndex.build(spark, loc, "v")
+    (loc, t)
+  }
+
+  test("equality lookup plans only files containing the value") {
+    val (loc, t) = mkIndexed("gi-eq")
+    val total = t.planFiles().size
+    assert(total == 10)
+    // stats cannot prune this (v is unclustered): the engine would scan all
+    val expr = StatsPrune.resolve(spark, t.dataSchema, col("v") === 4242L)
+    val statPruned = t.planFiles(filter = Some(col("v") === 4242L)).size
+    assert(statPruned == total, "unclustered column must defeat stats pruning")
+    // the index prunes to exactly the one file holding v=4242
+    assert(GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(4242L)) == 1)
+    val got = GlobalIndex.readEquality(spark, loc, "v", Seq(4242L, 7L))
+    assertSameRows(got, t.read().filter(col("v").isin(4242L, 7L)))
+  }
+
+  test("sorted TopN reads only boundary files and stays exact") {
+    val (loc, t) = mkIndexed("gi-topn")
+    val total = t.planFiles().size
+    val planned = GlobalIndex.plannedFilesForTopN(spark, loc, "v", 5, desc = true)
+    assert(planned <= 5 && planned < total,
+      s"TopN should touch at most k files, got $planned of $total")
+    val got = GlobalIndex.topNCandidates(spark, loc, "v", 5, desc = true)
+      .orderBy(col("v").desc).limit(5)
+    assertSameRows(got, t.read().orderBy(col("v").desc).limit(5))
+    // ascending too
+    val gotAsc = GlobalIndex.topNCandidates(spark, loc, "v", 3, desc = false)
+      .orderBy(col("v").asc).limit(3)
+    assertSameRows(gotAsc, t.read().orderBy(col("v").asc).limit(3))
+  }
+
+  test("stale index falls back to a full correct scan; rebuild re-arms") {
+    val (loc, t) = mkIndexed("gi-stale")
+    t.write(Seq((20001L, 3L, "new1"), (20002L, 4L, "new2"))
+      .toDF("v", "tag", "payload"))
+    // snapshot moved past the index build → fallback, but results correct
+    assert(GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(20001L))
+      == GraftTable.load(spark, loc).planFiles().size)
+    val got = GlobalIndex.readEquality(spark, loc, "v", Seq(20001L, 42L))
+    assert(rowsOf(got) == Set(Seq(20001L, 3L, "new1"), Seq(42L, 42L, "p42")))
+    // rebuild covers the new snapshot and prunes again
+    GlobalIndex.build(spark, loc, "v")
+    val planned = GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(20001L))
+    assert(planned <= 2, s"rebuilt index should prune, planned=$planned")
+  }
+
+  test("procedures create_global_index / drop_global_index round-trip") {
+    val loc = tmpLoc("gi-proc")
+    val df = spark.range(1000).select(col("id").as("v"), (col("id") * 2).as("w"))
+    val t = GraftTable.create(spark, loc, df.schema, TableConfig())
+    t.write(df.repartition(4))
+    Procedures.call(spark, t, "create_global_index", Map("column" -> "v"))
+    assert(GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(500L)) == 1)
+    Procedures.call(spark, t, "drop_global_index", Map("column" -> "v"))
+    assert(GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(500L)) == 4)
+  }
+}
