@@ -1,0 +1,170 @@
+package graft.dsv2
+
+import graft.core._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.Row
+
+/**
+ * SQL surface for maintenance: `CALL sys.<proc>(...)`, `SHOW TAGS t`, and
+ * tag DDL — the reference's parser extension
+ * (paimon-spark/.../antlr4/.../PaimonSqlExtensions.g4:72-89 + its
+ * PaimonSqlExtensionsParser delegate chain), re-expressed as a lightweight
+ * delegating parser: the handful of statement shapes Spark's grammar lacks
+ * are recognized here and compiled straight to runnable commands over the
+ * Procedures registry; EVERYTHING else falls through to Spark's parser.
+ *
+ * {{{
+ *   CALL sys.compact(table => 'graft.db.t', order_strategy => 'zorder', order_by => 'x,y')
+ *   CALL sys.expire_snapshots(table => 'graft.db.t', retain_last => 2)
+ *   SHOW TAGS graft.db.t
+ *   ALTER TABLE graft.db.t CREATE TAG v1 [AS OF VERSION 3]
+ *   ALTER TABLE graft.db.t DELETE TAG v1
+ *   ALTER TABLE graft.db.t RENAME TAG v1 TO v2
+ * }}}
+ */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val t = sqlText.trim.stripSuffix(";")
+    t match {
+      case CallRe(proc, argStr) =>
+        val args = parseArgs(argStr)
+        val table = args.getOrElse("table", throw new IllegalArgumentException(
+          s"CALL sys.$proc: required named argument table => '<ident>'"))
+        GraftCallCommand(splitIdent(table), proc, args - "table")
+      case ShowTagsRe(ident) => GraftShowTagsCommand(splitIdent(ident))
+      case CreateTagRe(ident, tag, version) =>
+        GraftTagDdlCommand(splitIdent(ident), "create", tag,
+          Option(version).map(_.toLong), None)
+      case DeleteTagRe(ident, tag) =>
+        GraftTagDdlCommand(splitIdent(ident), "delete", tag, None, None)
+      case RenameTagRe(ident, tag, to) =>
+        GraftTagDdlCommand(splitIdent(ident), "rename", tag, None, Some(to))
+      case _ => delegate.parsePlan(sqlText)
+    }
+  }
+
+  // everything else delegates untouched
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftSqlParser {
+  // CALL [cat.]sys.proc(args)
+  private val CallRe =
+    """(?is)^CALL\s+(?:[\w`]+\.)?sys\.(\w+)\s*\((.*)\)\s*$""".r
+  private val ShowTagsRe = """(?is)^SHOW\s+TAGS\s+([\w`.]+)\s*$""".r
+  private val CreateTagRe =
+    """(?is)^ALTER\s+TABLE\s+([\w`.]+)\s+CREATE\s+TAG\s+(?:IF\s+NOT\s+EXISTS\s+)?[`']?([\w.-]+)[`']?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$""".r
+  private val DeleteTagRe =
+    """(?is)^ALTER\s+TABLE\s+([\w`.]+)\s+DELETE\s+TAG\s+(?:IF\s+EXISTS\s+)?[`']?([\w.-]+)[`']?\s*$""".r
+  private val RenameTagRe =
+    """(?is)^ALTER\s+TABLE\s+([\w`.]+)\s+RENAME\s+TAG\s+[`']?([\w.-]+)[`']?\s+TO\s+[`']?([\w.-]+)[`']?\s*$""".r
+
+  private[dsv2] def splitIdent(s: String): Seq[String] =
+    s.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
+
+  /** `k => v` pairs; values are 'quoted strings' or bare literals. */
+  private[dsv2] def parseArgs(s: String): Map[String, String] = {
+    if (s.trim.isEmpty) return Map.empty
+    val ArgRe = """(\w+)\s*=>\s*(?:'((?:[^']|'')*)'|([^,\s][^,]*?))\s*(?:,|$)""".r
+    ArgRe.findAllMatchIn(s).map { m =>
+      val v = Option(m.group(2)).map(_.replace("''", "'"))
+        .getOrElse(m.group(3).trim)
+      m.group(1) -> v
+    }.toMap
+  }
+
+  /** Resolve a multipart identifier to the engine table through the DSv2
+    * catalog (honors current catalog/namespace for short names). */
+  def resolveTable(session: SparkSession, ident: Seq[String]): GraftTable = {
+    val cm = session.sessionState.catalogManager
+    val (catalog, rest) =
+      if (ident.length > 1 && cm.isCatalogRegistered(ident.head))
+        (cm.catalog(ident.head), ident.tail)
+      else (cm.currentCatalog, ident)
+    val (ns, name) =
+      if (rest.length == 1) (cm.currentNamespace.toSeq, rest.head)
+      else (rest.init, rest.last)
+    catalog match {
+      case tc: TableCatalog =>
+        tc.loadTable(Identifier.of(ns.toArray, name)) match {
+          case g: GraftSparkTable => g.t
+          case other => throw new IllegalArgumentException(
+            s"${ident.mkString(".")} is not a graft table (${other.getClass.getSimpleName})")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"catalog of ${ident.mkString(".")} is not a TableCatalog")
+    }
+  }
+}
+
+/** CALL sys.<proc>(table => 't', k => v, ...) → Procedures registry. */
+case class GraftCallCommand(ident: Seq[String], proc: String,
+                            args: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(session, ident)
+    Procedures.call(session, t, proc, args).collect().toSeq
+      .map(r => Row(r.toSeq.mkString(", ")))
+  }
+}
+
+/** SHOW TAGS t (paimon ShowTagsCommand). */
+case class GraftShowTagsCommand(ident: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType, nullable = false)(),
+    AttributeReference("snapshot_id", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(session, ident)
+    t.sm.listTags().map(tm => Row(tm.name, tm.snapshotId))
+  }
+}
+
+/** ALTER TABLE t CREATE/DELETE/RENAME TAG (paimon CreateOrReplaceTag /
+  * DeleteTag / RenameTag commands). */
+case class GraftTagDdlCommand(ident: Seq[String], op: String, tag: String,
+                              version: Option[Long], to: Option[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(session, ident)
+    op match {
+      case "create" =>
+        val snap = version.orElse(t.sm.latestSnapshotId).getOrElse(
+          throw new IllegalStateException("table has no snapshots to tag"))
+        require(t.sm.snapshotExists(snap), s"no snapshot $snap")
+        t.sm.createTag(tag, snap)
+      case "delete" => t.sm.deleteTag(tag)
+      case "rename" =>
+        val tm = t.sm.readTag(tag)
+        t.sm.createTag(to.get, tm.snapshotId)
+        t.sm.deleteTag(tag)
+    }
+    Nil
+  }
+}

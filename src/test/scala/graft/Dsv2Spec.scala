@@ -418,6 +418,40 @@ class Dsv2Spec extends SparkTestBase {
     assert(rows == Seq((1L, "a"), (2L, "b"), (2L, "b2")))
   }
 
+  test("CALL sys.* / SHOW TAGS / tag DDL parser extension") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.callt (k BIGINT, s STRING)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='2')""")
+    spark.sql("INSERT INTO graft.db.callt VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO graft.db.callt VALUES (2,'b2'),(3,'c')")
+    // CALL compact through the parser → Procedures registry
+    val res = spark.sql("CALL sys.compact(table => 'graft.db.callt')")
+      .collect().map(_.getString(0))
+    assert(res.exists(_.contains("compacted")), res.mkString)
+    assert(spark.sql("SELECT * FROM graft.db.callt").count() == 3)
+    // tag DDL + SHOW TAGS
+    spark.sql("ALTER TABLE graft.db.callt CREATE TAG v1 AS OF VERSION 1")
+    spark.sql("ALTER TABLE graft.db.callt CREATE TAG tip")
+    val tags = spark.sql("SHOW TAGS graft.db.callt")
+      .as[(String, Long)].collect().toMap
+    assert(tags("v1") == 1L && tags.contains("tip"))
+    // time travel through the tag still works
+    assert(spark.sql("SELECT count(*) AS c FROM graft.db.callt VERSION AS OF 'v1'")
+      .as[Long].head() == 2L)
+    spark.sql("ALTER TABLE graft.db.callt RENAME TAG v1 TO v1_old")
+    spark.sql("ALTER TABLE graft.db.callt DELETE TAG tip")
+    val tags2 = spark.sql("SHOW TAGS graft.db.callt")
+      .as[(String, Long)].collect().toMap
+    assert(tags2 == Map("v1_old" -> 1L))
+    // CALL with extra args: expire_snapshots retain_last
+    val r2 = spark.sql(
+      "CALL sys.expire_snapshots(table => 'graft.db.callt', retain_last => 2)")
+      .collect().map(_.getString(0))
+    assert(r2.exists(_.startsWith("expired")), r2.mkString)
+    // ordinary SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
+  }
+
   test("runtime filtering (DPP): selective dim join re-prunes fact files at runtime") {
     val loc = tmpLoc("dpp-fact")
     val df = spark.range(1000).select(
