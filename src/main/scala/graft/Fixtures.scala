@@ -153,6 +153,24 @@ object Fixtures {
     }
 
   /** Append table over events, partitioned by event_type. */
+  /** KEY_DYNAMIC cross-partition update: customer keyed by c_custkey,
+    * PARTITIONED by c_mktsegment, dynamic buckets. Second write MOVES
+    * %7==0 keys into segment 'MOVED' (+1000 acctbal) — the engine must
+    * tombstone the old partition's row. */
+  def custXp(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "cust_xp") { loc =>
+      val c = src(spark, sfDir, "customer")
+      val t = GraftTable.createOrReplace(spark, loc, c.schema,
+        TableConfig(primaryKeys = Seq("c_custkey"),
+          partitionKeys = Seq("c_mktsegment"), numBuckets = -1,
+          options = Map("dynamic-bucket.target-row-count" -> "500")))
+      t.write(c)
+      t.write(c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("MOVED"))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0))
+      t
+    }
+
   /** Append lineitem (8 unsorted files) + global equality index on the
     * high-cardinality l_orderkey: a point lookup plans only the few files
     * holding that key. */

@@ -93,6 +93,11 @@ object SparkEntry {
       .systemTable("snapshots").select("snapshot_id", "commit_kind")),
     "q_branch_ff" -> ((s, d) => statusAgg(Fixtures.ordersBranch(s, d).read())),
     "q_dynamic_bucket" -> ((s, d) => statusAgg(Fixtures.ordersDyn(s, d).read())),
+    // KEY_DYNAMIC: a PK update that changes the partition column must MOVE
+    // the row (tombstone in the old partition) — exactly one row per key
+    "q_cross_partition" -> ((s, d) => Fixtures.custXp(s, d).read()
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("acctbal"))),
     "q_format_table" -> ((s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))),
 
@@ -707,6 +712,11 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(l_extendedprice), 2) AS total
         |FROM lineitem
         |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)""".stripMargin,
+    "q_cross_partition" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+        | round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END, 2) AS acctbal
+        |FROM customer""".stripMargin,
     "q_btree_topn" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -100,6 +100,15 @@ class GraftTable private (
     * index/HashBucketAssigner). */
   private[graft] def isDynamicBucket: Boolean = isPk && config.numBuckets < 0
 
+  /** KEY_DYNAMIC mode (paimon BucketMode.java:55, crosspartition/
+    * GlobalIndexAssigner): dynamic-bucket PK table whose primary key does
+    * NOT contain the partition key — an upsert may MOVE a key across
+    * partitions, so the write consults a global key index and emits a
+    * delete tombstone into the key's previous partition. */
+  private[graft] def isCrossPartition: Boolean =
+    isDynamicBucket && config.partitionKeys.nonEmpty &&
+      !config.partitionKeys.forall(pks.contains)
+
   // ------------------------------------------------------------------
   // DYNAMIC BUCKET INDEX (persisted key-hash → bucket assignment)
   // ------------------------------------------------------------------
@@ -309,12 +318,99 @@ class GraftTable private (
     * LookupChangelogMergeFunctionWrapper) — streaming readers then consume
     * these files instead of diffing snapshots. */
   def write(df: DataFrame, watermark: Option[Long] = None): SnapshotMeta = {
+    if (isCrossPartition) return writeCrossPartition(df, watermark)
     val adds = writeFiles(df)
     val clFiles =
       if (isPk && config.option("changelog-producer", "none") == "lookup")
         produceChangelog(adds)
       else Nil
     sm.commit(adds, "APPEND", s"append-${UUID.randomUUID().toString.take(8)}",
+      schema.id, watermark = watermark, changelog = clFiles)
+  }
+
+  // ------------------------------------------------------------------
+  // CROSS-PARTITION UPDATE (KEY_DYNAMIC)
+  // ------------------------------------------------------------------
+
+  /** Global key index: latest (pk → partition values, bucket) per key,
+    * append-only parquet versioned by commit sequence (capability of paimon
+    * crosspartition/GlobalIndexAssigner + IndexBootstrap, re-expressed as a
+    * joinable DataFrame: every lookup is a bucketed equi-join, the driver
+    * never sees a key). */
+  private def pkIndexDir = new Path(location, "index/pk-index")
+
+  private def loadPkIndex(): Option[DataFrame] = {
+    if (!sm.fs.exists(pkIndexDir)) return None
+    val raw = spark.read.parquet(pkIndexDir.toString)
+    val others = raw.columns.filterNot(pks.contains).toSeq
+    Some(raw.groupBy(pks.map(col).toIndexedSeq: _*)
+      .agg(max_by(struct(others.map(col).toIndexedSeq: _*), col("__ver")).as("__e"))
+      .select((pks.map(col) :+ col("__e.*")).toIndexedSeq: _*))
+  }
+
+  /**
+   * KEY_DYNAMIC write: keys already living in a DIFFERENT partition get a
+   * delete tombstone written into their OLD partition/bucket (seq = the new
+   * row's sequence, pos = -1 so the new version wins any full-table merge),
+   * then the batch inserts normally and the key index advances. Restricted
+   * to the deduplicate engine — the other engines drop tombstones during
+   * their merge, which would resurrect the old row.
+   */
+  private def writeCrossPartition(dfIn: DataFrame,
+                                  watermark: Option[Long]): SnapshotMeta = {
+    require(config.mergeEngine == "deduplicate",
+      "cross-partition update (KEY_DYNAMIC) requires the deduplicate engine")
+    val commitSeq = nextCommitSeq
+    val aligned = align(dfIn)
+    val partCols = config.partitionKeys
+    val dataCols = dataSchema.fields.map(_.name).toSeq
+    val tombAdds: Seq[ManifestEntry] = loadPkIndex() match {
+      case None => Nil
+      case Some(idx) =>
+        // latest batch row per key decides the key's target partition
+        val latest = aligned
+          .withColumn(POS, monotonically_increasing_id())
+          .groupBy(pks.map(col).toIndexedSeq: _*)
+          .agg(max_by(struct(dataCols.map(col).toIndexedSeq: _*), col(POS)).as("__r"))
+          .select(col("__r.*")) // struct already carries the pk columns
+        val idxA = idx.select(
+          (pks.map(col) ++
+            partCols.map(pc => col(pc).as(s"__old_$pc"))).toIndexedSeq: _*)
+        val movedCond = partCols
+          .map(pc => !(col(pc) <=> col(s"__old_$pc"))).reduce(_ || _)
+        val moved = latest.join(idxA, pks).filter(movedCond)
+        if (moved.isEmpty) Nil
+        else {
+          // tombstone = pk + OLD partition values, everything else null
+          val tombCols = dataSchema.fields.map { f =>
+            if (pks.contains(f.name)) col(f.name)
+            else if (partCols.contains(f.name)) col(s"__old_${f.name}").as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          } ++ Seq(seqExpr(commitSeq).as(SEQ), lit(commitSeq).as(COMMIT),
+            lit(-1L).as(POS), lit(KIND_DELETE).as(KIND))
+          writeFiles(moved.select(tombCols.toIndexedSeq: _*),
+            preMerged = true, commitSeqOverride = Some(commitSeq))
+        }
+    }
+    val adds = writeFiles(dfIn, commitSeqOverride = Some(commitSeq))
+    // advance the key index from the files just written (partition values +
+    // assigned bucket recovered from the commit directory layout)
+    if (adds.nonEmpty) {
+      val base = new Path(location, adds.head.path.split('/').take(2).mkString("/"))
+      val written = spark.read.schema(
+        StructType(fileSchema.fields ++ Array(
+          StructField(PT, StringType), StructField(BUCKET, IntegerType))))
+        .option("basePath", base.toString)
+        .parquet(adds.map(e => new Path(location, e.path).toString): _*)
+      written.select((pks.map(col) ++ partCols.map(col) ++
+          Seq(col(PT), col(BUCKET), lit(commitSeq).as("__ver"))).toIndexedSeq: _*)
+        .write.mode("append").parquet(pkIndexDir.toString)
+    }
+    val clFiles =
+      if (config.option("changelog-producer", "none") == "lookup")
+        produceChangelog(adds) else Nil
+    sm.commit(tombAdds ++ adds, "APPEND",
+      s"append-xp-${UUID.randomUUID().toString.take(8)}",
       schema.id, watermark = watermark, changelog = clFiles)
   }
 

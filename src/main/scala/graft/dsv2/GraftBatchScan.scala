@@ -263,7 +263,10 @@ case class GraftReaderFactory(delegate: ParquetPartitionReaderFactory,
   }
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     delegate.createColumnarReader(fp(p))
+  // Spark requires every partition of one scan to agree on columnar vs
+  // row (DataSourceV2ScanExecBase.supportsColumnar): any outstanding DV
+  // flips the WHOLE scan row-based; DV-free files still read through the
+  // filtered delegate.
   override def supportColumnarReads(p: InputPartition): Boolean =
-    p.asInstanceOf[GraftInputPartition].dvBytes == null &&
-      delegate.supportColumnarReads(fp(p))
+    dvDelegate == null && delegate.supportColumnarReads(fp(p))
 }
