@@ -66,6 +66,78 @@ object Fixtures {
       t
     }
 
+  /** Watermarked commits: snapshot 1 (orders) @ watermark 1000, snapshot 2
+    * (%10 updates) @ watermark 2000 — `VERSION AS OF watermark` resolution. */
+  def ordersWm(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_wm") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4))
+      t.write(orders, watermark = Some(1000L))
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), watermark = Some(2000L))
+      t
+    }
+
+  /** Column default value: schema carries `channel` with default 'web';
+    * the input never provides it — the write materializes the default. */
+  def ordersDefault(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_default") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val schema = org.apache.spark.sql.types.StructType(orders.schema.fields :+
+        org.apache.spark.sql.types.StructField("channel",
+          org.apache.spark.sql.types.StringType))
+      val t = GraftTable.createOrReplace(spark, loc, schema,
+        TableConfig(options = Map("fields.channel.default-value" -> "web")))
+      t.write(orders)
+      t
+    }
+
+  /** Incremental clustering: half of lineitem sort-compacted by l_shipdate,
+    * the other half appended then clustered INCREMENTALLY (only level-0
+    * files sorted; prior clustered output untouched). */
+  def lineitemIc(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lineitem_ic") { loc =>
+      import graft.core.RowOps._
+      val li = src(spark, sfDir, "lineitem")
+      val t = GraftTable.createOrReplace(spark, loc, li.schema, TableConfig())
+      t.write(li.filter(col("l_orderkey") % 2 === 0))
+      t.compactSorted("order", Seq("l_shipdate"))
+      t.write(li.filter(col("l_orderkey") % 2 === 1))
+      require(t.clusterIncremental("order", Seq("l_shipdate")).isDefined)
+      t
+    }
+
+  /** COPY INTO from a CSV export of region (format conversion path). */
+  def regionCopy(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "region_copy") { loc =>
+      val r = src(spark, sfDir, "region")
+      val csvDir = s"${fixRoot(sfDir)}/region_csv"
+      r.write.mode("overwrite").option("header", "true").csv(csvDir)
+      val t = GraftTable.createOrReplace(spark, loc, r.schema, TableConfig())
+      CopyInto.copyIn(spark, t, csvDir, "csv", Map("header" -> "true"))
+      t
+    }
+
+  /** changelog-producer=full-compaction: writes produce NO changelog;
+    * the COMPACT snapshot carries the exact -U/+U/+I/-D diff since the
+    * previous produced point. Snapshots: 1 = orders, 2 = %10 updates,
+    * 3 = COMPACT (changelog base 0). */
+  def ordersPkFc(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_fc") { loc =>
+      import graft.core.RowOps._
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4,
+          options = Map("changelog-producer" -> "full-compaction")))
+      t.write(orders)
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", lit("X-UPD")))
+      t.compact()
+      t
+    }
+
   /** Dynamic-bucket (bucket = -1) PK table: key→bucket assignments persist
     * in index/bucket-index, buckets grow with data volume. */
   def ordersDyn(spark: SparkSession, sfDir: String): GraftTable =

@@ -87,8 +87,39 @@ object SparkEntry {
         col("o_orderpriority"))),
     "q_changelog" -> ((s, d) => Fixtures.ordersPk(s, d).changelog(1, 2)
       .select(col("o_orderkey"), col("_row_kind"), round(col("o_totalprice"), 2).as("price"))),
+    // full-compaction producer: changelog(0, compactSnap) is served from
+    // the COMPACT snapshot's stored files (one +I per key, one -U/+U per
+    // updated key collapsed into the final state diff) — never the O(table)
+    // runtime diff
+    "q_changelog_fc" -> ((s, d) => Fixtures.ordersPkFc(s, d).changelog(0, 3)
+      .groupBy("_row_kind").agg(count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("total"))),
     "q_audit_log" -> ((s, d) => Fixtures.ordersPk(s, d).auditLog(Some(2L))
       .groupBy("rowkind").agg(count(lit(1)).as("cnt"))),
+    // VERSION AS OF watermark: latest snapshot whose watermark <= 1500 is
+    // snapshot 1 (pre-update state)
+    "q_watermark" -> ((s, d) => Fixtures.ordersWm(s, d).readWatermark(1500L)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("total"))),
+    // configured column default materialized for an input lacking the column
+    "q_column_default" -> ((s, d) => Fixtures.ordersDefault(s, d).read()
+      .groupBy("channel").agg(count(lit(1)).as("cnt"))),
+    // incremental clustering: level-0 files sorted without rewriting the
+    // previously clustered output; full content preserved
+    "q_incr_cluster" -> ((s, d) => Fixtures.lineitemIc(s, d)
+      .read(filter = Some(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz")))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))),
+    // DSv2 limit pushdown (file-truncation planning early-out): count over
+    // an exact LIMIT subquery is deterministic
+    "q_limit_pushdown" -> ((s, d) => {
+      val t0 = Fixtures.lineitemZ(s, d)
+      s.read.format("graft").load(t0.location).limit(100)
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    // COPY INTO: csv directory ingested through the table's schema
+    "q_copy_into" -> ((s, d) => Fixtures.regionCopy(s, d).read()
+      .select(col("r_regionkey"), col("r_name"))),
     "q_system_snapshots" -> ((s, d) => Fixtures.ordersPk(s, d)
       .systemTable("snapshots").select("snapshot_id", "commit_kind")),
     "q_branch_ff" -> ((s, d) => statusAgg(Fixtures.ordersBranch(s, d).read())),
@@ -624,6 +655,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, '+U' AS _row_kind, round(o_totalprice * 2, 2) AS price
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "q_changelog_fc" ->
+      """SELECT '+I' AS _row_kind, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |               ELSE o_totalprice END), 2) AS total
+        |FROM orders""".stripMargin,
+    "q_watermark" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_column_default" ->
+      """SELECT 'web' AS channel, CAST(count(*) AS BIGINT) AS cnt FROM orders""",
+    "q_incr_cluster" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        | AND l_shipdate < TIMESTAMP '1996-01-01'""".stripMargin,
+    "q_limit_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT * FROM lineitem LIMIT 100)""".stripMargin,
+    "q_copy_into" ->
+      """SELECT r_regionkey, r_name FROM region""",
     "q_audit_log" ->
       """SELECT '+I' AS rowkind,
         | CAST((SELECT count(*) FROM orders) +

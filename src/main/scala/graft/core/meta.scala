@@ -142,7 +142,11 @@ case class SnapshotMeta(
     changelog: Option[Seq[String]] = None,
     // live data-file count after this snapshot (maintained incrementally);
     // lets planning pick the distributed manifest path without a fold
-    liveFiles: Option[Long] = None) {
+    liveFiles: Option[Long] = None,
+    // full-compaction changelog coverage: this COMPACT snapshot's changelog
+    // files diff the table state FROM `changelogBase` TO this snapshot
+    // (paimon full-compaction producer); readers verify chain continuity
+    changelogBase: Option[Long] = None) {
   /** Erasure-safe watermark accessor: jackson-scala materializes a JSON int
     * into Option[Long] as a boxed Integer — unboxing via the field throws. */
   def watermarkLong: Option[Long] =
@@ -150,6 +154,9 @@ case class SnapshotMeta(
       .map { case n: java.lang.Number => n.longValue }
   def liveFilesLong: Option[Long] =
     liveFiles.asInstanceOf[Option[Any]]
+      .map { case n: java.lang.Number => n.longValue }
+  def changelogBaseLong: Option[Long] =
+    changelogBase.asInstanceOf[Option[Any]]
       .map { case n: java.lang.Number => n.longValue }
   def changelogFiles: Seq[String] = Option(changelog).flatten.getOrElse(Nil)
 }
@@ -419,7 +426,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
              schemaId: Long, maxRetries: Int = 20,
              dvAction: Option[Option[String]] = None,
              watermark: Option[Long] = None,
-             changelog: Seq[String] = Nil): SnapshotMeta = {
+             changelog: Seq[String] = Nil,
+             changelogBase: Option[Long] = None): SnapshotMeta = {
     val deltaName = writeManifest(delta)
     val deletedPaths = delta.filter(_.kind == 1).map(_.path).toSet
     var attempt = 0
@@ -467,7 +475,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
         watermark = watermark.orElse(base.flatMap(_.watermarkLong)),
         dvIndex = dvAction.getOrElse(base.flatMap(_.dvIndex)),
         changelog = if (changelog.isEmpty) None else Some(changelog),
-        liveFiles = lf)
+        liveFiles = lf,
+        changelogBase = changelogBase)
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
         return snap

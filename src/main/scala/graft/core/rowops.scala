@@ -45,10 +45,21 @@ object RowOps {
       val alreadyCompact = dv.isEmpty && live.groupBy(e => (e.partition, e.bucket))
         .forall { case (_, es) => es.size == 1 && es.head.level > 0 }
       if (alreadyCompact) return None
+      var clFiles: Seq[String] = Nil
+      var clBase: Option[Long] = None
       val adds =
         if (t.isPk) {
           val merged = MergeEngines.merge(
             t.readEntries(live, withInternal = true, dv), cfg, t.dataSchema)
+          // full-compaction changelog producer: emit exact -U/+U/+I/-D for
+          // everything since the previous produced point, at the moment the
+          // merged state exists anyway (paimon
+          // FullChangelogMergeTreeCompactRewriter)
+          if (cfg.option("changelog-producer", "none") == "full-compaction") {
+            val cur = merged.select(dataCols.map(col).toIndexedSeq: _*)
+            val (files, base) = t.fullCompactionChangelog(cur)
+            clFiles = files; clBase = base
+          }
           t.writeFiles(merged, preMerged = true, level = 1)
         } else {
           t.writeFiles(t.readEntries(live, withInternal = false, dv), level = 1)
@@ -56,7 +67,8 @@ object RowOps {
       val delta = live.map(_.copy(kind = 1)) ++ adds
       // compaction materializes outstanding deletion vectors → clear them
       Some(t.sm.commit(delta, "COMPACT", s"compact-${UUID.randomUUID().toString.take(8)}",
-        t.schema.id, dvAction = Some(None)))
+        t.schema.id, dvAction = Some(None), changelog = clFiles,
+        changelogBase = clBase))
     }
 
     /** Sort compaction for append tables: rewrite the whole table ordered by

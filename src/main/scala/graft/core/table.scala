@@ -139,12 +139,27 @@ class GraftTable private (
     val KH = "__kh"
     val khExpr = xxhash64(pks.map(col).toIndexedSeq: _*)
     val batchKeys = df.select(col(PT), khExpr.as(KH)).distinct()
+    val indexSchema = StructType(Seq(StructField(KH, LongType),
+      StructField(BUCKET, IntegerType), StructField(PT, StringType)))
+    // the index is PARTITIONED by __pt on disk: a write touching few
+    // partitions reads only those partitions' index files, not the table's
+    // whole key population (explicit schema — hex __pt values must never
+    // go through partition-type inference). Batch partitions are collected
+    // once; very wide batches (>1000 partitions) skip the filter.
+    val batchPts: Seq[String] = {
+      import spark.implicits._
+      df.select(PT).distinct().as[String].take(1001).toSeq
+    }
+    def readIndex(): DataFrame = {
+      val raw = spark.read.schema(indexSchema)
+        .option("basePath", bucketIndexDir.toString)
+        .parquet(bucketIndexDir.toString)
+      if (batchPts.size <= 1000) raw.filter(col(PT).isin(batchPts: _*)) else raw
+    }
     val index: DataFrame =
-      if (sm.fs.exists(bucketIndexDir))
-        spark.read.parquet(bucketIndexDir.toString)
+      if (sm.fs.exists(bucketIndexDir)) readIndex()
       else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField(PT, StringType), StructField(KH, LongType),
-          StructField(BUCKET, IntegerType))))
+        indexSchema)
     val joined = batchKeys.join(index, Seq(PT, KH), "left")
     val known = joined.filter(col(BUCKET).isNotNull)
     val newKeys = joined.filter(col(BUCKET).isNull).drop(BUCKET)
@@ -173,16 +188,15 @@ class GraftTable private (
     val perPt = newAssigned.groupBy(PT).agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (perPt.nonEmpty) {
-      newAssigned.write.mode("append").parquet(bucketIndexDir.toString)
+      newAssigned.select(col(KH), col(BUCKET), col(PT))
+        .write.mode("append").partitionBy(PT).parquet(bucketIndexDir.toString)
       val updated = (counts.keySet ++ perPt.keySet).map { pt =>
         pt -> (counts.getOrElse(pt, 0L) + perPt.getOrElse(pt, 0L))
       }.toMap
       sm.writeString(bucketCountsPath, Json.write(updated))
     }
     newAssigned.unpersist()
-    val freshIndex =
-      if (sm.fs.exists(bucketIndexDir)) spark.read.parquet(bucketIndexDir.toString)
-      else index
+    val freshIndex = if (sm.fs.exists(bucketIndexDir)) readIndex() else index
     df.withColumn(KH, khExpr)
       .join(freshIndex.select(col(PT), col(KH), col(BUCKET)), Seq(PT, KH))
       .drop(KH)
@@ -453,19 +467,7 @@ class GraftTable private (
       .unionAll(side("p", "-D", pPresent && !aPresent))
       .unionAll(side("p", "-U", pPresent && aPresent && changedCond))
       .unionAll(side("a", "+U", pPresent && aPresent && changedCond))
-    val clDir = s"changelog/c-${UUID.randomUUID().toString.take(12)}"
-    val clAbs = new Path(location, clDir).toString
-    cl.write.parquet(clAbs)
-    val fsys = sm.fs
-    val locUri = new Path(location).toUri.getPath
-    val it = fsys.listFiles(new Path(clAbs), false)
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-        out += st.getPath.toUri.getPath.stripPrefix(locUri).stripPrefix("/")
-    }
-    out.toSeq
+    writeChangelogFiles(cl)
   }
 
   /** VERSION AS OF watermark: latest snapshot whose watermark <= `w`. */
@@ -854,17 +856,41 @@ class GraftTable private (
     * to the exact full-state diff (O(table), producer-independent). */
   def changelog(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
     require(isPk, "changelog diff requires a primary-keyed table")
-    val snaps = (fromSnapshot + 1 to toSnapshot).map(sm.readSnapshot)
-      .filter(_.kind != "COMPACT")
+    val clSchema = StructType(dataSchema.fields :+
+      StructField("_row_kind", StringType, false))
+    // full-compaction producer: COMPACT snapshots carry changelog for the
+    // window (changelogBase, id]; a continuous chain from..to serves the
+    // request from stored files — O(changelog), no diff.
+    val allInRange = (fromSnapshot + 1 to toSnapshot).map(sm.readSnapshot)
+    val fcCompacts = allInRange
+      .filter(s => s.kind == "COMPACT" && s.changelogFiles.nonEmpty)
+      .sortBy(_.id)
+    val fcChainOk = fcCompacts.nonEmpty && fcCompacts.last.id == toSnapshot && {
+      var b = fromSnapshot; var ok = true
+      fcCompacts.foreach { c =>
+        if (!c.changelogBaseLong.contains(b)) ok = false else b = c.id
+      }
+      ok
+    }
+    if (fcChainOk) {
+      val paths = fcCompacts.flatMap(_.changelogFiles)
+        .map(p => new Path(location, p).toString)
+      return spark.read.schema(clSchema).parquet(paths: _*)
+    }
+    val snaps = allInRange.filter(_.kind != "COMPACT")
     if (snaps.nonEmpty && snaps.forall(_.changelogFiles.nonEmpty)) {
       val paths = snaps.flatMap(_.changelogFiles)
         .map(p => new Path(location, p).toString)
-      val clSchema = StructType(dataSchema.fields :+
-        StructField("_row_kind", StringType, false))
       return spark.read.schema(clSchema).parquet(paths: _*)
     }
-    val before = read(None, Some(fromSnapshot)).withColumn("__side", lit("b"))
-    val after = read(None, Some(toSnapshot)).withColumn("__side", lit("a"))
+    diffStates(read(None, Some(fromSnapshot)), read(None, Some(toSnapshot)))
+  }
+
+  /** Exact per-key state diff as +I/-U/+U/-D rows (shared by the changelog
+    * fallback and the full-compaction producer). */
+  private def diffStates(before0: DataFrame, after0: DataFrame): DataFrame = {
+    val before = before0.withColumn("__side", lit("b"))
+    val after = after0.withColumn("__side", lit("a"))
     val dataCols = dataSchema.fields.map(_.name).toSeq
     val b = before.select((dataCols.map(col) :+ col("__side")).toIndexedSeq: _*).alias("b")
     val a = after.select((dataCols.map(col) :+ col("__side")).toIndexedSeq: _*).alias("a")
@@ -885,6 +911,37 @@ class GraftTable private (
     val uafter = updBase.select(dataCols.map(c => col(s"a.$c").as(c)).toIndexedSeq: _*)
       .withColumn("_row_kind", lit("+U"))
     inserts.unionAll(deletes).unionAll(ubefore).unionAll(uafter)
+  }
+
+  /** Changelog files for a FULL COMPACTION (changelog-producer =
+    * full-compaction, paimon FullChangelogMergeTreeCompactRewriter): diff
+    * the new merged state against the state at the previous produced point
+    * and persist the exact -U/+U/+I/-D rows. Returns (files, base id). */
+  private[core] def fullCompactionChangelog(curState: DataFrame): (Seq[String], Option[Long]) = {
+    val base = sm.snapshotIds.sorted.reverse.find { id =>
+      val s = sm.readSnapshot(id)
+      s.kind == "COMPACT" && s.changelogFiles.nonEmpty
+    }.getOrElse(0L)
+    val prev = if (base == 0L) emptyDf else read(None, Some(base))
+    val cl = diffStates(prev, curState)
+    (writeChangelogFiles(cl), Some(base))
+  }
+
+  /** Persist changelog rows under changelog/, returning relative paths. */
+  private def writeChangelogFiles(cl: DataFrame): Seq[String] = {
+    val clDir = s"changelog/c-${UUID.randomUUID().toString.take(12)}"
+    val clAbs = new Path(location, clDir).toString
+    cl.write.parquet(clAbs)
+    val fsys = sm.fs
+    val locUri = new Path(location).toUri.getPath
+    val it = fsys.listFiles(new Path(clAbs), false)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += st.getPath.toUri.getPath.stripPrefix(locUri).stripPrefix("/")
+    }
+    out.toSeq
   }
 }
 

@@ -55,6 +55,56 @@ class CrossPartitionSpec extends SparkTestBase {
         expected.filter(col("seg") === s))
   }
 
+  test("dynamic-bucket index is laid out partitioned by __pt (pruned routing reads)") {
+    val t = mkTable("xp-idxlayout")
+    val fs = t.sm.fs
+    val idxDir = new org.apache.hadoop.fs.Path(t.location, "index/bucket-index")
+    assert(fs.exists(idxDir))
+    val subdirs = fs.listStatus(idxDir).filter(_.isDirectory).map(_.getPath.getName)
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("__pt=")),
+      s"index should be hive-partitioned by __pt, got ${subdirs.mkString(",")}")
+    // 2 table partitions (A, B) → 2 index partitions
+    assert(subdirs.length == 2)
+    // a write touching only one partition adds no new index partition dirs
+    t.write(Seq((2L, "A", 21.0)).toDF("k", "seg", "v")) // existing key, same pt
+    val after = fs.listStatus(idxDir).filter(_.isDirectory).map(_.getPath.getName)
+    assert(after.length == 2)
+  }
+
+  test("full-compaction changelog producer: compact emits exact diff, chain serves reads") {
+    val loc = tmpLoc("fc-cl")
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        options = Map("changelog-producer" -> "full-compaction")))
+    t.write(df)                                                    // snap 1
+    t.write(Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("k", "s", "v")) // snap 2
+    t.compact()                                                    // snap 3 + changelog
+    val s3 = t.sm.readSnapshot(3L)
+    assert(s3.kind == "COMPACT" && s3.changelogFiles.nonEmpty)
+    assert(s3.changelogBaseLong.contains(0L))
+    // changelog(0,3) = +I of the final state, served from stored files
+    val cl1 = t.changelog(0L, 3L)
+    assert(cl1.inputFiles.forall(_.contains("/changelog/")),
+      s"expected stored changelog files, got ${cl1.inputFiles.toSeq}")
+    assert(rowsOf(cl1.select(col("k"), col("s"), col("v"), col("_row_kind"))) ==
+      Set(Seq(1L, "a", 1.0, "+I"), Seq(2L, "b2", 20.0, "+I"), Seq(3L, "c", 3.0, "+I")))
+    // second window: update + delete-by-upsert, compact again
+    t.write(Seq((1L, "a9", 9.0)).toDF("k", "s", "v"))              // snap 4
+    t.compact()                                                    // snap 5, base 3
+    val s5 = t.sm.readSnapshot(5L)
+    assert(s5.changelogBaseLong.contains(3L))
+    val cl2 = t.changelog(3L, 5L)
+    assert(cl2.inputFiles.forall(_.contains("/changelog/")))
+    assert(rowsOf(cl2.select(col("k"), col("s"), col("v"), col("_row_kind"))) ==
+      Set(Seq(1L, "a", 1.0, "-U"), Seq(1L, "a9", 9.0, "+U")))
+    // full chain 0→5 from files; a misaligned window (to=4 is not a
+    // compaction point) falls back to the exact runtime diff
+    assert(t.changelog(0L, 5L).inputFiles.forall(_.contains("/changelog/")))
+    assert(rowsOf(t.changelog(3L, 4L).select(col("k"), col("s"), col("v"), col("_row_kind"))) ==
+      Set(Seq(1L, "a", 1.0, "-U"), Seq(1L, "a9", 9.0, "+U")))
+  }
+
   test("within-batch duplicate keys: last input wins, including partition") {
     val t = mkTable("xp-batchdup")
     t.write(Seq((2L, "C", 97.0), (2L, "D", 98.0)).toDF("k", "seg", "v"))
