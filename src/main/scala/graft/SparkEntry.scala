@@ -478,22 +478,24 @@ object SparkEntry {
         shingleN = 3, threshold = 0.8)
     }),
     "q_variant" -> ((s, d) => {
-      // VARIANT column round trip through the table format: JSON documents
-      // stored as variant, fields extracted back with variant_get
-      // (capability: paimon VariantType, SparkTypeUtils.java:260)
-      val loc = s"/tmp/graft-fixtures/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/variant_tbl"
+      // VARIANT column with SHREDDED extractions: the write materializes
+      // $.lang / $.text_len as typed physical columns (with stats); the
+      // extraction read projects those columns and never decodes the
+      // variant binary (capability: paimon VariantType + extraction
+      // pushdown, SparkTypeUtils.java:260, VariantPushDownUtils.scala:36)
+      val loc = s"/tmp/graft-fixtures/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/variant_tbl2"
       val docs = t(s, d, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
           parse_json(to_json(struct(col("lang"), col("source"),
             length(col("text")).as("text_len")))).as("meta"))
       if (!GraftTable.exists(s, loc)) {
-        val tbl = GraftTable.create(s, loc, docs.schema, TableConfig())
+        val tbl = GraftTable.create(s, loc, docs.schema, TableConfig(
+          options = Map("fields.meta.shred" -> "$.lang:string,$.text_len:int")))
         tbl.write(docs)
       }
-      GraftTable.load(s, loc).read()
-        .select(col("doc_id"),
-          expr("variant_get(meta, '$.lang', 'string')").as("lang"),
-          expr("variant_get(meta, '$.text_len', 'int')").as("text_len"))
+      GraftTable.load(s, loc)
+        .readVariantExtracted("meta", Seq("lang", "text_len"))
+        .select(col("doc_id"), col("lang"), col("text_len"))
     }),
     "q_object_table" -> ((s, d) => {
       // object table over a deterministic file set: one file per language,

@@ -45,10 +45,35 @@ class GraftTable private (
   private[core] def pks: Seq[String] = config.primaryKeys
   private[graft] def isPk: Boolean = config.isPrimaryKeyed
 
+  /** VARIANT shredding specs: `fields.<col>.shred = $.path:type[,...]` —
+    * the write materializes each extraction as a typed physical column
+    * (name [[GraftTable.shredColName]]) alongside the variant binary, with
+    * full min/max stats; extraction reads then touch ONLY those columns
+    * (capability of paimon variant shredding + extraction pushdown,
+    * read/PaimonSupportsPushDownVariantExtractions.scala,
+    * paimon-common/.../data/shredding/). Append tables only. */
+  private[graft] def shredSpecs: Map[String, Seq[(String, String)]] =
+    config.options.collect {
+      case (k, v) if k.startsWith("fields.") && k.endsWith(".shred") =>
+        k.stripPrefix("fields.").stripSuffix(".shred") ->
+          v.split(",").toSeq.map { s =>
+            val i = s.lastIndexOf(':')
+            (s.take(i).trim, s.drop(i + 1).trim)
+          }
+    }
+
+  private[core] def shredFields: Seq[StructField] =
+    shredSpecs.toSeq.sortBy(_._1).flatMap { case (c, specs) =>
+      specs.zipWithIndex.map { case ((_, tp), i) =>
+        StructField(shredColName(c, i), DataType.fromDDL(tp))
+      }
+    }
+
   /** Schema of data files on disk (adds LSM envelope cols for PK tables;
-    * cf. paimon KeyValue envelope, SURVEY §1.3). */
+    * cf. paimon KeyValue envelope, SURVEY §1.3; adds shredded variant
+    * extraction columns for append tables carrying shred specs). */
   def fileSchema: StructType = {
-    if (!isPk) dataSchema
+    if (!isPk) StructType(dataSchema.fields ++ shredFields)
     else StructType(dataSchema.fields ++ Array(
       StructField(SEQ, LongType, false),
       StructField(COMMIT, LongType, false),
@@ -221,6 +246,12 @@ class GraftTable private (
         dfIn.select(cols.toIndexedSeq: _*)
       } else {
         var d = align(dfIn)
+        // materialize variant shred columns (typed extractions with stats)
+        if (!isPk) shredSpecs.toSeq.sortBy(_._1).foreach { case (c, specs) =>
+          specs.zipWithIndex.foreach { case ((p, tp), i) =>
+            d = d.withColumn(shredColName(c, i), expr(s"variant_get(`$c`, '$p', '$tp')"))
+          }
+        }
         if (isPk) {
           // __pos captures input order BEFORE any shuffle: duplicate keys in
           // one batch resolve last-input-wins, deterministically (paimon
@@ -521,9 +552,11 @@ class GraftTable private (
     val live = sm.liveEntries(snap)
     filter match {
       case Some(c) =>
-        val ds = dataSchema // hoisted: schema lookup out of the per-file loop
-        val expr = StatsPrune.resolve(spark, ds, c)
-        live.filter(e => StatsPrune.mightMatch(expr, ds, e.stats, e.rowCount))
+        // resolve against the FILE schema: stats cover envelope and shredded
+        // extraction columns too, so filters on those prune as well
+        val fs = fileSchema
+        val expr = StatsPrune.resolve(spark, fs, c)
+        live.filter(e => StatsPrune.mightMatch(expr, fs, e.stats, e.rowCount))
       case None => live
     }
   }
@@ -614,13 +647,30 @@ class GraftTable private (
         }
         val cols = if (isPk)
           dataCols ++ Seq(col(SEQ), col(COMMIT), col(POS), col(KIND))
-        else dataCols
+        else // old-schema files predate any shred columns: read them as null
+          dataCols ++ shredFields.map(f => lit(null).cast(f.dataType).as(f.name))
         raw.select(cols.toIndexedSeq: _*)
       }
     }
     val df = parts.reduce(_ unionAll _)
-    if (withInternal || !isPk) df
+    if (withInternal) df
     else df.select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Decode-free variant extraction: project the SHREDDED columns the write
+    * materialized — the variant binary itself is never read or decoded
+    * (paimon extraction pushdown capability). `aliases` rename the spec's
+    * extractions in order; the caller filters/selects the result (column
+    * pruning keeps the scan to exactly the referenced physical columns). */
+  def readVariantExtracted(colName: String, aliases: Seq[String]): DataFrame = {
+    require(!isPk, "variant shredding targets append tables")
+    val specs = shredSpecs.getOrElse(colName, throw new IllegalArgumentException(
+      s"no shred spec for column $colName (set fields.$colName.shred)"))
+    require(aliases.length == specs.length, "one alias per declared extraction")
+    val df = readEntries(planFiles(None, None), withInternal = true, dvFor(None))
+    specs.indices.foldLeft(df) { (d, i) =>
+      d.withColumnRenamed(shredColName(colName, i), aliases(i))
+    }
   }
 
   /** Snapshot read with merge-on-read. Buckets already reduced to a single
@@ -706,7 +756,8 @@ class GraftTable private (
 
   /** Full rows incl. LSM envelope, rowkind as string (paimon `t$audit_log`). */
   def auditLog(snapshotId: Option[Long] = None): DataFrame = {
-    val df = readEntries(planFiles(snapshotId, None), withInternal = true)
+    // append tables have no envelope; withInternal would only leak shred cols
+    val df = readEntries(planFiles(snapshotId, None), withInternal = isPk)
     if (!isPk) df.withColumn("rowkind", lit("+I"))
     else df.withColumn("rowkind",
         when(col(KIND) === KIND_DELETE, "-D")
@@ -953,6 +1004,9 @@ object GraftTable {
     val parts = path.split('/')
     parts.takeRight(3).mkString("/")
   }
+
+  /** Physical column name of a shredded variant extraction. */
+  def shredColName(c: String, i: Int): String = s"__shred__${c}__$i"
 
   // internal (LSM envelope / routing) column names
   val SEQ = "__seq"

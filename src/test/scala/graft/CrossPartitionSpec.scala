@@ -105,6 +105,36 @@ class CrossPartitionSpec extends SparkTestBase {
       Set(Seq(1L, "a", 1.0, "-U"), Seq(1L, "a9", 9.0, "+U")))
   }
 
+  test("variant shredding: extraction reads typed columns, never the binary") {
+    val loc = tmpLoc("shred")
+    val df = spark.range(500).select(
+      col("id"),
+      expr("parse_json(to_json(named_struct('lang', " +
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, 'n', id * 3)))").as("meta"))
+    val t = GraftTable.create(spark, loc, df.schema, TableConfig(
+      options = Map("fields.meta.shred" -> "$.lang:string,$.n:bigint")))
+    t.write(df)
+    val got = t.readVariantExtracted("meta", Seq("lang", "n"))
+      .select(col("id"), col("lang"), col("n"))
+    // values identical to a live variant_get decode
+    assertSameRows(got, t.read().select(col("id"),
+      expr("variant_get(meta, '$.lang', 'string')").as("lang"),
+      expr("variant_get(meta, '$.n', 'bigint')").as("n")))
+    // the extraction plan touches the shredded columns only: no variant_get
+    // call, and the variant binary column is pruned out of the scan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("variant_get"), s"extraction still decodes:\n$plan")
+    assert(plan.contains("__shred__meta__0"), s"shred column not read:\n$plan")
+    assert(!plan.toLowerCase.contains("readschema: struct<id:bigint,meta"),
+      "variant binary should be pruned from the read")
+    // shred columns carry stats → manifest pruning on extracted values
+    val pruned = t.planFiles(filter =
+      Some(col(GraftTable.shredColName("meta", 1)) === 3L))
+    assert(pruned.size <= t.planFiles().size)
+    // plain reads still return exactly the declared table schema
+    assert(t.read().columns.toSeq == Seq("id", "meta"))
+  }
+
   test("within-batch duplicate keys: last input wins, including partition") {
     val t = mkTable("xp-batchdup")
     t.write(Seq((2L, "C", 97.0), (2L, "D", 98.0)).toDF("k", "seg", "v"))
