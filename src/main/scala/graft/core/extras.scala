@@ -134,6 +134,32 @@ object Procedures {
       case "fast_forward_snapshot" =>
         val s = table.rollback(args("snapshot").toLong)
         ok(s"table set to snapshot ${args("snapshot")} (new ${s.id})")
+      case "expire_changelogs" =>
+        // decouple changelog lifetime from snapshot lifetime (paimon
+        // ExpireChangelogsProcedure): drop stored changelog files of
+        // snapshots <= the floor; changelog() falls back to the exact diff
+        val floor = args("older_than_snapshot").toLong
+        val fs = table.sm.fs
+        var n = 0
+        table.sm.snapshotIds.filter(_ <= floor).foreach { id =>
+          table.sm.readSnapshot(id).changelogFiles.foreach { p =>
+            if (fs.delete(new Path(table.location, p), false)) n += 1
+          }
+        }
+        ok(s"deleted $n changelog files up to snapshot $floor")
+      case "mark_partition_done" =>
+        // partition readiness marker (paimon MarkPartitionDoneProcedure):
+        // downstream schedulers poll t$partitions/the marker file
+        val part = args("partition")
+        table.sm.writeString(
+          new Path(table.location, s"partition-mark/$part.done"),
+          System.currentTimeMillis().toString)
+        ok(s"partition $part marked done")
+      case "is_partition_done" =>
+        val part = args("partition")
+        val done = table.sm.fs.exists(
+          new Path(table.location, s"partition-mark/$part.done"))
+        ok(s"$done")
       case "create_global_index" =>
         // persisted secondary index over an unclustered column (paimon
         // global index tables; equality + sorted lookups share one build)

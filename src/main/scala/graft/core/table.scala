@@ -923,13 +923,18 @@ class GraftTable private (
       }
       ok
     }
-    if (fcChainOk) {
+    // expire_changelogs may have deleted stored files the snapshots still
+    // reference — only serve from files that are all present
+    def allPresent(rel: Seq[String]): Boolean =
+      rel.forall(p => sm.fs.exists(new Path(location, p)))
+    if (fcChainOk && allPresent(fcCompacts.flatMap(_.changelogFiles))) {
       val paths = fcCompacts.flatMap(_.changelogFiles)
         .map(p => new Path(location, p).toString)
       return spark.read.schema(clSchema).parquet(paths: _*)
     }
     val snaps = allInRange.filter(_.kind != "COMPACT")
-    if (snaps.nonEmpty && snaps.forall(_.changelogFiles.nonEmpty)) {
+    if (snaps.nonEmpty && snaps.forall(_.changelogFiles.nonEmpty) &&
+        allPresent(snaps.flatMap(_.changelogFiles))) {
       val paths = snaps.flatMap(_.changelogFiles)
         .map(p => new Path(location, p).toString)
       return spark.read.schema(clSchema).parquet(paths: _*)

@@ -88,6 +88,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // GLOBAL system tables: `<catalog>.sys.all_tables` / `all_table_options`
+    // / `all_partitions` — warehouse-wide metadata views (paimon
+    // SystemTableLoader global tables, table/system/SystemTableLoader.java)
+    if (ident.namespace().sameElements(Array("sys")))
+      return new GraftDataFrameTable(s"sys.${ident.name()}",
+        globalSystemTable(ident.name()))
     // `t$snapshots`, `t$files`, ... — system tables addressable in SQL
     // (paimon SystemTableLoader / SparkCatalog `$` suffix convention)
     if (ident.name().contains('$')) {
@@ -179,11 +185,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
   }
 
-  // ---- functions (bucket transform resolution for storage-partitioned
-  //      joins; cf. paimon SparkCatalog function surface) ----
-  override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+  /** Warehouse-wide metadata views. Driver-side listing: table COUNT is
+    * metadata-scale even at 100 TB (file-level work stays in each table's
+    * own system tables / distributed plane). */
+  private def globalSystemTable(name: String): org.apache.spark.sql.DataFrame = {
+    val ss = spark
+    import ss.implicits._
+    def allTables: Seq[(String, String, String)] =
+      listNamespaces().toSeq.map(_.head).flatMap { db =>
+        listTables(Array(db)).toSeq.map(id => (db, id.name(), tablePath(id)))
+      }
+    name match {
+      case "all_tables" =>
+        allTables.map { case (db, tbl, loc) =>
+          val t = GraftTable.load(spark, loc)
+          val snap = t.sm.latestSnapshot
+          (db, tbl, loc, snap.map(_.id).getOrElse(0L),
+            snap.map(_.totalRecords).getOrElse(0L),
+            snap.flatMap(_.liveFilesLong).getOrElse(t.planFiles().size.toLong))
+        }.toDF("database", "table_name", "path", "snapshot_id",
+          "total_records", "live_files")
+      case "all_table_options" =>
+        allTables.flatMap { case (db, tbl, loc) =>
+          val c = GraftTable.load(spark, loc).config
+          (Map("primary-key" -> c.primaryKeys.mkString(","),
+            "partition" -> c.partitionKeys.mkString(","),
+            "bucket" -> c.numBuckets.toString,
+            "merge-engine" -> c.mergeEngine) ++ c.options)
+            .map { case (k, v) => (db, tbl, k, v) }
+        }.toDF("database", "table_name", "key", "value")
+      case "all_partitions" =>
+        allTables.flatMap { case (db, tbl, loc) =>
+          GraftTable.load(spark, loc).planFiles()
+            .groupBy(_.partition).map { case (part, es) =>
+              (db, tbl, part.map { case (k, v) => s"$k=$v" }.mkString("/"),
+                es.size.toLong, es.map(_.rowCount).sum)
+            }
+        }.toDF("database", "table_name", "partition", "file_count", "row_count")
+      case other => throw new NoSuchTableException(Array("sys") :+ other)
+    }
+  }
+
+  // ---- functions: the bucket transform (storage-partitioned joins) plus
+  //      PERSISTED catalog lambda functions (CALL sys.create_function) ----
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    val persisted =
+      if (namespace.length == 1)
+        GraftUserFunctions.list(spark, warehouse, namespace.head)
+          .map(Identifier.of(namespace, _))
+      else Nil
+    (persisted :+ Identifier.of(namespace, "bucket")).toArray
+  }
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
+    else if (ident.namespace().length == 1)
+      GraftUserFunctions.load(spark, warehouse, ident.namespace().head, ident.name())
+        .getOrElse(throw new NoSuchFunctionException(ident))
     else throw new NoSuchFunctionException(ident)
+
+  private[dsv2] def warehousePath: String = warehouse
 }

@@ -69,6 +69,13 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
     mode match {
       case "latest" => GraftOffset(t.sm.latestSnapshotId.getOrElse(0L))
       case "latest-full" | "full" => GraftOffset(-1L)
+      // full state AT the latest COMPACTION (paimon CompactedStartingScanner)
+      case "compacted-full" => GraftOffset(-2L)
+      // full state AT scan.snapshot-id, then changes (FROM_SNAPSHOT_FULL)
+      case "from-snapshot-full" =>
+        require(opt("scan.snapshot-id").isDefined,
+          "from-snapshot-full requires scan.snapshot-id")
+        GraftOffset(-3L)
       case "from-snapshot" =>
         GraftOffset(opt("scan.snapshot-id").map(_.toLong - 1).getOrElse(0L))
       case "from-timestamp" =>
@@ -77,6 +84,15 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
         GraftOffset(if (ids.isEmpty) 0L else ids.max)
       case other => throw new IllegalArgumentException(s"unknown scan.mode $other")
     }
+  }
+
+  /** Full-state batch target for the pending-full sentinels (<0 offsets). */
+  private def fullStateEnd(sentinel: Long, latest: Long): Long = sentinel match {
+    case -2L => // latest compaction point; whole state if never compacted
+      t.sm.snapshotIds.filter(id => t.sm.readSnapshot(id).kind == "COMPACT")
+        .maxOption.getOrElse(latest)
+    case -3L => opt("scan.snapshot-id").get.toLong
+    case _ => latest
   }
 
   // ---- admission control ----
@@ -100,7 +116,7 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftOffset].snapshotId
     val latest = availableNowEnd.getOrElse(t.sm.latestSnapshotId.getOrElse(0L))
-    if (s < 0) return GraftOffset(math.max(latest, 0L)) // full-state batch
+    if (s < 0) return GraftOffset(math.max(fullStateEnd(s, latest), 0L)) // full-state batch
     val (maxRows, maxSnaps) = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         (r.maxRows(), Int.MaxValue)

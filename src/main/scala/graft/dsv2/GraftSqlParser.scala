@@ -39,9 +39,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     t match {
       case CallRe(proc, argStr) =>
         val args = parseArgs(argStr)
-        val table = args.getOrElse("table", throw new IllegalArgumentException(
-          s"CALL sys.$proc: required named argument table => '<ident>'"))
-        GraftCallCommand(splitIdent(table), proc, args - "table")
+        if (GraftSqlParser.catalogProcs(proc)) GraftCatalogCallCommand(proc, args)
+        else {
+          val table = args.getOrElse("table", throw new IllegalArgumentException(
+            s"CALL sys.$proc: required named argument table => '<ident>'"))
+          GraftCallCommand(splitIdent(table), proc, args - "table")
+        }
       case ShowTagsRe(ident) => GraftShowTagsCommand(splitIdent(ident))
       case CreateTagRe(ident, tag, version) =>
         GraftTagDdlCommand(splitIdent(ident), "create", tag,
@@ -85,6 +88,10 @@ object GraftSqlParser {
   private val RenameTagRe =
     """(?is)^ALTER\s+TABLE\s+([\w`.]+)\s+RENAME\s+TAG\s+[`']?([\w.-]+)[`']?\s+TO\s+[`']?([\w.-]+)[`']?\s*$""".r
 
+  /** Procedures scoped to the CATALOG, not a table. */
+  private[dsv2] val catalogProcs: Set[String] =
+    Set("create_function", "drop_function", "list_functions", "compact_database")
+
   private[dsv2] def splitIdent(s: String): Seq[String] =
     s.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
 
@@ -101,12 +108,21 @@ object GraftSqlParser {
 
   /** Resolve a multipart identifier to the engine table through the DSv2
     * catalog (honors current catalog/namespace for short names). */
+  /** `cm.catalog(name)` instantiates lazily; isCatalogRegistered only sees
+    * already-instantiated ones — probe by lookup instead. */
+  private[dsv2] def namedCatalog(
+      session: SparkSession, name: String)
+      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
+    try Some(session.sessionState.catalogManager.catalog(name))
+    catch { case _: Exception => None }
+
   def resolveTable(session: SparkSession, ident: Seq[String]): GraftTable = {
     val cm = session.sessionState.catalogManager
     val (catalog, rest) =
-      if (ident.length > 1 && cm.isCatalogRegistered(ident.head))
-        (cm.catalog(ident.head), ident.tail)
-      else (cm.currentCatalog, ident)
+      (if (ident.length > 1) namedCatalog(session, ident.head) else None) match {
+        case Some(c) => (c, ident.tail)
+        case None => (cm.currentCatalog, ident)
+      }
     val (ns, name) =
       if (rest.length == 1) (cm.currentNamespace.toSeq, rest.head)
       else (rest.init, rest.last)
@@ -132,6 +148,63 @@ case class GraftCallCommand(ident: Seq[String], proc: String,
     val t = GraftSqlParser.resolveTable(session, ident)
     Procedures.call(session, t, proc, args).collect().toSeq
       .map(r => Row(r.toSeq.mkString(", ")))
+  }
+}
+
+/** Catalog-scoped procedures: persisted lambda functions
+  * (paimon CreateFunctionProcedure / DropFunctionProcedure). */
+case class GraftCatalogCallCommand(proc: String, args: Map[String, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  private def graftCatalog(session: SparkSession,
+                           ident: Seq[String]): (GraftCatalog, Seq[String]) = {
+    val cm = session.sessionState.catalogManager
+    val (cat, rest) =
+      (if (ident.length > 1) GraftSqlParser.namedCatalog(session, ident.head)
+       else None) match {
+        case Some(c) => (c, ident.tail)
+        case None => (cm.currentCatalog, ident)
+      }
+    cat match {
+      case g: GraftCatalog => (g, rest)
+      case other => throw new IllegalArgumentException(
+        s"${other.name()} is not a graft catalog")
+    }
+  }
+
+  override def run(session: SparkSession): Seq[Row] = proc match {
+    case "create_function" =>
+      val ident = GraftSqlParser.splitIdent(args("name"))
+      val (g, rest) = graftCatalog(session, ident)
+      require(rest.length == 2, "function name must be <db>.<name>")
+      GraftUserFunctions.create(session, g.warehousePath, rest.head, rest.last,
+        args("lambda"))
+      Seq(Row(s"function ${rest.mkString(".")} created"))
+    case "drop_function" =>
+      val ident = GraftSqlParser.splitIdent(args("name"))
+      val (g, rest) = graftCatalog(session, ident)
+      require(rest.length == 2, "function name must be <db>.<name>")
+      val dropped = GraftUserFunctions.drop(session, g.warehousePath, rest.head, rest.last)
+      Seq(Row(s"function ${rest.mkString(".")} dropped: $dropped"))
+    case "list_functions" =>
+      val ident = GraftSqlParser.splitIdent(args.getOrElse("database", ""))
+      val (g, rest) = graftCatalog(session, ident)
+      GraftUserFunctions.list(session, g.warehousePath, rest.mkString(".")).map(Row(_))
+    case "compact_database" =>
+      // compact every table of a database (paimon CompactDatabaseProcedure)
+      import graft.core.RowOps._
+      val ident = GraftSqlParser.splitIdent(args("database"))
+      val (g, rest) = graftCatalog(session, ident)
+      val db = rest.mkString(".")
+      val results = g.listTables(Array(db)).toSeq.map { id =>
+        val t = GraftTable.load(session,
+          g.tableLocation(db, id.name()))
+        val r = t.compact()
+        s"${id.name()}: ${r.map(s => s"compacted to ${s.id}").getOrElse("no-op")}"
+      }
+      results.map(Row(_))
   }
 }
 

@@ -452,6 +452,103 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
   }
 
+  test("catalog lambda functions: create, call in SQL, drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CALL sys.create_function(name => 'graft.db.first3',
+                 lambda => 'x STRING -> substr(x, 1, 3)')""")
+    spark.sql("""CALL sys.create_function(name => 'graft.db.taxed',
+                 lambda => 'p DOUBLE, rate DOUBLE -> round(p * (1.0 + rate), 2)')""")
+    assert(spark.sql("SELECT graft.db.first3('hello')").as[String].head() == "hel")
+    assert(spark.sql("SELECT graft.db.taxed(100.0, 0.2)").as[Double].head() == 120.0)
+    // over real rows, mixed with builtins
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.db.fnt (s STRING, p DOUBLE)")
+    spark.sql("INSERT INTO graft.db.fnt VALUES ('alpha', 10.0), ('beta', 20.0)")
+    val rows = spark.sql(
+      "SELECT graft.db.first3(s) AS s3, graft.db.taxed(p, 0.1) AS t FROM graft.db.fnt ORDER BY s3")
+      .as[(String, Double)].collect().toSeq
+    assert(rows == Seq(("alp", 11.0), ("bet", 22.0)))
+    val listed = spark.sql("CALL sys.list_functions(database => 'graft.db')")
+      .as[String].collect().toSeq
+    assert(listed == Seq("first3", "taxed"))
+    spark.sql("CALL sys.drop_function(name => 'graft.db.first3')")
+    intercept[Exception] { spark.sql("SELECT graft.db.first3('x')").collect() }
+  }
+
+  test("procedure long tail: expire_changelogs, partition markers, compact_database") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft.db.lt (k BIGINT, s STRING)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='1',
+                                'changelog-producer'='lookup')""")
+    spark.sql("INSERT INTO graft.db.lt VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.db.lt VALUES (1,'a2'),(2,'b')")
+    val t = GraftTable.load(spark, s"$wh/db.db/lt")
+    assert(t.sm.readSnapshot(2L).changelogFiles.nonEmpty)
+    // expire changelogs up to snapshot 2 → files gone, changelog() still
+    // correct via the diff fallback
+    spark.sql("CALL sys.expire_changelogs(table => 'graft.db.lt', older_than_snapshot => 2)")
+    val fs = t.sm.fs
+    assert(t.sm.readSnapshot(2L).changelogFiles
+      .forall(p => !fs.exists(new org.apache.hadoop.fs.Path(t.location, p))))
+    assert(t.changelog(1L, 2L).count() == 3) // -U, +U, +I via exact diff
+    // partition markers
+    spark.sql("CALL sys.mark_partition_done(table => 'graft.db.lt', partition => 'p1')")
+    val done = spark.sql(
+      "CALL sys.is_partition_done(table => 'graft.db.lt', partition => 'p1')")
+      .as[String].head()
+    assert(done == "true")
+    // compact_database sweeps every table of the db
+    val res = spark.sql("CALL sys.compact_database(database => 'graft.db')")
+      .as[String].collect().toSeq
+    assert(res.exists(r => r.startsWith("lt:") && r.contains("compacted")), res.mkString("; "))
+  }
+
+  test("global system tables: sys.all_tables / all_table_options / all_partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.db.gst (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.db.gst VALUES (1,'a'),(2,'b')")
+    val tables = spark.sql(
+      "SELECT table_name, total_records FROM graft.sys.all_tables WHERE database = 'db'")
+      .as[(String, Long)].collect().toMap
+    assert(tables.get("gst").contains(2L))
+    val opts = spark.sql(
+      """SELECT value FROM graft.sys.all_table_options
+         WHERE database = 'db' AND table_name = 'gst' AND key = 'bucket'""")
+      .as[String].collect().toSeq
+    assert(opts == Seq("4"))
+    val parts = spark.sql(
+      "SELECT row_count FROM graft.sys.all_partitions WHERE table_name = 'gst'")
+      .as[Long].collect().sum
+    assert(parts == 2L)
+  }
+
+  test("streaming scan modes: compacted-full and from-snapshot-full start points") {
+    val loc = tmpLoc("scanmodes")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df)                                        // snap 1
+    import graft.core.RowOps._
+    t.compact()                                        // snap 2 (COMPACT)
+    t.write(Seq((3L, "c")).toDF("k", "s"))             // snap 3
+    def stream(opts: Map[String, String]) =
+      new graft.dsv2.GraftMicroBatchStream(t, tmpLoc("ck"), opts)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // compacted-full: full state pinned at the COMPACT snapshot (2), then deltas
+    val cf = stream(Map("scan.mode" -> "compacted-full"))
+    val o0 = cf.initialOffset()
+    val o1 = cf.latestOffset(o0, ReadLimit.allAvailable())
+    assert(o1.asInstanceOf[graft.dsv2.GraftOffset].snapshotId == 2L)
+    assert(cf.planInputPartitions(o0, o1).length == 1) // the compacted file
+    val o2 = cf.latestOffset(o1, ReadLimit.allAvailable())
+    assert(o2.asInstanceOf[graft.dsv2.GraftOffset].snapshotId == 3L)
+    // from-snapshot-full: full state at snapshot 1
+    val sf = stream(Map("scan.mode" -> "from-snapshot-full", "scan.snapshot-id" -> "1"))
+    val s0 = sf.initialOffset()
+    val s1 = sf.latestOffset(s0, ReadLimit.allAvailable())
+    assert(s1.asInstanceOf[graft.dsv2.GraftOffset].snapshotId == 1L)
+    assert(sf.planInputPartitions(s0, s1).nonEmpty)
+  }
+
   test("runtime filtering (DPP): selective dim join re-prunes fact files at runtime") {
     val loc = tmpLoc("dpp-fact")
     val df = spark.range(1000).select(
