@@ -165,6 +165,9 @@ object Procedures {
         // global index tables; equality + sorted lookups share one build)
         graft.pipeline.GlobalIndex.build(spark, table.location, args("column"))
         ok(s"global index built on ${args("column")}")
+      case "refresh_global_index" =>
+        graft.pipeline.GlobalIndex.refresh(spark, table.location, args("column"))
+        ok(s"global index on ${args("column")} refreshed incrementally")
       case "drop_global_index" =>
         val fs = table.sm.fs
         val c = args("column")

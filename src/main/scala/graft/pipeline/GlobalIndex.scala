@@ -63,6 +63,46 @@ object GlobalIndex {
     idx
   }
 
+  /**
+   * INCREMENTAL refresh: bring the index from its recorded snapshot to the
+   * current one by processing only the file-set DIFF — entries of removed
+   * files are deleted (COW on the metadata-sized index table), new files
+   * are scanned and appended, and only the NEW index files get value-
+   * clustered (incremental clustering). Each refresh pays for the delta,
+   * not the corpus; falls back to a full build when the recorded snapshot
+   * has been expired or the index is missing.
+   */
+  def refresh(spark: SparkSession, tableLoc: String, colName: String): GraftTable = {
+    import graft.core.RowOps._
+    val t = GraftTable.load(spark, tableLoc)
+    val mp = metaPath(tableLoc, colName)
+    if (!t.sm.fs.exists(mp)) return build(spark, tableLoc, colName)
+    val m = Json.mapper.readValue(t.sm.readString(mp),
+      classOf[java.util.Map[String, Any]])
+    val at = m.get("snapshot").asInstanceOf[Number].longValue()
+    val cur = t.sm.latestSnapshotId.getOrElse(0L)
+    if (cur == at) return GraftTable.load(spark, indexLoc(tableLoc, colName))
+    if (!t.sm.snapshotExists(at)) return build(spark, tableLoc, colName)
+    val entries = t.rawPlan(None, None).getOrElse(throw new IllegalStateException(
+      "global index refresh needs a raw-convertible (compacted, DV-free) snapshot"))
+    val oldFiles = t.planFiles(Some(at)).map(_.path).toSet
+    val nowByPath = entries.map(e => e.path -> e).toMap
+    val dead = oldFiles -- nowByPath.keySet
+    val fresh = entries.filterNot(e => oldFiles.contains(e.path))
+    val idx = GraftTable.load(spark, indexLoc(tableLoc, colName))
+    if (dead.nonEmpty) idx.delete(col("file").isin(dead.toSeq: _*))
+    if (fresh.nonEmpty) {
+      val paths = fresh.map(e => new Path(t.location, e.path).toString)
+      val rows = spark.read.schema(t.fileSchema).parquet(paths: _*)
+        .select(col(colName).as("value"),
+          regexp_extract(input_file_name(), "(data/.*)$", 1).as("file"))
+      idx.write(rows.groupBy("value", "file").agg(count(lit(1)).as("cnt")))
+      idx.clusterIncremental("order", Seq("value"))
+    }
+    t.sm.writeString(mp, Json.write(Map("column" -> colName, "snapshot" -> cur)))
+    GraftTable.load(spark, indexLoc(tableLoc, colName))
+  }
+
   /** Index freshness: Some(index) iff it exists and covers the CURRENT
     * snapshot; None → caller falls back to a plain scan. */
   private def freshIndex(spark: SparkSession, tableLoc: String,

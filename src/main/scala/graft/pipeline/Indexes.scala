@@ -111,6 +111,18 @@ object Indexes {
     t
   }
 
+  /** Incremental IVF maintenance: assign ONLY the new batch against the
+    * EXISTING centroids and append into the cluster-partitioned index —
+    * each refresh pays for the delta (standard IVF posture: centroid drift
+    * is handled by a periodic full rebuild, not per-batch retraining). */
+  def appendToIvf(spark: SparkSession, df: DataFrame, embedCol: String,
+                  loc: String): GraftTable = {
+    val model = loadIvfModel(spark, loc)
+    val t = GraftTable.load(spark, loc)
+    t.write(df.withColumn("__ivf_cluster", assignUdf(model)(col(embedCol))))
+    t
+  }
+
   def loadIvfModel(spark: SparkSession, loc: String): Similarity.IvfModel = {
     val t = GraftTable.load(spark, loc)
     val cents = Json.mapper.readValue(

@@ -67,6 +67,44 @@ class GlobalIndexSpec extends SparkTestBase {
     assert(planned <= 2, s"rebuilt index should prune, planned=$planned")
   }
 
+  test("incremental refresh: pays for the delta, prunes again, exact after moves") {
+    val (loc, t) = mkIndexed("gi-refresh")
+    import graft.core.RowOps._
+    // append new rows + overwrite (removes some files)
+    t.write(spark.range(10000, 10100).select(col("id").as("v"),
+      (col("id") % 97).as("tag"), concat(lit("p"), col("id")).as("payload")))
+    val idxBefore = GraftTable.load(spark, s"$loc/index/global-v")
+    val idxSnapBefore = idxBefore.sm.latestSnapshotId.get
+    GlobalIndex.refresh(spark, loc, "v")
+    // refresh appended to the index instead of rebuilding it from scratch
+    val idxAfter = GraftTable.load(spark, s"$loc/index/global-v")
+    assert(idxAfter.sm.latestSnapshotId.get > idxSnapBefore)
+    // fresh again: point lookups on old AND new values prune + answer
+    assert(GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(4242L)) == 1)
+    assert(GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(10042L)) <= 2)
+    assertSameRows(GlobalIndex.readEquality(spark, loc, "v", Seq(10042L, 7L)),
+      t.read().filter(col("v").isin(10042L, 7L)))
+    // no-op refresh when already current
+    val s0 = idxAfter.sm.latestSnapshotId.get
+    GlobalIndex.refresh(spark, loc, "v")
+    assert(GraftTable.load(spark, s"$loc/index/global-v").sm.latestSnapshotId.get == s0)
+  }
+
+  test("incremental IVF: new vectors append under existing centroids") {
+    import graft.pipeline.{Indexes, Similarity}
+    val loc = tmpLoc("ivf-incr")
+    val base = spark.range(200).select(col("id"),
+      array((0 until 8).map(i => (rand(seed = i) * 2 - 1).cast("float")): _*).as("emb"))
+    Indexes.buildIvf(spark, base, "emb", loc, nClusters = 4)
+    // append a distinctive vector; search must find it without a rebuild
+    val probe = Seq.fill(8)(0.9f)
+    val extra = Seq((9999L, probe)).toDF("id", "emb")
+    Indexes.appendToIvf(spark, extra, "emb", loc)
+    val hits = Indexes.ivfSearch(spark, loc, "emb", probe, k = 1, nprobe = 2)
+      .select("id").as[Long].collect()
+    assert(hits.headOption.contains(9999L), s"got ${hits.toSeq}")
+  }
+
   test("procedures create_global_index / drop_global_index round-trip") {
     val loc = tmpLoc("gi-proc")
     val df = spark.range(1000).select(col("id").as("v"), (col("id") * 2).as("w"))

@@ -73,4 +73,60 @@ class RandomizedLsmSpec extends SparkTestBase {
   test("random op sequence with dynamic buckets (bucket = -1)") {
     runScenario(seed = 99L, ops = 10, numBuckets = -1)
   }
+
+  /** KEY_DYNAMIC: partitioned by a mutable column — random upserts MOVE
+    * keys across partitions; full and partition-scoped reads must both
+    * match the model at every checkpoint. */
+  private def runCrossPartitionScenario(seed: Long, ops: Int): Unit = {
+    val rnd = new Random(seed)
+    val segs = Vector("A", "B", "C")
+    val loc = tmpLoc(s"rand-xp-$seed")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "A", 1.0)).toDF("k", "seg", "p").schema,
+      TableConfig(primaryKeys = Seq("k"), partitionKeys = Seq("seg"),
+        numBuckets = -1,
+        options = Map("dynamic-bucket.target-row-count" -> "10")))
+    var model = Map.empty[Long, (String, Double)]
+
+    def check(): Unit = {
+      val got = t.read().as[(Long, String, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == model, s"xp seed=$seed mismatch: " +
+        s"missing=${(model.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- model.keySet).take(5)} " +
+        s"diff=${model.keySet.intersect(got.keySet).filter(k => model(k) != got(k)).take(5)}")
+      val s = segs(rnd.nextInt(segs.size))
+      val gotSeg = t.read(filter = Some(col("seg") === s))
+        .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(gotSeg == model.filter(_._2._1 == s),
+        s"xp seed=$seed partition-scoped read of $s diverged")
+    }
+
+    for (i <- 0 until ops) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // upsert batch with random partitions → random moves
+          val rows = (0 until (1 + rnd.nextInt(10))).map { _ =>
+            val k = rnd.nextInt(25).toLong
+            (k, segs(rnd.nextInt(segs.size)), rnd.nextInt(1000) / 10.0)
+          }
+          val byKey = rows.groupBy(_._1).map { case (_, vs) => vs.last }
+          t.write(rows.toDF("k", "seg", "p"))
+          byKey.foreach { case (k, s, p) => model += k -> (s, p) }
+        case 2 => // COW delete of a key range
+          val lo = rnd.nextInt(25).toLong
+          val hi = lo + rnd.nextInt(6)
+          t.delete(col("k").between(lo, hi))
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+        case _ => t.compact()
+      }
+      if (i % 3 == 2) check()
+    }
+    t.compact()
+    check()
+  }
+
+  test("random cross-partition moves agree with the model (2 seeds)") {
+    runCrossPartitionScenario(seed = 11L, ops = 10)
+    runCrossPartitionScenario(seed = 523L, ops = 9)
+  }
 }
