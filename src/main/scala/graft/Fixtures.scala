@@ -66,6 +66,22 @@ object Fixtures {
       t
     }
 
+  /** POSTPONE bucket mode (bucket = -2): orders written shuffle-free into
+    * staging, compacted into 4 real buckets, then an UPDATE batch staged
+    * but NOT compacted — reads must serve the compacted state only. */
+  def ordersPp(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_pp") { loc =>
+      import graft.core.RowOps._
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = -2))
+      t.write(orders)
+      t.compact()
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)) // staged, invisible
+      t
+    }
+
   /** Watermarked commits: snapshot 1 (orders) @ watermark 1000, snapshot 2
     * (%10 updates) @ watermark 2000 — `VERSION AS OF watermark` resolution. */
   def ordersWm(spark: SparkSession, sfDir: String): GraftTable =

@@ -124,6 +124,11 @@ object SparkEntry {
       .systemTable("snapshots").select("snapshot_id", "commit_kind")),
     "q_branch_ff" -> ((s, d) => statusAgg(Fixtures.ordersBranch(s, d).read())),
     "q_dynamic_bucket" -> ((s, d) => statusAgg(Fixtures.ordersDyn(s, d).read())),
+    // POSTPONE bucket mode: staged (uncompacted) writes are invisible —
+    // the read serves exactly the last compacted state
+    "q_postpone" -> ((s, d) => Fixtures.ordersPp(s, d).read()
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("total"))),
     // KEY_DYNAMIC: a PK update that changes the partition column must MOVE
     // the row (tombstone in the old partition) — exactly one row per key
     "q_cross_partition" -> ((s, d) => Fixtures.custXp(s, d).read()
@@ -663,6 +668,10 @@ object SparkEntry {
         |               ELSE o_totalprice END), 2) AS total
         |FROM orders""".stripMargin,
     "q_watermark" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_postpone" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,

@@ -126,6 +126,15 @@ object StatsPrune {
       }
 
     e match {
+      // predicate transform: substring(c, 1, n) = v implies c startsWith v
+      // (exact-prefix when |v| = n, whole-value equality when shorter) —
+      // either way the file must contain a row with prefix v
+      case EqualTo(Substring(ar: AttributeReference, Literal(p, _), _), l: Literal)
+          if p == 1 =>
+        conjunctMightMatch(StartsWith(ar, l), schema, stats, rowCount)
+      case EqualTo(l: Literal, Substring(ar: AttributeReference, Literal(p, _), _))
+          if p == 1 =>
+        conjunctMightMatch(StartsWith(ar, l), schema, stats, rowCount)
       case EqualTo(a, b) => colAndLit(a, b) match {
         case Some((name, l, _)) => withStat(name) { (dt, st) =>
           litText(dt, l) match {

@@ -39,11 +39,11 @@ object RowOps {
     /** Full compaction: merge every bucket to a single level-1 file set.
       * No-op when the table is already fully compacted. */
     def compact(): Option[SnapshotMeta] = {
-      val live = t.planFiles()
+      val live = t.allLiveEntries() // includes postpone staging (bucket -2)
       if (live.isEmpty) return None
       val dv = t.dvFor(None)
       val alreadyCompact = dv.isEmpty && live.groupBy(e => (e.partition, e.bucket))
-        .forall { case (_, es) => es.size == 1 && es.head.level > 0 }
+        .forall { case (_, es) => es.size == 1 && es.head.level > 0 && es.head.bucket != -2 }
       if (alreadyCompact) return None
       var clFiles: Seq[String] = Nil
       var clBase: Option[Long] = None

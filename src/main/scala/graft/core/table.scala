@@ -115,15 +115,29 @@ class GraftTable private (
     case None => lit(commitSeq)
   }
 
+  /** POSTPONE bucket mode (paimon BucketMode.java:69, `bucket = -2`): fresh
+    * writes land UNBUCKETED in a staging bucket (-2) with no shuffle at all;
+    * the data becomes readable only once compaction hash-routes it into
+    * `postpone.default-bucket-num` real buckets — the write path for
+    * ingest-heavy tables where per-write shuffles are the bottleneck. */
+  private[graft] def isPostpone: Boolean = isPk && config.numBuckets == -2
+  private[core] def postponeBuckets: Int =
+    config.option("postpone.default-bucket-num", "4").toInt
+
   /** Hash-bucket routing (cf. paimon DefaultBucketFunction.java:31 — ours is
-    * xxhash64-based; stability matters only within this format). */
-  private def bucketExpr: Column =
-    if (isPk) pmod(xxhash64(pks.map(col).toIndexedSeq: _*), lit(config.numBuckets)).cast(IntegerType)
+    * xxhash64-based; stability matters only within this format).
+    * `forCompact`: postpone tables route to REAL buckets at compaction. */
+  private def bucketExpr(forCompact: Boolean = false): Column =
+    if (isPostpone)
+      if (forCompact)
+        pmod(xxhash64(pks.map(col).toIndexedSeq: _*), lit(postponeBuckets.toLong)).cast(IntegerType)
+      else lit(-2)
+    else if (isPk) pmod(xxhash64(pks.map(col).toIndexedSeq: _*), lit(config.numBuckets)).cast(IntegerType)
     else lit(0)
 
   /** HASH_DYNAMIC mode: `bucket = -1` (paimon BucketMode.java:46,
     * index/HashBucketAssigner). */
-  private[graft] def isDynamicBucket: Boolean = isPk && config.numBuckets < 0
+  private[graft] def isDynamicBucket: Boolean = isPk && config.numBuckets == -1
 
   /** KEY_DYNAMIC mode (paimon BucketMode.java:55, crosspartition/
     * GlobalIndexAssigner): dynamic-bucket PK table whose primary key does
@@ -281,12 +295,14 @@ class GraftTable private (
         partCols.map(c => coalesce(col(c).cast(StringType), lit("__NULL__"))).toIndexedSeq: _*))
     df = df.withColumn(PT, ptExpr)
     df = if (isDynamicBucket) assignDynamicBuckets(df)
-         else df.withColumn(BUCKET, bucketExpr)
-    if (isPk) {
+         else df.withColumn(BUCKET, bucketExpr(forCompact = preMerged))
+    if (isPk && !(isPostpone && !preMerged)) {
       val routeCols = partCols.map(col) :+ col(BUCKET)
       df = df.repartition(routeCols: _*)
         .sortWithinPartitions(pks.map(col).toIndexedSeq: _*)
     }
+    // postpone fresh writes keep the INPUT partitioning: zero shuffle,
+    // files land under bucket -2 awaiting compaction
 
     val commitDir = s"data/c-${UUID.randomUUID().toString.take(12)}"
     val stagingAbs = new Path(location, commitDir).toString
@@ -549,7 +565,8 @@ class GraftTable private (
       .getOrElse(return Nil)
     if (snap.liveFilesLong.exists(_ >= sm.planDfThreshold))
       return planFilesDistributed(snap, filter)
-    val live = sm.liveEntries(snap)
+    // postpone staging data (bucket -2) is unreadable until compaction
+    val live = sm.liveEntries(snap).filter(_.bucket != -2)
     filter match {
       case Some(c) =>
         // resolve against the FILE schema: stats cover envelope and shredded
@@ -568,7 +585,8 @@ class GraftTable private (
                                    filter: Option[Column]): Seq[ManifestEntry] = {
     val ss = spark
     import ss.implicits._
-    val live = sm.liveEntriesDf(ss, snap).as[ManifestEntry]
+    val live = sm.liveEntriesDf(ss, snap)
+      .filter(col("bucket") =!= -2).as[ManifestEntry]
     val pruned = filter match {
       case Some(c) =>
         val ds = dataSchema
@@ -744,6 +762,11 @@ class GraftTable private (
     }
     if (ok) Some(entries) else None
   }
+
+  /** ALL live entries including postpone staging (bucket -2) — compaction's
+    * input view; normal planning/reads exclude staging. */
+  private[core] def allLiveEntries(): Seq[ManifestEntry] =
+    sm.latestSnapshot.map(sm.liveEntries).getOrElse(Nil)
 
   /** Read exactly `entries` (no merge, current DVs applied) — the data side
     * of index-driven plans (GlobalIndex names the files to read). */

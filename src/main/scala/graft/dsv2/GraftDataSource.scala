@@ -207,6 +207,13 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
 
   override def build(): Scan = {
     if (aggScan.isDefined) return aggScan.get
+    // incremental read between two snapshots as a read option (the DSv2
+    // spelling of the incremental TVF / paimon incremental-between)
+    readOptions.get("incremental-between").foreach { r =>
+      val parts = r.split(",").map(_.trim.toLong)
+      require(parts.length == 2, "incremental-between expects 'from,to'")
+      return new GraftIncrementalScan(t, parts(0), parts(1), required)
+    }
     // changelog streams keep the V1 scan shell (only toMicroBatchStream is
     // exercised; the batch path of a changelog scan is unsupported)
     if (readOptions.get("read-changelog").contains("true"))
@@ -320,6 +327,27 @@ object GraftScanBuilder {
     case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case _ => None
   }
+}
+
+/** Incremental (from, to] snapshot-range read through the V1 fallback. */
+class GraftIncrementalScan(t: GraftTable, from: Long, to: Long,
+                           required: Option[StructType]) extends V1Scan {
+  override def readSchema(): StructType =
+    required.getOrElse(t.schema.sparkSchema)
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = readSchema()
+      override def buildScan(): RDD[Row] = {
+        var df = t.incremental(from, to)
+        required.foreach(rs => df = df.select(rs.fieldNames.map(col).toIndexedSeq: _*))
+        df.rdd
+      }
+    }
+    rel.asInstanceOf[T]
+  }
+  override def description(): String = s"GraftIncrementalScan($from,$to)"
 }
 
 /**

@@ -105,6 +105,30 @@ class CrossPartitionSpec extends SparkTestBase {
       Set(Seq(1L, "a", 1.0, "-U"), Seq(1L, "a9", 9.0, "+U")))
   }
 
+  test("postpone bucket mode: zero-shuffle writes invisible until compaction") {
+    val loc = tmpLoc("postpone")
+    val df = spark.range(100).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("s"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = -2,
+        options = Map("postpone.default-bucket-num" -> "3")))
+    t.write(df)
+    // staged in bucket -2, not readable yet
+    assert(t.sm.liveEntries(t.sm.latestSnapshot.get).forall(_.bucket == -2))
+    assert(t.read().isEmpty)
+    // compaction hash-routes into real buckets; data appears
+    t.compact()
+    val buckets = t.sm.liveEntries(t.sm.latestSnapshot.get).map(_.bucket).distinct.sorted
+    assert(buckets.forall(b => b >= 0 && b < 3), s"buckets: $buckets")
+    assertSameRows(t.read(), df)
+    // an update write stages again: reads serve the compacted state only
+    t.write(Seq((5L, "UPDATED")).toDF("k", "s"))
+    assert(t.read().filter(col("k") === 5L).head().getString(1) == "v5")
+    t.compact()
+    assert(t.read().filter(col("k") === 5L).head().getString(1) == "UPDATED")
+    assert(t.read().count() == 100)
+  }
+
   test("variant shredding: extraction reads typed columns, never the binary") {
     val loc = tmpLoc("shred")
     val df = spark.range(500).select(

@@ -452,6 +452,24 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
   }
 
+  test("incremental-between read option; substring predicate transform prunes") {
+    val loc = tmpLoc("incr-opt")
+    val df1 = Seq((1L, "aaa1"), (2L, "bbb2")).toDF("k", "s")
+    val t = GraftTable.create(spark, loc, df1.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df1)                                          // snap 1
+    t.write(Seq((2L, "bbb2x"), (3L, "ccc3")).toDF("k", "s")) // snap 2
+    val inc = spark.read.format("graft")
+      .option("incremental-between", "1,2").load(loc)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(inc == Seq((2L, "bbb2x"), (3L, "ccc3")))
+    // substring(c,1,n) = v prunes through the startsWith transform: the two
+    // files hold disjoint s-prefixes ('a'/'b' vs 'b'/'c')
+    val planned = t.planFiles(filter =
+      Some(org.apache.spark.sql.functions.expr("substring(s, 1, 3) = 'aaa'")))
+    assert(planned.size == 1, s"expected 1 file, got ${planned.size}")
+  }
+
   test("catalog lambda functions: create, call in SQL, drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CALL sys.create_function(name => 'graft.db.first3',
