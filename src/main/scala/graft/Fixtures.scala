@@ -66,6 +66,20 @@ object Fixtures {
       t
     }
 
+  /** Row tracking: events in two commits (even/odd event_id), then a sort
+    * compaction rewrite — ids and their originating commit must survive. */
+  def eventsRt(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "events_rt") { loc =>
+      import graft.core.RowOps._
+      val e = src(spark, sfDir, "events")
+      val t = GraftTable.createOrReplace(spark, loc, e.schema,
+        TableConfig(options = Map("row-tracking.enabled" -> "true")))
+      t.write(e.filter(col("event_id") % 2 === 0))
+      t.write(e.filter(col("event_id") % 2 === 1))
+      t.compactSorted("order", Seq("ts"))
+      t
+    }
+
   /** POSTPONE bucket mode (bucket = -2): orders written shuffle-free into
     * staging, compacted into 4 real buckets, then an UPDATE batch staged
     * but NOT compacted — reads must serve the compacted state only. */

@@ -124,6 +124,14 @@ object SparkEntry {
       .systemTable("snapshots").select("snapshot_id", "commit_kind")),
     "q_branch_ff" -> ((s, d) => statusAgg(Fixtures.ordersBranch(s, d).read())),
     "q_dynamic_bucket" -> ((s, d) => statusAgg(Fixtures.ordersDyn(s, d).read())),
+    // row tracking: per-commit lineage survives the sort-compaction rewrite
+    // (ids assigned at ingest, carried through, still unique per row)
+    "q_row_tracking" -> ((s, d) => {
+      import graft.core.RowOps._
+      Fixtures.eventsRt(s, d).systemTable("row_tracking")
+        .groupBy("commit_seq")
+        .agg(count(lit(1)).as("cnt"), count_distinct(col("row_id")).as("ids"))
+    }),
     // POSTPONE bucket mode: staged (uncompacted) writes are invisible —
     // the read serves exactly the last compacted state
     "q_postpone" -> ((s, d) => Fixtures.ordersPp(s, d).read()
@@ -675,6 +683,12 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_row_tracking" ->
+      """SELECT CAST(1 AS BIGINT) AS commit_seq, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(count(*) AS BIGINT) AS ids FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        | CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 1""".stripMargin,
     "q_column_default" ->
       """SELECT 'web' AS channel, CAST(count(*) AS BIGINT) AS cnt FROM orders""",
     "q_incr_cluster" ->

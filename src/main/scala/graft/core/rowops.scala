@@ -62,7 +62,8 @@ object RowOps {
           }
           t.writeFiles(merged, preMerged = true, level = 1)
         } else {
-          t.writeFiles(t.readEntries(live, withInternal = false, dv), level = 1)
+          // row-tracking tables carry their ids through the rewrite
+          t.writeFiles(t.readEntries(live, withInternal = t.isRowTracking, dv), level = 1)
         }
       val delta = live.map(_.copy(kind = 1)) ++ adds
       // compaction materializes outstanding deletion vectors → clear them
@@ -97,7 +98,7 @@ object RowOps {
 
     private def sortAndCommit(live: Seq[ManifestEntry], strategy: String,
                               cols: Seq[String], targetPartitions: Int): SnapshotMeta = {
-      val df = t.readEntries(live, withInternal = false)
+      val df = t.readEntries(live, withInternal = t.isRowTracking)
       val n = if (targetPartitions > 0) targetPartitions
         else spark.sessionState.conf.numShufflePartitions
       val sorted = strategy match {
@@ -367,6 +368,13 @@ object RowOps {
             cfg.sequenceField.map("sequence.field" -> _).toSeq ++
             cfg.fieldAggregates.toSeq.map { case (k, v) => s"fields.$k.aggregate-function" -> v } ++
             cfg.options.toSeq).toDF("key", "value")
+        case "row_tracking" =>
+          // stable row ids + originating commit (paimon t$row_tracking)
+          require(t.isRowTracking, "table has row-tracking.enabled=false")
+          t.readEntries(t.planFiles(), withInternal = true)
+            .select((t.dataSchema.fieldNames.map(col).toSeq :+
+              col(GraftTable.ROW_ID).as("row_id")): _*)
+            .withColumn("commit_seq", shiftrightunsigned(col("row_id"), 48))
         case "audit_log" => t.auditLog()
         case "ro" => t.readRaw()
         case "statistics" =>

@@ -69,11 +69,19 @@ class GraftTable private (
       }
     }
 
+  /** Row tracking (paimon row-tracking / `t$row_tracking`): append tables
+    * with `row-tracking.enabled` carry a stable per-row id assigned at
+    * ingest ((commit sequence << 48) + in-commit position) that SURVIVES
+    * compaction rewrites — row lineage across file reorganizations. */
+  private[graft] def isRowTracking: Boolean =
+    !isPk && config.option("row-tracking.enabled", "false") == "true"
+
   /** Schema of data files on disk (adds LSM envelope cols for PK tables;
     * cf. paimon KeyValue envelope, SURVEY §1.3; adds shredded variant
-    * extraction columns for append tables carrying shred specs). */
+    * extraction columns and the row-tracking id for append tables). */
   def fileSchema: StructType = {
-    if (!isPk) StructType(dataSchema.fields ++ shredFields)
+    if (!isPk) StructType(dataSchema.fields ++ shredFields ++
+      (if (isRowTracking) Seq(StructField(ROW_ID, LongType)) else Nil))
     else StructType(dataSchema.fields ++ Array(
       StructField(SEQ, LongType, false),
       StructField(COMMIT, LongType, false),
@@ -92,13 +100,13 @@ class GraftTable private (
     * cf. paimon PaimonAnalysis.scala output resolution). Missing columns
     * take their configured DEFAULT value (`fields.<name>.default-value`,
     * paimon column default values) or null. */
-  private def align(df: DataFrame): DataFrame = {
+  private def align(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val cols = dataSchema.fields.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else config.options.get(s"fields.${f.name}.default-value")
         .map(v => lit(v).cast(f.dataType).as(f.name))
         .getOrElse(lit(null).cast(f.dataType).as(f.name))
-    }
+    } ++ keep.filter(df.columns.contains).map(col)
     df.select(cols.toIndexedSeq: _*)
   }
 
@@ -259,13 +267,17 @@ class GraftTable private (
           Seq(col(SEQ), col(COMMIT), col(POS), col(KIND))
         dfIn.select(cols.toIndexedSeq: _*)
       } else {
-        var d = align(dfIn)
+        // a pre-assigned row id (compaction rewrite) passes through intact
+        var d = align(dfIn, keep = if (isRowTracking) Seq(ROW_ID) else Nil)
         // materialize variant shred columns (typed extractions with stats)
         if (!isPk) shredSpecs.toSeq.sortBy(_._1).foreach { case (c, specs) =>
           specs.zipWithIndex.foreach { case ((p, tp), i) =>
             d = d.withColumn(shredColName(c, i), expr(s"variant_get(`$c`, '$p', '$tp')"))
           }
         }
+        if (isRowTracking && !d.columns.contains(ROW_ID))
+          d = d.withColumn(ROW_ID,
+            lit(commitSeq << 48) + monotonically_increasing_id())
         if (isPk) {
           // __pos captures input order BEFORE any shuffle: duplicate keys in
           // one batch resolve last-input-wins, deterministically (paimon
@@ -1035,6 +1047,9 @@ object GraftTable {
 
   /** Physical column name of a shredded variant extraction. */
   def shredColName(c: String, i: Int): String = s"__shred__${c}__$i"
+
+  /** Row-tracking id column ((commit seq << 48) + in-commit position). */
+  val ROW_ID = "__row_id"
 
   // internal (LSM envelope / routing) column names
   val SEQ = "__seq"

@@ -129,6 +129,31 @@ class CrossPartitionSpec extends SparkTestBase {
     assert(t.read().count() == 100)
   }
 
+  test("row tracking: stable ids survive sort compaction; lineage by commit") {
+    val loc = tmpLoc("rowtrack")
+    val df = spark.range(50).select(col("id").as("k"),
+      concat(lit("r"), col("id")).as("s"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(options = Map("row-tracking.enabled" -> "true")))
+    t.write(df)
+    val ids1 = t.systemTable("row_tracking").select("k", "row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(ids1.size == 50 && ids1.values.toSet.size == 50, "ids must be unique")
+    t.write(spark.range(50, 80).select(col("id").as("k"),
+      concat(lit("r"), col("id")).as("s")))
+    // sort compaction rewrites every file; ids must NOT change
+    t.compactSorted("order", Seq("k"))
+    val after = t.systemTable("row_tracking")
+      .select("k", "row_id", "commit_seq").as[(Long, Long, Long)].collect()
+    assert(after.length == 80)
+    val afterIds = after.map(r => r._1 -> r._2).toMap
+    ids1.foreach { case (k, id) =>
+      assert(afterIds(k) == id, s"row id of k=$k changed across compaction") }
+    // lineage: first batch from commit 1, second from commit 2
+    assert(after.filter(_._3 == 1L).map(_._1).toSet == (0L until 50L).toSet)
+    assert(after.filter(_._3 == 2L).map(_._1).toSet == (50L until 80L).toSet)
+  }
+
   test("variant shredding: extraction reads typed columns, never the binary") {
     val loc = tmpLoc("shred")
     val df = spark.range(500).select(
