@@ -671,7 +671,9 @@ class GraftTable private (
         val dataCols = curSchema.fields.map { f =>
           val dt = DataType.fromDDL(f.dataType)
           byId.get(f.id) match {
-            case Some(of) => col(of.name).cast(dt).as(f.name)
+            case Some(of) =>
+              GraftTable.evolveExpr(DataType.fromDDL(of.dataType), dt,
+                col(of.name)).as(f.name)
             case None => lit(null).cast(dt).as(f.name)
           }
         }
@@ -857,6 +859,28 @@ class GraftTable private (
     sm.writeSchema(TableSchema(cur.id + 1, cur.fields.filterNot(_.name == name),
       cur.config, System.currentTimeMillis()))
   }
+
+  /** Append a field to a STRUCT column (nested evolution; old files read
+    * the new field as null via the positional remap). */
+  def addNestedColumn(colName: String, fieldName: String, dt: DataType): Unit = {
+    val cur = structOf(colName)
+    require(!cur.fieldNames.contains(fieldName), s"nested field $fieldName exists")
+    updateColumnType(colName, StructType(cur.fields :+ StructField(fieldName, dt)))
+  }
+
+  /** Rename a field inside a STRUCT column (positional remap keeps data). */
+  def renameNestedColumn(colName: String, oldField: String, newField: String): Unit = {
+    val cur = structOf(colName)
+    require(cur.fieldNames.contains(oldField), s"no nested field $oldField")
+    require(!cur.fieldNames.contains(newField), s"nested field $newField exists")
+    updateColumnType(colName, StructType(cur.fields.map(f =>
+      if (f.name == oldField) f.copy(name = newField) else f)))
+  }
+
+  private def structOf(colName: String): StructType =
+    dataSchema.fields.find(_.name == colName)
+      .map(_.dataType).collect { case s: StructType => s }
+      .getOrElse(throw new IllegalArgumentException(s"$colName is not a struct column"))
 
   /** Change a column's type (old files cast on read; paimon
     * SchemaChange.updateColumnType via casting/CastExecutors). */
@@ -1050,6 +1074,27 @@ object GraftTable {
 
   /** Row-tracking id column ((commit seq << 48) + in-commit position). */
   val ROW_ID = "__row_id"
+
+  /** NESTED schema evolution (paimon nested SchemaChange): old files remap
+    * to the current type POSITIONALLY inside structs — rename keeps the
+    * data, widened leaves cast, fields APPENDED to a struct read as null —
+    * recursing through arrays. Anything else falls back to Spark's cast. */
+  private[core] def evolveExpr(src: DataType, dst: DataType,
+                               e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (src, dst) match {
+      case (s, d) if s == d => e
+      case (s: StructType, d: StructType) if d.fields.length >= s.fields.length =>
+        val kids = d.fields.zipWithIndex.map { case (df, i) =>
+          if (i < s.fields.length)
+            evolveExpr(s.fields(i).dataType, df.dataType,
+              e.getField(s.fields(i).name)).as(df.name)
+          else lit(null).cast(df.dataType).as(df.name)
+        }
+        when(e.isNull, lit(null).cast(d)).otherwise(struct(kids.toIndexedSeq: _*))
+      case (s: ArrayType, d: ArrayType) =>
+        transform(e, x => evolveExpr(s.elementType, d.elementType, x))
+      case (_, d) => e.cast(d)
+    }
 
   // internal (LSM envelope / routing) column names
   val SEQ = "__seq"

@@ -129,6 +129,34 @@ class CrossPartitionSpec extends SparkTestBase {
     assert(t.read().count() == 100)
   }
 
+  test("nested schema evolution: rename + widen + append inside a struct") {
+    val loc = tmpLoc("nested-evo")
+    val df = Seq((1L, ("alice", 10)), (2L, ("bob", 20)))
+      .toDF("k", "info").select(col("k"),
+        col("info").cast("struct<name:string,cnt:int>").as("info"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df)
+    // rename name→full_name, widen cnt int→bigint, append score double
+    t.renameNestedColumn("info", "name", "full_name")
+    GraftTable.load(spark, loc).updateColumnType("info",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "full_name string, cnt bigint"))
+    GraftTable.load(spark, loc).addNestedColumn("info", "score",
+      org.apache.spark.sql.types.DoubleType)
+    val t2 = GraftTable.load(spark, loc)
+    t2.write(Seq((3L, ("carol", 30L, 9.5))).toDF("k", "info")
+      .select(col("k"),
+        col("info").cast("struct<full_name:string,cnt:bigint,score:double>").as("info")))
+    val got = t2.read().select(col("k"), col("info.full_name"),
+      col("info.cnt"), col("info.score")).as[(Long, String, Long, Option[Double])]
+      .collect().toSet
+    assert(got == Set((1L, "alice", 10L, None), (2L, "bob", 20L, None),
+      (3L, "carol", 30L, Some(9.5))))
+    // arrays of structs evolve too: null-safety of the struct remap
+    assert(t2.read().filter(col("info").isNull).count() == 0)
+  }
+
   test("row tracking: stable ids survive sort compaction; lineage by commit") {
     val loc = tmpLoc("rowtrack")
     val df = spark.range(50).select(col("id").as("k"),

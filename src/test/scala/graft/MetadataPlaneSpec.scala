@@ -164,6 +164,53 @@ class MetadataPlaneSpec extends SparkTestBase {
     assert(rowsOf(t.read()) == before)
   }
 
+  test("100k-entry snapshot plans through the DataFrame path (synthetic manifest)") {
+    // fabricate a parquet manifest of 10^5 entries directly — the point is
+    // the metadata plane's shape at scale, not writing 10^5 real files
+    val loc = tmpLoc("big-meta")
+    val df = Seq((1, 1L)).toDF("p", "v")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(partitionKeys = Seq("p"), numBuckets = 1,
+        options = Map("metadata.plan.df-threshold" -> "10",
+          "manifest.parquet-threshold" -> "3")))
+    val n = 100000
+    val entries = spark.range(n).select(
+      lit(0).as("kind"),
+      concat(lit("data/c-synth/__pt="), col("id") % 100, lit("/f"), col("id"),
+        lit(".parquet")).as("path"),
+      map(lit("p"), (col("id") % 100).cast("string")).as("partition"),
+      lit(0).as("bucket"),
+      lit(10L).as("rowCount"),
+      lit(1000L).as("fileSize"),
+      lit(0L).as("minSeq"), lit(0L).as("maxSeq"), lit(0).as("level"),
+      map(lit("p"), struct((col("id") % 100).cast("string").as("min"),
+        (col("id") % 100).cast("string").as("max"), lit(0L).as("nullCount")),
+        lit("v"), struct(col("id").cast("string").as("min"),
+          col("id").cast("string").as("max"), lit(0L).as("nullCount"))).as("stats"),
+      lit(0L).as("schemaId"))
+    val mname = s"manifest-synth.pq"
+    entries.write.parquet(
+      new org.apache.hadoop.fs.Path(t.sm.manifestDir, mname).toString)
+    // snapshot referencing the synthetic manifest, liveFiles above threshold
+    t.sm.commit(Nil, "APPEND", "seed", t.schema.id) // snapshot 1 (empty)
+    val s1 = t.sm.latestSnapshot.get
+    t.sm.writeString(
+      new org.apache.hadoop.fs.Path(t.sm.snapshotDir, "snapshot-2.json"),
+      Json.write(s1.copy(id = 2L, manifests = Seq(mname),
+        deltaManifests = Seq(mname), totalRecords = n * 10L,
+        liveFiles = Some(n.toLong))))
+    t.sm.writeString(new org.apache.hadoop.fs.Path(t.sm.snapshotDir, "LATEST"), "2")
+    val t2 = GraftTable.load(spark, loc)
+    // unfiltered distributed plan sees all entries
+    assert(t2.planFiles().size == n)
+    // partition filter prunes distributed to 1% of entries
+    val pruned = t2.planFiles(filter = Some(col("p") === 7))
+    assert(pruned.size == n / 100, s"got ${pruned.size}")
+    assert(pruned.forall(_.partition("p") == "7"))
+    // point filter on v stats prunes to a single entry
+    assert(t2.planFiles(filter = Some(col("v") === 4242L)).size == 1)
+  }
+
   test("distributed commit conflict check rejects double-delete") {
     val (_, t, _) = mkBigMetaTable("conflict-df")
     val victim = t.sm.liveEntries(t.sm.latestSnapshot.get).head
