@@ -61,7 +61,18 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
   private def opt(key: String): Option[String] =
     readOptions.get(key).orElse(t.config.options.get(key))
 
+  /** consumer-id option = consumer-mode stream (paimon consumer-id): the
+    * durable consumer cursor decides the start point and ADVANCES as
+    * batches commit — restarts resume where the consumer left off, and
+    * consumer-aware snapshot expiry protects unread history. */
+  private def consumerId: Option[String] = opt("consumer-id")
+
   override def initialOffset(): Offset = {
+    consumerId.foreach { id =>
+      Consumers.get(t, id).foreach { st =>
+        return GraftOffset(math.max(0L, st.nextSnapshot - 1))
+      }
+    }
     val mode = opt("scan.mode").getOrElse(
       if (opt("scan.snapshot-id").isDefined) "from-snapshot"
       else if (opt("scan.timestamp-millis").isDefined) "from-timestamp"
@@ -139,7 +150,11 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
 
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    consumerId.foreach { id =>
+      val e = end.asInstanceOf[GraftOffset].snapshotId
+      if (e >= 0) Consumers.commit(t, id, e)
+    }
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

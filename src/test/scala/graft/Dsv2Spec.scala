@@ -452,6 +452,30 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
   }
 
+  test("consumer-mode stream: durable cursor advances on commit, restart resumes") {
+    val loc = tmpLoc("consumer-stream")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df)                                 // snap 1
+    t.write(Seq((2L, "b")).toDF("k", "s"))      // snap 2
+    graft.core.Consumers.reset(t, "c1", Some(2L)) // cursor: next = snapshot 2
+    val st = new graft.dsv2.GraftMicroBatchStream(t, tmpLoc("ck2"),
+      Map("consumer-id" -> "c1"))
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val o0 = st.initialOffset()
+    assert(o0.asInstanceOf[graft.dsv2.GraftOffset].snapshotId == 1L,
+      "consumer cursor decides the start")
+    val o1 = st.latestOffset(o0, ReadLimit.allAvailable())
+    assert(o1.asInstanceOf[graft.dsv2.GraftOffset].snapshotId == 2L)
+    st.commit(o1)
+    // durable: a NEW stream instance resumes from the committed cursor
+    val st2 = new graft.dsv2.GraftMicroBatchStream(t, tmpLoc("ck3"),
+      Map("consumer-id" -> "c1"))
+    assert(st2.initialOffset().asInstanceOf[graft.dsv2.GraftOffset].snapshotId == 2L)
+    assert(graft.core.Consumers.get(t, "c1").map(_.nextSnapshot).contains(3L))
+  }
+
   test("incremental-between read option; substring predicate transform prunes") {
     val loc = tmpLoc("incr-opt")
     val df1 = Seq((1L, "aaa1"), (2L, "bbb2")).toDF("k", "s")
