@@ -374,6 +374,19 @@ object SparkEntry {
       d2.groupBy(md5(col("text")).as("fp"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
     }),
+    // dedup CLUSTERING: pair graph → connected components (iterative min-
+    // label propagation) → canonical doc per component; the keep/drop step
+    // of a dedup pipeline after any candidate generator
+    "q_dedup_cluster" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val d2 = docs.select("doc_id", "text")
+        .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val fp = d2.select(col("doc_id"), md5(col("text")).as("fp"))
+      val pairs = fp.alias("a").join(fp.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("v1"), col("b.doc_id").as("v2"))
+      graft.pipeline.Dedup.canonicalize(d2, "doc_id", pairs)
+    }),
     "q_text_tokens" -> ((s, d) => t(s, d, "documents")
       .groupBy("lang")
       .agg(sum(TextOps.tokenCount(col("text"))).as("n_tokens"), count(lit(1)).as("docs"))),
@@ -899,6 +912,13 @@ object SparkEntry {
         |SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS cnt
         |FROM d2 GROUP BY md5(text)""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT doc_id,
+        | CAST(min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS canonical
+        |FROM d2""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT lang, CAST(sum($tokCntSql) AS BIGINT) AS n_tokens,
          | CAST(count(*) AS BIGINT) AS docs

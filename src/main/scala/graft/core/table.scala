@@ -479,9 +479,11 @@ class GraftTable private (
           Seq(col(PT), col(BUCKET), lit(commitSeq).as("__ver"))).toIndexedSeq: _*)
         .write.mode("append").parquet(pkIndexDir.toString)
     }
+    // changelog must see the tombstones too: a moved key's old-partition
+    // bucket is "touched", so the lookup producer emits -U/+U, not a bare +I
     val clFiles =
       if (config.option("changelog-producer", "none") == "lookup")
-        produceChangelog(adds) else Nil
+        produceChangelog(tombAdds ++ adds) else Nil
     sm.commit(tombAdds ++ adds, "APPEND",
       s"append-xp-${UUID.randomUUID().toString.take(8)}",
       schema.id, watermark = watermark, changelog = clFiles)

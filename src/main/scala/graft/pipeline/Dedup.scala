@@ -100,4 +100,55 @@ object Dedup {
       .filter(col("ham") <= maxHamming)
       .select(col("v1"), col("v2"), col("ham"))
   }
+
+  /**
+   * Connected components over a duplicate-pair graph: iterative minimum-
+   * label propagation, one equi-join + aggregation per round, lineage cut
+   * by localCheckpoint so the plan stays flat. Converges in O(component
+   * diameter) rounds (near-dup components are cliques or short chains, so
+   * a handful); `maxIter` bounds pathological graphs. Returns
+   * (node, component) where component = the smallest node id reachable.
+   * This is the cluster step after any pair generator
+   * (minhash/simhash/embedding) — 100-TB shape: every round is one
+   * shuffle on the EDGE set, never an all-pairs product.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 15): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint(true)
+    var i = 0
+    var changed = true
+    while (changed && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("component").as("dc")), "dst")
+        .groupBy("src").agg(min("dc").as("nmin"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = updated.alias("u")
+        .join(labels.alias("l"), "node")
+        .filter(col("u.component") =!= col("l.component"))
+        .limit(1).count() > 0
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** Canonical-document assignment: every doc maps to its component's
+    * smallest id (docs in no pair map to themselves) — the keep/drop
+    * decision of a dedup pipeline as one left join. */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String = "v1", bCol: String = "v2"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("component"))
+    docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical"))
+  }
 }

@@ -105,6 +105,23 @@ class CrossPartitionSpec extends SparkTestBase {
       Set(Seq(1L, "a", 1.0, "-U"), Seq(1L, "a9", 9.0, "+U")))
   }
 
+  test("cross-partition move with lookup changelog producer emits -U/+U, not +I") {
+    val loc = tmpLoc("xp-cl")
+    val df = Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("k", "seg", "v")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), partitionKeys = Seq("seg"),
+        numBuckets = -1,
+        options = Map("dynamic-bucket.target-row-count" -> "10",
+          "changelog-producer" -> "lookup")))
+    t.write(df)
+    t.write(Seq((1L, "C", 11.0)).toDF("k", "seg", "v")) // A→C move
+    val cl = t.changelog(1L, 2L)
+      .select(col("k"), col("seg"), col("v"), col("_row_kind"))
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(cl == Set((1L, "A", 10.0, "-U"), (1L, "C", 11.0, "+U")),
+      s"got $cl")
+  }
+
   test("postpone bucket mode: zero-shuffle writes invisible until compaction") {
     val loc = tmpLoc("postpone")
     val df = spark.range(100).select(col("id").as("k"),

@@ -15,6 +15,20 @@ class PipelineSpec extends SparkTestBase {
     (4L, "der hund und die katze und das haus und der garten sind schoen")
   ).toDF("doc_id", "text")
 
+  test("connected components: chains propagate to the minimum label") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (6L, 5L))
+      .toDF("v1", "v2")
+    val cc = Dedup.connectedComponents(pairs, "v1", "v2")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 6L -> 5L))
+    // canonicalize: docs outside any pair map to themselves
+    val allDocs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 99L).toDF("doc_id")
+    val canon = Dedup.canonicalize(allDocs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(canon(99L) == 99L && canon(4L) == 1L && canon(11L) == 10L)
+  }
+
   test("minhash LSH finds the near-duplicate pair and only it") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 3, sigLen = 8, nBands = 4, threshold = 0.5)
