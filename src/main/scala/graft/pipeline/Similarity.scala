@@ -56,6 +56,57 @@ object Similarity {
     scored.orderBy(if (asc) col(scoreCol).asc else col(scoreCol).desc).limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // INT8 QUANTIZATION (scale path: 4x smaller candidate pass + rerank)
+  // ------------------------------------------------------------------
+
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * (max |x| / 127) + tinyint codes. 4x less storage/bandwidth than
+    * float32 — the candidate-generation representation for large corpora. */
+  def quantizeInt8(e: Column): Column = {
+    val scale = aggregate(e, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast(DoubleType)))) / 127.0
+    struct(
+      scale.as("scale"),
+      transform(e, x => when(scale === 0.0, lit(0).cast(ByteType))
+        .otherwise(round(x.cast(DoubleType) / scale).cast(ByteType))).as("codes"))
+  }
+
+  /** Quantized dot score between a quantized row struct and a quantized
+    * query (int math widened to long, rescaled once per row). */
+  private def quantizedDot(qRow: Column, codes: Seq[Byte], qScale: Double): Column = {
+    val qArr = array(codes.map(c => lit(c.toInt)): _*)
+    val sum = aggregate(
+      zip_with(qRow.getField("codes"), qArr, (x, y) => x.cast(LongType) * y.cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+    sum.cast(DoubleType) * qRow.getField("scale") * lit(qScale)
+  }
+
+  /** Quantize a query vector driver-side (same rule as [[quantizeInt8]]). */
+  def quantizeQuery(query: Seq[Float]): (Seq[Byte], Double) = {
+    val scale = query.map(v => math.abs(v.toDouble)).max / 127.0
+    if (scale == 0.0) (query.map(_ => 0.toByte), 0.0)
+    else (query.map(v => math.round(v.toDouble / scale).toByte), scale)
+  }
+
+  /**
+   * Quantized ANN with exact re-rank: candidates ranked by the int8 dot
+   * product (cheap pass over 4x-compressed codes), then the top `rerank`
+   * candidates re-scored EXACTLY on the float vectors — output ordering is
+   * exact within the candidate set. `df` must carry both the float column
+   * and a `quantizeInt8` struct column.
+   */
+  def quantizedTopK(df: DataFrame, embedCol: String, quantCol: String,
+                    query: Seq[Float], k: Int, rerank: Int = 0,
+                    scoreCol: String = "__score"): DataFrame = {
+    val r = if (rerank > 0) rerank else math.max(4 * k, 50)
+    val (qCodes, qScale) = quantizeQuery(query)
+    val candidates = df
+      .withColumn("__q8", quantizedDot(col(quantCol), qCodes, qScale))
+      .orderBy(col("__q8").desc).limit(r)
+    bruteForceTopK(candidates.drop("__q8"), embedCol, query, k, "cosine", scoreCol)
+  }
+
   /**
    * IVF index: k-means centroids over a sample + cluster assignment column.
    * Search probes only the `nprobe` nearest clusters — at scale the

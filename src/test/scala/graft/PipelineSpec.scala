@@ -15,6 +15,29 @@ class PipelineSpec extends SparkTestBase {
     (4L, "der hund und die katze und das haus und der garten sind schoen")
   ).toDF("doc_id", "text")
 
+  test("int8-quantized ANN: candidate pass + exact rerank recovers the true top-k") {
+    val n = 2000; val dim = 16
+    val emb = spark.range(n).select(col("id"),
+      array((0 until dim).map(i => (rand(seed = i) * 2 - 1).cast("float")): _*).as("emb"))
+      .withColumn("q8", Similarity.quantizeInt8(col("emb")))
+      .cache()
+    val query = emb.filter(col("id") === 7).select("emb").first().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb, "emb", query, 10, "cosine", "sim")
+      .select("id").as[Long].collect().toSeq
+    val quant = Similarity.quantizedTopK(emb, "emb", "q8", query, 10, rerank = 100)
+      .select("id").as[Long].collect().toSeq
+    assert(quant.head == 7L, "the query vector itself must rank first")
+    val overlap = exact.toSet.intersect(quant.toSet).size
+    assert(overlap >= 8, s"top-10 recall too low: $overlap/10 (exact=$exact quant=$quant)")
+    // quantization round-trips within 1/127 relative error per component
+    val row = emb.filter(col("id") === 7)
+      .select(col("emb"), col("q8.scale"), col("q8.codes")).first()
+    val (e, s, codes) = (row.getSeq[Float](0), row.getDouble(1), row.getSeq[Byte](2))
+    e.zip(codes).foreach { case (x, c) =>
+      assert(math.abs(x - c * s) <= s / 2 + 1e-9) }
+    emb.unpersist()
+  }
+
   test("connected components: chains propagate to the minimum label") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (6L, 5L))
       .toDF("v1", "v2")
