@@ -643,8 +643,10 @@ object RowOps {
       val dels = mainLive.filterNot(e => branchSet.contains(e.path)).map(_.copy(kind = 1))
       val adds = branchLive.filterNot(e => mainSet.contains(e.path))
       val dvAction = Some(b.sm.latestSnapshot.flatMap(_.dvIndex))
-      t.sm.commit(dels ++ adds, "OVERWRITE", s"fast-forward-$name", t.schema.id,
-        dvAction = dvAction)
+      val snap = t.sm.commit(dels ++ adds, "OVERWRITE", s"fast-forward-$name",
+        t.schema.id, dvAction = dvAction)
+      t.rebuildPkIndex() // cross-partition key index must match the new state
+      snap
     }
 
     /** Roll the table back to an earlier snapshot (paimon rollback). */
@@ -658,8 +660,10 @@ object RowOps {
       val adds = targetLive.filterNot(e => curSet.contains(e.path))
       // restore the TARGET snapshot's deletion vectors (default carry-forward
       // would keep post-target deletes in force and reference removed files)
-      t.sm.commit(dels ++ adds, "OVERWRITE", s"rollback-to-$snapshotId", t.schema.id,
-        dvAction = Some(target.dvIndex))
+      val snap = t.sm.commit(dels ++ adds, "OVERWRITE", s"rollback-to-$snapshotId",
+        t.schema.id, dvAction = Some(target.dvIndex))
+      t.rebuildPkIndex() // cross-partition key index must match the new state
+      snap
     }
   }
 

@@ -143,6 +143,15 @@ class GraftTable private (
     else if (isPk) pmod(xxhash64(pks.map(col).toIndexedSeq: _*), lit(config.numBuckets)).cast(IntegerType)
     else lit(0)
 
+  /** Filesystem-safe 64-bit partition hash (real values live inside the
+    * files and in manifest stats — no Hive path-escaping roundtrips). */
+  private def ptExpr: Column = {
+    val partCols = config.partitionKeys
+    if (partCols.isEmpty) lit("-")
+    else format_string("%016x", xxhash64(
+      partCols.map(c => coalesce(col(c).cast(StringType), lit("__NULL__"))).toIndexedSeq: _*))
+  }
+
   /** HASH_DYNAMIC mode: `bucket = -1` (paimon BucketMode.java:46,
     * index/HashBucketAssigner). */
   private[graft] def isDynamicBucket: Boolean = isPk && config.numBuckets == -1
@@ -301,10 +310,6 @@ class GraftTable private (
     // partition values (real values live inside the files and in manifest
     // stats) — avoids Hive path-escaping roundtrip issues entirely.
     val partCols = config.partitionKeys
-    val ptExpr =
-      if (partCols.isEmpty) lit("-")
-      else format_string("%016x", xxhash64(
-        partCols.map(c => coalesce(col(c).cast(StringType), lit("__NULL__"))).toIndexedSeq: _*))
     df = df.withColumn(PT, ptExpr)
     df = if (isDynamicBucket) assignDynamicBuckets(df)
          else df.withColumn(BUCKET, bucketExpr(forCompact = preMerged))
@@ -411,6 +416,23 @@ class GraftTable private (
     * joinable DataFrame: every lookup is a bucketed equi-join, the driver
     * never sees a key). */
   private def pkIndexDir = new Path(location, "index/pk-index")
+
+  /** Rebuild the global key index from the CURRENT table state (paimon
+    * IndexBootstrap): rollback / fast-forward can rewind a table past index
+    * entries — a stale "key already in partition X" answer would skip the
+    * move tombstone and duplicate the key. One distributed scan. */
+  private[core] def rebuildPkIndex(): Unit = {
+    if (!isCrossPartition) return
+    sm.fs.delete(pkIndexDir, true)
+    val cur = read()
+    if (cur.isEmpty) return
+    val ver = sm.latestSnapshotId.getOrElse(0L)
+    cur.select((pks.map(col) ++ config.partitionKeys.map(col)).toIndexedSeq: _*)
+      .withColumn(PT, ptExpr)
+      .withColumn(BUCKET, lit(-1)) // informational; routing uses the per-partition index
+      .withColumn("__ver", lit(ver))
+      .write.parquet(pkIndexDir.toString)
+  }
 
   private def loadPkIndex(): Option[DataFrame] = {
     if (!sm.fs.exists(pkIndexDir)) return None

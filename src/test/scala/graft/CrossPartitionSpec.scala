@@ -105,6 +105,20 @@ class CrossPartitionSpec extends SparkTestBase {
       Set(Seq(1L, "a", 1.0, "-U"), Seq(1L, "a9", 9.0, "+U")))
   }
 
+  test("rollback rebuilds the key index: no duplicate after rewound move") {
+    val t = mkTable("xp-rollback")               // snap 1: k2 in A
+    t.write(Seq((2L, "C", 21.0)).toDF("k", "seg", "v")) // snap 2: k2 moved A→C
+    t.rollback(1L)                               // k2 back in A
+    // the stale index said k2 ∈ C; a write keeping k2 in C must still MOVE
+    // it (tombstone into A) — without the rebuild this would duplicate
+    t.write(Seq((2L, "C", 22.0)).toDF("k", "seg", "v"))
+    val rows = t.read().filter(col("k") === 2L)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq((2L, "C", 22.0)), s"got $rows")
+    assert(t.read().groupBy("k").count().filter(col("count") > 1).isEmpty)
+    assert(t.read().count() == 4)
+  }
+
   test("cross-partition move with lookup changelog producer emits -U/+U, not +I") {
     val loc = tmpLoc("xp-cl")
     val df = Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("k", "seg", "v")
