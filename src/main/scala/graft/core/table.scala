@@ -127,7 +127,10 @@ class GraftTable private (
     * writes land UNBUCKETED in a staging bucket (-2) with no shuffle at all;
     * the data becomes readable only once compaction hash-routes it into
     * `postpone.default-bucket-num` real buckets — the write path for
-    * ingest-heavy tables where per-write shuffles are the bottleneck. */
+    * ingest-heavy tables where per-write shuffles are the bottleneck.
+    * Incremental/streaming consumers of a postpone table should pair it
+    * with `changelog-producer=full-compaction`: the compaction that makes
+    * data visible also emits the exact changelog window. */
   private[graft] def isPostpone: Boolean = isPk && config.numBuckets == -2
   private[core] def postponeBuckets: Int =
     config.option("postpone.default-bucket-num", "4").toInt
@@ -968,7 +971,8 @@ class GraftTable private (
     (from + 1 to to).flatMap { id =>
       val s = sm.readSnapshot(id)
       if (s.kind == "COMPACT") Nil
-      else s.deltaManifests.flatMap(sm.readManifest).filter(_.kind == 0)
+      else s.deltaManifests.flatMap(sm.readManifest)
+        .filter(e => e.kind == 0 && e.bucket != -2) // postpone staging invisible
     }
   }
 

@@ -174,7 +174,8 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
         else if (readChangelog && snap.changelogFiles.nonEmpty)
           snap.changelogFiles.map(p => GraftFilePartition(
             new Path(t.location, p).toString, null): InputPartition)
-        else snap.deltaManifests.flatMap(t.sm.readManifest).filter(_.kind == 0)
+        else snap.deltaManifests.flatMap(t.sm.readManifest)
+          .filter(en => en.kind == 0 && en.bucket != -2) // postpone staging invisible
           .map(en => GraftFilePartition(
             new Path(t.location, en.path).toString, "+I"): InputPartition)
       }

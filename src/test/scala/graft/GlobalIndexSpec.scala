@@ -88,6 +88,15 @@ class GlobalIndexSpec extends SparkTestBase {
     val s0 = idxAfter.sm.latestSnapshotId.get
     GlobalIndex.refresh(spark, loc, "v")
     assert(GraftTable.load(spark, s"$loc/index/global-v").sm.latestSnapshotId.get == s0)
+    // COW delete rewrites files → refresh must retire DEAD files' entries
+    t.delete(col("v") < 5000L)
+    GlobalIndex.refresh(spark, loc, "v")
+    assert(GlobalIndex.readEquality(spark, loc, "v", Seq(4242L)).isEmpty)
+    assertSameRows(GlobalIndex.readEquality(spark, loc, "v", Seq(7777L)),
+      t.read().filter(col("v") === 7777L))
+    // retired entries really left the index table
+    val idxRows = GraftTable.load(spark, s"$loc/index/global-v").read()
+    assert(idxRows.filter(col("value") === 4242L).isEmpty)
   }
 
   test("incremental IVF: new vectors append under existing centroids") {
