@@ -88,6 +88,17 @@ object Procedures {
         Consumers.reset(table, args("consumer_id"),
           args.get("next_snapshot").map(_.toLong))
         ok(s"consumer ${args("consumer_id")} reset")
+      case "create_tag_from_watermark" =>
+        val w = args("watermark").toLong
+        val ids = table.sm.snapshotIds.filter(id =>
+          table.sm.readSnapshot(id).watermarkLong.exists(_ <= w))
+        require(ids.nonEmpty, "no snapshot at or before watermark")
+        table.sm.createTag(args("tag"), ids.max)
+        ok(s"tag ${args("tag")} -> snapshot ${ids.max} (watermark $w)")
+      case "rollback_to_tag" =>
+        val tg = table.sm.readTag(args("tag"))
+        val s = table.rollback(tg.snapshotId)
+        ok(s"rolled back to tag ${args("tag")} (snapshot ${tg.snapshotId}, new ${s.id})")
       case "create_tag_from_timestamp" =>
         val ts = args("timestamp_ms").toLong
         val ids = table.sm.snapshotIds.filter(id => table.sm.readSnapshot(id).timestampMs <= ts)

@@ -1180,6 +1180,16 @@ object GraftTable {
 object MergeEngines {
   import GraftTable._
 
+  /** Comparator over the LSM envelope fields of a collected struct —
+    * array_sort cannot order structs whose payload holds maps. */
+  private[core] def envelopeCmp(l: Column, r: Column): Column = {
+    def f(c: Column, n: String) = c.getField(n)
+    when(f(l, SEQ) < f(r, SEQ), -1).when(f(l, SEQ) > f(r, SEQ), 1)
+      .when(f(l, COMMIT) < f(r, COMMIT), -1).when(f(l, COMMIT) > f(r, COMMIT), 1)
+      .when(f(l, POS) < f(r, POS), -1).when(f(l, POS) > f(r, POS), 1)
+      .otherwise(0)
+  }
+
   def merge(df: DataFrame, config: TableConfig, schema: StructType,
             preferHash: Boolean = false): DataFrame = {
     val pks = config.primaryKeys
@@ -1300,9 +1310,28 @@ object MergeEngines {
             array_sort(collect_list(when(c.isNotNull,
               struct(col(SEQ), col(COMMIT), c.cast(StringType).as("v"))))),
             x => x.getField("v")), ",")
-        case "collect" =>
-          transform(array_sort(collect_list(when(c.isNotNull,
-            struct(col(SEQ), col(COMMIT), c.as("v"))))), x => x.getField("v"))
+        case "merge_map" =>
+          // per-key map union in sequence order, later values override
+          // (paimon FieldMergeMapAgg): fold map_concat over the ordered
+          // versions, dropping shadowed keys first so concat never clashes.
+          // Explicit comparator: maps make the carrier struct unorderable.
+          val sorted = transform(
+            array_sort(collect_list(when(c.isNotNull,
+              struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
+              (l, r) => MergeEngines.envelopeCmp(l, r)),
+            x => x.getField("v"))
+          aggregate(sorted, lit(null).cast(dt), (acc, m) =>
+            when(acc.isNull, m).otherwise(
+              map_concat(map_filter(acc, (k, _) => !map_contains_key(m, k)), m)))
+        case "collect" | "nested_update" =>
+          // nested_update: child rows (structs) accumulate into an ordered
+          // array per key (paimon FieldNestedUpdateAgg shape); explicit
+          // comparator so unorderable payloads (maps inside structs) work
+          transform(
+            array_sort(collect_list(when(c.isNotNull,
+              struct(col(SEQ), col(COMMIT), lit(0L).as(POS), c.as("v")))),
+              (l, r) => MergeEngines.envelopeCmp(l, r)),
+            x => x.getField("v"))
         case "rbm32" => GraftAggs.rbm32(c)
         case "rbm64" => GraftAggs.rbm64(c)
         case "hll_sketch" => GraftAggs.hllSketch(c)

@@ -46,6 +46,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           GraftCallCommand(splitIdent(table), proc, args - "table")
         }
       case ShowTagsRe(ident) => GraftShowTagsCommand(splitIdent(ident))
+      case ShowBranchesRe(ident) => GraftShowBranchesCommand(splitIdent(ident))
+      case CreateBranchRe(ident, branch, version) =>
+        GraftBranchDdlCommand(splitIdent(ident), "create", branch,
+          Option(version).map(_.toLong))
+      case DeleteBranchRe(ident, branch) =>
+        GraftBranchDdlCommand(splitIdent(ident), "delete", branch, None)
       case CreateTagRe(ident, tag, version) =>
         GraftTagDdlCommand(splitIdent(ident), "create", tag,
           Option(version).map(_.toLong), None)
@@ -81,6 +87,11 @@ object GraftSqlParser {
   private val CallRe =
     """(?is)^CALL\s+(?:[\w`]+\.)?sys\.(\w+)\s*\((.*)\)\s*$""".r
   private val ShowTagsRe = """(?is)^SHOW\s+TAGS\s+([\w`.]+)\s*$""".r
+  private val ShowBranchesRe = """(?is)^SHOW\s+BRANCHES\s+([\w`.]+)\s*$""".r
+  private val CreateBranchRe =
+    """(?is)^ALTER\s+TABLE\s+([\w`.]+)\s+CREATE\s+BRANCH\s+(?:IF\s+NOT\s+EXISTS\s+)?[`']?([\w.-]+)[`']?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$""".r
+  private val DeleteBranchRe =
+    """(?is)^ALTER\s+TABLE\s+([\w`.]+)\s+DELETE\s+BRANCH\s+(?:IF\s+EXISTS\s+)?[`']?([\w.-]+)[`']?\s*$""".r
   private val CreateTagRe =
     """(?is)^ALTER\s+TABLE\s+([\w`.]+)\s+CREATE\s+TAG\s+(?:IF\s+NOT\s+EXISTS\s+)?[`']?([\w.-]+)[`']?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$""".r
   private val DeleteTagRe =
@@ -216,6 +227,30 @@ case class GraftShowTagsCommand(ident: Seq[String]) extends LeafRunnableCommand 
   override def run(session: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolveTable(session, ident)
     t.sm.listTags().map(tm => Row(tm.name, tm.snapshotId))
+  }
+}
+
+/** SHOW BRANCHES t (paimon ShowBranchesCommand). */
+case class GraftShowBranchesCommand(ident: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("branch", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(session, ident)
+    t.sm.listBranches().map(Row(_))
+  }
+}
+
+/** ALTER TABLE t CREATE/DELETE BRANCH (paimon branch DDL). */
+case class GraftBranchDdlCommand(ident: Seq[String], op: String, branch: String,
+                                 version: Option[Long]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.core.RowOps._
+    val t = GraftSqlParser.resolveTable(session, ident)
+    op match {
+      case "create" => t.createBranch(branch, version)
+      case "delete" => t.deleteBranch(branch)
+    }
+    Nil
   }
 }
 

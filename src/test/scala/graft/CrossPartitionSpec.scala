@@ -160,6 +160,27 @@ class CrossPartitionSpec extends SparkTestBase {
     assert(t.read().count() == 100)
   }
 
+  test("aggregation engine: merge_map unions maps later-wins; nested_update collects") {
+    val loc = tmpLoc("mergemap")
+    val df = Seq(
+      (1L, Map("a" -> 1, "b" -> 2), "x1"),
+      (1L, Map("b" -> 20, "c" -> 30), "x2"),
+      (2L, Map("z" -> 9), "y1")
+    ).toDF("k", "attrs", "tag")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "aggregation",
+        fieldAggregates = Map("attrs" -> "merge_map", "tag" -> "nested_update")))
+    t.write(df.limit(2).filter(col("tag") === "x1"))
+    t.write(df.filter(col("tag") =!= "x1"))
+    val got = t.read().as[(Long, Map[String, Int], Seq[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0)._2 == Map("a" -> 1, "b" -> 20, "c" -> 30),
+      s"merge_map wrong: ${got(0)._2}")
+    assert(got(0)._3 == Seq("x1", "x2"))
+    assert(got(1)._2 == Map("z" -> 9) && got(1)._3 == Seq("y1"))
+  }
+
   test("nested schema evolution: rename + widen + append inside a struct") {
     val loc = tmpLoc("nested-evo")
     val df = Seq((1L, ("alice", 10)), (2L, ("bob", 20)))

@@ -450,6 +450,12 @@ class Dsv2Spec extends SparkTestBase {
     assert(r2.exists(_.startsWith("expired")), r2.mkString)
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
+    // branch DDL + SHOW BRANCHES
+    spark.sql("ALTER TABLE graft.db.callt CREATE BRANCH dev")
+    assert(spark.sql("SHOW BRANCHES graft.db.callt").as[String].collect().toSeq
+      == Seq("dev"))
+    spark.sql("ALTER TABLE graft.db.callt DELETE BRANCH dev")
+    assert(spark.sql("SHOW BRANCHES graft.db.callt").count() == 0)
   }
 
   test("consumer-mode stream: durable cursor advances on commit, restart resumes") {
