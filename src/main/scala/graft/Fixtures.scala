@@ -35,6 +35,24 @@ object Fixtures {
                      (build: String => GraftTable): GraftTable =
     built.getOrElseUpdate((sfDir, name), build(s"${fixRoot(sfDir)}/$name"))
 
+  /** Append orders table with per-file secondary indexes (bloom on
+    * o_custkey, bitmap on o_orderpriority, bsi on o_orderkey), written as 4
+    * interleaved slices so every file's min/max envelope overlaps — only
+    * the file indexes can skip. */
+  def ordersFidx(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_fidx") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(options = Map(
+          "file-index.bloom-filter.columns" -> "o_custkey",
+          "file-index.bitmap.columns" -> "o_orderpriority",
+          "file-index.bsi.columns" -> "o_orderkey")))
+      (0 until 4).foreach { i =>
+        t.write(orders.filter(col("o_orderkey") % 4 === i))
+      }
+      t
+    }
+
   /** PK dedup table over orders; snapshots: 1 = orders, 2 = +10%-key updates
     * (price*2, priority X-UPD), 3 = COMPACT. Tag v1 → snapshot 1. */
   def ordersPk(spark: SparkSession, sfDir: String): GraftTable =

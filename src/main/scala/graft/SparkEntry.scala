@@ -171,6 +171,18 @@ object SparkEntry {
       .select(col("o_orderstatus"),
         (abs(col("approx") - col("exact")) / col("exact") < 0.05).as("within_5pct"))),
 
+    // ---- file indexes (§2.2): bloom / bitmap / bsi skip files min/max can't ----
+    "q_fileindex_bloom" -> ((s, d) => Fixtures.ordersFidx(s, d)
+      .read(Some(col("o_custkey") === 7L))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+    "q_fileindex_bitmap" -> ((s, d) => Fixtures.ordersFidx(s, d)
+      .read(Some(col("o_orderpriority") === "1-URGENT"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+    "q_fileindex_bsi" -> ((s, d) => Fixtures.ordersFidx(s, d)
+      .read(Some(col("o_orderkey") >= 1000L && col("o_orderkey") <= 5000L))
+      .agg(count(lit(1)).as("cnt"), round(avg("o_totalprice"), 2).as("avg_price"))),
+
     // ---- aggregate/limit pushdown, sorts (§2.4b / §2.6) ----
     "q_agg_pushdown" -> ((s, d) => Fixtures.eventsAp(s, d).aggFromManifest(Seq(
       ("cnt", "count", ""), ("min_id", "min", "event_id"), ("max_id", "max", "event_id")))),
@@ -748,6 +760,16 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_hll_estimate" ->
       "SELECT o_orderstatus, true AS within_5pct FROM orders GROUP BY o_orderstatus",
+    "q_fileindex_bloom" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_custkey = 7""".stripMargin,
+    "q_fileindex_bitmap" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus""".stripMargin,
+    "q_fileindex_bsi" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
     "q_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(min(event_id) AS BIGINT) AS min_id,
         | CAST(max(event_id) AS BIGINT) AS max_id FROM events""".stripMargin,

@@ -34,6 +34,9 @@ object Procedures {
             val r = table.compact()
             ok(if (r.isDefined) s"compacted to snapshot ${r.get.id}" else "nothing to compact")
         }
+      case "rewrite_file_index" =>
+        val n = FileIndexes.rebuildAll(table)
+        ok(s"rebuilt file indexes for $n files")
       case "compact_manifest" =>
         val s = table.sm.compactManifests(table.schema.id)
         ok(s"manifests consolidated at snapshot ${s.id}")

@@ -78,6 +78,31 @@ object StatsPrune {
     case other => Seq(other)
   }
 
+  /** Keep only conjuncts whose columns all lie in `allowed`; None when no
+    * conjunct survives. Merge-on-read file pruning must restrict itself to
+    * columns CONSTANT across all versions of a key (primary key, partition):
+    * pruning a file by a value-column conjunct can drop the newest version
+    * of a key while an older file keeps a stale one — the merge then
+    * resurrects the stale row (cf. paimon KeyValueFileStoreScan, which
+    * prunes by key stats; value filters apply only to fully-merged files). */
+  private[core] def restrict(pred: Expression, allowed: Set[String]): Option[Expression] =
+    splitConjuncts(pred)
+      .filter(_.references.forall(r => allowed.contains(r.name)))
+      .reduceOption(And)
+
+  /** Normalize a comparison conjunct to (column, literal, flipped, op) —
+    * shared by manifest-stat pruning and file-index evaluation. `flipped`
+    * means the literal was on the left (`5 < c`). */
+  private[core] def attrLit(e: Expression): Option[(String, Literal, Boolean, String)] =
+    e match {
+      case EqualTo(a, b) => colAndLit(a, b).map { case (n, l, f) => (n, l, f, "=") }
+      case LessThan(a, b) => colAndLit(a, b).map { case (n, l, f) => (n, l, f, "<") }
+      case LessThanOrEqual(a, b) => colAndLit(a, b).map { case (n, l, f) => (n, l, f, "<=") }
+      case GreaterThan(a, b) => colAndLit(a, b).map { case (n, l, f) => (n, l, f, ">") }
+      case GreaterThanOrEqual(a, b) => colAndLit(a, b).map { case (n, l, f) => (n, l, f, ">=") }
+      case _ => None
+    }
+
   /** Predicate transforms (cf. paimon predicate transform mapping,
     * SURVEY §2.2): fold deterministic constant subtrees to literals (the
     * analyzer leaves `Cast('1998-01-01' AS TIMESTAMP)` unfolded in the

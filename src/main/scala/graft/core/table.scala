@@ -131,6 +131,11 @@ class GraftTable private (
     * Incremental/streaming consumers of a postpone table should pair it
     * with `changelog-producer=full-compaction`: the compaction that makes
     * data visible also emits the exact changelog window. */
+  /** Configured per-data-file secondary indexes (bloom-filter / bitmap /
+    * bsi — see [[FileIndexes]]); built by every writeFiles pass. */
+  private[core] def fileIndexSpecs: Seq[FileIndexSpec] =
+    FileIndexes.specsOf(config.options, fileSchema)
+
   private[graft] def isPostpone: Boolean = isPk && config.numBuckets == -2
   private[core] def postponeBuckets: Int =
     config.option("postpone.default-bucket-num", "4").toInt
@@ -334,7 +339,11 @@ class GraftTable private (
     }
     df.write.options(writerOpts).partitionBy(PT, BUCKET).parquet(stagingAbs)
 
-    collectStats(stagingAbs, level)
+    val entries = collectStats(stagingAbs, level)
+    // per-file secondary indexes (bloom/bitmap/bsi) for the new files —
+    // a second distributed pass, payloads written straight from executors
+    FileIndexes.build(this, stagingAbs)
+    entries
   }
 
   /** Distributed per-file stats: one aggregation pass over the new files. */
@@ -611,11 +620,43 @@ class GraftTable private (
         // resolve against the FILE schema: stats cover envelope and shredded
         // extraction columns too, so filters on those prune as well
         val fs = fileSchema
-        val expr = StatsPrune.resolve(spark, fs, c)
-        live.filter(e => StatsPrune.mightMatch(expr, fs, e.stats, e.rowCount))
+        pruneExpr(fs, c) match {
+          case Some(expr) =>
+            val kept = live.filter(e => StatsPrune.mightMatch(expr, fs, e.stats, e.rowCount))
+            // file-index skipping (bloom/bitmap/bsi) on the stats survivors;
+            // expr is already merge-safe-restricted for PK tables
+            FileIndexes.pruneAndSelect(this, kept, expr)._1
+          case None => live
+        }
       case None => live
     }
   }
+
+  /** Columns safe for merge-on-read file pruning: constant across all stored
+    * versions of a key, so dropping a file can never unbalance the merge. */
+  private def mergeSafeCols: Set[String] =
+    (pks ++ config.partitionKeys :+ PT).toSet
+
+  /** Resolve `c` for stats pruning; PK tables keep only merge-safe conjuncts
+    * (value-column pruning on MOR input resurrects stale versions — see
+    * StatsPrune.restrict). Fully-merged files re-prune with the full filter
+    * via [[fullPrune]]. */
+  private def pruneExpr(fs: StructType, c: Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val resolved = StatsPrune.resolve(spark, fs, c)
+    if (isPk) StatsPrune.restrict(resolved, mergeSafeCols) else Some(resolved)
+  }
+
+  /** Full-filter per-file pruning — only valid for files whose rows are
+    * final (append tables, or raw-convertible fully-merged PK buckets). */
+  private def fullPrune(entries: Seq[ManifestEntry], filter: Option[Column]): Seq[ManifestEntry] =
+    filter match {
+      case Some(c) =>
+        val fs = fileSchema
+        val expr = StatsPrune.resolve(spark, fs, c)
+        entries.filter(e => StatsPrune.mightMatch(expr, fs, e.stats, e.rowCount))
+      case None => entries
+    }
 
   /** The distributed planning path: manifest read, ADD/DELETE fold and stats
     * pruning all execute on executors; the same [[StatsPrune.mightMatch]]
@@ -626,10 +667,9 @@ class GraftTable private (
     import ss.implicits._
     val live = sm.liveEntriesDf(ss, snap)
       .filter(col("bucket") =!= -2).as[ManifestEntry]
-    val pruned = filter match {
-      case Some(c) =>
+    val pruned = filter.flatMap(c => pruneExpr(dataSchema, c)) match {
+      case Some(expr) =>
         val ds = dataSchema
-        val expr = StatsPrune.resolve(ss, ds, c)
         live.filter((e: ManifestEntry) => StatsPrune.mightMatch(expr, ds, e.stats, e.rowCount))
       case None => live
     }
@@ -646,6 +686,22 @@ class GraftTable private (
       case Some(name) => sm.readDvIndex(name).map { case (p, b) => dvKey(p) -> b }
       case None => Map.empty
     }
+  }
+
+  /** Position-skip map for a scan of `entries` under `filter`: outstanding
+    * deletion vectors merged with file-index row selections (rows an exact
+    * bitmap/bsi index proves cannot match are skipped in the reader; Spark
+    * still re-applies the filter to the survivors). ONLY valid where rows
+    * are final — append tables and fully-merged (raw) PK buckets; row
+    * skipping on merge-on-read INPUT would unbalance the merge exactly like
+    * value-column file pruning. */
+  private[graft] def skipMapFor(entries: Seq[ManifestEntry], filter: Option[Column],
+                                snapshotId: Option[Long]): Map[String, Array[Byte]] = {
+    val dv = dvFor(snapshotId)
+    if (fileIndexSpecs.isEmpty || filter.isEmpty || entries.isEmpty) return dv
+    val expr = StatsPrune.resolve(spark, fileSchema, filter.get)
+    val (_, sels) = FileIndexes.pruneAndSelect(this, entries, expr)
+    FileIndexes.mergeSkips(entries, sels, dv)
   }
 
   private[core] def readEntries(entries: Seq[ManifestEntry], withInternal: Boolean,
@@ -740,7 +796,8 @@ class GraftTable private (
     if (entries.isEmpty) return filter.foldLeft(emptyDf)((d, c) => d.filter(c))
     val dv = dvFor(snapshotId)
     val out =
-      if (!isPk) readEntries(entries, withInternal = false, dv)
+      if (!isPk)
+        readEntries(entries, withInternal = false, skipMapFor(entries, filter, snapshotId))
       else {
         val byBucket = entries.groupBy(e => (e.partition, e.bucket))
         // raw-convertible: single file, no delete tombstones, and either a
@@ -756,7 +813,11 @@ class GraftTable private (
             noTombstone && (e.level > 0 || config.mergeEngine == "deduplicate")
           }
         }
-        val rawEntries = rawB.values.flatten.toSeq
+        // raw buckets are fully merged: their rows are final, so the FULL
+        // filter (value conjuncts included) prunes them per-file — this is
+        // where post-compaction value-filter file skipping happens for PK
+        // tables (planFiles itself only pruned on merge-safe columns)
+        val rawEntries = fullPrune(rawB.values.flatten.toSeq, filter)
         val mergeEntries = mergeB.values.flatten.toSeq
         // version-pileup estimate: rows per bucket vs the bucket's largest
         // file (a lower bound on distinct keys). High ratio → hash-agg merge
@@ -767,7 +828,11 @@ class GraftTable private (
           keysLb > 0 && total / keysLb >= 2.0
         }
         val parts = Seq(
-          if (rawEntries.nonEmpty) Some(readEntries(rawEntries, withInternal = false, dv)) else None,
+          if (rawEntries.nonEmpty)
+            // raw rows are final → index row-skip applies (merge input: DVs only)
+            Some(readEntries(rawEntries, withInternal = false,
+              skipMapFor(rawEntries, filter, snapshotId)))
+          else None,
           if (mergeEntries.nonEmpty)
             Some(MergeEngines.merge(readEntries(mergeEntries, withInternal = true, dv),
               config, dataSchema, preferHash = heavyDup)
@@ -801,7 +866,19 @@ class GraftTable private (
         noTombstone && (e.level > 0 || config.mergeEngine == "deduplicate")
       }
     }
-    if (ok) Some(entries) else None
+    // every bucket fully merged → rows are final → the full filter (value
+    // conjuncts included) may prune per-file, and so may the file indexes
+    if (!ok) None
+    else if (!isPk) Some(entries)
+    else {
+      val byStats = fullPrune(entries, filter)
+      Some(filter match {
+        case Some(c) if fileIndexSpecs.nonEmpty =>
+          FileIndexes.pruneAndSelect(this, byStats,
+            StatsPrune.resolve(spark, fileSchema, c))._1
+        case _ => byStats
+      })
+    }
   }
 
   /** ALL live entries including postpone staging (bucket -2) — compaction's

@@ -224,7 +224,9 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     // V1 DataFrame plan otherwise (shared merge semantics).
     t.rawPlan(snapshotId, pruneCond, allowDv = true) match {
       case Some(entries0) =>
-        val dv = t.dvFor(snapshotId)
+        // deletion vectors merged with file-index row selections (raw rows
+        // are final, so exact bitmap/bsi selections skip inside the reader)
+        val dv = t.skipMapFor(entries0, pruneCond, snapshotId)
         var entries = entries0
         // file-truncation pruning trusts manifest row counts, which OVERCOUNT
         // rows of DV-carrying files — a LIMIT/TopN could come up short. Both

@@ -161,4 +161,25 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(t.planFiles(filter =
       Some(col("ts") > lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))).isEmpty)
   }
+
+  test("value-column filters never prune MOR input (stale-version resurrection)") {
+    val loc = tmpLoc("mor-vprune")
+    val df1 = Seq((1L, 5L, "a")).toDF("k", "f", "v")
+    val t = GraftTable.create(spark, loc, df1.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df1)
+    t.write(Seq((1L, 10L, "b")).toDF("k", "f", "v")) // newest version: f=10
+    // f=5 only matches the STALE version; pruning the newest file by value
+    // stats would resurrect it. planFiles must keep both files...
+    assert(t.planFiles(None, Some(col("f") === 5L)).size == 2)
+    // ...and the merged read must return nothing
+    assert(t.read(Some(col("f") === 5L)).filter(col("f") === 5L).count() == 0)
+    assert(t.read(Some(col("f") === 10L)).filter(col("f") === 10L).count() == 1)
+    // primary-key conjuncts still prune MOR input (merge-safe columns)
+    assert(t.planFiles(None, Some(col("k") === 999L)).isEmpty)
+    // after compaction the bucket is fully merged → full filter prunes raw
+    t.compact()
+    assert(t.rawPlan(None, Some(col("f") === 5L)).exists(_.isEmpty))
+    assert(t.read(Some(col("f") === 10L)).filter(col("f") === 10L).count() == 1)
+  }
 }

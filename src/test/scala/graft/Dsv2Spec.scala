@@ -493,9 +493,15 @@ class Dsv2Spec extends SparkTestBase {
       .option("incremental-between", "1,2").load(loc)
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
     assert(inc == Seq((2L, "bbb2x"), (3L, "ccc3")))
-    // substring(c,1,n) = v prunes through the startsWith transform: the two
-    // files hold disjoint s-prefixes ('a'/'b' vs 'b'/'c')
-    val planned = t.planFiles(filter =
+    // substring(c,1,n) = v prunes through the startsWith transform: two
+    // APPEND-table files hold disjoint s-prefixes (value-column pruning is
+    // merge-safe only where rows are final, so the PK table above would
+    // rightly NOT prune on s)
+    val loc2 = tmpLoc("incr-opt-append")
+    val a = GraftTable.create(spark, loc2, df1.schema, TableConfig())
+    a.write(Seq((1L, "aaa1"), (2L, "abb2")).toDF("k", "s"))
+    a.write(Seq((3L, "bbb3"), (4L, "ccc4")).toDF("k", "s"))
+    val planned = a.planFiles(filter =
       Some(org.apache.spark.sql.functions.expr("substring(s, 1, 3) = 'aaa'")))
     assert(planned.size == 1, s"expected 1 file, got ${planned.size}")
   }
@@ -666,5 +672,20 @@ class Dsv2Spec extends SparkTestBase {
     // compaction materializes the vectors; scan flips back to columnar
     t.compact()
     assert(spark.sql("SELECT count(*) AS c FROM graft.db.dvnat").as[Long].head() == 899L)
+  }
+
+  test("file-index row selections ride the native scan's DV skip path") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.fidx")
+    spark.sql("""CREATE TABLE graft.db.fidx (k BIGINT, animal STRING)
+                 TBLPROPERTIES ('file-index.bitmap.columns'='animal')""")
+    spark.sql("INSERT INTO graft.db.fidx VALUES (1,'ant'),(99,'zebra')")
+    spark.sql("INSERT INTO graft.db.fidx SELECT id, 'cow' FROM range(2, 51)")
+    spark.sql("INSERT INTO graft.db.fidx VALUES (51,'ox')")
+    val got = spark.sql("SELECT k FROM graft.db.fidx WHERE animal = 'ox'")
+    assert(got.as[Long].collect().toSeq == Seq(51L))
+    // plan stays on the native scan shell (row-based while skips outstanding)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"expected native BatchScan:\n$plan")
   }
 }
