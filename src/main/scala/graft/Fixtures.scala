@@ -472,6 +472,43 @@ object Fixtures {
     "graft_fix.db.orders_sql"
   }
 
+  /** PK table over embeddings with a FILE-ALIGNED vector index: the index is
+    * built at snapshot 1, then the table advances — an upsert reverses every
+    * 10th vector and a DV delete drops every 7th — so searches must
+    * reconcile both mutations from the changelog without an index rebuild. */
+  def embedPk(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "embed_pk") { loc =>
+      import graft.core.RowOps._
+      val emb = src(spark, sfDir, "embeddings").select("vec_id", "label", "embedding")
+      val t = GraftTable.createOrReplace(spark, loc, emb.schema,
+        TableConfig(primaryKeys = Seq("vec_id"), numBuckets = 4))
+      t.write(emb)
+      graft.pipeline.PkSearch.buildVectorIndex(t, "embedding",
+        embedPkIdxLoc(sfDir), nClusters = 8)
+      t.write(emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("embedding", reverse(col("embedding"))))
+      t.deleteDv(col("vec_id") % 7 === 0)
+      t
+    }
+
+  def embedPkIdxLoc(sfDir: String): String = s"${fixRoot(sfDir)}/embed_pk_vidx"
+
+  /** PK table over documents, mutated after load: every 10th doc's text gets
+    * a suffix token (changes doc_len → BM25 scores), every 7th doc is
+    * DV-deleted — full-text search must reflect the merged current state. */
+  def docsPk(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "docs_pk") { loc =>
+      import graft.core.RowOps._
+      val docs = src(spark, sfDir, "documents").select("doc_id", "lang", "source", "text")
+      val t = GraftTable.createOrReplace(spark, loc, docs.schema,
+        TableConfig(primaryKeys = Seq("doc_id"), numBuckets = 4))
+      t.write(docs)
+      t.write(docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" graftsearch"))))
+      t.deleteDv(col("doc_id") % 7 === 0)
+      t
+    }
+
   /** Persisted full-text postings index over documents (term-range-clustered
     * graft table + corpus-stats sidecar). */
   def ftIndex(spark: SparkSession, sfDir: String): GraftTable =

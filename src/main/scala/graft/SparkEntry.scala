@@ -38,11 +38,12 @@ object SparkEntry {
       |               ELSE o_totalprice END), 2) AS total
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
-  // language-ID oracle: mirrors TextOps.langId exactly
-  private def langScoreSql(lang: String): String =
-    TextOps.langMarkers(lang).map { m =>
-      s"CAST((length(p)-length(replace(p,'$m','')))/${m.length} AS BIGINT)"
-    }.mkString("(", " + ", ")")
+  // language-ID oracle: mirrors TextOps.langId exactly (token-equality
+  // marker counts over one whitespace tokenization)
+  private def langScoreSql(lang: String): String = {
+    val in = TextOps.langMarkers(lang).map(m => s"'$m'").mkString(", ")
+    s"CAST(len(list_filter(ws, w -> w IN ($in))) AS BIGINT)"
+  }
   private val langIdOracle: String = {
     val langs = Seq("en", "de", "fr", "es")
     val scores = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
@@ -50,7 +51,9 @@ object SparkEntry {
     val pred = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
       .mkString("CASE ", " ", " ELSE 'und' END")
     s"""WITH scored AS (
-       |  SELECT $scores FROM (SELECT ' '||lower(text)||' ' AS p FROM documents)
+       |  SELECT $scores FROM (
+       |    SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                       w -> length(w) > 0) AS ws FROM documents)
        |), best_t AS (SELECT *, $best AS best FROM scored)
        |SELECT $pred AS lang_pred, CAST(count(*) AS BIGINT) AS cnt
        |FROM best_t GROUP BY 1""".stripMargin
@@ -403,7 +406,9 @@ object SparkEntry {
       .groupBy("lang")
       .agg(sum(TextOps.tokenCount(col("text"))).as("n_tokens"), count(lit(1)).as("docs"))),
     "q_lang_id" -> ((s, d) => t(s, d, "documents")
-      .groupBy(TextOps.langId(col("text")).as("lang_pred"))
+      // staged: tokenization + marker counts once per row, argmax separate
+      .select(TextOps.langScores(col("text")).as("__ls"))
+      .groupBy(TextOps.langIdFromScores(col("__ls")).as("lang_pred"))
       .agg(count(lit(1)).as("cnt"))),
     "q_fingerprint" -> ((s, d) => t(s, d, "documents").filter(col("doc_id") < 100)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
@@ -501,6 +506,27 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("id")).limit(10)
         .select(col("id"), round(col("rrf"), 6).as("rrf"))
     }),
+    // FILE-ALIGNED PK SEARCH (§2.11): snapshot-consistent, DV-aware search
+    // over primary-key tables. The vector route serves unchanged keys from a
+    // snapshot-aligned IVF index and reconciles keys touched since (an
+    // upsert wave + a DV delete) from the changelog — no rebuild.
+    "q_pk_vector_search" -> ((s, d) => {
+      val tbl = Fixtures.embedPk(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      graft.pipeline.PkSearch.vectorSearch(tbl, Fixtures.embedPkIdxLoc(d),
+        "embedding", q, 10, nprobe = 8, scoreCol = "sim") // nprobe = all → exact
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+    // full-text route: BM25 over the MERGED current snapshot (updated docs
+    // score with their new text/length; DV-deleted docs never match)
+    "q_pk_fulltext" -> ((s, d) => {
+      val tbl = Fixtures.docsPk(s, d)
+      graft.pipeline.PkSearch.fullTextSearch(tbl, "doc_id", "text",
+        Seq("table", "scan", "fast", "merge"), 1000000)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
     "q_dedup_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val d2 = docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -587,13 +613,20 @@ object SparkEntry {
       |    [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)] AS shingles
       |  FROM words WHERE len(ws) >= 3)""".stripMargin
 
+  // per-seed affine minhash constants — MUST match TextOps.mhA/mhB
+  private val minhashSeedExprs = (0 until 8).map { j =>
+    s"list_min(list_transform(hs, h -> (${TextOps.mhA(j)}::UBIGINT * h + ${TextOps.mhB(j)}::UBIGINT) % 4294967296::UBIGINT))"
+  }.mkString("[", ",\n       ", "]")
+
   private val minhashOracle =
     s"""WITH $dedupDocsCte,
-       |sig AS (
+       |hv AS (
        |  SELECT doc_id, shingles,
-       |    [list_min(list_transform(shingles, s -> ('0x'||substr(md5(j::VARCHAR||s),1,8))::UBIGINT))
-       |     for j in range(0, 8)] AS sg
+       |    list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::UBIGINT) AS hs
        |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, shingles, $minhashSeedExprs AS sg
+       |  FROM hv),
        |banded AS (
        |  SELECT doc_id, shingles, b,
        |    md5(b::VARCHAR || '_' || array_to_string(sg[b*2+1:b*2+2], ',')) AS bk
@@ -632,10 +665,10 @@ object SparkEntry {
        |SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM hashes""".stripMargin
   }
 
-  private val bm25Cte =
-    """words AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),'\s+'), w -> length(w)>0) AS ws
-      |  FROM documents),
+  private def bm25Cte(from: String = "documents") =
+    s"""words AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),'\\s+'), w -> length(w)>0) AS ws
+      |  FROM $from),
       |postings AS (
       |  SELECT term, doc_id, doc_len, count(*) AS tf
       |  FROM (SELECT doc_id, len(ws) AS doc_len, unnest(ws) AS term FROM words)
@@ -652,12 +685,12 @@ object SparkEntry {
       |  GROUP BY h.doc_id)""".stripMargin
 
   private val bm25Oracle =
-    s"""WITH $bm25Cte
+    s"""WITH ${bm25Cte()}
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin
 
   private val hybridOracle =
-    s"""WITH $bm25Cte,
+    s"""WITH ${bm25Cte()},
        |txt AS (SELECT doc_id AS id,
        |  row_number() OVER (ORDER BY round(score,4) DESC, doc_id) AS r FROM scored),
        |vec AS (SELECT vec_id AS id,
@@ -1004,6 +1037,27 @@ object SparkEntry {
     "q_system_consumers" ->
       "SELECT 'sysc' AS consumer_id, CAST(2 AS BIGINT) AS next_snapshot_id",
     "q_fulltext_bm25" -> bm25Oracle,
+    "q_pk_vector_search" ->
+      """WITH cur AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 10 = 0 THEN list_reverse(embedding)
+        |         ELSE embedding END AS emb
+        |  FROM embeddings WHERE vec_id % 7 <> 0)
+        |SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT c.vec_id,
+        |    list_cosine_similarity(c.emb::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM cur c)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_pk_fulltext" -> {
+      val docsM =
+        """(SELECT doc_id,
+          |   CASE WHEN doc_id % 10 = 0 THEN text || ' graftsearch' ELSE text END AS text
+          | FROM documents WHERE doc_id % 7 <> 0)""".stripMargin
+      s"""WITH ${bm25Cte(docsM)}
+         |SELECT doc_id, round(score, 4) AS score FROM scored
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin
+    },
     "q_hybrid_search" -> hybridOracle,
     "q_dedup_minhash" -> minhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,

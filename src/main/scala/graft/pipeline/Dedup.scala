@@ -33,12 +33,15 @@ object Dedup {
     require(sigLen % nBands == 0, "sigLen must be divisible by nBands")
     val rpb = sigLen / nBands
     // shingle sets + signatures computed once and persisted: the band join
-    // below shuffles only (id, bandKey) pairs — never the shingle arrays
+    // below shuffles only (id, bandKey) pairs — never the shingle arrays.
+    // Staged projections keep the md5 pass at one-per-shingle (the k seed
+    // hashes are affine transforms of the cached hash array).
     val base = df
       .withColumn("__sh", TextOps.shingles(col(textCol), shingleN))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", TextOps.minhashSignature(col("__sh"), sigLen))
-      .select(col(idCol), col("__sh"), col("__sig"))
+      .select(col(idCol), col("__sh"), TextOps.shingleHashes(col("__sh")).as("__hs"))
+      .select(col(idCol), col("__sh"),
+        TextOps.minhashFromHashes(col("__hs"), sigLen).as("__sig"))
       .persist()
     val banded = base.select(col(idCol),
       explode(array((0 until nBands).map(b =>

@@ -35,38 +35,90 @@ object Indexes {
   private def statsPath(loc: String, name: String) =
     new Path(loc, s"index/$name.json")
 
-  /** Build (or replace) the postings index table at `loc`. Per-term document
-    * frequency is precomputed INTO the index, so a search is a single pruned
-    * scan (no second pass over the hits for df). */
+  /** Location of the per-term document-frequency table that rides along with
+    * a postings index: a PK table (term → df) on the AGGREGATION merge
+    * engine with `sum(df)`, so incremental appends MERGE frequency deltas
+    * instead of forcing a postings rebuild. */
+  def termStatsLoc(loc: String): String = loc + "__termstats"
+
+  private def writeCorpusSidecar(t: GraftTable, loc: String,
+                                 docs: Long, totalLen: Long): Unit =
+    t.sm.writeString(statsPath(loc, "fulltext-stats"),
+      Json.write(Map("docs" -> docs, "total_len" -> totalLen)))
+
+  private def readCorpusSidecar(t: GraftTable, loc: String): (Long, Long) = {
+    val m = Json.mapper.readValue(t.sm.readString(statsPath(loc, "fulltext-stats")),
+      classOf[java.util.Map[String, Any]])
+    (m.get("docs").asInstanceOf[Number].longValue(),
+      m.get("total_len").asInstanceOf[Number].longValue())
+  }
+
+  /** (doc count, summed doc length) of a postings batch — the corpus-stat
+    * deltas an append contributes. */
+  private def batchCorpus(postings: DataFrame): (Long, Long) = {
+    val r = postings.select(col("doc_id"), col("doc_len")).distinct()
+      .agg(count(lit(1)), coalesce(sum("doc_len"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Build (or replace) the postings index table at `loc`, plus the per-term
+    * df table and corpus-stat sidecar. All three support INCREMENTAL
+    * maintenance via [[appendToFullText]]. */
   def buildFullText(spark: SparkSession, docs: DataFrame, idCol: String,
                     textCol: String, loc: String): GraftTable = {
     import graft.core.RowOps._
     val postings = FullText.buildPostings(docs, idCol, textCol)
-    val termDf = postings.groupBy("term")
-      .agg(count_distinct(col("doc_id")).as("df"))
-    val withDf = postings.join(termDf, "term")
-    val t = GraftTable.createOrReplace(spark, loc, withDf.schema, TableConfig())
-    t.write(withDf)
+    val t = GraftTable.createOrReplace(spark, loc, postings.schema, TableConfig())
+    t.write(postings)
     // cluster files by term range → a query's terms prune to few files
     t.compactSorted("order", Seq("term"))
-    val (n, avgdl) = FullText.corpusStats(t.read())
-    t.sm.writeString(statsPath(loc, "fulltext-stats"),
-      Json.write(Map("docs" -> n, "avgdl" -> avgdl)))
+    val termDf = postings.groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val st = GraftTable.createOrReplace(spark, termStatsLoc(loc), termDf.schema,
+      TableConfig(primaryKeys = Seq("term"), numBuckets = 4,
+        mergeEngine = "aggregation", fieldAggregates = Map("df" -> "sum")))
+    st.write(termDf)
+    val (n, totalLen) = batchCorpus(postings)
+    writeCorpusSidecar(t, loc, n, totalLen)
     t
   }
 
-  /** BM25 top-k against the persisted index: reads ONLY the query terms'
-    * file ranges (manifest stats on `term`), one scan, one aggregation. */
+  /** Incremental full-text maintenance: append NEW documents' postings and
+    * MERGE their df deltas into the term-stats table (aggregation engine) —
+    * each refresh pays for the delta only; no postings or df rebuild.
+    * Callers compact the postings periodically ([[compactFullText]]) to
+    * restore term-range clustering over the appended files. */
+  def appendToFullText(spark: SparkSession, newDocs: DataFrame, idCol: String,
+                       textCol: String, loc: String): GraftTable = {
+    val postings = FullText.buildPostings(newDocs, idCol, textCol)
+    val t = GraftTable.load(spark, loc)
+    t.write(postings)
+    GraftTable.load(spark, termStatsLoc(loc))
+      .write(postings.groupBy("term").agg(count_distinct(col("doc_id")).as("df")))
+    val (n0, l0) = readCorpusSidecar(t, loc)
+    val (n1, l1) = batchCorpus(postings)
+    writeCorpusSidecar(t, loc, n0 + n1, l0 + l1)
+    t
+  }
+
+  /** Re-cluster the postings by term range after a run of appends. */
+  def compactFullText(spark: SparkSession, loc: String): Unit = {
+    import graft.core.RowOps._
+    GraftTable.load(spark, loc).compactSorted("order", Seq("term"))
+  }
+
+  /** BM25 top-k against the persisted index: one manifest-pruned scan of the
+    * query terms' posting files + a point read of those terms' df rows. */
   def fullTextSearch(spark: SparkSession, loc: String, query: Seq[String],
                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val t = GraftTable.load(spark, loc)
-    val m = Json.mapper.readValue(t.sm.readString(statsPath(loc, "fulltext-stats")),
-      classOf[java.util.Map[String, Any]])
-    val n = m.get("docs").asInstanceOf[Number].longValue()
-    val avgdl = m.get("avgdl").asInstanceOf[Number].doubleValue()
+    val (n, totalLen) = readCorpusSidecar(t, loc)
+    val avgdl = if (n == 0) 0.0 else totalLen.toDouble / n
     val qTerms = query.map(_.toLowerCase)
     val hits = t.read(filter = Some(col("term").isin(qTerms: _*)))
-    hits
+    val dfs = GraftTable.load(spark, termStatsLoc(loc))
+      .read(filter = Some(col("term").isin(qTerms: _*)))
+    hits.join(broadcast(dfs), "term")
       .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w", col("idf") * col("tf") * (lit(k1) + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / lit(avgdl))))

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import graft.core._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * File-aligned search over PRIMARY-KEY tables (SURVEY §2.11 "File-aligned PK
+ * search"; capability of paimon's snapshot-consistent, DV-aware PK search —
+ * reference: paimon-core/.../table/source/FullTextScan.java,
+ * BatchVectorSearchBuilderImpl.java, spark
+ * read/SparkVectorSearchBuilderImpl.scala — the reference keeps per-bucket
+ * index archives aligned with the data files; we align a persisted index
+ * with a SNAPSHOT and reconcile later commits from the changelog).
+ *
+ * Semantics the reference guarantees, reproduced here:
+ *  - snapshot-consistent: a search reflects exactly the merged (MOR) state
+ *    of the table's current snapshot — updates replace, deletes disappear;
+ *  - DV-aware: rows masked by deletion vectors never surface;
+ *  - partition predicates prune BEFORE the search route (the TopN/filter
+ *    interplay rule: partition filters compose with top-k, arbitrary row
+ *    predicates do not push into the index route);
+ *  - distributed top-k merge: per-partition TakeOrdered then driver merge
+ *    (Spark's `orderBy().limit(k)` physical shape).
+ *
+ * Index freshness without rebuilds: the vector index records its source
+ * snapshot. A search against a LATER snapshot anti-joins the keys touched
+ * since (from the exact changelog) out of the index route and scores those
+ * keys' CURRENT merged rows instead — cost O(changelog since the index),
+ * never O(table). Small key sets collapse to a manifest-pruned point read.
+ */
+object PkSearch {
+
+  private def sidecar(loc: String) = new Path(loc, "index/pk-search.json")
+
+  /** Build a vector index table aligned to `tbl`'s current snapshot: the
+    * merged (MOR + DV-applied) rows, IVF-cluster-partitioned; the sidecar
+    * records the source snapshot for reconciliation at query time. */
+  def buildVectorIndex(tbl: GraftTable, embedCol: String, loc: String,
+                       nClusters: Int, seed: Long = 42L): GraftTable = {
+    require(tbl.config.isPrimaryKeyed, "PkSearch indexes a primary-key table")
+    val snap = tbl.sm.latestSnapshotId
+      .getOrElse(throw new IllegalStateException(s"${tbl.location}: empty table"))
+    val idx = Indexes.buildIvf(tbl.spark, tbl.read(None, Some(snap)), embedCol,
+      loc, nClusters, seed)
+    idx.sm.writeString(sidecar(loc),
+      Json.write(Map("sourceSnapshot" -> snap, "sourceLocation" -> tbl.location)))
+    idx
+  }
+
+  private def indexSourceSnapshot(spark: SparkSession, loc: String): Long = {
+    val t = GraftTable.load(spark, loc)
+    val m = Json.mapper.readValue(t.sm.readString(sidecar(loc)),
+      classOf[java.util.Map[String, Any]])
+    m.get("sourceSnapshot").asInstanceOf[Number].longValue()
+  }
+
+  /** Keys-touched-since threshold below which reconciliation collects the
+    * key set and re-reads it as a manifest-pruned IN filter (point-lookup
+    * shape) instead of a scan + semi-join. */
+  val PointReadMaxKeys = 10000
+
+  /**
+   * Snapshot-consistent, DV-aware top-k vector search over a PK table,
+   * served from a [[buildVectorIndex]] index. If the table has advanced past
+   * the index snapshot, keys from the intervening changelog are served from
+   * the CURRENT merged state (exact), everything else from the index's
+   * partition-pruned probes.
+   */
+  def vectorSearch(tbl: GraftTable, idxLoc: String, embedCol: String,
+                   query: Seq[Float], k: Int, nprobe: Int,
+                   metric: String = "cosine", scoreCol: String = "__score",
+                   partitionFilter: Option[Column] = None,
+                   maxPointKeys: Int = PointReadMaxKeys): DataFrame = {
+    val spark = tbl.spark
+    val s0 = indexSourceSnapshot(spark, idxLoc)
+    val cur = tbl.sm.latestSnapshotId
+      .getOrElse(throw new IllegalStateException(s"${tbl.location}: empty table"))
+    val idx = GraftTable.load(spark, idxLoc)
+    val model = Indexes.loadIvfModel(spark, idxLoc)
+    val probes = model.nearestClusters(query, nprobe)
+    val pks = tbl.config.primaryKeys
+
+    val idxProbe0 = idx
+      .read(filter = Some(col("__ivf_cluster").isin(probes: _*)))
+      .drop("__ivf_cluster")
+    val idxProbe = partitionFilter.map(idxProbe0.filter).getOrElse(idxProbe0)
+
+    val base =
+      if (cur == s0) idxProbe
+      else {
+        // exact set of keys whose merged value changed after the index:
+        // inserts, updates (either image), and deletes (incl. DV deletes —
+        // the changelog emits -D for them)
+        val changed = tbl.changelog(s0, cur)
+          .select(pks.map(col): _*).distinct()
+        val freshAll: DataFrame = pks match {
+          case Seq(pk) =>
+            val keys = changed.limit(maxPointKeys + 1).collect().map(_.get(0))
+            if (keys.length <= maxPointKeys)
+              // manifest stats prune the point read to the keys' buckets
+              tbl.read(filter = Some(col(pk).isin(keys.toIndexedSeq: _*)))
+            else tbl.read().join(changed, pks, "left_semi")
+          case _ => tbl.read().join(changed, pks, "left_semi")
+        }
+        val fresh = partitionFilter.map(freshAll.filter).getOrElse(freshAll)
+        idxProbe.join(changed, pks, "left_anti")
+          .unionByName(fresh.select(idxProbe.columns.map(col): _*))
+      }
+    Similarity.bruteForceTopK(base, embedCol, query, k, metric, scoreCol)
+  }
+
+  /**
+   * Snapshot-consistent, DV-aware BM25 top-k over a PK table's text column:
+   * postings are derived from the MERGED state of the current (or AS OF)
+   * snapshot, so updated documents score with their new text and deleted
+   * documents never match. Partition predicates prune before tokenization.
+   */
+  def fullTextSearch(tbl: GraftTable, idCol: String, textCol: String,
+                     query: Seq[String], k: Int,
+                     partitionFilter: Option[Column] = None,
+                     snapshotId: Option[Long] = None): DataFrame = {
+    require(tbl.config.isPrimaryKeyed, "PkSearch searches a primary-key table")
+    val docs = tbl.read(partitionFilter, snapshotId)
+    FullText.search(FullText.buildPostings(docs, idCol, textCol), query, k)
+  }
+}

@@ -167,13 +167,23 @@ object Similarity {
     * complement (fewer bits → more candidates → higher recall). */
   def nearDupPairs(df: DataFrame, idCol: String, embedCol: String, dim: Int,
                    threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
-    val sig = df.withColumn("__sig", signSignature(col(embedCol), dim))
+    // signatures + norms computed ONCE and persisted — both sides of the
+    // self-join reuse them (unpersisted, each side would recompute the
+    // nBits·dim dot products), and the pair verify is dot/(n_a·n_b) with
+    // the per-row norms precomputed instead of re-derived per candidate.
+    val sig = df
+      .select((Seq(col(idCol), col(embedCol)) ++ blockCols.map(col)): _*)
+      .withColumn("__sig", signSignature(col(embedCol), dim))
+      .withColumn("__n", norm(col(embedCol)))
+      .persist()
     val a = sig.alias("a"); val b = sig.alias("b")
     val joinCond = (Seq(col("a.__sig") === col("b.__sig"),
       col(s"a.$idCol") < col(s"b.$idCol")) ++
       blockCols.map(c => col(s"a.$c") === col(s"b.$c"))).reduce(_ && _)
+    val nn = col("a.__n") * col("b.__n")
     a.join(b, joinCond)
-      .withColumn("__sim", cosine(col(s"a.$embedCol"), col(s"b.$embedCol")))
+      .withColumn("__sim", when(nn === 0.0, 0.0)
+        .otherwise(dot(col(s"a.$embedCol"), col(s"b.$embedCol")) / nn))
       .filter(col("__sim") >= threshold)
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
         col("__sim").as("sim"))

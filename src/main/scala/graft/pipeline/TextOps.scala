@@ -30,29 +30,47 @@ object TextOps {
     ((length(text) - length(replace(text, lit(sub), lit("")))) / sub.length)
       .cast(LongType)
 
-  /** Tiny stopword-profile language scorer: count hits of per-language marker
-    * words (padded text so boundary words count). Deterministic, portable. */
+  /** Tiny stopword-profile language scorer: count tokens equal to a
+    * per-language marker word. Deterministic, portable. */
   val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq(" the ", " and ", " of ", " to "),
-    "de" -> Seq(" der ", " die ", " und ", " das "),
-    "fr" -> Seq(" le ", " la ", " et ", " les "),
-    "es" -> Seq(" el ", " los ", " que ", " y "))
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "que", "y"))
 
-  def langScore(text: Column, lang: String): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    langMarkers(lang).map(m => countOccurrences(padded, m)).reduce(_ + _)
+  /** Marker-token count over a pre-tokenized word array (one split for all
+    * languages — the old per-marker substring-replace form rescanned the full
+    * text 4× per language). */
+  def langScoreTokens(ws: Column, lang: String): Column =
+    size(filter(ws, w => langMarkers(lang).map(m => w === m).reduce(_ || _)))
+      .cast(LongType)
+
+  def langScore(text: Column, lang: String): Column =
+    langScoreTokens(words(text), lang)
+
+  val langOrder = Seq("en", "de", "fr", "es")
+
+  /** All four language scores in ONE struct — compute this in its own
+    * projection so the tokenization + filter passes run once per row; the
+    * argmax ([[langIdFromScores]]) then only touches the 4 counters.
+    * (Inlining the scores into the argmax replicates each one ~3× in the
+    * expression tree — greatest + every when-branch.) */
+  def langScores(text: Column): Column = {
+    val ws = words(text)
+    struct(langOrder.map(l => langScoreTokens(ws, l).as(s"s_$l")): _*)
   }
 
   /** Predicted language = argmax marker score, 'und' when all zero.
     * Ties break by fixed language order en,de,fr,es. */
-  def langId(text: Column): Column = {
-    val langs = Seq("en", "de", "fr", "es")
-    val scores = langs.map(l => langScore(text, l))
+  def langIdFromScores(scoresStruct: Column): Column = {
+    val scores = langOrder.map(l => scoresStruct.getField(s"s_$l"))
     val best = greatest(scores: _*)
-    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+    langOrder.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
   }
+
+  def langId(text: Column): Column = langIdFromScores(langScores(text))
 
   /** Punctuation character count (.,;:!?). */
   def punctCount(text: Column): Column =
@@ -89,13 +107,31 @@ object TextOps {
         i => array_join(slice(w, i + 1, lit(n)), " ")))
   }
 
-  /** MinHash signature: `k` portable 32-bit hash minima over shingles.
-    * Empty shingle set → nulls. (SURVEY §2.11 dedup; MinHash per Broder '97.) */
+  /** Per-seed affine constants for MinHash: `a` odd and < 2^31 so
+    * `a*h + b` stays inside a signed 64-bit long for h < 2^32 (and inside
+    * DuckDB UBIGINT), `b` < 2^32. Same constants on both engine and oracle. */
+  def mhA(j: Int): Long = ((2654435761L * (j + 1)) % 2147483647L) | 1L
+  def mhB(j: Int): Long = (40503L * (2L * j + 1L)) % 4294967296L
+
+  /** Portable 32-bit hash of each shingle (md5-prefix), computed ONCE per
+    * shingle; the k MinHash functions are affine transforms of it. */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol,
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
+
+  /** MinHash signature from precomputed shingle hashes: min over shingles of
+    * `(a_j*h + b_j) mod 2^32` per seed j — one md5 per shingle total, versus
+    * the k-md5s-per-shingle direct form. (MinHash per Broder '97; affine
+    * rehash family per the MMDS LSH chapter.) */
+  def minhashFromHashes(hashCol: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(hashCol,
+        h => pmod(lit(mhA(j)) * h + lit(mhB(j)), lit(4294967296L))))
+    }: _*)
+
+  /** MinHash signature of a shingle array (empty set → nulls). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(shingleCol,
-        s => conv(substring(md5(concat(seed.cast(StringType), s)), 1, 8), 16, 10)
-          .cast(LongType))))
+    minhashFromHashes(shingleHashes(shingleCol), k)
 
   /** LSH band key: hash of the signature slice for `band` (rows per band =
     * sigLen / nBands). Docs sharing any band key are candidate duplicates. */

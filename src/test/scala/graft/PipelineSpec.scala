@@ -91,6 +91,33 @@ class PipelineSpec extends SparkTestBase {
     assert(pruned < total, s"pruned=$pruned total=$total")
   }
 
+  test("incremental full-text maintenance: appends merge df deltas, no rebuild") {
+    val locInc = tmpLoc("ftinc"); val locFull = tmpLoc("ftfull")
+    val corpus = (1L to 300L).map { i =>
+      (i, if (i % 7 == 0) s"alpha zulu shared w$i" else s"kilo mike w$i w${i + 1}")
+    }.toDF("doc_id", "text")
+    val (first, rest) = (corpus.filter($"doc_id" <= 150), corpus.filter($"doc_id" > 150))
+    Indexes.buildFullText(spark, first, "doc_id", "text", locInc)
+    Indexes.appendToFullText(spark, rest, "doc_id", "text", locInc)
+    Indexes.buildFullText(spark, corpus, "doc_id", "text", locFull)
+    def top(loc: String) = Indexes.fullTextSearch(spark, loc, Seq("alpha", "zulu"), 8)
+      .select(col("doc_id"), round(col("score"), 6).as("s"))
+    assertSameRows(top(locInc), top(locFull))
+    // the appended-to df table merged (aggregation engine), not rewritten:
+    // 'alpha' df equals the one-shot build's
+    val dfInc = GraftTable.load(spark, Indexes.termStatsLoc(locInc))
+      .read(filter = Some($"term" === "alpha")).select("df").as[Long].head()
+    val dfFull = GraftTable.load(spark, Indexes.termStatsLoc(locFull))
+      .read(filter = Some($"term" === "alpha")).select("df").as[Long].head()
+    assert(dfInc == dfFull && dfInc == (1 to 300).count(_ % 7 == 0))
+    // re-clustering restores term-range pruning over appended files
+    Indexes.compactFullText(spark, locInc)
+    val idx = GraftTable.load(spark, locInc)
+    val pruned = idx.planFiles(filter = Some($"term".isin("alpha", "zulu"))).size
+    assert(pruned < idx.planFiles().size)
+    assertSameRows(top(locInc), top(locFull))
+  }
+
   test("persisted IVF index: probe = partition pruning; full probe = exact") {
     val loc = tmpLoc("ivfidx")
     val rnd = new scala.util.Random(7)
