@@ -60,8 +60,17 @@ case class TableConfig(
 }
 
 /** Versioned schema; fields matched by id across versions (cf. paimon
-  * DataField ids, paimon-api/.../types/DataField.java). */
-case class FieldDef(id: Int, name: String, dataType: String, nullable: Boolean = true)
+  * DataField ids, paimon-api/.../types/DataField.java). For STRUCT columns,
+  * `nestedIds` gives each direct child field a stable id too (name → id), so
+  * nested rename/drop/reorder remap across file schema versions exactly like
+  * top-level columns. Absent (older schema versions, or no nested evolution
+  * yet) ⇒ children take their position as id — consistent, because a version
+  * without the map is by construction prior to any nested change. */
+case class FieldDef(id: Int, name: String, dataType: String, nullable: Boolean = true,
+                    nestedIds: Option[Map[String, Int]] = None) {
+  /** Null-safe accessor (jackson-scala leaves absent Options null). */
+  def nestedIdMap: Option[Map[String, Int]] = Option(nestedIds).flatten
+}
 case class TableSchema(
     id: Long,
     fields: Seq[FieldDef],

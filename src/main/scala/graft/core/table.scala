@@ -755,8 +755,7 @@ class GraftTable private (
           val dt = DataType.fromDDL(f.dataType)
           byId.get(f.id) match {
             case Some(of) =>
-              GraftTable.evolveExpr(DataType.fromDDL(of.dataType), dt,
-                col(of.name)).as(f.name)
+              GraftTable.evolveFieldExpr(of, f, col(of.name)).as(f.name)
             case None => lit(null).cast(dt).as(f.name)
           }
         }
@@ -965,36 +964,110 @@ class GraftTable private (
   }
 
   /** Append a field to a STRUCT column (nested evolution; old files read
-    * the new field as null via the positional remap). */
+    * the new field as null — the new field gets a fresh nested id, never a
+    * RETIRED one: re-adding a dropped name must not resurface its data). */
   def addNestedColumn(colName: String, fieldName: String, dt: DataType): Unit = {
-    val cur = structOf(colName)
+    val (cur, ids) = structWithIds(colName)
     require(!cur.fieldNames.contains(fieldName), s"nested field $fieldName exists")
-    updateColumnType(colName, StructType(cur.fields :+ StructField(fieldName, dt)))
+    updateStructColumn(colName, StructType(cur.fields :+ StructField(fieldName, dt)),
+      ids + (fieldName -> (maxNestedIdEver(colName) + 1)))
   }
 
-  /** Rename a field inside a STRUCT column (positional remap keeps data). */
+  /** Largest nested id this column has EVER used, across every schema
+    * version (the column itself is tracked by its top-level field id, so
+    * renames don't lose the history). Mirrors the top-level dropped-id
+    * reuse guard. */
+  private def maxNestedIdEver(colName: String): Int = {
+    val topId = schema.fields.find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"no column $colName")).id
+    (0L to sm.latestSchemaId).foldLeft(-1) { (acc, sid) =>
+      sm.readSchema(sid).fields.find(_.id == topId) match {
+        case Some(fd) => DataType.fromDDL(fd.dataType) match {
+          case st: StructType =>
+            val ids = GraftTable.nestedIdsOf(st, fd)
+            if (ids.isEmpty) acc else math.max(acc, ids.values.max)
+          case _ => acc
+        }
+        case None => acc
+      }
+    }
+  }
+
+  /** Rename a field inside a STRUCT column (id remap keeps the data). */
   def renameNestedColumn(colName: String, oldField: String, newField: String): Unit = {
-    val cur = structOf(colName)
+    val (cur, ids) = structWithIds(colName)
     require(cur.fieldNames.contains(oldField), s"no nested field $oldField")
     require(!cur.fieldNames.contains(newField), s"nested field $newField exists")
-    updateColumnType(colName, StructType(cur.fields.map(f =>
-      if (f.name == oldField) f.copy(name = newField) else f)))
+    updateStructColumn(colName, StructType(cur.fields.map(f =>
+      if (f.name == oldField) f.copy(name = newField) else f)),
+      ids - oldField + (newField -> ids(oldField)))
   }
 
-  private def structOf(colName: String): StructType =
-    dataSchema.fields.find(_.name == colName)
-      .map(_.dataType).collect { case s: StructType => s }
-      .getOrElse(throw new IllegalArgumentException(s"$colName is not a struct column"))
+  /** Drop a field inside a STRUCT column: the nested id is retired, so old
+    * files' data for it becomes invisible — and a later re-add under the
+    * same name gets a FRESH id (old data must not resurface). */
+  def dropNestedColumn(colName: String, fieldName: String): Unit = {
+    val (cur, ids) = structWithIds(colName)
+    require(cur.fieldNames.contains(fieldName), s"no nested field $fieldName")
+    require(cur.fields.length > 1, "cannot drop the last nested field")
+    updateStructColumn(colName, StructType(cur.fields.filterNot(_.name == fieldName)),
+      ids - fieldName)
+  }
+
+  /** Reorder a STRUCT column's fields (`order` = permutation of the current
+    * names). Ids travel with the names, so old files still map by id. */
+  def reorderNestedColumns(colName: String, order: Seq[String]): Unit = {
+    val (cur, ids) = structWithIds(colName)
+    require(order.sorted == cur.fieldNames.toSeq.sorted,
+      s"order must be a permutation of ${cur.fieldNames.mkString(",")}")
+    val byName = cur.fields.map(f => f.name -> f).toMap
+    updateStructColumn(colName, StructType(order.map(byName)), ids)
+  }
+
+  /** Current struct type + its nested-id map (positional when absent — see
+    * [[FieldDef.nestedIds]]). */
+  private def structWithIds(colName: String): (StructType, Map[String, Int]) = {
+    val fd = schema.fields.find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"no column $colName"))
+    val st = DataType.fromDDL(fd.dataType) match {
+      case s: StructType => s
+      case _ => throw new IllegalArgumentException(s"$colName is not a struct column")
+    }
+    (st, GraftTable.nestedIdsOf(st, fd))
+  }
+
+  private def updateStructColumn(name: String, st: StructType,
+                                 ids: Map[String, Int]): Unit = {
+    val cur = schema
+    require(!protectedCols.contains(name),
+      s"cannot evolve key/partition/sequence column $name")
+    val fields = cur.fields.map(f =>
+      if (f.name == name) f.copy(dataType = st.sql, nestedIds = Some(ids)) else f)
+    sm.writeSchema(TableSchema(cur.id + 1, fields, cur.config,
+      System.currentTimeMillis()))
+  }
 
   /** Change a column's type (old files cast on read; paimon
-    * SchemaChange.updateColumnType via casting/CastExecutors). */
+    * SchemaChange.updateColumnType via casting/CastExecutors). If the column
+    * is a struct WITH nested ids, the map reconciles by name: surviving
+    * names keep their id, new names get fresh ids, removed names retire. */
   def updateColumnType(name: String, dt: DataType): Unit = {
     val cur = schema
     require(cur.fields.exists(_.name == name), s"no column $name")
     require(!protectedCols.contains(name),
       s"cannot retype key/partition/sequence column $name")
-    val fields = cur.fields.map(f =>
-      if (f.name == name) f.copy(dataType = dt.sql) else f)
+    val fields = cur.fields.map { f =>
+      if (f.name != name) f
+      else (dt, f.nestedIdMap) match {
+        case (st: StructType, Some(ids)) =>
+          var next = maxNestedIdEver(name) + 1
+          val merged = st.fieldNames.map { n =>
+            n -> ids.getOrElse(n, { val i = next; next += 1; i })
+          }.toMap
+          f.copy(dataType = dt.sql, nestedIds = Some(merged))
+        case _ => f.copy(dataType = dt.sql)
+      }
+    }
     sm.writeSchema(TableSchema(cur.id + 1, fields, cur.config,
       System.currentTimeMillis()))
   }
@@ -1180,6 +1253,12 @@ object GraftTable {
   /** Row-tracking id column ((commit seq << 48) + in-commit position). */
   val ROW_ID = "__row_id"
 
+  /** Nested-id map of a struct FieldDef: explicit when present, positional
+    * otherwise (a version without the map predates any nested evolution of
+    * that column, so position IS the original stable id). */
+  private[core] def nestedIdsOf(st: StructType, fd: FieldDef): Map[String, Int] =
+    fd.nestedIdMap.getOrElse(st.fieldNames.zipWithIndex.toMap)
+
   /** NESTED schema evolution (paimon nested SchemaChange): old files remap
     * to the current type POSITIONALLY inside structs — rename keeps the
     * data, widened leaves cast, fields APPENDED to a struct read as null —
@@ -1200,6 +1279,32 @@ object GraftTable {
         transform(e, x => evolveExpr(s.elementType, d.elementType, x))
       case (_, d) => e.cast(d)
     }
+
+  /** Top-level field remap honoring NESTED FIELD IDS: direct children of a
+    * struct column match by their stable nested id (rename keeps data, drop
+    * retires the id, re-add under the same name gets a fresh id and reads
+    * null from old files, reorder follows the id); levels below, and
+    * non-struct columns, take the [[evolveExpr]] rules. */
+  private[core] def evolveFieldExpr(srcDef: FieldDef, dstDef: FieldDef,
+                                    e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val src = DataType.fromDDL(srcDef.dataType)
+    val dst = DataType.fromDDL(dstDef.dataType)
+    (src, dst) match {
+      case (s: StructType, d: StructType) =>
+        val srcByld = nestedIdsOf(s, srcDef).map(_.swap)
+        val dstIds = nestedIdsOf(d, dstDef)
+        val srcFields = s.fields.map(f => f.name -> f).toMap
+        val kids = d.fields.map { df =>
+          dstIds.get(df.name).flatMap(srcByld.get).map(srcFields) match {
+            case Some(sf) =>
+              evolveExpr(sf.dataType, df.dataType, e.getField(sf.name)).as(df.name)
+            case None => lit(null).cast(df.dataType).as(df.name)
+          }
+        }
+        when(e.isNull, lit(null).cast(d)).otherwise(struct(kids.toIndexedSeq: _*))
+      case _ => evolveExpr(src, dst, e)
+    }
+  }
 
   // internal (LSM envelope / routing) column names
   val SEQ = "__seq"

@@ -158,16 +158,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = GraftTable.load(spark, tablePath(ident))
     changes.foreach {
-      case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1, "nested add not supported")
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         t.addColumns(org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType(), add.isNullable))
-      case rn: TableChange.RenameColumn =>
-        require(rn.fieldNames().length == 1, "nested rename not supported")
+      case add: TableChange.AddColumn if add.fieldNames().length == 2 =>
+        t.addNestedColumn(add.fieldNames()(0), add.fieldNames()(1), add.dataType())
+      case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
         t.renameColumn(rn.fieldNames()(0), rn.newName())
-      case del: TableChange.DeleteColumn =>
-        require(del.fieldNames().length == 1, "nested drop not supported")
+      case rn: TableChange.RenameColumn if rn.fieldNames().length == 2 =>
+        t.renameNestedColumn(rn.fieldNames()(0), rn.fieldNames()(1), rn.newName())
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         t.dropColumn(del.fieldNames()(0))
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 2 =>
+        t.dropNestedColumn(del.fieldNames()(0), del.fieldNames()(1))
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames().length == 1, "nested retype not supported")
         t.updateColumnType(ut.fieldNames()(0), ut.newDataType())

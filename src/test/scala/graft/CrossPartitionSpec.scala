@@ -209,6 +209,58 @@ class CrossPartitionSpec extends SparkTestBase {
     assert(t2.read().filter(col("info").isNull).count() == 0)
   }
 
+  test("nested evolution: drop, reorder, and re-add match by NESTED FIELD ID") {
+    val loc = tmpLoc("nested-drop")
+    val df = Seq((1L, ("a1", 10, 1.5)), (2L, ("b2", 20, 2.5)))
+      .toDF("k", "info").select(col("k"),
+        col("info").cast("struct<name:string,cnt:int,score:double>").as("info"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df)
+    // drop the MIDDLE field: old files' remaining fields must not shift
+    t.dropNestedColumn("info", "cnt")
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.read().select(col("info.name"), col("info.score"))
+      .as[(String, Double)].collect().toSet == Set(("a1", 1.5), ("b2", 2.5)))
+    // reorder: ids travel with the names
+    t2.reorderNestedColumns("info", Seq("score", "name"))
+    val t3 = GraftTable.load(spark, loc)
+    assert(t3.dataSchema.fields.find(_.name == "info").get.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      == Seq("score", "name"))
+    assert(t3.read().select(col("info.name"), col("info.score"))
+      .as[(String, Double)].collect().toSet == Set(("a1", 1.5), ("b2", 2.5)))
+    // re-add a dropped name: FRESH id — old files' cnt data must NOT resurface
+    t3.addNestedColumn("info", "cnt", org.apache.spark.sql.types.IntegerType)
+    val t4 = GraftTable.load(spark, loc)
+    assert(t4.read().select(col("info.cnt")).as[Option[Int]]
+      .collect().toSeq == Seq(None, None))
+    // new writes fill all three; old rows keep nulls only for the re-added id
+    t4.write(Seq((3L, (3.5, "c3", 30))).toDF("k", "info")
+      .select(col("k"),
+        col("info").cast("struct<score:double,name:string,cnt:int>").as("info")))
+    val got = GraftTable.load(spark, loc).read()
+      .select(col("k"), col("info.name"), col("info.score"), col("info.cnt"))
+      .as[(Long, String, Double, Option[Int])].collect().toSet
+    assert(got == Set((1L, "a1", 1.5, None), (2L, "b2", 2.5, None),
+      (3L, "c3", 3.5, Some(30))))
+  }
+
+  test("nested evolution via SQL ALTER: rename/drop/add on struct fields") {
+    spark.conf.set("spark.sql.catalog.gnest", "graft.dsv2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gnest.warehouse", tmpLoc("nest-wh"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnest.db")
+    spark.sql("""CREATE TABLE gnest.db.ne (k BIGINT,
+      info STRUCT<name: STRING, cnt: INT>) TBLPROPERTIES ('primary-key'='k')""")
+    spark.sql("INSERT INTO gnest.db.ne VALUES (1, named_struct('name','x','cnt',7))")
+    spark.sql("ALTER TABLE gnest.db.ne RENAME COLUMN info.name TO label")
+    spark.sql("ALTER TABLE gnest.db.ne DROP COLUMN info.cnt")
+    spark.sql("ALTER TABLE gnest.db.ne ADD COLUMN info.w DOUBLE")
+    val got = spark.sql("SELECT k, info.label, info.w FROM gnest.db.ne")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "x", None)))
+  }
+
   test("row tracking: stable ids survive sort compaction; lineage by commit") {
     val loc = tmpLoc("rowtrack")
     val df = spark.range(50).select(col("id").as("k"),
