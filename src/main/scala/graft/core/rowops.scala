@@ -436,6 +436,48 @@ object RowOps {
               .otherwise(array(col(s"__b_$c"))).as(c)
           }
           packed.select(outCols.toIndexedSeq: _*)
+        case "table_indexes" =>
+          // every index artifact the table carries (paimon t$table_indexes):
+          // DV index, dynamic-bucket / cross-partition key indexes, per-file
+          // secondary indexes, global secondary indexes
+          val fs = t.sm.fs
+          def walk(rel: String): Seq[(String, Long)] = {
+            val p = new Path(t.location, rel)
+            if (!fs.exists(p)) Nil
+            else {
+              val it = fs.listFiles(p, true)
+              val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+              while (it.hasNext) {
+                val st = it.next()
+                buf += ((st.getPath.toString.stripPrefix(t.location).stripPrefix("/"),
+                  st.getLen))
+              }
+              buf.toSeq
+            }
+          }
+          val dv = t.sm.latestSnapshot.flatMap(s => Option(s.dvIndex).flatten).toSeq
+            .map { f =>
+              val rel = s"dv/$f"
+              val p = new Path(t.location, rel)
+              ("deletion-vector", "", rel,
+                if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L)
+            }
+          val rows = dv ++
+            walk("index/bucket-index").map { case (f, sz) => ("hash-bucket", "", f, sz) } ++
+            walk("index/pk-index").map { case (f, sz) => ("cross-partition-key", "", f, sz) } ++
+            walk(FileIndexes.DIR).map { case (f, sz) => ("file-index", "", f, sz) } ++
+            t.dataSchema.fieldNames.toSeq.flatMap { c =>
+              walk(s"index/global-$c").map { case (f, sz) => ("global", c, f, sz) }
+            }
+          rows.toDF("index_type", "column", "path", "file_size_in_bytes")
+        case "file_key_ranges" =>
+          // per-file PK range from manifest stats (paimon t$file_key_ranges)
+          require(t.isPk, "file_key_ranges requires a primary-keyed table")
+          val pk = cfg.primaryKeys.head
+          t.planFiles().map { e =>
+            val st = e.stats.get(pk)
+            (e.path, e.bucket, st.map(_.min).orNull, st.map(_.max).orNull, e.rowCount)
+          }.toDF("file_path", "bucket", "min_key", "max_key", "record_count")
         case other => throw new IllegalArgumentException(s"unknown system table $other")
       }
     }

@@ -273,6 +273,26 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.read().count() == 8)
     assert(t.removeOrphanFiles(System.currentTimeMillis() + 1000) == 0)
   }
+
+  test("table_indexes and file_key_ranges system tables") {
+    val loc = tmpLoc("sysidx")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        options = Map("file-index.bloom-filter.columns" -> "status")))
+    t.write(mkOrders)
+    t.deleteDv($"k" === 2L)
+    val t2 = GraftTable.load(spark, loc)
+    val idx = t2.systemTable("table_indexes")
+      .select("index_type").as[String].collect().toSet
+    assert(idx.contains("deletion-vector"), s"missing dv index in $idx")
+    assert(idx.contains("file-index"), s"missing file index in $idx")
+    // every live file reports its PK range from manifest stats
+    val ranges = t2.systemTable("file_key_ranges")
+      .select("min_key", "max_key", "record_count")
+      .as[(String, String, Long)].collect()
+    assert(ranges.nonEmpty && ranges.forall { case (mn, mx, n) =>
+      mn != null && mx != null && mn.toLong <= mx.toLong && n > 0 })
+  }
 }
 
 class DeletionVectorSpec extends SparkTestBase {
