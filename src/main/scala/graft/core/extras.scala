@@ -5,6 +5,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.util.UUID
+
 /**
  * Maintenance procedures dispatcher — the `CALL sys.*` surface of the
  * reference (paimon-spark/.../procedure/, 47 procedures; parser entry
@@ -193,6 +195,93 @@ object Procedures {
         val snap = CopyInto.copyIn(spark, table, args("source_path"),
           args.getOrElse("format", "parquet"))
         ok(s"migrated ${args("source_path")} (snapshot ${snap.id})")
+      case "expire_tags" =>
+        // drop tags older than a timestamp (paimon ExpireTagsProcedure)
+        val olderThan = args("older_than_ms").toLong
+        val victims = table.sm.listTags().filter(_.timestampMs < olderThan)
+        victims.foreach(tg => table.sm.deleteTag(tg.name))
+        ok(s"expired ${victims.size} tags")
+      case "replace_tag" =>
+        // retarget an EXISTING tag (paimon ReplaceTagProcedure)
+        table.sm.readTag(args("tag")) // must exist
+        val snap = args.get("snapshot").map(_.toLong)
+          .orElse(table.sm.latestSnapshotId).get
+        table.sm.createTag(args("tag"), snap)
+        ok(s"tag ${args("tag")} -> snapshot $snap (replaced)")
+      case "rename_branch" =>
+        val (from, to) = (args("branch"), args("target_branch"))
+        require(table.sm.branchExists(from), s"no branch $from")
+        require(!table.sm.branchExists(to), s"branch $to exists")
+        val fs = table.sm.fs
+        require(fs.rename(new Path(table.sm.branchRootDir, from),
+          new Path(table.sm.branchRootDir, to)), "rename failed")
+        ok(s"branch $from -> $to")
+      case "merge_branch" =>
+        // merge a branch's state into main (paimon MergeBranchProcedure);
+        // same file-set replay as fast_forward, branch kept
+        val s = table.fastForward(args("branch"))
+        ok(s"merged branch ${args("branch")} into main (snapshot ${s.id})")
+      case "copy_files" =>
+        // copy another graft table's live data files into this one WITHOUT
+        // rewriting rows (paimon CopyFilesProcedure): bytes move in a
+        // distributed job; the driver commits the carried-over entries
+        val src = GraftTable.load(spark, args("source_table"))
+        require(src.schema.fields.map(f => (f.name, f.dataType)) ==
+          table.schema.fields.map(f => (f.name, f.dataType)),
+          "copy_files requires identical schemas")
+        require(src.config.isPrimaryKeyed == table.config.isPrimaryKeyed,
+          "copy_files requires matching table kinds")
+        val entries = src.planFiles()
+        require(entries.forall(_.schemaId == src.sm.latestSchemaId),
+          "copy_files requires the source fully on its latest schema " +
+            "(run a compaction there first)")
+        val (srcLoc, dstLoc) = (src.location, table.location)
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val copied = spark.sparkContext.parallelize(entries.map(_.path), 32)
+          .map { rel =>
+            val sfs = new Path(srcLoc, rel).getFileSystem(hconf.value)
+            org.apache.hadoop.fs.FileUtil.copy(
+              sfs, new Path(srcLoc, rel),
+              sfs, new Path(dstLoc, rel), false, true, hconf.value)
+            1L
+          }.sum()
+        // entries re-home under the TARGET's current schema id (schemas
+        // verified identical above)
+        val snap = table.sm.commit(entries.map(_.copy(schemaId = table.schema.id)),
+          "APPEND", s"copy-files-${UUID.randomUUID().toString.take(8)}",
+          table.schema.id)
+        ok(s"copied ${copied.toLong} files from ${args("source_table")} (snapshot ${snap.id})")
+      case "repair" =>
+        // reconcile persisted metadata with the filesystem (paimon
+        // RepairProcedure): drop entries whose file vanished, refresh caches
+        val fs = table.sm.fs
+        val missing = table.planFiles().filter(e =>
+          !fs.exists(new Path(table.location, e.path)))
+        if (missing.nonEmpty)
+          table.sm.commit(missing.map(_.copy(kind = 1)), "OVERWRITE",
+            "repair", table.schema.id)
+        FileIndexStore.invalidate(table.location)
+        ok(s"repaired: ${missing.size} dangling entries removed")
+      case "trigger_tag_automatic_creation" =>
+        // materialize the configured automatic tag for the CURRENT snapshot
+        // (paimon TriggerTagAutomaticCreationProcedure): watermark mode tags
+        // by the snapshot watermark, process-time mode by wall-clock day
+        val mode = table.config.option("tag.automatic-creation", "none")
+        val latest = table.sm.latestSnapshotId
+          .getOrElse(throw new IllegalStateException("no snapshots"))
+        val name = mode match {
+          case "watermark" =>
+            val w = table.sm.readSnapshot(latest).watermarkLong
+              .getOrElse(throw new IllegalStateException("snapshot has no watermark"))
+            s"watermark-$w"
+          case "process-time" =>
+            java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+          case other => throw new IllegalArgumentException(
+            s"tag.automatic-creation=$other (set watermark|process-time)")
+        }
+        if (table.sm.listTags().exists(_.name == name)) ok(s"tag $name already exists")
+        else { table.sm.createTag(name, latest); ok(s"tag $name -> snapshot $latest") }
       case other => throw new IllegalArgumentException(s"unknown procedure $other")
     }
   }

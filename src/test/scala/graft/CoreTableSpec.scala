@@ -274,6 +274,52 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.removeOrphanFiles(System.currentTimeMillis() + 1000) == 0)
   }
 
+  test("procedure long tail: tags, branches, copy_files, repair") {
+    val loc = tmpLoc("proctail")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        options = Map("tag.automatic-creation" -> "process-time")))
+    t.write(mkOrders)
+    def call(name: String, args: (String, String)*): String =
+      Procedures.call(spark, GraftTable.load(spark, loc), name, args.toMap)
+        .head().getString(0)
+    // replace_tag retargets; expire_tags honors the cutoff
+    call("create_tag", "tag" -> "t1", "snapshot" -> "1")
+    t.write(mkOrders.withColumn("price", col("price") * 2))
+    call("replace_tag", "tag" -> "t1") // latest = 2
+    assert(t.sm.readTag("t1").snapshotId == 2L)
+    intercept[Exception](call("replace_tag", "tag" -> "missing"))
+    call("expire_tags", "older_than_ms" -> (System.currentTimeMillis() + 1000).toString)
+    assert(t.sm.listTags().isEmpty)
+    // automatic tag creation (process-time mode): one tag, idempotent
+    call("trigger_tag_automatic_creation")
+    assert(call("trigger_tag_automatic_creation").contains("already exists"))
+    assert(t.sm.listTags().size == 1)
+    // rename_branch moves the snapshot chain
+    call("create_branch", "branch" -> "dev")
+    call("rename_branch", "branch" -> "dev", "target_branch" -> "main2")
+    assert(t.sm.branchExists("main2") && !t.sm.branchExists("dev"))
+    // copy_files: zero-rewrite file carry-over, then merged read dedups
+    val loc2 = tmpLoc("proctail2")
+    val t2 = GraftTable.create(spark, loc2, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+    val res = Procedures.call(spark, t2, "copy_files",
+      Map("source_table" -> loc)).head().getString(0)
+    assert(res.startsWith("copied"))
+    // source had 2 commits on the same 4 keys: merged read keeps 4 rows
+    assertSameRows(GraftTable.load(spark, loc2).read(),
+      GraftTable.load(spark, loc).read())
+    // repair after manual file loss drops the dangling entry
+    val victim = GraftTable.load(spark, loc2).planFiles().head.path
+    t2.sm.fs.delete(new org.apache.hadoop.fs.Path(loc2, victim), false)
+    assert(call2(loc2, "repair").contains("dangling"))
+    def call2(l: String, name: String): String =
+      Procedures.call(spark, GraftTable.load(spark, l), name, Map.empty)
+        .head().getString(0)
+    assert(GraftTable.load(spark, loc2).planFiles()
+      .forall(e => t2.sm.fs.exists(new org.apache.hadoop.fs.Path(loc2, e.path))))
+  }
+
   test("table_indexes and file_key_ranges system tables") {
     val loc = tmpLoc("sysidx")
     val t = GraftTable.create(spark, loc, mkOrders.schema,
