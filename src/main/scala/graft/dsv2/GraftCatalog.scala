@@ -78,12 +78,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     fs.delete(dbPath(namespace.mkString(".")), cascade)
 
+  // ---- format tables (paimon `type=format-table`: a catalog-registered
+  // directory of raw csv/json/parquet/orc files, served by Spark's native
+  // v2 file sources — reads AND writes go straight to the format) ----
+
+  private def formatMarker(loc: String) = new Path(loc, "format-table.json")
+
+  private def isFormatTable(loc: String): Boolean = fs.exists(formatMarker(loc))
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def loadFormatTable(ident: Identifier, loc: String): Table = {
+    val m = Json.mapper.readValue(readString(formatMarker(loc)),
+      classOf[java.util.Map[String, String]])
+    formatTable(ident.name(), loc, m.get("format"),
+      StructType.fromDDL(m.get("schema")))
+  }
+
+  private def formatTable(name: String, loc: String, fmt: String,
+                          schema: StructType): Table = {
+    import org.apache.spark.sql.execution.datasources
+    import org.apache.spark.sql.execution.datasources.v2
+    val opts = new CaseInsensitiveStringMap(
+      Map("path" -> loc, "header" -> "false").asJava)
+    val data = Seq(s"$loc/data")
+    fmt match {
+      case "csv" => v2.csv.CSVTable(name, spark, opts, data, Some(schema),
+        classOf[datasources.csv.CSVFileFormat])
+      case "json" => v2.json.JsonTable(name, spark, opts, data, Some(schema),
+        classOf[datasources.json.JsonFileFormat])
+      case "parquet" => v2.parquet.ParquetTable(name, spark, opts, data, Some(schema),
+        classOf[datasources.parquet.ParquetFileFormat])
+      case "orc" => v2.orc.OrcTable(name, spark, opts, data, Some(schema),
+        classOf[datasources.orc.OrcFileFormat])
+      case other => throw new IllegalArgumentException(s"format-table format $other")
+    }
+  }
+
   // ---- tables ----
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val p = dbPath(namespace.mkString("."))
     if (!fs.exists(p)) return Array.empty
     fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .filter(s => GraftTable.exists(spark, s.getPath.toString))
+      .filter(s => GraftTable.exists(spark, s.getPath.toString) ||
+        isFormatTable(s.getPath.toString))
       .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
   }
 
@@ -106,6 +148,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         GraftTable.load(spark, loc).systemTable(sys))
     }
     val loc = tablePath(ident)
+    if (isFormatTable(loc)) return loadFormatTable(ident, loc)
     if (!GraftTable.exists(spark, loc))
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
     new GraftSparkTable(GraftTable.load(spark, loc))
@@ -133,6 +176,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val props = properties.asScala.toMap
+    if (props.get("type").contains("format-table")) {
+      val fmt = props.getOrElse("file.format", "csv")
+      val loc = tablePath(ident)
+      require(!fs.exists(formatMarker(loc)), s"format table $ident exists")
+      fs.mkdirs(new Path(loc, "data"))
+      val out = fs.create(formatMarker(loc), true)
+      try out.write(Json.write(Map("format" -> fmt, "schema" -> schema.toDDL))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      return formatTable(ident.name(), loc, fmt, schema)
+    }
     val partitionKeys = partitions.toSeq.map { tr =>
       if (tr.name() == "identity") tr.references().head.fieldNames().mkString(".")
       else throw new UnsupportedOperationException(

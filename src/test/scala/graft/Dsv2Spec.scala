@@ -575,6 +575,23 @@ class Dsv2Spec extends SparkTestBase {
     assert(parts == 2L)
   }
 
+  test("format tables: catalog-registered csv dir, SQL insert + select") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.fmt_csv")
+    spark.sql("""CREATE TABLE graft.db.fmt_csv (k BIGINT, s STRING)
+      TBLPROPERTIES ('type'='format-table', 'file.format'='csv')""")
+    spark.sql("INSERT INTO graft.db.fmt_csv VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO graft.db.fmt_csv VALUES (3,'c')")
+    assert(spark.sql("SELECT k, s FROM graft.db.fmt_csv ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the data really is raw csv on disk, and the table lists in the catalog
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("fmt_csv"))
+    val loc = spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db.db/fmt_csv/data"
+    val raw = spark.read.schema("k BIGINT, s STRING").csv(loc)
+    assert(raw.count() == 3)
+  }
+
   test("streaming scan modes: compacted-full and from-snapshot-full start points") {
     val loc = tmpLoc("scanmodes")
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
