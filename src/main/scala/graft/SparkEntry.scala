@@ -436,6 +436,16 @@ object SparkEntry {
         nprobe = 8, metric = "cosine", scoreCol = "sim") // nprobe = all → exact
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
+    // BATCHED ANN ("vector lateral"): every query row gets its own top-k,
+    // one corpus pass, per-partition bounded heaps, window merge
+    "q_ann_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      Similarity.batchTopK(emb, "vec_id", "embedding", qs, 5)
+        .select(col("qid"), col("vec_id"), round(col("__score"), 4).as("sim"))
+    }),
     "q_embed_neardup" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select("vec_id", "label", "embedding")
       val e2 = emb.unionAll(emb.select((col("vec_id") + 1000000L).as("vec_id"),
@@ -1024,6 +1034,16 @@ object SparkEntry {
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_embed_neardup" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2 FROM embeddings""".stripMargin,
+    "q_ann_batch" ->
+      """SELECT qid, vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (1,2,3)) q)
+        |WHERE rn <= 5""".stripMargin,
     "q_point_lookup" ->
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END, 2) AS price

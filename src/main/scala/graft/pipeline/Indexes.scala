@@ -196,6 +196,25 @@ object Indexes {
       metric, scoreCol)
   }
 
+  /** BATCHED IVF search ("vector lateral" over the persisted index): the
+    * scan reads only the UNION of all queries' probed clusters (partition
+    * pruning), and each row scores only against the queries probing its
+    * cluster; per-partition k-heaps + one window merge the top-k per query
+    * ([[Similarity.batchTopK]]). */
+  def ivfBatchSearch(spark: SparkSession, loc: String, idCol: String,
+                     embedCol: String, queries: Seq[(Long, Seq[Float])],
+                     k: Int, nprobe: Int): DataFrame = {
+    val t = GraftTable.load(spark, loc)
+    val model = loadIvfModel(spark, loc)
+    val probes = queries.map { case (qid, v) =>
+      qid -> model.nearestClusters(v, nprobe).toSet
+    }.toMap
+    val union = probes.values.flatten.toSeq.distinct
+    val hits = t.read(filter = Some(col("__ivf_cluster").isin(union: _*)))
+    Similarity.batchTopK(hits, idCol, embedCol, queries, k,
+      clusterCol = "__ivf_cluster", clusterProbes = probes)
+  }
+
   /** Planned file count for a probe set — lets tests assert that probing
     * prunes at the manifest level. */
   def ivfPlannedFiles(spark: SparkSession, loc: String, probes: Seq[Int]): Int =

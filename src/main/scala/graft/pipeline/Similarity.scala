@@ -189,6 +189,88 @@ object Similarity {
         col("__sim").as("sim"))
   }
 
+  /**
+   * BATCHED top-k (the "vector lateral" shape: every query row gets its own
+   * ANN result set). One pass over the corpus: queries broadcast, each
+   * partition keeps a BOUNDED k-heap per query, then the per-partition
+   * candidates (≤ partitions·k per query, not |corpus|) merge with one tiny
+   * window. No |corpus|×|queries| shuffle anywhere — at 100 TB the cost is
+   * the single corpus scan.
+   *
+   * `queries`: (qid, vector); cosine scores, descending. Returns
+   * (qid, idCol, score) with exactly min(k, corpus) rows per qid.
+   * `clusterProbes`: optional qid → allowed-cluster set; with a corpus that
+   * carries `clusterCol` (an IVF index table), a row is scored only for
+   * queries probing its cluster — the batched IVF search.
+   */
+  def batchTopK(corpus: DataFrame, idCol: String, embedCol: String,
+                queries: Seq[(Long, Seq[Float])], k: Int,
+                clusterCol: String = "", clusterProbes: Map[Long, Set[Int]] = Map.empty)
+               : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
+    val probesB = spark.sparkContext.broadcast(clusterProbes)
+    val qB = spark.sparkContext.broadcast(qArr)
+    val withCluster = clusterCol.nonEmpty
+    val cols = Seq(col(idCol).cast("long"), col(embedCol)) ++
+      (if (withCluster) Seq(col(clusterCol).cast("int")) else Nil)
+    val rows = corpus.select(cols: _*)
+    val candidates = rows.mapPartitions { it =>
+      val qs = qB.value
+      val probes = probesB.value
+      // per-query bounded heap keeping the k best under (score desc, id
+      // asc) — the id tiebreak MUST match the global merge's, or a tied
+      // boundary row could be evicted differently than the window ranks it.
+      // PriorityQueue dequeues its ordering's maximum, so "greater" = worse.
+      val worstFirst = Ordering.fromLessThan[(Double, Long)]((a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+      // query norms computed once
+      val qNorms = qs.map { case (_, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      it.foreach { r =>
+        val id = r.getLong(0)
+        val e = r.getSeq[Float](1)
+        val cluster = if (withCluster) r.getInt(2) else -1
+        val dim = e.length
+        val ev = new Array[Double](dim)
+        var nsum = 0.0
+        var i = 0
+        while (i < dim) { ev(i) = e(i).toDouble; nsum += ev(i) * ev(i); i += 1 }
+        val en = math.sqrt(nsum)
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv) = qs(qi)
+          if (!withCluster || probes.get(qid).forall(_.contains(cluster))) {
+            var d = 0.0; var j = 0
+            val n = math.min(dim, qv.length)
+            while (j < n) { d += ev(j) * qv(j); j += 1 }
+            val score = if (en == 0.0 || qNorms(qi) == 0.0) 0.0 else d / (en * qNorms(qi))
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((score, id))
+            else if (worstFirst.lt((score, id), h.head)) {
+              h.dequeue(); h.enqueue((score, id))
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
+      }
+    }.toDF("qid", idCol, "__score")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid")
+      .orderBy(col("__score").desc, col(idCol))
+    candidates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** IVF-pruned top-k: score only rows in the nprobe nearest clusters. The
     * cluster column should be precomputed (e.g. persisted in the table) so
     * the probe filter prunes at the manifest/file level. */

@@ -118,6 +118,35 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(top(locInc), top(locFull))
   }
 
+  test("batched ANN (vector lateral): per-query top-k equals per-query brute force") {
+    val n = 1000; val dim = 12
+    val emb = spark.range(n).select(col("id").as("vid"),
+      array((0 until dim).map(i => (rand(seed = 100 + i) * 2 - 1).cast("float")): _*)
+        .as("emb")).repartition(8).cache()
+    val queries = Seq(3L, 7L, 11L).map { q =>
+      q -> emb.filter(col("vid") === q).select("emb").first().getSeq[Float](0)
+    }
+    val got = Similarity.batchTopK(emb, "vid", "emb", queries, 10)
+      .select("qid", "vid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    queries.foreach { case (qid, v) =>
+      val expected = Similarity.bruteForceTopK(emb, "emb", v, 10, "cosine", "s")
+        .select("vid").as[Long].collect().toSeq
+      assert(got(qid).toSet == expected.toSet, s"query $qid mismatch")
+      assert(got(qid).size == 10 && got(qid).head == qid,
+        s"query $qid should rank itself first")
+    }
+    // batched IVF route: full probe = exact, scan pruned to probed clusters
+    val loc = tmpLoc("ivfbatch")
+    Indexes.buildIvf(spark, emb, "emb", loc, nClusters = 4)
+    val viaIvf = Indexes.ivfBatchSearch(spark, loc, "vid", "emb", queries, 10, nprobe = 4)
+      .select("qid", "vid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    queries.foreach { case (qid, _) =>
+      assert(viaIvf(qid) == got(qid).toSet, s"ivf batch mismatch for $qid") }
+    emb.unpersist()
+  }
+
   test("persisted IVF index: probe = partition pruning; full probe = exact") {
     val loc = tmpLoc("ivfidx")
     val rnd = new scala.util.Random(7)

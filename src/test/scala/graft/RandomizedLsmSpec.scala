@@ -125,6 +125,88 @@ class RandomizedLsmSpec extends SparkTestBase {
     check()
   }
 
+  test("random nested-evolution sequences agree with a field-identity model (2 seeds)") {
+    // model: the struct's live fields as (stableKey, name) in order; data per
+    // row per stableKey. Random add/rename/drop/reorder interleaved with
+    // writes; every read must show each row's value under the field's
+    // CURRENT name iff its stable identity survived.
+    for (seed <- Seq(11L, 23L)) {
+      val rnd = new Random(seed)
+      val loc = tmpLoc(s"nested-fuzz-$seed")
+      import org.apache.spark.sql.types._
+      val t0 = GraftTable.create(spark, loc,
+        StructType(Seq(StructField("k", LongType),
+          StructField("info", StructType(Seq(
+            StructField("f0", LongType), StructField("f1", LongType)))))),
+        TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+      // fields: ordered (stableKey, name); rows: k -> Map[stableKey -> value]
+      var fields = Vector(0 -> "f0", 1 -> "f1")
+      var nextKey = 2
+      var nextName = 2
+      var rows = Map.empty[Long, Map[Int, Long]]
+      var written = 0L
+
+      def table = GraftTable.load(spark, loc)
+      def writeBatch(): Unit = {
+        val fs = fields
+        val ks = (written until written + 5L) ++
+          (if (rows.nonEmpty) Seq(rows.keys.head) else Nil) // one overwrite
+        written += 5
+        val data = ks.map { k =>
+          val vals = fs.map { case (sk, _) => sk -> (k * 100 + sk) }
+          rows += k -> vals.toMap
+          org.apache.spark.sql.Row(k, org.apache.spark.sql.Row(vals.map(_._2): _*))
+        }
+        val st = StructType(Seq(StructField("k", LongType),
+          StructField("info", StructType(
+            fs.map { case (_, n) => StructField(n, LongType) }))))
+        table.write(spark.createDataFrame(
+          spark.sparkContext.parallelize(data.toSeq), st))
+      }
+      def check(): Unit = {
+        val fs = fields
+        val sel = Seq(col("k")) ++ fs.map { case (_, n) => col(s"info.$n") }
+        val got = table.read().select(sel: _*).collect()
+          .map(r => r.getLong(0) -> fs.indices.map(i =>
+            if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))).toVector).toMap
+        val want = rows.map { case (k, vals) =>
+          k -> fs.map { case (sk, _) => vals.get(sk) }.toVector
+        }
+        assert(got == want, s"seed=$seed fields=$fs " +
+          s"sampleGot=${got.toSeq.sortBy(_._1).take(2)} " +
+          s"sampleWant=${want.toSeq.sortBy(_._1).take(2)}")
+      }
+
+      writeBatch()
+      for (_ <- 0 until 12) {
+        rnd.nextInt(5) match {
+          case 0 => // add
+            val name = s"g$nextName"; nextName += 1
+            table.addNestedColumn("info", name, LongType)
+            fields :+= (nextKey -> name); nextKey += 1
+            // existing model rows have no value for the new key (None)
+          case 1 => // rename
+            val i = rnd.nextInt(fields.size)
+            val name = s"g$nextName"; nextName += 1
+            table.renameNestedColumn("info", fields(i)._2, name)
+            fields = fields.updated(i, fields(i)._1 -> name)
+          case 2 if fields.size > 1 => // drop
+            val i = rnd.nextInt(fields.size)
+            table.dropNestedColumn("info", fields(i)._2)
+            val sk = fields(i)._1
+            fields = fields.patch(i, Nil, 1)
+            rows = rows.view.mapValues(_ - sk).toMap
+          case 3 => // reorder
+            val perm = rnd.shuffle(fields)
+            table.reorderNestedColumns("info", perm.map(_._2))
+            fields = perm
+          case _ => writeBatch()
+        }
+        check()
+      }
+    }
+  }
+
   test("random cross-partition moves agree with the model (2 seeds)") {
     runCrossPartitionScenario(seed = 11L, ops = 10)
     runCrossPartitionScenario(seed = 523L, ops = 9)
