@@ -157,6 +157,33 @@ object Fixtures {
     }
 
   /** COPY INTO from a CSV export of region (format conversion path). */
+  /** ordersPk twin with `file.format=orc`: ORC data files through the same
+    * LSM write/MOR/compaction paths (manifests stay parquet). Same write
+    * pattern as ordersPk so the dedup oracle applies verbatim. */
+  def ordersOrcFmt(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_orcfmt") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4,
+          options = Map("file.format" -> "orc")))
+      t.write(orders)
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", lit("X-UPD")))
+      t.compact()
+      t
+    }
+
+  /** Append nation table with `file.format=csv` (flat atomic schema). */
+  def nationCsvFmt(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "nation_csvfmt") { loc =>
+      val n = src(spark, sfDir, "nation")
+      val t = GraftTable.createOrReplace(spark, loc, n.schema,
+        TableConfig(options = Map("file.format" -> "csv")))
+      t.write(n)
+      t
+    }
+
   def regionCopy(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "region_copy") { loc =>
       val r = src(spark, sfDir, "region")

@@ -147,6 +147,10 @@ object SparkEntry {
         round(col("c_acctbal"), 2).as("acctbal"))),
     "q_format_table" -> ((s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))),
+    // data-file formats (file.format option): ORC through the full LSM
+    // (MOR + compaction), CSV append with explicit null marker
+    "q_file_format_orc" -> ((s, d) => statusAgg(Fixtures.ordersOrcFmt(s, d).read())),
+    "q_file_format_csv" -> ((s, d) => Fixtures.nationCsvFmt(s, d).read()),
 
     // ---- merge engines (§2.4a) ----
     "q_partial_update" -> ((s, d) => Fixtures.custPu(s, d).read()
@@ -779,6 +783,8 @@ object SparkEntry {
     "q_dynamic_bucket" -> dedupOracle,
     "q_format_table" ->
       "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "q_file_format_orc" -> dedupOracle,
+    "q_file_format_csv" -> "SELECT * FROM nation",
     "q_partial_update" ->
       """SELECT c_custkey, c_name,
         | round(c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END, 2) AS acctbal,

@@ -107,11 +107,11 @@ object FileIndexes {
     * driver sees only the job result). No-op without configured specs. */
   def build(t: GraftTable, stagingAbs: String): Unit = {
     if (t.fileIndexSpecs.isEmpty) return
-    val written = t.spark.read.schema(
+    val written = t.readDataFiles(
       StructType(t.fileSchema.fields ++ Array(
         StructField(GraftTable.PT, StringType),
-        StructField(GraftTable.BUCKET, IntegerType))))
-      .option("basePath", stagingAbs).parquet(stagingAbs)
+        StructField(GraftTable.BUCKET, IntegerType))),
+      Seq(stagingAbs), basePath = Some(stagingAbs))
     buildFromDf(t, written)
   }
 
@@ -127,7 +127,7 @@ object FileIndexes {
     val entries = t.planFiles(None, None)
     if (t.fileIndexSpecs.isEmpty || entries.isEmpty) return 0L
     val paths = entries.map(e => new Path(t.location, e.path).toString)
-    buildFromDf(t, t.spark.read.schema(t.fileSchema).parquet(paths: _*))
+    buildFromDf(t, t.readDataFiles(t.fileSchema, paths))
     entries.size.toLong
   }
 

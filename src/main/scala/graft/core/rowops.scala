@@ -195,6 +195,8 @@ object RowOps {
      * older version. Compaction materializes and clears the vectors.
      */
     def deleteDv(cond: Column): SnapshotMeta = {
+      require(t.fileFormat == "parquet",
+        "deletion vectors require file.format=parquet (_metadata.row_index)")
       val live = t.planFiles()
       val dv = t.dvFor(None)
       val withMeta = t.readEntries(live, withInternal = t.isPk, dv)

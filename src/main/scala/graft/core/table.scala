@@ -76,6 +76,33 @@ class GraftTable private (
   private[graft] def isRowTracking: Boolean =
     !isPk && config.option("row-tracking.enabled", "false") == "true"
 
+  /** Data-file format (paimon `file.format`, CoreOptions FILE_FORMAT):
+    * parquet (default) / orc / csv / json — manifests, indexes and
+    * changelog files stay parquet (internal metadata, format-invariant).
+    * Deletion vectors and the native columnar DSv2 scan require parquet
+    * (`_metadata.row_index` / vectorized reader); other formats read
+    * through the DataFrame plan. */
+  private[graft] def fileFormat: String = config.option("file.format", "parquet")
+
+  /** Reader/writer options for the data-file format: format-prefixed table
+    * options pass through (e.g. `parquet.bloom.filter...`, `orc.compress`);
+    * csv gets an explicit null marker so null and empty string round-trip
+    * distinctly. */
+  private[graft] def fmtOptions: Map[String, String] =
+    (if (fileFormat == "csv") Map("nullValue" -> "\\N")
+     else Map.empty[String, String]) ++
+      config.options.filter(_._1.startsWith(fileFormat + "."))
+
+  /** Read data files in the table's format with an explicit schema.
+    * `basePath` set ⇒ paths live under a partitioned staging dir and the
+    * schema's trailing partition columns resolve from directory values. */
+  private[graft] def readDataFiles(sch: StructType, paths: Seq[String],
+                                   basePath: Option[String] = None): DataFrame = {
+    val r = spark.read.schema(sch).options(fmtOptions)
+    basePath.foreach(b => r.option("basePath", b))
+    r.format(fileFormat).load(paths: _*)
+  }
+
   /** Schema of data files on disk (adds LSM envelope cols for PK tables;
     * cf. paimon KeyValue envelope, SURVEY §1.3; adds shredded variant
     * extraction columns and the row-tracking id for append tables). */
@@ -331,13 +358,11 @@ class GraftTable private (
 
     val commitDir = s"data/c-${UUID.randomUUID().toString.take(12)}"
     val stagingAbs = new Path(location, commitDir).toString
-    // table options prefixed "parquet." flow to the writer — e.g.
+    // format-prefixed table options flow to the writer — e.g.
     // parquet.bloom.filter.enabled#<col>=true adds file-local bloom filters
     // (capability of paimon's bloom-filter file index, SURVEY §2.2)
-    val writerOpts = config.options.collect {
-      case (k, v) if k.startsWith("parquet.") => k -> v
-    }
-    df.write.options(writerOpts).partitionBy(PT, BUCKET).parquet(stagingAbs)
+    df.write.options(fmtOptions).partitionBy(PT, BUCKET)
+      .format(fileFormat).save(stagingAbs)
 
     val entries = collectStats(stagingAbs, level)
     // per-file secondary indexes (bloom/bitmap/bsi) for the new files —
@@ -348,10 +373,10 @@ class GraftTable private (
 
   /** Distributed per-file stats: one aggregation pass over the new files. */
   private def collectStats(stagingAbs: String, level: Int): Seq[ManifestEntry] = {
-    val written = spark.read.schema(
+    val written = readDataFiles(
       StructType(fileSchema.fields ++ Array(
-        StructField(PT, StringType), StructField(BUCKET, IntegerType))))
-      .option("basePath", stagingAbs).parquet(stagingAbs)
+        StructField(PT, StringType), StructField(BUCKET, IntegerType))),
+      Seq(stagingAbs), basePath = Some(stagingAbs))
     val statCols = fileSchema.fields.flatMap { f =>
       // TimestampType stats as epoch-micros: cast-to-string renders in the
       // SESSION timezone, so a reader under a different zone would prune
@@ -504,11 +529,11 @@ class GraftTable private (
     // assigned bucket recovered from the commit directory layout)
     if (adds.nonEmpty) {
       val base = new Path(location, adds.head.path.split('/').take(2).mkString("/"))
-      val written = spark.read.schema(
+      val written = readDataFiles(
         StructType(fileSchema.fields ++ Array(
-          StructField(PT, StringType), StructField(BUCKET, IntegerType))))
-        .option("basePath", base.toString)
-        .parquet(adds.map(e => new Path(location, e.path).toString): _*)
+          StructField(PT, StringType), StructField(BUCKET, IntegerType))),
+        adds.map(e => new Path(location, e.path).toString),
+        basePath = Some(base.toString))
       written.select((pks.map(col) ++ partCols.map(col) ++
           Seq(col(PT), col(BUCKET), lit(commitSeq).as("__ver"))).toIndexedSeq: _*)
         .write.mode("append").parquet(pkIndexDir.toString)
@@ -745,11 +770,11 @@ class GraftTable private (
     val parts = entries.groupBy(_.schemaId).toSeq.sortBy(_._1).map { case (sid, es) =>
       val paths = es.map(e => new Path(location, e.path).toString)
       if (sid == curSchema.id) {
-        applyDv(spark.read.schema(fileSchema).parquet(paths: _*))
+        applyDv(readDataFiles(fileSchema, paths))
       } else {
         val old = sm.readSchema(sid)
         val raw = applyDv(
-          spark.read.schema(envelopeOf(old.sparkSchema)).parquet(paths: _*))
+          readDataFiles(envelopeOf(old.sparkSchema), paths))
         val byId = old.fields.map(f => f.id -> f).toMap
         val dataCols = curSchema.fields.map { f =>
           val dt = DataType.fromDDL(f.dataType)
@@ -1325,6 +1350,20 @@ object GraftTable {
       s"primary key $k not in schema"))
     config.partitionKeys.foreach(k => require(schema.fieldNames.contains(k),
       s"partition key $k not in schema"))
+    val fmt = config.option("file.format", "parquet")
+    require(Set("parquet", "orc", "csv", "json")(fmt), s"unknown file.format $fmt")
+    if (fmt == "csv") schema.fields.foreach { f =>
+      val flat = f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType | _: BinaryType |
+             _: VariantType => false
+        case _ => true
+      }
+      require(flat,
+        s"file.format=csv supports flat atomic schemas only (column ${f.name})")
+    }
+    if (fmt != "parquet")
+      require(config.option("deletion-vectors.enabled", "false") != "true",
+        "deletion vectors require file.format=parquet (_metadata.row_index)")
     sm.writeSchema(TableSchema.fromSpark(0, schema, config))
     new GraftTable(spark, location, sm)
   }

@@ -219,6 +219,10 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     if (readOptions.get("read-changelog").contains("true"))
       return new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
     val pruneCond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+    // non-parquet data formats (file.format = orc/csv/json) read through the
+    // V1 DataFrame plan — the native scan wraps Spark's parquet factory
+    if (t.fileFormat != "parquet")
+      return new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
     // native columnar scan when no merge work is needed (the common case
     // after compaction); deletion vectors apply inside its reader factory.
     // V1 DataFrame plan otherwise (shared merge semantics).

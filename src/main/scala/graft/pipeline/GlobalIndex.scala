@@ -48,7 +48,7 @@ object GlobalIndex {
     val entries = t.rawPlan(None, None).getOrElse(throw new IllegalStateException(
       "global index build needs a raw-convertible (compacted, DV-free) snapshot"))
     val paths = entries.map(e => new Path(t.location, e.path).toString)
-    val rows = spark.read.schema(t.fileSchema).parquet(paths: _*)
+    val rows = t.readDataFiles(t.fileSchema, paths)
       .select(col(colName).as("value"),
         // relative path, stable across filesystems (URI-decoded by regexp
         // on the path tail: data/c-<uuid>/... is the manifest-relative form)
@@ -93,7 +93,7 @@ object GlobalIndex {
     if (dead.nonEmpty) idx.delete(col("file").isin(dead.toSeq: _*))
     if (fresh.nonEmpty) {
       val paths = fresh.map(e => new Path(t.location, e.path).toString)
-      val rows = spark.read.schema(t.fileSchema).parquet(paths: _*)
+      val rows = t.readDataFiles(t.fileSchema, paths)
         .select(col(colName).as("value"),
           regexp_extract(input_file_name(), "(data/.*)$", 1).as("file"))
       idx.write(rows.groupBy("value", "file").agg(count(lit(1)).as("cnt")))

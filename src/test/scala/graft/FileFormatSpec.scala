@@ -1,0 +1,101 @@
+package graft
+
+import graft.core._
+import graft.core.RowOps._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-file formats beyond parquet (paimon `file.format`, SURVEY §2.1
+  * "File formats (data)"): orc / csv / json data files flow through the
+  * same LSM write/merge/compact/stats machinery; manifests and index files
+  * stay parquet (internal metadata). */
+class FileFormatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkOrders = Seq(
+    (1L, "A", 10.0, "2024-01-01"),
+    (2L, "B", 20.0, "2024-01-01"),
+    (3L, "A", 30.0, "2024-01-02"),
+    (4L, "C", 40.0, "2024-01-02")
+  ).toDF("k", "status", "price", "dt")
+
+  test("orc PK table: MOR, stats prune, compaction, update, delete") {
+    val loc = tmpLoc("orc-pk")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        options = Map("file.format" -> "orc")))
+    t.write(mkOrders)
+    t.write(Seq((2L, "B2", 25.0, "2024-01-01")).toDF("k", "status", "price", "dt"))
+    // data files really are ORC
+    val files = t.planFiles(None, None)
+    assert(files.nonEmpty && files.forall(_.path.endsWith(".orc")),
+      s"expected .orc data files, got ${files.map(_.path)}")
+    assertSameRows(t.read(),
+      Seq((1L, "A", 10.0, "2024-01-01"), (2L, "B2", 25.0, "2024-01-01"),
+        (3L, "A", 30.0, "2024-01-02"), (4L, "C", 40.0, "2024-01-02"))
+        .toDF("k", "status", "price", "dt"))
+    // manifest stats collected from orc files prune as usual
+    assert(t.planFiles(None, Some(col("k") === 1L)).size <
+      t.planFiles(None, None).size)
+    t.compact()
+    assert(t.read().count() == 4)
+    t.update(Map("price" -> lit(99.0)), col("k") === 3L)
+    t.delete(col("k") === 4L)
+    assertSameRows(t.read().select("k", "price"),
+      Seq((1L, 10.0), (2L, 25.0), (3L, 99.0)).toDF("k", "price"))
+    // SQL catalog read of an orc-format graft table goes through the V1 plan
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftBatchScan"))
+  }
+
+  test("csv append table: null vs empty string round-trip, stats, filters") {
+    val loc = tmpLoc("csv-app")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("v", DoubleType)))
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(options = Map("file.format" -> "csv")))
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "x", 1.5), (2L, null, 2.5), (3L, "", 3.5), (4L, "a,b\"q", null)
+    ).toDF("id", "s", "v")
+    t.write(df)
+    val files = t.planFiles(None, None)
+    assert(files.forall(_.path.endsWith(".csv")))
+    assertSameRows(t.read(), df)
+    // null count stats distinguish null from empty string
+    val sStat = files.map(_.stats("s").nullCount).sum
+    assert(sStat == 1, s"expected 1 null in s, got $sStat")
+    assert(t.read(Some(col("v") > 3.0)).count() == 1)
+  }
+
+  test("json append table keeps nested struct/array columns") {
+    val loc = tmpLoc("json-app")
+    val df = Seq((1L, ("a", 10), Seq(1, 2)), (2L, ("b", 20), Seq(3)))
+      .toDF("id", "info", "xs")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(options = Map("file.format" -> "json")))
+    t.write(df)
+    assert(t.planFiles(None, None).forall(_.path.endsWith(".json")))
+    assertSameRows(t.read(), df)
+    assertSameRows(t.read().select(col("info._1").as("n")),
+      Seq("a", "b").toDF("n"))
+  }
+
+  test("format validation: csv rejects nested schemas, DVs require parquet") {
+    val nested = Seq((1L, ("a", 1))).toDF("id", "info")
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpLoc("csv-bad"), nested.schema,
+        TableConfig(options = Map("file.format" -> "csv")))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpLoc("orc-dv"), mkOrders.schema,
+        TableConfig(primaryKeys = Seq("k"),
+          options = Map("file.format" -> "orc",
+            "deletion-vectors.enabled" -> "true")))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpLoc("fmt-bad"), mkOrders.schema,
+        TableConfig(options = Map("file.format" -> "avro")))
+    }
+  }
+}
