@@ -98,6 +98,43 @@ object Fixtures {
       t
     }
 
+  /** Fallback-branch fixture (paimon scan.fallback-branch): orders
+    * partitioned by status; branch `hist` holds everything, main keeps only
+    * partition O with doubled prices — reads serve O from main, F/P from
+    * the branch. */
+  def ordersFb(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_fb") { loc =>
+      import graft.core.RowOps._
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(partitionKeys = Seq("o_orderstatus"),
+          options = Map("scan.fallback-branch" -> "hist")))
+      t.write(orders)
+      t.createBranch("hist", Some(1L))
+      t.delete(col("o_orderstatus") =!= "O") // metadata-only partition drop
+      t.update(Map("o_totalprice" -> (col("o_totalprice") * 2)),
+        col("o_orderstatus") === "O")
+      t
+    }
+
+  /** Data-evolution fixture: row-tracking documents, two UPDATE patch
+    * generations (the second's predicate reads the first's patched values);
+    * base files never rewritten. */
+  def docsDe(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "docs_de") { loc =>
+      import graft.core.RowOps._
+      val d = src(spark, sfDir, "documents")
+      val t = GraftTable.createOrReplace(spark, loc, d.schema,
+        TableConfig(options = Map("row-tracking.enabled" -> "true")))
+      t.write(d.filter(col("doc_id") % 2 === 0))
+      t.write(d.filter(col("doc_id") % 2 === 1))
+      t.update(Map("n_chars" -> length(col("text")).cast("long")),
+        col("lang") === "en")
+      t.update(Map("source" -> lit("curated")),
+        col("lang") === "en" && col("n_chars") > 400L)
+      t
+    }
+
   /** POSTPONE bucket mode (bucket = -2): orders written shuffle-free into
     * staging, compacted into 4 real buckets, then an UPDATE batch staged
     * but NOT compacted — reads must serve the compacted state only. */

@@ -135,6 +135,14 @@ object SparkEntry {
         .groupBy("commit_seq")
         .agg(count(lit(1)).as("cnt"), count_distinct(col("row_id")).as("ids"))
     }),
+    // fallback branch: partitions missing on main serve from branch `hist`
+    // (O comes from main with doubled prices, F/P from the branch)
+    "q_fallback_branch" -> ((s, d) => statusAgg(Fixtures.ordersFb(s, d).read())),
+    // data evolution: UPDATE on a row-tracking append table writes column
+    // patches (row id → new values); reads join them back by row id. Two
+    // generations, the second's predicate over the first's patched values.
+    "q_data_evolution" -> ((s, d) => Fixtures.docsDe(s, d).read()
+      .select("doc_id", "lang", "source", "n_chars")),
     // POSTPONE bucket mode: staged (uncompacted) writes are invisible —
     // the read serves exactly the last compacted state
     "q_postpone" -> ((s, d) => Fixtures.ordersPp(s, d).read()
@@ -755,6 +763,18 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_fallback_branch" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+        |               ELSE o_totalprice END), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_data_evolution" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN lang = 'en' AND length(text) > 400 THEN 'curated'
+        |      ELSE source END AS source,
+        | CASE WHEN lang = 'en' THEN CAST(length(text) AS BIGINT)
+        |      ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
     "q_row_tracking" ->
       """SELECT CAST(1 AS BIGINT) AS commit_seq, CAST(count(*) AS BIGINT) AS cnt,
         | CAST(count(*) AS BIGINT) AS ids FROM events WHERE event_id % 2 = 0

@@ -132,6 +132,16 @@ object ManifestDf {
 
 /** Snapshot: ordered manifest list; effective file set = fold ADD/DELETE
   * entries over `manifests` in order (cf. paimon Snapshot.java:44). */
+/** Data-evolution column patch (paimon data evolution / `_ROW_ID` column
+  * patching, UpdatePaimonDataEvolutionTableCommand capability): a parquet
+  * dir of (row id → new values for `cols`) produced by UPDATE on a
+  * row-tracking append table. Updates rewrite ONLY the changed columns —
+  * wide rows (blobs, embeddings) never move. `seq` orders patch
+  * generations (later wins per column); [rowIdMin, rowIdMax] bounds which
+  * base files a patch can touch, so reads join only overlapping files. */
+case class PatchFile(path: String, cols: Seq[String], rowIdMin: Long,
+                     rowIdMax: Long, rows: Long, seq: Long)
+
 case class SnapshotMeta(
     id: Long,
     schemaId: Long,
@@ -155,7 +165,10 @@ case class SnapshotMeta(
     // full-compaction changelog coverage: this COMPACT snapshot's changelog
     // files diff the table state FROM `changelogBase` TO this snapshot
     // (paimon full-compaction producer); readers verify chain continuity
-    changelogBase: Option[Long] = None) {
+    changelogBase: Option[Long] = None,
+    // outstanding data-evolution column patches (row-tracking append
+    // tables); compaction materializes and clears them
+    patches: Option[Seq[PatchFile]] = None) {
   /** Erasure-safe watermark accessor: jackson-scala materializes a JSON int
     * into Option[Long] as a boxed Integer — unboxing via the field throws. */
   def watermarkLong: Option[Long] =
@@ -168,6 +181,7 @@ case class SnapshotMeta(
     changelogBase.asInstanceOf[Option[Any]]
       .map { case n: java.lang.Number => n.longValue }
   def changelogFiles: Seq[String] = Option(changelog).flatten.getOrElse(Nil)
+  def patchList: Seq[PatchFile] = Option(patches).flatten.getOrElse(Nil)
 }
 
 case class TagMeta(name: String, snapshotId: Long, timestampMs: Long)
@@ -436,7 +450,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
              dvAction: Option[Option[String]] = None,
              watermark: Option[Long] = None,
              changelog: Seq[String] = Nil,
-             changelogBase: Option[Long] = None): SnapshotMeta = {
+             changelogBase: Option[Long] = None,
+             patchAction: Option[Seq[PatchFile]] = None): SnapshotMeta = {
     val deltaName = writeManifest(delta)
     val deletedPaths = delta.filter(_.kind == 1).map(_.path).toSet
     var attempt = 0
@@ -485,7 +500,10 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
         dvIndex = dvAction.getOrElse(base.flatMap(_.dvIndex)),
         changelog = if (changelog.isEmpty) None else Some(changelog),
         liveFiles = lf,
-        changelogBase = changelogBase)
+        changelogBase = changelogBase,
+        // patchAction: None = carry forward, Some(Nil) = clear, Some(ps) = set
+        patches = patchAction.map(ps => if (ps.isEmpty) None else Some(ps))
+          .getOrElse(base.flatMap(b => Option(b.patches).flatten)))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
         return snap
@@ -524,7 +542,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
         base.map(_.totalRecords).getOrElse(0L), 0L,
         watermark = base.flatMap(_.watermarkLong),
         dvIndex = base.flatMap(_.dvIndex),
-        liveFiles = Some(liveCount))
+        liveFiles = Some(liveCount),
+        patches = base.flatMap(b => Option(b.patches).flatten))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
         return snap

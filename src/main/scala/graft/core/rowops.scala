@@ -25,6 +25,9 @@ import java.util.UUID
  *    (procedure/CompactProcedure.java:113).
  */
 object RowOps {
+  /** Extensions data files may carry under data/ (file.format option). */
+  private[core] val dataFileExts = Seq(".parquet", ".orc", ".csv", ".json")
+
 
   implicit class GraftTableOps(val t: GraftTable) {
     import GraftTable._
@@ -42,7 +45,9 @@ object RowOps {
       val live = t.allLiveEntries() // includes postpone staging (bucket -2)
       if (live.isEmpty) return None
       val dv = t.dvFor(None)
-      val alreadyCompact = dv.isEmpty && live.groupBy(e => (e.partition, e.bucket))
+      val patches = if (t.isRowTracking) t.patchesFor(None) else Nil
+      val alreadyCompact = dv.isEmpty && patches.isEmpty &&
+        live.groupBy(e => (e.partition, e.bucket))
         .forall { case (_, es) => es.size == 1 && es.head.level > 0 && es.head.bucket != -2 }
       if (alreadyCompact) return None
       var clFiles: Seq[String] = Nil
@@ -62,14 +67,18 @@ object RowOps {
           }
           t.writeFiles(merged, preMerged = true, level = 1)
         } else {
-          // row-tracking tables carry their ids through the rewrite
-          t.writeFiles(t.readEntries(live, withInternal = t.isRowTracking, dv), level = 1)
+          // row-tracking tables carry their ids through the rewrite;
+          // outstanding column patches materialize into the rewrite
+          t.writeFiles(t.applyPatches(
+            t.readEntries(live, withInternal = t.isRowTracking, dv), patches),
+            level = 1)
         }
       val delta = live.map(_.copy(kind = 1)) ++ adds
-      // compaction materializes outstanding deletion vectors → clear them
+      // compaction materializes outstanding deletion vectors and column
+      // patches (this is a FULL rewrite of the live set) → clear both
       Some(t.sm.commit(delta, "COMPACT", s"compact-${UUID.randomUUID().toString.take(8)}",
         t.schema.id, dvAction = Some(None), changelog = clFiles,
-        changelogBase = clBase))
+        changelogBase = clBase, patchAction = Some(Nil)))
     }
 
     /** Sort compaction for append tables: rewrite the whole table ordered by
@@ -176,11 +185,20 @@ object RowOps {
         t.sm.commit(bucketEntries.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
           s"delete-${UUID.randomUUID().toString.take(8)}", t.schema.id)
       } else {
-        val victims = t.planFiles(filter = Some(cond))
+        // row-tracking: keep row ids through the rewrite and evaluate the
+        // predicate on the PATCHED view (base stats/values are stale for
+        // patched columns — a filter over them cannot prune victims)
+        val patches = if (t.isRowTracking) t.patchesFor(None) else Nil
+        val pCols = patches.flatMap(_.cols).toSet
+        val condSafe =
+          if (pCols.isEmpty || !t.filterCols(cond).exists(pCols.contains)) Some(cond)
+          else None
+        val victims = t.planFiles(filter = condSafe)
         if (victims.isEmpty)
           return t.sm.commit(Nil, "OVERWRITE", "delete-noop", t.schema.id)
-        val rewritten = t.readEntries(victims, withInternal = false).filter(keep)
-        val adds = t.writeFiles(rewritten, level = 0)
+        val rows = t.applyPatches(
+          t.readEntries(victims, withInternal = t.isRowTracking), patches)
+        val adds = t.writeFiles(rows.filter(keep), level = 0)
         t.sm.commit(victims.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
           s"delete-${UUID.randomUUID().toString.take(8)}", t.schema.id)
       }
@@ -199,9 +217,15 @@ object RowOps {
         "deletion vectors require file.format=parquet (_metadata.row_index)")
       val live = t.planFiles()
       val dv = t.dvFor(None)
-      val withMeta = t.readEntries(live, withInternal = t.isPk, dv)
-        .withColumn("__fp", col("_metadata.file_path"))
-        .withColumn("__ri", col("_metadata.row_index"))
+      // row-tracking: the predicate must see the PATCHED view (outstanding
+      // column patches change which rows match)
+      val patches = if (t.isRowTracking) t.patchesFor(None) else Nil
+      // _metadata is a scan-level pseudo-column: capture it BEFORE the
+      // patch join (the joined plan has two scan relations)
+      val withMeta = t.applyPatches(
+        t.readEntries(live, withInternal = t.isPk || patches.nonEmpty, dv)
+          .withColumn("__fp", col("_metadata.file_path"))
+          .withColumn("__ri", col("_metadata.row_index")), patches)
       val hit = coalesce(cond, lit(false))
       val positions =
         if (t.isPk) {
@@ -294,6 +318,12 @@ object RowOps {
           preMerged = true, level = 1)
         t.sm.commit(bucketEntries.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
           s"update-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+      } else if (t.isRowTracking) {
+        // data evolution (paimon UpdatePaimonDataEvolutionTableCommand
+        // capability): write ONLY (row id → new values for the assigned
+        // columns) as a patch — base files, and any wide blob/embedding
+        // columns in them, never move. Reads join patches back by row id.
+        updatePatch(assignments, cond)
       } else {
         val victims = t.planFiles(filter = Some(cond))
         if (victims.isEmpty)
@@ -303,6 +333,44 @@ object RowOps {
         t.sm.commit(victims.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
           s"update-${UUID.randomUUID().toString.take(8)}", t.schema.id)
       }
+    }
+
+    /** Data-evolution UPDATE: current state (base ⊕ outstanding patches)
+      * filtered by `cond`, assigned columns evaluated, persisted as a new
+      * patch generation. O(matched rows × assigned columns), not O(table
+      * width × matched files). */
+    private def updatePatch(assignments: Map[String, Column],
+                            cond: Column): SnapshotMeta = {
+      require(!assignments.keys.exists(cfg.partitionKeys.contains),
+        "data-evolution update cannot move rows across partitions")
+      val existing = t.patchesFor(None)
+      // current visible state WITH row ids: prior patches applied, then the
+      // predicate — new values see patched current values (SET x = x + 1
+      // composes across generations)
+      val rows = t.applyPatches(
+        t.readEntries(t.planFiles(), withInternal = true), existing)
+        .filter(cond)
+      val patchCols = assignments.keys.toSeq.sorted
+      val out = patchCols.foldLeft(rows) { (d, c) =>
+        val dt = t.dataSchema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"no column $c")).dataType
+        d.withColumn(s"__new_$c", assignments(c).cast(dt))
+      }.select((col(GraftTable.ROW_ID) +:
+        patchCols.map(c => col(s"__new_$c").as(c))).toIndexedSeq: _*)
+      val dir = s"patch/p-${UUID.randomUUID().toString.take(12)}"
+      val abs = new Path(t.location, dir).toString
+      out.write.parquet(abs)
+      val seq = t.nextCommitSeq
+      val stat = spark.read.parquet(abs)
+        .agg(min(col(GraftTable.ROW_ID)), max(col(GraftTable.ROW_ID)),
+          count(lit(1))).head()
+      if (stat.isNullAt(0)) // nothing matched: drop the empty dir, no-op
+        return t.sm.commit(Nil, "OVERWRITE", "update-noop", t.schema.id)
+      val pf = PatchFile(dir, patchCols, stat.getLong(0), stat.getLong(1),
+        stat.getLong(2), seq)
+      t.sm.commit(Nil, "OVERWRITE",
+        s"update-patch-${UUID.randomUUID().toString.take(8)}", t.schema.id,
+        patchAction = Some(existing :+ pf))
     }
 
     /** MERGE INTO builder. */
@@ -552,6 +620,11 @@ object RowOps {
         }
       }
       dropOnlyManifests.foreach(m => fs.delete(new Path(t.sm.manifestDir, m), true))
+      // column-patch dirs referenced only by dropped snapshots
+      val keptPatches = keepSnaps.flatMap(_.patchList.map(_.path)).toSet
+      dropSnaps.flatMap(_.patchList.map(_.path)).distinct
+        .filterNot(keptPatches.contains)
+        .foreach(p => fs.delete(new Path(t.location, p), true))
       dropIds.foreach(id =>
         fs.delete(new Path(t.sm.snapshotDir, s"snapshot-$id.json"), false))
       dropIds.size
@@ -577,7 +650,7 @@ object RowOps {
       while (it.hasNext) {
         val st = it.next()
         val rel = st.getPath.toUri.getPath.substring(rootLen).stripPrefix("/")
-        val isDataFile = st.isFile && rel.endsWith(".parquet")
+        val isDataFile = st.isFile && RowOps.dataFileExts.exists(rel.endsWith)
         if (isDataFile && !referenced.contains(rel) &&
             st.getModificationTime < olderThanMs) {
           fs.delete(st.getPath, false)
@@ -612,7 +685,7 @@ object RowOps {
           val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
           while (it.hasNext) {
             val st = it.next()
-            if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+            if (st.isFile && RowOps.dataFileExts.exists(st.getPath.getName.endsWith)) {
               val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
               buf += ((rel, st.getModificationTime))
             }
@@ -688,7 +761,8 @@ object RowOps {
       val adds = branchLive.filterNot(e => mainSet.contains(e.path))
       val dvAction = Some(b.sm.latestSnapshot.flatMap(_.dvIndex))
       val snap = t.sm.commit(dels ++ adds, "OVERWRITE", s"fast-forward-$name",
-        t.schema.id, dvAction = dvAction)
+        t.schema.id, dvAction = dvAction,
+        patchAction = Some(b.sm.latestSnapshot.map(_.patchList).getOrElse(Nil)))
       t.rebuildPkIndex() // cross-partition key index must match the new state
       snap
     }
@@ -702,10 +776,11 @@ object RowOps {
       val dels = curLive.filterNot(e => targetSet.contains(e.path)).map(_.copy(kind = 1))
       val curSet = curLive.map(_.path).toSet
       val adds = targetLive.filterNot(e => curSet.contains(e.path))
-      // restore the TARGET snapshot's deletion vectors (default carry-forward
-      // would keep post-target deletes in force and reference removed files)
+      // restore the TARGET snapshot's deletion vectors AND column patches
+      // (default carry-forward would keep post-target updates in force)
       val snap = t.sm.commit(dels ++ adds, "OVERWRITE", s"rollback-to-$snapshotId",
-        t.schema.id, dvAction = Some(target.dvIndex))
+        t.schema.id, dvAction = Some(target.dvIndex),
+        patchAction = Some(target.patchList))
       t.rebuildPkIndex() // cross-partition key index must match the new state
       snap
     }

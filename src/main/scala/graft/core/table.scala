@@ -713,6 +713,72 @@ class GraftTable private (
     }
   }
 
+  // ------------------------------------------------------------------
+  // DATA EVOLUTION (column patches over row ids)
+  // ------------------------------------------------------------------
+
+  /** Outstanding column patches at a snapshot (paimon data evolution:
+    * UPDATE on a row-tracking append table rewrites only the assigned
+    * columns as (row id → value) patch files; the base files — and any
+    * wide blob/embedding columns in them — never move). */
+  private[graft] def patchesFor(snapshotId: Option[Long]): Seq[PatchFile] =
+    snapshotId.map(sm.readSnapshot).orElse(sm.latestSnapshot)
+      .map(_.patchList).getOrElse(Nil)
+
+  /** Does this base file's row-id range intersect any patch? Missing
+    * row-id stats ⇒ conservative true. */
+  private def patchOverlaps(e: ManifestEntry, patches: Seq[PatchFile]): Boolean =
+    e.stats.get(ROW_ID) match {
+      case Some(s) if s.min != null && s.max != null =>
+        val (lo, hi) = (s.min.toLong, s.max.toLong)
+        patches.exists(p => p.rowIdMin <= hi && p.rowIdMax >= lo)
+      case _ => true
+    }
+
+  /** Merge patch generations (later non-covered-wins per column) and apply
+    * them onto `df` (which must carry [[ROW_ID]]). A column set to NULL by
+    * an UPDATE stays null: per-column coverage markers distinguish
+    * "patched to null" from "not patched". Patches are usually tiny next
+    * to the base scan — broadcast when provably small, else AQE picks. */
+  private[graft] def applyPatches(df: DataFrame, patches: Seq[PatchFile]): DataFrame = {
+    if (patches.isEmpty) return df
+    val allCols = patches.flatMap(_.cols).distinct
+    val byName = dataSchema.fields.map(f => f.name -> f).toMap
+    val union = patches.map { p =>
+      val sch = StructType(StructField(ROW_ID, LongType) +:
+        p.cols.map(c => byName(c)))
+      val pdf = spark.read.schema(sch)
+        .parquet(new Path(location, p.path).toString)
+      val cols = col(ROW_ID) +: allCols.flatMap { c =>
+        if (p.cols.contains(c))
+          Seq(col(c), lit(p.seq).as(s"__k_$c"))
+        else
+          Seq(lit(null).cast(byName(c).dataType).as(c),
+            lit(null).cast(LongType).as(s"__k_$c"))
+      }
+      pdf.select(cols.toIndexedSeq: _*)
+    }.reduce(_ unionAll _)
+    // latest covering patch wins per column (max_by ignores null keys =
+    // generations that did not touch the column); __has marks coverage
+    val aggs = allCols.flatMap { c =>
+      Seq(max_by(col(c), col(s"__k_$c")).as(s"__patch_$c"),
+        max(col(s"__k_$c")).as(s"__has_$c"))
+    }
+    var merged = union.groupBy(col(ROW_ID)).agg(aggs.head, aggs.tail: _*)
+    if (patches.map(_.rows).sum <= 4_000_000L) merged = broadcast(merged)
+    val joined = df.join(merged, Seq(ROW_ID), "left")
+    allCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        when(col(s"__has_$c").isNotNull, col(s"__patch_$c")).otherwise(col(c)))
+    }.drop(allCols.flatMap(c => Seq(s"__patch_$c", s"__has_$c")): _*)
+  }
+
+  /** Columns a filter references (post-resolution against the file schema);
+    * used to detect predicates over patched columns, whose base-file stats
+    * are stale for pruning. */
+  private[core] def filterCols(c: Column): Set[String] =
+    StatsPrune.resolve(spark, fileSchema, c).references.map(_.name).toSet
+
   /** Position-skip map for a scan of `entries` under `filter`: outstanding
     * deletion vectors merged with file-index row selections (rows an exact
     * bitmap/bsi index proves cannot match are skipped in the reader; Spark
@@ -816,6 +882,42 @@ class GraftTable private (
     * tombstone-free file skip the merge (raw path, cf. paimon
     * DataSplit.rawConvertible, table/source/DataSplit.java:83). */
   def read(filter: Option[Column] = None, snapshotId: Option[Long] = None): DataFrame = {
+    // fallback branch (paimon scan.fallback-branch / FallbackReadFileStoreTable):
+    // partitions missing on the main table serve from the named branch
+    config.options.get("scan.fallback-branch") match {
+      case Some(fb) if sm.branch.isEmpty && snapshotId.isEmpty =>
+        return readFallback(fb, filter)
+      case _ =>
+    }
+    readMain(filter, snapshotId)
+  }
+
+  /** Fallback-branch composition: main partitions read from main, partitions
+    * with no main data read from the fallback branch. The partition-set diff
+    * is manifest metadata (partition values, not files). */
+  private def readFallback(branchName: String, filter: Option[Column]): DataFrame = {
+    val fb = GraftTable.load(spark, location, Some(branchName))
+    val mainDf = readMain(filter, None)
+    if (config.partitionKeys.isEmpty)
+      return if (planFiles(None, None).nonEmpty) mainDf else fb.read(filter)
+    val mainParts = planFiles(None, None).map(_.partition).distinct.toSet
+    val missing = fb.planFiles(None, None).map(_.partition).distinct
+      .filterNot(mainParts.contains)
+    if (missing.isEmpty) return mainDf
+    val cond = missing.map { m =>
+      config.partitionKeys.map { k =>
+        m.get(k).flatMap(Option(_)) match {
+          case Some(v) => col(k).cast(StringType) <=> lit(v)
+          case None => col(k).isNull
+        }
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    mainDf.unionAll(fb.read(filter.map(_ && cond).orElse(Some(cond))))
+  }
+
+  private def readMain(filter: Option[Column], snapshotId: Option[Long]): DataFrame = {
+    val patches = if (isRowTracking) patchesFor(snapshotId) else Nil
+    if (patches.nonEmpty) return readPatched(filter, snapshotId, patches)
     val entries = planFiles(snapshotId, filter)
     if (entries.isEmpty) return filter.foldLeft(emptyDf)((d, c) => d.filter(c))
     val dv = dvFor(snapshotId)
@@ -867,6 +969,36 @@ class GraftTable private (
     filter.foldLeft(out)((d, c) => d.filter(c))
   }
 
+  /** Data-evolution read: base files merged with outstanding column
+    * patches. Files whose row-id range no patch touches stay a plain scan;
+    * only overlapping files pay the patch join. A filter referencing a
+    * patched column cannot prune files (base stats are stale for it) —
+    * planning falls back to the un-filtered entry list, the row filter
+    * still applies at the end. */
+  private def readPatched(filter: Option[Column], snapshotId: Option[Long],
+                          patches: Seq[PatchFile]): DataFrame = {
+    val pCols = patches.flatMap(_.cols).toSet
+    val pruneSafe = filter.filter(c => !filterCols(c).exists(pCols.contains))
+    val entries = planFiles(snapshotId, pruneSafe)
+    if (entries.isEmpty)
+      return filter.foldLeft(emptyDf)((d, c) => d.filter(c))
+    val (hit, miss) = entries.partition(e => patchOverlaps(e, patches))
+    val dataCols = dataSchema.fields.map(f => col(f.name)).toIndexedSeq
+    val parts = Seq(
+      if (hit.nonEmpty)
+        Some(applyPatches(
+          readEntries(hit, withInternal = true,
+            skipMapFor(hit, pruneSafe, snapshotId)), patches)
+          .select(dataCols: _*))
+      else None,
+      if (miss.nonEmpty)
+        Some(readEntries(miss, withInternal = false,
+          skipMapFor(miss, pruneSafe, snapshotId)))
+      else None).flatten
+    val out = parts.reduce(_ unionAll _)
+    filter.foldLeft(out)((d, c) => d.filter(c))
+  }
+
   /** Entries iff this snapshot+filter plan is servable RAW — every bucket a
     * single merged (or dedup level-0) file, no tombstones. The native DSv2
     * columnar scan takes this path; anything else needs the DataFrame merge
@@ -877,6 +1009,11 @@ class GraftTable private (
               filter: Option[Column] = None,
               allowDv: Boolean = false): Option[Seq[ManifestEntry]] = {
     if (!allowDv && dvFor(snapshotId).nonEmpty) return None
+    // outstanding column patches need the patch-join plan
+    if (isRowTracking && patchesFor(snapshotId).nonEmpty) return None
+    // fallback-branch reads compose two tables — DataFrame plan only
+    if (sm.branch.isEmpty && config.options.contains("scan.fallback-branch"))
+      return None
     val entries = planFiles(snapshotId, filter)
     // files from older schema versions need the field-id remap (V1 path);
     // the native columnar scan reads strictly by current column names

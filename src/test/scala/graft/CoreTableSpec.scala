@@ -432,4 +432,31 @@ class ConcurrencySpec extends SparkTestBase {
     // snapshot ids are a contiguous chain despite the race
     assert(t.sm.snapshotIds == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("fallback branch: missing partitions served from the named branch") {
+    import spark.implicits._
+    val mkOrders = Seq(
+      (1L, "A", 10.0, "2024-01-01"), (2L, "B", 20.0, "2024-01-01"),
+      (3L, "A", 30.0, "2024-01-02"), (4L, "C", 40.0, "2024-01-02")
+    ).toDF("k", "status", "price", "dt")
+    val loc = tmpLoc("fb")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(partitionKeys = Seq("dt"),
+        options = Map("scan.fallback-branch" -> "hist")))
+    t.write(mkOrders) // partitions 2024-01-01, 2024-01-02
+    t.createBranch("hist", Some(1L))
+    // main drops partition 2024-01-02 and rewrites 01-01 prices
+    t.delete(col("dt") === "2024-01-02")
+    t.update(Map("price" -> (col("price") * 10)), col("dt") === "2024-01-01")
+    val got = t.read().select("k", "price").as[(Long, Double)].collect().toMap
+    // 01-01 rows from main (×10), 01-02 rows from the branch (original)
+    assert(got == Map(1L -> 100.0, 2L -> 200.0, 3L -> 30.0, 4L -> 40.0))
+    // filters push into both sides; partition overlap never duplicates
+    assert(t.read(Some(col("price") > 50.0)).count() == 2)
+    assert(t.read().count() == 4)
+    // the branch itself reads un-fused
+    assert(GraftTable.load(spark, loc, Some("hist")).read().count() == 4)
+    // raw plan refuses: fused reads need the DataFrame path
+    assert(t.rawPlan(None, None).isEmpty)
+  }
 }
