@@ -129,6 +129,34 @@ object StatsPrune {
     f > 0 && t > 0 && t >= f
   }
 
+  /** Exact evaluation of `f(col) = lit` against a file whose stats prove the
+    * string column constant (min == max). Sound for ANY deterministic
+    * single-column string transform: substituting the constant makes the
+    * conjunct decidable for every row of the file (nulls never match =). */
+  private def evalConstColTransform(eq: EqualTo,
+                                    stats: Map[String, ColStat]): Option[Boolean] = {
+    val (f, l) = (eq.left, eq.right) match {
+      case (f0, l0: Literal) if !f0.isInstanceOf[Literal] => (f0, l0)
+      case (l0: Literal, f0) => (f0, l0)
+      case _ => return None
+    }
+    if (f.isInstanceOf[AttributeReference] || !f.deterministic) return None
+    val refs = f.collect { case ar: AttributeReference => ar }.distinct
+    if (refs.size != 1 || refs.head.dataType != StringType) return None
+    val st = stats.getOrElse(refs.head.name, return None)
+    if (st.min == null || st.max == null || st.min != st.max) return None
+    val sub = f.transformUp {
+      case a: AttributeReference if a.name == refs.head.name =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(st.min),
+          StringType)
+    }
+    if (!sub.foldable) return None
+    try {
+      val v = sub.eval(null)
+      Some(v != null && l.value != null && v == l.value)
+    } catch { case _: Exception => None }
+  }
+
   private def colAndLit(a: Expression, b: Expression): Option[(String, Literal, Boolean)] =
     (normalize(a), normalize(b)) match {
       case (ar: AttributeReference, l: Literal) => Some((ar.name, l, false))
@@ -160,6 +188,13 @@ object StatsPrune {
       case EqualTo(l: Literal, Substring(ar: AttributeReference, Literal(p, _), _))
           if p == 1 =>
         conjunctMightMatch(StartsWith(ar, l), schema, stats, rowCount)
+      // predicate transforms over a CONSTANT column (min == max: partition
+      // columns, single-value files): substitute the value and evaluate the
+      // whole transform exactly — covers lower/upper/concat/concat_ws and
+      // their compositions (paimon LowerTransform/UpperTransform/
+      // ConcatTransform capability, predicate/Transform.java)
+      case eq: EqualTo if evalConstColTransform(eq, stats).isDefined =>
+        evalConstColTransform(eq, stats).get
       case EqualTo(a, b) => colAndLit(a, b) match {
         case Some((name, l, _)) => withStat(name) { (dt, st) =>
           litText(dt, l) match {

@@ -114,8 +114,10 @@ object RowOps {
         case "order" =>
           df.repartitionByRange(n, cols.map(col).toIndexedSeq: _*)
             .sortWithinPartitions(cols.map(col).toIndexedSeq: _*)
-        case "zorder" =>
-          val z = graft.functions.ZOrder.zvalue(df, cols)
+        case "zorder" | "hilbert" =>
+          val z =
+            if (strategy == "zorder") graft.functions.ZOrder.zvalue(df, cols)
+            else graft.functions.ZOrder.hilbertValue(df, cols)
           df.withColumn("__z", z)
             .repartitionByRange(n, col("__z"))
             .sortWithinPartitions(col("__z"))

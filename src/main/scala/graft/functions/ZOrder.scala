@@ -51,10 +51,45 @@ object ZOrder {
     z
   }
 
-  /** Build the z-value column for `df` over `cols`. Triggers one
-    * approxQuantile job per column (sampled, cheap relative to a rewrite). */
-  def zvalue(df: DataFrame, cols: Seq[String]): Column = {
-    require(cols.nonEmpty && cols.size <= 8, "z-order supports 1..8 columns")
+  /** Hilbert transform of N bucket coordinates (Skilling's transpose
+    * construction, "Programming the Hilbert curve", AIP CP 707, 2004 —
+    * the same public algorithm behind paimon's HilbertIndexer /
+    * SparkHilbertUDF capability). Mutates `x` into transposed Hilbert
+    * coordinates whose bit-interleave is the curve index. */
+  private def axesToTranspose(x: Array[Int], nCols: Int): Array[Int] = {
+    val m = 1 << (BITS - 1)
+    // inverse undo
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < nCols) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < nCols) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0
+    q = m
+    while (q > 1) {
+      if ((x(nCols - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < nCols) { x(i) ^= t; i += 1 }
+    x
+  }
+
+  /** Shared scaffold: quantile-bucket each column (one distributed
+    * approxQuantile pass, boundaries broadcast in the closure), then fold
+    * the bucket coordinates into a space-filling-curve key. */
+  private def curveValue(df: DataFrame, cols: Seq[String],
+                         fold: (Array[Int], Int) => Long): Column = {
+    require(cols.nonEmpty && cols.size <= 8, "curve supports 1..8 columns")
     val projected = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       d.withColumn(s"__zp_$i", numericProj(df, c))
     }
@@ -82,8 +117,18 @@ object ZOrder {
           }
         i += 1
       }
-      interleave(buckets, n)
+      fold(buckets, n)
     }
     zUdf(array(cols.indices.map(i => numericProj(df, cols(i))): _*))
   }
+
+  /** Build the z-value column for `df` over `cols`. Triggers one
+    * approxQuantile job per column (sampled, cheap relative to a rewrite). */
+  def zvalue(df: DataFrame, cols: Seq[String]): Column =
+    curveValue(df, cols, interleave)
+
+  /** Hilbert curve key — better locality than Morton for range queries on
+    * any dimension subset (no long diagonal jumps). */
+  def hilbertValue(df: DataFrame, cols: Seq[String]): Column =
+    curveValue(df, cols, (b, n) => interleave(axesToTranspose(b, n), n))
 }

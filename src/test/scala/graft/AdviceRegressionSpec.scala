@@ -140,6 +140,32 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(t.read(filter = Some(col("k").cast("long") === 60L)).count() == 1)
   }
 
+  test("lower/upper/concat transforms prune files with constant string columns") {
+    val loc = tmpLoc("strtrans")
+    val df = spark.range(100).select(col("id").as("k"),
+      when(col("id") < 50, "Alpha").otherwise("Beta").as("seg"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(partitionKeys = Seq("seg")))
+    t.write(df)
+    val total = t.planFiles().size
+    assert(total >= 2)
+    // lower(seg) = 'alpha' → only the Alpha partition's files
+    val c1 = t.planFiles(filter = Some(lower(col("seg")) === "alpha"))
+    assert(c1.nonEmpty && c1.size < total, s"lower() did not prune (${c1.size}/$total)")
+    assert(c1.forall(_.stats("seg").min == "Alpha"))
+    val c2 = t.planFiles(filter = Some(upper(col("seg")) === "BETA"))
+    assert(c2.nonEmpty && c2.forall(_.stats("seg").min == "Beta"))
+    // composition: concat over lower
+    val c3 = t.planFiles(filter =
+      Some(concat(lit("x-"), lower(col("seg"))) === "x-alpha"))
+    assert(c3.nonEmpty && c3.forall(_.stats("seg").min == "Alpha"))
+    // no false pruning: a matching row is still found
+    assert(t.read(filter = Some(lower(col("seg")) === "beta")).count() == 50)
+    // non-constant columns are untouched (conservative)
+    val c4 = t.planFiles(filter = Some(lower(concat(col("seg"), col("k"))) === "zzz"))
+    assert(c4.size == total)
+  }
+
   test("timestamp stats prune exactly (trailing-zero fractions) and NaN stats don't throw") {
     val loc = tmpLoc("tsprune")
     val df = Seq(

@@ -89,6 +89,24 @@ class CoreTableSpec extends SparkTestBase {
       .count() == 21L * 21L)
   }
 
+  test("hilbert clustering prunes files for 2-D range filters") {
+    val loc = tmpLoc("hprune")
+    val df = spark.range(40000).select(
+      (col("id") % 200).cast("double").as("x"),
+      (floor(col("id") / 200) % 200).cast("double").as("y"),
+      col("id").as("payload"))
+    val t = GraftTable.create(spark, loc, df.schema, TableConfig())
+    t.write(df)
+    t.compactSorted("hilbert", Seq("x", "y"), targetPartitions = 16)
+    val total = t.planFiles().size
+    val box = col("x").between(10.0, 30.0) && col("y").between(10.0, 30.0)
+    val pruned = t.planFiles(filter = Some(box)).size
+    assert(total >= 8, s"expected several files, got $total")
+    assert(pruned <= total / 2,
+      s"hilbert should prune most files for a 2-D box: $pruned of $total")
+    assert(t.read(filter = Some(box)).count() == 21L * 21L)
+  }
+
   test("maintenance procedures: expire_partitions, purge, repair, rescale; binlog/statistics system tables") {
     val loc = tmpLoc("procs")
     val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-02-01", 2.0), (3L, "2024-03-01", 3.0))
