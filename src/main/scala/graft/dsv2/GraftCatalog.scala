@@ -28,7 +28,8 @@ import scala.jdk.CollectionConverters._
  * route through loadTable(ident, version/timestamp) like the reference
  * (SparkCatalog.java:315,333).
  */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -301,4 +302,110 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     else throw new NoSuchFunctionException(ident)
 
   private[dsv2] def warehousePath: String = warehouse
+
+  // ---- views: persisted SQL views with per-engine dialects (paimon
+  //      catalog views + alter_view_dialect; view defs are JSON files under
+  //      <db>.db/_views/) ----
+  private def viewPath(ident: Identifier): Path =
+    new Path(dbPath(ident.namespace().mkString(".")),
+      s"_views/${ident.name()}.json")
+
+  private def readViewDef(ident: Identifier): Option[GraftViewDef] = {
+    val p = viewPath(ident)
+    if (!fs.exists(p)) None
+    else Some(Json.read(readString(p), classOf[GraftViewDef]))
+  }
+
+  private def writeViewDef(ident: Identifier, d: GraftViewDef): Unit = {
+    val p = viewPath(ident)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.write(Json.write(d).getBytes("UTF-8")); out.close()
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = new Path(dbPath(namespace.mkString(".")), "_views")
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".json"))
+      .map(s => Identifier.of(namespace.toArray,
+        s.getPath.getName.stripSuffix(".json"))).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean = fs.exists(viewPath(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val d = readViewDef(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val id = ident
+    new View {
+      override def name(): String = id.toString
+      // engine dialects live in properties as dialect.<engine>; the Spark
+      // dialect (if registered via alter_view_dialect) overrides the
+      // creation-time SQL, mirroring paimon's per-engine view dialects
+      override def query(): String =
+        d.properties.getOrElse("dialect.spark", d.sql)
+      override def currentCatalog(): String = d.currentCatalog
+      override def currentNamespace(): Array[String] = d.currentNamespace.toArray
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson(d.schemaJson)
+          .asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = d.queryColumnNames.toArray
+      override def columnAliases(): Array[String] = d.columnAliases.toArray
+      override def columnComments(): Array[String] =
+        d.columnComments.map(c => if (c == "") null else c).toArray
+      override def properties(): util.Map[String, String] = d.properties.asJava
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    if (viewExists(info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
+    if (!namespaceExists(info.ident().namespace()))
+      throw new NoSuchNamespaceException(info.ident().namespace())
+    writeViewDef(info.ident(), GraftViewDef(
+      sql = info.sql(), currentCatalog = info.currentCatalog(),
+      currentNamespace = info.currentNamespace().toSeq,
+      schemaJson = info.schema().json,
+      queryColumnNames = info.queryColumnNames().toSeq,
+      columnAliases = info.columnAliases().toSeq,
+      columnComments = info.columnComments().toSeq.map(c => if (c == null) "" else c),
+      properties = info.properties().asScala.toMap))
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val d = readViewDef(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val props = changes.foldLeft(d.properties) { (m, ch) =>
+      ch match {
+        case s: ViewChange.SetProperty => m + (s.property() -> s.value())
+        case r: ViewChange.RemoveProperty => m - r.property()
+        case _ => m
+      }
+    }
+    writeViewDef(ident, d.copy(properties = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = fs.delete(viewPath(ident), false)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val d = readViewDef(oldIdent).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    writeViewDef(newIdent, d)
+    fs.delete(viewPath(oldIdent), false)
+  }
 }
+
+/** Persisted view definition (JSON under `<db>.db/_views/<name>.json`). */
+case class GraftViewDef(
+    sql: String,
+    currentCatalog: String,
+    currentNamespace: Seq[String],
+    schemaJson: String,
+    queryColumnNames: Seq[String],
+    columnAliases: Seq[String],
+    columnComments: Seq[String],
+    properties: Map[String, String])

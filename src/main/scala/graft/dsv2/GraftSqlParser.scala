@@ -59,6 +59,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftTagDdlCommand(splitIdent(ident), "delete", tag, None, None)
       case RenameTagRe(ident, tag, to) =>
         GraftTagDdlCommand(splitIdent(ident), "rename", tag, None, Some(to))
+      // catalog views — intercepted ONLY when the target catalog is ours
+      // (temp views and session-catalog views delegate untouched)
+      case CreateViewRe(orRepl, ifNx, ident, query)
+          if GraftViewCommands.graftViewTarget(session, splitIdent(ident)).isDefined =>
+        GraftCreateViewCommand(splitIdent(ident), orRepl != null, ifNx != null, query)
+      case DropViewRe(ifEx, ident)
+          if GraftViewCommands.graftViewTarget(session, splitIdent(ident)).isDefined =>
+        GraftDropViewCommand(splitIdent(ident), ifEx != null)
+      case RenameViewRe(ident, to)
+          if GraftViewCommands.graftViewTarget(session, splitIdent(ident)).isDefined =>
+        GraftRenameViewCommand(splitIdent(ident), splitIdent(to))
+      case ShowViewsRe(ns)
+          if GraftSqlParser.namedCatalog(session,
+            splitIdent(ns).head).exists(_.isInstanceOf[GraftCatalog]) ||
+            (session.sessionState.catalogManager.currentCatalog
+              .isInstanceOf[GraftCatalog]) =>
+        GraftShowViewsCommand(splitIdent(ns))
       case _ => delegate.parsePlan(sqlText)
     }
   }
@@ -87,6 +104,14 @@ object GraftSqlParser {
   private val CallRe =
     """(?is)^CALL\s+(?:[\w`]+\.)?sys\.(\w+)\s*\((.*)\)\s*$""".r
   private val ShowTagsRe = """(?is)^SHOW\s+TAGS\s+([\w`.]+)\s*$""".r
+  private val CreateViewRe =
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w`.]+)\s+AS\s+(.+)$""".r
+  private val DropViewRe =
+    """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w`.]+)\s*$""".r
+  private val RenameViewRe =
+    """(?is)^ALTER\s+VIEW\s+([\w`.]+)\s+RENAME\s+TO\s+([\w`.]+)\s*$""".r
+  private val ShowViewsRe =
+    """(?is)^SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w`.]+)\s*$""".r
   private val ShowBranchesRe = """(?is)^SHOW\s+BRANCHES\s+([\w`.]+)\s*$""".r
   private val CreateBranchRe =
     """(?is)^ALTER\s+TABLE\s+([\w`.]+)\s+CREATE\s+BRANCH\s+(?:IF\s+NOT\s+EXISTS\s+)?[`']?([\w.-]+)[`']?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$""".r
@@ -101,7 +126,8 @@ object GraftSqlParser {
 
   /** Procedures scoped to the CATALOG, not a table. */
   private[dsv2] val catalogProcs: Set[String] =
-    Set("create_function", "drop_function", "list_functions", "compact_database")
+    Set("create_function", "alter_function", "drop_function", "list_functions",
+      "compact_database", "migrate_database", "alter_view_dialect")
 
   private[dsv2] def splitIdent(s: String): Seq[String] =
     s.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -193,12 +219,61 @@ case class GraftCatalogCallCommand(proc: String, args: Map[String, String])
       GraftUserFunctions.create(session, g.warehousePath, rest.head, rest.last,
         args("lambda"))
       Seq(Row(s"function ${rest.mkString(".")} created"))
+    case "alter_function" =>
+      // paimon AlterFunctionProcedure: replace the lambda of an existing fn
+      val ident = GraftSqlParser.splitIdent(args("name"))
+      val (g, rest) = graftCatalog(session, ident)
+      require(rest.length == 2, "function name must be <db>.<name>")
+      require(GraftUserFunctions.load(session, g.warehousePath,
+        rest.head, rest.last).isDefined, s"no function ${rest.mkString(".")}")
+      GraftUserFunctions.create(session, g.warehousePath, rest.head, rest.last,
+        args("lambda"))
+      Seq(Row(s"function ${rest.mkString(".")} altered"))
     case "drop_function" =>
       val ident = GraftSqlParser.splitIdent(args("name"))
       val (g, rest) = graftCatalog(session, ident)
       require(rest.length == 2, "function name must be <db>.<name>")
       val dropped = GraftUserFunctions.drop(session, g.warehousePath, rest.head, rest.last)
       Seq(Row(s"function ${rest.mkString(".")} dropped: $dropped"))
+    case "alter_view_dialect" =>
+      // paimon AlterViewDialectProcedure: add/update/drop a per-engine
+      // query dialect on a catalog view (stored as dialect.<engine> props;
+      // the spark dialect overrides the view's query at load)
+      val ident = GraftSqlParser.splitIdent(args("view"))
+      val (g, rest) = graftCatalog(session, ident)
+      require(rest.length == 2, "view name must be <db>.<name>")
+      val vid = org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array(rest.head), rest.last)
+      val engine = args.getOrElse("engine", "spark")
+      val action = args.getOrElse("action", "add")
+      import org.apache.spark.sql.connector.catalog.ViewChange
+      val change = action match {
+        case "add" | "update" =>
+          ViewChange.setProperty(s"dialect.$engine", args("query"))
+        case "drop" => ViewChange.removeProperty(s"dialect.$engine")
+        case other => throw new IllegalArgumentException(s"unknown action $other")
+      }
+      g.alterView(vid, change)
+      Seq(Row(s"view ${rest.mkString(".")} dialect $engine ${action}ed"))
+    case "migrate_database" =>
+      // paimon MigrateDatabaseProcedure: import every table of a raw
+      // source directory (parquet subdirs) into graft tables in `database`
+      import graft.core.RowOps._
+      val (g, rest) = graftCatalog(session,
+        GraftSqlParser.splitIdent(args("database")))
+      val db = rest.mkString(".")
+      val src = new org.apache.hadoop.fs.Path(args("source"))
+      val fs = src.getFileSystem(session.sessionState.newHadoopConf())
+      val results = fs.listStatus(src).toSeq.filter(_.isDirectory).map { d =>
+        val name = d.getPath.getName
+        val df = session.read.format(args.getOrElse("format", "parquet"))
+          .load(d.getPath.toString)
+        val t = GraftTable.createOrReplace(session,
+          g.tableLocation(db, name), df.schema, TableConfig())
+        t.write(df)
+        Row(s"$db.$name: ${t.read().count()} rows")
+      }
+      if (results.isEmpty) Seq(Row("no tables found")) else results
     case "list_functions" =>
       val ident = GraftSqlParser.splitIdent(args.getOrElse("database", ""))
       val (g, rest) = graftCatalog(session, ident)

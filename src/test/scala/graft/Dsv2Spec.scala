@@ -705,4 +705,44 @@ class Dsv2Spec extends SparkTestBase {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("BatchScan"), s"expected native BatchScan:\n$plan")
   }
+
+  test("catalog views: CREATE VIEW, query, dialects, SHOW VIEWS, rename, drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb")
+    spark.sql("""CREATE TABLE graft.vdb.base (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='2')""")
+    spark.sql("INSERT INTO graft.vdb.base VALUES (1,10.0),(2,20.0),(3,30.0)")
+    spark.sql("CREATE VIEW graft.vdb.big AS SELECT k, v FROM graft.vdb.base WHERE v > 15.0")
+    val got = spark.sql("SELECT k FROM graft.vdb.big ORDER BY k").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L))
+    // view survives a fresh catalog instance (persisted definition)
+    assert(spark.sql("SHOW VIEWS IN graft.vdb").collect()
+      .map(_.getString(1)).contains("big"))
+    // per-engine dialect: the spark dialect overrides the stored query
+    spark.sql("""CALL sys.alter_view_dialect(view => 'graft.vdb.big',
+      action => 'add', engine => 'spark',
+      query => 'SELECT k, v FROM graft.vdb.base WHERE v > 25.0')""")
+    assert(spark.sql("SELECT k FROM graft.vdb.big").as[Long].collect().toSeq == Seq(3L))
+    spark.sql("""CALL sys.alter_view_dialect(view => 'graft.vdb.big',
+      action => 'drop', engine => 'spark')""")
+    assert(spark.sql("SELECT count(*) FROM graft.vdb.big").head().getLong(0) == 2)
+    spark.sql("ALTER VIEW graft.vdb.big RENAME TO graft.vdb.big2")
+    assert(spark.sql("SELECT count(*) FROM graft.vdb.big2").head().getLong(0) == 2)
+    spark.sql("DROP VIEW graft.vdb.big2")
+    assert(spark.sql("SHOW VIEWS IN graft.vdb").collect().isEmpty)
+  }
+
+  test("alter_function replaces a lambda; migrate_database imports a directory") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mdb")
+    spark.sql("CALL sys.create_function(name => 'graft.mdb.tri', lambda => 'x INT -> x * 3')")
+    assert(spark.sql("SELECT graft.mdb.tri(7)").head().getInt(0) == 21)
+    spark.sql("CALL sys.alter_function(name => 'graft.mdb.tri', lambda => 'x INT -> x * 4')")
+    assert(spark.sql("SELECT graft.mdb.tri(7)").head().getInt(0) == 28)
+    // migrate_database: two raw parquet dirs become graft tables
+    val src = java.nio.file.Files.createTempDirectory("graft-mig").toString
+    spark.range(5).toDF("a").write.parquet(s"$src/t_one")
+    spark.range(3).select(col("id").as("b")).write.parquet(s"$src/t_two")
+    spark.sql(s"CALL sys.migrate_database(database => 'graft.mdb', source => '$src')")
+    assert(spark.sql("SELECT count(*) FROM graft.mdb.t_one").head().getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) FROM graft.mdb.t_two").head().getLong(0) == 3)
+  }
 }
