@@ -645,4 +645,33 @@ object Fixtures {
       q.awaitTermination(120000)
       t
     }
+
+  /** Native streaming sink: the same AvailableNow orders stream written with
+    * `writeStream.format("graft")` directly (no foreachBatch) — exercises
+    * GraftSink's idempotent per-batch commit path (§2.9 streaming sink). */
+  def ordersStreamNative(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_stream_native") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4))
+      val streamDir = java.nio.file.Paths.get(s"$loc-in")
+      val ckptDir = s"$loc-ckpt"
+      for (d <- Seq(streamDir.toString, ckptDir)) {
+        val f = new java.io.File(d)
+        if (f.exists()) { org.apache.hadoop.fs.FileUtil.fullyDelete(f); () }
+      }
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+        streamDir.resolve("orders.parquet"))
+      val q = spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .writeStream.format("graft")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .option("path", t.location)
+        .start()
+      q.awaitTermination(120000)
+      GraftTable.load(spark, t.location)
+    }
 }

@@ -321,6 +321,9 @@ object SparkEntry {
     // ---- streaming (§2.9) ----
     "q_stream_upsert" -> ((s, d) => Fixtures.ordersStream(s, d).read()
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+    "q_stream_sink" -> ((s, d) => Fixtures.ordersStreamNative(s, d).read()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
     "q_stream_source" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tbl = Fixtures.ordersPk(s, d)
@@ -919,6 +922,10 @@ object SparkEntry {
         |FROM all_rows GROUP BY comment""".stripMargin,
     "q_stream_upsert" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders",
+    "q_stream_sink" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_sql_catalog" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total

@@ -315,6 +315,26 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
   }
   def latestSnapshot: Option[SnapshotMeta] = latestSnapshotId.map(readSnapshot)
 
+  /** Highest micro-batch id already committed under `prefix` (streaming-sink
+    * identifiers are `<prefix><batchId>`). Used for exactly-once streaming
+    * writes: a restarted query replays its last batch, and the sink skips any
+    * batch at-or-below this watermark (capability of paimon's commitIdentifier
+    * dedup, Snapshot.java:139). Walks back from the latest snapshot and stops
+    * at the first match — O(commits since the stream last wrote), not
+    * O(snapshot history) for an active stream. */
+  def maxCommittedBatch(prefix: String): Option[Long] = {
+    var cur = latestSnapshotId.getOrElse(return None)
+    while (cur >= 1 && snapshotExists(cur)) {
+      val s = readSnapshot(cur)
+      if (s.identifier.startsWith(prefix)) {
+        val tail = s.identifier.substring(prefix.length)
+        try return Some(tail.toLong) catch { case _: NumberFormatException => }
+      }
+      cur -= 1
+    }
+    None
+  }
+
   // ---- manifests ----
   // Two physical formats, dispatched by name suffix:
   //   manifest-<uuid>.json  JSON-lines, written by the driver (small deltas)

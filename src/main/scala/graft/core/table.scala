@@ -432,14 +432,16 @@ class GraftTable private (
     * PREVIOUS state of only the touched buckets (paimon
     * LookupChangelogMergeFunctionWrapper) — streaming readers then consume
     * these files instead of diffing snapshots. */
-  def write(df: DataFrame, watermark: Option[Long] = None): SnapshotMeta = {
+  def write(df: DataFrame, watermark: Option[Long] = None,
+            identifier: Option[String] = None): SnapshotMeta = {
     if (isCrossPartition) return writeCrossPartition(df, watermark)
     val adds = writeFiles(df)
     val clFiles =
       if (isPk && config.option("changelog-producer", "none") == "lookup")
         produceChangelog(adds)
       else Nil
-    sm.commit(adds, "APPEND", s"append-${UUID.randomUUID().toString.take(8)}",
+    sm.commit(adds, "APPEND",
+      identifier.getOrElse(s"append-${UUID.randomUUID().toString.take(8)}"),
       schema.id, watermark = watermark, changelog = clFiles)
   }
 
@@ -554,8 +556,9 @@ class GraftTable private (
     val dataCols = dataSchema.fields.map(_.name).toSeq
     val newRows = readEntries(adds, withInternal = true)
     val touched = adds.map(e => (e.partition, e.bucket)).toSet
-    val prevEntries = sm.latestSnapshot.map(sm.liveEntries).getOrElse(Nil)
-      .filter(e => touched.contains((e.partition, e.bucket)))
+    val prevEntries = sm.latestSnapshot
+      .map(s => liveEntriesWhere(s)(e => touched.contains((e.partition, e.bucket))))
+      .getOrElse(Nil)
     val prevState =
       if (prevEntries.isEmpty) {
         val s = if (isPk) fileSchema else dataSchema
@@ -600,19 +603,25 @@ class GraftTable private (
   /** INSERT OVERWRITE. `dynamic`: only replace partitions present in `df`
     * (paimon PaimonDynamicPartitionOverwriteCommand.scala). */
   def overwrite(df: DataFrame, dynamic: Boolean = false,
-                staticPartition: Map[String, String] = Map.empty): SnapshotMeta = {
+                staticPartition: Map[String, String] = Map.empty,
+                identifier: Option[String] = None): SnapshotMeta = {
     val adds = writeFiles(df)
-    val live = sm.latestSnapshot.map(sm.liveEntries).getOrElse(Nil)
-    val victims =
-      if (dynamic) {
-        val newParts = adds.map(_.partition).toSet
-        live.filter(e => newParts.contains(e.partition))
-      } else if (staticPartition.nonEmpty) {
-        live.filter(e => staticPartition.forall { case (k, v) => e.partition.get(k).contains(v) })
-      } else live
+    val victims = sm.latestSnapshot match {
+      case None => Nil
+      case Some(snap) =>
+        if (dynamic) {
+          val newParts = adds.map(_.partition).toSet
+          liveEntriesWhere(snap)(e => newParts.contains(e.partition))
+        } else if (staticPartition.nonEmpty) {
+          val sp = staticPartition
+          liveEntriesWhere(snap)(e =>
+            sp.forall { case (k, v) => e.partition.get(k).contains(v) })
+        } else sm.liveEntries(snap) // full overwrite: the delta IS the table
+    }
     val deletes = victims.map(_.copy(kind = 1))
     sm.commit(deletes ++ adds, "OVERWRITE",
-      s"overwrite-${UUID.randomUUID().toString.take(8)}", schema.id)
+      identifier.getOrElse(s"overwrite-${UUID.randomUUID().toString.take(8)}"),
+      schema.id)
   }
 
   def truncate(): SnapshotMeta = {
@@ -1046,6 +1055,21 @@ class GraftTable private (
     * input view; normal planning/reads exclude staging. */
   private[core] def allLiveEntries(): Seq[ManifestEntry] =
     sm.latestSnapshot.map(sm.liveEntries).getOrElse(Nil)
+
+  /** Live entries surviving `keep`, evaluated on EXECUTORS above the plan
+    * threshold — victim selection for overwrite / changelog-diff touches
+    * only the matching entries on the driver, never the full manifest set
+    * (SURVEY §7 100-TB posture; partition-scoped INSERT OVERWRITE of a
+    * 10^7-file table folds one partition, not the table). */
+  private def liveEntriesWhere(snap: SnapshotMeta)(
+      keep: ManifestEntry => Boolean): Seq[ManifestEntry] = {
+    if (snap.liveFilesLong.exists(_ >= sm.planDfThreshold)) {
+      val ss = spark
+      import ss.implicits._
+      sm.liveEntriesDf(ss, snap).as[ManifestEntry]
+        .filter(keep).collect().toSeq
+    } else sm.liveEntries(snap).filter(keep)
+  }
 
   /** Read exactly `entries` (no merge, current DVs applied) — the data side
     * of index-driven plans (GlobalIndex names the files to read). */

@@ -30,8 +30,25 @@ import scala.jdk.CollectionConverters._
  * front-ends). Filters are all kept post-scan — pushdown is used for
  * pruning only, never for correctness.
  */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  /** V1 streaming-sink bridge (paimon SparkSource.scala:85 createSink):
+    * `writeStream.format("graft")` — the DSv2 table does not declare
+    * STREAMING_WRITE, so Spark falls back here and each micro-batch flows
+    * through the engine's batch write/commit with an idempotent identifier. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: 'path' option required"))
+    val t = GraftTable.load(sqlContext.sparkSession, path)
+    val prefix = GraftSink.prefixFor(parameters.get("checkpointLocation"), path)
+    new GraftSink(sqlContext, t, outputMode, prefix)
+  }
 
   private def loadTable(options: CaseInsensitiveStringMap): GraftTable = {
     val path = Option(options.get("path"))

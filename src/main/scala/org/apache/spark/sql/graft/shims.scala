@@ -23,4 +23,15 @@ object SparkShims {
   def catalogPlugin(spark: SparkSession,
                     name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
     spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.catalog(name)
+
+  /** Rebind a streaming micro-batch DataFrame as a plain batch one so it can
+    * flow through batch write paths inside `Sink.addBatch` (the pattern of
+    * paimon-spark's PaimonUtils.createNewDataFrame /
+    * Classic4Api.createDataset: execute the incremental plan, wrap the
+    * InternalRow RDD as a non-streaming DataFrame). */
+  def unstream(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sqlContext.asInstanceOf[classic.SQLContext]
+      .internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
+  }
 }

@@ -114,6 +114,24 @@ class MetadataPlaneSpec extends SparkTestBase {
       df.filter(col("p") =!= 3).unionAll(repl))
   }
 
+  test("partition-scoped overwrite above threshold selects victims distributed") {
+    val (_, t, df) = mkBigMetaTable("ow-dist")
+    // static-partition overwrite: victim selection runs as a DataFrame job
+    // (table is above metadata.plan.df-threshold), result must match exactly
+    val repl = spark.range(5).select(lit(3).cast("int").as("p"),
+      (col("id") + 9000).as("v"), lit("new").as("s"))
+    t.overwrite(repl, staticPartition = Map("p" -> "3"))
+    val got = t.read()
+    assert(got.filter(col("p") === 3).count() == 5)
+    assert(got.filter(col("p") =!= 3).count() == df.filter(col("p") =!= 3).count())
+    // dynamic overwrite path too
+    val repl2 = spark.range(7).select(lit(4).cast("int").as("p"),
+      (col("id") + 9500).as("v"), lit("dyn").as("s"))
+    t.overwrite(repl2, dynamic = true)
+    assert(t.read().filter(col("p") === 4).count() == 7)
+    assert(t.read().filter(col("p") === 3).count() == 5)
+  }
+
   test("distributed expireSnapshots deletes exactly the unreferenced files") {
     val (loc, t, _) = mkBigMetaTable("expire-df")
     val fs = t.sm.fs
