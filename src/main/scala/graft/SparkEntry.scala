@@ -234,6 +234,14 @@ object SparkEntry {
     "q_partition_prune" -> ((s, d) => Fixtures.eventsAp(s, d)
       .read(filter = Some(col("event_type") === "purchase"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
+    // metadata columns (§2.2): partition struct must equal the data column,
+    // file/row-index/bucket non-null — wrong metadata shifts the group counts
+    "q_metadata_cols" -> ((s, d) => Fixtures.eventsAp(s, d).readWithMetadata()
+      .filter(col(graft.core.GraftTable.FILE_PATH_COL).isNotNull &&
+        col(graft.core.GraftTable.ROW_INDEX_COL) >= 0 &&
+        col(graft.core.GraftTable.BUCKET_COL) >= 0)
+      .groupBy(col(s"${graft.core.GraftTable.PARTITION_COL}.event_type").as("event_type"))
+      .agg(count(lit(1)).as("cnt"))),
     // global secondary indexes (§2.11): equality lookup + sorted TopN over
     // an UNCLUSTERED column, both driven by the persisted index table
     "q_bitmap_eq" -> ((s, d) => {
@@ -883,6 +891,8 @@ object SparkEntry {
     "q_metadata_delete" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM events WHERE event_type <> 'click' GROUP BY event_type""".stripMargin,
+    "q_metadata_cols" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type",
     "q_partition_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS total
         |FROM events WHERE event_type = 'purchase'""".stripMargin,

@@ -805,7 +805,8 @@ class GraftTable private (
   }
 
   private[core] def readEntries(entries: Seq[ManifestEntry], withInternal: Boolean,
-                                dv: Map[String, Array[Byte]] = Map.empty): DataFrame = {
+                                dv: Map[String, Array[Byte]] = Map.empty,
+                                withMeta: Boolean = false): DataFrame = {
     if (entries.isEmpty) {
       val s = if (withInternal && isPk) fileSchema else dataSchema
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
@@ -842,14 +843,23 @@ class GraftTable private (
     // group files by write-schema; old files remap to the current schema BY
     // FIELD ID (paimon SchemaEvolutionUtil cast/index mapping): renamed
     // columns keep their data, dropped ids vanish, added ids read as null.
+    // metadata columns ride the scan itself (_metadata is only addressable on
+    // the file-source relation, before any projection drops it)
+    def attachMeta(d: DataFrame): DataFrame =
+      if (!withMeta) d
+      else d.withColumn(GraftTable.FILE_PATH_COL, col("_metadata.file_path"))
+        .withColumn(GraftTable.ROW_INDEX_COL, col("_metadata.row_index"))
+    val metaCols =
+      if (withMeta) Seq(col(GraftTable.FILE_PATH_COL), col(GraftTable.ROW_INDEX_COL))
+      else Nil
     val parts = entries.groupBy(_.schemaId).toSeq.sortBy(_._1).map { case (sid, es) =>
       val paths = es.map(e => new Path(location, e.path).toString)
       if (sid == curSchema.id) {
-        applyDv(readDataFiles(fileSchema, paths))
+        applyDv(attachMeta(readDataFiles(fileSchema, paths)))
       } else {
         val old = sm.readSchema(sid)
         val raw = applyDv(
-          readDataFiles(envelopeOf(old.sparkSchema), paths))
+          attachMeta(readDataFiles(envelopeOf(old.sparkSchema), paths)))
         val byId = old.fields.map(f => f.id -> f).toMap
         val dataCols = curSchema.fields.map { f =>
           val dt = DataType.fromDDL(f.dataType)
@@ -859,16 +869,16 @@ class GraftTable private (
             case None => lit(null).cast(dt).as(f.name)
           }
         }
-        val cols = if (isPk)
+        val cols = (if (isPk)
           dataCols ++ Seq(col(SEQ), col(COMMIT), col(POS), col(KIND))
         else // old-schema files predate any shred columns: read them as null
-          dataCols ++ shredFields.map(f => lit(null).cast(f.dataType).as(f.name))
+          dataCols ++ shredFields.map(f => lit(null).cast(f.dataType).as(f.name))) ++ metaCols
         raw.select(cols.toIndexedSeq: _*)
       }
     }
     val df = parts.reduce(_ unionAll _)
     if (withInternal) df
-    else df.select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+    else df.select((dataSchema.fields.map(f => col(f.name)) ++ metaCols).toIndexedSeq: _*)
   }
 
   /** Decode-free variant extraction: project the SHREDDED columns the write
@@ -1079,6 +1089,51 @@ class GraftTable private (
   /** Read-optimized scan: raw files only, no merge (paimon `t$ro`). */
   def readRaw(snapshotId: Option[Long] = None): DataFrame =
     readEntries(planFiles(snapshotId, None), withInternal = false)
+
+  /** Snapshot read with paimon-style METADATA COLUMNS appended
+    * (`__graft_file_path`, `__graft_row_index`, `__graft_partition`,
+    * `__graft_bucket` — capability of paimon's PaimonMetadataColumn /
+    * SupportsMetadataColumns, PaimonSparkTableBase.scala:119). File identity
+    * is per-row, so PK tables are limited to the engines whose merge picks
+    * ONE source row per key (deduplicate / first-row); partial-update and
+    * aggregation combine several rows, leaving no well-defined origin.
+    * Partition values live in the data columns (only hashed `__pt` dirs are
+    * on disk) and the bucket is parsed from the file path — no extra join. */
+  def readWithMetadata(snapshotId: Option[Long] = None): DataFrame = {
+    require(fileFormat == "parquet",
+      "metadata columns require parquet data files (_metadata.row_index)")
+    if (isPk) require(Set("deduplicate", "first-row").contains(config.mergeEngine),
+      s"metadata columns undefined for merge engine ${config.mergeEngine}: " +
+        "merged rows combine several source rows")
+    val partType = StructType(config.partitionKeys.map(k =>
+      dataSchema.fields.find(_.name == k).getOrElse(
+        throw new IllegalStateException(s"partition key $k missing"))))
+    def finish(df: DataFrame): DataFrame =
+      df.withColumn(GraftTable.PARTITION_COL,
+          struct(config.partitionKeys.map(col).toIndexedSeq: _*))
+        .withColumn(GraftTable.BUCKET_COL,
+          regexp_extract(col(GraftTable.FILE_PATH_COL),
+            s"${GraftTable.BUCKET}=(-?\\d+)", 1).cast(IntegerType))
+        .select((dataSchema.fields.map(f => col(f.name)) ++
+          GraftTable.METADATA_COLS.map(col)).toIndexedSeq: _*)
+    val entries = planFiles(snapshotId, None)
+    if (entries.isEmpty) {
+      val s = StructType(dataSchema.fields ++ Array(
+        StructField(GraftTable.FILE_PATH_COL, StringType),
+        StructField(GraftTable.ROW_INDEX_COL, LongType),
+        StructField(GraftTable.PARTITION_COL, partType),
+        StructField(GraftTable.BUCKET_COL, IntegerType)))
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+    }
+    val dv = dvFor(snapshotId)
+    if (!isPk) finish(readEntries(entries, withInternal = false, dv, withMeta = true))
+    else {
+      val merged = MergeEngines.merge(
+        readEntries(entries, withInternal = true, dv, withMeta = true),
+        config, dataSchema)
+      finish(merged)
+    }
+  }
 
   /** Full rows incl. LSM envelope, rowkind as string (paimon `t$audit_log`). */
   def auditLog(snapshotId: Option[Long] = None): DataFrame = {
@@ -1438,6 +1493,14 @@ object GraftTable {
 
   /** Row-tracking id column ((commit seq << 48) + in-commit position). */
   val ROW_ID = "__row_id"
+
+  /** Metadata column names (paimon PaimonMetadataColumn.scala:60-66 family). */
+  val FILE_PATH_COL = "__graft_file_path"
+  val ROW_INDEX_COL = "__graft_row_index"
+  val PARTITION_COL = "__graft_partition"
+  val BUCKET_COL = "__graft_bucket"
+  val METADATA_COLS: Seq[String] =
+    Seq(FILE_PATH_COL, ROW_INDEX_COL, PARTITION_COL, BUCKET_COL)
 
   /** Nested-id map of a struct FieldDef: explicit when present, positional
     * otherwise (a version without the map predates any nested evolution of

@@ -73,7 +73,31 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   * paimon-spark/.../SparkCatalog.java:315). */
 class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
                       val readOptions: Map[String, String] = Map.empty)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns with GraftPartitionManagement {
+
+  /** `SELECT __graft_file_path, __graft_bucket, ... FROM t` (paimon
+    * SupportsMetadataColumns, PaimonSparkTableBase.scala:119). Offered only
+    * where per-row file identity survives the read (append tables;
+    * deduplicate/first-row PK engines) on parquet data files. */
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val supported = t.fileFormat == "parquet" &&
+      (!t.isPk || Set("deduplicate", "first-row").contains(t.config.mergeEngine))
+    if (!supported || readChangelog) return Array.empty
+    val partType = StructType(t.config.partitionKeys.flatMap(k =>
+      t.schema.sparkSchema.fields.find(_.name == k)))
+    def mc(n: String, dt: org.apache.spark.sql.types.DataType): MetadataColumn =
+      new MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = true
+      }
+    Array(
+      mc(GraftTable.FILE_PATH_COL, org.apache.spark.sql.types.StringType),
+      mc(GraftTable.ROW_INDEX_COL, org.apache.spark.sql.types.LongType),
+      mc(GraftTable.PARTITION_COL, partType),
+      mc(GraftTable.BUCKET_COL, org.apache.spark.sql.types.IntegerType))
+  }
 
   private[dsv2] def readChangelog: Boolean =
     readOptions.get("read-changelog").contains("true")
@@ -236,6 +260,12 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     if (readOptions.get("read-changelog").contains("true"))
       return new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
     val pruneCond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+    // requested metadata columns (__graft_file_path & co) are served by the
+    // library's readWithMetadata plan — they ride the file-source relation,
+    // which the native columnar scan's raw splits do not expose
+    if (required.exists(_.fieldNames.exists(GraftTable.METADATA_COLS.contains)))
+      return new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions,
+        withMeta = true)
     // non-parquet data formats (file.format = orc/csv/json) read through the
     // V1 DataFrame plan — the native scan wraps Spark's parquet factory
     if (t.fileFormat != "parquet")
@@ -382,7 +412,8 @@ class GraftIncrementalScan(t: GraftTable, from: Long, to: Long,
 class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
                   filters: Array[Filter], required: Option[StructType],
                   limit: Option[Int],
-                  readOptions: Map[String, String] = Map.empty) extends V1Scan {
+                  readOptions: Map[String, String] = Map.empty,
+                  withMeta: Boolean = false) extends V1Scan {
 
   override def readSchema(): StructType =
     required.getOrElse(t.schema.sparkSchema)
@@ -395,7 +426,10 @@ class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
       override def buildScan(): RDD[Row] = {
         val pruneCond = filters.flatMap(GraftScanBuilder.toColumn)
           .reduceOption(_ && _)
-        var df = t.read(pruneCond, snapshotId)
+        var df =
+          if (withMeta)
+            pruneCond.foldLeft(t.readWithMetadata(snapshotId))(_ filter _)
+          else t.read(pruneCond, snapshotId)
         required.foreach { rs =>
           df = df.select(rs.fieldNames.map(col).toIndexedSeq: _*)
         }

@@ -47,6 +47,32 @@ class CoreTableSpec extends SparkTestBase {
     (4L, "C", 40.0, "2024-01-02")
   ).toDF("k", "status", "price", "dt")
 
+  test("readWithMetadata: file/row-index/partition/bucket, DV + evolution aware") {
+    val loc = tmpLoc("metacols")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(partitionKeys = Seq("dt"), numBuckets = 2))
+    t.write(mkOrders)
+    val df = t.readWithMetadata()
+    assert(df.count() == 4)
+    val r = df.filter(col("k") === 1L).head()
+    assert(r.getAs[String](GraftTable.FILE_PATH_COL).contains("__bucket="))
+    assert(r.getAs[Long](GraftTable.ROW_INDEX_COL) >= 0L)
+    assert(r.getAs[org.apache.spark.sql.Row](GraftTable.PARTITION_COL)
+      .getAs[String]("dt") == "2024-01-01")
+    val b = r.getAs[Int](GraftTable.BUCKET_COL)
+    assert(b >= 0 && b < 2)
+    // deletion vectors: dropped rows vanish from the metadata read too
+    t.deleteDv(col("k") === 3L)
+    assert(t.readWithMetadata().select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    // unsupported engines refuse (file identity undefined after merge)
+    val loc2 = tmpLoc("metacols-pu")
+    val t2 = GraftTable.create(spark, loc2, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "partial-update"))
+    intercept[IllegalArgumentException] { t2.readWithMetadata() }
+  }
+
   test("pk dedup: second write wins, raw vs merge paths agree") {
     val loc = tmpLoc("dedup")
     val t = GraftTable.create(spark, loc, mkOrders.schema,

@@ -745,4 +745,54 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM graft.mdb.t_one").head().getLong(0) == 5)
     assert(spark.sql("SELECT count(*) FROM graft.mdb.t_two").head().getLong(0) == 3)
   }
+
+  test("SHOW PARTITIONS / ALTER TABLE DROP PARTITION / TRUNCATE PARTITION") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.pmgmt (k BIGINT, v DOUBLE, dt STRING)
+                 PARTITIONED BY (dt)""")
+    spark.sql("""INSERT INTO graft.db.pmgmt VALUES
+                 (1,1.0,'d1'),(2,2.0,'d1'),(3,3.0,'d2'),(4,4.0,'d3')""")
+    val parts = spark.sql("SHOW PARTITIONS graft.db.pmgmt")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("dt=d1", "dt=d2", "dt=d3"), s"got $parts")
+    // partial spec listing
+    val one = spark.sql("SHOW PARTITIONS graft.db.pmgmt PARTITION (dt='d2')")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("dt=d2"))
+    // drop = engine metadata-only delete
+    spark.sql("ALTER TABLE graft.db.pmgmt DROP PARTITION (dt='d1')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.pmgmt").head().getLong(0) == 2)
+    assert(spark.sql("SHOW PARTITIONS graft.db.pmgmt")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("dt=d2", "dt=d3"))
+    spark.sql("TRUNCATE TABLE graft.db.pmgmt PARTITION (dt='d3')")
+    assert(spark.sql("SELECT dt FROM graft.db.pmgmt").as[String].collect().toSeq == Seq("d2"))
+  }
+
+  test("metadata columns: __graft_file_path / row_index / partition / bucket in SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.mcols (k BIGINT, v STRING, dt STRING)
+                 PARTITIONED BY (dt)
+                 TBLPROPERTIES ('primary-key'='k,dt', 'bucket'='2')""")
+    spark.sql("""INSERT INTO graft.db.mcols VALUES
+                 (1,'a','d1'),(2,'b','d1'),(3,'c','d2'),(4,'d','d2')""")
+    val rows = spark.sql(
+      """SELECT k, __graft_file_path, __graft_row_index,
+                __graft_partition.dt AS pdt, __graft_bucket
+         FROM graft.db.mcols ORDER BY k""").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getString(1) != null && r.getString(1).contains("__bucket="))
+      assert(r.getLong(2) >= 0)
+      assert(r.getInt(4) >= 0 && r.getInt(4) < 2)
+    }
+    // partition struct mirrors the data column
+    assert(rows.map(r => r.getString(3)).toSeq == Seq("d1", "d1", "d2", "d2"))
+    // upsert: the winning row's file is the SECOND commit's file
+    val f1 = rows.find(_.getLong(0) == 2L).get.getString(1)
+    spark.sql("INSERT INTO graft.db.mcols VALUES (2,'b2','d1')")
+    val r2 = spark.sql(
+      """SELECT v, __graft_file_path FROM graft.db.mcols WHERE k = 2""").head()
+    assert(r2.getString(0) == "b2")
+    assert(r2.getString(1) != f1, "merged winner must come from the new file")
+  }
 }
