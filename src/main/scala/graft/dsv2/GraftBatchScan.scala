@@ -88,11 +88,52 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
       val k = GraftTable.dvKey(e.path)
       dv.get(k).map(b => DvCache.bitmap(k, b).getLongCardinality).getOrElse(0L)
     }.sum
+  /** ANALYZE-produced column stats (ndv / null count) for Spark's CBO —
+    * paimon PaimonStatistics.scala columnStats() parity. Served best-effort
+    * from `statistics/latest.json`; absent or stale stats degrade to
+    * row/size-only (Spark treats missing colStats as unknown). */
+  private lazy val analyzedColStats: Map[String, (Long, Long)] = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(t.location, "statistics/latest.json")
+      if (!t.sm.fs.exists(p)) Map.empty
+      else {
+        val root = graft.core.Json.mapper.readTree(t.sm.readString(p))
+        val cs = root.get("colStats")
+        if (cs == null) Map.empty
+        else {
+          val it = cs.fields()
+          val b = Map.newBuilder[String, (Long, Long)]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> (e.getValue.get("distinctCount").asLong(),
+              e.getValue.get("nullCount").asLong())
+          }
+          b.result()
+        }
+      }
+    } catch { case _: Exception => Map.empty }
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(1L, entries.map(_.fileSize).sum))
     override def numRows(): OptionalLong =
       OptionalLong.of(math.max(0L, entries.map(_.rowCount).sum - dvDeletedRows))
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      analyzedColStats.foreach { case (c, (ndv, nc)) =>
+        m.put(Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
+            override def nullCount(): OptionalLong = OptionalLong.of(nc)
+          })
+      }
+      m
+    }
   }
 
   // ---- partitioning report ----

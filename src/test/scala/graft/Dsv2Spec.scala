@@ -746,6 +746,27 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM graft.mdb.t_two").head().getLong(0) == 3)
   }
 
+  test("ANALYZE column stats reach the DSv2 scan (CBO columnStats)") {
+    import graft.core.RowOps._
+    val loc = tmpLoc("cbostats")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    val t = GraftTable.create(spark, loc, df.schema, TableConfig())
+    t.write(df)
+    t.analyze()
+    val scan = new graft.dsv2.GraftSparkTable(t)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        new java.util.HashMap[String, String]()))
+      .build()
+    val stats = scan.asInstanceOf[graft.dsv2.GraftBatchScan].estimateStatistics()
+    assert(stats.numRows().getAsLong == 3L)
+    val cs = stats.columnStats()
+    assert(!cs.isEmpty, "expected analyzed column stats")
+    val vStats = cs.get(org.apache.spark.sql.connector.expressions.Expressions.column("v"))
+    assert(vStats.nullCount().getAsLong == 1L)
+    assert(vStats.distinctCount().getAsLong >= 2L)
+  }
+
   test("SHOW PARTITIONS / ALTER TABLE DROP PARTITION / TRUNCATE PARTITION") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.pmgmt (k BIGINT, v DOUBLE, dt STRING)
