@@ -48,7 +48,9 @@ object RowOps {
       val patches = if (t.isRowTracking) t.patchesFor(None) else Nil
       val alreadyCompact = dv.isEmpty && patches.isEmpty &&
         live.groupBy(e => (e.partition, e.bucket))
-        .forall { case (_, es) => es.size == 1 && es.head.level > 0 && es.head.bucket != -2 }
+        .forall { case (_, es) =>
+          // several level>0 files = one compaction's size-rolled outputs
+          es.forall(e => e.level > 0 && e.bucket != -2) }
       if (alreadyCompact) return None
       var clFiles: Seq[String] = Nil
       var clBase: Option[Long] = None

@@ -361,8 +361,13 @@ class GraftTable private (
     // format-prefixed table options flow to the writer — e.g.
     // parquet.bloom.filter.enabled#<col>=true adds file-local bloom filters
     // (capability of paimon's bloom-filter file index, SURVEY §2.2)
-    df.write.options(fmtOptions).partitionBy(PT, BUCKET)
-      .format(fileFormat).save(stagingAbs)
+    // file rolling: bound output file size so a hot bucket's compaction
+    // never produces one huge file (paimon write.target-file-size rolling;
+    // rolled files of one pass are key-disjoint, so the raw path survives)
+    val writer = df.write.options(fmtOptions)
+    config.options.get("write.max-records-per-file")
+      .foreach(n => writer.option("maxRecordsPerFile", n))
+    writer.partitionBy(PT, BUCKET).format(fileFormat).save(stagingAbs)
 
     val entries = collectStats(stagingAbs, level)
     // per-file secondary indexes (bloom/bitmap/bsi) for the new files —
@@ -945,19 +950,11 @@ class GraftTable private (
         readEntries(entries, withInternal = false, skipMapFor(entries, filter, snapshotId))
       else {
         val byBucket = entries.groupBy(e => (e.partition, e.bucket))
-        // raw-convertible: single file, no delete tombstones, and either a
-        // compacted (level>0, already fully merged) file or a deduplicate-
-        // engine level-0 file (unique keys guaranteed by within-batch
-        // pre-merge). partial-update/aggregation level-0 files may hold
-        // several versions of a key inside one file, so they must merge.
-        val (rawB, mergeB) = byBucket.partition { case (_, es) =>
-          es.size == 1 && {
-            val e = es.head
-            val noTombstone =
-              e.stats.get(KIND).forall(s => s.max == null || s.max.toInt <= KIND_UPDATE_AFTER)
-            noTombstone && (e.level > 0 || config.mergeEngine == "deduplicate")
-          }
-        }
+        // raw-convertible buckets (see rawBucket): fully-merged compaction
+        // output (possibly several size-rolled, key-disjoint files) or a
+        // single dedup level-0 file. partial-update/aggregation level-0
+        // files may hold several versions of a key, so they must merge.
+        val (rawB, mergeB) = byBucket.partition { case (_, es) => rawBucket(es) }
         // raw buckets are fully merged: their rows are final, so the FULL
         // filter (value conjuncts included) prunes them per-file — this is
         // where post-compaction value-filter file skipping happens for PK
@@ -1024,6 +1021,20 @@ class GraftTable private (
     * plan. `allowDv=false` (default) also demands no deletion vectors —
     * callers that apply DVs themselves (the native scan's reader factory
     * skips per-file positions) pass true. */
+  /** A bucket's entry-set is servable RAW (rows final, no merge needed):
+    * every file level>0 — ONE compaction's outputs, key-disjoint even when
+    * size-rolling split them (compaction rewrites all live files of a
+    * bucket, so two compactions' outputs never coexist) — or a single
+    * deduplicate-engine level-0 file (within-batch pre-merge guarantees
+    * unique keys). Tombstones force the merge plan either way. */
+  private[core] def rawBucket(es: Seq[ManifestEntry]): Boolean = {
+    def noTombstone(e: ManifestEntry) =
+      e.stats.get(KIND).forall(s => s.max == null || s.max.toInt <= KIND_UPDATE_AFTER)
+    if (es.forall(_.level > 0)) es.forall(noTombstone)
+    else es.size == 1 && noTombstone(es.head) &&
+      config.mergeEngine == "deduplicate"
+  }
+
   def rawPlan(snapshotId: Option[Long] = None,
               filter: Option[Column] = None,
               allowDv: Boolean = false): Option[Seq[ManifestEntry]] = {
@@ -1038,14 +1049,8 @@ class GraftTable private (
     // the native columnar scan reads strictly by current column names
     if (entries.exists(_.schemaId != schema.id)) return None
     if (!isPk) return Some(entries)
-    val ok = entries.groupBy(e => (e.partition, e.bucket)).forall { case (_, es) =>
-      es.size == 1 && {
-        val e = es.head
-        val noTombstone =
-          e.stats.get(KIND).forall(s => s.max == null || s.max.toInt <= KIND_UPDATE_AFTER)
-        noTombstone && (e.level > 0 || config.mergeEngine == "deduplicate")
-      }
-    }
+    val ok = entries.groupBy(e => (e.partition, e.bucket))
+      .forall { case (_, es) => rawBucket(es) }
     // every bucket fully merged → rows are final → the full filter (value
     // conjuncts included) may prune per-file, and so may the file indexes
     if (!ok) None

@@ -47,6 +47,33 @@ class CoreTableSpec extends SparkTestBase {
     (4L, "C", 40.0, "2024-01-02")
   ).toDF("k", "status", "price", "dt")
 
+  test("compaction size-rolling: multiple level-1 files stay raw-convertible") {
+    import graft.core.RowOps._
+    val loc = tmpLoc("roll")
+    val df = spark.range(1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("write.max-records-per-file" -> "300")))
+    t.write(df)
+    t.write(df.filter(col("k") < 100).withColumn("v", concat(lit("u"), col("k"))))
+    assert(t.compact().isDefined)
+    val entries = t.planFiles()
+    assert(entries.size > 1, s"expected rolled files, got ${entries.size}")
+    assert(entries.forall(_.level > 0))
+    // rolled outputs are raw-convertible: no merge plan needed
+    assert(t.rawPlan(None, None).isDefined)
+    // further compaction is a no-op (already compact)
+    assert(t.compact().isEmpty)
+    val got = t.read()
+    assert(got.count() == 1000)
+    assert(got.filter(col("k") === 50).select("v").as[String].head() == "u50")
+    assert(got.filter(col("k") === 500).select("v").as[String].head() == "v500")
+    // stats pruning still per-file: an equality hits a subset of rolled files
+    val pruned = t.planFiles(None, Some(col("k") === 999L))
+    assert(pruned.size < entries.size)
+  }
+
   test("readWithMetadata: file/row-index/partition/bucket, DV + evolution aware") {
     val loc = tmpLoc("metacols")
     val t = GraftTable.create(spark, loc, mkOrders.schema,

@@ -16,14 +16,16 @@ import scala.util.Random
 class RandomizedLsmSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def runScenario(seed: Long, ops: Int, numBuckets: Int = 3): Unit = {
+  private def runScenario(seed: Long, ops: Int, numBuckets: Int = 3,
+                          extraOpts: Map[String, String] = Map.empty): Unit = {
     val rnd = new Random(seed)
     val loc = tmpLoc(s"rand-$seed-$numBuckets")
     val t = GraftTable.create(spark, loc,
       Seq((1L, "s", 1.0)).toDF("k", "s", "p").schema,
       TableConfig(primaryKeys = Seq("k"), numBuckets = numBuckets,
-        options = if (numBuckets < 0)
-          Map("dynamic-bucket.target-row-count" -> "10") else Map.empty))
+        options = (if (numBuckets < 0)
+          Map("dynamic-bucket.target-row-count" -> "10")
+        else Map.empty[String, String]) ++ extraOpts))
     var model = Map.empty[Long, (String, Double)]
 
     def check(): Unit = {
@@ -62,6 +64,12 @@ class RandomizedLsmSpec extends SparkTestBase {
     }
     t.compact()
     check()
+  }
+
+  test("random op sequence with size-rolled compaction output") {
+    // tiny roll threshold: compactions emit several level-1 files per bucket
+    runScenario(seed = 99L, ops = 10, numBuckets = 1,
+      extraOpts = Map("write.max-records-per-file" -> "7"))
   }
 
   test("random op sequences agree with the in-memory model (3 seeds)") {
