@@ -536,6 +536,31 @@ object Fixtures {
     "graft_fix.db.orders_sql"
   }
 
+  /** Catalog-SQL fixture: events in a PARTITIONED graft-catalog table, then
+    * compacted — the shape partition-grouped aggregate pushdown serves from
+    * manifests alone. */
+  def sqlCatalogEvents(spark: SparkSession, sfDir: String): String = {
+    val wh = s"${fixRoot(sfDir)}/sql-warehouse"
+    val key = (sfDir, "__sql_catalog_events")
+    if (!built.contains(key)) {
+      spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+      val loc = s"$wh/db.db/events_sql"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
+      val ev = src(spark, sfDir, "events")
+      spark.sql(s"""CREATE TABLE graft_fix.db.events_sql (
+        ${ev.schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")})
+        PARTITIONED BY (event_type)""")
+      ev.createOrReplaceTempView("events_src_v")
+      spark.sql("INSERT INTO graft_fix.db.events_sql SELECT * FROM events_src_v")
+      built.put(key, GraftTable.load(spark, loc))
+    }
+    "graft_fix.db.events_sql"
+  }
+
   /** PK table over embeddings with a FILE-ALIGNED vector index: the index is
     * built at snapshot 1, then the table advances — an upsert reverses every
     * 10th vector and a DV delete drops every 7th — so searches must

@@ -201,6 +201,13 @@ object SparkEntry {
     // ---- aggregate/limit pushdown, sorts (§2.4b / §2.6) ----
     "q_agg_pushdown" -> ((s, d) => Fixtures.eventsAp(s, d).aggFromManifest(Seq(
       ("cnt", "count", ""), ("min_id", "min", "event_id"), ("max_id", "max", "event_id")))),
+    // GROUP BY partition column answered from manifests alone (DSv2
+    // complete aggregate pushdown, zero data files read)
+    "q_agg_pushdown_grouped" -> ((s, d) => {
+      val tbl = Fixtures.sqlCatalogEvents(s, d)
+      s.sql(s"""SELECT event_type, count(*) AS cnt, max(event_id) AS max_id
+                FROM $tbl GROUP BY event_type""")
+    }),
     "q_topn" -> ((s, d) => Fixtures.lineitemZ(s, d).read()
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(10)
@@ -850,6 +857,10 @@ object SparkEntry {
     "q_fileindex_bsi" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(avg(o_totalprice), 2) AS avg_price
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    "q_agg_pushdown_grouped" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(min(event_id) AS BIGINT) AS min_id,
         | CAST(max(event_id) AS BIGINT) AS max_id FROM events""".stripMargin,

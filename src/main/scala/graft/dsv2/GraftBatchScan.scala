@@ -215,6 +215,16 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
 
 object GraftBatchScan {
   /** Typed (Catalyst-internal) value from a manifest stat string. */
+  /** Types whose manifest partition-value string round-trips exactly through
+    * [[statValue]] — the gate for partition-grouped aggregate pushdown
+    * (float/double/decimal render ambiguously, so those fall back to a scan). */
+  def partitionValueTypes(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         StringType | DateType => true
+    case _: TimestampType => true
+    case _ => false
+  }
+
   def statValue(dt: DataType, s: String): Any = {
     if (s == null) return null
     dt match {
@@ -239,26 +249,26 @@ object GraftBatchScan {
 
 /** Single-row scan serving a manifest-answered aggregation (no data files
   * read): the DSv2 face of aggFromManifest. */
-class GraftAggScan(outSchema: StructType, values: Array[Any])
+class GraftAggScan(outSchema: StructType, rows: Array[Array[Any]])
     extends Scan with Batch {
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggResultPartition(values))
+    Array(GraftAggResultPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory = GraftAggReaderFactory()
   override def description(): String =
     s"GraftAggScan(manifest-only: ${outSchema.fieldNames.mkString(",")})"
 }
 
-case class GraftAggResultPartition(values: Array[Any]) extends InputPartition
+case class GraftAggResultPartition(rows: Array[Array[Any]]) extends InputPartition
 
 case class GraftAggReaderFactory() extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var served = false
-      override def next(): Boolean = { val n = !served; served = true; n }
-      override def get(): InternalRow =
-        new GenericInternalRow(p.asInstanceOf[GraftAggResultPartition].values)
+      private val rows = p.asInstanceOf[GraftAggResultPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
       override def close(): Unit = ()
     }
 }

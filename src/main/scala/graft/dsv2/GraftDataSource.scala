@@ -135,7 +135,20 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = readOptions ++ options.asScala
-    new GraftScanBuilder(t, snapshotId, merged)
+    // batch time travel as read options (paimon scan.snapshot-id /
+    // scan.tag-name / scan.timestamp-millis; catalog VERSION AS OF wins).
+    // Streaming scans ignore the pinned id — scan.mode drives their start.
+    val optSnap: Option[Long] =
+      if (merged.contains("scan.mode")) None
+      else merged.get("scan.snapshot-id").map(_.toLong)
+        .orElse(merged.get("scan.tag-name").map(n => t.sm.readTag(n).snapshotId))
+        .orElse(merged.get("scan.timestamp-millis").map { m =>
+          val ts = m.toLong
+          val ids = t.sm.snapshotIds.filter(id => t.sm.readSnapshot(id).timestampMs <= ts)
+          require(ids.nonEmpty, s"no snapshot committed at or before $ts")
+          ids.max
+        })
+    new GraftScanBuilder(t, snapshotId.orElse(optSnap), merged)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -210,10 +223,21 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
 
   private def buildAggScan(agg: Aggregation): Option[GraftAggScan] = {
     if (pushed.nonEmpty || topN.nonEmpty || limit.nonEmpty) return None
-    if (agg.groupByExpressions().nonEmpty) return None
-    val entries = t.rawPlan(snapshotId, None).getOrElse(return None)
     val schema = t.schema.sparkSchema
-    def stat(name: String, wantMax: Boolean): Option[Any] = {
+    // GROUP BY restricted to partition columns: each group is a set of whole
+    // files, so manifest stats answer it exactly (paimon
+    // AggregatePushDownUtils partition-grouped count/min/max)
+    val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
+      case nr: NamedReference if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+      case _ => return None
+    }
+    if (!groupCols.forall(t.config.partitionKeys.contains)) return None
+    // partition values travel as strings; statValue must round-trip the type
+    if (!groupCols.forall(c => schema.fields.find(_.name == c).exists(f =>
+        GraftBatchScan.partitionValueTypes(f.dataType)))) return None
+    val allEntries = t.rawPlan(snapshotId, None).getOrElse(return None)
+
+    def fold(entries: Seq[ManifestEntry], name: String, wantMax: Boolean): Option[Any] = {
       val dt = schema.fields.find(_.name == name).map(_.dataType).getOrElse(return None)
       // files with null min/max for an orderable column are all-null there —
       // nulls don't contribute to min/max, so folding the rest is exact
@@ -226,24 +250,51 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
           if (StatsPrune.compare(dt, a, b) >= 0 == wantMax) a else b)
       Some(if (v == null) null else GraftBatchScan.statValue(dt, v))
     }
-    val rowCount = entries.map(_.rowCount).sum
-    val out = agg.aggregateExpressions().map {
-      case _: CountStar => Some(("count(*)", org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType, rowCount: Any))
-      case m: Min => aggField(m.column()).flatMap { f =>
-        val dt = schema.fields.find(_.name == f).map(_.dataType).getOrElse(return None)
-        stat(f, wantMax = false).map(v => (s"min($f)", dt, v))
+
+    def aggRow(entries: Seq[ManifestEntry])
+        : Option[Seq[(String, org.apache.spark.sql.types.DataType, Any)]] = {
+      val out = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(("count(*)",
+          org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType,
+          entries.map(_.rowCount).sum: Any))
+        case m: Min => aggField(m.column()).flatMap { f =>
+          val dt = schema.fields.find(_.name == f).map(_.dataType).getOrElse(return None)
+          fold(entries, f, wantMax = false).map(v => (s"min($f)", dt, v))
+        }
+        case m: Max => aggField(m.column()).flatMap { f =>
+          val dt = schema.fields.find(_.name == f).map(_.dataType).getOrElse(return None)
+          fold(entries, f, wantMax = true).map(v => (s"max($f)", dt, v))
+        }
+        case _ => None
       }
-      case m: Max => aggField(m.column()).flatMap { f =>
-        val dt = schema.fields.find(_.name == f).map(_.dataType).getOrElse(return None)
-        stat(f, wantMax = true).map(v => (s"max($f)", dt, v))
-      }
-      case _ => None
+      if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
     }
-    if (out.exists(_.isEmpty)) return None
-    val cols = out.map(_.get)
-    val outSchema = StructType(cols.map { case (n, dt, _) =>
-      org.apache.spark.sql.types.StructField(n, dt) })
-    Some(new GraftAggScan(outSchema, cols.map(_._3).toArray))
+
+    if (groupCols.isEmpty) {
+      val cols = aggRow(allEntries).getOrElse(return None)
+      val outSchema = StructType(cols.map { case (n, dt, _) =>
+        org.apache.spark.sql.types.StructField(n, dt) })
+      Some(new GraftAggScan(outSchema, Array(cols.map(_._3).toArray)))
+    } else {
+      val groupTypes = groupCols.map(c => schema.fields.find(_.name == c).get.dataType)
+      val groups = allEntries.groupBy(e => groupCols.map(c => e.partition.getOrElse(c, null)))
+      val rows = groups.toSeq.map { case (gv, es) =>
+        val keyVals = gv.zip(groupTypes).map { case (raw, dt) =>
+          if (raw == null) null else GraftBatchScan.statValue(dt, raw)
+        }
+        aggRow(es).map(cols => (keyVals ++ cols.map(_._3)).toArray[Any])
+          .getOrElse(return None)
+      }
+      // schema: group columns first, then aggregates (Spark's complete-
+      // pushdown row contract)
+      val aggCols = aggRow(allEntries).getOrElse(return None)
+      val outSchema = StructType(
+        groupCols.zip(groupTypes).map { case (c, dt) =>
+          org.apache.spark.sql.types.StructField(c, dt) } ++
+        aggCols.map { case (n, dt, _) =>
+          org.apache.spark.sql.types.StructField(n, dt) })
+      Some(new GraftAggScan(outSchema, rows.toArray))
+    }
   }
 
   override def build(): Scan = {

@@ -746,6 +746,42 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM graft.mdb.t_two").head().getLong(0) == 3)
   }
 
+  test("aggregate pushdown with GROUP BY partition columns (manifest-only)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.aggpt (k BIGINT, v DOUBLE, dt STRING)
+                 PARTITIONED BY (dt)""")
+    spark.sql("""INSERT INTO graft.db.aggpt VALUES
+                 (1,1.0,'d1'),(2,2.0,'d1'),(3,3.0,'d2'),(4,4.0,'d2'),(5,5.0,'d2')""")
+    val df = spark.sql(
+      "SELECT dt, count(*) AS cnt, max(v) AS mx FROM graft.db.aggpt GROUP BY dt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"), s"expected manifest-only agg:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("d1", 2L, 2.0), ("d2", 3L, 5.0)), s"got ${got.mkString(",")}")
+    // grouping on a NON-partition column must fall back to a real scan
+    val df2 = spark.sql("SELECT k, count(*) AS c FROM graft.db.aggpt GROUP BY k")
+    assert(!df2.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(df2.collect().length == 5)
+  }
+
+  test("batch time travel via read options: scan.snapshot-id / scan.tag-name") {
+    val loc = tmpLoc("optsnap")
+    val df1 = Seq((1L, "a")).toDF("k", "v")
+    val t = GraftTable.create(spark, loc, df1.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df1)
+    t.sm.createTag("v1", 1)
+    t.write(Seq((2L, "b")).toDF("k", "v"))
+    assert(spark.read.format("graft").load(loc).count() == 2)
+    assert(spark.read.format("graft").option("scan.snapshot-id", "1")
+      .load(loc).count() == 1)
+    assert(spark.read.format("graft").option("scan.tag-name", "v1")
+      .load(loc).count() == 1)
+    val ts1 = t.sm.readSnapshot(1).timestampMs
+    assert(spark.read.format("graft").option("scan.timestamp-millis", ts1.toString)
+      .load(loc).count() == 1)
+  }
+
   test("ANALYZE column stats reach the DSv2 scan (CBO columnStats)") {
     import graft.core.RowOps._
     val loc = tmpLoc("cbostats")
