@@ -135,6 +135,32 @@ object Fixtures {
       t
     }
 
+  /** docs_de shape + MERGE INTO through the data-evolution commit: matched
+    * deletes (doc_id%9=0), matched update patches (other doc_id%3=0 rows),
+    * and inserts (shifted ids) — one statement, patches + rewrite + append. */
+  def docsDeM(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "docs_de_merge") { loc =>
+      import graft.core.RowOps._
+      val d = src(spark, sfDir, "documents")
+      val t = GraftTable.createOrReplace(spark, loc, d.schema,
+        TableConfig(options = Map("row-tracking.enabled" -> "true")))
+      t.write(d.filter(col("doc_id") % 2 === 0))
+      t.write(d.filter(col("doc_id") % 2 === 1))
+      val srcDf = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("sid"), (col("n_chars") + 1000L).as("nc"))
+        .unionAll(d.filter(col("doc_id") % 1000 === 0)
+          .select((col("doc_id") + 10000000L).as("sid"),
+            (col("n_chars") + 1000L).as("nc")))
+      t.mergeInto(srcDf, col("t.doc_id") === col("s.sid"))
+        .whenMatchedDelete(Some(col("s.sid") % 9 === 0))
+        .whenMatchedUpdate(set = Map("n_chars" -> col("s.nc")))
+        .whenNotMatchedInsert(values = Map(
+          "doc_id" -> col("s.sid"), "text" -> lit("x"), "lang" -> lit("xx"),
+          "source" -> lit("merged"), "n_chars" -> col("s.nc")))
+        .execute()
+      t
+    }
+
   /** POSTPONE bucket mode (bucket = -2): orders written shuffle-free into
     * staging, compacted into 4 real buckets, then an UPDATE batch staged
     * but NOT compacted — reads must serve the compacted state only. */

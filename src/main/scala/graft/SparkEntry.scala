@@ -143,6 +143,8 @@ object SparkEntry {
     // generations, the second's predicate over the first's patched values.
     "q_data_evolution" -> ((s, d) => Fixtures.docsDe(s, d).read()
       .select("doc_id", "lang", "source", "n_chars")),
+    "q_data_evolution_merge" -> ((s, d) => Fixtures.docsDeM(s, d).read()
+      .select("doc_id", "lang", "source", "n_chars")),
     // POSTPONE bucket mode: staged (uncompacted) writes are invisible —
     // the read serves exactly the last compacted state
     "q_postpone" -> ((s, d) => Fixtures.ordersPp(s, d).read()
@@ -786,6 +788,15 @@ object SparkEntry {
         | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
         |               ELSE o_totalprice END), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_data_evolution_merge" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE NOT (doc_id % 9 = 0)
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'xx', 'merged', n_chars + 1000
+        |  FROM documents WHERE doc_id % 1000 = 0
+        |)""".stripMargin,
     "q_data_evolution" ->
       """SELECT doc_id, lang,
         | CASE WHEN lang = 'en' AND length(text) > 400 THEN 'curated'

@@ -818,9 +818,14 @@ object RowOps {
       notMatchedBySource :+= Clause("update", condition, set); this
     }
 
-    /** Execute as a MOR upsert commit (new versions + tombstones). */
+    /** Execute as a MOR upsert commit (new versions + tombstones), or — for
+      * row-tracking append tables — as a DATA-EVOLUTION commit (paimon
+      * MergeIntoPaimonDataEvolutionTable): matched updates become column
+      * patches by row id (base files never move), matched deletes rewrite
+      * only the files whose row-id range is hit, inserts append. */
     def execute(): SnapshotMeta = {
-      require(t.isPk, "MERGE INTO requires a primary-keyed table")
+      if (!t.isPk && t.isRowTracking) return executeDataEvolution()
+      require(t.isPk, "MERGE INTO requires a primary-keyed or row-tracking table")
       val spark = t.spark
       val commitSeq = t.nextCommitSeq
       val dataCols = t.dataSchema.fields.map(_.name).toSeq
@@ -905,6 +910,132 @@ object RowOps {
       val adds = t.writeFiles(all, preMerged = true, commitSeqOverride = Some(commitSeq))
       t.sm.commit(adds, "APPEND", s"merge-into-${UUID.randomUUID().toString.take(8)}",
         t.schema.id)
+    }
+
+    private def executeDataEvolution(): SnapshotMeta = {
+      val spark = t.spark
+      val cfg = t.config
+      val dataCols = t.dataSchema.fields.map(_.name).toSeq
+      def dtOf(c: String) = t.dataSchema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c")).dataType
+      val existingPatches = t.patchesFor(None)
+      // current visible state WITH row ids: prior patches applied, so clause
+      // conditions and unassigned columns see patched current values
+      val base = t.applyPatches(
+        t.readEntries(t.planFiles(), withInternal = true), existingPatches)
+      val tgt = base.alias("t")
+      val src = source.alias("s")
+      // one patch-column set for the whole statement: the union of every
+      // update clause's assignments (per row, unassigned ones keep current)
+      val patchCols = (matched ++ notMatchedBySource).filter(_.kind == "update")
+        .flatMap(_.set.keys).distinct.sorted
+      require(!patchCols.exists(cfg.partitionKeys.contains),
+        "data-evolution merge cannot move rows across partitions")
+
+      def classify(df: DataFrame, clauses: Seq[Clause]): DataFrame = {
+        var action = lit(0)
+        clauses.zipWithIndex.reverse.foreach { case (c, i) =>
+          val hit = c.condition.getOrElse(lit(true))
+          action = when(coalesce(hit, lit(false)), lit(i + 1)).otherwise(action)
+        }
+        df.withColumn("__action", action)
+      }
+      def patchRows(rows: DataFrame, c: Clause): DataFrame =
+        rows.select((col(s"t.${GraftTable.ROW_ID}").as(GraftTable.ROW_ID) +:
+          patchCols.map(cn => c.set.get(cn).map(_.cast(dtOf(cn)))
+            .getOrElse(col(s"t.$cn")).as(cn))).toIndexedSeq: _*)
+
+      var patchParts: Seq[DataFrame] = Nil
+      var deleteParts: Seq[DataFrame] = Nil
+      var insertParts: Seq[DataFrame] = Nil
+
+      if (matched.nonEmpty) {
+        val joined = classify(src.join(tgt, cond, "inner"), matched)
+        matched.zipWithIndex.foreach { case (c, i) =>
+          val rows = joined.filter(col("__action") === (i + 1))
+          c.kind match {
+            case "update" => patchParts :+= patchRows(rows, c)
+            case "delete" => deleteParts :+= rows.select(
+              col(s"t.${GraftTable.ROW_ID}").as(GraftTable.ROW_ID))
+          }
+        }
+      }
+      if (notMatchedBySource.nonEmpty) {
+        val anti = classify(tgt.join(src, cond, "left_anti"), notMatchedBySource)
+        notMatchedBySource.zipWithIndex.foreach { case (c, i) =>
+          val rows = anti.filter(col("__action") === (i + 1))
+          c.kind match {
+            case "update" => patchParts :+= patchRows(rows, c)
+            case "delete" => deleteParts :+= rows.select(
+              col(s"t.${GraftTable.ROW_ID}").as(GraftTable.ROW_ID))
+          }
+        }
+      }
+      if (notMatched.nonEmpty) {
+        val anti = classify(src.join(tgt, cond, "left_anti"), notMatched)
+        notMatched.zipWithIndex.foreach { case (c, i) =>
+          val rows = anti.filter(col("__action") === (i + 1))
+          val cols = dataCols.map { cn =>
+            val dt = dtOf(cn)
+            c.set.get(cn).map(_.cast(dt).as(cn)).getOrElse(
+              if (rows.columns.contains(cn)) col(cn).cast(dt).as(cn)
+              else lit(null).cast(dt).as(cn))
+          }
+          insertParts :+= rows.select(cols.toIndexedSeq: _*)
+        }
+      }
+      require(patchParts.nonEmpty || deleteParts.nonEmpty || insertParts.nonEmpty,
+        "MERGE INTO needs at least one clause")
+
+      var delta: Seq[ManifestEntry] = Nil
+      var patchAction: Option[Seq[PatchFile]] = None
+      // 1) matched updates → ONE new patch generation
+      if (patchParts.nonEmpty) {
+        val out = patchParts.reduce(_ unionAll _)
+          .localCheckpoint(true) // classification runs once; stats reread below
+        require(out.groupBy(GraftTable.ROW_ID).count()
+          .filter(col("count") > 1).isEmpty,
+          "MERGE INTO: a target row matched several source rows")
+        val dir = s"patch/p-${UUID.randomUUID().toString.take(12)}"
+        val abs = new Path(t.location, dir).toString
+        out.write.parquet(abs)
+        val stat = spark.read.parquet(abs)
+          .agg(min(col(GraftTable.ROW_ID)), max(col(GraftTable.ROW_ID)),
+            count(lit(1))).head()
+        if (!stat.isNullAt(0))
+          patchAction = Some(existingPatches :+ PatchFile(dir, patchCols,
+            stat.getLong(0), stat.getLong(1), stat.getLong(2), t.nextCommitSeq))
+      }
+      // 2) matched deletes → rewrite ONLY files whose row-id range is hit
+      //    (row ids preserved; outstanding patches keep applying by id)
+      if (deleteParts.nonEmpty) {
+        val ids = deleteParts.reduce(_ unionAll _).distinct().localCheckpoint(true)
+        val b = ids.agg(min(col(GraftTable.ROW_ID)), max(col(GraftTable.ROW_ID))).head()
+        if (!b.isNullAt(0)) {
+          val (lo, hi) = (b.getLong(0), b.getLong(1))
+          val victims = t.planFiles().filter { e =>
+            e.stats.get(GraftTable.ROW_ID).forall { s =>
+              val mn = Option(s.min).map(_.toLong).getOrElse(Long.MinValue)
+              val mx = Option(s.max).map(_.toLong).getOrElse(Long.MaxValue)
+              mx >= lo && mn <= hi
+            }
+          }
+          if (victims.nonEmpty) {
+            val survivors = t.readEntries(victims, withInternal = true)
+              .join(ids, Seq(GraftTable.ROW_ID), "left_anti")
+            val adds = t.writeFiles(survivors)
+            delta ++= victims.map(_.copy(kind = 1)) ++ adds
+          }
+        }
+      }
+      // 3) not-matched inserts → plain append, fresh row ids
+      if (insertParts.nonEmpty) {
+        val ins = insertParts.reduce(_ unionAll _)
+        delta ++= t.writeFiles(ins)
+      }
+      t.sm.commit(delta, "APPEND",
+        s"merge-evo-${UUID.randomUUID().toString.take(8)}", t.schema.id,
+        patchAction = patchAction)
     }
   }
 }

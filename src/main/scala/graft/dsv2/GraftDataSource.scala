@@ -302,7 +302,11 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     // incremental read between two snapshots as a read option (the DSv2
     // spelling of the incremental TVF / paimon incremental-between)
     readOptions.get("incremental-between").foreach { r =>
-      val parts = r.split(",").map(_.trim.toLong)
+      // snapshot ids or tag names (paimon incremental-between tags)
+      def snap(s: String): Long =
+        try s.toLong
+        catch { case _: NumberFormatException => t.sm.readTag(s).snapshotId }
+      val parts = r.split(",").map(p => snap(p.trim))
       require(parts.length == 2, "incremental-between expects 'from,to'")
       return new GraftIncrementalScan(t, parts(0), parts(1), required)
     }

@@ -45,6 +45,16 @@ object GraftTableFunctions {
     case n: java.lang.Number => n.longValue()
     case o => o.toString.toLong
   }
+  /** Snapshot designator: a numeric snapshot id or a TAG name (paimon
+    * incremental-between tags). */
+  private def snapArg(t: graft.core.GraftTable, e: Expression): Long =
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case o =>
+        val s = String.valueOf(o)
+        try s.toLong
+        catch { case _: NumberFormatException => t.sm.readTag(s).snapshotId }
+    }
   private def floats(e: Expression): Seq[Float] = e.eval() match {
     case a: ArrayData => a.toObjectArray(
       org.apache.spark.sql.types.DoubleType).toSeq.map {
@@ -75,11 +85,13 @@ object GraftTableFunctions {
   val all: Seq[FunctionDescription] = Seq(
     fd("graft_incremental_query") { args =>
       require(args.length == 3, "graft_incremental_query(table, from, to)")
-      plan(resolveTable(str(args(0))).incremental(lng(args(1)), lng(args(2))))
+      val t = resolveTable(str(args(0)))
+      plan(t.incremental(snapArg(t, args(1)), snapArg(t, args(2))))
     },
     fd("graft_changelog") { args =>
       require(args.length == 3, "graft_changelog(table, from, to)")
-      plan(resolveTable(str(args(0))).changelog(lng(args(1)), lng(args(2))))
+      val t = resolveTable(str(args(0)))
+      plan(t.changelog(snapArg(t, args(1)), snapArg(t, args(2))))
     },
     fd("graft_full_text_search") { args =>
       require(args.length == 3, "graft_full_text_search(indexPath, query, k)")

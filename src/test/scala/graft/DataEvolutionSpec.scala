@@ -105,5 +105,68 @@ class DataEvolutionSpec extends SparkTestBase {
     assert(t2.sm.latestSnapshot.get.patchList.size == 1)
     assert(t2.read(Some(col("id") === 13L)).select("score").head().getDouble(0) == 42.0)
     assert(spark.sql("SELECT sum(score) FROM graft_de.db.docs").head().getDouble(0) == 42.0)
+    // SQL MERGE INTO routes to the data-evolution commit too
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW de_src AS SELECT * FROM VALUES " +
+      "(13, 1.0), (20, -1.0), (99, 9.0) AS v(id, score)")
+    spark.sql("""
+      MERGE INTO graft_de.db.docs t USING de_src s ON t.id = s.id
+      WHEN MATCHED AND s.score < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET score = s.score
+      WHEN NOT MATCHED THEN INSERT (id, score) VALUES (s.id, s.score)
+    """)
+    val rows = spark.sql("SELECT id, score FROM graft_de.db.docs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 0.0), (13L, 1.0), (99L, 9.0)), s"got $rows")
+    assert(GraftTable.load(spark, s"$wh/db.db/docs")
+      .sm.latestSnapshot.get.patchList.exists(_.cols == Seq("score")))
+  }
+
+  test("MERGE INTO data-evolution: updates patch, deletes rewrite by id, inserts append") {
+    val t = mkTable("de-merge")
+    val baseFiles = t.planFiles(None, None).map(_.path).toSet
+    val src = Seq(
+      (10L, 1.5, "upd"),   // matched → update (patch)
+      (20L, -1.0, "del"),  // matched → delete
+      (200L, 7.0, "new")   // not matched → insert
+    ).toDF("sid", "sscore", "tag")
+    t.mergeInto(src, col("t.id") === col("s.sid"))
+      .whenMatchedDelete(Some(col("s.tag") === "del"))
+      .whenMatchedUpdate(set = Map("score" -> col("s.sscore")))
+      .whenNotMatchedInsert(values = Map(
+        "id" -> col("s.sid"), "title" -> lit("inserted"),
+        "score" -> col("s.sscore"), "emb" -> lit(null)))
+      .execute()
+    val got = t.read().select("id", "score").as[(Long, Double)].collect().toMap
+    assert(!got.contains(20L), "matched-delete row must vanish")
+    assert(got(10L) == 1.5, "matched-update must see the source value")
+    assert(got(200L) == 7.0, "not-matched insert must land")
+    assert(got.size == 100, "99 survivors + 1 insert")
+    // the update arrived as a PATCH: only the delete rewrote base files
+    val patches = t.sm.latestSnapshot.get.patchList
+    assert(patches.nonEmpty && patches.last.cols == Seq("score"))
+    val after = t.planFiles(None, None).map(_.path).toSet
+    assert((baseFiles -- after).size == 1,
+      s"exactly the id=20 file rewrites, got removed=${(baseFiles -- after).size}")
+    // untouched wide column still correct through the patch join
+    assert(t.read(Some(col("id") === 10L)).select("emb").head()
+      .getSeq[Float](0) == Seq.fill(8)(10.0f))
+    // prior patches survive a later merge's delete (row ids stable)
+    t.update(Map("score" -> lit(3.25)), col("id") === 30L)
+    t.mergeInto(Seq((40L, "x")).toDF("sid", "tag"), col("t.id") === col("s.sid"))
+      .whenMatchedDelete(None).execute()
+    val got2 = t.read().select("id", "score").as[(Long, Double)].collect().toMap
+    assert(!got2.contains(40L) && got2(30L) == 3.25 && got2(10L) == 1.5)
+  }
+
+  test("MERGE INTO data-evolution: not-matched-by-source update patches") {
+    val t = mkTable("de-merge-nmbs")
+    val src = (1L to 90L).toDF("sid")
+    t.mergeInto(src, col("t.id") === col("s.sid"))
+      .whenNotMatchedBySourceUpdate(set = Map("score" -> lit(-5.0)))
+      .execute()
+    val got = t.read().select("id", "score").as[(Long, Double)].collect().toMap
+    (1L to 100L).foreach { i =>
+      assert(got(i) == (if (i > 90) -5.0 else 0.0), s"row $i -> ${got(i)}")
+    }
   }
 }

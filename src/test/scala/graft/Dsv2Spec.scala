@@ -493,6 +493,12 @@ class Dsv2Spec extends SparkTestBase {
       .option("incremental-between", "1,2").load(loc)
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
     assert(inc == Seq((2L, "bbb2x"), (3L, "ccc3")))
+    // same range addressed by TAG names (paimon incremental-between tags)
+    t.sm.createTag("base", 1); t.sm.createTag("head", 2)
+    val incTag = spark.read.format("graft")
+      .option("incremental-between", "base,head").load(loc)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(incTag == inc)
     // substring(c,1,n) = v prunes through the startsWith transform: two
     // APPEND-table files hold disjoint s-prefixes (value-column pruning is
     // merge-safe only where rows are final, so the PK table above would
