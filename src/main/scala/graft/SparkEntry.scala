@@ -437,6 +437,20 @@ object SparkEntry {
     "q_text_tokens" -> ((s, d) => t(s, d, "documents")
       .groupBy("lang")
       .agg(sum(TextOps.tokenCount(col("text"))).as("n_tokens"), count(lit(1)).as("docs"))),
+    // BPE-ish subword counts + Gopher-style repetition/stopword signals,
+    // aggregated as exact integer counts (engine-portable, no float drift)
+    "q_text_signals" -> ((s, d) => {
+      val txt = col("text")
+      val lines = filter(split(txt, "\n"), l => length(trim(l)) > 0)
+      val ws = TextOps.words(txt)
+      val stops = filter(ws, w => TextOps.stopwords.map(sw => w === sw).reduce(_ || _))
+      t(s, d, "documents").groupBy("lang").agg(
+        sum(TextOps.tokenCountBpe(txt)).as("bpe_tokens"),
+        sum(size(lines).cast("long")).as("n_lines"),
+        sum(size(array_distinct(lines)).cast("long")).as("n_uniq_lines"),
+        sum(size(stops).cast("long")).as("n_stop"),
+        sum(size(ws).cast("long")).as("n_words"))
+    }),
     "q_lang_id" -> ((s, d) => t(s, d, "documents")
       // staged: tokenization + marker counts once per row, argmax separate
       .select(TextOps.langScores(col("text")).as("__ls"))
@@ -637,6 +651,16 @@ object SparkEntry {
         .withColumn("blob", encode(col("text"), "UTF-8"))
         .select(col("doc_id"), length(col("blob")).as("byte_len"),
           md5(col("blob")).as("content_hash"))
+    }),
+    "q_frame_sample" -> ((s, d) => {
+      // frame-sampling fan-out (video stand-in): one row per fixed-stride
+      // slice — pure codegen (sequence/transform/substr), no UDF
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          explode(graft.pipeline.Blob.sampleFrames(col("blob"), 256, 64)).as("f"))
+        .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+          length(col("f.frame")).cast("int").as("frame_len"))
     })
   )
 
@@ -1053,6 +1077,22 @@ object SparkEntry {
       s"""SELECT lang, CAST(sum($tokCntSql) AS BIGINT) AS n_tokens,
          | CAST(count(*) AS BIGINT) AS docs
          |FROM documents GROUP BY lang""".stripMargin,
+    "q_text_signals" ->
+      """WITH sig AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS bpe,
+        |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(len(lines)) AS BIGINT) AS n_lines,
+        |  CAST(sum(len(list_distinct(lines))) AS BIGINT) AS n_uniq_lines,
+        |  CAST(sum(len(list_filter(ws, w -> list_contains(
+        |    ['the','and','of','to','a','in','is','that','it','for'], w)))) AS BIGINT) AS n_stop,
+        |  CAST(sum(len(ws)) AS BIGINT) AS n_words
+        |FROM sig GROUP BY lang""".stripMargin,
     "q_lang_id" -> langIdOracle,
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -1066,6 +1106,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
         | md5(text) AS content_hash
         |FROM documents WHERE doc_id < 100""".stripMargin,
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS blen
+        |  FROM documents WHERE doc_id < 100),
+        |idx AS (
+        |  SELECT doc_id, blen,
+        |    unnest(range(0, ((blen-1)//256)+1)) AS i FROM f)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(least(64, blen - i*256) AS INT) AS frame_len
+        |FROM idx""".stripMargin,
     "q_variant" ->
       """SELECT doc_id, lang, CAST(length(text) AS INT) AS text_len
         |FROM documents WHERE doc_id < 200""".stripMargin,

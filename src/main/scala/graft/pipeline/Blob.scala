@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -130,6 +130,57 @@ object Blob {
         val h = java.util.Arrays.hashCode(bytes)
         ImageMeta(math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1,
           if (h % 2 == 0) "png" else "jpeg")
+      }
+    }
+
+  /** FRAME SAMPLING plumbing (video frame-extract stand-in): fixed-stride
+    * byte slices of the payload, one struct per frame — explode for a
+    * row-per-frame pipeline. Pure codegen'd expressions (sequence/transform/
+    * substr), no UDF: a real frame grabber would swap the `frame` slice for
+    * a decoded image while the fan-out plumbing stays identical. */
+  def sampleFrames(bin: Column, strideBytes: Int, frameBytes: Int): Column =
+    transform(sequence(lit(0),
+        greatest(lit(0), floor((length(bin) - 1) / strideBytes)).cast("int")),
+      i => struct(i.cast("int").as("frame_idx"),
+        (i * strideBytes).cast("long").as("offset"),
+        bin.substr((i * strideBytes + 1).cast("int"),
+          least(lit(frameBytes), length(bin) - i * strideBytes).cast("int"))
+          .as("frame")))
+
+  /** STUB resize: truncate the payload proportionally and rewrite the
+    * metadata — byte-level stand-in for a real scaler (same schema flow). */
+  def fakeResize(bin: Column, scalePct: Int): Column =
+    bin.substr(lit(1), greatest(lit(1), (length(bin) * scalePct / 100).cast("int")))
+
+  /** BATCHED feature extraction (model-inference stand-in): rows flow
+    * through mapPartitions in fixed-size batches — the exact shape a real
+    * encoder needs (collect a batch of payloads, one model call per batch,
+    * emit one vector per row). The "model" is a deterministic per-dimension
+    * rolling hash; swap `encodeBatch` for an ONNX/TF session call and
+    * nothing else changes. */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int,
+                      batchSize: Int = 64): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "model call" per batch of payloads
+        val feats = encodeBatch(batch.map(_.getAs[Array[Byte]](idx)), dim)
+        batch.zip(feats).map { case (r, f) => Row.fromSeq(r.toSeq :+ f) }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  private def encodeBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Seq[Float]] =
+    payloads.map { bytes =>
+      if (bytes == null) null
+      else (0 until dim).map { d =>
+        var h = 1125899906842597L + d
+        var i = 0
+        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+        ((h % 1000L) / 1000.0f)
       }
     }
 }

