@@ -135,6 +135,31 @@ object Fixtures {
       t
     }
 
+  /** CHAIN TABLE fixture (paimon chain-table.mdx): snapshot branch holds the
+    * 'd1' full dump; the delta branch holds only 'd2' changes (every 3rd key
+    * repriced). readChain('d2') = anchor d1 ⊕ delta d2 — no full rewrite. */
+  def chainOrders(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "chain_orders") { loc =>
+      import graft.core.RowOps._
+      val o = src(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit(1L).as("seq"), lit("d1").as("day"))
+      val t = GraftTable.createOrReplace(spark, loc, o.schema,
+        TableConfig(primaryKeys = Seq("day", "o_orderkey"),
+          partitionKeys = Seq("day"), numBuckets = 2,
+          sequenceField = Some("seq"),
+          options = Map("chain-table.enabled" -> "true")))
+      t.write(o.limit(0)) // snapshot 1: empty anchor for the branches
+      t.createBranch("snapshot")
+      t.createBranch("delta")
+      t.onBranch("snapshot").write(o)
+      t.onBranch("delta").write(o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("day", lit("d2"))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+        .withColumn("seq", lit(2L)))
+      t
+    }
+
   /** docs_de shape + MERGE INTO through the data-evolution commit: matched
     * deletes (doc_id%9=0), matched update patches (other doc_id%3=0 rows),
     * and inserts (shifted ids) — one statement, patches + rewrite + append. */

@@ -145,6 +145,11 @@ object SparkEntry {
       .select("doc_id", "lang", "source", "n_chars")),
     "q_data_evolution_merge" -> ((s, d) => Fixtures.docsDeM(s, d).read()
       .select("doc_id", "lang", "source", "n_chars")),
+    // chain table (§2.10): full state of day d2 = snapshot-branch d1 anchor
+    // merged with delta-branch d2 changes — incremental compute + storage
+    "q_chain_read" -> ((s, d) => Fixtures.chainOrders(s, d).readChain("d2")
+      .select(col("o_orderkey"), col("day"),
+        round(col("o_totalprice"), 2).as("price"))),
     // POSTPONE bucket mode: staged (uncompacted) writes are invisible —
     // the read serves exactly the last compacted state
     "q_postpone" -> ((s, d) => Fixtures.ordersPp(s, d).read()
@@ -812,6 +817,12 @@ object SparkEntry {
         | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
         |               ELSE o_totalprice END), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_chain_read" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'd2' ELSE 'd1' END AS day,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice * 2, 2)
+        |       ELSE round(o_totalprice, 2) END AS price
+        |FROM orders""".stripMargin,
     "q_data_evolution_merge" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source,

@@ -39,6 +39,13 @@ object Procedures {
       case "rewrite_file_index" =>
         val n = FileIndexes.rebuildAll(table)
         ok(s"rebuilt file indexes for $n files")
+      case "compact_chain_table" =>
+        // partition arg accepts the raw value or a col='value' spec
+        val raw = args.getOrElse("partition",
+          throw new IllegalArgumentException("compact_chain_table needs partition"))
+        val pt = raw.split("=").last.replaceAll("^['\"]|['\"]$", "").trim
+        val s = table.compactChainTable(pt)
+        ok(s"chain-compacted partition $pt into snapshot branch (snapshot ${s.id})")
       case "compact_manifest" =>
         val s = table.sm.compactManifests(table.schema.id)
         ok(s"manifests consolidated at snapshot ${s.id}")

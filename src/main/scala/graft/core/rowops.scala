@@ -382,6 +382,68 @@ object RowOps {
       new MergeIntoBuilder(t, source, cond)
 
     // ----------------------------------------------------------------
+    // CHAIN TABLE (paimon docs/primary-key-table/chain-table.mdx)
+    // ----------------------------------------------------------------
+
+    private def chainPtCol: String = {
+      require(cfg.option("chain-table.enabled", "false") == "true",
+        "chain-table.enabled required")
+      require(cfg.partitionKeys.size == 1,
+        "chain tables use exactly one (time) partition key")
+      require(cfg.mergeEngine == "deduplicate",
+        "chain tables require the deduplicate engine")
+      cfg.partitionKeys.head
+    }
+
+    /** CHAIN READ: full state of time-partition `targetPt` from a snapshot
+      * branch (periodic fulls) + delta branch (daily changes). If the
+      * snapshot branch holds `targetPt` it serves directly; otherwise the
+      * nearest EARLIER snapshot partition anchors the chain and the delta
+      * partitions in (anchor, targetPt] merge on top — key = primary key
+      * minus the partition column, later partition (then higher sequence)
+      * wins. Incremental compute + storage for the ODS full-dump pattern:
+      * no day ever rewrites the whole table. */
+    def readChain(targetPt: String): DataFrame = {
+      val ptCol = chainPtCol
+      val snapT = onBranch("snapshot")
+      val deltaT = onBranch("delta")
+      val snapParts = snapT.planFiles(None, None)
+        .flatMap(_.partition.get(ptCol)).flatMap(Option(_)).distinct.sorted
+      val ptStr = col(ptCol).cast("string")
+      if (snapParts.contains(targetPt))
+        return snapT.read(Some(ptStr === targetPt))
+      val anchor = snapParts.filter(_ <= targetPt).lastOption
+      val base = anchor.map(a => snapT.read(Some(ptStr === a)))
+      val deltaCond = anchor.map(a => ptStr > a).getOrElse(lit(true)) &&
+        ptStr <= targetPt
+      val deltas = deltaT.read(Some(deltaCond))
+      val all = base.map(_.unionAll(deltas)).getOrElse(deltas)
+      val chainKeys = cfg.primaryKeys.filterNot(_ == ptCol)
+      require(chainKeys.nonEmpty, "chain key = primary key minus partition column")
+      // the reference requires sequence.field for chain tables (ties across
+      // branches are undefined without it) — same rule here
+      require(cfg.sequenceField.isDefined, "chain tables require sequence.field")
+      val ord = Seq(col(ptCol).cast("string").desc, col(cfg.sequenceField.get).desc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(chainKeys.map(col).toIndexedSeq: _*).orderBy(ord: _*)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
+    /** `CALL sys.compact_chain_table`: materialize the chain-merged state of
+      * `targetPt` into the snapshot branch as partition `targetPt` — later
+      * reads of that partition skip the chain merge entirely (paimon
+      * compact_chain_table procedure). */
+    def compactChainTable(targetPt: String): SnapshotMeta = {
+      val ptCol = chainPtCol
+      val merged = readChain(targetPt)
+      val dt = t.dataSchema.fields.find(_.name == ptCol).get.dataType
+      onBranch("snapshot").overwrite(
+        merged.withColumn(ptCol, lit(targetPt).cast(dt)),
+        staticPartition = Map(ptCol -> targetPt))
+    }
+
+    // ----------------------------------------------------------------
     // SYSTEM TABLES (paimon-core/.../table/system/SystemTableLoader.java)
     // ----------------------------------------------------------------
 

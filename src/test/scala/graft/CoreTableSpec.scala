@@ -47,6 +47,41 @@ class CoreTableSpec extends SparkTestBase {
     (4L, "C", 40.0, "2024-01-02")
   ).toDF("k", "status", "price", "dt")
 
+  test("chain table: anchor merge, compact_chain_table materializes the chain") {
+    import graft.core.RowOps._
+    val loc = tmpLoc("chain")
+    val schema = Seq((1L, "v", 1L, "d1")).toDF("k", "v", "seq", "day").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("day", "k"), partitionKeys = Seq("day"),
+        numBuckets = 1, sequenceField = Some("seq"),
+        options = Map("chain-table.enabled" -> "true")))
+    t.write(Seq.empty[(Long, String, Long, String)].toDF("k", "v", "seq", "day"))
+    t.createBranch("snapshot")
+    t.createBranch("delta")
+    t.onBranch("snapshot").write(Seq(
+      (1L, "a", 1L, "d1"), (2L, "b", 1L, "d1"), (3L, "c", 1L, "d1"))
+      .toDF("k", "v", "seq", "day"))
+    t.onBranch("delta").write(Seq(
+      (2L, "b2", 2L, "d2"), (4L, "d", 2L, "d2"))
+      .toDF("k", "v", "seq", "day"))
+    // snapshot partition present → direct read
+    assert(t.readChain("d1").select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // chain merge: d1 anchor ⊕ d2 delta
+    val d2 = t.readChain("d2").select("k", "v").as[(Long, String)].collect().toMap
+    assert(d2 == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"), s"got $d2")
+    // compaction materializes d2 into the snapshot branch
+    Procedures.call(spark, t, "compact_chain_table", Map("partition" -> "day='d2'"))
+    val snapD2 = t.onBranch("snapshot")
+      .read(Some(col("day") === "d2")).select("k", "v").as[(Long, String)]
+      .collect().toMap
+    assert(snapD2 == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+    // post-compaction chain read takes the direct path, day rewritten to d2
+    val fast = t.readChain("d2").select("k", "day").as[(Long, String)].collect()
+    assert(fast.length == 4 && fast.forall(_._2 == "d2"))
+    // earlier day untouched
+    assert(t.readChain("d1").count() == 3)
+  }
+
   test("compaction size-rolling: multiple level-1 files stay raw-convertible") {
     import graft.core.RowOps._
     val loc = tmpLoc("roll")
