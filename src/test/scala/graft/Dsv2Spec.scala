@@ -752,6 +752,30 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM graft.mdb.t_two").head().getLong(0) == 3)
   }
 
+  test("generic session catalog: spark_catalog serves graft AND parquet tables") {
+    val s2 = spark.newSession()
+    val wh2 = Files.createTempDirectory("graft-generic-wh").toString
+    s2.conf.set("spark.sql.catalog.spark_catalog", "graft.dsv2.GraftGenericCatalog")
+    s2.conf.set("spark.sql.catalog.spark_catalog.warehouse", wh2)
+    s2.sql("""CREATE TABLE genct (k BIGINT, v STRING) USING graft
+              TBLPROPERTIES ('primary-key'='k', 'bucket'='1')""")
+    s2.sql("INSERT INTO genct VALUES (1,'a'),(2,'b')")
+    s2.sql("INSERT INTO genct VALUES (2,'b2')")
+    val got = s2.sql("SELECT k, v FROM genct ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2")), s"got $got")
+    // a plain parquet table lives in the same catalog, untouched
+    s2.sql("CREATE TABLE plainpq (a INT) USING parquet")
+    s2.sql("INSERT INTO plainpq VALUES (7)")
+    assert(s2.sql("SELECT a FROM plainpq").head().getInt(0) == 7)
+    // both queryable in one statement
+    assert(s2.sql(
+      "SELECT (SELECT count(*) FROM genct) + (SELECT count(*) FROM plainpq)")
+      .head().getLong(0) == 3)
+    s2.sql("DROP TABLE genct")
+    assert(!s2.catalog.tableExists("genct"))
+  }
+
   test("aggregate pushdown with GROUP BY partition columns (manifest-only)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.aggpt (k BIGINT, v DOUBLE, dt STRING)
