@@ -539,6 +539,40 @@ class ConcurrencySpec extends SparkTestBase {
     assert(t.sm.snapshotIds == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("compaction racing upserts: no lost updates, reads stay correct") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val loc = tmpLoc("conc-compact")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "v")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write((1L to 50L).map(i => (i, s"v0-$i")).toDF("k", "v"))
+    val pool = Executors.newFixedThreadPool(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    pool.submit(new Runnable {
+      override def run(): Unit =
+        try (1 to 4).foreach { g =>
+          GraftTable.load(spark, loc)
+            .write((1L to 10L).map(i => (i, s"v$g-$i")).toDF("k", "v"))
+        } catch { case e: Throwable => errs.add(e) }
+    })
+    pool.submit(new Runnable {
+      override def run(): Unit =
+        try (1 to 3).foreach { _ =>
+          try { GraftTable.load(spark, loc).compact(); () }
+          catch { case _: CommitConflictException => () } // loser may retry out
+        } catch { case e: Throwable => errs.add(e) }
+    })
+    pool.shutdown()
+    assert(pool.awaitTermination(240, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"failures: ${errs.peek()}")
+    val got = GraftTable.load(spark, loc).read()
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 50)
+    // the writer's final generation must win for the contended keys
+    (1L to 10L).foreach(i => assert(got(i) == s"v4-$i", s"key $i -> ${got(i)}"))
+    (11L to 50L).foreach(i => assert(got(i) == s"v0-$i"))
+  }
+
   test("fallback branch: missing partitions served from the named branch") {
     import spark.implicits._
     val mkOrders = Seq(

@@ -158,6 +158,66 @@ class DataEvolutionSpec extends SparkTestBase {
     assert(!got2.contains(40L) && got2(30L) == 3.25 && got2(10L) == 1.5)
   }
 
+  test("randomized data-evolution ops agree with an in-memory model (2 seeds)") {
+    def run(seed: Long, ops: Int): Unit = {
+      val rnd = new scala.util.Random(seed)
+      val loc = tmpLoc(s"de-fuzz-$seed")
+      val init = (1L to 40L).map(i => (i, s"t$i", 0.0)).toDF("id", "title", "score")
+      val t = GraftTable.create(spark, loc, init.schema,
+        TableConfig(options = Map("row-tracking.enabled" -> "true")))
+      t.write(init)
+      var model: Map[Long, (String, Double)] =
+        (1L to 40L).map(i => i -> (s"t$i", 0.0)).toMap
+      var nextId = 41L
+      def check(): Unit = {
+        val got = t.read().as[(Long, String, Double)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got == model, s"seed=$seed " +
+          s"missing=${(model.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- model.keySet).take(5)} " +
+          s"diff=${model.keySet.intersect(got.keySet).filter(k => model(k) != got(k)).take(5)}")
+      }
+      for (i <- 0 until ops) {
+        rnd.nextInt(5) match {
+          case 0 => // patch update of a random id range
+            val lo = 1L + rnd.nextInt(45); val hi = lo + rnd.nextInt(8)
+            t.update(Map("score" -> lit(i.toDouble)),
+              col("id").between(lo, hi))
+            model = model.map { case (k, (s0, p)) =>
+              k -> (if (k >= lo && k <= hi) (s0, i.toDouble) else (s0, p)) }
+          case 1 => // append new rows
+            val rows = (0 until 3).map(_ => (nextId, s"n$nextId", -1.0))
+              .map { r => nextId += 1; r }
+            t.write(rows.toDF("id", "title", "score"))
+            rows.foreach { case (k, s0, p) => model += k -> (s0, p) }
+          case 2 if model.nonEmpty => // delete a random existing id
+            val k = model.keySet.toSeq(rnd.nextInt(model.size))
+            t.delete(col("id") === k)
+            model -= k
+          case 3 if model.nonEmpty => // MERGE: update half, insert one
+            val ks = model.keySet.toSeq.sorted.take(5)
+            val srcRows = ks.map(k => (k, i * 10.0)) :+ (nextId, -5.0)
+            val srcDf = srcRows.toDF("sid", "sscore")
+            t.mergeInto(srcDf, col("t.id") === col("s.sid"))
+              .whenMatchedUpdate(set = Map("score" -> col("s.sscore")))
+              .whenNotMatchedInsert(values = Map("id" -> col("s.sid"),
+                "title" -> lit("m"), "score" -> col("s.sscore")))
+              .execute()
+            ks.foreach(k => model += k -> (model(k)._1, i * 10.0))
+            model += nextId -> ("m", -5.0)
+            nextId += 1
+          case _ => // compaction materializes patches
+            t.compact()
+        }
+        if (i % 3 == 2) check()
+      }
+      t.compact()
+      check()
+    }
+    run(seed = 11L, ops = 10)
+    run(seed = 77L, ops = 10)
+  }
+
   test("MERGE INTO data-evolution: not-matched-by-source update patches") {
     val t = mkTable("de-merge-nmbs")
     val src = (1L to 90L).toDF("sid")
