@@ -152,7 +152,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (isFormatTable(loc)) return loadFormatTable(ident, loc)
     if (!GraftTable.exists(spark, loc))
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
-    new GraftSparkTable(GraftTable.load(spark, loc))
+    new GraftSparkTable(GraftTable.load(spark, loc),
+      readOptions = sessionOptionOverrides(ident))
+  }
+
+  /** Session-level option injection (paimon spark/auxiliary.md `SET
+    * spark.paimon.*`): `SET spark.graft.<key> = v` applies `<key>` as a read
+    * option on every graft table of the session; `SET
+    * spark.graft.<db>.<table>.<key> = v` scopes it to one table (the scoped
+    * form wins). Lets ops pin e.g. `scan.snapshot-id` or `scan.fallback-
+    * branch` without rewriting queries. */
+  private def sessionOptionOverrides(ident: Identifier): Map[String, String] = {
+    val graftKeys = spark.conf.getAll.collect {
+      case (k, v) if k.startsWith("spark.graft.") =>
+        k.stripPrefix("spark.graft.") -> v
+    }
+    if (graftKeys.isEmpty) return Map.empty
+    val scopedPrefix = s"${ident.namespace().mkString(".")}.${ident.name()}."
+    // a key is table-scoped iff its first segment names an existing database
+    // (option keys — scan.*, read.*, metadata.* — never collide with one)
+    def scopedToOtherTable(key: String): Boolean = {
+      val parts = key.split('.')
+      parts.length >= 3 && namespaceExists(Array(parts(0)))
+    }
+    val global = graftKeys.filter { case (k, _) =>
+      !k.startsWith(scopedPrefix) && !scopedToOtherTable(k) }
+    val scoped = graftKeys.collect {
+      case (k, v) if k.startsWith(scopedPrefix) => k.stripPrefix(scopedPrefix) -> v
+    }
+    global ++ scoped
   }
 
   /** VERSION AS OF: numeric snapshot id or tag name. */

@@ -752,6 +752,28 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM graft.mdb.t_two").head().getLong(0) == 3)
   }
 
+  test("SET spark.graft.* session option overrides (global + per-table)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.soverride (k BIGINT, v STRING)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='1')""")
+    spark.sql("INSERT INTO graft.db.soverride VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.db.soverride VALUES (2,'b')")
+    def cnt: Long = spark.sql("SELECT count(*) FROM graft.db.soverride").head().getLong(0)
+    assert(cnt == 2)
+    try {
+      // per-table scope pins the snapshot without touching the query
+      spark.conf.set("spark.graft.db.soverride.scan.snapshot-id", "1")
+      assert(cnt == 1)
+    } finally spark.conf.unset("spark.graft.db.soverride.scan.snapshot-id")
+    assert(cnt == 2)
+    try {
+      // global scope applies to every graft table of the session
+      spark.conf.set("spark.graft.scan.snapshot-id", "1")
+      assert(cnt == 1)
+    } finally spark.conf.unset("spark.graft.scan.snapshot-id")
+    assert(cnt == 2)
+  }
+
   test("generic session catalog: spark_catalog serves graft AND parquet tables") {
     val s2 = spark.newSession()
     val wh2 = Files.createTempDirectory("graft-generic-wh").toString
