@@ -33,6 +33,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   private var catalogName: String = _
   private var warehouse: String = _
+  private var authUser: Option[String] = None
+  private var authPassword: Option[String] = None
   private def spark: SparkSession = SparkSession.active
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -40,8 +42,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     warehouse = Option(options.get("warehouse"))
       .getOrElse(throw new IllegalArgumentException(
         s"catalog $name requires 'warehouse' option"))
+    authUser = Option(options.get("user"))
+    authPassword = Option(options.get("password"))
   }
   override def name(): String = catalogName
+
+  // ---- privileges (paimon PrivilegedCatalog; no-op until
+  //      init_file_based_privilege creates the manifest) ----
+  private def privManifest: Option[GraftPrivileges.Manifest] =
+    GraftPrivileges.load(fs, warehouse)
+
+  /** Authenticated user when privileges are on; throws on bad credentials. */
+  private def authed(m: GraftPrivileges.Manifest): String = {
+    val u = authUser.getOrElse(
+      throw new SecurityException("privileges enabled: set the 'user' catalog option"))
+    val rec = m.users.getOrElse(u, throw new SecurityException(s"unknown user $u"))
+    if (!authPassword.map(GraftPrivileges.sha).contains(rec.passwordSha))
+      throw new SecurityException(s"wrong password for $u")
+    u
+  }
+
+  private def requirePriv(privilege: String, db: String, table: String = ""): Unit =
+    privManifest.foreach { m =>
+      val u = authed(m)
+      if (!GraftPrivileges.check(m, u, privilege, db, table))
+        throw new SecurityException(
+          s"user $u lacks $privilege on ${if (table.isEmpty) db else s"$db.$table"}")
+    }
+
+  /** A SELECT-only user gets a read-only table handle (INSERT is a separate
+    * privilege, like the reference). */
+  private def canInsert(db: String, table: String): Boolean =
+    privManifest.forall { m =>
+      GraftPrivileges.check(m, authed(m), "INSERT", db, table)
+    }
+
+  private[dsv2] def requireAdmin(): Unit =
+    privManifest.foreach { m =>
+      val u = authed(m)
+      if (u != "root" && !m.users(u).grants.exists(_.privilege == "ADMIN"))
+        throw new SecurityException(s"user $u lacks ADMIN")
+    }
 
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sessionState.newHadoopConf())
@@ -152,8 +193,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (isFormatTable(loc)) return loadFormatTable(ident, loc)
     if (!GraftTable.exists(spark, loc))
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    val db = ident.namespace().mkString(".")
+    requirePriv("SELECT", db, ident.name())
     new GraftSparkTable(GraftTable.load(spark, loc),
-      readOptions = sessionOptionOverrides(ident))
+      readOptions = sessionOptionOverrides(ident),
+      writable = canInsert(db, ident.name()))
   }
 
   /** Session-level option injection (paimon spark/auxiliary.md `SET
@@ -204,6 +248,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    requirePriv("CREATE_TABLE", ident.namespace().mkString("."))
     val props = properties.asScala.toMap
     if (props.get("type").contains("format-table")) {
       val fmt = props.getOrElse("file.format", "csv")
@@ -239,6 +284,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requirePriv("ALTER_TABLE", ident.namespace().mkString("."), ident.name())
     val t = GraftTable.load(spark, tablePath(ident))
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
@@ -262,8 +308,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftSparkTable(GraftTable.load(spark, tablePath(ident)))
   }
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    requirePriv("DROP_TABLE", ident.namespace().mkString("."), ident.name())
     fs.delete(new Path(tablePath(ident)), true)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     fs.mkdirs(new Path(tablePath(newIdent)).getParent)

@@ -72,7 +72,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   * VERSION/TIMESTAMP AS OF — cf. paimon SparkCatalog.loadTable(ident,version),
   * paimon-spark/.../SparkCatalog.java:315). */
 class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
-                      val readOptions: Map[String, String] = Map.empty)
+                      val readOptions: Map[String, String] = Map.empty,
+                      val writable: Boolean = true)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns with GraftPartitionManagement {
 
@@ -151,8 +152,12 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
     new GraftScanBuilder(t, snapshotId.orElse(optSnap), merged)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (!writable)
+      throw new SecurityException(
+        s"user lacks INSERT on ${t.location} (SELECT-only grant)")
     new GraftWriteBuilder(t)
+  }
 }
 
 /** Pushdown collection: filters (for manifest pruning), column pruning,

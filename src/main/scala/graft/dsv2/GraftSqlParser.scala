@@ -127,7 +127,10 @@ object GraftSqlParser {
   /** Procedures scoped to the CATALOG, not a table. */
   private[dsv2] val catalogProcs: Set[String] =
     Set("create_function", "alter_function", "drop_function", "list_functions",
-      "compact_database", "migrate_database", "alter_view_dialect")
+      "compact_database", "migrate_database", "alter_view_dialect",
+      "init_file_based_privilege", "create_privileged_user",
+      "drop_privileged_user", "grant_privilege_to_user",
+      "revoke_privilege_from_user")
 
   private[dsv2] def splitIdent(s: String): Seq[String] =
     s.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -291,6 +294,56 @@ case class GraftCatalogCallCommand(proc: String, args: Map[String, String])
         s"${id.name()}: ${r.map(s => s"compacted to ${s.id}").getOrElse("no-op")}"
       }
       results.map(Row(_))
+
+    // ---- privilege system (paimon manage-privileges.mdx procedures) ----
+    case "init_file_based_privilege" =>
+      val g = targetCatalog(session)
+      GraftPrivileges.init(privFs(session, g), g.warehousePath,
+        args("root_password"))
+      Seq(Row("privilege system initialized (user root)"))
+    case "create_privileged_user" =>
+      val g = targetCatalog(session); g.requireAdmin()
+      GraftPrivileges.createUser(privFs(session, g), g.warehousePath,
+        args("name"), args("password"))
+      Seq(Row(s"user ${args("name")} created"))
+    case "drop_privileged_user" =>
+      val g = targetCatalog(session); g.requireAdmin()
+      GraftPrivileges.dropUser(privFs(session, g), g.warehousePath, args("name"))
+      Seq(Row(s"user ${args("name")} dropped"))
+    case "grant_privilege_to_user" =>
+      val g = targetCatalog(session); g.requireAdmin()
+      GraftPrivileges.grant(privFs(session, g), g.warehousePath,
+        args("name"), args("privilege").toUpperCase, privScope(args))
+      Seq(Row(s"granted ${args("privilege")} on ${privScope(args)} to ${args("name")}"))
+    case "revoke_privilege_from_user" =>
+      val g = targetCatalog(session); g.requireAdmin()
+      GraftPrivileges.revoke(privFs(session, g), g.warehousePath,
+        args("name"), args("privilege").toUpperCase, privScope(args))
+      Seq(Row(s"revoked ${args("privilege")} on ${privScope(args)} from ${args("name")}"))
+  }
+
+  /** Grant scope from `database` / `table` args: `*` | db | db.table. */
+  private def privScope(args: Map[String, String]): String =
+    (args.get("database"), args.get("table")) match {
+      case (Some(d), Some(t)) => s"$d.$t"
+      case (Some(d), None) => d
+      case _ => "*"
+    }
+
+  private def privFs(session: SparkSession, g: GraftCatalog) =
+    new org.apache.hadoop.fs.Path(g.warehousePath)
+      .getFileSystem(session.sessionState.newHadoopConf())
+
+  /** The `catalog` arg, else the session's current catalog. */
+  private def targetCatalog(session: SparkSession): GraftCatalog = {
+    val c = args.get("catalog")
+      .flatMap(n => GraftSqlParser.namedCatalog(session, n))
+      .getOrElse(session.sessionState.catalogManager.currentCatalog)
+    c match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"${other.name()} is not a graft catalog")
+    }
   }
 }
 

@@ -752,6 +752,52 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM graft.mdb.t_two").head().getLong(0) == 3)
   }
 
+  test("privilege system: init, grants, enforcement, read-only handles") {
+    val whp = Files.createTempDirectory("graft-priv-wh").toString
+    def reg(cat: String, user: String, pw: String): Unit = {
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.dsv2.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", whp)
+      spark.conf.set(s"spark.sql.catalog.$cat.user", user)
+      spark.conf.set(s"spark.sql.catalog.$cat.password", pw)
+    }
+    def denied(f: => Any): String =
+      try { f; fail("expected a privilege error") }
+      catch { case e: Throwable =>
+        val msg = Seq(e.getMessage) ++ Option(e.getCause).map(_.getMessage)
+        msg.flatMap(Option(_)).mkString("; ") }
+    reg("gp_root", "root", "rootpw")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gp_root.db")
+    spark.sql("CREATE TABLE gp_root.db.sec (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gp_root.db.sec VALUES (1,'a')")
+    spark.sql("CALL sys.init_file_based_privilege(catalog => 'gp_root', root_password => 'rootpw')")
+    spark.sql("CALL sys.create_privileged_user(catalog => 'gp_root', name => 'bob', password => 'bobpw')")
+    spark.sql("CALL sys.grant_privilege_to_user(catalog => 'gp_root', name => 'bob', privilege => 'SELECT', database => 'db')")
+    // root retains everything
+    assert(spark.sql("SELECT count(*) FROM gp_root.db.sec").head().getLong(0) == 1)
+    // bob: SELECT works, INSERT and DROP denied
+    reg("gp_bob", "bob", "bobpw")
+    assert(spark.sql("SELECT count(*) FROM gp_bob.db.sec").head().getLong(0) == 1)
+    assert(denied(spark.sql("INSERT INTO gp_bob.db.sec VALUES (2,'b')"))
+      .contains("INSERT"))
+    assert(denied(spark.sql("DROP TABLE gp_bob.db.sec")).contains("DROP_TABLE"))
+    // bob cannot administer users
+    assert(denied(spark.sql(
+      "CALL sys.create_privileged_user(catalog => 'gp_bob', name => 'eve', password => 'x')"))
+      .contains("ADMIN"))
+    // wrong password is rejected outright
+    reg("gp_eve", "bob", "wrong")
+    assert(denied(spark.sql("SELECT count(*) FROM gp_eve.db.sec"))
+      .contains("password"))
+    // granting INSERT upgrades bob's handle to writable
+    spark.sql("CALL sys.grant_privilege_to_user(catalog => 'gp_root', name => 'bob', privilege => 'INSERT', database => 'db', table => 'sec')")
+    spark.sql("INSERT INTO gp_bob.db.sec VALUES (2,'b')")
+    assert(spark.sql("SELECT count(*) FROM gp_bob.db.sec").head().getLong(0) == 2)
+    // revoke puts it back
+    spark.sql("CALL sys.revoke_privilege_from_user(catalog => 'gp_root', name => 'bob', privilege => 'INSERT', database => 'db', table => 'sec')")
+    assert(denied(spark.sql("INSERT INTO gp_bob.db.sec VALUES (3,'c')"))
+      .contains("INSERT"))
+  }
+
   test("SET spark.graft.* session option overrides (global + per-table)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.soverride (k BIGINT, v STRING)
