@@ -833,6 +833,11 @@ class Dsv2Spec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "a"), (2L, "b2")), s"got $got")
     // a plain parquet table lives in the same catalog, untouched
+    // (managed location survives an aborted JVM — clear leftovers first)
+    s2.sql("DROP TABLE IF EXISTS plainpq")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s2.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "plainpq"))
     s2.sql("CREATE TABLE plainpq (a INT) USING parquet")
     s2.sql("INSERT INTO plainpq VALUES (7)")
     assert(s2.sql("SELECT a FROM plainpq").head().getInt(0) == 7)
@@ -842,6 +847,7 @@ class Dsv2Spec extends SparkTestBase {
       .head().getLong(0) == 3)
     s2.sql("DROP TABLE genct")
     assert(!s2.catalog.tableExists("genct"))
+    s2.sql("DROP TABLE IF EXISTS plainpq")
   }
 
   test("aggregate pushdown with GROUP BY partition columns (manifest-only)") {
