@@ -707,9 +707,9 @@ object SparkEntry {
        |  FROM banded a JOIN banded b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
        |pairs AS (
        |  SELECT v1, v2,
-       |    len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles))) * 1.0 /
-       |    len(list_distinct(s1.shingles || s2.shingles)) AS jac
-       |  FROM cand JOIN sh s1 ON s1.doc_id = v1 JOIN sh s2 ON s2.doc_id = v2)
+       |    len(list_intersect(list_distinct(h1.hs), list_distinct(h2.hs))) * 1.0 /
+       |    len(list_distinct(h1.hs || h2.hs)) AS jac
+       |  FROM cand JOIN hv h1 ON h1.doc_id = v1 JOIN hv h2 ON h2.doc_id = v2)
        |SELECT v1, v2, round(jac, 4) AS jac FROM pairs WHERE jac >= 0.8""".stripMargin
 
   private val ngramJaccardOracle =

@@ -32,15 +32,16 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(sigLen % nBands == 0, "sigLen must be divisible by nBands")
     val rpb = sigLen / nBands
-    // shingle sets + signatures computed once and persisted: the band join
-    // below shuffles only (id, bandKey) pairs — never the shingle arrays.
+    // shingle-hash sets + signatures computed once and persisted: the band
+    // join below shuffles only (id, bandKey) pairs, and the verify joins
+    // shuffle 8-byte hash arrays — shingle STRINGS never leave the map side.
     // Staged projections keep the md5 pass at one-per-shingle (the k seed
     // hashes are affine transforms of the cached hash array).
     val base = df
       .withColumn("__sh", TextOps.shingles(col(textCol), shingleN))
       .filter(size(col("__sh")) > 0)
-      .select(col(idCol), col("__sh"), TextOps.shingleHashes(col("__sh")).as("__hs"))
-      .select(col(idCol), col("__sh"),
+      .select(col(idCol), TextOps.shingleHashes(col("__sh")).as("__hs"))
+      .select(col(idCol), col("__hs"),
         TextOps.minhashFromHashes(col("__hs"), sigLen).as("__sig"))
       .persist()
     val banded = base.select(col(idCol),
@@ -53,8 +54,11 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"))
       .distinct()
-    val s1 = base.select(col(idCol).as("v1"), col("__sh").as("sh1"))
-    val s2 = base.select(col(idCol).as("v2"), col("__sh").as("sh2"))
+    // exact verify on the hash SETS (same Jaccard as the string shingles
+    // modulo 32-bit collisions; identical md5-prefix hashing on the oracle
+    // side keeps the comparison deterministic)
+    val s1 = base.select(col(idCol).as("v1"), col("__hs").as("sh1"))
+    val s2 = base.select(col(idCol).as("v2"), col("__hs").as("sh2"))
     cand.join(s1, "v1").join(s2, "v2")
       .withColumn("jac", TextOps.jaccard(col("sh1"), col("sh2")))
       .filter(col("jac") >= threshold)

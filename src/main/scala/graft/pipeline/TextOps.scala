@@ -87,7 +87,12 @@ object TextOps {
     * expression tree — greatest + every when-branch.) */
   def langScores(text: Column): Column = {
     val ws = words(text)
-    struct(langOrder.map(l => langScoreTokens(ws, l).as(s"s_$l")): _*)
+    // pre-filter to the union of all 16 markers first: ONE pass over the full
+    // token array; the 4 per-language counts then scan only the marker hits
+    // (a few % of tokens), not the whole document again
+    val allMarkers = langOrder.flatMap(langMarkers)
+    val hits = filter(ws, w => allMarkers.map(m => w === m).reduce(_ || _))
+    struct(langOrder.map(l => langScoreTokens(hits, l).as(s"s_$l")): _*)
   }
 
   /** Predicted language = argmax marker score, 'und' when all zero.
