@@ -477,6 +477,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, "embedding", q, 10, "cosine", "sim")
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
+    "q_ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .first().getSeq[Float](0)
+      val model = Similarity.trainPq(emb, "embedding", dim = 64, m = 8, ks = 16)
+      val coded = emb.withColumn("__pq", model.encodeUdf(col("embedding")))
+      Similarity.pqTopK(coded, "embedding", "__pq", model, q, 10,
+          rerank = 100, scoreCol = "sim")
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 1).select("embedding")
@@ -595,6 +605,15 @@ object SparkEntry {
       graft.pipeline.Dedup.minhashLshPairs(d2, "doc_id", "text",
         shingleN = 3, sigLen = 8, nBands = 4, threshold = 0.8)
     }),
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val train = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" xq yq zq")).as("text"))
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      graft.pipeline.Dedup.contaminationScores(train, "doc_id", "text",
+        bench, "text", n = 8)
+        .filter(col("score") >= 0.5)
+    }),
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "source", "text")
       val d2 = docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -711,6 +730,36 @@ object SparkEntry {
        |    len(list_distinct(h1.hs || h2.hs)) AS jac
        |  FROM cand JOIN hv h1 ON h1.doc_id = v1 JOIN hv h2 ON h2.doc_id = v2)
        |SELECT v1, v2, round(jac, 4) AS jac FROM pairs WHERE jac >= 0.8""".stripMargin
+
+  /** Mirrors Dedup.contaminationScores: train = suffixed copies, benchmark =
+    * every 10th original; same 8-gram md5-prefix hashing on both sides. */
+  private val decontaminateOracle =
+    """WITH train AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' xq yq zq' AS text FROM documents),
+      |twords AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> length(w)>0) AS ws
+      |  FROM train),
+      |tg AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [('0x'||substr(md5(array_to_string(ws[i:i+7], ' ')),1,8))::UBIGINT
+      |     for i in range(1, len(ws)-6)])) AS g
+      |  FROM twords WHERE len(ws) >= 8),
+      |bwords AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> length(w)>0) AS ws
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |bgrams AS (
+      |  SELECT DISTINCT unnest(
+      |    [('0x'||substr(md5(array_to_string(ws[i:i+7], ' ')),1,8))::UBIGINT
+      |     for i in range(1, len(ws)-6)]) AS g
+      |  FROM bwords WHERE len(ws) >= 8),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS total,
+      |    sum(CASE WHEN g IN (SELECT g FROM bgrams) THEN 1 ELSE 0 END) AS hits
+      |  FROM tg GROUP BY doc_id)
+      |SELECT doc_id, CAST(hits AS BIGINT) AS hits, total,
+      |  round(hits * 1.0 / total, 4) AS score
+      |FROM scored WHERE round(hits * 1.0 / total, 4) >= 0.5""".stripMargin
 
   private val ngramJaccardOracle =
     s"""WITH $dedupDocsCte,
@@ -1144,6 +1193,13 @@ object SparkEntry {
         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
         |  FROM embeddings e)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_pq" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
         |  SELECT e.vec_id,
@@ -1206,6 +1262,7 @@ object SparkEntry {
     },
     "q_hybrid_search" -> hybridOracle,
     "q_dedup_minhash" -> minhashOracle,
+    "q_decontaminate" -> decontaminateOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_simhash" -> simhashOracle
   )

@@ -147,6 +147,38 @@ object Dedup {
     labels
   }
 
+  /**
+   * Benchmark decontamination scores (the GPT-3/Gopher-style n-gram
+   * containment check): for every training document, the fraction of its
+   * DISTINCT word n-grams that appear anywhere in the benchmark corpus.
+   * Returns (id, hits, total, score); filter `score >= t` upstream of
+   * training to drop contaminated documents.
+   *
+   * Scale shape: the benchmark side collapses to a DISTINCT n-gram hash set
+   * — benchmark suites are tiny (MBs) next to a 100-TB corpus, so it
+   * broadcasts; the training side is one explode + map-side hash join +
+   * per-doc count aggregation. No all-pairs stage, one shuffle (the
+   * groupBy), shingle strings never leave the map side (8-byte hashes).
+   */
+  def contaminationScores(train: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          n: Int = 8): DataFrame = {
+    def grams(c: Column) =
+      array_distinct(TextOps.shingleHashes(TextOps.shingles(c, n)))
+    val benchGrams = bench
+      .select(explode(grams(col(benchTextCol))).as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    train
+      .select(col(idCol), explode(grams(col(textCol))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col(idCol), col("hits"), col("total"),
+        round(col("hits").cast("double") / col("total"), 4).as("score"))
+  }
+
   /** Canonical-document assignment: every doc maps to its component's
     * smallest id (docs in no pair map to themselves) — the keep/drop
     * decision of a dedup pipeline as one left join. */

@@ -143,6 +143,96 @@ object Similarity {
     IvfModel(model.clusterCenters.map(_.toArray))
   }
 
+  // ------------------------------------------------------------------
+  // PRODUCT QUANTIZATION (Jégou et al. '11: m subspaces × ks centroids;
+  // 64-dim float32 → m bytes = 32x compression at m=8). Capability parity
+  // with the reference's ivf-pq indexer (paimon-vector/.../
+  // IvfPqVectorGlobalIndexerFactory-style ids), JNI-free.
+  // ------------------------------------------------------------------
+
+  /** Per-subspace codebooks: `codebooks(j)(c)` is the c-th centroid of
+    * subspace j (dsub floats each). Encode/score run as tight-loop UDFs —
+    * per-row work is m·ks·dsub mults for encode, m table lookups for ADC. */
+  case class PqModel(dsub: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+
+    /** embedding → m-byte code (BINARY column: m raw bytes per row). */
+    def encodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+      udf { (e: Seq[Float]) =>
+        if (e == null) null
+        else Array.tabulate(m) { j =>
+          val cb = codebooks(j)
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < cb.length) {
+            var d = 0.0; var i = 0
+            while (i < dsub) {
+              val z = e(j * dsub + i) - cb(c)(i); d += z * z; i += 1
+            }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          best.toByte
+        }
+      }
+
+    /** Asymmetric-distance (ADC) dot-product score of a code array against
+      * a query: per-subspace query×centroid dots are precomputed into a
+      * lookup table once, each row pays m array lookups. */
+    def adcDotUdf(query: Seq[Float]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+      val lut = Array.tabulate(m) { j =>
+        codebooks(j).map { c =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += query(j * dsub + i) * c(i); i += 1 }
+          s
+        }
+      }
+      udf { (codes: Array[Byte]) =>
+        if (codes == null) Double.NegativeInfinity
+        else {
+          var s = 0.0; var j = 0
+          while (j < m) { s += lut(j)(codes(j) & 0xff); j += 1 }
+          s
+        }
+      }
+    }
+  }
+
+  /** Train PQ codebooks: one k-means per subspace over a sample (offline
+    * index-build cost; encode is the per-row pass). `dim % m == 0`. */
+  def trainPq(df: DataFrame, embedCol: String, dim: Int, m: Int = 8,
+              ks: Int = 16, sampleFraction: Double = 1.0,
+              seed: Long = 42L): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
+      .select(col(embedCol)).persist()
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.select(array_to_vector(
+        slice(col(embedCol), j * dsub + 1, dsub).cast(ArrayType(DoubleType)))
+        .as("features"))
+      new KMeans().setK(ks).setSeed(seed + j).setMaxIter(20).fit(sub)
+        .clusterCenters.map(_.toArray)
+    }
+    sample.unpersist()
+    PqModel(dsub, codebooks)
+  }
+
+  /** PQ ANN with exact re-rank: candidates by ADC dot over the m-byte codes
+    * (32x less data than float32 — the scan that matters at corpus scale),
+    * top `rerank` re-scored exactly on the float vectors. `df` must carry
+    * the float column and an [[PqModel.encodeUdf]] codes column. */
+  def pqTopK(df: DataFrame, embedCol: String, codesCol: String,
+             model: PqModel, query: Seq[Float], k: Int, rerank: Int = 0,
+             scoreCol: String = "__score"): DataFrame = {
+    val r = if (rerank > 0) rerank else math.max(4 * k, 50)
+    val candidates = df
+      .withColumn("__adc", model.adcDotUdf(query)(col(codesCol)))
+      .orderBy(col("__adc").desc).limit(r)
+    bruteForceTopK(candidates.drop("__adc"), embedCol, query, k, "cosine", scoreCol)
+  }
+
   /**
    * Random-hyperplane sign signature (SimHash for vectors, Charikar '02):
    * bit i = sign(v · r_i) for `nBits` deterministic pseudo-random ±1

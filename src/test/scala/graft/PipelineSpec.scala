@@ -38,6 +38,46 @@ class PipelineSpec extends SparkTestBase {
     emb.unpersist()
   }
 
+  test("product quantization: ADC candidates + exact rerank recover the true top-k") {
+    val n = 2000; val dim = 16
+    val emb = spark.range(n).select(col("id"),
+      array((0 until dim).map(i => (rand(seed = i) * 2 - 1).cast("float")): _*).as("emb"))
+      .cache()
+    val model = Similarity.trainPq(emb, "emb", dim, m = 4, ks = 16)
+    assert(model.m == 4 && model.dsub == 4)
+    val coded = emb.withColumn("pq", model.encodeUdf(col("emb")))
+    // codes are m raw BINARY bytes per row — the compression the scan pays
+    assert(coded.select(length(col("pq"))).distinct().as[Long].collect().toSeq == Seq(4L))
+    val query = emb.filter(col("id") === 7).select("emb").first().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb, "emb", query, 10, "cosine", "sim")
+      .select("id").as[Long].collect().toSeq
+    val pq = Similarity.pqTopK(coded, "emb", "pq", model, query, 10, rerank = 200)
+      .select("id").as[Long].collect().toSeq
+    assert(pq.head == 7L, "the query vector itself must rank first")
+    val overlap = exact.toSet.intersect(pq.toSet).size
+    assert(overlap >= 7, s"top-10 recall too low: $overlap/10 (exact=$exact pq=$pq)")
+    emb.unpersist()
+  }
+
+  test("decontamination: benchmark n-gram containment flags copies, not fresh text") {
+    val bench = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // full copy with a short suffix: near-total containment
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra words here"),
+      // disjoint content: zero containment
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      // partial overlap: a single shared 5-gram window
+      (3L, "alpha beta gamma delta epsilon different tail of words goes on here")
+    ).toDF("doc_id", "text")
+    val scores = Dedup.contaminationScores(train, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(scores(1L)._3 > 0.6, s"copy should be contaminated: ${scores(1L)}")
+    assert(scores(2L)._1 == 0L, s"fresh text should have zero hits: ${scores(2L)}")
+    assert(scores(3L)._1 == 1L && scores(3L)._3 < 0.3,
+      s"partial overlap = exactly the one shared 5-gram: ${scores(3L)}")
+  }
+
   test("connected components: chains propagate to the minimum label") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (6L, 5L))
       .toDF("v1", "v2")
