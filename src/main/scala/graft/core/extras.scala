@@ -270,6 +270,23 @@ object Procedures {
             "repair", table.schema.id)
         FileIndexStore.invalidate(table.location)
         ok(s"repaired: ${missing.size} dangling entries removed")
+      case "repair_earliest_snapshot" =>
+        // paimon RepairEarliestSnapshotProcedure: make `snapshot_id` a sound
+        // earliest point after manual snapshot-dir damage. Our earliest is
+        // DERIVED by listing (no hint file to drift), so the repair is:
+        // drop unreadable snapshot jsons below the target id.
+        val target = args("snapshot_id").toLong
+        require(table.sm.snapshotExists(target), s"no snapshot $target")
+        val prev = table.sm.snapshotIds.headOption.getOrElse(-1L)
+        val broken = table.sm.snapshotIds.filter(_ < target).filter { id =>
+          try { table.sm.readSnapshot(id); false }
+          catch { case _: Exception => true }
+        }
+        broken.foreach(id => table.sm.fs.delete(
+          new Path(table.sm.snapshotDir, s"snapshot-$id.json"), false))
+        ok(s"previous_earliest=$prev current_earliest=" +
+          s"${table.sm.snapshotIds.headOption.getOrElse(-1L)} " +
+          s"(removed ${broken.size} unreadable)")
       case "trigger_tag_automatic_creation" =>
         // materialize the configured automatic tag for the CURRENT snapshot
         // (paimon TriggerTagAutomaticCreationProcedure): watermark mode tags

@@ -44,6 +44,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"catalog $name requires 'warehouse' option"))
     authUser = Option(options.get("user"))
     authPassword = Option(options.get("password"))
+    // blob descriptor SQL surface (paimon sys.* functions): session UDFs,
+    // registered once per session on first catalog init
+    try {
+      val s = SparkSession.active
+      // NOT under spark.graft.* — that prefix is the session read-option
+      // injection namespace and would leak into every table's options
+      if (s.conf.getOption("graft.internal.blob-fns-registered").isEmpty) {
+        s.udf.register("graft_path_to_descriptor",
+          graft.pipeline.Blob.pathToDescriptor(s))
+        s.udf.register("graft_read_blob", graft.pipeline.Blob.readBlob(s))
+        s.udf.register("graft_descriptor_to_string",
+          graft.pipeline.Blob.descriptorToString)
+        s.udf.register("graft_descriptor_to_presigned_url",
+          graft.pipeline.Blob.descriptorToPresignedUrl(tryMode = false))
+        s.udf.register("graft_try_descriptor_to_presigned_url",
+          graft.pipeline.Blob.descriptorToPresignedUrl(tryMode = true))
+        s.conf.set("graft.internal.blob-fns-registered", "true")
+      }
+    } catch { case _: Exception => /* no active session yet */ }
   }
   override def name(): String = catalogName
 

@@ -45,6 +45,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             s"CALL sys.$proc: required named argument table => '<ident>'"))
           GraftCallCommand(splitIdent(table), proc, args - "table")
         }
+      case GraftCopyInto.HeadRe(target, rest) => GraftCopyInto.plan(target, rest)
       case ShowTagsRe(ident) => GraftShowTagsCommand(splitIdent(ident))
       case ShowBranchesRe(ident) => GraftShowBranchesCommand(splitIdent(ident))
       case CreateBranchRe(ident, branch, version) =>

@@ -120,6 +120,38 @@ object Blob {
     }
   }
 
+  /** Human-readable descriptor rendering (paimon sys.descriptor_to_string,
+    * docs/docs/spark/sql-functions.md). */
+  def descriptorToString: UserDefinedFunction =
+    udf { (desc: Row) =>
+      if (desc == null) null
+      else s"BlobDescriptor{uri='${desc.getAs[String]("uri")}', " +
+        s"offset=${desc.getAs[Long]("offset")}, " +
+        s"length=${desc.getAs[Long]("length")}}"
+    }
+
+  /** STUB presigned URL (paimon sys.descriptor_to_presigned_url): no object
+    * store is reachable here, so the URL is a deterministic rendering on the
+    * reserved `.invalid` TLD — the SQL surface, arguments, and try_ error
+    * contract are real; swap the body for an OSS/S3 presigner in production.
+    * `tryMode` maps row-level failures to NULL (the try_ variant). */
+  def descriptorToPresignedUrl(tryMode: Boolean): UserDefinedFunction =
+    udf { (desc: Row, validitySeconds: Long) =>
+      try {
+        require(desc != null, "null descriptor")
+        require(validitySeconds > 0, "validity must be positive seconds")
+        val uri = desc.getAs[String]("uri")
+        val sig = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$uri@${desc.getAs[Long]("offset")}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        s"https://presign.blob.invalid/$sig" +
+          s"?offset=${desc.getAs[Long]("offset")}" +
+          s"&length=${desc.getAs[Long]("length")}&expires=$validitySeconds"
+      } catch {
+        case e: Exception if tryMode => null
+      }
+    }
+
   /** STUB image decode: deterministic metadata derived from the payload —
     * real codecs are unavailable here; the plumbing (batch shape, schema) is
     * what an actual decoder UDF would use. */

@@ -424,6 +424,14 @@ class CoreTableSpec extends SparkTestBase {
         .head().getString(0)
     assert(GraftTable.load(spark, loc2).planFiles()
       .forall(e => t2.sm.fs.exists(new org.apache.hadoop.fs.Path(loc2, e.path))))
+    // repair_earliest_snapshot: drops an unreadable snapshot json below the id
+    val sm = GraftTable.load(spark, loc).sm
+    val corrupt = new org.apache.hadoop.fs.Path(sm.snapshotDir, "snapshot-0.json")
+    val out = sm.fs.create(corrupt, true); out.write("{not json".getBytes); out.close()
+    val rep = Procedures.call(spark, GraftTable.load(spark, loc),
+      "repair_earliest_snapshot", Map("snapshot_id" -> "2")).head().getString(0)
+    assert(rep.contains("removed 1 unreadable"), rep)
+    assert(!sm.fs.exists(corrupt))
   }
 
   test("table_indexes and file_key_ranges system tables") {

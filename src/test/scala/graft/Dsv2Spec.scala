@@ -798,6 +798,68 @@ class Dsv2Spec extends SparkTestBase {
       .contains("INSERT"))
   }
 
+  test("blob descriptor SQL functions: path_to_descriptor, to_string, presigned url") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db") // triggers registration
+    val f = Files.createTempFile("graft-blobfn", ".bin")
+    Files.write(f, Array[Byte](1, 2, 3, 4, 5))
+    val row = spark.sql(
+      s"""SELECT graft_descriptor_to_string(d) AS s,
+         |       graft_descriptor_to_presigned_url(d, 300) AS url,
+         |       graft_try_descriptor_to_presigned_url(d, -1) AS bad,
+         |       graft_read_blob(d) AS bytes
+         |FROM (SELECT graft_path_to_descriptor('${f.toString}') AS d)""".stripMargin)
+      .head()
+    assert(row.getString(0).contains("length=5"), row.getString(0))
+    assert(row.getString(1).startsWith("https://presign.blob.invalid/"))
+    assert(row.isNullAt(2), "try_ variant maps errors to NULL")
+    assert(row.getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3, 4, 5))
+    // non-try variant fails loudly on bad validity
+    intercept[Exception] {
+      spark.sql("SELECT graft_descriptor_to_presigned_url(" +
+        s"graft_path_to_descriptor('${f.toString}'), 0)").collect()
+    }
+  }
+
+  test("COPY INTO: csv import with history/PATTERN/SKIP_FILE, export round-trip") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.copyt (k BIGINT, v STRING)")
+    val srcDir = Files.createTempDirectory("graft-copyin").toFile
+    def put(name: String, content: String): Unit = {
+      val w = new java.io.FileWriter(new java.io.File(srcDir, name))
+      try w.write(content) finally w.close()
+    }
+    put("a.csv", "k|v\n1|x\n2|y\n")
+    put("b.csv", "k|v\n3|z\n")
+    put("notes.txt", "not a data file")
+    val stmt =
+      s"""COPY INTO graft.db.copyt FROM '${srcDir.getAbsolutePath}'
+         |FILE_FORMAT = (TYPE = CSV, SKIP_HEADER = 1, FIELD_DELIMITER = '|')
+         |PATTERN = '.*\\.csv'""".stripMargin
+    spark.sql(stmt).collect()
+    assert(spark.sql("SELECT count(*) FROM graft.db.copyt").head().getLong(0) == 3)
+    // re-run: load history skips everything
+    val again = spark.sql(stmt).head().getString(0)
+    assert(again.contains("0 files to load"), again)
+    assert(spark.sql("SELECT count(*) FROM graft.db.copyt").head().getLong(0) == 3)
+    // a NEW file loads incrementally; a malformed one is skipped per-file
+    put("c.csv", "k|v\n4|w\n")
+    put("bad.csv", "k|v\nnot-a-number|oops\n")
+    val res = spark.sql(stmt.replace("PATTERN", "ON_ERROR = SKIP_FILE\nPATTERN"))
+      .collect().map(_.getString(0))
+    assert(res.exists(_.contains("skipped")), res.mkString("; "))
+    assert(spark.sql("SELECT count(*) FROM graft.db.copyt").head().getLong(0) == 4)
+    // export with header, then read back
+    val outDir = Files.createTempDirectory("graft-copyout").toString + "/out"
+    spark.sql(
+      s"""COPY INTO '$outDir' FROM (SELECT k, v FROM graft.db.copyt WHERE k <= 2)
+         |FILE_FORMAT = (TYPE = CSV, HEADER = TRUE)
+         |OVERWRITE = TRUE""".stripMargin).collect()
+    val back = spark.read.option("header", "true").csv(outDir)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("k", "v"))
+    spark.sql("DROP TABLE graft.db.copyt")
+  }
+
   test("SET spark.graft.* session option overrides (global + per-table)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.soverride (k BIGINT, v STRING)
