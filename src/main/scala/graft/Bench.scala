@@ -47,9 +47,10 @@ object Bench {
       }
     }
 
-    // timed: best of 2 runs per query (steady-state throughput, noise-robust)
+    // timed: best of 3 runs per query (steady-state throughput; JVM-level
+    // noise between single runs is ±25% at these sub-second scales)
     val results = headline.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { qs(name)(spark, sfDir).collect() }
         catch { case _: Throwable => }

@@ -477,6 +477,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, "embedding", q, 10, "cosine", "sim")
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
+    "q_ann_int8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .first().getSeq[Float](0)
+      val coded = emb.withColumn("__q8", Similarity.quantizeInt8(col("embedding")))
+      Similarity.quantizedTopK(coded, "embedding", "__q8", q, 10,
+          rerank = 100, scoreCol = "sim")
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
     "q_ann_pq" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 1).select("embedding")
@@ -1187,6 +1196,13 @@ object SparkEntry {
         | md5(text) AS content_hash
         |FROM documents WHERE doc_id < 100""".stripMargin,
     "q_ann_cosine" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_int8" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
         |  SELECT e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[],

@@ -250,6 +250,15 @@ class GraftGroupReader(file: String, schema: StructType,
       val prim = g.getType.getType(idx).asPrimitiveType()
       val v = prim.getPrimitiveTypeName match {
         case PrimitiveTypeName.INT64 => g.getLong(idx, 0)
+        case PrimitiveTypeName.INT96 =>
+          // Spark's default timestamp physical type: 8B nanos-of-day LE +
+          // 4B Julian day — decode straight to micros
+          val b = g.getInt96(idx, 0).getBytes
+          val buf = java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = buf.getLong
+          val julianDay = buf.getInt
+          return (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
         case other => throw new UnsupportedOperationException(s"timestamp as $other")
       }
       prim.getLogicalTypeAnnotation match {

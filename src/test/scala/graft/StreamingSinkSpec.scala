@@ -38,6 +38,47 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(ids.count(_.startsWith("stream-")) == 2, s"identifiers: $ids")
   }
 
+  test("stream pipeline: graft source -> watermark + session window -> graft sink") {
+    // the full streaming composition the engine is designed around: our
+    // MicroBatchStream source, Spark's event-time machinery (watermark +
+    // session_window, delegated per SURVEY §2.9), our exactly-once sink
+    val srcLoc = tmpLoc("sessrc"); val dstLoc = tmpLoc("sesdst")
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), "u1"))
+      .toDF("id", "ts", "user")
+    val src = GraftTable.create(spark, srcLoc, ev.schema, TableConfig())
+    GraftTable.create(spark, dstLoc,
+      new org.apache.spark.sql.types.StructType()
+        .add("user", "string").add("cnt", "long"),
+      TableConfig(primaryKeys = Seq("user"), numBuckets = 1))
+    src.write(ev)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ses-ckpt").toString
+    val q = spark.readStream.format("graft").load(srcLoc)
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds"), col("user"))
+      .agg(count(lit(1)).as("cnt"))
+      .select("user", "cnt")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt).option("path", dstLoc)
+      .outputMode("append") // session windows emit when the watermark closes them
+      .start()
+    // same session (2s apart), then watermark-advancing stragglers: the
+    // first closes the early sessions, the second triggers their emission
+    src.write(Seq((2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:03"), "u1"),
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 00:00:04"), "u2")).toDF("id", "ts", "user"))
+    q.processAllAvailable()
+    src.write(Seq((4L, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"), "u3"))
+      .toDF("id", "ts", "user"))
+    q.processAllAvailable()
+    src.write(Seq((5L, java.sql.Timestamp.valueOf("2026-01-01 00:10:05"), "u3"))
+      .toDF("id", "ts", "user"))
+    q.processAllAvailable()
+    q.stop()
+    val got = GraftTable.load(spark, dstLoc).read()
+      .as[(String, Long)].collect().toMap
+    assert(got.get("u1").contains(2L) && got.get("u2").contains(1L),
+      s"session counts wrong: $got")
+  }
+
   test("sink replay of an already-committed batch is a no-op (exactly-once)") {
     val loc = tmpLoc("sinkidem")
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
