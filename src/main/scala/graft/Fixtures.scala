@@ -69,6 +69,25 @@ object Fixtures {
       t
     }
 
+  /** PK table with pk-clustering-override: files sorted by o_orderstatus
+    * (not the PK), uniqueness via DV-mode MOR, compacted so the clustered
+    * layout + full value pruning are in force. */
+  def ordersClustered(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_clust") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 2,
+          options = Map("pk-clustering-override" -> "true",
+            "clustering.columns" -> "o_orderstatus",
+            "deletion-vectors.enabled" -> "true",
+            "write.max-records-per-file" -> "2000")))
+      t.write(orders)
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.compact()
+      t
+    }
+
   /** ordersPk variant with changelog-producer=lookup: each write commits
     * exact +I/-U/+U changelog files alongside the data. */
   def ordersPkCl(spark: SparkSession, sfDir: String): GraftTable =

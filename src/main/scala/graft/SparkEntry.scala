@@ -76,6 +76,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / snapshots / time travel (SURVEY §2.1) ----
     "q_pk_dedup" -> ((s, d) => qPkDedup(s, d)),
+    // clustering-override table: value filter on the clustering column is
+    // served by the pruned raw path (file stats carry tight status ranges)
+    "q_pk_clustering" -> ((s, d) => Fixtures.ordersClustered(s, d)
+      .read(Some(col("o_orderstatus") === "F"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("total"))),
     "q_mor_read" -> ((s, d) => statusAgg(Fixtures.ordersPk(s, d).read(None, Some(2L)))),
     "q_ro_read" -> ((s, d) => statusAgg(Fixtures.ordersPk(s, d).readRaw())),
     "q_filter_pushdown" -> ((s, d) => Fixtures.ordersPk(s, d)
@@ -837,6 +844,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pk_dedup" -> dedupOracle,
+    "q_pk_clustering" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |               ELSE o_totalprice END), 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
     "q_mor_read" -> dedupOracle,
     "q_ro_read" -> dedupOracle,
     "q_filter_pushdown" ->

@@ -84,6 +84,13 @@ class GraftTable private (
     * through the DataFrame plan. */
   private[graft] def fileFormat: String = config.option("file.format", "parquet")
 
+  /** Clustering columns when `pk-clustering-override` is on (else empty). */
+  private[graft] def clusteringOverride: Seq[String] =
+    if (config.option("pk-clustering-override", "false") == "true")
+      config.option("clustering.columns", "")
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    else Nil
+
   /** Reader/writer options for the data-file format: format-prefixed table
     * options pass through (e.g. `parquet.bloom.filter...`, `orc.compress`);
     * csv gets an explicit null marker so null and empty string round-trip
@@ -350,8 +357,21 @@ class GraftTable private (
          else df.withColumn(BUCKET, bucketExpr(forCompact = preMerged))
     if (isPk && !(isPostpone && !preMerged)) {
       val routeCols = partCols.map(col) :+ col(BUCKET)
+      // pk-clustering-override: physical order = clustering columns, so
+      // scans filtering on them prune by file stats; PK uniqueness is
+      // unaffected (MOR merge + DVs are order-independent)
+      val sortCols =
+        if (clusteringOverride.nonEmpty) clusteringOverride else pks
+      // key order: (BUCKET, PT, data sort). Deliberately NOT the writer's
+      // required (PT, BUCKET) prefix: when the orderings match, the planned-
+      // write path + AQE treat our local sort as unneeded and DROP it
+      // (empirically: every rolled file then spans the full sort-key range);
+      // mismatched, the writer adds its own (PT, BUCKET) sort on top, which
+      // sorts equal-key runs stably over our pre-sorted input — rolled files
+      // carry tight disjoint sort-key ranges (verified by probe + tests)
       df = df.repartition(routeCols: _*)
-        .sortWithinPartitions(pks.map(col).toIndexedSeq: _*)
+        .sortWithinPartitions(
+          (Seq(col(BUCKET), col(PT)) ++ sortCols.map(col)).toIndexedSeq: _*)
     }
     // postpone fresh writes keep the INPUT partitioning: zero shuffle,
     // files land under bucket -2 awaiting compaction
@@ -1593,6 +1613,27 @@ object GraftTable {
     if (fmt != "parquet")
       require(config.option("deletion-vectors.enabled", "false") != "true",
         "deletion vectors require file.format=parquet (_metadata.row_index)")
+    // PK clustering override (paimon pk-clustering-override.md): files sort
+    // by clustering columns instead of the PK; uniqueness still holds via
+    // MOR + DVs, so only dedup-family engines without changelog support it
+    if (config.option("pk-clustering-override", "false") == "true") {
+      val cl = config.option("clustering.columns", "")
+        .split(',').map(_.trim).filter(_.nonEmpty)
+      require(cl.nonEmpty, "pk-clustering-override requires clustering.columns")
+      cl.foreach(c => require(schema.fieldNames.contains(c),
+        s"clustering column $c not in schema"))
+      cl.foreach(c => require(!config.primaryKeys.contains(c),
+        s"clustering column $c must not be a primary key"))
+      require(Set("deduplicate", "first-row")(config.mergeEngine),
+        "pk-clustering-override supports deduplicate/first-row only")
+      require(config.mergeEngine == "first-row" ||
+        config.option("deletion-vectors.enabled", "false") == "true",
+        "pk-clustering-override requires deletion-vectors.enabled (or first-row)")
+      require(config.option("changelog-producer", "none") == "none",
+        "pk-clustering-override does not support changelog producers")
+      require(config.sequenceField.isEmpty,
+        "pk-clustering-override does not support sequence.field")
+    }
     sm.writeSchema(TableSchema.fromSpark(0, schema, config))
     new GraftTable(spark, location, sm)
   }

@@ -434,6 +434,52 @@ class CoreTableSpec extends SparkTestBase {
     assert(!sm.fs.exists(corrupt))
   }
 
+  test("pk-clustering-override: files sort by clustering column, prune, stay unique") {
+    val loc = tmpLoc("pkcl")
+    val df = spark.range(1000).select(col("id").as("k"),
+      concat(lit("city"), (col("id") % 4).cast("string")).as("city"),
+      (col("id") * 2).as("amount"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("pk-clustering-override" -> "true",
+          "clustering.columns" -> "city",
+          "deletion-vectors.enabled" -> "true",
+          "write.max-records-per-file" -> "250")))
+    t.write(df)
+    // updates on 100 keys, then compact (full rewrite, clustering-sorted)
+    t.write(df.filter(col("k") < 100).withColumn("amount", col("amount") + 1))
+    t.compact()
+    val t2 = GraftTable.load(spark, loc)
+    // uniqueness + update semantics hold
+    assert(t2.read().count() == 1000)
+    assert(t2.read().filter(col("k") === 5L).select("amount").head().getLong(0) == 11L)
+    // rolled outputs of the sorted rewrite carry disjoint city ranges: on
+    // the fully-merged (raw-convertible) set the FULL filter prunes
+    // per-file — value-column pruning is only legal there, which is exactly
+    // the state clustering override optimizes for
+    val all = t2.planFiles(None, None)
+    val pruned = t2.rawPlan(None, Some(col("city") === "city0"))
+    assert(all.size >= 4, s"expected rolled files, got ${all.size}")
+    assert(pruned.isDefined, "compacted table must be raw-convertible")
+    assert(pruned.get.size * 2 <= all.size,
+      s"city filter should prune: ${pruned.get.size} of ${all.size}")
+    // invalid combos are rejected at create
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpLoc("pkclbad"), df.schema,
+        TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+          options = Map("pk-clustering-override" -> "true",
+            "clustering.columns" -> "city"))) // no DVs, engine=deduplicate
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpLoc("pkclbad2"), df.schema,
+        TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+          mergeEngine = "partial-update",
+          options = Map("pk-clustering-override" -> "true",
+            "clustering.columns" -> "city",
+            "deletion-vectors.enabled" -> "true")))
+    }
+  }
+
   test("table_indexes and file_key_ranges system tables") {
     val loc = tmpLoc("sysidx")
     val t = GraftTable.create(spark, loc, mkOrders.schema,
