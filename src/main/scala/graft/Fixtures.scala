@@ -88,6 +88,23 @@ object Fixtures {
       t
     }
 
+  /** Events PK table with record-level expire: every 3rd event's ts is
+    * shifted 50 years into the past, so compaction (retention 10y) drops
+    * exactly those rows — deterministic for decades of wall-clock. */
+  def eventsExpire(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "events_rlexp") { loc =>
+      val ev = src(spark, sfDir, "events")
+        .withColumn("ts", when(col("event_id") % 3 === 0,
+          col("ts") - expr("INTERVAL 18250 DAYS")).otherwise(col("ts")))
+      val t = GraftTable.createOrReplace(spark, loc, ev.schema,
+        TableConfig(primaryKeys = Seq("event_id"), numBuckets = 2,
+          options = Map("record-level.expire-time" -> "3650d",
+            "record-level.time-field" -> "ts")))
+      t.write(ev)
+      t.compact()
+      t
+    }
+
   /** ordersPk variant with changelog-producer=lookup: each write commits
     * exact +I/-U/+U changelog files alongside the data. */
   def ordersPkCl(spark: SparkSession, sfDir: String): GraftTable =

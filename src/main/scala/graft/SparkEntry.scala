@@ -76,6 +76,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / snapshots / time travel (SURVEY §2.1) ----
     "q_pk_dedup" -> ((s, d) => qPkDedup(s, d)),
+    // record-level expire: compaction dropped the 50-years-old third
+    "q_record_expire" -> ((s, d) => Fixtures.eventsExpire(s, d).read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
     // clustering-override table: value filter on the clustering column is
     // served by the pruned raw path (file stats carry tight status ranges)
     "q_pk_clustering" -> ((s, d) => Fixtures.ordersClustered(s, d)
@@ -844,6 +848,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pk_dedup" -> dedupOracle,
+    "q_record_expire" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(value), 2) AS total
+        |FROM events WHERE event_id % 3 <> 0 GROUP BY event_type""".stripMargin,
     "q_pk_clustering" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2

@@ -39,6 +39,39 @@ object RowOps {
     // COMPACTION
     // ----------------------------------------------------------------
 
+    /** Drop rows older than `record-level.expire-time` by
+      * `record-level.time-field` (timestamp, epoch-millis long, or
+      * epoch-seconds int); NULL time fields never expire. */
+    private def recordLevelExpire(df: DataFrame): DataFrame =
+      cfg.options.get("record-level.expire-time") match {
+        case None => df
+        case Some(d) =>
+          val field = cfg.options.getOrElse("record-level.time-field",
+            throw new IllegalArgumentException(
+              "record-level.expire-time requires record-level.time-field"))
+          val cutoffMs = System.currentTimeMillis() - parseDurationMs(d)
+          val c = col(field)
+          val fresh = t.dataSchema(field).dataType match {
+            case _: org.apache.spark.sql.types.TimestampType =>
+              unix_micros(c) >= cutoffMs * 1000L
+            case org.apache.spark.sql.types.LongType => c >= cutoffMs
+            case org.apache.spark.sql.types.IntegerType => c >= cutoffMs / 1000L
+            case other => throw new IllegalArgumentException(
+              s"record-level.time-field $field: unsupported type $other")
+          }
+          df.filter(c.isNull || fresh)
+      }
+
+    private def parseDurationMs(s: String): Long = {
+      val m = """(\d+)\s*(ms|s|m|h|d)""".r.findFirstMatchIn(s.trim)
+        .getOrElse(throw new IllegalArgumentException(s"bad duration: $s"))
+      val n = m.group(1).toLong
+      m.group(2) match {
+        case "ms" => n; case "s" => n * 1000L; case "m" => n * 60000L
+        case "h" => n * 3600000L; case "d" => n * 86400000L
+      }
+    }
+
     /** Full compaction: merge every bucket to a single level-1 file set.
       * No-op when the table is already fully compacted. */
     def compact(): Option[SnapshotMeta] = {
@@ -47,6 +80,9 @@ object RowOps {
       val dv = t.dvFor(None)
       val patches = if (t.isRowTracking) t.patchesFor(None) else Nil
       val alreadyCompact = dv.isEmpty && patches.isEmpty &&
+        // record-level expire: a manual compaction must always rewrite —
+        // it is the documented way to force expiry of overdue records
+        !cfg.options.contains("record-level.expire-time") &&
         live.groupBy(e => (e.partition, e.bucket))
         .forall { case (_, es) =>
           // several level>0 files = one compaction's size-rolled outputs
@@ -56,8 +92,12 @@ object RowOps {
       var clBase: Option[Long] = None
       val adds =
         if (t.isPk) {
-          val merged = MergeEngines.merge(
-            t.readEntries(live, withInternal = true, dv), cfg, t.dataSchema)
+          // record-level expire (paimon compaction.md record-level.expire):
+          // rows whose time field is older than the retention drop during
+          // the rewrite — best-effort by design (expiry happens when
+          // compaction runs; trigger a full compaction to force it)
+          val merged = recordLevelExpire(MergeEngines.merge(
+            t.readEntries(live, withInternal = true, dv), cfg, t.dataSchema))
           // full-compaction changelog producer: emit exact -U/+U/+I/-D for
           // everything since the previous produced point, at the moment the
           // merged state exists anyway (paimon

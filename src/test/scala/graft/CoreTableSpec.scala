@@ -434,6 +434,27 @@ class CoreTableSpec extends SparkTestBase {
     assert(!sm.fs.exists(corrupt))
   }
 
+  test("record-level expire drops overdue rows at compaction, keeps null time fields") {
+    val loc = tmpLoc("rlexp")
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2000-01-01 00:00:00"), "old"),
+      (2L, java.sql.Timestamp.valueOf("2999-01-01 00:00:00"), "future"),
+      (3L, null.asInstanceOf[java.sql.Timestamp], "null-ts"))
+    val df = rows.toDF("k", "ts", "v")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("record-level.expire-time" -> "3650d",
+          "record-level.time-field" -> "ts")))
+    t.write(df)
+    assert(t.read().count() == 3, "expiry is compaction-time, not read-time")
+    t.compact()
+    val got = GraftTable.load(spark, loc).read()
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "future"), (3L, "null-ts")), s"got $got")
+    // already-compacted: a second manual compact still runs (forced expiry)
+    assert(t.compact().isDefined)
+  }
+
   test("pk-clustering-override: files sort by clustering column, prune, stay unique") {
     val loc = tmpLoc("pkcl")
     val df = spark.range(1000).select(col("id").as("k"),
