@@ -32,9 +32,20 @@ object Procedures {
               table.compactSorted(strategy, cols)
               ok(s"sort-compacted by $strategy(${cols.mkString(",")})")
             }
-          case None =>
-            val r = table.compact()
-            ok(if (r.isDefined) s"compacted to snapshot ${r.get.id}" else "nothing to compact")
+          case None => args.get("where") match {
+            case Some(w) =>
+              // partition-predicate-scoped compaction (paimon
+              // CompactProcedure `where`): only matching buckets rewrite
+              val e = StatsPrune.resolve(spark, table.dataSchema,
+                org.apache.spark.sql.functions.expr(w))
+              val r = table.compactWhere(en =>
+                StatsPrune.partitionMatches(e, table.dataSchema, en.partition))
+              ok(r.map(s => s"partially compacted to snapshot ${s.id}")
+                .getOrElse("no matching buckets to compact"))
+            case None =>
+              val r = table.compact()
+              ok(if (r.isDefined) s"compacted to snapshot ${r.get.id}" else "nothing to compact")
+          }
         }
       case "rewrite_file_index" =>
         val n = FileIndexes.rebuildAll(table)

@@ -123,6 +123,60 @@ object RowOps {
         changelogBase = clBase, patchAction = Some(Nil)))
     }
 
+    /** PARTIAL compaction: merge only the buckets holding an entry that
+      * matches `victimPred` (paimon CompactProcedure `where` / the LSM's
+      * per-bucket universal compaction — a hot bucket compacts without
+      * rewriting the table). Deletion vectors of compacted files
+      * materialize into the rewrite; vectors on untouched files carry
+      * forward. Changelog production is full-compaction-only — `changelog()`
+      * falls back to the exact diff where files are absent. */
+    def compactWhere(victimPred: ManifestEntry => Boolean): Option[SnapshotMeta] = {
+      val all = t.allLiveEntries().filter(_.bucket != -2)
+      if (all.isEmpty) return None
+      val dv = t.dvFor(None)
+      val byBucket = all.groupBy(e => (e.partition, e.bucket))
+      // a bucket is already compact iff every file is compaction output
+      // (level>0 — any count: one pass's rolled files) and carries no DVs
+      val victims = byBucket.filter { case (_, es) =>
+        es.exists(victimPred) &&
+          (es.exists(_.level == 0) || es.exists(e => dv.contains(dvKey(e.path))))
+      }
+      if (victims.isEmpty) return None
+      val vEntries = victims.values.flatten.toSeq
+      require(!t.isRowTracking || t.patchesFor(None).isEmpty,
+        "partial compaction with outstanding column patches: run compact()")
+      val merged = recordLevelExpire(MergeEngines.merge(
+        t.readEntries(vEntries, withInternal = true, dv), cfg, t.dataSchema))
+      val adds = t.writeFiles(merged, preMerged = true, level = 1)
+      // DV index: drop vectors of rewritten files, keep the rest
+      val victimPaths = vEntries.map(_.path).toSet
+      val remaining = t.sm.latestSnapshot.flatMap(_.dvIndex)
+        .map(n => t.sm.readDvIndex(n).filterNot { case (rel, _) =>
+          victimPaths.contains(rel) })
+        .getOrElse(Map.empty)
+      val dvAction: Option[Option[String]] =
+        Some(if (remaining.isEmpty) None else Some(t.sm.writeDvIndex(remaining)))
+      Some(t.sm.commit(vEntries.map(_.copy(kind = 1)) ++ adds, "COMPACT",
+        s"compact-part-${UUID.randomUUID().toString.take(8)}",
+        t.schema.id, dvAction = dvAction))
+    }
+
+    /** Write-time compaction trigger (paimon num-sorted-run.compaction-
+      * trigger): compact every bucket whose live file count reached the
+      * threshold. Called by the write path when the option is set. */
+    def maybeCompactTriggered(): Option[SnapshotMeta] =
+      cfg.options.get("num-sorted-run.compaction-trigger").map(_.toInt) match {
+        case Some(trigger) if t.isPk =>
+          val counts = t.allLiveEntries().filter(_.bucket != -2)
+            .groupBy(e => (e.partition, e.bucket)).filter(_._2.size >= trigger)
+          if (counts.isEmpty) None
+          else {
+            val hot = counts.keySet
+            compactWhere(e => hot((e.partition, e.bucket)))
+          }
+        case _ => None
+      }
+
     /** Sort compaction for append tables: rewrite the whole table ordered by
       * `order` / z-order of `cols` (paimon CompactProcedure order_strategy +
       * SparkZOrderUDF; SURVEY §2.6). Clusters data for downstream range

@@ -465,9 +465,16 @@ class GraftTable private (
       if (isPk && config.option("changelog-producer", "none") == "lookup")
         produceChangelog(adds)
       else Nil
-    sm.commit(adds, "APPEND",
+    val snap = sm.commit(adds, "APPEND",
       identifier.getOrElse(s"append-${UUID.randomUUID().toString.take(8)}"),
       schema.id, watermark = watermark, changelog = clFiles)
+    // write-time compaction trigger: hot buckets compact as a follow-up
+    // commit (paimon num-sorted-run.compaction-trigger)
+    if (config.options.contains("num-sorted-run.compaction-trigger")) {
+      import RowOps._
+      this.maybeCompactTriggered()
+    }
+    snap
   }
 
   // ------------------------------------------------------------------

@@ -434,6 +434,44 @@ class CoreTableSpec extends SparkTestBase {
     assert(!sm.fs.exists(corrupt))
   }
 
+  test("partial compaction: where-scoped buckets rewrite, DVs on others survive") {
+    val loc = tmpLoc("pcompact")
+    val df = spark.range(200).select(col("id").as("k"),
+      (col("id") % 2).cast("string").as("pt"), (col("id") * 10).as("v"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), partitionKeys = Seq("pt"), numBuckets = 1))
+    t.write(df)
+    t.write(df.filter(col("k") < 50).withColumn("v", col("v") + 1))
+    // DV delete in partition 1 (NOT the compaction target)
+    t.deleteDv(col("k") === 101L)
+    val r = Procedures.call(spark, GraftTable.load(spark, loc), "compact",
+      Map("where" -> "pt = '0'")).head().getString(0)
+    assert(r.contains("partially compacted"), r)
+    val t2 = GraftTable.load(spark, loc)
+    // partition 0 is now compact (level>0 only); partition 1 untouched
+    val byPt = t2.planFiles(None, None).groupBy(_.partition("pt"))
+    assert(byPt("0").forall(_.level > 0), s"p0 files: ${byPt("0").map(_.level)}")
+    assert(byPt("1").exists(_.level == 0), "p1 should be untouched")
+    // the DV on partition 1 carried forward; merge semantics intact
+    assert(t2.read().count() == 199)
+    assert(t2.read().filter(col("k") === 3L).select("v").head().getLong(0) == 31L)
+    assert(t2.read().filter(col("k") === 101L).count() == 0)
+    // second where-compact of the same partition: no-op
+    assert(t2.compactWhere(_.partition("pt") == "0").isEmpty)
+    // write-time trigger: a table with trigger=2 self-compacts its hot bucket
+    val loc2 = tmpLoc("pcompact2")
+    val t3 = GraftTable.create(spark, loc2, df.schema,
+      TableConfig(primaryKeys = Seq("k"), partitionKeys = Seq("pt"), numBuckets = 1,
+        options = Map("num-sorted-run.compaction-trigger" -> "2")))
+    t3.write(df.filter(col("pt") === "0"))
+    t3.write(df.filter(col("pt") === "0").withColumn("v", col("v") + 5))
+    val t4 = GraftTable.load(spark, loc2)
+    assert(t4.planFiles(None, None).forall(_.level > 0),
+      "trigger should have compacted the hot bucket")
+    assert(t4.read().filter(col("k") === 2L).select("v").head().getLong(0) == 25L)
+    assert(t4.sm.latestSnapshot.get.kind == "COMPACT")
+  }
+
   test("record-level expire drops overdue rows at compaction, keeps null time fields") {
     val loc = tmpLoc("rlexp")
     val rows = Seq(
