@@ -333,10 +333,19 @@ class GraftTable private (
           // __pos captures input order BEFORE any shuffle: duplicate keys in
           // one batch resolve last-input-wins, deterministically (paimon
           // assigns a per-record sequence number in its write buffer)
+          // rowkind.field (paimon CoreOptions.ROWKIND_FIELD): a data column
+          // holding "+I"/"-U"/"+U"/"-D" decides each record's kind — the
+          // CDC-ingestion write shape; -D/-U become delete tombstones
+          val kindExpr = config.options.get("rowkind.field") match {
+            case Some(f) =>
+              when(col(f).isin("-D", "-U"), lit(KIND_DELETE))
+                .otherwise(lit(KIND_INSERT))
+            case None => lit(KIND_INSERT)
+          }
           d = d.withColumn(SEQ, seqExpr(commitSeq))
             .withColumn(COMMIT, lit(commitSeq))
             .withColumn(POS, monotonically_increasing_id())
-            .withColumn(KIND, lit(KIND_INSERT))
+            .withColumn(KIND, kindExpr)
           // within-batch pre-merge for the deduplicate engine
           if (config.mergeEngine == "deduplicate") {
             val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
@@ -1736,7 +1745,30 @@ object MergeEngines {
     * semantics; rows with null seqCol never update the group). */
   private def partialUpdate(df: DataFrame, pks: Seq[String], schema: StructType,
                             config: TableConfig): DataFrame = {
-    val alive = df.filter(col(KIND) =!= KIND_DELETE)
+    // partial-update.remove-record-on-delete (paimon partial-update.md:53):
+    // a -D record resets the accumulated row — only records AFTER the last
+    // qualifying delete contribute; none after → the key disappears.
+    // remove-record-on-sequence-group=<col>: only deletes carrying a
+    // non-null value of that sequence column qualify.
+    val removeAll =
+      config.options.get("partial-update.remove-record-on-delete").contains("true")
+    val removeGroup =
+      config.options.get("partial-update.remove-record-on-sequence-group")
+    val alive =
+      if (removeAll || removeGroup.isDefined) {
+        val qualifies = removeGroup match {
+          case Some(g) => col(KIND) === KIND_DELETE && col(g).isNotNull
+          case None => col(KIND) === KIND_DELETE
+        }
+        val ord = struct(col(SEQ), col(COMMIT), col(POS))
+        val wAll = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.withColumn("__delmax", max(when(qualifies, ord)).over(wAll))
+          .filter(col(KIND) =!= KIND_DELETE &&
+            (col("__delmax").isNull ||
+              struct(col(SEQ), col(COMMIT), col(POS)) > col("__delmax")))
+          .drop("__delmax")
+      } else df.filter(col(KIND) =!= KIND_DELETE)
     // seqCol -> fields it governs
     val groups: Map[String, Seq[String]] = config.options.collect {
       case (k, v) if k.startsWith("fields.") && k.endsWith(".sequence-group") =>

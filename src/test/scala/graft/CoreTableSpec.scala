@@ -434,6 +434,41 @@ class CoreTableSpec extends SparkTestBase {
     assert(!sm.fs.exists(corrupt))
   }
 
+  test("rowkind.field + partial-update remove-record-on-delete") {
+    val loc = tmpLoc("rrod")
+    val df0 = Seq((1L, Option("a"), Option.empty[String], "+I"))
+      .toDF("k", "x", "y", "rk")
+    val t = GraftTable.create(spark, loc, df0.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "partial-update",
+        options = Map("rowkind.field" -> "rk",
+          "partial-update.remove-record-on-delete" -> "true")))
+    def row = GraftTable.load(spark, loc).read()
+      .select("k", "x", "y").collect().map(r =>
+        (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)))).toSeq
+    t.write(df0)
+    t.write(Seq((1L, Option.empty[String], Option("v1"), "+I")).toDF("k", "x", "y", "rk"))
+    assert(row == Seq((1L, Some("a"), Some("v1"))), s"accumulated: $row")
+    // -D resets the row entirely
+    t.write(Seq((1L, Option.empty[String], Option.empty[String], "-D")).toDF("k", "x", "y", "rk"))
+    assert(row.isEmpty, s"after delete: $row")
+    // a later +I re-accumulates from scratch — pre-delete fields stay gone
+    t.write(Seq((1L, Option.empty[String], Option("v2"), "+I")).toDF("k", "x", "y", "rk"))
+    assert(row == Seq((1L, None, Some("v2"))), s"re-accumulated: $row")
+    // survives compaction (merge runs the same engine)
+    t.compact()
+    assert(row == Seq((1L, None, Some("v2"))), s"post-compact: $row")
+    // without the option, deletes are ignored (default partial-update)
+    val loc2 = tmpLoc("rrod2")
+    val t2 = GraftTable.create(spark, loc2, df0.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "partial-update",
+        options = Map("rowkind.field" -> "rk")))
+    t2.write(df0)
+    t2.write(Seq((1L, Option.empty[String], Option.empty[String], "-D")).toDF("k", "x", "y", "rk"))
+    assert(GraftTable.load(spark, loc2).read().count() == 1)
+  }
+
   test("partial compaction: where-scoped buckets rewrite, DVs on others survive") {
     val loc = tmpLoc("pcompact")
     val df = spark.range(200).select(col("id").as("k"),
