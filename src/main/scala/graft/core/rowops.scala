@@ -39,6 +39,27 @@ object RowOps {
     // COMPACTION
     // ----------------------------------------------------------------
 
+    /** Read `entries` with the CURRENT deletion vectors applied — every
+      * rewrite path (COW delete/update, sort compaction) must use this:
+      * rewriting a file without its vector resurrects DV-deleted rows. */
+    private def dvRead(entries: Seq[ManifestEntry],
+                       withInternal: Boolean): DataFrame =
+      t.readEntries(entries, withInternal, t.dvFor(None))
+
+    /** DV index after a rewrite that deletes `victimPaths`: vectors of the
+      * rewritten files drop (their content was materialized), the rest
+      * carry in a trimmed index. None = nothing to change (carry-forward). */
+    private def dvActionAfterRewrite(
+        victimPaths: Set[String]): Option[Option[String]] =
+      t.sm.latestSnapshot.flatMap(_.dvIndex) match {
+        case None => None
+        case Some(n) =>
+          val remaining = t.sm.readDvIndex(n)
+            .filterNot { case (rel, _) => victimPaths(rel) }
+          Some(if (remaining.isEmpty) None
+               else Some(t.sm.writeDvIndex(remaining)))
+      }
+
     /** Drop rows older than `record-level.expire-time` by
       * `record-level.time-field` (timestamp, epoch-millis long, or
       * epoch-seconds int); NULL time fields never expire. */
@@ -203,7 +224,7 @@ object RowOps {
 
     private def sortAndCommit(live: Seq[ManifestEntry], strategy: String,
                               cols: Seq[String], targetPartitions: Int): SnapshotMeta = {
-      val df = t.readEntries(live, withInternal = t.isRowTracking)
+      val df = dvRead(live, withInternal = t.isRowTracking)
       val n = if (targetPartitions > 0) targetPartitions
         else spark.sessionState.conf.numShufflePartitions
       val sorted = strategy match {
@@ -222,7 +243,8 @@ object RowOps {
       }
       val adds = t.writeFiles(sorted, level = 1)
       t.sm.commit(live.map(_.copy(kind = 1)) ++ adds, "COMPACT",
-        s"sort-compact-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+        s"sort-compact-${UUID.randomUUID().toString.take(8)}", t.schema.id,
+        dvAction = dvActionAfterRewrite(live.map(_.path).toSet))
     }
 
     // ----------------------------------------------------------------
@@ -278,10 +300,11 @@ object RowOps {
         if (bucketEntries.isEmpty)
           return t.sm.commit(Nil, "OVERWRITE", "delete-noop", t.schema.id)
         val merged = MergeEngines.merge(
-          t.readEntries(bucketEntries, withInternal = true), cfg, t.dataSchema)
+          dvRead(bucketEntries, withInternal = true), cfg, t.dataSchema)
         val adds = t.writeFiles(merged.filter(keep), preMerged = true, level = 1)
         t.sm.commit(bucketEntries.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
-          s"delete-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+          s"delete-${UUID.randomUUID().toString.take(8)}", t.schema.id,
+          dvAction = dvActionAfterRewrite(bucketEntries.map(_.path).toSet))
       } else {
         // row-tracking: keep row ids through the rewrite and evaluate the
         // predicate on the PATCHED view (base stats/values are stale for
@@ -295,10 +318,11 @@ object RowOps {
         if (victims.isEmpty)
           return t.sm.commit(Nil, "OVERWRITE", "delete-noop", t.schema.id)
         val rows = t.applyPatches(
-          t.readEntries(victims, withInternal = t.isRowTracking), patches)
+          dvRead(victims, withInternal = t.isRowTracking), patches)
         val adds = t.writeFiles(rows.filter(keep), level = 0)
         t.sm.commit(victims.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
-          s"delete-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+          s"delete-${UUID.randomUUID().toString.take(8)}", t.schema.id,
+          dvAction = dvActionAfterRewrite(victims.map(_.path).toSet))
       }
     }
 
@@ -411,11 +435,12 @@ object RowOps {
         if (bucketEntries.isEmpty)
           return t.sm.commit(Nil, "OVERWRITE", "update-noop", t.schema.id)
         val merged = MergeEngines.merge(
-          t.readEntries(bucketEntries, withInternal = true), cfg, t.dataSchema)
+          dvRead(bucketEntries, withInternal = true), cfg, t.dataSchema)
         val adds = t.writeFiles(applySet(merged, Some(t.nextCommitSeq)),
           preMerged = true, level = 1)
         t.sm.commit(bucketEntries.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
-          s"update-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+          s"update-${UUID.randomUUID().toString.take(8)}", t.schema.id,
+          dvAction = dvActionAfterRewrite(bucketEntries.map(_.path).toSet))
       } else if (t.isRowTracking) {
         // data evolution (paimon UpdatePaimonDataEvolutionTableCommand
         // capability): write ONLY (row id → new values for the assigned
@@ -426,10 +451,11 @@ object RowOps {
         val victims = t.planFiles(filter = Some(cond))
         if (victims.isEmpty)
           return t.sm.commit(Nil, "OVERWRITE", "update-noop", t.schema.id)
-        val rewritten = applySet(t.readEntries(victims, withInternal = false), None)
+        val rewritten = applySet(dvRead(victims, withInternal = false), None)
         val adds = t.writeFiles(rewritten, level = 0)
         t.sm.commit(victims.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
-          s"update-${UUID.randomUUID().toString.take(8)}", t.schema.id)
+          s"update-${UUID.randomUUID().toString.take(8)}", t.schema.id,
+          dvAction = dvActionAfterRewrite(victims.map(_.path).toSet))
       }
     }
 

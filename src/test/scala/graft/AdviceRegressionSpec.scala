@@ -188,6 +188,39 @@ class AdviceRegressionSpec extends SparkTestBase {
       Some(col("ts") > lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))).isEmpty)
   }
 
+  test("COW delete/update rewrites apply outstanding deletion vectors") {
+    // found by fuzz: deleteDv(k) then an unrelated COW delete whose stats
+    // pruning touches k's bucket rewrote the file WITHOUT its vector —
+    // resurrecting k (and same for COW UPDATE and sort compaction)
+    val loc = tmpLoc("dvcow")
+    val df = spark.range(100).select(col("id").as("k"),
+      concat(lit("s"), col("id")).as("s"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df)
+    t.deleteDv(col("k") === 39L)
+    assert(t.read().count() == 99)
+    // COW delete of a DIFFERENT key in the same bucket
+    t.delete(col("k") === 24L)
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.read().count() == 98)
+    assert(t2.read().filter(col("k") === 39L).count() == 0,
+      "DV-deleted key resurrected by COW delete rewrite")
+    // vectors of rewritten files are gone from the index (materialized)
+    assert(t2.sm.latestSnapshot.get.dvIndex.isEmpty)
+    // COW update path: same hazard
+    val loc2 = tmpLoc("dvcow2")
+    val t3 = GraftTable.create(spark, loc2, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t3.write(df)
+    t3.deleteDv(col("k") === 7L)
+    t3.update(Map("s" -> lit("upd")), col("k") === 50L)
+    val t4 = GraftTable.load(spark, loc2)
+    assert(t4.read().filter(col("k") === 7L).count() == 0,
+      "DV-deleted key resurrected by COW update rewrite")
+    assert(t4.read().count() == 99)
+  }
+
   test("value-column filters never prune MOR input (stale-version resurrection)") {
     val loc = tmpLoc("mor-vprune")
     val df1 = Seq((1L, 5L, "a")).toDF("k", "f", "v")

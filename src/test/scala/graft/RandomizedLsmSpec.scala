@@ -38,7 +38,7 @@ class RandomizedLsmSpec extends SparkTestBase {
     }
 
     for (i <- 0 until ops) {
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 | 1 => // upsert batch
           val rows = (0 until (1 + rnd.nextInt(15))).map { _ =>
             val k = rnd.nextInt(40).toLong
@@ -57,7 +57,11 @@ class RandomizedLsmSpec extends SparkTestBase {
           val k = model.keySet.toSeq(rnd.nextInt(model.size))
           t.deleteDv(col("k") === k)
           model -= k
-        case _ => // compact
+        case 4 => // PARTIAL compaction of one random bucket (DVs on other
+          // buckets must carry forward through the index rewrite)
+          val b = rnd.nextInt(math.max(1, numBuckets.max(1)))
+          t.compactWhere(_.bucket == b)
+        case _ => // full compact
           t.compact()
       }
       if (i % 3 == 2) check()
@@ -80,6 +84,13 @@ class RandomizedLsmSpec extends SparkTestBase {
 
   test("random op sequence with dynamic buckets (bucket = -1)") {
     runScenario(seed = 99L, ops = 10, numBuckets = -1)
+  }
+
+  test("random op sequence with write-time compaction trigger") {
+    // hot buckets self-compact mid-sequence; the model must still agree
+    runScenario(seed = 2024L, ops = 10, numBuckets = 2,
+      extraOpts = Map("num-sorted-run.compaction-trigger" -> "3",
+        "write.max-records-per-file" -> "9"))
   }
 
   /** KEY_DYNAMIC: partitioned by a mutable column — random upserts MOVE
