@@ -131,13 +131,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     namespace.length == 1 && fs.exists(dbPath(namespace.mkString(".")))
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String]): Unit = {
+    requirePriv("CREATE_DATABASE", namespace.mkString("."))
     fs.mkdirs(dbPath(namespace.mkString(".")))
     ()
   }
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit = ()
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    requirePriv("DROP_DATABASE", namespace.mkString("."))
     fs.delete(dbPath(namespace.mkString(".")), cascade)
+  }
 
   // ---- format tables (paimon `type=format-table`: a catalog-registered
   // directory of raw csv/json/parquet/orc files, served by Spark's native

@@ -784,6 +784,11 @@ class Dsv2Spec extends SparkTestBase {
     assert(denied(spark.sql(
       "CALL sys.create_privileged_user(catalog => 'gp_bob', name => 'eve', password => 'x')"))
       .contains("ADMIN"))
+    // namespace DDL is privilege-gated too
+    assert(denied(spark.sql("CREATE NAMESPACE gp_bob.newdb"))
+      .contains("CREATE_DATABASE"))
+    assert(denied(spark.sql("DROP NAMESPACE gp_bob.db CASCADE"))
+      .contains("DROP_DATABASE"))
     // wrong password is rejected outright
     reg("gp_eve", "bob", "wrong")
     assert(denied(spark.sql("SELECT count(*) FROM gp_eve.db.sec"))
