@@ -105,6 +105,25 @@ object Fixtures {
       t
     }
 
+  /** Partitioned PK table where only ONE partition was compacted (the
+    * partial-compaction procedure); reads must merge the untouched
+    * partition and serve the compacted one raw. */
+  def ordersPartialCompact(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_pcompact") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"),
+          partitionKeys = Seq("o_orderstatus"), numBuckets = 2))
+      t.write(orders)
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      import graft.core.RowOps._
+      val r = Procedures.call(spark, t, "compact",
+        Map("where" -> "o_orderstatus = 'F'")).head().getString(0)
+      require(r.contains("partially compacted"), r)
+      t
+    }
+
   /** ordersPk variant with changelog-producer=lookup: each write commits
     * exact +I/-U/+U changelog files alongside the data. */
   def ordersPkCl(spark: SparkSession, sfDir: String): GraftTable =

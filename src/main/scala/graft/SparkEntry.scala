@@ -76,6 +76,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / snapshots / time travel (SURVEY §2.1) ----
     "q_pk_dedup" -> ((s, d) => qPkDedup(s, d)),
+    // partial compaction: one partition compacted, others still MOR —
+    // the merged answer must be identical either way
+    "q_compact_partial" -> ((s, d) =>
+      statusAgg(Fixtures.ordersPartialCompact(s, d).read())),
     // record-level expire: compaction dropped the 50-years-old third
     "q_record_expire" -> ((s, d) => Fixtures.eventsExpire(s, d).read()
       .groupBy("event_type")
@@ -848,6 +852,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pk_dedup" -> dedupOracle,
+    "q_compact_partial" -> dedupOracle,
     "q_record_expire" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(value), 2) AS total

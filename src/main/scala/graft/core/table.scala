@@ -1178,8 +1178,11 @@ class GraftTable private (
 
   /** Full rows incl. LSM envelope, rowkind as string (paimon `t$audit_log`). */
   def auditLog(snapshotId: Option[Long] = None): DataFrame = {
-    // append tables have no envelope; withInternal would only leak shred cols
-    val df = readEntries(planFiles(snapshotId, None), withInternal = isPk)
+    // append tables have no envelope; withInternal would only leak shred
+    // cols. DVs apply: a vectored-out row is deleted everywhere, the audit
+    // view included
+    val df = readEntries(planFiles(snapshotId, None), withInternal = isPk,
+      dvFor(snapshotId))
     if (!isPk) df.withColumn("rowkind", lit("+I"))
     else df.withColumn("rowkind",
         when(col(KIND) === KIND_DELETE, "-D")
