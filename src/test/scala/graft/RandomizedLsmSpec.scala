@@ -16,6 +16,10 @@ import scala.util.Random
 class RandomizedLsmSpec extends SparkTestBase {
   import spark.implicits._
 
+  private[graft] def runScenarioPublic(seed: Long, ops: Int, numBuckets: Int = 3,
+                          extraOpts: Map[String, String] = Map.empty): Unit =
+    runScenario(seed, ops, numBuckets, extraOpts)
+
   private def runScenario(seed: Long, ops: Int, numBuckets: Int = 3,
                           extraOpts: Map[String, String] = Map.empty): Unit = {
     val rnd = new Random(seed)
@@ -38,7 +42,7 @@ class RandomizedLsmSpec extends SparkTestBase {
     }
 
     for (i <- 0 until ops) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 | 1 => // upsert batch
           val rows = (0 until (1 + rnd.nextInt(15))).map { _ =>
             val k = rnd.nextInt(40).toLong
@@ -61,6 +65,13 @@ class RandomizedLsmSpec extends SparkTestBase {
           // buckets must carry forward through the index rewrite)
           val b = rnd.nextInt(math.max(1, numBuckets.max(1)))
           t.compactWhere(_.bucket == b)
+        case 5 => // COW update of a key range
+          val lo = rnd.nextInt(40).toLong
+          val hi = lo + rnd.nextInt(8)
+          t.update(Map("s" -> concat(col("s"), lit(s"!u$i"))),
+            col("k").between(lo, hi))
+          model = model.map { case (k, (s, p)) =>
+            if (k >= lo && k <= hi) k -> (s + s"!u$i", p) else k -> (s, p) }
         case _ => // full compact
           t.compact()
       }
