@@ -709,8 +709,89 @@ object SparkEntry {
           explode(graft.pipeline.Blob.sampleFrames(col("blob"), 256, 64)).as("f"))
         .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
           length(col("f.frame")).cast("int").as("frame_len"))
-    })
+    }),
+    // PII redaction: emails/phones/IPv4 scrubbed with RE2-compatible regexes
+    // (synthetic PII is appended deterministically — the raw corpus has
+    // none — so the redaction logic is actually exercised and oracle-gated)
+    "q_pii_redact" -> ((s, d) => t(s, d, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), piiAugment.as("aug"))
+      .select(col("doc_id"), TextOps.piiCounts(col("aug")).as("__p"),
+        md5(TextOps.redactPii(col("aug"))).as("red_fp"))
+      .select(col("doc_id"), col("__p.n_email").as("n_email"),
+        col("__p.n_phone").as("n_phone"), col("__p.n_ipv4").as("n_ipv4"),
+        col("red_fp"))),
+    // URL/domain filtering: host extraction + registered-domain heuristic +
+    // blocklist drop — the standard source-level corpus filter
+    "q_url_filter" -> ((s, d) => {
+      val host = TextOps.extractDomain(urlSynth)
+      t(s, d, "documents")
+        .select(TextOps.registeredDomain(host).as("reg_domain"))
+        .filter(col("reg_domain") =!= "example.com")
+        .groupBy("reg_domain").agg(count(lit(1)).as("cnt"))
+    }),
+    // deterministic hash-based train/val/test split (leakage-free: assignment
+    // is a pure function of the document key, not of partitioning/order)
+    "q_hash_split" -> ((s, d) => t(s, d, "documents")
+      .groupBy(TextOps.splitAssign(col("doc_id"), 90, 5).as("split"))
+      .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))),
+    // Gopher document-quality rules (Rae et al. 2021 A1.1), integer-exact
+    "q_gopher_quality" -> ((s, d) => t(s, d, "documents")
+      .select(col("lang"), TextOps.gopherSignals(col("text")).as("__g"))
+      .groupBy("lang").agg(count(lit(1)).as("docs"),
+        sum(when(TextOps.gopherPass(col("__g"), 20, 100000), 1L)
+          .otherwise(0L)).as("n_pass"),
+        sum(col("__g.alpha_words")).as("alpha_words"),
+        sum(col("__g.stop_hits")).as("stop_hits"))),
+    // Gopher repetition signals: fraction of chars in the top bigram / in
+    // duplicated bigrams (explode + two-level groupBy, no all-pairs)
+    "q_ngram_repetition" -> ((s, d) =>
+      graft.pipeline.Dedup.ngramRepetition(
+        t(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text", 2)),
+    // global paragraph-level exact dedup: keep first occurrence corpus-wide
+    // (synthetic repeated footers exercise the cross-doc duplicate path)
+    "q_para_dedup" -> ((s, d) =>
+      graft.pipeline.Dedup.dedupParagraphs(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit("\nshared footer "),
+            pmod(col("doc_id"), lit(5L)).cast("string")).as("text")),
+        "doc_id", "text"))
   )
+
+  /** Synthetic PII appended to each document (both engines build the same
+    * string, so the redaction regexes are genuinely exercised). */
+  private def piiAugment: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail-"), col("source"), lit(".com"),
+    lit(" call 415-555-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+    lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+    lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string"))
+
+  // RE2-compatible PII regexes, shared verbatim with the oracle SQL
+  private val emailRe = TextOps.emailPattern
+  private val phoneRe = TextOps.phonePattern
+  private val ipv4Re = TextOps.ipv4Pattern
+
+  private val piiAugmentSql =
+    """text || ' contact user' || doc_id || '@mail-' || source || '.com' ||
+      | ' call 415-555-' || lpad((doc_id%10000)::VARCHAR, 4, '0') ||
+      | ' from 10.0.' || (doc_id%256) || '.' || ((doc_id*7)%256)""".stripMargin
+
+  /** Synthetic per-doc URL with three host shapes (sub.example.com,
+    * bare cdn-*.net, www.*.org) so domain extraction has real work. */
+  private def urlSynth: Column =
+    when(pmod(col("doc_id"), lit(3L)) === 0,
+      concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+        col("doc_id").cast("string")))
+      .when(pmod(col("doc_id"), lit(3L)) === 1,
+        concat(lit("http://cdn-"), col("source"), lit(".net/a/"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(lit("https://www."), col("source"), lit(".org/p?id="),
+        col("doc_id").cast("string")))
+
+  private val urlSynthSql =
+    """CASE WHEN doc_id%3=0 THEN 'https://'||source||'.example.com/doc/'||doc_id
+      | WHEN doc_id%3=1 THEN 'http://cdn-'||source||'.net/a/'||doc_id
+      | ELSE 'https://www.'||source||'.org/p?id='||doc_id END""".stripMargin
 
   // shared shingle CTEs for the dedup oracles (mirror TextOps.words/shingles
   // + the " xq yq zq" near-duplicate construction, word 3-grams)
@@ -1305,6 +1386,93 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
-    "q_simhash" -> simhashOracle
+    "q_simhash" -> simhashOracle,
+    "q_pii_redact" ->
+      s"""WITH a AS (SELECT doc_id, $piiAugmentSql AS aug
+         |  FROM documents WHERE doc_id < 200)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '$phoneRe')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(aug, '$ipv4Re')) AS BIGINT) AS n_ipv4,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g'),
+         |    '$ipv4Re', '<IP>', 'g')) AS red_fp
+         |FROM a""".stripMargin,
+    "q_url_filter" ->
+      s"""WITH u AS (SELECT doc_id, $urlSynthSql AS url FROM documents),
+         |h AS (SELECT doc_id, regexp_extract(
+         |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+         |    '^([^/:?#]+)', 1) AS host FROM u),
+         |r AS (SELECT doc_id, CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+         |    ELSE array_to_string((string_split(host, '.'))[-2:], '.') END AS reg FROM h)
+         |SELECT reg AS reg_domain, CAST(count(*) AS BIGINT) AS cnt
+         |FROM r WHERE reg <> 'example.com' GROUP BY reg""".stripMargin,
+    "q_hash_split" ->
+      """WITH b AS (SELECT n_chars,
+        |  ('0x'||substr(md5('0'||doc_id),1,8))::UBIGINT % 100 AS b FROM documents)
+        |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |  ELSE 'test' END AS split,
+        | CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM b GROUP BY 1""".stripMargin,
+    "q_gopher_quality" ->
+      """WITH g AS (SELECT lang, text,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |              w -> len(w) > 0) AS ws FROM documents),
+        |s AS (SELECT lang,
+        |  len(ws) AS n_words,
+        |  round(CASE WHEN len(ws) > 0
+        |    THEN list_sum(list_transform(ws, w -> len(w)))::DOUBLE / len(ws)
+        |    ELSE 0 END, 4) AS mwl,
+        |  len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+        |  len(regexp_extract_all(text, '#')) AS n_hash,
+        |  len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+        |  len(list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0)) AS n_lines,
+        |  len(list_filter(string_split(text, chr(10)),
+        |      l -> len(trim(l)) > 0 AND (starts_with(trim(l), '-')
+        |        OR starts_with(trim(l), '*')))) AS bullet_lines,
+        |  len(list_intersect(ws, ['the','and','of','to','a','in','is','that',
+        |    'it','for'])) AS stop_hits
+        | FROM g)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+        | CAST(sum(CASE WHEN n_words BETWEEN 20 AND 100000
+        |   AND mwl BETWEEN 3.0 AND 10.0
+        |   AND (n_hash + n_ellipsis) * 10 <= n_words
+        |   AND bullet_lines * 10 < n_lines * 9
+        |   AND alpha_words * 5 >= n_words * 4
+        |   AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        | CAST(sum(alpha_words) AS BIGINT) AS alpha_words,
+        | CAST(sum(stop_hits) AS BIGINT) AS stop_hits
+        |FROM s GROUP BY lang""".stripMargin,
+    "q_ngram_repetition" ->
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |              x -> len(x) > 0) AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |g AS (SELECT doc_id, n_chars,
+        |  unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, n_chars, gram, count(*) AS cnt
+        |  FROM g GROUP BY doc_id, n_chars, gram)
+        |SELECT doc_id,
+        | round(max(cnt * len(gram))::DOUBLE / n_chars, 4) AS top_frac,
+        | round(sum(CASE WHEN cnt > 1 THEN cnt * len(gram) ELSE 0 END)::DOUBLE
+        |   / n_chars, 4) AS dup_frac
+        |FROM c GROUP BY doc_id, n_chars""".stripMargin,
+    "q_para_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || chr(10) || 'shared footer ' || (doc_id % 5) AS text
+        |  FROM documents),
+        |p0 AS (SELECT doc_id,
+        |  unnest([{'pos': i, 'para': parts[i]} for i in range(1, len(parts)+1)]) AS e
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d)),
+        |p AS (SELECT doc_id, e.pos AS pos, e.para AS para FROM p0
+        |  WHERE len(trim(e.para)) > 0),
+        |r AS (SELECT doc_id,
+        |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+        |  FROM p)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        | CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM r GROUP BY doc_id""".stripMargin
   )
 }

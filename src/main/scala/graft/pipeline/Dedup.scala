@@ -179,6 +179,59 @@ object Dedup {
         round(col("hits").cast("double") / col("total"), 4).as("score"))
   }
 
+  /**
+   * Global paragraph-level exact dedup (the within-corpus complement of
+   * document dedup — boilerplate headers/footers repeat across documents):
+   * explode paragraphs with their position, keep only the FIRST occurrence
+   * of each distinct paragraph corpus-wide (ordered by (id, position)), and
+   * report per-document kept/dropped counts. Scale shape: one shuffle on the
+   * paragraph hash (16-byte md5, never the paragraph text), window over each
+   * hash group — group sizes are duplicate counts, naturally small.
+   */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .select(col(idCol), col("pos"), md5(col("para")).as("ph"))
+    val w = Window.partitionBy(col("ph")).orderBy(col(idCol), col("pos"))
+    paras
+      .withColumn("__rank", row_number().over(w))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__rank") === 1, 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /**
+   * Gopher repetition signals from word n-grams, per document:
+   *   - `top_frac`: max over n-grams of count·chars(gram) / chars(doc) — the
+   *     "fraction of characters in the most frequent n-gram" rule (computed
+   *     with a deterministic max, no tie-breaking on the gram itself);
+   *   - `dup_frac`: Σ over duplicated n-grams (count>1) of count·chars(gram)
+   *     / chars(doc) — the "characters inside duplicated n-grams" rule.
+   * One explode + one (id, gram) groupBy; gram strings are bounded by n
+   * words. Ratios can exceed 1 because overlapping n-grams share characters
+   * (same convention as the Gopher paper's reference implementations).
+   */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        explode(TextOps.shingles(col(textCol), n)).as("gram"))
+    grams
+      .groupBy(col(idCol), col("n_chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("n_chars"))
+      .agg(
+        max(col("cnt") * length(col("gram")).cast("long")).as("top_chars"),
+        sum(when(col("cnt") > 1, col("cnt") * length(col("gram")).cast("long"))
+          .otherwise(0L)).as("dup_chars"))
+      .select(col(idCol),
+        round(col("top_chars").cast("double") / col("n_chars"), 4).as("top_frac"),
+        round(col("dup_chars").cast("double") / col("n_chars"), 4).as("dup_frac"))
+  }
+
   /** Canonical-document assignment: every doc maps to its component's
     * smallest id (docs in no pair map to themselves) — the keep/drop
     * decision of a dedup pipeline as one left join. */

@@ -198,4 +198,110 @@ object TextOps {
     val uni = size(array_union(ad, bd)).cast(DoubleType)
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
+
+  // --- PII redaction -------------------------------------------------------
+  // Training corpora are scrubbed of emails / phone numbers / IP addresses
+  // before use. Patterns are deliberately RE2-compatible (no lookahead, no
+  // backreferences) so the same regex runs in Spark (java.util.regex) and in
+  // any RE2-based engine with identical results — which also makes the op
+  // oracle-checkable.
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of regex matches in `text` (codegen'd, no UDF). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
+
+  /** Redact emails, then phone numbers, then IPv4 addresses (that order —
+    * emails can embed digit runs; fixed order keeps the result
+    * deterministic). Replacement tokens match common corpus conventions. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailPattern, "<EMAIL>")
+    val p = regexp_replace(e, phonePattern, "<PHONE>")
+    regexp_replace(p, ipv4Pattern, "<IP>")
+  }
+
+  /** Per-category PII match counts as a struct (email, phone, ipv4) —
+    * computed on the ORIGINAL text, before redaction. */
+  def piiCounts(text: Column): Column = struct(
+    matchCount(text, emailPattern).as("n_email"),
+    matchCount(text, phonePattern).as("n_phone"),
+    matchCount(text, ipv4Pattern).as("n_ipv4"))
+
+  // --- URL / domain filtering ---------------------------------------------
+
+  /** Host part of a URL: strips scheme, then cuts at the first `/:?#`. */
+  def extractDomain(url: Column): Column =
+    regexp_extract(regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+      "^([^/:?#]+)", 1)
+
+  /** Registered domain = last two dot-labels of the host (heuristic: no
+    * public-suffix list; fine for filtering pipelines where the blocklist is
+    * built with the same rule). */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(size(labels) <= 2, host)
+      .otherwise(concat_ws(".", slice(labels, -2, 2)))
+  }
+
+  // --- Deterministic hash-based dataset splits ----------------------------
+
+  /** Stable split bucket in [0, buckets): md5-prefix hash of the key — the
+    * standard leakage-free train/val/test assignment (same document always
+    * lands in the same split, independent of partitioning or row order). */
+  def splitBucket(key: Column, buckets: Int = 100): Column =
+    pmod(h32(key.cast(StringType), 0), lit(buckets.toLong))
+
+  /** Named split from percentage cut points, e.g. (98, 1) → 98% train,
+    * 1% val, remainder test. */
+  def splitAssign(key: Column, trainPct: Int = 98, valPct: Int = 1): Column = {
+    val b = splitBucket(key, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  // --- Gopher-style quality rules (Rae et al. 2021, appendix A1.1) --------
+
+  /** Raw signals referenced by the Gopher document-filter rules, one struct
+    * per doc so the tokenization passes run once. */
+  def gopherSignals(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws).cast(LongType)
+    val nChars = length(text).cast(LongType)
+    val meanWordLen = when(nWords > 0,
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType) /
+        nWords.cast(DoubleType)).otherwise(0.0)
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]"))).cast(LongType)
+    val nHash = matchCount(text, "#")
+    val nEllipsis = matchCount(text, "\\.\\.\\.")
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val bulletLines = size(filter(lines,
+      l => trim(l).startsWith("-") || trim(l).startsWith("*"))).cast(LongType)
+    val stopHits = size(array_intersect(ws,
+      array(stopwords.map(lit): _*))).cast(LongType)
+    struct(
+      nWords.as("n_words"), nChars.as("n_chars"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      alphaWords.as("alpha_words"), nHash.as("n_hash"),
+      nEllipsis.as("n_ellipsis"), size(lines).cast(LongType).as("n_lines"),
+      bulletLines.as("bullet_lines"), stopHits.as("stop_hits"))
+  }
+
+  /** Gopher pass/fail: word count in [minWords, maxWords], mean word length
+    * in [3, 10], symbol-to-word ratio (# + …) ≤ 0.1, < 90% bullet lines,
+    * ≥ 80% words with an alphabetic char, ≥ 2 distinct stopwords. Ratio
+    * rules are expressed in exact integer arithmetic (×10, ×5/×4, ×10/×9)
+    * so any engine evaluates the boundary cases identically. */
+  def gopherPass(sig: Column, minWords: Int = 50,
+                 maxWords: Int = 100000): Column =
+    sig.getField("n_words").between(minWords, maxWords) &&
+      sig.getField("mean_word_len").between(3.0, 10.0) &&
+      (sig.getField("n_hash") + sig.getField("n_ellipsis")) * 10 <=
+        sig.getField("n_words") &&
+      sig.getField("bullet_lines") * 10 < sig.getField("n_lines") * 9 &&
+      sig.getField("alpha_words") * 5 >= sig.getField("n_words") * 4 &&
+      sig.getField("stop_hits") >= 2
 }

@@ -223,6 +223,66 @@ class PipelineSpec extends SparkTestBase {
     assert(m(2L) == 1.0 / 2 + 1.0 && m(1L) == 1.0)
   }
 
+  test("pii redaction scrubs emails/phones/ips; counts match; clean text untouched") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or call 415-555-0142 from 10.1.2.3"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io and ip 192.168.0.1")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextOps.redactPii(col("text")).as("red"),
+      TextOps.piiCounts(col("text")).as("c")).collect().sortBy(_.getLong(0))
+    assert(out(0).getString(1) == "mail me at <EMAIL> or call <PHONE> from <IP>")
+    assert(out(0).getStruct(2).toSeq == Seq(1L, 1L, 1L))
+    assert(out(1).getString(1) == "no pii here at all")
+    assert(out(2).getString(1) == "two mails <EMAIL> <EMAIL> and ip <IP>")
+    assert(out(2).getStruct(2).toSeq == Seq(2L, 0L, 1L))
+  }
+
+  test("domain extraction + registered domain + hash split are stable") {
+    val df = Seq("https://a.b.example.com/x?q=1", "http://cdn-7.net/p",
+      "www.site.org", "bare.io:8080/z").toDF("url")
+    val hosts = df.select(TextOps.registeredDomain(
+      TextOps.extractDomain(col("url"))).as("d")).as[String].collect().toSeq
+    assert(hosts == Seq("example.com", "cdn-7.net", "site.org", "bare.io"))
+    // split assignment: deterministic, and roughly proportional on 10k keys
+    val ids = spark.range(10000).select(TextOps.splitAssign(col("id"), 90, 5).as("s"))
+    val counts = ids.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts("train") > 8500 && counts("val") > 250 && counts("test") > 250)
+    // re-evaluation gives identical assignment (pure function of the key)
+    assert(ids.distinct().count() == 3)
+  }
+
+  test("gopher rules: prose passes, degenerate docs fail for the right reason") {
+    val prose = ("the project is a story about a fox and a dog that " * 5).trim
+    val df = Seq(
+      (1L, prose),                                  // passes all rules
+      (2L, "x " * 40),                              // mean word len < 3
+      (3L, ("#tag " * 40).trim),                    // symbol ratio + no stopwords
+      (4L, Seq.fill(30)("- item").mkString("\n"))   // bullet lines
+    ).toDF("id", "text")
+    val res = df.select(col("id"), TextOps.gopherSignals(col("text")).as("g"))
+      .select(col("id"), TextOps.gopherPass(col("g"), 20, 100000).as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(res(1L) && !res(2L) && !res(3L) && !res(4L))
+  }
+
+  test("ngram repetition + paragraph dedup quantify duplication") {
+    val rep = Dedup.ngramRepetition(
+      Seq((1L, "ab cd ab cd ab cd"), (2L, "all words here are unique now"))
+        .toDF("id", "text"), "id", "text", 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // doc 1: "ab cd" occurs 3x of 5 bigrams; "cd ab" 2x — all bigrams dup'd
+    assert(rep(1L)._1 > rep(2L)._1 && rep(1L)._2 > 0.8)
+    assert(rep(2L)._2 == 0.0)
+    val paras = Dedup.dedupParagraphs(
+      Seq((1L, "alpha\ncommon footer"), (2L, "beta\ncommon footer"),
+        (3L, "alpha\nunique tail")).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(paras(1L) == (2L, 2L))  // first occurrence of both paras
+    assert(paras(2L) == (2L, 1L))  // footer already seen in doc 1
+    assert(paras(3L) == (2L, 1L))  // "alpha" already seen in doc 1
+  }
+
   test("blob store: out-of-line payloads round-trip through descriptors") {
     val dir = java.nio.file.Files.createTempDirectory("blobtest").toString
     val df = (1L to 50L).map(i => (i, s"payload-$i-${"x" * i.toInt}".getBytes("UTF-8")))
