@@ -53,6 +53,18 @@ object Fixtures {
       t
     }
 
+  /** Bucketed append table (`bucket-key` = o_custkey, 8 buckets): equality
+    * and IN filters on the key prune to their buckets' files at plan time
+    * (paimon append-table/bucketed.mdx data skipping). */
+  def ordersBapp(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_bapp") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(numBuckets = 8, options = Map("bucket-key" -> "o_custkey")))
+      t.write(orders)
+      t
+    }
+
   /** PK dedup table over orders; snapshots: 1 = orders, 2 = +10%-key updates
     * (price*2, priority X-UPD), 3 = COMPACT. Tag v1 → snapshot 1. */
   def ordersPk(spark: SparkSession, sfDir: String): GraftTable =

@@ -543,6 +543,11 @@ object SparkEntry {
       Map("o_orderkey" -> 100L))
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice"), 2).as("price"))),
+    // bucketed append: IN on the bucket-key plans only those buckets' files
+    "q_bucket_append" -> ((s, d) => Fixtures.ordersBapp(s, d)
+      .read(filter = Some(col("o_custkey").isin(7L, 11L, 23L)))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
     "q_system_consumers" -> ((s, d) => {
       val tbl = Fixtures.ordersPk(s, d)
       Consumers.reset(tbl, "sysc", Some(2L))
@@ -1352,6 +1357,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus,
         | round(o_totalprice * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END, 2) AS price
         |FROM orders WHERE o_orderkey = 100""".stripMargin,
+    "q_bucket_append" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_custkey IN (7, 11, 23) GROUP BY o_custkey""".stripMargin,
     "q_consumer_stream" -> dedupOracle,
     "q_lookup_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,

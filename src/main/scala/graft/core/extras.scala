@@ -270,6 +270,40 @@ object Procedures {
           "APPEND", s"copy-files-${UUID.randomUUID().toString.take(8)}",
           table.schema.id)
         ok(s"copied ${copied.toLong} files from ${args("source_table")} (snapshot ${snap.id})")
+      case "clone" =>
+        // clone this table into another graft table (paimon CloneProcedure /
+        // CloneAction): partition-OVERWRITE semantics carried by the data,
+        // reentrant — an existing target must contain all source fields and
+        // share the partition keys; optional `where` filter and `meta_only`.
+        // The copy itself is one distributed read→write, never driver rows.
+        val targetLoc = args("target")
+        val where = args.get("where").map(expr)
+        val tgt =
+          if (GraftTable.exists(spark, targetLoc)) {
+            val t0 = GraftTable.load(spark, targetLoc)
+            val tgtFields = t0.schema.fields.map(f => (f.name, f.dataType)).toSet
+            require(table.schema.fields.map(f => (f.name, f.dataType))
+              .forall(tgtFields), "clone requires the existing target to " +
+              "contain all fields of the source table")
+            require(t0.config.partitionKeys == table.config.partitionKeys,
+              "clone requires matching partition fields")
+            t0
+          } else {
+            // reference clone targets an append table; keep the source's
+            // layout by default, `as_append => true` drops the PK + engine
+            val cfg = if (args.get("as_append").contains("true"))
+              table.config.copy(primaryKeys = Nil, mergeEngine = "deduplicate",
+                sequenceField = None)
+            else table.config
+            GraftTable.create(spark, targetLoc, table.dataSchema, cfg)
+          }
+        if (args.get("meta_only").contains("true"))
+          ok(s"cloned schema to $targetLoc")
+        else {
+          val snap = tgt.overwrite(table.read(filter = where),
+            dynamic = tgt.config.partitionKeys.nonEmpty)
+          ok(s"cloned to $targetLoc (snapshot ${snap.id})")
+        }
       case "repair" =>
         // reconcile persisted metadata with the filesystem (paimon
         // RepairProcedure): drop entries whose file vanished, refresh caches

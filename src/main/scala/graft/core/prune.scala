@@ -338,4 +338,45 @@ object StatsPrune {
     resolveCache.put(key, out)
     out
   }
+
+  /** Bucket pruning (paimon bucketed-append data skipping / PK point reads):
+    * when top-level conjuncts pin EVERY bucket-routing column to a finite
+    * literal set (`=` or `IN`), return the reachable bucket ids under the
+    * write path's routing expression pmod(xxhash64(keys), numBuckets) —
+    * evaluated on the same literals, so a file in any other bucket provably
+    * cannot hold a matching row. None = cannot prune (missing/unsafe
+    * conjuncts, type coercion casts, or a too-large value cross product). */
+  def bucketCandidates(pred: Expression, keyCols: Seq[String],
+                       numBuckets: Int, maxCombos: Int = 256): Option[Set[Int]] = {
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    val per = scala.collection.mutable.Map[String, Set[Literal]]()
+    def add(name: String, ls: Set[Literal]): Unit =
+      per(name) = per.get(name).map(_.intersect(ls)).getOrElse(ls)
+    conj(pred).foreach {
+      // literal type must MATCH the column type — a coercion Cast would hash
+      // differently than the stored value, so those conjuncts are skipped
+      case EqualTo(a: AttributeReference, l: Literal)
+          if l.value != null && l.dataType == a.dataType => add(a.name, Set(l))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if l.value != null && l.dataType == a.dataType => add(a.name, Set(l))
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
+            case l: Literal => l.value != null && l.dataType == a.dataType
+            case _ => false
+          } => add(a.name, vs.map(_.asInstanceOf[Literal]).toSet)
+      case _ =>
+    }
+    if (!keyCols.forall(per.contains)) return None
+    val valueSets = keyCols.map(per)
+    if (valueSets.map(_.size.toLong).product > maxCombos) return None
+    val combos = valueSets.foldLeft(Seq(Seq.empty[Literal])) { (acc, s) =>
+      acc.flatMap(p => s.toSeq.map(p :+ _))
+    }
+    Some(combos.map { lits =>
+      Pmod(new XxHash64(lits.toIndexedSeq), Literal(numBuckets.toLong))
+        .eval(null).asInstanceOf[Long].toInt
+    }.toSet)
+  }
 }

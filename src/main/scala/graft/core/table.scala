@@ -183,7 +183,21 @@ class GraftTable private (
         pmod(xxhash64(pks.map(col).toIndexedSeq: _*), lit(postponeBuckets.toLong)).cast(IntegerType)
       else lit(-2)
     else if (isPk) pmod(xxhash64(pks.map(col).toIndexedSeq: _*), lit(config.numBuckets)).cast(IntegerType)
-    else lit(0)
+    else fixedBucketKeys match {
+      // bucketed append table (paimon append-table/bucketed.mdx:30
+      // `bucket-key`): rows hash-route so `=`/`IN` on the full key prunes
+      // to one bucket's files at plan time
+      case Some(keys) =>
+        pmod(xxhash64(keys.map(col).toIndexedSeq: _*), lit(config.numBuckets)).cast(IntegerType)
+      case None => lit(0)
+    }
+
+  /** Bucket-routing keys when files are hash-routed with a FIXED bucket
+    * count: PK tables (HASH_FIXED) and bucketed append tables
+    * (`bucket-key`). None for dynamic (-1) / postpone (-2) modes and plain
+    * append tables — their bucket ids are not a function of the row. */
+  private[graft] def fixedBucketKeys: Option[Seq[String]] =
+    GraftTable.routingKeys(config)
 
   /** Filesystem-safe 64-bit partition hash (real values live inside the
     * files and in manifest stats — no Hive path-escaping roundtrips). */
@@ -381,6 +395,10 @@ class GraftTable private (
       df = df.repartition(routeCols: _*)
         .sortWithinPartitions(
           (Seq(col(BUCKET), col(PT)) ++ sortCols.map(col)).toIndexedSeq: _*)
+    } else if (!isPk && fixedBucketKeys.isDefined) {
+      // bucketed append: co-locate each bucket's rows so a write emits one
+      // file per (partition, bucket), not tasks × buckets small files
+      df = df.repartition((partCols.map(col) :+ col(BUCKET)).toIndexedSeq: _*)
     }
     // postpone fresh writes keep the INPUT partitioning: zero shuffle,
     // files land under bucket -2 awaiting compaction
@@ -697,7 +715,8 @@ class GraftTable private (
         val fs = fileSchema
         pruneExpr(fs, c) match {
           case Some(expr) =>
-            val kept = live.filter(e => StatsPrune.mightMatch(expr, fs, e.stats, e.rowCount))
+            val kept = bucketPrune(
+              live.filter(e => StatsPrune.mightMatch(expr, fs, e.stats, e.rowCount)), expr)
             // file-index skipping (bloom/bitmap/bsi) on the stats survivors;
             // expr is already merge-safe-restricted for PK tables
             FileIndexes.pruneAndSelect(this, kept, expr)._1
@@ -711,6 +730,28 @@ class GraftTable private (
     * versions of a key, so dropping a file can never unbalance the merge. */
   private def mergeSafeCols: Set[String] =
     (pks ++ config.partitionKeys :+ PT).toSet
+
+  /** Plan-time bucket pruning: files in buckets the predicate's pinned
+    * routing-key literals cannot hash to are dropped (PK point reads +
+    * bucketed-append data skipping). Only entries written under the CURRENT
+    * routing layout participate — after `rescale` (new bucket count in a new
+    * schema), files of older layouts always survive. Merge-safe for PK
+    * tables: every version of a key lives in that key's bucket. */
+  private def bucketPrune(entries: Seq[ManifestEntry],
+                          expr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[ManifestEntry] =
+    fixedBucketKeys.flatMap(keys =>
+      StatsPrune.bucketCandidates(expr, keys, config.numBuckets)) match {
+      case Some(cands) =>
+        val sameLayout = entries.map(_.schemaId).distinct.filter { sid =>
+          val c = sm.readSchema(sid).config
+          c.numBuckets == config.numBuckets &&
+            GraftTable.routingKeys(c) == fixedBucketKeys
+        }.toSet
+        entries.filter(e =>
+          !sameLayout.contains(e.schemaId) || cands.contains(e.bucket))
+      case None => entries
+    }
 
   /** Resolve `c` for stats pruning; PK tables keep only merge-safe conjuncts
     * (value-column pruning on MOR input resurrects stale versions — see
@@ -1524,6 +1565,18 @@ class GraftTable private (
 }
 
 object GraftTable {
+  /** Hash-routing key columns of a FIXED-bucket layout (see
+    * [[GraftTable.fixedBucketKeys]]); config-level so historical schemas can
+    * be compared against the current layout. */
+  private[core] def routingKeys(c: TableConfig): Option[Seq[String]] =
+    if (c.numBuckets <= 0) None
+    else if (c.primaryKeys.nonEmpty) Some(c.primaryKeys)
+    else {
+      val bk = c.option("bucket-key", "").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      if (bk.nonEmpty) Some(bk) else None
+    }
+
   /** Stable per-file key: last 3 path components (commit-dir/pt/bucket/file
     * collapse to pt-dir/bucket-dir/file-name — unique across commits because
     * the file name carries the write job UUID). */
@@ -1618,6 +1671,12 @@ object GraftTable {
       s"primary key $k not in schema"))
     config.partitionKeys.foreach(k => require(schema.fieldNames.contains(k),
       s"partition key $k not in schema"))
+    config.options.get("bucket-key").foreach { bk =>
+      require(config.primaryKeys.isEmpty,
+        "bucket-key applies to append tables (PK tables route by primary key)")
+      bk.split(",").map(_.trim).filter(_.nonEmpty).foreach(k =>
+        require(schema.fieldNames.contains(k), s"bucket-key $k not in schema"))
+    }
     val fmt = config.option("file.format", "parquet")
     require(Set("parquet", "orc", "csv", "json")(fmt), s"unknown file.format $fmt")
     if (fmt == "csv") schema.fields.foreach { f =>

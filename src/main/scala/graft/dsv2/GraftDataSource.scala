@@ -111,13 +111,13 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
           org.apache.spark.sql.types.StringType, false))
     else t.schema.sparkSchema
   override def capabilities(): util.Set[TableCapability] =
-    // no OVERWRITE_DYNAMIC: Spark's dynamic-overwrite exec needs a native
-    // BatchWrite (no V1 fallback); dynamic overwrite is served by the
-    // library API (GraftTable.overwrite(dynamic = true)). SQL gets static +
-    // partition-scoped overwrite through OverwriteByExpression.
+    // OVERWRITE_DYNAMIC passes analysis; execution is rerouted by
+    // GraftRowLevelSql to GraftTable.overwrite(dynamic = true) because
+    // Spark's OverwritePartitionsDynamicExec has no V1 fallback.
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.MICRO_BATCH_READ).asJava
 
   override def properties(): util.Map[String, String] = {
@@ -536,7 +536,7 @@ class GraftDataFrameTable(tableName: String, df: DataFrame)
   * INSERT OVERWRITE / truncate / dynamic overwrite route to the engine's
   * write paths and commit protocol. */
 class GraftWriteBuilder(t: GraftTable) extends WriteBuilder
-    with SupportsTruncate with SupportsOverwrite {
+    with SupportsTruncate with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: String = "append"
   private var overwriteFilters: Array[Filter] = Array.empty
@@ -545,11 +545,17 @@ class GraftWriteBuilder(t: GraftTable) extends WriteBuilder
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     mode = "overwrite"; overwriteFilters = filters; this
   }
+  // df.writeTo(t).overwritePartitions() → replace exactly the partitions the
+  // batch carries (same engine path as INSERT OVERWRITE dynamic mode)
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = "dynamic"; this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data: DataFrame, _: Boolean) => mode match {
         case "append" => t.write(data)
+        case "dynamic" => t.overwrite(data, dynamic = true)
         case "truncate" | "overwrite" =>
           // static partition spec arrives as EqualNullSafe/EqualTo conjuncts
           val static = overwriteFilters.collect {

@@ -88,6 +88,15 @@ class GraftRowLevelSql(session: SparkSession) extends Rule[LogicalPlan] {
         case GraftRel(rel, gt) => rewriteMerge(m, rel, gt)
         case _ => plan
       }
+    // df.writeTo(t).overwritePartitions() / INSERT OVERWRITE in dynamic
+    // partition-overwrite mode: Spark's OverwritePartitionsDynamicExec needs
+    // a native BatchWrite (no V1 fallback), so route it to the engine's
+    // dynamic overwrite like the other row-level commands
+    case o: OverwritePartitionsDynamic if o.resolved =>
+      o.table match {
+        case GraftRel(_, gt) => GraftDynamicOverwriteCommand(gt, o.query)
+        case _ => plan
+      }
     case _ => plan
   }
 
@@ -145,6 +154,14 @@ case class GraftDeleteCommand(t: GraftTable, cond: Column) extends LeafRunnableC
     // deletion-vectors mode: mark positions instead of rewriting files
     if (t.config.option("deletion-vectors.enabled", "false") == "true") t.deleteDv(cond)
     else t.delete(cond)
+    Nil
+  }
+}
+
+case class GraftDynamicOverwriteCommand(t: GraftTable, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    t.overwrite(SparkShims.ofRows(session, query), dynamic = true)
     Nil
   }
 }

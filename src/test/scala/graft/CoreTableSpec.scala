@@ -434,6 +434,82 @@ class CoreTableSpec extends SparkTestBase {
     assert(!sm.fs.exists(corrupt))
   }
 
+  test("bucketed append: bucket-key routes writes, equality/IN prunes to one bucket") {
+    import spark.implicits._
+    val loc = tmpLoc("bapp")
+    val df = (1L to 400L).map(i => (i, s"s${i % 7}", i * 1.5)).toDF("k", "s", "v")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(numBuckets = 8, options = Map("bucket-key" -> "k")))
+    t.write(df)
+    t.write(df.filter(col("k") <= 50)) // second commit, same routing
+    val all = t.planFiles()
+    assert(all.map(_.bucket).distinct.size > 1, "rows spread over buckets")
+    // equality on the full bucket key prunes to exactly one bucket
+    val eq = t.planFiles(filter = Some(col("k") === 123L))
+    assert(eq.map(_.bucket).distinct.size == 1, s"expected 1 bucket, got $eq")
+    assert(eq.size < all.size)
+    assert(t.read(filter = Some(col("k") === 123L)).count() == 1)
+    // IN over the key prunes to the union of its buckets
+    val in = t.planFiles(filter = Some(col("k").isin(1L, 2L, 3L)))
+    assert(in.map(_.bucket).distinct.size <= 3 && in.size < all.size)
+    // both commits kept (append semantics): 2 copies of each key ≤ 50
+    assert(t.read(filter = Some(col("k").isin(1L, 2L, 3L))).count() == 6)
+    // a non-key filter cannot bucket-prune
+    assert(t.planFiles(filter = Some(col("s") === "s3")).size == all.size)
+    // PK point read rides the same pruning
+    val loc2 = tmpLoc("bpk")
+    val t2 = GraftTable.create(spark, loc2, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 8))
+    t2.write(df)
+    val pkEq = t2.planFiles(filter = Some(col("k") === 77L))
+    assert(pkEq.map(_.bucket).distinct.size == 1)
+    assert(pkEq.size < t2.planFiles().size)
+    assert(t2.read(filter = Some(col("k") === 77L)).count() == 1)
+    // bucket-key validation
+    intercept[Exception](GraftTable.create(spark, tmpLoc("bbad"), df.schema,
+      TableConfig(numBuckets = 4, options = Map("bucket-key" -> "nope"))))
+    intercept[Exception](GraftTable.create(spark, tmpLoc("bbad2"), df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 4,
+        options = Map("bucket-key" -> "k"))))
+  }
+
+  test("clone procedure: fresh target, reentrant overwrite, where + meta_only") {
+    import spark.implicits._
+    val loc = tmpLoc("clonesrc")
+    val src = GraftTable.create(spark, loc,
+      Seq((1L, "a", 10.0)).toDF("k", "pt", "v").schema,
+      TableConfig(primaryKeys = Seq("k", "pt"), partitionKeys = Seq("pt"),
+        numBuckets = 2))
+    src.write(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "pt", "v"))
+    def call(t: GraftTable, args: (String, String)*): String =
+      Procedures.call(spark, t, "clone", args.toMap).head().getString(0)
+    // fresh clone keeps layout + data
+    val loc2 = tmpLoc("clonedst")
+    call(src, "target" -> loc2)
+    val tgt = GraftTable.load(spark, loc2)
+    assert(tgt.config.primaryKeys == Seq("k", "pt"))
+    assertSameRows(tgt.read(), src.read())
+    // reentrant: source evolves, second clone overwrites only carried parts
+    src.write(Seq((2L, "a", 25.0)).toDF("k", "pt", "v"))
+    call(src, "target" -> loc2, "where" -> "pt = 'a'")
+    assertSameRows(GraftTable.load(spark, loc2).read(), src.read())
+    // meta_only: schema lands, no data
+    val loc3 = tmpLoc("clonemeta")
+    call(src, "target" -> loc3, "meta_only" -> "true")
+    assert(GraftTable.load(spark, loc3).read().count() == 0)
+    // as_append drops the PK
+    val loc4 = tmpLoc("cloneapp")
+    call(src, "target" -> loc4, "as_append" -> "true")
+    assert(GraftTable.load(spark, loc4).config.primaryKeys.isEmpty)
+    assert(GraftTable.load(spark, loc4).read().count() == src.read().count())
+    // schema-mismatch target rejected
+    val loc5 = tmpLoc("clonebad")
+    GraftTable.create(spark, loc5, Seq((1L, "a")).toDF("k", "other").schema,
+      TableConfig(partitionKeys = Nil))
+    intercept[Exception](call(src, "target" -> loc5))
+  }
+
   test("rowkind.field + partial-update remove-record-on-delete") {
     val loc = tmpLoc("rrod")
     val df0 = Seq((1L, Option("a"), Option.empty[String], "+I"))

@@ -996,6 +996,26 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT dt FROM graft.db.pmgmt").as[String].collect().toSeq == Seq("d2"))
   }
 
+  test("DataFrameWriterV2: writeTo append / overwritePartitions / overwrite") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.wv2 (k BIGINT, pt STRING, v DOUBLE) " +
+      "USING graft PARTITIONED BY (pt) TBLPROPERTIES ('primary-key'='k,pt')")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "pt", "v")
+      .writeTo("graft.db.wv2").append()
+    assert(spark.sql("SELECT count(*) FROM graft.db.wv2").head().getLong(0) == 2)
+    // dynamic overwrite replaces only partition 'a'
+    Seq((9L, "a", 9.0)).toDF("k", "pt", "v")
+      .writeTo("graft.db.wv2").overwritePartitions()
+    assert(spark.sql("SELECT k, pt FROM graft.db.wv2 ORDER BY k").collect().map(
+      r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b"), (9L, "a")))
+    // expression overwrite hits the static-partition path
+    Seq((5L, "b", 5.0)).toDF("k", "pt", "v")
+      .writeTo("graft.db.wv2").overwrite(col("pt") === "b")
+    assert(spark.sql("SELECT k FROM graft.db.wv2 WHERE pt='b'").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+    spark.sql("DROP TABLE graft.db.wv2")
+  }
+
   test("metadata columns: __graft_file_path / row_index / partition / bucket in SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.mcols (k BIGINT, v STRING, dt STRING)
