@@ -1865,7 +1865,11 @@ object MergeEngines {
   }
 
   /** aggregation engine: per-field aggregate functions over each key group
-    * (paimon aggregate/FieldAggregator.java factories; SURVEY §2.4a). */
+    * (paimon aggregate/FieldAggregator.java factories; SURVEY §2.4a).
+    * Retract records (-D/-U) are IGNORED for every field — the posture of
+    * paimon's `fields.<f>.ignore-retract=true` wrapper (FieldIgnoreRetractAgg)
+    * applied across the board; subtracting retraction for `sum` is not
+    * implemented. */
   private def aggregation(df: DataFrame, pks: Seq[String], schema: StructType,
                           config: TableConfig): DataFrame = {
     val alive = df.filter(col(KIND) =!= KIND_DELETE)
@@ -1924,6 +1928,65 @@ object MergeEngines {
               struct(col(SEQ), col(COMMIT), lit(0L).as(POS), c.as("v")))),
               (l, r) => MergeEngines.envelopeCmp(l, r)),
             x => x.getField("v"))
+        case "primary-key" =>
+          // paimon FieldPrimaryKeyAgg: every input (even null) overwrites
+          max_by(c, ordKey)
+        case "merge_map_with_keytime" =>
+          // paimon FieldMergeMapWithKeyTimeAgg: map<K, ROW> where the row
+          // carries a STRING keytime (fields.<f>.ts-field, default last
+          // struct field). Sequence-ordered merge per entry: null row
+          // removes the key; null keytime is skipped; otherwise the greater
+          // keytime wins (string compare, like the reference).
+          val valueType = dt.asInstanceOf[MapType].valueType.asInstanceOf[StructType]
+          val tsField = config.option(s"fields.$name.ts-field",
+            valueType.fields.last.name)
+          def ts(v: Column): Column = v.getField(tsField)
+          val sorted = transform(
+            array_sort(collect_list(when(c.isNotNull,
+              struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
+              (l, r) => MergeEngines.envelopeCmp(l, r)),
+            x => x.getField("v"))
+          aggregate(sorted, lit(null).cast(dt), (acc, m) =>
+            when(acc.isNull, m).otherwise {
+              // drop keys the input explicitly removes (null row)
+              val kept = map_filter(acc, (k, _) =>
+                !(map_contains_key(m, k) && element_at(m, k).isNull))
+              // input entries that take the slot
+              val wins = map_filter(m, (k, v) =>
+                v.isNotNull && ts(v).isNotNull && (
+                  !map_contains_key(acc, k) || element_at(acc, k).isNull ||
+                    ts(element_at(acc, k)).isNull ||
+                    ts(v) > ts(element_at(acc, k))))
+              map_concat(
+                map_filter(kept, (k, _) => !map_contains_key(wins, k)), wins)
+            })
+        case "nested_partial_update" =>
+          // paimon FieldNestedPartialUpdateAgg: ARRAY<ROW> as a nested table
+          // keyed by fields.<f>.nested-key — later rows PATCH the matching
+          // nested row (non-null fields override), unmatched rows append in
+          // arrival order. Null-key rows merge by null-safe equality (the
+          // default MERGE strategy).
+          val elemType = dt.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+          val nestedKey = config.option(s"fields.$name.nested-key", "")
+            .split(",").map(_.trim).filter(_.nonEmpty)
+          require(nestedKey.nonEmpty,
+            s"nested_partial_update on $name requires fields.$name.nested-key")
+          def sameKey(a: Column, b: Column): Column =
+            nestedKey.map(k => a.getField(k) <=> b.getField(k))
+              .reduce(_ && _)
+          def patched(old: Column, nw: Column): Column =
+            struct(elemType.fields.map(f =>
+              coalesce(nw.getField(f.name), old.getField(f.name)).as(f.name))
+              .toIndexedSeq: _*)
+          val rows = flatten(transform(
+            array_sort(collect_list(when(c.isNotNull,
+              struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
+              (l, r) => MergeEngines.envelopeCmp(l, r)),
+            x => x.getField("v")))
+          aggregate(rows, array().cast(dt), (acc, r) =>
+            when(org.apache.spark.sql.functions.exists(acc, a => sameKey(a, r)),
+              transform(acc, a => when(sameKey(a, r), patched(a, r)).otherwise(a)))
+              .otherwise(array_append(acc, r)))
         case "rbm32" => GraftAggs.rbm32(c)
         case "rbm64" => GraftAggs.rbm64(c)
         case "hll_sketch" => GraftAggs.hllSketch(c)

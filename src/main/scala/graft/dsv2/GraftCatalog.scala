@@ -35,10 +35,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   private var warehouse: String = _
   private var authUser: Option[String] = None
   private var authPassword: Option[String] = None
+  private var catalogOptions: Map[String, String] = Map.empty
   private def spark: SparkSession = SparkSession.active
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    catalogOptions = {
+      import scala.jdk.CollectionConverters._
+      options.asScala.toMap -- Seq("password") // never surface credentials
+    }
     warehouse = Option(options.get("warehouse"))
       .getOrElse(throw new IllegalArgumentException(
         s"catalog $name requires 'warehouse' option"))
@@ -378,6 +383,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 es.size.toLong, es.map(_.rowCount).sum)
             }
         }.toDF("database", "table_name", "partition", "file_count", "row_count")
+      case "catalog_options" =>
+        // paimon CatalogOptionsTable: the catalog's own configuration
+        catalogOptions.toSeq.map { case (k, v) => (k, v) }
+          .toDF("key", "value")
       case other => throw new NoSuchTableException(Array("sys") :+ other)
     }
   }

@@ -181,6 +181,51 @@ class CrossPartitionSpec extends SparkTestBase {
     assert(got(1)._2 == Map("z" -> 9) && got(1)._3 == Seq("y1"))
   }
 
+  test("aggregation engine: merge_map_with_keytime, nested_partial_update, primary-key") {
+    val loc = tmpLoc("keytime")
+    // map<string, struct<v:int, ts:string>> — keytime is the LAST field by
+    // default; array<struct<id:int, a:string, b:string>> keyed by id
+    val df = Seq(
+      (1L, Map("x" -> (1, "t1"), "y" -> (2, "t5")),
+        Seq((10, Option("a0"), Option.empty[String])), "first"),
+      (1L, Map("x" -> (9, "t3"), "y" -> (8, "t2")),
+        Seq((10, Option.empty[String], Option("b1")), (11, Option("a1"), Option.empty[String])), "second")
+    ).toDF("k", "m", "nest", "who")
+      .select(col("k"),
+        col("m").cast("map<string,struct<v:int,ts:string>>").as("m"),
+        col("nest").cast("array<struct<id:int,a:string,b:string>>").as("nest"),
+        col("who"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "aggregation",
+        fieldAggregates = Map("m" -> "merge_map_with_keytime",
+          "nest" -> "nested_partial_update", "who" -> "primary-key"),
+        options = Map("fields.nest.nested-key" -> "id")))
+    t.write(df.filter(col("who") === "first"))
+    t.write(df.filter(col("who") === "second"))
+    val row = t.read().selectExpr("k", "m['x'].v", "m['y'].v",
+      "nest", "who").head()
+    // x: t3 > t1 → 9 wins; y: t2 < t5 → 2 stays
+    assert(row.getInt(1) == 9 && row.getInt(2) == 2)
+    // nested row id=10 patched (a kept from v1, b from v2); id=11 appended
+    val nest = row.getSeq[org.apache.spark.sql.Row](3)
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(nest == Seq((10, "a0", "b1"), (11, "a1", null)), s"got $nest")
+    // primary-key agg: last input wins
+    assert(row.getString(4) == "second")
+    // keytime removal: a null row deletes the entry
+    val del = Seq((1L, Map("x" -> Option.empty[(Int, String)]),
+      Seq.empty[(Int, Option[String], Option[String])], "third"))
+      .toDF("k", "m", "nest", "who")
+      .select(col("k"),
+        col("m").cast("map<string,struct<v:int,ts:string>>").as("m"),
+        col("nest").cast("array<struct<id:int,a:string,b:string>>").as("nest"),
+        col("who"))
+    t.write(del)
+    val m2 = t.read().selectExpr("map_keys(m)").head().getSeq[String](0)
+    assert(m2.toSet == Set("y"), s"expected x removed, got $m2")
+  }
+
   test("nested schema evolution: rename + widen + append inside a struct") {
     val loc = tmpLoc("nested-evo")
     val df = Seq((1L, ("alice", 10)), (2L, ("bob", 20)))

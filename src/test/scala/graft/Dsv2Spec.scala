@@ -579,6 +579,9 @@ class Dsv2Spec extends SparkTestBase {
       "SELECT row_count FROM graft.sys.all_partitions WHERE table_name = 'gst'")
       .as[Long].collect().sum
     assert(parts == 2L)
+    val copts = spark.sql("SELECT key, value FROM graft.sys.catalog_options")
+      .as[(String, String)].collect().toMap
+    assert(copts.contains("warehouse") && !copts.contains("password"))
   }
 
   test("format tables: catalog-registered csv dir, SQL insert + select") {
