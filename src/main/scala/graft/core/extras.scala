@@ -270,6 +270,14 @@ object Procedures {
           "APPEND", s"copy-files-${UUID.randomUUID().toString.take(8)}",
           table.schema.id)
         ok(s"copied ${copied.toLong} files from ${args("source_table")} (snapshot ${snap.id})")
+      case "iceberg_export" =>
+        // manual trigger of the iceberg metadata export (auto-runs on commit
+        // when metadata.iceberg.storage is set)
+        IcebergExport.export(table) match {
+          case Some(v) => ok(s"iceberg metadata v$v written")
+          case None => ok("skipped (no snapshot, mixed schemas, or PK table " +
+            "not fully merged)")
+        }
       case "clone" =>
         // clone this table into another graft table (paimon CloneProcedure /
         // CloneAction): partition-OVERWRITE semantics carried by the data,

@@ -464,6 +464,10 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
    * On CAS race: re-read latest, verify none of the files WE delete were
    * already deleted (conflict), rebase, retry.
    */
+  /** Invoked after every successful commit with the new snapshot (set by
+    * GraftTable when `metadata.iceberg.storage` is enabled). */
+  @volatile var postCommitHook: Option[SnapshotMeta => Unit] = None
+
   /** dvAction: None = carry forward previous dvIndex; Some(opt) = set to opt. */
   def commit(delta: Seq[ManifestEntry], kind: String, identifier: String,
              schemaId: Long, maxRetries: Int = 20,
@@ -526,6 +530,11 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
           .getOrElse(base.flatMap(b => Option(b.patches).flatten)))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
+        // post-commit callback (iceberg metadata export) — a hook failure
+        // must not fail the commit; the snapshot is already durable
+        postCommitHook.foreach(h =>
+          try h(snap) catch { case e: Exception =>
+            System.err.println(s"[graft] post-commit hook failed: ${e.getMessage}") })
         return snap
       }
       attempt += 1

@@ -1713,7 +1713,15 @@ object GraftTable {
         "pk-clustering-override does not support sequence.field")
     }
     sm.writeSchema(TableSchema.fromSpark(0, schema, config))
-    new GraftTable(spark, location, sm)
+    withHooks(new GraftTable(spark, location, sm))
+  }
+
+  /** Attach post-commit callbacks configured by table options (iceberg
+    * metadata export mirrors paimon's IcebergCommitCallback). */
+  private def withHooks(t: GraftTable): GraftTable = {
+    if (IcebergExport.enabled(t))
+      t.sm.postCommitHook = Some(_ => IcebergExport.export(t))
+    t
   }
 
   def load(spark: SparkSession, location: String): GraftTable =
@@ -1725,7 +1733,7 @@ object GraftTable {
     val sm = new SnapshotManager(location, spark.sessionState.newHadoopConf(), branch)
     require(sm.tableExists, s"no graft table at $location")
     branch.foreach(b => require(sm.branchExists(b), s"no branch $b at $location"))
-    new GraftTable(spark, location, sm)
+    withHooks(new GraftTable(spark, location, sm))
   }
 
   def exists(spark: SparkSession, location: String): Boolean =
