@@ -30,8 +30,10 @@ import java.util.UUID
  *  - every export is a self-contained snapshot: ONE manifest listing all
  *    live files as ADDED (operation=append/overwrite) — no incremental
  *    manifest reuse;
- *  - optional per-file column stats (lower/upper bounds, null counts) are
- *    omitted — Iceberg readers project them as null and skip file pruning;
+ *  - per-file column stats (null counts + lower/upper bounds in the spec's
+ *    single-value binary serialization) ARE emitted for primitive columns
+ *    whose type has a defined encoding, so Iceberg readers min/max-prune
+ *    files; columns without a usable stat are simply absent from the maps;
  *  - PK tables export only when fully merged (every bucket raw-convertible,
  *    no outstanding deletion vectors) — the Iceberg view would otherwise
  *    resurrect unmerged row versions. Append tables export on every commit.
@@ -106,6 +108,31 @@ object IcebergExport {
         df.put("partition", part)
         df.put("record_count", java.lang.Long.valueOf(e.rowCount))
         df.put("file_size_in_bytes", java.lang.Long.valueOf(e.fileSize))
+        // column stats (iceberg single-value binary serialization) so
+        // external readers min/max-prune files like our own manifest pruner
+        val nulls = new java.util.ArrayList[GenericRecord]()
+        val lowers = new java.util.ArrayList[GenericRecord]()
+        val uppers = new java.util.ArrayList[GenericRecord]()
+        def kv(schemaField: String, key: Int, v: AnyRef): GenericRecord = {
+          val s = dataFileSchema.getField(schemaField).schema()
+            .getTypes.get(1).getElementType
+          val r = new GenericData.Record(s)
+          r.put("key", Integer.valueOf(key)); r.put("value", v); r
+        }
+        fields.foreach { f =>
+          val dt = DataType.fromDDL(f.dataType)
+          e.stats.get(f.name).foreach { st =>
+            nulls.add(kv("null_value_counts", f.id + 1,
+              java.lang.Long.valueOf(st.nullCount)))
+            for (b <- boundBytes(dt, st.min))
+              lowers.add(kv("lower_bounds", f.id + 1, b))
+            for (b <- boundBytes(dt, st.max))
+              uppers.add(kv("upper_bounds", f.id + 1, b))
+          }
+        }
+        df.put("null_value_counts", nulls)
+        df.put("lower_bounds", lowers)
+        df.put("upper_bounds", uppers)
         rec.put("data_file", df)
         addedRows += e.rowCount
         w.append(rec)
@@ -292,6 +319,38 @@ object IcebergExport {
     }
   }
 
+  /** Iceberg single-value binary serialization of a bound (spec Appendix D):
+    * little-endian fixed width for numerics, UTF-8 for strings. None when
+    * the stat is absent or the type/value has no sound encoding (NaN). */
+  private def boundBytes(dt: DataType, s: String): Option[java.nio.ByteBuffer] = {
+    if (s == null) return None
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case BooleanType =>
+        Some(ByteBuffer.wrap(Array[Byte](if (s.toBoolean) 1 else 0)))
+      case ByteType | ShortType | IntegerType =>
+        Some(le(4).putInt(s.toInt).flip().asInstanceOf[ByteBuffer])
+      case LongType =>
+        Some(le(8).putLong(s.toLong).flip().asInstanceOf[ByteBuffer])
+      case FloatType =>
+        val f = s.toFloat
+        if (f.isNaN) None
+        else Some(le(4).putFloat(f).flip().asInstanceOf[ByteBuffer])
+      case DoubleType =>
+        val d = s.toDouble
+        if (d.isNaN) None
+        else Some(le(8).putDouble(d).flip().asInstanceOf[ByteBuffer])
+      case StringType => Some(ByteBuffer.wrap(s.getBytes("UTF-8")))
+      case DateType =>
+        Some(le(4).putInt(java.time.LocalDate.parse(s).toEpochDay.toInt)
+          .flip().asInstanceOf[ByteBuffer])
+      case _: TimestampType | _: TimestampNTZType =>
+        Some(le(8).putLong(s.toLong).flip().asInstanceOf[ByteBuffer])
+      case _ => None
+    }
+  }
+
   // ------------------------------------------------------ json/avro shapes
 
   /** Iceberg schema json: {"type":"struct","schema-id":0,"fields":[...]} with
@@ -369,6 +428,22 @@ object IcebergExport {
     }
     partRec.set[ObjectNode]("fields", pf)
 
+    // iceberg's avro encoding for int-keyed maps: array of key/value records
+    // with logicalType "map" and per-map key/value field ids (spec Appendix A)
+    def mapField(name: String, fieldId: Int, keyId: Int, valueId: Int,
+                 valueType: String): ObjectNode = {
+      val rec = om.createObjectNode()
+      rec.put("type", "record"); rec.put("name", s"k${keyId}_v$valueId")
+      val kf = om.createArrayNode()
+      kf.add(field("key", prim("int"), keyId, optional = false))
+      kf.add(field("value", prim(valueType), valueId, optional = false))
+      rec.set[ObjectNode]("fields", kf)
+      val arr = om.createObjectNode()
+      arr.put("type", "array"); arr.put("logicalType", "map")
+      arr.set[ObjectNode]("items", rec)
+      field(name, arr, fieldId, optional = true)
+    }
+
     val dataRec = om.createObjectNode()
     dataRec.put("type", "record"); dataRec.put("name", "r2")
     val df = om.createArrayNode()
@@ -378,6 +453,9 @@ object IcebergExport {
     df.add(field("partition", partRec, 102, optional = false))
     df.add(field("record_count", prim("long"), 103, optional = false))
     df.add(field("file_size_in_bytes", prim("long"), 104, optional = false))
+    df.add(mapField("null_value_counts", 110, 121, 122, "long"))
+    df.add(mapField("lower_bounds", 125, 126, 127, "bytes"))
+    df.add(mapField("upper_bounds", 128, 129, 130, "bytes"))
     dataRec.set[ObjectNode]("fields", df)
 
     val entry = om.createObjectNode()

@@ -95,6 +95,30 @@ class IcebergExportSpec extends SparkTestBase {
     assert(byPart.map(_._1).toSet == Set("us", "de"))
     byPart.foreach { case (_, _, fp) =>
       assert(fs.exists(new Path(fp)), s"exported data file missing: $fp") }
+    // column bounds: single-value binary serialization, keyed by field id
+    val usFiles = entries.map(_.get("data_file").asInstanceOf[GenericRecord])
+      .filter(_.get("partition").asInstanceOf[GenericRecord]
+        .get("country").toString == "us")
+    def boundMap(f: GenericRecord, field: String): Map[Int, java.nio.ByteBuffer] =
+      f.get(field).asInstanceOf[java.util.List[GenericRecord]].asScala
+        .map(r => r.get("key").asInstanceOf[Int] ->
+          r.get("value").asInstanceOf[java.nio.ByteBuffer]).toMap
+    def leLong(b: java.nio.ByteBuffer): Long =
+      b.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    // k (field id 1): the us partition holds k=1 and k=3 across its files
+    val kLowers = usFiles.map(f => leLong(boundMap(f, "lower_bounds")(1)))
+    val kUppers = usFiles.map(f => leLong(boundMap(f, "upper_bounds")(1)))
+    assert(kLowers.min == 1L && kUppers.max == 3L,
+      s"k bounds wrong: $kLowers / $kUppers")
+    // country (field id 2): utf-8 string bound round-trips
+    val cb = boundMap(usFiles.head, "lower_bounds")(2).duplicate()
+    val ca = new Array[Byte](cb.remaining()); cb.get(ca)
+    assert(new String(ca, "UTF-8") == "us")
+    val nullCounts = usFiles.head.get("null_value_counts")
+      .asInstanceOf[java.util.List[GenericRecord]].asScala
+      .map(r => r.get("key").asInstanceOf[Int] ->
+        r.get("value").asInstanceOf[Long]).toMap
+    assert(nullCounts.values.forall(_ == 0L) && nullCounts.keySet == Set(1, 2, 3))
 
     // second commit: v2 metadata, snapshot list carries v1's snapshot
     t.write(Seq((4L, "fr", 4.5)).toDF("k", "country", "v"))
