@@ -27,9 +27,10 @@ import java.util.UUID
  * Spark-written parquet (which carries names, not iceberg field ids).
  *
  * Deliberate simplifications vs the reference (documented, spec-legal):
- *  - every export is a self-contained snapshot: ONE manifest listing all
- *    live files as ADDED (operation=append/overwrite) — no incremental
- *    manifest reuse;
+ *  - pure-append commits REUSE the previous export's manifests and add one
+ *    delta manifest (O(new files) metadata per commit — the 100 TB shape);
+ *    any commit that removes files (overwrite, compaction, delete) falls
+ *    back to one self-contained manifest of all live files;
  *  - per-file column stats (null counts + lower/upper bounds in the spec's
  *    single-value binary serialization) ARE emitted for primitive columns
  *    whose type has a defined encoding, so Iceberg readers min/max-prune
@@ -73,73 +74,27 @@ object IcebergExport {
     val sid = snap.id
     val om = new ObjectMapper()
 
-    // ---- manifest avro (one, all live files as ADDED) ----
-    val manifestPath = new Path(metaDir, s"graft-m-${UUID.randomUUID()}.avro")
-    val entrySchema = new Schema.Parser().parse(
-      manifestEntrySchemaJson(om, partFields))
-    val dataFileSchema = entrySchema.getField("data_file").schema()
-    val partSchema = dataFileSchema.getField("partition").schema()
-    var addedRows = 0L
-    locally {
-      val w = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](entrySchema))
-      w.setMeta("schema", icebergSchemaJson(om, fields).toString)
-      w.setMeta("partition-spec", partitionSpecFieldsJson(om, partFields, fields).toString)
-      w.setMeta("partition-spec-id", "0")
-      w.setMeta("format-version", "2")
-      w.setMeta("content", "data")
-      val out = fs.create(manifestPath, true)
-      w.create(entrySchema, out)
-      entries.foreach { e =>
-        val rec = new GenericData.Record(entrySchema)
-        rec.put("status", 1) // ADDED
-        rec.put("snapshot_id", java.lang.Long.valueOf(sid))
-        rec.put("sequence_number", java.lang.Long.valueOf(sid))
-        rec.put("file_sequence_number", java.lang.Long.valueOf(sid))
-        val df = new GenericData.Record(dataFileSchema)
-        df.put("content", 0) // DATA
-        df.put("file_path", new Path(t.location, e.path).toString)
-        df.put("file_format", t.fileFormat.toUpperCase)
-        val part = new GenericData.Record(partSchema)
-        partFields.foreach { f =>
-          part.put(f.name, partitionValue(DataType.fromDDL(f.dataType),
-            e.partition.get(f.name).orNull))
-        }
-        df.put("partition", part)
-        df.put("record_count", java.lang.Long.valueOf(e.rowCount))
-        df.put("file_size_in_bytes", java.lang.Long.valueOf(e.fileSize))
-        // column stats (iceberg single-value binary serialization) so
-        // external readers min/max-prune files like our own manifest pruner
-        val nulls = new java.util.ArrayList[GenericRecord]()
-        val lowers = new java.util.ArrayList[GenericRecord]()
-        val uppers = new java.util.ArrayList[GenericRecord]()
-        def kv(schemaField: String, key: Int, v: AnyRef): GenericRecord = {
-          val s = dataFileSchema.getField(schemaField).schema()
-            .getTypes.get(1).getElementType
-          val r = new GenericData.Record(s)
-          r.put("key", Integer.valueOf(key)); r.put("value", v); r
-        }
-        fields.foreach { f =>
-          val dt = DataType.fromDDL(f.dataType)
-          e.stats.get(f.name).foreach { st =>
-            nulls.add(kv("null_value_counts", f.id + 1,
-              java.lang.Long.valueOf(st.nullCount)))
-            for (b <- boundBytes(dt, st.min))
-              lowers.add(kv("lower_bounds", f.id + 1, b))
-            for (b <- boundBytes(dt, st.max))
-              uppers.add(kv("upper_bounds", f.id + 1, b))
-          }
-        }
-        df.put("null_value_counts", nulls)
-        df.put("lower_bounds", lowers)
-        df.put("upper_bounds", uppers)
-        rec.put("data_file", df)
-        addedRows += e.rowCount
-        w.append(rec)
-      }
-      w.close()
+    // ---- manifest reuse: pure-append commits write only a DELTA manifest
+    //      (previous manifests carried forward); anything that removed
+    //      files rewrites one self-contained manifest of all live files ----
+    val currentPaths = entries.map(_.path).toSet
+    val prevState = readState(om, fs, metaDir)
+    val reusable = prevState.filter { st =>
+      st.files.forall(currentPaths.contains) && st.files.size <= currentPaths.size
     }
-    val manifestLen = fs.getFileStatus(manifestPath).getLen
+    val (toWrite, carried, isAppend) = reusable match {
+      case Some(st) =>
+        val prevSet = st.files.toSet
+        (entries.filterNot(e => prevSet.contains(e.path)), st.manifests, true)
+      case None => (entries, Nil, false)
+    }
+
+    val newManifests: Seq[ManifestInfo] =
+      if (toWrite.isEmpty) Nil
+      else Seq(writeManifestAvro(om, fs, metaDir, t, fields, partFields,
+        toWrite, sid))
+    val manifests = carried ++ newManifests
+    val addedRows = toWrite.map(_.rowCount).sum
 
     // ---- manifest list avro ----
     val listPath = new Path(metaDir, s"snap-$sid-${UUID.randomUUID()}.avro")
@@ -152,21 +107,23 @@ object IcebergExport {
       w.setMeta("sequence-number", sid.toString)
       val out = fs.create(listPath, true)
       w.create(ls, out)
-      val rec = new GenericData.Record(ls)
-      rec.put("manifest_path", listPathStr(manifestPath))
-      rec.put("manifest_length", java.lang.Long.valueOf(manifestLen))
-      rec.put("partition_spec_id", 0)
-      rec.put("content", 0)
-      rec.put("sequence_number", java.lang.Long.valueOf(sid))
-      rec.put("min_sequence_number", java.lang.Long.valueOf(sid))
-      rec.put("added_snapshot_id", java.lang.Long.valueOf(sid))
-      rec.put("added_files_count", entries.size)
-      rec.put("existing_files_count", 0)
-      rec.put("deleted_files_count", 0)
-      rec.put("added_rows_count", java.lang.Long.valueOf(addedRows))
-      rec.put("existing_rows_count", java.lang.Long.valueOf(0L))
-      rec.put("deleted_rows_count", java.lang.Long.valueOf(0L))
-      w.append(rec)
+      manifests.foreach { m =>
+        val rec = new GenericData.Record(ls)
+        rec.put("manifest_path", m.path)
+        rec.put("manifest_length", java.lang.Long.valueOf(m.length))
+        rec.put("partition_spec_id", 0)
+        rec.put("content", 0)
+        rec.put("sequence_number", java.lang.Long.valueOf(m.seq))
+        rec.put("min_sequence_number", java.lang.Long.valueOf(m.seq))
+        rec.put("added_snapshot_id", java.lang.Long.valueOf(m.seq))
+        rec.put("added_files_count", m.files)
+        rec.put("existing_files_count", 0)
+        rec.put("deleted_files_count", 0)
+        rec.put("added_rows_count", java.lang.Long.valueOf(m.rows))
+        rec.put("existing_rows_count", java.lang.Long.valueOf(0L))
+        rec.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+        w.append(rec)
+      }
       w.close()
     }
 
@@ -197,8 +154,9 @@ object IcebergExport {
     snapNode.put("sequence-number", sid)
     snapNode.put("timestamp-ms", snap.timestampMs)
     val summary = om.createObjectNode()
-    summary.put("operation", if (sid == 1L) "append" else "overwrite")
-    summary.put("added-data-files", entries.size.toString)
+    summary.put("operation",
+      if (isAppend || carried.isEmpty && sid == 1L) "append" else "overwrite")
+    summary.put("added-data-files", toWrite.size.toString)
     summary.put("added-records", addedRows.toString)
     snapNode.set[ObjectNode]("summary", summary)
     snapNode.put("manifest-list", listPathStr(listPath))
@@ -215,7 +173,131 @@ object IcebergExport {
     val mp = new Path(metaDir, s"v$sid.metadata.json")
     writeString(fs, mp, om.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
     writeString(fs, new Path(metaDir, "version-hint.text"), sid.toString)
+    writeState(om, fs, metaDir,
+      ExportState(sid, manifests, entries.map(_.path)))
     Some(sid)
+  }
+
+  /** One exported manifest's identity + counters (for manifest reuse). */
+  private case class ManifestInfo(path: String, length: Long, files: Int,
+                                  rows: Long, seq: Long)
+  private case class ExportState(snapshotId: Long,
+                                 manifests: Seq[ManifestInfo],
+                                 files: Seq[String])
+
+  /** Export-state sidecar (NOT part of the iceberg spec — our own ledger of
+    * which graft files each exported manifest covers, enabling the
+    * append-only delta-manifest path without re-reading avro). */
+  private def readState(om: ObjectMapper, fs: org.apache.hadoop.fs.FileSystem,
+                        metaDir: Path): Option[ExportState] =
+    try {
+      val p = new Path(metaDir, "graft-iceberg-state.json")
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val root = om.readTree(in); in.close()
+      val ms = root.get("manifests").asInstanceOf[ArrayNode]
+      val manifests = (0 until ms.size).map { i =>
+        val m = ms.get(i)
+        ManifestInfo(m.get("path").asText, m.get("length").asLong,
+          m.get("files").asInt, m.get("rows").asLong, m.get("seq").asLong)
+      }
+      val fsArr = root.get("files").asInstanceOf[ArrayNode]
+      Some(ExportState(root.get("snapshotId").asLong, manifests,
+        (0 until fsArr.size).map(i => fsArr.get(i).asText)))
+    } catch { case _: Exception => None }
+
+  private def writeState(om: ObjectMapper, fs: org.apache.hadoop.fs.FileSystem,
+                         metaDir: Path, st: ExportState): Unit = {
+    val root = om.createObjectNode()
+    root.put("snapshotId", st.snapshotId)
+    val ms = om.createArrayNode()
+    st.manifests.foreach { m =>
+      val n = om.createObjectNode()
+      n.put("path", m.path); n.put("length", m.length)
+      n.put("files", m.files); n.put("rows", m.rows); n.put("seq", m.seq)
+      ms.add(n)
+    }
+    root.set[ObjectNode]("manifests", ms)
+    val fsArr = om.createArrayNode()
+    st.files.foreach(fsArr.add)
+    root.set[ObjectNode]("files", fsArr)
+    writeString(fs, new Path(metaDir, "graft-iceberg-state.json"),
+      root.toString)
+  }
+
+  /** Write one manifest avro for `entries`, all ADDED at sequence `seq`. */
+  private def writeManifestAvro(om: ObjectMapper,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                metaDir: Path, t: GraftTable,
+                                fields: Seq[FieldDef], partFields: Seq[FieldDef],
+                                entries: Seq[ManifestEntry],
+                                seq: Long): ManifestInfo = {
+    val manifestPath = new Path(metaDir, s"graft-m-${UUID.randomUUID()}.avro")
+    val entrySchema = new Schema.Parser().parse(
+      manifestEntrySchemaJson(om, partFields))
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    var rows = 0L
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.setMeta("schema", icebergSchemaJson(om, fields).toString)
+    w.setMeta("partition-spec",
+      partitionSpecFieldsJson(om, partFields, fields).toString)
+    w.setMeta("partition-spec-id", "0")
+    w.setMeta("format-version", "2")
+    w.setMeta("content", "data")
+    val out = fs.create(manifestPath, true)
+    w.create(entrySchema, out)
+    entries.foreach { e =>
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1) // ADDED
+      rec.put("snapshot_id", java.lang.Long.valueOf(seq))
+      rec.put("sequence_number", java.lang.Long.valueOf(seq))
+      rec.put("file_sequence_number", java.lang.Long.valueOf(seq))
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", 0) // DATA
+      df.put("file_path", new Path(t.location, e.path).toString)
+      df.put("file_format", t.fileFormat.toUpperCase)
+      val part = new GenericData.Record(partSchema)
+      partFields.foreach { f =>
+        part.put(f.name, partitionValue(DataType.fromDDL(f.dataType),
+          e.partition.get(f.name).orNull))
+      }
+      df.put("partition", part)
+      df.put("record_count", java.lang.Long.valueOf(e.rowCount))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(e.fileSize))
+      // column stats (iceberg single-value binary serialization) so
+      // external readers min/max-prune files like our own manifest pruner
+      val nulls = new java.util.ArrayList[GenericRecord]()
+      val lowers = new java.util.ArrayList[GenericRecord]()
+      val uppers = new java.util.ArrayList[GenericRecord]()
+      def kv(schemaField: String, key: Int, v: AnyRef): GenericRecord = {
+        val s = dataFileSchema.getField(schemaField).schema()
+          .getTypes.get(1).getElementType
+        val r = new GenericData.Record(s)
+        r.put("key", Integer.valueOf(key)); r.put("value", v); r
+      }
+      fields.foreach { f =>
+        val dt = DataType.fromDDL(f.dataType)
+        e.stats.get(f.name).foreach { st =>
+          nulls.add(kv("null_value_counts", f.id + 1,
+            java.lang.Long.valueOf(st.nullCount)))
+          for (b <- boundBytes(dt, st.min))
+            lowers.add(kv("lower_bounds", f.id + 1, b))
+          for (b <- boundBytes(dt, st.max))
+            uppers.add(kv("upper_bounds", f.id + 1, b))
+        }
+      }
+      df.put("null_value_counts", nulls)
+      df.put("lower_bounds", lowers)
+      df.put("upper_bounds", uppers)
+      rec.put("data_file", df)
+      rows += e.rowCount
+      w.append(rec)
+    }
+    w.close()
+    ManifestInfo(manifestPath.toString, fs.getFileStatus(manifestPath).getLen,
+      entries.size, rows, seq)
   }
 
   private def listPathStr(p: Path): String = p.toString

@@ -120,7 +120,7 @@ class IcebergExportSpec extends SparkTestBase {
         r.get("value").asInstanceOf[Long]).toMap
     assert(nullCounts.values.forall(_ == 0L) && nullCounts.keySet == Set(1, 2, 3))
 
-    // second commit: v2 metadata, snapshot list carries v1's snapshot
+    // second commit (pure append): previous manifest REUSED + one delta
     t.write(Seq((4L, "fr", 4.5)).toDF("k", "country", "v"))
     val hint2 = scala.io.Source.fromInputStream(
       fs.open(new Path(metaDir, "version-hint.text"))).mkString.trim
@@ -128,12 +128,27 @@ class IcebergExportSpec extends SparkTestBase {
     val root2 = om.readTree(fs.open(new Path(metaDir, "v2.metadata.json")))
     assert(root2.get("snapshots").size == 2)
     assert(root2.get("snapshots").get(1).get("summary")
-      .get("operation").asText == "overwrite")
-    // current snapshot's manifest covers ALL live files (self-contained)
+      .get("operation").asText == "append")
     val list2 = new Path(root2.get("snapshots").get(1).get("manifest-list").asText)
     val (l2, _, _) = readAvro(list2)
-    assert(l2.head.get("added_files_count").asInstanceOf[Int] ==
+    assert(l2.size == 2, s"expected carried + delta manifest, got ${l2.size}")
+    assert(l2.head.get("manifest_path").toString ==
+      listRecs.head.get("manifest_path").toString, "first manifest not reused")
+    assert(l2.map(_.get("added_files_count").asInstanceOf[Int]).sum ==
       GraftTable.load(spark, loc).planFiles().size)
+    // a DELETE removes files → export falls back to one full manifest
+    import graft.core.RowOps._
+    GraftTable.load(spark, loc).delete(col("country") === "de")
+    val hint3 = scala.io.Source.fromInputStream(
+      fs.open(new Path(metaDir, "version-hint.text"))).mkString.trim
+    val root3 = om.readTree(fs.open(new Path(metaDir, s"v$hint3.metadata.json")))
+    val sn3 = root3.get("snapshots")
+    val list3 = new Path(sn3.get(sn3.size - 1).get("manifest-list").asText)
+    val (l3, _, _) = readAvro(list3)
+    assert(l3.size == 1 && l3.head.get("added_files_count")
+      .asInstanceOf[Int] == GraftTable.load(spark, loc).planFiles().size)
+    assert(sn3.get(sn3.size - 1).get("summary").get("operation").asText ==
+      "overwrite")
   }
 
   test("pk table exports only when fully merged; procedure triggers manually") {
