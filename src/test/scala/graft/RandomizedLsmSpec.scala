@@ -104,6 +104,43 @@ class RandomizedLsmSpec extends SparkTestBase {
         "write.max-records-per-file" -> "9"))
   }
 
+  test("random bucketed-append ops: key filters agree with model through bucket pruning") {
+    val rnd = new Random(555L)
+    val loc = tmpLoc("rand-bapp")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "s", 1.0)).toDF("k", "s", "p").schema,
+      TableConfig(numBuckets = 4, options = Map("bucket-key" -> "k")))
+    var model = Vector.empty[(Long, String, Double)]
+    for (i <- 0 until 12) {
+      rnd.nextInt(5) match {
+        case 0 | 1 | 2 => // append batch (duplicates kept)
+          val rows = (0 until (1 + rnd.nextInt(12))).map { _ =>
+            val k = rnd.nextInt(30).toLong
+            (k, s"v$i-$k", rnd.nextInt(1000) / 10.0)
+          }
+          t.write(rows.toDF("k", "s", "p"))
+          model ++= rows
+        case 3 => // COW delete of a key range
+          val lo = rnd.nextInt(30).toLong
+          val hi = lo + rnd.nextInt(6)
+          t.delete(col("k").between(lo, hi))
+          model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
+        case _ => t.compact() // file consolidation re-hashes consistently
+      }
+      // = and IN on the bucket key flow through bucketPrune — results must
+      // match the model exactly (a pruning bug DROPS rows, caught here)
+      val k = rnd.nextInt(30).toLong
+      val got = t.read(filter = Some(col("k") === k))
+        .as[(Long, String, Double)].collect().sortBy(_._2).toVector
+      assert(got == model.filter(_._1 == k).sortBy(_._2),
+        s"op=$i point filter k=$k mismatch")
+      val ks = Seq.fill(3)(rnd.nextInt(30).toLong).distinct
+      val gotIn = t.read(filter = Some(col("k").isin(ks: _*))).count()
+      assert(gotIn == model.count(r => ks.contains(r._1)), s"op=$i IN mismatch")
+    }
+    assert(t.read().count() == model.size)
+  }
+
   /** KEY_DYNAMIC: partitioned by a mutable column — random upserts MOVE
     * keys across partitions; full and partition-scoped reads must both
     * match the model at every checkpoint. */
