@@ -139,10 +139,13 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
   // ---- partitioning report ----
   private def clusteringTransforms: Array[Transform] = {
     val parts = t.config.partitionKeys.map(Expressions.identity(_): Transform)
-    val bucket =
-      if (t.isPk && t.config.numBuckets > 0)
-        Seq(Expressions.bucket(t.config.numBuckets, t.config.primaryKeys: _*): Transform)
-      else Nil
+    // PK tables bucket by the primary key; bucketed append tables by
+    // bucket-key — both fixed layouts support storage-partitioned joins
+    val bucket = t.fixedBucketKeys match {
+      case Some(keys) =>
+        Seq(Expressions.bucket(t.config.numBuckets, keys: _*): Transform)
+      case None => Nil
+    }
     (parts ++ bucket).toArray
   }
 
@@ -160,7 +163,7 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
       GraftBatchScan.statValue(dt, e.partition.getOrElse(pc, null))
     }
     val vals =
-      if (t.isPk && t.config.numBuckets > 0) partVals :+ e.bucket else partVals
+      if (t.fixedBucketKeys.isDefined) partVals :+ e.bucket else partVals
     new GenericInternalRow(vals.toArray[Any])
   }
 

@@ -171,6 +171,34 @@ class Dsv2Spec extends SparkTestBase {
     }
   }
 
+  test("storage-partitioned join: co-bucketed APPEND tables (bucket-key) skip exchanges") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    for (n <- Seq("spjap_a", "spjap_b")) {
+      spark.sql(s"""CREATE TABLE graft.db.$n (k BIGINT, v DOUBLE)
+                   TBLPROPERTIES ('bucket-key'='k', 'bucket'='4')""")
+      spark.sql(s"INSERT INTO graft.db.$n SELECT id AS k, id * 1.0 AS v FROM range(80)")
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = spark.sql(
+        """SELECT a.k, a.v + b.v AS s FROM graft.db.spjap_a a
+           JOIN graft.db.spjap_b b ON a.k = b.k""")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"SPJ should have no exchange:\n$plan")
+      assert(j.count() == 80)
+    }
+    // SQL equality on the bucket key bucket-prunes the native scan
+    val scan = spark.sql("SELECT * FROM graft.db.spjap_a WHERE k = 7")
+    assert(scan.count() == 1)
+    import graft.core.RowOps._
+    val t = GraftTable.load(spark, s"$wh/db.db/spjap_a")
+    val pruned = t.planFiles(filter = Some(col("k") === 7L))
+    assert(pruned.map(_.bucket).distinct == Seq(pruned.head.bucket) &&
+      pruned.size < t.planFiles().size)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
