@@ -783,13 +783,29 @@ class GraftTable private (
     import ss.implicits._
     val live = sm.liveEntriesDf(ss, snap)
       .filter(col("bucket") =!= -2).as[ManifestEntry]
-    val pruned = filter.flatMap(c => pruneExpr(dataSchema, c)) match {
+    val exprOpt = filter.flatMap(c => pruneExpr(dataSchema, c))
+    val pruned = exprOpt match {
       case Some(expr) =>
         val ds = dataSchema
         live.filter((e: ManifestEntry) => StatsPrune.mightMatch(expr, ds, e.stats, e.rowCount))
       case None => live
     }
-    pruned.collect().toSeq
+    // bucket pruning, same rules as the driver path (the distributed path IS
+    // the 100-TB case — a point read must not scan 10^7 entries' buckets)
+    val bucketed = exprOpt.flatMap(e => fixedBucketKeys.flatMap(k =>
+      StatsPrune.bucketCandidates(e, k, config.numBuckets))) match {
+      case Some(cands) =>
+        val sids = pruned.map(_.schemaId).distinct().collect()
+        val sameLayout = sids.filter { sid =>
+          val c = sm.readSchema(sid).config
+          c.numBuckets == config.numBuckets &&
+            GraftTable.routingKeys(c) == fixedBucketKeys
+        }.toSet
+        pruned.filter((e: ManifestEntry) =>
+          !sameLayout.contains(e.schemaId) || cands.contains(e.bucket))
+      case None => pruned
+    }
+    bucketed.collect().toSeq
   }
 
   /** Deletion vectors in force for a snapshot, keyed by [[GraftTable.dvKey]]

@@ -65,6 +65,24 @@ class MetadataPlaneSpec extends SparkTestBase {
     assertSameRows(t.read(), df)
   }
 
+  test("distributed planFiles bucket-prunes key equality like the driver path") {
+    val loc = tmpLoc("plan-bucket")
+    val df = spark.range(2000).select(col("id").as("k"),
+      concat(lit("s"), col("id")).as("s"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(numBuckets = 8, options = Map(
+        "bucket-key" -> "k",
+        "metadata.plan.df-threshold" -> "4",
+        "manifest.parquet-threshold" -> "3")))
+    t.write(df.repartition(4))
+    assert(t.sm.latestSnapshot.get.liveFilesLong.exists(_ >= t.sm.planDfThreshold))
+    val all = t.planFiles()
+    val eq = t.planFiles(filter = Some(col("k") === 1234L))
+    assert(eq.map(_.bucket).distinct.size == 1 && eq.size < all.size,
+      s"distributed bucket pruning missed: ${eq.size}/${all.size}")
+    assert(t.read(filter = Some(col("k") === 1234L)).count() == 1)
+  }
+
   test("entriesDf unions json and parquet manifests with manifest order") {
     val loc = tmpLoc("mixed-manifests")
     val df = Seq((1, 10L), (2, 20L)).toDF("k", "v")
