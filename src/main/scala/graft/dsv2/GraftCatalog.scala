@@ -297,6 +297,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (k, v) if k.startsWith("fields.") && k.endsWith(".aggregate-function") =>
         k.stripPrefix("fields.").stripSuffix(".aggregate-function") -> v
     }
+    // iceberg hadoop-catalog storage: all tables' iceberg metadata under one
+    // <warehouse>/iceberg tree, so the whole catalog mounts as an Iceberg
+    // Hadoop-catalog warehouse (paimon metadata.iceberg.storage=hadoop-catalog)
+    val icebergLoc: Map[String, String] =
+      if (props.get("metadata.iceberg.storage").contains("hadoop-catalog") &&
+          !props.contains("metadata.iceberg.storage-location"))
+        Map("metadata.iceberg.storage-location" ->
+          new Path(warehouse,
+            s"iceberg/${ident.namespace().mkString(".")}/${ident.name()}/metadata").toString)
+      else Map.empty
     val config = TableConfig(
       primaryKeys = props.get("primary-key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       partitionKeys = partitionKeys,
@@ -305,8 +315,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       sequenceField = props.get("sequence.field"),
       fieldAggregates = fieldAggs,
       defaultAggregate = props.get("fields.default-aggregate-function"),
-      options = props -- Seq("primary-key", "bucket", "merge-engine", "sequence.field",
-        "path", "provider", "location", "owner"))
+      options = (props -- Seq("primary-key", "bucket", "merge-engine", "sequence.field",
+        "path", "provider", "location", "owner")) ++ icebergLoc)
     new GraftSparkTable(GraftTable.create(spark, tablePath(ident), schema, config))
   }
 

@@ -199,6 +199,23 @@ class Dsv2Spec extends SparkTestBase {
       pruned.size < t.planFiles().size)
   }
 
+  test("iceberg hadoop-catalog storage: SQL table exports under <warehouse>/iceberg/db/t") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.icb_hc (k BIGINT, s STRING)
+      TBLPROPERTIES ('metadata.iceberg.storage'='hadoop-catalog')""")
+    spark.sql("INSERT INTO graft.db.icb_hc VALUES (1,'a'),(2,'b')")
+    val metaDir = new org.apache.hadoop.fs.Path(s"$wh/iceberg/db/icb_hc/metadata")
+    val fs = metaDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(metaDir, "version-hint.text")),
+      s"no iceberg metadata under $metaDir")
+    val v = scala.io.Source.fromInputStream(fs.open(
+      new org.apache.hadoop.fs.Path(metaDir, "version-hint.text"))).mkString.trim
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      fs.open(new org.apache.hadoop.fs.Path(metaDir, s"v$v.metadata.json")))
+    assert(root.get("current-snapshot-id").asLong >= 1L)
+    spark.sql("DROP TABLE graft.db.icb_hc")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
