@@ -442,6 +442,31 @@ object Fixtures {
       t
     }
 
+  /** Aggregation engine with RETRACTION: base write of all lineitem rows,
+    * then a second batch re-sends rows with l_linenumber > 3 as "-D"
+    * (rowkind.field) — sum/count subtract them (paimon FieldSumAgg.retract),
+    * max ignores retraction. */
+  def aggRetract(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "agg_retract") { loc =>
+      val li = src(spark, sfDir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_quantity").as("qty_sum"),
+        col("l_extendedprice").as("price_max"),
+        col("l_partkey").as("item_cnt"),
+        lit("+I").as("rk"),
+        col("l_linenumber"))
+      val t = GraftTable.createOrReplace(spark, loc, li.drop("l_linenumber").schema,
+        TableConfig(primaryKeys = Seq("l_orderkey"), numBuckets = 4,
+          mergeEngine = "aggregation",
+          fieldAggregates = Map("qty_sum" -> "sum", "price_max" -> "max",
+            "item_cnt" -> "count"),
+          options = Map("rowkind.field" -> "rk")))
+      t.write(li.drop("l_linenumber"))
+      t.write(li.filter(col("l_linenumber") > 3)
+        .withColumn("rk", lit("-D")).drop("l_linenumber"))
+      t
+    }
+
   /** First-row engine over orders: second write must lose. */
   def ordersFr(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "orders_fr") { loc =>

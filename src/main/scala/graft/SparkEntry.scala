@@ -192,6 +192,9 @@ object SparkEntry {
     "q_agg_engine" -> ((s, d) => Fixtures.aggTbl(s, d).read()
       .select(col("l_orderkey"), round(col("qty_sum"), 2).as("qty_sum"),
         round(col("price_max"), 2).as("price_max"), col("item_cnt"), col("flags"))),
+    "q_agg_retract" -> ((s, d) => Fixtures.aggRetract(s, d).read()
+      .select(col("l_orderkey"), round(col("qty_sum"), 2).as("qty_sum"),
+        round(col("price_max"), 2).as("price_max"), col("item_cnt"))),
     "q_first_row" -> ((s, d) => Fixtures.ordersFr(s, d).read()
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
     "q_rbm_cardinality" -> ((s, d) => {
@@ -1054,6 +1057,12 @@ object SparkEntry {
         | round(max(l_extendedprice), 2) AS price_max,
         | CAST(count(l_partkey) AS BIGINT) AS item_cnt,
         | array_to_string(list_sort(list(l_returnflag)), ',') AS flags
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_agg_retract" ->
+      """SELECT l_orderkey,
+        | round(sum(CASE WHEN l_linenumber <= 3 THEN l_quantity ELSE 0 END), 2) AS qty_sum,
+        | round(max(l_extendedprice), 2) AS price_max,
+        | CAST(count(CASE WHEN l_linenumber <= 3 THEN l_partkey END) AS BIGINT) AS item_cnt
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q_first_row" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders",

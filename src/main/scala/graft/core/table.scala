@@ -1890,44 +1890,74 @@ object MergeEngines {
 
   /** aggregation engine: per-field aggregate functions over each key group
     * (paimon aggregate/FieldAggregator.java factories; SURVEY §2.4a).
-    * Retract records (-D/-U) are IGNORED for every field — the posture of
-    * paimon's `fields.<f>.ignore-retract=true` wrapper (FieldIgnoreRetractAgg)
-    * applied across the board; subtracting retraction for `sum` is not
-    * implemented. */
+    * RETRACTION (-D/-U records): `sum`, `count` and `product` subtract the
+    * retracted value (paimon FieldSumAgg.retract / FieldProductAgg.retract)
+    * unless `fields.<f>.ignore-retract=true`; every other aggregator ignores
+    * retract records — the posture of paimon's FieldIgnoreRetractAgg wrapper
+    * (the reference THROWS there without ignore-retract; we choose the
+    * permissive documented behavior). */
   private def aggregation(df: DataFrame, pks: Seq[String], schema: StructType,
                           config: TableConfig): DataFrame = {
-    val alive = df.filter(col(KIND) =!= KIND_DELETE)
+    def fnOf(name: String): String = config.fieldAggregates.getOrElse(name,
+      config.defaultAggregate.getOrElse("last_non_null_value"))
+    def retractsField(name: String): Boolean =
+      Set("sum", "count", "product")(fnOf(name)) &&
+        config.option(s"fields.$name.ignore-retract", "false") != "true"
+    // keep -D/-U rows only when some field actually subtracts them; otherwise
+    // the pre-filter keeps every other aggregator's expression on the fast
+    // no-conditional path (identical to the no-retract plan)
+    val anyRetract = schema.fields.exists(f =>
+      !pks.contains(f.name) && retractsField(f.name))
+    val alive = if (anyRetract) df else df.filter(col(KIND) =!= KIND_DELETE)
+    val isRetract = col(KIND) === KIND_DELETE
     val ordKey = struct(col(SEQ), col(COMMIT), col(POS))
+    // retract rows must not feed non-retracting aggregators: null out the
+    // value (for value aggs) or the ordering key (for positional aggs) —
+    // both make the row invisible, matching the pre-filter semantics
+    def liveVal(c: Column): Column = if (anyRetract) when(!isRetract, c) else c
+    val liveOrd: Column = if (anyRetract) when(!isRetract, ordKey) else ordKey
     def aggFor(name: String, dt: DataType): Column = {
-      val fn = config.fieldAggregates.getOrElse(name,
-        config.defaultAggregate.getOrElse("last_non_null_value"))
+      val fn = fnOf(name)
       val c = col(name)
       fn match {
-        case "sum" => sum(c).cast(dt)
-        case "max" => max(c)
-        case "min" => min(c)
-        case "count" => count(c).cast(dt)
+        case "sum" if retractsField(name) =>
+          sum(when(isRetract, -c).otherwise(c)).cast(dt)
+        case "sum" => sum(liveVal(c)).cast(dt)
+        case "max" => max(liveVal(c))
+        case "min" => min(liveVal(c))
+        case "count" if retractsField(name) =>
+          coalesce(sum(when(c.isNotNull, when(isRetract, -1L).otherwise(1L))),
+            lit(0L)).cast(dt)
+        case "count" => count(liveVal(c)).cast(dt)
         case "product" =>
           // streaming-safe product: sign/zero tracked separately, magnitude
           // via exp(Σ ln|x|) — no per-group materialization (log(0)/log(null)
-          // are null in Spark, so zeros/nulls drop out of the magnitude sum)
-          val d = c.cast(DoubleType)
-          val zeros = sum(when(d === 0.0, 1L).otherwise(0L))
-          val negs = sum(when(d < 0.0, 1L).otherwise(0L))
-          when(count(d) === 0, lit(null).cast(DoubleType))
+          // are null in Spark, so zeros/nulls drop out of the magnitude sum).
+          // Retraction = division: the retracted row's contribution enters
+          // each running total with the opposite sign (paimon
+          // FieldProductAgg.retract)
+          val retr = retractsField(name)
+          val d = (if (retr) c else liveVal(c)).cast(DoubleType)
+          val sgn = if (retr) when(isRetract, -1L).otherwise(1L) else lit(1L)
+          val zeros = sum(when(d === 0.0, sgn).otherwise(0L))
+          val negs = sum(when(d < 0.0, sgn).otherwise(0L))
+          val lnTerm = if (retr) when(isRetract, -log(abs(d))).otherwise(log(abs(d)))
+                       else log(abs(d))
+          when(coalesce(sum(when(d.isNotNull, sgn)), lit(0L)) <= 0,
+              lit(null).cast(DoubleType))
             .when(zeros > 0, lit(0.0))
-            .otherwise(exp(sum(log(abs(d)))) *
-              when(negs % 2 === 1, -1.0).otherwise(1.0))
+            .otherwise(exp(sum(lnTerm)) *
+              when(pmod(negs, lit(2L)) === 1, -1.0).otherwise(1.0))
             .cast(dt)
-        case "bool_and" => bool_and(c)
-        case "bool_or" => bool_or(c)
-        case "last_value" => max_by(c, ordKey)
-        case "first_value" => min_by(c, ordKey)
-        case "last_non_null_value" => max_by(c, when(c.isNotNull, ordKey))
-        case "first_non_null_value" => min_by(c, when(c.isNotNull, ordKey))
+        case "bool_and" => bool_and(liveVal(c))
+        case "bool_or" => bool_or(liveVal(c))
+        case "last_value" => max_by(c, liveOrd)
+        case "first_value" => min_by(c, liveOrd)
+        case "last_non_null_value" => max_by(c, when(c.isNotNull, liveOrd))
+        case "first_non_null_value" => min_by(c, when(c.isNotNull, liveOrd))
         case "listagg" =>
           array_join(transform(
-            array_sort(collect_list(when(c.isNotNull,
+            array_sort(collect_list(when(liveVal(c).isNotNull,
               struct(col(SEQ), col(COMMIT), c.cast(StringType).as("v"))))),
             x => x.getField("v")), ",")
         case "merge_map" =>
@@ -1936,7 +1966,7 @@ object MergeEngines {
           // versions, dropping shadowed keys first so concat never clashes.
           // Explicit comparator: maps make the carrier struct unorderable.
           val sorted = transform(
-            array_sort(collect_list(when(c.isNotNull,
+            array_sort(collect_list(when(liveVal(c).isNotNull,
               struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
               (l, r) => MergeEngines.envelopeCmp(l, r)),
             x => x.getField("v"))
@@ -1948,13 +1978,13 @@ object MergeEngines {
           // array per key (paimon FieldNestedUpdateAgg shape); explicit
           // comparator so unorderable payloads (maps inside structs) work
           transform(
-            array_sort(collect_list(when(c.isNotNull,
+            array_sort(collect_list(when(liveVal(c).isNotNull,
               struct(col(SEQ), col(COMMIT), lit(0L).as(POS), c.as("v")))),
               (l, r) => MergeEngines.envelopeCmp(l, r)),
             x => x.getField("v"))
         case "primary-key" =>
           // paimon FieldPrimaryKeyAgg: every input (even null) overwrites
-          max_by(c, ordKey)
+          max_by(c, liveOrd)
         case "merge_map_with_keytime" =>
           // paimon FieldMergeMapWithKeyTimeAgg: map<K, ROW> where the row
           // carries a STRING keytime (fields.<f>.ts-field, default last
@@ -1966,7 +1996,7 @@ object MergeEngines {
             valueType.fields.last.name)
           def ts(v: Column): Column = v.getField(tsField)
           val sorted = transform(
-            array_sort(collect_list(when(c.isNotNull,
+            array_sort(collect_list(when(liveVal(c).isNotNull,
               struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
               (l, r) => MergeEngines.envelopeCmp(l, r)),
             x => x.getField("v"))
@@ -2003,7 +2033,7 @@ object MergeEngines {
               coalesce(nw.getField(f.name), old.getField(f.name)).as(f.name))
               .toIndexedSeq: _*)
           val rows = flatten(transform(
-            array_sort(collect_list(when(c.isNotNull,
+            array_sort(collect_list(when(liveVal(c).isNotNull,
               struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
               (l, r) => MergeEngines.envelopeCmp(l, r)),
             x => x.getField("v")))
@@ -2011,10 +2041,10 @@ object MergeEngines {
             when(org.apache.spark.sql.functions.exists(acc, a => sameKey(a, r)),
               transform(acc, a => when(sameKey(a, r), patched(a, r)).otherwise(a)))
               .otherwise(array_append(acc, r)))
-        case "rbm32" => GraftAggs.rbm32(c)
-        case "rbm64" => GraftAggs.rbm64(c)
-        case "hll_sketch" => GraftAggs.hllSketch(c)
-        case "theta_sketch" => GraftAggs.thetaSketch(c)
+        case "rbm32" => GraftAggs.rbm32(liveVal(c))
+        case "rbm64" => GraftAggs.rbm64(liveVal(c))
+        case "hll_sketch" => GraftAggs.hllSketch(liveVal(c))
+        case "theta_sketch" => GraftAggs.thetaSketch(liveVal(c))
         case other => throw new IllegalArgumentException(s"unknown aggregate $other")
       }
     }

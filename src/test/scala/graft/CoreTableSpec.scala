@@ -309,6 +309,48 @@ class CoreTableSpec extends SparkTestBase {
     assert(got2.map(r => (r._1, r._2, r._3)) == Seq((1L, 7.0, 9), (2L, 10.0, 1)))
   }
 
+  test("aggregation engine retraction: sum/count/product subtract, ignore-retract and max ignore") {
+    val loc = tmpLoc("aggretract")
+    val schema = Seq((1L, 1.0, 1L, 1.0, 1.0, 1, "+I"))
+      .toDF("k", "total", "cnt", "prod", "keep", "hi", "rk").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "aggregation",
+        fieldAggregates = Map("total" -> "sum", "cnt" -> "count",
+          "prod" -> "product", "keep" -> "sum", "hi" -> "max"),
+        options = Map("rowkind.field" -> "rk",
+          "fields.keep.ignore-retract" -> "true")))
+    t.write(Seq(
+      (1L, 5.0, 10L, 2.0, 5.0, 7, "+I"),
+      (1L, 3.0, 20L, 3.0, 3.0, 9, "+I"),
+      (2L, 4.0, 30L, -4.0, 4.0, 1, "+I")).toDF("k", "total", "cnt", "prod", "keep", "hi", "rk"))
+    // retract (3.0, 20, 3.0) from k=1: sum 8→5, count 2→1, product 6→2;
+    // keep has ignore-retract (stays 8), hi=max ignores retraction (stays 9)
+    t.write(Seq((1L, 3.0, 20L, 3.0, 3.0, 9, "-D"))
+      .toDF("k", "total", "cnt", "prod", "keep", "hi", "rk"))
+    val got = t.read().orderBy("k")
+      .select("k", "total", "cnt", "prod", "keep", "hi")
+      .as[(Long, Double, Long, Double, Double, Int)].collect().toSeq
+    assert(got.head._1 == 1L)
+    assert(math.abs(got.head._2 - 5.0) < 1e-9, s"sum: ${got.head}")
+    assert(got.head._3 == 1L, s"count: ${got.head}")
+    assert(math.abs(got.head._4 - 2.0) < 1e-9, s"product: ${got.head}")
+    assert(math.abs(got.head._5 - 8.0) < 1e-9, s"ignore-retract sum: ${got.head}")
+    assert(got.head._6 == 9, s"max: ${got.head}")
+    assert(got(1) == ((2L, 4.0, 1L, -4.0, 4.0, 1)))
+    // retracting a negative flips the sign tracking; retracting to zero
+    // inputs nulls the product (paimon FieldProductAgg on empty state)
+    t.write(Seq((2L, 0.0, 0L, -4.0, 0.0, 0, "-D"))
+      .toDF("k", "total", "cnt", "prod", "keep", "hi", "rk"))
+    val k2 = t.read().filter(col("k") === 2L)
+      .select("prod").as[Option[Double]].collect().head
+    assert(k2.isEmpty, s"product over net-zero inputs must be null, got $k2")
+    t.compact()
+    val k2c = t.read().filter(col("k") === 2L)
+      .select("prod").as[Option[Double]].collect().head
+    assert(k2c.isEmpty, "retraction must survive compaction")
+  }
+
   test("first-row merge engine keeps earliest version") {
     val loc = tmpLoc("fr")
     val t = GraftTable.create(spark, loc, mkOrders.schema,
