@@ -3,7 +3,7 @@ package graft
 import graft.core._
 import graft.core.RowOps._
 import graft.functions.GraftAggs
-import graft.pipeline.{Similarity, TextOps}
+import graft.pipeline.{CorpusOps, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -742,6 +742,30 @@ object SparkEntry {
     "q_hash_split" -> ((s, d) => t(s, d, "documents")
       .groupBy(TextOps.splitAssign(col("doc_id"), 90, 5).as("split"))
       .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))),
+    // stratified exact-quota sampling: per-language quotas filled by the
+    // smallest portable hashes (deterministic "random"); candidate pre-filter
+    // keeps the per-stratum window O(quota)
+    "q_stratified_sample" -> ((s, d) => CorpusOps.stratifiedQuota(
+        t(s, d, "documents"), "lang", col("doc_id"),
+        Map("en" -> 100L, "zh" -> 40L, "de" -> 1000L, "fr" -> 10L), seed = 7)
+      .groupBy("lang").agg(count(lit(1)).as("cnt"),
+        sum("doc_id").as("id_sum"))),
+    // weighted source mixing: repeat docs per-source weight (integer part =
+    // full epochs, fraction = hash-sampled extra epoch); the manifest rows
+    // interleave epochs via the spanning shuffle key
+    "q_corpus_mix" -> ((s, d) => CorpusOps.mixSources(
+        t(s, d, "documents"), col("source"), col("doc_id"),
+        Map("src0" -> 2.25, "src1" -> 0.5, "src2" -> 3.0), seed = 11)
+      .groupBy("source").agg(count(lit(1)).as("n_rows"),
+        max("__epoch").cast("long").as("max_epoch"))),
+    // token-budget shard packing: cut a shard every 200k chars of the
+    // canonical shuffle order — distributed two-phase running sum equals
+    // the serial definition exactly
+    "q_token_pack" -> ((s, d) => CorpusOps.packShards(
+        t(s, d, "documents"), col("doc_id"), col("n_chars"), 20000L, seed = 3)
+      .groupBy("__shard").agg(count(lit(1)).as("docs"),
+        sum("n_chars").as("chars"))
+      .withColumnRenamed("__shard", "shard")),
     // Gopher document-quality rules (Rae et al. 2021 A1.1), integer-exact
     "q_gopher_quality" -> ((s, d) => t(s, d, "documents")
       .select(col("lang"), TextOps.gopherSignals(col("text")).as("__g"))
@@ -1433,6 +1457,48 @@ object SparkEntry {
         |  ELSE 'test' END AS split,
         | CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM b GROUP BY 1""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  ('0x'||substr(md5('7'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT AS hx,
+        |  CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 40 WHEN 'de' THEN 1000
+        |            WHEN 'fr' THEN 10 ELSE 0 END AS quota
+        | FROM documents),
+        |c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |f AS (SELECT h.*, least(4294967296,
+        |    CAST(ceil(4294967296 * 3.0 * quota / greatest(cnt, quota, 1)) AS BIGINT)) AS thr
+        |  FROM h JOIN c USING (lang)),
+        |s AS (SELECT doc_id, lang, quota,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rn
+        |  FROM f WHERE hx < thr)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s WHERE rn <= quota GROUP BY lang""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH m AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2.25 WHEN 'src1' THEN 0.5
+        |              WHEN 'src2' THEN 3.0 ELSE 1.0 END AS w,
+        |  ('0x'||substr(md5('12'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT AS hx
+        | FROM documents),
+        |cps AS (SELECT doc_id, source, CAST(floor(w) +
+        |    CASE WHEN hx < CAST(floor((w - floor(w)) * 4294967296) AS BIGINT)
+        |         THEN 1 ELSE 0 END AS INT) AS copies
+        |  FROM m),
+        |e AS (SELECT source, unnest(generate_series(1, copies)) AS epoch
+        |  FROM cps WHERE copies > 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(max(epoch) AS BIGINT) AS max_epoch
+        |FROM e GROUP BY source""".stripMargin,
+    "q_token_pack" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  ('0x'||substr(md5('3'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT AS hx
+        | FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |  sum(n_chars) OVER (ORDER BY hx, doc_id ROWS UNBOUNDED PRECEDING)
+        |    - n_chars AS strt
+        | FROM h)
+        |SELECT CAST(floor(strt / 20000.0) AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM r GROUP BY 1""".stripMargin,
     "q_gopher_quality" ->
       """WITH g AS (SELECT lang, text,
         |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
