@@ -28,7 +28,9 @@ object Fixtures {
       // events.ts is parquet TIMESTAMP(NANOS): read as long, convert to micros
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division: `/` on longs is DOUBLE division, and at 1.7e18 ns
+      // the double ulp is ~256 ns — truncation then lands on the wrong µs
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   private def fixture(spark: SparkSession, sfDir: String, name: String)

@@ -766,6 +766,33 @@ object SparkEntry {
       .groupBy("__shard").agg(count(lit(1)).as("docs"),
         sum("n_chars").as("chars"))
       .withColumnRenamed("__shard", "shard")),
+    // sliding-window chunking: 64-token windows, 16-token overlap; chunk
+    // fingerprints make the (doc, chunk) rows order-insensitive
+    "q_chunk_docs" -> ((s, d) => CorpusOps.chunkDocs(
+        t(s, d, "documents").select("doc_id", "text"), "text", 64, 16)
+      .select(col("doc_id"), col("__chunk").as("chunk"),
+        col("__n_tok").cast("long").as("n_tok"),
+        md5(col("__chunk_text")).as("fp"))),
+    // deterministic k-means assignment: hash-drawn centroids broadcast as
+    // literals, map-side argmax — the distributed half of Lloyd's
+    "q_kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(
+        t(s, d, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 8, seed = 5)
+      .groupBy(col("__cluster").as("cluster"))
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"),
+        sum(floor(col("__sim") * 1000000L).cast("long")).as("sim_micro"))),
+    // gap-based sessionization (30 min), exact integer rollups
+    "q_sessionize" -> ((s, d) => graft.pipeline.Events.sessionStats(
+        t(s, d, "events"), col("user_id"), col("ts"), 1800000L,
+        col("event_id"), col("value"))),
+    // cohort day-offset retention
+    "q_retention" -> ((s, d) => graft.pipeline.Events.retention(
+        t(s, d, "events"), col("user_id"), col("ts"))),
+    // ordered funnel view → click → purchase (min-over-filtered recurrence)
+    "q_funnel" -> ((s, d) => graft.pipeline.Events.funnel(
+        t(s, d, "events"), col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("users"))),
     // Gopher document-quality rules (Rae et al. 2021 A1.1), integer-exact
     "q_gopher_quality" -> ((s, d) => t(s, d, "documents")
       .select(col("lang"), TextOps.gopherSignals(col("text")).as("__g"))
@@ -1499,6 +1526,65 @@ object SparkEntry {
         |SELECT CAST(floor(strt / 20000.0) AS BIGINT) AS shard,
         |  CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM r GROUP BY 1""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(list_filter(range(0, greatest(len(toks), 1), 48),
+        |      x -> x = 0 OR x + 16 < len(toks))) AS st
+        |  FROM w)
+        |SELECT doc_id, CAST(st // 48 AS INT) AS chunk,
+        |  CAST(least(64, n - st) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(list_slice(toks, st + 1, st + 64), ' ')) AS fp
+        |FROM s""".stripMargin,
+    "q_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cemb
+        |  FROM embeddings
+        |  ORDER BY ('0x'||substr(md5('5'||CAST(vec_id AS VARCHAR)),1,8))::UBIGINT,
+        |    vec_id LIMIT 8),
+        |sc AS (SELECT e.vec_id, c.cid,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) AS sim,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |                 c.cemb::DOUBLE[]) DESC, c.cid ASC) AS rn
+        |  FROM embeddings e CROSS JOIN c)
+        |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(vec_id) AS BIGINT) AS min_id,
+        |  CAST(sum(CAST(floor(sim * 1000000) AS BIGINT)) AS BIGINT) AS sim_micro
+        |FROM sc WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |    AS prev FROM o),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000
+        |    THEN 1 ELSE 0 END AS nw FROM l),
+        |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+        |SELECT user_id, CAST(sess AS INT) AS session,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT cohort, CAST(date_diff('day', cohort, d) AS INT) AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM e JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS t FROM events),
+        |b1 AS (SELECT user_id, min(CASE WHEN t = 'view' THEN ms END) AS m1
+        |  FROM e GROUP BY 1),
+        |b2 AS (SELECT e.user_id, min(CASE WHEN t = 'click' AND ms >= m1 THEN ms END)
+        |    AS m2 FROM e JOIN b1 USING (user_id) GROUP BY 1),
+        |b3 AS (SELECT e.user_id, min(CASE WHEN t = 'purchase' AND ms >= m2 THEN ms END)
+        |    AS m3 FROM e JOIN b2 USING (user_id) GROUP BY 1),
+        |d AS (SELECT b1.user_id,
+        |    CASE WHEN m3 IS NOT NULL THEN 3 WHEN m2 IS NOT NULL THEN 2
+        |         WHEN m1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |  FROM b1 JOIN b2 USING (user_id) JOIN b3 USING (user_id))
+        |SELECT CAST(depth AS INT) AS depth, CAST(count(*) AS BIGINT) AS users
+        |FROM d GROUP BY 1""".stripMargin,
     "q_gopher_quality" ->
       """WITH g AS (SELECT lang, text,
         |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),

@@ -98,6 +98,33 @@ object CorpusOps {
         shuffleKey(concat(key.cast("string"), lit(":"), col("__epoch")), seed))
   }
 
+  /**
+   * Sliding-window document chunking (training-sample / RAG prep): split
+   * on whitespace, emit windows of `chunkTokens` tokens advancing by
+   * `chunkTokens - overlap`. A window starts at offset s ∈ {0, step, 2·step,
+   * …} while s == 0 or s + overlap < n (a tail window fully contained in
+   * the previous one is not emitted). Adds `__chunk` (0-based index),
+   * `__chunk_text`, `__n_tok`. Map-side only — explode of a per-row
+   * transform, no shuffle; token arrays never leave the task.
+   */
+  def chunkDocs(df: DataFrame, textCol: String, chunkTokens: Int,
+                overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunk")
+    val step = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    val starts = filter(sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+      s => s === 0 || (s + overlap) < n)
+    df.withColumn("__toks", toks)
+      .withColumn("__s", explode(starts))
+      .withColumn("__chunk", (col("__s") / step).cast("int"))
+      .withColumn("__chunk_text",
+        array_join(slice(col("__toks"), col("__s") + 1, lit(chunkTokens)), " "))
+      .withColumn("__n_tok",
+        least(lit(chunkTokens), size(col("__toks")) - col("__s")))
+      .drop("__toks", "__s")
+  }
+
   /** Token-budget shard packing: lay documents out in shuffle order and cut
     * a new shard every `budget` tokens (a document belongs to the shard its
     * FIRST token lands in). Equivalent to a global running sum, computed

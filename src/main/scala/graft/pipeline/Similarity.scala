@@ -361,6 +361,43 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /**
+   * Deterministic k-means ASSIGNMENT over a corpus: centroids are the `k`
+   * rows whose portable hash h32(seed||id) is smallest (a reproducible
+   * "random" draw any engine can repeat — same trick as the sampling ops),
+   * broadcast to every task; each row goes to its max-cosine centroid
+   * (ties → smallest centroid id). The assignment itself is the 100 TB
+   * path of Lloyd's algorithm — one map-side pass per iteration, no
+   * shuffle; callers wanting refined centroids recompute them with a
+   * groupBy(cluster) mean and re-call (cf. IvfModel.trainIvf for the
+   * sampled in-driver variant the ANN index uses).
+   */
+  def kmeansAssign(df: DataFrame, idCol: String, embedCol: String,
+                   k: Int, seed: Int = 0,
+                   clusterCol: String = "__cluster",
+                   simCol: String = "__sim"): DataFrame = {
+    val centRows = df
+      .withColumn("__h", TextOps.h32(col(idCol).cast("string"), seed))
+      .select(col(idCol).cast("long").as("cid"), col(embedCol).as("cemb"),
+        col("__h"))
+      .orderBy(col("__h").asc, col("cid").asc).limit(k)
+      .select("cid", "cemb").collect() // k rows — metadata-scale
+    // centroids inlined as literals: the whole assignment is one map-side
+    // codegen'd expression per row, zero shuffles of the corpus
+    val centArr = array(centRows.map { r =>
+      struct(lit(r.getLong(0)).as("cid"),
+        array(r.getSeq[Float](1).map(lit).toIndexedSeq: _*).as("cemb"))
+    }.toIndexedSeq: _*)
+    // max of (sim, -cid) == highest sim, smallest centroid id on ties
+    val scoredArr = transform(centArr, c =>
+      struct(cosine(col(embedCol), c.getField("cemb")).as("s"),
+        (-c.getField("cid")).as("nc")))
+    df.withColumn("__best", array_max(scoredArr))
+      .withColumn(clusterCol, -col("__best.nc"))
+      .withColumn(simCol, col("__best.s"))
+      .drop("__best")
+  }
+
   /** IVF-pruned top-k: score only rows in the nprobe nearest clusters. The
     * cluster column should be precomputed (e.g. persisted in the table) so
     * the probe filter prunes at the manifest/file level. */

@@ -421,6 +421,87 @@ class StatsWatermarkSpec extends SparkTestBase {
       .as[Int].head() == 50)
   }
 
+  test("chunkDocs: window boundaries, overlap, and contained-tail suppression") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "a b c"),               // shorter than one chunk
+      (3L, "")                     // empty → one empty chunk
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkDocs(d, "text", chunkTokens = 4, overlap = 2)
+      .select("doc_id", "__chunk", "__n_tok", "__chunk_text")
+      .as[(Long, Int, Int, String)].collect().groupBy(_._1)
+    // doc 1: starts 0,2,4,6,8 → but start 8 has 8+2 = n → NOT emitted
+    val c1 = out(1L).sortBy(_._2)
+    assert(c1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(c1.head._4 == "a b c d" && c1(1)._4 == "c d e f")
+    assert(c1.last._4 == "g h i j" && c1.last._3 == 4)
+    assert(out(2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    assert(out(3L).head._3 == 1) // [""] tokenization, same as the oracle's
+  }
+
+  test("sessionize: gap boundary is strict (> gap starts a session)") {
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    val ev = Seq(
+      (1L, 10L, new Timestamp(base)),
+      (1L, 11L, new Timestamp(base + 1800000L)), // exactly gap → same session
+      (1L, 12L, new Timestamp(base + 3600001L)), // gap+1 → new session
+      (2L, 20L, new Timestamp(base))
+    ).toDF("user_id", "event_id", "ts")
+    val s = Events.sessionize(ev, col("user_id"), col("ts"), 1800000L, col("event_id"))
+      .select("user_id", "event_id", "__session")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(s == Set((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 2L), (2L, 20L, 1L)))
+  }
+
+  test("funnel: min-over-filtered recurrence, same-ms steps count") {
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    val ev = Seq(
+      // user 1: full funnel, click at the SAME ms as view (>= bound counts)
+      (1L, new Timestamp(base), "view"), (1L, new Timestamp(base), "click"),
+      (1L, new Timestamp(base + 10), "purchase"),
+      // user 2: purchase BEFORE view → depth 1 only
+      (2L, new Timestamp(base), "purchase"), (2L, new Timestamp(base + 10), "view"),
+      // user 3: no view at all → depth 0 even with later steps present
+      (3L, new Timestamp(base), "click"), (3L, new Timestamp(base + 10), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val d = Events.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 3, 2L -> 1, 3L -> 0))
+  }
+
+  test("kmeansAssign: every row lands on its max-cosine centroid; ties to smallest cid") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(1f, 1f)) // equidistant from both axis vectors → smaller cid
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 2, seed = 1)
+      .select("vec_id", "__cluster").as[(Long, Long)].collect().toMap
+    // replicate the selection + assignment locally (portable md5-prefix hash)
+    val vecs = Map(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(0.9f, 0.1f),
+      4L -> Seq(0.1f, 0.9f), 5L -> Seq(1f, 1f))
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("1" + s).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val cents = vecs.keys.toSeq.sortBy(id => (h32(id.toString), id)).take(2)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (n == 0.0) 0.0 else d / n
+    }
+    val expected = vecs.map { case (id, v) =>
+      id -> cents.map(c => (cos(v, vecs(c)), c))
+        .maxBy { case (s, c) => (s, -c) }._2
+    }
+    assert(out == expected)
+  }
+
   test("analyze produces column statistics") {
     val loc = tmpLoc("an")
     val src = Seq((1L, "a"), (2L, "a"), (3L, Option.empty[String].orNull)).toDF("k", "s")
