@@ -1,0 +1,140 @@
+package graft
+
+import graft.pipeline.{CorpusOps, Events, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Plan-shape assertions for the corpus/event operators: the properties that
+ * make them survive a 100 TB input are STRUCTURAL (no corpus shuffle, no
+ * global single-partition sort, broadcast of metadata-sized sides), so the
+ * tests pin the physical plan, not just the answer. A regression that
+ * reintroduces a global window or a corpus shuffle fails here even though
+ * results stay correct at test scale.
+ */
+class ScalePostureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = {
+    // under AQE the toString prints Final AND Initial plans — count only
+    // the final one
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("+- == Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  private lazy val docs = spark.range(2000).select(
+    col("id").as("doc_id"),
+    concat(lit("alpha beta gamma delta epsilon zeta eta theta token"),
+      (col("id") % 17).cast("string")).as("text"),
+    (col("id") % 100 + 1).as("n_chars"),
+    concat(lit("src"), (col("id") % 3).cast("string")).as("source"),
+    when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+
+  test("chunkDocs is map-side only: zero exchanges") {
+    val out = CorpusOps.chunkDocs(docs, "text", 8, 2)
+    assert(!plan(out).contains("Exchange"),
+      s"chunking must not shuffle the corpus:\n${plan(out)}")
+    // and the window math holds: 10 tokens, step 6 → starts 0, 6
+    assert(out.filter(col("doc_id") === 7).count() == 2)
+  }
+
+  test("mixSources is map-side only: zero exchanges") {
+    val out = CorpusOps.mixSources(docs, col("source"), col("doc_id"),
+      Map("src0" -> 2.5, "src1" -> 0.25), seed = 3)
+    assert(!plan(out).contains("Exchange"),
+      s"source mixing must not shuffle:\n${plan(out)}")
+  }
+
+  test("sampleFraction is map-side only and roughly honors fractions") {
+    val out = CorpusOps.sampleFraction(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.5, "de" -> 0.1), seed = 1)
+    assert(!plan(out).contains("Exchange"))
+    val n = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(n("en") > 350 && n("en") < 650, s"en=${n("en")} of 1000 at p=0.5")
+    assert(n("de") > 40 && n("de") < 200, s"de=${n("de")} of 1000 at p=0.1")
+  }
+
+  test("kmeansAssign: zero exchanges (centroids are inlined literals)") {
+    val emb = spark.range(500).select(col("id").as("vec_id"),
+      array((0 until 8).map(i => (rand(seed = i) * 2 - 1).cast("float")): _*)
+        .as("embedding"))
+    val out = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 4, seed = 2)
+    assert(!plan(out).contains("Exchange"),
+      s"assignment must not shuffle the corpus:\n${plan(out)}")
+    assert(out.select(countDistinct("__cluster")).as[Long].head() <= 4)
+  }
+
+  test("packShards: corpus side joins the 256-row offsets via broadcast; " +
+       "the only single-partition work is the bucket prefix sum") {
+    val out = CorpusOps.packShards(docs, col("doc_id"), col("n_chars"),
+      budget = 5000L, seed = 1)
+    out.collect() // materialize under AQE
+    val p = plan(out)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"offsets must broadcast, not sort-merge:\n$p")
+    // exactly one SinglePartition exchange — the per-bucket offset prefix
+    // sum (256 rows), never the corpus
+    assert(countOccurrences(p, "Exchange SinglePartition") <= 1, p)
+    // the corpus-side window partitions by bucket, never a global order:
+    // every corpus sort key list starts with the bucket column
+    assert(!p.contains("Sort [__h"), s"global hash-order sort of the corpus:\n$p")
+  }
+
+  test("packShards equals the serial running-sum definition") {
+    val out = CorpusOps.packShards(docs, col("doc_id"), col("n_chars"),
+      budget = 5000L, seed = 1)
+      .select(col("doc_id"), col("__shard"))
+    // serial definition: one global sort by (hash, id), running sum, floor
+    val h = graft.pipeline.TextOps.h32(col("doc_id").cast("string"), 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(h.asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val serial = docs
+      .withColumn("__start", sum(col("n_chars")).over(w) - col("n_chars"))
+      .select(col("doc_id"), floor(col("__start") / 5000L).as("__shard"))
+    assertSameRows(out, serial)
+  }
+
+  test("stratifiedQuota fills exact quotas with the smallest hashes") {
+    val out = CorpusOps.stratifiedQuota(docs, "lang", col("doc_id"),
+      Map("en" -> 25L, "de" -> 10L), seed = 9)
+    val got = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == Map("en" -> 25L, "de" -> 10L))
+    // matches the unfiltered (no candidate pre-filter) selection exactly
+    val h = graft.pipeline.TextOps.h32(col("doc_id").cast("string"), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+    val full = docs.withColumn("__rn", row_number().over(w))
+      .filter((col("lang") === "en" && col("__rn") <= 25) ||
+              (col("lang") === "de" && col("__rn") <= 10))
+      .select("doc_id")
+    assertSameRows(out.select("doc_id"), full)
+  }
+
+  test("sessionStats and funnel shuffle once, on the user key") {
+    val ev = spark.range(5000).select(
+      (col("id") % 50).as("user_id"), col("id").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000000L).as("ts"),
+      (col("id") % 4 * lit(1.5)).as("value"),
+      element_at(array(lit("view"), lit("click"), lit("purchase")),
+        (col("id") % 3 + 1).cast("int")).as("event_type"))
+    val s = Events.sessionStats(ev, col("user_id"), col("ts"), 60000L,
+      col("event_id"), col("value"))
+    s.collect()
+    // hash exchanges only (window on user, rollup on (user, session)) —
+    // never a single-partition collapse of the event stream
+    val sp = plan(s)
+    assert(countOccurrences(sp, "Exchange hashpartitioning") <= 2, sp)
+    assert(!sp.contains("Exchange SinglePartition"), sp)
+    val f = Events.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "click", "purchase"))
+    f.collect()
+    val fp = plan(f)
+    assert(!fp.contains("SortMergeJoin") && !fp.contains("BroadcastHashJoin"),
+      s"funnel must be join-free:\n$fp")
+  }
+}
