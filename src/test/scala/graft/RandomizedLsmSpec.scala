@@ -31,6 +31,8 @@ class RandomizedLsmSpec extends SparkTestBase {
           Map("dynamic-bucket.target-row-count" -> "10")
         else Map.empty[String, String]) ++ extraOpts))
     var model = Map.empty[Long, (String, Double)]
+    val history = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[Long, (String, Double)])]
 
     def check(): Unit = {
       val got = t.read().as[(Long, String, Double)].collect()
@@ -76,9 +78,33 @@ class RandomizedLsmSpec extends SparkTestBase {
           t.compact()
       }
       if (i % 3 == 2) check()
+      history += (t.sm.latestSnapshotId.getOrElse(0L) -> model)
     }
     t.compact()
     check()
+
+    // every recorded snapshot must still read back exactly (snapshot
+    // immutability under later DV deletes, compactions, COW rewrites)
+    val byId = history.toMap
+    byId.toSeq.sortBy(_._1).foreach { case (sid, m) =>
+      if (sid > 0) {
+        val got = t.read(snapshotId = Some(sid)).as[(Long, String, Double)]
+          .collect().map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got == m, s"seed=$seed time travel to $sid diverged: " +
+          s"missing=${(m.keySet -- got.keySet).take(5)} extra=${(got.keySet -- m.keySet).take(5)}")
+      }
+    }
+    // rollback to a random mid-history snapshot restores that exact state
+    // (DV index and patch set must revert to the target's, not carry the
+    // current ones)
+    val mids = byId.keys.filter(_ > 0).toSeq.sorted
+    if (mids.size > 2) {
+      val target = mids(rnd.nextInt(mids.size - 1))
+      t.rollback(target)
+      val got = t.read().as[(Long, String, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == byId(target), s"seed=$seed rollback to $target diverged")
+    }
   }
 
   test("random op sequence with size-rolled compaction output") {
