@@ -532,6 +532,35 @@ object Fixtures {
       t
     }
 
+  /** write.merge-schema evolution fixture: nation written plain, then a
+    * second batch arrives with an extra column (evolves in; first batch
+    * reads it null) and an INT population column that widening retypes to
+    * BIGINT on the third batch. */
+  def nationMergeSchema(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "nation_ms") { loc =>
+      import org.apache.spark.sql.functions._
+      val n = src(spark, sfDir, "nation")
+      val b1 = n.filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("pop"))
+      val t = GraftTable.createOrReplace(spark, loc, b1.schema,
+        TableConfig(primaryKeys = Seq("n_nationkey"), numBuckets = 1,
+          options = Map("write.merge-schema" -> "true",
+            "write.merge-schema.type-widening" -> "true")))
+      t.write(b1)
+      val b2 = n.filter(col("n_nationkey").between(10, 19))
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("pop"),
+          upper(col("n_name")).as("tag"))
+      t.write(b2)
+      val b3 = n.filter(col("n_nationkey") >= 20)
+        .select(col("n_nationkey"), col("n_name"),
+          (col("n_regionkey") + 4000000000L).as("pop"),
+          upper(col("n_name")).as("tag"))
+      t.write(b3)
+      t
+    }
+
   /** events_ap + metadata-only DELETE of partition event_type='click'. */
   def eventsDel(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "events_del") { loc =>

@@ -304,6 +304,12 @@ object SparkEntry {
     "q_schema_evolution" -> ((s, d) => Fixtures.ordersEvo(s, d).read()
       .groupBy(coalesce(col("comment"), lit("-")).as("comment"))
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+    // write.merge-schema: batch 2 brings a new column (batch-1 rows read it
+    // null), batch 3 widens pop INT→BIGINT (old files read through the
+    // evolution cast)
+    "q_merge_schema" -> ((s, d) => Fixtures.nationMergeSchema(s, d).read()
+      .select(col("n_nationkey"), col("pop"),
+        coalesce(col("tag"), lit("-")).as("tag"))),
 
     // ---- DSv2 catalog SQL (§3.1 trace through Spark's analyzer/catalog) ----
     "q_sql_catalog" -> ((s, d) => {
@@ -1206,6 +1212,12 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(CASE WHEN event_type = 'error' THEN 0 ELSE value END), 2) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_merge_schema" ->
+      """SELECT n_nationkey,
+        |  CAST(CASE WHEN n_nationkey >= 20 THEN n_regionkey + 4000000000
+        |            ELSE n_regionkey END AS BIGINT) AS pop,
+        |  CASE WHEN n_nationkey >= 10 THEN upper(n_name) ELSE '-' END AS tag
+        |FROM nation""".stripMargin,
     "q_schema_evolution" ->
       """WITH all_rows AS (
         |  SELECT o_totalprice, '-' AS comment FROM orders

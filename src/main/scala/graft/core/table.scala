@@ -484,8 +484,56 @@ class GraftTable private (
     * PREVIOUS state of only the touched buckets (paimon
     * LookupChangelogMergeFunctionWrapper) — streaming readers then consume
     * these files instead of diffing snapshots. */
+  /**
+   * `write.merge-schema` (paimon spark/sql-write.md "Write Merge Schema",
+   * three-level opt-in): evolve the table to accept the incoming batch.
+   *  - merge-schema: source-extra columns are added (nullable, fresh field
+   *    ids); existing column types are preserved — align() casts incoming
+   *    values to them.
+   *  - merge-schema.type-widening: an incoming strictly-wider compatible
+   *    type (INT→BIGINT, FLOAT→DOUBLE, DECIMAL precision growth) widens
+   *    the table column (field id kept; old files read through the
+   *    evolution cast).
+   *  - merge-schema.explicit-cast: lossy changes between castable types
+   *    (BIGINT→INT, STRING→DATE) also retype the column.
+   * Key/partition/sequence columns never change type.
+   */
+  private[core] def mergeSchemaForWrite(df: DataFrame): Unit = {
+    if (config.option("write.merge-schema", "false") != "true") return
+    val widen = config.option("write.merge-schema.type-widening", "false") == "true"
+    val lossy = config.option("write.merge-schema.explicit-cast", "false") == "true"
+    val cur = dataSchema
+    val extra = df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+    if (extra.nonEmpty)
+      addColumns(extra.map(f => StructField(f.name, f.dataType,
+        nullable = true)).toIndexedSeq: _*)
+    def widerCompatible(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && (b.precision - b.scale) >= (a.precision - a.scale) &&
+          (b.precision > a.precision || b.scale > a.scale)
+      case _ => false
+    }
+    df.schema.fields.filter(f => cur.fieldNames.contains(f.name)).foreach { f =>
+      val t = cur(f.name).dataType
+      if (t != f.dataType && !protectedCols.contains(f.name) && widen) {
+        if (widerCompatible(t, f.dataType)) updateColumnType(f.name, f.dataType)
+        else if (lossy &&
+            org.apache.spark.sql.catalyst.expressions.Cast.canCast(f.dataType, t) &&
+            org.apache.spark.sql.catalyst.expressions.Cast.canCast(t, f.dataType))
+          updateColumnType(f.name, f.dataType)
+        // else: table type wins; align() casts the incoming values
+      }
+    }
+  }
+
   def write(df: DataFrame, watermark: Option[Long] = None,
             identifier: Option[String] = None): SnapshotMeta = {
+    mergeSchemaForWrite(df)
     if (isCrossPartition) return writeCrossPartition(df, watermark)
     val adds = writeFiles(df)
     val clFiles =
@@ -664,6 +712,7 @@ class GraftTable private (
   def overwrite(df: DataFrame, dynamic: Boolean = false,
                 staticPartition: Map[String, String] = Map.empty,
                 identifier: Option[String] = None): SnapshotMeta = {
+    mergeSchemaForWrite(df)
     val adds = writeFiles(df)
     val victims = sm.latestSnapshot match {
       case None => Nil
@@ -1277,6 +1326,26 @@ class GraftTable private (
       System.currentTimeMillis()))
   }
 
+  /** ALTER TABLE SET TBLPROPERTIES: options persist as a schema version
+    * bump (same ledger as column evolution — a snapshot's schemaId pins the
+    * options it was written under, paimon SchemaChange.setOption). */
+  def setOption(key: String, value: String): Unit = setOptions(Map(key -> value))
+
+  def setOptions(kvs: Map[String, String]): Unit = {
+    val cur = schema
+    sm.writeSchema(TableSchema(cur.id + 1, cur.fields,
+      cur.config.copy(options = cur.config.options ++ kvs),
+      System.currentTimeMillis()))
+  }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES. */
+  def removeOptions(keys: Seq[String]): Unit = {
+    val cur = schema
+    sm.writeSchema(TableSchema(cur.id + 1, cur.fields,
+      cur.config.copy(options = cur.config.options -- keys),
+      System.currentTimeMillis()))
+  }
+
   private def protectedCols: Set[String] =
     (config.primaryKeys ++ config.partitionKeys ++ config.sequenceField).toSet
 
@@ -1639,7 +1708,10 @@ object GraftTable {
         when(e.isNull, lit(null).cast(d)).otherwise(struct(kids.toIndexedSeq: _*))
       case (s: ArrayType, d: ArrayType) =>
         transform(e, x => evolveExpr(s.elementType, d.elementType, x))
-      case (_, d) => e.cast(d)
+      // TRY cast: a lossy retype (write.merge-schema.explicit-cast) must
+      // read old out-of-range values as null, not fail the scan under ANSI
+      // (paimon's CastExecutors are non-throwing the same way)
+      case (_, d) => e.try_cast(d)
     }
 
   /** Top-level field remap honoring NESTED FIELD IDS: direct children of a

@@ -340,6 +340,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames().length == 1, "nested retype not supported")
         t.updateColumnType(ut.fieldNames()(0), ut.newDataType())
+      case sp: TableChange.SetProperty =>
+        t.setOption(sp.property(), sp.value())
+      case rp: TableChange.RemoveProperty =>
+        t.removeOptions(Seq(rp.property()))
       case other => throw new UnsupportedOperationException(s"alter: $other")
     }
     new GraftSparkTable(GraftTable.load(spark, tablePath(ident)))

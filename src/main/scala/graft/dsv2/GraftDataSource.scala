@@ -110,15 +110,21 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
         org.apache.spark.sql.types.StructField("_row_kind",
           org.apache.spark.sql.types.StringType, false))
     else t.schema.sparkSchema
-  override def capabilities(): util.Set[TableCapability] =
+  override def capabilities(): util.Set[TableCapability] = {
     // OVERWRITE_DYNAMIC passes analysis; execution is rerouted by
     // GraftRowLevelSql to GraftTable.overwrite(dynamic = true) because
     // Spark's OverwritePartitionsDynamicExec has no V1 fallback.
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ)
+    // write.merge-schema: let mismatched batches through Spark's analyzer —
+    // GraftWriteBuilder aligns positionally-shaped inputs and GraftTable
+    // evolves the schema (paimon gates ACCEPT_ANY_SCHEMA the same way)
+    (if (t.config.option("write.merge-schema", "false") == "true")
+      base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
+  }
 
   override def properties(): util.Map[String, String] = {
     val c = t.config
@@ -551,9 +557,24 @@ class GraftWriteBuilder(t: GraftTable) extends WriteBuilder
     mode = "dynamic"; this
   }
 
+  /** With ACCEPT_ANY_SCHEMA (write.merge-schema) Spark skips output
+    * resolution, so positional inputs arrive with their ORIGINAL names
+    * (`col1…` for VALUES). If no incoming name matches a table column and
+    * the arity fits, treat the batch as positional and rename to the table
+    * schema; otherwise it is a byName batch and schema merging applies. */
+  private def realign(data: DataFrame): DataFrame = {
+    val tableCols = t.dataSchema.fieldNames
+    val positional = data.columns.length <= tableCols.length &&
+      !data.columns.exists(tableCols.contains)
+    if (positional) data.toDF(tableCols.take(data.columns.length).toIndexedSeq: _*)
+    else data
+  }
+
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
-      (data: DataFrame, _: Boolean) => mode match {
+      (data0: DataFrame, _: Boolean) => {
+        val data = realign(data0)
+        mode match {
         case "append" => t.write(data)
         case "dynamic" => t.overwrite(data, dynamic = true)
         case "truncate" | "overwrite" =>
@@ -566,5 +587,6 @@ class GraftWriteBuilder(t: GraftTable) extends WriteBuilder
           }.toMap
           t.overwrite(data, dynamic = false, staticPartition = static)
       }
+    }
   }
 }

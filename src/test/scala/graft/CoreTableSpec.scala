@@ -865,4 +865,37 @@ class ConcurrencySpec extends SparkTestBase {
     // raw plan refuses: fused reads need the DataFrame path
     assert(t.rawPlan(None, None).isEmpty)
   }
+
+  test("write.merge-schema: new columns evolve in; widening and explicit-cast retype") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val loc = tmpLoc("ms")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, 10)).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("write.merge-schema" -> "true")))
+    t.write(Seq((1L, 10)).toDF("k", "v"))
+    // level 1: extra column evolves in; old rows read it as null
+    t.write(Seq((2L, 20, "x")).toDF("k", "v", "tag"))
+    val got = t.read().select("k", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some("x")))
+    // level 1 preserves types: a LONG v arrives, column stays INT (cast down)
+    t.write(Seq((3L, 30L, "y")).toDF("k", "v", "tag"))
+    assert(t.dataSchema("v").dataType == IntegerType)
+    // level 2: widening retypes v to LONG; old files read through evolution
+    t.setOption("write.merge-schema.type-widening", "true")
+    t.write(Seq((4L, 4000000000L, "z")).toDF("k", "v", "tag"))
+    assert(t.dataSchema("v").dataType == LongType)
+    assert(t.read().filter(col("k") === 4).select("v").as[Long].head() == 4000000000L)
+    assert(t.read().filter(col("k") === 1).select("v").as[Long].head() == 10L)
+    // level 2 rejects nothing but does not narrow: a DOUBLE tagged col stays
+    t.write(Seq((5L, 5L, "w")).toDF("k", "v", "tag"))
+    // level 3: explicit-cast narrows v back to INT; wide values cast down on read
+    t.setOption("write.merge-schema.explicit-cast", "true")
+    t.write(Seq((6L, 6, "q")).toDF("k", "v", "tag"))
+    assert(t.dataSchema("v").dataType == IntegerType)
+    assert(t.read().filter(col("k") === 6).select("v").as[Int].head() == 6)
+    // PK column type never changes
+    assert(t.dataSchema("k").dataType == LongType)
+  }
 }

@@ -1091,4 +1091,27 @@ class Dsv2Spec extends SparkTestBase {
     assert(r2.getString(0) == "b2")
     assert(r2.getString(1) != f1, "merged winner must come from the new file")
   }
+
+  test("write.merge-schema through SQL: positional INSERT still lands; byName evolves") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.ms (k BIGINT, v INT)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='1',
+                   'write.merge-schema'='true')""")
+    // positional VALUES (ACCEPT_ANY_SCHEMA skips output resolution; the
+    // builder realigns col1/col2 to the table schema)
+    spark.sql("INSERT INTO graft.db.ms VALUES (1, 10), (2, 20)")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.ms").head().getLong(0) == 30L)
+    // byName batch with an extra column evolves the table
+    Seq((3L, 30, "x")).toDF("k", "v", "tag")
+      .writeTo("graft.db.ms").append()
+    val got = spark.sql("SELECT k, tag FROM graft.db.ms ORDER BY k")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some("x")))
+    // ALTER TABLE SET TBLPROPERTIES persists (schema-version ledger)
+    spark.sql("ALTER TABLE graft.db.ms SET TBLPROPERTIES ('write.merge-schema.type-widening'='true')")
+    Seq((4L, 4000000000L, "y")).toDF("k", "v", "tag")
+      .writeTo("graft.db.ms").append()
+    assert(spark.sql("SELECT v FROM graft.db.ms WHERE k = 4")
+      .head().getLong(0) == 4000000000L)
+  }
 }
