@@ -532,6 +532,31 @@ object Fixtures {
       t
     }
 
+  /** Incremental-dedup fixture: a fingerprint STATE table seeded from
+    * batch 1 (doc_id %3 = 0), then batch 2 (doc_id %2 = 0, plus +1e6-id
+    * copies of the %5 = 0 docs) deduped against it. The ADMITTED rows are
+    * materialized once (the dedup mutates state — not re-runnable). */
+  def incrDedup(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "incr_dedup") { loc =>
+      import org.apache.spark.sql.functions._
+      val docs = src(spark, sfDir, "documents")
+      val state = GraftTable.createOrReplace(spark, s"$loc-state",
+        new org.apache.spark.sql.types.StructType()
+          .add("fp", "string").add("first_id", "long"),
+        TableConfig(primaryKeys = Seq("fp"), numBuckets = 4))
+      graft.pipeline.Dedup.incrementalDedup(state,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      val batch2 = docs.filter(col("doc_id") % 2 === 0)
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val admitted = graft.pipeline.Dedup.incrementalDedup(
+        state, batch2, "doc_id", "text")
+      val out = GraftTable.createOrReplace(spark, loc,
+        admitted.select("doc_id", "lang").schema, TableConfig())
+      out.write(admitted.select("doc_id", "lang"))
+      out
+    }
+
   /** write.merge-schema evolution fixture: nation written plain, then a
     * second batch arrives with an extra column (evolves in; first batch
     * reads it null) and an INT population column that widening retypes to

@@ -799,6 +799,10 @@ object SparkEntry {
         t(s, d, "events"), col("user_id"), col("ts"), col("event_type"),
         Seq("view", "click", "purchase"))
       .groupBy(col("depth")).agg(count(lit(1)).as("users"))),
+    // incremental dedup: batch 2 admitted against the persisted fingerprint
+    // state of batch 1 (anti-join membership probe, keep-first within batch)
+    "q_incr_dedup" -> ((s, d) => Fixtures.incrDedup(s, d).read()
+      .select("doc_id", "lang")),
     // Gopher document-quality rules (Rae et al. 2021 A1.1), integer-exact
     "q_gopher_quality" -> ((s, d) => t(s, d, "documents")
       .select(col("lang"), TextOps.gopherSignals(col("text")).as("__g"))
@@ -1597,6 +1601,20 @@ object SparkEntry {
         |  FROM b1 JOIN b2 USING (user_id) JOIN b3 USING (user_id))
         |SELECT CAST(depth AS INT) AS depth, CAST(count(*) AS BIGINT) AS users
         |FROM d GROUP BY 1""".stripMargin,
+    "q_incr_dedup" ->
+      """WITH fpd AS (SELECT doc_id, lang,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |state AS (SELECT DISTINCT fp FROM fpd WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, fp FROM fpd WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, fp FROM fpd WHERE doc_id % 5 = 0),
+        |firsts AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+        |    AS rn FROM batch)
+        |SELECT f.doc_id, f.lang FROM firsts f
+        |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM state s WHERE s.fp = f.fp)"""
+        .stripMargin,
     "q_gopher_quality" ->
       """WITH g AS (SELECT lang, text,
         |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),

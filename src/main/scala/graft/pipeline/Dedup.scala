@@ -204,6 +204,35 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL exact dedup against a persisted fingerprint state table —
+   * the "process only the new crawl" pattern: `state` is a PK graft table
+   * (fp STRING primary key, first_id BIGINT) holding every fingerprint ever
+   * admitted; a batch keeps (a) documents whose fingerprint is absent from
+   * the state and (b) only the smallest-id copy within the batch, then
+   * upserts the survivors' fingerprints. Re-running the same batch admits
+   * nothing (idempotent). Scale shape: the membership probe is a left-anti
+   * join against a bucketed PK table (co-located equi-join on the
+   * fingerprint hash; at 10^10 fps the probe touches matching buckets, not
+   * the corpus), and state maintenance is one LSM upsert.
+   */
+  def incrementalDedup(state: graft.core.GraftTable, batch: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = TextOps.fingerprint(col(textCol))
+    val within = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    val firstOfBatch = batch.withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(within))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fresh = firstOfBatch.join(
+        state.read().select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .cache()
+    val admitted = fresh.select(col("__fp").as("fp"),
+      col(idCol).cast("long").as("first_id"))
+    if (!admitted.isEmpty) state.write(admitted)
+    fresh.drop("__fp")
+  }
+
+  /**
    * Gopher repetition signals from word n-grams, per document:
    *   - `top_frac`: max over n-grams of count·chars(gram) / chars(doc) — the
    *     "fraction of characters in the most frequent n-gram" rule (computed

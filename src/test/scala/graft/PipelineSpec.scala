@@ -502,6 +502,30 @@ class StatsWatermarkSpec extends SparkTestBase {
     assert(out == expected)
   }
 
+  test("incremental dedup: admits fresh fingerprints once, idempotent on re-run") {
+    val state = GraftTable.create(spark, tmpLoc("idstate"),
+      new org.apache.spark.sql.types.StructType()
+        .add("fp", "string").add("first_id", "long"),
+      TableConfig(primaryKeys = Seq("fp"), numBuckets = 2))
+    val wave1 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val a1 = Dedup.incrementalDedup(state, wave1, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a1 == Set(1L, 2L))
+    // wave 2: one known text (normalized-equal), one batch-internal dup,
+    // one fresh
+    val wave2 = Seq(
+      (10L, "  ALPHA   beta "), // fingerprint-equal to doc 1 → rejected
+      (11L, "epsilon zeta"), (12L, "epsilon zeta"), // keep-first within batch
+      (13L, "eta theta")
+    ).toDF("doc_id", "text")
+    val a2 = Dedup.incrementalDedup(state, wave2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a2 == Set(11L, 13L))
+    // replay of wave 2 admits nothing; state has exactly 4 fingerprints
+    assert(Dedup.incrementalDedup(state, wave2, "doc_id", "text").isEmpty)
+    assert(state.read().count() == 4)
+  }
+
   test("analyze produces column statistics") {
     val loc = tmpLoc("an")
     val src = Seq((1L, "a"), (2L, "a"), (3L, Option.empty[String].orNull)).toDF("k", "s")
