@@ -1006,6 +1006,12 @@ object RowOps {
       * patches by row id (base files never move), matched deletes rewrite
       * only the files whose row-id range is hit, inserts append. */
     def execute(): SnapshotMeta = {
+      // write.merge-schema: source-extra columns evolve into the target
+      // BEFORE clause alignment, so `INSERT *` carries them and unassigned
+      // target columns read null (paimon sql-write.md "Column Alignment by
+      // Write Path", MERGE INTO * row)
+      if (t.config.option("write.merge-schema", "false") == "true")
+        t.mergeSchemaForWrite(source)
       if (!t.isPk && t.isRowTracking) return executeDataEvolution()
       require(t.isPk, "MERGE INTO requires a primary-keyed or row-tracking table")
       val spark = t.spark

@@ -898,4 +898,22 @@ class ConcurrencySpec extends SparkTestBase {
     // PK column type never changes
     assert(t.dataSchema("k").dataType == LongType)
   }
+
+  test("MERGE INTO with write.merge-schema: source-extra column evolves in") {
+    import graft.core.RowOps._
+    val loc = tmpLoc("msm")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("write.merge-schema" -> "true")))
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val src = Seq((2L, "b2", 7), (3L, "c", 9)).toDF("k", "v", "score")
+    t.mergeInto(src, col("t.k") === col("s.k"))
+      .whenMatchedUpdate(set = Map("v" -> col("s.v"), "score" -> col("s.score")))
+      .whenNotMatchedInsert()
+      .execute()
+    val got = t.read().select("k", "v", "score")
+      .as[(Long, String, Option[Int])].collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "b2", Some(7)), (3L, "c", Some(9))))
+  }
 }
