@@ -107,6 +107,56 @@ class RandomizedLsmSpec extends SparkTestBase {
     }
   }
 
+  test("changelog replay reconstructs the final state (lookup producer, random ops)") {
+    // ops restricted to upserts + dv-deletes (the changelog-producing
+    // paths); folding the cumulative changelog by key must equal the table
+    val rnd = new Random(4242L)
+    val loc = tmpLoc("rand-cl")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "s", 1.0)).toDF("k", "s", "p").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        options = Map("changelog-producer" -> "lookup")))
+    var model = Map.empty[Long, (String, Double)]
+    for (i <- 0 until 8) {
+      rnd.nextInt(4) match {
+        case 3 if model.nonEmpty =>
+          val k = model.keySet.toSeq(rnd.nextInt(model.size))
+          t.deleteDv(col("k") === k)
+          model -= k
+        case _ =>
+          val rows = (0 until (1 + rnd.nextInt(12))).map { _ =>
+            val k = rnd.nextInt(30).toLong
+            (k, s"v$i-$k", rnd.nextInt(1000) / 10.0)
+          }
+          val byKey = rows.groupBy(_._1).map { case (_, vs) => vs.last }
+          t.write(rows.toDF("k", "s", "p"))
+          byKey.foreach { case (k, s, p) => model += k -> (s, p) }
+      }
+    }
+    val last = t.sm.latestSnapshotId.get
+    // seed with snapshot 1's state, then replay snapshot-by-snapshot
+    // windows (within a window each key appears at most once per kind, so
+    // per-window fold order is irrelevant); -U/-D drop the key, +I/+U set it
+    val seed = t.read(snapshotId = Some(1L)).as[(Long, String, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val replayed = (2L to last).foldLeft(seed) { (st0, sid) =>
+      val cl = t.changelog(sid - 1, sid)
+        .select(col("k"), col("s"), col("p"), col("_row_kind"))
+        .as[(Long, String, Double, String)].collect()
+      val dropped = cl.collect { case (k, _, _, "-D") => k }.toSet
+      val set = cl.collect { case (k, s, p, kind) if kind == "+I" || kind == "+U" =>
+        k -> (s, p) }.toMap
+      st0 -- dropped ++ set
+    }
+    assert(replayed == model,
+      s"replay diverged: missing=${(model.keySet -- replayed.keySet).take(5)} " +
+        s"extra=${(replayed.keySet -- model.keySet).take(5)} " +
+        s"diff=${model.keySet.intersect(replayed.keySet).filter(k => model(k) != replayed(k)).take(5)}")
+    val got = t.read().as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == model)
+  }
+
   test("random op sequence with size-rolled compaction output") {
     // tiny roll threshold: compactions emit several level-1 files per bucket
     runScenario(seed = 99L, ops = 10, numBuckets = 1,

@@ -105,4 +105,38 @@ class StreamingSinkSpec extends SparkTestBase {
     val got = GraftTable.load(spark, loc).read().as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 12L), (2L, 5L), (3L, 1L)), s"got $got")
   }
+
+  test("streaming corpus ingestion: foreachBatch incremental dedup into a graft table") {
+    // the continuous-crawl pattern: each micro-batch dedups against the
+    // persisted fingerprint state, admitted docs append to the corpus table
+    val state = GraftTable.create(spark, tmpLoc("sdstate"),
+      new org.apache.spark.sql.types.StructType()
+        .add("fp", "string").add("first_id", "long"),
+      TableConfig(primaryKeys = Seq("fp"), numBuckets = 2))
+    val corpusLoc = tmpLoc("sdcorpus")
+    val corpus = GraftTable.create(spark, corpusLoc,
+      Seq((1L, "t")).toDF("doc_id", "text").schema, TableConfig())
+    val input = MemoryStream[(Long, String)](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-ckpt").toString
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fresh = graft.pipeline.Dedup.incrementalDedup(
+          state, batch, "doc_id", "text")
+        if (!fresh.isEmpty) corpus.write(fresh.select("doc_id", "text"))
+        () // Unit-returning overload
+      }
+      .start()
+    input.addData((1L, "alpha beta"), (2L, "gamma delta"))
+    q.processAllAvailable()
+    // batch 2: one exact re-crawl, one normalized dup, one fresh doc
+    input.addData((3L, "alpha beta"), (4L, "  GAMMA   delta "), (5L, "epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    val got = GraftTable.load(spark, corpusLoc).read()
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 5L), s"got $got")
+    assert(state.read().count() == 3)
+  }
 }
