@@ -116,5 +116,31 @@ object GraftTableFunctions {
           val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
         }.toMap
       plan(Procedures.call(spark, t, str(args(1)), opts))
+    },
+    // ---- pipeline operators as TVFs (SQL surface of graft.pipeline) ----
+    fd("graft_chunk") { args =>
+      require(args.length == 4, "graft_chunk(table, textCol, chunkTokens, overlap)")
+      val t = resolveTable(str(args(0)))
+      plan(graft.pipeline.CorpusOps.chunkDocs(t.read(), str(args(1)),
+        lng(args(2)).toInt, lng(args(3)).toInt))
+    },
+    fd("graft_sessionize") { args =>
+      require(args.length == 5,
+        "graft_sessionize(table, userCol, tsCol, gapMs, tieCol)")
+      val t = resolveTable(str(args(0)))
+      import org.apache.spark.sql.functions.col
+      plan(graft.pipeline.Events.sessionize(t.read(), col(str(args(1))),
+        col(str(args(2))), lng(args(3)), col(str(args(4)))))
+    },
+    fd("graft_minhash_pairs") { args =>
+      require(args.length == 4,
+        "graft_minhash_pairs(table, idCol, textCol, threshold)")
+      val t = resolveTable(str(args(0)))
+      val thr = args(3).eval() match {
+        case n: java.lang.Number => n.doubleValue()
+        case o => o.toString.toDouble
+      }
+      plan(graft.pipeline.Dedup.minhashLshPairs(t.read(), str(args(1)),
+        str(args(2)), threshold = thr))
     })
 }

@@ -1092,6 +1092,36 @@ class Dsv2Spec extends SparkTestBase {
     assert(r2.getString(1) != f1, "merged winner must come from the new file")
   }
 
+  test("pipeline TVFs: graft_chunk / graft_sessionize / graft_minhash_pairs from SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.pdocs (doc_id BIGINT, text STRING)""")
+    spark.sql("""INSERT INTO graft.db.pdocs VALUES
+      (1, 'a b c d e f g h i j'),
+      (2, 'the quick brown fox jumps over the lazy dog today'),
+      (3, 'the quick brown fox jumps over the lazy dog today extra')""")
+    val chunks = spark.sql(
+      """SELECT doc_id, __chunk, __n_tok
+        |FROM graft_chunk('graft.db.pdocs', 'text', 4, 2)
+        |WHERE doc_id = 1 ORDER BY __chunk""".stripMargin).collect()
+    assert(chunks.length == 4 && chunks.last.getInt(2) == 4)
+    val pairs = spark.sql(
+      """SELECT v1, v2 FROM graft_minhash_pairs('graft.db.pdocs',
+        |  'doc_id', 'text', 0.5)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)))
+    spark.sql("""CREATE TABLE graft.db.pev (user_id BIGINT, event_id BIGINT, ts TIMESTAMP)""")
+    spark.sql("""INSERT INTO graft.db.pev VALUES
+      (1, 1, timestamp'2024-01-01 00:00:00'),
+      (1, 2, timestamp'2024-01-01 00:10:00'),
+      (1, 3, timestamp'2024-01-01 02:00:00')""")
+    val sessions = spark.sql(
+      """SELECT event_id, __session
+        |FROM graft_sessionize('graft.db.pev', 'user_id', 'ts', 1800000, 'event_id')
+        |ORDER BY event_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sessions == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
   test("write.merge-schema through SQL: positional INSERT still lands; byName evolves") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.ms (k BIGINT, v INT)
