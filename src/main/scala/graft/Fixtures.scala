@@ -25,12 +25,25 @@ object Fixtures {
 
   def src(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS): read as long, convert to micros
+      // events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+      // across testdata generations: with the legacy flag a NANOS column
+      // reads as LONG (convert: integer-divide to µs — `/` on longs is
+      // DOUBLE division, and at 1.7e18 ns the double ulp is ~256 ns, so
+      // truncation then lands on the wrong µs); a MICROS column reads as a
+      // timestamp already and passes through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      // integer division: `/` on longs is DOUBLE division, and at 1.7e18 ns
-      // the double ulp is ~256 ns — truncation then lands on the wrong µs
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // value-preserving under the fixed UTC session zone; keeps every
+          // downstream consumer (unix_millis, record-level expire, stats)
+          // on the one timestamp type they were built against
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   private def fixture(spark: SparkSession, sfDir: String, name: String)
@@ -867,6 +880,40 @@ object Fixtures {
         .foreachBatch { (batch: DataFrame, _: Long) => t.write(batch); () }
         .start()
       q.awaitTermination(120000)
+      t
+    }
+
+  /** CDC ingestion: debezium-JSON change events built deterministically from
+    * orders and replayed through `Cdc.syncTable`/`ingest` in three batches —
+    * inserts (all orders, 4 columns), updates (key%7==0: price×2, priority
+    * CDC-UPD, NEW `src` column → schema evolution on write), deletes
+    * (key%13==0, before carries only the key). Final state = orders minus
+    * deleted keys, with updated rows patched and `src` only on them. */
+  def cdcOrders(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_cdc") { loc =>
+      import graft.pipeline.Cdc
+      val o = src(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val payload = struct(o.columns.map(col).toIndexedSeq: _*)
+      val inserts = o.select(to_json(struct(lit("c").as("op"),
+        payload.as("after"))).as("value"))
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .select(to_json(struct(lit("u").as("op"),
+          struct(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("CDC-UPD").as("o_orderpriority"),
+            lit("cdc").as("src")).as("after"),
+          payload.as("before"))).as("value"))
+      val deletes = o.filter(col("o_orderkey") % 13 === 0)
+        .select(to_json(struct(lit("d").as("op"),
+          struct(col("o_orderkey")).as("before"))).as("value"))
+      val f = new java.io.File(loc)
+      if (f.exists()) { org.apache.hadoop.fs.FileUtil.fullyDelete(f); () }
+      val t = Cdc.syncTable(spark, loc, inserts, "value", Cdc.Debezium,
+        primaryKeys = Seq("o_orderkey"))
+      Cdc.ingest(t, updates, "value", Cdc.Debezium)
+      Cdc.ingest(t, deletes, "value", Cdc.Debezium)
       t
     }
 

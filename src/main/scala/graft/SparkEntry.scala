@@ -803,6 +803,12 @@ object SparkEntry {
     // state of batch 1 (anti-join membership probe, keep-first within batch)
     "q_incr_dedup" -> ((s, d) => Fixtures.incrDedup(s, d).read()
       .select("doc_id", "lang")),
+    // CDC ingestion: debezium-JSON insert/update/delete batches replayed via
+    // Cdc.syncTable/ingest — updates add a `src` column (schema evolution),
+    // deletes tombstone, kinds ride rowkind.field
+    "q_cdc_ingest" -> ((s, d) => Fixtures.cdcOrders(s, d).read()
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "src", "_cdc_kind")),
     // Gopher document-quality rules (Rae et al. 2021 A1.1), integer-exact
     "q_gopher_quality" -> ((s, d) => t(s, d, "documents")
       .select(col("lang"), TextOps.gopherSignals(col("text")).as("__g"))
@@ -1615,6 +1621,15 @@ object SparkEntry {
         |SELECT f.doc_id, f.lang FROM firsts f
         |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM state s WHERE s.fp = f.fp)"""
         .stripMargin,
+    "q_cdc_ingest" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'CDC-UPD'
+        |       ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'cdc' ELSE NULL END AS src,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN '+U' ELSE '+I' END AS _cdc_kind
+        |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
     "q_gopher_quality" ->
       """WITH g AS (SELECT lang, text,
         |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
