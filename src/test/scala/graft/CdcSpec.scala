@@ -65,6 +65,36 @@ class CdcSpec extends SparkTestBase {
     assert(t.read().count() == 1)
   }
 
+  test("fuzz: random debezium op sequences replay to the model state") {
+    val rnd = new scala.util.Random(4242)
+    val loc = tmpLoc("cdc-fuzz")
+    val model = scala.collection.mutable.Map[Int, (String, Int)]()
+    var t: Option[GraftTable] = None
+    (1 to 6).foreach { batch =>
+      val events = (1 to 40).flatMap { _ =>
+        val id = rnd.nextInt(15)
+        if (model.contains(id) && rnd.nextInt(4) == 0) {
+          model.remove(id)
+          Some(s"""{"op":"d","before":{"id":$id},"ts_ms":$batch}""")
+        } else {
+          val v = (s"s${rnd.nextInt(100)}", rnd.nextInt(1000))
+          val op = if (model.contains(id)) "u" else "c"
+          model(id) = v
+          Some(s"""{"op":"$op","after":{"id":$id,"s":"${v._1}","n":${v._2}},"ts_ms":$batch}""")
+        }
+      }
+      t match {
+        case None => t = Some(Cdc.syncTable(spark, loc, msgs(events: _*),
+          "value", Cdc.Debezium, primaryKeys = Seq("id")))
+        case Some(tab) => Cdc.ingest(tab, msgs(events: _*), "value", Cdc.Debezium)
+      }
+      val got = GraftTable.load(spark, loc).read()
+        .select("id", "s", "n").as[(Long, String, Long)]
+        .collect().map(r => r._1.toInt -> ((r._2, r._3.toInt))).toMap
+      assert(got == model.toMap, s"batch $batch: engine deviates from model")
+    }
+  }
+
   test("streaming CDC ingestion via foreachBatch is exactly-once") {
     val loc = tmpLoc("cdc-stream")
     val inDir = java.nio.file.Files.createTempDirectory("cdc-in")
