@@ -74,19 +74,25 @@ object IcebergExport {
     val sid = snap.id
     val om = new ObjectMapper()
 
-    // ---- manifest reuse: pure-append commits write only a DELTA manifest
-    //      (previous manifests carried forward); anything that removed
-    //      files rewrites one self-contained manifest of all live files ----
+    // ---- manifest reuse (per-manifest granularity): a previous manifest
+    //      carries forward iff EVERY file it covers is still live; commits
+    //      that removed files rewrite only the affected manifests' survivors
+    //      (+ new files) into one delta manifest — O(affected), not O(table).
+    //      Pure appends degenerate to carrying everything + one new manifest.
     val currentPaths = entries.map(_.path).toSet
     val prevState = readState(om, fs, metaDir)
-    val reusable = prevState.filter { st =>
-      st.files.forall(currentPaths.contains) && st.files.size <= currentPaths.size
-    }
-    val (toWrite, carried, isAppend) = reusable match {
-      case Some(st) =>
+    val (toWrite, carried, isAppend) = prevState match {
+      case Some(st) if st.manifests.forall(_.filePaths.nonEmpty) =>
+        val (keep, dropped) = st.manifests.partition(
+          _.filePaths.forall(currentPaths.contains))
+        val covered = keep.flatMap(_.filePaths).toSet
+        (entries.filterNot(e => covered.contains(e.path)), keep, dropped.isEmpty)
+      case Some(st) if st.files.forall(currentPaths.contains) &&
+          st.files.size <= currentPaths.size =>
+        // legacy state without per-manifest coverage: append-only reuse
         val prevSet = st.files.toSet
         (entries.filterNot(e => prevSet.contains(e.path)), st.manifests, true)
-      case None => (entries, Nil, false)
+      case _ => (entries, Nil, false)
     }
 
     val newManifests: Seq[ManifestInfo] =
@@ -180,7 +186,8 @@ object IcebergExport {
 
   /** One exported manifest's identity + counters (for manifest reuse). */
   private case class ManifestInfo(path: String, length: Long, files: Int,
-                                  rows: Long, seq: Long)
+                                  rows: Long, seq: Long,
+                                  filePaths: Seq[String] = Nil)
   private case class ExportState(snapshotId: Long,
                                  manifests: Seq[ManifestInfo],
                                  files: Seq[String])
@@ -199,7 +206,9 @@ object IcebergExport {
       val manifests = (0 until ms.size).map { i =>
         val m = ms.get(i)
         ManifestInfo(m.get("path").asText, m.get("length").asLong,
-          m.get("files").asInt, m.get("rows").asLong, m.get("seq").asLong)
+          m.get("files").asInt, m.get("rows").asLong, m.get("seq").asLong,
+          Option(m.get("filePaths")).collect { case a: ArrayNode =>
+            (0 until a.size).map(j => a.get(j).asText) }.getOrElse(Nil))
       }
       val fsArr = root.get("files").asInstanceOf[ArrayNode]
       Some(ExportState(root.get("snapshotId").asLong, manifests,
@@ -215,6 +224,9 @@ object IcebergExport {
       val n = om.createObjectNode()
       n.put("path", m.path); n.put("length", m.length)
       n.put("files", m.files); n.put("rows", m.rows); n.put("seq", m.seq)
+      val fp = om.createArrayNode()
+      m.filePaths.foreach(fp.add)
+      n.set[ObjectNode]("filePaths", fp)
       ms.add(n)
     }
     root.set[ObjectNode]("manifests", ms)
@@ -297,7 +309,7 @@ object IcebergExport {
     }
     w.close()
     ManifestInfo(manifestPath.toString, fs.getFileStatus(manifestPath).getLen,
-      entries.size, rows, seq)
+      entries.size, rows, seq, entries.map(_.path))
   }
 
   private def listPathStr(p: Path): String = p.toString

@@ -136,7 +136,8 @@ class IcebergExportSpec extends SparkTestBase {
       listRecs.head.get("manifest_path").toString, "first manifest not reused")
     assert(l2.map(_.get("added_files_count").asInstanceOf[Int]).sum ==
       GraftTable.load(spark, loc).planFiles().size)
-    // a DELETE removes files → export falls back to one full manifest
+    // a DELETE removes files → only AFFECTED manifests rewrite; the fr delta
+    // manifest (none of its files removed) carries forward untouched
     import graft.core.RowOps._
     GraftTable.load(spark, loc).delete(col("country") === "de")
     val hint3 = scala.io.Source.fromInputStream(
@@ -145,8 +146,11 @@ class IcebergExportSpec extends SparkTestBase {
     val sn3 = root3.get("snapshots")
     val list3 = new Path(sn3.get(sn3.size - 1).get("manifest-list").asText)
     val (l3, _, _) = readAvro(list3)
-    assert(l3.size == 1 && l3.head.get("added_files_count")
-      .asInstanceOf[Int] == GraftTable.load(spark, loc).planFiles().size)
+    val frManifest = l2.last.get("manifest_path").toString
+    assert(l3.exists(_.get("manifest_path").toString == frManifest),
+      "untouched delta manifest must carry through the delete")
+    assert(l3.map(_.get("added_files_count").asInstanceOf[Int]).sum ==
+      GraftTable.load(spark, loc).planFiles().size)
     assert(sn3.get(sn3.size - 1).get("summary").get("operation").asText ==
       "overwrite")
   }
