@@ -883,6 +883,30 @@ object Fixtures {
       t
     }
 
+  /** REST catalog round trip: an in-process bear-token catalog service over
+    * a temp warehouse; nation is written through the REST-registered catalog
+    * (metadata ops over HTTP, data path direct) and read back via SQL. */
+  def restNation(spark: SparkSession, sfDir: String): String =
+    restBuilt.getOrElseUpdate(sfDir, {
+      val wh = s"${fixRoot(sfDir)}/rest-warehouse"
+      val f = new java.io.File(wh)
+      if (f.exists()) { org.apache.hadoop.fs.FileUtil.fullyDelete(f); () }
+      val server = new graft.rest.GraftRestServer(wh, "fixture-token")
+      val port = server.start()
+      spark.conf.set("spark.sql.catalog.rest_fix", "graft.rest.GraftRestCatalog")
+      spark.conf.set("spark.sql.catalog.rest_fix.uri", s"http://127.0.0.1:$port")
+      spark.conf.set("spark.sql.catalog.rest_fix.token", "fixture-token")
+      spark.sql("CREATE DATABASE rest_fix.db")
+      spark.sql("""CREATE TABLE rest_fix.db.nation
+        (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT) USING graft
+        TBLPROPERTIES ('primary-key' = 'n_nationkey', 'bucket' = '2')""")
+      src(spark, sfDir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .writeTo("rest_fix.db.nation").append()
+      "rest_fix.db.nation"
+    })
+  private val restBuilt = TrieMap[String, String]()
+
   /** CDC ingestion: debezium-JSON change events built deterministically from
     * orders and replayed through `Cdc.syncTable`/`ingest` in three batches —
     * inserts (all orders, 4 columns), updates (key%7==0: price×2, priority

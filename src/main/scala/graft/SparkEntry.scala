@@ -803,6 +803,13 @@ object SparkEntry {
     // state of batch 1 (anti-join membership probe, keep-first within batch)
     "q_incr_dedup" -> ((s, d) => Fixtures.incrDedup(s, d).read()
       .select("doc_id", "lang")),
+    // REST catalog: nation written through the bear-token REST catalog
+    // service (metadata over HTTP, data path direct) and read back via SQL
+    "q_rest_catalog" -> ((s, d) => {
+      val tbl = Fixtures.restNation(s, d)
+      s.sql(s"SELECT n_regionkey, count(*) AS nations, min(n_name) AS first_name " +
+        s"FROM $tbl GROUP BY n_regionkey")
+    }),
     // CDC ingestion: debezium-JSON insert/update/delete batches replayed via
     // Cdc.syncTable/ingest — updates add a `src` column (schema evolution),
     // deletes tombstone, kinds ride rowkind.field
@@ -1621,6 +1628,10 @@ object SparkEntry {
         |SELECT f.doc_id, f.lang FROM firsts f
         |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM state s WHERE s.fp = f.fp)"""
         .stripMargin,
+    "q_rest_catalog" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS nations,
+        |  min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
     "q_cdc_ingest" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2

@@ -49,7 +49,13 @@ class GraftRestServer(warehouse: String, token: String, prefix: String = "main")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v1", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null)
-    server.start()
+    // start from a daemon thread: HttpServer's internal dispatcher/timer
+    // threads inherit daemon status, so an embedded server never blocks JVM
+    // exit (a main() that forgets stop() would otherwise hang the process)
+    val starter = new Thread(() => server.start(), "graft-rest-starter")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
     server.getAddress.getPort
   }
 
