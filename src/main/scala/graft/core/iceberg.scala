@@ -62,7 +62,14 @@ object IcebergExport {
     }
 
     val fields = t.schema.fields
-    fields.foreach(f => icebergType(DataType.fromDDL(f.dataType))) // validate
+    // validate every column maps to an iceberg type (nested types traverse)
+    def validate(dt: DataType): Unit = dt match {
+      case st: StructType => st.fields.foreach(f => validate(f.dataType))
+      case at: ArrayType => validate(at.elementType)
+      case mt: MapType => validate(mt.keyType); validate(mt.valueType)
+      case prim => icebergType(prim); ()
+    }
+    fields.foreach(f => validate(DataType.fromDDL(f.dataType)))
     val partCols = t.config.partitionKeys
     val partFields = partCols.map(c => fields.find(_.name == c).get)
 
@@ -140,7 +147,7 @@ object IcebergExport {
     meta.put("location", t.location)
     meta.put("last-sequence-number", sid)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    meta.put("last-column-id", fields.map(_.id).max + 1)
+    meta.put("last-column-id", icebergLastColumnId(fields))
     meta.set[ObjectNode]("schemas",
       om.createArrayNode().add(icebergSchemaJson(om, fields)))
     meta.put("current-schema-id", 0)
@@ -448,8 +455,47 @@ object IcebergExport {
   // ------------------------------------------------------ json/avro shapes
 
   /** Iceberg schema json: {"type":"struct","schema-id":0,"fields":[...]} with
-    * our field ids shifted +1 (iceberg ids are 1-based). */
+    * our field ids shifted +1 (iceberg ids are 1-based). Nested fields
+    * (struct members, list elements, map keys/values) get unique ids from a
+    * deterministic pre-order allocation starting past the top-level range —
+    * stable for a fixed schema (the export already requires all files on the
+    * current schema version). */
   private def icebergSchemaJson(om: ObjectMapper, fields: Seq[FieldDef]): ObjectNode = {
+    var nextId = fields.map(_.id + 1).max + 1
+    def alloc(): Int = { val i = nextId; nextId += 1; i }
+    def typeNode(dt: DataType): com.fasterxml.jackson.databind.JsonNode = dt match {
+      case st: StructType =>
+        val n = om.createObjectNode()
+        n.put("type", "struct")
+        val arr = om.createArrayNode()
+        st.fields.foreach { f =>
+          val fn = om.createObjectNode()
+          fn.put("id", alloc())
+          fn.put("name", f.name)
+          fn.put("required", false)
+          fn.set[ObjectNode]("type", typeNode(f.dataType))
+          arr.add(fn)
+        }
+        n.set[ObjectNode]("fields", arr)
+        n
+      case at: ArrayType =>
+        val n = om.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", alloc())
+        n.set[ObjectNode]("element", typeNode(at.elementType))
+        n.put("element-required", false)
+        n
+      case mt: MapType =>
+        val n = om.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", alloc())
+        n.set[ObjectNode]("key", typeNode(mt.keyType))
+        n.put("value-id", alloc())
+        n.set[ObjectNode]("value", typeNode(mt.valueType))
+        n.put("value-required", false)
+        n
+      case prim => om.getNodeFactory.textNode(icebergType(prim))
+    }
     val n = om.createObjectNode()
     n.put("type", "struct")
     n.put("schema-id", 0)
@@ -459,11 +505,24 @@ object IcebergExport {
       fn.put("id", f.id + 1)
       fn.put("name", f.name)
       fn.put("required", false)
-      fn.put("type", icebergType(DataType.fromDDL(f.dataType)))
+      fn.set[ObjectNode]("type", typeNode(DataType.fromDDL(f.dataType)))
       arr.add(fn)
     }
     n.set[ObjectNode]("fields", arr)
     n
+  }
+
+  /** Highest field id the schema json allocates (nested ids included) —
+    * mirrors icebergSchemaJson's deterministic pre-order allocation. */
+  private[core] def icebergLastColumnId(fields: Seq[FieldDef]): Int = {
+    def nestedIds(dt: DataType): Int = dt match {
+      case st: StructType => st.fields.map(f => 1 + nestedIds(f.dataType)).sum
+      case at: ArrayType => 1 + nestedIds(at.elementType)
+      case mt: MapType => 2 + nestedIds(mt.keyType) + nestedIds(mt.valueType)
+      case _ => 0
+    }
+    fields.map(_.id + 1).max +
+      fields.map(f => nestedIds(DataType.fromDDL(f.dataType))).sum
   }
 
   /** Identity partition-spec fields with iceberg's 1000+ partition ids. */
@@ -485,14 +544,33 @@ object IcebergExport {
     * read parquet files that carry column NAMES only (the standard property
     * for imported files, used by iceberg's own add_files/migrate). */
   private def nameMappingJson(om: ObjectMapper, fields: Seq[FieldDef]): ArrayNode = {
-    val arr = om.createArrayNode()
-    fields.foreach { f =>
+    // derived from the schema json so nested ids can never diverge from it
+    import com.fasterxml.jackson.databind.JsonNode
+    def entry(id: Int, name: String, tpe: JsonNode): ObjectNode = {
       val n = om.createObjectNode()
-      n.put("field-id", f.id + 1)
-      n.set[ArrayNode]("names", om.createArrayNode().add(f.name))
-      arr.add(n)
+      n.put("field-id", id)
+      n.set[ArrayNode]("names", om.createArrayNode().add(name))
+      val nested = children(tpe)
+      if (nested.size > 0) n.set[ObjectNode]("fields", nested)
+      n
     }
-    arr
+    def children(tpe: JsonNode): ArrayNode = {
+      val arr = om.createArrayNode()
+      if (tpe.isObject) tpe.get("type").asText match {
+        case "struct" =>
+          tpe.get("fields").forEach { f =>
+            arr.add(entry(f.get("id").asInt, f.get("name").asText, f.get("type")))
+          }
+        case "list" =>
+          arr.add(entry(tpe.get("element-id").asInt, "element", tpe.get("element")))
+        case "map" =>
+          arr.add(entry(tpe.get("key-id").asInt, "key", tpe.get("key")))
+          arr.add(entry(tpe.get("value-id").asInt, "value", tpe.get("value")))
+        case _ => ()
+      }
+      arr
+    }
+    children(icebergSchemaJson(om, fields))
   }
 
   /** manifest_entry avro schema (spec "Manifests"): nested data_file record

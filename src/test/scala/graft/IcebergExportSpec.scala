@@ -185,9 +185,52 @@ class IcebergExportSpec extends SparkTestBase {
     assert(msg.contains("iceberg metadata v"), msg)
   }
 
+  test("nested types export: unique nested ids + nested name mapping") {
+    val loc = tmpLoc("icbnest")
+    val df = Seq((1L, Seq(1, 2), Map("a" -> 1L), ("x", 2.5)))
+      .toDF("k", "arr", "m", "s")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(numBuckets = 1,
+        options = Map("metadata.iceberg.storage" -> "table-location")))
+    t.write(df)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = new Path(loc, "metadata")
+    val fs = metaDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = om.readTree(fs.open(new Path(metaDir, "v1.metadata.json")))
+    val schema = root.get("schemas").get(0)
+    // collect every field id in the schema tree; all must be unique
+    val ids = scala.collection.mutable.ArrayBuffer[Int]()
+    def walk(tpe: com.fasterxml.jackson.databind.JsonNode): Unit =
+      if (tpe.isObject) tpe.get("type").asText match {
+        case "struct" => tpe.get("fields").forEach { f =>
+          ids += f.get("id").asInt; walk(f.get("type")) }
+        case "list" => ids += tpe.get("element-id").asInt; walk(tpe.get("element"))
+        case "map" =>
+          ids += tpe.get("key-id").asInt; walk(tpe.get("key"))
+          ids += tpe.get("value-id").asInt; walk(tpe.get("value"))
+        case _ => ()
+      }
+    walk(schema)
+    assert(ids.size == ids.distinct.size, s"duplicate field ids: $ids")
+    assert(root.get("last-column-id").asInt == ids.max,
+      s"last-column-id ${root.get("last-column-id").asInt} != max id ${ids.max}")
+    // nested name mapping: arr has an element entry, m has key/value, s has
+    // named children
+    val nm = om.readTree(root.get("properties")
+      .get("schema.name-mapping.default").asText)
+    def byName(n: String) = {
+      var found: com.fasterxml.jackson.databind.JsonNode = null
+      nm.forEach(e => if (e.get("names").get(0).asText == n) found = e)
+      found
+    }
+    assert(byName("arr").get("fields").get(0).get("names").get(0).asText == "element")
+    assert(byName("m").get("fields").size == 2)
+    assert(byName("s").get("fields").get(0).get("names").get(0).asText == "_1")
+  }
+
   test("unsupported column types are rejected loudly") {
     val loc = tmpLoc("icbbad")
-    val df = Seq((1L, Seq(1, 2))).toDF("k", "arr")
+    val df = spark.sql("SELECT 1L AS k, parse_json('{\"a\":1}') AS v")
     val t = GraftTable.create(spark, loc, df.schema,
       TableConfig(numBuckets = 1))
     t.write(df)
