@@ -1805,11 +1805,54 @@ object GraftTable {
   }
 
   /** Attach post-commit callbacks configured by table options (iceberg
-    * metadata export mirrors paimon's IcebergCommitCallback). */
+    * metadata export mirrors paimon's IcebergCommitCallback; automatic tag
+    * creation mirrors paimon's TagAutoManager on the writer commit path). */
   private def withHooks(t: GraftTable): GraftTable = {
+    val hooks = Seq.newBuilder[SnapshotMeta => Unit]
     if (IcebergExport.enabled(t))
-      t.sm.postCommitHook = Some(_ => IcebergExport.export(t))
+      hooks += (_ => { IcebergExport.export(t); () })
+    if (t.config.option("tag.automatic-creation", "none") != "none")
+      hooks += (snap => autoCreateTag(t, snap))
+    val hs = hooks.result()
+    if (hs.nonEmpty) t.sm.postCommitHook = Some(s => hs.foreach(_(s)))
     t
+  }
+
+  /** Automatic tags at commit (paimon `tag.automatic-creation` +
+    * `tag.creation-period` + `tag.num-retained-max`, tag/TagAutoCreation):
+    * `watermark` mode tags `watermark-<w>` from the snapshot watermark
+    * (skipped while no watermark is flowing), `process-time` tags by the
+    * commit time bucketed to the creation period (daily/hourly). Existing
+    * names are left alone (one tag per period); the oldest AUTO tags beyond
+    * `tag.num-retained-max` expire — user-created tags are never touched. */
+  private def autoCreateTag(t: GraftTable, snap: SnapshotMeta): Unit = {
+    val mode = t.config.option("tag.automatic-creation", "none")
+    def isAuto(n: String): Boolean = mode match {
+      case "watermark" => n.startsWith("watermark-")
+      case _ => n.matches("\\d{4}-\\d{2}-\\d{2}( \\d{2})?")
+    }
+    val name: Option[String] = mode match {
+      case "watermark" => snap.watermarkLong.map(w => s"watermark-$w")
+      case "process-time" =>
+        val ts = java.time.Instant.ofEpochMilli(snap.timestampMs)
+          .atZone(java.time.ZoneOffset.UTC)
+        Some(t.config.option("tag.creation-period", "daily") match {
+          case "hourly" => ts.toLocalDate.toString + f" ${ts.getHour}%02d"
+          case _ => ts.toLocalDate.toString
+        })
+      case other => throw new IllegalArgumentException(
+        s"tag.automatic-creation=$other (watermark|process-time|none)")
+    }
+    name.foreach { n =>
+      if (!t.sm.listTags().exists(_.name == n)) t.sm.createTag(n, snap.id)
+      val maxKeep = t.config.option("tag.num-retained-max", "0").toInt
+      if (maxKeep > 0) {
+        // order by tagged snapshot (monotone with creation; lexicographic
+        // name order would put watermark-9 after watermark-10)
+        val auto = t.sm.listTags().filter(tm => isAuto(tm.name)).sortBy(_.snapshotId)
+        auto.dropRight(maxKeep).foreach(tm => t.sm.deleteTag(tm.name))
+      }
+    }
   }
 
   def load(spark: SparkSession, location: String): GraftTable =

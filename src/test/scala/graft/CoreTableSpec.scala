@@ -916,4 +916,26 @@ class ConcurrencySpec extends SparkTestBase {
       .as[(Long, String, Option[Int])].collect().toSet
     assert(got == Set((1L, "a", None), (2L, "b2", Some(7)), (3L, "c", Some(9))))
   }
+
+  test("tag.automatic-creation=watermark tags each commit; num-retained-max expires oldest") {
+    val loc = tmpLoc("autotag")
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("tag.automatic-creation" -> "watermark",
+          "tag.num-retained-max" -> "2")))
+    // no watermark yet → no tag (auto-tagging must not break plain writes)
+    t.write(df)
+    assert(t.sm.listTags().isEmpty)
+    t.write(Seq((2L, "b")).toDF("k", "v"), watermark = Some(100L))
+    t.write(Seq((3L, "c")).toDF("k", "v"), watermark = Some(200L))
+    assert(t.sm.listTags().map(_.name).toSet == Set("watermark-100", "watermark-200"))
+    // user tags survive retention; a third watermark expires the oldest auto tag
+    t.sm.createTag("keep-me", 1)
+    t.write(Seq((4L, "d")).toDF("k", "v"), watermark = Some(300L))
+    assert(t.sm.listTags().map(_.name).toSet ==
+      Set("keep-me", "watermark-200", "watermark-300"))
+    // the surviving tag still reads its snapshot's state
+    assert(t.readTag("watermark-200").count() == 3)
+  }
 }
