@@ -839,6 +839,71 @@ class ConcurrencySpec extends SparkTestBase {
     (11L to 50L).foreach(i => assert(got(i) == s"v0-$i"))
   }
 
+  test("fuzz: randomized multi-writer storm (upserts + deletes + compactions) converges") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val loc = tmpLoc("conc-fuzz")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, 0L)).toDF("k", "gen").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+    // 3 writer threads own DISJOINT key ranges (exact final model regardless
+    // of commit interleaving) + 1 compactor thread; every op CAS-retries
+    val nWriters = 3
+    val pool = Executors.newFixedThreadPool(nWriters + 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val deleted = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    val lastGen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    (0 until nWriters).foreach { w =>
+      val rnd = new scala.util.Random(1000 + w)
+      val keys = (w * 100 + 1).toLong to (w * 100 + 30).toLong
+      pool.submit(new Runnable {
+        override def run(): Unit = try {
+          (1 to 5).foreach { gen =>
+            val h = GraftTable.load(spark, loc)
+            val ks = rnd.shuffle(keys.toList).take(12)
+            h.write(ks.map(k => (k, gen.toLong)).toDF("k", "gen"))
+            ks.foreach(k => { lastGen.put(k, gen.toLong); deleted.remove(k) })
+            if (rnd.nextBoolean()) {
+              val victim = keys(rnd.nextInt(keys.size))
+              import graft.core.RowOps._
+              // COW delete is read-modify-write: a racing compaction can
+              // invalidate its read set → conflict abort; caller retries
+              // from fresh state (the reference's documented resolution)
+              var tries = 0
+              var done = false
+              while (!done) {
+                try { GraftTable.load(spark, loc).delete(col("k") === victim); done = true }
+                catch { case _: CommitConflictException if tries < 5 => tries += 1 }
+              }
+              deleted.put(victim, true)
+            }
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.submit(new Runnable {
+      override def run(): Unit = try {
+        (1 to 4).foreach { _ =>
+          try { GraftTable.load(spark, loc).compact(); () }
+          catch { case _: CommitConflictException => () }
+          Thread.sleep(200)
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"failures: ${errs.peek()}")
+    import scala.jdk.CollectionConverters._
+    val expect = lastGen.asScala.filterNot { case (k, _) => deleted.containsKey(k) }
+    val got = GraftTable.load(spark, loc).read()
+      .select("k", "gen").as[(Long, Long)].collect().toMap
+    assert(got.keySet == expect.keySet,
+      s"missing=${(expect.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expect.keySet).take(5)}")
+    expect.foreach { case (k, g) => assert(got(k) == g, s"key $k: ${got(k)} != $g") }
+    // chain is contiguous and a fresh load replays identically
+    val ids = GraftTable.load(spark, loc).sm.snapshotIds
+    assert(ids == (ids.head to ids.last))
+  }
+
   test("fallback branch: missing partitions served from the named branch") {
     import spark.implicits._
     val mkOrders = Seq(
