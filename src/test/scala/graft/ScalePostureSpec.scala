@@ -137,4 +137,18 @@ class ScalePostureSpec extends SparkTestBase {
     assert(!fp.contains("SortMergeJoin") && !fp.contains("BroadcastHashJoin"),
       s"funnel must be join-free:\n$fp")
   }
+
+  test("Cdc.parse is map-side only: zero exchanges, no driver collect") {
+    val msgs = spark.range(500).select(concat(
+      lit("""{"op":"c","after":{"id":"""), col("id"),
+      lit(""","v":"x"},"ts_ms":1}""")).as("value"))
+    val parsed = graft.pipeline.Cdc.parse(spark, msgs, "value", "debezium-json")
+    parsed.collect()
+    val p = plan(parsed)
+    // the whole parse — envelope extraction, payload projection, kind
+    // mapping — is one narrow pipeline over the message partitions; at
+    // 100 TB of kafka dumps nothing shuffles until the table write routes
+    // rows to buckets
+    assert(!p.contains("Exchange"), s"CDC parse must not shuffle:\n$p")
+  }
 }
