@@ -48,11 +48,20 @@ object Dedup {
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), TextOps.bandKey(col("__sig"), b, rpb).as("bk"))): _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
-    val a = banded.alias("a"); val bb = banded.alias("b")
-    val cand = a.join(bb,
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"))
+    // candidate pairs by bucket aggregation, not a banded self-join: ONE
+    // shuffle of the (id, band, key) set, then in-bucket pair expansion
+    // (bucket sizes are duplicate-group sizes — tiny for real corpora; a
+    // self-join would shuffle the banded set twice and hash-build besides).
+    // distinct() dedups pairs sharing several bands; it shuffles only the
+    // candidate set.
+    val cand = banded.groupBy("band", "bk")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(__ids, (x, i) ->
+          |  transform(filter(__ids, y -> y > x), y -> struct(x AS v1, y AS v2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.v1"), col("p.v2"))
       .distinct()
     // exact verify on the hash SETS (same Jaccard as the string shingles
     // modulo 32-bit collisions; identical md5-prefix hashing on the oracle
