@@ -466,6 +466,10 @@ object SparkEntry {
     "q_text_tokens" -> ((s, d) => t(s, d, "documents")
       .groupBy("lang")
       .agg(sum(TextOps.tokenCount(col("text"))).as("n_tokens"), count(lit(1)).as("docs"))),
+    // CCNet-style unigram-LM perplexity proxy: corpus-fit unigram counts,
+    // per-doc mean negative log-likelihood (nats/token)
+    "q_unigram_nll" -> ((s, d) => graft.pipeline.CorpusOps.unigramNll(
+      t(s, d, "documents"), "doc_id", "text")),
     // BPE-ish subword counts + Gopher-style repetition/stopword signals,
     // aggregated as exact integer counts (engine-portable, no float drift)
     "q_text_signals" -> ((s, d) => {
@@ -1346,6 +1350,17 @@ object SparkEntry {
       s"""SELECT lang, CAST(sum($tokCntSql) AS BIGINT) AS n_tokens,
          | CAST(count(*) AS BIGINT) AS docs
          |FROM documents GROUP BY lang""".stripMargin,
+    "q_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    w -> len(w) > 0)) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM counts)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(ln((SELECT t FROM total)) - avg(ln(cnt)), 3) AS nll
+        |FROM toks JOIN counts USING (tok) GROUP BY doc_id""".stripMargin,
     "q_text_signals" ->
       """WITH sig AS (
         |  SELECT lang,

@@ -152,4 +152,33 @@ object CorpusOps {
       .withColumn("__shard", floor(col("__start") / budget))
       .drop("__b", "__offset")
   }
+
+  /**
+   * Unigram-LM perplexity proxy (the CCNet-style quality signal: documents
+   * whose tokens are improbable under a corpus language model are noise):
+   * fit a unigram model ON the corpus itself (count every token, one
+   * shuffle), then score each document by the mean negative log-likelihood
+   * of its tokens, nats/token. Returns (id, n_tokens, nll).
+   *
+   * Scale shape: token counting is one hash shuffle on the token; scoring
+   * re-derives each token's count via an equi-join of the exploded corpus
+   * against the count table (token-hash co-partitioned — at 100 TB both
+   * sides shuffle once on the same key, no broadcast of a possibly-huge
+   * vocabulary), then one per-doc aggregation. The model could equally be a
+   * persisted graft table fit on a reference corpus; fitting on the scored
+   * corpus keeps the op self-contained.
+   *
+   * Determinism: `ln` of integer counts + one mean, rounded to 3 decimals —
+   * bit-agreement across engines' libm at that precision.
+   */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextOps.words(col(textCol))).as("__tok"))
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum("__cnt")).head().getLong(0).toDouble
+    toks.join(counts, "__tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(lit(math.log(total)) - avg(log(col("__cnt"))), 3).as("nll"))
+  }
 }
