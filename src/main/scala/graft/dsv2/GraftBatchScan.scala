@@ -169,16 +169,48 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val locRoot = new Path(t.location)
-    entries.map { e =>
+    def toFile(e: ManifestEntry): PartitionedFile = {
       val abs = new Path(locRoot, e.path)
-      val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPath(abs), 0L,
+      PartitionedFile(InternalRow.empty, SparkPath.fromPath(abs), 0L,
         e.fileSize, Array.empty[String], 0L, e.fileSize, Map.empty)
-      val (fp, bytes) = dv.get(GraftTable.dvKey(e.path)) match {
-        case Some(b) => (DvCache.fingerprint(GraftTable.dvKey(e.path), b), b)
-        case None => (null, null)
-      }
-      GraftInputPartition(Array(pf), partitionKeyRow(e), fp, bytes)
-    }.toArray
+    }
+    // Bin-pack small files of the SAME key group ((partition, bucket) — the
+    // reported KeyGroupedPartitioning unit) into shared input partitions up
+    // to files.maxPartitionBytes (+ per-file openCostInBytes), like Spark's
+    // own FilePartition.getFilePartitions: a streaming-ingested table with
+    // 10^6 small files must not become 10^6 tasks. DV-carrying files stay
+    // one-per-partition (position-to-bitmap alignment is per file); large
+    // files stay whole (LSM files are size-rolled at write, so the
+    // maxPartitionBytes ceiling is the write-side rolling target).
+    val conf = t.spark.sessionState.conf
+    val maxBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    entries.groupBy(e => (e.partition.toSeq.sortBy(_._1), e.bucket)).toSeq
+      .sortBy(_._1.toString)
+      .flatMap { case (_, group) =>
+        val key = partitionKeyRow(group.head)
+        val (dvFiles, plain) =
+          group.partition(e => dv.contains(GraftTable.dvKey(e.path)))
+        val dvParts = dvFiles.map { e =>
+          val b = dv(GraftTable.dvKey(e.path))
+          GraftInputPartition(Array(toFile(e)), key,
+            DvCache.fingerprint(GraftTable.dvKey(e.path), b), b)
+        }
+        val packs = Seq.newBuilder[GraftInputPartition]
+        var cur = List.empty[ManifestEntry]
+        var curBytes = 0L
+        def flush(): Unit = if (cur.nonEmpty) {
+          packs += GraftInputPartition(cur.reverse.map(toFile).toArray, key)
+          cur = Nil; curBytes = 0L
+        }
+        plain.sortBy(_.path).foreach { e =>
+          val cost = e.fileSize + openCost
+          if (cur.nonEmpty && curBytes + cost > maxBytes) flush()
+          cur ::= e; curBytes += cost
+        }
+        flush()
+        dvParts ++ packs.result()
+      }.toArray
   }
 
   private def mkParquetFactory(filters: Array[Filter]): ParquetPartitionReaderFactory = {

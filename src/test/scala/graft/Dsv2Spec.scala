@@ -1144,4 +1144,21 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.sql("SELECT v FROM graft.db.ms WHERE k = 4")
       .head().getLong(0) == 4000000000L)
   }
+
+  test("small files bin-pack into shared input partitions (per key group)") {
+    import graft.core._
+    val loc = tmpLoc("dsv2-binpack")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "v")).toDF("k", "v").schema, TableConfig(numBuckets = 1))
+    // 12 tiny append commits = 12 files in one bucket
+    (1 to 12).foreach(i => t.write(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(t.planFiles().size == 12)
+    val df = spark.read.format("graft").load(loc)
+    // the scan's RDD partitioning reflects planInputPartitions: 12 tiny
+    // files must collapse into far fewer tasks (maxPartitionBytes >> sizes)
+    val parts = df.rdd.getNumPartitions
+    assert(parts <= 2, s"expected packed input partitions, got $parts")
+    assert(df.count() == 12)
+    assert(df.select("k").as[Long].collect().toSet == (1L to 12L).toSet)
+  }
 }
