@@ -185,7 +185,21 @@ object RowOps {
     /** Write-time compaction trigger (paimon num-sorted-run.compaction-
       * trigger): compact every bucket whose live file count reached the
       * threshold. Called by the write path when the option is set. */
-    def maybeCompactTriggered(): Option[SnapshotMeta] =
+    def maybeCompactTriggered(): Option[SnapshotMeta] = {
+      // full-compaction.delta-commits (paimon CoreOptions): force a FULL
+      // compaction once N delta (APPEND) commits have accumulated since the
+      // last COMPACT snapshot — the standard way to bound MOR read cost and
+      // keep full-compaction changelogs flowing on low-traffic tables
+      val byDeltas = cfg.options.get("full-compaction.delta-commits").map(_.toInt)
+        .flatMap { n =>
+          val ids = t.sm.snapshotIds
+          val lastCompact = ids.reverse.find(id =>
+            t.sm.readSnapshot(id).kind == "COMPACT").getOrElse(0L)
+          val deltas = ids.count(id => id > lastCompact &&
+            t.sm.readSnapshot(id).kind == "APPEND")
+          if (deltas >= n) { t.compact(); t.sm.latestSnapshot } else None
+        }
+      if (byDeltas.nonEmpty) return byDeltas
       cfg.options.get("num-sorted-run.compaction-trigger").map(_.toInt) match {
         case Some(trigger) if t.isPk =>
           val counts = t.allLiveEntries().filter(_.bucket != -2)
@@ -197,6 +211,7 @@ object RowOps {
           }
         case _ => None
       }
+    }
 
     /** Sort compaction for append tables: rewrite the whole table ordered by
       * `order` / z-order of `cols` (paimon CompactProcedure order_strategy +

@@ -544,8 +544,10 @@ class GraftTable private (
       identifier.getOrElse(s"append-${UUID.randomUUID().toString.take(8)}"),
       schema.id, watermark = watermark, changelog = clFiles)
     // write-time compaction trigger: hot buckets compact as a follow-up
-    // commit (paimon num-sorted-run.compaction-trigger)
-    if (config.options.contains("num-sorted-run.compaction-trigger")) {
+    // commit (paimon num-sorted-run.compaction-trigger /
+    // full-compaction.delta-commits)
+    if (config.options.contains("num-sorted-run.compaction-trigger") ||
+        config.options.contains("full-compaction.delta-commits")) {
       import RowOps._
       this.maybeCompactTriggered()
     }

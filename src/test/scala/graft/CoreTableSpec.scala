@@ -711,6 +711,30 @@ class CoreTableSpec extends SparkTestBase {
     assert(ranges.nonEmpty && ranges.forall { case (mn, mx, n) =>
       mn != null && mx != null && mn.toLong <= mx.toLong && n > 0 })
   }
+
+  test("full-compaction.delta-commits triggers a full compaction every N deltas") {
+    val loc = tmpLoc("fc-deltas")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "v")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("full-compaction.delta-commits" -> "3")))
+    t.write(Seq((1L, "a")).toDF("k", "v"))
+    t.write(Seq((2L, "b")).toDF("k", "v"))
+    // 2 deltas < 3 → no compact yet
+    assert(!t.sm.snapshotIds.map(t.sm.readSnapshot).exists(_.kind == "COMPACT"))
+    t.write(Seq((1L, "a2")).toDF("k", "v"))
+    // 3rd delta trips the trigger: latest snapshot is a COMPACT
+    val kinds = t.sm.snapshotIds.map(t.sm.readSnapshot(_).kind)
+    assert(kinds.last == "COMPACT", s"kinds=$kinds")
+    // bucket is fully merged → raw-convertible single read, correct content
+    assert(t.read().count() == 2)
+    assert(t.read().filter(col("k") === 1L).select("v").head().getString(0) == "a2")
+    // the next two deltas do NOT re-trigger (counter reset by the compact)
+    t.write(Seq((3L, "c")).toDF("k", "v"))
+    t.write(Seq((4L, "d")).toDF("k", "v"))
+    val kinds2 = t.sm.snapshotIds.map(t.sm.readSnapshot(_).kind)
+    assert(kinds2.count(_ == "COMPACT") == 1, s"kinds=$kinds2")
+  }
 }
 
 class DeletionVectorSpec extends SparkTestBase {
