@@ -1815,6 +1815,16 @@ object GraftTable {
       hooks += (_ => { IcebergExport.export(t); () })
     if (t.config.option("tag.automatic-creation", "none") != "none")
       hooks += (snap => autoCreateTag(t, snap))
+    // automatic snapshot expiry per commit (paimon snapshot.num-retained.max
+    // — paimon expires on every commit; we activate only when configured so
+    // time travel over full history stays the default). Tag- and
+    // consumer-pinned snapshots survive inside expireSnapshots.
+    if (t.config.options.contains("snapshot.num-retained.max"))
+      hooks += { _ =>
+        import RowOps._
+        t.expireSnapshots(t.config.option("snapshot.num-retained.max", "0").toInt)
+        ()
+      }
     val hs = hooks.result()
     if (hs.nonEmpty) t.sm.postCommitHook = Some(s => hs.foreach(_(s)))
     t

@@ -735,6 +735,24 @@ class CoreTableSpec extends SparkTestBase {
     val kinds2 = t.sm.snapshotIds.map(t.sm.readSnapshot(_).kind)
     assert(kinds2.count(_ == "COMPACT") == 1, s"kinds=$kinds2")
   }
+
+  test("snapshot.num-retained.max auto-expires history on commit; tags pin") {
+    val loc = tmpLoc("auto-expire")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "v")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("snapshot.num-retained.max" -> "3")))
+    (1 to 5).foreach(i => t.write(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val ids = t.sm.snapshotIds
+    assert(ids.size == 3, s"expected 3 retained snapshots, got $ids")
+    assert(ids.last == 5L)
+    assert(t.read().count() == 5)
+    // a tag pins its snapshot beyond the retention window
+    t.sm.createTag("pin", 3L)
+    (6 to 8).foreach(i => t.write(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(t.sm.snapshotIds.contains(3L), "tagged snapshot must survive expiry")
+    assert(t.readTag("pin").count() == 3)
+  }
 }
 
 class DeletionVectorSpec extends SparkTestBase {
