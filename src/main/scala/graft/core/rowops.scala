@@ -83,6 +83,36 @@ object RowOps {
           df.filter(c.isNull || fresh)
       }
 
+    /** Automatic partition expiry (paimon `partition.expiration-time` +
+      * `partition.timestamp-formatter`, ExpirePartitionsProcedure wired to
+      * the commit path): drop whole partitions whose value string sorts
+      * below now − expiration rendered in the partition's own format.
+      * Applies to string-formatted date/hour partitions (the layout the
+      * formatter option describes); metadata-only — one OVERWRITE commit of
+      * DELETE entries, no data read. */
+    def maybeExpirePartitions(): Int =
+      cfg.options.get("partition.expiration-time") match {
+        case Some(durStr) =>
+          val pc = cfg.options.getOrElse("partition.expiration-column",
+            cfg.partitionKeys.headOption.getOrElse(throw new IllegalArgumentException(
+              "partition.expiration-time requires a partitioned table")))
+          val fmtS = cfg.options.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd")
+          val fmt = java.time.format.DateTimeFormatter.ofPattern(fmtS)
+          val threshold = java.time.Instant.now()
+            .minusMillis(parseDurationMs(durStr))
+            .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(fmt)
+          val victims = t.planFiles().filter(e =>
+            e.partition.get(pc).exists(v => v != null && v < threshold))
+          if (victims.isEmpty) 0
+          else {
+            val parts = victims.map(_.partition).distinct.size
+            t.sm.commit(victims.map(_.copy(kind = 1)), "OVERWRITE",
+              s"auto-expire-partitions-$threshold", t.schema.id)
+            parts
+          }
+        case None => 0
+      }
+
     private def parseDurationMs(s: String): Long = {
       val m = """(\d+)\s*(ms|s|m|h|d)""".r.findFirstMatchIn(s.trim)
         .getOrElse(throw new IllegalArgumentException(s"bad duration: $s"))

@@ -1825,6 +1825,14 @@ object GraftTable {
         t.expireSnapshots(t.config.option("snapshot.num-retained.max", "0").toInt)
         ()
       }
+    // automatic partition expiry (paimon partition.expiration-time); fires
+    // once per commit — the expiry's own OVERWRITE commit finds no victims
+    if (t.config.options.contains("partition.expiration-time"))
+      hooks += { _ =>
+        import RowOps._
+        t.maybeExpirePartitions()
+        ()
+      }
     val hs = hooks.result()
     if (hs.nonEmpty) t.sm.postCommitHook = Some(s => hs.foreach(_(s)))
     t

@@ -753,6 +753,22 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.sm.snapshotIds.contains(3L), "tagged snapshot must survive expiry")
     assert(t.readTag("pin").count() == 3)
   }
+
+  test("partition.expiration-time auto-expires old date partitions on commit") {
+    val loc = tmpLoc("part-expire")
+    val df = Seq((1L, 1.0, "2000-01-01")).toDF("k", "v", "dt")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(partitionKeys = Seq("dt"), numBuckets = 1,
+        options = Map("partition.expiration-time" -> "3650d")))
+    // ancient partitions + one recent (50 years ahead won't expire for real)
+    val recent = java.time.LocalDate.now().plusYears(1).toString
+    t.write(Seq((1L, 1.0, "2000-01-01"), (2L, 2.0, "2001-06-15"),
+      (3L, 3.0, recent)).toDF("k", "v", "dt"))
+    // the write's post-commit hook expired both ancient partitions
+    val left = t.read().select("dt").as[String].collect().toSet
+    assert(left == Set(recent), s"got $left")
+    assert(t.sm.latestSnapshot.exists(_.kind == "OVERWRITE"))
+  }
 }
 
 class DeletionVectorSpec extends SparkTestBase {
