@@ -12,8 +12,14 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // Pass forked-run output straight through (no sbt "[info] " prefix) so the
-// driver can parse Bench's single JSON stdout line.
+// driver can parse Bench's single JSON stdout line. Unscoped on purpose:
+// `runMain` does NOT delegate to `run / outputStrategy` (BENCH_r03 still
+// came out "[info]"-prefixed and parsed as null), so cover run, runMain
+// and test forks alike.
+outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
