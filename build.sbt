@@ -17,9 +17,6 @@ run / fork := true
 // came out "[info]"-prefixed and parsed as null), so cover run, runMain
 // and test forks alike.
 outputStrategy := Some(StdoutOutput)
-run / outputStrategy := Some(StdoutOutput)
-Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -797,6 +797,22 @@ object Fixtures {
   /** PK table over documents, mutated after load: every 10th doc's text gets
     * a suffix token (changes doc_len → BM25 scores), every 7th doc is
     * DV-deleted — full-text search must reflect the merged current state. */
+  /** Degraded-stats fixture (paimon metadata.stats-mode): table-wide `none`
+    * (no min/max/nullCount in manifests) with a per-field `truncate(1)`
+    * override on `lang` — its 2-char values clip to inexact 1-char BOUNDS,
+    * so an equality filter must prune through truncated ranges and still
+    * return exactly the right rows. */
+  def docsStatsMode(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "docs_statsmode") { loc =>
+      val docs = src(spark, sfDir, "documents").select("doc_id", "lang", "source", "text")
+      val t = GraftTable.createOrReplace(spark, loc, docs.schema,
+        TableConfig(partitionKeys = Seq("source"),
+          options = Map("metadata.stats-mode" -> "none",
+            "fields.lang.stats-mode" -> "truncate(1)")))
+      t.write(docs)
+      t
+    }
+
   def docsPk(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "docs_pk") { loc =>
       import graft.core.RowOps._

@@ -96,6 +96,12 @@ object SparkEntry {
     "q_filter_pushdown" -> ((s, d) => Fixtures.ordersPk(s, d)
       .read(filter = Some(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz")))
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+    // reads over metadata.stats-mode-degraded manifests stay exact: the
+    // lang filter prunes through truncated (inexact) bounds, the doc_id
+    // conjunct can't use stats at all (mode none) and must not mis-prune
+    "q_stats_mode" -> ((s, d) => Fixtures.docsStatsMode(s, d)
+      .read(filter = Some(col("lang") === "en" && col("doc_id") % 3 === 0))
+      .agg(count(lit(1)).as("cnt"), sum(length(col("text"))).as("chars"))),
     "q_time_travel" -> ((s, d) => Fixtures.ordersPk(s, d).read(None, Some(1L))
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
     "q_tag_read" -> ((s, d) => Fixtures.ordersPk(s, d).readTag("v1")
@@ -1031,6 +1037,10 @@ object SparkEntry {
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
     "q_mor_read" -> dedupOracle,
     "q_ro_read" -> dedupOracle,
+    "q_stats_mode" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'en' AND doc_id % 3 = 0""".stripMargin,
     "q_filter_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2

@@ -299,8 +299,12 @@ object IcebergExport {
       fields.foreach { f =>
         val dt = DataType.fromDDL(f.dataType)
         e.stats.get(f.name).foreach { st =>
-          nulls.add(kv("null_value_counts", f.id + 1,
-            java.lang.Long.valueOf(st.nullCount)))
+          // nullCount -1 = not collected (metadata.stats-mode none) → omit;
+          // truncated bounds are still valid iceberg lower/upper bounds
+          // (iceberg itself truncates with write.metadata.metrics defaults)
+          if (st.nullCount >= 0)
+            nulls.add(kv("null_value_counts", f.id + 1,
+              java.lang.Long.valueOf(st.nullCount)))
           for (b <- boundBytes(dt, st.min))
             lowers.add(kv("lower_bounds", f.id + 1, b))
           for (b <- boundBytes(dt, st.max))

@@ -88,8 +88,18 @@ object TableSchema {
 }
 
 /** Per-column file statistics; min/max serialized as strings, interpreted
-  * against the schema type at prune time. */
-case class ColStat(min: String, max: String, nullCount: Long)
+  * against the schema type at prune time.
+  *
+  * `metadata.stats-mode` (paimon CoreOptions.METADATA_STATS_MODE) degrades
+  * what a writer records here: `nullCount = -1` means "not collected"
+  * (mode none), null min/max with a real nullCount means counts-only, and
+  * `inexact = true` marks truncated string bounds (mode truncate(N)):
+  * still valid lower/upper BOUNDS for pruning, but not the exact extreme
+  * values — min/max aggregate pushdown must refuse them. The field
+  * defaults to false so manifests written before the flag existed parse
+  * as exact (they always carried full stats). */
+case class ColStat(min: String, max: String, nullCount: Long,
+                   inexact: Boolean = false)
 
 /** One data-file entry in a manifest (cf. paimon ManifestEntry + DataFileMeta,
   * paimon-core/.../io/DataFileMeta.java:61). kind: 0=ADD, 1=DELETE. */
@@ -113,7 +123,19 @@ case class ManifestEntry(
 object ManifestDf {
   val colStatType: StructType = StructType(Seq(
     StructField("min", StringType), StructField("max", StringType),
-    StructField("nullCount", LongType, nullable = false)))
+    StructField("nullCount", LongType, nullable = false),
+    StructField("inexact", BooleanType)))
+
+  /** Manifest files written before `inexact` existed read the field as null
+    * under the current schema; coalesce to false (old stats were always
+    * exact) so the Dataset decode to [[ColStat]]'s primitive Boolean holds. */
+  def backfill(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("stats", transform_values(col("stats"), (_, v) =>
+      struct(v.getField("min").as("min"), v.getField("max").as("max"),
+        v.getField("nullCount").as("nullCount"),
+        coalesce(v.getField("inexact"), lit(false)).as("inexact"))))
+  }
   val schema: StructType = StructType(Seq(
     StructField("kind", IntegerType, nullable = false),
     StructField("path", StringType, nullable = false),
@@ -381,8 +403,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
       if (name.endsWith(".pq")) {
         val spark = org.apache.spark.sql.SparkSession.active
         import spark.implicits._
-        spark.read.schema(ManifestDf.schema)
-          .parquet(new Path(manifestDir, name).toString)
+        ManifestDf.backfill(spark.read.schema(ManifestDf.schema)
+          .parquet(new Path(manifestDir, name).toString))
           .as[ManifestEntry].collect().toSeq
       } else {
         val in = new BufferedReader(new InputStreamReader(
@@ -427,7 +449,7 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
     val ss = spark
     import ss.implicits._
     val ordDf = manifests.zipWithIndex.toDF("__mname", "__ord")
-    parts.reduce(_ unionAll _)
+    ManifestDf.backfill(parts.reduce(_ unionAll _))
       .withColumn("__mname", regexp_extract(input_file_name(), "manifest/([^/]+)", 1))
       .join(broadcast(ordDf), "__mname")
       .drop("__mname")

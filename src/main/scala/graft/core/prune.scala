@@ -239,7 +239,9 @@ object StatsPrune {
           case _ => true
         }
       case IsNull(ar: AttributeReference) =>
-        stats.get(ar.name).forall(_.nullCount > 0)
+        // nullCount = -1 means "not collected" (stats-mode none) — unknown,
+        // so the file might match; only a PROVEN zero null count prunes
+        stats.get(ar.name).forall(_.nullCount != 0)
       case IsNotNull(ar: AttributeReference) =>
         stats.get(ar.name).forall(st => st.nullCount < rowCount)
       case Or(l, r) =>

@@ -350,11 +350,23 @@ class GraftTable private (
           // rowkind.field (paimon CoreOptions.ROWKIND_FIELD): a data column
           // holding "+I"/"-U"/"+U"/"-D" decides each record's kind — the
           // CDC-ingestion write shape; -D/-U become delete tombstones
+          // ignore-delete (paimon CoreOptions.IGNORE_DELETE, fallback keys
+          // first-row./deduplicate./partial-update.ignore-delete): retract
+          // records (-D/-U) are dropped at ingestion instead of becoming
+          // tombstones — e.g. consuming a CDC stream into a table that only
+          // accumulates. Engine-made tombstones (cross-partition moves,
+          // DELETE statements) are structural and unaffected.
+          val ignoreDelete = Seq("ignore-delete",
+            s"${config.mergeEngine}.ignore-delete")
+            .exists(k => config.options.get(k).contains("true"))
+          config.options.get("rowkind.field").foreach { f =>
+            if (ignoreDelete) d = d.filter(!col(f).isin("-D", "-U"))
+          }
           val kindExpr = config.options.get("rowkind.field") match {
-            case Some(f) =>
+            case Some(f) if !ignoreDelete =>
               when(col(f).isin("-D", "-U"), lit(KIND_DELETE))
                 .otherwise(lit(KIND_INSERT))
-            case None => lit(KIND_INSERT)
+            case _ => lit(KIND_INSERT)
           }
           d = d.withColumn(SEQ, seqExpr(commitSeq))
             .withColumn(COMMIT, lit(commitSeq))
@@ -423,6 +435,41 @@ class GraftTable private (
     entries
   }
 
+  /** `metadata.stats-mode` (paimon CoreOptions.METADATA_STATS_MODE, default
+    * truncate(16)): how much per-file stats a writer records per column —
+    * `none` (nothing, nullCount = -1), `counts` (null count only), `full`,
+    * or `truncate(N)` (strings clipped to N chars; min stays a valid lower
+    * bound, max is clipped-then-incremented to stay an upper bound, and the
+    * entry is flagged inexact so min/max agg pushdown refuses it). Per-field
+    * override `fields.<name>.stats-mode`, per-level override
+    * `metadata.stats-mode.per.level` = "0:none,1:truncate(16)". Partition,
+    * primary-key and sequence columns always collect full stats: partition
+    * values and PK/SEQ ranges are structural (routing, raw-convertibility,
+    * point lookups), matching paimon's always-collected key stats. */
+  private def statsModeFor(fieldName: String, level: Int): String = {
+    if (config.partitionKeys.contains(fieldName) ||
+        config.primaryKeys.contains(fieldName) ||
+        fieldName == SEQ || fieldName == KIND || fieldName == ROW_ID)
+      return "full"
+    config.options.get(s"fields.$fieldName.stats-mode").getOrElse {
+      val perLevel = config.option("metadata.stats-mode.per.level", "")
+        .split(',').iterator.map(_.trim).filter(_.contains(':'))
+        .map { kv => val i = kv.indexOf(':'); kv.take(i) -> kv.drop(i + 1) }
+        .toMap
+      perLevel.getOrElse(level.toString,
+        config.option("metadata.stats-mode", "truncate(16)"))
+    }
+  }
+
+  private val TruncateMode = """truncate\((\d+)\)""".r
+
+  /** Smallest string that is > every string with prefix `s` (clip-increment:
+    * bump the last non-￿ char, drop the tail); None if unbounded. */
+  private def incrementString(s: String): Option[String] = {
+    val i = s.lastIndexWhere(_ != Char.MaxValue)
+    if (i < 0) None else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
+  }
+
   /** Distributed per-file stats: one aggregation pass over the new files. */
   private def collectStats(stagingAbs: String, level: Int): Seq[ManifestEntry] = {
     val written = readDataFiles(
@@ -441,11 +488,16 @@ class GraftTable private (
       }
       val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(f.dataType)
+      val mode = statsModeFor(f.name, level)
       val (mn, mx) =
-        if (orderable) (statVal(min(col(f.name))), statVal(max(col(f.name))))
+        if (orderable && mode != "none" && mode != "counts")
+          (statVal(min(col(f.name))), statVal(max(col(f.name))))
         else (lit(null).cast(StringType), lit(null).cast(StringType))
+      val nc =
+        if (mode == "none") lit(-1L)
+        else sum(when(col(f.name).isNull, 1L).otherwise(0L))
       Seq(mn.as(s"min__${f.name}"), mx.as(s"max__${f.name}"),
-          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nc__${f.name}"))
+          nc.as(s"nc__${f.name}"))
     }
     val agg = written
       .groupBy(input_file_name().as("__file"), col(BUCKET).as("__b"))
@@ -458,10 +510,18 @@ class GraftTable private (
       val full = new Path(new java.net.URI(row.getAs[String]("__file"))).toUri.getPath
       val rel = full.stripPrefix(locUri).stripPrefix("/")
       val stats = fileSchema.fields.map { f =>
-        f.name -> ColStat(
-          row.getAs[String](s"min__${f.name}"),
-          row.getAs[String](s"max__${f.name}"),
-          row.getAs[Long](s"nc__${f.name}"))
+        val mn0 = row.getAs[String](s"min__${f.name}")
+        val mx0 = row.getAs[String](s"max__${f.name}")
+        val nc = row.getAs[Long](s"nc__${f.name}")
+        f.name -> (statsModeFor(f.name, level) match {
+          case TruncateMode(nStr) if f.dataType == StringType =>
+            val n = nStr.toInt
+            val mn = if (mn0 != null && mn0.length > n) mn0.take(n) else mn0
+            val mx = if (mx0 != null && mx0.length > n)
+              incrementString(mx0.take(n)).orNull else mx0
+            ColStat(mn, mx, nc, inexact = (mn ne mn0) || (mx ne mx0))
+          case _ => ColStat(mn0, mx0, nc)
+        })
       }.toMap
       val partition = config.partitionKeys.map { pc =>
         pc -> stats(pc).min // constant within a file (partitionBy on PT)
@@ -1505,6 +1565,13 @@ class GraftTable private (
     val rowCount = entries.map(_.rowCount).sum
     def fold(colName: String, wantMax: Boolean): Option[String] = {
       val dt = dataSchema.fields.find(_.name == colName).get.dataType
+      // refuse unusable stats (metadata.stats-mode none/counts/truncated):
+      // null bounds are only foldable when the file is provably all-null
+      require(entries.forall(e => e.stats.get(colName).exists(s =>
+        !s.inexact && s.nullCount >= 0 &&
+          ((s.min != null && s.max != null) || s.nullCount == e.rowCount))),
+        s"min/max pushdown needs exact stats for $colName " +
+          "(degraded by metadata.stats-mode)")
       val vals = entries.flatMap(_.stats.get(colName))
         .flatMap(s => Option(if (wantMax) s.max else s.min))
       if (vals.isEmpty) None

@@ -250,10 +250,21 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
 
     def fold(entries: Seq[ManifestEntry], name: String, wantMax: Boolean): Option[Any] = {
       val dt = schema.fields.find(_.name == name).map(_.dataType).getOrElse(return None)
-      // files with null min/max for an orderable column are all-null there —
-      // nulls don't contribute to min/max, so folding the rest is exact
       if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt))
         return None
+      // stats must be usable on EVERY entry: present, exact (not truncated
+      // by metadata.stats-mode), and null min/max only when the file is
+      // provably all-null there (nullCount == rowCount; nulls don't
+      // contribute to min/max, so folding the rest stays exact). A file
+      // whose stats were skipped (mode none/counts, nullCount -1 or
+      // < rowCount with null bounds) could hide the true extreme → refuse.
+      val usable = entries.forall { e =>
+        e.stats.get(name).exists { s =>
+          !s.inexact && s.nullCount >= 0 &&
+            ((s.min != null && s.max != null) || s.nullCount == e.rowCount)
+        }
+      }
+      if (!usable) return None
       val vals = entries.flatMap(_.stats.get(name))
         .flatMap(s => Option(if (wantMax) s.max else s.min))
       val v = if (vals.isEmpty) null
@@ -383,8 +394,13 @@ object GraftScanBuilder {
     val dt = schema.fields.find(_.name == colName).map(_.dataType).getOrElse(return entries)
     val desc = order.direction() == SortDirection.DESCENDING
     def stat(e: ManifestEntry) = e.stats.get(colName)
+    // nullCount must be KNOWN (>= 0): the boundary walk counts
+    // rowCount - nullCount guaranteed rows per file, so an uncollected
+    // count (stats-mode none, -1) would overcount and prune wrongly.
+    // Truncated (inexact) bounds are fine — they are still bounds, the
+    // walk only gets less selective.
     val (withStats, noStats) = entries.partition(e =>
-      stat(e).exists(s => s.min != null && s.max != null))
+      stat(e).exists(s => s.min != null && s.max != null && s.nullCount >= 0))
     if (withStats.isEmpty) return entries
     // rank files by their BEST value in the sort direction
     val ranked = withStats.sortWith { (a, b) =>

@@ -1061,4 +1061,72 @@ class ConcurrencySpec extends SparkTestBase {
     // the surviving tag still reads its snapshot's state
     assert(t.readTag("watermark-200").count() == 3)
   }
+
+  test("metadata.stats-mode: none/counts/truncate degrade stats, queries stay exact") {
+    def mk(opts: Map[String, String]): GraftTable = {
+      val loc = tmpLoc("statsmode")
+      val df = Seq(
+        (1L, "aaaaaaaaaaaaaaaaaaaaZZ", "p1"), // 22 chars
+        (2L, "aaaaaaaaaaaaaaaaaaaaAA", "p1"),
+        (3L, null.asInstanceOf[String], "p2"),
+        (4L, "short", "p2")).toDF("k", "v", "p")
+      val t = GraftTable.create(spark, loc, df.schema,
+        TableConfig(partitionKeys = Seq("p"), options = opts))
+      t.write(df); t
+    }
+    // default = truncate(16): bounds clipped, flagged inexact, still valid
+    val tT = mk(Map.empty)
+    val stT = tT.planFiles().filter(_.partition("p") == "p1").head.stats("v")
+    assert(stT.min == "aaaaaaaaaaaaaaaa" && stT.inexact)
+    assert(stT.max == "aaaaaaaaaaaaaaab") // clip-increment upper bound
+    // equality on a >16-char value still finds its row (no wrong prune)
+    assert(tT.read().filter(col("v") === "aaaaaaaaaaaaaaaaaaaaZZ").count() == 1)
+    // min/max agg pushdown refuses inexact stats
+    intercept[IllegalArgumentException] {
+      tT.aggFromManifest(Seq(("mx", "max", "v")))
+    }
+    // counts: null bounds, real null count; IS NULL pruning still exact
+    val tC = mk(Map("metadata.stats-mode" -> "counts"))
+    val stC = tC.planFiles().filter(_.partition("p") == "p2").head.stats("v")
+    assert(stC.min == null && stC.max == null && stC.nullCount == 1)
+    assert(tC.read().filter(col("v").isNull).count() == 1)
+    // none: nothing collected (nullCount = -1); IS NULL must NOT prune
+    val tN = mk(Map("metadata.stats-mode" -> "none"))
+    val stN = tN.planFiles().filter(_.partition("p") == "p2").head.stats("v")
+    assert(stN.min == null && stN.max == null && stN.nullCount == -1L)
+    assert(tN.read().filter(col("v").isNull).count() == 1)
+    assert(tN.read().filter(col("v") === "short").count() == 1)
+    // partition columns stay fully collected regardless of mode
+    assert(tN.planFiles().forall(e => e.stats("p").min != null))
+    // per-field override: full stats for v even under table-wide none
+    val tF = mk(Map("metadata.stats-mode" -> "none",
+      "fields.v.stats-mode" -> "full"))
+    val stFs = tF.planFiles().filter(_.partition("p") == "p1").map(_.stats("v"))
+    assert(stFs.map(_.min).min == "aaaaaaaaaaaaaaaaaaaaAA" &&
+      stFs.forall(!_.inexact))
+    assert(tF.aggFromManifest(Seq(("mx", "max", "v")))
+      .head().getString(0) == "aaaaaaaaaaaaaaaaaaaaZZ")
+  }
+
+  test("ignore-delete: retract records drop at ingestion instead of deleting") {
+    val loc = tmpLoc("igdel")
+    val df = Seq((1L, "a", "+I"), (2L, "b", "+I")).toDF("k", "v", "rk")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("rowkind.field" -> "rk", "ignore-delete" -> "true")))
+    t.write(df)
+    // a -D for k=1 is ignored; the +U for k=2 still applies
+    t.write(Seq((1L, "a", "-D"), (2L, "b2", "+U")).toDF("k", "v", "rk"))
+    assert(rowsOf(t.read().select("k", "v")) ==
+      Set(Seq(1L, "a"), Seq(2L, "b2")))
+    // fallback key spelling (paimon deduplicate.ignore-delete)
+    val loc2 = tmpLoc("igdel2")
+    val t2 = GraftTable.create(spark, loc2, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("rowkind.field" -> "rk",
+          "deduplicate.ignore-delete" -> "true")))
+    t2.write(df)
+    t2.write(Seq((2L, "b", "-D")).toDF("k", "v", "rk"))
+    assert(t2.read().count() == 2)
+  }
 }
