@@ -109,6 +109,42 @@ object SparkEntry {
     "q_incremental" -> ((s, d) => Fixtures.ordersPk(s, d).incremental(1, 2)
       .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
         col("o_orderpriority"))),
+    // incremental-between as a DSv2 read option in DIFF scan mode: the
+    // state diff between snapshots 1 and 2 = the new values of updated keys
+    "q_incremental_diff" -> ((s, d) => {
+      val loc = Fixtures.ordersPk(s, d).location
+      s.read.format("graft")
+        .option("incremental-between", "1,2")
+        .option("incremental-between-scan-mode", "diff")
+        .load(loc)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_orderpriority"))
+    }),
+    // incremental-between-timestamp: boundaries bracket snapshot 2's commit
+    // time, so the delta is exactly snapshot 2 (works even when snapshots
+    // share a millisecond — the earliest-snapshot fallback keeps start=1)
+    "q_incremental_ts" -> ((s, d) => {
+      val t = Fixtures.ordersPk(s, d)
+      val ts2 = t.sm.readSnapshot(2).timestampMs
+      s.read.format("graft")
+        .option("incremental-between-timestamp", s"${ts2 - 1},$ts2")
+        .load(t.location)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_orderpriority"))
+    }),
+    // incremental-to-auto-tag: diff between a period tag and the previous
+    // auto tag (paimon IncrementalDiffStartingScanner.toEndAutoTag)
+    "q_incremental_auto_tag" -> ((s, d) => {
+      val t = Fixtures.ordersPk(s, d)
+      if (!t.sm.listTags().exists(_.name == "2024-01-01")) {
+        t.sm.createTag("2024-01-01", 1); t.sm.createTag("2024-01-02", 2)
+      }
+      s.read.format("graft")
+        .option("incremental-to-auto-tag", "2024-01-02")
+        .load(t.location)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_orderpriority"))
+    }),
     "q_changelog" -> ((s, d) => Fixtures.ordersPk(s, d).changelog(1, 2)
       .select(col("o_orderkey"), col("_row_kind"), round(col("o_totalprice"), 2).as("price"))),
     // full-compaction producer: changelog(0, compactSnap) is served from
@@ -1051,6 +1087,15 @@ object SparkEntry {
     "q_tag_read" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders",
     "q_incremental" ->
+      """SELECT o_orderkey, round(o_totalprice * 2, 2) AS price, 'X-UPD' AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "q_incremental_diff" ->
+      """SELECT o_orderkey, round(o_totalprice * 2, 2) AS price, 'X-UPD' AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "q_incremental_ts" ->
+      """SELECT o_orderkey, round(o_totalprice * 2, 2) AS price, 'X-UPD' AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "q_incremental_auto_tag" ->
       """SELECT o_orderkey, round(o_totalprice * 2, 2) AS price, 'X-UPD' AS o_orderpriority
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
     "q_changelog" ->

@@ -1617,6 +1617,28 @@ class GraftTable private (
       .select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
   }
 
+  /** Upsert-view diff between two snapshot STATES (paimon
+    * IncrementalDiffStartingScanner / SnapshotReader.readIncrementalDiff):
+    * rows of `to` whose key is absent from `from` or whose value changed.
+    * Deletions have no batch-row representation and are dropped — the same
+    * contract as the reference's diff scan. Append tables fall back to the
+    * delta read (diff == delta when rows are immutable). */
+  def incrementalDiff(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    if (!isPk) return incremental(fromSnapshot, toSnapshot)
+    if (fromSnapshot >= toSnapshot) return emptyDf
+    val before = // from below the earliest snapshot = diff against empty
+      if (sm.snapshotIds.minOption.exists(_ > fromSnapshot)) emptyDf
+      else read(None, Some(fromSnapshot))
+    diffStates(before, read(None, Some(toSnapshot)))
+      .filter(col("_row_kind").isin("+I", "+U"))
+      .select(dataSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Latest snapshot committed at-or-before epoch-millis `ts` (paimon
+    * SnapshotManager.earlierOrEqualTimeMills). */
+  def snapshotAtOrBeforeTime(ts: Long): Option[Long] =
+    sm.snapshotIds.filter(id => sm.readSnapshot(id).timestampMs <= ts).maxOption
+
   /** Row-level changelog between snapshots as +I/-U/+U/-D rows (paimon
     * incremental diff / binlog; SURVEY §2.9). When every snapshot in the
     * range carries write-time changelog files (changelog-producer=lookup),

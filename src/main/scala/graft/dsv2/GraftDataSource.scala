@@ -321,16 +321,76 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
 
   override def build(): Scan = {
     if (aggScan.isDefined) return aggScan.get
-    // incremental read between two snapshots as a read option (the DSv2
-    // spelling of the incremental TVF / paimon incremental-between)
+    // incremental reads as read options (the DSv2 spelling of the
+    // incremental TVFs / paimon incremental-between family,
+    // AbstractDataTableScan.createIncrementalStartingScanner):
+    //  - incremental-between = "from,to" (snapshot ids or tag names)
+    //  - incremental-between-timestamp = "t1,t2" (epoch millis or
+    //    'yyyy-MM-dd HH:mm:ss[.SSS]', session-UTC)
+    //  - incremental-to-auto-tag = "<tag>" (diff vs the previous auto tag)
+    //  - incremental-between-scan-mode = auto|delta|changelog|diff picks the
+    //    read shape; AUTO = delta for snapshot-id endpoints, diff for tag
+    //    endpoints (unless incremental-between-tag-to-snapshot=true).
+    val scanMode = readOptions.getOrElse("incremental-between-scan-mode", "auto")
+    require(Set("auto", "delta", "changelog", "diff").contains(scanMode),
+      s"unknown incremental-between-scan-mode $scanMode")
     readOptions.get("incremental-between").foreach { r =>
-      // snapshot ids or tag names (paimon incremental-between tags)
-      def snap(s: String): Long =
-        try s.toLong
-        catch { case _: NumberFormatException => t.sm.readTag(s).snapshotId }
-      val parts = r.split(",").map(p => snap(p.trim))
+      val parts = r.split(",").map(_.trim)
       require(parts.length == 2, "incremental-between expects 'from,to'")
-      return new GraftIncrementalScan(t, parts(0), parts(1), required)
+      def isId(s: String) = s.forall(_.isDigit) && s.nonEmpty
+      val bothTags = !isId(parts(0)) && !isId(parts(1))
+      def snap(s: String): Long =
+        if (isId(s)) s.toLong else t.sm.readTag(s).snapshotId
+      val (from, to) = (snap(parts(0)), snap(parts(1)))
+      require(to >= from, s"incremental-between end $to must be >= start $from")
+      val tagAsSnapshot =
+        readOptions.get("incremental-between-tag-to-snapshot").contains("true")
+      val mode =
+        if (scanMode != "auto") scanMode
+        else if (bothTags && !tagAsSnapshot) "diff"
+        else "delta"
+      return new GraftIncrementalScan(t, from, to, required, mode)
+    }
+    readOptions.get("incremental-between-timestamp").foreach { r =>
+      val parts = r.split(",").map(_.trim)
+      require(parts.length == 2, "incremental-between-timestamp expects 't1,t2'")
+      def millis(s: String): Long =
+        try s.toLong
+        catch { case _: NumberFormatException =>
+          java.time.LocalDateTime
+            .parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+      val (ts1, ts2) = (millis(parts(0)), millis(parts(1)))
+      require(ts2 >= ts1, s"ending timestamp $ts2 must be >= starting $ts1")
+      val earliest = t.sm.snapshotIds.minOption
+      val from = t.snapshotAtOrBeforeTime(ts1).orElse(earliest)
+      val to = t.snapshotAtOrBeforeTime(ts2).orElse(t.sm.latestSnapshotId)
+      (from, to) match {
+        case (Some(f), Some(e)) if e > f =>
+          return new GraftIncrementalScan(t, f, e, required,
+            if (scanMode == "auto") "delta" else scanMode)
+        case _ => return new GraftIncrementalScan(t, 0L, 0L, required, "delta")
+      }
+    }
+    readOptions.get("incremental-to-auto-tag").foreach { end =>
+      // diff between the named auto tag and the auto tag just before it
+      // (paimon IncrementalDiffStartingScanner.toEndAutoTag); missing end
+      // tag or no earlier auto tag => empty result
+      val tags = t.sm.listTags()
+      val endTag = tags.find(_.name == end)
+      // auto period tags are zero-padded dates ('yyyy-MM-dd[ HH]'), so
+      // lexicographic name order IS time order
+      val prev = endTag.flatMap { e =>
+        tags.filter(tm => tm.name < e.name &&
+            tm.name.matches("\\d{4}-\\d{2}-\\d{2}( \\d{2})?"))
+          .sortBy(_.name).lastOption
+      }
+      return (endTag, prev) match {
+        case (Some(e), Some(p)) =>
+          new GraftIncrementalScan(t, p.snapshotId, e.snapshotId, required, "diff")
+        case _ => new GraftIncrementalScan(t, 0L, 0L, required, "delta")
+      }
     }
     // changelog streams keep the V1 scan shell (only toMicroBatchStream is
     // exercised; the batch path of a changelog scan is unsupported)
@@ -466,7 +526,8 @@ object GraftScanBuilder {
 
 /** Incremental (from, to] snapshot-range read through the V1 fallback. */
 class GraftIncrementalScan(t: GraftTable, from: Long, to: Long,
-                           required: Option[StructType]) extends V1Scan {
+                           required: Option[StructType],
+                           mode: String = "delta") extends V1Scan {
   override def readSchema(): StructType =
     required.getOrElse(t.schema.sparkSchema)
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -475,14 +536,22 @@ class GraftIncrementalScan(t: GraftTable, from: Long, to: Long,
       override def sqlContext: SQLContext = context
       override def schema: StructType = readSchema()
       override def buildScan(): RDD[Row] = {
-        var df = t.incremental(from, to)
+        var df = mode match {
+          case "diff" => t.incrementalDiff(from, to)
+          // changelog scan mode = every change row from stored changelog
+          // files; batch rows carry no kind column (paimon parity — use
+          // audit_log / read-changelog streams for kinds)
+          case "changelog" if t.isPk && from < to =>
+            t.changelog(from, to).drop("_row_kind")
+          case _ => t.incremental(from, to)
+        }
         required.foreach(rs => df = df.select(rs.fieldNames.map(col).toIndexedSeq: _*))
         df.rdd
       }
     }
     rel.asInstanceOf[T]
   }
-  override def description(): String = s"GraftIncrementalScan($from,$to)"
+  override def description(): String = s"GraftIncrementalScan($from,$to,$mode)"
 }
 
 /**

@@ -1104,8 +1104,10 @@ class ConcurrencySpec extends SparkTestBase {
     val stFs = tF.planFiles().filter(_.partition("p") == "p1").map(_.stats("v"))
     assert(stFs.map(_.min).min == "aaaaaaaaaaaaaaaaaaaaAA" &&
       stFs.forall(!_.inexact))
+    // lexicographic max over ALL files ('s' > 'a'), served from manifest
+    // stats alone — possible only because the per-field override kept v full
     assert(tF.aggFromManifest(Seq(("mx", "max", "v")))
-      .head().getString(0) == "aaaaaaaaaaaaaaaaaaaaZZ")
+      .head().getString(0) == "short")
   }
 
   test("ignore-delete: retract records drop at ingestion instead of deleting") {

@@ -1161,4 +1161,54 @@ class Dsv2Spec extends SparkTestBase {
     assert(df.count() == 12)
     assert(df.select("k").as[Long].collect().toSet == (1L to 12L).toSet)
   }
+
+  test("incremental-between read options: delta / diff / changelog / timestamp / auto-tag") {
+    import graft.core._
+    import graft.core.RowOps._
+    val loc = tmpLoc("dsv2-incr")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "v")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        options = Map("changelog-producer" -> "lookup")))
+    t.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))          // s1
+    t.write(Seq((2L, "b2"), (4L, "d")).toDF("k", "v"))                    // s2
+    t.delete(col("k") === 3L)                                             // s3
+    // s4: rewrite key 1 with the SAME value — delta sees it, diff must not
+    t.write(Seq((1L, "a")).toDF("k", "v"))                                // s4
+    def rd(opts: (String, String)*) = {
+      var r = spark.read.format("graft")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(loc).select("k", "v").as[(Long, String)].collect().toSet
+    }
+    // delta (1,4]: latest version per key among the deltas, tombstones out
+    assert(rd("incremental-between" -> "1,4") ==
+      Set((2L, "b2"), (4L, "d"), (1L, "a")))
+    // diff of STATES 1→4: changed/new keys only; deletion of 3 and the
+    // unchanged rewrite of 1 both vanish
+    assert(rd("incremental-between" -> "1,4",
+      "incremental-between-scan-mode" -> "diff") == Set((2L, "b2"), (4L, "d")))
+    // changelog scan mode: every stored change row (kinds dropped) — the
+    // -U and +U of key 2 both appear as rows
+    val cl = spark.read.format("graft")
+      .option("incremental-between", "1,2")
+      .option("incremental-between-scan-mode", "changelog")
+      .load(loc).select("k", "v").as[(Long, String)].collect().toSeq
+    assert(cl.sorted == Seq((2L, "b"), (2L, "b2"), (4L, "d")))
+    // timestamp boundaries bracketing s2's commit time (start resolves to
+    // s1 or the earliest-snapshot fallback; end may swallow same-millisecond
+    // later snapshots, which only add key 1's rewrite)
+    val ts2 = t.sm.readSnapshot(2).timestampMs
+    val byTs = rd("incremental-between-timestamp" -> s"${ts2 - 1},$ts2")
+    assert(Set((2L, "b2"), (4L, "d")).subsetOf(byTs))
+    assert(byTs.subsetOf(Set((2L, "b2"), (4L, "d"), (1L, "a"))))
+    // tag endpoints default to DIFF scan mode
+    t.sm.createTag("2024-01-01", 1); t.sm.createTag("2024-01-02", 4)
+    assert(rd("incremental-between" -> "2024-01-01,2024-01-02") ==
+      Set((2L, "b2"), (4L, "d")))
+    // incremental-to-auto-tag: previous auto tag inferred by name order
+    assert(rd("incremental-to-auto-tag" -> "2024-01-02") ==
+      Set((2L, "b2"), (4L, "d")))
+    // missing end tag => empty
+    assert(rd("incremental-to-auto-tag" -> "2024-03-01").isEmpty)
+  }
 }
