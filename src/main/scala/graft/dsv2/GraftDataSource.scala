@@ -378,6 +378,8 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
       // (paimon IncrementalDiffStartingScanner.toEndAutoTag); missing end
       // tag or no earlier auto tag => empty result
       val tags = t.sm.listTags()
+      require(end.matches("\\d{4}-\\d{2}-\\d{2}( \\d{2})?"),
+        s"'$end' is not an auto-created period tag")
       val endTag = tags.find(_.name == end)
       // auto period tags are zero-padded dates ('yyyy-MM-dd[ HH]'), so
       // lexicographic name order IS time order

@@ -1211,4 +1211,29 @@ class Dsv2Spec extends SparkTestBase {
     // missing end tag => empty
     assert(rd("incremental-to-auto-tag" -> "2024-03-01").isEmpty)
   }
+
+  test("CTAS and RTAS: CREATE/REPLACE TABLE AS SELECT with table properties") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.ctas1")
+    spark.sql("""CREATE TABLE graft.db.ctas1
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='2')
+                 AS SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v FROM range(10)""")
+    assert(spark.table("graft.db.ctas1").count() == 10)
+    // PK semantics took: an upsert of an existing key replaces it
+    spark.sql("INSERT INTO graft.db.ctas1 VALUES (3, 99.0)")
+    assert(spark.sql("SELECT v FROM graft.db.ctas1 WHERE k = 3")
+      .head().getDouble(0) == 99.0)
+    assert(spark.table("graft.db.ctas1").count() == 10)
+    // RTAS swaps schema and contents
+    spark.sql("""CREATE OR REPLACE TABLE graft.db.ctas1
+                 AS SELECT id AS a, CAST(id AS STRING) AS b FROM range(3)""")
+    assert(spark.table("graft.db.ctas1").columns.toSeq == Seq("a", "b"))
+    assert(spark.table("graft.db.ctas1").count() == 3)
+    // partitioned CTAS routes partition transforms
+    spark.sql("DROP TABLE IF EXISTS graft.db.ctas2")
+    spark.sql("""CREATE TABLE graft.db.ctas2 PARTITIONED BY (p)
+                 AS SELECT id AS k, CAST(id % 3 AS STRING) AS p FROM range(9)""")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas2 WHERE p = '1'")
+      .head().getLong(0) == 3)
+  }
 }

@@ -13,4 +13,23 @@ class FuzzSweepSpec extends SparkTestBase {
       extraOpts = Map("write.max-records-per-file" -> "11",
         "num-sorted-run.compaction-trigger" -> "4"))
   }
+
+  test("fuzz x feature interactions: degraded stats, orc data files, fc producer") {
+    val r = new RandomizedLsmSpec { }
+    // degraded manifest stats must never change RESULTS — only pruning
+    // opportunity. A stats-driven prune bug (null bounds treated as exact,
+    // bad normalization) surfaces here as a model mismatch.
+    r.runScenarioPublic(seed = 4100L, ops = 12, numBuckets = 2,
+      extraOpts = Map("metadata.stats-mode" -> "none"))
+    r.runScenarioPublic(seed = 4200L, ops = 12, numBuckets = 2,
+      extraOpts = Map("metadata.stats-mode" -> "counts"))
+    // orc data files ride the same LSM write/merge/compact path (V1 read)
+    r.runScenarioPublic(seed = 4300L, ops = 12, numBuckets = 2,
+      extraOpts = Map("file.format" -> "orc"))
+    // full-compaction changelog producer: compactions also cut changelog
+    // files; merge/read results must stay identical
+    r.runScenarioPublic(seed = 4400L, ops = 12, numBuckets = 2,
+      extraOpts = Map("changelog-producer" -> "full-compaction",
+        "full-compaction.delta-commits" -> "3"))
+  }
 }

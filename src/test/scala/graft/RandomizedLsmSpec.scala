@@ -59,9 +59,12 @@ class RandomizedLsmSpec extends SparkTestBase {
           val hi = lo + rnd.nextInt(10)
           t.delete(col("k").between(lo, hi))
           model = model.filterNot { case (k, _) => k >= lo && k <= hi }
-        case 3 if model.nonEmpty => // dv-delete one existing key
+        case 3 if model.nonEmpty => // delete one existing key (DV when the
+          // format supports deletion vectors, COW otherwise)
           val k = model.keySet.toSeq(rnd.nextInt(model.size))
-          t.deleteDv(col("k") === k)
+          if (extraOpts.getOrElse("file.format", "parquet") == "parquet")
+            t.deleteDv(col("k") === k)
+          else t.delete(col("k") === k)
           model -= k
         case 4 => // PARTIAL compaction of one random bucket (DVs on other
           // buckets must carry forward through the index rewrite)
