@@ -182,6 +182,15 @@ object SparkEntry {
       .select(col("r_regionkey"), col("r_name"))),
     "q_system_snapshots" -> ((s, d) => Fixtures.ordersPk(s, d)
       .systemTable("snapshots").select("snapshot_id", "commit_kind")),
+    // metrics system table (paimon maintenance/metrics.md): do one unfiltered
+    // planning pass, then report the deterministic scan gauges it set
+    "q_metrics" -> ((s, d) => {
+      val t = Fixtures.ordersPk(s, d)
+      t.read() // plans eagerly -> records scan metrics for snapshot 3
+      t.systemTable("metrics").filter(col("metric").isin(
+        "lastScannedSnapshotId", "lastScannedManifests",
+        "lastScanResultedTableFiles", "lastScanSkippedTableFiles"))
+    }),
     "q_branch_ff" -> ((s, d) => statusAgg(Fixtures.ordersBranch(s, d).read())),
     "q_dynamic_bucket" -> ((s, d) => statusAgg(Fixtures.ordersDyn(s, d).read())),
     // row tracking: per-commit lineage survives the sort-compaction rewrite
@@ -1168,6 +1177,11 @@ object SparkEntry {
     "q_system_snapshots" ->
       """SELECT CAST(1 AS BIGINT) AS snapshot_id, 'APPEND' AS commit_kind
         |UNION ALL SELECT 2, 'APPEND' UNION ALL SELECT 3, 'COMPACT'""".stripMargin,
+    "q_metrics" ->
+      """SELECT 'lastScanResultedTableFiles' AS metric, 'gauge' AS type, CAST(4 AS DOUBLE) AS value
+        |UNION ALL SELECT 'lastScanSkippedTableFiles', 'gauge', CAST(0 AS DOUBLE)
+        |UNION ALL SELECT 'lastScannedManifests', 'gauge', CAST(3 AS DOUBLE)
+        |UNION ALL SELECT 'lastScannedSnapshotId', 'gauge', CAST(3 AS DOUBLE)""".stripMargin,
     "q_branch_ff" -> dedupOracle,
     "q_dynamic_bucket" -> dedupOracle,
     "q_format_table" ->

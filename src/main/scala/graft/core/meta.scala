@@ -498,6 +498,7 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
              changelog: Seq[String] = Nil,
              changelogBase: Option[Long] = None,
              patchAction: Option[Seq[PatchFile]] = None): SnapshotMeta = {
+    val commitT0 = System.nanoTime()
     val deltaName = writeManifest(delta)
     val deletedPaths = delta.filter(_.kind == 1).map(_.path).toSet
     var attempt = 0
@@ -552,6 +553,9 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
           .getOrElse(base.flatMap(b => Option(b.patches).flatten)))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
+        GraftMetrics.recordCommit(tableRoot,
+          (System.nanoTime() - commitT0) / 1000000L, attempt + 1L, kind,
+          addFiles, delFiles, changelog.size.toLong)
         // post-commit callback (iceberg metadata export) — a hook failure
         // must not fail the commit; the snapshot is already durable
         postCommitHook.foreach(h =>

@@ -126,6 +126,7 @@ object RowOps {
     /** Full compaction: merge every bucket to a single level-1 file set.
       * No-op when the table is already fully compacted. */
     def compact(): Option[SnapshotMeta] = {
+      val compactT0 = System.nanoTime()
       val live = t.allLiveEntries() // includes postpone staging (bucket -2)
       if (live.isEmpty) return None
       val dv = t.dvFor(None)
@@ -169,9 +170,14 @@ object RowOps {
       val delta = live.map(_.copy(kind = 1)) ++ adds
       // compaction materializes outstanding deletion vectors and column
       // patches (this is a FULL rewrite of the live set) → clear both
-      Some(t.sm.commit(delta, "COMPACT", s"compact-${UUID.randomUUID().toString.take(8)}",
+      val snap = t.sm.commit(delta, "COMPACT",
+        s"compact-${UUID.randomUUID().toString.take(8)}",
         t.schema.id, dvAction = Some(None), changelog = clFiles,
-        changelogBase = clBase, patchAction = Some(Nil)))
+        changelogBase = clBase, patchAction = Some(Nil))
+      GraftMetrics.recordCompaction(t.location,
+        (System.nanoTime() - compactT0) / 1000000L,
+        live.size.toLong, adds.size.toLong)
+      Some(snap)
     }
 
     /** PARTIAL compaction: merge only the buckets holding an entry that
@@ -682,6 +688,11 @@ object RowOps {
           val p = new Path(t.location, "statistics/latest.json")
           val content = if (t.sm.fs.exists(p)) t.sm.readString(p) else "{}"
           Seq(content).toDF("statistics")
+        case "metrics" =>
+          // this driver's scan/commit/compaction metrics for the table
+          // (paimon docs/maintenance/metrics.md; per-JVM metric groups)
+          GraftMetrics.forTable(t.location).rows
+            .toDF("metric", "type", "value")
         case "consumers" =>
           Consumers.list(t).map(c => (c.consumerId, c.nextSnapshot))
             .toDF("consumer_id", "next_snapshot_id")

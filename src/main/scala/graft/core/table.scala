@@ -813,13 +813,14 @@ class GraftTable private (
     * (SURVEY §7: manifests are DataFrames past ~10^6 files). */
   def planFiles(snapshotId: Option[Long] = None,
                 filter: Option[Column] = None): Seq[ManifestEntry] = {
+    val t0 = System.nanoTime()
     val snap = snapshotId.map(sm.readSnapshot).orElse(sm.latestSnapshot)
       .getOrElse(return Nil)
     if (snap.liveFilesLong.exists(_ >= sm.planDfThreshold))
       return planFilesDistributed(snap, filter)
     // postpone staging data (bucket -2) is unreadable until compaction
     val live = sm.liveEntries(snap).filter(_.bucket != -2)
-    filter match {
+    val out = filter match {
       case Some(c) =>
         // resolve against the FILE schema: stats cover envelope and shredded
         // extraction columns too, so filters on those prune as well
@@ -835,6 +836,10 @@ class GraftTable private (
         }
       case None => live
     }
+    GraftMetrics.recordScan(location, (System.nanoTime() - t0) / 1000000L,
+      snap.id, snap.manifests.size.toLong, out.size.toLong,
+      (live.size - out.size).toLong)
+    out
   }
 
   /** Columns safe for merge-on-read file pruning: constant across all stored

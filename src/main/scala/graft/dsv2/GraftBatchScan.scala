@@ -246,6 +246,38 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
 
   override def description(): String =
     s"GraftBatchScan(${t.location}, files=${entries.size}, pushed=${pushed.mkString(",")})"
+
+  // ---- DSv2 scan metrics (Spark SQL UI) — the idiomatic-Spark bridge of
+  // the reference's ScanMetrics (docs/maintenance/metrics.md): planning
+  // results surface on the scan node as driver metrics.
+  private def mkMetric(n: String, d: String) =
+    new org.apache.spark.sql.connector.metric.CustomSumMetric {
+      override def name(): String = n
+      override def description(): String = d
+    }
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    mkMetric("plannedFiles", "planned data files"),
+    mkMetric("plannedBytes", "planned data bytes"),
+    mkMetric("skippedFiles", "files skipped by stats/partition pruning"),
+    mkMetric("deletionVectorFiles", "files read under a deletion vector"))
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    def m(n: String, v: Long) =
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = n
+        override def value(): Long = v
+      }
+    val skipped = graft.core.GraftMetrics.forTable(t.location)
+      .rows.collectFirst {
+        case ("lastScanSkippedTableFiles", _, v) => v.toLong }.getOrElse(0L)
+    Array(
+      m("plannedFiles", entries.size.toLong),
+      m("plannedBytes", entries.map(_.fileSize).sum),
+      m("skippedFiles", skipped),
+      m("deletionVectorFiles",
+        entries.count(e => dv.contains(graft.core.GraftTable.dvKey(e.path))).toLong))
+  }
 }
 
 object GraftBatchScan {

@@ -769,6 +769,49 @@ class CoreTableSpec extends SparkTestBase {
     assert(left == Set(recent), s"got $left")
     assert(t.sm.latestSnapshot.exists(_.kind == "OVERWRITE"))
   }
+
+  test("metrics: scan/commit/compaction registry + metrics system table") {
+    val loc = tmpLoc("metrics")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "v")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.write(Seq((2L, "b2"), (3L, "c")).toDF("k", "v"))
+    t.compact()
+    t.read().collect() // a planning pass over the compacted state
+    def metric(name: String): Double =
+      GraftMetrics.forTable(loc).rows
+        .collectFirst { case (`name`, _, v) => v }
+        .getOrElse(fail(s"metric $name missing"))
+    // commit metrics: 3 commits (2 writes + compact), compact counted
+    assert(metric("totalCommits") == 3.0)
+    assert(metric("totalCompactCommits") == 1.0)
+    assert(metric("lastCommitAttempts") == 1.0)
+    // compaction metrics: 3 input files (keys 2,3 co-bucket) -> 2 outputs
+    assert(metric("totalCompactions") == 1.0)
+    assert(metric("lastCompactionInputFiles") == 3.0)
+    assert(metric("lastCompactionOutputFiles") == 2.0)
+    // scan metrics: last planning saw snapshot 3 with its 2 live files
+    assert(metric("lastScannedSnapshotId") == 3.0)
+    assert(metric("lastScanResultedTableFiles") == 2.0)
+    assert(metric("scanDuration_count") >= 1.0)
+    // a pruned scan records skipped files
+    t.read(Some(col("k") === 2L)).collect()
+    assert(metric("lastScanResultedTableFiles") == 1.0)
+    assert(metric("lastScanSkippedTableFiles") == 1.0)
+    // system table exposes the same rows
+    import graft.core.RowOps._
+    val sysRows = t.systemTable("metrics")
+      .filter(col("metric") === "totalCommits").collect()
+    assert(sysRows.length == 1 && sysRows.head.getDouble(2) == 3.0)
+    // DSv2 driver metrics on the native scan report the planned set
+    val scan = new graft.dsv2.GraftBatchScan(t, t.planFiles(), Array.empty, None)
+    val dm = scan.reportDriverMetrics().map(m => m.name() -> m.value()).toMap
+    assert(dm("plannedFiles") == 2L)
+    assert(dm("plannedBytes") > 0L)
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
+      Set("plannedFiles", "plannedBytes", "skippedFiles", "deletionVectorFiles"))
+  }
 }
 
 class DeletionVectorSpec extends SparkTestBase {
