@@ -379,6 +379,21 @@ object SparkEntry {
       s.sql(s"""SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderpriority
                 FROM graft_incremental_query('$loc', 1, 2)""")
     }),
+    // branch-scoped SQL handle (paimon manage-branches "Read / Write
+    // branch"): writes via `t$branch_dev` land on the branch; main reads
+    // stay untouched and the branch read sees base + branch delta merged
+    "q_sql_branch" -> ((s, d) => {
+      val tbl = Fixtures.sqlRowOps(s, d, "orders_sqlbr", Seq(
+        "ALTER TABLE graft_fix.db.orders_sqlbr CREATE BRANCH dev",
+        """INSERT INTO graft_fix.db.`orders_sqlbr$branch_dev`
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+                  o_orderdate, 'X-UPD'
+           FROM graft_fix.db.orders_sqlbr WHERE o_orderkey % 10 = 0"""))
+      s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total
+                FROM ${tbl.replace("orders_sqlbr", "`orders_sqlbr$branch_dev`")}
+                GROUP BY o_orderpriority""")
+    }),
     // SQL row-level commands through the session extensions (§2.10)
     "q_sql_delete" -> ((s, d) => {
       val tbl = Fixtures.sqlRowOps(s, d, "orders_sqldel",
@@ -1333,6 +1348,14 @@ object SparkEntry {
     "q_tvf_incremental" ->
       """SELECT o_orderkey, round(o_totalprice * 2, 2) AS price, 'X-UPD' AS o_orderpriority
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "q_sql_branch" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'X-UPD' ELSE o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM b GROUP BY o_orderpriority""".stripMargin,
     "q_sql_delete" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total

@@ -205,16 +205,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (ident.namespace().sameElements(Array("sys")))
       return new GraftDataFrameTable(s"sys.${ident.name()}",
         globalSystemTable(ident.name()))
-    // `t$snapshots`, `t$files`, ... — system tables addressable in SQL
-    // (paimon SystemTableLoader / SparkCatalog `$` suffix convention)
+    // `t$snapshots`, `t$files`, ... — system tables addressable in SQL;
+    // `t$branch_<b>` — a branch-scoped handle (readable AND writable), with
+    // `t$branch_<b>$files`-style nesting for branch system tables
+    // (paimon SystemTableLoader / SparkCatalog `$` suffix convention,
+    // docs/maintenance/manage-branches.mdx "Read / Write branch")
     if (ident.name().contains('$')) {
-      val Array(base, sys) = ident.name().split('$')
+      val parts = ident.name().split('$')
+      val base = parts(0)
       val loc = tablePath(Identifier.of(ident.namespace(), base))
       if (!GraftTable.exists(spark, loc))
         throw new NoSuchTableException(ident.namespace() :+ ident.name())
       import graft.core.RowOps._
-      return new GraftDataFrameTable(s"$base$$$sys",
-        GraftTable.load(spark, loc).systemTable(sys))
+      if (parts.length >= 2 && parts(1).startsWith("branch_")) {
+        val bname = parts(1).stripPrefix("branch_")
+        val bt = GraftTable.load(spark, loc, Some(bname))
+        if (parts.length == 3)
+          return new GraftDataFrameTable(s"$base$$branch_$bname$$${parts(2)}",
+            bt.systemTable(parts(2)))
+        val db = ident.namespace().mkString(".")
+        requirePriv("SELECT", db, base)
+        return new GraftSparkTable(bt,
+          readOptions = sessionOptionOverrides(ident),
+          writable = canInsert(db, base))
+      }
+      require(parts.length == 2, s"bad system table name ${ident.name()}")
+      return new GraftDataFrameTable(s"$base$$${parts(1)}",
+        GraftTable.load(spark, loc).systemTable(parts(1)))
     }
     val loc = tablePath(ident)
     if (isFormatTable(loc)) return loadFormatTable(ident, loc)

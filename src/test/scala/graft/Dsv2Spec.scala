@@ -1212,6 +1212,29 @@ class Dsv2Spec extends SparkTestBase {
     assert(rd("incremental-to-auto-tag" -> "2024-03-01").isEmpty)
   }
 
+  test("branch-scoped SQL handles: read/write t$branch_<b> and its system tables") {
+    import graft.core._
+    import graft.core.RowOps._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.brt")
+    spark.sql("""CREATE TABLE graft.db.brt (k BIGINT, v STRING)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='1')""")
+    spark.sql("INSERT INTO graft.db.brt VALUES (1,'a'),(2,'b')")
+    val t = GraftTable.load(spark, s"$wh/db.db/brt")
+    t.createBranch("b1", None)
+    // write lands on the branch only
+    spark.sql("INSERT INTO graft.db.`brt$branch_b1` VALUES (3,'c-branch')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.`brt$branch_b1`")
+      .head().getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM graft.db.brt").head().getLong(0) == 2)
+    // branch system table: its snapshot chain is longer than main's
+    val bSnaps = spark.sql(
+      "SELECT count(*) FROM graft.db.`brt$branch_b1$snapshots`").head().getLong(0)
+    val mSnaps = spark.sql(
+      "SELECT count(*) FROM graft.db.`brt$snapshots`").head().getLong(0)
+    assert(bSnaps == mSnaps + 1, s"branch $bSnaps vs main $mSnaps")
+  }
+
   test("CTAS and RTAS: CREATE/REPLACE TABLE AS SELECT with table properties") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.ctas1")
