@@ -93,6 +93,40 @@ object GraftTableFunctions {
       val t = resolveTable(str(args(0)))
       plan(t.changelog(snapArg(t, args(1)), snapArg(t, args(2))))
     },
+    // paimon_incremental_between_timestamp: epoch-millis or
+    // 'yyyy-MM-dd HH:mm:ss' boundaries resolved to snapshots (session-UTC)
+    fd("graft_incremental_between_timestamp") { args =>
+      require(args.length == 3,
+        "graft_incremental_between_timestamp(table, t1, t2)")
+      val t = resolveTable(str(args(0)))
+      def millis(s: String): Long =
+        try s.toLong
+        catch { case _: NumberFormatException =>
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli }
+      val (ts1, ts2) = (millis(str(args(1))), millis(str(args(2))))
+      val from = t.snapshotAtOrBeforeTime(ts1).orElse(t.sm.snapshotIds.minOption)
+      val to = t.snapshotAtOrBeforeTime(ts2).orElse(t.sm.latestSnapshotId)
+      plan((from, to) match {
+        case (Some(f), Some(e)) if e > f => t.incremental(f, e)
+        case _ => t.incremental(0L, 0L)
+      })
+    },
+    // paimon_incremental_to_auto_tag: diff vs the previous auto period tag
+    fd("graft_incremental_to_auto_tag") { args =>
+      require(args.length == 2, "graft_incremental_to_auto_tag(table, tag)")
+      val t = resolveTable(str(args(0)))
+      val end = str(args(1))
+      require(end.matches("\\d{4}-\\d{2}-\\d{2}( \\d{2})?"),
+        s"'$end' is not an auto-created period tag")
+      val tags = t.sm.listTags()
+      plan(tags.find(_.name == end).flatMap { e =>
+        tags.filter(tm => tm.name < e.name &&
+            tm.name.matches("\\d{4}-\\d{2}-\\d{2}( \\d{2})?"))
+          .sortBy(_.name).lastOption
+          .map(p => t.incrementalDiff(p.snapshotId, e.snapshotId))
+      }.getOrElse(t.incremental(0L, 0L)))
+    },
     fd("graft_full_text_search") { args =>
       require(args.length == 3, "graft_full_text_search(indexPath, query, k)")
       plan(graft.pipeline.Indexes.fullTextSearch(spark, str(args(0)),

@@ -1210,6 +1210,15 @@ class Dsv2Spec extends SparkTestBase {
       Set((2L, "b2"), (4L, "d")))
     // missing end tag => empty
     assert(rd("incremental-to-auto-tag" -> "2024-03-01").isEmpty)
+    // TVF spellings of the same reads
+    assert(spark.sql(
+      s"SELECT k, v FROM graft_incremental_to_auto_tag('$loc', '2024-01-02')")
+      .as[(Long, String)].collect().toSet == Set((2L, "b2"), (4L, "d")))
+    val tvfTs = spark.sql(
+      s"""SELECT k, v FROM graft_incremental_between_timestamp(
+            '$loc', '${ts2 - 1}', '$ts2')""")
+      .as[(Long, String)].collect().toSet
+    assert(Set((2L, "b2"), (4L, "d")).subsetOf(tvfTs))
   }
 
   test("branch-scoped SQL handles: read/write t$branch_<b> and its system tables") {
