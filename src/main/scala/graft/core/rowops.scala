@@ -28,6 +28,18 @@ object RowOps {
   /** Extensions data files may carry under data/ (file.format option). */
   private[core] val dataFileExts = Seq(".parquet", ".orc", ".csv", ".json")
 
+  /** '90d' / '12h' / '30 m' / '1000ms' duration strings (the reference's
+    * Duration option format) to milliseconds. */
+  private[core] def parseDurationMs(s: String): Long = {
+    val m = """(\d+)\s*(ms|s|m|h|d)""".r.findFirstMatchIn(s.trim)
+      .getOrElse(throw new IllegalArgumentException(s"bad duration: $s"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "ms" => n; case "s" => n * 1000L; case "m" => n * 60000L
+      case "h" => n * 3600000L; case "d" => n * 86400000L
+    }
+  }
+
 
   implicit class GraftTableOps(val t: GraftTable) {
     import GraftTable._
@@ -113,15 +125,7 @@ object RowOps {
         case None => 0
       }
 
-    private def parseDurationMs(s: String): Long = {
-      val m = """(\d+)\s*(ms|s|m|h|d)""".r.findFirstMatchIn(s.trim)
-        .getOrElse(throw new IllegalArgumentException(s"bad duration: $s"))
-      val n = m.group(1).toLong
-      m.group(2) match {
-        case "ms" => n; case "s" => n * 1000L; case "m" => n * 60000L
-        case "h" => n * 3600000L; case "d" => n * 86400000L
-      }
-    }
+    private def parseDurationMs(s: String): Long = RowOps.parseDurationMs(s)
 
     /** Full compaction: merge every bucket to a single level-1 file set.
       * No-op when the table is already fully compacted. */
@@ -821,10 +825,25 @@ object RowOps {
       * referenced by retained snapshots or tags (paimon ExpireSnapshotsImpl;
       * above the plan threshold the referenced-vs-candidate file diff and
       * the deletions run distributed, like the reference's Spark expire). */
-    def expireSnapshots(retainLast: Int): Int = {
+    /** Snapshot expiry (paimon snapshot.num-retained.max /
+      * snapshot.time-retained / snapshot.num-retained.min): a snapshot
+      * expires when it falls outside the newest `retainLast` OR is older
+      * than `maxAgeMs`; the newest `retainMin` always survive, as do tagged
+      * snapshots, unread consumer history and chain contiguity. */
+    def expireSnapshots(retainLast: Int, maxAgeMs: Option[Long] = None,
+                        retainMin: Int = 1): Int = {
       val ids = t.sm.snapshotIds
-      if (ids.size <= retainLast) return 0
-      val keepIds = ids.takeRight(retainLast).toSet ++ t.sm.listTags().map(_.snapshotId)
+      if (ids.size <= math.max(retainMin, if (maxAgeMs.isEmpty) retainLast else retainMin))
+        return 0
+      val now = System.currentTimeMillis()
+      val withinMax = ids.takeRight(retainLast)
+      val youngEnough = maxAgeMs match {
+        case Some(a) => withinMax.filter(id =>
+          now - t.sm.readSnapshot(id).timestampMs <= a)
+        case None => withinMax
+      }
+      val keepIds = (youngEnough ++ ids.takeRight(math.max(retainMin, 1))).toSet ++
+        t.sm.listTags().map(_.snapshotId)
       // registered consumers pin history: never expire a snapshot a consumer
       // has yet to read (paimon ConsumerManager-aware expiry)
       val consumerFloor = Consumers.list(t).map(_.nextSnapshot).minOption

@@ -1910,13 +1910,22 @@ object GraftTable {
     if (t.config.option("tag.automatic-creation", "none") != "none")
       hooks += (snap => autoCreateTag(t, snap))
     // automatic snapshot expiry per commit (paimon snapshot.num-retained.max
-    // — paimon expires on every commit; we activate only when configured so
-    // time travel over full history stays the default). Tag- and
-    // consumer-pinned snapshots survive inside expireSnapshots.
-    if (t.config.options.contains("snapshot.num-retained.max"))
+    // / snapshot.time-retained / snapshot.num-retained.min — paimon expires
+    // on every commit; we activate only when configured so time travel over
+    // full history stays the default). Tag- and consumer-pinned snapshots
+    // survive inside expireSnapshots. num-retained.min is capped by .max so
+    // a small .max keeps meaning "keep exactly N".
+    if (t.config.options.contains("snapshot.num-retained.max") ||
+        t.config.options.contains("snapshot.time-retained"))
       hooks += { _ =>
         import RowOps._
-        t.expireSnapshots(t.config.option("snapshot.num-retained.max", "0").toInt)
+        val maxK = t.config.options.get("snapshot.num-retained.max")
+          .map(_.toInt).getOrElse(Int.MaxValue)
+        val age = t.config.options.get("snapshot.time-retained")
+          .map(RowOps.parseDurationMs)
+        val minK = math.min(
+          t.config.option("snapshot.num-retained.min", "10").toInt, maxK)
+        t.expireSnapshots(maxK, age, minK)
         ()
       }
     // automatic partition expiry (paimon partition.expiration-time); fires

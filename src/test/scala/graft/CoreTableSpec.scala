@@ -770,6 +770,32 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.sm.latestSnapshot.exists(_.kind == "OVERWRITE"))
   }
 
+  test("snapshot.time-retained: age-based expiry keeps num-retained.min floor") {
+    val loc = tmpLoc("time-ret")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "v")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    (1 to 5).foreach(i => t.write(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    // age=0: everything is "too old", but the newest 2 must survive
+    val dropped = t.expireSnapshots(Int.MaxValue, Some(0L), retainMin = 2)
+    val left = t.sm.snapshotIds
+    assert(left.size >= 2 && left.takeRight(2) == Seq(4L, 5L), s"left=$left")
+    assert(dropped >= 2)
+    // data unaffected; remaining history still reads
+    assert(t.read().count() == 5)
+    assert(t.read(None, Some(4L)).count() == 4)
+    // option-driven: the per-commit hook applies the same policy
+    val loc2 = tmpLoc("time-ret2")
+    val t2 = GraftTable.create(spark, loc2,
+      Seq((1L, "v")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("snapshot.time-retained" -> "0ms",
+          "snapshot.num-retained.min" -> "2")))
+    (1 to 4).foreach(i => t2.write(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(t2.sm.snapshotIds.size <= 3, s"got ${t2.sm.snapshotIds}")
+    assert(t2.read().count() == 4)
+  }
+
   test("metrics: scan/commit/compaction registry + metrics system table") {
     val loc = tmpLoc("metrics")
     val t = GraftTable.create(spark, loc,
