@@ -605,14 +605,22 @@ class GraftTable private (
       schema.id, watermark = watermark, changelog = clFiles)
     // write-time compaction trigger: hot buckets compact as a follow-up
     // commit (paimon num-sorted-run.compaction-trigger /
-    // full-compaction.delta-commits)
-    if (config.options.contains("num-sorted-run.compaction-trigger") ||
-        config.options.contains("full-compaction.delta-commits")) {
+    // full-compaction.delta-commits). `write-only=true` (paimon
+    // WRITE_ONLY, maintenance/dedicated-compaction.mdx) hands ALL
+    // compaction work to a dedicated job — writers never compact.
+    if (!writeOnly &&
+        (config.options.contains("num-sorted-run.compaction-trigger") ||
+         config.options.contains("full-compaction.delta-commits"))) {
       import RowOps._
       this.maybeCompactTriggered()
     }
     snap
   }
+
+  /** `write-only=true`: skip write-path compaction + snapshot/partition
+    * expiry (run them from a dedicated maintenance job instead). */
+  private[core] def writeOnly: Boolean =
+    config.option("write-only", "false") == "true"
 
   // ------------------------------------------------------------------
   // CROSS-PARTITION UPDATE (KEY_DYNAMIC)
@@ -1915,8 +1923,9 @@ object GraftTable {
     // full history stays the default). Tag- and consumer-pinned snapshots
     // survive inside expireSnapshots. num-retained.min is capped by .max so
     // a small .max keeps meaning "keep exactly N".
-    if (t.config.options.contains("snapshot.num-retained.max") ||
-        t.config.options.contains("snapshot.time-retained"))
+    if (!t.writeOnly &&
+        (t.config.options.contains("snapshot.num-retained.max") ||
+         t.config.options.contains("snapshot.time-retained")))
       hooks += { _ =>
         import RowOps._
         val maxK = t.config.options.get("snapshot.num-retained.max")
@@ -1930,7 +1939,7 @@ object GraftTable {
       }
     // automatic partition expiry (paimon partition.expiration-time); fires
     // once per commit — the expiry's own OVERWRITE commit finds no victims
-    if (t.config.options.contains("partition.expiration-time"))
+    if (!t.writeOnly && t.config.options.contains("partition.expiration-time"))
       hooks += { _ =>
         import RowOps._
         t.maybeExpirePartitions()

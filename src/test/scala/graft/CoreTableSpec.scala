@@ -770,6 +770,23 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.sm.latestSnapshot.exists(_.kind == "OVERWRITE"))
   }
 
+  test("write-only: writers skip compaction triggers and expiry hooks") {
+    val loc = tmpLoc("write-only")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "v")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("write-only" -> "true",
+          "num-sorted-run.compaction-trigger" -> "2",
+          "snapshot.num-retained.max" -> "2")))
+    (1 to 5).foreach(i => t.write(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    // no COMPACT snapshots appeared and nothing expired
+    assert(t.sm.snapshotIds == (1L to 5L))
+    assert(t.sm.snapshotIds.map(t.sm.readSnapshot).forall(_.kind == "APPEND"))
+    // the dedicated job compacts explicitly regardless of write-only
+    assert(t.compact().isDefined)
+    assert(t.read().count() == 5)
+  }
+
   test("snapshot.time-retained: age-based expiry keeps num-retained.min floor") {
     val loc = tmpLoc("time-ret")
     val t = GraftTable.create(spark, loc,
