@@ -397,6 +397,20 @@ object Consumers {
       .map(s => Json.read(t.sm.readString(s.getPath), classOf[ConsumerState]))
   }
 
+  /** Drop consumers idle longer than `maxAgeMs` (paimon
+    * consumer.expiration-time, ConsumerManager.expire): a crashed reader's
+    * cursor must not pin snapshot history forever. Idleness = consumer-file
+    * modification time (each processed batch rewrites it). */
+  def expireStale(t: GraftTable, maxAgeMs: Long): Int = {
+    val d = dir(t)
+    if (!t.sm.fs.exists(d)) return 0
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val victims = t.sm.fs.listStatus(d).toSeq
+      .filter(s => s.getModificationTime < cutoff)
+    victims.foreach(s => t.sm.fs.delete(s.getPath, false))
+    victims.size
+  }
+
   /** Pull the next change batch for `id` (rows added since the consumer's
     * cursor, merged per key for PK tables). Returns (endSnapshot, rows);
     * call `commit` after processing for at-least-once consumption. */

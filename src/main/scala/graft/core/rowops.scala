@@ -845,7 +845,11 @@ object RowOps {
       val keepIds = (youngEnough ++ ids.takeRight(math.max(retainMin, 1))).toSet ++
         t.sm.listTags().map(_.snapshotId)
       // registered consumers pin history: never expire a snapshot a consumer
-      // has yet to read (paimon ConsumerManager-aware expiry)
+      // has yet to read (paimon ConsumerManager-aware expiry) — but stale
+      // consumers expire first (consumer.expiration-time) so a crashed
+      // reader cannot pin history forever
+      cfg.options.get("consumer.expiration-time")
+        .foreach(d => Consumers.expireStale(t, RowOps.parseDurationMs(d)))
       val consumerFloor = Consumers.list(t).map(_.nextSnapshot).minOption
       val dropIds = ids.filterNot(keepIds.contains).filter(_ < keepIds.min)
         .filter(id => consumerFloor.forall(id < _))

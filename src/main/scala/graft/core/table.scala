@@ -824,8 +824,13 @@ class GraftTable private (
     val t0 = System.nanoTime()
     val snap = snapshotId.map(sm.readSnapshot).orElse(sm.latestSnapshot)
       .getOrElse(return Nil)
-    if (snap.liveFilesLong.exists(_ >= sm.planDfThreshold))
-      return planFilesDistributed(snap, filter)
+    if (snap.liveFilesLong.exists(_ >= sm.planDfThreshold)) {
+      val out = planFilesDistributed(snap, filter)
+      GraftMetrics.recordScan(location, (System.nanoTime() - t0) / 1000000L,
+        snap.id, snap.manifests.size.toLong, out.size.toLong,
+        snap.liveFilesLong.map(_ - out.size).getOrElse(-1L))
+      return out
+    }
     // postpone staging data (bucket -2) is unreadable until compaction
     val live = sm.liveEntries(snap).filter(_.bucket != -2)
     val out = filter match {

@@ -770,6 +770,26 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.sm.latestSnapshot.exists(_.kind == "OVERWRITE"))
   }
 
+  test("consumer.expiration-time: stale consumers stop pinning snapshot expiry") {
+    val loc = tmpLoc("cons-exp")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "v")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("consumer.expiration-time" -> "1h")))
+    (1 to 5).foreach(i => t.write(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    Consumers.reset(t, "reader-a", Some(2L)) // pins snapshots >= 2
+    // an ACTIVE consumer pins: only snapshot 1 can go
+    assert(t.expireSnapshots(1) == 1)
+    assert(t.sm.snapshotIds.head == 2L)
+    // backdate the consumer file beyond the expiration window
+    val cf = new org.apache.hadoop.fs.Path(loc, "consumer/reader-a.json")
+    t.sm.fs.setTimes(cf, System.currentTimeMillis() - 7200_000L, -1)
+    assert(t.expireSnapshots(1) > 0)
+    assert(Consumers.list(t).isEmpty) // the stale consumer was dropped
+    assert(t.sm.snapshotIds == Seq(5L))
+    assert(t.read().count() == 5)
+  }
+
   test("write-only: writers skip compaction triggers and expiry hooks") {
     val loc = tmpLoc("write-only")
     val t = GraftTable.create(spark, loc,
