@@ -1177,6 +1177,21 @@ class GraftTable private (
         // single dedup level-0 file. partial-update/aggregation level-0
         // files may hold several versions of a key, so they must merge.
         val (rawB, mergeB) = byBucket.partition { case (_, es) => rawBucket(es) }
+        // merge work needed + merge-in-scan eligible → route THIS read
+        // through the DSv2 connector (GraftMorScan): per-bucket in-scan
+        // merge, zero exchanges, instead of the relational Window/max_by
+        // plan. Branch-pinned handles keep the relational plan (the
+        // path-based connector load reads main). Eligibility is checked
+        // UNFILTERED: the connector prunes with the weaker convertible
+        // subset, so its entry set is a superset — the uniform-schema
+        // check must hold for all live entries or the connector could
+        // bounce back here (V1 fallback) and loop.
+        if (mergeB.nonEmpty && sm.branch.isEmpty &&
+            morPlanEntries(snapshotId, None).isDefined) {
+          var r = spark.read.format("graft")
+          snapshotId.foreach(id => r = r.option("scan.snapshot-id", id.toString))
+          return filter.foldLeft(r.load(location))((d, c) => d.filter(c))
+        }
         // raw buckets are fully merged: their rows are final, so the FULL
         // filter (value conjuncts included) prunes them per-file — this is
         // where post-compaction value-filter file skipping happens for PK
@@ -1249,12 +1264,34 @@ class GraftTable private (
     * bucket, so two compactions' outputs never coexist) — or a single
     * deduplicate-engine level-0 file (within-batch pre-merge guarantees
     * unique keys). Tombstones force the merge plan either way. */
-  private[core] def rawBucket(es: Seq[ManifestEntry]): Boolean = {
+  private[graft] def rawBucket(es: Seq[ManifestEntry]): Boolean = {
     def noTombstone(e: ManifestEntry) =
       e.stats.get(KIND).forall(s => s.max == null || s.max.toInt <= KIND_UPDATE_AFTER)
     if (es.forall(_.level > 0)) es.forall(noTombstone)
     else es.size == 1 && noTombstone(es.head) &&
       config.mergeEngine == "deduplicate"
+  }
+
+  /** Entries for a merge-INSIDE-the-scan plan (dsv2.GraftMorScan): PK
+    * deduplicate/first-row over uniform-schema parquet files — the merge
+    * runs per (partition, bucket) key group in the reader, zero exchanges.
+    * None → the relational MergeEngines plan (other engines, schema
+    * evolution, column patches, fallback branch, non-parquet). */
+  private[graft] def morPlanEntries(snapshotId: Option[Long] = None,
+                                    filter: Option[Column] = None)
+      : Option[Seq[ManifestEntry]] = {
+    if (!isPk) return None
+    if (config.mergeEngine != "deduplicate" && config.mergeEngine != "first-row")
+      return None
+    if (fileFormat != "parquet") return None
+    if (isRowTracking && patchesFor(snapshotId).nonEmpty) return None
+    if (sm.branch.isEmpty && config.options.contains("scan.fallback-branch"))
+      return None
+    val entries = planFiles(snapshotId, filter)
+    if (entries.isEmpty) return None
+    // old-schema files need the field-id remap (V1 evolution read)
+    if (entries.exists(_.schemaId != schema.id)) return None
+    Some(entries)
   }
 
   def rawPlan(snapshotId: Option[Long] = None,

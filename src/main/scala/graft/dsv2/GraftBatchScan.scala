@@ -69,8 +69,14 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
   override def toBatch: Batch = this
 
   // ---- runtime filtering (partition columns) ----
-  override def filterAttributes(): Array[NamedReference] =
-    t.config.partitionKeys.map(Expressions.column).toArray
+  // only columns the projection kept: Spark resolves these against the
+  // scan OUTPUT, so a pruned-away partition column must not be reported
+  // (PartitionPruning.getFilterableTableScan resolveRefs throws otherwise)
+  override def filterAttributes(): Array[NamedReference] = {
+    val out = readSchema().fieldNames.toSet
+    t.config.partitionKeys.filter(out.contains)
+      .map(Expressions.column).toArray
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
     val cond = filters.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
@@ -213,25 +219,8 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
       }.toArray
   }
 
-  private def mkParquetFactory(filters: Array[Filter]): ParquetPartitionReaderFactory = {
-    val spark = t.spark
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    // Delegate factory construction to Spark's own ParquetScan so the
-    // hadoopConf carries the full reader setup (ReadSupport class, requested
-    // schema, timezone, rebase modes). dataSchema = on-disk schema (incl.
-    // LSM envelope for PK tables); readDataSchema = pruned projection; no
-    // hive-style partition columns (partition values live inside the files).
-    val emptyIndex = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-      spark, Nil, Map.empty, Some(t.fileSchema),
-      org.apache.spark.sql.execution.datasources.FileStatusCache.getOrCreate(spark),
-      None, None)
-    val pscan = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
-      spark, hadoopConf, emptyIndex, t.fileSchema, readSchema(),
-      new StructType(), filters,
-      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), None, Nil, Nil,
-      Array.empty)
-    pscan.createReaderFactory().asInstanceOf[ParquetPartitionReaderFactory]
-  }
+  private def mkParquetFactory(filters: Array[Filter]): ParquetPartitionReaderFactory =
+    GraftBatchScan.parquetFactory(t, readSchema(), filters)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // DV files read through a NO-pushdown delegate: parquet row-group/page
@@ -281,6 +270,29 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
 }
 
 object GraftBatchScan {
+  /** Build Spark's vectorized parquet reader factory for graft files.
+    * Delegates construction to Spark's own ParquetScan so the hadoopConf
+    * carries the full reader setup (ReadSupport class, requested schema,
+    * timezone, rebase modes). dataSchema = on-disk schema (incl. the LSM
+    * envelope for PK tables); `readSchema` = pruned projection; no
+    * hive-style partition columns (partition values live inside files). */
+  private[dsv2] def parquetFactory(t: GraftTable, readSchema: StructType,
+                                   filters: Array[Filter])
+      : ParquetPartitionReaderFactory = {
+    val spark = t.spark
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val emptyIndex = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, Nil, Map.empty, Some(t.fileSchema),
+      org.apache.spark.sql.execution.datasources.FileStatusCache.getOrCreate(spark),
+      None, None)
+    val pscan = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      spark, hadoopConf, emptyIndex, t.fileSchema, readSchema,
+      new StructType(), filters,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), None, Nil, Nil,
+      Array.empty)
+    pscan.createReaderFactory().asInstanceOf[ParquetPartitionReaderFactory]
+  }
+
   /** Typed (Catalyst-internal) value from a manifest stat string. */
   /** Types whose manifest partition-value string round-trips exactly through
     * [[statValue]] — the gate for partition-grouped aggregate pushdown

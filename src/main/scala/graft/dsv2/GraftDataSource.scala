@@ -435,7 +435,16 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
           }
         }
         new GraftBatchScan(t, entries, pushed, required, readOptions, dv)
-      case None => new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
+      case None =>
+        // merge-in-scan for deduplicate/first-row PK tables: one task per
+        // (partition, bucket) key group, zero exchanges (GraftMorScan)
+        GraftMorScan.plan(t, snapshotId, pruneCond) match {
+          case Some(morEntries) =>
+            new GraftMorScan(t, morEntries, pushed, required,
+              t.dvFor(snapshotId), readOptions)
+          case None =>
+            new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
+        }
     }
   }
 }

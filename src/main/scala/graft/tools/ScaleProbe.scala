@@ -55,8 +55,12 @@ object ScaleProbe {
     val upd = big.filter(col("pk") % 20 === 0)
       .withColumn("l_quantity", col("l_quantity") + 1)
     val (_, uSec) = timed(t.write(upd))
-    // merge-on-read scan with two sorted runs outstanding
+    // merge-on-read with two sorted runs outstanding: relational merge
+    // (library plan, shuffle) vs merge-in-scan (GraftMorScan, zero exchange)
     val (morCnt, morSec) = timed(t.read().count())
+    val (morScanCnt, morScanSec) = timed(
+      spark.read.format("graft").load(loc).count())
+    require(morScanCnt == morCnt, s"mor-scan $morScanCnt != $morCnt")
     val (_, cSec) = timed(t.compact())
     // post-compaction: native columnar scan
     val (rawCnt, rawSec) = timed(t.read().count())
@@ -86,7 +90,7 @@ object ScaleProbe {
     val (pqCnt, pqSec) = timed(spark.read.parquet(pqLoc).count())
 
     println(
-      f"""{"probe":"scale","rows":$nRows,"write_s":$wSec%.1f,"write_rows_per_s":${(nRows / wSec).toLong},"upsert_s":$uSec%.1f,"mor_read_s":$morSec%.2f,"compact_s":$cSec%.1f,"raw_read_s":$rawSec%.2f,"parquet_read_s":$pqSec%.2f,"range_read_s":$pSec%.2f,"lookup_s":$lkSec%.2f,"lookup_planned_files":$planned,"lookup_skipped_files":$skipped,"agg_manifest_s":$aSec%.3f,"checks":{"mor":$morCnt,"raw":$rawCnt,"sel":$selCnt,"agg":$aggRows,"pq":$pqCnt}}""")
+      f"""{"probe":"scale","rows":$nRows,"write_s":$wSec%.1f,"write_rows_per_s":${(nRows / wSec).toLong},"upsert_s":$uSec%.1f,"mor_read_s":$morSec%.2f,"mor_scan_s":$morScanSec%.2f,"compact_s":$cSec%.1f,"raw_read_s":$rawSec%.2f,"parquet_read_s":$pqSec%.2f,"range_read_s":$pSec%.2f,"lookup_s":$lkSec%.2f,"lookup_planned_files":$planned,"lookup_skipped_files":$skipped,"agg_manifest_s":$aSec%.3f,"checks":{"mor":$morCnt,"raw":$rawCnt,"sel":$selCnt,"agg":$aggRows,"pq":$pqCnt}}""")
     spark.stop()
   }
 }

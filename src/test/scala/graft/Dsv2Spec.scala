@@ -1244,6 +1244,53 @@ class Dsv2Spec extends SparkTestBase {
     assert(bSnaps == mSnaps + 1, s"branch $bSnaps vs main $mSnaps")
   }
 
+  test("merge-on-read inside the scan: zero exchanges, filter shadowing, tombstones, DVs") {
+    import graft.core._
+    import graft.core.RowOps._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mor1")
+    spark.sql("""CREATE TABLE graft.db.mor1 (k BIGINT, v STRING, p DOUBLE)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='2')""")
+    spark.sql("INSERT INTO graft.db.mor1 VALUES (1,'a',1.0),(2,'b',2.0)")
+    spark.sql("INSERT INTO graft.db.mor1 VALUES (2,'b2',9.9),(3,'c',3.0)")
+    val df = spark.sql("SELECT k, v, p FROM graft.db.mor1")
+    val plan = df.queryExecution.executedPlan.toString
+    // the merge happened INSIDE the scan: no exchange, no window/aggregate
+    assert(plan.contains("GraftMorScan"), plan.take(400))
+    assert(!plan.contains("Exchange"), plan.take(400))
+    assert(df.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.0), (2L, "b2", 9.9), (3L, "c", 3.0)))
+    // value-filter shadowing: v='b' matches ONLY the superseded version of
+    // key 2 — the newer non-matching version must shadow it (empty result)
+    assert(spark.sql("SELECT k FROM graft.db.mor1 WHERE v = 'b'").isEmpty)
+    assert(spark.sql("SELECT v FROM graft.db.mor1 WHERE k = 2")
+      .as[String].head() == "b2")
+    // deletion vector on an uncompacted file applies pre-merge
+    val t = GraftTable.load(spark, s"$wh/db.db/mor1")
+    t.deleteDv(col("k") === 3L)
+    assert(spark.sql("SELECT k FROM graft.db.mor1").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    // rowkind tombstones drop at merge (MOR scan, not the V1 path)
+    spark.sql("DROP TABLE IF EXISTS graft.db.mor2")
+    spark.sql("""CREATE TABLE graft.db.mor2 (k BIGINT, v STRING, rk STRING)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='1',
+                   'rowkind.field'='rk')""")
+    spark.sql("INSERT INTO graft.db.mor2 VALUES (1,'x','+I'),(2,'y','+I')")
+    spark.sql("INSERT INTO graft.db.mor2 VALUES (1,'x','-D'),(2,'y2','+U')")
+    val df2 = spark.sql("SELECT k, v FROM graft.db.mor2")
+    assert(df2.queryExecution.executedPlan.toString.contains("GraftMorScan"))
+    assert(df2.as[(Long, String)].collect().toSet == Set((2L, "y2")))
+    // first-row engine: earliest version wins through the same scan
+    spark.sql("DROP TABLE IF EXISTS graft.db.mor3")
+    spark.sql("""CREATE TABLE graft.db.mor3 (k BIGINT, v STRING)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='1',
+                   'merge-engine'='first-row')""")
+    spark.sql("INSERT INTO graft.db.mor3 VALUES (1,'first')")
+    spark.sql("INSERT INTO graft.db.mor3 VALUES (1,'late'),(2,'z')")
+    assert(spark.sql("SELECT k, v FROM graft.db.mor3")
+      .as[(Long, String)].collect().toSet == Set((1L, "first"), (2L, "z")))
+  }
+
   test("CTAS and RTAS: CREATE/REPLACE TABLE AS SELECT with table properties") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.ctas1")
