@@ -41,8 +41,12 @@ object Dedup {
       .withColumn("__sh", TextOps.shingles(col(textCol), shingleN))
       .filter(size(col("__sh")) > 0)
       .select(col(idCol), TextOps.shingleHashes(col("__sh")).as("__hs"))
-      .select(col(idCol), col("__hs"),
+      .select(col(idCol),
+        array_distinct(col("__hs")).as("__hsd"), // set form, ONCE per doc —
+        // verify evaluates jaccard per candidate PAIR; distincting there
+        // would redo the O(n) set build for every pair a doc appears in
         TextOps.minhashFromHashes(col("__hs"), sigLen).as("__sig"))
+      .withColumn("__n", size(col("__hsd")))
       .persist()
     val banded = base.select(col(idCol),
       explode(array((0 until nBands).map(b =>
@@ -65,11 +69,14 @@ object Dedup {
       .distinct()
     // exact verify on the hash SETS (same Jaccard as the string shingles
     // modulo 32-bit collisions; identical md5-prefix hashing on the oracle
-    // side keeps the comparison deterministic)
-    val s1 = base.select(col(idCol).as("v1"), col("__hs").as("sh1"))
-    val s2 = base.select(col(idCol).as("v2"), col("__hs").as("sh2"))
+    // side keeps the comparison deterministic). |A∪B| = |A|+|B|-|A∩B| —
+    // one array_intersect per pair, no union materialization.
+    val s1 = base.select(col(idCol).as("v1"), col("__hsd").as("sh1"), col("__n").as("n1"))
+    val s2 = base.select(col(idCol).as("v2"), col("__hsd").as("sh2"), col("__n").as("n2"))
     cand.join(s1, "v1").join(s2, "v2")
-      .withColumn("jac", TextOps.jaccard(col("sh1"), col("sh2")))
+      .withColumn("__i", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jac", when(col("n1") + col("n2") === col("__i"), lit(1.0))
+        .otherwise(col("__i") / (col("n1") + col("n2") - col("__i"))))
       .filter(col("jac") >= threshold)
       .select(col("v1"), col("v2"), round(col("jac"), 4).as("jac"))
   }
