@@ -372,6 +372,23 @@ class GraftTable private (
             .withColumn(COMMIT, lit(commitSeq))
             .withColumn(POS, monotonically_increasing_id())
             .withColumn(KIND, kindExpr)
+          // count aggregator: convert raw inputs to their 0/1 contribution
+          // at ingestion, so every STORED value is a partial count and the
+          // merge is a plain (associative) sum — a read-time "count the
+          // non-null rows" would double-fold after compaction collapses
+          // rows into accumulators. (The reference sidesteps this by having
+          // no count agg at all — its docs say emulate with sum over 0/1,
+          // aggregation.mdx:77-81 — this is that emulation built in.)
+          if (config.mergeEngine == "aggregation") {
+            dataSchema.fields.filterNot(f => pks.contains(f.name)).foreach { f =>
+              val fn = config.fieldAggregates.getOrElse(f.name,
+                config.defaultAggregate.getOrElse("last_non_null_value"))
+              if (fn == "count")
+                d = d.withColumn(f.name,
+                  when(col(f.name).isNotNull, lit(1)).otherwise(lit(0))
+                    .cast(f.dataType))
+            }
+          }
           // within-batch pre-merge for the deduplicate engine
           if (config.mergeEngine == "deduplicate") {
             val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
@@ -2155,17 +2172,35 @@ object MergeEngines {
     val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
       .orderBy(col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    def groupWindow(g: String) = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
-      .orderBy(col(g).asc_nulls_first, col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
+    val wFull = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the group's ordering key: (seq cols..., envelope). A group name may be
+    // a comma list (composite sorted fields, partial-update.md:109); rows
+    // where the group's first seq col is null sit outside the group entirely
+    // ("empty sequence group" skip in the reference merge function)
+    def groupOrd(g: String): Column = {
+      val cols = g.split(",").map(_.trim).toSeq
+      when(col(cols.head).isNotNull,
+        struct((cols.map(col) ++ Seq(col(SEQ), col(COMMIT), col(POS))): _*))
+    }
+    val seqColToGroup: Map[String, String] =
+      groups.keys.flatMap(g => g.split(",").map(_.trim -> g)).toMap
     val nonKey = schema.fields.map(_.name).filterNot(pks.contains)
     // one select over the ORIGINAL columns (a withColumn chain would rebind
     // a sequence column before the fields it governs read it)
+    // sequence-group fields take the WINNER row's value verbatim — "a true
+    // partial-update, not just a non-null update" (partial-update.md:66):
+    // advancing the group seq replaces the group's fields even with NULLs,
+    // and a lower-seq input is rejected wholesale (the reference's
+    // PartialUpdateMergeFunction.updateWithSequenceGroup compare>=0 rule)
     val valueExprs = nonKey.map { c =>
       (fieldToGroup.get(c) match {
-        case Some(g) =>
-          last(when(col(g).isNotNull, col(c)), ignoreNulls = true).over(groupWindow(g))
-        case None if groups.contains(c) => max(col(c)).over(w) // high-water mark
+        case Some(g) => max_by(col(c), groupOrd(g)).over(wFull)
+        case None if seqColToGroup.contains(c) =>
+          // the seq col itself takes the winner's value too (for composite
+          // groups a per-field max would mix rows; for single cols this IS
+          // the high-water mark)
+          max_by(col(c), groupOrd(seqColToGroup(c))).over(wFull)
         case None => last(col(c), ignoreNulls = true).over(w)
       }).as(c)
     }
@@ -2214,10 +2249,12 @@ object MergeEngines {
         case "sum" => sum(liveVal(c)).cast(dt)
         case "max" => max(liveVal(c))
         case "min" => min(liveVal(c))
+        // count: stored values are already partial counts (write-side 0/1
+        // conversion in writeFiles), so merging = summing; retraction
+        // subtracts the stored contribution
         case "count" if retractsField(name) =>
-          coalesce(sum(when(c.isNotNull, when(isRetract, -1L).otherwise(1L))),
-            lit(0L)).cast(dt)
-        case "count" => count(liveVal(c)).cast(dt)
+          coalesce(sum(when(isRetract, -c).otherwise(c)), lit(0L)).cast(dt)
+        case "count" => coalesce(sum(liveVal(c)), lit(0L)).cast(dt)
         case "product" =>
           // streaming-safe product: sign/zero tracked separately, magnitude
           // via exp(Σ ln|x|) — no per-group materialization (log(0)/log(null)
@@ -2245,10 +2282,13 @@ object MergeEngines {
         case "last_non_null_value" => max_by(c, when(c.isNotNull, liveOrd))
         case "first_non_null_value" => min_by(c, when(c.isNotNull, liveOrd))
         case "listagg" =>
-          array_join(transform(
-            array_sort(collect_list(when(liveVal(c).isNotNull,
-              struct(col(SEQ), col(COMMIT), c.cast(StringType).as("v"))))),
-            x => x.getField("v")), ",")
+          // zero non-null inputs must fold to NULL (the reference's
+          // FieldListaggAgg identity) — an "" accumulator would re-merge
+          // with a later value into a spurious leading delimiter
+          val collected = array_sort(collect_list(when(liveVal(c).isNotNull,
+            struct(col(SEQ), col(COMMIT), c.cast(StringType).as("v")))))
+          when(size(collected) === 0, lit(null).cast(StringType))
+            .otherwise(array_join(transform(collected, x => x.getField("v")), ","))
         case "merge_map" =>
           // per-key map union in sequence order, later values override
           // (paimon FieldMergeMapAgg): fold map_concat over the ordered
@@ -2263,14 +2303,21 @@ object MergeEngines {
             when(acc.isNull, m).otherwise(
               map_concat(map_filter(acc, (k, _) => !map_contains_key(m, k)), m)))
         case "collect" | "nested_update" =>
-          // nested_update: child rows (structs) accumulate into an ordered
-          // array per key (paimon FieldNestedUpdateAgg shape); explicit
-          // comparator so unorderable payloads (maps inside structs) work
-          transform(
-            array_sort(collect_list(when(liveVal(c).isNotNull,
-              struct(col(SEQ), col(COMMIT), lit(0L).as(POS), c.as("v")))),
-              (l, r) => MergeEngines.envelopeCmp(l, r)),
-            x => x.getField("v"))
+          // declared type is ARRAY (reference FieldCollectAgg /
+          // FieldNestedUpdateAgg): inputs AND stored accumulators are
+          // arrays, merging flattens them in sequence order — associative,
+          // so a compaction-folded accumulator re-merges correctly with
+          // later singleton writes. Zero non-null inputs fold to NULL (the
+          // reference identity); explicit comparator so unorderable
+          // payloads (maps inside structs) work.
+          val collected = array_sort(collect_list(when(liveVal(c).isNotNull,
+            struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
+            (l, r) => MergeEngines.envelopeCmp(l, r))
+          val flat = flatten(transform(collected, x => x.getField("v")))
+          val res = if (fn == "collect" &&
+              config.option(s"fields.$name.distinct", "false") == "true")
+            array_distinct(flat) else flat
+          when(size(collected) === 0, lit(null).cast(dt)).otherwise(res)
         case "primary-key" =>
           // paimon FieldPrimaryKeyAgg: every input (even null) overwrites
           max_by(c, liveOrd)

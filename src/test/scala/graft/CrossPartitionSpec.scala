@@ -162,23 +162,36 @@ class CrossPartitionSpec extends SparkTestBase {
 
   test("aggregation engine: merge_map unions maps later-wins; nested_update collects") {
     val loc = tmpLoc("mergemap")
+    // nested_update/collect columns are ARRAY-typed (reference
+    // FieldCollectAgg): writers supply arrays (singletons for one value),
+    // merging concatenates — so compacted accumulators re-merge correctly
     val df = Seq(
-      (1L, Map("a" -> 1, "b" -> 2), "x1"),
-      (1L, Map("b" -> 20, "c" -> 30), "x2"),
-      (2L, Map("z" -> 9), "y1")
+      (1L, Map("a" -> 1, "b" -> 2), Seq("x1")),
+      (1L, Map("b" -> 20, "c" -> 30), Seq("x2")),
+      (2L, Map("z" -> 9), Seq("y1"))
     ).toDF("k", "attrs", "tag")
     val t = GraftTable.create(spark, loc, df.schema,
       TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
         mergeEngine = "aggregation",
         fieldAggregates = Map("attrs" -> "merge_map", "tag" -> "nested_update")))
-    t.write(df.limit(2).filter(col("tag") === "x1"))
-    t.write(df.filter(col("tag") =!= "x1"))
+    t.write(df.limit(2).filter(array_contains(col("tag"), "x1")))
+    t.write(df.filter(!array_contains(col("tag"), "x1")))
     val got = t.read().as[(Long, Map[String, Int], Seq[String])]
       .collect().sortBy(_._1).toSeq
     assert(got(0)._2 == Map("a" -> 1, "b" -> 20, "c" -> 30),
       s"merge_map wrong: ${got(0)._2}")
     assert(got(0)._3 == Seq("x1", "x2"))
     assert(got(1)._2 == Map("z" -> 9) && got(1)._3 == Seq("y1"))
+    // associativity across compaction: the folded accumulator array must
+    // re-merge with a later singleton write by concatenation
+    t.compact()
+    t.write(Seq((1L, Map("d" -> 4), Seq("x3"))).toDF("k", "attrs", "tag"))
+    val after = t.read().filter(col("k") === 1L)
+      .as[(Long, Map[String, Int], Seq[String])].head()
+    assert(after._2 == Map("a" -> 1, "b" -> 20, "c" -> 30, "d" -> 4),
+      s"merge_map post-compaction wrong: ${after._2}")
+    assert(after._3 == Seq("x1", "x2", "x3"),
+      s"collect post-compaction wrong: ${after._3}")
   }
 
   test("aggregation engine: merge_map_with_keytime, nested_partial_update, primary-key") {

@@ -1,0 +1,243 @@
+package graft
+
+import graft.core._
+import graft.core.RowOps._
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/**
+ * Randomized model fuzz for two surfaces the op-sequence LSM fuzz does not
+ * touch: the aggregation merge engine (per-field fold semantics across
+ * batches, compactions and merge-on-read) and branch isolation
+ * (create/write/fast-forward against independent models).
+ */
+class FuzzEnginesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("random aggregation-engine batches agree with a per-field fold model (2 seeds)") {
+    Seq(7L, 4242L).foreach(aggScenario)
+  }
+
+  private def aggScenario(seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val loc = tmpLoc(s"fuzz-agg-$seed")
+    val schema = Seq((1L, Option(1.0), Option(1), Option(1), Option("s"),
+        Option(true), Option("x"), Option(1), Option(Seq("c"))))
+      .toDF("k", "su", "mx", "mn", "ln", "bo", "la", "ct", "co").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        mergeEngine = "aggregation",
+        fieldAggregates = Map("su" -> "sum", "mx" -> "max", "mn" -> "min",
+          "ln" -> "last_non_null_value", "bo" -> "bool_or",
+          "la" -> "listagg", "ct" -> "count", "co" -> "collect")))
+
+    // model state per key, mirroring the engine's null semantics: value
+    // aggs ignore nulls; count counts non-null inputs; listagg appends
+    // non-null values in commit order
+    case class S(su: Option[Double], mx: Option[Int], mn: Option[Int],
+                 ln: Option[String], bo: Option[Boolean],
+                 la: Vector[String], ct: Long, co: Vector[String])
+    var model = Map.empty[Long, S]
+
+    def opt[T](p: Double)(v: => T): Option[T] =
+      if (rnd.nextDouble() < p) None else Some(v)
+
+    def check(): Unit = {
+      val got = t.read()
+        .select("k", "su", "mx", "mn", "ln", "bo", "la", "ct", "co")
+        .as[(Long, Option[Double], Option[Int], Option[Int], Option[String],
+             Option[Boolean], Option[String], Option[Long], Option[Seq[String]])]
+        .collect().map(r => r._1 -> r).toMap
+      assert(got.keySet == model.keySet,
+        s"seed=$seed keys: missing=${(model.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- model.keySet).take(5)}")
+      model.foreach { case (k, m) =>
+        val g = got(k)
+        assert(g._2 == m.su, s"seed=$seed k=$k sum: got ${g._2} want ${m.su}")
+        assert(g._3 == m.mx, s"seed=$seed k=$k max: got ${g._3} want ${m.mx}")
+        assert(g._4 == m.mn, s"seed=$seed k=$k min: got ${g._4} want ${m.mn}")
+        assert(g._5 == m.ln, s"seed=$seed k=$k lnn: got ${g._5} want ${m.ln}")
+        assert(g._6 == m.bo, s"seed=$seed k=$k bool_or: got ${g._6} want ${m.bo}")
+        // listagg over zero non-null inputs is NULL (reference identity)
+        val wantLa = if (m.la.isEmpty) None else Some(m.la.mkString(","))
+        assert(g._7 == wantLa, s"seed=$seed k=$k listagg: got ${g._7} want $wantLa")
+        assert(g._8 == Some(m.ct), s"seed=$seed k=$k count: got ${g._8} want ${m.ct}")
+        // collect concatenates array inputs in commit order; zero non-null
+        // inputs fold to NULL
+        val wantCo = if (m.co.isEmpty) None else Some(m.co)
+        assert(g._9.map(_.toVector) == wantCo,
+          s"seed=$seed k=$k collect: got ${g._9} want $wantCo")
+      }
+    }
+
+    for (i <- 0 until 12) {
+      rnd.nextInt(5) match {
+        case 4 => t.compact()
+        case 3 => t.compactWhere(_.bucket == rnd.nextInt(2))
+        case _ =>
+          // one row per key per batch: cross-batch order is commit order,
+          // so order-sensitive aggs (lnn, listagg) stay deterministic
+          val keys = rnd.shuffle((0L until 20L).toList).take(1 + rnd.nextInt(8))
+          val rows = keys.map { k =>
+            (k, opt(0.15)(rnd.nextInt(10).toDouble), opt(0.15)(rnd.nextInt(100)),
+              opt(0.15)(rnd.nextInt(100)), opt(0.3)(s"s$i-$k"),
+              opt(0.3)(rnd.nextBoolean()), opt(0.3)(s"w$i"), opt(0.2)(1),
+              opt(0.3)(Seq.fill(1 + rnd.nextInt(2))(s"c$i")))
+          }
+          t.write(rows.toDF("k", "su", "mx", "mn", "ln", "bo", "la", "ct", "co"))
+          rows.foreach { case (k, su, mx, mn, ln, bo, la, ct, co) =>
+            val m = model.getOrElse(k,
+              S(None, None, None, None, None, Vector.empty, 0L, Vector.empty))
+            model += k -> S(
+              su = (m.su, su) match {
+                case (Some(a), Some(b)) => Some(a + b)
+                case (a, b) => a.orElse(b)
+              },
+              mx = (m.mx ++ mx).reduceOption(_ max _),
+              mn = (m.mn ++ mn).reduceOption(_ min _),
+              ln = ln.orElse(m.ln),
+              bo = (m.bo, bo) match {
+                case (Some(a), Some(b)) => Some(a || b)
+                case (a, b) => a.orElse(b)
+              },
+              la = m.la ++ la,
+              ct = m.ct + ct.size,
+              co = m.co ++ co.toVector.flatten)
+          }
+      }
+      if (i % 3 == 2) check()
+    }
+    t.compact()
+    check()
+  }
+
+  test("random partial-update batches with a sequence group agree with a fold model (2 seeds)") {
+    Seq(13L, 777L).foreach(puScenario)
+  }
+
+  /** Reference semantics pinned here (PartialUpdateMergeFunction):
+    * non-group fields update on non-null; sequence-group fields take the
+    * winner row's values VERBATIM (nulls overwrite) when its group seq is
+    * >= the running max, and lower-seq rows are rejected wholesale. */
+  private def puScenario(seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val loc = tmpLoc(s"fuzz-pu-$seed")
+    val schema = Seq((1L, Option("a"), Option(1L), Option("b"), Option(1)))
+      .toDF("k", "a", "g", "b", "c").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        mergeEngine = "partial-update",
+        options = Map("fields.g.sequence-group" -> "b,c")))
+
+    case class S(a: Option[String], g: Option[Long],
+                 b: Option[String], c: Option[Int])
+    var model = Map.empty[Long, S]
+
+    def opt[T](p: Double)(v: => T): Option[T] =
+      if (rnd.nextDouble() < p) None else Some(v)
+
+    def check(): Unit = {
+      val got = t.read().select("k", "a", "g", "b", "c")
+        .as[(Long, Option[String], Option[Long], Option[String], Option[Int])]
+        .collect().map(r => r._1 -> r).toMap
+      assert(got.keySet == model.keySet, s"seed=$seed keys diverged")
+      model.foreach { case (k, m) =>
+        val g = got(k)
+        assert(g._2 == m.a && g._3 == m.g && g._4 == m.b && g._5 == m.c,
+          s"seed=$seed k=$k: got (${g._2},${g._3},${g._4},${g._5}) " +
+            s"want (${m.a},${m.g},${m.b},${m.c})")
+      }
+    }
+
+    for (i <- 0 until 12) {
+      rnd.nextInt(5) match {
+        case 4 => t.compact()
+        case 3 => t.compactWhere(_.bucket == rnd.nextInt(2))
+        case _ =>
+          val keys = rnd.shuffle((0L until 15L).toList).take(1 + rnd.nextInt(6))
+          val rows = keys.map { k =>
+            (k, opt(0.4)(s"a$i"), opt(0.25)(rnd.nextInt(10).toLong),
+              opt(0.35)(s"b$i"), opt(0.35)(rnd.nextInt(100)))
+          }
+          t.write(rows.toDF("k", "a", "g", "b", "c"))
+          rows.foreach { case (k, a, g, b, c) =>
+            val m = model.getOrElse(k, S(None, None, None, None))
+            val groupWins = g.isDefined && m.g.forall(g.get >= _)
+            model += k -> S(
+              a = a.orElse(m.a),
+              g = if (groupWins) g else m.g,
+              b = if (groupWins) b else m.b,
+              c = if (groupWins) c else m.c)
+          }
+      }
+      if (i % 3 == 2) check()
+    }
+    t.compact()
+    check()
+  }
+
+  test("random branch ops: main/branch isolation + fast-forward agree with models") {
+    val rnd = new Random(99L)
+    val loc = tmpLoc("fuzz-branch")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "s")).toDF("k", "s").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+    t.write(Seq((0L, "seed")).toDF("k", "s"))
+
+    var mainModel = Map(0L -> "seed")
+    var branchModel = Map.empty[Long, String]
+    var branchLive = false
+
+    def stateOf(g: GraftTable): Map[Long, String] =
+      g.read().as[(Long, String)].collect().toMap
+
+    def check(): Unit = {
+      assert(stateOf(t) == mainModel, "main diverged from model")
+      if (branchLive)
+        assert(stateOf(t.onBranch("b")) == branchModel,
+          "branch diverged from model")
+    }
+
+    for (i <- 0 until 14) {
+      rnd.nextInt(6) match {
+        case 0 | 1 => // write to main
+          val rows = (0 until 1 + rnd.nextInt(5))
+            .map(_ => (rnd.nextInt(30).toLong, s"m$i"))
+          val byKey = rows.groupBy(_._1).map(_._2.last)
+          t.write(rows.toDF("k", "s"))
+          byKey.foreach { case (k, v) => mainModel += k -> v }
+        case 2 | 3 if branchLive => // write to branch
+          val b = t.onBranch("b")
+          val rows = (0 until 1 + rnd.nextInt(5))
+            .map(_ => (rnd.nextInt(30).toLong, s"b$i"))
+          val byKey = rows.groupBy(_._1).map(_._2.last)
+          b.write(rows.toDF("k", "s"))
+          byKey.foreach { case (k, v) => branchModel += k -> v }
+        case 2 | 3 => // (re)create the branch from main's latest snapshot
+          t.createBranch("b")
+          branchModel = mainModel
+          branchLive = true
+        case 4 if branchLive => // fast-forward main to the branch
+          t.fastForward("b")
+          mainModel = branchModel
+          // drop + re-create later: after a fast-forward the branch is
+          // typically retired (paimon deletes it after merging)
+          t.deleteBranch("b")
+          branchLive = false
+        case 4 => // delete on main (COW) keeps branch untouched
+          val lo = rnd.nextInt(30).toLong
+          t.delete(col("k").between(lo, lo + 5))
+          mainModel = mainModel.filterNot { case (k, _) => k >= lo && k <= lo + 5 }
+        case _ => // dv-delete one existing main key
+          if (mainModel.nonEmpty) {
+            val k = mainModel.keySet.toSeq(rnd.nextInt(mainModel.size))
+            t.deleteDv(col("k") === k)
+            mainModel -= k
+          }
+      }
+      if (i % 3 == 2) check()
+    }
+    check()
+  }
+}
