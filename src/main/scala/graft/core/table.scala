@@ -379,10 +379,16 @@ class GraftTable private (
           // rows into accumulators. (The reference sidesteps this by having
           // no count agg at all — its docs say emulate with sum over 0/1,
           // aggregation.mdx:77-81 — this is that emulation built in.)
-          if (config.mergeEngine == "aggregation") {
+          if (config.mergeEngine == "aggregation" ||
+              config.mergeEngine == "partial-update") {
             dataSchema.fields.filterNot(f => pks.contains(f.name)).foreach { f =>
-              val fn = config.fieldAggregates.getOrElse(f.name,
-                config.defaultAggregate.getOrElse("last_non_null_value"))
+              // partial-update only aggregates explicitly-marked fields;
+              // the aggregation engine falls back to the table default
+              val fn =
+                if (config.mergeEngine == "aggregation")
+                  config.fieldAggregates.getOrElse(f.name,
+                    config.defaultAggregate.getOrElse("last_non_null_value"))
+                else config.fieldAggregates.getOrElse(f.name, "")
               if (fn == "count")
                 d = d.withColumn(f.name,
                   when(col(f.name).isNotNull, lit(1)).otherwise(lit(0))
@@ -2193,15 +2199,71 @@ object MergeEngines {
     // advancing the group seq replaces the group's fields even with NULLs,
     // and a lower-seq input is rejected wholesale (the reference's
     // PartialUpdateMergeFunction.updateWithSequenceGroup compare>=0 rule)
+    // "Aggregation For Partial Update" (partial-update.md:152-170): a field
+    // with fields.<f>.aggregate-function folds EVERY record (the sequence
+    // group, when present, is an ORDERING key, not a version filter; rows
+    // with a null group seq are skipped). Window-aggregate forms of the
+    // aggregation-engine folds, associative across compaction refolds.
+    def puAgg(fn: String, name: String, ord: Column): Column = {
+      val dt = schema.fields.find(_.name == name).get.dataType
+      val c = col(name)
+      def lv(x: Column) = when(ord.isNotNull, x)
+      fn match {
+        case "sum" => sum(lv(c)).over(wFull).cast(dt)
+        case "count" =>
+          // stored values are 0/1 contributions (write-side conversion)
+          coalesce(sum(lv(c)).over(wFull), lit(0L)).cast(dt)
+        case "max" => max(lv(c)).over(wFull)
+        case "min" => min(lv(c)).over(wFull)
+        case "bool_and" => bool_and(lv(c)).over(wFull)
+        case "bool_or" => bool_or(lv(c)).over(wFull)
+        case "last_value" => max_by(c, ord).over(wFull)
+        case "first_value" => min_by(c, ord).over(wFull)
+        case "last_non_null_value" => max_by(c, when(c.isNotNull, ord)).over(wFull)
+        case "first_non_null_value" => min_by(c, when(c.isNotNull, ord)).over(wFull)
+        case "listagg" =>
+          val collected = array_sort(collect_list(when(lv(c).isNotNull,
+            struct(ord.as("o"), c.cast(StringType).as("v")))).over(wFull))
+          when(size(collected) === 0, lit(null).cast(StringType))
+            .otherwise(array_join(transform(collected, x => x.getField("v")), ","))
+        case "collect" =>
+          val collected = array_sort(collect_list(when(lv(c).isNotNull,
+            struct(ord.as("o"), c.as("v")))).over(wFull))
+          val flat = flatten(transform(collected, x => x.getField("v")))
+          val res = if (config.option(s"fields.$name.distinct", "false") == "true")
+            array_distinct(flat) else flat
+          when(size(collected) === 0, lit(null).cast(dt)).otherwise(res)
+        case "product" =>
+          val d = lv(c).cast(DoubleType)
+          val zeros = sum(when(d === 0.0, 1L).otherwise(0L)).over(wFull)
+          val negs = sum(when(d < 0.0, 1L).otherwise(0L)).over(wFull)
+          val nn = sum(when(d.isNotNull, 1L).otherwise(0L)).over(wFull)
+          when(coalesce(nn, lit(0L)) <= 0, lit(null).cast(DoubleType))
+            .when(zeros > 0, lit(0.0))
+            .otherwise(exp(sum(log(abs(d))).over(wFull)) *
+              when(pmod(negs, lit(2L)) === 1, -1.0).otherwise(1.0))
+            .cast(dt)
+        case other => throw new IllegalArgumentException(
+          s"aggregate-function $other is not supported inside partial-update")
+      }
+    }
+    def aggOf(c: String): Option[String] = config.fieldAggregates.get(c)
+    val envOrd = struct(col(SEQ), col(COMMIT), col(POS))
     val valueExprs = nonKey.map { c =>
       (fieldToGroup.get(c) match {
-        case Some(g) => max_by(col(c), groupOrd(g)).over(wFull)
+        case Some(g) => aggOf(c) match {
+          case Some(fn) => puAgg(fn, c, groupOrd(g))
+          case None => max_by(col(c), groupOrd(g)).over(wFull)
+        }
         case None if seqColToGroup.contains(c) =>
           // the seq col itself takes the winner's value too (for composite
           // groups a per-field max would mix rows; for single cols this IS
           // the high-water mark)
           max_by(col(c), groupOrd(seqColToGroup(c))).over(wFull)
-        case None => last(col(c), ignoreNulls = true).over(w)
+        case None => aggOf(c) match {
+          case Some(fn) => puAgg(fn, c, envOrd) // no group: arrival order
+          case None => last(col(c), ignoreNulls = true).over(w)
+        }
       }).as(c)
     }
     alive.select((pks.map(col) ++ valueExprs ++ Seq(

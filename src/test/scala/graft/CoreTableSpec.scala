@@ -293,6 +293,52 @@ class CoreTableSpec extends SparkTestBase {
     assertSameRows(t.read(), expected)
   }
 
+  test("aggregation for partial-update: sequence group as ordering key (doc examples)") {
+    // partial-update.md:175-205 — first_value ordered by group seq `a`,
+    // sum over rows whose group seq `c` is non-null
+    val loc = tmpLoc("pu-agg")
+    val schema = Seq((1, Option(1), Option(1), Option(1), Option(1)))
+      .toDF("k", "a", "b", "c", "d").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "partial-update",
+        fieldAggregates = Map("b" -> "first_value", "d" -> "sum"),
+        options = Map("fields.a.sequence-group" -> "b",
+          "fields.c.sequence-group" -> "d")))
+    def row(a: Option[Int], b: Option[Int], c: Option[Int], d: Option[Int]) =
+      Seq((1, a, b, c, d)).toDF("k", "a", "b", "c", "d")
+    t.write(row(Some(1), Some(1), None, None))
+    t.write(row(None, None, Some(1), Some(1)))
+    t.write(row(Some(2), Some(2), None, None))
+    t.compact() // associativity: the folded accumulator keeps aggregating
+    t.write(row(None, None, Some(2), Some(2)))
+    val got = t.read().select("k", "a", "b", "c", "d")
+      .as[(Int, Option[Int], Option[Int], Option[Int], Option[Int])].head()
+    assert(got == ((1, Some(2), Some(1), Some(2), Some(3))), s"got $got")
+
+    // partial-update.md:208-240 — agg on a composite sequence group; the
+    // non-grouped field b stays last-non-null; c's group (g_2) null → skip
+    val loc2 = tmpLoc("pu-agg2")
+    val schema2 = Seq((1, Option(1), Option(1), Option(1), Option("x"),
+        Option(1), Option(1)))
+      .toDF("k", "a", "b", "g_1", "c", "g_2", "g_3").schema
+    val t2 = GraftTable.create(spark, loc2, schema2,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "partial-update",
+        fieldAggregates = Map("a" -> "sum"),
+        options = Map("fields.g_1,g_3.sequence-group" -> "a",
+          "fields.g_2.sequence-group" -> "c")))
+    t2.write(Seq((1, Option(1), Option(1), Option(1), Option("1"), Option(1), Option(1)))
+      .toDF("k", "a", "b", "g_1", "c", "g_2", "g_3"))
+    t2.write(Seq((1, Option(2), Option(2), Option(2), Option("2"), Option.empty[Int], Option(2)))
+      .toDF("k", "a", "b", "g_1", "c", "g_2", "g_3"))
+    val got2 = t2.read().select("k", "a", "b", "g_1", "c", "g_2", "g_3")
+      .as[(Int, Option[Int], Option[Int], Option[Int], Option[String], Option[Int], Option[Int])]
+      .head()
+    assert(got2 == ((1, Some(3), Some(2), Some(2), Some("1"), Some(1), Some(2))),
+      s"got $got2")
+  }
+
   test("aggregation merge engine: sum/max/last_non_null") {
     val loc = tmpLoc("agg")
     val schema = Seq((1L, 1.0, 1, "x")).toDF("k", "total", "hi", "note").schema
