@@ -123,23 +123,26 @@ class FuzzEnginesSpec extends SparkTestBase {
   private def puScenario(seed: Long): Unit = {
     val rnd = new Random(seed)
     val loc = tmpLoc(s"fuzz-pu-$seed")
-    val schema = Seq((1L, Option("a"), Option(1L), Option("b"), Option(1)))
-      .toDF("k", "a", "g", "b", "c").schema
+    val schema = Seq((1L, Option("a"), Option(1L), Option("b"), Option(1),
+        Option(1.0)))
+      .toDF("k", "a", "g", "b", "c", "s").schema
     val t = GraftTable.create(spark, loc, schema,
       TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
         mergeEngine = "partial-update",
-        options = Map("fields.g.sequence-group" -> "b,c")))
+        fieldAggregates = Map("s" -> "sum"),
+        options = Map("fields.g.sequence-group" -> "b,c,s")))
 
     case class S(a: Option[String], g: Option[Long],
-                 b: Option[String], c: Option[Int])
+                 b: Option[String], c: Option[Int], s: Option[Double])
     var model = Map.empty[Long, S]
 
     def opt[T](p: Double)(v: => T): Option[T] =
       if (rnd.nextDouble() < p) None else Some(v)
 
     def check(): Unit = {
-      val got = t.read().select("k", "a", "g", "b", "c")
-        .as[(Long, Option[String], Option[Long], Option[String], Option[Int])]
+      val got = t.read().select("k", "a", "g", "b", "c", "s")
+        .as[(Long, Option[String], Option[Long], Option[String], Option[Int],
+             Option[Double])]
         .collect().map(r => r._1 -> r).toMap
       assert(got.keySet == model.keySet, s"seed=$seed keys diverged")
       model.foreach { case (k, m) =>
@@ -147,6 +150,8 @@ class FuzzEnginesSpec extends SparkTestBase {
         assert(g._2 == m.a && g._3 == m.g && g._4 == m.b && g._5 == m.c,
           s"seed=$seed k=$k: got (${g._2},${g._3},${g._4},${g._5}) " +
             s"want (${m.a},${m.g},${m.b},${m.c})")
+        // s has an aggregate-function: every non-null-group row contributes
+        assert(g._6 == m.s, s"seed=$seed k=$k sum-in-group: got ${g._6} want ${m.s}")
       }
     }
 
@@ -158,17 +163,25 @@ class FuzzEnginesSpec extends SparkTestBase {
           val keys = rnd.shuffle((0L until 15L).toList).take(1 + rnd.nextInt(6))
           val rows = keys.map { k =>
             (k, opt(0.4)(s"a$i"), opt(0.25)(rnd.nextInt(10).toLong),
-              opt(0.35)(s"b$i"), opt(0.35)(rnd.nextInt(100)))
+              opt(0.35)(s"b$i"), opt(0.35)(rnd.nextInt(100)),
+              opt(0.35)(rnd.nextInt(9).toDouble))
           }
-          t.write(rows.toDF("k", "a", "g", "b", "c"))
-          rows.foreach { case (k, a, g, b, c) =>
-            val m = model.getOrElse(k, S(None, None, None, None))
+          t.write(rows.toDF("k", "a", "g", "b", "c", "s"))
+          rows.foreach { case (k, a, g, b, c, sv) =>
+            val m = model.getOrElse(k, S(None, None, None, None, None))
             val groupWins = g.isDefined && m.g.forall(g.get >= _)
+            // the agg field sums whenever the row's group seq is non-null,
+            // regardless of whether it wins (ordering key, not filter)
+            val sNew = if (g.isDefined) (m.s, sv) match {
+              case (Some(x), Some(y)) => Some(x + y)
+              case (x, y) => x.orElse(y)
+            } else m.s
             model += k -> S(
               a = a.orElse(m.a),
               g = if (groupWins) g else m.g,
               b = if (groupWins) b else m.b,
-              c = if (groupWins) c else m.c)
+              c = if (groupWins) c else m.c,
+              s = sNew)
           }
       }
       if (i % 3 == 2) check()
