@@ -2152,6 +2152,25 @@ object MergeEngines {
       config.options.get("partial-update.remove-record-on-delete").contains("true")
     val removeGroup =
       config.options.get("partial-update.remove-record-on-sequence-group")
+    // seqCol -> fields it governs
+    val groups: Map[String, Seq[String]] = config.options.collect {
+      case (k, v) if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
+        k.stripPrefix("fields.").stripSuffix(".sequence-group") ->
+          v.split(",").map(_.trim).toSeq
+    }
+    val fieldToGroup: Map[String, String] =
+      groups.flatMap { case (g, fs) => fs.map(_ -> g) }
+    // with sequence groups (and no remove-record-on-* option), -D/-U
+    // records RETRACT per-group instead of being dropped: they advance the
+    // group seq, null the group's plain fields, subtract from its
+    // subtractable aggregates, and never touch non-group fields (the
+    // reference's retractWithSequenceGroup). Scoped to rowkind.field
+    // tables — there a KIND_DELETE row IS a user retract record; on other
+    // tables delete kinds are structural tombstones (cross-partition
+    // moves) that must remove the row outright.
+    val retractMode = groups.nonEmpty && !removeAll && removeGroup.isEmpty &&
+      config.options.contains("rowkind.field")
+    val isDel = col(KIND) === KIND_DELETE
     val alive =
       if (removeAll || removeGroup.isDefined) {
         val qualifies = removeGroup match {
@@ -2166,15 +2185,8 @@ object MergeEngines {
             (col("__delmax").isNull ||
               struct(col(SEQ), col(COMMIT), col(POS)) > col("__delmax")))
           .drop("__delmax")
-      } else df.filter(col(KIND) =!= KIND_DELETE)
-    // seqCol -> fields it governs
-    val groups: Map[String, Seq[String]] = config.options.collect {
-      case (k, v) if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
-        k.stripPrefix("fields.").stripSuffix(".sequence-group") ->
-          v.split(",").map(_.trim).toSeq
-    }
-    val fieldToGroup: Map[String, String] =
-      groups.flatMap { case (g, fs) => fs.map(_ -> g) }
+      } else if (retractMode) df
+      else df.filter(col(KIND) =!= KIND_DELETE)
     val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
       .orderBy(col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -2204,23 +2216,30 @@ object MergeEngines {
     // group, when present, is an ORDERING key, not a version filter; rows
     // with a null group seq are skipped). Window-aggregate forms of the
     // aggregation-engine folds, associative across compaction refolds.
-    def puAgg(fn: String, name: String, ord: Column): Column = {
+    def puAgg(fn: String, name: String, ord: Column, retract: Boolean): Column = {
       val dt = schema.fields.find(_.name == name).get.dataType
       val c = col(name)
-      def lv(x: Column) = when(ord.isNotNull, x)
+      // participation: the row's ordering key is non-null; under retraction
+      // only the subtractable functions see delete rows (others keep the
+      // permissive ignore-retract posture of the aggregation engine)
+      def lv(x: Column) = if (retract) when(ord.isNotNull && !isDel, x)
+                          else when(ord.isNotNull, x)
+      def signed(x: Column) = if (retract)
+        when(ord.isNotNull, when(isDel, -x).otherwise(x)) else when(ord.isNotNull, x)
+      val lord = if (retract) when(!isDel, ord) else ord
       fn match {
-        case "sum" => sum(lv(c)).over(wFull).cast(dt)
+        case "sum" => sum(signed(c)).over(wFull).cast(dt)
         case "count" =>
           // stored values are 0/1 contributions (write-side conversion)
-          coalesce(sum(lv(c)).over(wFull), lit(0L)).cast(dt)
+          coalesce(sum(signed(c)).over(wFull), lit(0L)).cast(dt)
         case "max" => max(lv(c)).over(wFull)
         case "min" => min(lv(c)).over(wFull)
         case "bool_and" => bool_and(lv(c)).over(wFull)
         case "bool_or" => bool_or(lv(c)).over(wFull)
-        case "last_value" => max_by(c, ord).over(wFull)
-        case "first_value" => min_by(c, ord).over(wFull)
-        case "last_non_null_value" => max_by(c, when(c.isNotNull, ord)).over(wFull)
-        case "first_non_null_value" => min_by(c, when(c.isNotNull, ord)).over(wFull)
+        case "last_value" => max_by(c, lord).over(wFull)
+        case "first_value" => min_by(c, lord).over(wFull)
+        case "last_non_null_value" => max_by(c, when(c.isNotNull, lord)).over(wFull)
+        case "first_non_null_value" => min_by(c, when(c.isNotNull, lord)).over(wFull)
         case "listagg" =>
           val collected = array_sort(collect_list(when(lv(c).isNotNull,
             struct(ord.as("o"), c.cast(StringType).as("v")))).over(wFull))
@@ -2234,13 +2253,18 @@ object MergeEngines {
             array_distinct(flat) else flat
           when(size(collected) === 0, lit(null).cast(dt)).otherwise(res)
         case "product" =>
-          val d = lv(c).cast(DoubleType)
-          val zeros = sum(when(d === 0.0, 1L).otherwise(0L)).over(wFull)
-          val negs = sum(when(d < 0.0, 1L).otherwise(0L)).over(wFull)
-          val nn = sum(when(d.isNotNull, 1L).otherwise(0L)).over(wFull)
+          // retraction = division: delete rows contribute with opposite
+          // sign to the zero/negative/magnitude running sums
+          val d = when(ord.isNotNull, c).cast(DoubleType)
+          val sgn = if (retract) when(isDel, -1L).otherwise(1L) else lit(1L)
+          val zeros = sum(when(d === 0.0, sgn).otherwise(0L)).over(wFull)
+          val negs = sum(when(d < 0.0, sgn).otherwise(0L)).over(wFull)
+          val nn = sum(when(d.isNotNull, sgn).otherwise(0L)).over(wFull)
+          val lnTerm = if (retract) when(isDel, -log(abs(d))).otherwise(log(abs(d)))
+                       else log(abs(d))
           when(coalesce(nn, lit(0L)) <= 0, lit(null).cast(DoubleType))
             .when(zeros > 0, lit(0.0))
-            .otherwise(exp(sum(log(abs(d))).over(wFull)) *
+            .otherwise(exp(sum(lnTerm).over(wFull)) *
               when(pmod(negs, lit(2L)) === 1, -1.0).otherwise(1.0))
             .cast(dt)
         case other => throw new IllegalArgumentException(
@@ -2252,26 +2276,47 @@ object MergeEngines {
     val valueExprs = nonKey.map { c =>
       (fieldToGroup.get(c) match {
         case Some(g) => aggOf(c) match {
-          case Some(fn) => puAgg(fn, c, groupOrd(g))
+          case Some(fn) => puAgg(fn, c, groupOrd(g), retract = retractMode)
+          case None if retractMode =>
+            // winner-takes including deletes: a -D whose group seq wins
+            // NULLs the field (retractWithSequenceGroup row.setField(i,null))
+            val dt = schema.fields.find(_.name == c).get.dataType
+            val win = max_by(struct(isDel.as("kd"), col(c).as("v")),
+              groupOrd(g)).over(wFull)
+            when(win.isNull || win.getField("kd"), lit(null).cast(dt))
+              .otherwise(win.getField("v"))
           case None => max_by(col(c), groupOrd(g)).over(wFull)
         }
         case None if seqColToGroup.contains(c) =>
           // the seq col itself takes the winner's value too (for composite
           // groups a per-field max would mix rows; for single cols this IS
-          // the high-water mark)
+          // the high-water mark); retracting rows also advance it
           max_by(col(c), groupOrd(seqColToGroup(c))).over(wFull)
         case None => aggOf(c) match {
-          case Some(fn) => puAgg(fn, c, envOrd) // no group: arrival order
-          case None => last(col(c), ignoreNulls = true).over(w)
+          case Some(fn) => // no group: arrival order; deletes never touch
+            // non-group fields in the reference retract path
+            puAgg(fn, c, if (retractMode) when(!isDel, envOrd) else envOrd,
+              retract = false)
+          case None =>
+            val src = if (retractMode) when(!isDel, col(c)) else col(c)
+            last(src, ignoreNulls = true).over(w)
         }
       }).as(c)
     }
-    alive.select((pks.map(col) ++ valueExprs ++ Seq(
+    val folded = alive.select((pks.map(col) ++ valueExprs ++ Seq(
         max(col(SEQ)).over(w).as(SEQ),
         max(col(COMMIT)).over(w).as(COMMIT),
         max(col(POS)).over(w).as(POS),
-        lit(KIND_INSERT).as(KIND))).toIndexedSeq: _*)
+        lit(KIND_INSERT).as(KIND)) ++
+        (if (retractMode)
+          Seq(max(when(!isDel, lit(1)).otherwise(lit(0))).over(wFull).as("__hasins"))
+        else Nil)).toIndexedSeq: _*)
       .dropDuplicates(pks)
+    // a key that only ever saw retract records yields no row ("If the first
+    // value is retract, and no insert record is received, the row kind
+    // should be RowKind.DELETE" — PartialUpdateMergeFunction.java:113)
+    if (retractMode) folded.filter(col("__hasins") === 1).drop("__hasins")
+    else folded
   }
 
   /** aggregation engine: per-field aggregate functions over each key group

@@ -339,6 +339,42 @@ class CoreTableSpec extends SparkTestBase {
       s"got $got2")
   }
 
+  test("partial-update retraction with sequence groups (retractWithSequenceGroup)") {
+    val loc = tmpLoc("pu-retract")
+    val schema = Seq((1L, Option("a"), Option(1L), Option("b"), Option(1.0), "+I"))
+      .toDF("k", "a", "g", "b", "s", "rk").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "partial-update",
+        fieldAggregates = Map("s" -> "sum"),
+        options = Map("fields.g.sequence-group" -> "b,s",
+          "rowkind.field" -> "rk")))
+    def w(rows: (Long, Option[String], Option[Long], Option[String], Option[Double], String)*): Unit =
+      t.write(rows.toDF("k", "a", "g", "b", "s", "rk"))
+    w((1L, Some("a1"), Some(1L), Some("x"), Some(5.0), "+I"),
+      (2L, Some("a2"), Some(1L), Some("z"), Some(2.0), "+I"))
+    w((1L, None, Some(2L), Some("y"), Some(3.0), "+I"))
+    // retract with winning seq: advances g, NULLs b, subtracts s;
+    // non-group field a untouched
+    w((1L, Some("aX"), Some(3L), Some("ignored"), Some(3.0), "-D"))
+    val r1 = t.read().filter(col("k") === 1L)
+      .select("a", "g", "b", "s")
+      .as[(Option[String], Option[Long], Option[String], Option[Double])].head()
+    assert(r1 == ((Some("a1"), Some(3L), None, Some(5.0))), s"got $r1")
+    // retract with LOWER seq: group fields keep the winner, but the
+    // aggregate still subtracts (ordering key, not filter)
+    w((1L, None, Some(1L), Some("w"), Some(2.0), "-D"))
+    t.compact() // fold survives compaction as an insert accumulator
+    val r2 = t.read().filter(col("k") === 1L)
+      .select("a", "g", "b", "s")
+      .as[(Option[String], Option[Long], Option[String], Option[Double])].head()
+    assert(r2 == ((Some("a1"), Some(3L), None, Some(3.0))), s"got $r2")
+    // a key that only ever saw retract records yields no row
+    w((3L, Some("a3"), Some(9L), Some("gone"), Some(1.0), "-D"))
+    assert(t.read().filter(col("k") === 3L).count() == 0)
+    assert(t.read().count() == 2)
+  }
+
   test("aggregation merge engine: sum/max/last_non_null") {
     val loc = tmpLoc("agg")
     val schema = Seq((1L, 1.0, 1, "x")).toDF("k", "total", "hi", "note").schema
