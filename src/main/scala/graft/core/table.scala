@@ -2332,7 +2332,8 @@ object MergeEngines {
     def fnOf(name: String): String = config.fieldAggregates.getOrElse(name,
       config.defaultAggregate.getOrElse("last_non_null_value"))
     def retractsField(name: String): Boolean =
-      Set("sum", "count", "product")(fnOf(name)) &&
+      Set("sum", "count", "product", "collect", "merge_map", "nested_update",
+        "nested_partial_update", "last_value", "last_non_null_value")(fnOf(name)) &&
         config.option(s"fields.$name.ignore-retract", "false") != "true"
     // keep -D/-U rows only when some field actually subtracts them; otherwise
     // the pre-filter keeps every other aggregator's expression on the fast
@@ -2384,8 +2385,16 @@ object MergeEngines {
             .cast(dt)
         case "bool_and" => bool_and(liveVal(c))
         case "bool_or" => bool_or(liveVal(c))
+        // last_value/last_non_null_value retraction "just sets the field to
+        // null" (aggregation.mdx Retraction): the retract row participates
+        // in the ordering and contributes null when it is last
+        case "last_value" if retractsField(name) =>
+          max_by(when(isRetract, lit(null).cast(dt)).otherwise(c), ordKey)
         case "last_value" => max_by(c, liveOrd)
         case "first_value" => min_by(c, liveOrd)
+        case "last_non_null_value" if retractsField(name) =>
+          max_by(when(isRetract, lit(null).cast(dt)).otherwise(c),
+            when(c.isNotNull, ordKey))
         case "last_non_null_value" => max_by(c, when(c.isNotNull, liveOrd))
         case "first_non_null_value" => min_by(c, when(c.isNotNull, liveOrd))
         case "listagg" =>
@@ -2401,14 +2410,49 @@ object MergeEngines {
           // (paimon FieldMergeMapAgg): fold map_concat over the ordered
           // versions, dropping shadowed keys first so concat never clashes.
           // Explicit comparator: maps make the carrier struct unorderable.
-          val sorted = transform(
-            array_sort(collect_list(when(liveVal(c).isNotNull,
-              struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
-              (l, r) => MergeEngines.envelopeCmp(l, r)),
-            x => x.getField("v"))
-          aggregate(sorted, lit(null).cast(dt), (acc, m) =>
-            when(acc.isNull, m).otherwise(
-              map_concat(map_filter(acc, (k, _) => !map_contains_key(m, k)), m)))
+          // Retraction (best-effort, FieldMergeMapAgg.retract): a -D/-U
+          // row's map removes its KEYS from the accumulator.
+          val doRetract = retractsField(name)
+          val sorted = array_sort(collect_list(when(c.isNotNull &&
+              (if (doRetract) lit(true) else !isRetract),
+            struct(col(SEQ), col(COMMIT), col(POS),
+              (if (doRetract) isRetract else lit(false)).as("kd"), c.as("v")))),
+            (l, r) => MergeEngines.envelopeCmp(l, r))
+          aggregate(sorted, lit(null).cast(dt), (acc, r) => {
+            val m = r.getField("v")
+            when(!r.getField("kd"),
+              when(acc.isNull, m).otherwise(
+                map_concat(map_filter(acc, (k, _) => !map_contains_key(m, k)), m)))
+              .otherwise(when(acc.isNull, acc)
+                .otherwise(map_filter(acc, (k, _) => !map_contains_key(m, k))))
+          })
+        case "collect" | "nested_update" if retractsField(name) && anyRetract =>
+          // sequential fold with retraction (FieldCollectAgg.retract /
+          // FieldNestedUpdateAgg.retract, best-effort): an insert row's
+          // array concatenates; a retract row removes ONE occurrence of
+          // each of its elements from the accumulator
+          val collected = array_sort(collect_list(when(c.isNotNull,
+            struct(col(SEQ), col(COMMIT), col(POS), isRetract.as("kd"),
+              c.as("v")))),
+            (l, r) => MergeEngines.envelopeCmp(l, r))
+          def removeFirst(a: Column, e: Column): Column = {
+            val pos = array_position(a, e).cast(IntegerType)
+            when(e.isNull, a).when(pos > 0,
+              concat(slice(a, lit(1), pos - 1),
+                slice(a, pos + 1, greatest(size(a) - pos, lit(0)))))
+              .otherwise(a)
+          }
+          val folded = aggregate(collected, lit(null).cast(dt), (acc, r) => {
+            val v = r.getField("v")
+            when(!r.getField("kd"),
+              when(acc.isNull, v).otherwise(concat(acc, v)))
+              .otherwise(when(acc.isNull, acc)
+                .otherwise(aggregate(v, acc, (a, e) => removeFirst(a, e))))
+          })
+          if (fn == "collect" &&
+              config.option(s"fields.$name.distinct", "false") == "true")
+            when(folded.isNull, folded).otherwise(array_distinct(folded))
+          else folded
         case "collect" | "nested_update" =>
           // declared type is ARRAY (reference FieldCollectAgg /
           // FieldNestedUpdateAgg): inputs AND stored accumulators are
@@ -2475,15 +2519,27 @@ object MergeEngines {
             struct(elemType.fields.map(f =>
               coalesce(nw.getField(f.name), old.getField(f.name)).as(f.name))
               .toIndexedSeq: _*)
-          val rows = flatten(transform(
-            array_sort(collect_list(when(liveVal(c).isNotNull,
-              struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
-              (l, r) => MergeEngines.envelopeCmp(l, r)),
-            x => x.getField("v")))
-          aggregate(rows, array().cast(dt), (acc, r) =>
-            when(org.apache.spark.sql.functions.exists(acc, a => sameKey(a, r)),
-              transform(acc, a => when(sameKey(a, r), patched(a, r)).otherwise(a)))
-              .otherwise(array_append(acc, r)))
+          // retraction (FieldNestedUpdateAgg.retract, keyed branch): a
+          // retract row's array REMOVES the matching-key nested rows
+          val doRetract = retractsField(name) && anyRetract
+          val collected = array_sort(collect_list(when(
+              (if (doRetract) c else liveVal(c)).isNotNull,
+            struct(col(SEQ), col(COMMIT), col(POS),
+              (if (doRetract) isRetract else lit(false)).as("kd"), c.as("v")))),
+            (l, r) => MergeEngines.envelopeCmp(l, r))
+          aggregate(collected, array().cast(dt), (acc, rr) => {
+            val v = rr.getField("v")
+            val folded = aggregate(v, acc, (a, r) =>
+              when(org.apache.spark.sql.functions.exists(a, x => sameKey(x, r)),
+                transform(a, x => when(sameKey(x, r), patched(x, r)).otherwise(x)))
+                .otherwise(array_append(a, r)))
+            if (doRetract)
+              when(rr.getField("kd"),
+                filter(acc, x => !org.apache.spark.sql.functions.exists(v,
+                  r => sameKey(x, r))))
+                .otherwise(folded)
+            else folded
+          })
         case "rbm32" => GraftAggs.rbm32(liveVal(c))
         case "rbm64" => GraftAggs.rbm64(liveVal(c))
         case "hll_sketch" => GraftAggs.hllSketch(liveVal(c))

@@ -339,6 +339,53 @@ class CoreTableSpec extends SparkTestBase {
       s"got $got2")
   }
 
+  test("aggregation retraction: collect/merge_map/last_value/last_non_null_value/nested_partial_update") {
+    val loc = tmpLoc("agg-retract2")
+    val df = Seq((1L, Seq("a"), Map("k1" -> 1), Option("v"), Option("n"),
+        Seq((1, Option("p"))), "+I"))
+      .toDF("k", "co", "mm", "lv", "ln", "np", "rk")
+      .select(col("k"), col("co"), col("mm"), col("lv"), col("ln"),
+        col("np").cast("array<struct<id:int,p:string>>").as("np"), col("rk"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "aggregation",
+        fieldAggregates = Map("co" -> "collect", "mm" -> "merge_map",
+          "lv" -> "last_value", "ln" -> "last_non_null_value",
+          "np" -> "nested_partial_update"),
+        options = Map("rowkind.field" -> "rk",
+          "fields.np.nested-key" -> "id")))
+    def w(k: Long, co: Seq[String], mm: Map[String, Int], lv: Option[String],
+          ln: Option[String], np: Seq[(Int, Option[String])], rk: String): Unit =
+      t.write(Seq((k, co, mm, lv, ln, np, rk))
+        .toDF("k", "co", "mm", "lv", "ln", "np", "rk")
+        .select(col("k"), col("co"), col("mm"), col("lv"), col("ln"),
+          col("np").cast("array<struct<id:int,p:string>>").as("np"), col("rk")))
+    w(1L, Seq("a", "b", "a"), Map("k1" -> 1, "k2" -> 2), Some("v1"), Some("n1"),
+      Seq((10, Some("p1")), (11, Some("p2"))), "+I")
+    // retract: collect removes ONE "a"; merge_map drops key k2; last_value
+    // and last_non_null_value null out; nested row id=11 removed
+    w(1L, Seq("a"), Map("k2" -> 99), Some("x"), Some("x"),
+      Seq((11, None)), "-D")
+    t.compact()
+    val r = t.read().select("co", "mm", "lv", "ln", "np")
+      .as[(Seq[String], Map[String, Int], Option[String], Option[String],
+           Seq[(Int, Option[String])])].head()
+    assert(r._1 == Seq("b", "a"), s"collect: ${r._1}")
+    assert(r._2 == Map("k1" -> 1), s"merge_map: ${r._2}")
+    assert(r._3.isEmpty, s"last_value: ${r._3}")
+    assert(r._4.isEmpty, s"last_non_null_value: ${r._4}")
+    assert(r._5 == Seq((10, Some("p1"))), s"nested_partial_update: ${r._5}")
+    // post-retract inserts land on the folded accumulator
+    w(1L, Seq("c"), Map("k3" -> 3), Some("v2"), Some("n2"), Seq((12, Some("p3"))), "+I")
+    val r2 = t.read().select("co", "mm", "lv", "ln", "np")
+      .as[(Seq[String], Map[String, Int], Option[String], Option[String],
+           Seq[(Int, Option[String])])].head()
+    assert(r2._1 == Seq("b", "a", "c"), s"collect2: ${r2._1}")
+    assert(r2._2 == Map("k1" -> 1, "k3" -> 3), s"merge_map2: ${r2._2}")
+    assert(r2._3 == Some("v2") && r2._4 == Some("n2"), s"lv/ln2: ${r2._3}/${r2._4}")
+    assert(r2._5 == Seq((10, Some("p1")), (12, Some("p3"))), s"np2: ${r2._5}")
+  }
+
   test("partial-update retraction with sequence groups (retractWithSequenceGroup)") {
     val loc = tmpLoc("pu-retract")
     val schema = Seq((1L, Option("a"), Option(1L), Option("b"), Option(1.0), "+I"))
