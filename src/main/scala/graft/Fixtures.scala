@@ -419,6 +419,84 @@ object Fixtures {
   /** Sequence-group partial update: c_acctbal governed by bal_seq,
     * c_mktsegment by seg_seq. Write 2 carries a STALE bal_seq (must not
     * clobber) but a newer seg_seq (must apply). */
+  /** Aggregation-for-partial-update fixture (partial-update.md:152):
+    * per-orderkey sums written in two batches — batch 2 has a LOWER group
+    * seq, so the plain group field keeps batch 1's value while the summed
+    * field still accumulates both batches. */
+  def liPuAgg(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "li_pu_agg") { loc =>
+      val base = src(spark, sfDir, "lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q1"), sum("l_extendedprice").as("q2"))
+      val a = base.select(col("l_orderkey"), lit(2L).as("g"),
+        col("q1").as("b"), col("q1").as("s"))
+      val t = GraftTable.createOrReplace(spark, loc, a.schema,
+        TableConfig(primaryKeys = Seq("l_orderkey"), numBuckets = 2,
+          mergeEngine = "partial-update",
+          fieldAggregates = Map("s" -> "sum"),
+          options = Map("fields.g.sequence-group" -> "b,s")))
+      t.write(a)
+      t.write(base.select(col("l_orderkey"), lit(1L).as("g"),
+        col("q2").as("b"), col("q2").as("s")))
+      t
+    }
+
+  /** Multi-field sequence (sequence-rowkind.mdx:60): same first field, the
+    * second ("flag") decides — batch 1 carries the higher flag. */
+  def ordersSeq2(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_seq2") { loc =>
+      val o = src(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").as("ut"),
+          lit(2L).as("flag"), col("o_totalprice").as("price"))
+      val t = GraftTable.createOrReplace(spark, loc, o.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 2,
+          sequenceField = Some("ut,flag")))
+      t.write(o)
+      t.write(o.select(col("o_orderkey"), col("ut"), lit(1L).as("flag"),
+        (col("price") + 1000.0).as("price")))
+      t
+    }
+
+  /** Partial-update retraction fixture: -D records for even custkeys with a
+    * winning group seq — the plain group field NULLs, the summed field
+    * subtracts to zero, the key itself survives. */
+  def custPuRetract(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "cust_pu_retract") { loc =>
+      val c = src(spark, sfDir, "customer").select(col("c_custkey"),
+        lit(1L).as("g"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"), lit("+I").as("rk"))
+      val t = GraftTable.createOrReplace(spark, loc, c.schema,
+        TableConfig(primaryKeys = Seq("c_custkey"), numBuckets = 2,
+          mergeEngine = "partial-update",
+          fieldAggregates = Map("bal" -> "sum"),
+          options = Map("fields.g.sequence-group" -> "seg,bal",
+            "rowkind.field" -> "rk")))
+      t.write(c)
+      t.write(c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), lit(2L).as("g"), col("seg"), col("bal"),
+          lit("-D").as("rk")))
+      t
+    }
+
+  /** Aggregation-engine retraction for collect / last_value /
+    * last_non_null_value: -D records for orderkeys divisible by 3 remove
+    * the collected element and null the last-value fields. */
+  def ordersAggRetract2(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_agg_retract2") { loc =>
+      val o = src(spark, sfDir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus").as("lv"), col("o_orderstatus").as("ln"),
+        array(col("o_orderpriority")).as("co"), lit("+I").as("rk"))
+      val t = GraftTable.createOrReplace(spark, loc, o.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 2,
+          mergeEngine = "aggregation",
+          fieldAggregates = Map("lv" -> "last_value",
+            "ln" -> "last_non_null_value", "co" -> "collect"),
+          options = Map("rowkind.field" -> "rk")))
+      t.write(o)
+      t.write(o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("rk", lit("-D")))
+      t
+    }
+
   def custSg(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "cust_sg") { loc =>
       val c = src(spark, sfDir, "customer")

@@ -237,6 +237,16 @@ object SparkEntry {
     "q_partial_update" -> ((s, d) => Fixtures.custPu(s, d).read()
       .select(col("c_custkey"), col("c_name"),
         round(col("c_acctbal"), 2).as("acctbal"), col("c_mktsegment"))),
+    "q_pu_agg_group" -> ((s, d) => Fixtures.liPuAgg(s, d).read()
+      .select(col("l_orderkey"), col("g"), round(col("b"), 2).as("b"),
+        round(col("s"), 2).as("s"))),
+    "q_seq_multi" -> ((s, d) => Fixtures.ordersSeq2(s, d).read()
+      .select(col("o_orderkey"), col("flag"), round(col("price"), 2).as("price"))),
+    "q_pu_retract" -> ((s, d) => Fixtures.custPuRetract(s, d).read()
+      .select(col("c_custkey"), col("g"), col("seg"), round(col("bal"), 2).as("bal"))),
+    "q_agg_retract_full" -> ((s, d) => Fixtures.ordersAggRetract2(s, d).read()
+      .select(col("o_orderkey"), col("lv"), col("ln"),
+        array_join(col("co"), ",").as("co"))),
     "q_sequence_group" -> ((s, d) => Fixtures.custSg(s, d).read()
       .select(col("c_custkey"), col("bal_seq"),
         round(col("c_acctbal"), 2).as("acctbal"), col("seg_seq"), col("c_mktsegment"))),
@@ -1208,6 +1218,26 @@ object SparkEntry {
         | round(c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END, 2) AS acctbal,
         | CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS c_mktsegment
         |FROM customer""".stripMargin,
+    "q_pu_agg_group" ->
+      """SELECT l_orderkey, CAST(2 AS BIGINT) AS g,
+        | round(sum(l_quantity), 2) AS b,
+        | round(sum(l_quantity) + sum(l_extendedprice), 2) AS s
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_seq_multi" ->
+      """SELECT o_orderkey, CAST(2 AS BIGINT) AS flag,
+        | round(o_totalprice, 2) AS price FROM orders""".stripMargin,
+    "q_pu_retract" ->
+      """SELECT c_custkey,
+        | CAST(CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS g,
+        | CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+        | round(CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE c_acctbal END, 2) AS bal
+        |FROM customer""".stripMargin,
+    "q_agg_retract_full" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS lv,
+        | CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS ln,
+        | CASE WHEN o_orderkey % 3 = 0 THEN '' ELSE o_orderpriority END AS co
+        |FROM orders""".stripMargin,
     "q_sequence_group" ->
       """SELECT c_custkey, CAST(2 AS BIGINT) AS bal_seq,
         | round(c_acctbal, 2) AS acctbal,

@@ -1101,6 +1101,7 @@ object RowOps {
 
       def envelope(df: DataFrame, kind: Int): DataFrame =
         df.withColumn(SEQ, lit(commitSeq))
+          .withColumn(GraftTable.SEQ2, lit(0L))
           .withColumn(COMMIT, lit(commitSeq))
           .withColumn(POS, monotonically_increasing_id())
           .withColumn(KIND, lit(kind))

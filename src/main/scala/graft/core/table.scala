@@ -118,6 +118,7 @@ class GraftTable private (
       (if (isRowTracking) Seq(StructField(ROW_ID, LongType)) else Nil))
     else StructType(dataSchema.fields ++ Array(
       StructField(SEQ, LongType, false),
+      StructField(SEQ2, LongType, false),
       StructField(COMMIT, LongType, false),
       StructField(POS, LongType, true), // per-record input position (tiebreak)
       StructField(KIND, IntegerType, false)))
@@ -144,17 +145,34 @@ class GraftTable private (
     df.select(cols.toIndexedSeq: _*)
   }
 
-  private def seqExpr(commitSeq: Long): Column = config.sequenceField match {
-    case Some(f) =>
-      val dt = dataSchema.fields.find(_.name == f)
-        .getOrElse(throw new IllegalArgumentException(s"sequence field $f missing"))
-        .dataType
-      dt match {
-        case _: TimestampType | _: TimestampNTZType => unix_micros(col(f).cast(TimestampType))
-        case _: DateType => col(f).cast(IntegerType).cast(LongType)
-        case _ => col(f).cast(LongType)
-      }
-    case None => lit(commitSeq)
+  /** sequence.field may name MULTIPLE fields ("update_time,flag",
+    * sequence-rowkind.mdx:60) — compared in order; the engine carries the
+    * first in __seq and the second in __seq2 (constant 0 when unused). */
+  private[core] def seqFields: Seq[String] =
+    config.sequenceField.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  private def seqFieldSurrogate(f: String): Column = {
+    val dt = dataSchema.fields.find(_.name == f)
+      .getOrElse(throw new IllegalArgumentException(s"sequence field $f missing"))
+      .dataType
+    dt match {
+      case _: TimestampType | _: TimestampNTZType => unix_micros(col(f).cast(TimestampType))
+      case _: DateType => col(f).cast(IntegerType).cast(LongType)
+      case _ => col(f).cast(LongType)
+    }
+  }
+
+  private def seqExpr(commitSeq: Long): Column = seqFields match {
+    case f +: _ => seqFieldSurrogate(f)
+    case _ => lit(commitSeq)
+  }
+
+  private def seq2Expr: Column = seqFields match {
+    case Seq(_, f2) => seqFieldSurrogate(f2)
+    case fs if fs.size > 2 =>
+      throw new IllegalArgumentException(
+        s"at most 2 sequence fields supported, got ${fs.mkString(",")}")
+    case _ => lit(0L)
   }
 
   /** POSTPONE bucket mode (paimon BucketMode.java:69, `bucket = -2`): fresh
@@ -329,7 +347,7 @@ class GraftTable private (
     var df =
       if (preMerged) {
         val cols = dataSchema.fields.map(f => col(f.name)) ++
-          Seq(col(SEQ), col(COMMIT), col(POS), col(KIND))
+          Seq(col(SEQ), col(SEQ2), col(COMMIT), col(POS), col(KIND))
         dfIn.select(cols.toIndexedSeq: _*)
       } else {
         // a pre-assigned row id (compaction rewrite) passes through intact
@@ -369,6 +387,7 @@ class GraftTable private (
             case _ => lit(KIND_INSERT)
           }
           d = d.withColumn(SEQ, seqExpr(commitSeq))
+            .withColumn(SEQ2, seq2Expr)
             .withColumn(COMMIT, lit(commitSeq))
             .withColumn(POS, monotonically_increasing_id())
             .withColumn(KIND, kindExpr)
@@ -398,7 +417,7 @@ class GraftTable private (
           // within-batch pre-merge for the deduplicate engine
           if (config.mergeEngine == "deduplicate") {
             val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
-              .orderBy(col(SEQ).desc, col(POS).desc)
+              .orderBy(col(SEQ).desc, col(SEQ2).desc, col(POS).desc)
             d = d.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1).drop("__rn")
           }
@@ -720,7 +739,8 @@ class GraftTable private (
             if (pks.contains(f.name)) col(f.name)
             else if (partCols.contains(f.name)) col(s"__old_${f.name}").as(f.name)
             else lit(null).cast(f.dataType).as(f.name)
-          } ++ Seq(seqExpr(commitSeq).as(SEQ), lit(commitSeq).as(COMMIT),
+          } ++ Seq(seqExpr(commitSeq).as(SEQ), seq2Expr.as(SEQ2),
+            lit(commitSeq).as(COMMIT),
             lit(-1L).as(POS), lit(KIND_DELETE).as(KIND))
           writeFiles(moved.select(tombCols.toIndexedSeq: _*),
             preMerged = true, commitSeqOverride = Some(commitSeq))
@@ -1065,7 +1085,8 @@ class GraftTable private (
     def envelopeOf(st: StructType): StructType =
       if (!isPk) st
       else StructType(st.fields ++ Array(
-        StructField(SEQ, LongType, false), StructField(COMMIT, LongType, false),
+        StructField(SEQ, LongType, false), StructField(SEQ2, LongType, false),
+        StructField(COMMIT, LongType, false),
         StructField(POS, LongType, true), StructField(KIND, IntegerType, false)))
     def applyDv(dfIn: DataFrame): DataFrame = {
       if (dv.isEmpty) return dfIn
@@ -1120,7 +1141,7 @@ class GraftTable private (
           }
         }
         val cols = (if (isPk)
-          dataCols ++ Seq(col(SEQ), col(COMMIT), col(POS), col(KIND))
+          dataCols ++ Seq(col(SEQ), col(SEQ2), col(COMMIT), col(POS), col(KIND))
         else // old-schema files predate any shred columns: read them as null
           dataCols ++ shredFields.map(f => lit(null).cast(f.dataType).as(f.name))) ++ metaCols
         raw.select(cols.toIndexedSeq: _*)
@@ -1433,7 +1454,7 @@ class GraftTable private (
     else df.withColumn("rowkind",
         when(col(KIND) === KIND_DELETE, "-D")
           .when(col(KIND) === KIND_UPDATE_AFTER, "+U").otherwise("+I"))
-      .drop(SEQ, COMMIT, KIND)
+      .drop(SEQ, SEQ2, COMMIT, KIND)
   }
 
   def readTag(tag: String): DataFrame = read(None, Some(sm.readTag(tag).snapshotId))
@@ -1487,7 +1508,7 @@ class GraftTable private (
   }
 
   private def protectedCols: Set[String] =
-    (config.primaryKeys ++ config.partitionKeys ++ config.sequenceField).toSet
+    (config.primaryKeys ++ config.partitionKeys ++ seqFields).toSet
 
   /** Rename a column; files written under older schemas keep serving the
     * data through the field-id remap (paimon SchemaChange.renameColumn). */
@@ -1911,6 +1932,7 @@ object GraftTable {
 
   // internal (LSM envelope / routing) column names
   val SEQ = "__seq"
+  val SEQ2 = "__seq2" // second user sequence field (0 when unused)
   val COMMIT = "__commit"
   val POS = "__pos"
   val KIND = "__kind"
@@ -1933,6 +1955,22 @@ object GraftTable {
         "bucket-key applies to append tables (PK tables route by primary key)")
       bk.split(",").map(_.trim).filter(_.nonEmpty).foreach(k =>
         require(schema.fieldNames.contains(k), s"bucket-key $k not in schema"))
+    }
+    // sequence.snapshot-ordering (sequence-rowkind.mdx:75): merge by commit
+    // snapshot id — exactly this engine's DEFAULT ordering (__seq =
+    // commitSeq when no sequence.field), so the option only needs its
+    // documented constraints enforced
+    if (config.option("sequence.snapshot-ordering", "false") == "true") {
+      require(config.sequenceField.isEmpty,
+        "sequence.snapshot-ordering is mutually exclusive with sequence.field")
+      require(config.option("write-only", "false") == "true",
+        "sequence.snapshot-ordering requires write-only=true (dedicated compaction)")
+    }
+    config.sequenceField.foreach { sf =>
+      val fs = sf.split(",").map(_.trim).filter(_.nonEmpty)
+      require(fs.size <= 2, s"at most 2 sequence fields supported, got $sf")
+      fs.foreach(f => require(schema.fieldNames.contains(f),
+        s"sequence field $f not in schema"))
     }
     val fmt = config.option("file.format", "parquet")
     require(Set("parquet", "orc", "csv", "json")(fmt), s"unknown file.format $fmt")
@@ -2090,6 +2128,7 @@ object MergeEngines {
   private[core] def envelopeCmp(l: Column, r: Column): Column = {
     def f(c: Column, n: String) = c.getField(n)
     when(f(l, SEQ) < f(r, SEQ), -1).when(f(l, SEQ) > f(r, SEQ), 1)
+      .when(f(l, SEQ2) < f(r, SEQ2), -1).when(f(l, SEQ2) > f(r, SEQ2), 1)
       .when(f(l, COMMIT) < f(r, COMMIT), -1).when(f(l, COMMIT) > f(r, COMMIT), 1)
       .when(f(l, POS) < f(r, POS), -1).when(f(l, POS) > f(r, POS), 1)
       .otherwise(0)
@@ -2117,7 +2156,7 @@ object MergeEngines {
   private def dedup(df: DataFrame, pks: Seq[String], latestFirst: Boolean,
                     preferHash: Boolean = false): DataFrame = {
     if (preferHash) {
-      val ordKey = struct(col(SEQ), col(COMMIT), col(POS))
+      val ordKey = struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS))
       val rowStruct = struct(df.columns.map(col).toIndexedSeq: _*)
       val pick = if (latestFirst) max_by(rowStruct, ordKey) else min_by(rowStruct, ordKey)
       df.groupBy(pks.map(col).toIndexedSeq: _*)
@@ -2126,8 +2165,8 @@ object MergeEngines {
         .filter(col(KIND) =!= KIND_DELETE)
     } else {
       val ord =
-        if (latestFirst) Seq(col(SEQ).desc, col(COMMIT).desc, col(POS).desc)
-        else Seq(col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
+        if (latestFirst) Seq(col(SEQ).desc, col(SEQ2).desc, col(COMMIT).desc, col(POS).desc)
+        else Seq(col(SEQ).asc, col(SEQ2).asc, col(COMMIT).asc, col(POS).asc)
       val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*).orderBy(ord: _*)
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
@@ -2177,18 +2216,18 @@ object MergeEngines {
           case Some(g) => col(KIND) === KIND_DELETE && col(g).isNotNull
           case None => col(KIND) === KIND_DELETE
         }
-        val ord = struct(col(SEQ), col(COMMIT), col(POS))
+        val ord = struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS))
         val wAll = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         df.withColumn("__delmax", max(when(qualifies, ord)).over(wAll))
           .filter(col(KIND) =!= KIND_DELETE &&
             (col("__delmax").isNull ||
-              struct(col(SEQ), col(COMMIT), col(POS)) > col("__delmax")))
+              struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS)) > col("__delmax")))
           .drop("__delmax")
       } else if (retractMode) df
       else df.filter(col(KIND) =!= KIND_DELETE)
     val w = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
-      .orderBy(col(SEQ).asc, col(COMMIT).asc, col(POS).asc)
+      .orderBy(col(SEQ).asc, col(SEQ2).asc, col(COMMIT).asc, col(POS).asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wFull = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -2199,7 +2238,7 @@ object MergeEngines {
     def groupOrd(g: String): Column = {
       val cols = g.split(",").map(_.trim).toSeq
       when(col(cols.head).isNotNull,
-        struct((cols.map(col) ++ Seq(col(SEQ), col(COMMIT), col(POS))): _*))
+        struct((cols.map(col) ++ Seq(col(SEQ), col(SEQ2), col(COMMIT), col(POS))): _*))
     }
     val seqColToGroup: Map[String, String] =
       groups.keys.flatMap(g => g.split(",").map(_.trim -> g)).toMap
@@ -2272,7 +2311,7 @@ object MergeEngines {
       }
     }
     def aggOf(c: String): Option[String] = config.fieldAggregates.get(c)
-    val envOrd = struct(col(SEQ), col(COMMIT), col(POS))
+    val envOrd = struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS))
     val valueExprs = nonKey.map { c =>
       (fieldToGroup.get(c) match {
         case Some(g) => aggOf(c) match {
@@ -2305,6 +2344,7 @@ object MergeEngines {
     }
     val folded = alive.select((pks.map(col) ++ valueExprs ++ Seq(
         max(col(SEQ)).over(w).as(SEQ),
+        max(col(SEQ2)).over(w).as(SEQ2),
         max(col(COMMIT)).over(w).as(COMMIT),
         max(col(POS)).over(w).as(POS),
         lit(KIND_INSERT).as(KIND)) ++
@@ -2342,7 +2382,7 @@ object MergeEngines {
       !pks.contains(f.name) && retractsField(f.name))
     val alive = if (anyRetract) df else df.filter(col(KIND) =!= KIND_DELETE)
     val isRetract = col(KIND) === KIND_DELETE
-    val ordKey = struct(col(SEQ), col(COMMIT), col(POS))
+    val ordKey = struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS))
     // retract rows must not feed non-retracting aggregators: null out the
     // value (for value aggs) or the ordering key (for positional aggs) —
     // both make the row invisible, matching the pre-filter semantics
@@ -2402,7 +2442,7 @@ object MergeEngines {
           // FieldListaggAgg identity) — an "" accumulator would re-merge
           // with a later value into a spurious leading delimiter
           val collected = array_sort(collect_list(when(liveVal(c).isNotNull,
-            struct(col(SEQ), col(COMMIT), c.cast(StringType).as("v")))))
+            struct(col(SEQ), col(SEQ2), col(COMMIT), c.cast(StringType).as("v")))))
           when(size(collected) === 0, lit(null).cast(StringType))
             .otherwise(array_join(transform(collected, x => x.getField("v")), ","))
         case "merge_map" =>
@@ -2415,7 +2455,7 @@ object MergeEngines {
           val doRetract = retractsField(name)
           val sorted = array_sort(collect_list(when(c.isNotNull &&
               (if (doRetract) lit(true) else !isRetract),
-            struct(col(SEQ), col(COMMIT), col(POS),
+            struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS),
               (if (doRetract) isRetract else lit(false)).as("kd"), c.as("v")))),
             (l, r) => MergeEngines.envelopeCmp(l, r))
           aggregate(sorted, lit(null).cast(dt), (acc, r) => {
@@ -2432,7 +2472,7 @@ object MergeEngines {
           // array concatenates; a retract row removes ONE occurrence of
           // each of its elements from the accumulator
           val collected = array_sort(collect_list(when(c.isNotNull,
-            struct(col(SEQ), col(COMMIT), col(POS), isRetract.as("kd"),
+            struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS), isRetract.as("kd"),
               c.as("v")))),
             (l, r) => MergeEngines.envelopeCmp(l, r))
           def removeFirst(a: Column, e: Column): Column = {
@@ -2462,7 +2502,7 @@ object MergeEngines {
           // reference identity); explicit comparator so unorderable
           // payloads (maps inside structs) work.
           val collected = array_sort(collect_list(when(liveVal(c).isNotNull,
-            struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
+            struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS), c.as("v")))),
             (l, r) => MergeEngines.envelopeCmp(l, r))
           val flat = flatten(transform(collected, x => x.getField("v")))
           val res = if (fn == "collect" &&
@@ -2484,7 +2524,7 @@ object MergeEngines {
           def ts(v: Column): Column = v.getField(tsField)
           val sorted = transform(
             array_sort(collect_list(when(liveVal(c).isNotNull,
-              struct(col(SEQ), col(COMMIT), col(POS), c.as("v")))),
+              struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS), c.as("v")))),
               (l, r) => MergeEngines.envelopeCmp(l, r)),
             x => x.getField("v"))
           aggregate(sorted, lit(null).cast(dt), (acc, m) =>
@@ -2524,7 +2564,7 @@ object MergeEngines {
           val doRetract = retractsField(name) && anyRetract
           val collected = array_sort(collect_list(when(
               (if (doRetract) c else liveVal(c)).isNotNull,
-            struct(col(SEQ), col(COMMIT), col(POS),
+            struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS),
               (if (doRetract) isRetract else lit(false)).as("kd"), c.as("v")))),
             (l, r) => MergeEngines.envelopeCmp(l, r))
           aggregate(collected, array().cast(dt), (acc, rr) => {
@@ -2549,11 +2589,11 @@ object MergeEngines {
     }
     val aggCols = schema.fields.filterNot(f => pks.contains(f.name)).map { f =>
       aggFor(f.name, f.dataType).as(f.name)
-    } ++ Seq(max(col(SEQ)).as(SEQ), max(col(COMMIT)).as(COMMIT),
+    } ++ Seq(max(col(SEQ)).as(SEQ), max(col(SEQ2)).as(SEQ2), max(col(COMMIT)).as(COMMIT),
       max(col(POS)).as(POS), lit(KIND_INSERT).as(KIND))
     alive.groupBy(pks.map(col).toIndexedSeq: _*).agg(aggCols.head, aggCols.tail.toIndexedSeq: _*)
       .select((pks.map(col) ++ schema.fields.filterNot(f => pks.contains(f.name)).map(f => col(f.name)) ++
-        Seq(col(SEQ), col(COMMIT), col(POS), col(KIND))).toIndexedSeq: _*)
+        Seq(col(SEQ), col(SEQ2), col(COMMIT), col(POS), col(KIND))).toIndexedSeq: _*)
   }
 }
 

@@ -50,7 +50,7 @@ class GraftMorScan(t: GraftTable, entries: Seq[ManifestEntry],
   // in file-schema order (stable indices for the projections below)
   private val wideSchema: StructType = {
     val need = (outSchema.fieldNames ++ t.config.primaryKeys ++
-      Seq(GraftTable.SEQ, GraftTable.COMMIT, GraftTable.POS, GraftTable.KIND)).toSet
+      Seq(GraftTable.SEQ, GraftTable.SEQ2, GraftTable.COMMIT, GraftTable.POS, GraftTable.KIND)).toSet
     StructType(t.fileSchema.fields.filter(f => need.contains(f.name)))
   }
   private def idx(n: String): Int = wideSchema.fieldIndex(n)
@@ -99,7 +99,8 @@ class GraftMorScan(t: GraftTable, entries: Seq[ManifestEntry],
       // DV files read WITHOUT pushdown (row index = running count)
       GraftBatchScan.parquetFactory(t, wideSchema, Array.empty),
       pkIdx = t.config.primaryKeys.map(idx).toArray,
-      seqIdx = idx(GraftTable.SEQ), commitIdx = idx(GraftTable.COMMIT),
+      seqIdx = idx(GraftTable.SEQ), seq2Idx = idx(GraftTable.SEQ2),
+      commitIdx = idx(GraftTable.COMMIT),
       posIdx = idx(GraftTable.POS), kindIdx = idx(GraftTable.KIND),
       outIdx = outSchema.fieldNames.map(idx),
       wideTypes = wideTypes, latestFirst = latestFirst)
@@ -133,7 +134,7 @@ case class GraftMorInputPartition(files: Array[PartitionedFile],
 
 case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
                                  dvDelegate: ParquetPartitionReaderFactory,
-                                 pkIdx: Array[Int], seqIdx: Int, commitIdx: Int,
+                                 pkIdx: Array[Int], seqIdx: Int, seq2Idx: Int, commitIdx: Int,
                                  posIdx: Int, kindIdx: Int, outIdx: Array[Int],
                                  wideTypes: Array[DataType], latestFirst: Boolean)
     extends PartitionReaderFactory {
@@ -186,6 +187,7 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
             while (r.next()) {
               val row = r.get()
               val seq = row.getLong(seqIdx)
+              val seq2 = if (row.isNullAt(seq2Idx)) 0L else row.getLong(seq2Idx)
               val cm = row.getLong(commitIdx)
               val pos = if (row.isNullAt(posIdx)) Long.MinValue
                         else row.getLong(posIdx)
@@ -195,20 +197,22 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
                 val c =
                   if (seq != prev(0).asInstanceOf[Long])
                     java.lang.Long.compare(seq, prev(0).asInstanceOf[Long])
-                  else if (cm != prev(1).asInstanceOf[Long])
-                    java.lang.Long.compare(cm, prev(1).asInstanceOf[Long])
-                  else java.lang.Long.compare(pos, prev(2).asInstanceOf[Long])
+                  else if (seq2 != prev(1).asInstanceOf[Long])
+                    java.lang.Long.compare(seq2, prev(1).asInstanceOf[Long])
+                  else if (cm != prev(2).asInstanceOf[Long])
+                    java.lang.Long.compare(cm, prev(2).asInstanceOf[Long])
+                  else java.lang.Long.compare(pos, prev(3).asInstanceOf[Long])
                 if (latestFirst) c > 0 else c < 0
               }
               if (better)
-                winners.put(key.copy(), Array[Any](seq, cm, pos, row.copy()))
+                winners.put(key.copy(), Array[Any](seq, seq2, cm, pos, row.copy()))
             }
           } finally r.close()
           i += 1
         }
         import scala.jdk.CollectionConverters._
         winners.values().iterator().asScala
-          .map(_(3).asInstanceOf[InternalRow])
+          .map(_(4).asInstanceOf[InternalRow])
           .filter(_.getInt(kindIdx) != GraftTable.KIND_DELETE)
           .map(outProj(_))
       }

@@ -422,6 +422,44 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.read().count() == 2)
   }
 
+  test("multiple sequence fields compared in order ('update_time,flag')") {
+    val loc = tmpLoc("seq2")
+    val schema = Seq((1L, "v", 10L, 1L)).toDF("k", "v", "ut", "flag").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        sequenceField = Some("ut,flag")))
+    // same update_time: the larger flag wins regardless of arrival order
+    t.write(Seq((1L, "late-flag", 10L, 5L), (2L, "a", 10L, 1L)).toDF("k", "v", "ut", "flag"))
+    t.write(Seq((1L, "early-flag", 10L, 2L), (2L, "b", 9L, 9L)).toDF("k", "v", "ut", "flag"))
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").as[(Long, String)].collect().toMap
+    val want = Map(1L -> "late-flag", 2L -> "a") // k=2: ut 10 beats 9
+    assert(state(t.read()) == want)
+    // native merge-in-scan path honors __seq2 too
+    assert(state(spark.read.format("graft").load(loc)) == want)
+    t.compact()
+    assert(state(t.read()) == want)
+    // higher update_time still dominates any flag
+    t.write(Seq((1L, "new-ut", 11L, 0L)).toDF("k", "v", "ut", "flag"))
+    assert(state(t.read()) == (want + (1L -> "new-ut")))
+  }
+
+  test("sequence.snapshot-ordering: default commit ordering, constraints enforced") {
+    val schema = Seq((1L, "v")).toDF("k", "v").schema
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpLoc("sso-bad"), schema,
+        TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+          options = Map("sequence.snapshot-ordering" -> "true")))
+    }
+    val t = GraftTable.create(spark, tmpLoc("sso"), schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("sequence.snapshot-ordering" -> "true",
+          "write-only" -> "true")))
+    t.write(Seq((1L, "first")).toDF("k", "v"))
+    t.write(Seq((1L, "second")).toDF("k", "v"))
+    assert(t.read().select("v").as[String].head() == "second")
+  }
+
   test("aggregation merge engine: sum/max/last_non_null") {
     val loc = tmpLoc("agg")
     val schema = Seq((1L, 1.0, 1, "x")).toDF("k", "total", "hi", "note").schema
