@@ -155,11 +155,14 @@ class GraftTable private (
     val dt = dataSchema.fields.find(_.name == f)
       .getOrElse(throw new IllegalArgumentException(s"sequence field $f missing"))
       .dataType
-    dt match {
+    val v = dt match {
       case _: TimestampType | _: TimestampNTZType => unix_micros(col(f).cast(TimestampType))
       case _: DateType => col(f).cast(IntegerType).cast(LongType)
       case _ => col(f).cast(LongType)
     }
+    // sequence.field.sort-order=descending: SMALLER values are newer
+    if (config.option("sequence.field.sort-order", "ascending")
+        .toLowerCase == "descending") -v else v
   }
 
   private def seqExpr(commitSeq: Long): Column = seqFields match {
@@ -642,6 +645,11 @@ class GraftTable private (
       if (isPk && config.option("changelog-producer", "none") == "lookup")
         produceChangelog(adds)
       else Nil
+    // snapshot.ignore-empty-commit: an append that produced no files makes
+    // no snapshot (CoreOptions.java:2585; opt-in like the reference)
+    if (adds.isEmpty && clFiles.isEmpty && sm.latestSnapshot.isDefined &&
+        config.option("snapshot.ignore-empty-commit", "false") == "true")
+      return sm.latestSnapshot.get
     val snap = sm.commit(adds, "APPEND",
       identifier.getOrElse(s"append-${UUID.randomUUID().toString.take(8)}"),
       schema.id, watermark = watermark, changelog = clFiles)
@@ -796,9 +804,20 @@ class GraftTable private (
       .select(dataCols.map(col).toIndexedSeq: _*).alias("a")
     val joinCond = pks.map(k => col(s"p.$k") <=> col(s"a.$k")).reduce(_ && _)
     val joined = prev.join(after, joinCond, "full_outer")
-    val changedCond = dataCols.filterNot(pks.contains)
-      .map(c => !(col(s"p.$c") <=> col(s"a.$c")))
-      .reduceOption(_ || _).getOrElse(lit(false))
+    // changelog-producer.row-deduplicate (CoreOptions.java:1084): by default
+    // a touched key emits -U/+U even when the row is value-identical (the
+    // reference's posture); with row-deduplicate=true only genuinely
+    // changed rows do, optionally ignoring listed fields in the comparison
+    val rowDedup =
+      config.option("changelog-producer.row-deduplicate", "false") == "true"
+    val dedupIgnore =
+      config.option("changelog-producer.row-deduplicate-ignore-fields", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val changedCond =
+      if (!rowDedup) lit(true)
+      else dataCols.filterNot(pks.contains).filterNot(dedupIgnore)
+        .map(c => !(col(s"p.$c") <=> col(s"a.$c")))
+        .reduceOption(_ || _).getOrElse(lit(false))
     def side(s: String, kind: String, cond: Column): DataFrame =
       joined.filter(cond)
         .select(dataCols.map(c => col(s"$s.$c").as(c)).toIndexedSeq: _*)
@@ -2375,12 +2394,26 @@ object MergeEngines {
       Set("sum", "count", "product", "collect", "merge_map", "nested_update",
         "nested_partial_update", "last_value", "last_non_null_value")(fnOf(name)) &&
         config.option(s"fields.$name.ignore-retract", "false") != "true"
+    // aggregation.remove-record-on-delete (CoreOptions.java:1149): a -D
+    // record RESETS the whole accumulated row — only records after the last
+    // delete contribute; none after means the key disappears
+    val dfIn =
+      if (config.option("aggregation.remove-record-on-delete", "false") == "true") {
+        val ord = struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS))
+        val wAll = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.withColumn("__delmax",
+            max(when(col(KIND) === KIND_DELETE, ord)).over(wAll))
+          .filter(col(KIND) =!= KIND_DELETE &&
+            (col("__delmax").isNull || ord > col("__delmax")))
+          .drop("__delmax")
+      } else df
     // keep -D/-U rows only when some field actually subtracts them; otherwise
     // the pre-filter keeps every other aggregator's expression on the fast
     // no-conditional path (identical to the no-retract plan)
     val anyRetract = schema.fields.exists(f =>
       !pks.contains(f.name) && retractsField(f.name))
-    val alive = if (anyRetract) df else df.filter(col(KIND) =!= KIND_DELETE)
+    val alive = if (anyRetract) dfIn else dfIn.filter(col(KIND) =!= KIND_DELETE)
     val isRetract = col(KIND) === KIND_DELETE
     val ordKey = struct(col(SEQ), col(SEQ2), col(COMMIT), col(POS))
     // retract rows must not feed non-retracting aggregators: null out the

@@ -422,6 +422,78 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.read().count() == 2)
   }
 
+  test("sequence.field.sort-order=descending: smaller sequence wins") {
+    val loc = tmpLoc("seq-desc")
+    val schema = Seq((1L, "v", 5L)).toDF("k", "v", "ver").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        sequenceField = Some("ver"),
+        options = Map("sequence.field.sort-order" -> "descending")))
+    t.write(Seq((1L, "a", 5L)).toDF("k", "v", "ver"))
+    t.write(Seq((1L, "b", 3L)).toDF("k", "v", "ver")) // smaller = newer
+    t.write(Seq((1L, "c", 9L)).toDF("k", "v", "ver")) // larger = older, loses
+    assert(t.read().select("v").as[String].head() == "b")
+  }
+
+  test("aggregation.remove-record-on-delete resets the accumulated row") {
+    val loc = tmpLoc("agg-reset")
+    val schema = Seq((1L, Option(1.0), "+I")).toDF("k", "s", "rk").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        mergeEngine = "aggregation",
+        fieldAggregates = Map("s" -> "sum"),
+        options = Map("rowkind.field" -> "rk",
+          "aggregation.remove-record-on-delete" -> "true")))
+    def w(rows: (Long, Option[Double], String)*): Unit =
+      t.write(rows.toDF("k", "s", "rk"))
+    w((1L, Some(2.0), "+I"), (2L, Some(5.0), "+I"))
+    w((1L, Some(3.0), "+I"))
+    w((1L, None, "-D")) // reset k=1
+    w((1L, Some(7.0), "+I"), (2L, Some(1.0), "+I"))
+    t.compact()
+    val got = t.read().select("k", "s").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(7.0), 2L -> Some(6.0)), s"got $got")
+    w((2L, None, "-D")) // delete with nothing after → key gone
+    assert(t.read().filter(col("k") === 2L).count() == 0)
+  }
+
+  test("snapshot.ignore-empty-commit skips snapshots for no-file appends") {
+    val loc = tmpLoc("empty-commit")
+    val schema = Seq((1L, "v")).toDF("k", "v").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("snapshot.ignore-empty-commit" -> "true")))
+    t.write(Seq((1L, "a")).toDF("k", "v"))
+    val before = t.sm.latestSnapshotId
+    t.write(Seq.empty[(Long, String)].toDF("k", "v"))
+    assert(t.sm.latestSnapshotId == before)
+  }
+
+  test("changelog-producer.row-deduplicate: value-identical updates suppressed (default emits)") {
+    val schema = Seq((1L, "v", 1)).toDF("k", "v", "ts").schema
+    // default: a touched key emits -U/+U even when nothing changed
+    val t1 = GraftTable.create(spark, tmpLoc("cl-dup"), schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("changelog-producer" -> "lookup")))
+    t1.write(Seq((1L, "a", 1)).toDF("k", "v", "ts"))
+    t1.write(Seq((1L, "a", 1)).toDF("k", "v", "ts"))
+    assert(t1.changelog(1, 2).select("_row_kind").as[String].collect().sorted
+      .toSeq == Seq("+U", "-U"))
+    // row-deduplicate=true: suppressed; ignore-fields excludes ts from the
+    // comparison so a ts-only change is also suppressed
+    val t2 = GraftTable.create(spark, tmpLoc("cl-dedup"), schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("changelog-producer" -> "lookup",
+          "changelog-producer.row-deduplicate" -> "true",
+          "changelog-producer.row-deduplicate-ignore-fields" -> "ts")))
+    t2.write(Seq((1L, "a", 1)).toDF("k", "v", "ts"))
+    t2.write(Seq((1L, "a", 2)).toDF("k", "v", "ts")) // only ignored field
+    assert(t2.changelog(1, 2).count() == 0)
+    t2.write(Seq((1L, "b", 2)).toDF("k", "v", "ts")) // real change
+    assert(t2.changelog(2, 3).select("_row_kind").as[String].collect().sorted
+      .toSeq == Seq("+U", "-U"))
+  }
+
   test("multiple sequence fields compared in order ('update_time,flag')") {
     val loc = tmpLoc("seq2")
     val schema = Seq((1L, "v", 10L, 1L)).toDF("k", "v", "ut", "flag").schema
