@@ -98,6 +98,7 @@ class GraftTable private (
   private[graft] def fmtOptions: Map[String, String] =
     (if (fileFormat == "csv") Map("nullValue" -> "\\N")
      else Map.empty[String, String]) ++
+      config.options.get("file.compression").map("compression" -> _) ++
       config.options.filter(_._1.startsWith(fileFormat + "."))
 
   /** Read data files in the table's format with an explicit schema.
@@ -268,7 +269,10 @@ class GraftTable private (
    * is a parquet read, nothing driver-side except the per-partition counters.
    */
   private def assignDynamicBuckets(df: DataFrame): DataFrame = {
-    val target = config.option("dynamic-bucket.target-row-count", "100000").toLong
+    // reference key is target-row-num; the -count spelling predates it here
+    val target = config.options.get("dynamic-bucket.target-row-num")
+      .orElse(config.options.get("dynamic-bucket.target-row-count"))
+      .getOrElse("100000").toLong
     val KH = "__kh"
     val khExpr = xxhash64(pks.map(col).toIndexedSeq: _*)
     val batchKeys = df.select(col(PT), khExpr.as(KH)).distinct()
@@ -311,8 +315,23 @@ class GraftTable private (
       .join(broadcast(countDf), Seq(PT), "left")
       .withColumn("__base", coalesce(col("__base"), lit(0L)))
       .withColumn("__rn", row_number().over(w))
-      .withColumn(BUCKET,
-        ((col("__base") + col("__rn") - 1) / target).cast(IntegerType))
+      // dynamic-bucket.initial-buckets: early keys SPREAD round-robin over
+      // that many buckets instead of filling bucket 0 first (parallel
+      // first-load); dynamic-bucket.max-buckets caps growth — once the
+      // sequential id passes max*target, new keys wrap onto existing
+      // buckets (paimon MAX_BUCKETS semantics, -1 = unbounded)
+      .withColumn("__sid", col("__base") + col("__rn") - 1)
+      .withColumn(BUCKET, {
+        val initial = config.option("dynamic-bucket.initial-buckets", "-1").toInt
+        val maxB = config.option("dynamic-bucket.max-buckets", "-1").toInt
+        val seqB =
+          if (initial > 0)
+            when(col("__sid") < initial * target, pmod(col("__sid"), lit(initial)))
+              .otherwise(col("__sid") / target)
+          else col("__sid") / target
+        (if (maxB > 0) pmod(seqB.cast(LongType), lit(maxB.toLong)) else seqB)
+          .cast(IntegerType)
+      })
       .select(col(PT), col(KH), col(BUCKET))
     // persist new assignments + advance per-partition counters, THEN route
     // the batch through the refreshed on-disk index — the routing plan must
@@ -496,6 +515,11 @@ class GraftTable private (
         config.primaryKeys.contains(fieldName) ||
         fieldName == SEQ || fieldName == KIND || fieldName == ROW_ID)
       return "full"
+    // metadata.stats-keep-first-n-columns: only the first N data columns
+    // keep stats (pk/partition/envelope stay full via the early return)
+    val keepN = config.option("metadata.stats-keep-first-n-columns", "-1").toInt
+    if (keepN >= 0 && dataSchema.fieldNames.indexOf(fieldName) >= keepN)
+      return "none"
     config.options.get(s"fields.$fieldName.stats-mode").getOrElse {
       val perLevel = config.option("metadata.stats-mode.per.level", "")
         .split(',').iterator.map(_.trim).filter(_.contains(':'))

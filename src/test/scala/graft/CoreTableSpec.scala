@@ -422,6 +422,48 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.read().count() == 2)
   }
 
+  test("dynamic-bucket initial-buckets spread + max-buckets cap") {
+    val loc = tmpLoc("dynb")
+    val schema = Seq((1L, "v")).toDF("k", "v").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = -1,
+        options = Map("dynamic-bucket.target-row-num" -> "5",
+          "dynamic-bucket.initial-buckets" -> "3",
+          "dynamic-bucket.max-buckets" -> "4")))
+    t.write((0L until 40L).map(k => (k, s"v$k")).toDF("k", "v"))
+    val buckets = t.planFiles().map(_.bucket).toSet
+    // 40 keys / target 5 = ids 0..39 → raw buckets 0..7, capped mod 4
+    assert(buckets.subsetOf(Set(0, 1, 2, 3)), s"buckets $buckets")
+    assert(buckets.size > 1, "initial-buckets should spread early keys")
+    assert(t.read().count() == 40)
+    // routing stays stable: re-upsert must not duplicate
+    t.write((0L until 40L).map(k => (k, s"w$k")).toDF("k", "v"))
+    assert(t.read().count() == 40)
+    assert(t.read().filter(col("v").startsWith("w")).count() == 40)
+  }
+
+  test("metadata.stats-keep-first-n-columns + file.compression") {
+    val loc = tmpLoc("statsn")
+    val schema = Seq((1L, "a", "b")).toDF("k", "c1", "c2").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("metadata.stats-keep-first-n-columns" -> "2",
+          "file.compression" -> "gzip")))
+    t.write(Seq((1L, "a", "b"), (2L, "c", "d")).toDF("k", "c1", "c2"))
+    val e = t.planFiles().head
+    assert(e.stats.contains("c1") && e.stats("c1").min != null)
+    assert(!e.stats.contains("c2") || e.stats("c2").min == null,
+      s"c2 stats should be dropped: ${e.stats.get("c2")}")
+    assert(e.stats.contains("k") && e.stats("k").min != null) // pk stays full
+    // compression reached the writer
+    val dataFiles = new java.io.File(loc).listFiles()
+      .filter(_.isDirectory).flatMap(d =>
+        org.apache.commons.io.FileUtils.listFiles(d,
+          Array("parquet"), true).toArray.map(_.toString))
+    assert(dataFiles.exists(_.contains(".gz.parquet")),
+      s"expected gzip parquet files, got ${dataFiles.take(3).mkString(",")}")
+  }
+
   test("sequence.field.sort-order=descending: smaller sequence wins") {
     val loc = tmpLoc("seq-desc")
     val schema = Seq((1L, "v", 5L)).toDF("k", "v", "ver").schema
