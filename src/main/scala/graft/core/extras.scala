@@ -239,6 +239,53 @@ object Procedures {
         // same file-set replay as fast_forward, branch kept
         val s = table.fastForward(args("branch"))
         ok(s"merged branch ${args("branch")} into main (snapshot ${s.id})")
+      case "copy" =>
+        // paimon sys.copy (CopyProcedure): file-level copy into
+        // target_table WITHOUT rewriting rows; `where` is an exact
+        // partition predicate selecting which source partitions move. The
+        // target is created with the source's layout when absent.
+        val dstLoc = args("target_table")
+        val tgt =
+          if (GraftTable.exists(spark, dstLoc)) {
+            val t0 = GraftTable.load(spark, dstLoc)
+            require(t0.schema.fields.map(f => (f.name, f.dataType)) ==
+              table.schema.fields.map(f => (f.name, f.dataType)),
+              "copy requires identical schemas")
+            require(t0.config.isPrimaryKeyed == table.config.isPrimaryKeyed,
+              "copy requires matching table kinds")
+            t0
+          } else GraftTable.create(spark, dstLoc, table.dataSchema, table.config)
+        val whereEntries = args.get("where") match {
+          case Some(w) =>
+            val cond = StatsPrune.resolve(spark, table.dataSchema, expr(w))
+            val refs = cond.references.map(_.name).toSet
+            require(refs.nonEmpty &&
+              refs.subsetOf(table.config.partitionKeys.toSet),
+              "copy `where` must reference partition columns only")
+            table.planFiles().filter(e =>
+              StatsPrune.partitionMatches(cond, table.dataSchema, e.partition))
+          case None => table.planFiles()
+        }
+        require(whereEntries.forall(_.schemaId == table.sm.latestSchemaId),
+          "copy requires the source fully on its latest schema " +
+            "(run a compaction there first)")
+        val (sLoc, dLoc) = (table.location, tgt.location)
+        val hc = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val nCopied = spark.sparkContext
+          .parallelize(whereEntries.map(_.path), 32)
+          .map { rel =>
+            val sfs = new Path(sLoc, rel).getFileSystem(hc.value)
+            org.apache.hadoop.fs.FileUtil.copy(
+              sfs, new Path(sLoc, rel),
+              sfs, new Path(dLoc, rel), false, true, hc.value)
+            1L
+          }.sum()
+        val snap = tgt.sm.commit(
+          whereEntries.map(_.copy(schemaId = tgt.schema.id)),
+          "APPEND", s"copy-${UUID.randomUUID().toString.take(8)}",
+          tgt.schema.id)
+        ok(s"copied ${nCopied.toLong} files to $dstLoc (snapshot ${snap.id})")
       case "copy_files" =>
         // copy another graft table's live data files into this one WITHOUT
         // rewriting rows (paimon CopyFilesProcedure): bytes move in a

@@ -738,6 +738,21 @@ class CoreTableSpec extends SparkTestBase {
     // source had 2 commits on the same 4 keys: merged read keeps 4 rows
     assertSameRows(GraftTable.load(spark, loc2).read(),
       GraftTable.load(spark, loc).read())
+    // sys.copy: partition-filtered file-level copy, target auto-created
+    val locP = tmpLoc("proctail-src-pt")
+    val tp = GraftTable.create(spark, locP,
+      Seq((1L, "x", "a")).toDF("k", "v", "pt").schema,
+      TableConfig(partitionKeys = Seq("pt")))
+    tp.write(Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "a"))
+      .toDF("k", "v", "pt"))
+    val locC = tmpLoc("proctail-copy")
+    val resC = Procedures.call(spark, tp, "copy",
+      Map("target_table" -> locC, "where" -> "pt = 'a'")).head().getString(0)
+    assert(resC.startsWith("copied"), resC)
+    assert(GraftTable.load(spark, locC).read()
+      .select("k").as[Long].collect().toSet == Set(1L, 3L))
+    intercept[Exception](Procedures.call(spark, tp, "copy",
+      Map("target_table" -> locC, "where" -> "v = 'x'"))) // not a partition col
     // repair after manual file loss drops the dangling entry
     val victim = GraftTable.load(spark, loc2).planFiles().head.path
     t2.sm.fs.delete(new org.apache.hadoop.fs.Path(loc2, victim), false)
