@@ -190,6 +190,62 @@ class FuzzEnginesSpec extends SparkTestBase {
     check()
   }
 
+  test("random ops with two sequence fields agree with a (ut,flag,arrival) model (2 seeds)") {
+    Seq(31L, 555L).foreach(seq2Scenario)
+  }
+
+  private def seq2Scenario(seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val loc = tmpLoc(s"fuzz-seq2-$seed")
+    val schema = Seq((1L, "v", 1L, 1L)).toDF("k", "v", "ut", "flag").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        sequenceField = Some("ut,flag")))
+    // model: per key keep (v, ut, flag, arrival); an upsert wins iff its
+    // (ut, flag, arrival) orders >= the stored one
+    var model = Map.empty[Long, (String, Long, Long, Int)]
+    var arrival = 0
+
+    def check(): Unit = {
+      val got = t.read().select("k", "v").as[(Long, String)].collect().toMap
+      val want = model.map { case (k, (v, _, _, _)) => k -> v }
+      assert(got == want, s"seed=$seed: " +
+        s"missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)} " +
+        s"diff=${want.keySet.intersect(got.keySet).filter(k => want(k) != got(k)).take(5)}")
+    }
+
+    for (i <- 0 until 14) {
+      rnd.nextInt(6) match {
+        case 5 => t.compact()
+        case 4 if model.nonEmpty => // DV delete one key
+          val k = model.keySet.toSeq(rnd.nextInt(model.size))
+          t.deleteDv(col("k") === k)
+          model -= k
+        case 3 => // COW delete a range
+          val lo = rnd.nextInt(20).toLong
+          t.delete(col("k").between(lo, lo + 4))
+          model = model.filterNot { case (k, _) => k >= lo && k <= lo + 4 }
+        case _ => // upsert batch with random (ut, flag)
+          arrival += 1
+          val keys = rnd.shuffle((0L until 20L).toList).take(1 + rnd.nextInt(6))
+          val rows = keys.map { k =>
+            (k, s"v$i-$k", rnd.nextInt(4).toLong, rnd.nextInt(4).toLong)
+          }
+          t.write(rows.toDF("k", "v", "ut", "flag"))
+          rows.foreach { case (k, v, ut, fl) =>
+            val wins = model.get(k).forall { case (_, u0, f0, a0) =>
+              Ordering[(Long, Long, Int)].gteq((ut, fl, arrival), (u0, f0, a0))
+            }
+            if (wins) model += k -> (v, ut, fl, arrival)
+          }
+      }
+      if (i % 3 == 2) check()
+    }
+    t.compact()
+    check()
+  }
+
   test("random branch ops: main/branch isolation + fast-forward agree with models") {
     val rnd = new Random(99L)
     val loc = tmpLoc("fuzz-branch")
