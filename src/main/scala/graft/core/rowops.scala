@@ -108,18 +108,35 @@ object RowOps {
           val pc = cfg.options.getOrElse("partition.expiration-column",
             cfg.partitionKeys.headOption.getOrElse(throw new IllegalArgumentException(
               "partition.expiration-time requires a partitioned table")))
-          val fmtS = cfg.options.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd")
-          val fmt = java.time.format.DateTimeFormatter.ofPattern(fmtS)
-          val threshold = java.time.Instant.now()
-            .minusMillis(parseDurationMs(durStr))
-            .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(fmt)
-          val victims = t.planFiles().filter(e =>
-            e.partition.get(pc).exists(v => v != null && v < threshold))
+          val live = t.planFiles()
+          // partition.expiration-strategy (CoreOptions.java:1342):
+          // values-time compares the partition VALUE rendered in the
+          // partition's format; update-time compares the partition's last
+          // data-file modification time
+          val victims =
+            if (cfg.option("partition.expiration-strategy", "values-time")
+                == "update-time") {
+              val cutoff = System.currentTimeMillis() - parseDurationMs(durStr)
+              val fs = t.sm.fs
+              val lastUpdate = live.groupBy(_.partition).map { case (p, es) =>
+                p -> es.map(e => fs.getFileStatus(
+                  new Path(t.location, e.path)).getModificationTime).max
+              }
+              live.filter(e => lastUpdate(e.partition) < cutoff)
+            } else {
+              val fmtS = cfg.options.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd")
+              val fmt = java.time.format.DateTimeFormatter.ofPattern(fmtS)
+              val threshold = java.time.Instant.now()
+                .minusMillis(parseDurationMs(durStr))
+                .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(fmt)
+              live.filter(e =>
+                e.partition.get(pc).exists(v => v != null && v < threshold))
+            }
           if (victims.isEmpty) 0
           else {
             val parts = victims.map(_.partition).distinct.size
             t.sm.commit(victims.map(_.copy(kind = 1)), "OVERWRITE",
-              s"auto-expire-partitions-$threshold", t.schema.id)
+              s"auto-expire-partitions", t.schema.id)
             parts
           }
         case None => 0

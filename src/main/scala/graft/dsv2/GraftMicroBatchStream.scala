@@ -68,7 +68,9 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
   private def consumerId: Option[String] = opt("consumer-id")
 
   override def initialOffset(): Offset = {
-    consumerId.foreach { id =>
+    // consumer.ignore-progress: start from the scan's own startup mode,
+    // not the stored cursor (the cursor still advances as batches commit)
+    if (!opt("consumer.ignore-progress").contains("true")) consumerId.foreach { id =>
       Consumers.get(t, id).foreach { st =>
         return GraftOffset(math.max(0L, st.nextSnapshot - 1))
       }
@@ -135,9 +137,15 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
         (Long.MaxValue, f.maxFiles())
       case _ => (Long.MaxValue, Int.MaxValue)
     }
+    // scan.bounded.watermark: bounded streaming — never admit a snapshot
+    // whose watermark exceeds the bound (the stream idles at the boundary;
+    // Trigger.AvailableNow terminates there)
+    val bound = opt("scan.bounded.watermark").map(_.toLong)
     var end = s; var rows = 0L; var snaps = 0
     while (end < latest && snaps < maxSnaps && rows < maxRows) {
       val meta = t.sm.readSnapshot(end + 1)
+      if (bound.exists(b => meta.watermarkLong.exists(_ > b)))
+        return GraftOffset(end)
       val r = if (meta.kind == "COMPACT") 0L else meta.deltaRecords
       // always admit at least one snapshot so the stream advances
       if (snaps > 0 && (rows + r > maxRows || snaps + 1 > maxSnaps)) {

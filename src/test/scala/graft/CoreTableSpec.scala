@@ -422,6 +422,21 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.read().count() == 2)
   }
 
+  test("partition.expiration-strategy=update-time expires idle partitions by file mtime") {
+    val loc = tmpLoc("pt-upd-exp")
+    val schema = Seq((1L, "v", "a")).toDF("k", "v", "pt").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(partitionKeys = Seq("pt"),
+        options = Map("partition.expiration-time" -> "2s",
+          "partition.expiration-strategy" -> "update-time")))
+    t.write(Seq((1L, "x", "a")).toDF("k", "v", "pt"))
+    Thread.sleep(3000)
+    t.write(Seq((2L, "y", "b")).toDF("k", "v", "pt")) // commit hook expires 'a'
+    val parts = GraftTable.load(spark, loc).read()
+      .select("pt").as[String].collect().toSet
+    assert(parts == Set("b"), s"expected idle partition 'a' expired, got $parts")
+  }
+
   test("dynamic-bucket initial-buckets spread + max-buckets cap") {
     val loc = tmpLoc("dynb")
     val schema = Seq((1L, "v")).toDF("k", "v").schema

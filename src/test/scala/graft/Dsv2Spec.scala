@@ -259,6 +259,29 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.table(outName2).count() == 0)
   }
 
+  test("streaming: scan.bounded.watermark stops before higher-watermark snapshots") {
+    import graft.core.RowOps._
+    val loc = Files.createTempDirectory("graft-bw").resolve("t").toString
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = graft.core.GraftTable.create(spark, loc, df.schema,
+      graft.core.TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(Seq((1L, "a")).toDF("k", "v"), watermark = Some(100L))
+    t.write(Seq((2L, "b")).toDF("k", "v"), watermark = Some(200L))
+    t.write(Seq((3L, "c")).toDF("k", "v"), watermark = Some(300L)) // beyond bound
+    val ckpt = Files.createTempDirectory("graft-bw-ckpt").toString
+    val outName = "bw_sink_" + System.nanoTime()
+    val q = spark.readStream.format("graft")
+      .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+      .option("scan.bounded.watermark", "250")
+      .load(loc)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(outName).start()
+    q.awaitTermination(60000)
+    assert(spark.table(outName).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L), "snapshot with watermark 300 must not be admitted")
+  }
+
   test("streaming changelog: -U/+U rows from write-time lookup producer") {
     import graft.core.RowOps._
     val loc = Files.createTempDirectory("graft-cl").resolve("t").toString
@@ -525,6 +548,13 @@ class Dsv2Spec extends SparkTestBase {
       Map("consumer-id" -> "c1"))
     assert(st2.initialOffset().asInstanceOf[graft.dsv2.GraftOffset].snapshotId == 2L)
     assert(graft.core.Consumers.get(t, "c1").map(_.nextSnapshot).contains(3L))
+    // consumer.ignore-progress: the stored cursor is ignored at startup
+    // (scan mode decides), while commits keep advancing it
+    val st3 = new graft.dsv2.GraftMicroBatchStream(t, tmpLoc("ck4"),
+      Map("consumer-id" -> "c1", "consumer.ignore-progress" -> "true",
+        "scan.mode" -> "from-snapshot", "scan.snapshot-id" -> "1"))
+    assert(st3.initialOffset().asInstanceOf[graft.dsv2.GraftOffset].snapshotId == 0L,
+      "ignore-progress must start from the scan mode, not the cursor")
   }
 
   test("incremental-between read option; substring predicate transform prunes") {
