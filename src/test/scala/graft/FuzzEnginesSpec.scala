@@ -19,6 +19,12 @@ class FuzzEnginesSpec extends SparkTestBase {
     Seq(7L, 4242L).foreach(aggScenario)
   }
 
+  test("deep sweep across merge-engine fuzzers (extra seeds)") {
+    Seq(101L, 202L).foreach(aggScenario)
+    Seq(303L, 404L).foreach(puScenario)
+    Seq(505L, 606L).foreach(seq2Scenario)
+  }
+
   private def aggScenario(seed: Long): Unit = {
     val rnd = new Random(seed)
     val loc = tmpLoc(s"fuzz-agg-$seed")
