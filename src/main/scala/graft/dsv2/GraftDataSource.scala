@@ -155,6 +155,19 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
           require(ids.nonEmpty, s"no snapshot committed at or before $ts")
           ids.max
         })
+        // scan.version: VERSION AS OF string — tag wins over a same-named
+        // snapshot id (CoreOptions.java:1243)
+        .orElse(merged.get("scan.version").map { v =>
+          if (t.sm.listTags().exists(_.name == v)) t.sm.readTag(v).snapshotId
+          else v.toLong
+        })
+        // scan.watermark: latest snapshot whose watermark <= the value
+        .orElse(merged.get("scan.watermark").map { w =>
+          val ids = t.sm.snapshotIds.filter(id =>
+            t.sm.readSnapshot(id).watermarkLong.exists(_ <= w.toLong))
+          require(ids.nonEmpty, s"no snapshot with watermark at or below $w")
+          ids.max
+        })
     new GraftScanBuilder(t, snapshotId.orElse(optSnap), merged)
   }
 

@@ -1029,6 +1029,16 @@ class Dsv2Spec extends SparkTestBase {
     val ts1 = t.sm.readSnapshot(1).timestampMs
     assert(spark.read.format("graft").option("scan.timestamp-millis", ts1.toString)
       .load(loc).count() == 1)
+    // scan.version: tag name wins over a same-looking snapshot id
+    assert(spark.read.format("graft").option("scan.version", "v1")
+      .load(loc).count() == 1)
+    assert(spark.read.format("graft").option("scan.version", "2")
+      .load(loc).count() == 2)
+    // scan.watermark: latest snapshot at or below the watermark
+    t.write(Seq((3L, "c")).toDF("k", "v"), watermark = Some(500L))
+    t.write(Seq((4L, "d")).toDF("k", "v"), watermark = Some(900L))
+    assert(spark.read.format("graft").option("scan.watermark", "600")
+      .load(loc).count() == 3)
   }
 
   test("ANALYZE column stats reach the DSv2 scan (CBO columnStats)") {
