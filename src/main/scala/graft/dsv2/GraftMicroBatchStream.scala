@@ -67,6 +67,14 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
     * consumer-aware snapshot expiry protects unread history. */
   private def consumerId: Option[String] = opt("consumer-id")
 
+  /** COMPACT snapshots never stream (state-neutral); OVERWRITE snapshots
+    * (COW deletes/updates, INSERT OVERWRITE) are re-emitted rewrites and
+    * stream only with streaming-read-overwrite=true (CoreOptions.java:1302,
+    * reference default false). */
+  private def skipKind(kind: String): Boolean =
+    kind == "COMPACT" || (kind == "OVERWRITE" &&
+      !opt("streaming-read-overwrite").contains("true"))
+
   override def initialOffset(): Offset = {
     // consumer.ignore-progress: start from the scan's own startup mode,
     // not the stored cursor (the cursor still advances as batches commit)
@@ -146,7 +154,7 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
       val meta = t.sm.readSnapshot(end + 1)
       if (bound.exists(b => meta.watermarkLong.exists(_ > b)))
         return GraftOffset(end)
-      val r = if (meta.kind == "COMPACT") 0L else meta.deltaRecords
+      val r = if (skipKind(meta.kind)) 0L else meta.deltaRecords
       // always admit at least one snapshot so the stream advances
       if (snaps > 0 && (rows + r > maxRows || snaps + 1 > maxSnaps)) {
         return GraftOffset(end)
@@ -178,7 +186,7 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
       if (!t.sm.snapshotExists(id)) Nil
       else {
         val snap = t.sm.readSnapshot(id)
-        if (snap.kind == "COMPACT") Nil
+        if (skipKind(snap.kind)) Nil
         else if (readChangelog && snap.changelogFiles.nonEmpty)
           snap.changelogFiles.map(p => GraftFilePartition(
             new Path(t.location, p).toString, null): InputPartition)

@@ -259,6 +259,32 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.table(outName2).count() == 0)
   }
 
+  test("streaming-read-overwrite: COW rewrites skipped by default, streamed on opt-in") {
+    import graft.core.RowOps._
+    val loc = Files.createTempDirectory("graft-sro").resolve("t").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = graft.core.GraftTable.create(spark, loc, df.schema,
+      graft.core.TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df)                      // snap 1 (APPEND)
+    t.delete(col("k") === 1L)        // snap 2 (OVERWRITE rewrite of the bucket)
+    def run(opts: Map[String, String]): Long = {
+      val ckpt = Files.createTempDirectory("graft-sro-ckpt").toString
+      val outName = "sro_sink_" + System.nanoTime()
+      var r = spark.readStream.format("graft")
+        .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(loc)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(outName).start()
+      q.awaitTermination(60000)
+      spark.table(outName).count()
+    }
+    assert(run(Map.empty) == 2L, "default: only the APPEND streams")
+    assert(run(Map("streaming-read-overwrite" -> "true")) == 3L,
+      "opt-in: the rewrite's surviving row streams too")
+  }
+
   test("streaming: scan.bounded.watermark stops before higher-watermark snapshots") {
     import graft.core.RowOps._
     val loc = Files.createTempDirectory("graft-bw").resolve("t").toString
