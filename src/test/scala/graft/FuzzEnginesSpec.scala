@@ -118,6 +118,109 @@ class FuzzEnginesSpec extends SparkTestBase {
     check()
   }
 
+  test("random aggregation retraction sequences agree with a sequential fold model (2 seeds)") {
+    Seq(17L, 911L).foreach(aggRetractScenario)
+  }
+
+  /** Retraction semantics pinned: sum/count subtract; last_value nulls when
+    * the retract row orders last; collect removes one occurrence of each
+    * retracted element. Interleaved compactions must not change outcomes
+    * (accumulator refolds). */
+  private def aggRetractScenario(seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val loc = tmpLoc(s"fuzz-aggret-$seed")
+    val schema = Seq((1L, Option(1.0), Option(1), Option("v"), Option(Seq("c")), "+I"))
+      .toDF("k", "su", "ct", "lv", "co", "rk").schema
+    val t = GraftTable.create(spark, loc, schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        mergeEngine = "aggregation",
+        fieldAggregates = Map("su" -> "sum", "ct" -> "count",
+          "lv" -> "last_value", "co" -> "collect"),
+        options = Map("rowkind.field" -> "rk")))
+
+    case class S(su: Option[Double], ct: Long, lv: Option[String],
+                 coTouched: Boolean, co: Vector[String])
+    var model = Map.empty[Long, S]
+
+    def opt[T](p: Double)(v: => T): Option[T] =
+      if (rnd.nextDouble() < p) None else Some(v)
+
+    def check(): Unit = {
+      val got = t.read().select("k", "su", "ct", "lv", "co")
+        .as[(Long, Option[Double], Option[Long], Option[String], Option[Seq[String]])]
+        .collect().map(r => r._1 -> r).toMap
+      assert(got.keySet == model.keySet, s"seed=$seed keys: " +
+        s"missing=${(model.keySet -- got.keySet).take(5)} extra=${(got.keySet -- model.keySet).take(5)}")
+      model.foreach { case (k, m) =>
+        val g = got(k)
+        assert(g._2 == m.su, s"seed=$seed k=$k sum: got ${g._2} want ${m.su}")
+        assert(g._3 == Some(m.ct), s"seed=$seed k=$k count: got ${g._3} want ${m.ct}")
+        assert(g._4 == m.lv, s"seed=$seed k=$k last_value: got ${g._4} want ${m.lv}")
+        // collect: NULL until any non-null input arrived; empty array
+        // (not null) once retraction drained a previously-fed accumulator
+        val wantCo = if (!m.coTouched) None else Some(m.co)
+        assert(g._5.map(_.toVector) == wantCo,
+          s"seed=$seed k=$k collect: got ${g._5} want $wantCo")
+      }
+    }
+
+    for (i <- 0 until 14) {
+      rnd.nextInt(5) match {
+        case 4 => t.compact()
+        case 3 => t.compactWhere(_.bucket == rnd.nextInt(2))
+        case _ =>
+          val isRetract = rnd.nextDouble() < 0.3
+          val pool = if (isRetract && model.nonEmpty)
+            rnd.shuffle(model.keySet.toList).take(1 + rnd.nextInt(3))
+          else rnd.shuffle((0L until 12L).toList).take(1 + rnd.nextInt(5))
+          val rows = pool.map { k =>
+            val coVal =
+              if (isRetract && model.get(k).exists(_.co.nonEmpty))
+                Some(Seq(model(k).co(rnd.nextInt(model(k).co.size))))
+              else opt(0.3)(Seq(s"c$i"))
+            (k, opt(0.2)(rnd.nextInt(9).toDouble), opt(0.2)(1),
+              opt(0.3)(s"v$i"), coVal, if (isRetract) "-D" else "+I")
+          }
+          t.write(rows.toDF("k", "su", "ct", "lv", "co", "rk"))
+          rows.foreach { case (k, su, ct, lv, co, rk) =>
+            val m = model.getOrElse(k, S(None, 0L, None, false, Vector.empty))
+            if (rk == "+I") {
+              model += k -> S(
+                su = (m.su, su) match {
+                  case (Some(a), Some(b)) => Some(a + b)
+                  case (a, b) => a.orElse(b)
+                },
+                ct = m.ct + ct.size,
+                lv = lv, // last_value: every input replaces, null included
+                coTouched = m.coTouched || co.isDefined,
+                co = m.co ++ co.toVector.flatten)
+            } else {
+              // retract: sum/count subtract, last_value becomes null (the
+              // retract orders last), collect removes one occurrence each
+              val coAfter = co.toVector.flatten.foldLeft(m.co) { (acc, e) =>
+                val idx = acc.indexOf(e)
+                if (idx >= 0) acc.patch(idx, Nil, 1) else acc
+              }
+              model += k -> S(
+                su = (m.su, su) match {
+                  case (Some(a), Some(b)) => Some(a - b)
+                  case (a, b) => a.orElse(b.map(-_))
+                },
+                ct = m.ct - ct.size,
+                lv = None,
+                // a retract on a never-fed accumulator keeps it NULL
+                // (reference FieldCollectAgg.retract acc==null => null)
+                coTouched = m.coTouched,
+                co = coAfter)
+            }
+          }
+      }
+      if (i % 3 == 2) check()
+    }
+    t.compact()
+    check()
+  }
+
   test("random partial-update batches with a sequence group agree with a fold model (2 seeds)") {
     Seq(13L, 777L).foreach(puScenario)
   }
