@@ -103,6 +103,14 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
         val ts = opt("scan.timestamp-millis").map(_.toLong).getOrElse(0L)
         val ids = t.sm.snapshotIds.filter(id => t.sm.readSnapshot(id).timestampMs <= ts)
         GraftOffset(if (ids.isEmpty) 0L else ids.max)
+      // everything since table creation (paimon FROM_CREATION_TIMESTAMP)
+      case "from-creation-timestamp" => GraftOffset(0L)
+      // full state restricted to files created at/after
+      // scan.file-creation-time-millis (paimon FROM_FILE_CREATION_TIME)
+      case "from-file-creation-time" =>
+        require(opt("scan.file-creation-time-millis").isDefined,
+          "from-file-creation-time requires scan.file-creation-time-millis")
+        GraftOffset(-4L)
       case other => throw new IllegalArgumentException(s"unknown scan.mode $other")
     }
   }
@@ -179,7 +187,15 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
     if (s < 0) {
       // latest-full: serve the complete current state (raw live files)
       if (e <= 0) return Array.empty
-      return t.planFiles(Some(e)).map(en => GraftFilePartition(
+      var entries = t.planFiles(Some(e))
+      // FROM_FILE_CREATION_TIME: only files created at/after the cutoff
+      if (s == -4L) {
+        val cutoff = opt("scan.file-creation-time-millis").get.toLong
+        val fs = t.sm.fs
+        entries = entries.filter(en => fs.getFileStatus(
+          new Path(t.location, en.path)).getModificationTime >= cutoff)
+      }
+      return entries.map(en => GraftFilePartition(
         new Path(t.location, en.path).toString, "+I"): InputPartition).toArray
     }
     (s + 1 to e).flatMap { id =>

@@ -259,6 +259,33 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.table(outName2).count() == 0)
   }
 
+  test("streaming startup: from-creation-timestamp and from-file-creation-time") {
+    import graft.core.RowOps._
+    val loc = Files.createTempDirectory("graft-fct").resolve("t").toString
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = graft.core.GraftTable.create(spark, loc, df.schema,
+      graft.core.TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df)
+    Thread.sleep(1200)
+    val cutoff = System.currentTimeMillis()
+    t.write(Seq((2L, "b")).toDF("k", "v"))
+    def run(opts: Map[String, String]): Set[Long] = {
+      val ckpt = Files.createTempDirectory("graft-fct-ckpt").toString
+      val outName = "fct_sink_" + System.nanoTime()
+      var r = spark.readStream.format("graft")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(loc).writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(outName).start()
+      q.awaitTermination(60000)
+      spark.table(outName).select("k").as[Long].collect().toSet
+    }
+    assert(run(Map("scan.mode" -> "from-creation-timestamp")) == Set(1L, 2L))
+    assert(run(Map("scan.mode" -> "from-file-creation-time",
+      "scan.file-creation-time-millis" -> cutoff.toString)) == Set(2L),
+      "only the file created after the cutoff should stream")
+  }
+
   test("streaming-read-overwrite: COW rewrites skipped by default, streamed on opt-in") {
     import graft.core.RowOps._
     val loc = Files.createTempDirectory("graft-sro").resolve("t").toString
