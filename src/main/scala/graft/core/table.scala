@@ -1251,7 +1251,16 @@ class GraftTable private (
   private def readMain(filter: Option[Column], snapshotId: Option[Long]): DataFrame = {
     val patches = if (isRowTracking) patchesFor(snapshotId) else Nil
     if (patches.nonEmpty) return readPatched(filter, snapshotId, patches)
-    val entries = planFiles(snapshotId, filter)
+    // scan.file-creation-time-millis (batch form): only files created at or
+    // after the cutoff serve the read — maintenance paths are unaffected
+    // (they plan through planFiles directly)
+    val fileCutoff = config.options.get("scan.file-creation-time-millis").map(_.toLong)
+    val entries0 = planFiles(snapshotId, filter)
+    val entries = fileCutoff match {
+      case Some(c) => entries0.filter(e =>
+        sm.fs.getFileStatus(new Path(location, e.path)).getModificationTime >= c)
+      case None => entries0
+    }
     if (entries.isEmpty) return filter.foldLeft(emptyDf)((d, c) => d.filter(c))
     val dv = dvFor(snapshotId)
     val out =

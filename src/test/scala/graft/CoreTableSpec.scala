@@ -422,6 +422,22 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.read().count() == 2)
   }
 
+  test("scan.file-creation-time-millis restricts batch reads to newer files") {
+    val loc = tmpLoc("fct-batch")
+    val schema = Seq((1L, "v")).toDF("k", "v").schema
+    val t = GraftTable.create(spark, loc, schema, TableConfig())
+    t.write(Seq((1L, "old")).toDF("k", "v"))
+    Thread.sleep(1200)
+    val cutoff = System.currentTimeMillis()
+    t.write(Seq((2L, "new")).toDF("k", "v"))
+    val t2 = GraftTable.load(spark, loc)
+    t2.setOptions(Map("scan.file-creation-time-millis" -> cutoff.toString))
+    val got = GraftTable.load(spark, loc).read().select("k").as[Long].collect().toSet
+    assert(got == Set(2L), s"expected only the newer file, got $got")
+    GraftTable.load(spark, loc).removeOptions(Seq("scan.file-creation-time-millis"))
+    assert(GraftTable.load(spark, loc).read().count() == 2)
+  }
+
   test("partition.expiration-strategy=update-time expires idle partitions by file mtime") {
     val loc = tmpLoc("pt-upd-exp")
     val schema = Seq((1L, "v", "a")).toDF("k", "v", "pt").schema
