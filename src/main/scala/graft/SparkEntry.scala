@@ -156,9 +156,9 @@ object SparkEntry {
         round(sum("o_totalprice"), 2).as("total"))),
     "q_audit_log" -> ((s, d) => Fixtures.ordersPk(s, d).auditLog(Some(2L))
       .groupBy("rowkind").agg(count(lit(1)).as("cnt"))),
-    // VERSION AS OF watermark: latest snapshot whose watermark <= 1500 is
-    // snapshot 1 (pre-update state)
-    "q_watermark" -> ((s, d) => Fixtures.ordersWm(s, d).readWatermark(1500L)
+    // VERSION AS OF watermark: EARLIEST snapshot whose watermark >= 1000 is
+    // snapshot 1 (pre-update state) — reference laterOrEqualWatermark
+    "q_watermark" -> ((s, d) => Fixtures.ordersWm(s, d).readWatermark(1000L)
       .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"),
         round(sum("o_totalprice"), 2).as("total"))),
     // configured column default materialized for an input lacking the column

@@ -112,12 +112,14 @@ object Procedures {
           args.get("next_snapshot").map(_.toLong))
         ok(s"consumer ${args("consumer_id")} reset")
       case "create_tag_from_watermark" =>
+        // reference CreateTagFromWatermarkProcedure -> laterOrEqualWatermark:
+        // EARLIEST snapshot whose watermark >= the requested value
         val w = args("watermark").toLong
         val ids = table.sm.snapshotIds.filter(id =>
-          table.sm.readSnapshot(id).watermarkLong.exists(_ <= w))
-        require(ids.nonEmpty, "no snapshot at or before watermark")
-        table.sm.createTag(args("tag"), ids.max)
-        ok(s"tag ${args("tag")} -> snapshot ${ids.max} (watermark $w)")
+          table.sm.readSnapshot(id).watermarkLong.exists(_ >= w))
+        require(ids.nonEmpty, "no snapshot later than or equal to watermark")
+        table.sm.createTag(args("tag"), ids.min)
+        ok(s"tag ${args("tag")} -> snapshot ${ids.min} (watermark $w)")
       case "rollback_to_tag" =>
         val tg = table.sm.readTag(args("tag"))
         val s = table.rollback(tg.snapshotId)
@@ -276,9 +278,10 @@ object Procedures {
           .parallelize(whereEntries.map(_.path), 32)
           .map { rel =>
             val sfs = new Path(sLoc, rel).getFileSystem(hc.value)
+            val dfs = new Path(dLoc, rel).getFileSystem(hc.value)
             org.apache.hadoop.fs.FileUtil.copy(
               sfs, new Path(sLoc, rel),
-              sfs, new Path(dLoc, rel), false, true, hc.value)
+              dfs, new Path(dLoc, rel), false, true, hc.value)
             1L
           }.sum()
         val snap = tgt.sm.commit(
@@ -306,9 +309,10 @@ object Procedures {
         val copied = spark.sparkContext.parallelize(entries.map(_.path), 32)
           .map { rel =>
             val sfs = new Path(srcLoc, rel).getFileSystem(hconf.value)
+            val dfs = new Path(dstLoc, rel).getFileSystem(hconf.value)
             org.apache.hadoop.fs.FileUtil.copy(
               sfs, new Path(srcLoc, rel),
-              sfs, new Path(dstLoc, rel), false, true, hconf.value)
+              dfs, new Path(dstLoc, rel), false, true, hconf.value)
             1L
           }.sum()
         // entries re-home under the TARGET's current schema id (schemas

@@ -116,7 +116,12 @@ case class ManifestEntry(
     stats: Map[String, ColStat],
     // schema version the file was written under — reads remap old files to
     // the current schema BY FIELD ID (rename/drop/retype safe)
-    schemaId: Long = 0L)
+    schemaId: Long = 0L,
+    // epoch-millis the file was WRITTEN (cf. paimon DataFileMeta.creationTime,
+    // paimon-core/.../io/DataFileMeta.java:253). 0 = unknown (manifests
+    // written before the field existed) → readers fall back to a filesystem
+    // stat. Stable across byte-copies (sys.copy), unlike filesystem mtime.
+    creationTime: Long = 0L)
 
 /** Spark-side schema of [[ManifestEntry]] — the shape manifests take when
   * processed as DataFrames (parquet manifests, distributed planning). */
@@ -135,6 +140,7 @@ object ManifestDf {
       struct(v.getField("min").as("min"), v.getField("max").as("max"),
         v.getField("nullCount").as("nullCount"),
         coalesce(v.getField("inexact"), lit(false)).as("inexact"))))
+      .withColumn("creationTime", coalesce(col("creationTime"), lit(0L)))
   }
   val schema: StructType = StructType(Seq(
     StructField("kind", IntegerType, nullable = false),
@@ -147,7 +153,8 @@ object ManifestDf {
     StructField("maxSeq", LongType, nullable = false),
     StructField("level", IntegerType, nullable = false),
     StructField("stats", MapType(StringType, colStatType)),
-    StructField("schemaId", LongType, nullable = false)))
+    StructField("schemaId", LongType, nullable = false),
+    StructField("creationTime", LongType, nullable = false)))
   def columns: Seq[org.apache.spark.sql.Column] =
     schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col)
 }

@@ -117,10 +117,9 @@ object RowOps {
             if (cfg.option("partition.expiration-strategy", "values-time")
                 == "update-time") {
               val cutoff = System.currentTimeMillis() - parseDurationMs(durStr)
-              val fs = t.sm.fs
+              // partition's last update = max manifest-resident creation time
               val lastUpdate = live.groupBy(_.partition).map { case (p, es) =>
-                p -> es.map(e => fs.getFileStatus(
-                  new Path(t.location, e.path)).getModificationTime).max
+                p -> es.map(t.entryCreationTime).max
               }
               live.filter(e => lastUpdate(e.partition) < cutoff)
             } else {

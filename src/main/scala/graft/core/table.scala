@@ -600,7 +600,7 @@ class GraftTable private (
         if (isPk) (stats(SEQ).min.toLong, stats(SEQ).max.toLong) else (0L, 0L)
       ManifestEntry(0, rel, partition, row.getAs[Int]("__b"),
         row.getAs[Long]("__rc"), size, minSeq, maxSeq, level = level, stats = stats,
-        schemaId = schema.id)
+        schemaId = schema.id, creationTime = System.currentTimeMillis())
     }
   }
 
@@ -856,11 +856,15 @@ class GraftTable private (
     writeChangelogFiles(cl)
   }
 
-  /** VERSION AS OF watermark: latest snapshot whose watermark <= `w`. */
+  /** VERSION AS OF watermark: EARLIEST snapshot whose watermark >= `w`
+    * (reference StaticFromWatermarkStartingScanner ->
+    * SnapshotManager.laterOrEqualWatermark; throws when none exists). */
   def readWatermark(w: Long): DataFrame = {
     val ids = sm.snapshotIds.filter(id =>
-      sm.readSnapshot(id).watermarkLong.exists(_ <= w))
-    if (ids.isEmpty) emptyDf else read(None, Some(ids.max))
+      sm.readSnapshot(id).watermarkLong.exists(_ >= w))
+    require(ids.nonEmpty,
+      s"there is currently no snapshot later than or equal to watermark[$w]")
+    read(None, Some(ids.min))
   }
 
   /** INSERT OVERWRITE. `dynamic`: only replace partitions present in `df`
@@ -1190,7 +1194,11 @@ class GraftTable private (
         raw.select(cols.toIndexedSeq: _*)
       }
     }
-    val df = parts.reduce(_ unionAll _)
+    val df0 = parts.reduce(_ unionAll _)
+    // files written before __seq2 existed read it as null: normalize to 0L so
+    // the DataFrame merge/compaction tiebreak matches GraftMorScan's coalesce
+    // (and so a preMerged rewrite never feeds null into the required field)
+    val df = if (isPk) df0.withColumn(SEQ2, coalesce(col(SEQ2), lit(0L))) else df0
     if (withInternal) df
     else df.select((dataSchema.fields.map(f => col(f.name)) ++ metaCols).toIndexedSeq: _*)
   }
@@ -1248,17 +1256,26 @@ class GraftTable private (
     mainDf.unionAll(fb.read(filter.map(_ && cond).orElse(Some(cond))))
   }
 
+  /** File creation time, manifest-resident (stamped at write — paimon
+    * DataFileMeta.java:253 creationTime). 0 means the manifest predates the
+    * field: fall back to ONE filesystem stat for that file only, so legacy
+    * tables stay correct without re-introducing O(files) driver RPCs for
+    * current ones. */
+  private[graft] def entryCreationTime(e: ManifestEntry): Long =
+    if (e.creationTime > 0L) e.creationTime
+    else sm.fs.getFileStatus(new Path(location, e.path)).getModificationTime
+
   private def readMain(filter: Option[Column], snapshotId: Option[Long]): DataFrame = {
     val patches = if (isRowTracking) patchesFor(snapshotId) else Nil
     if (patches.nonEmpty) return readPatched(filter, snapshotId, patches)
     // scan.file-creation-time-millis (batch form): only files created at or
     // after the cutoff serve the read — maintenance paths are unaffected
-    // (they plan through planFiles directly)
+    // (they plan through planFiles directly). Creation time comes from the
+    // MANIFEST (stamped at write), not a per-file driver getFileStatus.
     val fileCutoff = config.options.get("scan.file-creation-time-millis").map(_.toLong)
     val entries0 = planFiles(snapshotId, filter)
     val entries = fileCutoff match {
-      case Some(c) => entries0.filter(e =>
-        sm.fs.getFileStatus(new Path(location, e.path)).getModificationTime >= c)
+      case Some(c) => entries0.filter(entryCreationTime(_) >= c)
       case None => entries0
     }
     if (entries.isEmpty) return filter.foldLeft(emptyDf)((d, c) => d.filter(c))
@@ -2284,12 +2301,13 @@ object MergeEngines {
     val wFull = Window.partitionBy(pks.map(col).toIndexedSeq: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // the group's ordering key: (seq cols..., envelope). A group name may be
-    // a comma list (composite sorted fields, partial-update.md:109); rows
-    // where the group's first seq col is null sit outside the group entirely
-    // ("empty sequence group" skip in the reference merge function)
+    // a comma list (composite sorted fields, partial-update.md:109); a row
+    // sits outside the group only when ALL its seq cols are null (the
+    // reference's isEmptySequenceGroup skip — a partially-null composite
+    // group key still participates in the group's merge)
     def groupOrd(g: String): Column = {
       val cols = g.split(",").map(_.trim).toSeq
-      when(col(cols.head).isNotNull,
+      when(cols.map(col(_).isNotNull).reduce(_ || _),
         struct((cols.map(col) ++ Seq(col(SEQ), col(SEQ2), col(COMMIT), col(POS))): _*))
     }
     val seqColToGroup: Map[String, String] =

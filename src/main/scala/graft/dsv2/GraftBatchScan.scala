@@ -46,10 +46,11 @@ import java.util.OptionalLong
  *
  * Deletion vectors apply INSIDE the reader factory (paimon
  * ApplyDeletionVectorReader shape, deletionvectors/ApplyDeletionVectorReader.java):
- * a file with an outstanding vector reads row-based with parquet filter
- * pushdown disabled, so the running row count equals the parquet row index
- * and deleted positions are skipped with one bitmap lookup per row — no
- * V1 fallback, no per-row string work.
+ * a file with an outstanding vector reads through a delegate built with
+ * parquet filter pushdown disabled (so the running row count equals the
+ * parquet row index) and deleted positions are dropped inside each columnar
+ * batch via a position-remapping vector view — the scan stays columnar for
+ * every file, DV'd or clean.
  */
 class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
                      pushed: Array[Filter], required: Option[StructType],
@@ -364,9 +365,14 @@ case class GraftInputPartition(files: Array[PartitionedFile], key: InternalRow,
 
 /** Adapts graft input partitions onto Spark's vectorized parquet reader
   * factory (row-group skipping + columnar batches for free). Partitions
-  * carrying a deletion vector read row-based through `dvDelegate` (built
-  * WITHOUT parquet filter pushdown, so rows stream in file order and the
-  * running count is the parquet row index), skipping deleted positions. */
+  * carrying a deletion vector read through `dvDelegate` (built WITHOUT
+  * parquet filter pushdown, so rows stream in file order and the running
+  * count is the parquet row index); deleted positions are dropped INSIDE
+  * the columnar batch via a position-remapping vector view, so one DV'd
+  * file no longer de-vectorizes the whole scan (Spark requires every
+  * partition of a scan to agree on columnar vs row — now they all say
+  * columnar; reference applies DVs per-reader the same way,
+  * deletionvectors/ApplyDeletionVectorReader.java). */
 case class GraftReaderFactory(delegate: ParquetPartitionReaderFactory,
                               dvDelegate: ParquetPartitionReaderFactory = null)
     extends PartitionReaderFactory {
@@ -391,12 +397,79 @@ case class GraftReaderFactory(delegate: ParquetPartitionReaderFactory,
       override def close(): Unit = inner.close()
     }
   }
-  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    delegate.createColumnarReader(fp(p))
-  // Spark requires every partition of one scan to agree on columnar vs
-  // row (DataSourceV2ScanExecBase.supportsColumnar): any outstanding DV
-  // flips the WHOLE scan row-based; DV-free files still read through the
-  // filtered delegate.
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    if (gp.dvBytes == null) return delegate.createColumnarReader(fp(p))
+    val bm = DvCache.bitmapFp(gp.dvFp, gp.dvBytes)
+    val inner = dvDelegate.createColumnarReader(fp(p))
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var pos = 0L // file row position of the next batch's first row
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val b = inner.get()
+          val n = b.numRows()
+          val start = pos
+          pos += n
+          // logical→physical row map of surviving positions in this batch
+          val map = new Array[Int](n)
+          var m = 0
+          var i = 0
+          while (i < n) {
+            if (!bm.contains((start + i).toInt)) { map(m) = i; m += 1 }
+            i += 1
+          }
+          if (m == n) { cur = b; return true } // nothing deleted here
+          if (m > 0) {
+            val cols = new Array[org.apache.spark.sql.vectorized.ColumnVector](b.numCols())
+            var c = 0
+            while (c < b.numCols()) { cols(c) = new DvFilteredVector(b.column(c), map); c += 1 }
+            cur = new org.apache.spark.sql.vectorized.ColumnarBatch(cols, m)
+            return true
+          }
+          // fully-deleted batch: skip to the next one
+        }
+        false
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur
+      override def close(): Unit = inner.close()
+    }
+  }
+  // all partitions answer alike (delegate and dvDelegate share schema+conf),
+  // satisfying DataSourceV2ScanExecBase.supportsColumnar's agreement rule
   override def supportColumnarReads(p: InputPartition): Boolean =
-    dvDelegate == null && delegate.supportColumnarReads(fp(p))
+    delegate.supportColumnarReads(fp(p))
+}
+
+/** Column-vector view exposing only SURVIVING row positions of a batch
+  * under a deletion vector: logical row `i` delegates to physical row
+  * `map(i)`. Children wrap recursively so struct/array/map access remaps
+  * too. `close` is a no-op — the underlying vectors belong to the inner
+  * reader's batch, which the reader recycles/closes itself. */
+private[dsv2] class DvFilteredVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector, map: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls: Int = base.numNulls // upper bound; used only as a hint
+  override def isNullAt(i: Int): Boolean = base.isNullAt(map(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(map(i))
+  override def getByte(i: Int): Byte = base.getByte(map(i))
+  override def getShort(i: Int): Short = base.getShort(map(i))
+  override def getInt(i: Int): Int = base.getInt(map(i))
+  override def getLong(i: Int): Long = base.getLong(map(i))
+  override def getFloat(i: Int): Float = base.getFloat(map(i))
+  override def getDouble(i: Int): Double = base.getDouble(map(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(map(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(map(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    base.getDecimal(map(i), precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(map(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(map(i))
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    new DvFilteredVector(base.getChild(ordinal), map)
 }

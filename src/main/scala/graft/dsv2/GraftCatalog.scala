@@ -230,6 +230,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           writable = canInsert(db, base))
       }
       require(parts.length == 2, s"bad system table name ${ident.name()}")
+      // binlog supports STREAMING reads too (paimon BinlogTable.java:56):
+      // a dedicated table exposes batch (packed last commit) + micro-batch
+      if (parts(1) == "binlog")
+        return new GraftBinlogTable(GraftTable.load(spark, loc),
+          sessionOptionOverrides(ident))
       return new GraftDataFrameTable(s"$base$$${parts(1)}",
         GraftTable.load(spark, loc).systemTable(parts(1)))
     }

@@ -56,13 +56,22 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     GraftTable.load(SparkSession.active, path)
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    loadTable(options).schema.sparkSchema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val t = loadTable(options)
+    if (options.getBoolean("read-binlog", false))
+      GraftBinlog.schema(t.schema.sparkSchema, t.config.primaryKeys)
+    else t.schema.sparkSchema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val t = GraftTable.load(SparkSession.active, properties.get("path"))
-    new GraftSparkTable(t, readOptions = properties.asScala.toMap)
+    val props = properties.asScala.toMap
+    // read-binlog=true: the path-based spelling of `t$binlog` (batch packed
+    // last commit + per-snapshot packed changelog streaming)
+    if (props.get("read-binlog").contains("true"))
+      new GraftBinlogTable(t, props)
+    else new GraftSparkTable(t, readOptions = props)
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -161,12 +170,13 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
           if (t.sm.listTags().exists(_.name == v)) t.sm.readTag(v).snapshotId
           else v.toLong
         })
-        // scan.watermark: latest snapshot whose watermark <= the value
+        // scan.watermark: earliest snapshot whose watermark >= the value
+        // (reference StaticFromWatermarkStartingScanner -> laterOrEqualWatermark)
         .orElse(merged.get("scan.watermark").map { w =>
           val ids = t.sm.snapshotIds.filter(id =>
-            t.sm.readSnapshot(id).watermarkLong.exists(_ <= w.toLong))
-          require(ids.nonEmpty, s"no snapshot with watermark at or below $w")
-          ids.max
+            t.sm.readSnapshot(id).watermarkLong.exists(_ >= w.toLong))
+          require(ids.nonEmpty, s"there is currently no snapshot later than or equal to watermark[$w]")
+          ids.min
         })
     new GraftScanBuilder(t, snapshotId.orElse(optSnap), merged)
   }
@@ -645,6 +655,39 @@ class GraftDataFrameTable(tableName: String, df: DataFrame)
         rel.asInstanceOf[T]
       }
     }
+}
+
+/** `t$binlog` as a first-class table (paimon table/system/BinlogTable.java):
+  * key columns keep their type, value columns pack as [before, after]
+  * arrays with a `rowkind` column. Batch read = the last commit's packed
+  * changes (driver-planned DataFrame); STREAMING read = per-snapshot packed
+  * changelog via [[GraftMicroBatchStream]] in binlog mode. */
+class GraftBinlogTable(t: GraftTable,
+                       readOptions: Map[String, String] = Map.empty)
+    extends Table with SupportsRead {
+  override def name(): String = s"${t.location}$$binlog"
+  override def schema(): StructType =
+    GraftBinlog.schema(t.schema.sparkSchema, t.config.primaryKeys)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = readOptions ++ options.asScala
+    () => new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val rel = new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = readSchema()
+          override def buildScan(): RDD[Row] = t.systemTable("binlog").rdd
+        }
+        rel.asInstanceOf[T]
+      }
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new GraftMicroBatchStream(t, checkpointLocation, merged, binlog = true)
+    }
+  }
 }
 
 /** V1 write fallback (paimon PaimonWriteBuilder pattern): INSERT INTO /

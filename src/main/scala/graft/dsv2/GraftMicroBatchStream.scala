@@ -46,9 +46,12 @@ import org.apache.spark.util.SerializableConfiguration
  */
 class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
                             readOptions: Map[String, String] = Map.empty,
-                            readChangelog: Boolean = false)
+                            readChangelog: Boolean = false,
+                            binlog: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  if (binlog) require(t.isPk, "binlog requires a primary-keyed table")
 
   private val conf = new SerializableConfiguration(
     t.spark.sessionState.newHadoopConf())
@@ -191,9 +194,8 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
       // FROM_FILE_CREATION_TIME: only files created at/after the cutoff
       if (s == -4L) {
         val cutoff = opt("scan.file-creation-time-millis").get.toLong
-        val fs = t.sm.fs
-        entries = entries.filter(en => fs.getFileStatus(
-          new Path(t.location, en.path)).getModificationTime >= cutoff)
+        // manifest-resident creation time (no per-file driver stats)
+        entries = entries.filter(en => t.entryCreationTime(en) >= cutoff)
       }
       return entries.map(en => GraftFilePartition(
         new Path(t.location, en.path).toString, "+I"): InputPartition).toArray
@@ -203,6 +205,13 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
       else {
         val snap = t.sm.readSnapshot(id)
         if (skipKind(snap.kind)) Nil
+        else if (binlog && snap.changelogFiles.nonEmpty)
+          // one partition per SNAPSHOT: -U/+U pairs of a commit pack per
+          // key, so the pack scope must be the commit's whole changelog.
+          // Delta-sized state — bounded by one commit's changes, not the
+          // table (paimon BinlogTable packs per-commit the same way).
+          Seq(GraftBinlogPartition(snap.changelogFiles.map(p =>
+            new Path(t.location, p).toString).toArray): InputPartition)
         else if (readChangelog && snap.changelogFiles.nonEmpty)
           snap.changelogFiles.map(p => GraftFilePartition(
             new Path(t.location, p).toString, null): InputPartition)
@@ -215,7 +224,9 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStreamReaderFactory(streamSchema, conf)
+    if (binlog)
+      new GraftBinlogReaderFactory(dataSchema, t.config.primaryKeys, conf)
+    else new GraftStreamReaderFactory(streamSchema, conf)
 }
 
 case class GraftOffset(snapshotId: Long) extends Offset {
@@ -307,4 +318,125 @@ class GraftGroupReader(file: String, schema: StructType,
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** Binlog form of a table (paimon table/system/BinlogTable.java:56): key
+  * columns keep their type, every value column becomes an ARRAY —
+  * [before, after] for an update, [value] for an insert/delete — plus a
+  * `rowkind` column (+I / +U / -D). */
+object GraftBinlog {
+  def schema(dataSchema: StructType, pks: Seq[String]): StructType = {
+    val keyFields = pks.flatMap(k => dataSchema.fields.find(_.name == k))
+    val valFields = dataSchema.fields.filterNot(f => pks.contains(f.name))
+      .map(f => StructField(f.name, ArrayType(f.dataType, containsNull = true)))
+    StructType(keyFields ++ Seq(StructField("rowkind", StringType, false)) ++ valFields)
+  }
+}
+
+/** One snapshot's changelog files, packed per key by the reader. */
+case class GraftBinlogPartition(files: Array[String]) extends InputPartition
+
+class GraftBinlogReaderFactory(dataSchema: StructType, pks: Seq[String],
+                               conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case GraftBinlogPartition(files) =>
+        new GraftBinlogPackReader(files, dataSchema, pks, conf)
+      case p: GraftFilePartition =>
+        // full-state / no-changelog delta file: every row packs as +I with
+        // single-element value arrays — stateless, no per-key hash needed
+        new GraftBinlogInsertReader(p.file, dataSchema, pks, conf)
+    }
+}
+
+private object BinlogPack {
+  /** (key indices, value indices, per-field types) for packing. */
+  def layout(dataSchema: StructType, pks: Seq[String])
+      : (Array[Int], Array[Int], Array[DataType]) = {
+    val pkIdx = pks.map(dataSchema.fieldIndex).toArray
+    val valIdx = dataSchema.fields.indices.filterNot(pkIdx.contains).toArray
+    (pkIdx, valIdx, dataSchema.fields.map(_.dataType))
+  }
+
+  /** Packed output row: key cols, rowkind, value arrays. */
+  def outRow(pkIdx: Array[Int], valIdx: Array[Int], kind: String,
+             before: Array[Any], after: Array[Any]): InternalRow = {
+    val src = if (after != null) after else before
+    val out = new Array[Any](pkIdx.length + 1 + valIdx.length)
+    var i = 0
+    while (i < pkIdx.length) { out(i) = src(pkIdx(i)); i += 1 }
+    out(pkIdx.length) = UTF8String.fromString(kind)
+    var j = 0
+    while (j < valIdx.length) {
+      val arr =
+        if (before != null && after != null) Array(before(valIdx(j)), after(valIdx(j)))
+        else Array(src(valIdx(j)))
+      out(pkIdx.length + 1 + j) =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+      j += 1
+    }
+    new GenericInternalRow(out)
+  }
+}
+
+/** Packs ONE commit's changelog rows (-U/+U/+I/-D) into binlog rows. The
+  * per-key state is bounded by a single commit's delta. */
+class GraftBinlogPackReader(files: Array[String], dataSchema: StructType,
+                            pks: Seq[String], conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private val clSchema = StructType(dataSchema.fields :+
+    StructField("_row_kind", StringType, false))
+  private val (pkIdx, valIdx, types) = BinlogPack.layout(dataSchema, pks)
+
+  private lazy val packed: Iterator[InternalRow] = {
+    val before = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
+    val after = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
+    val keys = new java.util.LinkedHashSet[Seq[Any]]()
+    files.foreach { f =>
+      val r = new GraftGroupReader(f, clSchema, conf)
+      try {
+        while (r.next()) {
+          val row = r.get()
+          val vals = Array.tabulate[Any](dataSchema.length)(i => row.get(i, types(i)))
+          val kind = row.getUTF8String(dataSchema.length).toString
+          val key = pkIdx.map(vals(_)).toSeq
+          keys.add(key)
+          if (kind == "-U" || kind == "-D") before.put(key, vals)
+          else after.put(key, vals)
+        }
+      } finally r.close()
+    }
+    import scala.jdk.CollectionConverters._
+    keys.iterator().asScala.map { k =>
+      val b = before.get(k); val a = after.get(k)
+      val kind = if (b != null && a != null) "+U" else if (a != null) "+I" else "-D"
+      BinlogPack.outRow(pkIdx, valIdx, kind,
+        if (b != null && a != null) b else null.asInstanceOf[Array[Any]],
+        if (a != null) a else (if (b != null && a == null) null else a))
+    }
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    if (packed.hasNext) { cur = packed.next(); true } else false
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
+
+/** Stateless +I packing of a raw data / delta file (full-state batch or a
+  * snapshot without changelog files). */
+class GraftBinlogInsertReader(file: String, dataSchema: StructType,
+                              pks: Seq[String], conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private val (pkIdx, valIdx, types) = BinlogPack.layout(dataSchema, pks)
+  private val inner = new GraftGroupReader(file, dataSchema, conf)
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = {
+    val row = inner.get()
+    val vals = Array.tabulate[Any](dataSchema.length)(i => row.get(i, types(i)))
+    BinlogPack.outRow(pkIdx, valIdx, "+I", null, vals)
+  }
+  override def close(): Unit = inner.close()
 }

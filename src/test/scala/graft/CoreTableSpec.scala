@@ -438,7 +438,31 @@ class CoreTableSpec extends SparkTestBase {
     assert(GraftTable.load(spark, loc).read().count() == 2)
   }
 
-  test("partition.expiration-strategy=update-time expires idle partitions by file mtime") {
+  test("file creation time is manifest-resident (immune to filesystem mtime)") {
+    val loc = tmpLoc("fct-manifest")
+    val schema = Seq((1L, "v")).toDF("k", "v").schema
+    val t = GraftTable.create(spark, loc, schema, TableConfig())
+    t.write(Seq((1L, "old")).toDF("k", "v"))
+    Thread.sleep(1200)
+    val cutoff = System.currentTimeMillis()
+    t.write(Seq((2L, "new")).toDF("k", "v"))
+    val entries = t.planFiles()
+    assert(entries.forall(_.creationTime > 0L), "manifest missing creationTime")
+    // byte-copy simulation: bump every data file's filesystem mtime PAST the
+    // cutoff — the filter must still read the manifest's creation time, so
+    // the old file stays excluded (and planning does zero per-file stats)
+    val fs = t.sm.fs
+    entries.foreach(e => fs.setTimes(
+      new org.apache.hadoop.fs.Path(loc, e.path), System.currentTimeMillis() + 600000, -1))
+    GraftTable.load(spark, loc)
+      .setOptions(Map("scan.file-creation-time-millis" -> cutoff.toString))
+    val got = GraftTable.load(spark, loc).read().select("k").as[Long].collect().toSet
+    assert(got == Set(2L),
+      s"filter used filesystem mtime instead of manifest creation time: $got")
+    GraftTable.load(spark, loc).removeOptions(Seq("scan.file-creation-time-millis"))
+  }
+
+  test("partition.expiration-strategy=update-time expires idle partitions by last write time") {
     val loc = tmpLoc("pt-upd-exp")
     val schema = Seq((1L, "v", "a")).toDF("k", "v", "pt").schema
     val t = GraftTable.create(spark, loc, schema,

@@ -811,6 +811,14 @@ class Dsv2Spec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BatchScan"), s"expected native BatchScan with DVs:\n$plan")
     assert(!plan.contains("RDDScan"), s"RDD fallback still present:\n$plan")
+    // an outstanding DV must NOT de-vectorize the scan: every file (clean
+    // or DV'd) reads columnar; deleted positions drop inside the batch via
+    // position-remapping vector views
+    val dvScans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(dvScans.nonEmpty && dvScans.forall(_.supportsColumnar),
+      s"DV'd table scan fell back to row-based reads:\n$plan")
     assert(df.count() == 900)
     assert(df.filter("k % 10 = 3").count() == 0)
     // second vector touching the same files: bitmaps grow, reads stay exact
@@ -1087,11 +1095,18 @@ class Dsv2Spec extends SparkTestBase {
       .load(loc).count() == 1)
     assert(spark.read.format("graft").option("scan.version", "2")
       .load(loc).count() == 2)
-    // scan.watermark: latest snapshot at or below the watermark
+    // scan.watermark: EARLIEST snapshot whose watermark >= the value
+    // (reference StaticFromWatermarkStartingScanner.timeTravelToWatermark)
     t.write(Seq((3L, "c")).toDF("k", "v"), watermark = Some(500L))
     t.write(Seq((4L, "d")).toDF("k", "v"), watermark = Some(900L))
     assert(spark.read.format("graft").option("scan.watermark", "600")
+      .load(loc).count() == 4)
+    assert(spark.read.format("graft").option("scan.watermark", "500")
       .load(loc).count() == 3)
+    val ex = intercept[Exception] {
+      spark.read.format("graft").option("scan.watermark", "1000").load(loc).count()
+    }
+    assert(ex.getMessage.contains("no snapshot later than or equal to watermark"))
   }
 
   test("ANALYZE column stats reach the DSv2 scan (CBO columnStats)") {

@@ -389,8 +389,11 @@ class StatsWatermarkSpec extends SparkTestBase {
     t.write(Seq((2L, "b")).toDF("k", "s")) // no watermark → carries 1000
     t.write(Seq((3L, "c")).toDF("k", "s"), watermark = Some(2000L))
     assert(t.sm.readSnapshot(2).watermarkLong.contains(1000L))
-    assert(t.readWatermark(1500L).count() == 2) // snapshot 2 state
+    // reference laterOrEqualWatermark: EARLIEST snapshot whose wm >= value
+    assert(t.readWatermark(1000L).count() == 1) // snapshot 1 (wm 1000)
+    assert(t.readWatermark(1500L).count() == 3) // snapshot 3 first reaches 1500
     assert(t.readWatermark(2000L).count() == 3)
+    intercept[Exception] { t.readWatermark(9999L) }
     val r = Procedures.call(spark, t, "rollback_to_watermark", Map("watermark" -> "1500"))
     assert(r.head().getString(0).contains("rolled back"))
     assert(t.read().count() == 2)

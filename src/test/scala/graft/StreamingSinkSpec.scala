@@ -38,6 +38,39 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(ids.count(_.startsWith("stream-")) == 2, s"identifiers: $ids")
   }
 
+  test("binlog streaming: per-commit changes pack as [before, after] arrays") {
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = tmpLoc("binlog-stream")
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("changelog-producer" -> "lookup")))
+    t.write(df)                                         // snapshot 1: +I, +I
+    t.write(Seq((2L, 25.0), (3L, 30.0)).toDF("k", "v")) // snapshot 2: -U/+U, +I
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-blstream-ckpt").toString
+    val q = spark.readStream.format("graft")
+      .option("read-binlog", "true")
+      .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+      .load(loc)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("binlog_stream_out").start()
+    q.awaitTermination(60000)
+    val rows = spark.table("binlog_stream_out")
+      .as[(Long, String, Seq[Double])].collect().toSet
+    assert(rows == Set(
+      (1L, "+I", Seq(10.0)),
+      (2L, "+I", Seq(20.0)),
+      (2L, "+U", Seq(20.0, 25.0)), // update packs [before, after]
+      (3L, "+I", Seq(30.0))), s"got $rows")
+    // batch face of the same table: last commit only, same packed shape
+    import graft.core.RowOps._
+    val batch = t.systemTable("binlog").as[(Long, String, Seq[Double])]
+      .collect().toSet
+    assert(batch == Set((2L, "+U", Seq(20.0, 25.0)), (3L, "+I", Seq(30.0))),
+      s"got $batch")
+  }
+
   test("stream pipeline: graft source -> watermark + session window -> graft sink") {
     // the full streaming composition the engine is designed around: our
     // MicroBatchStream source, Spark's event-time machinery (watermark +
