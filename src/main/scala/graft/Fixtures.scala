@@ -344,6 +344,22 @@ object Fixtures {
       t
     }
 
+  /** ordersPk twin with `file.format=avro` (row-oriented streaming-ingest
+    * format) through the same LSM write/MOR/compaction paths. */
+  def ordersAvroFmt(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_avrofmt") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4,
+          options = Map("file.format" -> "avro")))
+      t.write(orders)
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", lit("X-UPD")))
+      t.compact()
+      t
+    }
+
   /** Append nation table with `file.format=csv` (flat atomic schema). */
   def nationCsvFmt(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "nation_csvfmt") { loc =>

@@ -232,6 +232,7 @@ object SparkEntry {
     // (MOR + compaction), CSV append with explicit null marker
     "q_file_format_orc" -> ((s, d) => statusAgg(Fixtures.ordersOrcFmt(s, d).read())),
     "q_file_format_csv" -> ((s, d) => Fixtures.nationCsvFmt(s, d).read()),
+    "q_file_format_avro" -> ((s, d) => statusAgg(Fixtures.ordersAvroFmt(s, d).read())),
 
     // ---- merge engines (§2.4a) ----
     "q_partial_update" -> ((s, d) => Fixtures.custPu(s, d).read()
@@ -1213,6 +1214,7 @@ object SparkEntry {
       "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag",
     "q_file_format_orc" -> dedupOracle,
     "q_file_format_csv" -> "SELECT * FROM nation",
+    "q_file_format_avro" -> dedupOracle,
     "q_partial_update" ->
       """SELECT c_custkey, c_name,
         | round(c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END, 2) AS acctbal,

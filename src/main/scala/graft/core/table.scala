@@ -108,8 +108,13 @@ class GraftTable private (
                                    basePath: Option[String] = None): DataFrame = {
     val r = spark.read.schema(sch).options(fmtOptions)
     basePath.foreach(b => r.option("basePath", b))
-    r.format(fileFormat).load(paths: _*)
+    r.format(formatProvider).load(paths: _*)
   }
+
+  /** Spark datasource name for the table's file format ("avro" maps to the
+    * engine's own FileFormat — Spark ships no avro datasource). */
+  private[graft] def formatProvider: String =
+    if (fileFormat == "avro") "graft-avro" else fileFormat
 
   /** Schema of data files on disk (adds LSM envelope cols for PK tables;
     * cf. paimon KeyValue envelope, SURVEY §1.3; adds shredded variant
@@ -490,7 +495,7 @@ class GraftTable private (
     val writer = df.write.options(fmtOptions)
     config.options.get("write.max-records-per-file")
       .foreach(n => writer.option("maxRecordsPerFile", n))
-    writer.partitionBy(PT, BUCKET).format(fileFormat).save(stagingAbs)
+    writer.partitionBy(PT, BUCKET).format(formatProvider).save(stagingAbs)
 
     val entries = collectStats(stagingAbs, level)
     // per-file secondary indexes (bloom/bitmap/bsi) for the new files —
@@ -2042,7 +2047,8 @@ object GraftTable {
         s"sequence field $f not in schema"))
     }
     val fmt = config.option("file.format", "parquet")
-    require(Set("parquet", "orc", "csv", "json")(fmt), s"unknown file.format $fmt")
+    require(Set("parquet", "orc", "csv", "json", "avro")(fmt),
+      s"unknown file.format $fmt")
     if (fmt == "csv") schema.fields.foreach { f =>
       val flat = f.dataType match {
         case _: StructType | _: ArrayType | _: MapType | _: BinaryType |
@@ -2052,6 +2058,9 @@ object GraftTable {
       require(flat,
         s"file.format=csv supports flat atomic schemas only (column ${f.name})")
     }
+    if (fmt == "avro") schema.fields.foreach(f =>
+      require(!f.dataType.isInstanceOf[VariantType],
+        s"file.format=avro does not support VARIANT (column ${f.name})"))
     if (fmt != "parquet")
       require(config.option("deletion-vectors.enabled", "false") != "true",
         "deletion vectors require file.format=parquet (_metadata.row_index)")

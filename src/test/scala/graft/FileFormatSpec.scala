@@ -95,7 +95,63 @@ class FileFormatSpec extends SparkTestBase {
     }
     intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmpLoc("fmt-bad"), mkOrders.schema,
-        TableConfig(options = Map("file.format" -> "avro")))
+        TableConfig(options = Map("file.format" -> "lance")))
     }
+  }
+
+  test("avro PK table: MOR, stats prune, compaction, update, delete") {
+    val loc = tmpLoc("avro-pk")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        options = Map("file.format" -> "avro")))
+    t.write(mkOrders)
+    t.write(Seq((2L, "B2", 25.0, "2024-01-01")).toDF("k", "status", "price", "dt"))
+    val files = t.planFiles(None, None)
+    assert(files.nonEmpty && files.forall(_.path.endsWith(".avro")),
+      s"expected .avro data files, got ${files.map(_.path)}")
+    assertSameRows(t.read(),
+      Seq((1L, "A", 10.0, "2024-01-01"), (2L, "B2", 25.0, "2024-01-01"),
+        (3L, "A", 30.0, "2024-01-02"), (4L, "C", 40.0, "2024-01-02"))
+        .toDF("k", "status", "price", "dt"))
+    // manifest stats collected from avro files prune as usual
+    assert(t.planFiles(None, Some(col("k") === 1L)).size <
+      t.planFiles(None, None).size)
+    t.compact()
+    assert(t.read().count() == 4)
+    t.update(Map("price" -> lit(99.0)), col("k") === 3L)
+    t.delete(col("k") === 4L)
+    assertSameRows(t.read().select("k", "price"),
+      Seq((1L, 10.0), (2L, 25.0), (3L, 99.0)).toDF("k", "price"))
+  }
+
+  test("avro round-trips rich types and evolves schema by field id") {
+    val loc = tmpLoc("avro-types")
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'a', CAST(1.25 AS DECIMAL(10,2)), DATE'2024-03-01',
+        |   TIMESTAMP'2024-03-01 10:30:00', X'0102', array(1, 2),
+        |   map('x', 1.5D), named_struct('n', 'p', 'v', 7), CAST(NULL AS STRING)),
+        |  (2L, NULL, CAST(-3.50 AS DECIMAL(10,2)), NULL,
+        |   NULL, NULL, array(3), map('y', CAST(NULL AS DOUBLE)),
+        |   NULL, 'z')
+        |AS t(id, s, dec, d, ts, bin, xs, m, st, opt)""".stripMargin)
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(options = Map("file.format" -> "avro")))
+    t.write(df)
+    assert(t.planFiles(None, None).forall(_.path.endsWith(".avro")))
+    // hex the binary column: Array[Byte] compares by reference in row sets
+    assertSameRows(t.read().withColumn("bin", hex(col("bin"))),
+      df.withColumn("bin", hex(col("bin"))))
+    // evolution: new column reads as null from pre-evolution avro files
+    t.addColumns(StructField("extra", IntegerType))
+    val t2 = GraftTable.load(spark, loc)
+    t2.write(spark.sql(
+      """SELECT 3L id, 'c' s, CAST(9.99 AS DECIMAL(10,2)) dec,
+        |DATE'2024-04-01' d, TIMESTAMP'2024-04-01 00:00:00' ts, X'03' bin,
+        |array(9) xs, map('z', 0.5D) m, named_struct('n', 'q', 'v', 8) st,
+        |'w' opt, 42 extra""".stripMargin))
+    val got = t2.read().select("id", "extra").orderBy("id")
+      .as[(Long, Option[Int])].collect().toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, Some(42))), s"got $got")
   }
 }
