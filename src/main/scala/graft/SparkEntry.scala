@@ -760,6 +760,30 @@ object SparkEntry {
         .readVariantExtracted("meta", Seq("lang", "text_len"))
         .select(col("doc_id"), col("lang"), col("text_len"))
     }),
+    "q_variant_pk" -> ((s, d) => {
+      // variant shredding on a PRIMARY-KEY table: extractions ride the LSM
+      // envelope; the merged (deduplicate) view serves the winner's typed
+      // columns without decoding the binary. Upserts double text_len for
+      // doc_id % 3 = 0 — the oracle mirrors that.
+      val loc = s"/tmp/graft-fixtures/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/variant_pk_tbl"
+      def payload(src: org.apache.spark.sql.DataFrame) = src
+        .select(col("doc_id"),
+          parse_json(to_json(struct(col("lang"),
+            col("text_len")))).as("meta"))
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .withColumn("text_len", length(col("text")))
+      if (!GraftTable.exists(s, loc)) {
+        val tbl = GraftTable.create(s, loc, payload(base).schema, TableConfig(
+          primaryKeys = Seq("doc_id"), numBuckets = 2,
+          options = Map("fields.meta.shred" -> "$.lang:string,$.text_len:int")))
+        tbl.write(payload(base))
+        tbl.write(payload(base.filter(col("doc_id") % 3 === 0)
+          .withColumn("text_len", col("text_len") * 2)))
+      }
+      GraftTable.load(s, loc)
+        .readVariantExtracted("meta", Seq("lang", "text_len"))
+        .select(col("doc_id"), col("lang"), col("text_len"))
+    }),
     "q_object_table" -> ((s, d) => {
       // object table over a deterministic file set: one file per language,
       // content = that language's docs ('\n'-terminated each)
@@ -1526,6 +1550,11 @@ object SparkEntry {
         |FROM idx""".stripMargin,
     "q_variant" ->
       """SELECT doc_id, lang, CAST(length(text) AS INT) AS text_len
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q_variant_pk" ->
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN length(text) * 2
+        |            ELSE length(text) END AS INT) AS text_len
         |FROM documents WHERE doc_id < 200""".stripMargin,
     "q_object_table" ->
       """SELECT lang, CAST(sum(octet_length(encode(text)) + 1) AS BIGINT) AS length

@@ -49,9 +49,10 @@ class GraftTable private (
     * the write materializes each extraction as a typed physical column
     * (name [[GraftTable.shredColName]]) alongside the variant binary, with
     * full min/max stats; extraction reads then touch ONLY those columns
-    * (capability of paimon variant shredding + extraction pushdown,
+    * (capability of paimon variant shredding + extraction pushdown —
+    * independent of table kind; PK tables need a dedup-family merge engine,
     * read/PaimonSupportsPushDownVariantExtractions.scala,
-    * paimon-common/.../data/shredding/). Append tables only. */
+    * paimon-common/.../data/shredding/). */
   private[graft] def shredSpecs: Map[String, Seq[(String, String)]] =
     config.options.collect {
       case (k, v) if k.startsWith("fields.") && k.endsWith(".shred") =>
@@ -122,7 +123,7 @@ class GraftTable private (
   def fileSchema: StructType = {
     if (!isPk) StructType(dataSchema.fields ++ shredFields ++
       (if (isRowTracking) Seq(StructField(ROW_ID, LongType)) else Nil))
-    else StructType(dataSchema.fields ++ Array(
+    else StructType(dataSchema.fields ++ shredFields ++ Array(
       StructField(SEQ, LongType, false),
       StructField(SEQ2, LongType, false),
       StructField(COMMIT, LongType, false),
@@ -373,14 +374,18 @@ class GraftTable private (
     val commitSeq = commitSeqOverride.getOrElse(nextCommitSeq)
     var df =
       if (preMerged) {
-        val cols = dataSchema.fields.map(f => col(f.name)) ++
-          Seq(col(SEQ), col(SEQ2), col(COMMIT), col(POS), col(KIND))
+        val cols = (dataSchema.fields.map(f => col(f.name)) ++
+          shredFields.map(f => col(f.name)) ++
+          Seq(col(SEQ), col(SEQ2), col(COMMIT), col(POS), col(KIND)))
         dfIn.select(cols.toIndexedSeq: _*)
       } else {
         // a pre-assigned row id (compaction rewrite) passes through intact
         var d = align(dfIn, keep = if (isRowTracking) Seq(ROW_ID) else Nil)
-        // materialize variant shred columns (typed extractions with stats)
-        if (!isPk) shredSpecs.toSeq.sortBy(_._1).foreach { case (c, specs) =>
+        // materialize variant shred columns (typed extractions with stats) —
+        // on PK tables they ride the LSM envelope like any value column
+        // (dedup-family merge keeps whole rows, so a winner's extractions
+        // stay consistent with its variant binary)
+        shredSpecs.toSeq.sortBy(_._1).foreach { case (c, specs) =>
           specs.zipWithIndex.foreach { case ((p, tp), i) =>
             d = d.withColumn(shredColName(c, i), expr(s"variant_get(`$c`, '$p', '$tp')"))
           }
@@ -1192,10 +1197,12 @@ class GraftTable private (
             case None => lit(null).cast(dt).as(f.name)
           }
         }
+        // old-schema files predate any shred columns: read them as null
+        val nullShred = shredFields.map(f => lit(null).cast(f.dataType).as(f.name))
         val cols = (if (isPk)
-          dataCols ++ Seq(col(SEQ), col(SEQ2), col(COMMIT), col(POS), col(KIND))
-        else // old-schema files predate any shred columns: read them as null
-          dataCols ++ shredFields.map(f => lit(null).cast(f.dataType).as(f.name))) ++ metaCols
+          dataCols ++ nullShred ++
+            Seq(col(SEQ), col(SEQ2), col(COMMIT), col(POS), col(KIND))
+        else dataCols ++ nullShred) ++ metaCols
         raw.select(cols.toIndexedSeq: _*)
       }
     }
@@ -1214,11 +1221,17 @@ class GraftTable private (
     * extractions in order; the caller filters/selects the result (column
     * pruning keeps the scan to exactly the referenced physical columns). */
   def readVariantExtracted(colName: String, aliases: Seq[String]): DataFrame = {
-    require(!isPk, "variant shredding targets append tables")
     val specs = shredSpecs.getOrElse(colName, throw new IllegalArgumentException(
       s"no shred spec for column $colName (set fields.$colName.shred)"))
     require(aliases.length == specs.length, "one alias per declared extraction")
-    val df = readEntries(planFiles(None, None), withInternal = true, dvFor(None))
+    val raw = readEntries(planFiles(None, None), withInternal = true, dvFor(None))
+    // PK tables: extraction goes through the MERGED view — dedup-family
+    // merges keep whole rows, so the winner's shred columns are its own
+    // extractions; the variant binary is never decoded (only projected out)
+    val df =
+      if (!isPk) raw
+      else MergeEngines.merge(raw, config, dataSchema)
+        .drop(SEQ, SEQ2, COMMIT, POS, KIND)
     specs.indices.foldLeft(df) { (d, i) =>
       d.withColumnRenamed(shredColName(colName, i), aliases(i))
     }
@@ -2061,6 +2074,14 @@ object GraftTable {
     if (fmt == "avro") schema.fields.foreach(f =>
       require(!f.dataType.isInstanceOf[VariantType],
         s"file.format=avro does not support VARIANT (column ${f.name})"))
+    // variant shredding on PK tables: the winner row carries its own
+    // extractions, which requires a whole-row merge (dedup family) — a
+    // field-combining engine would need extraction-of-merged-variant
+    if (config.primaryKeys.nonEmpty &&
+        config.options.keys.exists(k => k.startsWith("fields.") && k.endsWith(".shred")))
+      require(Set("deduplicate", "first-row")(config.mergeEngine),
+        "variant shredding on primary-key tables requires the deduplicate " +
+          s"or first-row merge engine, got ${config.mergeEngine}")
     if (fmt != "parquet")
       require(config.option("deletion-vectors.enabled", "false") != "true",
         "deletion vectors require file.format=parquet (_metadata.row_index)")

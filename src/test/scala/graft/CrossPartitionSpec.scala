@@ -374,6 +374,40 @@ class CrossPartitionSpec extends SparkTestBase {
     assert(t.read().columns.toSeq == Seq("id", "meta"))
   }
 
+  test("variant shredding on PK tables: merged view, still decode-free") {
+    val loc = tmpLoc("shred-pk")
+    def mk(off: Long) = spark.range(300).select(
+      col("id"),
+      expr("parse_json(to_json(named_struct('lang', " +
+        s"CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, 'n', id * 3 + $off)))")
+        .as("meta"))
+    val t = GraftTable.create(spark, loc, mk(0).schema, TableConfig(
+      primaryKeys = Seq("id"), numBuckets = 2,
+      options = Map("fields.meta.shred" -> "$.lang:string,$.n:bigint")))
+    t.write(mk(0))
+    // upsert half the keys with NEW variant payloads: the merged view must
+    // serve the WINNER's extractions, not the stale ones
+    t.write(mk(7).filter(col("id") % 3 === 0))
+    val got = t.readVariantExtracted("meta", Seq("lang", "n"))
+      .select(col("id"), col("lang"), col("n"))
+    assertSameRows(got, t.read().select(col("id"),
+      expr("variant_get(meta, '$.lang', 'string')").as("lang"),
+      expr("variant_get(meta, '$.n', 'bigint')").as("n")))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("variant_get"), s"extraction still decodes:\n$plan")
+    // compaction (preMerged rewrite) keeps the shred columns intact
+    t.compact()
+    assertSameRows(t.readVariantExtracted("meta", Seq("lang", "n"))
+      .select(col("id"), col("lang"), col("n")), got)
+    // field-combining engines reject shred specs (extraction-of-merged
+    // variant is undefined ahead of time)
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpLoc("shred-pk-bad"), mk(0).schema,
+        TableConfig(primaryKeys = Seq("id"), mergeEngine = "partial-update",
+          options = Map("fields.meta.shred" -> "$.n:bigint")))
+    }
+  }
+
   test("within-batch duplicate keys: last input wins, including partition") {
     val t = mkTable("xp-batchdup")
     t.write(Seq((2L, "C", 97.0), (2L, "D", 98.0)).toDF("k", "seg", "v"))
