@@ -283,18 +283,30 @@ case class GraftCatalogCallCommand(proc: String, args: Map[String, String])
       val (g, rest) = graftCatalog(session, ident)
       GraftUserFunctions.list(session, g.warehousePath, rest.mkString(".")).map(Row(_))
     case "compact_database" =>
-      // compact every table of a database (paimon CompactDatabaseProcedure)
+      // compact every table of a database, filtered by including/excluding
+      // regex patterns — '|'-separated, fleet-maintenance shape (paimon
+      // CompactDatabaseProcedure.java:49 includingTables/excludingTables)
       import graft.core.RowOps._
       val ident = GraftSqlParser.splitIdent(args("database"))
       val (g, rest) = graftCatalog(session, ident)
       val db = rest.mkString(".")
-      val results = g.listTables(Array(db)).toSeq.map { id =>
-        val t = GraftTable.load(session,
-          g.tableLocation(db, id.name()))
-        val r = t.compact()
-        s"${id.name()}: ${r.map(s => s"compacted to ${s.id}").getOrElse("no-op")}"
-      }
-      results.map(Row(_))
+      def patterns(k: String): Seq[scala.util.matching.Regex] =
+        args.get(k).toSeq.flatMap(_.split('|')).map(_.trim)
+          .filter(_.nonEmpty).map(p => ("^" + p + "$").r)
+      val inc = patterns("including_tables")
+      val exc = patterns("excluding_tables")
+      def selected(n: String): Boolean =
+        (inc.isEmpty || inc.exists(_.findFirstIn(n).isDefined)) &&
+          !exc.exists(_.findFirstIn(n).isDefined)
+      val results = g.listTables(Array(db)).toSeq
+        .filter(id => selected(id.name())).map { id =>
+          val t = GraftTable.load(session,
+            g.tableLocation(db, id.name()))
+          val r = t.compact()
+          s"${id.name()}: ${r.map(s => s"compacted to ${s.id}").getOrElse("no-op")}"
+        }
+      if (results.isEmpty) Seq(Row("no tables matched"))
+      else results.map(Row(_))
 
     // ---- privilege system (paimon manage-privileges.mdx procedures) ----
     case "init_file_based_privilege" =>

@@ -78,6 +78,10 @@ object Indexes {
       TableConfig(primaryKeys = Seq("term"), numBuckets = 4,
         mergeEngine = "aggregation", fieldAggregates = Map("df" -> "sum")))
     st.write(termDf)
+    // compact the PK term-stats table so the per-query df read is a single
+    // level-max file per bucket — raw-convertible, no merge stage in the
+    // search hot path
+    st.compact()
     val (n, totalLen) = batchCorpus(postings)
     writeCorpusSidecar(t, loc, n, totalLen)
     t
@@ -101,10 +105,13 @@ object Indexes {
     t
   }
 
-  /** Re-cluster the postings by term range after a run of appends. */
+  /** Re-cluster the postings by term range after a run of appends; also
+    * compacts the aggregation-engine term-stats table so df point reads
+    * stay on the raw (merge-free) path. */
   def compactFullText(spark: SparkSession, loc: String): Unit = {
     import graft.core.RowOps._
     GraftTable.load(spark, loc).compactSorted("order", Seq("term"))
+    GraftTable.load(spark, termStatsLoc(loc)).compact()
   }
 
   /** BM25 top-k against the persisted index: one manifest-pruned scan of the

@@ -60,16 +60,29 @@ object Similarity {
   // INT8 QUANTIZATION (scale path: 4x smaller candidate pass + rerank)
   // ------------------------------------------------------------------
 
-  /** Symmetric int8 quantization of an embedding column: per-vector scale
-    * (max |x| / 127) + tinyint codes. 4x less storage/bandwidth than
-    * float32 — the candidate-generation representation for large corpora. */
+  /** L2-normalized copy of an embedding column (zero vectors pass through).
+    * Quantized candidate passes operate on UNIT vectors so their dot
+    * ranking approximates COSINE — the metric the exact rerank uses; with
+    * raw vectors the two orderings diverge whenever norms vary (the FAISS
+    * posture for cosine/IP indexes: normalize at add time). */
+  def unitArr(e: Column): Column = {
+    val n = norm(e)
+    transform(e, x => when(n === 0.0, x.cast(DoubleType))
+      .otherwise(x.cast(DoubleType) / n))
+  }
+
+  /** Symmetric int8 quantization of an embedding column: the vector is
+    * L2-normalized first, then per-vector scale (max |x| / 127) + tinyint
+    * codes. 4x less storage/bandwidth than float32 — the
+    * candidate-generation representation for large corpora. */
   def quantizeInt8(e: Column): Column = {
-    val scale = aggregate(e, lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast(DoubleType)))) / 127.0
+    val u = unitArr(e)
+    val scale = aggregate(u, lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / 127.0
     struct(
       scale.as("scale"),
-      transform(e, x => when(scale === 0.0, lit(0).cast(ByteType))
-        .otherwise(round(x.cast(DoubleType) / scale).cast(ByteType))).as("codes"))
+      transform(u, x => when(scale === 0.0, lit(0).cast(ByteType))
+        .otherwise(round(x / scale).cast(ByteType))).as("codes"))
   }
 
   /** Quantized dot score between a quantized row struct and a quantized
@@ -82,11 +95,18 @@ object Similarity {
     sum.cast(DoubleType) * qRow.getField("scale") * lit(qScale)
   }
 
+  /** Unit-normalize driver-side (same rule as [[unitArr]]). */
+  private def unitVec(v: Seq[Float]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n == 0.0) v.map(_.toDouble) else v.map(_ / n)
+  }
+
   /** Quantize a query vector driver-side (same rule as [[quantizeInt8]]). */
   def quantizeQuery(query: Seq[Float]): (Seq[Byte], Double) = {
-    val scale = query.map(v => math.abs(v.toDouble)).max / 127.0
-    if (scale == 0.0) (query.map(_ => 0.toByte), 0.0)
-    else (query.map(v => math.round(v.toDouble / scale).toByte), scale)
+    val u = unitVec(query)
+    val scale = u.map(math.abs).max / 127.0
+    if (scale == 0.0) (u.map(_ => 0.toByte), 0.0)
+    else (u.map(v => math.round(v / scale).toByte), scale)
   }
 
   /**
@@ -158,20 +178,25 @@ object Similarity {
 
     /** embedding → m-byte code (BINARY column: m raw bytes per row). */
     def encodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-      udf { (e: Seq[Float]) =>
-        if (e == null) null
-        else Array.tabulate(m) { j =>
-          val cb = codebooks(j)
-          var best = 0; var bd = Double.MaxValue; var c = 0
-          while (c < cb.length) {
-            var d = 0.0; var i = 0
-            while (i < dsub) {
-              val z = e(j * dsub + i) - cb(c)(i); d += z * z; i += 1
+      udf { (raw: Seq[Float]) =>
+        if (raw == null) null
+        else {
+          // codebooks live in UNIT space (cosine candidate ranking)
+          val nrm = math.sqrt(raw.map(x => x.toDouble * x).sum)
+          val e = if (nrm == 0.0) raw.map(_.toDouble) else raw.map(_ / nrm)
+          Array.tabulate(m) { j =>
+            val cb = codebooks(j)
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < cb.length) {
+              var d = 0.0; var i = 0
+              while (i < dsub) {
+                val z = e(j * dsub + i) - cb(c)(i); d += z * z; i += 1
+              }
+              if (d < bd) { bd = d; best = c }
+              c += 1
             }
-            if (d < bd) { bd = d; best = c }
-            c += 1
+            best.toByte
           }
-          best.toByte
         }
       }
 
@@ -179,10 +204,12 @@ object Similarity {
       * a query: per-subspace query×centroid dots are precomputed into a
       * lookup table once, each row pays m array lookups. */
     def adcDotUdf(query: Seq[Float]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+      val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
+      val q = if (qn == 0.0) query.map(_.toDouble) else query.map(_ / qn)
       val lut = Array.tabulate(m) { j =>
         codebooks(j).map { c =>
           var s = 0.0; var i = 0
-          while (i < dsub) { s += query(j * dsub + i) * c(i); i += 1 }
+          while (i < dsub) { s += q(j * dsub + i) * c(i); i += 1 }
           s
         }
       }
@@ -206,8 +233,9 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
+    // train in UNIT space — codes must rank by cosine (see encodeUdf)
     val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
-      .select(col(embedCol)).persist()
+      .select(unitArr(col(embedCol)).as(embedCol)).persist()
     val codebooks = Array.tabulate(m) { j =>
       val sub = sample.select(array_to_vector(
         slice(col(embedCol), j * dsub + 1, dsub).cast(ArrayType(DoubleType)))

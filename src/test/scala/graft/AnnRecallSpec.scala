@@ -1,0 +1,117 @@
+package graft
+
+import graft.core._
+import graft.pipeline.{Indexes, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Recall harness for the approximate ANN paths (SURVEY §7 "document recall
+  * targets"): recall@10 of IVF vs nprobe and PQ(+rerank) vs m against exact
+  * brute-force cosine on a seeded 50k-vector clustered corpus — the
+  * realistic shape for IVF (mixture of gaussians; embeddings of natural
+  * corpora cluster, uniform noise does not). Asserts the DOCUMENTED
+  * defaults hit ≥0.9; the sweep table is recorded in README.md. */
+class AnnRecallSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 16
+  private val nVectors = 50000
+  private val nCenters = 64
+  private val nQueries = 10
+  private val k = 10
+
+  /** Seeded clustered corpus: vector = center(id % centers) + N(0, 0.5).
+    * σ=0.5 vs inter-center distance ≈3.3 gives GRADED neighborhoods
+    * (overlapping clusters, distinguishable ranks) — the embedding-corpus
+    * regime, where recall is a meaningful metric; σ→0 would make every
+    * cluster-mate equidistant and recall@10 noise. */
+  private val sigma = 0.5
+  private lazy val centers = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nCenters, dim)((rnd.nextDouble() * 2 - 1).toFloat)
+  }
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until nVectors).map { i =>
+      val c = centers(i % nCenters)
+      Row(i.toLong, c.map(x => x + (rnd.nextGaussian() * sigma).toFloat).toSeq)
+    }
+    val schema = StructType(Seq(StructField("vid", LongType, false),
+      StructField("emb", ArrayType(FloatType, false), false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), schema)
+      .persist()
+  }
+
+  /** Queries are fresh draws from the same mixture (a "new document"). */
+  private lazy val queries: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(7)
+    (0 until nQueries).map { i =>
+      val c = centers((i * 13) % nCenters)
+      c.map(x => x + (rnd.nextGaussian() * sigma).toFloat).toSeq
+    }
+  }
+
+  private def exactTop(q: Seq[Float]): Set[Long] =
+    Similarity.bruteForceTopK(corpus, "emb", q, k)
+      .select("vid").as[Long].collect().toSet
+
+  private def recall(approx: Seq[Set[Long]], exact: Seq[Set[Long]]): Double =
+    approx.zip(exact).map { case (a, e) => a.intersect(e).size.toDouble / k }
+      .sum / approx.size
+
+  test("IVF recall@10 sweep over nprobe; default nprobe=8 reaches 0.9") {
+    val loc = tmpLoc("ivf-recall")
+    Indexes.buildIvf(spark, corpus, "emb", loc, nClusters = nCenters, seed = 42L)
+    val exact = queries.map(exactTop)
+    val sweep = Seq(1, 2, 4, 8).map { nprobe =>
+      val got = queries.map(q =>
+        Indexes.ivfSearch(spark, loc, "emb", q, k, nprobe)
+          .select("vid").as[Long].collect().toSet)
+      nprobe -> recall(got, exact)
+    }
+    info(sweep.map { case (p, r) => f"nprobe=$p%d recall@10=$r%.3f" }.mkString("  "))
+    // recall is non-decreasing in nprobe and the documented default passes
+    sweep.sliding(2).foreach { case Seq((_, r1), (_, r2)) =>
+      assert(r2 >= r1 - 0.02, s"recall dropped along the sweep: $sweep") }
+    val atDefault = sweep.toMap.apply(8)
+    assert(atDefault >= 0.9, f"recall@10 at nprobe=8 was $atDefault%.3f: $sweep")
+  }
+
+  test("PQ recall@10 sweep over m; default m=8 with rerank reaches 0.9") {
+    val exact = queries.map(exactTop)
+    val sweep = Seq(4, 8).map { m =>
+      // documented defaults: ks=64 centroids/subspace (6-bit codes; ks=16
+      // leaves m=8 at ~0.87 on this corpus), rerank = 10·k
+      val model = Similarity.trainPq(corpus, "emb", dim, m = m, ks = 64,
+        sampleFraction = 0.2, seed = 42L)
+      val encoded = corpus.withColumn("codes", model.encodeUdf(col("emb"))).persist()
+      encoded.count()
+      // documented default: rerank = 10·k exact rescores from the ADC
+      // candidate list (the scan is still over m-byte codes)
+      val got = queries.map(q =>
+        Similarity.pqTopK(encoded, "emb", "codes", model, q, k, rerank = 10 * k)
+          .select("vid").as[Long].collect().toSet)
+      encoded.unpersist()
+      m -> recall(got, exact)
+    }
+    info(sweep.map { case (m, r) => f"m=$m%d recall@10=$r%.3f" }.mkString("  "))
+    sweep.sliding(2).foreach { case Seq((_, r1), (_, r2)) =>
+      assert(r2 >= r1 - 0.02, s"recall dropped as m grew: $sweep") }
+    val atDefault = sweep.toMap.apply(8)
+    assert(atDefault >= 0.9, f"recall@10 at m=8 was $atDefault%.3f: $sweep")
+  }
+
+  test("int8 recall@10 with exact rerank reaches 0.95") {
+    val exact = queries.map(exactTop)
+    val quant = corpus.withColumn("q8", Similarity.quantizeInt8(col("emb"))).persist()
+    quant.count()
+    val got = queries.map(q =>
+      Similarity.quantizedTopK(quant, "emb", "q8", q, k)
+        .select("vid").as[Long].collect().toSet)
+    quant.unpersist()
+    val r = recall(got, exact)
+    info(f"int8 recall@10=$r%.3f")
+    assert(r >= 0.95, f"int8 recall@10 was $r%.3f")
+  }
+}

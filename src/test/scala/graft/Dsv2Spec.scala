@@ -690,6 +690,32 @@ class Dsv2Spec extends SparkTestBase {
     assert(res.exists(r => r.startsWith("lt:") && r.contains("compacted")), res.mkString("; "))
   }
 
+  test("compact_database: including/excluding table patterns select the fleet subset") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdb")
+    Seq("ods_a", "ods_b", "dim_c").foreach { n =>
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS graft.cdb.$n (k BIGINT, s STRING)
+                    TBLPROPERTIES ('primary-key'='k', 'bucket'='1')""")
+      spark.sql(s"INSERT INTO graft.cdb.$n VALUES (1,'a')")
+      spark.sql(s"INSERT INTO graft.cdb.$n VALUES (1,'a2')")
+    }
+    // including ods_.* but excluding ods_b → exactly ods_a compacts
+    val res = spark.sql(
+      """CALL sys.compact_database(database => 'graft.cdb',
+        |  including_tables => 'ods_.*', excluding_tables => 'ods_b')""".stripMargin)
+      .as[String].collect().toSeq
+    assert(res.length == 1 && res.head.startsWith("ods_a:") &&
+      res.head.contains("compacted"), res.mkString("; "))
+    // untouched tables still have only their two write snapshots
+    assert(GraftTable.load(spark, s"$wh/cdb.db/ods_b").sm.snapshotIds.max == 2L)
+    assert(GraftTable.load(spark, s"$wh/cdb.db/dim_c").sm.snapshotIds.max == 2L)
+    assert(GraftTable.load(spark, s"$wh/cdb.db/ods_a").sm.snapshotIds.max == 3L)
+    // no match → explicit no-op row
+    val none = spark.sql(
+      "CALL sys.compact_database(database => 'graft.cdb', including_tables => 'nope.*')")
+      .as[String].collect().toSeq
+    assert(none == Seq("no tables matched"))
+  }
+
   test("global system tables: sys.all_tables / all_table_options / all_partitions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE IF NOT EXISTS graft.db.gst (k BIGINT, s STRING)")

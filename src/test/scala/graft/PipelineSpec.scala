@@ -29,12 +29,14 @@ class PipelineSpec extends SparkTestBase {
     assert(quant.head == 7L, "the query vector itself must rank first")
     val overlap = exact.toSet.intersect(quant.toSet).size
     assert(overlap >= 8, s"top-10 recall too low: $overlap/10 (exact=$exact quant=$quant)")
-    // quantization round-trips within 1/127 relative error per component
+    // codes hold the UNIT vector (cosine candidate ranking): each component
+    // round-trips within half a quantization step of x/||x||
     val row = emb.filter(col("id") === 7)
       .select(col("emb"), col("q8.scale"), col("q8.codes")).first()
     val (e, s, codes) = (row.getSeq[Float](0), row.getDouble(1), row.getSeq[Byte](2))
+    val nrm = math.sqrt(e.map(x => x.toDouble * x).sum)
     e.zip(codes).foreach { case (x, c) =>
-      assert(math.abs(x - c * s) <= s / 2 + 1e-9) }
+      assert(math.abs(x / nrm - c * s) <= s / 2 + 1e-9) }
     emb.unpersist()
   }
 
@@ -129,6 +131,14 @@ class PipelineSpec extends SparkTestBase {
     val total = idx.planFiles().size
     val pruned = idx.planFiles(filter = Some(col("term").isin("alpha", "zulu"))).size
     assert(pruned < total, s"pruned=$pruned total=$total")
+    // the term-stats table is compacted at build: the per-query df point
+    // read takes the RAW path — no MOR merge stage (window/exchange) in
+    // the search hot path
+    val dfPlan = GraftTable.load(spark, Indexes.termStatsLoc(loc))
+      .read(filter = Some(col("term").isin("alpha", "zulu")))
+      .queryExecution.executedPlan.toString
+    assert(!dfPlan.contains("Window") && !dfPlan.contains("Exchange"),
+      s"term-stats read still merges:\n$dfPlan")
   }
 
   test("incremental full-text maintenance: appends merge df deltas, no rebuild") {
