@@ -374,6 +374,26 @@ object SparkEntry {
         coalesce(col("tag"), lit("-")).as("tag"))),
 
     // ---- DSv2 catalog SQL (§3.1 trace through Spark's analyzer/catalog) ----
+    "q_fixed_bucket" -> ((s, d) => {
+      // the graft_bucket SQL scalar (paimon `fixed_bucket`) must agree with
+      // the write path's routing: every row's computed bucket equals the
+      // bucket directory its file landed in (metadata __bucket column)
+      val bc = graft.core.GraftTable.BUCKET_COL
+      Fixtures.ordersBapp(s, d).readWithMetadata()
+        .select((expr("graft_bucket(8, o_custkey)") === col(bc)).as("ok"))
+        .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("matched"),
+          count(lit(1)).as("total"))
+    }),
+    "q_catalog_udf" -> ((s, d) => {
+      // persisted catalog lambda UDF (CALL sys.create_function) applied in
+      // a query over a catalog table — integer lambda, no float rounding
+      Fixtures.sqlCatalogOrders(s, d) // registers graft_fix + orders_sql
+      s.sql("""CALL sys.create_function(name => 'graft_fix.db.okmod',
+               lambda => 'k BIGINT -> k % 97')""")
+      s.sql("""SELECT o_orderstatus, CAST(sum(graft_fix.db.okmod(o_orderkey)) AS BIGINT) AS m,
+               count(*) AS cnt
+               FROM graft_fix.db.orders_sql GROUP BY o_orderstatus""")
+    }),
     "q_sql_catalog" -> ((s, d) => {
       val tbl = Fixtures.sqlCatalogOrders(s, d)
       s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
@@ -460,6 +480,49 @@ object SparkEntry {
         .format("memory").queryName(outName).start()
       q.awaitTermination(120000)
       // changelog-producer=input: raw upsert records of snapshots 1..2
+      s.table(outName)
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+    }),
+    "q_binlog_stream" -> ((s, d) => {
+      // streaming read of t$binlog (paimon BinlogTable): each commit's
+      // changelog packs per key — +I with [value], +U with [before, after];
+      // first/last array elements distinguish pre/post-update state
+      import org.apache.spark.sql.streaming.Trigger
+      val tbl = Fixtures.ordersPkCl(s, d)
+      val outName = s"graft_binlog_${math.abs(d.hashCode)}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bl-ckpt").toString
+      val q = s.readStream.format("graft")
+        .option("read-binlog", "true")
+        .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+        .load(tbl.location)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(outName).start()
+      q.awaitTermination(120000)
+      s.table(outName)
+        .select(col("rowkind"),
+          element_at(col("o_totalprice"), 1).as("before_p"),
+          element_at(col("o_totalprice"), -1).as("after_p"))
+        .groupBy("rowkind").agg(count(lit(1)).as("cnt"),
+          round(sum("before_p"), 2).as("before_total"),
+          round(sum("after_p"), 2).as("after_total"))
+    }),
+    "q_read_limit" -> ((s, d) => {
+      // bounded stream (scan.bounded.watermark): never admit a snapshot
+      // whose watermark exceeds the bound — AvailableNow terminates at the
+      // boundary, so only snapshot 1 (wm 1000 <= 1500) is consumed
+      import org.apache.spark.sql.streaming.Trigger
+      val tbl = Fixtures.ordersWm(s, d)
+      val outName = s"graft_bounded_${math.abs(d.hashCode)}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bw-ckpt").toString
+      val q = s.readStream.format("graft")
+        .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+        .option("scan.bounded.watermark", "1500")
+        .load(tbl.location)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(outName).start()
+      q.awaitTermination(120000)
       s.table(outName)
         .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
     }),
@@ -1433,6 +1496,24 @@ object SparkEntry {
         |  SELECT 'NEW' AS o_orderstatus, o_totalprice AS price
         |  FROM orders WHERE o_orderkey % 7 = 3
         |) GROUP BY o_orderstatus""".stripMargin,
+    "q_binlog_stream" ->
+      """SELECT '+I' AS rowkind, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS before_total,
+        | round(sum(o_totalprice), 2) AS after_total FROM orders
+        |UNION ALL
+        |SELECT '+U', CAST(count(*) AS BIGINT),
+        | round(sum(o_totalprice), 2), round(sum(o_totalprice * 2), 2)
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "q_read_limit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total FROM orders""".stripMargin,
+    "q_fixed_bucket" ->
+      """SELECT CAST(count(*) AS BIGINT) AS matched,
+        | CAST(count(*) AS BIGINT) AS total FROM orders""".stripMargin,
+    "q_catalog_udf" ->
+      """SELECT o_orderstatus, CAST(sum(o_orderkey % 97) AS BIGINT) AS m,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_stream_changelog" ->
       """SELECT '+I' AS _row_kind, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total FROM orders
