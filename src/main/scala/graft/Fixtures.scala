@@ -360,6 +360,18 @@ object Fixtures {
       t
     }
 
+  /** Single-column text table: one document per line (newlines flattened —
+    * the line-based format's contract). */
+  def docsTextFmt(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "docs_textfmt") { loc =>
+      val docs = src(spark, sfDir, "documents")
+        .select(regexp_replace(col("text"), "[\\r\\n]+", " ").as("line"))
+      val t = GraftTable.createOrReplace(spark, loc, docs.schema,
+        TableConfig(options = Map("file.format" -> "text")))
+      t.write(docs)
+      t
+    }
+
   /** Append nation table with `file.format=csv` (flat atomic schema). */
   def nationCsvFmt(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "nation_csvfmt") { loc =>

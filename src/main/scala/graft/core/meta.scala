@@ -197,11 +197,17 @@ case class SnapshotMeta(
     changelogBase: Option[Long] = None,
     // outstanding data-evolution column patches (row-tracking append
     // tables); compaction materializes and clears them
-    patches: Option[Seq[PatchFile]] = None) {
+    patches: Option[Seq[PatchFile]] = None,
+    // bytes of data files ADDED by this commit (admission control:
+    // scan.max-bytes-per-trigger). None = written before the field existed.
+    deltaBytes: Option[Long] = None) {
   /** Erasure-safe watermark accessor: jackson-scala materializes a JSON int
     * into Option[Long] as a boxed Integer — unboxing via the field throws. */
   def watermarkLong: Option[Long] =
     watermark.asInstanceOf[Option[Any]]
+      .map { case n: java.lang.Number => n.longValue }
+  def deltaBytesLong: Option[Long] =
+    deltaBytes.asInstanceOf[Option[Any]]
       .map { case n: java.lang.Number => n.longValue }
   def liveFilesLong: Option[Long] =
     liveFiles.asInstanceOf[Option[Any]]
@@ -557,7 +563,8 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
         changelogBase = changelogBase,
         // patchAction: None = carry forward, Some(Nil) = clear, Some(ps) = set
         patches = patchAction.map(ps => if (ps.isEmpty) None else Some(ps))
-          .getOrElse(base.flatMap(b => Option(b.patches).flatten)))
+          .getOrElse(base.flatMap(b => Option(b.patches).flatten)),
+        deltaBytes = Some(delta.filter(_.kind == 0).map(_.fileSize).sum))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
         writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
         GraftMetrics.recordCommit(tableRoot,

@@ -2060,8 +2060,17 @@ object GraftTable {
         s"sequence field $f not in schema"))
     }
     val fmt = config.option("file.format", "parquet")
-    require(Set("parquet", "orc", "csv", "json", "avro")(fmt),
+    require(Set("parquet", "orc", "csv", "json", "avro", "text")(fmt),
       s"unknown file.format $fmt")
+    // text: one line per row — exactly one STRING column, append tables
+    // only (the LSM envelope needs typed columns)
+    if (fmt == "text") {
+      require(config.primaryKeys.isEmpty,
+        "file.format=text supports append tables only")
+      require(schema.fields.length == 1 &&
+          schema.fields.head.dataType == StringType,
+        "file.format=text requires exactly one STRING column")
+    }
     if (fmt == "csv") schema.fields.foreach { f =>
       val flat = f.dataType match {
         case _: StructType | _: ArrayType | _: MapType | _: BinaryType |

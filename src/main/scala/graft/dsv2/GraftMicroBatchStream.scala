@@ -128,10 +128,22 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
   }
 
   // ---- admission control ----
-  override def getDefaultReadLimit: ReadLimit =
-    opt("scan.max-rows-per-trigger").map(n => ReadLimit.maxRows(n.toLong))
-      .orElse(opt("scan.max-snapshots-per-trigger").map(n => ReadLimit.maxFiles(n.toInt)))
-      .getOrElse(ReadLimit.allAvailable())
+  // (paimon-spark PaimonReadLimits.scala:25 — maxRows/maxBytes/minRows/
+  // maxTriggerDelay; maxBytes has no Spark ReadLimit shape, so it caps the
+  // admission loop directly from each snapshot's manifest-resident
+  // deltaBytes)
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits =
+      opt("scan.max-rows-per-trigger").map(n => ReadLimit.maxRows(n.toLong)).toSeq ++
+      opt("scan.max-snapshots-per-trigger").map(n => ReadLimit.maxFiles(n.toInt)) ++
+      opt("scan.min-rows-per-trigger").map(n => ReadLimit.minRows(n.toLong,
+        opt("scan.max-trigger-delay-ms").map(_.toLong).getOrElse(Long.MaxValue)))
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
@@ -145,34 +157,58 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(t.sm.latestSnapshotId.getOrElse(0L))
 
+  // minRows bookkeeping: epoch-millis when rows first became available but
+  // were withheld below the minimum (drives maxTriggerDelay)
+  private var minRowsWaitingSince: Option[Long] = None
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles, ReadMaxRows, ReadMinRows}
     val s = start.asInstanceOf[GraftOffset].snapshotId
     val latest = availableNowEnd.getOrElse(t.sm.latestSnapshotId.getOrElse(0L))
     if (s < 0) return GraftOffset(math.max(fullStateEnd(s, latest), 0L)) // full-state batch
-    val (maxRows, maxSnaps) = limit match {
-      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        (r.maxRows(), Int.MaxValue)
-      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        (Long.MaxValue, f.maxFiles())
-      case _ => (Long.MaxValue, Int.MaxValue)
+    val flat: Seq[ReadLimit] = limit match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case one => Seq(one)
     }
+    val maxRows = flat.collectFirst { case r: ReadMaxRows => r.maxRows() }
+      .getOrElse(Long.MaxValue)
+    val maxSnaps = flat.collectFirst { case f: ReadMaxFiles => f.maxFiles() }
+      .getOrElse(Int.MaxValue)
+    val minRowsLimit = flat.collectFirst { case m: ReadMinRows => m }
+    val maxBytes = opt("scan.max-bytes-per-trigger").map(_.toLong)
+      .getOrElse(Long.MaxValue)
     // scan.bounded.watermark: bounded streaming — never admit a snapshot
     // whose watermark exceeds the bound (the stream idles at the boundary;
     // Trigger.AvailableNow terminates there)
     val bound = opt("scan.bounded.watermark").map(_.toLong)
-    var end = s; var rows = 0L; var snaps = 0
-    while (end < latest && snaps < maxSnaps && rows < maxRows) {
+    var end = s; var rows = 0L; var bytes = 0L; var snaps = 0
+    while (end < latest && snaps < maxSnaps && rows < maxRows && bytes < maxBytes) {
       val meta = t.sm.readSnapshot(end + 1)
       if (bound.exists(b => meta.watermarkLong.exists(_ > b)))
         return GraftOffset(end)
-      val r = if (skipKind(meta.kind)) 0L else meta.deltaRecords
+      val skip = skipKind(meta.kind)
+      val r = if (skip) 0L else meta.deltaRecords
+      // legacy snapshots without deltaBytes admit as 0 (size-unknown)
+      val b = if (skip) 0L else meta.deltaBytesLong.getOrElse(0L)
       // always admit at least one snapshot so the stream advances
-      if (snaps > 0 && (rows + r > maxRows || snaps + 1 > maxSnaps)) {
+      if (snaps > 0 && (rows + r > maxRows || snaps + 1 > maxSnaps ||
+          bytes + b > maxBytes)) {
         return GraftOffset(end)
       }
-      rows += r; snaps += 1; end += 1
+      rows += r; bytes += b; snaps += 1; end += 1
     }
-    GraftOffset(end)
+    // minRows: withhold the batch until enough rows accumulate OR the
+    // configured delay elapses since rows first became available
+    minRowsLimit match {
+      case Some(m) if end > s && rows < m.minRows() =>
+        val now = System.currentTimeMillis()
+        val since = minRowsWaitingSince.getOrElse { minRowsWaitingSince = Some(now); now }
+        if (now - since < m.maxTriggerDelayMs()) GraftOffset(s)
+        else { minRowsWaitingSince = None; GraftOffset(end) }
+      case _ =>
+        minRowsWaitingSince = None
+        GraftOffset(end)
+    }
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -259,6 +259,49 @@ class Dsv2Spec extends SparkTestBase {
     assert(spark.table(outName2).count() == 0)
   }
 
+  test("streaming: max-bytes and min-rows admission (paimon read limits)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.adm2 (k BIGINT, s STRING) TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.db.adm2 VALUES ($i,'v$i'),(${i + 100},'w$i')"))
+    val loc = s"$wh/db.db/adm2"
+    // deltaBytes is manifest-resident on every commit
+    val t = graft.core.GraftTable.load(spark, loc)
+    assert(t.sm.readSnapshot(2L).deltaBytesLong.exists(_ > 0L))
+    // max-bytes = 1 → every batch carries exactly one snapshot (always
+    // admit at least one so the stream advances)
+    val ckpt = Files.createTempDirectory("graft-adm2-ckpt").toString
+    val outName = "adm2_sink_" + System.nanoTime()
+    val q = spark.readStream.format("graft")
+      .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+      .option("scan.max-bytes-per-trigger", "1")
+      .load(loc)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(outName).start()
+    q.awaitTermination(60000)
+    assert(spark.table(outName).count() == 8)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 4, s"expected 4 byte-bounded batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows == 2))
+    // min-rows with a large delay: everything available (8 rows >= 5)
+    // arrives in ONE batch instead of per-snapshot dribbles
+    val ckpt2 = Files.createTempDirectory("graft-minr-ckpt").toString
+    val outName2 = "minr_sink_" + System.nanoTime()
+    val q2 = spark.readStream.format("graft")
+      .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+      .option("scan.min-rows-per-trigger", "5")
+      .option("scan.max-trigger-delay-ms", "3600000")
+      .load(loc)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt2)
+      .format("memory").queryName(outName2).start()
+    q2.awaitTermination(60000)
+    assert(spark.table(outName2).count() == 8)
+    val b2 = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(b2.length == 1, s"expected one min-rows batch, got ${b2.length}")
+  }
+
   test("streaming startup: from-creation-timestamp and from-file-creation-time") {
     import graft.core.RowOps._
     val loc = Files.createTempDirectory("graft-fct").resolve("t").toString

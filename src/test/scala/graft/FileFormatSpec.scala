@@ -99,6 +99,30 @@ class FileFormatSpec extends SparkTestBase {
     }
   }
 
+  test("text append table: one line per row, stats, filters, validation") {
+    val loc = tmpLoc("text-app")
+    val df = Seq("alpha one", "bravo two", "charlie three", "alpha four")
+      .toDF("line")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(options = Map("file.format" -> "text")))
+    t.write(df)
+    assert(t.planFiles(None, None).forall(_.path.endsWith(".txt")))
+    assertSameRows(t.read(), df)
+    // min/max stats collected from text files prune as usual
+    assert(t.read(Some(col("line").startsWith("alpha"))).count() == 2)
+    // multi-column and PK schemas are rejected up front
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpLoc("text-bad"),
+        Seq((1L, "x")).toDF("k", "s").schema,
+        TableConfig(options = Map("file.format" -> "text")))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpLoc("text-pk"), df.schema,
+        TableConfig(primaryKeys = Seq("line"),
+          options = Map("file.format" -> "text")))
+    }
+  }
+
   test("avro PK table: MOR, stats prune, compaction, update, delete") {
     val loc = tmpLoc("avro-pk")
     val t = GraftTable.create(spark, loc, mkOrders.schema,
