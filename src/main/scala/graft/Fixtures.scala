@@ -360,6 +360,22 @@ object Fixtures {
       t
     }
 
+  /** ordersPk twin with `file.format=row` (binary UnsafeRow container —
+    * cheapest row-oriented ingest path). */
+  def ordersRowFmt(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_rowfmt") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 4,
+          options = Map("file.format" -> "row")))
+      t.write(orders)
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", lit("X-UPD")))
+      t.compact()
+      t
+    }
+
   /** Single-column text table: one document per line (newlines flattened —
     * the line-based format's contract). */
   def docsTextFmt(spark: SparkSession, sfDir: String): GraftTable =

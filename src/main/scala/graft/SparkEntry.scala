@@ -235,6 +235,7 @@ object SparkEntry {
     "q_file_format_avro" -> ((s, d) => statusAgg(Fixtures.ordersAvroFmt(s, d).read())),
     "q_file_format_text" -> ((s, d) => Fixtures.docsTextFmt(s, d).read()
       .agg(count(lit(1)).as("cnt"), sum(length(col("line"))).as("chars"))),
+    "q_file_format_row" -> ((s, d) => statusAgg(Fixtures.ordersRowFmt(s, d).read())),
 
     // ---- merge engines (§2.4a) ----
     "q_partial_update" -> ((s, d) => Fixtures.custPu(s, d).read()
@@ -1308,6 +1309,7 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         | CAST(sum(length(regexp_replace(text, '[\r\n]+', ' ', 'g'))) AS BIGINT) AS chars
         |FROM documents""".stripMargin,
+    "q_file_format_row" -> dedupOracle,
     "q_partial_update" ->
       """SELECT c_custkey, c_name,
         | round(c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END, 2) AS acctbal,

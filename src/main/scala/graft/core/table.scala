@@ -112,10 +112,13 @@ class GraftTable private (
     r.format(formatProvider).load(paths: _*)
   }
 
-  /** Spark datasource name for the table's file format ("avro" maps to the
-    * engine's own FileFormat — Spark ships no avro datasource). */
-  private[graft] def formatProvider: String =
-    if (fileFormat == "avro") "graft-avro" else fileFormat
+  /** Spark datasource name for the table's file format ("avro" and "row"
+    * map to the engine's own FileFormats — Spark ships neither). */
+  private[graft] def formatProvider: String = fileFormat match {
+    case "avro" => "graft-avro"
+    case "row" => "graft-row"
+    case f => f
+  }
 
   /** Schema of data files on disk (adds LSM envelope cols for PK tables;
     * cf. paimon KeyValue envelope, SURVEY §1.3; adds shredded variant
@@ -2060,7 +2063,7 @@ object GraftTable {
         s"sequence field $f not in schema"))
     }
     val fmt = config.option("file.format", "parquet")
-    require(Set("parquet", "orc", "csv", "json", "avro", "text")(fmt),
+    require(Set("parquet", "orc", "csv", "json", "avro", "text", "row")(fmt),
       s"unknown file.format $fmt")
     // text: one line per row — exactly one STRING column, append tables
     // only (the LSM envelope needs typed columns)

@@ -148,6 +148,35 @@ class FileFormatSpec extends SparkTestBase {
       Seq((1L, 10.0), (2L, 25.0), (3L, 99.0)).toDF("k", "price"))
   }
 
+  test("row PK table: binary UnsafeRow files through MOR and compaction") {
+    val loc = tmpLoc("row-pk")
+    val t = GraftTable.create(spark, loc, mkOrders.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        options = Map("file.format" -> "row")))
+    t.write(mkOrders)
+    t.write(Seq((2L, "B2", 25.0, "2024-01-01")).toDF("k", "status", "price", "dt"))
+    val files = t.planFiles(None, None)
+    assert(files.nonEmpty && files.forall(_.path.endsWith(".row")),
+      s"expected .row data files, got ${files.map(_.path)}")
+    assertSameRows(t.read(),
+      Seq((1L, "A", 10.0, "2024-01-01"), (2L, "B2", 25.0, "2024-01-01"),
+        (3L, "A", 30.0, "2024-01-02"), (4L, "C", 40.0, "2024-01-02"))
+        .toDF("k", "status", "price", "dt"))
+    assert(t.planFiles(None, Some(col("k") === 1L)).size <
+      t.planFiles(None, None).size)
+    t.compact()
+    t.delete(col("k") === 4L)
+    assert(t.read().count() == 3)
+    // schema evolution: a new column null-fills from pre-evolution files
+    t.addColumns(StructField("extra", IntegerType))
+    val t2 = GraftTable.load(spark, loc)
+    t2.write(Seq((9L, "Z", 1.0, "2024-05-01", 5))
+      .toDF("k", "status", "price", "dt", "extra"))
+    val got = t2.read().select("k", "extra").orderBy("k")
+      .as[(Long, Option[Int])].collect().toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, None), (9L, Some(5))), s"$got")
+  }
+
   test("avro round-trips rich types and evolves schema by field id") {
     val loc = tmpLoc("avro-types")
     val df = spark.sql(
