@@ -687,6 +687,17 @@ object SparkEntry {
       Similarity.batchTopK(emb, "vec_id", "embedding", qs, 5)
         .select(col("qid"), col("vec_id"), round(col("__score"), 4).as("sim"))
     }),
+    "q_semantic_dedup" -> ((s, d) => {
+      // SemDeDup: planted exact duplicates (id+1e6) collapse to their
+      // min-id representative; organic pairs stay below the 0.9999 bar
+      // (same determinism contract as q_embed_neardup), so survivors are
+      // exactly the original ids
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val e2 = emb.unionAll(emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")))
+      graft.pipeline.Dedup.semanticDedup(e2, "vec_id", "embedding",
+        k = 8, threshold = 0.9999).select("vec_id")
+    }),
     "q_embed_neardup" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select("vec_id", "label", "embedding")
       val e2 = emb.unionAll(emb.select((col("vec_id") + 1000000L).as("vec_id"),
@@ -1689,6 +1700,7 @@ object SparkEntry {
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_embed_neardup" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2 FROM embeddings""".stripMargin,
+    "q_semantic_dedup" -> "SELECT vec_id FROM embeddings",
     "q_ann_batch" ->
       """SELECT qid, vec_id, round(sim, 4) AS sim FROM (
         |  SELECT q.vec_id AS qid, e.vec_id,

@@ -288,4 +288,32 @@ object Dedup {
       .join(cc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical"))
   }
+
+  /** Semantic dedup over an embedding column (SemDeDup, Abbas et al. '23):
+    * assign every document to one of `k` clusters (deterministic seeded
+    * centroids, map-side codegen'd — [[Similarity.kmeansAssign]]), compute
+    * pairwise cosine ONLY within each cluster, connect components over
+    * pairs ≥ `threshold`, keep the min-id representative of each group.
+    *
+    * The clusters bound the quadratic: cost is O(Σ|c|²), not O(n²) — `k`
+    * scales it down (the 100-TB posture of the paper: ~10⁵ clusters on
+    * web-scale corpora). By design a near-dup pair split across clusters
+    * is missed — that is the accepted recall trade of the method.
+    * Returns the SURVIVING rows of `df` (all columns). */
+  def semanticDedup(df: DataFrame, idCol: String, embedCol: String,
+                    k: Int, threshold: Double, seed: Int = 0): DataFrame = {
+    val assigned = Similarity.kmeansAssign(df, idCol, embedCol, k, seed)
+      .select(col(idCol), col(embedCol), col("__cluster"))
+    val a = assigned.select(col("__cluster"), col(idCol).as("__v1"),
+      col(embedCol).as("__e1"))
+    val b = assigned.select(col("__cluster"), col(idCol).as("__v2"),
+      col(embedCol).as("__e2"))
+    val pairs = a.join(b, "__cluster")
+      .filter(col("__v1") < col("__v2") &&
+        Similarity.cosine(col("__e1"), col("__e2")) >= threshold)
+      .select(col("__v1"), col("__v2"))
+    val survivors = canonicalize(df, idCol, pairs, "__v1", "__v2")
+      .filter(col(idCol) === col("canonical")).select(col(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
 }

@@ -80,6 +80,33 @@ class PipelineSpec extends SparkTestBase {
       s"partial overlap = exactly the one shared 5-gram: ${scores(3L)}")
   }
 
+  test("semantic dedup: within-cluster near-dup groups keep the min-id doc") {
+    val dim = 8
+    // three planted groups of near-identical vectors + two singletons.
+    // Base directions are orthogonal unit axes → organic cross-group cosine
+    // is ~0, group-internal cosine is ~1.
+    def v(axis: Int, eps: Float): Seq[Float] =
+      (0 until dim).map(i => if (i == axis) 1.0f else if (i == (axis + 1) % dim) eps else 0.0f)
+    val rows = Seq(
+      (1L, v(0, 0.001f)), (2L, v(0, 0.002f)), (3L, v(0, 0.003f)), // group {1,2,3}
+      (10L, v(2, 0.001f)), (11L, v(2, 0.002f)),                   // group {10,11}
+      (20L, v(4, 0.0f)),                                          // singleton
+      (30L, v(6, 0.0f)))                                          // singleton
+    val df = rows.toDF("id", "emb")
+    // k=1: every pair considered → survivors are exactly the group minima
+    val s1 = Dedup.semanticDedup(df, "id", "emb", k = 1, threshold = 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == Set(1L, 10L, 20L, 30L), s"got $s1")
+    // higher k: identical-direction vectors still co-cluster (same nearest
+    // centroid), so planted groups still collapse
+    val s4 = Dedup.semanticDedup(df, "id", "emb", k = 4, threshold = 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(s4 == Set(1L, 10L, 20L, 30L), s"got $s4")
+    // survivors carry the FULL row (left_semi keeps all columns)
+    assert(Dedup.semanticDedup(df, "id", "emb", 1, 0.999).columns.toSeq ==
+      Seq("id", "emb"))
+  }
+
   test("connected components: chains propagate to the minimum label") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (6L, 5L))
       .toDF("v1", "v2")
