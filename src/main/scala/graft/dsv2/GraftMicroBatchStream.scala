@@ -446,10 +446,10 @@ class GraftBinlogPackReader(files: Array[String], dataSchema: StructType,
     import scala.jdk.CollectionConverters._
     keys.iterator().asScala.map { k =>
       val b = before.get(k); val a = after.get(k)
+      // both images → +U [before, after]; after only → +I [value];
+      // before only → -D [deleted value]
       val kind = if (b != null && a != null) "+U" else if (a != null) "+I" else "-D"
-      BinlogPack.outRow(pkIdx, valIdx, kind,
-        if (b != null && a != null) b else null.asInstanceOf[Array[Any]],
-        if (a != null) a else (if (b != null && a == null) null else a))
+      BinlogPack.outRow(pkIdx, valIdx, kind, b, a)
     }
   }
 

@@ -302,8 +302,16 @@ object Dedup {
     * Returns the SURVIVING rows of `df` (all columns). */
   def semanticDedup(df: DataFrame, idCol: String, embedCol: String,
                     k: Int, threshold: Double, seed: Int = 0): DataFrame = {
-    val assigned = Similarity.kmeansAssign(df, idCol, embedCol, k, seed)
-      .select(col(idCol), col(embedCol), col("__cluster"))
+    // small k: codegen'd literal-centroid assignment; large k (the
+    // web-scale SemDeDup regime, k≈10⁵): k-means|| centroids + tight-loop
+    // UDF — a 10⁵-literal expression tree would break codegen
+    val assigned =
+      (if (k <= 256) Similarity.kmeansAssign(df, idCol, embedCol, k, seed)
+       else {
+         val model = Similarity.trainIvf(df, embedCol, k,
+           sampleFraction = 0.1, seed = seed.toLong)
+         df.withColumn("__cluster", Indexes.assignUdf(model)(col(embedCol)))
+       }).select(col(idCol), col(embedCol), col("__cluster"))
     val a = assigned.select(col("__cluster"), col(idCol).as("__v1"),
       col(embedCol).as("__e1"))
     val b = assigned.select(col("__cluster"), col(idCol).as("__v2"),

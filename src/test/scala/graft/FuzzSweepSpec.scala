@@ -23,9 +23,14 @@ class FuzzSweepSpec extends SparkTestBase {
       extraOpts = Map("metadata.stats-mode" -> "none"))
     r.runScenarioPublic(seed = 4200L, ops = 12, numBuckets = 2,
       extraOpts = Map("metadata.stats-mode" -> "counts"))
-    // orc data files ride the same LSM write/merge/compact path (V1 read)
+    // orc/avro/row data files ride the same LSM write/merge/compact path
+    // (V1 read; avro and row exercise the engine's own FileFormats)
     r.runScenarioPublic(seed = 4300L, ops = 12, numBuckets = 2,
       extraOpts = Map("file.format" -> "orc"))
+    r.runScenarioPublic(seed = 4500L, ops = 12, numBuckets = 2,
+      extraOpts = Map("file.format" -> "avro"))
+    r.runScenarioPublic(seed = 4600L, ops = 12, numBuckets = 2,
+      extraOpts = Map("file.format" -> "row"))
     // full-compaction changelog producer: compactions also cut changelog
     // files; merge/read results must stay identical
     r.runScenarioPublic(seed = 4400L, ops = 12, numBuckets = 2,

@@ -45,6 +45,7 @@ class StreamingSinkSpec extends SparkTestBase {
     val t = GraftTable.create(spark, loc, df.schema,
       TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
         options = Map("changelog-producer" -> "lookup")))
+    import graft.core.RowOps._
     t.write(df)                                         // snapshot 1: +I, +I
     t.write(Seq((2L, 25.0), (3L, 30.0)).toDF("k", "v")) // snapshot 2: -U/+U, +I
     val ckpt = java.nio.file.Files.createTempDirectory("graft-blstream-ckpt").toString
@@ -64,11 +65,36 @@ class StreamingSinkSpec extends SparkTestBase {
       (2L, "+U", Seq(20.0, 25.0)), // update packs [before, after]
       (3L, "+I", Seq(30.0))), s"got $rows")
     // batch face of the same table: last commit only, same packed shape
-    import graft.core.RowOps._
     val batch = t.systemTable("binlog").as[(Long, String, Seq[Double])]
       .collect().toSet
     assert(batch == Set((2L, "+U", Seq(20.0, 25.0)), (3L, "+I", Seq(30.0))),
       s"got $batch")
+  }
+
+  test("binlog streaming: a retract write packs -D with the before image") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.core.RowOps._
+    val loc = tmpLoc("binlog-del")
+    val df = Seq((1L, 10.0, "+I"), (2L, 20.0, "+I")).toDF("k", "v", "rk")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1,
+        options = Map("changelog-producer" -> "lookup",
+          "rowkind.field" -> "rk")))
+    t.write(df)                                     // snapshot 1: +I, +I
+    t.write(Seq((1L, 10.0, "-D")).toDF("k", "v", "rk")) // snapshot 2: -D
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bld-ckpt").toString
+    val q = spark.readStream.format("graft")
+      .option("read-binlog", "true")
+      .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "2")
+      .load(loc)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("binlog_del_out").start()
+    q.awaitTermination(60000)
+    val rows = spark.table("binlog_del_out")
+      .select("k", "rowkind", "v").as[(Long, String, Seq[Double])]
+      .collect().toSet
+    assert(rows == Set((1L, "-D", Seq(10.0))), s"got $rows")
   }
 
   test("stream pipeline: graft source -> watermark + session window -> graft sink") {
