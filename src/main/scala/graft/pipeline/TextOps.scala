@@ -80,12 +80,19 @@ object TextOps {
 
   val langOrder = Seq("en", "de", "fr", "es")
 
-  /** All four language scores in ONE struct — compute this in its own
-    * projection so the tokenization + filter passes run once per row; the
-    * argmax ([[langIdFromScores]]) then only touches the 4 counters.
-    * (Inlining the scores into the argmax replicates each one ~3× in the
-    * expression tree — greatest + every when-branch.) */
-  def langScores(text: Column): Column = {
+  /** All four language scores in ONE struct, computed by a native Catalyst
+    * expression ([[graft.functions.LangMarkerScores]]): a single byte-scan
+    * per row, zero token-array materialization, inside whole-stage codegen.
+    * Same result as the relational form (kept below for cross-checking). */
+  def langScores(text: Column): Column =
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.LangMarkerScores(
+        org.apache.spark.sql.graft.SparkShims.expression(text)))
+
+  /** Relational form of [[langScores]] (split + filter + per-language
+    * counts) — the reference implementation the native expression is
+    * tested against. */
+  def langScoresRelational(text: Column): Column = {
     val ws = words(text)
     // pre-filter to the union of all 16 markers first: ONE pass over the full
     // token array; the 4 per-language counts then scan only the marker hits

@@ -135,6 +135,34 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("native lang-score expression equals the relational form on adversarial inputs") {
+    val rows = Seq(
+      "THE the ThE\tand\nof  to",      // case + every ws kind + double space
+      "  der die und das  ",            // leading/trailing ws
+      "le,la et les",                   // punctuation glues tokens (no match for 'le,la')
+      "the and",                   // NBSP is NOT regex-\s: one long token
+      "thé der el y q que los und x",   // accents + mixed languages
+      "", "   ", "a b c d e f g",       // empties and no-marker text
+      "to to to to der")                // repeats
+      .toDF("text")
+    val both = rows.select(
+      TextOps.langScores(col("text")).as("n"),
+      TextOps.langScoresRelational(col("text")).as("r"))
+    assert(both.filter(col("n") =!= col("r")).isEmpty,
+      both.filter(col("n") =!= col("r")).collect().mkString("; "))
+    // null text → null struct on both forms
+    val nulls = Seq[Option[String]](None).toDF("text").select(
+      TextOps.langScores(col("text")).isNull.as("n"))
+    assert(nulls.head().getBoolean(0))
+    // and the plan stays inside whole-stage codegen (no UDF boundary) —
+    // over a distributed frame (a local Seq constant-folds the projection)
+    val dist = spark.range(100).select(concat(lit("the and x"), col("id")).as("text"))
+    val plan = dist.select(TextOps.langScores(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"not inside whole-stage codegen:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("langId classifies marker languages") {
     val got = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
       .as[(Long, String)].collect().toMap
