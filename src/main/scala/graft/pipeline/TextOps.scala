@@ -171,9 +171,28 @@ object TextOps {
         h => pmod(lit(mhA(j)) * h + lit(mhB(j)), lit(4294967296L))))
     }: _*)
 
-  /** MinHash signature of a shingle array (empty set → nulls). */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    minhashFromHashes(shingleHashes(shingleCol), k)
+  /** MinHash signature of a shingle array (empty set → nulls).
+    *
+    * NOT `minhashFromHashes(shingleHashes(c), k)`: inlining the hash array
+    * under each of the k `array_min(transform(...))` elements re-evaluates
+    * every md5 k times (no common-subexpression elimination across array
+    * elements — measured 8x the hash cost at k=8). One `aggregate` pass
+    * folds elementwise mins of all k affine transforms over the hash array
+    * evaluated ONCE. Pipelines that already stage the hash array in its own
+    * projection ([[graft.pipeline.Dedup.minhashLshPairs]]) keep using
+    * [[minhashFromHashes]] on the staged column. */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val folded = aggregate(
+      shingleHashes(shingleCol),
+      array((0 until k).map(_ => lit(4294967296L)): _*),
+      (acc, h) => zip_with(acc,
+        array((0 until k).map(j =>
+          pmod(lit(mhA(j)) * h + lit(mhB(j)), lit(4294967296L))): _*),
+        (a, b) => least(a, b)))
+    // empty shingle set → null mins (the minhashFromHashes contract)
+    when(size(shingleCol) > 0, folded)
+      .otherwise(array((0 until k).map(_ => lit(null).cast(LongType)): _*))
+  }
 
   /** LSH band key: hash of the signature slice for `band` (rows per band =
     * sigLen / nBands). Docs sharing any band key are candidate duplicates. */

@@ -121,6 +121,22 @@ class PipelineSpec extends SparkTestBase {
     assert(canon(99L) == 99L && canon(4L) == 1L && canon(11L) == 10L)
   }
 
+  test("one-pass minhash signature equals the per-seed form; empty set is null") {
+    val docs = Seq("alpha beta gamma delta epsilon", "x y z w v u",
+      "one two three four five six seven", "a b").toDF("text")
+    val sh = TextOps.shingles(col("text"), 3)
+    val both = docs.select(
+      TextOps.minhashSignature(sh, 8).as("fast"),
+      TextOps.minhashFromHashes(TextOps.shingleHashes(sh), 8).as("ref"))
+    assert(both.filter(!(col("fast") <=> col("ref"))).isEmpty,
+      both.collect().mkString("; "))
+    // "a b" has <3 words → empty shingle set → all-null signature
+    val nulls = docs.filter(col("text") === "a b")
+      .select(TextOps.minhashSignature(sh, 8).as("s"))
+      .select(forall(col("s"), _.isNull)).head().getBoolean(0)
+    assert(nulls)
+  }
+
   test("minhash LSH finds the near-duplicate pair and only it") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 3, sigLen = 8, nBands = 4, threshold = 0.5)
