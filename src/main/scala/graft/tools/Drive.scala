@@ -58,6 +58,38 @@ object Drive {
     println(s"== after delete(F): count=${t2.read().count()}, " +
       s"F-rows=${t2.read().filter(col("o_orderstatus") === "F").count()}")
 
+    // avro-format table: the same LSM paths over the engine's own FileFormat
+    val locAvro = java.nio.file.Files.createTempDirectory("graft-drive")
+      .resolve("orders_avro").toString
+    val ta = GraftTable.create(spark, locAvro, orders.schema,
+      TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 2,
+        options = Map("file.format" -> "avro")))
+    ta.write(orders)
+    ta.write(upd)
+    println(s"== avro table: merged count=${ta.read().count()} " +
+      s"(files: ${ta.planFiles().count(_.path.endsWith(".avro"))} .avro)")
+
+    // binlog stream of the PK table's changelog-producing twin
+    val locCl = java.nio.file.Files.createTempDirectory("graft-drive")
+      .resolve("orders_cl").toString
+    val tc = GraftTable.create(spark, locCl, orders.schema,
+      TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = 2,
+        options = Map("changelog-producer" -> "lookup")))
+    tc.write(orders)
+    tc.write(upd)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drive-ckpt").toString
+    val q = spark.readStream.format("graft")
+      .option("read-binlog", "true")
+      .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+      .load(locCl)
+      .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("drive_binlog").start()
+    q.awaitTermination(120000)
+    val bl = spark.table("drive_binlog").groupBy("rowkind").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"== binlog stream rowkinds: $bl (expect +I=rows, +U=rows/10)")
+
     // probe: double create should fail
     try {
       GraftTable.create(spark, loc, orders.schema, TableConfig())
