@@ -112,14 +112,11 @@ object Procedures {
           args.get("next_snapshot").map(_.toLong))
         ok(s"consumer ${args("consumer_id")} reset")
       case "create_tag_from_watermark" =>
-        // reference CreateTagFromWatermarkProcedure -> laterOrEqualWatermark:
-        // EARLIEST snapshot whose watermark >= the requested value
+        // reference CreateTagFromWatermarkProcedure
         val w = args("watermark").toLong
-        val ids = table.sm.snapshotIds.filter(id =>
-          table.sm.readSnapshot(id).watermarkLong.exists(_ >= w))
-        require(ids.nonEmpty, "no snapshot later than or equal to watermark")
-        table.sm.createTag(args("tag"), ids.min)
-        ok(s"tag ${args("tag")} -> snapshot ${ids.min} (watermark $w)")
+        val sid = table.sm.laterOrEqualWatermark(w)
+        table.sm.createTag(args("tag"), sid)
+        ok(s"tag ${args("tag")} -> snapshot $sid (watermark $w)")
       case "rollback_to_tag" =>
         val tg = table.sm.readTag(args("tag"))
         val s = table.rollback(tg.snapshotId)

@@ -337,6 +337,17 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
   }
   def snapshotIds: Seq[Long] = listIds(snapshotDir, "snapshot-", ".json").sorted
 
+  /** EARLIEST snapshot whose watermark >= `w` (reference
+    * SnapshotManager.laterOrEqualWatermark) — the single definition behind
+    * `VERSION AS OF 'watermark'`, `scan.watermark` and
+    * `create_tag_from_watermark`; throws when no snapshot has reached `w`. */
+  def laterOrEqualWatermark(w: Long): Long = {
+    val ids = snapshotIds.filter(id => readSnapshot(id).watermarkLong.exists(_ >= w))
+    require(ids.nonEmpty,
+      s"there is currently no snapshot later than or equal to watermark[$w]")
+    ids.min
+  }
+
   /** Latest snapshot id: LATEST hint, verified + advanced by probing. */
   def latestSnapshotId: Option[Long] = {
     val hintPath = new Path(snapshotDir, "LATEST")

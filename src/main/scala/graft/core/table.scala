@@ -870,15 +870,9 @@ class GraftTable private (
   }
 
   /** VERSION AS OF watermark: EARLIEST snapshot whose watermark >= `w`
-    * (reference StaticFromWatermarkStartingScanner ->
-    * SnapshotManager.laterOrEqualWatermark; throws when none exists). */
-  def readWatermark(w: Long): DataFrame = {
-    val ids = sm.snapshotIds.filter(id =>
-      sm.readSnapshot(id).watermarkLong.exists(_ >= w))
-    require(ids.nonEmpty,
-      s"there is currently no snapshot later than or equal to watermark[$w]")
-    read(None, Some(ids.min))
-  }
+    * (reference StaticFromWatermarkStartingScanner; throws when none). */
+  def readWatermark(w: Long): DataFrame =
+    read(None, Some(sm.laterOrEqualWatermark(w)))
 
   /** INSERT OVERWRITE. `dynamic`: only replace partitions present in `df`
     * (paimon PaimonDynamicPartitionOverwriteCommand.scala). */
@@ -2073,6 +2067,13 @@ object GraftTable {
       require(schema.fields.length == 1 &&
           schema.fields.head.dataType == StringType,
         "file.format=text requires exactly one STRING column")
+      // row tracking / shredding add typed file columns a one-string-column
+      // line format cannot carry — fail at create, not deep in the writer
+      require(config.option("row-tracking.enabled", "false") != "true",
+        "file.format=text cannot store the row-tracking id column")
+      require(!config.options.keys.exists(k =>
+          k.startsWith("fields.") && k.endsWith(".shred")),
+        "file.format=text cannot store shredded extraction columns")
     }
     if (fmt == "csv") schema.fields.foreach { f =>
       val flat = f.dataType match {

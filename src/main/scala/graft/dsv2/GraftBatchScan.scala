@@ -470,6 +470,16 @@ private[dsv2] class DvFilteredVector(
   override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
     base.getUTF8String(map(i))
   override def getBinary(i: Int): Array[Byte] = base.getBinary(map(i))
-  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
-    new DvFilteredVector(base.getChild(ordinal), map)
+  // struct/array access routes EVERY row's field read through getChild —
+  // cache wrapped children so it is one allocation per batch, not per row
+  private var children: Array[org.apache.spark.sql.vectorized.ColumnVector] = _
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector = {
+    if (children == null)
+      children = new Array[org.apache.spark.sql.vectorized.ColumnVector](ordinal + 1)
+    else if (children.length <= ordinal)
+      children = java.util.Arrays.copyOf(children, ordinal + 1)
+    if (children(ordinal) == null)
+      children(ordinal) = new DvFilteredVector(base.getChild(ordinal), map)
+    children(ordinal)
+  }
 }

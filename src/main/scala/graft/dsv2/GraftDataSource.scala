@@ -171,13 +171,8 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
           else v.toLong
         })
         // scan.watermark: earliest snapshot whose watermark >= the value
-        // (reference StaticFromWatermarkStartingScanner -> laterOrEqualWatermark)
-        .orElse(merged.get("scan.watermark").map { w =>
-          val ids = t.sm.snapshotIds.filter(id =>
-            t.sm.readSnapshot(id).watermarkLong.exists(_ >= w.toLong))
-          require(ids.nonEmpty, s"there is currently no snapshot later than or equal to watermark[$w]")
-          ids.min
-        })
+        .orElse(merged.get("scan.watermark")
+          .map(w => t.sm.laterOrEqualWatermark(w.toLong)))
     new GraftScanBuilder(t, snapshotId.orElse(optSnap), merged)
   }
 

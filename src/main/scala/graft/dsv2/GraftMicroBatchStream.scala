@@ -198,9 +198,12 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
       rows += r; bytes += b; snaps += 1; end += 1
     }
     // minRows: withhold the batch until enough rows accumulate OR the
-    // configured delay elapses since rows first became available
+    // configured delay elapses since rows first became available. NEVER
+    // under Trigger.AvailableNow — its contract is to drain everything
+    // available and stop (Kafka ignores minOffsetsPerTrigger the same way);
+    // withholding there would terminate the query with data unread.
     minRowsLimit match {
-      case Some(m) if end > s && rows < m.minRows() =>
+      case Some(m) if availableNowEnd.isEmpty && end > s && rows < m.minRows() =>
         val now = System.currentTimeMillis()
         val since = minRowsWaitingSince.getOrElse { minRowsWaitingSince = Some(now); now }
         if (now - since < m.maxTriggerDelayMs()) GraftOffset(s)

@@ -290,14 +290,16 @@ case class GraftCatalogCallCommand(proc: String, args: Map[String, String])
       val ident = GraftSqlParser.splitIdent(args("database"))
       val (g, rest) = graftCatalog(session, ident)
       val db = rest.mkString(".")
-      def patterns(k: String): Seq[scala.util.matching.Regex] =
-        args.get(k).toSeq.flatMap(_.split('|')).map(_.trim)
-          .filter(_.nonEmpty).map(p => ("^" + p + "$").r)
-      val inc = patterns("including_tables")
-      val exc = patterns("excluding_tables")
+      // each arg is ONE regex (alternation with '|' stays inside it, as the
+      // reference compiles the whole string — '(ods|dim)_.*' is one pattern)
+      def pattern(k: String): Option[java.util.regex.Pattern] =
+        args.get(k).map(_.trim).filter(_.nonEmpty)
+          .map(java.util.regex.Pattern.compile)
+      val inc = pattern("including_tables")
+      val exc = pattern("excluding_tables")
       def selected(n: String): Boolean =
-        (inc.isEmpty || inc.exists(_.findFirstIn(n).isDefined)) &&
-          !exc.exists(_.findFirstIn(n).isDefined)
+        inc.forall(_.matcher(n).matches()) &&
+          !exc.exists(_.matcher(n).matches())
       val results = g.listTables(Array(db)).toSeq
         .filter(id => selected(id.name())).map { id =>
           val t = GraftTable.load(session,

@@ -110,12 +110,22 @@ class GraftRowFileFormat extends FileFormat with DataSourceRegister with Seriali
 
 object GraftRowFileFormat {
   val Magic = 0x47524f57 // "GROW"
-  val Version = 1
+  val Version = 2
 
   private[formats] def readHeader(in: DataInputStream): StructType = {
     require(in.readInt() == Magic, "not a graft row file")
-    require(in.readInt() == Version, "unsupported row-file version")
-    DataType.fromDDL(in.readUTF()).asInstanceOf[StructType]
+    val v = in.readInt()
+    val ddl = v match {
+      case 1 => in.readUTF() // legacy: 64KB-bounded modified-UTF header
+      case 2 =>
+        // length-prefixed UTF-8 — wide schemas exceed writeUTF's 64KB cap
+        val bytes = new Array[Byte](in.readInt())
+        in.readFully(bytes)
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      case other => throw new IllegalArgumentException(
+        s"unsupported row-file version $other")
+    }
+    DataType.fromDDL(ddl).asInstanceOf[StructType]
   }
 }
 
@@ -128,7 +138,9 @@ class GraftRowOutputWriter(val path: String, dataSchema: StructType,
       p.getFileSystem(context.getConfiguration).create(p, true), 1 << 16))
     s.writeInt(GraftRowFileFormat.Magic)
     s.writeInt(GraftRowFileFormat.Version)
-    s.writeUTF(dataSchema.toDDL)
+    val ddl = dataSchema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    s.writeInt(ddl.length)
+    s.write(ddl)
     s
   }
   private val copyBuffer = new Array[Byte](1 << 16)

@@ -95,8 +95,11 @@ object Similarity {
     sum.cast(DoubleType) * qRow.getField("scale") * lit(qScale)
   }
 
-  /** Unit-normalize driver-side (same rule as [[unitArr]]). */
-  private def unitVec(v: Seq[Float]): Seq[Double] = {
+  /** Unit-normalize driver/executor-side (same rule as [[unitArr]]) — the
+    * ONE definition every quantized path shares (int8 query, PQ encode,
+    * ADC query); the zero-vector convention must never diverge between a
+    * stored code and its query-side transform. */
+  private[pipeline] def unitVec(v: Seq[Float]): Seq[Double] = {
     val n = math.sqrt(v.map(x => x.toDouble * x).sum)
     if (n == 0.0) v.map(_.toDouble) else v.map(_ / n)
   }
@@ -182,8 +185,7 @@ object Similarity {
         if (raw == null) null
         else {
           // codebooks live in UNIT space (cosine candidate ranking)
-          val nrm = math.sqrt(raw.map(x => x.toDouble * x).sum)
-          val e = if (nrm == 0.0) raw.map(_.toDouble) else raw.map(_ / nrm)
+          val e = unitVec(raw)
           Array.tabulate(m) { j =>
             val cb = codebooks(j)
             var best = 0; var bd = Double.MaxValue; var c = 0
@@ -204,8 +206,7 @@ object Similarity {
       * a query: per-subspace query×centroid dots are precomputed into a
       * lookup table once, each row pays m array lookups. */
     def adcDotUdf(query: Seq[Float]): org.apache.spark.sql.expressions.UserDefinedFunction = {
-      val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
-      val q = if (qn == 0.0) query.map(_.toDouble) else query.map(_ / qn)
+      val q = unitVec(query)
       val lut = Array.tabulate(m) { j =>
         codebooks(j).map { c =>
           var s = 0.0; var i = 0

@@ -284,13 +284,14 @@ class Dsv2Spec extends SparkTestBase {
     val batches = q.recentProgress.filter(_.numInputRows > 0)
     assert(batches.length == 4, s"expected 4 byte-bounded batches, got ${batches.length}")
     assert(batches.forall(_.numInputRows == 2))
-    // min-rows with a large delay: everything available (8 rows >= 5)
-    // arrives in ONE batch instead of per-snapshot dribbles
+    // min-rows NEVER withholds under Trigger.AvailableNow (its contract is
+    // drain-everything-and-stop, the Kafka posture for minOffsetsPerTrigger)
+    // — even a minimum far above the available rows delivers them all
     val ckpt2 = Files.createTempDirectory("graft-minr-ckpt").toString
     val outName2 = "minr_sink_" + System.nanoTime()
     val q2 = spark.readStream.format("graft")
       .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
-      .option("scan.min-rows-per-trigger", "5")
+      .option("scan.min-rows-per-trigger", "1000")
       .option("scan.max-trigger-delay-ms", "3600000")
       .load(loc)
       .writeStream.trigger(Trigger.AvailableNow())
@@ -298,8 +299,6 @@ class Dsv2Spec extends SparkTestBase {
       .format("memory").queryName(outName2).start()
     q2.awaitTermination(60000)
     assert(spark.table(outName2).count() == 8)
-    val b2 = q2.recentProgress.filter(_.numInputRows > 0)
-    assert(b2.length == 1, s"expected one min-rows batch, got ${b2.length}")
   }
 
   test("streaming startup: from-creation-timestamp and from-file-creation-time") {
@@ -757,6 +756,14 @@ class Dsv2Spec extends SparkTestBase {
       "CALL sys.compact_database(database => 'graft.cdb', including_tables => 'nope.*')")
       .as[String].collect().toSeq
     assert(none == Seq("no tables matched"))
+    // '|' alternation INSIDE one regex (the reference compiles the whole
+    // string as a single pattern): (ods|dim)_.* selects all three
+    val alt = spark.sql(
+      """CALL sys.compact_database(database => 'graft.cdb',
+        |  including_tables => '(ods|dim)_.*')""".stripMargin)
+      .as[String].collect().toSeq
+    assert(alt.map(_.takeWhile(_ != ':')).sorted == Seq("dim_c", "ods_a", "ods_b"),
+      alt.mkString("; "))
   }
 
   test("global system tables: sys.all_tables / all_table_options / all_partitions") {

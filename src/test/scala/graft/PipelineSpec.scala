@@ -159,7 +159,9 @@ class PipelineSpec extends SparkTestBase {
       "the and",                   // NBSP is NOT regex-\s: one long token
       "thé der el y q que los und x",   // accents + mixed languages
       "", "   ", "a b c d e f g",       // empties and no-marker text
-      "to to to to der")                // repeats
+      "to to to to der",                // repeats
+      "\u0000to el\u0000 a\u0000b")     // NUL is token CONTENT, not \s —
+                                        // "\0to" must NOT alias marker "to"
       .toDF("text")
     val both = rows.select(
       TextOps.langScores(col("text")).as("n"),
