@@ -479,17 +479,25 @@ object Consumers {
  */
 object CopyInto {
   /** COPY INTO table FROM path (csv/json/parquet). */
+  /** Spark datasource for an interchange format name ("avro"/"row" map to
+    * the engine's own FileFormats — Spark ships neither). */
+  private def provider(format: String): String = format match {
+    case "avro" => "graft-avro"
+    case "row" => "graft-row"
+    case f => f
+  }
   def copyIn(spark: SparkSession, t: GraftTable, path: String, format: String,
              options: Map[String, String] = Map.empty): SnapshotMeta = {
-    val reader = spark.read.format(format).options(options)
+    val reader = spark.read.format(provider(format)).options(options)
     val df = (if (format == "parquet") reader
               else reader.schema(t.schema.sparkSchema)).load(path)
     t.write(df)
   }
-  /** COPY table TO path (csv/json/parquet). */
+  /** COPY table TO path (csv/json/parquet/avro). */
   def copyOut(t: GraftTable, path: String, format: String,
               options: Map[String, String] = Map.empty): Unit =
-    t.read().write.format(format).options(options).mode("overwrite").save(path)
+    t.read().write.format(provider(format)).options(options)
+      .mode("overwrite").save(path)
 }
 
 /** Point lookup: key → current row(s), served by manifest pruning + a

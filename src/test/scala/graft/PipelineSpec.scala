@@ -447,6 +447,17 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(t2.read(), src)
   }
 
+  test("copy into round-trips avro (engine FileFormat as interchange)") {
+    val out = tmpLoc("copyout-avro")
+    val src = Seq((1L, "x", 5.0), (2L, "y", 6.5)).toDF("k", "s", "p")
+    val t = GraftTable.create(spark, tmpLoc("copyin-avro"), src.schema, TableConfig())
+    t.write(src)
+    CopyInto.copyOut(t, out, "avro")
+    val t2 = GraftTable.create(spark, tmpLoc("copy2-avro"), src.schema, TableConfig())
+    CopyInto.copyIn(spark, t2, out, "avro")
+    assertSameRows(t2.read(), src)
+  }
+
   test("stream-static lookup join enriches a micro-batch against a table") {
     val loc = tmpLoc("lkj")
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
