@@ -398,6 +398,35 @@ object Fixtures {
       t
     }
 
+  /** Orders as a CATALOG table bucket-keyed by o_custkey: the DSv2 scan
+    * reports KeyGroupedPartitioning through the catalog's bucket function,
+    * so per-customer windows/aggregations satisfy their clustering FROM
+    * STORAGE — zero exchange (needs spark.sql.sources.v2.bucketing.enabled,
+    * set here; the catalog route is required — a path read cannot resolve
+    * the bucket transform against a FunctionCatalog). */
+  def ordersBucketedSql(spark: SparkSession, sfDir: String): String = {
+    val wh = s"${fixRoot(sfDir)}/sql-warehouse"
+    val key = (sfDir, "__bucketed_orders")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    if (!built.contains(key)) {
+      spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+      val loc = s"$wh/db.db/orders_bucketed"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
+      spark.sql("""CREATE TABLE graft_fix.db.orders_bucketed (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+        TBLPROPERTIES ('bucket-key'='o_custkey', 'bucket'='8')""")
+      src(spark, sfDir, "orders").createOrReplaceTempView("orders_src_bk_v")
+      spark.sql("INSERT INTO graft_fix.db.orders_bucketed SELECT * FROM orders_src_bk_v")
+      built.put(key, GraftTable.load(spark, loc))
+    }
+    "graft_fix.db.orders_bucketed"
+  }
+
   def regionCopy(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "region_copy") { loc =>
       val r = src(spark, sfDir, "region")

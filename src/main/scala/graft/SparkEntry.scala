@@ -562,10 +562,16 @@ object SparkEntry {
       .groupBy("n_name")
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))),
     "q_window" -> ((s, d) => {
+      // window over a BUCKET-KEYED catalog table: the scan's
+      // KeyGroupedPartitioning satisfies the window's clustering, so the
+      // per-customer top-3 runs with ZERO exchange — partition + sort +
+      // window in one stage (the 100-TB shape: the shuffle that dominates
+      // window workloads comes from storage for free)
       import org.apache.spark.sql.expressions.Window
+      val tbl = Fixtures.ordersBucketedSql(s, d)
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, d, "orders").withColumn("rn", row_number().over(w))
+      s.table(tbl).withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3).select("o_custkey", "o_orderkey", "rn")
     }),
     "q_setops" -> ((s, d) => {

@@ -171,6 +171,30 @@ class Dsv2Spec extends SparkTestBase {
     }
   }
 
+  test("window over a bucket-keyed table satisfies clustering from storage: no exchange") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft.db.winb (k BIGINT, grp BIGINT, v DOUBLE)
+                 TBLPROPERTIES ('bucket-key'='grp', 'bucket'='4')""")
+    spark.sql("INSERT INTO graft.db.winb SELECT id, id % 37, id * 1.0 FROM range(500)")
+    withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.sql(
+        """SELECT grp, k, rn FROM (
+          |  SELECT grp, k, row_number() OVER (PARTITION BY grp ORDER BY v DESC, k) AS rn
+          |  FROM graft.db.winb) WHERE rn <= 2""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed window should run exchange-free:\n$plan")
+      assert(df.count() == 74) // 37 groups x top-2
+      // same result as the shuffled plan over raw data
+      val expected = spark.sql(
+        """SELECT grp, k, rn FROM (
+          |  SELECT id % 37 AS grp, id AS k,
+          |    row_number() OVER (PARTITION BY id % 37 ORDER BY id * 1.0 DESC, id) AS rn
+          |  FROM range(500)) WHERE rn <= 2""".stripMargin)
+      assertSameRows(df, expected)
+    }
+  }
+
   test("storage-partitioned join: co-bucketed APPEND tables (bucket-key) skip exchanges") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     for (n <- Seq("spjap_a", "spjap_b")) {
