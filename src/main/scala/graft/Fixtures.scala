@@ -427,6 +427,34 @@ object Fixtures {
     "graft_fix.db.orders_bucketed"
   }
 
+  /** Events as a CATALOG table bucket-keyed by user_id — per-user windows
+    * (sessionization, funnels) and the per-(user, session) rollup above
+    * them all satisfy their clustering from storage: zero exchange. */
+  def eventsBucketedSql(spark: SparkSession, sfDir: String): String = {
+    val wh = s"${fixRoot(sfDir)}/sql-warehouse"
+    val key = (sfDir, "__bucketed_events")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    if (!built.contains(key)) {
+      spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+      val loc = s"$wh/db.db/events_bucketed"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
+      // ts is TIMESTAMP (LTZ) to match the parquet source's inferred type
+      // (session timezone is UTC everywhere, so values are identical)
+      spark.sql("""CREATE TABLE graft_fix.db.events_bucketed (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING)
+        TBLPROPERTIES ('bucket-key'='user_id', 'bucket'='8')""")
+      src(spark, sfDir, "events").createOrReplaceTempView("events_src_bk_v")
+      spark.sql("INSERT INTO graft_fix.db.events_bucketed SELECT * FROM events_src_bk_v")
+      built.put(key, GraftTable.load(spark, loc))
+    }
+    "graft_fix.db.events_bucketed"
+  }
+
   def regionCopy(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "region_copy") { loc =>
       val r = src(spark, sfDir, "region")

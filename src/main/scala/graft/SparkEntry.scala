@@ -976,16 +976,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"),
         sum(floor(col("__sim") * 1000000L).cast("long")).as("sim_micro"))),
     // gap-based sessionization (30 min), exact integer rollups
+    // event analytics over the user_id-BUCKETED events table: the per-user
+    // windows (and the per-(user, session) rollup above them) satisfy
+    // clustering from storage — zero exchange until the final tiny rollup
     "q_sessionize" -> ((s, d) => graft.pipeline.Events.sessionStats(
-        t(s, d, "events"), col("user_id"), col("ts"), 1800000L,
-        col("event_id"), col("value"))),
+        s.table(Fixtures.eventsBucketedSql(s, d)), col("user_id"), col("ts"),
+        1800000L, col("event_id"), col("value"))),
     // cohort day-offset retention
     "q_retention" -> ((s, d) => graft.pipeline.Events.retention(
-        t(s, d, "events"), col("user_id"), col("ts"))),
+        s.table(Fixtures.eventsBucketedSql(s, d)), col("user_id"), col("ts"))),
     // ordered funnel view → click → purchase (min-over-filtered recurrence)
     "q_funnel" -> ((s, d) => graft.pipeline.Events.funnel(
-        t(s, d, "events"), col("user_id"), col("ts"), col("event_type"),
-        Seq("view", "click", "purchase"))
+        s.table(Fixtures.eventsBucketedSql(s, d)), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
       .groupBy(col("depth")).agg(count(lit(1)).as("users"))),
     // incremental dedup: batch 2 admitted against the persisted fingerprint
     // state of batch 1 (anti-join membership probe, keep-first within batch)

@@ -192,6 +192,17 @@ class Dsv2Spec extends SparkTestBase {
           |    row_number() OVER (PARTITION BY id % 37 ORDER BY id * 1.0 DESC, id) AS rn
           |  FROM range(500)) WHERE rn <= 2""".stripMargin)
       assertSameRows(df, expected)
+      // the sessionization SHAPE: a groupBy whose keys INCLUDE the bucket
+      // key, stacked on the window — still zero exchange (the rollup's
+      // clustering is satisfied by the same storage partitioning)
+      val sess = spark.sql(
+        """SELECT grp, rn, count(*) AS cnt FROM (
+          |  SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY v, k) AS rn
+          |  FROM graft.db.winb) GROUP BY grp, rn""".stripMargin)
+      val sessPlan = sess.queryExecution.executedPlan.toString
+      assert(!sessPlan.contains("Exchange"),
+        s"window + keyed rollup should stay exchange-free:\n$sessPlan")
+      assert(sess.count() == 500)
     }
   }
 
