@@ -44,7 +44,7 @@ class RandomizedLsmSpec extends SparkTestBase {
     }
 
     for (i <- 0 until ops) {
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 | 1 => // upsert batch
           val rows = (0 until (1 + rnd.nextInt(15))).map { _ =>
             val k = rnd.nextInt(40).toLong
@@ -77,6 +77,14 @@ class RandomizedLsmSpec extends SparkTestBase {
             col("k").between(lo, hi))
           model = model.map { case (k, (s, p)) =>
             if (k >= lo && k <= hi) k -> (s + s"!u$i", p) else k -> (s, p) }
+        case 6 if i % 4 == 1 => // INSERT OVERWRITE: table state = the batch
+          val rows = (0 until (1 + rnd.nextInt(6))).map { _ =>
+            val k = rnd.nextInt(40).toLong
+            (k, s"ow$i-$k", rnd.nextInt(1000) / 10.0)
+          }
+          val byKey = rows.groupBy(_._1).map { case (_, vs) => vs.last }
+          t.overwrite(rows.toDF("k", "s", "p"))
+          model = byKey.map { case (k, s, p) => k -> (s, p) }.toMap
         case _ => // full compact
           t.compact()
       }
