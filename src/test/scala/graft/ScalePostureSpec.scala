@@ -138,6 +138,22 @@ class ScalePostureSpec extends SparkTestBase {
       s"funnel must be join-free:\n$fp")
   }
 
+  test("semanticDedup: pair generation is a keyed self-join, never a cross product") {
+    val emb = spark.range(3000).select(col("id"),
+      array((0 until 8).map(i => (rand(seed = 50 + i) * 2 - 1).cast("float")): _*)
+        .as("emb"))
+    val survivors = graft.pipeline.Dedup.semanticDedup(emb, "id", "emb",
+      k = 16, threshold = 0.95)
+    survivors.collect()
+    val p = plan(survivors)
+    // the quadratic is bounded by clusters: candidate pairs come from a
+    // hash join on __cluster — an all-pairs cross product would be the
+    // O(n²) scale-killer
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"cross product in plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("Cdc.parse is map-side only: zero exchanges, no driver collect") {
     val msgs = spark.range(500).select(concat(
       lit("""{"op":"c","after":{"id":"""), col("id"),
