@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word-n-gram shingle hashes as ONE pass per row — a native Catalyst
+  * expression replacing `shingleHashes(shingles(text, n))`, which
+  * materializes a token array, then a shingle STRING per window
+  * (array_join), then md5-hex + conv per shingle. Byte-identical
+  * semantics: tokens are the non-empty `\s+`-splits of `lower(trim(text))`
+  * (= maximal runs between ASCII regex-`\s` bytes of the lowercased
+  * string); each hash is the first 8 md5-hex chars of the
+  * space-joined n-token window, as an unsigned 32-bit value in a long —
+  * the same `('0x'||substr(md5(s),1,8))::UBIGINT` contract the DuckDB
+  * oracles use. Fewer than n tokens → empty array; null → null. The md5
+  * still runs per shingle (that IS the contract); what this removes is
+  * the per-shingle string/array materialization around it. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def nullSafeEval(input: Any): Any =
+    GraftShingleHash.hashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftShingleHash.hashes($c, $n)")
+}
+
+object GraftShingleHash {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Called from generated code: one scan for token boundaries over the
+    * LOWERCASED bytes, then one md5 per n-token window over a single
+    * reused buffer. */
+  def hashes(s: UTF8String, n: Int): ArrayData = {
+    // Unicode lowercase exactly as Spark's lower() (UTF8String.toLowerCase);
+    // whitespace bytes (ASCII \s set) never occur inside multi-byte UTF-8
+    // sequences, so byte-run tokenization is unicode-safe
+    val ls = s.toLowerCase
+    val bytes = ls.getBytes
+    val nb = bytes.length
+    // token boundaries
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    var tokStart = -1
+    while (i <= nb) {
+      val b: Byte = if (i == nb) ' ' else bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+      if (ws) {
+        if (tokStart >= 0) {
+          if (nTok == starts.length) {
+            starts = java.util.Arrays.copyOf(starts, nTok * 2)
+            ends = java.util.Arrays.copyOf(ends, nTok * 2)
+          }
+          starts(nTok) = tokStart; ends(nTok) = i; nTok += 1
+          tokStart = -1
+        }
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    if (nTok < n) return new GenericArrayData(Array.empty[Long])
+    val md = digest.get()
+    val out = new Array[Long](nTok - n + 1)
+    var w = 0
+    while (w <= nTok - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes, starts(w + j), ends(w + j) - starts(w + j))
+        j += 1
+      }
+      val d = md.digest()
+      // first 8 hex chars == top 4 digest bytes, unsigned
+      out(w) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}

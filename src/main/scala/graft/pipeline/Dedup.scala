@@ -38,9 +38,11 @@ object Dedup {
     // Staged projections keep the md5 pass at one-per-shingle (the k seed
     // hashes are affine transforms of the cached hash array).
     val base = df
-      .withColumn("__sh", TextOps.shingles(col(textCol), shingleN))
-      .filter(size(col("__sh")) > 0)
-      .select(col(idCol), TextOps.shingleHashes(col("__sh")).as("__hs"))
+      // ONE native byte-scan per doc: tokens + windows + md5-prefix hashes
+      // with no token/shingle-string materialization
+      .select(col(idCol),
+        TextOps.shingleHashesNative(col(textCol), shingleN).as("__hs"))
+      .filter(size(col("__hs")) > 0)
       .select(col(idCol),
         array_distinct(col("__hs")).as("__hsd"), // set form, ONCE per doc —
         // verify evaluates jaccard per candidate PAIR; distincting there
@@ -180,7 +182,7 @@ object Dedup {
                           bench: DataFrame, benchTextCol: String,
                           n: Int = 8): DataFrame = {
     def grams(c: Column) =
-      array_distinct(TextOps.shingleHashes(TextOps.shingles(c, n)))
+      array_distinct(TextOps.shingleHashesNative(c, n))
     val benchGrams = bench
       .select(explode(grams(col(benchTextCol))).as("g"))
       .distinct()

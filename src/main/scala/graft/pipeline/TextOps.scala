@@ -161,6 +161,14 @@ object TextOps {
     transform(shingleCol,
       s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
 
+  /** `shingleHashes(shingles(text, n))` as ONE native byte-scan per row
+    * ([[graft.functions.ShingleHashes]]): no token array, no per-shingle
+    * string materialization — same hashes, same DuckDB-oracle contract. */
+  def shingleHashesNative(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.graft.SparkShims.expression(text), n))
+
   /** MinHash signature from precomputed shingle hashes: min over shingles of
     * `(a_j*h + b_j) mod 2^32` per seed j — one md5 per shingle total, versus
     * the k-md5s-per-shingle direct form. (MinHash per Broder '97; affine

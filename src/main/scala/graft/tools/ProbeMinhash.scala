@@ -34,6 +34,16 @@ object ProbeMinhash {
         TextOps.shingles(col("text"), 3), 8)).as("n"))
         .agg(sum("n")).head().getLong(0)
     }
+    time("native_hashes") {
+      docs.select(size(TextOps.shingleHashesNative(col("text"), 3)).as("n"))
+        .agg(sum("n")).head().getLong(0)
+    }
+    time("native_signature") {
+      docs.select(col("doc_id"),
+          TextOps.shingleHashesNative(col("text"), 3).as("__hs"))
+        .select(size(TextOps.minhashFromHashes(col("__hs"), 8)).as("n"))
+        .agg(sum("n")).head().getLong(0)
+    }
     spark.stop()
   }
 }

@@ -121,6 +121,26 @@ class PipelineSpec extends SparkTestBase {
     assert(canon(99L) == 99L && canon(4L) == 1L && canon(11L) == 10L)
   }
 
+  test("native shingle hashes equal the relational form on adversarial inputs") {
+    val rows = Seq(
+      "alpha Beta GAMMA delta epsilon",  // case folding
+      "a\tb\nc  d\r\ne",                 // every ws kind, double ws
+      "  leading and trailing  ",        // trim interplay
+      "Thé straße ĳs grüß",              // unicode lowercase + multi-byte
+      "one two",                         // fewer tokens than n → empty
+      "", "   ")
+      .toDF("text")
+    val both = rows.select(
+      TextOps.shingleHashesNative(col("text"), 3).as("nat"),
+      TextOps.shingleHashes(TextOps.shingles(col("text"), 3)).as("rel"))
+    assert(both.filter(!(col("nat") <=> col("rel"))).isEmpty,
+      both.collect().mkString("; "))
+    // null text → null
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(TextOps.shingleHashesNative(col("text"), 3).isNull)
+    assert(nulls.head().getBoolean(0))
+  }
+
   test("one-pass minhash signature equals the per-seed form; empty set is null") {
     val docs = Seq("alpha beta gamma delta epsilon", "x y z w v u",
       "one two three four five six seven", "a b").toDF("text")
