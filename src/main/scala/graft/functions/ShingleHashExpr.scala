@@ -30,10 +30,63 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.GraftShingleHash.hashes($c, $n)")
 }
 
+/** SimHash-32 as one native pass (same sign-sum definition as the
+  * relational [[graft.pipeline.TextOps.simhash32]], which re-evaluates the
+  * md5 token hashes under each of its 32 per-bit aggregate passes). */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+  override def nullSafeEval(input: Any): Any =
+    GraftShingleHash.simhash32(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftShingleHash.simhash32($c)")
+}
+
 object GraftShingleHash {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Sign-sum SimHash over per-token md5-prefix hashes: bit i of the
+    * result is set iff more token hashes have bit i set than clear. */
+  def simhash32(s: UTF8String): Long = {
+    val ls = s.toLowerCase
+    val bytes = ls.getBytes
+    val nb = bytes.length
+    val counts = new Array[Int](32)
+    val md = digest.get()
+    var i = 0
+    var tokStart = -1
+    while (i <= nb) {
+      val b: Byte = if (i == nb) ' ' else bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+      if (ws) {
+        if (tokStart >= 0) {
+          md.reset()
+          md.update(bytes, tokStart, i - tokStart)
+          val d = md.digest()
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          var bit = 0
+          while (bit < 32) {
+            if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+            bit += 1
+          }
+          tokStart = -1
+        }
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 32) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
   }
 
   /** Called from generated code: one scan for token boundaries over the

@@ -212,7 +212,16 @@ object TextOps {
     * positive. Near-duplicate docs land at small Hamming distance. Token
     * hashes are the portable 32-bit md5 prefix, so the whole fingerprint is
     * reproducible in any md5-capable engine. */
-  def simhash32(text: Column): Column = {
+  def simhash32(text: Column): Column =
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.SimHash32(
+        org.apache.spark.sql.graft.SparkShims.expression(text)))
+
+  /** Relational form of [[simhash32]] — the reference implementation the
+    * native expression is tested against. (It re-evaluates the md5 token
+    * hashes under each of the 32 per-bit aggregate passes, so it is 30x+
+    * the hash cost; kept for cross-checking only.) */
+  def simhash32Relational(text: Column): Column = {
     val tokenHashes = transform(words(text),
       w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType))
     (0 until 32).map { i =>

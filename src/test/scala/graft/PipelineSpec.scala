@@ -141,6 +141,18 @@ class PipelineSpec extends SparkTestBase {
     assert(nulls.head().getBoolean(0))
   }
 
+  test("native simhash32 equals the relational form on adversarial inputs") {
+    val rows = Seq(
+      "alpha Beta GAMMA delta", "a\tb\nc  d\r\ne", "  x  ",
+      "Thé straße ĳs grüß", "", "the der le el")
+      .toDF("text")
+    val both = rows.select(
+      TextOps.simhash32(col("text")).as("nat"),
+      TextOps.simhash32Relational(col("text")).as("rel"))
+    assert(both.filter(!(col("nat") <=> col("rel"))).isEmpty,
+      both.collect().mkString("; "))
+  }
+
   test("one-pass minhash signature equals the per-seed form; empty set is null") {
     val docs = Seq("alpha beta gamma delta epsilon", "x y z w v u",
       "one two three four five six seven", "a b").toDF("text")
