@@ -23,6 +23,40 @@ object Fixtures {
   private def fixRoot(sfDir: String): String =
     s"/tmp/graft-fixtures/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
 
+  /** One sfDir per session for catalog fixtures: Spark caches the
+    * instantiated `graft_fix` catalog, so a later warehouse-conf change is
+    * IGNORED — a second sfDir would silently read the first one's data.
+    * Fail loudly instead (harness sessions always use a single sfDir). */
+  private val catalogSfDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Catalog-SQL fixture builder shared by every `graft_fix` table:
+    * registers the catalog (+ v2 bucketing for the bucket-keyed tables —
+    * scans report KeyGroupedPartitioning only under it), then atomically
+    * builds `graft_fix.db.<table>` via CREATE + INSERT from the named
+    * source parquet. `ddlBody` is the column list + suffix clauses. */
+  private def catalogFixture(spark: SparkSession, sfDir: String, table: String,
+                             ddlBody: String, srcName: String): String = {
+    val prev = catalogSfDir.getAndUpdate(v => if (v == null) sfDir else v)
+    require(prev == null || prev == sfDir,
+      s"graft_fix catalog already bound to $prev; cannot serve $sfDir")
+    val wh = s"${fixRoot(sfDir)}/sql-warehouse"
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    built.getOrElseUpdate((sfDir, s"__cat_$table"), {
+      val loc = s"$wh/db.db/$table"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
+      spark.sql(s"CREATE TABLE graft_fix.db.$table $ddlBody")
+      src(spark, sfDir, srcName).createOrReplaceTempView(s"${table}_src_v")
+      spark.sql(s"INSERT INTO graft_fix.db.$table SELECT * FROM ${table}_src_v")
+      GraftTable.load(spark, loc)
+    })
+    s"graft_fix.db.$table"
+  }
+
   def src(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
@@ -401,59 +435,24 @@ object Fixtures {
   /** Orders as a CATALOG table bucket-keyed by o_custkey: the DSv2 scan
     * reports KeyGroupedPartitioning through the catalog's bucket function,
     * so per-customer windows/aggregations satisfy their clustering FROM
-    * STORAGE — zero exchange (needs spark.sql.sources.v2.bucketing.enabled,
-    * set here; the catalog route is required — a path read cannot resolve
-    * the bucket transform against a FunctionCatalog). */
-  def ordersBucketedSql(spark: SparkSession, sfDir: String): String = {
-    val wh = s"${fixRoot(sfDir)}/sql-warehouse"
-    val key = (sfDir, "__bucketed_orders")
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    if (!built.contains(key)) {
-      spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
-      val loc = s"$wh/db.db/orders_bucketed"
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
-      spark.sql("""CREATE TABLE graft_fix.db.orders_bucketed (
-        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+    * STORAGE — zero exchange (the catalog route is required — a path read
+    * cannot resolve the bucket transform against a FunctionCatalog). */
+  def ordersBucketedSql(spark: SparkSession, sfDir: String): String =
+    catalogFixture(spark, sfDir, "orders_bucketed",
+      """(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
         o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
-        TBLPROPERTIES ('bucket-key'='o_custkey', 'bucket'='8')""")
-      src(spark, sfDir, "orders").createOrReplaceTempView("orders_src_bk_v")
-      spark.sql("INSERT INTO graft_fix.db.orders_bucketed SELECT * FROM orders_src_bk_v")
-      built.put(key, GraftTable.load(spark, loc))
-    }
-    "graft_fix.db.orders_bucketed"
-  }
+        TBLPROPERTIES ('bucket-key'='o_custkey', 'bucket'='8')""", "orders")
 
   /** Events as a CATALOG table bucket-keyed by user_id — per-user windows
     * (sessionization, funnels) and the per-(user, session) rollup above
-    * them all satisfy their clustering from storage: zero exchange. */
-  def eventsBucketedSql(spark: SparkSession, sfDir: String): String = {
-    val wh = s"${fixRoot(sfDir)}/sql-warehouse"
-    val key = (sfDir, "__bucketed_events")
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    if (!built.contains(key)) {
-      spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
-      val loc = s"$wh/db.db/events_bucketed"
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
-      // ts is TIMESTAMP (LTZ) to match the parquet source's inferred type
-      // (session timezone is UTC everywhere, so values are identical)
-      spark.sql("""CREATE TABLE graft_fix.db.events_bucketed (
-        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+    * them all satisfy their clustering from storage: zero exchange.
+    * ts is TIMESTAMP (LTZ) to match the parquet source's inferred type
+    * (session timezone is UTC everywhere, so values are identical). */
+  def eventsBucketedSql(spark: SparkSession, sfDir: String): String =
+    catalogFixture(spark, sfDir, "events_bucketed",
+      """(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
         event_type STRING, value DOUBLE, props STRING)
-        TBLPROPERTIES ('bucket-key'='user_id', 'bucket'='8')""")
-      src(spark, sfDir, "events").createOrReplaceTempView("events_src_bk_v")
-      spark.sql("INSERT INTO graft_fix.db.events_bucketed SELECT * FROM events_src_bk_v")
-      built.put(key, GraftTable.load(spark, loc))
-    }
-    "graft_fix.db.events_bucketed"
-  }
+        TBLPROPERTIES ('bucket-key'='user_id', 'bucket'='8')""", "events")
 
   def regionCopy(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "region_copy") { loc =>
@@ -905,51 +904,20 @@ object Fixtures {
 
   /** Catalog-SQL fixture: orders loaded into a graft-catalog table via pure
     * SQL (CREATE TABLE + INSERT through the DSv2 write path). */
-  def sqlCatalogOrders(spark: SparkSession, sfDir: String): String = {
-    val wh = s"${fixRoot(sfDir)}/sql-warehouse"
-    val key = (sfDir, "__sql_catalog")
-    if (!built.contains(key)) {
-      spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
-      val loc = s"$wh/db.db/orders_sql"
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
-      spark.sql("""CREATE TABLE graft_fix.db.orders_sql (
-        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+  def sqlCatalogOrders(spark: SparkSession, sfDir: String): String =
+    catalogFixture(spark, sfDir, "orders_sql",
+      """(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
         o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
-        TBLPROPERTIES ('primary-key'='o_orderkey', 'bucket'='4')""")
-      src(spark, sfDir, "orders").createOrReplaceTempView("orders_src_v")
-      spark.sql("INSERT INTO graft_fix.db.orders_sql SELECT * FROM orders_src_v")
-      built.put(key, GraftTable.load(spark, loc))
-    }
-    "graft_fix.db.orders_sql"
-  }
+        TBLPROPERTIES ('primary-key'='o_orderkey', 'bucket'='4')""", "orders")
 
-  /** Catalog-SQL fixture: events in a PARTITIONED graft-catalog table, then
-    * compacted — the shape partition-grouped aggregate pushdown serves from
-    * manifests alone. */
+  /** Catalog-SQL fixture: events in a PARTITIONED graft-catalog table —
+    * the shape partition-grouped aggregate pushdown serves from manifests
+    * alone. */
   def sqlCatalogEvents(spark: SparkSession, sfDir: String): String = {
-    val wh = s"${fixRoot(sfDir)}/sql-warehouse"
-    val key = (sfDir, "__sql_catalog_events")
-    if (!built.contains(key)) {
-      spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
-      val loc = s"$wh/db.db/events_sql"
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
-      val ev = src(spark, sfDir, "events")
-      spark.sql(s"""CREATE TABLE graft_fix.db.events_sql (
-        ${ev.schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")})
-        PARTITIONED BY (event_type)""")
-      ev.createOrReplaceTempView("events_src_v")
-      spark.sql("INSERT INTO graft_fix.db.events_sql SELECT * FROM events_src_v")
-      built.put(key, GraftTable.load(spark, loc))
-    }
-    "graft_fix.db.events_sql"
+    val cols = src(spark, sfDir, "events").schema.fields
+      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+    catalogFixture(spark, sfDir, "events_sql",
+      s"($cols) PARTITIONED BY (event_type)", "events")
   }
 
   /** PK table over embeddings with a FILE-ALIGNED vector index: the index is

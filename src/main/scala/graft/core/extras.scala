@@ -478,7 +478,6 @@ object Consumers {
  * graft tables, with cast-to-schema alignment handled by the writer.
  */
 object CopyInto {
-  /** COPY INTO table FROM path (csv/json/parquet). */
   /** Spark datasource for an interchange format name ("avro"/"row" map to
     * the engine's own FileFormats — Spark ships neither). */
   private def provider(format: String): String = format match {
@@ -486,6 +485,8 @@ object CopyInto {
     case "row" => "graft-row"
     case f => f
   }
+
+  /** COPY table FROM path (csv/json/parquet/avro/row). */
   def copyIn(spark: SparkSession, t: GraftTable, path: String, format: String,
              options: Map[String, String] = Map.empty): SnapshotMeta = {
     val reader = spark.read.format(provider(format)).options(options)
@@ -493,7 +494,7 @@ object CopyInto {
               else reader.schema(t.schema.sparkSchema)).load(path)
     t.write(df)
   }
-  /** COPY table TO path (csv/json/parquet/avro). */
+  /** COPY table TO path (csv/json/parquet/avro/row). */
   def copyOut(t: GraftTable, path: String, format: String,
               options: Map[String, String] = Map.empty): Unit =
     t.read().write.format(provider(format)).options(options)

@@ -1,9 +1,12 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word-n-gram shingle hashes as ONE pass per row — a native Catalyst
@@ -20,6 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the per-shingle string/array materialization around it. */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
@@ -31,17 +38,33 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** SimHash-32 as one native pass (same sign-sum definition as the
-  * relational [[graft.pipeline.TextOps.simhash32]], which re-evaluates the
-  * md5 token hashes under each of its 32 per-bit aggregate passes). */
+  * relational [[graft.pipeline.TextOps.simhash32Relational]], which
+  * re-evaluates the md5 token hashes under each of its 32 per-bit
+  * aggregate passes). NULL text → 0, exactly like the relational form
+  * (its when(null > 0).otherwise(0) folds null to the empty fingerprint) —
+  * a null-fingerprint doc must still band-join with empty-text docs. */
 case class SimHash32(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_simhash32"
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
-  override def nullSafeEval(input: Any): Any =
-    GraftShingleHash.simhash32(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.GraftShingleHash.simhash32($c)")
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else GraftShingleHash.simhash32(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      long ${ev.value} = ${c.isNull} ? 0L :
+        graft.functions.GraftShingleHash.simhash32(${c.value});""",
+      isNull = FalseLiteral)
+  }
 }
 
 object GraftShingleHash {

@@ -151,6 +151,13 @@ class PipelineSpec extends SparkTestBase {
       TextOps.simhash32Relational(col("text")).as("rel"))
     assert(both.filter(!(col("nat") <=> col("rel"))).isEmpty,
       both.collect().mkString("; "))
+    // NULL text → 0 on BOTH forms (the relational when(null>0).otherwise(0)
+    // folds null to the empty fingerprint; a null-fingerprint doc must
+    // still band-join with empty-text docs)
+    val nulls = Seq[Option[String]](None).toDF("text").select(
+      TextOps.simhash32(col("text")).as("nat"),
+      TextOps.simhash32Relational(col("text")).as("rel")).head()
+    assert(nulls.getLong(0) == 0L && nulls.getLong(1) == 0L, nulls.toString)
   }
 
   test("one-pass minhash signature equals the per-seed form; empty set is null") {
