@@ -54,6 +54,34 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length >= 2, "graft_bucket(numBuckets, key, ...)")
         Cast(Pmod(new XxHash64(args.tail), Cast(args.head, LongType)), IntegerType)
       }))
+    // the native text-pipeline expressions as SQL scalars: simhash
+    // fingerprints, word-n-gram shingle hashes, language marker scores
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[GraftSparkExtensions].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash(text)")
+        graft.functions.SimHash32(args.head)
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[GraftSparkExtensions].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingle_hashes(text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle size must be an INT literal, got $other")
+        }
+        graft.functions.ShingleHashes(args.head, n)
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lang_scores"),
+      new ExpressionInfo(classOf[GraftSparkExtensions].getName, "graft_lang_scores"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_lang_scores(text)")
+        graft.functions.LangMarkerScores(args.head)
+      }))
   }
 }
 

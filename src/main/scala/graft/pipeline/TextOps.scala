@@ -28,7 +28,9 @@ object TextOps {
     * ~±15% on English prose. */
   val bpeishPattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast(LongType)
+    // count-only: regexp_count walks matches without MATERIALIZING an
+    // array of every token string the way size(regexp_extract_all) does
+    regexp_count(text, lit(bpeishPattern)).cast(LongType)
 
   /** Duplicate-line ratio (Gopher-style repetition signal): 1 − distinct
     * non-empty lines / non-empty lines; 0 for texts of ≤1 line. */

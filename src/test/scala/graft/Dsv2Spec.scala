@@ -171,6 +171,19 @@ class Dsv2Spec extends SparkTestBase {
     }
   }
 
+  test("native text expressions exposed as SQL scalars") {
+    assert(spark.sql("SELECT graft_simhash('the quick brown fox')").head().getLong(0) != 0L)
+    assert(spark.sql("SELECT graft_simhash(CAST(NULL AS STRING))").head().getLong(0) == 0L)
+    assert(spark.sql(
+      "SELECT size(graft_shingle_hashes('a b c d', 3))").head().getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT graft_lang_scores('the der le el and').s_en").head().getLong(0) == 2L)
+    // non-string input fails at ANALYSIS, not inside codegen
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_simhash(42)").collect()
+    }
+  }
+
   test("window over a bucket-keyed table satisfies clustering from storage: no exchange") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE IF NOT EXISTS graft.db.winb (k BIGINT, grp BIGINT, v DOUBLE)
