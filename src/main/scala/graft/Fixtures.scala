@@ -989,6 +989,23 @@ object Fixtures {
         src(spark, sfDir, "embeddings"), "embedding", loc, nClusters = 8)
     }
 
+  /** es-index over embeddings: primary vector + companion scalar `label`
+    * (filtered ANN = partition pruning + stats skipping + in-scan filter). */
+  def esEmbIndex(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "es_emb_index") { loc =>
+      graft.pipeline.EsIndex.build(spark, src(spark, sfDir, "embeddings"),
+        "vec_id", loc, embedCol = Some("embedding"), nClusters = 8)
+    }
+
+  /** es-index over documents: BM25 text + keyword companions lang/source
+    * (bloom file-indexed) — filtered full-text search. */
+  def esDocsIndex(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "es_docs_index") { loc =>
+      graft.pipeline.EsIndex.build(spark, src(spark, sfDir, "documents"),
+        "doc_id", loc, textCol = Some("text"),
+        keywordCols = Seq("lang", "source"))
+    }
+
   /** Catalog table seeded from orders then mutated by SQL row-level
     * statements (DELETE/UPDATE/MERGE INTO through GraftSparkExtensions —
     * requires spark.sql.extensions=graft.dsv2.GraftSparkExtensions). */

@@ -779,6 +779,29 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("id")).limit(10)
         .select(col("id"), round(col("rrf"), 6).as("rrf"))
     }),
+    // ES-INDEX (§2.11): ONE composite index — primary vector + companion
+    // keyword/scalar columns + BM25 text — queried under a filter that masks
+    // candidates on every modality. Filtered ANN: nprobe partition pruning +
+    // stats/bloom file skipping on companions + in-scan residual filter.
+    "q_es_filtered_ann" -> ((s, d) => {
+      val idx = Fixtures.esEmbIndex(s, d)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .first().getSeq[Float](0)
+      graft.pipeline.EsIndex.search(s, idx.location, k = 10,
+        vector = Some(q), filter = Some(col("label") === 3),
+        nprobe = 8) // nprobe = all clusters → exact
+        .select(col("vec_id"), round(col("score"), 4).as("sim"))
+    }),
+    // Filtered BM25: filter masks candidates; corpus stats stay whole-index
+    // (ES filter semantics — a filtered query scores like an unfiltered one)
+    "q_es_filtered_text" -> ((s, d) => {
+      val idx = Fixtures.esDocsIndex(s, d)
+      graft.pipeline.EsIndex.search(s, idx.location, k = 10,
+        terms = Seq("table", "scan", "fast", "merge"),
+        filter = Some(col("lang") === "en"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // FILE-ALIGNED PK SEARCH (§2.11): snapshot-consistent, DV-aware search
     // over primary-key tables. The vector route serves unchanged keys from a
     // snapshot-aligned IVF index and reconciles keys touched since (an
@@ -1707,6 +1730,19 @@ object SparkEntry {
         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
         |  FROM embeddings e)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_es_filtered_ann" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e WHERE e.label = 3)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_es_filtered_text" ->
+      s"""WITH ${bm25Cte()}
+         |SELECT doc_id, round(score, 4) AS score
+         |FROM scored JOIN documents USING (doc_id)
+         |WHERE lang = 'en'
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
     "q_embed_neardup" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2 FROM embeddings""".stripMargin,
     "q_semantic_dedup" -> "SELECT vec_id FROM embeddings",

@@ -137,6 +137,20 @@ object GraftTableFunctions {
       plan(graft.pipeline.Indexes.ivfSearch(spark, str(args(0)), "embedding",
         floats(args(3)), lng(args(1)).toInt, lng(args(2)).toInt, scoreCol = "score"))
     },
+    // Composite es-index search: vector and/or terms under one companion
+    // filter ('' / NULL to omit a part); filter is a SQL boolean over the
+    // index's companion columns
+    fd("graft_es_search") { args =>
+      require(args.length == 6,
+        "graft_es_search(indexPath, k, 'terms', queryVec, nprobe, 'filterSql')")
+      val terms = Option(args(2).eval()).map(_.toString)
+        .map(_.split("\\s+").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val vec = Option(args(3).eval()).map(_ => floats(args(3)))
+      val filter = Option(args(5).eval()).map(_.toString.trim).filter(_.nonEmpty)
+        .map(org.apache.spark.sql.functions.expr)
+      plan(graft.pipeline.EsIndex.search(spark, str(args(0)),
+        lng(args(1)).toInt, vec, terms, filter, nprobe = lng(args(4)).toInt))
+    },
     fd("graft_system") { args =>
       require(args.length == 2, "graft_system(table, name)")
       plan(resolveTable(str(args(0))).systemTable(str(args(1))))

@@ -114,10 +114,13 @@ object Indexes {
     GraftTable.load(spark, termStatsLoc(loc)).compact()
   }
 
-  /** BM25 top-k against the persisted index: one manifest-pruned scan of the
-    * query terms' posting files + a point read of those terms' df rows. */
-  def fullTextSearch(spark: SparkSession, loc: String, query: Seq[String],
-                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** BM25 scores for EVERY doc matching the query terms — the un-truncated
+    * form [[fullTextSearch]] tops-k over. Exposed so composite searches
+    * (es-index) can apply a companion-column candidate mask BEFORE the
+    * limit (ES filter semantics: the filter masks candidates but corpus
+    * statistics stay whole-index). */
+  def fullTextScores(spark: SparkSession, loc: String, query: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val t = GraftTable.load(spark, loc)
     val (n, totalLen) = readCorpusSidecar(t, loc)
     val avgdl = if (n == 0) 0.0 else totalLen.toDouble / n
@@ -130,8 +133,14 @@ object Indexes {
       .withColumn("w", col("idf") * col("tf") * (lit(k1) + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / lit(avgdl))))
       .groupBy("doc_id").agg(sum("w").as("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** BM25 top-k against the persisted index: one manifest-pruned scan of the
+    * query terms' posting files + a point read of those terms' df rows. */
+  def fullTextSearch(spark: SparkSession, loc: String, query: Seq[String],
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    fullTextScores(spark, loc, query, k1, b)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
 
   // ------------------------------------------------------------------
   // IVF (persisted coarse-quantizer index, cluster = partition column)
@@ -157,13 +166,16 @@ object Indexes {
   }
 
   /** Build (or replace) an IVF index table: rows + `__ivf_cluster` partition
-    * column, centroids in a sidecar. */
+    * column, centroids in a sidecar. `extraOptions` reach the index table's
+    * TableConfig (es-index uses this for bloom file-indexes on companion
+    * keyword columns). */
   def buildIvf(spark: SparkSession, df: DataFrame, embedCol: String,
-               loc: String, nClusters: Int, seed: Long = 42L): GraftTable = {
+               loc: String, nClusters: Int, seed: Long = 42L,
+               extraOptions: Map[String, String] = Map.empty): GraftTable = {
     val model = Similarity.trainIvf(df, embedCol, nClusters, seed = seed)
     val indexed = df.withColumn("__ivf_cluster", assignUdf(model)(col(embedCol)))
     val t = GraftTable.createOrReplace(spark, loc, indexed.schema,
-      TableConfig(partitionKeys = Seq("__ivf_cluster")))
+      TableConfig(partitionKeys = Seq("__ivf_cluster"), options = extraOptions))
     t.write(indexed)
     t.sm.writeString(statsPath(loc, "ivf-centroids"),
       Json.write(model.centroids.map(_.toSeq)))

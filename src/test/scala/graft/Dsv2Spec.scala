@@ -537,6 +537,17 @@ class Dsv2Spec extends SparkTestBase {
     val hit = spark.sql(s"SELECT doc_id FROM graft_full_text_search('$idxLoc', 'vector engines', 1)")
       .as[Long].head()
     assert(hit == 2L)
+    // TVF: composite es-index search (text + keyword filter, no vector)
+    val esDocs = Seq((1L, "spark table formats", "en"),
+      (2L, "vector search engines", "en"),
+      (3L, "vector search engines", "de")).toDF("doc_id", "text", "lang")
+    val esLoc = Files.createTempDirectory("graft-tvf-es").resolve("idx").toString
+    graft.pipeline.EsIndex.build(spark, esDocs, "doc_id", esLoc,
+      textCol = Some("text"), keywordCols = Seq("lang"))
+    val esHits = spark.sql(
+      s"SELECT doc_id FROM graft_es_search('$esLoc', 5, 'vector engines', NULL, 1, \"lang = 'de'\")")
+      .as[Long].collect().toSeq
+    assert(esHits == Seq(3L))
   }
 
   test("limit + topN pushdown: file pruning from manifest stats") {

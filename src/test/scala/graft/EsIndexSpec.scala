@@ -1,0 +1,123 @@
+package graft
+
+import graft.core._
+import graft.pipeline.{EsIndex, Indexes, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** es-index equivalent (§2.11): ONE composite index over a vector column +
+  * companion keyword/scalar columns + a text column, queried under a filter
+  * that masks candidates on every modality. */
+class EsIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** 2k docs: deterministic embedding, a keyword (`cat`), a scalar (`score`),
+    * and text containing searchable marker words. */
+  private lazy val docs = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val emb = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+      val words =
+        (if (i % 5 == 0) "merge scan table " else "alpha beta gamma ") +
+          s"w$i filler text"
+      Row(i.toLong, emb.toSeq, s"cat${i % 7}", i % 100, words)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("emb", ArrayType(FloatType, false), false),
+      StructField("cat", StringType, false),
+      StructField("score100", IntegerType, false),
+      StructField("text", StringType, false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  private lazy val loc = {
+    val l = tmpLoc("esix")
+    EsIndex.build(spark, docs, "id", l, embedCol = Some("emb"),
+      textCol = Some("text"), keywordCols = Seq("cat"), nClusters = 8)
+    l
+  }
+
+  private def queryVec: Seq[Float] =
+    docs.filter(col("id") === 3L).select("emb").head().getSeq[Float](0)
+
+  test("filtered vector search matches filtered brute force at nprobe=all") {
+    val got = EsIndex.search(spark, loc, k = 10, vector = Some(queryVec),
+      filter = Some(col("cat") === "cat2"), nprobe = 8)
+    val want = Similarity.bruteForceTopK(
+      docs.filter(col("cat") === "cat2"), "emb", queryVec, 10,
+      "cosine", "score").select(col("id"), col("score"))
+    assertSameRows(got.withColumn("score", round(col("score"), 6)),
+      want.withColumn("score", round(col("score"), 6)))
+  }
+
+  test("filtered text search: filter masks candidates, stats stay whole-index") {
+    val got = EsIndex.search(spark, loc, k = 5, terms = Seq("merge", "scan"),
+      filter = Some(col("score100") < 50))
+    val ids = got.select("id").as[Long].collect()
+    assert(ids.nonEmpty)
+    // every hit satisfies BOTH the term match (i%5==0) and the filter
+    assert(ids.forall(i => i % 5 == 0 && i % 100 < 50), ids.toSeq.toString)
+    // unfiltered search over the same terms must produce the same scores for
+    // those docs (filter must NOT change BM25 statistics)
+    val all = EsIndex.search(spark, loc, k = 2000, terms = Seq("merge", "scan"))
+      .withColumnRenamed("score", "s_all")
+    val joined = got.join(all, "id")
+    assert(joined.filter(abs(col("score") - col("s_all")) > 1e-9).isEmpty)
+  }
+
+  test("hybrid vector+text under one filter fuses by RRF") {
+    val got = EsIndex.search(spark, loc, k = 10, vector = Some(queryVec),
+      terms = Seq("merge"), filter = Some(col("score100") >= 20), nprobe = 8)
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // rrf scores descend and all ids satisfy the filter
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    assert(rows.forall(_.getLong(0) % 100 >= 20))
+  }
+
+  test("vector probe is partition pruning; keyword filter is file skipping") {
+    // nprobe=2 of 8 clusters → at most 2 partitions' files planned
+    val model = Indexes.loadIvfModel(spark, loc)
+    val probes = model.nearestClusters(queryVec, 2)
+    val t = GraftTable.load(spark, loc)
+    val total = t.planFiles().size
+    val pruned = t.planFiles(
+      filter = Some(col("__ivf_cluster").isin(probes: _*))).size
+    assert(pruned < total, s"probe pruning: $pruned of $total")
+    // bloom file-index on `cat` skips files lacking the keyword
+    val bloomed = t.planFiles(
+      filter = Some(col("cat") === "no-such-keyword")).size
+    assert(bloomed == 0, s"bloom should prove absence, planned $bloomed")
+  }
+
+  test("append indexes only the delta; new docs are searchable") {
+    val l = tmpLoc("esix-append")
+    EsIndex.build(spark, docs, "id", l, embedCol = Some("emb"),
+      textCol = Some("text"), nClusters = 8)
+    val extra = docs.filter(col("id") < 3)
+      .withColumn("id", col("id") + 10000L)
+      .withColumn("text", lit("zebra quokka unique"))
+    EsIndex.append(spark, extra, l)
+    val hit = EsIndex.search(spark, l, k = 5, terms = Seq("zebra"))
+    assert(hit.select("id").as[Long].collect().toSet == Set(10000L, 10001L, 10002L))
+    // vector search still finds an appended row exactly (nprobe = all)
+    val v = extra.filter(col("id") === 10001L).select("emb").head().getSeq[Float](0)
+    val top = EsIndex.search(spark, l, k = 1, vector = Some(v), nprobe = 8)
+    assert(top.select("id").as[Long].head() == 10001L)
+  }
+
+  test("filter-only keyword index without a vector column") {
+    val l = tmpLoc("esix-kw")
+    EsIndex.build(spark, docs.drop("emb"), "id", l, textCol = Some("text"),
+      keywordCols = Seq("cat"))
+    val got = EsIndex.search(spark, l, k = 5, terms = Seq("merge"),
+      filter = Some(col("cat") === "cat0"))
+    val ids = got.select("id").as[Long].collect()
+    assert(ids.nonEmpty && ids.forall(i => i % 5 == 0 && i % 7 == 0))
+  }
+}
