@@ -67,10 +67,64 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   }
 }
 
+/** MinHash signature from a staged hash array in ONE array pass — replaces
+  * `minhashFromHashes(hashCol, k)`, whose k `array_min(transform(...))`
+  * elements each re-walk the array (k O(n) passes + k transformed-array
+  * materializations; Catalyst does no CSE across array() elements). Same
+  * contract: element j = min over h of (mhA(j)·h + mhB(j)) mod 2^32
+  * ([[graft.pipeline.TextOps.mhA]] seeds); empty array → k nulls. */
+case class MinhashFromHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "signature length must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> input, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+  override protected def withNewChildInternal(newChild: Expression): MinhashFromHashes =
+    copy(child = newChild)
+  override def nullSafeEval(input: Any): Any =
+    GraftShingleHash.minhash(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftShingleHash.minhash($c, $k)")
+}
+
 object GraftShingleHash {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  // per-k affine seed tables (identical to TextOps.mhA/mhB), cached — the
+  // expression evaluates per ROW; rebuilding k-length arrays there would
+  // dominate for short docs
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def seeds(k: Int): (Array[Long], Array[Long]) =
+    seedCache.computeIfAbsent(k, k => (
+      Array.tabulate(k)(j => ((2654435761L * (j + 1)) % 2147483647L) | 1L),
+      Array.tabulate(k)(j => (40503L * (2L * j + 1L)) % 4294967296L)))
+
+  /** One pass over the staged hash array, k running minima. a·h+b stays
+    * below 2^63 (a < 2^31, h < 2^32), so plain % is the pmod. */
+  def minhash(hs: ArrayData, k: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k)) // k nulls
+    val (as, bs) = seeds(k)
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % 4294967296L
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Sign-sum SimHash over per-token md5-prefix hashes: bit i of the

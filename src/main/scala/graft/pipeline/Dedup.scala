@@ -47,7 +47,7 @@ object Dedup {
         array_distinct(col("__hs")).as("__hsd"), // set form, ONCE per doc —
         // verify evaluates jaccard per candidate PAIR; distincting there
         // would redo the O(n) set build for every pair a doc appears in
-        TextOps.minhashFromHashes(col("__hs"), sigLen).as("__sig"))
+        TextOps.minhashFromHashesNative(col("__hs"), sigLen).as("__sig"))
       .withColumn("__n", size(col("__hsd")))
       .persist()
     val banded = base.select(col(idCol),

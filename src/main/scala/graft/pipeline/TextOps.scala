@@ -181,6 +181,14 @@ object TextOps {
         h => pmod(lit(mhA(j)) * h + lit(mhB(j)), lit(4294967296L))))
     }: _*)
 
+  /** [[minhashFromHashes]] as ONE native array pass
+    * ([[graft.functions.MinhashFromHashes]]): k running minima instead of k
+    * `array_min(transform(...))` re-walks — identical signature values. */
+  def minhashFromHashesNative(hashCol: Column, k: Int): Column =
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.MinhashFromHashes(
+        org.apache.spark.sql.graft.SparkShims.expression(hashCol), k))
+
   /** MinHash signature of a shingle array (empty set → nulls).
     *
     * NOT `minhashFromHashes(shingleHashes(c), k)`: inlining the hash array

@@ -44,6 +44,20 @@ object ProbeMinhash {
         .select(size(TextOps.minhashFromHashes(col("__hs"), 8)).as("n"))
         .agg(sum("n")).head().getLong(0)
     }
+    time("native_onepass_signature") {
+      docs.select(col("doc_id"),
+          TextOps.shingleHashesNative(col("text"), 3).as("__hs"))
+        .select(size(TextOps.minhashFromHashesNative(col("__hs"), 8)).as("n"))
+        .agg(sum("n")).head().getLong(0)
+    }
+    time("base_stage_full") {
+      docs.select(col("doc_id"),
+          TextOps.shingleHashesNative(col("text"), 3).as("__hs"))
+        .select(col("doc_id"), array_distinct(col("__hs")).as("__hsd"),
+          TextOps.minhashFromHashesNative(col("__hs"), 8).as("__sig"))
+        .select((size(col("__hsd")) + size(col("__sig"))).as("n"))
+        .agg(sum("n")).head().getLong(0)
+    }
     spark.stop()
   }
 }

@@ -166,8 +166,12 @@ class PipelineSpec extends SparkTestBase {
     val sh = TextOps.shingles(col("text"), 3)
     val both = docs.select(
       TextOps.minhashSignature(sh, 8).as("fast"),
-      TextOps.minhashFromHashes(TextOps.shingleHashes(sh), 8).as("ref"))
+      TextOps.minhashFromHashes(TextOps.shingleHashes(sh), 8).as("ref"),
+      TextOps.minhashFromHashesNative(
+        TextOps.shingleHashesNative(col("text"), 3), 8).as("nat"))
     assert(both.filter(!(col("fast") <=> col("ref"))).isEmpty,
+      both.collect().mkString("; "))
+    assert(both.filter(!(col("nat") <=> col("ref"))).isEmpty,
       both.collect().mkString("; "))
     // "a b" has <3 words → empty shingle set → all-null signature
     val nulls = docs.filter(col("text") === "a b")
