@@ -116,11 +116,26 @@ object EsIndex {
    *    (`score` = BM25)
    *  - both         → RRF fusion of the two rankings (`score` = rrf)
    * `nprobe` bounds the vector read; pass `nClusters` for exact search.
+   *
+   * Selective-filter cliff: a filter that keeps few rows can empty out the
+   * probed clusters (filter × nprobe interplay — the survivors live in
+   * clusters the query vector does not probe). When a filtered probe yields
+   * fewer than k candidates the search ESCALATES to exact within the
+   * filter-surviving files (all clusters), so selective filters trade the
+   * probe bound for full recall instead of returning a starved result.
+   * AnnRecallSpec sweeps recall@10 across filter selectivities.
+   *
+   * Broadcast posture: the BM25 candidate set is size-gated by the query
+   * terms' summed document frequency ([[Indexes.termDfSum]], a driver-side
+   * point read). Small sets broadcast into the filter-pruned main scan; a
+   * high-df term's candidates (potentially millions of rows) join without a
+   * hint and AQE plans from actual sizes.
    */
   def search(spark: SparkSession, loc: String, k: Int,
              vector: Option[Seq[Float]] = None, terms: Seq[String] = Nil,
              filter: Option[Column] = None, nprobe: Int = 8,
-             metric: String = "cosine", rrfK0: Int = 60): DataFrame = {
+             metric: String = "cosine", rrfK0: Int = 60,
+             broadcastDfLimit: Long = 1000000L): DataFrame = {
     require(vector.nonEmpty || terms.nonEmpty, "empty es-index query")
     val m = readMeta(spark, loc)
     val t = GraftTable.load(spark, loc)
@@ -130,10 +145,23 @@ object EsIndex {
       val e = m.embedCol.getOrElse(
         throw new IllegalArgumentException("index has no vector column"))
       val model = Indexes.loadIvfModel(spark, loc)
+      def topkWithin(clusterPred: Option[Column]): DataFrame = {
+        val pred = (clusterPred.toSeq ++ filter.toSeq).reduceOption(_ && _)
+        Similarity.bruteForceTopK(t.read(filter = pred), e, q, k,
+          metric, "score").select(id.as("id"), col("score"))
+      }
       val probes = model.nearestClusters(q, nprobe)
-      val pred = filter.foldLeft(col("__ivf_cluster").isin(probes: _*))(_ && _)
-      Similarity.bruteForceTopK(t.read(filter = Some(pred)), e, q, k,
-        metric, "score").select(id.as("id"), col("score"))
+      val probed = topkWithin(Some(col("__ivf_cluster").isin(probes: _*)))
+      if (filter.isEmpty || nprobe >= model.centroids.length) probed
+      else {
+        // top-k is at most k rows — materialize once to both count the
+        // filter-surviving candidates and serve the non-escalated result
+        // without re-running the probe scan
+        val rows = probed.collect()
+        if (rows.length >= k)
+          spark.createDataFrame(java.util.Arrays.asList(rows: _*), probed.schema)
+        else topkWithin(None) // starved probes: exact within the filter
+      }
     }
 
     val txtTop: Option[DataFrame] = if (terms.isEmpty) None else Some {
@@ -142,9 +170,12 @@ object EsIndex {
       val masked = filter match {
         case Some(f) =>
           // candidate side is term-pruned (docs containing a query term) —
-          // broadcast it into the filter-pruned main scan, never the reverse
-          t.read(filter = Some(f)).select(id.as("doc_id"))
-            .join(broadcast(scores), "doc_id")
+          // broadcast it into the filter-pruned main scan when the term-stats
+          // point read proves it small; past the gate, no hint (AQE plans it)
+          val cand = t.read(filter = Some(f)).select(id.as("doc_id"))
+          if (Indexes.termDfSum(spark, textLoc(loc), terms) <= broadcastDfLimit)
+            cand.join(broadcast(scores), "doc_id")
+          else cand.join(scores, "doc_id")
         case None => scores
       }
       masked.orderBy(col("score").desc, col("doc_id")).limit(k)

@@ -135,6 +135,19 @@ object Indexes {
       .groupBy("doc_id").agg(sum("w").as("score"))
   }
 
+  /** Summed document frequency of `query` terms — a point read of the
+    * term-stats table (bounded by #query terms). This is the driver-side
+    * size estimate composite searches use to decide whether the candidate
+    * score set is small enough to broadcast: sum(df) upper-bounds the row
+    * count [[fullTextScores]] can return (each scored doc contains at least
+    * one query term). */
+  def termDfSum(spark: SparkSession, loc: String, query: Seq[String]): Long = {
+    val qTerms = query.map(_.toLowerCase)
+    GraftTable.load(spark, termStatsLoc(loc))
+      .read(filter = Some(col("term").isin(qTerms: _*)))
+      .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
+  }
+
   /** BM25 top-k against the persisted index: one manifest-pruned scan of the
     * query terms' posting files + a point read of those terms' df rows. */
   def fullTextSearch(spark: SparkSession, loc: String, query: Seq[String],

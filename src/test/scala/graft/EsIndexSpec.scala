@@ -111,6 +111,48 @@ class EsIndexSpec extends SparkTestBase {
     assert(top.select("id").as[Long].head() == 10001L)
   }
 
+  test("filtered text search past the df gate plans a NON-broadcast join") {
+    // 'merge'/'scan' hit 400 docs each → sum(df) = 800 > limit 10: the
+    // broadcast hint must be absent, so with auto-broadcast disabled Spark
+    // plans a shuffle join (an unbounded postings set must never be forced
+    // through the driver; sizes are AQE's call past the gate)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
+      k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val got = EsIndex.search(spark, loc, k = 5, terms = Seq("merge", "scan"),
+        filter = Some(col("score100") < 50), broadcastDfLimit = 10L)
+      val rows = got.collect()
+      assert(rows.nonEmpty)
+      // the candidate↔scores join (on doc_id) must NOT broadcast; the
+      // term-stats join inside fullTextScores (on term, bounded by #query
+      // terms) legitimately keeps its hint
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin [doc_id"),
+        s"df gate must drop the broadcast hint on the scores join:\n$plan")
+      assert(plan.contains("SortMergeJoin [doc_id") ||
+        plan.contains("ShuffledHashJoin [doc_id"), plan)
+      // same result as the broadcast path
+      val bc = EsIndex.search(spark, loc, k = 5, terms = Seq("merge", "scan"),
+        filter = Some(col("score100") < 50))
+      assertSameRows(got, bc)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("selective filter with starved probes escalates to exact search") {
+    // one surviving row; at nprobe=1 its cluster is likely unprobed — the
+    // candidate count (< k) triggers exact search within the filter, so the
+    // row is found regardless of the filter × nprobe interplay
+    val got = EsIndex.search(spark, loc, k = 10, vector = Some(queryVec),
+      filter = Some(col("id") === 1234L), nprobe = 1)
+    assert(got.select("id").as[Long].collect().toSeq == Seq(1234L))
+  }
+
   test("filter-only keyword index without a vector column") {
     val l = tmpLoc("esix-kw")
     EsIndex.build(spark, docs.drop("emb"), "id", l, textCol = Some("text"),
