@@ -117,63 +117,97 @@ object EsIndex {
    *  - both         → RRF fusion of the two rankings (`score` = rrf)
    * `nprobe` bounds the vector read; pass `nClusters` for exact search.
    *
-   * Selective-filter cliff: a filter that keeps few rows can empty out the
-   * probed clusters (filter × nprobe interplay — the survivors live in
-   * clusters the query vector does not probe). When a filtered probe yields
-   * fewer than k candidates the search ESCALATES to exact within the
-   * filter-surviving files (all clusters), so selective filters trade the
-   * probe bound for full recall instead of returning a starved result.
-   * AnnRecallSpec sweeps recall@10 across filter selectivities.
+   * Selective-filter escalation: a filter that keeps few rows decimates the
+   * probed clusters' candidate pool (filter × nprobe interplay — most
+   * survivors live in clusters the query vector does not probe), which
+   * silently degrades recall long before the probe is fully starved. The
+   * search therefore requires `escalateFactor × k` filter-surviving
+   * candidates inside the probed clusters before trusting the approximate
+   * result — candidates are counted with a partition-pruned count scan (a
+   * distributed count; nothing is collected) and nprobe widens ×4 per step,
+   * exact (all clusters) only as the last rung. A moderately selective
+   * filter pays one or two wider probes; a filter that starves every rung
+   * ends exact with full recall. Filtered approximate searches are
+   * therefore eager at call time (the count jobs run in `search`), but the
+   * returned frame itself stays lazy. AnnRecallSpec's "es-index filtered
+   * recall@10" test sweeps filter selectivities {50%, 10%, 1%} at the
+   * default nprobe (all ≥0.9) and asserts a starved filter comes back
+   * exact.
    *
    * Broadcast posture: the BM25 candidate set is size-gated by the query
-   * terms' summed document frequency ([[Indexes.termDfSum]], a driver-side
-   * point read). Small sets broadcast into the filter-pruned main scan; a
-   * high-df term's candidates (potentially millions of rows) join without a
-   * hint and AQE plans from actual sizes.
+   * terms' summed document frequency (one point read of the term-stats
+   * table, reused for the BM25 idf join — [[Indexes.termDfRows]]). Small
+   * sets broadcast into the filter-pruned main scan; past the gate the join
+   * carries no hint and AQE plans from actual sizes. The default gate is
+   * 100k rows ≈ 5 MB at ~48 B per (doc_id, score) row — inside Spark's
+   * ~10 MB broadcast guidance, unlike a row-count-only 1M gate.
    */
   def search(spark: SparkSession, loc: String, k: Int,
              vector: Option[Seq[Float]] = None, terms: Seq[String] = Nil,
              filter: Option[Column] = None, nprobe: Int = 8,
              metric: String = "cosine", rrfK0: Int = 60,
-             broadcastDfLimit: Long = 1000000L): DataFrame = {
+             broadcastDfLimit: Long = 100000L,
+             escalateFactor: Int = 10): DataFrame =
+    searchDetail(spark, loc, k, vector, terms, filter, nprobe, metric,
+      rrfK0, broadcastDfLimit, escalateFactor)._1
+
+  /** [[search]] plus the vector route's EFFECTIVE nprobe after escalation
+    * (0 when no vector query; == nClusters means exact). Tests use this to
+    * assert progressive escalation stops before an index-wide exact scan. */
+  private[graft] def searchDetail(spark: SparkSession, loc: String, k: Int,
+             vector: Option[Seq[Float]] = None, terms: Seq[String] = Nil,
+             filter: Option[Column] = None, nprobe: Int = 8,
+             metric: String = "cosine", rrfK0: Int = 60,
+             broadcastDfLimit: Long = 100000L,
+             escalateFactor: Int = 10): (DataFrame, Int) = {
     require(vector.nonEmpty || terms.nonEmpty, "empty es-index query")
     val m = readMeta(spark, loc)
     val t = GraftTable.load(spark, loc)
     val id = col(m.idCol)
+    var effNprobe = 0
 
     val vecTop: Option[DataFrame] = vector.map { q =>
       val e = m.embedCol.getOrElse(
         throw new IllegalArgumentException("index has no vector column"))
       val model = Indexes.loadIvfModel(spark, loc)
-      def topkWithin(clusterPred: Option[Column]): DataFrame = {
+      val nClusters = model.centroids.length
+      def topkWithin(np: Int): DataFrame = {
+        val clusterPred = if (np >= nClusters) None
+          else Some(col("__ivf_cluster").isin(model.nearestClusters(q, np): _*))
         val pred = (clusterPred.toSeq ++ filter.toSeq).reduceOption(_ && _)
         Similarity.bruteForceTopK(t.read(filter = pred), e, q, k,
           metric, "score").select(id.as("id"), col("score"))
       }
-      val probes = model.nearestClusters(q, nprobe)
-      val probed = topkWithin(Some(col("__ivf_cluster").isin(probes: _*)))
-      if (filter.isEmpty || nprobe >= model.centroids.length) probed
-      else {
-        // top-k is at most k rows — materialize once to both count the
-        // filter-surviving candidates and serve the non-escalated result
-        // without re-running the probe scan
-        val rows = probed.collect()
-        if (rows.length >= k)
-          spark.createDataFrame(java.util.Arrays.asList(rows: _*), probed.schema)
-        else topkWithin(None) // starved probes: exact within the filter
+      var np = math.min(nprobe, nClusters)
+      if (filter.nonEmpty) {
+        // progressive escalation: a partition-pruned COUNT of the filter's
+        // survivors inside the probed clusters; while below the oversample
+        // target, widen nprobe ×4 — exact only as the last rung
+        val target = escalateFactor.toLong * k
+        def survivors(np0: Int): Long = t.read(filter = Some(
+          (col("__ivf_cluster").isin(model.nearestClusters(q, np0): _*) +:
+            filter.toSeq).reduce(_ && _))).count()
+        while (np < nClusters && survivors(np) < target)
+          np = math.min(np * 4, nClusters)
       }
+      effNprobe = np
+      topkWithin(np)
     }
 
     val txtTop: Option[DataFrame] = if (terms.isEmpty) None else Some {
       require(m.textCol.nonEmpty, "index has no text column")
-      val scores = Indexes.fullTextScores(spark, textLoc(loc), terms)
+      // one point read of (term, df) rows serves both the BM25 idf join and
+      // the driver-side broadcast gate (sum(df) upper-bounds candidates)
+      val dfRows = Indexes.termDfRows(spark, textLoc(loc), terms)
+      val dfSum = dfRows.map(_.getLong(1)).sum
+      val scores = Indexes.fullTextScoresFromDf(spark, textLoc(loc), terms, dfRows)
       val masked = filter match {
         case Some(f) =>
           // candidate side is term-pruned (docs containing a query term) —
           // broadcast it into the filter-pruned main scan when the term-stats
           // point read proves it small; past the gate, no hint (AQE plans it)
           val cand = t.read(filter = Some(f)).select(id.as("doc_id"))
-          if (Indexes.termDfSum(spark, textLoc(loc), terms) <= broadcastDfLimit)
+          if (dfSum <= broadcastDfLimit)
             cand.join(broadcast(scores), "doc_id")
           else cand.join(scores, "doc_id")
         case None => scores
@@ -192,7 +226,7 @@ object EsIndex {
       case (None, Some(x)) => x
       case _ => throw new IllegalStateException("unreachable")
     }
-    out.orderBy(col("score").desc, col("id")).limit(k)
-      .withColumnRenamed("id", m.idCol)
+    (out.orderBy(col("score").desc, col("id")).limit(k)
+      .withColumnRenamed("id", m.idCol), effNprobe)
   }
 }

@@ -120,14 +120,39 @@ object Indexes {
     * limit (ES filter semantics: the filter masks candidates but corpus
     * statistics stay whole-index). */
   def fullTextScores(spark: SparkSession, loc: String, query: Seq[String],
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    fullTextScoresFromDf(spark, loc, query, termDfRows(spark, loc, query), k1, b)
+
+  /** (term, df) rows of `query` terms — ONE point read of the term-stats
+    * table (bounded by #query terms), collected so callers can reuse it for
+    * both the BM25 idf join ([[fullTextScoresFromDf]] turns it into a local
+    * relation) and driver-side size estimates (sum(df) upper-bounds the row
+    * count [[fullTextScores]] can return — each scored doc contains at least
+    * one query term). */
+  def termDfRows(spark: SparkSession, loc: String,
+                 query: Seq[String]): Array[org.apache.spark.sql.Row] = {
+    val qTerms = query.map(_.toLowerCase)
+    GraftTable.load(spark, termStatsLoc(loc))
+      .read(filter = Some(col("term").isin(qTerms: _*)))
+      .select(col("term"), col("df").cast("long").as("df")).collect()
+  }
+
+  /** [[fullTextScores]] with the (term, df) point read already done — the df
+    * side joins as a broadcast local relation, so composite searches that
+    * also need sum(df) on the driver (es-index broadcast gate) scan the
+    * term-stats table exactly once per query. */
+  def fullTextScoresFromDf(spark: SparkSession, loc: String, query: Seq[String],
+                           dfRows: Array[org.apache.spark.sql.Row],
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types._
     val t = GraftTable.load(spark, loc)
     val (n, totalLen) = readCorpusSidecar(t, loc)
     val avgdl = if (n == 0) 0.0 else totalLen.toDouble / n
     val qTerms = query.map(_.toLowerCase)
     val hits = t.read(filter = Some(col("term").isin(qTerms: _*)))
-    val dfs = GraftTable.load(spark, termStatsLoc(loc))
-      .read(filter = Some(col("term").isin(qTerms: _*)))
+    val dfs = spark.createDataFrame(
+      java.util.Arrays.asList(dfRows: _*),
+      StructType(Seq(StructField("term", StringType), StructField("df", LongType))))
     hits.join(broadcast(dfs), "term")
       .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w", col("idf") * col("tf") * (lit(k1) + 1.0) /
@@ -141,12 +166,8 @@ object Indexes {
     * score set is small enough to broadcast: sum(df) upper-bounds the row
     * count [[fullTextScores]] can return (each scored doc contains at least
     * one query term). */
-  def termDfSum(spark: SparkSession, loc: String, query: Seq[String]): Long = {
-    val qTerms = query.map(_.toLowerCase)
-    GraftTable.load(spark, termStatsLoc(loc))
-      .read(filter = Some(col("term").isin(qTerms: _*)))
-      .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
-  }
+  def termDfSum(spark: SparkSession, loc: String, query: Seq[String]): Long =
+    termDfRows(spark, loc, query).map(_.getLong(1)).sum
 
   /** BM25 top-k against the persisted index: one manifest-pruned scan of the
     * query terms' posting files + a point read of those terms' df rows. */

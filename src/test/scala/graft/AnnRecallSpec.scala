@@ -102,6 +102,46 @@ class AnnRecallSpec extends SparkTestBase {
     assert(atDefault >= 0.9, f"recall@10 at m=8 was $atDefault%.3f: $sweep")
   }
 
+  test("es-index filtered recall@10 across filter selectivities; starved case exact") {
+    // EsIndex filtered vector search: recall@10 vs EXACT filtered brute force
+    // at filter selectivities 50% / 10% / 1% (filter independent of the
+    // embedding — the adversarial case for probe pruning, since survivors
+    // spread across all clusters). Default nprobe=8 of 64 must hold ≥0.9 at
+    // every selectivity; progressive escalation only widens starved probes.
+    import graft.pipeline.EsIndex
+    val loc = tmpLoc("es-filtered-recall")
+    EsIndex.build(spark, corpus.withColumn("pct", (col("vid") % 100).cast("int")),
+      "vid", loc, embedCol = Some("emb"), nClusters = nCenters, seed = 42L)
+    val sweep = Seq(50, 10, 1).map { cut =>
+      val exact = queries.map(q =>
+        Similarity.bruteForceTopK(corpus.filter(col("vid") % 100 < cut),
+            "emb", q, k)
+          .select("vid").as[Long].collect().toSet)
+      val got = queries.map(q =>
+        EsIndex.search(spark, loc, k, vector = Some(q),
+            filter = Some(col("pct") < cut), nprobe = 8)
+          .select("vid").as[Long].collect().toSet)
+      cut -> recall(got, exact)
+    }
+    info(sweep.map { case (c, r) => f"sel=$c%d%% recall@10=$r%.3f" }.mkString("  "))
+    sweep.foreach { case (c, r) =>
+      assert(r >= 0.9, f"filtered recall@10 at $c%% selectivity was $r%.3f: $sweep") }
+    // ultra-selective starved case: 10 survivors corpus-wide — the probe can
+    // never fill k, so the ladder must end exact and recall is 1.0
+    val starvedExact = queries.map(q =>
+      Similarity.bruteForceTopK(corpus.filter(col("vid") % 5000 === 0), "emb", q, k)
+        .select("vid").as[Long].collect().toSet)
+    val starvedGot = queries.map { q =>
+      val (df, effNp) = EsIndex.searchDetail(spark, loc, k, vector = Some(q),
+        filter = Some(col("vid") % 5000 === 0), nprobe = 8)
+      assert(effNp == nCenters, s"starved filter must end exact, got nprobe=$effNp")
+      df.select("vid").as[Long].collect().toSet
+    }
+    val rStarved = recall(starvedGot, starvedExact)
+    info(f"starved (10 survivors) recall@10=$rStarved%.3f")
+    assert(rStarved == 1.0, f"escalation must make the starved case exact: $rStarved%.3f")
+  }
+
   test("int8 recall@10 with exact rerank reaches 0.95") {
     val exact = queries.map(exactTop)
     val quant = corpus.withColumn("q8", Similarity.quantizeInt8(col("emb"))).persist()

@@ -128,12 +128,32 @@ class EsIndexSpec extends SparkTestBase {
       assert(rows.nonEmpty)
       // the candidate↔scores join (on doc_id) must NOT broadcast; the
       // term-stats join inside fullTextScores (on term, bounded by #query
-      // terms) legitimately keeps its hint
-      val plan = got.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastHashJoin [doc_id"),
-        s"df gate must drop the broadcast hint on the scores join:\n$plan")
-      assert(plan.contains("SortMergeJoin [doc_id") ||
-        plan.contains("ShuffledHashJoin [doc_id"), plan)
+      // terms) legitimately keeps its hint. Inspect the executed join nodes
+      // structurally (plan-string matching is brittle across Spark versions).
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      // AQE wraps executed stages in leaf QueryStageExec nodes — recurse
+      // through them to reach the actual join operators
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case o => o.children.flatMap(allNodes)
+      })
+      def keyNames(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        keys.flatMap(_.references.map(_.name)).toSet
+      val nodes = allNodes(got.queryExecution.executedPlan)
+      val bcastOnDocId = nodes.collect {
+        case j: BroadcastHashJoinExec if keyNames(j.leftKeys).contains("doc_id") => j
+      }
+      assert(bcastOnDocId.isEmpty,
+        s"df gate must drop the broadcast hint on the scores join:\n$nodes.head")
+      val shuffledOnDocId = nodes.collect {
+        case j: SortMergeJoinExec if keyNames(j.leftKeys).contains("doc_id") => j
+        case j: ShuffledHashJoinExec if keyNames(j.leftKeys).contains("doc_id") => j
+      }
+      assert(shuffledOnDocId.nonEmpty,
+        s"expected a shuffle join on doc_id:\n${nodes.head}")
       // same result as the broadcast path
       val bc = EsIndex.search(spark, loc, k = 5, terms = Seq("merge", "scan"),
         filter = Some(col("score100") < 50))
@@ -146,11 +166,37 @@ class EsIndexSpec extends SparkTestBase {
 
   test("selective filter with starved probes escalates to exact search") {
     // one surviving row; at nprobe=1 its cluster is likely unprobed — the
-    // candidate count (< k) triggers exact search within the filter, so the
-    // row is found regardless of the filter × nprobe interplay
-    val got = EsIndex.search(spark, loc, k = 10, vector = Some(queryVec),
-      filter = Some(col("id") === 1234L), nprobe = 1)
+    // candidate count (< k) walks the progressive ladder (1 → 4 → exact),
+    // so the row is found regardless of the filter × nprobe interplay
+    val (got, effNp) = EsIndex.searchDetail(spark, loc, k = 10,
+      vector = Some(queryVec), filter = Some(col("id") === 1234L), nprobe = 1)
     assert(got.select("id").as[Long].collect().toSeq == Seq(1234L))
+    assert(effNp == 8, s"a 1-row filter must end exact, effective nprobe=$effNp")
+  }
+
+  test("moderately selective filter resolves WITHOUT an index-wide exact scan") {
+    // ~286 survivors (cat2, ~36 per cluster) with oversample target 10·k=100:
+    // nprobe=1 holds ~36 < 100 so the ladder steps to 4 (~143 ≥ 100) and
+    // stops — escalated, but never the index-wide exact scan of the r06
+    // probe→exact cliff
+    val (got, effNp) = EsIndex.searchDetail(spark, loc, k = 10,
+      vector = Some(queryVec), filter = Some(col("cat") === "cat2"), nprobe = 1)
+    val ids = got.select("id").as[Long].collect()
+    assert(ids.length == 10)
+    assert(ids.forall(_ % 7 == 2), ids.toSeq.toString)
+    assert(effNp > 1, s"thin probe should have widened: $effNp")
+    assert(effNp < 8, s"escalated to exact on a non-starved filter: $effNp")
+    // a filter with fewer survivors than the oversample target ANYWHERE
+    // (~60 total) must end exact — and exact-within-filter matches filtered
+    // brute force
+    val (got2, effNp2) = EsIndex.searchDetail(spark, loc, k = 10,
+      vector = Some(queryVec), filter = Some(col("score100") < 3), nprobe = 1)
+    assert(effNp2 == 8, s"sub-target filter must end exact: $effNp2")
+    val want2 = Similarity.bruteForceTopK(
+      docs.filter(col("score100") < 3), "emb", queryVec, 10,
+      "cosine", "score").select(col("id"), col("score"))
+    assertSameRows(got2.withColumn("score", round(col("score"), 6)),
+      want2.withColumn("score", round(col("score"), 6)))
   }
 
   test("filter-only keyword index without a vector column") {
