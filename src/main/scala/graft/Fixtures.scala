@@ -1006,6 +1006,20 @@ object Fixtures {
         keywordCols = Seq("lang", "source"))
     }
 
+  /** es-index over documents JOINED to their embeddings (doc_id = vec_id):
+    * vector + BM25 text + keyword `lang` in ONE composite index — the hybrid
+    * (vector AND terms AND filter → RRF) route. */
+  def esHybridIndex(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "es_hybrid_index") { loc =>
+      val joined = src(spark, sfDir, "documents")
+        .join(src(spark, sfDir, "embeddings"),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("embedding"))
+      graft.pipeline.EsIndex.build(spark, joined, "doc_id", loc,
+        embedCol = Some("embedding"), textCol = Some("text"),
+        keywordCols = Seq("lang"), nClusters = 8)
+    }
+
   /** Catalog table seeded from orders then mutated by SQL row-level
     * statements (DELETE/UPDATE/MERGE INTO through GraftSparkExtensions —
     * requires spark.sql.extensions=graft.dsv2.GraftSparkExtensions). */

@@ -802,6 +802,29 @@ object SparkEntry {
         filter = Some(col("lang") === "en"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // Same filtered BM25 PAST the broadcast gate (broadcastDfLimit=1): the
+    // candidates↔scores join carries no hint and AQE plans it — the gated
+    // route must be value-identical to the broadcast route
+    "q_es_gated_text" -> ((s, d) => {
+      val idx = Fixtures.esDocsIndex(s, d)
+      graft.pipeline.EsIndex.search(s, idx.location, k = 10,
+        terms = Seq("table", "scan", "fast", "merge"),
+        filter = Some(col("lang") === "en"), broadcastDfLimit = 1L)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // HYBRID through ONE composite index: vector AND terms AND filter fused
+    // by RRF inside EsIndex.search (vector route exact at nprobe=all; text
+    // route whole-index BM25 masked by the filter; both k-truncated rankings
+    // fused as Σ 1/(60+rank))
+    "q_es_hybrid" -> ((s, d) => {
+      val idx = Fixtures.esHybridIndex(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      graft.pipeline.EsIndex.search(s, idx.location, k = 10,
+        vector = Some(q), terms = Seq("table", "scan", "fast", "merge"),
+        filter = Some(col("lang") === "en"), nprobe = 8) // nprobe = all → exact
+        .select(col("doc_id"), round(col("score"), 6).as("rrf"))
+    }),
     // FILE-ALIGNED PK SEARCH (§2.11): snapshot-consistent, DV-aware search
     // over primary-key tables. The vector route serves unchanged keys from a
     // snapshot-aligned IVF index and reconciles keys touched since (an
@@ -1743,6 +1766,32 @@ object SparkEntry {
          |FROM scored JOIN documents USING (doc_id)
          |WHERE lang = 'en'
          |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    "q_es_gated_text" ->
+      s"""WITH ${bm25Cte()}
+         |SELECT doc_id, round(score, 4) AS score
+         |FROM scored JOIN documents USING (doc_id)
+         |WHERE lang = 'en'
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    "q_es_hybrid" ->
+      s"""WITH ${bm25Cte()},
+         |vecr AS (
+         |  SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r FROM (
+         |    SELECT e.vec_id AS id, list_cosine_similarity(e.embedding::DOUBLE[],
+         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+         |    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |    WHERE d.lang = 'en')
+         |  QUALIFY r <= 10),
+         |txtr AS (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM (
+         |    SELECT s.doc_id AS id, s.score FROM scored s
+         |    JOIN documents d ON d.doc_id = s.doc_id WHERE d.lang = 'en')
+         |  QUALIFY r <= 10),
+         |fused AS (
+         |  SELECT COALESCE(v.id, t.id) AS doc_id,
+         |    COALESCE(1.0/(60+v.r), 0) + COALESCE(1.0/(60+t.r), 0) AS rrf
+         |  FROM vecr v FULL OUTER JOIN txtr t ON v.id = t.id)
+         |SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+         |ORDER BY round(rrf, 6) DESC, doc_id LIMIT 10""".stripMargin,
     "q_embed_neardup" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2 FROM embeddings""".stripMargin,
     "q_semantic_dedup" -> "SELECT vec_id FROM embeddings",
