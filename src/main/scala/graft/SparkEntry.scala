@@ -913,6 +913,56 @@ object SparkEntry {
         .readVariantExtracted("meta", Seq("lang", "text_len"))
         .select(col("doc_id"), col("lang"), col("text_len"))
     }),
+    // Transparent SQL variant_get pushdown (§2.2): a PLAIN SQL query over
+    // the catalog table — no dedicated API — reads the shredded physical
+    // columns via Spark 4.1's SupportsPushDownVariantExtractions; the plan
+    // carries a GraftVariantScan and zero VariantGet expressions
+    // (VariantSqlSpec asserts the plan shape; this row asserts the values)
+    "q_variant_sql" -> ((s, d) => {
+      val wh = s"/tmp/graft-fixtures/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/vsql-wh"
+      val loc = s"$wh/db.db/variant_sql_tbl"
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          parse_json(to_json(struct(col("lang"), col("source"),
+            length(col("text")).as("text_len")))).as("meta"))
+      if (!GraftTable.exists(s, loc)) {
+        val tbl = GraftTable.create(s, loc, docs.schema, TableConfig(
+          options = Map("fields.meta.shred" -> "$.lang:string,$.text_len:int")))
+        tbl.write(docs)
+      }
+      s.conf.set("spark.sql.catalog.graft_vsql", "graft.dsv2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_vsql.warehouse", wh)
+      s.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+      s.sql("""SELECT doc_id, variant_get(meta, '$.lang', 'string') AS lang,
+              |  variant_get(meta, '$.text_len', 'int') AS text_len
+              |FROM graft_vsql.db.variant_sql_tbl""".stripMargin)
+    }),
+    // same transparent pushdown on a PRIMARY-KEY table (merged view serves
+    // the upsert winner's shred columns; doc_id % 3 = 0 doubled)
+    "q_variant_sql_pk" -> ((s, d) => {
+      val wh = s"/tmp/graft-fixtures/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/vsql-wh"
+      val loc = s"$wh/db.db/variant_sql_pk_tbl"
+      def payload(src: org.apache.spark.sql.DataFrame) = src
+        .select(col("doc_id"),
+          parse_json(to_json(struct(col("lang"),
+            col("text_len")))).as("meta"))
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .withColumn("text_len", length(col("text")))
+      if (!GraftTable.exists(s, loc)) {
+        val tbl = GraftTable.create(s, loc, payload(base).schema, TableConfig(
+          primaryKeys = Seq("doc_id"), numBuckets = 2,
+          options = Map("fields.meta.shred" -> "$.lang:string,$.text_len:int")))
+        tbl.write(payload(base))
+        tbl.write(payload(base.filter(col("doc_id") % 3 === 0)
+          .withColumn("text_len", col("text_len") * 2)))
+      }
+      s.conf.set("spark.sql.catalog.graft_vsql", "graft.dsv2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_vsql.warehouse", wh)
+      s.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+      s.sql("""SELECT doc_id, variant_get(meta, '$.lang', 'string') AS lang,
+              |  variant_get(meta, '$.text_len', 'int') AS text_len
+              |FROM graft_vsql.db.variant_sql_pk_tbl""".stripMargin)
+    }),
     "q_object_table" -> ((s, d) => {
       // object table over a deterministic file set: one file per language,
       // content = that language's docs ('\n'-terminated each)
@@ -1705,6 +1755,14 @@ object SparkEntry {
         |FROM idx""".stripMargin,
     "q_variant" ->
       """SELECT doc_id, lang, CAST(length(text) AS INT) AS text_len
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q_variant_sql" ->
+      """SELECT doc_id, lang, CAST(length(text) AS INT) AS text_len
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q_variant_sql_pk" ->
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN length(text) * 2
+        |            ELSE length(text) END AS INT) AS text_len
         |FROM documents WHERE doc_id < 200""".stripMargin,
     "q_variant_pk" ->
       """SELECT doc_id, lang,

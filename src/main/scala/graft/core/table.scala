@@ -1217,6 +1217,23 @@ class GraftTable private (
     * (paimon extraction pushdown capability). `aliases` rename the spec's
     * extractions in order; the caller filters/selects the result (column
     * pruning keeps the scan to exactly the referenced physical columns). */
+  /** Snapshot read exposing the shredded variant-extraction columns
+    * ALONGSIDE the data columns (merged view on PK tables, DV-applied,
+    * stats-pruned by `filter`). The DSv2 variant-extraction pushdown
+    * ([[graft.dsv2.GraftScanBuilder]]) serves variant-struct fields from
+    * these physical columns — the variant binary is never decoded. */
+  def readWithShreds(filter: Option[Column] = None,
+                     snapshotId: Option[Long] = None): DataFrame = {
+    val raw = readEntries(planFiles(snapshotId, filter), withInternal = true,
+      dvFor(snapshotId))
+    val df =
+      if (!isPk) raw
+      else MergeEngines.merge(raw, config, dataSchema)
+        .drop(SEQ, SEQ2, COMMIT, POS, KIND)
+    df.select((dataSchema.fields.map(f => col(f.name)) ++
+      shredFields.map(f => col(f.name))).toIndexedSeq: _*)
+  }
+
   def readVariantExtracted(colName: String, aliases: Seq[String]): DataFrame = {
     val specs = shredSpecs.getOrElse(colName, throw new IllegalArgumentException(
       s"no shred spec for column $colName (set fields.$colName.shred)"))

@@ -190,12 +190,72 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
                        readOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownTopN with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None
   private var topN: Option[(org.apache.spark.sql.connector.expressions.SortOrder, Int)] = None
+  // variant column -> (struct field per offered extraction, serving physical column)
+  private var pushedVariantCols: Map[String, Seq[(org.apache.spark.sql.types.StructField, String)]] = Map.empty
+
+  /** SQL `variant_get` pushdown onto the SHREDDED physical columns
+    * (Spark 4.1 SupportsPushDownVariantExtractions; the reference's
+    * capability, paimon-spark PaimonSupportsPushDownVariantExtractions /
+    * VariantPushDownUtils.scala:36). Protocol: after acceptance the rule
+    * retypes the variant attribute as a struct whose field `i` carries the
+    * i-th OFFERED extraction (names "0","1",…, VariantMetadata in field
+    * metadata) and rewrites `variant_get` to `GetStructField`; the built
+    * scan's readSchema must carry that struct and serve its fields.
+    * Acceptance is all-or-nothing per column — the rule's struct includes
+    * every requested field, so accepting a subset would desynchronize
+    * ordinals. Each extraction must match a declared shred spec (path +
+    * type); a `$` root request is served as the variant binary itself (a
+    * projection, not a decode). */
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
+      : Array[Boolean] = {
+    import org.apache.spark.sql.execution.datasources.VariantMetadata
+    val accepted = Array.fill(extractions.length)(false)
+    // non-plain-batch reads route to scans that cannot carry the struct
+    val plainBatch = !Seq("incremental-between", "incremental-between-timestamp",
+      "incremental-to-auto-tag", "read-changelog").exists(readOptions.contains)
+    if (!plainBatch) return accepted
+    val specs = t.shredSpecs
+    extractions.zipWithIndex.groupBy(_._1.columnName().toSeq).foreach {
+      case (Seq(c), exts) if specs.contains(c) =>
+        val colSpecs = specs(c)
+        // per-column ordinal = position in the offered order
+        val serves: Array[Option[String]] = exts.map { case (e, _) =>
+          val vm = VariantMetadata.fromMetadata(e.metadata())
+          if (vm.path == "$" &&
+              e.expectedDataType() == org.apache.spark.sql.types.VariantType)
+            Some(c)
+          else colSpecs.zipWithIndex.collectFirst {
+            case ((p, tp), i) if p == vm.path &&
+                org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                  .parseDataType(tp) == e.expectedDataType() =>
+              GraftTable.shredColName(c, i)
+          }
+        }
+        // a $-only offer (Spark's post-rejection fallback, or a bare SELECT
+        // of the variant value) has nothing to push — accepting just the
+        // root desynchronizes Spark's rewrite map. Require >=1 typed match.
+        val hasTyped = exts.exists { case (e, _) =>
+          VariantMetadata.fromMetadata(e.metadata()).path != "$" }
+        if (hasTyped && serves.forall(_.isDefined)) {
+          exts.foreach { case (_, idx) => accepted(idx) = true }
+          pushedVariantCols += c -> exts.zip(serves).zipWithIndex.map {
+            case (((e, _), src), ord) =>
+              (org.apache.spark.sql.types.StructField(ord.toString,
+                e.expectedDataType(), true, e.metadata()), src.get)
+          }.toSeq
+        }
+      case _ =>
+    }
+    accepted
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftScanBuilder.convertible)
@@ -416,6 +476,11 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     // exercised; the batch path of a changelog scan is unsupported)
     if (readOptions.get("read-changelog").contains("true"))
       return new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
+    // accepted variant-extraction pushdown: the scan must retype each pushed
+    // variant column as the rule's struct and serve its fields from the
+    // shredded physical columns (no variant decode anywhere in the plan)
+    if (pushedVariantCols.nonEmpty)
+      return new GraftVariantScan(t, snapshotId, pushed, pushedVariantCols)
     val pruneCond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
     // requested metadata columns (__graft_file_path & co) are served by the
     // library's readWithMetadata plan — they ride the file-source relation,
@@ -627,6 +692,58 @@ class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
 
   override def description(): String =
     s"GraftScan(${t.location}, filters=${filters.mkString(",")})"
+}
+
+/** Scan serving an accepted variant-extraction pushdown: readSchema retypes
+  * each pushed variant column as the optimizer's struct (field `i` = i-th
+  * offered extraction, VariantMetadata in field metadata) and the scan
+  * assembles those structs from the SHREDDED physical columns — typed,
+  * stats-carrying parquet columns the write materialized — so a plain-SQL
+  * `variant_get` never decodes variant binary. The `$` root field is the
+  * variant binary itself (a projection). PK tables serve the MERGED view
+  * (shred columns ride the LSM envelope with their row). The scan must
+  * output every table column (the rule's bridge projection aliases the full
+  * relation output by name); Spark's own DSv2 parquet has the same shape. */
+class GraftVariantScan(t: GraftTable, snapshotId: Option[Long],
+                       filters: Array[Filter],
+                       variantCols: Map[String, Seq[(org.apache.spark.sql.types.StructField, String)]])
+    extends V1Scan {
+
+  override def readSchema(): StructType =
+    StructType(t.schema.sparkSchema.fields.map { f =>
+      variantCols.get(f.name)
+        .map(fs => f.copy(dataType = StructType(fs.map(_._1))))
+        .getOrElse(f)
+    })
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = readSchema()
+      override def buildScan(): RDD[Row] = {
+        val pruneCond = filters.flatMap(GraftScanBuilder.toColumn)
+          .reduceOption(_ && _)
+        val base = t.readWithShreds(pruneCond, snapshotId)
+        val cols = t.schema.sparkSchema.fields.map { f =>
+          variantCols.get(f.name) match {
+            case Some(fs) =>
+              org.apache.spark.sql.functions.struct(fs.map {
+                case (sf, src) => col(src).as(sf.name)
+              }.toIndexedSeq: _*).as(f.name)
+            case None => col(f.name)
+          }
+        }
+        base.select(cols.toIndexedSeq: _*).rdd
+      }
+    }
+    rel.asInstanceOf[T]
+  }
+
+  override def description(): String =
+    s"GraftVariantScan(${t.location}, " +
+      s"pushedExtractions=${variantCols.map { case (c, fs) =>
+        c + ":" + fs.map(_._2).mkString("[", ",", "]") }.mkString(",")})"
 }
 
 /** Read-only DSv2 Table over a prepared DataFrame (system tables through
