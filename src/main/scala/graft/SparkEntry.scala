@@ -216,6 +216,23 @@ object SparkEntry {
     "q_chain_read" -> ((s, d) => Fixtures.chainOrders(s, d).readChain("d2")
       .select(col("o_orderkey"), col("day"),
         round(col("o_totalprice"), 2).as("price"))),
+    // chain table STREAMING scan (reference ChainTableStreamScan): phase 1
+    // serves the snapshot branch's latest partition (d1 full) + delta
+    // partitions after it (d2 changes); phase 2 would stream new delta
+    // snapshots (StreamingSinkSpec exercises it — none arrive here)
+    "q_chain_stream" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tbl = Fixtures.chainOrders(s, d)
+      val outName = s"graft_chain_stream_${math.abs(d.hashCode)}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-chain-ckpt").toString
+      val q = s.readStream.format("graft").load(tbl.location)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(outName).start()
+      q.awaitTermination(120000)
+      s.table(outName).select(col("o_orderkey"), col("day"),
+        round(col("o_totalprice"), 2).as("price"))
+    }),
     // POSTPONE bucket mode: staged (uncompacted) writes are invisible —
     // the read serves exactly the last compacted state
     "q_postpone" -> ((s, d) => Fixtures.ordersPp(s, d).read()
@@ -1369,6 +1386,12 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice * 2, 2)
         |       ELSE round(o_totalprice, 2) END AS price
         |FROM orders""".stripMargin,
+    "q_chain_stream" ->
+      """SELECT o_orderkey, 'd1' AS day, round(o_totalprice, 2) AS price
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'd2' AS day, round(o_totalprice * 2, 2) AS price
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     "q_data_evolution_merge" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source,

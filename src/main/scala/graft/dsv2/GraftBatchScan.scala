@@ -232,7 +232,7 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(t, checkpointLocation, readOptions)
+    GraftMicroBatchStream.forTable(t, checkpointLocation, readOptions)
 
   override def description(): String =
     s"GraftBatchScan(${t.location}, files=${entries.size}, pushed=${pushed.mkString(",")})"

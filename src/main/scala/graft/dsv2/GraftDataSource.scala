@@ -687,7 +687,7 @@ class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(t, checkpointLocation, readOptions,
+    GraftMicroBatchStream.forTable(t, checkpointLocation, readOptions,
       readOptions.get("read-changelog").contains("true"))
 
   override def description(): String =

@@ -268,6 +268,87 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
     else new GraftStreamReaderFactory(streamSchema, conf)
 }
 
+object GraftMicroBatchStream {
+  /** Streaming entry point: CHAIN tables get the two-phase chain stream
+    * (reference ChainTableStreamScan.java); everything else streams the
+    * table's own snapshot chain. */
+  def forTable(t: GraftTable, checkpointLocation: String,
+               readOptions: Map[String, String],
+               readChangelog: Boolean = false)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    if (t.config.option("chain-table.enabled", "false") == "true" &&
+        !readChangelog && t.sm.branch.isEmpty)
+      new GraftChainMicroBatchStream(t, checkpointLocation, readOptions)
+    else new GraftMicroBatchStream(t, checkpointLocation, readOptions,
+      readChangelog)
+}
+
+/**
+ * Two-phase streaming scan for CHAIN tables (capability of the reference's
+ * ChainTableStreamScan, paimon-core/.../table/ChainTableStreamScan.java):
+ *
+ *  - Phase 1 (starting): ONE batch holding the snapshot branch's LATEST
+ *    time partition plus the delta-branch partitions strictly AFTER it —
+ *    older snapshot partitions are outdated, and each primary key appears
+ *    exactly once under its natural partition (the reference's default
+ *    "lightweight" mode: no anchor merge, so a long-lived job's starting
+ *    plan never explodes into a historical-partition chain merge). The
+ *    delta branch's position is pinned when phase 1 plans.
+ *  - Phase 2: NEW delta-branch snapshots only, from the pinned position —
+ *    delegated to a plain [[GraftMicroBatchStream]] over the delta branch.
+ *
+ * Checkpoint state stays a single long: -1 = phase 1 pending, >= 0 = last
+ * read DELTA snapshot id — a stateful restart skips phase 1 (reference
+ * checkpoint contract).
+ */
+class GraftChainMicroBatchStream(t: GraftTable, checkpointLocation: String,
+                                 readOptions: Map[String, String] = Map.empty)
+    extends MicroBatchStream {
+  import graft.core.RowOps._
+
+  private val ptCol = t.config.partitionKeys.head
+  private val snapT = t.onBranch("snapshot")
+  private val deltaT = t.onBranch("delta")
+  private val delta = new GraftMicroBatchStream(deltaT, checkpointLocation,
+    readOptions)
+  private val conf = new SerializableConfiguration(
+    t.spark.sessionState.newHadoopConf())
+
+  override def initialOffset(): Offset = GraftOffset(-1L)
+
+  override def latestOffset(): Offset =
+    GraftOffset(deltaT.sm.latestSnapshotId.getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].snapshotId
+    if (s >= 0) return delta.planInputPartitions(start, end)
+    // phase 1: latest snapshot partition + later delta partitions, with the
+    // delta side pinned at the phase boundary (`end` = delta snapshot id
+    // captured by latestOffset, so phase 2 starts exactly after it)
+    val e = end.asInstanceOf[GraftOffset].snapshotId
+    val snapEntries = snapT.planFiles()
+    val latestPt = snapEntries.flatMap(_.partition.get(ptCol))
+      .flatMap(Option(_)).distinct.sorted.lastOption
+    val keepSnap = snapEntries.filter(en =>
+      latestPt.contains(en.partition.getOrElse(ptCol, null)))
+    val deltaEntries =
+      if (e <= 0) Nil
+      else deltaT.planFiles(Some(e)).filter(en =>
+        latestPt.forall(lp => en.partition.get(ptCol).exists(_ > lp)))
+    (keepSnap ++ deltaEntries).map(en => GraftFilePartition(
+      new Path(t.location, en.path).toString, "+I"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStreamReaderFactory(t.schema.sparkSchema, conf)
+
+  override def commit(end: Offset): Unit = delta.commit(end)
+  override def stop(): Unit = ()
+}
+
 case class GraftOffset(snapshotId: Long) extends Offset {
   override def json(): String = snapshotId.toString
 }

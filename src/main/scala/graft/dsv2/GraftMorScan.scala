@@ -108,7 +108,7 @@ class GraftMorScan(t: GraftTable, entries: Seq[ManifestEntry],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(t, checkpointLocation, readOptions)
+    GraftMicroBatchStream.forTable(t, checkpointLocation, readOptions)
 
   override def description(): String =
     s"GraftMorScan(${t.location}, files=${entries.size}, engine=${t.config.mergeEngine})"

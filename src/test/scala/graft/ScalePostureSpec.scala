@@ -167,4 +167,30 @@ class ScalePostureSpec extends SparkTestBase {
     // rows to buckets
     assert(!p.contains("Exchange"), s"CDC parse must not shuffle:\n$p")
   }
+
+  test("nested-field pruning: one subfield of a wide struct narrows the scan") {
+    // 20-field struct; SELECT s.f3 must reach the parquet read with ONLY
+    // that subfield (reference prunes nested schemas,
+    // PaimonBaseScanBuilder.scala:61) — wide-struct tables must not pay
+    // full-struct IO for a single-field projection
+    import graft.core._
+    val loc = tmpLoc("nested-prune")
+    val wide = spark.range(100).select(col("id"),
+      struct((0 until 20).map(i => (col("id") * i).as(s"f$i")): _*).as("s"))
+    val t = GraftTable.create(spark, loc, wide.schema, TableConfig())
+    t.write(wide)
+    val df = spark.read.format("graft").load(loc).select(col("s.f3"))
+    assert(df.as[Long].collect().sorted.toSeq == (0L until 100L).map(_ * 3))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val rs = scans.head.readSchema()
+    val sField = rs.fields.find(_.name == "s").getOrElse(
+      fail(s"no struct col in read schema $rs"))
+    val inner = sField.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(inner.fieldNames.toSeq == Seq("f3"),
+      s"expected only f3 to survive pruning, read schema: ${rs.catalogString}")
+    assert(!rs.fieldNames.contains("id"), rs.catalogString)
+  }
 }

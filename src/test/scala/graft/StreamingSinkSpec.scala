@@ -198,4 +198,46 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(got == Set(1L, 2L, 5L), s"got $got")
     assert(state.read().count() == 3)
   }
+
+  test("chain-table streaming: phase 1 = latest snapshot pt + later deltas; phase 2 = delta branch") {
+    import graft.core.RowOps._
+    val loc = tmpLoc("chain-stream")
+    val o = Seq((1L, 10.0, 1L, "d1"), (2L, 20.0, 1L, "d1"), (3L, 30.0, 1L, "d1"))
+      .toDF("k", "price", "seq", "day")
+    val t = GraftTable.createOrReplace(spark, loc, o.schema,
+      TableConfig(primaryKeys = Seq("day", "k"), partitionKeys = Seq("day"),
+        numBuckets = 1, sequenceField = Some("seq"),
+        options = Map("chain-table.enabled" -> "true")))
+    t.write(o.limit(0))
+    t.createBranch("snapshot")
+    t.createBranch("delta")
+    // snapshot branch: an OLD full (d0) and the LATEST full (d1) — phase 1
+    // must serve only d1 (older snapshot partitions are outdated)
+    t.onBranch("snapshot").write(o.withColumn("day", lit("d0")))
+    t.onBranch("snapshot").write(o)
+    // delta branch: d2 changes (after d1) and d1 changes (NOT after -> excluded)
+    t.onBranch("delta").write(Seq((3L, 33.0, 2L, "d2")).toDF("k", "price", "seq", "day"))
+
+    val outName = "chain_stream_out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chain-ckpt").toString
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("memory").queryName(outName).start()
+    q.processAllAvailable()
+    // phase 1: d1 full (3 rows) + d2 delta (1 row); d0 excluded
+    val phase1 = spark.table(outName).select("k", "price", "day").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(phase1 == Set((1L, 10.0, "d1"), (2L, 20.0, "d1"),
+      (3L, 30.0, "d1"), (3L, 33.0, "d2")), phase1.toString)
+
+    // phase 2: a NEW delta snapshot streams through; a new SNAPSHOT-branch
+    // full does NOT (phase 2 is delta-branch only — reference contract)
+    t.onBranch("delta").write(Seq((1L, 11.0, 3L, "d3")).toDF("k", "price", "seq", "day"))
+    t.onBranch("snapshot").write(o.withColumn("day", lit("d9")))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table(outName).select("k", "price", "day").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(all == phase1 + ((1L, 11.0, "d3")), all.toString)
+  }
 }
