@@ -593,21 +593,74 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
     throw new CommitConflictException(s"commit lost CAS race $maxRetries times")
   }
 
+  /** Stamp `creationTime` into entries that predate the field (0 = unknown)
+    * from ONE directory listing per data directory — never a per-file stat.
+    * Migrating legacy manifests through [[compactManifests]] retires the
+    * per-file getFileStatus fallback in GraftTable.entryCreationTime. */
+  private def stampCreationTimes(entries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    val missing = entries.filter(_.creationTime <= 0L)
+    if (missing.isEmpty) return entries
+    val dirs = missing.map(e => new Path(root, e.path).getParent).distinct
+    val mtimes: Map[String, Long] = dirs.flatMap { d =>
+      try fs.listStatus(d).toSeq.collect { case st if st.isFile =>
+        st.getPath.toString -> st.getModificationTime }
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }.toMap
+    entries.map { e =>
+      if (e.creationTime > 0L) e
+      else e.copy(creationTime = math.max(1L,
+        mtimes.getOrElse(fs.makeQualified(new Path(root, e.path)).toString, 0L)))
+    }
+  }
+
   /** Rewrite the manifest list of the latest state into one consolidated
-    * ADD-only manifest (paimon `compact_manifest`). */
+    * ADD-only manifest (paimon `compact_manifest`); legacy entries without
+    * a creationTime get one stamped ([[stampCreationTimes]]). */
   def compactManifests(schemaId: Long): SnapshotMeta = {
     val (name, liveCount) =
       if (latestSnapshot.exists(_.liveFilesLong.exists(_ >= planDfThreshold))) {
         // consolidate distributed: fold on executors, write a parquet
         // manifest straight from the DataFrame (no driver materialization)
+        import org.apache.spark.sql.functions._
         val spark = org.apache.spark.sql.SparkSession.active
         val n = s"manifest-${UUID.randomUUID()}.pq"
-        liveEntriesDf(spark, latestSnapshot.get).select(ManifestDf.columns: _*)
+        var df = liveEntriesDf(spark, latestSnapshot.get)
+        // distributed creationTime stamping: executors list each data dir
+        // ONCE and the (path, mtime) relation joins the entries — no driver
+        // materialization, no per-file stats
+        if (!df.filter(col("creationTime") <= 0).isEmpty) {
+          val parentExpr = expr(
+            "substring(path, 1, length(path) - length(substring_index(path, '/', -1)) - 1)")
+          val dirs = df.filter(col("creationTime") <= 0)
+            .select(parentExpr.as("d")).distinct()
+            .collect().map(_.getString(0)) // bounded by #partitions × buckets
+          val qualifiedRoot = fs.makeQualified(root).toString
+          val sconf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+          val mtimeDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(dirs.toSeq, math.max(1, math.min(dirs.length, 64)))
+              .flatMap { d =>
+                val p = new Path(qualifiedRoot, d)
+                val dfs = p.getFileSystem(sconf.value)
+                try dfs.listStatus(p).toSeq.collect { case st if st.isFile =>
+                  org.apache.spark.sql.Row(
+                    st.getPath.toString.stripPrefix(qualifiedRoot + "/"),
+                    st.getModificationTime)
+                } catch { case _: java.io.FileNotFoundException => Nil }
+              },
+            StructType(Seq(StructField("path", StringType, false),
+              StructField("__mtime", LongType, false))))
+          df = df.join(mtimeDf, Seq("path"), "left")
+            .withColumn("creationTime",
+              when(col("creationTime") > 0, col("creationTime"))
+                .otherwise(greatest(coalesce(col("__mtime"), lit(0L)), lit(1L))))
+            .drop("__mtime")
+        }
+        df.select(ManifestDf.columns: _*)
           .write.parquet(new Path(manifestDir, n).toString)
         val cnt = spark.read.parquet(new Path(manifestDir, n).toString).count()
         (n, cnt)
       } else {
-        val live = latestSnapshot.map(liveEntries).getOrElse(Nil)
+        val live = stampCreationTimes(latestSnapshot.map(liveEntries).getOrElse(Nil))
         (writeManifest(live), live.size.toLong)
       }
     var attempt = 0

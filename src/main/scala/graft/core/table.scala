@@ -1295,7 +1295,14 @@ class GraftTable private (
     * current ones. */
   private[graft] def entryCreationTime(e: ManifestEntry): Long =
     if (e.creationTime > 0L) e.creationTime
-    else sm.fs.getFileStatus(new Path(location, e.path)).getModificationTime
+    else {
+      // legacy manifests (field predates stamping): per-file driver stat.
+      // `CALL sys.compact_manifest` migrates such tables — it stamps
+      // creationTime from batched dir listings, after which this path never
+      // runs again (counter is test instrumentation for that guarantee)
+      GraftTable.legacyStatFallbacks.incrementAndGet()
+      sm.fs.getFileStatus(new Path(location, e.path)).getModificationTime
+    }
 
   private def readMain(filter: Option[Column], snapshotId: Option[Long]): DataFrame = {
     val patches = if (isRowTracking) patchesFor(snapshotId) else Nil
@@ -1941,6 +1948,11 @@ class GraftTable private (
 }
 
 object GraftTable {
+  /** Count of per-file getFileStatus fallbacks taken for legacy manifests
+    * missing creationTime — tests assert it stays 0 after a
+    * `compact_manifest` migration. */
+  private[graft] val legacyStatFallbacks = new java.util.concurrent.atomic.AtomicLong()
+
   /** Hash-routing key columns of a FIXED-bucket layout (see
     * [[GraftTable.fixedBucketKeys]]); config-level so historical schemas can
     * be compared against the current layout. */

@@ -258,4 +258,63 @@ class MetadataPlaneSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains(victim.path))
   }
+
+  test("compact_manifest stamps creationTime: migrated legacy table plans with zero per-file stats") {
+    val loc = tmpLoc("legacy-ct")
+    val df = spark.range(100).select((col("id") % 4).cast("int").as("p"),
+      col("id").as("v"))
+    // bake the file-creation-time cutoff into the table config so EVERY
+    // read's planning consults entryCreationTime (the fallback under test)
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(partitionKeys = Seq("p"), numBuckets = 1,
+        options = Map("scan.file-creation-time-millis" -> "1")))
+    t.write(df)
+    // forge a LEGACY state: same live files, creationTime zeroed (manifests
+    // written before the field existed read it as 0)
+    val base = t.sm.latestSnapshot.get
+    val legacy = t.sm.liveEntries(base).map(_.copy(creationTime = 0L))
+    val mname = t.sm.writeManifest(legacy)
+    t.sm.writeString(new Path(t.sm.snapshotDir, s"snapshot-${base.id + 1}.json"),
+      Json.write(base.copy(id = base.id + 1, manifests = Seq(mname),
+        deltaManifests = Seq(mname))))
+    t.sm.writeString(new Path(t.sm.snapshotDir, "LATEST"), (base.id + 1).toString)
+
+    val t2 = GraftTable.load(spark, loc)
+    def cutoffCount(tbl: GraftTable): Long = tbl.read().count()
+    // legacy read pays the per-file fallback
+    GraftTable.legacyStatFallbacks.set(0L)
+    assert(cutoffCount(t2) == 100)
+    assert(GraftTable.legacyStatFallbacks.get() > 0,
+      "legacy state should exercise the fallback")
+
+    // migrate: compact_manifest stamps creationTime from batched listings
+    Procedures.call(spark, t2, "compact_manifest").collect()
+    val t3 = GraftTable.load(spark, loc)
+    val stamped = t3.sm.liveEntries(t3.sm.latestSnapshot.get)
+    assert(stamped.nonEmpty && stamped.forall(_.creationTime > 0L),
+      stamped.map(_.creationTime).toString)
+    GraftTable.legacyStatFallbacks.set(0L)
+    assert(cutoffCount(t3) == 100)
+    assert(GraftTable.legacyStatFallbacks.get() == 0L,
+      "migrated table must plan without per-file stats")
+  }
+
+  test("distributed compact_manifest stamps creationTime too (DataFrame path)") {
+    val (loc, t, _) = mkBigMetaTable("legacy-ct-dist")
+    val base = t.sm.latestSnapshot.get
+    val legacy = t.sm.liveEntries(base).map(_.copy(creationTime = 0L))
+    val mname = t.sm.writeManifest(legacy)
+    t.sm.writeString(new Path(t.sm.snapshotDir, s"snapshot-${base.id + 1}.json"),
+      Json.write(base.copy(id = base.id + 1, manifests = Seq(mname),
+        deltaManifests = Seq(mname), liveFiles = Some(legacy.size.toLong))))
+    t.sm.writeString(new Path(t.sm.snapshotDir, "LATEST"), (base.id + 1).toString)
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.sm.latestSnapshot.get.liveFilesLong.exists(_ >= 10),
+      "distributed branch requires liveFiles >= df-threshold")
+    Procedures.call(spark, t2, "compact_manifest").collect()
+    val t3 = GraftTable.load(spark, loc)
+    val stamped = t3.sm.liveEntries(t3.sm.latestSnapshot.get)
+    assert(stamped.nonEmpty && stamped.forall(_.creationTime > 0L),
+      stamped.filter(_.creationTime <= 0).take(3).toString)
+  }
 }
