@@ -208,25 +208,29 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     * i-th OFFERED extraction (names "0","1",…, VariantMetadata in field
     * metadata) and rewrites `variant_get` to `GetStructField`; the built
     * scan's readSchema must carry that struct and serve its fields.
-    * Acceptance is all-or-nothing per column — the rule's struct includes
-    * every requested field, so accepting a subset would desynchronize
-    * ordinals. Each extraction must match a declared shred spec (path +
-    * type); a `$` root request is served as the variant binary itself (a
-    * projection, not a decode). */
+    * Acceptance is all-or-nothing across the WHOLE offer — Spark's rewrite
+    * map covers every requested field of every variant column, and both a
+    * partially-accepted column and a mixed accepted/rejected column pair
+    * leave it desynchronized (its post-rejection bare-`$` fallback offer
+    * then crashes the rewrite), so one unservable extraction anywhere
+    * rejects the batch and the query answers through the decode path.
+    * Each extraction must match a declared shred spec (path + type); a `$`
+    * root request is served as the variant binary itself (a projection, not
+    * a decode), but a `$`-only offer has nothing to push and is rejected. */
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
       : Array[Boolean] = {
     import org.apache.spark.sql.execution.datasources.VariantMetadata
-    val accepted = Array.fill(extractions.length)(false)
+    val reject = Array.fill(extractions.length)(false)
     // non-plain-batch reads route to scans that cannot carry the struct
     val plainBatch = !Seq("incremental-between", "incremental-between-timestamp",
       "incremental-to-auto-tag", "read-changelog").exists(readOptions.contains)
-    if (!plainBatch) return accepted
+    if (!plainBatch) return reject
     val specs = t.shredSpecs
-    extractions.zipWithIndex.groupBy(_._1.columnName().toSeq).foreach {
+    val byCol = extractions.zipWithIndex.groupBy(_._1.columnName().toSeq).toSeq
+    val perCol = byCol.map {
       case (Seq(c), exts) if specs.contains(c) =>
         val colSpecs = specs(c)
-        // per-column ordinal = position in the offered order
         val serves: Array[Option[String]] = exts.map { case (e, _) =>
           val vm = VariantMetadata.fromMetadata(e.metadata())
           if (vm.path == "$" &&
@@ -239,22 +243,20 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
               GraftTable.shredColName(c, i)
           }
         }
-        // a $-only offer (Spark's post-rejection fallback, or a bare SELECT
-        // of the variant value) has nothing to push — accepting just the
-        // root desynchronizes Spark's rewrite map. Require >=1 typed match.
         val hasTyped = exts.exists { case (e, _) =>
           VariantMetadata.fromMetadata(e.metadata()).path != "$" }
-        if (hasTyped && serves.forall(_.isDefined)) {
-          exts.foreach { case (_, idx) => accepted(idx) = true }
-          pushedVariantCols += c -> exts.zip(serves).zipWithIndex.map {
+        if (hasTyped && serves.forall(_.isDefined))
+          Some(c -> exts.zip(serves).zipWithIndex.map {
             case (((e, _), src), ord) =>
               (org.apache.spark.sql.types.StructField(ord.toString,
                 e.expectedDataType(), true, e.metadata()), src.get)
-          }.toSeq
-        }
-      case _ =>
+          }.toSeq)
+        else None
+      case _ => None
     }
-    accepted
+    if (perCol.exists(_.isEmpty)) return reject // one unservable column → no pushdown
+    pushedVariantCols = perCol.flatten.toMap
+    Array.fill(extractions.length)(true)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {

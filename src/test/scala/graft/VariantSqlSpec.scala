@@ -104,4 +104,24 @@ class VariantSqlSpec extends SparkTestBase {
     assert(!plan.contains("variant_get"), s"both forms must push:\n$plan")
     assert(plan.contains("GraftVariantScan"), plan)
   }
+
+  test("two variant columns, only one shredded: query still answers") {
+    // partial acceptance ACROSS columns — Spark's rewrite must tolerate one
+    // accepted column and one rejected column in the same query
+    val docs2 = Seq((0L, "en", 11), (1L, "de", 22))
+      .toDF("doc_id", "lang", "text_len")
+      .select(col("doc_id"),
+        parse_json(to_json(struct(col("lang")))).as("meta"),
+        parse_json(to_json(struct(col("text_len")))).as("extra"))
+    val loc = s"$wh/db.db/t_two"
+    val t = GraftTable.create(spark, loc, docs2.schema, TableConfig(
+      options = Map("fields.meta.shred" -> "$.lang:string")))
+    t.write(docs2)
+    val df = spark.sql(
+      s"""SELECT doc_id, variant_get(meta, '$$.lang', 'string') AS lang,
+         |  variant_get(extra, '$$.text_len', 'int') AS tl
+         |FROM vsql.db.t_two ORDER BY doc_id""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((0L, "en", 11), (1L, "de", 22)))
+  }
 }
