@@ -483,3 +483,151 @@ private[dsv2] class DvFilteredVector(
     children(ordinal)
   }
 }
+
+/** Native columnar scan for an accepted variant-extraction pushdown on
+  * raw-convertible (append / compacted) tables: parquet reads the SHREDDED
+  * physical columns vectorized, and each pushed variant column is served as
+  * a zero-copy struct ColumnVector VIEW over those vectors — no variant
+  * decode, no row materialization, columnar batches and whole-stage codegen
+  * intact. PK tables still needing merge use the V1 [[GraftVariantScan]]
+  * (shared merge semantics). */
+class GraftVariantBatchScan(t: GraftTable, entries: Seq[ManifestEntry],
+                            pushedF: Array[Filter],
+                            variantCols: Map[String, Seq[(StructField, String)]],
+                            readOpts: Map[String, String],
+                            dvMap: Map[String, Array[Byte]])
+    extends GraftBatchScan(t, entries, pushedF, None, readOpts, dvMap) {
+
+  private def logicalSchema: StructType =
+    StructType(t.schema.sparkSchema.fields.map { f =>
+      variantCols.get(f.name)
+        .map(fs => f.copy(dataType = StructType(fs.map(_._1))))
+        .getOrElse(f)
+    })
+
+  /** Columns the parquet reader actually decodes: every non-variant table
+    * column plus each pushed column's SOURCE columns (shred columns; the
+    * variant binary itself only when a `$` root field was requested). */
+  private def physicalSchema: StructType = {
+    val fields = t.schema.sparkSchema.fields.flatMap { f =>
+      variantCols.get(f.name) match {
+        case Some(fs) => fs.map(_._2).distinct.map { src =>
+          if (src == f.name) f
+          else t.fileSchema.fields.find(_.name == src).getOrElse(
+            throw new IllegalStateException(s"missing shred column $src"))
+        }
+        case None => Seq(f)
+      }
+    }
+    StructType(fields.groupBy(_.name).map(_._2.head).toSeq
+      .sortBy(f => fields.indexWhere(_.name == f.name)))
+  }
+
+  override def readSchema(): StructType = logicalSchema
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val pf = GraftBatchScan.parquetFactory(t, physicalSchema, pushedF)
+    val dvf =
+      if (dvMap.isEmpty) null
+      else GraftBatchScan.parquetFactory(t, physicalSchema, Array.empty)
+    GraftVariantReaderFactory(GraftReaderFactory(pf, dvf),
+      physicalSchema, logicalSchema, variantCols)
+  }
+
+  override def description(): String =
+    s"GraftVariantBatchScan(${t.location}, files=${entries.size}, " +
+      s"pushedExtractions=${variantCols.map { case (c, fs) =>
+        c + ":" + fs.map(_._2).mkString("[", ",", "]") }.mkString(",")})"
+}
+
+/** Struct ColumnVector view assembling a pushed variant column from its
+  * serving source vectors (one per extraction, ordinal order). The struct
+  * itself is never null — null variants surface as null children, which is
+  * exactly what the write-time extraction produced. `close` is a no-op: the
+  * children belong to the inner reader's batch. */
+private[dsv2] class GraftStructVector(
+    tpe: StructType,
+    children: Array[org.apache.spark.sql.vectorized.ColumnVector])
+    extends org.apache.spark.sql.vectorized.ColumnVector(tpe) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    children(ordinal)
+  private def nope = throw new UnsupportedOperationException("struct view")
+  override def getBoolean(i: Int): Boolean = nope
+  override def getByte(i: Int): Byte = nope
+  override def getShort(i: Int): Short = nope
+  override def getInt(i: Int): Int = nope
+  override def getLong(i: Int): Long = nope
+  override def getFloat(i: Int): Float = nope
+  override def getDouble(i: Int): Double = nope
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray = nope
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap = nope
+  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal = nope
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String = nope
+  override def getBinary(i: Int): Array[Byte] = nope
+}
+
+/** Reader factory bridging physical (shred columns decoded) batches to the
+  * logical variant-struct shape. Columnar: output columns are the physical
+  * vectors, with each pushed variant column replaced by a
+  * [[GraftStructVector]] view — zero copy. Row path: an UnsafeProjection
+  * built executor-side (CreateNamedStruct over the source fields). */
+case class GraftVariantReaderFactory(inner: GraftReaderFactory,
+                                     physicalSchema: StructType,
+                                     logicalSchema: StructType,
+                                     variantCols: Map[String, Seq[(StructField, String)]])
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val in = inner.createColumnarReader(p)
+    val physIdx = physicalSchema.fieldNames.zipWithIndex.toMap
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = in.next()
+      override def get(): ColumnarBatch = {
+        val b = in.get()
+        val out: Array[ColumnVector] = logicalSchema.fields.map { f =>
+          variantCols.get(f.name) match {
+            case Some(fs) => new GraftStructVector(
+              StructType(fs.map(_._1)),
+              fs.map { case (_, src) => b.column(physIdx(src)) }.toArray)
+            case None => b.column(physIdx(f.name))
+          }
+        }
+        new ColumnarBatch(out, b.numRows())
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val in = inner.createReader(p)
+    val physIdx = physicalSchema.fieldNames.zipWithIndex.toMap
+    val outExprs: Seq[Expression] = logicalSchema.fields.toSeq.map { f =>
+      def ref(name: String): Expression = {
+        val i = physIdx(name)
+        val pf = physicalSchema.fields(i)
+        BoundReference(i, pf.dataType, pf.nullable)
+      }
+      variantCols.get(f.name) match {
+        case Some(fs) => CreateNamedStruct(fs.flatMap { case (sf, src) =>
+          Seq(Literal(sf.name), ref(src)) }.toSeq)
+        case None => ref(f.name)
+      }
+    }
+    val proj = UnsafeProjection.create(outExprs)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = proj(in.get())
+      override def close(): Unit = in.close()
+    }
+  }
+}

@@ -480,9 +480,22 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
       return new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
     // accepted variant-extraction pushdown: the scan must retype each pushed
     // variant column as the rule's struct and serve its fields from the
-    // shredded physical columns (no variant decode anywhere in the plan)
-    if (pushedVariantCols.nonEmpty)
+    // shredded physical columns (no variant decode anywhere in the plan).
+    // Raw-convertible parquet plans stay NATIVE COLUMNAR — the struct is a
+    // zero-copy vector view over the decoded shred columns; merge-needing
+    // PK tables and non-parquet formats use the V1 scan's merged view.
+    if (pushedVariantCols.nonEmpty) {
+      val pruneCond0 = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+      if (t.fileFormat == "parquet")
+        t.rawPlan(snapshotId, pruneCond0, allowDv = true) match {
+          case Some(entries) =>
+            val dvm = t.skipMapFor(entries, pruneCond0, snapshotId)
+            return new GraftVariantBatchScan(t, entries, pushed,
+              pushedVariantCols, readOptions, dvm)
+          case None => ()
+        }
       return new GraftVariantScan(t, snapshotId, pushed, pushedVariantCols)
+    }
     val pruneCond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
     // requested metadata columns (__graft_file_path & co) are served by the
     // library's readWithMetadata plan — they ride the file-source relation,

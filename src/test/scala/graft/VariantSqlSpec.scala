@@ -53,8 +53,9 @@ class VariantSqlSpec extends SparkTestBase {
       Seq((0L, "en", 11), (1L, "de", 22), (2L, "en", 33), (3L, "fr", 44)))
     val plan = planOf(df)
     assert(!plan.contains("variant_get"), s"extraction must be pushed:\n$plan")
-    assert(plan.contains("GraftVariantScan"), plan)
-    assert(plan.contains("meta:struct<0:string,1:int>"), plan)
+    // append table is raw-convertible -> NATIVE COLUMNAR variant scan
+    assert(plan.contains("GraftVariantBatchScan"), plan)
+    assert(plan.contains("ColumnarToRow"), s"native path must stay columnar:\n$plan")
   }
 
   test("PK table: SQL variant_get serves the merged winner's shreds") {
@@ -73,6 +74,7 @@ class VariantSqlSpec extends SparkTestBase {
       Seq((0L, 11), (1L, 99), (2L, 33), (3L, 44)))
     val plan = planOf(df)
     assert(!plan.contains("variant_get"), s"extraction must be pushed:\n$plan")
+    // merge-needing PK table serves the merged view through the V1 scan
     assert(plan.contains("GraftVariantScan"), plan)
   }
 
@@ -102,7 +104,7 @@ class VariantSqlSpec extends SparkTestBase {
       Seq((1L, "de"), (2L, "en"), (3L, "fr")))
     val plan = planOf(df)
     assert(!plan.contains("variant_get"), s"both forms must push:\n$plan")
-    assert(plan.contains("GraftVariantScan"), plan)
+    assert(plan.contains("GraftVariant"), plan)
   }
 
   test("two variant columns, only one shredded: query still answers") {
@@ -123,5 +125,24 @@ class VariantSqlSpec extends SparkTestBase {
          |FROM vsql.db.t_two ORDER BY doc_id""".stripMargin)
     assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
       Seq((0L, "en", 11), (1L, "de", 22)))
+  }
+
+  test("native variant scan applies deletion vectors inside the batch") {
+    import graft.core.RowOps._
+    val loc = s"$wh/db.db/t_dv"
+    val t = GraftTable.create(spark, loc, mkDocs.schema, TableConfig(
+      primaryKeys = Seq("doc_id"), numBuckets = 1,
+      options = Map("fields.meta.shred" -> "$.lang:string,$.text_len:int")))
+    t.write(mkDocs)
+    t.compact() // raw-convertible: the native columnar path serves the scan
+    t.deleteDv(col("doc_id") === 2L)
+    val df = spark.sql(
+      s"""SELECT doc_id, variant_get(meta, '$$.text_len', 'int') AS tl
+         |FROM vsql.db.t_dv ORDER BY doc_id""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((0L, 11), (1L, 22), (3L, 44)))
+    val plan = planOf(df)
+    assert(!plan.contains("variant_get"), plan)
+    assert(plan.contains("GraftVariantBatchScan"), plan)
   }
 }
