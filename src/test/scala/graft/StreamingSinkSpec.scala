@@ -240,4 +240,40 @@ class StreamingSinkSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
     assert(all == phase1 + ((1L, 11.0, "d3")), all.toString)
   }
+
+  test("chain-table streaming: stateful restart skips phase 1 and resumes the delta branch") {
+    import graft.core.RowOps._
+    val loc = tmpLoc("chain-restart")
+    val o = Seq((1L, 10.0, 1L, "d1"), (2L, 20.0, 1L, "d1"))
+      .toDF("k", "price", "seq", "day")
+    val t = GraftTable.createOrReplace(spark, loc, o.schema,
+      TableConfig(primaryKeys = Seq("day", "k"), partitionKeys = Seq("day"),
+        numBuckets = 1, sequenceField = Some("seq"),
+        options = Map("chain-table.enabled" -> "true")))
+    t.write(o.limit(0))
+    t.createBranch("snapshot"); t.createBranch("delta")
+    t.onBranch("snapshot").write(o)
+    t.onBranch("delta").write(Seq((2L, 22.0, 2L, "d2")).toDF("k", "price", "seq", "day"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chain-rs").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, String)]()
+    def start() = spark.readStream.format("graft").load(loc)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k", "price", "day").collect().foreach(r =>
+          got.add((r.getLong(0), r.getDouble(1), r.getString(2))))
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(got.size == 3, got.toString) // phase 1: d1 full + d2
+
+    // restart from the SAME checkpoint: phase 1 must NOT replay; only the
+    // delta snapshot written while stopped streams through
+    got.clear()
+    t.onBranch("delta").write(Seq((1L, 11.0, 3L, "d3")).toDF("k", "price", "seq", "day"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == Set((1L, 11.0, "d3")), got.toString)
+  }
 }
