@@ -147,9 +147,10 @@ object EsIndex {
              filter: Option[Column] = None, nprobe: Int = 8,
              metric: String = "cosine", rrfK0: Int = 60,
              broadcastDfLimit: Long = 100000L,
-             escalateFactor: Int = 10): DataFrame =
+             escalateFactor: Int = 10,
+             ranker: String = "rrf"): DataFrame =
     searchDetail(spark, loc, k, vector, terms, filter, nprobe, metric,
-      rrfK0, broadcastDfLimit, escalateFactor)._1
+      rrfK0, broadcastDfLimit, escalateFactor, ranker)._1
 
   /** [[search]] plus the vector route's EFFECTIVE nprobe after escalation
     * (0 when no vector query; == nClusters means exact). Tests use this to
@@ -159,7 +160,8 @@ object EsIndex {
              filter: Option[Column] = None, nprobe: Int = 8,
              metric: String = "cosine", rrfK0: Int = 60,
              broadcastDfLimit: Long = 100000L,
-             escalateFactor: Int = 10): (DataFrame, Int) = {
+             escalateFactor: Int = 10,
+             ranker: String = "rrf"): (DataFrame, Int) = {
     require(vector.nonEmpty || terms.nonEmpty, "empty es-index query")
     val m = readMeta(spark, loc)
     val t = GraftTable.load(spark, loc)
@@ -218,10 +220,20 @@ object EsIndex {
 
     val out = (vecTop, txtTop) match {
       case (Some(v), Some(x)) =>
-        FullText.rrfFuse(
-          FullText.ranked(v, "id", "score"),
-          FullText.ranked(x, "id", "score"), "id", rrfK0)
-          .select(col("id"), col("rrf").as("score"))
+        // hybrid fusion ranker (reference hybrid_search rankers):
+        // rrf (default), mrr, weighted_score
+        val (rv, rx) = (FullText.ranked(v, "id", "score"),
+          FullText.ranked(x, "id", "score"))
+        ranker match {
+          case "rrf" => FullText.rrfFuse(rv, rx, "id", rrfK0)
+            .select(col("id"), col("rrf").as("score"))
+          case "mrr" => FullText.mrrFuse(rv, rx, "id")
+            .select(col("id"), col("mrr").as("score"))
+          case "weighted_score" => FullText.weightedFuse(v, x, "id", "score")
+            .select(col("id"), col("fused").as("score"))
+          case other => throw new IllegalArgumentException(
+            s"unknown es-index ranker $other (rrf | mrr | weighted_score)")
+        }
       case (Some(v), None) => v
       case (None, Some(x)) => x
       case _ => throw new IllegalStateException("unreachable")

@@ -80,6 +80,23 @@ class EsIndexSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(0) % 100 >= 20))
   }
 
+  test("hybrid rankers: mrr and weighted_score fuse like their FullText definitions") {
+    for (r <- Seq("mrr", "weighted_score")) {
+      val got = EsIndex.search(spark, loc, k = 10, vector = Some(queryVec),
+        terms = Seq("merge"), filter = Some(col("score100") >= 20),
+        nprobe = 8, ranker = r)
+      val rows = got.collect()
+      assert(rows.nonEmpty && rows.length <= 10, s"$r returned ${rows.length}")
+      val scores = rows.map(_.getDouble(1))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))), s"$r not sorted")
+      assert(rows.forall(_.getLong(0) % 100 >= 20), r)
+    }
+    intercept[IllegalArgumentException] {
+      EsIndex.search(spark, loc, k = 1, vector = Some(queryVec),
+        terms = Seq("merge"), ranker = "nope").collect()
+    }
+  }
+
   test("vector probe is partition pruning; keyword filter is file skipping") {
     // nprobe=2 of 8 clusters → at most 2 partitions' files planned
     val model = Indexes.loadIvfModel(spark, loc)
