@@ -277,7 +277,8 @@ object GraftMicroBatchStream {
                readChangelog: Boolean = false)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     if (t.config.option("chain-table.enabled", "false") == "true" &&
-        !readChangelog && t.sm.branch.isEmpty)
+        !readChangelog && t.sm.branch.isEmpty &&
+        t.sm.branchExists("snapshot") && t.sm.branchExists("delta"))
       new GraftChainMicroBatchStream(t, checkpointLocation, readOptions)
     else new GraftMicroBatchStream(t, checkpointLocation, readOptions,
       readChangelog)
@@ -303,7 +304,7 @@ object GraftMicroBatchStream {
  */
 class GraftChainMicroBatchStream(t: GraftTable, checkpointLocation: String,
                                  readOptions: Map[String, String] = Map.empty)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   import graft.core.RowOps._
 
   private val ptCol = t.config.partitionKeys.head
@@ -318,6 +319,17 @@ class GraftChainMicroBatchStream(t: GraftTable, checkpointLocation: String,
 
   override def latestOffset(): Offset =
     GraftOffset(deltaT.sm.latestSnapshotId.getOrElse(0L))
+
+  // read limits apply to phase 2 (delta-branch admission, delegated); the
+  // phase-1 starting batch is one pinned batch regardless, like the
+  // reference's starting scan
+  override def getDefaultReadLimit: ReadLimit = delta.getDefaultReadLimit
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftOffset].snapshotId
+    if (s < 0) latestOffset()
+    else delta.latestOffset(start, limit)
+  }
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
