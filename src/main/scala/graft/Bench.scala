@@ -45,7 +45,7 @@ object Bench {
       |     FROM orders WHERE o_orderkey % 10 = 0))
       | WHERE rn = 1)""".stripMargin
 
-  private lazy val baselineSql: Map[String, String] = Map(
+  private[graft] lazy val baselineSql: Map[String, String] = Map(
     "q_pk_dedup" ->
       s"""SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
          |FROM $mergedState m GROUP BY o_orderstatus""".stripMargin,
