@@ -82,6 +82,72 @@ class CoreTableSpec extends SparkTestBase {
     assert(t.readChain("d1").count() == 3)
   }
 
+  test("randomized chain table vs an independent Scala model (2 seeds)") {
+    import graft.core.RowOps._
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val loc = tmpLoc(s"chain-fuzz-$seed")
+      val schema = Seq((1L, "v", 1L, "d1")).toDF("k", "v", "seq", "day").schema
+      val t = GraftTable.create(spark, loc, schema,
+        TableConfig(primaryKeys = Seq("day", "k"), partitionKeys = Seq("day"),
+          numBuckets = 1, sequenceField = Some("seq"),
+          options = Map("chain-table.enabled" -> "true")))
+      t.write(Seq.empty[(Long, String, Long, String)].toDF("k", "v", "seq", "day"))
+      t.createBranch("snapshot"); t.createBranch("delta")
+
+      val days = (1 to 6).map(i => s"d$i")
+      var seq = 0L
+      // (branch, day, key) -> (value, seq); later writes get higher seq
+      val written = scala.collection.mutable.ArrayBuffer[(String, String, Long, String, Long)]()
+      val snapDays = days.filter(_ => rnd.nextBoolean()) match {
+        case Seq() => Seq(days.head); case ds => ds
+      }
+      snapDays.foreach { d =>
+        seq += 1
+        val rows = (1L to 20L).filter(_ => rnd.nextDouble() < 0.6)
+          .map(k => (k, s"s$d-$k-${rnd.nextInt(100)}", seq, d))
+        t.onBranch("snapshot").write(rows.toDF("k", "v", "seq", "day"))
+        rows.foreach(r => written += (("snapshot", d, r._1, r._2, seq)))
+      }
+      days.foreach { d =>
+        if (rnd.nextDouble() < 0.7) {
+          seq += 1
+          val rows = (1L to 20L).filter(_ => rnd.nextDouble() < 0.3)
+            .map(k => (k, s"x$d-$k-${rnd.nextInt(100)}", seq, d))
+          if (rows.nonEmpty) {
+            t.onBranch("delta").write(rows.toDF("k", "v", "seq", "day"))
+            rows.foreach(r => written += (("delta", d, r._1, r._2, seq)))
+          }
+        }
+      }
+
+      // independent model of readChain: snapshot day present -> direct;
+      // else anchor = latest snapshot day <= target, candidates = anchor
+      // snapshot rows + delta rows in (anchor, target]; winner per key by
+      // (day desc, seq desc)
+      def model(target: String): Map[Long, String] = {
+        val snapDaysWritten = written.filter(_._1 == "snapshot").map(_._2).distinct.sorted
+        if (snapDaysWritten.contains(target))
+          return written.filter(w => w._1 == "snapshot" && w._2 == target)
+            .groupBy(_._3).map { case (k, ws) => k -> ws.maxBy(_._5)._4 }
+        val anchor = snapDaysWritten.filter(_ <= target).lastOption
+        val cands = written.filter { w =>
+          (w._1 == "snapshot" && anchor.contains(w._2)) ||
+          (w._1 == "delta" && anchor.forall(w._2 > _) && w._2 <= target)
+        }
+        cands.groupBy(_._3).map { case (k, ws) =>
+          k -> ws.maxBy(w => (w._2, w._5))._4 }
+      }
+
+      days.foreach { d =>
+        val got = t.readChain(d).select("k", "v").as[(Long, String)].collect().toMap
+        val want = model(d)
+        assert(got == want,
+          s"seed=$seed day=$d\n got=${got.toSeq.sortBy(_._1)}\nwant=${want.toSeq.sortBy(_._1)}")
+      }
+    }
+  }
+
   test("compaction size-rolling: multiple level-1 files stay raw-convertible") {
     import graft.core.RowOps._
     val loc = tmpLoc("roll")
