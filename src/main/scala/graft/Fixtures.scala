@@ -20,8 +20,10 @@ object Fixtures {
 
   private val built = TrieMap[(String, String), GraftTable]()
 
+  // v2: bucket routing changed to trimmed-pk keys (paimon alignment) —
+  // the versioned root invalidates fixtures persisted under the old layout
   private def fixRoot(sfDir: String): String =
-    s"/tmp/graft-fixtures/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    s"/tmp/graft-fixtures/v2/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
 
   /** One sfDir per session for catalog fixtures: Spark caches the
     * instantiated `graft_fix` catalog, so a later warehouse-conf change is

@@ -208,12 +208,16 @@ class GraftTable private (
   /** Hash-bucket routing (cf. paimon DefaultBucketFunction.java:31 — ours is
     * xxhash64-based; stability matters only within this format).
     * `forCompact`: postpone tables route to REAL buckets at compaction. */
-  private def bucketExpr(forCompact: Boolean = false): Column =
+  private def bucketExpr(forCompact: Boolean = false): Column = {
+    // hash-routing columns: trimmed pk (or explicit bucket-key) — shared
+    // with routingKeys so plan-time bucket pruning matches the write path
+    def routeCols: Seq[Column] =
+      fixedBucketKeys.getOrElse(pks).map(col)
     if (isPostpone)
       if (forCompact)
-        pmod(xxhash64(pks.map(col).toIndexedSeq: _*), lit(postponeBuckets.toLong)).cast(IntegerType)
+        pmod(xxhash64(routeCols.toIndexedSeq: _*), lit(postponeBuckets.toLong)).cast(IntegerType)
       else lit(-2)
-    else if (isPk) pmod(xxhash64(pks.map(col).toIndexedSeq: _*), lit(config.numBuckets)).cast(IntegerType)
+    else if (isPk) pmod(xxhash64(routeCols.toIndexedSeq: _*), lit(config.numBuckets)).cast(IntegerType)
     else fixedBucketKeys match {
       // bucketed append table (paimon append-table/bucketed.mdx:30
       // `bucket-key`): rows hash-route so `=`/`IN` on the full key prunes
@@ -222,6 +226,7 @@ class GraftTable private (
         pmod(xxhash64(keys.map(col).toIndexedSeq: _*), lit(config.numBuckets)).cast(IntegerType)
       case None => lit(0)
     }
+  }
 
   /** Bucket-routing keys when files are hash-routed with a FIXED bucket
     * count: PK tables (HASH_FIXED) and bucketed append tables
@@ -1958,11 +1963,21 @@ object GraftTable {
     * be compared against the current layout. */
   private[core] def routingKeys(c: TableConfig): Option[Seq[String]] =
     if (c.numBuckets <= 0) None
-    else if (c.primaryKeys.nonEmpty) Some(c.primaryKeys)
     else {
       val bk = c.option("bucket-key", "").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
-      if (bk.nonEmpty) Some(bk) else None
+      if (bk.nonEmpty) Some(bk)
+      else if (c.primaryKeys.nonEmpty) {
+        // the reference's default bucket key is the TRIMMED primary key —
+        // pk minus partition keys (TableSchema.trimmedPrimaryKeys,
+        // paimon-api/.../schema/TableSchema.java:168) — so the same logical
+        // key stays co-located across time partitions (chain-table merges,
+        // cross-partition reads, storage-partitioned joins spanning
+        // partitions). Degenerate pk == partition keys falls back to the
+        // full pk instead of refusing the table.
+        val trimmed = c.primaryKeys.filterNot(c.partitionKeys.contains)
+        Some(if (trimmed.nonEmpty) trimmed else c.primaryKeys)
+      } else None
     }
 
   /** Stable per-file key: last 3 path components (commit-dir/pt/bucket/file

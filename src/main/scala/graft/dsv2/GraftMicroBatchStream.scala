@@ -334,6 +334,16 @@ class GraftChainMicroBatchStream(t: GraftTable, checkpointLocation: String,
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
 
+  /** `chain-table.streaming.merge-snapshot` (reference option, default
+    * false): phase 1 performs the cross-branch chain merge so streaming
+    * readers see deletions/updates that span the snapshot anchor and later
+    * deltas — each primary key surfaces ONCE, under the group's latest
+    * (logical) partition. The merge runs executor-side per BUCKET (the
+    * LSM's merge unit — bucket-sized state, never the table). */
+  private def mergeSnapshot: Boolean =
+    readOptions.getOrElse("chain-table.streaming.merge-snapshot",
+      t.config.option("chain-table.streaming.merge-snapshot", "false")) == "true"
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].snapshotId
     if (s >= 0) return delta.planInputPartitions(start, end)
@@ -350,12 +360,27 @@ class GraftChainMicroBatchStream(t: GraftTable, checkpointLocation: String,
       if (e <= 0) Nil
       else deltaT.planFiles(Some(e)).filter(en =>
         latestPt.forall(lp => en.partition.get(ptCol).exists(_ > lp)))
-    (keepSnap ++ deltaEntries).map(en => GraftFilePartition(
-      new Path(t.location, en.path).toString, "+I"): InputPartition).toArray
+    if (!mergeSnapshot)
+      return (keepSnap ++ deltaEntries).map(en => GraftFilePartition(
+        new Path(t.location, en.path).toString, "+I"): InputPartition).toArray
+    // merge mode: one partition per bucket carrying that bucket's snapshot
+    // + delta files; the reader folds winners per chain key
+    val chainKeys = t.config.primaryKeys.filterNot(_ == ptCol)
+    val seqField = t.config.sequenceField.getOrElse(
+      throw new IllegalStateException("chain tables require sequence.field"))
+    val logicalPt = (latestPt.toSeq ++
+      deltaEntries.flatMap(_.partition.get(ptCol))).sorted.lastOption.orNull
+    (keepSnap ++ deltaEntries).groupBy(_.bucket).map { case (_, group) =>
+      GraftChainMergePartition(
+        group.map(en => new Path(t.location, en.path).toString).toArray,
+        chainKeys.toArray, ptCol, seqField, logicalPt): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStreamReaderFactory(t.schema.sparkSchema, conf)
+    if (mergeSnapshot)
+      new GraftChainMergeReaderFactory(t.schema.sparkSchema, conf)
+    else new GraftStreamReaderFactory(t.schema.sparkSchema, conf)
 
   override def commit(end: Offset): Unit = delta.commit(end)
   override def stop(): Unit = ()
@@ -368,6 +393,79 @@ case class GraftOffset(snapshotId: Long) extends Offset {
 /** `kindFill`: constant for `_row_kind` when the file lacks the column
   * (delta files read in changelog mode); null = read from file. */
 case class GraftFilePartition(file: String, kindFill: String) extends InputPartition
+
+/** One BUCKET's snapshot + delta files for a merge-mode chain starting
+  * batch, plus the chain-merge recipe (key columns, partition column,
+  * sequence field, logical output partition). */
+case class GraftChainMergePartition(files: Array[String],
+                                    chainKeys: Array[String], ptCol: String,
+                                    seqField: String, logicalPt: String)
+    extends InputPartition
+
+class GraftChainMergeReaderFactory(schema: StructType,
+                                   conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      // phase-2 delta files flow through as plain file partitions
+      case fp: GraftFilePartition =>
+        new GraftGroupReader(fp.file, schema, conf, Option(fp.kindFill))
+      case mp: GraftChainMergePartition =>
+        new GraftChainMergeReader(mp, schema, conf)
+    }
+}
+
+/** Bucket-scoped chain merge for the merge-snapshot starting phase: fold
+  * every row of the bucket's snapshot + delta files down to one winner per
+  * chain key — later partition (string order, the chain rule), then higher
+  * sequence — and surface winners under the LOGICAL partition (the latest
+  * merged partition; reference ChainTableUtils.buildChainSplits). Merge
+  * state is bucket-sized (the LSM merge unit), never the table. */
+class GraftChainMergeReader(p: GraftChainMergePartition, schema: StructType,
+                            conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private val ptIdx = schema.fieldIndex(p.ptCol)
+  private val seqIdx = schema.fieldIndex(p.seqField)
+  private val keyIdx = p.chainKeys.map(schema.fieldIndex)
+
+  private lazy val winners: Iterator[InternalRow] = {
+    val best = new java.util.HashMap[Seq[Any], (String, Long, InternalRow)]()
+    def seqOf(row: InternalRow): Long = schema(seqIdx).dataType match {
+      case LongType => row.getLong(seqIdx)
+      case IntegerType => row.getInt(seqIdx).toLong
+      case other => row.get(seqIdx, other).toString.toLong
+    }
+    p.files.foreach { f =>
+      val r = new GraftGroupReader(f, schema, conf)
+      try {
+        while (r.next()) {
+          val row = r.get()
+          val key: Seq[Any] =
+            keyIdx.toSeq.map(i => row.get(i, schema(i).dataType))
+          val pt = String.valueOf(row.get(ptIdx, schema(ptIdx).dataType))
+          val seq = seqOf(row)
+          val cur = best.get(key)
+          if (cur == null || pt > cur._1 || (pt == cur._1 && seq >= cur._2))
+            best.put(key, (pt, seq, row))
+        }
+      } finally r.close()
+    }
+    import scala.jdk.CollectionConverters._
+    val ptValue = GraftBatchScan.statValue(schema(ptIdx).dataType, p.logicalPt)
+    best.values().asScala.iterator.map { case (_, _, row) =>
+      val arr = row.toSeq(schema).toArray
+      arr(ptIdx) = ptValue
+      new GenericInternalRow(arr): InternalRow
+    }
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    if (winners.hasNext) { cur = winners.next(); true } else false
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
 
 class GraftStreamReaderFactory(schema: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {

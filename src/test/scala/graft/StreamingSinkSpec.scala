@@ -276,4 +276,39 @@ class StreamingSinkSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     assert(got.asScala.toSet == Set((1L, 11.0, "d3")), got.toString)
   }
+
+  test("chain-table streaming merge-snapshot mode: phase 1 merges across branches") {
+    import graft.core.RowOps._
+    val loc = tmpLoc("chain-merge-stream")
+    val o = Seq((1L, 10.0, 1L, "d1"), (2L, 20.0, 1L, "d1"), (3L, 30.0, 1L, "d1"))
+      .toDF("k", "price", "seq", "day")
+    val t = GraftTable.createOrReplace(spark, loc, o.schema,
+      TableConfig(primaryKeys = Seq("day", "k"), partitionKeys = Seq("day"),
+        numBuckets = 2, sequenceField = Some("seq"),
+        options = Map("chain-table.enabled" -> "true",
+          "chain-table.streaming.merge-snapshot" -> "true")))
+    t.write(o.limit(0))
+    t.createBranch("snapshot"); t.createBranch("delta")
+    t.onBranch("snapshot").write(o)
+    // delta d2 UPDATES key 2 — merge mode must surface ONE row per key,
+    // the d2 winner for key 2, all under the logical partition d2
+    t.onBranch("delta").write(Seq((2L, 22.0, 2L, "d2")).toDF("k", "price", "seq", "day"))
+
+    val outName = "chain_merge_out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chainm-ckpt").toString
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("memory").queryName(outName).start()
+    q.processAllAvailable()
+    val phase1 = spark.table(outName).select("k", "price", "day").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(phase1 == Set((1L, 10.0, "d2"), (2L, 22.0, "d2"), (3L, 30.0, "d2")),
+      phase1.toString)
+    // phase 2 unchanged: new delta snapshots stream as plain deltas
+    t.onBranch("delta").write(Seq((3L, 33.0, 3L, "d3")).toDF("k", "price", "seq", "day"))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table(outName).select("k", "price", "day").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(all == phase1 + ((3L, 33.0, "d3")), all.toString)
+  }
 }
