@@ -233,6 +233,25 @@ object SparkEntry {
       s.table(outName).select(col("o_orderkey"), col("day"),
         round(col("o_totalprice"), 2).as("price"))
     }),
+    // chain streaming MERGE-SNAPSHOT mode (chain-table.streaming.merge-
+    // snapshot=true): phase 1 chain-merges snapshot anchor + later deltas
+    // per bucket — one winner per chain key (later partition, then higher
+    // seq) surfaced under the latest logical partition (d2)
+    "q_chain_stream_merge" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tbl = Fixtures.chainOrders(s, d)
+      val outName = s"graft_chain_stream_m_${math.abs(d.hashCode)}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-chain-m-ckpt").toString
+      val q = s.readStream.format("graft")
+        .option("chain-table.streaming.merge-snapshot", "true")
+        .load(tbl.location)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(outName).start()
+      q.awaitTermination(120000)
+      s.table(outName).select(col("o_orderkey"), col("day"),
+        round(col("o_totalprice"), 2).as("price"))
+    }),
     // POSTPONE bucket mode: staged (uncompacted) writes are invisible —
     // the read serves exactly the last compacted state
     "q_postpone" -> ((s, d) => Fixtures.ordersPp(s, d).read()
@@ -842,6 +861,29 @@ object SparkEntry {
         filter = Some(col("lang") === "en"), nprobe = 8) // nprobe = all → exact
         .select(col("doc_id"), round(col("score"), 6).as("rrf"))
     }),
+    // same hybrid query through the MRR ranker: score = Σ 1/rank over the
+    // two k-truncated rankings (exact rank arithmetic — engine-independent)
+    "q_es_hybrid_mrr" -> ((s, d) => {
+      val idx = Fixtures.esHybridIndex(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      graft.pipeline.EsIndex.search(s, idx.location, k = 10,
+        vector = Some(q), terms = Seq("table", "scan", "fast", "merge"),
+        filter = Some(col("lang") === "en"), nprobe = 8, ranker = "mrr")
+        .select(col("doc_id"), round(col("score"), 6).as("mrr"))
+    }),
+    // weighted_score ranker: each side's k-truncated scores min-max
+    // normalized to [0,1], fused 0.5·s1 + 0.5·s2
+    "q_es_hybrid_weighted" -> ((s, d) => {
+      val idx = Fixtures.esHybridIndex(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      graft.pipeline.EsIndex.search(s, idx.location, k = 10,
+        vector = Some(q), terms = Seq("table", "scan", "fast", "merge"),
+        filter = Some(col("lang") === "en"), nprobe = 8,
+        ranker = "weighted_score")
+        .select(col("doc_id"), round(col("score"), 4).as("fused"))
+    }),
     // FILE-ALIGNED PK SEARCH (§2.11): snapshot-consistent, DV-aware search
     // over primary-key tables. The vector route serves unchanged keys from a
     // snapshot-aligned IVF index and reconciles keys touched since (an
@@ -1392,6 +1434,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, 'd2' AS day, round(o_totalprice * 2, 2) AS price
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    "q_chain_stream_merge" ->
+      """SELECT o_orderkey, 'd2' AS day,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice * 2, 2)
+        |       ELSE round(o_totalprice, 2) END AS price
+        |FROM orders""".stripMargin,
     "q_data_evolution_merge" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source,
@@ -1873,6 +1920,54 @@ object SparkEntry {
          |  FROM vecr v FULL OUTER JOIN txtr t ON v.id = t.id)
          |SELECT doc_id, round(rrf, 6) AS rrf FROM fused
          |ORDER BY round(rrf, 6) DESC, doc_id LIMIT 10""".stripMargin,
+    "q_es_hybrid_mrr" ->
+      s"""WITH ${bm25Cte()},
+         |vecr AS (
+         |  SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r FROM (
+         |    SELECT e.vec_id AS id, list_cosine_similarity(e.embedding::DOUBLE[],
+         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+         |    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |    WHERE d.lang = 'en')
+         |  QUALIFY r <= 10),
+         |txtr AS (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM (
+         |    SELECT s.doc_id AS id, s.score FROM scored s
+         |    JOIN documents d ON d.doc_id = s.doc_id WHERE d.lang = 'en')
+         |  QUALIFY r <= 10),
+         |fused AS (
+         |  SELECT COALESCE(v.id, t.id) AS doc_id,
+         |    COALESCE(1.0/v.r, 0) + COALESCE(1.0/t.r, 0) AS mrr
+         |  FROM vecr v FULL OUTER JOIN txtr t ON v.id = t.id)
+         |SELECT doc_id, round(mrr, 6) AS mrr FROM fused
+         |ORDER BY round(mrr, 6) DESC, doc_id LIMIT 10""".stripMargin,
+    "q_es_hybrid_weighted" ->
+      s"""WITH ${bm25Cte()},
+         |vk AS (
+         |  SELECT id, sim FROM (
+         |    SELECT e.vec_id AS id, list_cosine_similarity(e.embedding::DOUBLE[],
+         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+         |    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |    WHERE d.lang = 'en')
+         |  ORDER BY sim DESC, id LIMIT 10),
+         |tk AS (
+         |  SELECT id, score FROM (
+         |    SELECT s.doc_id AS id, s.score FROM scored s
+         |    JOIN documents d ON d.doc_id = s.doc_id WHERE d.lang = 'en')
+         |  ORDER BY score DESC, id LIMIT 10),
+         |vn AS (SELECT id, (sim - min(sim) OVER ()) /
+         |  (CASE WHEN max(sim) OVER () > min(sim) OVER ()
+         |        THEN max(sim) OVER () - min(sim) OVER () ELSE 1.0 END) AS s1
+         |  FROM vk),
+         |tn AS (SELECT id, (score - min(score) OVER ()) /
+         |  (CASE WHEN max(score) OVER () > min(score) OVER ()
+         |        THEN max(score) OVER () - min(score) OVER () ELSE 1.0 END) AS s2
+         |  FROM tk),
+         |fused AS (
+         |  SELECT COALESCE(v.id, t.id) AS doc_id,
+         |    COALESCE(v.s1, 0) * 0.5 + COALESCE(t.s2, 0) * 0.5 AS fused
+         |  FROM vn v FULL OUTER JOIN tn t ON v.id = t.id)
+         |SELECT doc_id, round(fused, 4) AS fused FROM fused
+         |ORDER BY round(fused, 4) DESC, doc_id LIMIT 10""".stripMargin,
     "q_embed_neardup" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2 FROM embeddings""".stripMargin,
     "q_semantic_dedup" -> "SELECT vec_id FROM embeddings",

@@ -127,6 +127,77 @@ class VariantSqlSpec extends SparkTestBase {
       Seq((0L, "en", 11), (1L, "de", 22)))
   }
 
+  test("fuzz: randomized variant_get queries match Spark's decode path") {
+    // differential: random docs (random JSON objects, fields randomly
+    // missing), a random SUBSET of paths shredded, PK or append layout,
+    // random queries mixing shredded and unshredded extractions — the
+    // catalog read (pushdown when accepted, decode otherwise) must equal
+    // Spark's own variant_get over the same logical rows (an in-memory
+    // relation: the decode path with no graft code involved)
+    val rnd = new scala.util.Random(20260815L)
+    val fields = Seq("a" -> "int", "b" -> "string", "c" -> "double", "d" -> "boolean")
+    def randJson(): String = fields.flatMap { case (n, tp) =>
+      if (rnd.nextDouble() < 0.2) None
+      else Some(s""""$n":""" + (tp match {
+        case "int"     => rnd.nextInt(100).toString
+        case "string"  => "\"s" + rnd.nextInt(10) + "\""
+        case "double"  => (rnd.nextInt(10000) / 100.0).toString
+        case "boolean" => rnd.nextBoolean().toString
+      }))
+    }.mkString("{", ",", "}")
+    def toVariant(rows: Seq[(Long, String)]): DataFrame =
+      rows.toDF("doc_id", "js")
+        .select(col("doc_id"), parse_json(col("js")).as("meta"))
+
+    for (round <- 1 to 5) {
+      val base = (0L until 40L).map(i => i -> randJson())
+      val shredded = fields.filter(_ => rnd.nextBoolean())
+      val opts =
+        if (shredded.isEmpty) Map.empty[String, String]
+        else Map("fields.meta.shred" ->
+          shredded.map { case (n, tp) => s"$$.$n:$tp" }.mkString(","))
+      val isPk = rnd.nextBoolean()
+      val cfg =
+        if (isPk) TableConfig(primaryKeys = Seq("doc_id"), numBuckets = 2,
+          options = opts)
+        else TableConfig(options = opts)
+      val loc = s"$wh/db.db/t_fuzz_$round"
+      val t = GraftTable.create(spark, loc, toVariant(base).schema, cfg)
+      t.write(toVariant(base))
+      // PK tables get an upsert wave; the model keeps the latest per key
+      val state =
+        if (!isPk) base
+        else {
+          val wave = base.filter(_._1 % 3 == 0).map { case (i, _) => i -> randJson() }
+          t.write(toVariant(wave))
+          (base.toMap ++ wave.toMap).toSeq
+        }
+      val model = toVariant(state)
+
+      for (_ <- 1 to 4) {
+        val sel = fields.filter(_ => rnd.nextBoolean())
+        if (sel.nonEmpty) {
+          val gets = sel.map { case (n, tp) =>
+            s"variant_get(meta, '$$.$n', '$tp') AS $n" }.mkString(", ")
+          val root = rnd.nextDouble() < 0.3 // sometimes read the binary too
+          val proj = s"doc_id, $gets" + (if (root) ", to_json(meta) AS j" else "")
+          val where =
+            if (rnd.nextBoolean()) "" else " WHERE doc_id % 3 = 0"
+          val got = spark.sql(s"SELECT $proj FROM vsql.db.t_fuzz_$round$where")
+            .orderBy("doc_id").collect().toSeq
+          val want = {
+            model.createOrReplaceTempView("vfuzz_model")
+            spark.sql(s"SELECT $proj FROM vfuzz_model$where")
+              .orderBy("doc_id").collect().toSeq
+          }
+          assert(got == want,
+            s"round=$round pk=$isPk shred=${shredded.map(_._1)} sel=${sel.map(_._1)} root=$root where='$where'\n" +
+              s"got:  ${got.take(8)}\nwant: ${want.take(8)}")
+        }
+      }
+    }
+  }
+
   test("native variant scan applies deletion vectors inside the batch") {
     import graft.core.RowOps._
     val loc = s"$wh/db.db/t_dv"
