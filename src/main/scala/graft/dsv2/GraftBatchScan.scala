@@ -495,8 +495,28 @@ class GraftVariantBatchScan(t: GraftTable, entries: Seq[ManifestEntry],
                             pushedF: Array[Filter],
                             variantCols: Map[String, Seq[(StructField, String)]],
                             readOpts: Map[String, String],
-                            dvMap: Map[String, Array[Byte]])
+                            dvMap: Map[String, Array[Byte]],
+                            shredPruned: Boolean = false)
     extends GraftBatchScan(t, entries, pushedF, None, readOpts, dvMap) {
+
+  private[dsv2] def variantColsMap: Map[String, Seq[(StructField, String)]] =
+    variantCols
+
+  /** Stats-prune the planned entries by a predicate over the SHREDDED
+    * physical columns ([[GraftVariantPrune]]): this scan serves only FINAL
+    * rows (raw-convertible append / fully-merged PK buckets), so the full
+    * value predicate may skip files. Idempotent — the pruned copy returns
+    * itself, so the fixed-point user batch converges. */
+  private[dsv2] def withShredPrune(extra: org.apache.spark.sql.Column)
+      : GraftVariantBatchScan = {
+    if (shredPruned) return this
+    val fs = t.fileSchema
+    val expr = StatsPrune.resolve(t.spark, fs, extra)
+    val kept = entries.filter(e =>
+      StatsPrune.mightMatch(expr, fs, e.stats, e.rowCount))
+    new GraftVariantBatchScan(t, kept, pushedF, variantCols, readOpts,
+      dvMap, shredPruned = true)
+  }
 
   private def logicalSchema: StructType =
     StructType(t.schema.sparkSchema.fields.map { f =>
@@ -537,7 +557,8 @@ class GraftVariantBatchScan(t: GraftTable, entries: Seq[ManifestEntry],
   override def description(): String =
     s"GraftVariantBatchScan(${t.location}, files=${entries.size}, " +
       s"pushedExtractions=${variantCols.map { case (c, fs) =>
-        c + ":" + fs.map(_._2).mkString("[", ",", "]") }.mkString(",")})"
+        c + ":" + fs.map(_._2).mkString("[", ",", "]") }.mkString(",")}" +
+      (if (shredPruned) ", shredPruned=true" else "") + ")"
 }
 
 /** Struct ColumnVector view assembling a pushed variant column from its

@@ -53,6 +53,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // registered once per session on first catalog init
     try {
       val s = SparkSession.active
+      GraftVariantPrune.register(s)
       // NOT under spark.graft.* — that prefix is the session read-option
       // injection namespace and would leak into every table's options
       if (s.conf.getOption("graft.internal.blob-fns-registered").isEmpty) {

@@ -65,6 +65,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
+    GraftVariantPrune.register(SparkSession.active)
     val t = GraftTable.load(SparkSession.active, properties.get("path"))
     val props = properties.asScala.toMap
     // read-binlog=true: the path-based spelling of `t$binlog` (batch packed
@@ -199,6 +200,9 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
   private var topN: Option[(org.apache.spark.sql.connector.expressions.SortOrder, Int)] = None
   // variant column -> (struct field per offered extraction, serving physical column)
   private var pushedVariantCols: Map[String, Seq[(org.apache.spark.sql.types.StructField, String)]] = Map.empty
+  // latch: once any variant offer is rejected, every later (fallback) offer
+  // in this scan build must be rejected too — see pushVariantExtractions
+  private var variantOfferRejected = false
 
   /** SQL `variant_get` pushdown onto the SHREDDED physical columns
     * (Spark 4.1 SupportsPushDownVariantExtractions; the reference's
@@ -209,19 +213,34 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     * metadata) and rewrites `variant_get` to `GetStructField`; the built
     * scan's readSchema must carry that struct and serve its fields.
     * Acceptance is all-or-nothing across the WHOLE offer — Spark's rewrite
-    * map covers every requested field of every variant column, and both a
-    * partially-accepted column and a mixed accepted/rejected column pair
-    * leave it desynchronized (its post-rejection bare-`$` fallback offer
-    * then crashes the rewrite), so one unservable extraction anywhere
-    * rejects the batch and the query answers through the decode path.
-    * Each extraction must match a declared shred spec (path + type); a `$`
-    * root request is served as the variant binary itself (a projection, not
-    * a decode), but a `$`-only offer has nothing to push and is rejected. */
+    * map covers every requested field of every variant column, and a
+    * partially-accepted offer leaves it desynchronized, so one unservable
+    * extraction anywhere rejects the batch and the query answers through
+    * the decode path. Rejection LATCHES for the rest of this scan build:
+    * after a rejection Spark retries with a NARROWER offer — the `$` root
+    * plus only the fields used in FILTERS (observed protocol; probe:
+    * graft.tools.ProbeVariantReject) — and accepting that subset crashes
+    * VariantInRelation.rewriteExpr with "key not found" when the PROJECT
+    * list still holds an extraction outside the offer (the fuzz case
+    * `SELECT g($.a), g($.c) WHERE g($.a) > 5` with only $.a shredded: the
+    * fallback offer is [$, $.a], and Spark never routes the $.c rewrite
+    * through the accepted root field). Each extraction must match a
+    * declared shred spec (path + type); a `$` root request is served as the
+    * variant binary itself (a projection, not a decode), but a `$`-only
+    * offer has nothing to push and is rejected. */
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
       : Array[Boolean] = {
     import org.apache.spark.sql.execution.datasources.VariantMetadata
-    val reject = Array.fill(extractions.length)(false)
+    if (sys.env.contains("GRAFT_DEBUG_VARIANT_OFFERS"))
+      println(s"[voffer] n=${extractions.length} " + extractions.map(e =>
+        s"${e.columnName().mkString(".")}:${VariantMetadata.fromMetadata(e.metadata()).path}:${e.expectedDataType().simpleString}")
+        .mkString(" | "))
+    def reject: Array[Boolean] = {
+      variantOfferRejected = true
+      Array.fill(extractions.length)(false)
+    }
+    if (variantOfferRejected) return reject
     // non-plain-batch reads route to scans that cannot carry the struct
     val plainBatch = !Seq("incremental-between", "incremental-between-timestamp",
       "incremental-to-auto-tag", "read-changelog").exists(readOptions.contains)
@@ -721,8 +740,21 @@ class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
   * relation output by name); Spark's own DSv2 parquet has the same shape. */
 class GraftVariantScan(t: GraftTable, snapshotId: Option[Long],
                        filters: Array[Filter],
-                       variantCols: Map[String, Seq[(org.apache.spark.sql.types.StructField, String)]])
+                       variantCols: Map[String, Seq[(org.apache.spark.sql.types.StructField, String)]],
+                       extraPrune: Option[Column] = None)
     extends V1Scan {
+
+  private[dsv2] def variantColsMap
+      : Map[String, Seq[(org.apache.spark.sql.types.StructField, String)]] =
+    variantCols
+
+  /** Route a shred-column predicate ([[GraftVariantPrune]]) into this scan's
+    * planning filter. `planFiles` applies its merge-safe restriction, so on
+    * unmerged PK buckets value conjuncts drop instead of resurrecting stale
+    * row versions. Idempotent. */
+  private[dsv2] def withShredPrune(extra: Column): GraftVariantScan =
+    if (extraPrune.nonEmpty) this
+    else new GraftVariantScan(t, snapshotId, filters, variantCols, Some(extra))
 
   override def readSchema(): StructType =
     StructType(t.schema.sparkSchema.fields.map { f =>
@@ -737,7 +769,7 @@ class GraftVariantScan(t: GraftTable, snapshotId: Option[Long],
       override def sqlContext: SQLContext = context
       override def schema: StructType = readSchema()
       override def buildScan(): RDD[Row] = {
-        val pruneCond = filters.flatMap(GraftScanBuilder.toColumn)
+        val pruneCond = (filters.flatMap(GraftScanBuilder.toColumn) ++ extraPrune)
           .reduceOption(_ && _)
         val base = t.readWithShreds(pruneCond, snapshotId)
         val cols = t.schema.sparkSchema.fields.map { f =>

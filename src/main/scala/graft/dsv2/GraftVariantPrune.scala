@@ -1,0 +1,106 @@
+package graft.dsv2
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructField
+
+/**
+ * File skipping for SQL filters on SHREDDED variant paths.
+ *
+ * Spark's scan pushdown offers filters BEFORE it offers variant
+ * extractions, so a predicate like `variant_get(meta,'$.x','int') > 5` is
+ * never convertible when [[GraftScanBuilder.pushFilters]] sees it; after the
+ * extraction pushdown is accepted, the optimizer rewrites it to
+ * `GetStructField(meta, ord) > 5` over the retyped attribute and leaves it
+ * as a plain Filter ABOVE the scan — every file is read even though the
+ * serving physical column carries min/max stats (the write materialized
+ * typed shred columns exactly so predicates can skip; at 100 TB a filtered
+ * extraction read must not scan the corpus).
+ *
+ * This rule runs in the session's post-optimization user batch (the only
+ * hook AFTER Early Scan Push-Down, where the rewritten filter shape
+ * exists): it translates struct-field conjuncts over pushed variant columns
+ * onto their shredded PHYSICAL columns and swaps in a scan whose manifest
+ * entries are stats-pruned by that predicate. The Filter node itself is
+ * untouched (row-level evaluation still happens); only the file set
+ * narrows, so partial translation stays conservative. The V1 merge path
+ * ([[GraftVariantScan]]) routes the predicate through `planFiles`, whose
+ * merge-safe restriction drops value conjuncts on unmerged PK buckets
+ * (pruning pre-merge input by a value column resurrects stale versions);
+ * the native path ([[GraftVariantBatchScan]]) only ever serves final rows
+ * (raw-convertible), so the full predicate may prune.
+ */
+object GraftVariantPrune extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Idempotently append this rule to `spark.experimental.extraOptimizations`
+    * (the "User Provided Optimizers" batch). Called from the catalog init
+    * and the path-based TableProvider — both resolve during ANALYSIS, so the
+    * first variant query's own optimization run already carries the rule. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ LFilter(cond, rel: DataSourceV2ScanRelation) =>
+      rel.scan match {
+        case s: GraftVariantBatchScan =>
+          shredPredicate(cond, s.variantColsMap) match {
+            case Some(extra) =>
+              val pruned = s.withShredPrune(extra)
+              if (pruned eq s) f else f.copy(child = rel.copy(scan = pruned))
+            case None => f
+          }
+        case s: GraftVariantScan =>
+          shredPredicate(cond, s.variantColsMap) match {
+            case Some(extra) =>
+              val pruned = s.withShredPrune(extra)
+              if (pruned eq s) f else f.copy(child = rel.copy(scan = pruned))
+            case None => f
+          }
+        case _ => f
+      }
+  }
+
+  /** Conjuncts of shape `GetStructField(variantAttr, ord) cmp literal`
+    * translated onto the ord-th offered extraction's shredded physical
+    * column. Untranslatable conjuncts drop — pruning by a SUBSET of
+    * conjuncts keeps a superset of files (conservative). The `$` root field
+    * (served by the variant binary itself) has no stats and is skipped. */
+  private def shredPredicate(cond: Expression,
+      vc: Map[String, Seq[(StructField, String)]]): Option[Column] = {
+    def phys(e: Expression): Option[String] = e match {
+      case GetStructField(a: AttributeReference, ord, _) =>
+        vc.get(a.name).flatMap { fs =>
+          if (ord < fs.length && fs(ord)._2 != a.name) Some(fs(ord)._2) else None
+        }
+      case _ => None
+    }
+    def sv(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    val parts = splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(e, l: Literal) => phys(e).map(col(_) === lit(sv(l)))
+      case EqualTo(l: Literal, e) => phys(e).map(col(_) === lit(sv(l)))
+      case GreaterThan(e, l: Literal) => phys(e).map(col(_) > lit(sv(l)))
+      case GreaterThan(l: Literal, e) => phys(e).map(col(_) < lit(sv(l)))
+      case GreaterThanOrEqual(e, l: Literal) => phys(e).map(col(_) >= lit(sv(l)))
+      case GreaterThanOrEqual(l: Literal, e) => phys(e).map(col(_) <= lit(sv(l)))
+      case LessThan(e, l: Literal) => phys(e).map(col(_) < lit(sv(l)))
+      case LessThan(l: Literal, e) => phys(e).map(col(_) > lit(sv(l)))
+      case LessThanOrEqual(e, l: Literal) => phys(e).map(col(_) <= lit(sv(l)))
+      case LessThanOrEqual(l: Literal, e) => phys(e).map(col(_) >= lit(sv(l)))
+      case In(e, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        phys(e).map(p =>
+          col(p).isin(vs.map(v => sv(v.asInstanceOf[Literal])): _*))
+      case IsNotNull(e) => phys(e).map(col(_).isNotNull)
+      case _ => None
+    }
+    parts.reduceOption(_ && _)
+  }
+}

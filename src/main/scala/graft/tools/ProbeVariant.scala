@@ -41,6 +41,26 @@ object ProbeVariant {
     try { println("== head: " + df.orderBy("doc_id").head()) }
     catch { case e: Throwable => println("== exec FAILED: " + e) }
 
+    // filter-skipping probe: 4 files with disjoint text_len ranges; does a
+    // SQL filter on the shredded path reach pushFilters (dotted struct name)
+    // and skip files?
+    val loc2 = "/tmp/graft-probe-variant/tbl2"
+    val p2 = new org.apache.hadoop.fs.Path(loc2)
+    if (fs.exists(p2)) fs.delete(p2, true)
+    val t2 = GraftTable.create(spark, loc2, docs.schema, TableConfig(
+      options = Map("fields.meta.shred" -> "$.lang:string,$.text_len:int")))
+    (0 until 4).foreach { i =>
+      t2.write(spark.range(i * 100, i * 100 + 100)
+        .select(col("id").as("doc_id"),
+          parse_json(to_json(struct(lit("en").as("lang"),
+            (col("id") * 10).cast("int").as("text_len")))).as("meta")))
+    }
+    val fdf = spark.read.format("graft").load(loc2)
+      .selectExpr("doc_id", "variant_get(meta, '$.text_len', 'int') AS tl")
+      .filter(col("tl") > 3500)
+    fdf.explain("formatted")
+    println("== filtered count: " + fdf.count() + " (expect 49)")
+
     // control: Spark's OWN DSv2 parquet (ParquetScanBuilder implements
     // SupportsPushDownVariantExtractions) on the same data
     spark.conf.set("spark.sql.sources.useV1SourceList", "")

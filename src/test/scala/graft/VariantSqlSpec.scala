@@ -127,6 +127,37 @@ class VariantSqlSpec extends SparkTestBase {
       Seq((0L, "en", 11), (1L, "de", 22)))
   }
 
+  test("SQL filter on a shredded path skips files via shred-column stats") {
+    // 4 files with disjoint text_len ranges; the filter arrives as a
+    // GetStructField over the retyped attribute AFTER filter pushdown ran
+    // (Spark offers filters before variant extractions), so skipping is the
+    // GraftVariantPrune post-optimization rule's job
+    val loc = s"$wh/db.db/t_skip"
+    val docs0 = spark.range(0, 100)
+      .select(col("id").as("doc_id"),
+        parse_json(to_json(struct(lit("en").as("lang"),
+          (col("id") * 10).cast("int").as("text_len")))).as("meta"))
+      .coalesce(1)
+    val t = GraftTable.create(spark, loc, docs0.schema, TableConfig(
+      options = Map("fields.meta.shred" -> "$.lang:string,$.text_len:int")))
+    (0 until 4).foreach { i =>
+      t.write(spark.range(i * 100, i * 100 + 100)
+        .select(col("id").as("doc_id"),
+          parse_json(to_json(struct(lit("en").as("lang"),
+            (col("id") * 10).cast("int").as("text_len")))).as("meta"))
+        .coalesce(1))
+    }
+    val df = spark.sql(
+      s"""SELECT doc_id, variant_get(meta, '$$.text_len', 'int') AS tl
+         |FROM vsql.db.t_skip
+         |WHERE variant_get(meta, '$$.text_len', 'int') > 3500""".stripMargin)
+    assert(df.count() == 49)
+    val plan = planOf(df)
+    assert(plan.contains("shredPruned=true"), s"prune rule must fire:\n$plan")
+    assert(plan.contains("files=1"),
+      s"only the last file's [3000,3990] range survives tl>3500:\n$plan")
+  }
+
   test("fuzz: randomized variant_get queries match Spark's decode path") {
     // differential: random docs (random JSON objects, fields randomly
     // missing), a random SUBSET of paths shredded, PK or append layout,
@@ -181,18 +212,26 @@ class VariantSqlSpec extends SparkTestBase {
             s"variant_get(meta, '$$.$n', '$tp') AS $n" }.mkString(", ")
           val root = rnd.nextDouble() < 0.3 // sometimes read the binary too
           val proj = s"doc_id, $gets" + (if (root) ", to_json(meta) AS j" else "")
-          val where =
-            if (rnd.nextBoolean()) "" else " WHERE doc_id % 3 = 0"
-          val got = spark.sql(s"SELECT $proj FROM vsql.db.t_fuzz_$round$where")
-            .orderBy("doc_id").collect().toSeq
+          val where = rnd.nextInt(3) match {
+            case 0 => ""
+            case 1 => " WHERE doc_id % 3 = 0"
+            // filter on a variant path (shredded or not — both must agree
+            // with the model; when shredded + accepted, GraftVariantPrune
+            // additionally narrows the file set, same answer)
+            case _ => " WHERE variant_get(meta, '$.a', 'int') > 50"
+          }
+          val ctx = s"round=$round pk=$isPk shred=${shredded.map(_._1)} " +
+            s"sel=${sel.map(_._1)} root=$root where='$where'"
+          val got =
+            try spark.sql(s"SELECT $proj FROM vsql.db.t_fuzz_$round$where")
+              .orderBy("doc_id").collect().toSeq
+            catch { case e: Throwable => fail(s"$ctx: query crashed: $e", e) }
           val want = {
             model.createOrReplaceTempView("vfuzz_model")
             spark.sql(s"SELECT $proj FROM vfuzz_model$where")
               .orderBy("doc_id").collect().toSeq
           }
-          assert(got == want,
-            s"round=$round pk=$isPk shred=${shredded.map(_._1)} sel=${sel.map(_._1)} root=$root where='$where'\n" +
-              s"got:  ${got.take(8)}\nwant: ${want.take(8)}")
+          assert(got == want, s"$ctx\ngot:  ${got.take(8)}\nwant: ${want.take(8)}")
         }
       }
     }
