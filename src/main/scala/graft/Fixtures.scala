@@ -991,6 +991,19 @@ object Fixtures {
         src(spark, sfDir, "embeddings"), "embedding", loc, nClusters = 8)
     }
 
+  /** Persisted IVF-RQ index (unit-space clusters + m-byte residual codes),
+    * built on 90% of the corpus then incrementally appended with the rest —
+    * the append assigns + encodes only the delta against the stored model. */
+  def ivfRqIndex(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "ivf_rq_index") { loc =>
+      val emb = src(spark, sfDir, "embeddings")
+      val t = graft.pipeline.Indexes.buildIvfRq(spark,
+        emb.filter(col("vec_id") % 10 =!= 0), "embedding", loc, dim = 64)
+      graft.pipeline.Indexes.appendToIvfRq(spark,
+        emb.filter(col("vec_id") % 10 === 0), "embedding", loc)
+      t
+    }
+
   /** es-index over embeddings: primary vector + companion scalar `label`
     * (filtered ANN = partition pruning + stats skipping + in-scan filter). */
   def esEmbIndex(spark: SparkSession, sfDir: String): GraftTable =

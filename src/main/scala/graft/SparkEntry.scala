@@ -797,6 +797,25 @@ object SparkEntry {
         nprobe = 8, scoreCol = "sim") // nprobe = all clusters → exact
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
+    // IVF-RQ persisted index (reference ivf-rq family): unit-space cluster
+    // partitions + m-byte residual codes; search = partition-pruned probe,
+    // ADC over the code bytes, exact re-rank. Index built on 90% + an
+    // incremental append of the rest (the oracle row covers both paths).
+    "q_ann_ivf_rq" -> ((s, d) => {
+      val idx = Fixtures.ivfRqIndex(s, d)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 1).select("embedding")
+        .first().getSeq[Float](0)
+      // nprobe = all clusters and rerank ≥ corpus size: at oracle SF the
+      // exact re-rank covers every row, so the row checks the PIPELINE
+      // (assign/encode/ADC/re-rank plumbing) exactly; recall of the
+      // restricted-probe path is quantified by AnnRecallSpec's sweep on
+      // the 50k clustered corpus (synthetic sf0.01 embeddings are
+      // near-uniform — no quantizer ranks those well)
+      graft.pipeline.Indexes.rqSearch(s, idx.location, "embedding", q, 10,
+        nprobe = 8, rerank = 1000, scoreCol = "sim")
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
     "q_hybrid_search" -> ((s, d) => {
       val ft = graft.pipeline.FullText
       val idx = Fixtures.ftIndex(s, d)
@@ -1875,6 +1894,13 @@ object SparkEntry {
         |  FROM embeddings e)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf_indexed" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_rq" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
         |  SELECT e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[],

@@ -273,4 +273,74 @@ object Indexes {
   def ivfPlannedFiles(spark: SparkSession, loc: String, probes: Seq[Int]): Int =
     GraftTable.load(spark, loc)
       .planFiles(filter = Some(col("__ivf_cluster").isin(probes: _*))).size
+
+  // ---- IVF-RQ persisted index (reference ivf-rq indexer family) ----
+
+  /** Build an IVF-RQ index table: rows partitioned by unit-space cluster,
+    * plus an m-byte residual code per row ([[Similarity.RqModel]]). A probe
+    * is partition pruning; candidate ranking reads the code bytes, not the
+    * float vectors; only the re-rank set touches floats. */
+  def buildIvfRq(spark: SparkSession, df: DataFrame, embedCol: String,
+                 loc: String, dim: Int, nClusters: Int = 8, m: Int = 8,
+                 ks: Int = 16, sampleFraction: Double = 1.0,
+                 seed: Long = 42L): GraftTable = {
+    val model = Similarity.trainRq(df, embedCol, dim, nClusters, m, ks,
+      sampleFraction, seed)
+    val indexed = encodeRq(df, embedCol, model)
+    val t = GraftTable.createOrReplace(spark, loc, indexed.schema,
+      TableConfig(partitionKeys = Seq("__ivf_cluster")))
+    t.write(indexed)
+    t.sm.writeString(statsPath(loc, "ivf-centroids"),
+      Json.write(model.ivf.centroids.map(_.toSeq)))
+    t.sm.writeString(statsPath(loc, "rq-codebooks"),
+      Json.write(model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+    t
+  }
+
+  private def encodeRq(df: DataFrame, embedCol: String,
+                       model: Similarity.RqModel): DataFrame =
+    df.withColumn("__ivf_cluster", model.assignUdf(col(embedCol)))
+      .withColumn("__rq", model.encodeUdf(col(embedCol), col("__ivf_cluster")))
+
+  /** Incremental IVF-RQ maintenance: assign + encode ONLY the new batch
+    * against the persisted model and append (same posture as
+    * [[appendToIvf]] — drift is a periodic rebuild, not per-batch). */
+  def appendToIvfRq(spark: SparkSession, df: DataFrame, embedCol: String,
+                    loc: String): GraftTable = {
+    val t = GraftTable.load(spark, loc)
+    t.write(encodeRq(df, embedCol, loadRqModel(spark, loc)))
+    t
+  }
+
+  def loadRqModel(spark: SparkSession, loc: String): Similarity.RqModel = {
+    val t = GraftTable.load(spark, loc)
+    val cents = Json.mapper.readValue(
+      t.sm.readString(statsPath(loc, "ivf-centroids")),
+      classOf[Array[Array[Double]]])
+    val cbs = Json.mapper.readValue(
+      t.sm.readString(statsPath(loc, "rq-codebooks")),
+      classOf[Array[Array[Array[Double]]]])
+    // dsub is the codebook width — no separate sidecar field
+    Similarity.RqModel(Similarity.IvfModel(cents),
+      Similarity.PqModel(cbs(0)(0).length, cbs))
+  }
+
+  /** Top-k over the persisted IVF-RQ index: nprobe partitions read, ADC
+    * candidate ranking over the code bytes, exact re-rank. */
+  def rqSearch(spark: SparkSession, loc: String, embedCol: String,
+               query: Seq[Float], k: Int, nprobe: Int, rerank: Int = 0,
+               scoreCol: String = "__score"): DataFrame = {
+    val t = GraftTable.load(spark, loc)
+    val model = loadRqModel(spark, loc)
+    val probes = model.nearestClusters(query, nprobe)
+    val hits = t.read(filter = Some(col("__ivf_cluster").isin(probes: _*)))
+    val r = if (rerank > 0) rerank else math.max(4 * k, 50)
+    val cands = hits
+      .withColumn("__adc",
+        model.adcScoreUdf(query)(col("__rq"), col("__ivf_cluster")))
+      .orderBy(col("__adc").desc).limit(r)
+    Similarity.bruteForceTopK(
+      cands.drop("__adc", "__rq", "__ivf_cluster"), embedCol, query, k,
+      "cosine", scoreCol)
+  }
 }

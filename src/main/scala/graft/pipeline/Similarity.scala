@@ -104,6 +104,12 @@ object Similarity {
     if (n == 0.0) v.map(_.toDouble) else v.map(_ / n)
   }
 
+  /** [[unitVec]] over an already-double vector (same zero convention). */
+  private[pipeline] def unitVecD(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
   /** Quantize a query vector driver-side (same rule as [[quantizeInt8]]). */
   def quantizeQuery(query: Seq[Float]): (Seq[Byte], Double) = {
     val u = unitVec(query)
@@ -179,41 +185,45 @@ object Similarity {
   case class PqModel(dsub: Int, codebooks: Array[Array[Array[Double]]]) {
     def m: Int = codebooks.length
 
-    /** embedding → m-byte code (BINARY column: m raw bytes per row). */
-    def encodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-      udf { (raw: Seq[Float]) =>
-        if (raw == null) null
-        else {
-          // codebooks live in UNIT space (cosine candidate ranking)
-          val e = unitVec(raw)
-          Array.tabulate(m) { j =>
-            val cb = codebooks(j)
-            var best = 0; var bd = Double.MaxValue; var c = 0
-            while (c < cb.length) {
-              var d = 0.0; var i = 0
-              while (i < dsub) {
-                val z = e(j * dsub + i) - cb(c)(i); d += z * z; i += 1
-              }
-              if (d < bd) { bd = d; best = c }
-              c += 1
-            }
-            best.toByte
+    /** Nearest codebook entry per subspace (plain L2 in the codebooks'
+      * native space — unit vectors for PQ, centroid residuals for RQ). */
+    private[pipeline] def encodeVec(e: Seq[Double]): Array[Byte] =
+      Array.tabulate(m) { j =>
+        val cb = codebooks(j)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val z = e(j * dsub + i) - cb(c)(i); d += z * z; i += 1
           }
+          if (d < bd) { bd = d; best = c }
+          c += 1
         }
+        best.toByte
       }
 
-    /** Asymmetric-distance (ADC) dot-product score of a code array against
-      * a query: per-subspace query×centroid dots are precomputed into a
-      * lookup table once, each row pays m array lookups. */
-    def adcDotUdf(query: Seq[Float]): org.apache.spark.sql.expressions.UserDefinedFunction = {
-      val q = unitVec(query)
-      val lut = Array.tabulate(m) { j =>
+    /** Per-subspace query×centroid dot tables — ADC pays m lookups/row. */
+    private[pipeline] def lutFor(q: Seq[Double]): Array[Array[Double]] =
+      Array.tabulate(m) { j =>
         codebooks(j).map { c =>
           var s = 0.0; var i = 0
           while (i < dsub) { s += q(j * dsub + i) * c(i); i += 1 }
           s
         }
       }
+
+    /** embedding → m-byte code (BINARY column: m raw bytes per row). */
+    def encodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+      udf { (raw: Seq[Float]) =>
+        // codebooks live in UNIT space (cosine candidate ranking)
+        if (raw == null) null else encodeVec(unitVec(raw))
+      }
+
+    /** Asymmetric-distance (ADC) dot-product score of a code array against
+      * a query: per-subspace query×centroid dots are precomputed into a
+      * lookup table once, each row pays m array lookups. */
+    def adcDotUdf(query: Seq[Float]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+      val lut = lutFor(unitVec(query))
       udf { (codes: Array[Byte]) =>
         if (codes == null) Double.NegativeInfinity
         else {
@@ -230,13 +240,21 @@ object Similarity {
   def trainPq(df: DataFrame, embedCol: String, dim: Int, m: Int = 8,
               ks: Int = 16, sampleFraction: Double = 1.0,
               seed: Long = 42L): PqModel = {
+    // train in UNIT space — codes must rank by cosine (see encodeUdf)
+    val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
+      .select(unitArr(col(embedCol)).as(embedCol))
+    trainPqOn(sample, embedCol, dim, m, ks, seed)
+  }
+
+  /** Codebooks over an ALREADY-PREPARED double-array column (no
+    * normalization — residual training passes tangent-space vectors). */
+  private def trainPqOn(prepared: DataFrame, embedCol: String, dim: Int,
+                        m: Int, ks: Int, seed: Long): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
-    // train in UNIT space — codes must rank by cosine (see encodeUdf)
-    val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
-      .select(unitArr(col(embedCol)).as(embedCol)).persist()
+    val sample = prepared.persist()
     val codebooks = Array.tabulate(m) { j =>
       val sub = sample.select(array_to_vector(
         slice(col(embedCol), j * dsub + 1, dsub).cast(ArrayType(DoubleType)))
@@ -258,6 +276,118 @@ object Similarity {
     val r = if (rerank > 0) rerank else math.max(4 * k, 50)
     val candidates = df
       .withColumn("__adc", model.adcDotUdf(query)(col(codesCol)))
+      .orderBy(col("__adc").desc).limit(r)
+    bruteForceTopK(candidates.drop("__adc"), embedCol, query, k, "cosine", scoreCol)
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-RQ (residual quantization): PQ codebooks trained on CLUSTER
+  // RESIDUALS r = v̂ − c(v̂) instead of raw unit vectors — capability
+  // parity with the reference's ivf-rq indexer family (paimon-vector
+  // IvfRqVectorGlobalIndexer-style ids). Residual variance is a fraction
+  // of raw variance, so the same m×ks code budget quantizes finer; ADC
+  // stays linear: q̂·v̂ ≈ q̂·c + q̂·r̃, where the per-cluster q̂·c term is
+  // one array lookup and q̂·r̃ the usual m-lookup LUT sum. Everything —
+  // IVF assignment, residuals, scoring — lives in UNIT space, so cluster
+  // probing by L2 is exactly cosine ranking (|q̂−v̂|² = 2 − 2·cos).
+  // ------------------------------------------------------------------
+
+  case class RqModel(ivf: IvfModel, pq: PqModel) {
+    /** (embedding, assigned cluster) → m-byte residual code. Residuals are
+      * NOT re-normalized — they live in the tangent space at the centroid. */
+    def encodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+      udf { (raw: Seq[Float], cluster: Int) =>
+        if (raw == null || cluster < 0) null
+        else {
+          val e = unitVec(raw); val c = ivf.centroids(cluster)
+          pq.encodeVec(IndexedSeq.tabulate(c.length)(i => e(i) - c(i)))
+        }
+      }
+
+    /** Tight-loop UNIT-SPACE nearest-centroid assignment (no O(k)
+      * expression unrolling — same posture as Indexes.assignUdf, survives
+      * k≈1024 where a when-chain breaks Catalyst). */
+    def assignUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+      val cents = ivf.centroids
+      // Seq[Double] input: float embedding columns UP-cast automatically
+      // (the reverse direction is refused by the analyzer)
+      udf { (raw: Seq[Double]) =>
+        if (raw == null) -1
+        else {
+          val v = unitVecD(raw)
+          var best = 0; var bd = Double.MaxValue; var i = 0
+          while (i < cents.length) {
+            val c = cents(i); var d = 0.0; var j = 0
+            while (j < c.length && d < bd) {
+              val z = c(j) - v(j); d += z * z; j += 1
+            }
+            if (d < bd) { bd = d; best = i }
+            i += 1
+          }
+          best
+        }
+      }
+    }
+
+    /** Probe order for a query (unit-space nearest centroids). */
+    def nearestClusters(query: Seq[Float], nprobe: Int): Seq[Int] =
+      ivf.nearestClusters(unitVec(query).map(_.toFloat), nprobe)
+
+    /** ADC score of (codes, cluster) against a query: q̂·c + Σ lut. */
+    def adcScoreUdf(query: Seq[Float]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+      val q = unitVec(query)
+      val lut = pq.lutFor(q)
+      val qc = ivf.centroids.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += q(i) * c(i); i += 1 }
+        s
+      }
+      udf { (codes: Array[Byte], cluster: Int) =>
+        if (codes == null || cluster < 0) Double.NegativeInfinity
+        else {
+          var s = qc(cluster); var j = 0
+          while (j < pq.m) { s += lut(j)(codes(j) & 0xff); j += 1 }
+          s
+        }
+      }
+    }
+  }
+
+  /** Train IVF-RQ: unit-space k-means centroids, then per-subspace
+    * codebooks over the assignment residuals. Offline index-build cost;
+    * encode is the per-row pass. */
+  def trainRq(df: DataFrame, embedCol: String, dim: Int, nClusters: Int = 8,
+              m: Int = 8, ks: Int = 16, sampleFraction: Double = 1.0,
+              seed: Long = 42L): RqModel = {
+    val sample = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
+      .select(unitArr(col(embedCol)).as(embedCol))
+    val ivf = trainIvf(sample, embedCol, nClusters, seed = seed)
+    val model0 = RqModel(ivf, PqModel(1, Array.empty))
+    val cents = typedLit(ivf.centroids.map(_.toSeq).toSeq)
+    // residual = unit vector − assigned centroid (tight-loop UDF assign;
+    // sample is already unit-normalized, unitVec is idempotent on it)
+    val resid = sample.select(zip_with(
+      col(embedCol).cast(ArrayType(DoubleType)),
+      element_at(cents, model0.assignUdf(col(embedCol)) + 1),
+      (a, b) => a - b).as(embedCol))
+    RqModel(ivf, trainPqOn(resid, embedCol, dim, m, ks, seed))
+  }
+
+  /** IVF-RQ ANN: probe `nprobe` unit-space clusters (at scale the cluster
+    * column is a partition key — the probe is file pruning), rank
+    * candidates by residual-ADC (m bytes/row read, not floats), re-rank the
+    * top `rerank` exactly. `df` must carry the float column, an
+    * [[RqModel.assignExpr]] cluster column and an [[RqModel.encodeUdf]]
+    * codes column. */
+  def rqTopK(df: DataFrame, embedCol: String, codesCol: String,
+             clusterCol: String, model: RqModel, query: Seq[Float], k: Int,
+             nprobe: Int, rerank: Int = 0,
+             scoreCol: String = "__score"): DataFrame = {
+    val probes = model.nearestClusters(query, nprobe)
+    val r = if (rerank > 0) rerank else math.max(4 * k, 50)
+    val candidates = df.filter(col(clusterCol).isin(probes: _*))
+      .withColumn("__adc",
+        model.adcScoreUdf(query)(col(codesCol), col(clusterCol)))
       .orderBy(col("__adc").desc).limit(r)
     bruteForceTopK(candidates.drop("__adc"), embedCol, query, k, "cosine", scoreCol)
   }

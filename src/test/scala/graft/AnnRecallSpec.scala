@@ -102,6 +102,35 @@ class AnnRecallSpec extends SparkTestBase {
     assert(atDefault >= 0.9, f"recall@10 at m=8 was $atDefault%.3f: $sweep")
   }
 
+  test("IVF-RQ recall@10 sweep over nprobe; default nprobe=8 + rerank reaches 0.9") {
+    // residual quantization: same m=8 code budget as the PQ sweep but only
+    // ks=16 centroids/subspace (4-bit-equivalent) — residual variance is a
+    // fraction of raw variance, so the smaller codebook suffices
+    val loc = tmpLoc("ivf-rq-recall")
+    Indexes.buildIvfRq(spark, corpus, "emb", loc, dim, nClusters = nCenters,
+      m = 8, ks = 16, sampleFraction = 0.2, seed = 42L)
+    val exact = queries.map(exactTop)
+    val sweep = Seq(2, 4, 8).map { nprobe =>
+      val got = queries.map(q =>
+        Indexes.rqSearch(spark, loc, "emb", q, k, nprobe, rerank = 10 * k)
+          .select("vid").as[Long].collect().toSet)
+      nprobe -> recall(got, exact)
+    }
+    info(sweep.map { case (p, r) => f"nprobe=$p%d recall@10=$r%.3f" }.mkString("  "))
+    sweep.sliding(2).foreach { case Seq((_, r1), (_, r2)) =>
+      assert(r2 >= r1 - 0.02, s"recall dropped along the sweep: $sweep") }
+    val atDefault = sweep.toMap.apply(8)
+    assert(atDefault >= 0.9, f"recall@10 at nprobe=8 was $atDefault%.3f: $sweep")
+    // scale posture: a probe is manifest-level partition pruning — nprobe=2
+    // of 64 clusters must plan a small fraction of the index's files
+    val model = Indexes.loadRqModel(spark, loc)
+    val all = Indexes.ivfPlannedFiles(spark, loc, 0 until nCenters)
+    val probed = Indexes.ivfPlannedFiles(spark, loc,
+      model.nearestClusters(queries.head, 2))
+    info(s"planned files: nprobe=2 -> $probed of $all")
+    assert(probed <= all / 8, s"probe must prune files: $probed of $all")
+  }
+
   test("es-index filtered recall@10 across filter selectivities; starved case exact") {
     // EsIndex filtered vector search: recall@10 vs EXACT filtered brute force
     // at filter selectivities 50% / 10% / 1% (filter independent of the
