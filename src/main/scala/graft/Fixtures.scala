@@ -22,8 +22,11 @@ object Fixtures {
 
   // v2: bucket routing changed to trimmed-pk keys (paimon alignment) —
   // the versioned root invalidates fixtures persisted under the old layout
+  // v3: bucket.key-layout stamping landed — v2 fixtures carry trimmed-
+  // routed files under UNSTAMPED schemas, which the layout-versioned
+  // routingKeys now (correctly) reads as full-pk; they must rebuild
   private def fixRoot(sfDir: String): String =
-    s"/tmp/graft-fixtures/v2/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    s"/tmp/graft-fixtures/v3/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
 
   /** One sfDir per session for catalog fixtures: Spark caches the
     * instantiated `graft_fix` catalog, so a later warehouse-conf change is

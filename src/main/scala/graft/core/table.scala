@@ -1975,8 +1975,18 @@ object GraftTable {
         // cross-partition reads, storage-partitioned joins spanning
         // partitions). Degenerate pk == partition keys falls back to the
         // full pk instead of refusing the table.
-        val trimmed = c.primaryKeys.filterNot(c.partitionKeys.contains)
-        Some(if (trimmed.nonEmpty) trimmed else c.primaryKeys)
+        //
+        // LAYOUT VERSIONING: routing is a PERSISTED property — files were
+        // placed by it. Tables stamp their layout at creation
+        // (bucket.key-layout, GraftTable.create); a table WITHOUT the stamp
+        // predates trimmed routing and must keep reading AND writing the
+        // full-pk layout its files live under — re-deriving buckets with a
+        // newer function would silently drop rows from bucket-pruned reads
+        // and split a key's versions across buckets on upsert.
+        if (c.option("bucket.key-layout", "full-pk") == "trimmed-pk") {
+          val trimmed = c.primaryKeys.filterNot(c.partitionKeys.contains)
+          Some(if (trimmed.nonEmpty) trimmed else c.primaryKeys)
+        } else Some(c.primaryKeys)
       } else None
     }
 
@@ -2163,7 +2173,16 @@ object GraftTable {
       require(config.sequenceField.isEmpty,
         "pk-clustering-override does not support sequence.field")
     }
-    sm.writeSchema(TableSchema.fromSpark(0, schema, config))
+    // stamp the bucket-routing layout at creation: routing places files, so
+    // it must never change under a persisted table. Unstamped tables
+    // (created before trimmed routing) keep the full-pk layout — see
+    // GraftTable.routingKeys.
+    val stamped =
+      if (config.numBuckets > 0 && config.primaryKeys.nonEmpty &&
+          !config.options.contains("bucket.key-layout"))
+        config.copy(options = config.options + ("bucket.key-layout" -> "trimmed-pk"))
+      else config
+    sm.writeSchema(TableSchema.fromSpark(0, schema, stamped))
     withHooks(new GraftTable(spark, location, sm))
   }
 

@@ -497,9 +497,10 @@ class GraftVariantBatchScan(t: GraftTable, entries: Seq[ManifestEntry],
                             readOpts: Map[String, String],
                             dvMap: Map[String, Array[Byte]],
                             shredPruned: Boolean = false)
-    extends GraftBatchScan(t, entries, pushedF, None, readOpts, dvMap) {
+    extends GraftBatchScan(t, entries, pushedF, None, readOpts, dvMap)
+    with GraftVariantPrunable {
 
-  private[dsv2] def variantColsMap: Map[String, Seq[(StructField, String)]] =
+  override def variantColsMap: Map[String, Seq[(StructField, String)]] =
     variantCols
 
   /** Stats-prune the planned entries by a predicate over the SHREDDED
@@ -507,7 +508,7 @@ class GraftVariantBatchScan(t: GraftTable, entries: Seq[ManifestEntry],
     * rows (raw-convertible append / fully-merged PK buckets), so the full
     * value predicate may skip files. Idempotent — the pruned copy returns
     * itself, so the fixed-point user batch converges. */
-  private[dsv2] def withShredPrune(extra: org.apache.spark.sql.Column)
+  override def withShredPrune(extra: org.apache.spark.sql.Column)
       : GraftVariantBatchScan = {
     if (shredPruned) return this
     val fs = t.fileSchema

@@ -742,9 +742,9 @@ class GraftVariantScan(t: GraftTable, snapshotId: Option[Long],
                        filters: Array[Filter],
                        variantCols: Map[String, Seq[(org.apache.spark.sql.types.StructField, String)]],
                        extraPrune: Option[Column] = None)
-    extends V1Scan {
+    extends V1Scan with GraftVariantPrunable {
 
-  private[dsv2] def variantColsMap
+  override def variantColsMap
       : Map[String, Seq[(org.apache.spark.sql.types.StructField, String)]] =
     variantCols
 
@@ -752,7 +752,7 @@ class GraftVariantScan(t: GraftTable, snapshotId: Option[Long],
     * planning filter. `planFiles` applies its merge-safe restriction, so on
     * unmerged PK buckets value conjuncts drop instead of resurrecting stale
     * row versions. Idempotent. */
-  private[dsv2] def withShredPrune(extra: Column): GraftVariantScan =
+  override def withShredPrune(extra: Column): GraftVariantScan =
     if (extraPrune.nonEmpty) this
     else new GraftVariantScan(t, snapshotId, filters, variantCols, Some(extra))
 

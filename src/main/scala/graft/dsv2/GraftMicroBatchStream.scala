@@ -290,11 +290,16 @@ object GraftMicroBatchStream {
  *
  *  - Phase 1 (starting): ONE batch holding the snapshot branch's LATEST
  *    time partition plus the delta-branch partitions strictly AFTER it —
- *    older snapshot partitions are outdated, and each primary key appears
- *    exactly once under its natural partition (the reference's default
+ *    older snapshot partitions are outdated (the reference's default
  *    "lightweight" mode: no anchor merge, so a long-lived job's starting
- *    plan never explodes into a historical-partition chain merge). The
- *    delta branch's position is pinned when phase 1 plans.
+ *    plan never explodes into a historical-partition chain merge). Files
+ *    are served RAW: one row per key holds when each served partition
+ *    carries one version per key — true for snapshot partitions (they are
+ *    compact_chain_table output) and for single-write delta partitions;
+ *    re-upserted delta keys surface each version, exactly as the raw
+ *    lightweight scan does in the reference. Readers needing one-winner
+ *    semantics across branches AND within partitions use merge-snapshot
+ *    mode below. The delta branch's position is pinned when phase 1 plans.
  *  - Phase 2: NEW delta-branch snapshots only, from the pinned position —
  *    delegated to a plain [[GraftMicroBatchStream]] over the delta branch.
  *
@@ -304,7 +309,8 @@ object GraftMicroBatchStream {
  */
 class GraftChainMicroBatchStream(t: GraftTable, checkpointLocation: String,
                                  readOptions: Map[String, String] = Map.empty)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   import graft.core.RowOps._
 
   private val ptCol = t.config.partitionKeys.head
@@ -323,6 +329,13 @@ class GraftChainMicroBatchStream(t: GraftTable, checkpointLocation: String,
   // read limits apply to phase 2 (delta-branch admission, delegated); the
   // phase-1 starting batch is one pinned batch regardless, like the
   // reference's starting scan
+  /** Trigger.AvailableNow drain contract: pin the delta branch's end
+    * position via the DELEGATE (it owns admission control), so a
+    * row-limited restart drains every available delta snapshot in bounded
+    * batches and then stops — without this trait Spark falls back to
+    * single-batch execution and a limited run would end early. */
+  override def prepareForTriggerAvailableNow(): Unit =
+    delta.prepareForTriggerAvailableNow()
   override def getDefaultReadLimit: ReadLimit = delta.getDefaultReadLimit
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftOffset].snapshotId
@@ -358,8 +371,12 @@ class GraftChainMicroBatchStream(t: GraftTable, checkpointLocation: String,
       latestPt.contains(en.partition.getOrElse(ptCol, null)))
     val deltaEntries =
       if (e <= 0) Nil
-      else deltaT.planFiles(Some(e)).filter(en =>
-        latestPt.forall(lp => en.partition.get(ptCol).exists(_ > lp)))
+      else deltaT.planFiles(Some(e)).filter { en =>
+        // null-safe like the snapshot side: a null partition value never
+        // compares "after" the anchor (and never NPEs the comparison)
+        val v = en.partition.get(ptCol).flatMap(Option(_))
+        latestPt.forall(lp => v.exists(_ > lp))
+      }
     if (!mergeSnapshot)
       return (keepSnap ++ deltaEntries).map(en => GraftFilePartition(
         new Path(t.location, en.path).toString, "+I"): InputPartition).toArray
@@ -369,12 +386,20 @@ class GraftChainMicroBatchStream(t: GraftTable, checkpointLocation: String,
     val seqField = t.config.sequenceField.getOrElse(
       throw new IllegalStateException("chain tables require sequence.field"))
     val logicalPt = (latestPt.toSeq ++
-      deltaEntries.flatMap(_.partition.get(ptCol))).sorted.lastOption.orNull
-    (keepSnap ++ deltaEntries).groupBy(_.bucket).map { case (_, group) =>
-      GraftChainMergePartition(
-        group.map(en => new Path(t.location, en.path).toString).toArray,
-        chainKeys.toArray, ptCol, seqField, logicalPt): InputPartition
-    }.toArray
+      deltaEntries.flatMap(_.partition.get(ptCol)).flatMap(Option(_)))
+      .sorted.lastOption.orNull
+    // per-bucket merge is only sound when the PERSISTED layout co-locates a
+    // chain key across partitions (trimmed-pk routing, stamped at creation);
+    // a legacy full-pk table hashes (day,k) so the same k lands in different
+    // buckets per day — those merge as ONE group (correct, undistributed)
+    val coLocated = t.fixedBucketKeys.contains(chainKeys)
+    (keepSnap ++ deltaEntries)
+      .groupBy(en => if (coLocated) en.bucket else 0)
+      .map { case (_, group) =>
+        GraftChainMergePartition(
+          group.map(en => new Path(t.location, en.path).toString).toArray,
+          chainKeys.toArray, ptCol, seqField, logicalPt): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -9,6 +9,16 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructField
 
+/** A scan serving a pushed variant extraction that can additionally
+  * file-skip on a shred-column predicate. Implemented by BOTH variant scan
+  * kinds so [[GraftVariantPrune]] cannot silently miss one. */
+private[dsv2] trait GraftVariantPrunable {
+  this: org.apache.spark.sql.connector.read.Scan =>
+  def variantColsMap: Map[String, Seq[(StructField, String)]]
+  def withShredPrune(extra: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.connector.read.Scan with GraftVariantPrunable
+}
+
 /**
  * File skipping for SQL filters on SHREDDED variant paths.
  *
@@ -50,14 +60,7 @@ object GraftVariantPrune extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ LFilter(cond, rel: DataSourceV2ScanRelation) =>
       rel.scan match {
-        case s: GraftVariantBatchScan =>
-          shredPredicate(cond, s.variantColsMap) match {
-            case Some(extra) =>
-              val pruned = s.withShredPrune(extra)
-              if (pruned eq s) f else f.copy(child = rel.copy(scan = pruned))
-            case None => f
-          }
-        case s: GraftVariantScan =>
+        case s: GraftVariantPrunable =>
           shredPredicate(cond, s.variantColsMap) match {
             case Some(extra) =>
               val pruned = s.withShredPrune(extra)

@@ -127,9 +127,14 @@ object EsIndex {
    * distributed count; nothing is collected) and nprobe widens ×4 per step,
    * exact (all clusters) only as the last rung. A moderately selective
    * filter pays one or two wider probes; a filter that starves every rung
-   * ends exact with full recall. Filtered approximate searches are
-   * therefore eager at call time (the count jobs run in `search`), but the
-   * returned frame itself stays lazy. AnnRecallSpec's "es-index filtered
+   * ends exact with full recall. Cost shape: each rung's count scan is
+   * COLUMN-PRUNED to the filter + cluster columns (no vector bytes read —
+   * the expensive top-k scan that follows reads embeddings exactly once,
+   * at the final rung), and an index smaller than ~escalateFactor·k·
+   * (nClusters/nprobe) rows deliberately rides the ladder to exact — at
+   * that size the exact scan is as cheap as the probe. Filtered
+   * approximate searches are therefore eager at call time (the count jobs
+   * run in `search`), but the returned frame itself stays lazy. AnnRecallSpec's "es-index filtered
    * recall@10" test sweeps filter selectivities {50%, 10%, 1%} at the
    * default nprobe (all ≥0.9) and asserts a starved filter comes back
    * exact.

@@ -85,7 +85,12 @@ object FullText {
                    w1: Double = 0.5, w2: Double = 0.5): DataFrame = {
     def norm(df: DataFrame, out: String): DataFrame = {
       val mm = df.agg(min(scoreCol).as("mn"), max(scoreCol).as("mx")).head()
-      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      // an EMPTY side (e.g. no document contains any query term) aggregates
+      // to null min/max — normalize over zero rows is a no-op, not an NPE;
+      // the other side's ranking passes through the full-outer fuse
+      val (mn, mx) =
+        if (mm.isNullAt(0)) (0.0, 0.0)
+        else (mm.getDouble(0), mm.getDouble(1))
       val denom = if (mx > mn) mx - mn else 1.0
       df.select(col(idCol).as("id"), ((col(scoreCol) - mn) / denom).as(out))
     }

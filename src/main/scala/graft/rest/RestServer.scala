@@ -184,7 +184,13 @@ class GraftRestServer(warehouse: String, token: String, prefix: String = "main")
             options = opts -- Seq("merge-engine", "sequence.field"))
           cfg.primaryKeys.foreach(k => require(schema.fieldNames.contains(k),
             s"primary key $k not in schema"))
-          sm.writeSchema(TableSchema.fromSpark(0, schema, cfg))
+          // same bucket-routing layout stamp as GraftTable.create
+          val stamped =
+            if (cfg.numBuckets > 0 && cfg.primaryKeys.nonEmpty &&
+                !cfg.options.contains("bucket.key-layout"))
+              cfg.copy(options = cfg.options + ("bucket.key-layout" -> "trimmed-pk"))
+            else cfg
+          sm.writeSchema(TableSchema.fromSpark(0, schema, stamped))
           Resp(200, tableInfo(db, name))
         case ("GET", Seq(`prefix`, "databases", db, "tables", t)) =>
           val sm = new SnapshotManager(tablePath(db, t).toString, conf)

@@ -1292,6 +1292,43 @@ class CoreTableSpec extends SparkTestBase {
     assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
       Set("plannedFiles", "plannedBytes", "skippedFiles", "deletionVectorFiles"))
   }
+  test("bucket.key-layout stamp: legacy full-pk tables route unchanged, new tables trim") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (s"d${i % 4}", i, i * 1.5))
+      .toDF("day", "k", "v")
+    def mk(loc: String, opts: Map[String, String]): GraftTable = {
+      val t = GraftTable.create(spark, loc, rows.schema, TableConfig(
+        primaryKeys = Seq("day", "k"), partitionKeys = Seq("day"),
+        numBuckets = 4, options = opts))
+      t.write(rows)
+      // an upsert wave: routing must send each key's new version to the
+      // SAME bucket as its old one or merged reads duplicate keys
+      t.write(rows.filter(col("k") % 3 === 0).withColumn("v", col("v") * 2))
+      t
+    }
+    // new table: layout stamped at creation, routing = trimmed pk (k) —
+    // the same k co-locates across day partitions
+    val tNew = mk(tmpLoc("layout-new"), Map.empty)
+    assert(tNew.config.option("bucket.key-layout", "") == "trimmed-pk")
+    assert(tNew.fixedBucketKeys.contains(Seq("k")))
+    // legacy table: a schema persisted BEFORE the stamp existed resolves to
+    // full-pk routing (modeled by the explicit option — routingKeys treats
+    // absent and full-pk identically)
+    val tOld = mk(tmpLoc("layout-old"), Map("bucket.key-layout" -> "full-pk"))
+    assert(tOld.fixedBucketKeys.contains(Seq("day", "k")))
+    // both layouts: merged reads are key-unique and bucket-pruned key
+    // lookups find every row
+    for (t <- Seq(tNew, tOld)) {
+      val got = t.read().select("day", "k", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = (0L until 40L).map(i =>
+        (s"d${i % 4}", i, if (i % 3 == 0) i * 3.0 else i * 1.5)).toSet
+      assert(got == want, s"layout=${t.fixedBucketKeys}")
+      assert(t.read(filter = Some(col("k") === 9L)).count() == 1)
+      assert(t.read(filter = Some(col("day") === "d1" && col("k") === 9L))
+        .count() == 1)
+    }
+  }
 }
 
 class DeletionVectorSpec extends SparkTestBase {
@@ -1654,4 +1691,5 @@ class ConcurrencySpec extends SparkTestBase {
     t2.write(Seq((2L, "b", "-D")).toDF("k", "v", "rk"))
     assert(t2.read().count() == 2)
   }
+
 }

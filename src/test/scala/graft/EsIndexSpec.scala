@@ -97,6 +97,18 @@ class EsIndexSpec extends SparkTestBase {
     }
   }
 
+  test("hybrid rankers survive an EMPTY side (no document matches the terms)") {
+    // no posting contains "zzznohit": the BM25 side is an empty frame — each
+    // ranker must pass the vector-only ranking through the full-outer fuse
+    // (weighted_score used to NPE in min/max normalization of zero rows)
+    for (r <- Seq("rrf", "mrr", "weighted_score")) {
+      val rows = EsIndex.search(spark, loc, k = 5, vector = Some(queryVec),
+        terms = Seq("zzznohit"), nprobe = 8, ranker = r).collect()
+      assert(rows.length == 5, s"$r returned ${rows.length}")
+      assert(rows.head.getLong(0) == 3L, s"$r lost the vector top hit")
+    }
+  }
+
   test("vector probe is partition pruning; keyword filter is file skipping") {
     // nprobe=2 of 8 clusters → at most 2 partitions' files planned
     val model = Indexes.loadIvfModel(spark, loc)
