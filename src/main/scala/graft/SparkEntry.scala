@@ -1015,6 +1015,17 @@ object SparkEntry {
               |  variant_get(meta, '$.text_len', 'int') AS text_len
               |FROM graft_vsql.db.variant_sql_tbl""".stripMargin)
     }),
+    // SQL FILTER on shredded paths: the predicate reaches the scan as a
+    // struct-field filter AFTER the extraction pushdown, so file skipping
+    // is the GraftVariantPrune post-optimization rule's work (shred-column
+    // stats); this row gates the pruned plan's ANSWERS end-to-end
+    "q_variant_filter" -> ((s, d) => {
+      SparkEntry.queries("q_variant_sql")(s, d) // ensure table + catalog conf
+      s.sql("""SELECT doc_id, variant_get(meta, '$.text_len', 'int') AS text_len
+              |FROM graft_vsql.db.variant_sql_tbl
+              |WHERE variant_get(meta, '$.text_len', 'int') > 400
+              |  AND variant_get(meta, '$.lang', 'string') = 'en'""".stripMargin)
+    }),
     // same transparent pushdown on a PRIMARY-KEY table (merged view serves
     // the upsert winner's shred columns; doc_id % 3 = 0 doubled)
     "q_variant_sql_pk" -> ((s, d) => {
@@ -1848,6 +1859,10 @@ object SparkEntry {
     "q_variant_sql" ->
       """SELECT doc_id, lang, CAST(length(text) AS INT) AS text_len
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q_variant_filter" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS text_len
+        |FROM documents
+        |WHERE doc_id < 200 AND length(text) > 400 AND lang = 'en'""".stripMargin,
     "q_variant_sql_pk" ->
       """SELECT doc_id, lang,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN length(text) * 2
