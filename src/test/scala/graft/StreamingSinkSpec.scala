@@ -311,4 +311,37 @@ class StreamingSinkSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
     assert(all == phase1 + ((3L, 33.0, "d3")), all.toString)
   }
+
+  test("chain merge-snapshot on a LEGACY full-pk-routed table merges as one group") {
+    // a table persisted before trimmed routing hashes (day,k), so the same
+    // k lands in different buckets per day — per-bucket merge would miss
+    // cross-partition pairs; planInputPartitions must fall back to ONE
+    // merge group and still produce one winner per chain key
+    import graft.core.RowOps._
+    val loc = tmpLoc("chain-merge-legacy")
+    val o = Seq((1L, 10.0, 1L, "d1"), (2L, 20.0, 1L, "d1"), (3L, 30.0, 1L, "d1"))
+      .toDF("k", "price", "seq", "day")
+    val t = GraftTable.createOrReplace(spark, loc, o.schema,
+      TableConfig(primaryKeys = Seq("day", "k"), partitionKeys = Seq("day"),
+        numBuckets = 2, sequenceField = Some("seq"),
+        options = Map("chain-table.enabled" -> "true",
+          "chain-table.streaming.merge-snapshot" -> "true",
+          "bucket.key-layout" -> "full-pk")))
+    assert(t.fixedBucketKeys.contains(Seq("day", "k"))) // legacy layout live
+    t.write(o.limit(0))
+    t.createBranch("snapshot"); t.createBranch("delta")
+    t.onBranch("snapshot").write(o)
+    t.onBranch("delta").write(Seq((2L, 22.0, 2L, "d2")).toDF("k", "price", "seq", "day"))
+
+    val outName = "chain_merge_legacy_out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chainl-ckpt").toString
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("memory").queryName(outName).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(outName).select("k", "price", "day").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10.0, "d2"), (2L, 22.0, "d2"), (3L, 30.0, "d2")),
+      got.toString)
+  }
 }
