@@ -159,8 +159,18 @@ object Procedures {
         val n = args("bucket").toInt
         val all = table.read()
         val cur = table.schema
-        table.sm.writeSchema(TableSchema(cur.id + 1,
-          cur.fields, cur.config.copy(numBuckets = n), System.currentTimeMillis()))
+        // a rescale rewrites EVERY file, so this is the one safe point to
+        // upgrade an unstamped legacy table to the current default routing
+        // (trimmed pk) — reads planned before the new schema still see the
+        // old layout; the overwrite routes by the new one
+        val opts =
+          if (cur.config.primaryKeys.nonEmpty &&
+              !cur.config.options.contains("bucket.key-layout"))
+            cur.config.options + ("bucket.key-layout" -> "trimmed-pk")
+          else cur.config.options
+        table.sm.writeSchema(TableSchema(cur.id + 1, cur.fields,
+          cur.config.copy(numBuckets = n, options = opts),
+          System.currentTimeMillis()))
         val t2 = GraftTable.load(spark, table.location)
         t2.overwrite(all)
         ok(s"rescaled to $n buckets")

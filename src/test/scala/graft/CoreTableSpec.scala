@@ -1328,6 +1328,22 @@ class CoreTableSpec extends SparkTestBase {
       assert(t.read(filter = Some(col("day") === "d1" && col("k") === 9L))
         .count() == 1)
     }
+    // rescale rewrites every file — the one safe layout-upgrade point. A
+    // truly UNSTAMPED schema (pre-stamp era: full-pk files, no option)
+    // upgrades to trimmed routing in the same pass.
+    val cur = tOld.schema
+    tOld.sm.writeSchema(TableSchema(cur.id + 1, cur.fields,
+      cur.config.copy(options = cur.config.options - "bucket.key-layout"),
+      System.currentTimeMillis()))
+    val legacy = GraftTable.load(spark, tOld.location)
+    assert(legacy.fixedBucketKeys.contains(Seq("day", "k"))) // unstamped → full pk
+    Procedures.call(spark, legacy, "rescale", Map("bucket" -> "8"))
+    val upgraded = GraftTable.load(spark, legacy.location)
+    assert(upgraded.fixedBucketKeys.contains(Seq("k")),
+      s"rescale must stamp trimmed routing: ${upgraded.config.options}")
+    assert(upgraded.config.numBuckets == 8)
+    assert(upgraded.read(filter = Some(col("k") === 9L)).count() == 1)
+    assert(upgraded.read().count() == 40)
   }
 }
 
