@@ -857,6 +857,15 @@ object SparkEntry {
         filter = Some(col("lang") === "en"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // the SQL spelling of the same search (graft_es_search TVF): a plain-SQL
+    // user reaches the composite index without the Scala API
+    "q_es_tvf" -> ((s, d) => {
+      val idx = Fixtures.esDocsIndex(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_es_search('${idx.location}', 10,
+           |  'table scan fast merge', NULL, 8, "lang = 'en'")""".stripMargin)
+    }),
     // Same filtered BM25 PAST the broadcast gate (broadcastDfLimit=1): the
     // candidates↔scores join carries no hint and AQE plans it — the gated
     // route must be value-identical to the broadcast route
@@ -1936,6 +1945,12 @@ object SparkEntry {
          |WHERE lang = 'en'
          |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
     "q_es_gated_text" ->
+      s"""WITH ${bm25Cte()}
+         |SELECT doc_id, round(score, 4) AS score
+         |FROM scored JOIN documents USING (doc_id)
+         |WHERE lang = 'en'
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    "q_es_tvf" ->
       s"""WITH ${bm25Cte()}
          |SELECT doc_id, round(score, 4) AS score
          |FROM scored JOIN documents USING (doc_id)
