@@ -797,6 +797,25 @@ object SparkEntry {
         nprobe = 8, scoreCol = "sim") // nprobe = all clusters → exact
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
+    // SQL TVF spellings of the persisted index searches — a plain-SQL user
+    // reaches them without the Scala API
+    "q_fulltext_tvf" -> ((s, d) => {
+      val idx = Fixtures.ftIndex(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${idx.location}',
+           |  'table scan fast merge', 1000000)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
+    "q_vector_tvf" -> ((s, d) => {
+      val idx = Fixtures.ivfIndex(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, round(score, 4) AS sim
+           |FROM graft_vector_search('${idx.location}', 10, 8, $arr)""".stripMargin)
+    }),
     // IVF-RQ persisted index (reference ivf-rq family): unit-space cluster
     // partitions + m-byte residual codes; search = partition-pruned probe,
     // ADC over the code bytes, exact re-rank. Index built on 90% + an
@@ -2054,6 +2073,14 @@ object SparkEntry {
     "q_system_consumers" ->
       "SELECT 'sysc' AS consumer_id, CAST(2 AS BIGINT) AS next_snapshot_id",
     "q_fulltext_bm25" -> bm25Oracle,
+    "q_fulltext_tvf" -> bm25Oracle,
+    "q_vector_tvf" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_pk_vector_search" ->
       """WITH cur AS (
         |  SELECT vec_id,

@@ -56,9 +56,16 @@ object GraftTableFunctions {
         catch { case _: NumberFormatException => t.sm.readTag(s).snapshotId }
     }
   private def floats(e: Expression): Seq[Float] = e.eval() match {
-    case a: ArrayData => a.toObjectArray(
-      org.apache.spark.sql.types.DoubleType).toSeq.map {
+    case a: ArrayData =>
+      // honor the literal's ELEMENT type — array(1.0F,…) and array(1.0,…)
+      // are both legitimate SQL spellings of a query vector
+      val et = e.dataType match {
+        case org.apache.spark.sql.types.ArrayType(t, _) => t
+        case o => throw new IllegalArgumentException(s"expected array, got $o")
+      }
+      a.toObjectArray(et).toSeq.map {
         case d: java.lang.Number => d.floatValue()
+        case o => throw new IllegalArgumentException(s"non-numeric element $o")
       }
     case o => throw new IllegalArgumentException(s"expected array, got $o")
   }
