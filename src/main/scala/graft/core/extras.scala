@@ -159,20 +159,34 @@ object Procedures {
         val n = args("bucket").toInt
         val all = table.read()
         val cur = table.schema
-        // a rescale rewrites EVERY file, so this is the one safe point to
-        // upgrade an unstamped legacy table to the current default routing
-        // (trimmed pk) — reads planned before the new schema still see the
-        // old layout; the overwrite routes by the new one
+        // a rescale rewrites every file OF THIS BRANCH, so it may upgrade an
+        // unstamped legacy table to the current default routing (trimmed
+        // pk) — but only when no OTHER branch holds files that would stay
+        // under the old layout (schemas are table-wide, branch data is not)
         val opts =
           if (cur.config.primaryKeys.nonEmpty &&
-              !cur.config.options.contains("bucket.key-layout"))
+              !cur.config.options.contains("bucket.key-layout") &&
+              table.sm.listBranches().isEmpty)
             cur.config.options + ("bucket.key-layout" -> "trimmed-pk")
           else cur.config.options
         table.sm.writeSchema(TableSchema(cur.id + 1, cur.fields,
           cur.config.copy(numBuckets = n, options = opts),
           System.currentTimeMillis()))
-        val t2 = GraftTable.load(spark, table.location)
-        t2.overwrite(all)
+        // routing params (bucket count, layout) must not outlive a FAILED
+        // rewrite — files would stay under the old routing while new writes
+        // route by the new one, splitting a key's versions across buckets.
+        // Revert the schema if the overwrite does not commit. (A driver
+        // death between the two writes leaves the same window — the read
+        // path stays correct regardless: entries carry their writer's
+        // schemaId and bucket pruning / chain merges verify per-entry
+        // layout before trusting bucket ids.)
+        try GraftTable.load(spark, table.location).overwrite(all)
+        catch {
+          case e: Throwable =>
+            table.sm.writeSchema(TableSchema(cur.id + 2, cur.fields,
+              cur.config, System.currentTimeMillis()))
+            throw e
+        }
         ok(s"rescaled to $n buckets")
       case "fast_forward_snapshot" =>
         val s = table.rollback(args("snapshot").toLong)

@@ -984,6 +984,19 @@ class GraftTable private (
       case None => entries
     }
 
+  /** True when EVERY given entry was written under the table's CURRENT
+    * routing layout (same bucket count AND routing keys per its writer's
+    * schemaId) — the precondition for trusting bucket ids across entries
+    * (same check [[bucketPrune]] applies per entry; chain-stream merge
+    * grouping uses it across branches, where a rescale or layout upgrade
+    * may have rewritten one branch but not another). */
+  private[graft] def sameRoutingLayout(entries: Seq[ManifestEntry]): Boolean =
+    entries.map(_.schemaId).distinct.forall { sid =>
+      val c = sm.readSchema(sid).config
+      c.numBuckets == config.numBuckets &&
+        GraftTable.routingKeys(c) == fixedBucketKeys
+    }
+
   /** Resolve `c` for stats pruning; PK tables keep only merge-safe conjuncts
     * (value-column pruning on MOR input resurrects stale versions — see
     * StatsPrune.restrict). Fully-merged files re-prune with the full filter

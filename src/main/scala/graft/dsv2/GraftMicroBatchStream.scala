@@ -389,10 +389,13 @@ class GraftChainMicroBatchStream(t: GraftTable, checkpointLocation: String,
       deltaEntries.flatMap(_.partition.get(ptCol)).flatMap(Option(_)))
       .sorted.lastOption.orNull
     // per-bucket merge is only sound when the PERSISTED layout co-locates a
-    // chain key across partitions (trimmed-pk routing, stamped at creation);
-    // a legacy full-pk table hashes (day,k) so the same k lands in different
-    // buckets per day — those merge as ONE group (correct, undistributed)
-    val coLocated = t.fixedBucketKeys.contains(chainKeys)
+    // chain key across partitions (trimmed-pk routing, stamped at creation)
+    // AND every planned entry was written under that layout — entries of an
+    // older generation (pre-rescale bucket count, pre-upgrade routing)
+    // carry bucket ids from a different hash. A legacy full-pk table (or a
+    // mixed-generation plan) merges as ONE group (correct, undistributed).
+    val coLocated = t.fixedBucketKeys.contains(chainKeys) &&
+      t.sameRoutingLayout(keepSnap ++ deltaEntries)
     (keepSnap ++ deltaEntries)
       .groupBy(en => if (coLocated) en.bucket else 0)
       .map { case (_, group) =>

@@ -65,6 +65,9 @@ object GraftTableFunctions {
       }
       a.toObjectArray(et).toSeq.map {
         case d: java.lang.Number => d.floatValue()
+        // Spark parses uncast fractional literals as DECIMAL — the doc
+        // example array(0.1, ...) arrives as Decimal, not a j.l.Number
+        case d: org.apache.spark.sql.types.Decimal => d.toFloat
         case o => throw new IllegalArgumentException(s"non-numeric element $o")
       }
     case o => throw new IllegalArgumentException(s"expected array, got $o")
