@@ -65,6 +65,29 @@ object Bench {
 
   private val baselined = baselineSql.keys.toSeq.sorted
 
+  /** Time `body` n times, recording per-run seconds AND how many runs threw
+    * (an exception is timed but flagged — the per-run error marker
+    * BENCH_r08+ artifacts carry). */
+  private[graft] def timedRuns(n: Int)(body: => Unit): (Seq[Double], Int) = {
+    var errs = 0
+    val times = (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      try body
+      catch { case e: Throwable =>
+        errs += 1
+        System.err.println(s"[bench] timed run failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    (times, errs)
+  }
+
+  /** The `errors` JSON object: every query with AT LEAST one failed timed
+    * run, mapped to its failure count. Empty object = all runs returned. */
+  private[graft] def errorsJson(results: Seq[(String, (Seq[Double], Int))]): String =
+    results.collect { case (k, (_, e)) if e > 0 => s""""$k":$e""" }
+      .mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,16 +123,13 @@ object Bench {
     // phase 3 — timed: N runs per query; `value` is the best (steady-state
     // throughput) and EVERY run is emitted, so host noise during the
     // driver's snapshot is visible in the artifact instead of silently
-    // inflating a single number.
+    // inflating a single number. A run that THROWS is still timed (the
+    // artifact keeps its shape) but is counted in the `errors` map — a
+    // query that starts failing after its prebuild can never post a
+    // bogus-fast time-to-throw as a legitimate sample.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val results = headline.map { name =>
-      val times = (1 to nRuns).map { _ =>
-        val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).collect() }
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times
+      name -> timedRuns(nRuns) { qs(name)(spark, sfDir).collect() }
     }
     // phase 4 — direct-Spark baselines over the SOURCE parquet (same JVM,
     // same data). The timed region includes spark.read.parquet + view
@@ -144,20 +164,21 @@ object Bench {
 
     def f3(v: Double) = f"$v%.3f"
     def med(ts: Seq[Double]) = ts.sorted.apply(ts.length / 2)
-    val qJson = results.map { case (k, ts) => s""""$k":${f3(ts.min)}""" }
+    val qJson = results.map { case (k, (ts, _)) => s""""$k":${f3(ts.min)}""" }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, ts) =>
+    val runsJson = results.map { case (k, (ts, _)) =>
       s""""$k":[${ts.map(f3).mkString(",")}]""" }.mkString("{", ",", "}")
-    val medJson = results.map { case (k, ts) =>
+    val medJson = results.map { case (k, (ts, _)) =>
       s""""$k":${f3(med(ts))}""" }.mkString("{", ",", "}")
     val baseJson = baseResults.map { case (k, ts) =>
       s""""$k":${f3(med(ts))}""" }.mkString("{", ",", "}")
-    val graftMed = results.toMap
+    val graftMed = results.map { case (k, (ts, _)) => k -> ts }.toMap
     val ratioJson = baseResults.map { case (k, ts) =>
       s""""$k":${f3(med(graftMed(k)) / med(ts))}""" }.mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
-    val totalMed = results.map { case (_, ts) => med(ts) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"median_total":$totalMed%.3f,"medians":$medJson,"baselines":$baseJson,"ratios":$ratioJson,"runs":$runsJson,"sf":"$sfDir"}""")
+    val errJson = errorsJson(results)
+    val total = results.map(_._2._1.min).sum
+    val totalMed = results.map { case (_, (ts, _)) => med(ts) }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"median_total":$totalMed%.3f,"medians":$medJson,"baselines":$baseJson,"ratios":$ratioJson,"errors":$errJson,"runs":$runsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

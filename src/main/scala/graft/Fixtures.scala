@@ -25,8 +25,11 @@ object Fixtures {
   // v3: bucket.key-layout stamping landed — v2 fixtures carry trimmed-
   // routed files under UNSTAMPED schemas, which the layout-versioned
   // routingKeys now (correctly) reads as full-pk; they must rebuild
+  // v4: PK-search TVF routing sidecars landed (pk-search-ref / pk-fulltext
+  // back-references written at fixture build) — v3 embed_pk/docs_pk
+  // fixtures lack them, so the TVF rows would silently take the wrong route
   private def fixRoot(sfDir: String): String =
-    s"/tmp/graft-fixtures/v3/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    s"/tmp/graft-fixtures/v4/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
 
   /** One sfDir per session for catalog fixtures: Spark caches the
     * instantiated `graft_fix` catalog, so a later warehouse-conf change is
@@ -975,6 +978,9 @@ object Fixtures {
       t.write(docs.filter(col("doc_id") % 10 === 0)
         .withColumn("text", concat(col("text"), lit(" graftsearch"))))
       t.deleteDv(col("doc_id") % 7 === 0)
+      // register (idCol, textCol) so the graft_full_text_search TVF routes
+      // this TABLE path through the merged-state PK search
+      graft.pipeline.PkSearch.registerFullText(t, "doc_id", "text")
       t
     }
 

@@ -797,6 +797,21 @@ object SparkEntry {
         nprobe = 8, scoreCol = "sim") // nprobe = all clusters → exact
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
+    // FILTERED plain persisted-index search: the filter pushes into the
+    // probed scan and rides the shared escalation ladder
+    // (Indexes.escalateNprobe) — nprobe=1 with an unreachable oversample
+    // target escalates 1→4→8 (exact), so the row exercises the ladder AND
+    // stays deterministic for the oracle; recall at realistic factors is
+    // swept by AnnRecallSpec's filtered plain-index grid
+    "q_ann_ivf_filtered" -> ((s, d) => {
+      val idx = Fixtures.ivfIndex(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      graft.pipeline.Indexes.ivfSearch(s, idx.location, "embedding", q, 10,
+        nprobe = 1, scoreCol = "sim", filter = Some(col("label") === 3),
+        escalateFactor = 1000000)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
     // SQL TVF spellings of the persisted index searches — a plain-SQL user
     // reaches them without the Scala API
     "q_fulltext_tvf" -> ((s, d) => {
@@ -952,6 +967,42 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
+    // SQL/TVF spelling of the FILE-ALIGNED PK searches: the TVF takes the
+    // TABLE path (not the index path) and routes through PkSearch via the
+    // back-reference sidecars — snapshot-consistent and DV-aware exactly
+    // like the Scala API rows above
+    "q_pk_search_tvf" -> ((s, d) => {
+      val tbl = Fixtures.embedPk(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, round(score, 4) AS sim
+           |FROM graft_vector_search('${tbl.location}', 10, 8, $arr)""".stripMargin)
+    }),
+    "q_pk_fulltext_tvf" -> ((s, d) => {
+      val tbl = Fixtures.docsPk(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${tbl.location}',
+           |  'table scan fast merge', 1000000)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
+    // SQL spelling of SEPARATE-INDEX hybrid search (reference hybrid_search
+    // TVF): fuse an existing IVF index and an existing BM25 index by RRF —
+    // no composite rebuild, no Scala
+    "q_hybrid_tvf" -> ((s, d) => {
+      val ftI = Fixtures.ftIndex(s, d)
+      val ivI = Fixtures.ivfIndex(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id AS id, round(score, 6) AS rrf
+           |FROM graft_hybrid_search('${ivI.location}', '${ftI.location}',
+           |  'vec_id', 10, $arr, 'table scan fast merge')
+           |ORDER BY rrf DESC, id""".stripMargin)
+    }),
     "q_dedup_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val d2 = docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -1053,6 +1104,17 @@ object SparkEntry {
               |FROM graft_vsql.db.variant_sql_tbl
               |WHERE variant_get(meta, '$.text_len', 'int') > 400
               |  AND variant_get(meta, '$.lang', 'string') = 'en'""".stripMargin)
+    }),
+    // OR-tree filter on shredded paths: a disjunction of translatable
+    // comparisons weakens branch-by-branch (a∧b ⇒ a, so (a∧b)∨c ⇒ a∨c) and
+    // still prunes files — the filter shape users write as OR instead of IN
+    "q_variant_filter_or" -> ((s, d) => {
+      SparkEntry.queries("q_variant_sql")(s, d) // ensure table + catalog conf
+      s.sql("""SELECT doc_id, variant_get(meta, '$.text_len', 'int') AS text_len
+              |FROM graft_vsql.db.variant_sql_tbl
+              |WHERE variant_get(meta, '$.text_len', 'int') > 400
+              |   OR (variant_get(meta, '$.lang', 'string') = 'de'
+              |       AND variant_get(meta, '$.text_len', 'int') < 100)""".stripMargin)
     }),
     // same transparent pushdown on a PRIMARY-KEY table (merged view serves
     // the upsert winner's shred columns; doc_id % 3 = 0 doubled)
@@ -1891,6 +1953,11 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS INT) AS text_len
         |FROM documents
         |WHERE doc_id < 200 AND length(text) > 400 AND lang = 'en'""".stripMargin,
+    "q_variant_filter_or" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS text_len
+        |FROM documents
+        |WHERE doc_id < 200
+        |  AND (length(text) > 400 OR (lang = 'de' AND length(text) < 100))""".stripMargin,
     "q_variant_sql_pk" ->
       """SELECT doc_id, lang,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN length(text) * 2
@@ -1949,6 +2016,13 @@ object SparkEntry {
         |    list_cosine_similarity(e.embedding::DOUBLE[],
         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
         |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_filtered" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e WHERE e.label = 3)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_es_filtered_ann" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
@@ -2102,6 +2176,45 @@ object SparkEntry {
          |SELECT doc_id, round(score, 4) AS score FROM scored
          |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin
     },
+    "q_pk_search_tvf" ->
+      """WITH cur AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 10 = 0 THEN list_reverse(embedding)
+        |         ELSE embedding END AS emb
+        |  FROM embeddings WHERE vec_id % 7 <> 0)
+        |SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT c.vec_id,
+        |    list_cosine_similarity(c.emb::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM cur c)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_pk_fulltext_tvf" -> {
+      val docsM =
+        """(SELECT doc_id,
+          |   CASE WHEN doc_id % 10 = 0 THEN text || ' graftsearch' ELSE text END AS text
+          | FROM documents WHERE doc_id % 7 <> 0)""".stripMargin
+      s"""WITH ${bm25Cte(docsM)}
+         |SELECT doc_id, round(score, 4) AS score FROM scored
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin
+    },
+    "q_hybrid_tvf" ->
+      s"""WITH ${bm25Cte()},
+         |txt AS (SELECT id, r FROM (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM scored)
+         |  WHERE r <= 10),
+         |vec AS (SELECT id, r FROM (
+         |  SELECT vec_id AS id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+         |  FROM (SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[],
+         |    (SELECT embedding FROM embeddings WHERE vec_id=1)::DOUBLE[]) AS sim
+         |    FROM embeddings e))
+         |  WHERE r <= 10),
+         |fused AS (
+         |  SELECT COALESCE(t.id, v.id) AS id,
+         |    COALESCE(1.0/(60+t.r), 0) + COALESCE(1.0/(60+v.r), 0) AS rrf
+         |  FROM txt t FULL OUTER JOIN vec v ON t.id = v.id)
+         |SELECT id, round(rrf, 6) AS rrf FROM fused
+         |ORDER BY round(rrf, 6) DESC, id LIMIT 10""".stripMargin,
     "q_hybrid_search" -> hybridOracle,
     "q_dedup_minhash" -> minhashOracle,
     "q_decontaminate" -> decontaminateOracle,

@@ -247,6 +247,11 @@ object StatsPrune {
       case Or(l, r) =>
         conjunctMightMatch(l, schema, stats, rowCount) ||
           conjunctMightMatch(r, schema, stats, rowCount)
+      // And only reaches here NESTED under an Or (top-level Ands are split
+      // by mightMatch): the file might match a∧b only if it might match both
+      case And(l, r) =>
+        conjunctMightMatch(l, schema, stats, rowCount) &&
+          conjunctMightMatch(r, schema, stats, rowCount)
       case StartsWith(ar: AttributeReference, l: Literal) =>
         withStat(ar.name) { (_, st) =>
           litStr(l) match {

@@ -137,15 +137,54 @@ object GraftTableFunctions {
           .map(p => t.incrementalDiff(p.snapshotId, e.snapshotId))
       }.getOrElse(t.incremental(0L, 0L)))
     },
+    // full_text_search over an INDEX path (BM25 postings) or a PK TABLE path
+    // (file-aligned, merged-state search — reference FullTextScan.java routes
+    // PK tables through the snapshot-consistent, DV-aware path). A PK table
+    // registers its (idCol, textCol) once via PkSearch.registerFullText.
     fd("graft_full_text_search") { args =>
-      require(args.length == 3, "graft_full_text_search(indexPath, query, k)")
-      plan(graft.pipeline.Indexes.fullTextSearch(spark, str(args(0)),
-        str(args(1)).split("\\s+").toSeq, lng(args(2)).toInt))
+      require(args.length == 3, "graft_full_text_search(indexOrPkTable, query, k)")
+      val t = resolveTable(str(args(0)))
+      val terms = str(args(1)).split("\\s+").filter(_.nonEmpty).toSeq
+      val k = lng(args(2)).toInt
+      plan(graft.pipeline.PkSearch.fullTextRef(t) match {
+        case Some(ref) =>
+          graft.pipeline.PkSearch.fullTextSearch(t, ref.idCol, ref.textCol, terms, k)
+        case None =>
+          graft.pipeline.Indexes.fullTextSearch(spark, t.location, terms, k)
+      })
     },
+    // vector_search over an IVF INDEX path or a PK TABLE path — a PK table
+    // with a file-aligned index (PkSearch.buildVectorIndex writes the
+    // back-reference) routes through the snapshot-consistent, DV-aware
+    // search (reference BatchVectorSearchBuilderImpl wiring); the score
+    // column is `score` either way.
     fd("graft_vector_search") { args =>
-      require(args.length == 4, "graft_vector_search(ivfPath, k, nprobe, queryVec)")
-      plan(graft.pipeline.Indexes.ivfSearch(spark, str(args(0)), "embedding",
-        floats(args(3)), lng(args(1)).toInt, lng(args(2)).toInt, scoreCol = "score"))
+      require(args.length == 4, "graft_vector_search(ivfOrPkTable, k, nprobe, queryVec)")
+      val t = resolveTable(str(args(0)))
+      val (k, np, vec) = (lng(args(1)).toInt, lng(args(2)).toInt, floats(args(3)))
+      plan(graft.pipeline.PkSearch.vectorRef(t) match {
+        case Some(ref) =>
+          graft.pipeline.PkSearch.vectorSearch(t, ref.idxLoc, ref.embedCol,
+            vec, k, np, scoreCol = "score")
+        case None =>
+          val e = graft.pipeline.Indexes.ivfEmbedCol(spark, t.location)
+            .getOrElse("embedding")
+          graft.pipeline.Indexes.ivfSearch(spark, t.location, e, vec, k, np,
+            scoreCol = "score")
+      })
+    },
+    // hybrid search over TWO SEPARATE persisted indexes (reference
+    // hybrid_search TVF, PaimonTableValuedFunctions.scala:60): fuse an IVF
+    // vector index and a BM25 text index built independently over the same
+    // id space — rrf (default) | mrr | weighted_score
+    fd("graft_hybrid_search") { args =>
+      require(args.length == 6 || args.length == 7,
+        "graft_hybrid_search(vecIdx, textIdx, idCol, k, queryVec, 'terms'[, ranker])")
+      val ranker = if (args.length == 7) str(args(6)) else "rrf"
+      val terms = str(args(5)).split("\\s+").filter(_.nonEmpty).toSeq
+      plan(graft.pipeline.FullText.hybridIndexSearch(spark,
+        str(args(0)), str(args(1)), str(args(2)), floats(args(4)), terms,
+        lng(args(3)).toInt, ranker))
     },
     // Composite es-index search: vector and/or terms under one companion
     // filter ('' / NULL to omit a part); filter is a SQL boolean over the

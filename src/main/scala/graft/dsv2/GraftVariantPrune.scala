@@ -71,11 +71,20 @@ object GraftVariantPrune extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  /** Conjuncts of shape `GetStructField(variantAttr, ord) cmp literal`
-    * translated onto the ord-th offered extraction's shredded physical
-    * column. Untranslatable conjuncts drop — pruning by a SUBSET of
-    * conjuncts keeps a superset of files (conservative). The `$` root field
-    * (served by the variant binary itself) has no stats and is skipped. */
+  /** A boolean tree over `GetStructField(variantAttr, ord) cmp literal`
+    * leaves translated onto the ord-th offered extraction's shredded
+    * physical column. The translation WEAKENS: it returns a predicate
+    * IMPLIED by `cond` (None = no information), so files failing it are
+    * provably skippable —
+    *  - AND: conjunction of whichever sides translate (dropping a conjunct
+    *    keeps a superset of files);
+    *  - OR: BOTH branches must translate — `a∧b ⇒ a` and `c ⇒ c'` give
+    *    `(a∧b)∨c ⇒ a∨c'`, so a disjunction of per-branch weakenings is
+    *    still implied, but one untranslatable branch voids the whole OR
+    *    (it could match anything);
+    *  - NOT is never descended (¬ of a weakening is not a weakening).
+    * The `$` root field (served by the variant binary itself) has no stats
+    * and is skipped. */
   private def shredPredicate(cond: Expression,
       vc: Map[String, Seq[(StructField, String)]]): Option[Column] = {
     def phys(e: Expression): Option[String] = e match {
@@ -87,23 +96,33 @@ object GraftVariantPrune extends Rule[LogicalPlan] with PredicateHelper {
     }
     def sv(l: Literal): Any =
       CatalystTypeConverters.convertToScala(l.value, l.dataType)
-    val parts = splitConjunctivePredicates(cond).flatMap {
-      case EqualTo(e, l: Literal) => phys(e).map(col(_) === lit(sv(l)))
-      case EqualTo(l: Literal, e) => phys(e).map(col(_) === lit(sv(l)))
-      case GreaterThan(e, l: Literal) => phys(e).map(col(_) > lit(sv(l)))
-      case GreaterThan(l: Literal, e) => phys(e).map(col(_) < lit(sv(l)))
-      case GreaterThanOrEqual(e, l: Literal) => phys(e).map(col(_) >= lit(sv(l)))
-      case GreaterThanOrEqual(l: Literal, e) => phys(e).map(col(_) <= lit(sv(l)))
-      case LessThan(e, l: Literal) => phys(e).map(col(_) < lit(sv(l)))
-      case LessThan(l: Literal, e) => phys(e).map(col(_) > lit(sv(l)))
-      case LessThanOrEqual(e, l: Literal) => phys(e).map(col(_) <= lit(sv(l)))
-      case LessThanOrEqual(l: Literal, e) => phys(e).map(col(_) >= lit(sv(l)))
-      case In(e, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        phys(e).map(p =>
+    def leaf(e: Expression): Option[Column] = e match {
+      case EqualTo(e0, l: Literal) => phys(e0).map(col(_) === lit(sv(l)))
+      case EqualTo(l: Literal, e0) => phys(e0).map(col(_) === lit(sv(l)))
+      case GreaterThan(e0, l: Literal) => phys(e0).map(col(_) > lit(sv(l)))
+      case GreaterThan(l: Literal, e0) => phys(e0).map(col(_) < lit(sv(l)))
+      case GreaterThanOrEqual(e0, l: Literal) => phys(e0).map(col(_) >= lit(sv(l)))
+      case GreaterThanOrEqual(l: Literal, e0) => phys(e0).map(col(_) <= lit(sv(l)))
+      case LessThan(e0, l: Literal) => phys(e0).map(col(_) < lit(sv(l)))
+      case LessThan(l: Literal, e0) => phys(e0).map(col(_) > lit(sv(l)))
+      case LessThanOrEqual(e0, l: Literal) => phys(e0).map(col(_) <= lit(sv(l)))
+      case LessThanOrEqual(l: Literal, e0) => phys(e0).map(col(_) >= lit(sv(l)))
+      case In(e0, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        phys(e0).map(p =>
           col(p).isin(vs.map(v => sv(v.asInstanceOf[Literal])): _*))
-      case IsNotNull(e) => phys(e).map(col(_).isNotNull)
+      case IsNotNull(e0) => phys(e0).map(col(_).isNotNull)
       case _ => None
     }
-    parts.reduceOption(_ && _)
+    def translate(e: Expression): Option[Column] = e match {
+      case And(l, r) =>
+        (translate(l), translate(r)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b)
+        }
+      case Or(l, r) =>
+        for { a <- translate(l); b <- translate(r) } yield a || b
+      case other => leaf(other)
+    }
+    translate(cond)
   }
 }

@@ -177,28 +177,16 @@ object EsIndex {
       val e = m.embedCol.getOrElse(
         throw new IllegalArgumentException("index has no vector column"))
       val model = Indexes.loadIvfModel(spark, loc)
-      val nClusters = model.centroids.length
-      def topkWithin(np: Int): DataFrame = {
-        val clusterPred = if (np >= nClusters) None
-          else Some(col("__ivf_cluster").isin(model.nearestClusters(q, np): _*))
-        val pred = (clusterPred.toSeq ++ filter.toSeq).reduceOption(_ && _)
-        Similarity.bruteForceTopK(t.read(filter = pred), e, q, k,
-          metric, "score").select(id.as("id"), col("score"))
-      }
-      var np = math.min(nprobe, nClusters)
-      if (filter.nonEmpty) {
-        // progressive escalation: a partition-pruned COUNT of the filter's
-        // survivors inside the probed clusters; while below the oversample
-        // target, widen nprobe ×4 — exact only as the last rung
-        val target = escalateFactor.toLong * k
-        def survivors(np0: Int): Long = t.read(filter = Some(
-          (col("__ivf_cluster").isin(model.nearestClusters(q, np0): _*) +:
-            filter.toSeq).reduce(_ && _))).count()
-        while (np < nClusters && survivors(np) < target)
-          np = math.min(np * 4, nClusters)
-      }
+      // the escalation ladder and the probed read are SHARED with the plain
+      // persisted IVF/RQ searches (Indexes.escalateNprobe / readProbed) —
+      // one place owns the recall contract and the IN-list→join flip
+      val np = Indexes.escalateNprobe(t, model, q, k, nprobe, filter,
+        escalateFactor)
       effNprobe = np
-      topkWithin(np)
+      val hits = Indexes.readProbed(t, model.nearestClusters(q, np),
+        model.centroids.length, filter)
+      Similarity.bruteForceTopK(hits, e, q, k, metric, "score")
+        .select(id.as("id"), col("score"))
     }
 
     val txtTop: Option[DataFrame] = if (terms.isEmpty) None else Some {
@@ -226,19 +214,9 @@ object EsIndex {
     val out = (vecTop, txtTop) match {
       case (Some(v), Some(x)) =>
         // hybrid fusion ranker (reference hybrid_search rankers):
-        // rrf (default), mrr, weighted_score
-        val (rv, rx) = (FullText.ranked(v, "id", "score"),
-          FullText.ranked(x, "id", "score"))
-        ranker match {
-          case "rrf" => FullText.rrfFuse(rv, rx, "id", rrfK0)
-            .select(col("id"), col("rrf").as("score"))
-          case "mrr" => FullText.mrrFuse(rv, rx, "id")
-            .select(col("id"), col("mrr").as("score"))
-          case "weighted_score" => FullText.weightedFuse(v, x, "id", "score")
-            .select(col("id"), col("fused").as("score"))
-          case other => throw new IllegalArgumentException(
-            s"unknown es-index ranker $other (rrf | mrr | weighted_score)")
-        }
+        // rrf (default), mrr, weighted_score — shared with the
+        // separate-index hybrid search ([[FullText.fuse]])
+        FullText.fuse(v, x, "id", ranker, rrfK0)
       case (Some(v), None) => v
       case (None, Some(x)) => x
       case _ => throw new IllegalStateException("unreachable")

@@ -99,6 +99,52 @@ object FullText {
         (coalesce(col("s1"), lit(0.0)) * w1 + coalesce(col("s2"), lit(0.0)) * w2).as("fused"))
   }
 
+  /** Fuse two (id, score) result sets with a NAMED ranker (the reference
+    * hybrid_search ranker surface: rrf | mrr | weighted_score) — one place
+    * owns the name→fusion dispatch for the es-index composite, the
+    * separate-index hybrid search, and their SQL TVF spellings. Inputs carry
+    * (`idCol`, score); output is (id, score) un-truncated. */
+  def fuse(v: DataFrame, x: DataFrame, idCol: String, ranker: String,
+           rrfK0: Int = 60): DataFrame = ranker match {
+    case "rrf" =>
+      rrfFuse(ranked(v, idCol, "score"), ranked(x, idCol, "score"), idCol, rrfK0)
+        .select(col("id"), col("rrf").as("score"))
+    case "mrr" =>
+      mrrFuse(ranked(v, idCol, "score"), ranked(x, idCol, "score"), idCol)
+        .select(col("id"), col("mrr").as("score"))
+    case "weighted_score" =>
+      weightedFuse(v, x, idCol, "score")
+        .select(col("id"), col("fused").as("score"))
+    case other => throw new IllegalArgumentException(
+      s"unknown hybrid ranker $other (rrf | mrr | weighted_score)")
+  }
+
+  /** Hybrid search over TWO SEPARATE persisted indexes — a vector index
+    * ([[Indexes.buildIvf]]) and a full-text index ([[Indexes.buildFullText]])
+    * built independently over the same id space — fused with a named ranker.
+    * This is the reference's standalone `hybrid_search` TVF shape
+    * (paimon-spark/.../PaimonTableValuedFunctions.scala:60), distinct from
+    * the es-index composite (ONE index, shared filter): a user with two
+    * existing indexes fuses them without rebuilding anything. Both sides are
+    * k-truncated rankings; the vector side reads nprobe partitions of the
+    * IVF table, the text side the query terms' posting files. */
+  def hybridIndexSearch(spark: SparkSession, vecLoc: String, textLoc: String,
+                        idCol: String, query: Seq[Float], terms: Seq[String],
+                        k: Int, ranker: String = "rrf", nprobe: Int = 8,
+                        rrfK0: Int = 60,
+                        embedCol: Option[String] = None): DataFrame = {
+    val e = embedCol.orElse(Indexes.ivfEmbedCol(spark, vecLoc))
+      .getOrElse("embedding")
+    val vecTop = Indexes.ivfSearch(spark, vecLoc, e, query, k, nprobe,
+        scoreCol = "score")
+      .select(col(idCol).as("id"), col("score"))
+    val txtTop = Indexes.fullTextSearch(spark, textLoc, terms, k)
+      .select(col("doc_id").as("id"), col("score"))
+    fuse(vecTop, txtTop, "id", ranker, rrfK0)
+      .orderBy(col("score").desc, col("id")).limit(k)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** mrr ranker: score = Σ 1/rank over the result sets containing the id. */
   def mrrFuse(a: DataFrame, b: DataFrame, idCol: String): DataFrame = {
     val sa = a.select(col(idCol).as("id"), (lit(1.0) / col("rank")).as("s1"))

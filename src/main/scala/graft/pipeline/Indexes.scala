@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.core._
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
@@ -213,7 +213,22 @@ object Indexes {
     t.write(indexed)
     t.sm.writeString(statsPath(loc, "ivf-centroids"),
       Json.write(model.centroids.map(_.toSeq)))
+    t.sm.writeString(statsPath(loc, "ivf-meta"),
+      Json.write(Map("embedCol" -> embedCol)))
     t
+  }
+
+  /** The embedding column an IVF/IVF-RQ index was built over, from its meta
+    * sidecar — lets SQL spellings (hybrid TVF) omit the column name. None
+    * for indexes built before the sidecar existed. */
+  def ivfEmbedCol(spark: SparkSession, loc: String): Option[String] = {
+    val t = GraftTable.load(spark, loc)
+    val p = statsPath(loc, "ivf-meta")
+    if (!t.sm.fs.exists(p)) None
+    else Json.mapper.readValue(t.sm.readString(p),
+      classOf[java.util.Map[String, String]]) match {
+      case m => Option(m.get("embedCol"))
+    }
   }
 
   /** Incremental IVF maintenance: assign ONLY the new batch against the
@@ -236,15 +251,76 @@ object Indexes {
     Similarity.IvfModel(cents)
   }
 
+  /** Max probed-cluster ids carried as an IN-list read predicate. Past this
+    * the probe restriction becomes a broadcast join on `__ivf_cluster`
+    * instead — an O(nProbes) literal tree is Catalyst-hostile past ~10³
+    * entries (expression-tree build/codegen cost grows with every literal),
+    * and a late escalation rung at 100-TB cluster counts probes thousands.
+    * The join keeps the ROW set identical to the IN-list (same candidates,
+    * same top-k); only manifest-level pruning is ceded, which at that probe
+    * breadth skips little anyway. */
+  val ClusterInListMax = 1024
+
+  /** Read the probed clusters' rows, composing an optional extra filter that
+    * always pushes down to the scan. Three shapes:
+    *  - probe covers every cluster → plain (filtered) read, no cluster pred;
+    *  - ≤ `inListMax` probes → pushed `isin` (manifest partition pruning);
+    *  - wider → filtered read + broadcast inner join on `__ivf_cluster`
+    *    (identical row set, no giant literal tree). */
+  private[graft] def readProbed(t: GraftTable, probes: Seq[Int], nClusters: Int,
+      extra: Option[Column], inListMax: Int = ClusterInListMax): DataFrame = {
+    if (probes.size >= nClusters) t.read(filter = extra)
+    else if (probes.size <= inListMax)
+      t.read(filter = Some((col("__ivf_cluster").isin(probes: _*) +:
+        extra.toSeq).reduce(_ && _)))
+    else {
+      import t.spark.implicits._
+      val cdf = probes.toDF("__ivf_cluster")
+      t.read(filter = extra).join(broadcast(cdf), "__ivf_cluster")
+    }
+  }
+
+  /** Progressive filtered-probe escalation, shared by the plain IVF/RQ
+    * searches and the es-index composite: a filter that keeps few rows
+    * decimates the probed clusters' candidate pool (most survivors live in
+    * clusters the query vector does not probe), silently degrading recall
+    * long before the probe is starved. Require `escalateFactor × k`
+    * filter-surviving candidates inside the probed clusters — counted with a
+    * partition-pruned, column-pruned distributed COUNT (no vector bytes
+    * read, nothing collected) — and widen nprobe ×4 per rung; exact (all
+    * clusters) only as the last rung. Returns the effective nprobe. */
+  private[graft] def escalateNprobe(t: GraftTable, model: Similarity.IvfModel,
+      query: Seq[Float], k: Int, nprobe: Int, filter: Option[Column],
+      escalateFactor: Int, inListMax: Int = ClusterInListMax): Int = {
+    val nClusters = model.centroids.length
+    var np = math.min(nprobe, nClusters)
+    if (filter.nonEmpty) {
+      val target = escalateFactor.toLong * k
+      def survivors(np0: Int): Long =
+        readProbed(t, model.nearestClusters(query, np0), nClusters, filter,
+          inListMax).count()
+      while (np < nClusters && survivors(np) < target)
+        np = math.min(np * 4, nClusters)
+    }
+    np
+  }
+
   /** Top-k over the persisted IVF index: `nprobe` clusters = partition
-    * pruning, exact scoring only within probed clusters. */
+    * pruning, exact scoring only within probed clusters. An optional
+    * `filter` masks candidates (pushed into the scan) and rides the shared
+    * escalation ladder ([[escalateNprobe]]) so selective filters cannot
+    * silently starve recall. */
   def ivfSearch(spark: SparkSession, loc: String, embedCol: String,
                 query: Seq[Float], k: Int, nprobe: Int,
-                metric: String = "cosine", scoreCol: String = "__score"): DataFrame = {
+                metric: String = "cosine", scoreCol: String = "__score",
+                filter: Option[Column] = None, escalateFactor: Int = 10,
+                inListMax: Int = ClusterInListMax): DataFrame = {
     val t = GraftTable.load(spark, loc)
     val model = loadIvfModel(spark, loc)
-    val probes = model.nearestClusters(query, nprobe)
-    val hits = t.read(filter = Some(col("__ivf_cluster").isin(probes: _*)))
+    val np = escalateNprobe(t, model, query, k, nprobe, filter,
+      escalateFactor, inListMax)
+    val hits = readProbed(t, model.nearestClusters(query, np),
+      model.centroids.length, filter, inListMax)
     Similarity.bruteForceTopK(hits.drop("__ivf_cluster"), embedCol, query, k,
       metric, scoreCol)
   }
@@ -263,7 +339,7 @@ object Indexes {
       qid -> model.nearestClusters(v, nprobe).toSet
     }.toMap
     val union = probes.values.flatten.toSeq.distinct
-    val hits = t.read(filter = Some(col("__ivf_cluster").isin(union: _*)))
+    val hits = readProbed(t, union, model.centroids.length, None)
     Similarity.batchTopK(hits, idCol, embedCol, queries, k,
       clusterCol = "__ivf_cluster", clusterProbes = probes)
   }
@@ -294,6 +370,8 @@ object Indexes {
       Json.write(model.ivf.centroids.map(_.toSeq)))
     t.sm.writeString(statsPath(loc, "rq-codebooks"),
       Json.write(model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+    t.sm.writeString(statsPath(loc, "ivf-meta"),
+      Json.write(Map("embedCol" -> embedCol)))
     t
   }
 
@@ -326,14 +404,20 @@ object Indexes {
   }
 
   /** Top-k over the persisted IVF-RQ index: nprobe partitions read, ADC
-    * candidate ranking over the code bytes, exact re-rank. */
+    * candidate ranking over the code bytes, exact re-rank. An optional
+    * `filter` masks candidates BEFORE ADC ranking (pushed into the scan) and
+    * rides the shared escalation ladder ([[escalateNprobe]]). */
   def rqSearch(spark: SparkSession, loc: String, embedCol: String,
                query: Seq[Float], k: Int, nprobe: Int, rerank: Int = 0,
-               scoreCol: String = "__score"): DataFrame = {
+               scoreCol: String = "__score", filter: Option[Column] = None,
+               escalateFactor: Int = 10,
+               inListMax: Int = ClusterInListMax): DataFrame = {
     val t = GraftTable.load(spark, loc)
     val model = loadRqModel(spark, loc)
-    val probes = model.nearestClusters(query, nprobe)
-    val hits = t.read(filter = Some(col("__ivf_cluster").isin(probes: _*)))
+    val np = escalateNprobe(t, model.ivf, query, k, nprobe, filter,
+      escalateFactor, inListMax)
+    val hits = readProbed(t, model.nearestClusters(query, np),
+      model.ivf.centroids.length, filter, inListMax)
     val r = if (rerank > 0) rerank else math.max(4 * k, 50)
     val cands = hits
       .withColumn("__adc",

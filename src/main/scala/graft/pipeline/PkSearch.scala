@@ -33,6 +33,44 @@ import org.apache.spark.sql.functions._
 object PkSearch {
 
   private def sidecar(loc: String) = new Path(loc, "index/pk-search.json")
+  private def vecRefPath(tblLoc: String) = new Path(tblLoc, "index/pk-search-ref.json")
+  private def ftRefPath(tblLoc: String) = new Path(tblLoc, "index/pk-fulltext.json")
+
+  /** The table→index back-reference [[buildVectorIndex]] writes: lets the
+    * SQL TVF (`graft_vector_search('<pk-table>', …)`) route a TABLE path
+    * through the file-aligned search without naming the index — the
+    * reference's TVFs take the table, not the index
+    * (BatchVectorSearchBuilderImpl wiring). */
+  case class VectorRef(idxLoc: String, embedCol: String)
+
+  def vectorRef(tbl: GraftTable): Option[VectorRef] = {
+    val p = vecRefPath(tbl.location)
+    if (!tbl.sm.fs.exists(p)) None
+    else {
+      val m = Json.mapper.readValue(tbl.sm.readString(p),
+        classOf[java.util.Map[String, String]])
+      Some(VectorRef(m.get("idxLoc"), m.get("embedCol")))
+    }
+  }
+
+  /** Register the (idCol, textCol) pair [[fullTextSearch]] needs so the SQL
+    * TVF (`graft_full_text_search('<pk-table>', …)`) can route a TABLE path
+    * through the merged-state BM25 search. */
+  case class FullTextRef(idCol: String, textCol: String)
+
+  def registerFullText(tbl: GraftTable, idCol: String, textCol: String): Unit =
+    tbl.sm.writeString(ftRefPath(tbl.location),
+      Json.write(Map("idCol" -> idCol, "textCol" -> textCol)))
+
+  def fullTextRef(tbl: GraftTable): Option[FullTextRef] = {
+    val p = ftRefPath(tbl.location)
+    if (!tbl.sm.fs.exists(p)) None
+    else {
+      val m = Json.mapper.readValue(tbl.sm.readString(p),
+        classOf[java.util.Map[String, String]])
+      Some(FullTextRef(m.get("idCol"), m.get("textCol")))
+    }
+  }
 
   /** Build a vector index table aligned to `tbl`'s current snapshot: the
     * merged (MOR + DV-applied) rows, IVF-cluster-partitioned; the sidecar
@@ -46,6 +84,8 @@ object PkSearch {
       loc, nClusters, seed)
     idx.sm.writeString(sidecar(loc),
       Json.write(Map("sourceSnapshot" -> snap, "sourceLocation" -> tbl.location)))
+    tbl.sm.writeString(vecRefPath(tbl.location),
+      Json.write(Map("idxLoc" -> loc, "embedCol" -> embedCol)))
     idx
   }
 
@@ -82,8 +122,8 @@ object PkSearch {
     val probes = model.nearestClusters(query, nprobe)
     val pks = tbl.config.primaryKeys
 
-    val idxProbe0 = idx
-      .read(filter = Some(col("__ivf_cluster").isin(probes: _*)))
+    val idxProbe0 = Indexes
+      .readProbed(idx, probes, model.centroids.length, None)
       .drop("__ivf_cluster")
     val idxProbe = partitionFilter.map(idxProbe0.filter).getOrElse(idxProbe0)
 

@@ -171,6 +171,74 @@ class AnnRecallSpec extends SparkTestBase {
     assert(rStarved == 1.0, f"escalation must make the starved case exact: $rStarved%.3f")
   }
 
+  test("plain IVF filtered recall@10 across filter selectivities; starved case exact") {
+    // same grid as the es-index sweep but through the PLAIN persisted index
+    // route (Indexes.ivfSearch with a filter) — the escalation ladder is
+    // SHARED (Indexes.escalateNprobe), so the recall contract must hold
+    // identically without building a composite index
+    val loc = tmpLoc("ivf-filtered-recall")
+    Indexes.buildIvf(spark,
+      corpus.withColumn("pct", (col("vid") % 100).cast("int")),
+      "emb", loc, nClusters = nCenters, seed = 42L)
+    val sweep = Seq(50, 10, 1).map { cut =>
+      val exact = queries.map(q =>
+        Similarity.bruteForceTopK(corpus.filter(col("vid") % 100 < cut),
+            "emb", q, k)
+          .select("vid").as[Long].collect().toSet)
+      val got = queries.map(q =>
+        Indexes.ivfSearch(spark, loc, "emb", q, k, nprobe = 8,
+            filter = Some(col("pct") < cut))
+          .select("vid").as[Long].collect().toSet)
+      cut -> recall(got, exact)
+    }
+    info(sweep.map { case (c, r) => f"sel=$c%d%% recall@10=$r%.3f" }.mkString("  "))
+    sweep.foreach { case (c, r) =>
+      assert(r >= 0.9, f"filtered recall@10 at $c%% selectivity was $r%.3f: $sweep") }
+    // starved filter (10 survivors corpus-wide): the shared ladder must end
+    // exact, so recall is 1.0 by construction
+    val starvedExact = queries.map(q =>
+      Similarity.bruteForceTopK(corpus.filter(col("vid") % 5000 === 0), "emb", q, k)
+        .select("vid").as[Long].collect().toSet)
+    val starvedGot = queries.map(q =>
+      Indexes.ivfSearch(spark, loc, "emb", q, k, nprobe = 8,
+          filter = Some(col("vid") % 5000 === 0))
+        .select("vid").as[Long].collect().toSet)
+    val rStarved = recall(starvedGot, starvedExact)
+    info(f"starved (10 survivors) plain-route recall@10=$rStarved%.3f")
+    assert(rStarved == 1.0, f"shared ladder must make the starved case exact: $rStarved%.3f")
+    // filtered RQ search shares the same ladder — spot-check one starved query
+    val rqLoc = tmpLoc("rq-filtered-recall")
+    Indexes.buildIvfRq(spark,
+      corpus.withColumn("pct", (col("vid") % 100).cast("int")), "emb", rqLoc,
+      dim, nClusters = nCenters, m = 8, ks = 16, sampleFraction = 0.2, seed = 42L)
+    val rqGot = Indexes.rqSearch(spark, rqLoc, "emb", queries.head, k,
+        nprobe = 8, rerank = 10 * k, filter = Some(col("vid") % 5000 === 0))
+      .select("vid").as[Long].collect().toSet
+    assert(rqGot == starvedExact.head,
+      s"starved filtered RQ search must be exact: got $rqGot, want ${starvedExact.head}")
+  }
+
+  test("probe restriction flips from IN-list to broadcast join past inListMax; results identical") {
+    // past ClusterInListMax probed clusters the cluster restriction must stop
+    // being an O(nProbes) literal tree (Catalyst-hostile past ~10³ literals at
+    // 100-TB cluster counts) and become a broadcast join on __ivf_cluster —
+    // with the IDENTICAL row set. Force the flip with a tiny inListMax.
+    val loc = tmpLoc("ivf-inlist-flip")
+    Indexes.buildIvf(spark, corpus, "emb", loc, nClusters = nCenters, seed = 42L)
+    val q = queries.head
+    val viaInList = Indexes.ivfSearch(spark, loc, "emb", q, k, nprobe = 8,
+      inListMax = Indexes.ClusterInListMax)
+    val viaJoin = Indexes.ivfSearch(spark, loc, "emb", q, k, nprobe = 8,
+      inListMax = 2)
+    assert(viaJoin.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "past inListMax the probe restriction must plan as a broadcast join")
+    assert(!viaInList.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "within inListMax the probe restriction must stay a pushed IN-list")
+    val a = viaInList.select("vid").as[Long].collect().toSeq
+    val b = viaJoin.select("vid").as[Long].collect().toSeq
+    assert(a == b, s"join-based probe restriction changed the result: $a vs $b")
+  }
+
   test("int8 recall@10 with exact rerank reaches 0.95") {
     val exact = queries.map(exactTop)
     val quant = corpus.withColumn("q8", Similarity.quantizeInt8(col("emb"))).persist()

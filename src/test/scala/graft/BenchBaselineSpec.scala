@@ -22,4 +22,20 @@ class BenchBaselineSpec extends SparkTestBase {
       assertSameRows(graft, renamed)
     }
   }
+
+  test("a poisoned timed run is flagged in the errors map, never a silent fast sample") {
+    // a query that starts failing AFTER its prebuild records time-to-throw —
+    // the artifact must carry a per-query error count so that number can
+    // never read as a legitimate (fast!) result
+    var n = 0
+    val (times, errs) = Bench.timedRuns(4) {
+      n += 1
+      if (n >= 3) throw new RuntimeException("poisoned")
+    }
+    assert(times.length == 4 && errs == 2)
+    val json = Bench.errorsJson(Seq(
+      "q_ok" -> ((Seq(0.1, 0.1), 0)), "q_poisoned" -> ((times, errs))))
+    assert(json == """{"q_poisoned":2}""", json)
+    assert(Bench.errorsJson(Seq("q_ok" -> ((Seq(0.1), 0)))) == "{}")
+  }
 }

@@ -58,6 +58,16 @@ class PkSearchSpec extends SparkTestBase {
       .select("vid").as[Long].collect().toSet
     assert(all.forall(_ % 7 != 0), "DV-deleted keys leaked from the index route")
     assert(all == t.read().select("vid").as[Long].collect().toSet)
+
+    // the SQL TVF spelling routes the TABLE path through the same
+    // file-aligned search (back-reference sidecar) — DV-leak assertion
+    // re-run through graft_vector_search
+    val arr = query.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+    val viaTvf = spark.sql(
+      s"SELECT vid, score FROM graft_vector_search('$loc', 1000, 4, $arr)")
+      .select("vid").as[Long].collect().toSet
+    assert(viaTvf.forall(_ % 7 != 0), "DV-deleted keys leaked through the TVF")
+    assert(viaTvf == all, "TVF route must equal the Scala API route")
     emb.unpersist()
   }
 

@@ -1,0 +1,80 @@
+package graft
+
+import graft.core._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-dialect type mapping (SURVEY §1.2 matrix; reference
+  * SparkTypeUtils.java) — in particular the two spellings Spark DDL lacks:
+  * TIME(p) → millis-of-day int and MULTISET<e> → MAP<e, INT NOT NULL>. */
+class RefTypesSpec extends SparkTestBase {
+
+  test("the §1.2 matrix maps, including reference-only spellings") {
+    val cases = Seq(
+      "TIME(3)" -> IntegerType,
+      "TIME" -> IntegerType,
+      "MULTISET<STRING>" -> MapType(StringType, IntegerType, valueContainsNull = false),
+      "MULTISET<INT>" -> MapType(IntegerType, IntegerType, valueContainsNull = false),
+      "VECTOR<FLOAT, 128>" -> ArrayType(FloatType, containsNull = false),
+      "BLOB" -> BinaryType,
+      "TIMESTAMP(6)" -> TimestampNTZType,
+      "TIMESTAMP_LTZ" -> TimestampType,
+      "TIMESTAMP WITH LOCAL TIME ZONE" -> TimestampType,
+      "VARCHAR(10)" -> StringType,
+      "CHAR(2)" -> StringType,
+      "DECIMAL(20, 4)" -> DecimalType(20, 4),
+      "TINYINT" -> ByteType,
+      "SMALLINT" -> ShortType,
+      "VARBINARY(64)" -> BinaryType,
+      "VARIANT" -> VariantType,
+      // nesting recurses through the reference-only spellings
+      "ARRAY<MULTISET<INT>>" ->
+        ArrayType(MapType(IntegerType, IntegerType, valueContainsNull = false)),
+      "MAP<STRING, TIME(3)>" -> MapType(StringType, IntegerType),
+      "ROW<a INT, b MULTISET<STRING>>" -> StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("b", MapType(StringType, IntegerType, valueContainsNull = false)))),
+      // plain Spark DDL passes through
+      "STRUCT<x: BIGINT, y: STRING>" ->
+        StructType(Seq(StructField("x", LongType), StructField("y", StringType))))
+    cases.foreach { case (ref, want) =>
+      assert(RefTypes.toSpark(ref) == want, s"$ref mapped wrong")
+    }
+    assert(RefTypes.fieldToSpark("t", "TIME(0) NOT NULL") ==
+      StructField("t", IntegerType, nullable = false))
+  }
+
+  test("TIME + MULTISET columns round-trip through a table and schema-evolve") {
+    val loc = tmpLoc("reftypes-rt")
+    val schema = RefTypes.schemaToSpark(Seq(
+      "id" -> "BIGINT NOT NULL", "t" -> "TIME(3)", "bag" -> "MULTISET<STRING>"))
+    val t = GraftTable.create(spark, loc, schema, TableConfig())
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 34200000, Map("a" -> 2, "b" -> 1)), // 09:30:00 as millis-of-day
+        Row(2L, 0, Map("x" -> 3))),
+      schema)
+    t.write(rows)
+    val back = GraftTable.load(spark, loc).read().orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back(0).getInt(1) == 34200000 && back(1).getInt(1) == 0)
+    assert(back(0).getMap[String, Int](2).toMap == Map("a" -> 2, "b" -> 1))
+    // millis-of-day int is directly usable as a time in queries
+    val asTime = GraftTable.load(spark, loc).read()
+      .select(date_format(timestamp_millis(col("t")), "HH:mm:ss").as("hms"))
+      .orderBy("hms").collect().map(_.getString(0)).toSeq
+    assert(asTime == Seq("00:00:00", "09:30:00"))
+
+    // schema evolution: ADD a reference-typed column, old files read null
+    t.addColumns(RefTypes.fieldToSpark("counts", "MULTISET<INT>"))
+    val t2 = GraftTable.load(spark, loc)
+    t2.write(spark.createDataFrame(
+      java.util.Arrays.asList(Row(3L, 60000, Map("c" -> 1), Map(7 -> 2))),
+      schema.add(RefTypes.fieldToSpark("counts", "MULTISET<INT>"))))
+    val evolved = GraftTable.load(spark, loc).read().orderBy("id").collect()
+    assert(evolved.length == 3)
+    assert(evolved(0).isNullAt(3), "pre-evolution rows read null for the added multiset")
+    assert(evolved(2).getMap[Int, Int](3).toMap == Map(7 -> 2))
+  }
+}

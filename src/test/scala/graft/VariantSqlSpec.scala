@@ -156,6 +156,33 @@ class VariantSqlSpec extends SparkTestBase {
     assert(plan.contains("shredPruned=true"), s"prune rule must fire:\n$plan")
     assert(plan.contains("files=1"),
       s"only the last file's [3000,3990] range survives tl>3500:\n$plan")
+
+    // OR-tree translation: a disjunction of translatable branches prunes too
+    // (branch-wise weakening — (a∧b)∨c ⇒ a∨c) — here the low and high range
+    // files survive, the middle two skip
+    val orDf = spark.sql(
+      s"""SELECT doc_id, variant_get(meta, '$$.text_len', 'int') AS tl
+         |FROM vsql.db.t_skip
+         |WHERE variant_get(meta, '$$.text_len', 'int') > 3500
+         |   OR (variant_get(meta, '$$.text_len', 'int') < 500
+         |       AND variant_get(meta, '$$.lang', 'string') = 'en')""".stripMargin)
+    assert(orDf.count() == 99)
+    val orPlan = planOf(orDf)
+    assert(orPlan.contains("shredPruned=true"),
+      s"prune rule must fire on an OR tree:\n$orPlan")
+    assert(orPlan.contains("files=2"),
+      s"[0,990] and [3000,3990] survive tl>3500 OR (tl<500 AND lang='en'):\n$orPlan")
+
+    // an OR with an untranslatable branch must prune NOTHING (that branch
+    // could match any file) — conservative, never wrong
+    val mixedDf = spark.sql(
+      s"""SELECT doc_id FROM vsql.db.t_skip
+         |WHERE variant_get(meta, '$$.text_len', 'int') > 3500
+         |   OR doc_id % 97 = 0""".stripMargin)
+    assert(mixedDf.count() == 49 + 4) // 4 extra: doc_id 0,97,194,291 (388 in >3500 set... )
+    val mixedPlan = planOf(mixedDf)
+    assert(!mixedPlan.contains("shredPruned=true"),
+      s"an OR with an untranslatable branch must not prune:\n$mixedPlan")
   }
 
   test("fuzz: randomized variant_get queries match Spark's decode path") {
