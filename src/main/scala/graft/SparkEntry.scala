@@ -934,6 +934,18 @@ object SparkEntry {
         filter = Some(col("lang") === "en"), nprobe = 8, ranker = "mrr")
         .select(col("doc_id"), round(col("score"), 6).as("mrr"))
     }),
+    // the same hybrid-MRR query through the TVF's optional ranker arg —
+    // the SQL spelling of a non-default ranker
+    "q_es_tvf_hybrid" -> ((s, d) => {
+      val idx = Fixtures.esHybridIndex(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT doc_id, round(score, 6) AS mrr
+           |FROM graft_es_search('${idx.location}', 10,
+           |  'table scan fast merge', $arr, 8, "lang = 'en'", 'mrr')""".stripMargin)
+    }),
     // weighted_score ranker: each side's k-truncated scores min-max
     // normalized to [0,1], fused 0.5·s1 + 0.5·s2
     "q_es_hybrid_weighted" -> ((s, d) => {
@@ -1476,6 +1488,30 @@ object SparkEntry {
        |    COALESCE(1.0/(60+t.r), 0) + COALESCE(1.0/(60+v.r), 0) AS rrf
        |  FROM txt t FULL OUTER JOIN vec v ON t.id = v.id)
        |SELECT id, round(rrf, 6) AS rrf FROM fused ORDER BY round(rrf,6) DESC, id LIMIT 10""".stripMargin
+
+  // hybrid MRR fusion through the composite es-index — shared by the Scala
+  // API row (q_es_hybrid_mrr) and the TVF-with-ranker spelling
+  // (q_es_tvf_hybrid): identical semantics, identical oracle
+  private lazy val esHybridMrrOracle =
+    s"""WITH ${bm25Cte()},
+       |vecr AS (
+       |  SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r FROM (
+       |    SELECT e.vec_id AS id, list_cosine_similarity(e.embedding::DOUBLE[],
+       |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+       |    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |    WHERE d.lang = 'en')
+       |  QUALIFY r <= 10),
+       |txtr AS (
+       |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM (
+       |    SELECT s.doc_id AS id, s.score FROM scored s
+       |    JOIN documents d ON d.doc_id = s.doc_id WHERE d.lang = 'en')
+       |  QUALIFY r <= 10),
+       |fused AS (
+       |  SELECT COALESCE(v.id, t.id) AS doc_id,
+       |    COALESCE(1.0/v.r, 0) + COALESCE(1.0/t.r, 0) AS mrr
+       |  FROM vecr v FULL OUTER JOIN txtr t ON v.id = t.id)
+       |SELECT doc_id, round(mrr, 6) AS mrr FROM fused
+       |ORDER BY round(mrr, 6) DESC, doc_id LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- oracles
 
@@ -2069,26 +2105,8 @@ object SparkEntry {
          |  FROM vecr v FULL OUTER JOIN txtr t ON v.id = t.id)
          |SELECT doc_id, round(rrf, 6) AS rrf FROM fused
          |ORDER BY round(rrf, 6) DESC, doc_id LIMIT 10""".stripMargin,
-    "q_es_hybrid_mrr" ->
-      s"""WITH ${bm25Cte()},
-         |vecr AS (
-         |  SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r FROM (
-         |    SELECT e.vec_id AS id, list_cosine_similarity(e.embedding::DOUBLE[],
-         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
-         |    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
-         |    WHERE d.lang = 'en')
-         |  QUALIFY r <= 10),
-         |txtr AS (
-         |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM (
-         |    SELECT s.doc_id AS id, s.score FROM scored s
-         |    JOIN documents d ON d.doc_id = s.doc_id WHERE d.lang = 'en')
-         |  QUALIFY r <= 10),
-         |fused AS (
-         |  SELECT COALESCE(v.id, t.id) AS doc_id,
-         |    COALESCE(1.0/v.r, 0) + COALESCE(1.0/t.r, 0) AS mrr
-         |  FROM vecr v FULL OUTER JOIN txtr t ON v.id = t.id)
-         |SELECT doc_id, round(mrr, 6) AS mrr FROM fused
-         |ORDER BY round(mrr, 6) DESC, doc_id LIMIT 10""".stripMargin,
+    "q_es_hybrid_mrr" -> esHybridMrrOracle,
+    "q_es_tvf_hybrid" -> esHybridMrrOracle,
     "q_es_hybrid_weighted" ->
       s"""WITH ${bm25Cte()},
          |vk AS (

@@ -188,17 +188,20 @@ object GraftTableFunctions {
     },
     // Composite es-index search: vector and/or terms under one companion
     // filter ('' / NULL to omit a part); filter is a SQL boolean over the
-    // index's companion columns
+    // index's companion columns; optional trailing ranker for hybrid
+    // queries (rrf default | mrr | weighted_score)
     fd("graft_es_search") { args =>
-      require(args.length == 6,
-        "graft_es_search(indexPath, k, 'terms', queryVec, nprobe, 'filterSql')")
+      require(args.length == 6 || args.length == 7,
+        "graft_es_search(indexPath, k, 'terms', queryVec, nprobe, 'filterSql'[, ranker])")
       val terms = Option(args(2).eval()).map(_.toString)
         .map(_.split("\\s+").filter(_.nonEmpty).toSeq).getOrElse(Nil)
       val vec = Option(args(3).eval()).map(_ => floats(args(3)))
       val filter = Option(args(5).eval()).map(_.toString.trim).filter(_.nonEmpty)
         .map(org.apache.spark.sql.functions.expr)
+      val ranker = if (args.length == 7) str(args(6)) else "rrf"
       plan(graft.pipeline.EsIndex.search(spark, str(args(0)),
-        lng(args(1)).toInt, vec, terms, filter, nprobe = lng(args(4)).toInt))
+        lng(args(1)).toInt, vec, terms, filter, nprobe = lng(args(4)).toInt,
+        ranker = ranker))
     },
     fd("graft_system") { args =>
       require(args.length == 2, "graft_system(table, name)")
