@@ -240,17 +240,12 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
   // ---- DSv2 scan metrics (Spark SQL UI) — the idiomatic-Spark bridge of
   // the reference's ScanMetrics (docs/maintenance/metrics.md): planning
   // results surface on the scan node as driver metrics.
-  private def mkMetric(n: String, d: String) =
-    new org.apache.spark.sql.connector.metric.CustomSumMetric {
-      override def name(): String = n
-      override def description(): String = d
-    }
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-    mkMetric("plannedFiles", "planned data files"),
-    mkMetric("plannedBytes", "planned data bytes"),
-    mkMetric("skippedFiles", "files skipped by stats/partition pruning"),
-    mkMetric("deletionVectorFiles", "files read under a deletion vector"))
+    new GraftScanMetric("plannedFiles", "planned data files"),
+    new GraftScanMetric("plannedBytes", "planned data bytes"),
+    new GraftScanMetric("skippedFiles", "files skipped by stats/partition pruning"),
+    new GraftScanMetric("deletionVectorFiles", "files read under a deletion vector"))
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
     def m(n: String, v: Long) =
@@ -268,6 +263,18 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
       m("deletionVectorFiles",
         entries.count(e => dv.contains(graft.core.GraftTable.dvKey(e.path))).toLong))
   }
+}
+
+/** Scan-node sum metric. A TOP-LEVEL class with a 0-arg constructor on
+  * purpose: SQLAppStatusListener re-instantiates the metric class by name to
+  * aggregate task values for the UI — an anonymous class makes every job
+  * end with a "did not have a zero-argument constructor" warning and the
+  * metric silently missing from the SQL tab. */
+class GraftScanMetric(n: String, d: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  def this() = this("", "")
+  override def name(): String = n
+  override def description(): String = d
 }
 
 object GraftBatchScan {

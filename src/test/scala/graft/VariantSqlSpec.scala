@@ -173,6 +173,17 @@ class VariantSqlSpec extends SparkTestBase {
     assert(orPlan.contains("files=2"),
       s"[0,990] and [3000,3990] survive tl>3500 OR (tl<500 AND lang='en'):\n$orPlan")
 
+    // a try_variant_get filter prunes identically — the pushdown rewrite
+    // turns both forms into the same struct-field access over the retyped
+    // attribute, so GraftVariantPrune sees one shape
+    val tryDf = spark.sql(
+      s"""SELECT doc_id FROM vsql.db.t_skip
+         |WHERE try_variant_get(meta, '$$.text_len', 'int') > 3500""".stripMargin)
+    assert(tryDf.count() == 49)
+    val tryPlan = planOf(tryDf)
+    assert(tryPlan.contains("shredPruned=true") && tryPlan.contains("files=1"),
+      s"try_variant_get filter must file-skip like variant_get:\n$tryPlan")
+
     // an OR with an untranslatable branch must prune NOTHING (that branch
     // could match any file) — conservative, never wrong
     val mixedDf = spark.sql(
