@@ -45,7 +45,7 @@ private[dsv2] trait GraftVariantPrunable {
  * the native path ([[GraftVariantBatchScan]]) only ever serves final rows
  * (raw-convertible), so the full predicate may prune.
  */
-object GraftVariantPrune extends Rule[LogicalPlan] with PredicateHelper {
+object GraftVariantPrune extends Rule[LogicalPlan] {
 
   /** Idempotently append this rule to `spark.experimental.extraOptimizations`
     * (the "User Provided Optimizers" batch). Called from the catalog init
