@@ -984,6 +984,40 @@ object Fixtures {
       t
     }
 
+  /** Append-table documents copy whose BM25 index is managed through the
+    * SQL procedure lifecycle: CALL create_global_index on 90% of the corpus,
+    * append the rest, CALL refresh_global_index (delta-only postings +
+    * df/corpus-stat merge) — one oracle row covers create AND refresh. */
+  def lcDocs(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_docs") { loc =>
+      val docs = src(spark, sfDir, "documents").select("doc_id", "text")
+      val t = GraftTable.createOrReplace(spark, loc, docs.schema, TableConfig())
+      t.write(docs.filter(col("doc_id") % 10 =!= 0))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "text", "index_type" -> "full-text",
+          "id_column" -> "doc_id")).collect()
+      t.write(docs.filter(col("doc_id") % 10 === 0))
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "full-text")).collect()
+      t
+    }
+
+  /** Append-table embeddings copy with a CALL-managed IVF index: create on
+    * 90%, append the rest, refresh (delta assigned to existing centroids). */
+  def lcEmb(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_emb") { loc =>
+      val emb = src(spark, sfDir, "embeddings")
+      val t = GraftTable.createOrReplace(spark, loc, emb.schema, TableConfig())
+      t.write(emb.filter(col("vec_id") % 10 =!= 0))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "embedding", "index_type" -> "ivf",
+          "clusters" -> "8")).collect()
+      t.write(emb.filter(col("vec_id") % 10 === 0))
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "ivf")).collect()
+      t
+    }
+
   /** Persisted full-text postings index over documents (term-range-clustered
     * graft table + corpus-stats sidecar). */
   def ftIndex(spark: SparkSession, sfDir: String): GraftTable =

@@ -1000,6 +1000,28 @@ object SparkEntry {
            |  'table scan fast merge', 1000000)
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
     }),
+    // FULL SQL INDEX LIFECYCLE (reference CALL sys.create_global_index with
+    // index_type ivf / full-text): the fixture creates the index on 90% of
+    // the corpus via CALL, appends the rest, CALL-refreshes (delta-only
+    // maintenance), and the search TVF routes the TABLE path — one row
+    // oracle-gates create + refresh + route end-to-end
+    "q_call_index_fulltext" -> ((s, d) => {
+      val tbl = Fixtures.lcDocs(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${tbl.location}',
+           |  'table scan fast merge', 1000000)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
+    "q_call_index_vector" -> ((s, d) => {
+      val tbl = Fixtures.lcEmb(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, round(score, 4) AS sim
+           |FROM graft_vector_search('${tbl.location}', 10, 8, $arr)""".stripMargin)
+    }),
     // SQL spelling of SEPARATE-INDEX hybrid search (reference hybrid_search
     // TVF): fuse an existing IVF index and an existing BM25 index by RRF —
     // no composite rebuild, no Scala
@@ -2166,6 +2188,14 @@ object SparkEntry {
       "SELECT 'sysc' AS consumer_id, CAST(2 AS BIGINT) AS next_snapshot_id",
     "q_fulltext_bm25" -> bm25Oracle,
     "q_fulltext_tvf" -> bm25Oracle,
+    "q_call_index_fulltext" -> bm25Oracle,
+    "q_call_index_vector" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_vector_tvf" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
         |  SELECT e.vec_id,

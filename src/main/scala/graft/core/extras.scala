@@ -218,19 +218,60 @@ object Procedures {
           new Path(table.location, s"partition-mark/$part.done"))
         ok(s"$done")
       case "create_global_index" =>
-        // persisted secondary index over an unclustered column (paimon
-        // global index tables; equality + sorted lookups share one build)
-        graft.pipeline.GlobalIndex.build(spark, table.location, args("column"))
-        ok(s"global index built on ${args("column")}")
+        // persisted secondary index over an unclustered column — btree/
+        // bitmap (equality + sorted lookups, GlobalIndex), ivf (vector,
+        // file-aligned on PK tables), full-text (BM25 postings); the
+        // reference's CALL sys.create_global_index(index_column, index_type)
+        // surface (docs/multimodal-table/global-index.mdx:119)
+        val col = args.getOrElse("index_column", args.getOrElse("column",
+          throw new IllegalArgumentException("index_column required")))
+        args.getOrElse("index_type", "btree") match {
+          case "btree" | "bitmap" =>
+            graft.pipeline.GlobalIndex.build(spark, table.location, col)
+            ok(s"global index built on $col")
+          case "ivf" | "vector" =>
+            ok(graft.pipeline.IndexLifecycle.createVector(table, col,
+              nClusters = args.getOrElse("clusters", "16").toInt,
+              seed = args.getOrElse("seed", "42").toLong))
+          case "full-text" | "fulltext" =>
+            ok(graft.pipeline.IndexLifecycle.createFullText(table,
+              args.getOrElse("id_column",
+                table.config.primaryKeys.headOption.getOrElse(
+                  throw new IllegalArgumentException(
+                    "id_column required for a full-text index on an append table"))),
+              col))
+          case other =>
+            throw new IllegalArgumentException(s"unknown index_type $other " +
+              "(btree | bitmap | ivf | full-text)")
+        }
       case "refresh_global_index" =>
-        graft.pipeline.GlobalIndex.refresh(spark, table.location, args("column"))
-        ok(s"global index on ${args("column")} refreshed incrementally")
+        args.getOrElse("index_type", "btree") match {
+          case "btree" | "bitmap" =>
+            val col = args.getOrElse("index_column", args("column"))
+            graft.pipeline.GlobalIndex.refresh(spark, table.location, col)
+            ok(s"global index on $col refreshed incrementally")
+          case "ivf" | "vector" =>
+            ok(graft.pipeline.IndexLifecycle.refreshVector(table))
+          case "full-text" | "fulltext" =>
+            ok(graft.pipeline.IndexLifecycle.refreshFullText(table))
+          case other =>
+            throw new IllegalArgumentException(s"unknown index_type $other")
+        }
       case "drop_global_index" =>
-        val fs = table.sm.fs
-        val c = args("column")
-        fs.delete(new Path(table.location, s"index/global-$c"), true)
-        fs.delete(new Path(table.location, s"index/global-$c.json"), false)
-        ok(s"global index on $c dropped")
+        args.getOrElse("index_type", "btree") match {
+          case "btree" | "bitmap" =>
+            val fs = table.sm.fs
+            val c = args.getOrElse("index_column", args("column"))
+            fs.delete(new Path(table.location, s"index/global-$c"), true)
+            fs.delete(new Path(table.location, s"index/global-$c.json"), false)
+            ok(s"global index on $c dropped")
+          case "ivf" | "vector" =>
+            ok(graft.pipeline.IndexLifecycle.dropVector(table))
+          case "full-text" | "fulltext" =>
+            ok(graft.pipeline.IndexLifecycle.dropFullText(table))
+          case other =>
+            throw new IllegalArgumentException(s"unknown index_type $other")
+        }
       case "migrate_table" =>
         // import an external format directory (paimon MigrateTableProcedure)
         val snap = CopyInto.copyIn(spark, table, args("source_path"),

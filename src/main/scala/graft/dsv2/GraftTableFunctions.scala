@@ -147,8 +147,10 @@ object GraftTableFunctions {
       val terms = str(args(1)).split("\\s+").filter(_.nonEmpty).toSeq
       val k = lng(args(2)).toInt
       plan(graft.pipeline.PkSearch.fullTextRef(t) match {
-        case Some(ref) =>
+        case Some(ref) if ref.kind == "pk" =>
           graft.pipeline.PkSearch.fullTextSearch(t, ref.idCol, ref.textCol, terms, k)
+        case Some(ref) => // "plain": CALL-created persisted postings index
+          graft.pipeline.Indexes.fullTextSearch(spark, ref.idxLoc.get, terms, k)
         case None =>
           graft.pipeline.Indexes.fullTextSearch(spark, t.location, terms, k)
       })
@@ -163,8 +165,11 @@ object GraftTableFunctions {
       val t = resolveTable(str(args(0)))
       val (k, np, vec) = (lng(args(1)).toInt, lng(args(2)).toInt, floats(args(3)))
       plan(graft.pipeline.PkSearch.vectorRef(t) match {
-        case Some(ref) =>
+        case Some(ref) if ref.kind == "pk" =>
           graft.pipeline.PkSearch.vectorSearch(t, ref.idxLoc, ref.embedCol,
+            vec, k, np, scoreCol = "score")
+        case Some(ref) => // "plain": CALL-created persisted IVF index
+          graft.pipeline.Indexes.ivfSearch(spark, ref.idxLoc, ref.embedCol,
             vec, k, np, scoreCol = "score")
         case None =>
           val e = graft.pipeline.Indexes.ivfEmbedCol(spark, t.location)

@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import graft.core._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * SQL lifecycle for the SEARCH index families — the `CALL
+ * sys.create_global_index / refresh_global_index / drop_global_index`
+ * surface of the reference with `index_type => 'ivf' | 'full-text'`
+ * (docs/docs/multimodal-table/global-index.mdx:119-175; btree/bitmap are
+ * [[GlobalIndex]]). Indexes live at CONVENTIONAL locations inside the table
+ * directory and write the table→index back-references
+ * ([[PkSearch.VectorRef]]/[[PkSearch.FullTextRef]]), so after one CALL the
+ * existing search TVFs route the TABLE path with no further wiring:
+ *
+ * {{{
+ *   CALL <table>.create_global_index(index_column => 'embedding',
+ *                                    index_type => 'ivf', clusters => '16')
+ *   SELECT * FROM graft_vector_search('<table>', 10, 4, array(...))
+ * }}}
+ *
+ * Build/refresh posture by table kind:
+ *  - PRIMARY-KEY table + ivf → [[PkSearch.buildVectorIndex]] (file-aligned,
+ *    changelog-reconciled at query time); refresh = re-align rebuild.
+ *  - PK table + full-text → [[PkSearch.registerFullText]] (merged-state
+ *    postings are derived at query time — nothing to build or refresh).
+ *  - APPEND table + ivf/full-text → persisted index over the current
+ *    snapshot plus a source-snapshot sidecar; REFRESH assigns/tokenizes
+ *    only the `incremental(s0, cur)` delta (append tables: exactly the new
+ *    rows) — maintenance pays O(delta), never O(table).
+ */
+object IndexLifecycle {
+
+  def vectorIndexLoc(tableLoc: String, col: String): String =
+    s"$tableLoc/index/ivf-$col"
+  def fullTextIndexLoc(tableLoc: String, col: String): String =
+    s"$tableLoc/index/fulltext-$col"
+
+  /** Source-snapshot sidecar for append-table indexes (what refresh diffs
+    * against). PK vector indexes keep their own (pk-search.json). */
+  private def sourcePath(idxLoc: String) = new Path(idxLoc, "index/source.json")
+
+  private def writeSource(spark: SparkSession, idxLoc: String, snap: Long): Unit =
+    GraftTable.load(spark, idxLoc).sm.writeString(sourcePath(idxLoc),
+      Json.write(Map("sourceSnapshot" -> snap)))
+
+  private def readSource(spark: SparkSession, idxLoc: String): Long = {
+    val t = GraftTable.load(spark, idxLoc)
+    Json.mapper.readValue(t.sm.readString(sourcePath(idxLoc)),
+      classOf[java.util.Map[String, Any]])
+      .get("sourceSnapshot").asInstanceOf[Number].longValue()
+  }
+
+  private def currentSnapshot(tbl: GraftTable): Long =
+    tbl.sm.latestSnapshotId.getOrElse(
+      throw new IllegalStateException(s"${tbl.location}: empty table"))
+
+  /** CREATE index_type=ivf: file-aligned for PK tables, persisted
+    * IVF-partitioned index + source sidecar for append tables. Either way
+    * the back-reference makes `graft_vector_search('<table>', …)` work. */
+  def createVector(tbl: GraftTable, embedCol: String,
+                   nClusters: Int = 16, seed: Long = 42L): String = {
+    val loc = vectorIndexLoc(tbl.location, embedCol)
+    if (tbl.config.isPrimaryKeyed) {
+      PkSearch.buildVectorIndex(tbl, embedCol, loc, nClusters, seed)
+      s"file-aligned ivf index built at $loc"
+    } else {
+      val snap = currentSnapshot(tbl)
+      Indexes.buildIvf(tbl.spark, tbl.read(None, Some(snap)), embedCol, loc,
+        nClusters, seed)
+      writeSource(tbl.spark, loc, snap)
+      PkSearch.writeVectorRef(tbl, PkSearch.VectorRef(loc, embedCol, "plain"))
+      s"ivf index built at $loc (snapshot $snap)"
+    }
+  }
+
+  /** REFRESH index_type=ivf: PK tables re-align (rebuild — query-time
+    * reconciliation already covers the gap, a refresh just resets its
+    * cost); append tables assign ONLY the rows appended since the recorded
+    * snapshot against the existing centroids. */
+  def refreshVector(tbl: GraftTable): String = {
+    val ref = PkSearch.vectorRef(tbl).getOrElse(
+      throw new IllegalArgumentException(s"${tbl.location}: no vector index"))
+    if (ref.kind == "pk") {
+      PkSearch.buildVectorIndex(tbl, ref.embedCol, ref.idxLoc,
+        Indexes.loadIvfModel(tbl.spark, ref.idxLoc).centroids.length)
+      s"file-aligned ivf index re-aligned at ${ref.idxLoc}"
+    } else {
+      val s0 = readSource(tbl.spark, ref.idxLoc)
+      val cur = currentSnapshot(tbl)
+      if (cur == s0) return s"ivf index already at snapshot $cur"
+      val delta = tbl.incremental(s0, cur)
+      Indexes.appendToIvf(tbl.spark, delta, ref.embedCol, ref.idxLoc)
+      writeSource(tbl.spark, ref.idxLoc, cur)
+      s"ivf index refreshed ${s0}→$cur (delta only)"
+    }
+  }
+
+  def dropVector(tbl: GraftTable): String = {
+    val ref = PkSearch.vectorRef(tbl).getOrElse(
+      throw new IllegalArgumentException(s"${tbl.location}: no vector index"))
+    tbl.sm.fs.delete(new Path(ref.idxLoc), true)
+    PkSearch.dropVectorRef(tbl)
+    s"vector index dropped (${ref.idxLoc})"
+  }
+
+  /** CREATE index_type=full-text: PK tables only register (idCol, textCol)
+    * — merged-state postings derive at query time; append tables build the
+    * persisted postings index + source sidecar. */
+  def createFullText(tbl: GraftTable, idCol: String, textCol: String): String = {
+    if (tbl.config.isPrimaryKeyed) {
+      PkSearch.registerFullText(tbl, idCol, textCol)
+      s"merged-state full-text search registered on ($idCol, $textCol)"
+    } else {
+      val loc = fullTextIndexLoc(tbl.location, textCol)
+      val snap = currentSnapshot(tbl)
+      Indexes.buildFullText(tbl.spark,
+        tbl.read(None, Some(snap)).select(col(idCol), col(textCol)),
+        idCol, textCol, loc)
+      writeSource(tbl.spark, loc, snap)
+      PkSearch.writeFullTextRef(tbl,
+        PkSearch.FullTextRef(idCol, textCol, "plain", Some(loc)))
+      s"full-text index built at $loc (snapshot $snap)"
+    }
+  }
+
+  /** REFRESH index_type=full-text: append tables tokenize only the delta
+    * rows and MERGE their df/corpus-stat contributions (aggregation-engine
+    * term stats); PK registration needs no refresh. */
+  def refreshFullText(tbl: GraftTable): String = {
+    val ref = PkSearch.fullTextRef(tbl).getOrElse(
+      throw new IllegalArgumentException(s"${tbl.location}: no full-text index"))
+    if (ref.kind == "pk")
+      return "merged-state full-text search needs no refresh"
+    val loc = ref.idxLoc.get
+    val s0 = readSource(tbl.spark, loc)
+    val cur = currentSnapshot(tbl)
+    if (cur == s0) return s"full-text index already at snapshot $cur"
+    Indexes.appendToFullText(tbl.spark,
+      tbl.incremental(s0, cur).select(col(ref.idCol), col(ref.textCol)),
+      ref.idCol, ref.textCol, loc)
+    writeSource(tbl.spark, loc, cur)
+    s"full-text index refreshed ${s0}→$cur (delta only)"
+  }
+
+  def dropFullText(tbl: GraftTable): String = {
+    val ref = PkSearch.fullTextRef(tbl).getOrElse(
+      throw new IllegalArgumentException(s"${tbl.location}: no full-text index"))
+    ref.idxLoc.foreach { loc =>
+      tbl.sm.fs.delete(new Path(loc), true)
+      tbl.sm.fs.delete(new Path(Indexes.termStatsLoc(loc)), true)
+    }
+    PkSearch.dropFullTextRef(tbl)
+    s"full-text index dropped"
+  }
+}

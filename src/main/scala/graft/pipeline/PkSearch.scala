@@ -36,12 +36,19 @@ object PkSearch {
   private def vecRefPath(tblLoc: String) = new Path(tblLoc, "index/pk-search-ref.json")
   private def ftRefPath(tblLoc: String) = new Path(tblLoc, "index/pk-fulltext.json")
 
-  /** The table→index back-reference [[buildVectorIndex]] writes: lets the
-    * SQL TVF (`graft_vector_search('<pk-table>', …)`) route a TABLE path
-    * through the file-aligned search without naming the index — the
-    * reference's TVFs take the table, not the index
-    * (BatchVectorSearchBuilderImpl wiring). */
-  case class VectorRef(idxLoc: String, embedCol: String)
+  /** The table→index back-reference [[buildVectorIndex]] (kind "pk") or
+    * [[IndexLifecycle.createVector]] (kind "plain") writes: lets the SQL TVF
+    * (`graft_vector_search('<table>', …)`) route a TABLE path to the right
+    * search without naming the index — the reference's TVFs take the table,
+    * not the index (BatchVectorSearchBuilderImpl wiring). kind "pk" =
+    * file-aligned, changelog-reconciled search; "plain" = direct
+    * [[Indexes.ivfSearch]] against the referenced index. */
+  case class VectorRef(idxLoc: String, embedCol: String, kind: String = "pk")
+
+  private[pipeline] def writeVectorRef(tbl: GraftTable, ref: VectorRef): Unit =
+    tbl.sm.writeString(vecRefPath(tbl.location),
+      Json.write(Map("idxLoc" -> ref.idxLoc, "embedCol" -> ref.embedCol,
+        "kind" -> ref.kind)))
 
   def vectorRef(tbl: GraftTable): Option[VectorRef] = {
     val p = vecRefPath(tbl.location)
@@ -49,18 +56,29 @@ object PkSearch {
     else {
       val m = Json.mapper.readValue(tbl.sm.readString(p),
         classOf[java.util.Map[String, String]])
-      Some(VectorRef(m.get("idxLoc"), m.get("embedCol")))
+      Some(VectorRef(m.get("idxLoc"), m.get("embedCol"),
+        Option(m.get("kind")).getOrElse("pk")))
     }
   }
 
+  private[pipeline] def dropVectorRef(tbl: GraftTable): Unit =
+    tbl.sm.fs.delete(vecRefPath(tbl.location), false)
+
   /** Register the (idCol, textCol) pair [[fullTextSearch]] needs so the SQL
     * TVF (`graft_full_text_search('<pk-table>', …)`) can route a TABLE path
-    * through the merged-state BM25 search. */
-  case class FullTextRef(idCol: String, textCol: String)
+    * through the merged-state BM25 search. Kind "plain" (written by
+    * [[IndexLifecycle.createFullText]]) instead points at a PERSISTED
+    * postings index for the append-table route. */
+  case class FullTextRef(idCol: String, textCol: String, kind: String = "pk",
+                         idxLoc: Option[String] = None)
 
   def registerFullText(tbl: GraftTable, idCol: String, textCol: String): Unit =
+    writeFullTextRef(tbl, FullTextRef(idCol, textCol))
+
+  private[pipeline] def writeFullTextRef(tbl: GraftTable, ref: FullTextRef): Unit =
     tbl.sm.writeString(ftRefPath(tbl.location),
-      Json.write(Map("idCol" -> idCol, "textCol" -> textCol)))
+      Json.write(Map("idCol" -> ref.idCol, "textCol" -> ref.textCol,
+        "kind" -> ref.kind) ++ ref.idxLoc.map("idxLoc" -> _)))
 
   def fullTextRef(tbl: GraftTable): Option[FullTextRef] = {
     val p = ftRefPath(tbl.location)
@@ -68,9 +86,13 @@ object PkSearch {
     else {
       val m = Json.mapper.readValue(tbl.sm.readString(p),
         classOf[java.util.Map[String, String]])
-      Some(FullTextRef(m.get("idCol"), m.get("textCol")))
+      Some(FullTextRef(m.get("idCol"), m.get("textCol"),
+        Option(m.get("kind")).getOrElse("pk"), Option(m.get("idxLoc"))))
     }
   }
+
+  private[pipeline] def dropFullTextRef(tbl: GraftTable): Unit =
+    tbl.sm.fs.delete(ftRefPath(tbl.location), false)
 
   /** Build a vector index table aligned to `tbl`'s current snapshot: the
     * merged (MOR + DV-applied) rows, IVF-cluster-partitioned; the sidecar
@@ -84,8 +106,7 @@ object PkSearch {
       loc, nClusters, seed)
     idx.sm.writeString(sidecar(loc),
       Json.write(Map("sourceSnapshot" -> snap, "sourceLocation" -> tbl.location)))
-    tbl.sm.writeString(vecRefPath(tbl.location),
-      Json.write(Map("idxLoc" -> loc, "embedCol" -> embedCol)))
+    writeVectorRef(tbl, VectorRef(loc, embedCol, "pk"))
     idx
   }
 

@@ -1,0 +1,132 @@
+package graft
+
+import graft.core._
+import graft.pipeline.{FullText, IndexLifecycle, PkSearch, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SQL lifecycle for the search index families (reference
+  * CALL sys.create_global_index / refresh / drop with index_type ivf /
+  * full-text): one CALL builds the index at its conventional location and
+  * back-references it, after which the search TVFs route the TABLE path;
+  * refresh pays only for the delta on append tables. */
+class IndexLifecycleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** Vectors are a pure function of the id (hash-derived), so appended
+    * ranges can never duplicate earlier rows — rand(seed) regenerates the
+    * same stream per partition offset, which makes exact score ties. */
+  private def mkEmbeddings(from: Int, until: Int): DataFrame =
+    spark.range(from, until).select(col("id").as("vid"),
+      array((0 until dim).map(i =>
+        ((pmod(hash(col("id"), lit(i)), lit(2001)) - 1000) / lit(1000.0))
+          .cast("float")): _*).as("emb"))
+
+  private def arr(q: Seq[Float]): String =
+    q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+
+  test("append table ivf: CALL create -> TVF; refresh assigns only the delta; drop") {
+    val loc = tmpLoc("lc-ivf")
+    val e0 = mkEmbeddings(0, 250)
+    val t = GraftTable.create(spark, loc, e0.schema, TableConfig())
+    t.write(e0)
+    // create through the SQL procedure spelling (graft_call TVF)
+    val msg = spark.sql(s"""SELECT * FROM graft_call('$loc',
+      'create_global_index', 'index_column=emb,index_type=ivf,clusters=4')""")
+      .head().getString(0)
+    assert(msg.contains("ivf index built"), msg)
+    assert(PkSearch.vectorRef(t).exists(_.kind == "plain"))
+
+    val q = e0.filter(col("vid") === 3).select("emb").first().getSeq[Float](0)
+    def tvf(): Seq[Long] = spark.sql(
+      s"SELECT vid FROM graft_vector_search('$loc', 10, 4, ${arr(q)})")
+      .as[Long].collect().toSeq
+    def exact(df: DataFrame): Seq[Long] =
+      Similarity.bruteForceTopK(df, "emb", q, 10, "cosine", "s")
+        .select("vid").as[Long].collect().toSeq
+    assert(tvf() == exact(t.read()), "nprobe=all over the fresh index is exact")
+
+    // the index serves its build snapshot until REFRESH; the delta-only
+    // refresh then assigns just the appended rows to existing centroids
+    t.write(mkEmbeddings(250, 300))
+    assert(tvf() == exact(t.read(None, Some(1L))), "index reflects snapshot 1")
+    val rmsg = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "ivf")).head().getString(0)
+    assert(rmsg.contains("delta only"), rmsg)
+    assert(tvf() == exact(t.read()), "refreshed index covers the delta")
+    // idempotent refresh is a no-op
+    assert(Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "ivf")).head().getString(0).contains("already at"))
+
+    val dmsg = Procedures.call(spark, t, "drop_global_index",
+      Map("index_type" -> "ivf")).head().getString(0)
+    assert(dmsg.contains("dropped"), dmsg)
+    assert(PkSearch.vectorRef(GraftTable.load(spark, loc)).isEmpty)
+    assert(!t.sm.fs.exists(new org.apache.hadoop.fs.Path(
+      IndexLifecycle.vectorIndexLoc(loc, "emb"))))
+  }
+
+  test("append table full-text: CALL create -> TVF; refresh merges delta postings; drop") {
+    val loc = tmpLoc("lc-ft")
+    val docs0 = Seq(
+      (1L, "spark table scan performance"),
+      (2L, "merge on read table"),
+      (3L, "unrelated words entirely")).toDF("doc_id", "text")
+    val t = GraftTable.create(spark, loc, docs0.schema, TableConfig())
+    t.write(docs0)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "text", "index_type" -> "full-text",
+        "id_column" -> "doc_id")).collect()
+    assert(PkSearch.fullTextRef(t).exists(r => r.kind == "plain" && r.idxLoc.nonEmpty))
+
+    def tvf(): Seq[(Long, Double)] = spark.sql(
+      s"""SELECT doc_id, round(score, 4) AS score
+         |FROM graft_full_text_search('$loc', 'table scan', 10)""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    def exact(df: DataFrame): Seq[(Long, Double)] =
+      FullText.search(FullText.buildPostings(df, "doc_id", "text"),
+          Seq("table", "scan"), 10)
+        .select(col("doc_id"), round(col("score"), 4)).as[(Long, Double)]
+        .collect().toSeq
+    assert(tvf() == exact(t.read()))
+
+    // delta append + refresh: BOTH postings and corpus/df statistics must
+    // merge — scores after refresh equal a from-scratch rebuild's
+    t.write(Seq((4L, "table table table scan")).toDF("doc_id", "text"))
+    val rmsg = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "full-text")).head().getString(0)
+    assert(rmsg.contains("delta only"), rmsg)
+    assert(tvf() == exact(t.read()), "refreshed scores equal a full rebuild")
+
+    Procedures.call(spark, t, "drop_global_index",
+      Map("index_type" -> "full-text")).collect()
+    assert(PkSearch.fullTextRef(GraftTable.load(spark, loc)).isEmpty)
+  }
+
+  test("PK table: ivf create delegates to the file-aligned route; full-text only registers") {
+    val loc = tmpLoc("lc-pk")
+    val e0 = mkEmbeddings(0, 200).withColumnRenamed("vid", "k")
+      .withColumn("txt", concat(lit("doc number "), col("k")))
+    val t = GraftTable.create(spark, loc, e0.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+    t.write(e0)
+    val msg = Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4"))
+      .head().getString(0)
+    assert(msg.contains("file-aligned"), msg)
+    assert(PkSearch.vectorRef(t).exists(_.kind == "pk"))
+    // refresh on the pk kind re-aligns (rebuild) — message says so
+    assert(Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "ivf")).head().getString(0).contains("re-aligned"))
+
+    val fmsg = Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "txt", "index_type" -> "full-text"))
+      .head().getString(0)
+    assert(fmsg.contains("registered"), fmsg)
+    assert(Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "full-text")).head().getString(0)
+      .contains("no refresh"))
+  }
+}
