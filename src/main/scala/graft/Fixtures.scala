@@ -1018,6 +1018,22 @@ object Fixtures {
       t
     }
 
+  /** Append-table documents copy with a CALL-managed COMPOSITE (es) index:
+    * text + bloom-keyword lang/source, create on 90%, append, refresh. */
+  def lcEsDocs(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_es_docs") { loc =>
+      val docs = src(spark, sfDir, "documents")
+      val t = GraftTable.createOrReplace(spark, loc, docs.schema, TableConfig())
+      t.write(docs.filter(col("doc_id") % 10 =!= 0))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_type" -> "es", "id_column" -> "doc_id",
+          "text_column" -> "text", "keyword_columns" -> "lang;source")).collect()
+      t.write(docs.filter(col("doc_id") % 10 === 0))
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "es")).collect()
+      t
+    }
+
   /** Persisted full-text postings index over documents (term-range-clustered
     * graft table + corpus-stats sidecar). */
   def ftIndex(spark: SparkSession, sfDir: String): GraftTable =

@@ -1013,6 +1013,13 @@ object SparkEntry {
            |  'table scan fast merge', 1000000)
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
     }),
+    "q_call_index_es" -> ((s, d) => {
+      val tbl = Fixtures.lcEsDocs(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_es_search('${tbl.location}', 10,
+           |  'table scan fast merge', NULL, 8, "lang = 'en'")""".stripMargin)
+    }),
     "q_call_index_vector" -> ((s, d) => {
       val tbl = Fixtures.lcEmb(s, d)
       val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
@@ -2189,6 +2196,12 @@ object SparkEntry {
     "q_fulltext_bm25" -> bm25Oracle,
     "q_fulltext_tvf" -> bm25Oracle,
     "q_call_index_fulltext" -> bm25Oracle,
+    "q_call_index_es" ->
+      s"""WITH ${bm25Cte()}
+         |SELECT doc_id, round(score, 4) AS score
+         |FROM scored JOIN documents USING (doc_id)
+         |WHERE lang = 'en'
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
     "q_call_index_vector" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
         |  SELECT e.vec_id,

@@ -223,7 +223,8 @@ object Procedures {
         // file-aligned on PK tables), full-text (BM25 postings); the
         // reference's CALL sys.create_global_index(index_column, index_type)
         // surface (docs/multimodal-table/global-index.mdx:119)
-        val col = args.getOrElse("index_column", args.getOrElse("column",
+        // lazy: the es type can be text-only, with no index_column at all
+        lazy val col = args.getOrElse("index_column", args.getOrElse("column",
           throw new IllegalArgumentException("index_column required")))
         args.getOrElse("index_type", "btree") match {
           case "btree" | "bitmap" =>
@@ -240,9 +241,23 @@ object Procedures {
                   throw new IllegalArgumentException(
                     "id_column required for a full-text index on an append table"))),
               col))
+          case "es" =>
+            // composite index: index_column = the vector column (optional),
+            // text_column, keyword_columns ';'-separated (the CALL option
+            // string itself splits on ',')
+            ok(graft.pipeline.IndexLifecycle.createEs(table,
+              idCol = args.getOrElse("id_column",
+                table.config.primaryKeys.headOption.getOrElse(
+                  throw new IllegalArgumentException("id_column required"))),
+              embedCol = args.get("index_column").filter(_.nonEmpty),
+              textCol = args.get("text_column").filter(_.nonEmpty),
+              keywordCols = args.get("keyword_columns").toSeq
+                .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty),
+              nClusters = args.getOrElse("clusters", "16").toInt,
+              seed = args.getOrElse("seed", "42").toLong))
           case other =>
             throw new IllegalArgumentException(s"unknown index_type $other " +
-              "(btree | bitmap | ivf | full-text)")
+              "(btree | bitmap | ivf | full-text | es)")
         }
       case "refresh_global_index" =>
         args.getOrElse("index_type", "btree") match {
@@ -254,6 +269,8 @@ object Procedures {
             ok(graft.pipeline.IndexLifecycle.refreshVector(table))
           case "full-text" | "fulltext" =>
             ok(graft.pipeline.IndexLifecycle.refreshFullText(table))
+          case "es" =>
+            ok(graft.pipeline.IndexLifecycle.refreshEs(table))
           case other =>
             throw new IllegalArgumentException(s"unknown index_type $other")
         }
@@ -269,6 +286,8 @@ object Procedures {
             ok(graft.pipeline.IndexLifecycle.dropVector(table))
           case "full-text" | "fulltext" =>
             ok(graft.pipeline.IndexLifecycle.dropFullText(table))
+          case "es" =>
+            ok(graft.pipeline.IndexLifecycle.dropEs(table))
           case other =>
             throw new IllegalArgumentException(s"unknown index_type $other")
         }

@@ -799,8 +799,17 @@ object RowOps {
             walk("index/pk-index").map { case (f, sz) => ("cross-partition-key", "", f, sz) } ++
             walk(FileIndexes.DIR).map { case (f, sz) => ("file-index", "", f, sz) } ++
             t.dataSchema.fieldNames.toSeq.flatMap { c =>
-              walk(s"index/global-$c").map { case (f, sz) => ("global", c, f, sz) }
-            }
+              walk(s"index/global-$c").map { case (f, sz) => ("global", c, f, sz) } ++
+                // search index families managed by the SQL lifecycle
+                // (CALL create_global_index with index_type ivf/full-text)
+                walk(s"index/ivf-$c").map { case (f, sz) => ("vector", c, f, sz) } ++
+                walk(s"index/fulltext-$c").map { case (f, sz) => ("full-text", c, f, sz) } ++
+                walk(s"index/fulltext-${c}__termstats").map { case (f, sz) =>
+                  ("full-text", c, f, sz) }
+            } ++
+            walk("index/es").map { case (f, sz) => ("es", "", f, sz) } ++
+            walk("index/es__text").map { case (f, sz) => ("es", "", f, sz) } ++
+            walk("index/es__text__termstats").map { case (f, sz) => ("es", "", f, sz) }
           rows.toDF("index_type", "column", "path", "file_size_in_bytes")
         case "file_key_ranges" =>
           // per-file PK range from manifest stats (paimon t$file_key_ranges)

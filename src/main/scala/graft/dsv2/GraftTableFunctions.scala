@@ -204,7 +204,11 @@ object GraftTableFunctions {
       val filter = Option(args(5).eval()).map(_.toString.trim).filter(_.nonEmpty)
         .map(org.apache.spark.sql.functions.expr)
       val ranker = if (args.length == 7) str(args(6)) else "rrf"
-      plan(graft.pipeline.EsIndex.search(spark, str(args(0)),
+      // a TABLE path with a CALL-managed composite index routes to it
+      val target = resolveTable(str(args(0)))
+      val idxLoc = graft.pipeline.IndexLifecycle.esRef(target)
+        .getOrElse(target.location)
+      plan(graft.pipeline.EsIndex.search(spark, idxLoc,
         lng(args(1)).toInt, vec, terms, filter, nprobe = lng(args(4)).toInt,
         ranker = ranker))
     },

@@ -145,6 +145,62 @@ object IndexLifecycle {
     s"full-text index refreshed ${s0}→$cur (delta only)"
   }
 
+  // ---- es-index (composite) lifecycle ----
+
+  def esIndexLoc(tableLoc: String): String = s"$tableLoc/index/es"
+  private def esRefPath(tableLoc: String) = new Path(tableLoc, "index/es-ref.json")
+
+  /** The es-index location a TABLE path routes to in `graft_es_search`
+    * (written by [[createEs]]); None when the table has no CALL-managed
+    * composite index. */
+  def esRef(tbl: GraftTable): Option[String] = {
+    val p = esRefPath(tbl.location)
+    if (!tbl.sm.fs.exists(p)) None
+    else Option(Json.mapper.readValue(tbl.sm.readString(p),
+      classOf[java.util.Map[String, String]]).get("idxLoc"))
+  }
+
+  /** CREATE index_type=es: ONE composite index (vector and/or text plus
+    * bloom-indexed keyword companions) at the conventional location, plus
+    * the back-reference so `graft_es_search('<table>', …)` routes the table
+    * path. Refresh is delta-only like the other append-table families. */
+  def createEs(tbl: GraftTable, idCol: String, embedCol: Option[String],
+               textCol: Option[String], keywordCols: Seq[String],
+               nClusters: Int = 16, seed: Long = 42L): String = {
+    val loc = esIndexLoc(tbl.location)
+    val snap = currentSnapshot(tbl)
+    EsIndex.build(tbl.spark, tbl.read(None, Some(snap)), idCol, loc,
+      embedCol, textCol, keywordCols, nClusters, seed)
+    writeSource(tbl.spark, loc, snap)
+    tbl.sm.writeString(esRefPath(tbl.location), Json.write(Map("idxLoc" -> loc)))
+    s"es index built at $loc (snapshot $snap)"
+  }
+
+  /** REFRESH index_type=es: assign/tokenize only the rows appended since the
+    * recorded snapshot ([[EsIndex.append]] — existing centroids, postings +
+    * term-stat deltas merged through the aggregation engine). */
+  def refreshEs(tbl: GraftTable): String = {
+    val loc = esRef(tbl).getOrElse(
+      throw new IllegalArgumentException(s"${tbl.location}: no es index"))
+    val s0 = readSource(tbl.spark, loc)
+    val cur = currentSnapshot(tbl)
+    if (cur == s0) return s"es index already at snapshot $cur"
+    EsIndex.append(tbl.spark, tbl.incremental(s0, cur), loc)
+    writeSource(tbl.spark, loc, cur)
+    s"es index refreshed ${s0}→$cur (delta only)"
+  }
+
+  def dropEs(tbl: GraftTable): String = {
+    val loc = esRef(tbl).getOrElse(
+      throw new IllegalArgumentException(s"${tbl.location}: no es index"))
+    val fs = tbl.sm.fs
+    fs.delete(new Path(loc), true)
+    fs.delete(new Path(loc + "__text"), true)
+    fs.delete(new Path(Indexes.termStatsLoc(loc + "__text")), true)
+    fs.delete(esRefPath(tbl.location), false)
+    s"es index dropped ($loc)"
+  }
+
   def dropFullText(tbl: GraftTable): String = {
     val ref = PkSearch.fullTextRef(tbl).getOrElse(
       throw new IllegalArgumentException(s"${tbl.location}: no full-text index"))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.core._
+import graft.core.RowOps._
 import graft.pipeline.{FullText, IndexLifecycle, PkSearch, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -103,6 +104,45 @@ class IndexLifecycleSpec extends SparkTestBase {
     Procedures.call(spark, t, "drop_global_index",
       Map("index_type" -> "full-text")).collect()
     assert(PkSearch.fullTextRef(GraftTable.load(spark, loc)).isEmpty)
+  }
+
+  test("append table es: CALL create -> graft_es_search on the TABLE path; refresh; drop") {
+    val loc = tmpLoc("lc-es")
+    val docs0 = Seq(
+      (1L, "spark table scan performance", "en"),
+      (2L, "merge on read table", "en"),
+      (3L, "unrelated words entirely", "de"),
+      (4L, "table scan table scan", "de")).toDF("doc_id", "text", "lang")
+    val t = GraftTable.create(spark, loc, docs0.schema, TableConfig())
+    t.write(docs0)
+    val msg = Procedures.call(spark, t, "create_global_index",
+      Map("index_type" -> "es", "id_column" -> "doc_id",
+        "text_column" -> "text", "keyword_columns" -> "lang"))
+      .head().getString(0)
+    assert(msg.contains("es index built"), msg)
+
+    def tvf(): Seq[Long] = spark.sql(
+      s"""SELECT doc_id FROM graft_es_search('$loc', 10,
+         |  'table scan', NULL, 8, "lang = 'en'")""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(tvf() == Seq(1L, 2L), s"filtered BM25 through the table path: ${tvf()}")
+
+    // delta append + refresh: the new en doc outranks (3× term hits)
+    t.write(Seq((5L, "table scan table scan table scan", "en"))
+      .toDF("doc_id", "text", "lang"))
+    assert(tvf() == Seq(1L, 2L), "index serves its build snapshot until refresh")
+    val rmsg = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "es")).head().getString(0)
+    assert(rmsg.contains("delta only"), rmsg)
+    assert(tvf().head == 5L, s"refreshed index must surface the new doc first: ${tvf()}")
+
+    // the lifecycle is visible in the table_indexes system table
+    val kinds = t.systemTable("table_indexes").select("index_type")
+      .as[String].collect().toSet
+    assert(kinds.contains("es"), s"table_indexes must list the es index: $kinds")
+
+    Procedures.call(spark, t, "drop_global_index", Map("index_type" -> "es")).collect()
+    assert(graft.pipeline.IndexLifecycle.esRef(GraftTable.load(spark, loc)).isEmpty)
   }
 
   test("PK table: ivf create delegates to the file-aligned route; full-text only registers") {
