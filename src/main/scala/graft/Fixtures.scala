@@ -1034,6 +1034,30 @@ object Fixtures {
       t
     }
 
+  /** documents JOINED to embeddings (doc_id = vec_id) with TWO CALL-managed
+    * indexes — ivf on `embedding`, full-text on `text` — created on 90%,
+    * appended, refreshed: the multi-route hybrid TVF's fixture. */
+  def lcHybrid(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_hybrid") { loc =>
+      val joined = src(spark, sfDir, "documents")
+        .join(src(spark, sfDir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val t = GraftTable.createOrReplace(spark, loc, joined.schema, TableConfig())
+      t.write(joined.filter(col("doc_id") % 10 =!= 0))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "embedding", "index_type" -> "ivf",
+          "clusters" -> "8")).collect()
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "text", "index_type" -> "full-text",
+          "id_column" -> "doc_id")).collect()
+      t.write(joined.filter(col("doc_id") % 10 === 0))
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "ivf")).collect()
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "full-text")).collect()
+      t
+    }
+
   /** Persisted full-text postings index over documents (term-range-clustered
     * graft table + corpus-stats sidecar). */
   def ftIndex(spark: SparkSession, sfDir: String): GraftTable =

@@ -1029,6 +1029,27 @@ object SparkEntry {
         s"""SELECT vec_id, round(score, 4) AS sim
            |FROM graft_vector_search('${tbl.location}', 10, 8, $arr)""".stripMargin)
     }),
+    // the reference's MULTI-ROUTE hybrid_search shape: named_struct route
+    // configs with per-route limit/weight/options over a TABLE whose
+    // indexes are CALL-managed (create 90% -> append -> refresh fixtures);
+    // weighted mrr fusion Σ weight/rank
+    "q_hybrid_routes" -> ((s, d) => {
+      val tbl = Fixtures.lcHybrid(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT doc_id, round(score, 6) AS mrr
+           |FROM graft_hybrid_search('${tbl.location}',
+           |  array(named_struct('field', 'embedding', 'query_vector', $arr,
+           |    'limit', 10, 'weight', CAST(2.0 AS DOUBLE),
+           |    'options', map('ivf.nprobe', '8'))),
+           |  array(named_struct('column', 'text',
+           |    'query', '{"match":{"query":"table scan fast merge"}}',
+           |    'limit', 10, 'weight', CAST(1.0 AS DOUBLE))),
+           |  10, 'mrr')
+           |ORDER BY mrr DESC, doc_id""".stripMargin)
+    }),
     // SQL spelling of SEPARATE-INDEX hybrid search (reference hybrid_search
     // TVF): fuse an existing IVF index and an existing BM25 index by RRF —
     // no composite rebuild, no Scala
@@ -2277,6 +2298,23 @@ object SparkEntry {
          |SELECT id, round(rrf, 6) AS rrf FROM fused
          |ORDER BY round(rrf, 6) DESC, id LIMIT 10""".stripMargin,
     "q_hybrid_search" -> hybridOracle,
+    "q_hybrid_routes" ->
+      s"""WITH ${bm25Cte()},
+         |vecr AS (
+         |  SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r FROM (
+         |    SELECT e.vec_id AS id, list_cosine_similarity(e.embedding::DOUBLE[],
+         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+         |    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
+         |  QUALIFY r <= 10),
+         |txtr AS (
+         |  SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM scored QUALIFY r <= 10),
+         |fused AS (
+         |  SELECT COALESCE(v.id, t.id) AS doc_id,
+         |    COALESCE(2.0/v.r, 0) + COALESCE(1.0/t.r, 0) AS mrr
+         |  FROM vecr v FULL OUTER JOIN txtr t ON v.id = t.id)
+         |SELECT doc_id, round(mrr, 6) AS mrr FROM fused
+         |ORDER BY round(mrr, 6) DESC, doc_id LIMIT 10""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,

@@ -55,6 +55,16 @@ object GraftTableFunctions {
         try s.toLong
         catch { case _: NumberFormatException => t.sm.readTag(s).snapshotId }
     }
+  private def floatElems(a: ArrayData,
+      et: org.apache.spark.sql.types.DataType): Seq[Float] =
+    a.toObjectArray(et).toSeq.map {
+      case d: java.lang.Number => d.floatValue()
+      // Spark parses uncast fractional literals as DECIMAL — the doc
+      // example array(0.1, ...) arrives as Decimal, not a j.l.Number
+      case d: org.apache.spark.sql.types.Decimal => d.toFloat
+      case o => throw new IllegalArgumentException(s"non-numeric element $o")
+    }
+
   private def floats(e: Expression): Seq[Float] = e.eval() match {
     case a: ArrayData =>
       // honor the literal's ELEMENT type — array(1.0F,…) and array(1.0,…)
@@ -63,15 +73,72 @@ object GraftTableFunctions {
         case org.apache.spark.sql.types.ArrayType(t, _) => t
         case o => throw new IllegalArgumentException(s"expected array, got $o")
       }
-      a.toObjectArray(et).toSeq.map {
-        case d: java.lang.Number => d.floatValue()
-        // Spark parses uncast fractional literals as DECIMAL — the doc
-        // example array(0.1, ...) arrives as Decimal, not a j.l.Number
-        case d: org.apache.spark.sql.types.Decimal => d.toFloat
-        case o => throw new IllegalArgumentException(s"non-numeric element $o")
-      }
+      floatElems(a, et)
     case o => throw new IllegalArgumentException(s"expected array, got $o")
   }
+
+  // ---- multi-route hybrid_search struct parsing (reference named_struct
+  // route configs, hybrid-search.mdx:73-90) ----
+
+  import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+  /** Evaluate an `array(named_struct(...), ...)` argument into per-route
+    * field maps; a bare `array()` (NullType elements) is an empty list. */
+  private def routeStructs(e: Expression)
+      : Seq[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+    e.dataType match {
+      case ArrayType(st: StructType, _) =>
+        val arr = e.eval().asInstanceOf[ArrayData]
+        (0 until arr.numElements()).map(i => (st, arr.getStruct(i, st.length)))
+      case _: ArrayType => Nil
+      case o => throw new IllegalArgumentException(
+        s"expected an array of route structs, got $o")
+    }
+
+  private def fieldIdx(st: StructType, names: Seq[String]): Option[Int] =
+    st.fieldNames.zipWithIndex.collectFirst {
+      case (fn, i) if names.exists(_.equalsIgnoreCase(fn)) => i
+    }
+
+  private def strAt(st: StructType,
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      names: Seq[String]): Option[String] =
+    fieldIdx(st, names).filterNot(row.isNullAt)
+      .map(i => row.get(i, st.fields(i).dataType).toString)
+
+  private def numAt(st: StructType,
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      names: Seq[String]): Option[Double] =
+    fieldIdx(st, names).filterNot(row.isNullAt)
+      .map(i => row.get(i, st.fields(i).dataType) match {
+        case n: java.lang.Number => n.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case o => o.toString.toDouble
+      })
+
+  private def vecAt(st: StructType,
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      names: Seq[String]): Option[Seq[Float]] =
+    fieldIdx(st, names).filterNot(row.isNullAt).map { i =>
+      st.fields(i).dataType match {
+        case ArrayType(et, _) => floatElems(row.getArray(i), et)
+        case o => throw new IllegalArgumentException(s"query_vector must be an array, got $o")
+      }
+    }
+
+  private def optsAt(st: StructType,
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      names: Seq[String]): Map[String, String] =
+    fieldIdx(st, names).filterNot(row.isNullAt).map { i =>
+      st.fields(i).dataType match {
+        case MapType(kt, vt, _) =>
+          val m = row.getMap(i)
+          (0 until m.numElements()).map { j =>
+            m.keyArray().get(j, kt).toString -> m.valueArray().get(j, vt).toString
+          }.toMap
+        case o => throw new IllegalArgumentException(s"options must be a map, got $o")
+      }
+    }.getOrElse(Map.empty)
 
   /** Resolve a path or `catalog.db.table` identifier to an engine table. */
   def resolveTable(ref: String): GraftTable = {
@@ -178,18 +245,55 @@ object GraftTableFunctions {
             scoreCol = "score")
       })
     },
-    // hybrid search over TWO SEPARATE persisted indexes (reference
-    // hybrid_search TVF, PaimonTableValuedFunctions.scala:60): fuse an IVF
-    // vector index and a BM25 text index built independently over the same
-    // id space — rrf (default) | mrr | weighted_score
+    // hybrid search — two spellings:
+    //  (a) the reference's MULTI-ROUTE shape (hybrid-search.mdx:61):
+    //      graft_hybrid_search(table, array(named_struct('field', c,
+    //        'query_vector', v [, 'limit', n, 'weight', w,
+    //        'options', map('ivf.nprobe','8')]), ...),
+    //        array(named_struct('column', c, 'query', 'terms or
+    //        {"match":{"query":...}}' [, 'limit', n, 'weight', w]), ...),
+    //        k [, ranker]) — every route served from its CALL-managed index
+    //  (b) two EXPLICIT index paths:
+    //      graft_hybrid_search(vecIdx, textIdx, idCol, k, queryVec,
+    //        'terms'[, ranker])
     fd("graft_hybrid_search") { args =>
-      require(args.length == 6 || args.length == 7,
-        "graft_hybrid_search(vecIdx, textIdx, idCol, k, queryVec, 'terms'[, ranker])")
-      val ranker = if (args.length == 7) str(args(6)) else "rrf"
-      val terms = str(args(5)).split("\\s+").filter(_.nonEmpty).toSeq
-      plan(graft.pipeline.FullText.hybridIndexSearch(spark,
-        str(args(0)), str(args(1)), str(args(2)), floats(args(4)), terms,
-        lng(args(3)).toInt, ranker))
+      val multiShape = (args.length == 4 || args.length == 5) &&
+        args(1).dataType.isInstanceOf[ArrayType]
+      if (multiShape) {
+        import graft.pipeline.IndexLifecycle
+        val t = resolveTable(str(args(0)))
+        val vecRoutes = routeStructs(args(1)).map { case (st, row) =>
+          IndexLifecycle.VectorRoute(
+            strAt(st, row, Seq("field", "vector_column")).getOrElse(
+              throw new IllegalArgumentException("vector route needs field")),
+            vecAt(st, row, Seq("query_vector")).getOrElse(
+              throw new IllegalArgumentException("vector route needs query_vector")),
+            numAt(st, row, Seq("limit")).map(_.toInt),
+            numAt(st, row, Seq("weight")).getOrElse(1.0),
+            optsAt(st, row, Seq("options"))
+              .getOrElse("ivf.nprobe", "8").toInt)
+        }
+        val txtRoutes = routeStructs(args(2)).map { case (st, row) =>
+          IndexLifecycle.TextRoute(
+            strAt(st, row, Seq("column")).getOrElse(
+              throw new IllegalArgumentException("text route needs column")),
+            strAt(st, row, Seq("query")).getOrElse(
+              throw new IllegalArgumentException("text route needs query")),
+            numAt(st, row, Seq("limit")).map(_.toInt),
+            numAt(st, row, Seq("weight")).getOrElse(1.0))
+        }
+        val ranker = if (args.length == 5) str(args(4)) else "rrf"
+        plan(IndexLifecycle.hybridSearch(t, vecRoutes, txtRoutes,
+          lng(args(3)).toInt, ranker))
+      } else {
+        require(args.length == 6 || args.length == 7,
+          "graft_hybrid_search(vecIdx, textIdx, idCol, k, queryVec, 'terms'[, ranker])")
+        val ranker = if (args.length == 7) str(args(6)) else "rrf"
+        val terms = str(args(5)).split("\\s+").filter(_.nonEmpty).toSeq
+        plan(graft.pipeline.FullText.hybridIndexSearch(spark,
+          str(args(0)), str(args(1)), str(args(2)), floats(args(4)), terms,
+          lng(args(3)).toInt, ranker))
+      }
     },
     // Composite es-index search: vector and/or terms under one companion
     // filter ('' / NULL to omit a part); filter is a SQL boolean over the

@@ -119,6 +119,44 @@ object FullText {
       s"unknown hybrid ranker $other (rrf | mrr | weighted_score)")
   }
 
+  /** Min-max normalize a route's scores to [0,1] as (id, ns) — the
+    * weighted_score ranker's per-route normalization (empty route → no
+    * rows, a no-op under union-fusion). */
+  private def normScore(df: DataFrame, idCol: String): DataFrame = {
+    val mm = df.agg(min("score").as("mn"), max("score").as("mx")).head()
+    val (mn, mx) =
+      if (mm.isNullAt(0)) (0.0, 0.0) else (mm.getDouble(0), mm.getDouble(1))
+    val denom = if (mx > mn) mx - mn else 1.0
+    df.select(col(idCol).as("id"), ((col("score") - mn) / denom).as("ns"))
+  }
+
+  /** N-ROUTE weighted fusion (the reference's multi-route hybrid_search,
+    * docs/multimodal-table/global-index/hybrid-search.mdx:61-90): each route
+    * is a (ranked result set, weight); contributions sum per id —
+    *  - rrf:            Σ weight / (k0 + rank)
+    *  - mrr:            Σ weight / rank        (weighted reciprocal rank)
+    *  - weighted_score: Σ weight · minmax(score)
+    * Fusion is a union + one hash aggregation (N-way full-outer join
+    * semantics without N-1 join stages); routes are k-truncated upstream so
+    * the shuffle carries Σ route-limits rows at most. */
+  def fuseRoutes(routes: Seq[(DataFrame, Double)], ranker: String,
+                 rrfK0: Int = 60): DataFrame = {
+    require(routes.nonEmpty, "hybrid fusion needs at least one route")
+    val parts = ranker match {
+      case "rrf" => routes.map { case (df, w) =>
+        ranked(df, "id", "score")
+          .select(col("id"), (lit(w) / (lit(rrfK0) + col("rank"))).as("c")) }
+      case "mrr" => routes.map { case (df, w) =>
+        ranked(df, "id", "score")
+          .select(col("id"), (lit(w) / col("rank")).as("c")) }
+      case "weighted_score" => routes.map { case (df, w) =>
+        normScore(df, "id").select(col("id"), (col("ns") * w).as("c")) }
+      case other => throw new IllegalArgumentException(
+        s"unknown hybrid ranker $other (rrf | mrr | weighted_score)")
+    }
+    parts.reduce(_ unionAll _).groupBy("id").agg(sum("c").as("score"))
+  }
+
   /** Hybrid search over TWO SEPARATE persisted indexes — a vector index
     * ([[Indexes.buildIvf]]) and a full-text index ([[Indexes.buildFullText]])
     * built independently over the same id space — fused with a named ranker.

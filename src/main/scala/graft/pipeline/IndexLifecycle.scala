@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.core._
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -199,6 +199,96 @@ object IndexLifecycle {
     fs.delete(new Path(Indexes.termStatsLoc(loc + "__text")), true)
     fs.delete(esRefPath(tbl.location), false)
     s"es index dropped ($loc)"
+  }
+
+  // ---- multi-route hybrid search over a table's CALL-managed indexes ----
+
+  /** One vector route of the reference's multi-route hybrid_search
+    * (hybrid-search.mdx:73-81): search `field`'s index with `query`,
+    * keep `limit` candidates (defaults to the final limit), contribute with
+    * `weight`. `nprobe` comes from the route's options (`ivf.nprobe`). */
+  case class VectorRoute(field: String, query: Seq[Float],
+                         limit: Option[Int] = None, weight: Double = 1.0,
+                         nprobe: Int = 8)
+
+  /** One full-text route (hybrid-search.mdx:84-90): `query` is either a
+    * plain terms string or the reference's JSON match form
+    * `{"match":{"query":"..."}}`. */
+  case class TextRoute(column: String, query: String,
+                       limit: Option[Int] = None, weight: Double = 1.0)
+
+  private[graft] def queryTerms(q: String): Seq[String] = {
+    val text =
+      if (q.trim.startsWith("{")) {
+        // the reference's ES-style match object; nested values arrive as
+        // scala Maps (the json mapper carries the scala module)
+        val m = Json.read(q, classOf[Map[String, Any]])
+        String.valueOf(m.getOrElse("match", Map.empty)
+          .asInstanceOf[Map[String, Any]].getOrElse("query", ""))
+      } else q
+    text.split("\\s+").filter(_.nonEmpty).toSeq
+  }
+
+  /** The id column hybrid fusion joins routes on: the table's primary key,
+    * else the id a registered full-text/es index recorded. */
+  private def inferIdCol(tbl: GraftTable): String =
+    tbl.config.primaryKeys.headOption
+      .orElse(PkSearch.fullTextRef(tbl).map(_.idCol))
+      .orElse(esRef(tbl).map(l => EsIndex.readMeta(tbl.spark, l).idCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"${tbl.location}: cannot infer the id column — the table needs a " +
+          "primary key or a registered full-text/es index"))
+
+  /** MULTI-ROUTE hybrid search over a TABLE's CALL-managed indexes — the
+    * reference's `hybrid_search(table, vector_routes, full_text_routes,
+    * limit[, ranker])` TVF semantics: every route is served from its own
+    * persisted index (file-aligned for PK tables), k-truncated at its route
+    * limit, then fused by [[FullText.fuseRoutes]] with the route weights. */
+  def hybridSearch(tbl: GraftTable, vecRoutes: Seq[VectorRoute],
+                   textRoutes: Seq[TextRoute], k: Int,
+                   ranker: String = "rrf", rrfK0: Int = 60): DataFrame = {
+    require(vecRoutes.nonEmpty || textRoutes.nonEmpty, "no routes given")
+    val spark = tbl.spark
+    val idCol = inferIdCol(tbl)
+    val vecDfs = vecRoutes.map { r =>
+      val lim = r.limit.getOrElse(k)
+      val df = PkSearch.vectorRef(tbl) match {
+        case Some(ref) if ref.embedCol == r.field && ref.kind == "pk" =>
+          PkSearch.vectorSearch(tbl, ref.idxLoc, ref.embedCol, r.query, lim,
+            r.nprobe, scoreCol = "score")
+        case Some(ref) if ref.embedCol == r.field =>
+          Indexes.ivfSearch(spark, ref.idxLoc, ref.embedCol, r.query, lim,
+            r.nprobe, scoreCol = "score")
+        case _ =>
+          val loc = vectorIndexLoc(tbl.location, r.field)
+          require(GraftTable.exists(spark, loc),
+            s"no ivf index on ${r.field} — CALL create_global_index(" +
+              s"index_column => '${r.field}', index_type => 'ivf') first")
+          Indexes.ivfSearch(spark, loc, r.field, r.query, lim, r.nprobe,
+            scoreCol = "score")
+      }
+      (df.select(col(idCol).as("id"), col("score")), r.weight)
+    }
+    val txtDfs = textRoutes.map { r =>
+      val lim = r.limit.getOrElse(k)
+      val terms = queryTerms(r.query)
+      val df = PkSearch.fullTextRef(tbl) match {
+        case Some(ref) if ref.textCol == r.column && ref.kind == "pk" =>
+          PkSearch.fullTextSearch(tbl, ref.idCol, ref.textCol, terms, lim)
+        case Some(ref) if ref.textCol == r.column =>
+          Indexes.fullTextSearch(spark, ref.idxLoc.get, terms, lim)
+        case _ =>
+          val loc = fullTextIndexLoc(tbl.location, r.column)
+          require(GraftTable.exists(spark, loc),
+            s"no full-text index on ${r.column} — CALL create_global_index(" +
+              s"index_column => '${r.column}', index_type => 'full-text') first")
+          Indexes.fullTextSearch(spark, loc, terms, lim)
+      }
+      (df.select(col("doc_id").as("id"), col("score")), r.weight)
+    }
+    FullText.fuseRoutes(vecDfs ++ txtDfs, ranker, rrfK0)
+      .orderBy(col("score").desc, col("id")).limit(k)
+      .withColumnRenamed("id", idCol)
   }
 
   def dropFullText(tbl: GraftTable): String = {

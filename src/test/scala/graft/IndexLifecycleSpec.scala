@@ -145,6 +145,68 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(graft.pipeline.IndexLifecycle.esRef(GraftTable.load(spark, loc)).isEmpty)
   }
 
+  test("multi-route hybrid TVF: weighted fusion across CALL-managed indexes") {
+    // the reference hybrid_search(table, vector_routes, full_text_routes,
+    // limit[, ranker]) shape: named_struct route configs with per-route
+    // limit/weight/options, every route served from its own index
+    val loc = tmpLoc("lc-hybrid")
+    val docs = mkEmbeddings(0, 100).withColumnRenamed("vid", "doc_id")
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(lit("table scan fast doc "), col("doc_id")))
+          .otherwise(concat(lit("merge read words doc "), col("doc_id"))))
+    val t = GraftTable.create(spark, loc, docs.schema, TableConfig())
+    t.write(docs)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4")).collect()
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "text", "index_type" -> "full-text",
+        "id_column" -> "doc_id")).collect()
+
+    val q = docs.filter(col("doc_id") === 7).select("emb").first().getSeq[Float](0)
+    val got = spark.sql(
+      s"""SELECT doc_id, round(score, 6) AS score
+         |FROM graft_hybrid_search('$loc',
+         |  array(named_struct('field', 'emb', 'query_vector', ${arr(q)},
+         |    'limit', 20, 'weight', CAST(2.0 AS DOUBLE),
+         |    'options', map('ivf.nprobe', '4'))),
+         |  array(named_struct('column', 'text',
+         |    'query', '{"match":{"query":"table scan"}}',
+         |    'limit', 20, 'weight', CAST(1.0 AS DOUBLE))),
+         |  10, 'mrr')""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+
+    // independent model: rank each route's top-20, fuse Σ weight/rank
+    val idxLoc = graft.pipeline.IndexLifecycle.vectorIndexLoc(loc, "emb")
+    val vecTop = graft.pipeline.Indexes
+      .ivfSearch(spark, idxLoc, "emb", q, 20, nprobe = 4, scoreCol = "score")
+      .select(col("doc_id").cast("long"), col("score").cast("double"))
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), r) => id -> 2.0 / (r + 1) }
+    val ftLoc = graft.pipeline.IndexLifecycle.fullTextIndexLoc(loc, "text")
+    val txtTop = graft.pipeline.Indexes
+      .fullTextSearch(spark, ftLoc, Seq("table", "scan"), 20)
+      .select(col("doc_id").cast("long"), col("score").cast("double"))
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), r) => id -> 1.0 / (r + 1) }
+    val want = (vecTop ++ txtTop).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+      .map { case (id, s) => (id, BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+
+    // text-only spelling: an empty array() for the vector routes
+    val textOnly = spark.sql(
+      s"""SELECT doc_id FROM graft_hybrid_search('$loc', array(),
+         |  array(named_struct('column', 'text', 'query', 'table scan',
+         |    'limit', 10, 'weight', CAST(1.0 AS DOUBLE))), 5, 'rrf')""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(textOnly.nonEmpty && textOnly.forall(_ % 3 == 0),
+      s"text route must only surface 'table scan' docs: $textOnly")
+  }
+
   test("PK table: ivf create delegates to the file-aligned route; full-text only registers") {
     val loc = tmpLoc("lc-pk")
     val e0 = mkEmbeddings(0, 200).withColumnRenamed("vid", "k")
