@@ -822,6 +822,19 @@ object SparkEntry {
            |  'table scan fast merge', 1000000)
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
     }),
+    // filtered vector search through the TVF: the filterSql masks
+    // candidates INSIDE the search (pushed scan filter + recall ladder) —
+    // nprobe = all clusters at oracle SF so the row stays deterministic
+    "q_vector_tvf_filtered" -> ((s, d) => {
+      val idx = Fixtures.ivfIndex(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, round(score, 4) AS sim
+           |FROM graft_vector_search('${idx.location}', 10, 8, $arr,
+           |  'label = 3')""".stripMargin)
+    }),
     "q_vector_tvf" -> ((s, d) => {
       val idx = Fixtures.ivfIndex(s, d)
       val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
@@ -2102,6 +2115,13 @@ object SparkEntry {
         |    list_cosine_similarity(e.embedding::DOUBLE[],
         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
         |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vector_tvf_filtered" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e WHERE e.label = 3)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf_filtered" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (

@@ -222,27 +222,41 @@ object GraftTableFunctions {
           graft.pipeline.Indexes.fullTextSearch(spark, t.location, terms, k)
       })
     },
-    // vector_search over an IVF INDEX path or a PK TABLE path — a PK table
-    // with a file-aligned index (PkSearch.buildVectorIndex writes the
-    // back-reference) routes through the snapshot-consistent, DV-aware
-    // search (reference BatchVectorSearchBuilderImpl wiring); the score
-    // column is `score` either way.
+    // vector_search over an IVF / IVF-RQ INDEX path or a PK TABLE path — a
+    // PK table with a file-aligned index (PkSearch.buildVectorIndex writes
+    // the back-reference) routes through the snapshot-consistent, DV-aware
+    // search (reference BatchVectorSearchBuilderImpl wiring); an IVF-RQ
+    // index routes through ADC + exact re-rank; the score column is `score`
+    // either way. The optional trailing filterSql masks candidates INSIDE
+    // the search (recall-ladder semantics, reference
+    // global-index.mdx:297-305) — filtering the returned top-k instead
+    // silently yields < k rows.
     fd("graft_vector_search") { args =>
-      require(args.length == 4, "graft_vector_search(ivfOrPkTable, k, nprobe, queryVec)")
+      require(args.length == 4 || args.length == 5,
+        "graft_vector_search(ivfOrPkTable, k, nprobe, queryVec[, 'filterSql'])")
       val t = resolveTable(str(args(0)))
       val (k, np, vec) = (lng(args(1)).toInt, lng(args(2)).toInt, floats(args(3)))
+      val filter =
+        if (args.length < 5) None
+        else Option(args(4).eval()).map(_.toString.trim).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.expr)
       plan(graft.pipeline.PkSearch.vectorRef(t) match {
         case Some(ref) if ref.kind == "pk" =>
           graft.pipeline.PkSearch.vectorSearch(t, ref.idxLoc, ref.embedCol,
-            vec, k, np, scoreCol = "score")
+            vec, k, np, scoreCol = "score", partitionFilter = filter)
         case Some(ref) => // "plain": CALL-created persisted IVF index
           graft.pipeline.Indexes.ivfSearch(spark, ref.idxLoc, ref.embedCol,
-            vec, k, np, scoreCol = "score")
+            vec, k, np, scoreCol = "score", filter = filter)
+        case None if graft.pipeline.Indexes.isRqIndex(spark, t.location) =>
+          graft.pipeline.Indexes.rqSearch(spark, t.location,
+            graft.pipeline.Indexes.ivfEmbedCol(spark, t.location)
+              .getOrElse("embedding"),
+            vec, k, np, scoreCol = "score", filter = filter)
         case None =>
           val e = graft.pipeline.Indexes.ivfEmbedCol(spark, t.location)
             .getOrElse("embedding")
           graft.pipeline.Indexes.ivfSearch(spark, t.location, e, vec, k, np,
-            scoreCol = "score")
+            scoreCol = "score", filter = filter)
       })
     },
     // hybrid search — two spellings:

@@ -390,6 +390,11 @@ object Indexes {
     t
   }
 
+  /** True when the index at `loc` is an IVF-RQ index (carries residual
+    * codebooks) — lets the SQL TVF route to the ADC search automatically. */
+  def isRqIndex(spark: SparkSession, loc: String): Boolean =
+    GraftTable.load(spark, loc).sm.fs.exists(statsPath(loc, "rq-codebooks"))
+
   def loadRqModel(spark: SparkSession, loc: String): Similarity.RqModel = {
     val t = GraftTable.load(spark, loc)
     val cents = Json.mapper.readValue(

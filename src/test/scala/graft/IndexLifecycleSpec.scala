@@ -207,6 +207,22 @@ class IndexLifecycleSpec extends SparkTestBase {
       s"text route must only surface 'table scan' docs: $textOnly")
   }
 
+  test("graft_vector_search routes an IVF-RQ index path through ADC + re-rank") {
+    val loc = tmpLoc("lc-rq-route")
+    val emb = mkEmbeddings(0, 400)
+    graft.pipeline.Indexes.buildIvfRq(spark, emb, "emb", loc, dim,
+      nClusters = 4, m = 4, ks = 16)
+    val q = emb.filter(col("vid") === 3).select("emb").first().getSeq[Float](0)
+    val viaTvf = spark.sql(
+      s"SELECT vid, round(score, 4) AS s FROM graft_vector_search('$loc', 10, 4, ${arr(q)})")
+      .as[(Long, Double)].collect().toSeq
+    val direct = graft.pipeline.Indexes
+      .rqSearch(spark, loc, "emb", q, 10, nprobe = 4, scoreCol = "score")
+      .select(col("vid"), round(col("score"), 4)).as[(Long, Double)]
+      .collect().toSeq
+    assert(viaTvf == direct, s"TVF must take the ADC route:\n$viaTvf\n$direct")
+  }
+
   test("PK table: ivf create delegates to the file-aligned route; full-text only registers") {
     val loc = tmpLoc("lc-pk")
     val e0 = mkEmbeddings(0, 200).withColumnRenamed("vid", "k")
