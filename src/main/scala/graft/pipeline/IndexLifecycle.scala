@@ -76,17 +76,18 @@ object IndexLifecycle {
     }
   }
 
-  /** REFRESH index_type=ivf: PK tables re-align (rebuild — query-time
-    * reconciliation already covers the gap, a refresh just resets its
-    * cost); append tables assign ONLY the rows appended since the recorded
-    * snapshot against the existing centroids. */
+  /** REFRESH index_type=ivf: PK tables DELTA-align when the changed key set
+    * is small — COW-delete the touched keys out of the index and append
+    * their CURRENT merged rows assigned to the existing centroids, then
+    * bump the source snapshot so query-time reconciliation goes back to
+    * zero cost. A wide delta (or an expired changelog) falls back to a
+    * rebuild. Append tables assign ONLY the rows appended since the
+    * recorded snapshot. */
   def refreshVector(tbl: GraftTable): String = {
     val ref = PkSearch.vectorRef(tbl).getOrElse(
       throw new IllegalArgumentException(s"${tbl.location}: no vector index"))
     if (ref.kind == "pk") {
-      PkSearch.buildVectorIndex(tbl, ref.embedCol, ref.idxLoc,
-        Indexes.loadIvfModel(tbl.spark, ref.idxLoc).centroids.length)
-      s"file-aligned ivf index re-aligned at ${ref.idxLoc}"
+      PkSearch.refreshVectorIndex(tbl, ref.idxLoc, ref.embedCol)
     } else {
       val s0 = readSource(tbl.spark, ref.idxLoc)
       val cur = currentSnapshot(tbl)

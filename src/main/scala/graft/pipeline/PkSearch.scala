@@ -110,6 +110,47 @@ object PkSearch {
     idx
   }
 
+  /** Re-align a file-aligned index with the table's CURRENT snapshot,
+    * paying O(changed keys) instead of O(table) when the delta is small:
+    * COW-delete the keys touched since the index snapshot out of the index
+    * table, append their current merged rows (assigned against the EXISTING
+    * centroids), and advance the recorded source snapshot — query-time
+    * reconciliation then short-circuits (cur == s0) until the next write.
+    * A wide delta, a composite key, or an unreadable changelog falls back
+    * to a full rebuild (same nClusters). */
+  def refreshVectorIndex(tbl: GraftTable, idxLoc: String, embedCol: String,
+                         maxDeltaKeys: Int = PointReadMaxKeys): String = {
+    import graft.core.RowOps._
+    val spark = tbl.spark
+    val s0 = indexSourceSnapshot(spark, idxLoc)
+    val cur = tbl.sm.latestSnapshotId
+      .getOrElse(throw new IllegalStateException(s"${tbl.location}: empty table"))
+    if (cur == s0) return s"file-aligned ivf index already at snapshot $cur"
+    def rebuild(): String = {
+      buildVectorIndex(tbl, embedCol, idxLoc,
+        Indexes.loadIvfModel(spark, idxLoc).centroids.length)
+      s"file-aligned ivf index rebuilt at $idxLoc (snapshot $cur)"
+    }
+    val pks = tbl.config.primaryKeys
+    if (pks.length != 1) return rebuild()
+    val pk = pks.head
+    val keys =
+      try tbl.changelog(s0, cur).select(col(pk)).distinct()
+        .limit(maxDeltaKeys + 1).collect().map(_.get(0)).toIndexedSeq
+      catch { case _: Exception => return rebuild() }
+    if (keys.length > maxDeltaKeys) return rebuild()
+    if (keys.nonEmpty) {
+      val idx = GraftTable.load(spark, idxLoc)
+      idx.delete(col(pk).isin(keys: _*)) // COW rewrite of affected index files
+      val fresh = tbl.read(filter = Some(col(pk).isin(keys: _*)))
+      if (!fresh.isEmpty) Indexes.appendToIvf(spark, fresh, embedCol, idxLoc)
+    }
+    val idx2 = GraftTable.load(spark, idxLoc)
+    idx2.sm.writeString(sidecar(idxLoc),
+      Json.write(Map("sourceSnapshot" -> cur, "sourceLocation" -> tbl.location)))
+    s"file-aligned ivf index delta-aligned ${s0}→$cur (${keys.length} keys)"
+  }
+
   private def indexSourceSnapshot(spark: SparkSession, loc: String): Long = {
     val t = GraftTable.load(spark, loc)
     val m = Json.mapper.readValue(t.sm.readString(sidecar(loc)),

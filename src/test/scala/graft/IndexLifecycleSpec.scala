@@ -235,9 +235,32 @@ class IndexLifecycleSpec extends SparkTestBase {
       .head().getString(0)
     assert(msg.contains("file-aligned"), msg)
     assert(PkSearch.vectorRef(t).exists(_.kind == "pk"))
-    // refresh on the pk kind re-aligns (rebuild) — message says so
+    // refresh with no table advance is a no-op
     assert(Procedures.call(spark, t, "refresh_global_index",
-      Map("index_type" -> "ivf")).head().getString(0).contains("re-aligned"))
+      Map("index_type" -> "ivf")).head().getString(0).contains("already at"))
+
+    // advance the table (upsert wave + DV delete), then DELTA-align: the
+    // touched keys are COW-deleted out of the index and re-appended from
+    // the merged state — after refresh the index ITSELF is current (no
+    // query-time changelog reconciliation, no deleted keys in the index)
+    import graft.core.RowOps._
+    t.write(t.read().filter(col("k") % 10 === 0)
+      .withColumn("emb", reverse(col("emb"))))
+    t.deleteDv(col("k") % 7 === 0)
+    val rmsg = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "ivf")).head().getString(0)
+    assert(rmsg.contains("delta-aligned"), rmsg)
+    val q = t.read().filter(col("k") === 3).select("emb").first().getSeq[Float](0)
+    val got = PkSearch.vectorSearch(t, IndexLifecycle.vectorIndexLoc(loc, "emb"),
+        "emb", q, 10, nprobe = 4)
+      .select("k").as[Long].collect().toSeq
+    val want = Similarity.bruteForceTopK(t.read(), "emb", q, 10, "cosine", "s")
+      .select("k").as[Long].collect().toSeq
+    assert(got == want, s"delta-aligned index must serve the merged state: $got vs $want")
+    val idxKeys = GraftTable.load(spark, IndexLifecycle.vectorIndexLoc(loc, "emb"))
+      .read().select("k").as[Long].collect().toSet
+    assert(idxKeys.forall(_ % 7 != 0), "DV-deleted keys must be gone from the index files")
+    assert(idxKeys == t.read().select("k").as[Long].collect().toSet)
 
     val fmsg = Procedures.call(spark, t, "create_global_index",
       Map("index_column" -> "txt", "index_type" -> "full-text"))
