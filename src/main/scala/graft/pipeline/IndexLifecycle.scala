@@ -57,6 +57,14 @@ object IndexLifecycle {
     tbl.sm.latestSnapshotId.getOrElse(
       throw new IllegalStateException(s"${tbl.location}: empty table"))
 
+  /** Delta refresh is sound only over pure-APPEND history: an OVERWRITE
+    * commit (row-level DELETE/UPDATE on an append table) rewrites files, so
+    * its delta re-lists the surviving rows — appending that delta would
+    * DUPLICATE them in the index while the removed rows kept scoring.
+    * (COMPACT snapshots are already excluded by `incremental`.) */
+  private def appendOnlySince(tbl: GraftTable, s0: Long, cur: Long): Boolean =
+    (s0 + 1 to cur).forall(id => tbl.sm.readSnapshot(id).kind != "OVERWRITE")
+
   /** CREATE index_type=ivf: file-aligned for PK tables, persisted
     * IVF-partitioned index + source sidecar for append tables. Either way
     * the back-reference makes `graft_vector_search('<table>', …)` work. */
@@ -92,6 +100,13 @@ object IndexLifecycle {
       val s0 = readSource(tbl.spark, ref.idxLoc)
       val cur = currentSnapshot(tbl)
       if (cur == s0) return s"ivf index already at snapshot $cur"
+      if (!appendOnlySince(tbl, s0, cur)) {
+        val n = Indexes.loadIvfModel(tbl.spark, ref.idxLoc).centroids.length
+        Indexes.buildIvf(tbl.spark, tbl.read(None, Some(cur)), ref.embedCol,
+          ref.idxLoc, n)
+        writeSource(tbl.spark, ref.idxLoc, cur)
+        return s"ivf index rebuilt at snapshot $cur (non-append history)"
+      }
       val delta = tbl.incremental(s0, cur)
       Indexes.appendToIvf(tbl.spark, delta, ref.embedCol, ref.idxLoc)
       writeSource(tbl.spark, ref.idxLoc, cur)
@@ -139,6 +154,13 @@ object IndexLifecycle {
     val s0 = readSource(tbl.spark, loc)
     val cur = currentSnapshot(tbl)
     if (cur == s0) return s"full-text index already at snapshot $cur"
+    if (!appendOnlySince(tbl, s0, cur)) {
+      Indexes.buildFullText(tbl.spark,
+        tbl.read(None, Some(cur)).select(col(ref.idCol), col(ref.textCol)),
+        ref.idCol, ref.textCol, loc)
+      writeSource(tbl.spark, loc, cur)
+      return s"full-text index rebuilt at snapshot $cur (non-append history)"
+    }
     Indexes.appendToFullText(tbl.spark,
       tbl.incremental(s0, cur).select(col(ref.idCol), col(ref.textCol)),
       ref.idCol, ref.textCol, loc)
@@ -177,18 +199,31 @@ object IndexLifecycle {
     s"es index built at $loc (snapshot $snap)"
   }
 
-  /** REFRESH index_type=es: assign/tokenize only the rows appended since the
-    * recorded snapshot ([[EsIndex.append]] — existing centroids, postings +
-    * term-stat deltas merged through the aggregation engine). */
+  /** REFRESH index_type=es: APPEND tables assign/tokenize only the rows
+    * appended since the recorded snapshot ([[EsIndex.append]] — existing
+    * centroids, postings + term-stat deltas merged through the aggregation
+    * engine). PRIMARY-KEY tables re-derive from the merged state instead —
+    * an upsert delta appended into an append-shaped composite index would
+    * leave the superseded versions scoring alongside the new ones. */
   def refreshEs(tbl: GraftTable): String = {
     val loc = esRef(tbl).getOrElse(
       throw new IllegalArgumentException(s"${tbl.location}: no es index"))
     val s0 = readSource(tbl.spark, loc)
     val cur = currentSnapshot(tbl)
     if (cur == s0) return s"es index already at snapshot $cur"
-    EsIndex.append(tbl.spark, tbl.incremental(s0, cur), loc)
-    writeSource(tbl.spark, loc, cur)
-    s"es index refreshed ${s0}→$cur (delta only)"
+    if (tbl.config.isPrimaryKeyed || !appendOnlySince(tbl, s0, cur)) {
+      val m = EsIndex.readMeta(tbl.spark, loc)
+      val n = m.embedCol.map(_ =>
+        Indexes.loadIvfModel(tbl.spark, loc).centroids.length).getOrElse(16)
+      EsIndex.build(tbl.spark, tbl.read(None, Some(cur)), m.idCol, loc,
+        m.embedCol, m.textCol, m.keywordCols, n)
+      writeSource(tbl.spark, loc, cur)
+      s"es index re-derived from the merged state at snapshot $cur"
+    } else {
+      EsIndex.append(tbl.spark, tbl.incremental(s0, cur), loc)
+      writeSource(tbl.spark, loc, cur)
+      s"es index refreshed ${s0}→$cur (delta only)"
+    }
   }
 
   def dropEs(tbl: GraftTable): String = {

@@ -69,6 +69,29 @@ class IndexLifecycleSpec extends SparkTestBase {
       IndexLifecycle.vectorIndexLoc(loc, "emb"))))
   }
 
+  test("append table refresh over a COW delete rebuilds instead of duplicating survivors") {
+    // an OVERWRITE commit (row-level delete on an append table) rewrites
+    // files; its delta re-lists surviving rows — a delta refresh would
+    // duplicate them in the index while the removed rows kept scoring
+    val loc = tmpLoc("lc-cow")
+    import graft.core.RowOps._
+    val e0 = mkEmbeddings(0, 200)
+    val t = GraftTable.create(spark, loc, e0.schema, TableConfig())
+    t.write(e0)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4")).collect()
+    t.delete(col("vid") % 3 === 0) // COW rewrite
+    val rmsg = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "ivf")).head().getString(0)
+    assert(rmsg.contains("rebuilt") && rmsg.contains("non-append"), rmsg)
+    val idxLoc = IndexLifecycle.vectorIndexLoc(loc, "emb")
+    val idxKeys = GraftTable.load(spark, idxLoc).read()
+      .select("vid").as[Long].collect().toSeq
+    assert(idxKeys.size == idxKeys.distinct.size, "no duplicated survivors")
+    assert(idxKeys.toSet == t.read().select("vid").as[Long].collect().toSet,
+      "index equals the post-delete table")
+  }
+
   test("append table full-text: CALL create -> TVF; refresh merges delta postings; drop") {
     val loc = tmpLoc("lc-ft")
     val docs0 = Seq(
@@ -143,6 +166,37 @@ class IndexLifecycleSpec extends SparkTestBase {
 
     Procedures.call(spark, t, "drop_global_index", Map("index_type" -> "es")).collect()
     assert(graft.pipeline.IndexLifecycle.esRef(GraftTable.load(spark, loc)).isEmpty)
+  }
+
+  test("PK table es refresh re-derives from the merged state, never appends stale versions") {
+    val loc = tmpLoc("lc-es-pk")
+    val docs0 = Seq(
+      (1L, "spark table scan performance", "en"),
+      (2L, "merge on read table", "en"),
+      (3L, "table scan table scan", "en")).toDF("doc_id", "text", "lang")
+    val t = GraftTable.create(spark, loc, docs0.schema,
+      TableConfig(primaryKeys = Seq("doc_id"), numBuckets = 2))
+    t.write(docs0)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_type" -> "es", "id_column" -> "doc_id",
+        "text_column" -> "text", "keyword_columns" -> "lang")).collect()
+    def tvf(): Seq[Long] = spark.sql(
+      s"""SELECT doc_id FROM graft_es_search('$loc', 10,
+         |  'table scan', NULL, 8, "lang = 'en'")""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(tvf().head == 3L)
+
+    // UPSERT: doc 3's new text no longer matches — after refresh it must
+    // DISAPPEAR from the ranking (an append-shaped refresh would keep the
+    // old version scoring)
+    t.write(Seq((3L, "completely different words now", "en"))
+      .toDF("doc_id", "text", "lang"))
+    val rmsg = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "es")).head().getString(0)
+    assert(rmsg.contains("re-derived"), rmsg)
+    val after = tvf()
+    assert(!after.contains(3L), s"superseded version leaked into the ranking: $after")
+    assert(after == Seq(1L, 2L), after)
   }
 
   test("multi-route hybrid TVF: weighted fusion across CALL-managed indexes") {
