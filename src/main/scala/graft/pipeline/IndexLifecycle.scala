@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /**
  * SQL lifecycle for the SEARCH index families — the `CALL
  * sys.create_global_index / refresh_global_index / drop_global_index`
- * surface of the reference with `index_type => 'ivf' | 'full-text'`
+ * surface of the reference with `index_type => 'ivf' | 'full-text' | 'es'`
  * (docs/docs/multimodal-table/global-index.mdx:119-175; btree/bitmap are
  * [[GlobalIndex]]). Indexes live at CONVENTIONAL locations inside the table
  * directory and write the table→index back-references
@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
  *    changelog-reconciled at query time); refresh = re-align rebuild.
  *  - PK table + full-text → [[PkSearch.registerFullText]] (merged-state
  *    postings are derived at query time — nothing to build or refresh).
- *  - APPEND table + ivf/full-text → persisted index over the current
+ *  - APPEND table + ivf/full-text/es → persisted index over the current
  *    snapshot plus a source-snapshot sidecar; REFRESH assigns/tokenizes
- *    only the `incremental(s0, cur)` delta (append tables: exactly the new
- *    rows) — maintenance pays O(delta), never O(table).
+ *    only the `incremental(s0, cur)` delta — maintenance pays O(delta),
+ *    never O(table) — and falls back to a rebuild over non-append history
+ *    ([[appendOnlySince]]).
  */
 object IndexLifecycle {
 
