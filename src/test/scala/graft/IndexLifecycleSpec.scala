@@ -259,6 +259,32 @@ class IndexLifecycleSpec extends SparkTestBase {
       .as[Long].collect().toSeq
     assert(textOnly.nonEmpty && textOnly.forall(_ % 3 == 0),
       s"text route must only surface 'table scan' docs: $textOnly")
+
+    // TWO vector routes, no text route (the reference's doc case): each
+    // field served from its own index, empty array() for the text routes
+    import graft.core.RowOps._
+    GraftTable.load(spark, loc).addColumns(
+      org.apache.spark.sql.types.StructField("emb2",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true)))
+    val t2 = GraftTable.load(spark, loc)
+    t2.update(Map("emb2" -> reverse(col("emb"))), lit(true))
+    Procedures.call(spark, t2, "create_global_index",
+      Map("index_column" -> "emb2", "index_type" -> "ivf", "clusters" -> "4")).collect()
+    val twoVec = spark.sql(
+      s"""SELECT doc_id FROM graft_hybrid_search('$loc',
+         |  array(
+         |    named_struct('field', 'emb', 'query_vector', ${arr(q)},
+         |      'limit', 10, 'weight', CAST(1.0 AS DOUBLE),
+         |      'options', map('ivf.nprobe', '4')),
+         |    named_struct('field', 'emb2', 'query_vector', ${arr(q.reverse)},
+         |      'limit', 10, 'weight', CAST(1.0 AS DOUBLE),
+         |      'options', map('ivf.nprobe', '4'))),
+         |  array(), 5, 'rrf')""".stripMargin)
+      .as[Long].collect().toSeq
+    // emb2 = reverse(emb) and the second query = reverse(q): both routes
+    // rank identically, so the fusion's top hit is the shared top-1 (doc 7)
+    assert(twoVec.head == 7L, s"two-vector-route fusion: $twoVec")
   }
 
   test("graft_vector_search routes an IVF-RQ index path through ADC + re-rank") {
@@ -275,6 +301,48 @@ class IndexLifecycleSpec extends SparkTestBase {
       .select(col("vid"), round(col("score"), 4)).as[(Long, Double)]
       .collect().toSeq
     assert(viaTvf == direct, s"TVF must take the ADC route:\n$viaTvf\n$direct")
+  }
+
+  test("randomized lifecycle differential: refresh always converges to the table state") {
+    // random interleavings of {append, COW delete, refresh} against a model:
+    // after every refresh the index must hold EXACTLY the table's current
+    // rows (delta refreshes over pure-append runs, rebuilds after deletes),
+    // with no duplicated or resurrected ids — 2 seeds
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val loc = tmpLoc(s"lc-fuzz-$seed")
+      var next = 120L
+      val t = GraftTable.create(spark, loc, mkEmbeddings(0, 1).schema, TableConfig())
+      t.write(mkEmbeddings(0, next.toInt))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4")).collect()
+      val idxLoc = IndexLifecycle.vectorIndexLoc(loc, "emb")
+      def tableIds = t.read().select("vid").as[Long].collect().toSeq
+      def idxIds = GraftTable.load(spark, idxLoc).read()
+        .select("vid").as[Long].collect().toSeq
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val n = 20 + rnd.nextInt(40)
+            t.write(mkEmbeddings(next.toInt, next.toInt + n)); next += n
+          case 1 =>
+            import graft.core.RowOps._
+            val (p, r) = (2 + rnd.nextInt(5), rnd.nextInt(2))
+            t.delete(col("vid") % p === r)
+          case 2 =>
+            Procedures.call(spark, t, "refresh_global_index",
+              Map("index_type" -> "ivf")).collect()
+            val (ti, ii) = (tableIds, idxIds)
+            assert(ii.size == ii.distinct.size, s"seed=$seed: duplicated ids in index")
+            assert(ii.toSet == ti.toSet,
+              s"seed=$seed: index diverged (missing=${ti.toSet -- ii.toSet}, " +
+                s"extra=${ii.toSet -- ti.toSet})")
+        }
+      }
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "ivf")).collect()
+      assert(idxIds.toSet == tableIds.toSet, s"seed=$seed: final refresh diverged")
+    }
   }
 
   test("PK table: ivf create delegates to the file-aligned route; full-text only registers") {
