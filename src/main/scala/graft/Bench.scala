@@ -65,19 +65,23 @@ object Bench {
 
   private val baselined = baselineSql.keys.toSeq.sorted
 
-  /** Time `body` n times, recording per-run seconds AND how many runs threw
-    * (an exception is timed but flagged — the per-run error marker
-    * BENCH_r08+ artifacts carry). */
+  /** Time `body` n times, recording per-run seconds of the SUCCESSFUL runs
+    * plus how many runs threw. A failed run's time-to-throw never enters the
+    * returned samples — min/median/total are computed only over runs that
+    * returned, so a query failing on every run emits null, not a bogus-fast
+    * number; the `errors` map carries the failure count either way. */
   private[graft] def timedRuns(n: Int)(body: => Unit): (Seq[Double], Int) = {
     var errs = 0
-    val times = (1 to n).map { _ =>
+    val times = (1 to n).flatMap { _ =>
       val t0 = System.nanoTime()
-      try body
-      catch { case e: Throwable =>
-        errs += 1
-        System.err.println(s"[bench] timed run failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { body; true }
+        catch { case e: Throwable =>
+          errs += 1
+          System.err.println(s"[bench] timed run failed: ${e.getMessage}")
+          false
+        }
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
     (times, errs)
   }
@@ -87,6 +91,42 @@ object Bench {
   private[graft] def errorsJson(results: Seq[(String, (Seq[Double], Int))]): String =
     results.collect { case (k, (_, e)) if e > 0 => s""""$k":$e""" }
       .mkString("{", ",", "}")
+
+  /** Host-noise normalization: a per-query median divided by the mean of the
+    * two calibration medians that bracket the timed phase. The calibration
+    * workload is FIXED pure Spark-parquet (no graft code), so its drift
+    * between rounds measures the HOST, not the engine — if background load
+    * doubles every wall-clock sample, it also doubles the calibration, and
+    * the normalized value (in "calibration units") is unchanged. This is the
+    * round-over-round signal; raw seconds stay in the artifact for absolute
+    * comparisons. */
+  private[graft] def normalized(median: Double, calStart: Double,
+                                calEnd: Double): Double =
+    median / ((calStart + calEnd) / 2.0)
+
+  /** The fixed calibration workload: a parquet scan + aggregation over the
+    * source lineitem table — the same shape as the phase-4 direct-Spark
+    * baselines, touching no graft code path, so its runtime is a pure
+    * host-speed probe. */
+  private[graft] def calibrationOnce(spark: SparkSession, sfDir: String): Unit = {
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .createOrReplaceTempView("__cal_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  sum(l_extendedprice) AS s, avg(l_discount) AS a
+        |FROM __cal_lineitem GROUP BY 1, 2""".stripMargin).collect()
+  }
+
+  /** Median of `n` timed calibration runs (assumes a prior warm run). */
+  private[graft] def calibrate(spark: SparkSession, sfDir: String,
+                               n: Int = 3): Double = {
+    val ts = (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      calibrationOnce(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    ts.sorted.apply(n / 2)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,13 +161,19 @@ object Bench {
     }
 
     // phase 3 — timed: N runs per query; `value` is the best (steady-state
-    // throughput) and EVERY run is emitted, so host noise during the
-    // driver's snapshot is visible in the artifact instead of silently
-    // inflating a single number. A run that THROWS is still timed (the
-    // artifact keeps its shape) but is counted in the `errors` map — a
-    // query that starts failing after its prebuild can never post a
-    // bogus-fast time-to-throw as a legitimate sample.
+    // throughput) and EVERY successful run is emitted, so host noise during
+    // the driver's snapshot is visible in the artifact instead of silently
+    // inflating a single number. A run that THROWS is counted in the
+    // `errors` map and its time-to-throw is DISCARDED — a query that starts
+    // failing after its prebuild can never post a bogus-fast sample. The
+    // timed phase is BRACKETED by a fixed pure-Spark calibration workload
+    // (start + end): `normalized_medians` divides each median by the mean
+    // calibration, turning wall-clock seconds into host-speed-invariant
+    // "calibration units" — the round-over-round signal that survives a
+    // noisy driver host.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    calibrationOnce(spark, sfDir) // warm the calibration plan once
+    val calStart = calibrate(spark, sfDir)
     val results = headline.map { name =>
       name -> timedRuns(nRuns) { qs(name)(spark, sfDir).collect() }
     }
@@ -162,23 +208,33 @@ object Bench {
       }
     }
 
+    val calEnd = calibrate(spark, sfDir)
+
     def f3(v: Double) = f"$v%.3f"
     def med(ts: Seq[Double]) = ts.sorted.apply(ts.length / 2)
-    val qJson = results.map { case (k, (ts, _)) => s""""$k":${f3(ts.min)}""" }
+    // a query whose runs ALL failed has no samples: null, never a number
+    def j(ts: Seq[Double], f: Seq[Double] => Double): String =
+      if (ts.isEmpty) "null" else f3(f(ts))
+    val qJson = results.map { case (k, (ts, _)) => s""""$k":${j(ts, _.min)}""" }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, (ts, _)) =>
       s""""$k":[${ts.map(f3).mkString(",")}]""" }.mkString("{", ",", "}")
     val medJson = results.map { case (k, (ts, _)) =>
-      s""""$k":${f3(med(ts))}""" }.mkString("{", ",", "}")
+      s""""$k":${j(ts, med)}""" }.mkString("{", ",", "}")
+    val normJson = results.map { case (k, (ts, _)) =>
+      s""""$k":${j(ts, t => normalized(med(t), calStart, calEnd))}""" }
+      .mkString("{", ",", "}")
     val baseJson = baseResults.map { case (k, ts) =>
       s""""$k":${f3(med(ts))}""" }.mkString("{", ",", "}")
     val graftMed = results.map { case (k, (ts, _)) => k -> ts }.toMap
-    val ratioJson = baseResults.map { case (k, ts) =>
+    val ratioJson = baseResults.collect { case (k, ts) if graftMed(k).nonEmpty =>
       s""""$k":${f3(med(graftMed(k)) / med(ts))}""" }.mkString("{", ",", "}")
     val errJson = errorsJson(results)
-    val total = results.map(_._2._1.min).sum
-    val totalMed = results.map { case (_, (ts, _)) => med(ts) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"median_total":$totalMed%.3f,"medians":$medJson,"baselines":$baseJson,"ratios":$ratioJson,"errors":$errJson,"runs":$runsJson,"sf":"$sfDir"}""")
+    val ok = results.map(_._2._1).filter(_.nonEmpty)
+    val total = ok.map(_.min).sum
+    val totalMed = ok.map(med).sum
+    val totalNorm = normalized(totalMed, calStart, calEnd)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"median_total":$totalMed%.3f,"medians":$medJson,"calibration":{"start":${f3(calStart)},"end":${f3(calEnd)}},"normalized_medians":$normJson,"median_total_normalized":${f3(totalNorm)},"baselines":$baseJson,"ratios":$ratioJson,"errors":$errJson,"runs":$runsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

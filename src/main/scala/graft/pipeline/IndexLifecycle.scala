@@ -62,9 +62,15 @@ object IndexLifecycle {
     * commit (row-level DELETE/UPDATE on an append table) rewrites files, so
     * its delta re-lists the surviving rows — appending that delta would
     * DUPLICATE them in the index while the removed rows kept scoring.
-    * (COMPACT snapshots are already excluded by `incremental`.) */
+    * (COMPACT snapshots are already excluded by `incremental`.) UNREADABLE
+    * history (snapshots expired between the index build and the refresh —
+    * routine at scale, where expire_snapshots runs on a schedule) also
+    * answers false: the delta cannot be read, so refresh falls back to the
+    * rebuild branch instead of throwing — same posture as
+    * [[PkSearch.refreshVectorIndex]]'s catch-and-rebuild. */
   private def appendOnlySince(tbl: GraftTable, s0: Long, cur: Long): Boolean =
-    (s0 + 1 to cur).forall(id => tbl.sm.readSnapshot(id).kind != "OVERWRITE")
+    try (s0 + 1 to cur).forall(id => tbl.sm.readSnapshot(id).kind != "OVERWRITE")
+    catch { case _: Exception => false }
 
   /** CREATE index_type=ivf: file-aligned for PK tables, persisted
     * IVF-partitioned index + source sidecar for append tables. Either way
@@ -106,7 +112,7 @@ object IndexLifecycle {
         Indexes.buildIvf(tbl.spark, tbl.read(None, Some(cur)), ref.embedCol,
           ref.idxLoc, n)
         writeSource(tbl.spark, ref.idxLoc, cur)
-        return s"ivf index rebuilt at snapshot $cur (non-append history)"
+        return s"ivf index rebuilt at snapshot $cur (non-append or unreadable history)"
       }
       val delta = tbl.incremental(s0, cur)
       Indexes.appendToIvf(tbl.spark, delta, ref.embedCol, ref.idxLoc)
@@ -160,7 +166,7 @@ object IndexLifecycle {
         tbl.read(None, Some(cur)).select(col(ref.idCol), col(ref.textCol)),
         ref.idCol, ref.textCol, loc)
       writeSource(tbl.spark, loc, cur)
-      return s"full-text index rebuilt at snapshot $cur (non-append history)"
+      return s"full-text index rebuilt at snapshot $cur (non-append or unreadable history)"
     }
     Indexes.appendToFullText(tbl.spark,
       tbl.incremental(s0, cur).select(col(ref.idCol), col(ref.textCol)),

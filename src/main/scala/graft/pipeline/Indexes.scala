@@ -293,7 +293,10 @@ object Indexes {
       query: Seq[Float], k: Int, nprobe: Int, filter: Option[Column],
       escalateFactor: Int, inListMax: Int = ClusterInListMax): Int = {
     val nClusters = model.centroids.length
-    var np = math.min(nprobe, nClusters)
+    // clamp to ≥1: a 0 (or negative) nprobe with a filter would probe zero
+    // clusters forever (survivors(0)=0 and 0*4=0 never progresses) — the TVF
+    // surface reaches here with any user-typed integer
+    var np = math.min(math.max(nprobe, 1), nClusters)
     if (filter.nonEmpty) {
       val target = escalateFactor.toLong * k
       def survivors(np0: Int): Long =
@@ -411,11 +414,15 @@ object Indexes {
   /** Top-k over the persisted IVF-RQ index: nprobe partitions read, ADC
     * candidate ranking over the code bytes, exact re-rank. An optional
     * `filter` masks candidates BEFORE ADC ranking (pushed into the scan) and
-    * rides the shared escalation ladder ([[escalateNprobe]]). */
+    * rides the shared escalation ladder ([[escalateNprobe]]). The exact
+    * re-rank honors `metric` (cosine | dot | l2); candidate RANKING stays in
+    * unit space either way — |q̂−v̂|² = 2−2·cos, so the ADC candidate order
+    * is simultaneously the unit-space cosine AND l2 order, and the rerank
+    * window absorbs the raw-norm differences. */
   def rqSearch(spark: SparkSession, loc: String, embedCol: String,
                query: Seq[Float], k: Int, nprobe: Int, rerank: Int = 0,
-               scoreCol: String = "__score", filter: Option[Column] = None,
-               escalateFactor: Int = 10,
+               metric: String = "cosine", scoreCol: String = "__score",
+               filter: Option[Column] = None, escalateFactor: Int = 10,
                inListMax: Int = ClusterInListMax): DataFrame = {
     val t = GraftTable.load(spark, loc)
     val model = loadRqModel(spark, loc)
@@ -430,6 +437,6 @@ object Indexes {
       .orderBy(col("__adc").desc).limit(r)
     Similarity.bruteForceTopK(
       cands.drop("__adc", "__rq", "__ivf_cluster"), embedCol, query, k,
-      "cosine", scoreCol)
+      metric, scoreCol)
   }
 }

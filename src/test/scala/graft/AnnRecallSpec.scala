@@ -129,6 +129,21 @@ class AnnRecallSpec extends SparkTestBase {
       model.nearestClusters(queries.head, 2))
     info(s"planned files: nprobe=2 -> $probed of $all")
     assert(probed <= all / 8, s"probe must prune files: $probed of $all")
+    // metric parameter on the RQ route: the exact re-rank honors l2 —
+    // candidates still rank in unit space (the unit-sphere cosine and l2
+    // orders coincide), the rerank window absorbs raw-norm differences
+    val exactL2 = queries.map(q =>
+      Similarity.bruteForceTopK(corpus, "emb", q, k, "l2")
+        .select("vid").as[Long].collect().toSet)
+    // a wider rerank window than the cosine sweep (20k vs 10k): the ADC
+    // candidate order is unit-space, so raw-norm outliers sit deeper in it
+    val gotL2 = queries.map(q =>
+      Indexes.rqSearch(spark, loc, "emb", q, k, nprobe = 8, rerank = 20 * k,
+          metric = "l2")
+        .select("vid").as[Long].collect().toSet)
+    val rL2 = recall(gotL2, exactL2)
+    info(f"l2 recall@10 at nprobe=8: $rL2%.3f")
+    assert(rL2 >= 0.9, f"l2 RQ-route recall@10 was $rL2%.3f")
   }
 
   test("es-index filtered recall@10 across filter selectivities; starved case exact") {

@@ -69,6 +69,46 @@ class IndexLifecycleSpec extends SparkTestBase {
       IndexLifecycle.vectorIndexLoc(loc, "emb"))))
   }
 
+  test("append table refresh with expired history falls back to rebuild") {
+    // expire_snapshots between build and refresh makes the s0..cur delta
+    // unreadable — refresh must rebuild, not throw (same posture as the
+    // PK route's catch-and-rebuild)
+    val loc = tmpLoc("lc-expire")
+    val e0 = mkEmbeddings(0, 200)
+    val t = GraftTable.create(spark, loc, e0.schema, TableConfig())
+    t.write(e0)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4")).collect()
+    t.write(mkEmbeddings(200, 240))
+    t.write(mkEmbeddings(240, 260))
+    t.expireSnapshots(retainLast = 1)
+    val rmsg = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "ivf")).head().getString(0)
+    assert(rmsg.contains("rebuilt"), rmsg)
+    val q = e0.filter(col("vid") === 3).select("emb").first().getSeq[Float](0)
+    val got = spark.sql(
+      s"SELECT vid FROM graft_vector_search('$loc', 10, 4, ${arr(q)})")
+      .as[Long].collect().toSeq
+    val want = Similarity.bruteForceTopK(t.read(), "emb", q, 10, "cosine", "s")
+      .select("vid").as[Long].collect().toSeq
+    assert(got == want, "rebuilt index serves the full current snapshot")
+  }
+
+  test("filtered search with nprobe=0 terminates (clamped to 1 probe)") {
+    // escalateNprobe used to loop forever: min(0*4, n)=0 never progresses;
+    // reachable from SQL via graft_vector_search(idx, k, 0, vec, 'filter')
+    val loc = tmpLoc("lc-np0")
+    val e0 = mkEmbeddings(0, 200)
+    val t = GraftTable.create(spark, loc, e0.schema, TableConfig())
+    t.write(e0)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4")).collect()
+    val q = e0.filter(col("vid") === 3).select("emb").first().getSeq[Float](0)
+    val got = spark.sql(s"""SELECT vid FROM graft_vector_search('$loc', 5, 0,
+      ${arr(q)}, 'vid % 2 = 0')""").as[Long].collect().toSeq
+    assert(got.length == 5 && got.forall(_ % 2 == 0), s"got $got")
+  }
+
   test("append table refresh over a COW delete rebuilds instead of duplicating survivors") {
     // an OVERWRITE commit (row-level delete on an append table) rewrites
     // files; its delta re-lists surviving rows — a delta refresh would
