@@ -1018,6 +1018,31 @@ object Fixtures {
       t
     }
 
+  /** Embeddings copy with TWO embedding columns — `embedding` plus a derived
+    * stand-in `emb2` (image-embedding shape: same table, second vector
+    * column, the multimodal norm per-column back-references exist for) —
+    * EACH carrying its own CALL-managed IVF index: create both on 90%,
+    * append the rest, refresh each independently via index_column. */
+  def lcMultiEmb(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_multi_emb") { loc =>
+      val emb = src(spark, sfDir, "embeddings")
+        .withColumn("emb2", reverse(col("embedding")))
+      val t = GraftTable.createOrReplace(spark, loc, emb.schema, TableConfig())
+      t.write(emb.filter(col("vec_id") % 10 =!= 0))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "embedding", "index_type" -> "ivf",
+          "clusters" -> "8")).collect()
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "emb2", "index_type" -> "ivf",
+          "clusters" -> "8")).collect()
+      t.write(emb.filter(col("vec_id") % 10 === 0))
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "ivf", "index_column" -> "embedding")).collect()
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "ivf", "index_column" -> "emb2")).collect()
+      t
+    }
+
   /** Append-table documents copy with a CALL-managed COMPOSITE (es) index:
     * text + bloom-keyword lang/source, create on 90%, append, refresh. */
   def lcEsDocs(spark: SparkSession, sfDir: String): GraftTable =

@@ -1042,6 +1042,25 @@ object SparkEntry {
         s"""SELECT vec_id, round(score, 4) AS sim
            |FROM graft_vector_search('${tbl.location}', 10, 8, $arr)""".stripMargin)
     }),
+    // TWO CALL-managed vector indexes on ONE table (per-column
+    // back-references — the reference tracks many indexes per table,
+    // TableIndexesTable.java): each column created and refreshed
+    // independently via index_column, and the TVF routes per column via the
+    // trailing index-column argument ('' = no filter)
+    "q_call_index_multi" -> ((s, d) => {
+      val tbl = Fixtures.lcMultiEmb(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT 'embedding' AS route, vec_id, round(score, 4) AS sim
+           |FROM graft_vector_search('${tbl.location}', 10, 8, $arr,
+           |  '', 'embedding')
+           |UNION ALL
+           |SELECT 'emb2' AS route, vec_id, round(score, 4) AS sim
+           |FROM graft_vector_search('${tbl.location}', 10, 8, $arr,
+           |  '', 'emb2')""".stripMargin)
+    }),
     // the reference's MULTI-ROUTE hybrid_search shape: named_struct route
     // configs with per-route limit/weight/options over a TABLE whose
     // indexes are CALL-managed (create 90% -> append -> refresh fixtures);
@@ -2250,6 +2269,21 @@ object SparkEntry {
         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
         |  FROM embeddings e)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_call_index_multi" ->
+      """WITH qv AS (
+        |  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 1)
+        |(SELECT 'embedding' AS route, vec_id, round(sim, 4) AS sim FROM (
+        |   SELECT e.vec_id,
+        |     list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM qv)) AS sim
+        |   FROM embeddings e)
+        | ORDER BY sim DESC, vec_id LIMIT 10)
+        |UNION ALL
+        |(SELECT 'emb2' AS route, vec_id, round(sim, 4) AS sim FROM (
+        |   SELECT e.vec_id,
+        |     list_cosine_similarity(list_reverse(e.embedding)::DOUBLE[],
+        |       (SELECT v FROM qv)) AS sim
+        |   FROM embeddings e)
+        | ORDER BY sim DESC, vec_id LIMIT 10)""".stripMargin,
     "q_vector_tvf" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
         |  SELECT e.vec_id,

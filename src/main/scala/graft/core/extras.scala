@@ -266,9 +266,13 @@ object Procedures {
             graft.pipeline.GlobalIndex.refresh(spark, table.location, col)
             ok(s"global index on $col refreshed incrementally")
           case "ivf" | "vector" =>
-            ok(graft.pipeline.IndexLifecycle.refreshVector(table))
+            // optional index_column disambiguates when several embedding
+            // columns carry indexes (per-column back-references)
+            ok(graft.pipeline.IndexLifecycle.refreshVector(table,
+              args.get("index_column").orElse(args.get("column"))))
           case "full-text" | "fulltext" =>
-            ok(graft.pipeline.IndexLifecycle.refreshFullText(table))
+            ok(graft.pipeline.IndexLifecycle.refreshFullText(table,
+              args.get("index_column").orElse(args.get("column"))))
           case "es" =>
             ok(graft.pipeline.IndexLifecycle.refreshEs(table))
           case other =>
@@ -283,9 +287,11 @@ object Procedures {
             fs.delete(new Path(table.location, s"index/global-$c.json"), false)
             ok(s"global index on $c dropped")
           case "ivf" | "vector" =>
-            ok(graft.pipeline.IndexLifecycle.dropVector(table))
+            ok(graft.pipeline.IndexLifecycle.dropVector(table,
+              args.get("index_column").orElse(args.get("column"))))
           case "full-text" | "fulltext" =>
-            ok(graft.pipeline.IndexLifecycle.dropFullText(table))
+            ok(graft.pipeline.IndexLifecycle.dropFullText(table,
+              args.get("index_column").orElse(args.get("column"))))
           case "es" =>
             ok(graft.pipeline.IndexLifecycle.dropEs(table))
           case other =>

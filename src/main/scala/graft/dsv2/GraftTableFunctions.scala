@@ -209,11 +209,27 @@ object GraftTableFunctions {
     // PK tables through the snapshot-consistent, DV-aware path). A PK table
     // registers its (idCol, textCol) once via PkSearch.registerFullText.
     fd("graft_full_text_search") { args =>
-      require(args.length == 3, "graft_full_text_search(indexOrPkTable, query, k)")
+      require(args.length == 3 || args.length == 4,
+        "graft_full_text_search(indexOrPkTable, query, k[, 'indexColumn'])")
       val t = resolveTable(str(args(0)))
       val terms = str(args(1)).split("\\s+").filter(_.nonEmpty).toSeq
       val k = lng(args(2)).toInt
-      plan(graft.pipeline.PkSearch.fullTextRef(t) match {
+      // the optional trailing column picks ONE of a multi-indexed table's
+      // back-references; without it a sole index routes and several error
+      val refs = graft.pipeline.PkSearch.fullTextRefs(t)
+      val refOpt =
+        if (args.length == 4) {
+          val c = str(args(3))
+          Some(refs.getOrElse(c, throw new IllegalArgumentException(
+            s"${t.location}: no full-text index on column $c " +
+              s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})")))
+        } else if (refs.size > 1)
+          throw new IllegalArgumentException(
+            s"${t.location}: multiple full-text indexes " +
+              s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass the index " +
+              "column as the 4th argument")
+        else refs.values.headOption
+      plan(refOpt match {
         case Some(ref) if ref.kind == "pk" =>
           graft.pipeline.PkSearch.fullTextSearch(t, ref.idCol, ref.textCol, terms, k)
         case Some(ref) => // "plain": CALL-created persisted postings index
@@ -232,15 +248,32 @@ object GraftTableFunctions {
     // global-index.mdx:297-305) — filtering the returned top-k instead
     // silently yields < k rows.
     fd("graft_vector_search") { args =>
-      require(args.length == 4 || args.length == 5,
-        "graft_vector_search(ivfOrPkTable, k, nprobe, queryVec[, 'filterSql'])")
+      require(args.length >= 4 && args.length <= 6,
+        "graft_vector_search(ivfOrPkTable, k, nprobe, queryVec" +
+          "[, 'filterSql'[, 'indexColumn']])")
       val t = resolveTable(str(args(0)))
       val (k, np, vec) = (lng(args(1)).toInt, lng(args(2)).toInt, floats(args(3)))
       val filter =
         if (args.length < 5) None
         else Option(args(4).eval()).map(_.toString.trim).filter(_.nonEmpty)
           .map(org.apache.spark.sql.functions.expr)
-      plan(graft.pipeline.PkSearch.vectorRef(t) match {
+      // 6th arg picks ONE of a multi-indexed table's per-column
+      // back-references (pass '' as the filter to skip filtering); without
+      // it a sole index routes and several indexed columns error
+      val refs = graft.pipeline.PkSearch.vectorRefs(t)
+      val refOpt =
+        if (args.length == 6) {
+          val c = str(args(5))
+          Some(refs.getOrElse(c, throw new IllegalArgumentException(
+            s"${t.location}: no vector index on column $c " +
+              s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})")))
+        } else if (refs.size > 1)
+          throw new IllegalArgumentException(
+            s"${t.location}: multiple vector indexes " +
+              s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass the index " +
+              "column as the 6th argument")
+        else refs.values.headOption
+      plan(refOpt match {
         case Some(ref) if ref.kind == "pk" =>
           graft.pipeline.PkSearch.vectorSearch(t, ref.idxLoc, ref.embedCol,
             vec, k, np, scoreCol = "score", partitionFilter = filter)

@@ -91,16 +91,51 @@ object IndexLifecycle {
     }
   }
 
+  /** Resolve ONE of the table's per-column vector refs: an explicit
+    * `index_column` wins; with none given the sole index is unambiguous and
+    * several indexed columns are an error naming them. */
+  private def resolveVectorRef(tbl: GraftTable,
+                               column: Option[String]): PkSearch.VectorRef = {
+    val refs = PkSearch.vectorRefs(tbl)
+    if (refs.isEmpty)
+      throw new IllegalArgumentException(s"${tbl.location}: no vector index")
+    column match {
+      case Some(c) => refs.getOrElse(c, throw new IllegalArgumentException(
+        s"${tbl.location}: no vector index on column $c " +
+          s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})"))
+      case None if refs.size == 1 => refs.values.head
+      case None => throw new IllegalArgumentException(
+        s"${tbl.location}: multiple vector indexes " +
+          s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass index_column")
+    }
+  }
+
+  private def resolveFullTextRef(tbl: GraftTable,
+                                 column: Option[String]): PkSearch.FullTextRef = {
+    val refs = PkSearch.fullTextRefs(tbl)
+    if (refs.isEmpty)
+      throw new IllegalArgumentException(s"${tbl.location}: no full-text index")
+    column match {
+      case Some(c) => refs.getOrElse(c, throw new IllegalArgumentException(
+        s"${tbl.location}: no full-text index on column $c " +
+          s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})"))
+      case None if refs.size == 1 => refs.values.head
+      case None => throw new IllegalArgumentException(
+        s"${tbl.location}: multiple full-text indexes " +
+          s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass index_column")
+    }
+  }
+
   /** REFRESH index_type=ivf: PK tables DELTA-align when the changed key set
     * is small — COW-delete the touched keys out of the index and append
     * their CURRENT merged rows assigned to the existing centroids, then
     * bump the source snapshot so query-time reconciliation goes back to
     * zero cost. A wide delta (or an expired changelog) falls back to a
     * rebuild. Append tables assign ONLY the rows appended since the
-    * recorded snapshot. */
-  def refreshVector(tbl: GraftTable): String = {
-    val ref = PkSearch.vectorRef(tbl).getOrElse(
-      throw new IllegalArgumentException(s"${tbl.location}: no vector index"))
+    * recorded snapshot. `column` names the index when several embedding
+    * columns are indexed. */
+  def refreshVector(tbl: GraftTable, column: Option[String] = None): String = {
+    val ref = resolveVectorRef(tbl, column)
     if (ref.kind == "pk") {
       PkSearch.refreshVectorIndex(tbl, ref.idxLoc, ref.embedCol)
     } else {
@@ -121,11 +156,10 @@ object IndexLifecycle {
     }
   }
 
-  def dropVector(tbl: GraftTable): String = {
-    val ref = PkSearch.vectorRef(tbl).getOrElse(
-      throw new IllegalArgumentException(s"${tbl.location}: no vector index"))
+  def dropVector(tbl: GraftTable, column: Option[String] = None): String = {
+    val ref = resolveVectorRef(tbl, column)
     tbl.sm.fs.delete(new Path(ref.idxLoc), true)
-    PkSearch.dropVectorRef(tbl)
+    PkSearch.dropVectorRef(tbl, ref.embedCol)
     s"vector index dropped (${ref.idxLoc})"
   }
 
@@ -151,10 +185,10 @@ object IndexLifecycle {
 
   /** REFRESH index_type=full-text: append tables tokenize only the delta
     * rows and MERGE their df/corpus-stat contributions (aggregation-engine
-    * term stats); PK registration needs no refresh. */
-  def refreshFullText(tbl: GraftTable): String = {
-    val ref = PkSearch.fullTextRef(tbl).getOrElse(
-      throw new IllegalArgumentException(s"${tbl.location}: no full-text index"))
+    * term stats); PK registration needs no refresh. `column` names the index
+    * when several text columns are indexed. */
+  def refreshFullText(tbl: GraftTable, column: Option[String] = None): String = {
+    val ref = resolveFullTextRef(tbl, column)
     if (ref.kind == "pk")
       return "merged-state full-text search needs no refresh"
     val loc = ref.idxLoc.get
@@ -276,7 +310,8 @@ object IndexLifecycle {
     * else the id a registered full-text/es index recorded. */
   private def inferIdCol(tbl: GraftTable): String =
     tbl.config.primaryKeys.headOption
-      .orElse(PkSearch.fullTextRef(tbl).map(_.idCol))
+      .orElse(PkSearch.fullTextRefs(tbl).toSeq.sortBy(_._1)
+        .headOption.map(_._2.idCol))
       .orElse(esRef(tbl).map(l => EsIndex.readMeta(tbl.spark, l).idCol))
       .getOrElse(throw new IllegalArgumentException(
         s"${tbl.location}: cannot infer the id column — the table needs a " +
@@ -293,16 +328,22 @@ object IndexLifecycle {
     require(vecRoutes.nonEmpty || textRoutes.nonEmpty, "no routes given")
     val spark = tbl.spark
     val idCol = inferIdCol(tbl)
+    val vecRefs = PkSearch.vectorRefs(tbl)
+    val txtRefs = PkSearch.fullTextRefs(tbl)
     val vecDfs = vecRoutes.map { r =>
       val lim = r.limit.getOrElse(k)
-      val df = PkSearch.vectorRef(tbl) match {
-        case Some(ref) if ref.embedCol == r.field && ref.kind == "pk" =>
+      // route per FIELD through that column's own back-reference: a PK ref
+      // gets the reconciled file-aligned search even when several embedding
+      // columns are indexed (the pre-r9 single-ref layout silently fell back
+      // to the unreconciled plain search for all but the newest index)
+      val df = vecRefs.get(r.field) match {
+        case Some(ref) if ref.kind == "pk" =>
           PkSearch.vectorSearch(tbl, ref.idxLoc, ref.embedCol, r.query, lim,
             r.nprobe, scoreCol = "score")
-        case Some(ref) if ref.embedCol == r.field =>
+        case Some(ref) =>
           Indexes.ivfSearch(spark, ref.idxLoc, ref.embedCol, r.query, lim,
             r.nprobe, scoreCol = "score")
-        case _ =>
+        case None =>
           val loc = vectorIndexLoc(tbl.location, r.field)
           require(GraftTable.exists(spark, loc),
             s"no ivf index on ${r.field} — CALL create_global_index(" +
@@ -315,12 +356,12 @@ object IndexLifecycle {
     val txtDfs = textRoutes.map { r =>
       val lim = r.limit.getOrElse(k)
       val terms = queryTerms(r.query)
-      val df = PkSearch.fullTextRef(tbl) match {
-        case Some(ref) if ref.textCol == r.column && ref.kind == "pk" =>
+      val df = txtRefs.get(r.column) match {
+        case Some(ref) if ref.kind == "pk" =>
           PkSearch.fullTextSearch(tbl, ref.idCol, ref.textCol, terms, lim)
-        case Some(ref) if ref.textCol == r.column =>
+        case Some(ref) =>
           Indexes.fullTextSearch(spark, ref.idxLoc.get, terms, lim)
-        case _ =>
+        case None =>
           val loc = fullTextIndexLoc(tbl.location, r.column)
           require(GraftTable.exists(spark, loc),
             s"no full-text index on ${r.column} — CALL create_global_index(" +
@@ -334,14 +375,13 @@ object IndexLifecycle {
       .withColumnRenamed("id", idCol)
   }
 
-  def dropFullText(tbl: GraftTable): String = {
-    val ref = PkSearch.fullTextRef(tbl).getOrElse(
-      throw new IllegalArgumentException(s"${tbl.location}: no full-text index"))
+  def dropFullText(tbl: GraftTable, column: Option[String] = None): String = {
+    val ref = resolveFullTextRef(tbl, column)
     ref.idxLoc.foreach { loc =>
       tbl.sm.fs.delete(new Path(loc), true)
       tbl.sm.fs.delete(new Path(Indexes.termStatsLoc(loc)), true)
     }
-    PkSearch.dropFullTextRef(tbl)
+    PkSearch.dropFullTextRef(tbl, ref.textCol)
     s"full-text index dropped"
   }
 }

@@ -33,8 +33,18 @@ import org.apache.spark.sql.functions._
 object PkSearch {
 
   private def sidecar(loc: String) = new Path(loc, "index/pk-search.json")
-  private def vecRefPath(tblLoc: String) = new Path(tblLoc, "index/pk-search-ref.json")
-  private def ftRefPath(tblLoc: String) = new Path(tblLoc, "index/pk-fulltext.json")
+  // back-references are PER COLUMN (multimodal tables routinely carry a
+  // text-embedding AND an image-embedding index — the reference tracks many
+  // indexes per table, TableIndexesTable.java); the suffix-less spellings are
+  // the pre-r9 single-index layout, still read and migrated on next write
+  private def vecRefPath(tblLoc: String, column: String) =
+    new Path(tblLoc, s"index/pk-search-ref-$column.json")
+  private def legacyVecRefPath(tblLoc: String) =
+    new Path(tblLoc, "index/pk-search-ref.json")
+  private def ftRefPath(tblLoc: String, column: String) =
+    new Path(tblLoc, s"index/pk-fulltext-$column.json")
+  private def legacyFtRefPath(tblLoc: String) =
+    new Path(tblLoc, "index/pk-fulltext.json")
 
   /** The table→index back-reference [[buildVectorIndex]] (kind "pk") or
     * [[IndexLifecycle.createVector]] (kind "plain") writes: lets the SQL TVF
@@ -42,57 +52,136 @@ object PkSearch {
     * search without naming the index — the reference's TVFs take the table,
     * not the index (BatchVectorSearchBuilderImpl wiring). kind "pk" =
     * file-aligned, changelog-reconciled search; "plain" = direct
-    * [[Indexes.ivfSearch]] against the referenced index. */
+    * [[Indexes.ivfSearch]] against the referenced index. One ref per
+    * embedding column; lifecycle calls disambiguate with `index_column`. */
   case class VectorRef(idxLoc: String, embedCol: String, kind: String = "pk")
 
-  private[pipeline] def writeVectorRef(tbl: GraftTable, ref: VectorRef): Unit =
-    tbl.sm.writeString(vecRefPath(tbl.location),
-      Json.write(Map("idxLoc" -> ref.idxLoc, "embedCol" -> ref.embedCol,
-        "kind" -> ref.kind)))
-
-  def vectorRef(tbl: GraftTable): Option[VectorRef] = {
-    val p = vecRefPath(tbl.location)
-    if (!tbl.sm.fs.exists(p)) None
-    else {
-      val m = Json.mapper.readValue(tbl.sm.readString(p),
-        classOf[java.util.Map[String, String]])
-      Some(VectorRef(m.get("idxLoc"), m.get("embedCol"),
-        Option(m.get("kind")).getOrElse("pk")))
-    }
+  private def parseVectorRef(json: String): VectorRef = {
+    val m = Json.mapper.readValue(json, classOf[java.util.Map[String, String]])
+    VectorRef(m.get("idxLoc"), m.get("embedCol"),
+      Option(m.get("kind")).getOrElse("pk"))
   }
 
-  private[pipeline] def dropVectorRef(tbl: GraftTable): Unit =
-    tbl.sm.fs.delete(vecRefPath(tbl.location), false)
+  private[pipeline] def writeVectorRef(tbl: GraftTable, ref: VectorRef): Unit = {
+    // migrate a legacy single-index ref out of the way: same column → this
+    // write supersedes it; different column → re-home it per-column so it
+    // stays independently refreshable/droppable
+    val legacy = legacyVecRefPath(tbl.location)
+    if (tbl.sm.fs.exists(legacy)) {
+      val old = parseVectorRef(tbl.sm.readString(legacy))
+      if (old.embedCol != ref.embedCol)
+        tbl.sm.writeString(vecRefPath(tbl.location, old.embedCol),
+          Json.write(Map("idxLoc" -> old.idxLoc, "embedCol" -> old.embedCol,
+            "kind" -> old.kind)))
+      tbl.sm.fs.delete(legacy, false)
+    }
+    tbl.sm.writeString(vecRefPath(tbl.location, ref.embedCol),
+      Json.write(Map("idxLoc" -> ref.idxLoc, "embedCol" -> ref.embedCol,
+        "kind" -> ref.kind)))
+  }
+
+  /** ALL vector back-references on the table, keyed by embedding column —
+    * per-column files plus (read-compat) the pre-r9 single-ref spelling. */
+  def vectorRefs(tbl: GraftTable): Map[String, VectorRef] = {
+    val fs = tbl.sm.fs
+    val legacy = legacyVecRefPath(tbl.location)
+    val old =
+      if (fs.exists(legacy)) Some(parseVectorRef(tbl.sm.readString(legacy)))
+      else None
+    val dir = new Path(tbl.location, "index")
+    val perCol =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("pk-search-ref-") && n.endsWith(".json"))
+        .map(n => parseVectorRef(
+          tbl.sm.readString(new Path(dir, n))))
+    (old.toSeq ++ perCol).map(r => r.embedCol -> r).toMap // per-column wins
+  }
+
+  /** The table's SOLE vector back-reference: None when un-indexed; throws
+    * when several columns are indexed (callers that can name a column use
+    * [[vectorRefs]]). */
+  def vectorRef(tbl: GraftTable): Option[VectorRef] = {
+    val refs = vectorRefs(tbl)
+    require(refs.size <= 1,
+      s"${tbl.location}: multiple vector indexes " +
+        s"(${refs.keys.toSeq.sorted.mkString(", ")}) — name the index column")
+    refs.values.headOption
+  }
+
+  private[pipeline] def dropVectorRef(tbl: GraftTable, column: String): Unit = {
+    tbl.sm.fs.delete(vecRefPath(tbl.location, column), false)
+    val legacy = legacyVecRefPath(tbl.location)
+    if (tbl.sm.fs.exists(legacy) &&
+        parseVectorRef(tbl.sm.readString(legacy)).embedCol == column)
+      tbl.sm.fs.delete(legacy, false)
+  }
 
   /** Register the (idCol, textCol) pair [[fullTextSearch]] needs so the SQL
     * TVF (`graft_full_text_search('<pk-table>', …)`) can route a TABLE path
     * through the merged-state BM25 search. Kind "plain" (written by
     * [[IndexLifecycle.createFullText]]) instead points at a PERSISTED
-    * postings index for the append-table route. */
+    * postings index for the append-table route. One ref per text column. */
   case class FullTextRef(idCol: String, textCol: String, kind: String = "pk",
                          idxLoc: Option[String] = None)
 
   def registerFullText(tbl: GraftTable, idCol: String, textCol: String): Unit =
     writeFullTextRef(tbl, FullTextRef(idCol, textCol))
 
-  private[pipeline] def writeFullTextRef(tbl: GraftTable, ref: FullTextRef): Unit =
-    tbl.sm.writeString(ftRefPath(tbl.location),
-      Json.write(Map("idCol" -> ref.idCol, "textCol" -> ref.textCol,
-        "kind" -> ref.kind) ++ ref.idxLoc.map("idxLoc" -> _)))
-
-  def fullTextRef(tbl: GraftTable): Option[FullTextRef] = {
-    val p = ftRefPath(tbl.location)
-    if (!tbl.sm.fs.exists(p)) None
-    else {
-      val m = Json.mapper.readValue(tbl.sm.readString(p),
-        classOf[java.util.Map[String, String]])
-      Some(FullTextRef(m.get("idCol"), m.get("textCol"),
-        Option(m.get("kind")).getOrElse("pk"), Option(m.get("idxLoc"))))
-    }
+  private def parseFullTextRef(json: String): FullTextRef = {
+    val m = Json.mapper.readValue(json, classOf[java.util.Map[String, String]])
+    FullTextRef(m.get("idCol"), m.get("textCol"),
+      Option(m.get("kind")).getOrElse("pk"), Option(m.get("idxLoc")))
   }
 
-  private[pipeline] def dropFullTextRef(tbl: GraftTable): Unit =
-    tbl.sm.fs.delete(ftRefPath(tbl.location), false)
+  private def ftRefJson(ref: FullTextRef): String =
+    Json.write(Map("idCol" -> ref.idCol, "textCol" -> ref.textCol,
+      "kind" -> ref.kind) ++ ref.idxLoc.map("idxLoc" -> _))
+
+  private[pipeline] def writeFullTextRef(tbl: GraftTable, ref: FullTextRef): Unit = {
+    val legacy = legacyFtRefPath(tbl.location)
+    if (tbl.sm.fs.exists(legacy)) {
+      val old = parseFullTextRef(tbl.sm.readString(legacy))
+      if (old.textCol != ref.textCol)
+        tbl.sm.writeString(ftRefPath(tbl.location, old.textCol), ftRefJson(old))
+      tbl.sm.fs.delete(legacy, false)
+    }
+    tbl.sm.writeString(ftRefPath(tbl.location, ref.textCol), ftRefJson(ref))
+  }
+
+  /** ALL full-text back-references on the table, keyed by text column. */
+  def fullTextRefs(tbl: GraftTable): Map[String, FullTextRef] = {
+    val fs = tbl.sm.fs
+    val legacy = legacyFtRefPath(tbl.location)
+    val old =
+      if (fs.exists(legacy)) Some(parseFullTextRef(tbl.sm.readString(legacy)))
+      else None
+    val dir = new Path(tbl.location, "index")
+    val perCol =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("pk-fulltext-") && n.endsWith(".json"))
+        .map(n => parseFullTextRef(tbl.sm.readString(new Path(dir, n))))
+    (old.toSeq ++ perCol).map(r => r.textCol -> r).toMap
+  }
+
+  /** The table's SOLE full-text back-reference (same contract as
+    * [[vectorRef]]). */
+  def fullTextRef(tbl: GraftTable): Option[FullTextRef] = {
+    val refs = fullTextRefs(tbl)
+    require(refs.size <= 1,
+      s"${tbl.location}: multiple full-text indexes " +
+        s"(${refs.keys.toSeq.sorted.mkString(", ")}) — name the index column")
+    refs.values.headOption
+  }
+
+  private[pipeline] def dropFullTextRef(tbl: GraftTable, column: String): Unit = {
+    tbl.sm.fs.delete(ftRefPath(tbl.location, column), false)
+    val legacy = legacyFtRefPath(tbl.location)
+    if (tbl.sm.fs.exists(legacy) &&
+        parseFullTextRef(tbl.sm.readString(legacy)).textCol == column)
+      tbl.sm.fs.delete(legacy, false)
+  }
 
   /** Build a vector index table aligned to `tbl`'s current snapshot: the
     * merged (MOR + DV-applied) rows, IVF-cluster-partitioned; the sidecar

@@ -109,6 +109,62 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(got.length == 5 && got.forall(_ % 2 == 0), s"got $got")
   }
 
+  test("per-column back-references: two vector indexes live independently") {
+    // the multimodal norm — text-embedding + image-embedding on one table:
+    // each column's index must create/refresh/drop WITHOUT touching the
+    // other (the pre-r9 single ref silently repointed lifecycle + routing
+    // at the newest index, orphaning the first)
+    val loc = tmpLoc("lc-multi")
+    val e0 = mkEmbeddings(0, 200).withColumn("emb2", reverse(col("emb")))
+    val t = GraftTable.create(spark, loc, e0.schema, TableConfig())
+    t.write(e0)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4")).collect()
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb2", "index_type" -> "ivf", "clusters" -> "4")).collect()
+    assert(PkSearch.vectorRefs(t).keySet == Set("emb", "emb2"))
+
+    // ambiguous lifecycle calls must name the columns instead of guessing
+    val ex = intercept[Exception] {
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "ivf")).collect() }
+    assert(ex.getMessage.contains("emb") && ex.getMessage.contains("emb2"), ex.getMessage)
+
+    // append + per-column refresh: BOTH indexes pick up the delta
+    t.write(mkEmbeddings(200, 240).withColumn("emb2", reverse(col("emb"))))
+    Seq("emb", "emb2").foreach { c =>
+      val m = Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "ivf", "index_column" -> c)).head().getString(0)
+      assert(m.contains("delta only"), s"$c: $m")
+    }
+    val q = e0.filter(col("vid") === 3).select("emb").first().getSeq[Float](0)
+    def tvf(c: String): Seq[Long] = spark.sql(
+      s"SELECT vid FROM graft_vector_search('$loc', 10, 4, ${arr(q)}, '', '$c')")
+      .as[Long].collect().toSeq
+    def exact(c: String): Seq[Long] =
+      Similarity.bruteForceTopK(t.read(), c, q, 10, "cosine", "s")
+        .select("vid").as[Long].collect().toSeq
+    assert(tvf("emb") == exact("emb"), "emb route after its refresh")
+    assert(tvf("emb2") == exact("emb2"), "emb2 route after its refresh")
+    // without a column, a multi-indexed table path must error, not guess
+    val exTvf = intercept[Exception] { spark.sql(
+      s"SELECT vid FROM graft_vector_search('$loc', 10, 4, ${arr(q)})").collect() }
+    assert(exTvf.getMessage.contains("multiple vector indexes"), exTvf.getMessage)
+
+    // dropping one leaves the other routed (and now unambiguous)
+    Procedures.call(spark, t, "drop_global_index",
+      Map("index_type" -> "ivf", "index_column" -> "emb")).collect()
+    assert(PkSearch.vectorRefs(t).keySet == Set("emb2"))
+    assert(!t.sm.fs.exists(new org.apache.hadoop.fs.Path(
+      IndexLifecycle.vectorIndexLoc(loc, "emb"))))
+    assert(tvf("emb2") == exact("emb2"), "emb2 survives emb's drop")
+    // sole-index short form works again after the drop
+    val sole = spark.sql(
+      s"SELECT vid FROM graft_vector_search('$loc', 10, 4, ${arr(q)})")
+      .as[Long].collect().toSeq
+    assert(sole == exact("emb2"), "sole remaining index routes without a column")
+  }
+
   test("append table refresh over a COW delete rebuilds instead of duplicating survivors") {
     // an OVERWRITE commit (row-level delete on an append table) rewrites
     // files; its delta re-lists surviving rows — a delta refresh would
