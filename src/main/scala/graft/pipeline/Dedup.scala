@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -26,60 +27,103 @@ object Dedup {
    * MinHash+LSH near-duplicate pairs, exact-verified: returns (v1, v2,
    * jaccard) for candidate pairs (sharing ≥1 LSH band) whose true word
    * n-gram Jaccard ≥ `threshold`. `sigLen` must be divisible by `nBands`.
+   *
+   * Mega-duplicate-cluster guard (the 100-TB edge: web boilerplate makes
+   * clusters of 10⁵⁺ byte-identical pages, and every band bucket of such a
+   * cluster IS the cluster, so an unguarded `collect_list` materializes an
+   * O(m) aggregation row and expands O(m²) pairs in ONE task): EXACT
+   * duplicates are collapsed to one representative per content fingerprint
+   * BEFORE banding — identical text ⇒ identical shingle set ⇒ identical
+   * signature, so the collapse loses nothing — and re-expanded afterward
+   * through the fingerprint groups, which keeps the emitted pair set
+   * byte-identical to the unguarded one (within-group pairs are exact
+   * duplicates at jaccard 1.0; a rep pair's jaccard is every cross-member
+   * pair's jaccard). Aggregation rows are then bounded by the number of
+   * DISTINCT texts in a bucket, and `maxBucketIds` caps even that:
+   * a residual bucket beyond the cap keeps its `maxBucketIds` smallest
+   * fingerprints per band. Recall contract of the cap: a pair is missed
+   * only if capped out of EVERY band it shares — needing >maxBucketIds
+   * near-identical-but-unequal variants agreeing on each such band, with
+   * the pair's other bands still recovering it. Within-group pair OUTPUT is
+   * inherently O(m²) for an m-clique (that IS the requested result);
+   * compose [[exactGroups]] upstream when group-level output suffices.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, sigLen: Int = 8, nBands: Int = 4,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      maxBucketIds: Int = 1024): DataFrame = {
     require(sigLen % nBands == 0, "sigLen must be divisible by nBands")
     val rpb = sigLen / nBands
-    // shingle-hash sets + signatures computed once and persisted: the band
-    // join below shuffles only (id, bandKey) pairs, and the verify joins
-    // shuffle 8-byte hash arrays — shingle STRINGS never leave the map side.
-    // Staged projections keep the md5 pass at one-per-shingle (the k seed
-    // hashes are affine transforms of the cached hash array).
-    val base = df
-      // ONE native byte-scan per doc: tokens + windows + md5-prefix hashes
-      // with no token/shingle-string materialization
-      .select(col(idCol),
+    // ONE native byte-scan per doc — content fingerprint + shingle hashes +
+    // signature, no token/shingle-string materialization — persisted so the
+    // collapse, the banding and the verify all reuse it. Shingle STRINGS
+    // never leave the map side; the verify joins shuffle 8-byte hash arrays.
+    val perDoc = df
+      .select(col(idCol), md5(col(textCol)).as("__fp"),
         TextOps.shingleHashesNative(col(textCol), shingleN).as("__hs"))
       .filter(size(col("__hs")) > 0)
-      .select(col(idCol),
+      .select(col(idCol), col("__fp"),
         array_distinct(col("__hs")).as("__hsd"), // set form, ONCE per doc —
         // verify evaluates jaccard per candidate PAIR; distincting there
         // would redo the O(n) set build for every pair a doc appears in
         TextOps.minhashFromHashesNative(col("__hs"), sigLen).as("__sig"))
       .withColumn("__n", size(col("__hsd")))
       .persist()
-    val banded = base.select(col(idCol),
+    // one representative per fingerprint: same text ⇒ same hashes, so
+    // first() is value-deterministic, and the aggregation row holds ONE
+    // doc's hash set however large the duplicate group
+    val reps = perDoc.groupBy("__fp")
+      .agg(first(col("__hsd")).as("__hsd"), first(col("__sig")).as("__sig"),
+        first(col("__n")).as("__n"))
+      .persist()
+    val memb = perDoc.select(col("__fp"), col(idCol).as("__m"))
+    val banded = reps.select(col("__fp"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), TextOps.bandKey(col("__sig"), b, rpb).as("bk"))): _*)).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
-    // candidate pairs by bucket aggregation, not a banded self-join: ONE
-    // shuffle of the (id, band, key) set, then in-bucket pair expansion
-    // (bucket sizes are duplicate-group sizes — tiny for real corpora; a
-    // self-join would shuffle the banded set twice and hash-build besides).
-    // distinct() dedups pairs sharing several bands; it shuffles only the
-    // candidate set.
-    val cand = banded.groupBy("band", "bk")
-      .agg(collect_list(col(idCol)).as("__ids"))
+      .select(col("__fp"), col("b.band").as("band"), col("b.bk").as("bk"))
+    // candidate rep pairs by bucket aggregation, not a banded self-join: ONE
+    // shuffle of the (fp, band, key) set, then capped in-bucket expansion
+    // (the row_number rides the same hash partitioning the aggregation
+    // needs). distinct() dedups pairs sharing several bands; it shuffles
+    // only the candidate set.
+    val cand = banded
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("band", "bk").orderBy(col("__fp"))))
+      .filter(col("__rn") <= maxBucketIds)
+      .groupBy("band", "bk")
+      .agg(collect_list(col("__fp")).as("__ids"))
       .filter(size(col("__ids")) > 1)
       .select(explode(expr(
         """flatten(transform(__ids, (x, i) ->
-          |  transform(filter(__ids, y -> y > x), y -> struct(x AS v1, y AS v2))))"""
+          |  transform(filter(__ids, y -> y > x), y -> struct(x AS f1, y AS f2))))"""
           .stripMargin)).as("p"))
-      .select(col("p.v1"), col("p.v2"))
+      .select(col("p.f1"), col("p.f2"))
       .distinct()
-    // exact verify on the hash SETS (same Jaccard as the string shingles
-    // modulo 32-bit collisions; identical md5-prefix hashing on the oracle
-    // side keeps the comparison deterministic). |A∪B| = |A|+|B|-|A∩B| —
-    // one array_intersect per pair, no union materialization.
-    val s1 = base.select(col(idCol).as("v1"), col("__hsd").as("sh1"), col("__n").as("n1"))
-    val s2 = base.select(col(idCol).as("v2"), col("__hsd").as("sh2"), col("__n").as("n2"))
-    cand.join(s1, "v1").join(s2, "v2")
+    // exact verify on the representatives' hash SETS (same Jaccard as the
+    // string shingles modulo 32-bit collisions; identical md5-prefix hashing
+    // on the oracle side keeps the comparison deterministic).
+    // |A∪B| = |A|+|B|-|A∩B| — one array_intersect per pair.
+    val s1 = reps.select(col("__fp").as("f1"), col("__hsd").as("sh1"), col("__n").as("n1"))
+    val s2 = reps.select(col("__fp").as("f2"), col("__hsd").as("sh2"), col("__n").as("n2"))
+    val repPairs = cand.join(s1, "f1").join(s2, "f2")
       .withColumn("__i", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jac", when(col("n1") + col("n2") === col("__i"), lit(1.0))
         .otherwise(col("__i") / (col("n1") + col("n2") - col("__i"))))
       .filter(col("jac") >= threshold)
+      .select(col("f1"), col("f2"), col("jac"))
+    // re-expand through the fingerprint groups: cross-group pairs inherit
+    // their reps' jaccard; within-group pairs are exact duplicates (the
+    // threshold guard only matters for a nonsensical threshold > 1)
+    val cross = repPairs
+      .join(memb.select(col("__fp").as("f1"), col("__m").as("m1")), "f1")
+      .join(memb.select(col("__fp").as("f2"), col("__m").as("m2")), "f2")
+      .select(least(col("m1"), col("m2")).as("v1"),
+        greatest(col("m1"), col("m2")).as("v2"), col("jac"))
+    val within = memb.select(col("__fp"), col("__m").as("v1"))
+      .join(memb.select(col("__fp"), col("__m").as("v2")), "__fp")
+      .filter(col("v1") < col("v2") && lit(1.0) >= lit(threshold))
+      .select(col("v1"), col("v2"), lit(1.0).as("jac"))
+    cross.unionByName(within)
       .select(col("v1"), col("v2"), round(col("jac"), 4).as("jac"))
   }
 

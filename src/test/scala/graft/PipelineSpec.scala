@@ -187,6 +187,95 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  /** The UNGUARDED pre-r9 minhash pipeline (collect_list of raw doc ids per
+    * bucket, no exact-duplicate collapse) — the differential baseline for the
+    * mega-cluster guard: on any corpus the guarded path must emit the
+    * byte-identical pair set. */
+  private def unguardedMinhashPairs(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, shingleN: Int, sigLen: Int,
+      nBands: Int, threshold: Double): org.apache.spark.sql.DataFrame = {
+    val rpb = sigLen / nBands
+    val base = df
+      .select(col(idCol), TextOps.shingleHashesNative(col(textCol), shingleN).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col(idCol), array_distinct(col("__hs")).as("__hsd"),
+        TextOps.minhashFromHashesNative(col("__hs"), sigLen).as("__sig"))
+      .withColumn("__n", size(col("__hsd")))
+      .persist()
+    val banded = base.select(col(idCol),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), TextOps.bandKey(col("__sig"), b, rpb).as("bk"))): _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
+    val cand = banded.groupBy("band", "bk")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(__ids, (x, i) ->
+          |  transform(filter(__ids, y -> y > x), y -> struct(x AS v1, y AS v2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.v1"), col("p.v2")).distinct()
+    val s1 = base.select(col(idCol).as("v1"), col("__hsd").as("sh1"), col("__n").as("n1"))
+    val s2 = base.select(col(idCol).as("v2"), col("__hsd").as("sh2"), col("__n").as("n2"))
+    cand.join(s1, "v1").join(s2, "v2")
+      .withColumn("__i", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jac", when(col("n1") + col("n2") === col("__i"), lit(1.0))
+        .otherwise(col("__i") / (col("n1") + col("n2") - col("__i"))))
+      .filter(col("jac") >= threshold)
+      .select(col("v1"), col("v2"), round(col("jac"), 4).as("jac"))
+  }
+
+  test("guarded minhash emits the identical pair set on a corpus WITH exact duplicates") {
+    // normal corpus: real documents + near-dup copies (suffix edit) + exact
+    // duplicate copies — within-group, cross-group and near-dup pairs all in
+    // play; guarded output must equal the unguarded pipeline's byte-for-byte
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 120)
+    val corpus = docs0
+      .unionAll(docs0.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 1000L).as("doc_id"),
+        concat(col("text"), lit(" xq yq zq")).as("text")))   // near-dups
+      .unionAll(docs0.filter(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 2000L).as("doc_id"), col("text")))   // exact dups
+    val guarded = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      shingleN = 3, sigLen = 8, nBands = 4, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val unguarded = unguardedMinhashPairs(corpus, "doc_id", "text",
+      shingleN = 3, sigLen = 8, nBands = 4, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guarded == unguarded,
+      s"only-guarded: ${(guarded -- unguarded).take(5)}; " +
+        s"only-unguarded: ${(unguarded -- guarded).take(5)}")
+    assert(guarded.nonEmpty && guarded.exists(_._3 == 1.0) &&
+      guarded.exists(p => p._3 < 1.0), s"corpus must exercise both pair kinds")
+  }
+
+  test("minhash survives a 10k-duplicate mega-cluster with bounded aggregation rows") {
+    // web boilerplate shape: one text duplicated 10^4 times — unguarded,
+    // every band bucket holds all 10^4 ids (an O(m) aggregation row and an
+    // O(m^2) single-task expansion); guarded, the cluster collapses to ONE
+    // fingerprint before banding, so buckets hold 1 entry and the pair set
+    // re-expands distributively. 10 distinct extra docs stay pair-free.
+    val m = 10000L
+    val cluster = spark.range(m).select(col("id").as("doc_id"),
+      lit("the same boilerplate page body repeated across the whole web corpus").as("text"))
+    val extras = spark.range(10).select((col("id") + 100000L).as("doc_id"),
+      concat(lit("unique document number "), col("id").cast("string"),
+        lit(" with entirely distinct content words "),
+        md5(col("id").cast("string"))).as("text"))
+    val pairs = Dedup.minhashLshPairs(cluster.unionAll(extras), "doc_id", "text",
+      shingleN = 3, sigLen = 8, nBands = 4, threshold = 0.8)
+    assert(pairs.count() == m * (m - 1) / 2, "all within-cluster pairs, nothing else")
+    // the cap knob: maxBucketIds=1 silences every RESIDUAL (cross-group)
+    // candidate, but exact-duplicate pairs don't ride buckets at all
+    val capped = Dedup.minhashLshPairs(
+      docs.unionAll(docs.select((col("doc_id") + 10L).as("doc_id"), col("text"))),
+      "doc_id", "text", shingleN = 3, sigLen = 8, nBands = 4,
+      threshold = 0.5, maxBucketIds = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped.nonEmpty && capped.forall(_._3 == 1.0),
+      s"cap must leave only exact-duplicate pairs: $capped")
+  }
+
   test("simhash pairs: near-dups at small hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
       .select("v1", "v2").as[(Long, Long)].collect().toSet
