@@ -1018,6 +1018,38 @@ object Fixtures {
       t
     }
 
+  /** Reference-dialect typed table: schema declared through [[RefTypes]]
+    * strings — TIME(3) (IntegerType millis-of-day, SparkTypeUtils.java:241)
+    * and MULTISET<STRING> (MapType(String, Int), SparkTypeUtils.java:276) —
+    * written and read back through a graft table so both mappings are
+    * oracle-gated END-TO-END, not just unit-asserted. Values derive from
+    * events: per user, the first event's millis-of-day and the multiset of
+    * event types with multiplicities. */
+  def refTypesTbl(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "reftypes") { loc =>
+      val schema = graft.core.RefTypes.schemaToSpark(Seq(
+        "user_id" -> "BIGINT", "first_t" -> "TIME(3)",
+        "kinds" -> "MULTISET<STRING>"))
+      val ev = src(spark, sfDir, "events")
+      // millis-of-day (precision 3 = truncated micros) of the user's first
+      // event; date_format SSS truncates the microsecond fraction
+      val firstT = ev.groupBy("user_id").agg(min(col("ts")).as("m"))
+        .select(col("user_id"),
+          (hour(col("m")) * 3600000 + minute(col("m")) * 60000 +
+            second(col("m")) * 1000 + date_format(col("m"), "SSS").cast("int"))
+            .cast("int").as("first_t"))
+      val kinds = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).cast("int").as("c"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("c"))))).as("kinds"))
+      val df = firstT.join(kinds, "user_id")
+        .select(col("user_id"), col("first_t"), col("kinds"))
+      val t = GraftTable.createOrReplace(spark, loc, schema, TableConfig())
+      t.write(df)
+      t
+    }
+
   /** Embeddings copy with TWO embedding columns — `embedding` plus a derived
     * stand-in `emb2` (image-embedding shape: same table, second vector
     * column, the multimodal norm per-column back-references exist for) —

@@ -1042,6 +1042,14 @@ object SparkEntry {
         s"""SELECT vec_id, round(score, 4) AS sim
            |FROM graft_vector_search('${tbl.location}', 10, 8, $arr)""".stripMargin)
     }),
+    // reference-dialect TIME(3) + MULTISET round-trip through a graft table
+    // (core/reftypes.scala mappings, oracle-gated end-to-end): the multiset
+    // explodes to (element, multiplicity) rows so DuckDB can hash-compare
+    "q_reftypes" -> ((s, d) => {
+      val tbl = Fixtures.refTypesTbl(s, d)
+      tbl.read().select(col("user_id"), col("first_t"),
+        explode(col("kinds")).as(Seq("kind", "mult")))
+    }),
     // TWO CALL-managed vector indexes on ONE table (per-column
     // back-references — the reference tracks many indexes per table,
     // TableIndexesTable.java): each column created and refreshed
@@ -2269,6 +2277,13 @@ object SparkEntry {
         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
         |  FROM embeddings e)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_reftypes" ->
+      """WITH m AS (SELECT user_id, min(ts) AS mt FROM events GROUP BY user_id)
+        |SELECT e.user_id,
+        |  CAST(date_diff('millisecond', date_trunc('day', m.mt), m.mt) AS INT) AS first_t,
+        |  e.event_type AS kind, CAST(count(*) AS INT) AS mult
+        |FROM events e JOIN m USING (user_id)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_call_index_multi" ->
       """WITH qv AS (
         |  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 1)

@@ -1209,7 +1209,13 @@ class GraftTable private (
           byId.get(f.id) match {
             case Some(of) =>
               GraftTable.evolveFieldExpr(of, f, col(of.name)).as(f.name)
-            case None => lit(null).cast(dt).as(f.name)
+            case None =>
+              // a field the file predates reads its configured DEFAULT, not
+              // null (read-time assignment, paimon DefaultValueAssigner —
+              // write-time align covers post-evolution files)
+              config.options.get(s"fields.${f.name}.default-value")
+                .map(v => lit(v).cast(dt).as(f.name))
+                .getOrElse(lit(null).cast(dt).as(f.name))
           }
         }
         // old-schema files predate any shred columns: read them as null

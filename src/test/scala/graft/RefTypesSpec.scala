@@ -76,5 +76,20 @@ class RefTypesSpec extends SparkTestBase {
     assert(evolved.length == 3)
     assert(evolved(0).isNullAt(3), "pre-evolution rows read null for the added multiset")
     assert(evolved(2).getMap[Int, Int](3).toMap == Map(7 -> 2))
+
+    // ADD a TIME(3) column WITH a default: pre-evolution rows surface the
+    // default millis-of-day instead of null (fields.<name>.default-value,
+    // the reference's column-default mechanism)
+    val t3 = GraftTable.load(spark, loc)
+    t3.addColumns(RefTypes.fieldToSpark("opens_at", "TIME(3)"))
+    t3.setOption("fields.opens_at.default-value", "32400000") // 09:00:00
+    val withDefault = GraftTable.load(spark, loc).read()
+      .select(col("id"), col("opens_at")).orderBy("id").collect()
+    assert(withDefault.forall(_.getInt(1) == 32400000),
+      withDefault.mkString("; "))
+    val asOpens = GraftTable.load(spark, loc).read()
+      .select(date_format(timestamp_millis(col("opens_at")), "HH:mm:ss"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(asOpens == Seq("09:00:00"), asOpens.toString)
   }
 }
