@@ -63,9 +63,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s.udf.register("graft_descriptor_to_string",
           graft.pipeline.Blob.descriptorToString)
         s.udf.register("graft_descriptor_to_presigned_url",
-          graft.pipeline.Blob.descriptorToPresignedUrl(tryMode = false))
+          graft.pipeline.Blob.descriptorToPresignedUrl(s, tryMode = false))
         s.udf.register("graft_try_descriptor_to_presigned_url",
-          graft.pipeline.Blob.descriptorToPresignedUrl(tryMode = true))
+          graft.pipeline.Blob.descriptorToPresignedUrl(s, tryMode = true))
         s.conf.set("graft.internal.blob-fns-registered", "true")
       }
     } catch { case _: Exception => /* no active session yet */ }

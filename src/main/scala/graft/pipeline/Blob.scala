@@ -130,27 +130,89 @@ object Blob {
         s"length=${desc.getAs[Long]("length")}}"
     }
 
-  /** STUB presigned URL (paimon sys.descriptor_to_presigned_url): no object
-    * store is reachable here, so the URL is a deterministic rendering on the
-    * reserved `.invalid` TLD — the SQL surface, arguments, and try_ error
-    * contract are real; swap the body for an OSS/S3 presigner in production.
-    * `tryMode` maps row-level failures to NULL (the try_ variant). */
-  def descriptorToPresignedUrl(tryMode: Boolean): UserDefinedFunction =
+  /** HMAC-SHA256 hex digest — the presign primitive. */
+  private[graft] def hmacHex(secret: String, canonical: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      secret.getBytes("UTF-8"), "HmacSHA256"))
+    mac.doFinal(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The canonical string a presigned URL's signature covers: every
+    * request-identifying parameter, so tampering with any of them (range,
+    * issue time, validity, target object) invalidates the signature. */
+  private def presignCanonical(uri: String, offset: Long, length: Long,
+                               issuedAt: Long, validity: Long): String =
+    s"$uri\n$offset\n$length\n$issuedAt\n$validity"
+
+  /** Build a presigned URL: S3-v4-STYLE query-string signing (public shape:
+    * credentialless HMAC over a canonical request, expiry as issued-at +
+    * validity-window parameters), no cloud SDK. Any byte service holding the
+    * secret validates statelessly with [[validatePresignedUrl]]. */
+  def signPresignedUrl(baseUrl: String, secret: String, uri: String,
+                       offset: Long, length: Long, validitySeconds: Long,
+                       issuedAtEpochSec: Long): String = {
+    val sig = hmacHex(secret,
+      presignCanonical(uri, offset, length, issuedAtEpochSec, validitySeconds))
+    val enc = java.net.URLEncoder.encode(uri, "UTF-8").replace("%2F", "/")
+    s"${baseUrl.stripSuffix("/")}/$enc" +
+      s"?X-Graft-Offset=$offset&X-Graft-Length=$length" +
+      s"&X-Graft-Date=$issuedAtEpochSec&X-Graft-Expires=$validitySeconds" +
+      s"&X-Graft-Signature=$sig"
+  }
+
+  /** Stateless validation of a [[signPresignedUrl]] URL: recompute the
+    * signature over the URL's own parameters (constant-time compare) and
+    * check the validity window. Returns the rejection reason; None =
+    * accepted. */
+  def validatePresignedUrl(url: String, secret: String,
+                           nowEpochSec: Long): Option[String] =
+    try {
+      val qIdx = url.indexOf('?')
+      if (qIdx < 0) return Some("no query string")
+      val params = url.substring(qIdx + 1).split('&').map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+      val pathStart = url.indexOf('/', url.indexOf("//") + 2)
+      val uri = java.net.URLDecoder.decode(
+        url.substring(pathStart + 1, qIdx), "UTF-8")
+      val (offset, length) =
+        (params("X-Graft-Offset").toLong, params("X-Graft-Length").toLong)
+      val (date, expires) =
+        (params("X-Graft-Date").toLong, params("X-Graft-Expires").toLong)
+      val want = hmacHex(secret,
+        presignCanonical(uri, offset, length, date, expires))
+      if (!java.security.MessageDigest.isEqual(
+          want.getBytes("UTF-8"), params("X-Graft-Signature").getBytes("UTF-8")))
+        Some("signature mismatch")
+      else if (nowEpochSec > date + expires) Some("expired")
+      else None
+    } catch { case e: Exception => Some(s"malformed url: ${e.getMessage}") }
+
+  /** Presigned URL for a descriptor's byte range (paimon
+    * sys.descriptor_to_presigned_url; reference paimon-spark descriptor
+    * functions): real HMAC-SHA256 query-string signing against the session's
+    * configured base URL + secret — set `graft.blob.presign.base-url` and
+    * `graft.blob.presign.secret` (OVERRIDE the dev-default secret in
+    * production). `tryMode` maps row-level failures to NULL (the try_
+    * variant); the non-try form fails loudly. */
+  def descriptorToPresignedUrl(spark: SparkSession,
+                               tryMode: Boolean): UserDefinedFunction = {
+    val base = spark.conf.get("graft.blob.presign.base-url",
+      "https://blob.example.com")
+    val secret = spark.conf.get("graft.blob.presign.secret", "graft-dev-secret")
     udf { (desc: Row, validitySeconds: Long) =>
       try {
         require(desc != null, "null descriptor")
         require(validitySeconds > 0, "validity must be positive seconds")
-        val uri = desc.getAs[String]("uri")
-        val sig = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$uri@${desc.getAs[Long]("offset")}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        s"https://presign.blob.invalid/$sig" +
-          s"?offset=${desc.getAs[Long]("offset")}" +
-          s"&length=${desc.getAs[Long]("length")}&expires=$validitySeconds"
+        signPresignedUrl(base, secret, desc.getAs[String]("uri"),
+          desc.getAs[Long]("offset"), desc.getAs[Long]("length"),
+          validitySeconds, System.currentTimeMillis() / 1000)
       } catch {
         case e: Exception if tryMode => null
       }
     }
+  }
 
   /** STUB image decode: deterministic metadata derived from the payload —
     * real codecs are unavailable here; the plumbing (batch shape, schema) is

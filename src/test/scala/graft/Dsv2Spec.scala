@@ -1089,7 +1089,14 @@ class Dsv2Spec extends SparkTestBase {
          |FROM (SELECT graft_path_to_descriptor('${f.toString}') AS d)""".stripMargin)
       .head()
     assert(row.getString(0).contains("length=5"), row.getString(0))
-    assert(row.getString(1).startsWith("https://presign.blob.invalid/"))
+    // a REAL presigned URL: HMAC-SHA256 query-string signed against the
+    // session's configured base + secret, statelessly validatable
+    val url = row.getString(1)
+    assert(url.startsWith("https://blob.example.com/"), url)
+    assert(url.contains("X-Graft-Signature="), url)
+    val now = System.currentTimeMillis() / 1000
+    assert(graft.pipeline.Blob.validatePresignedUrl(
+      url, "graft-dev-secret", now).isEmpty, url)
     assert(row.isNullAt(2), "try_ variant maps errors to NULL")
     assert(row.getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3, 4, 5))
     // non-try variant fails loudly on bad validity
@@ -1097,6 +1104,38 @@ class Dsv2Spec extends SparkTestBase {
       spark.sql("SELECT graft_descriptor_to_presigned_url(" +
         s"graft_path_to_descriptor('${f.toString}'), 0)").collect()
     }
+  }
+
+  test("presigned url signing: validation, tamper rejection, expiry rejection") {
+    import graft.pipeline.Blob
+    val (base, secret) = ("https://byteserver.example.com", "s3cr3t")
+    val url = Blob.signPresignedUrl(base, secret, "file:/data/blob/b-01.bin",
+      offset = 4096, length = 1024, validitySeconds = 300,
+      issuedAtEpochSec = 1700000000L)
+    // accepted inside the window
+    assert(Blob.validatePresignedUrl(url, secret, 1700000100L).isEmpty)
+    assert(Blob.validatePresignedUrl(url, secret, 1700000300L).isEmpty,
+      "boundary instant is still valid")
+    // expiry: one second past issued-at + validity
+    assert(Blob.validatePresignedUrl(url, secret, 1700000301L)
+      .contains("expired"))
+    // wrong secret
+    assert(Blob.validatePresignedUrl(url, "other", 1700000100L)
+      .contains("signature mismatch"))
+    // tampering with ANY signed parameter invalidates: widen the range
+    val tampered = url.replace("X-Graft-Length=1024", "X-Graft-Length=999999")
+    assert(Blob.validatePresignedUrl(tampered, secret, 1700000100L)
+      .contains("signature mismatch"))
+    // tampering with the validity window (signed too) is rejected
+    val extended = url.replace("X-Graft-Expires=300", "X-Graft-Expires=86400")
+    assert(Blob.validatePresignedUrl(extended, secret, 1700000100L)
+      .contains("signature mismatch"))
+    // tampering with the object path is rejected
+    val moved = url.replace("b-01.bin", "b-02.bin")
+    assert(Blob.validatePresignedUrl(moved, secret, 1700000100L)
+      .contains("signature mismatch"))
+    // a garbage url is a malformed rejection, not an exception
+    assert(Blob.validatePresignedUrl("https://x/y", secret, 0L).nonEmpty)
   }
 
   test("COPY INTO: csv import with history/PATTERN/SKIP_FILE, export round-trip") {
