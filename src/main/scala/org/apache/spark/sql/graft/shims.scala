@@ -24,6 +24,11 @@ object SparkShims {
                     name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
     spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.catalog(name)
 
+  /** Drain the listener bus — lets tests that aggregate task metrics via a
+    * SparkListener read a complete total (the bus is async). */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Rebind a streaming micro-batch DataFrame as a plain batch one so it can
     * flow through batch write paths inside `Sink.addBatch` (the pattern of
     * paimon-spark's PaimonUtils.createNewDataFrame /

@@ -168,6 +168,68 @@ class ScalePostureSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"CDC parse must not shuffle:\n$p")
   }
 
+  test("index refresh is O(delta): ivf, full-text and es read only appended rows") {
+    // the lifecycle's core scale property — enforced by a test that FAILS if
+    // refresh regresses to O(table). Build on n0 rows, append a small delta,
+    // and aggregate the refresh job's task-level recordsRead: the delta rows
+    // are re-read a few times (postings + term stats + corpus stats are
+    // separate actions) but the n0 base rows must never be scanned.
+    import graft.core._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    def recordsReadDuring(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            acc.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        org.apache.spark.sql.graft.SparkShims.waitListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    val (n0, delta) = (8000, 150)
+    val dim = 8
+    def rows(from: Int, until: Int) = spark.range(from, until).select(
+      col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon token"),
+        (col("id") % 17).cast("string")).as("text"),
+      array((0 until dim).map(i =>
+        ((pmod(hash(col("id"), lit(i)), lit(2001)) - 1000) / lit(1000.0))
+          .cast("float")): _*).as("emb"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val cases = Seq(
+      "ivf" -> Map("index_column" -> "emb", "index_type" -> "ivf",
+        "clusters" -> "4"),
+      "full-text" -> Map("index_column" -> "text",
+        "index_type" -> "full-text", "id_column" -> "doc_id"),
+      "es" -> Map("index_type" -> "es", "id_column" -> "doc_id",
+        "index_column" -> "emb", "text_column" -> "text",
+        "keyword_columns" -> "lang", "clusters" -> "4"))
+    cases.foreach { case (kind, createArgs) =>
+      val loc = tmpLoc(s"odelta-$kind")
+      val t = GraftTable.create(spark, loc, rows(0, 1).schema, TableConfig())
+      t.write(rows(0, n0))
+      Procedures.call(spark, t, "create_global_index", createArgs).collect()
+      t.write(rows(n0, n0 + delta))
+      val read = recordsReadDuring {
+        Procedures.call(spark, t, "refresh_global_index",
+          Map("index_type" -> kind) ++
+            createArgs.get("index_column").map("index_column" -> _)).collect()
+      }
+      info(f"$kind%-10s refresh recordsRead=$read (delta=$delta, table=${n0 + delta})")
+      assert(read > 0, s"$kind: refresh must have read the delta")
+      // the constant: delta re-read once per maintenance action (index rows,
+      // postings, term stats, corpus stats, per-term point reads) — ~2x for
+      // ivf, ~9x for full-text, ~12x for es; all delta-proportional
+      assert(read <= 15L * delta && read < n0 / 2,
+        s"$kind: refresh read $read records for a $delta-row delta over a " +
+          s"$n0-row base — O(delta) regressed toward O(table)")
+    }
+  }
+
   test("nested-field pruning: one subfield of a wide struct narrows the scan") {
     // 20-field struct; SELECT s.f3 must reach the parquet read with ONLY
     // that subfield (reference prunes nested schemas,
