@@ -1018,6 +1018,47 @@ object Fixtures {
       t
     }
 
+  private val objDirs = TrieMap[String, String]()
+
+  /** Deterministic object-store directory for the object-table row: one
+    * '\n'-terminated file per language under the PERSISTED fixture root —
+    * built once here, not inside the query lambda, so fixture work never
+    * blurs the prepare/measure boundary. */
+  def objectsDir(spark: SparkSession, sfDir: String): String =
+    objDirs.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Paths.get(s"${fixRoot(sfDir)}/objects")
+      val done = dir.resolve("_BUILT")
+      if (!java.nio.file.Files.exists(done)) {
+        java.nio.file.Files.createDirectories(dir)
+        src(spark, sfDir, "documents").select("lang", "text").collect()
+          .groupBy(_.getString(0)).foreach { case (lang, rows) =>
+            val content = rows.map(_.getString(1)).sorted.map(_ + "\n").mkString
+            java.nio.file.Files.write(dir.resolve(s"$lang.txt"),
+              content.getBytes("UTF-8"))
+          }
+        java.nio.file.Files.write(done, Array.emptyByteArray)
+      }
+      dir.toString
+    })
+
+  /** Tiny deterministic PK table exercising the compaction-coordination
+    * system tables (reference CompactBucketsTable / FileMonitorTable): base
+    * write, update wave, full compaction — `file_monitor` sees each commit's
+    * adds/removes per (partition, bucket), `compact_buckets` the
+    * post-compaction per-bucket file lists. */
+  def fileMonitorTbl(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "fm_tbl") { loc =>
+      import spark.implicits._
+      import graft.core.RowOps._
+      val t = GraftTable.createOrReplace(spark, loc,
+        Seq((1L, "a")).toDF("k", "v").schema,
+        TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+      t.write((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+      t.write((1L to 100L).filter(_ % 10 == 0).map(i => (i, s"u$i")).toDF("k", "v"))
+      t.compact()
+      t
+    }
+
   /** Reference-dialect typed table: schema declared through [[RefTypes]]
     * strings — TIME(3) (IntegerType millis-of-day, SparkTypeUtils.java:241)
     * and MULTISET<STRING> (MapType(String, Int), SparkTypeUtils.java:276) —

@@ -1042,6 +1042,25 @@ object SparkEntry {
         s"""SELECT vec_id, round(score, 4) AS sim
            |FROM graft_vector_search('${tbl.location}', 10, 8, $arr)""".stripMargin)
     }),
+    // compaction-coordination system tables (reference CompactBucketsTable /
+    // FileMonitorTable): per-commit file changes and per-bucket current file
+    // lists over a deterministic two-bucket PK fixture (base, update wave,
+    // compact) — counts are layout-deterministic, so the oracle is literal
+    "q_file_monitor" -> ((s, d) => {
+      val tbl = Fixtures.fileMonitorTbl(s, d)
+      tbl.systemTable("file_monitor")
+        .select(col("_SNAPSHOT_ID").as("snapshot_id"),
+          col("_BUCKET").as("bucket"),
+          size(col("_BEFORE_FILES")).as("removed"),
+          size(col("_DATA_FILES")).as("added"))
+    }),
+    "q_compact_buckets" -> ((s, d) => {
+      val tbl = Fixtures.fileMonitorTbl(s, d)
+      tbl.systemTable("compact_buckets")
+        .select(col("_SNAPSHOT_ID").as("snapshot_id"),
+          col("_BUCKET").as("bucket"), size(col("_FILES")).as("files"),
+          col("_TABLE_NAME").as("table_name"))
+    }),
     // reference-dialect TIME(3) + MULTISET round-trip through a graft table
     // (core/reftypes.scala mappings, oracle-gated end-to-end): the multiset
     // explodes to (element, multiplicity) rows so DuckDB can hash-compare
@@ -1246,15 +1265,9 @@ object SparkEntry {
     }),
     "q_object_table" -> ((s, d) => {
       // object table over a deterministic file set: one file per language,
-      // content = that language's docs ('\n'-terminated each)
-      val dir = java.nio.file.Files.createTempDirectory("graft-objects")
-      t(s, d, "documents").select("lang", "text").collect()
-        .groupBy(_.getString(0)).foreach { case (lang, rows) =>
-          val content = rows.map(_.getString(1)).sorted.map(_ + "\n").mkString
-          java.nio.file.Files.write(dir.resolve(s"$lang.txt"),
-            content.getBytes("UTF-8"))
-        }
-      graft.sources.ObjectTable.scan(s, dir.toString, Some("*.txt"))
+      // content = that language's docs ('\n'-terminated each); the files are
+      // a Fixtures prebuild, not query work
+      graft.sources.ObjectTable.scan(s, Fixtures.objectsDir(s, d), Some("*.txt"))
         .select(regexp_replace(col("name"), "\\.txt$", "").as("lang"), col("length"))
     }),
     "q_blob_roundtrip" -> ((s, d) => {
@@ -2277,6 +2290,23 @@ object SparkEntry {
         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
         |  FROM embeddings e)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // deterministic two-bucket fixture: base write (1 file/bucket), update
+    // wave (1 file/bucket), full compaction (removes both, adds the merged
+    // one); compact_buckets shows the post-compaction snapshot only
+    "q_file_monitor" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), CAST(0 AS INT), CAST(1 AS INT)),
+        |  (CAST(1 AS BIGINT), CAST(1 AS INT), CAST(0 AS INT), CAST(1 AS INT)),
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), CAST(0 AS INT), CAST(1 AS INT)),
+        |  (CAST(2 AS BIGINT), CAST(1 AS INT), CAST(0 AS INT), CAST(1 AS INT)),
+        |  (CAST(3 AS BIGINT), CAST(0 AS INT), CAST(2 AS INT), CAST(1 AS INT)),
+        |  (CAST(3 AS BIGINT), CAST(1 AS INT), CAST(2 AS INT), CAST(1 AS INT)))
+        |  AS t(snapshot_id, bucket, removed, added)""".stripMargin,
+    "q_compact_buckets" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(3 AS BIGINT), CAST(0 AS INT), CAST(1 AS INT), 'fm_tbl'),
+        |  (CAST(3 AS BIGINT), CAST(1 AS INT), CAST(1 AS INT), 'fm_tbl'))
+        |  AS t(snapshot_id, bucket, files, table_name)""".stripMargin,
     "q_reftypes" ->
       """WITH m AS (SELECT user_id, min(ts) AS mt FROM events GROUP BY user_id)
         |SELECT e.user_id,

@@ -811,6 +811,36 @@ object RowOps {
             walk("index/es__text").map { case (f, sz) => ("es", "", f, sz) } ++
             walk("index/es__text__termstats").map { case (f, sz) => ("es", "", f, sz) }
           rows.toDF("index_type", "column", "path", "file_size_in_bytes")
+        case "compact_buckets" =>
+          // the compaction-coordination view: current snapshot's file list
+          // per (partition, bucket) (paimon CompactBucketsTable.java:86 —
+          // its Flink wire-format byte columns surface here as readable
+          // strings/arrays; same column names)
+          val snap = t.sm.latestSnapshotId.getOrElse(0L)
+          val tname = new Path(t.location).getName
+          t.planFiles().groupBy(e => (e.partition, e.bucket)).toSeq
+            .map { case ((p, b), es) =>
+              (snap, p.toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]"), b,
+                es.map(_.path).sorted, Option.empty[String], tname)
+            }
+            .toDF("_SNAPSHOT_ID", "_PARTITION", "_BUCKET", "_FILES",
+              "_DATABASE_NAME", "_TABLE_NAME")
+        case "file_monitor" =>
+          // per-commit file CHANGES (paimon FileMonitorTable.java:84): the
+          // files each snapshot removed (_BEFORE_FILES) and added
+          // (_DATA_FILES), per (partition, bucket)
+          val rows = t.sm.snapshotIds.flatMap { id =>
+            val s = t.sm.readSnapshot(id)
+            s.deltaManifests.flatMap(t.sm.readManifest)
+              .groupBy(e => (e.partition, e.bucket)).toSeq
+              .map { case ((p, b), g) =>
+                (id, p.toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]"), b,
+                  g.filter(_.kind == 1).map(_.path).sorted,
+                  g.filter(_.kind == 0).map(_.path).sorted)
+              }
+          }
+          rows.toDF("_SNAPSHOT_ID", "_PARTITION", "_BUCKET",
+            "_BEFORE_FILES", "_DATA_FILES")
         case "file_key_ranges" =>
           // per-file PK range from manifest stats (paimon t$file_key_ranges)
           require(t.isPk, "file_key_ranges requires a primary-keyed table")
