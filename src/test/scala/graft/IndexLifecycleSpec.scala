@@ -165,6 +165,45 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(sole == exact("emb2"), "sole remaining index routes without a column")
   }
 
+  test("PK table with two vector columns: every hybrid route is changelog-reconciled") {
+    // the advice-flagged hole: pre-r9, a PK table's SECOND index displaced
+    // the single back-reference and that column's hybrid route fell back to
+    // the plain (unreconciled) search — superseded rows could score. With
+    // per-column refs, BOTH routes carry kind=pk and reconcile post-index
+    // updates from the changelog.
+    val loc = tmpLoc("lc-pk-multi")
+    val e0 = mkEmbeddings(0, 120).withColumn("emb2", reverse(col("emb")))
+    val t = GraftTable.create(spark, loc, e0.schema,
+      TableConfig(primaryKeys = Seq("vid"), numBuckets = 2,
+        options = Map("changelog-producer" -> "input")))
+    t.write(e0)
+    Seq("emb", "emb2").foreach { c =>
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> c, "index_type" -> "ivf", "clusters" -> "4")).collect()
+    }
+    assert(PkSearch.vectorRefs(t).values.forall(_.kind == "pk"))
+    // UPDATE vid=7's vectors AFTER both indexes were built: the merged state
+    // moves, the indexes stay at their build snapshot
+    val upd = mkEmbeddings(300, 301).select(lit(7L).as("vid"),
+      col("emb")).withColumn("emb2", reverse(col("emb")))
+    t.write(upd)
+    val q = upd.select("emb").first().getSeq[Float](0)
+    // route 1 on emb with vid=7's NEW vector; route 2 on emb2 with its
+    // reverse — both must surface vid=7 at rank 1 (reconciled), which the
+    // unreconciled index route cannot (it still holds the old vectors)
+    import graft.pipeline.IndexLifecycle.VectorRoute
+    val fused = IndexLifecycle.hybridSearch(t,
+      Seq(VectorRoute("emb", q, nprobe = 4),
+        VectorRoute("emb2", q.reverse, nprobe = 4)),
+      Nil, k = 3, ranker = "rrf")
+      .select("vid").as[Long].collect().toSeq
+    assert(fused.head == 7L, s"reconciled routes must rank the update first: $fused")
+    val viaEmb2 = PkSearch.vectorRefs(t)("emb2")
+    val direct = PkSearch.vectorSearch(t, viaEmb2.idxLoc, "emb2", q.reverse,
+      3, 4, scoreCol = "score").select("vid").as[Long].collect().toSeq
+    assert(direct.head == 7L, s"emb2's own file-aligned route reconciles: $direct")
+  }
+
   test("append table refresh over a COW delete rebuilds instead of duplicating survivors") {
     // an OVERWRITE commit (row-level delete on an append table) rewrites
     // files; its delta re-lists surviving rows — a delta refresh would
