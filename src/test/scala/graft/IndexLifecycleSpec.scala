@@ -480,6 +480,57 @@ class IndexLifecycleSpec extends SparkTestBase {
     }
   }
 
+  test("randomized multi-column differential: per-column refreshes converge independently") {
+    // two vector indexes on one table under random {append, COW delete,
+    // refresh-emb, refresh-emb2} interleavings: after refreshing column c,
+    // c's index holds EXACTLY the table's current rows regardless of how
+    // stale the OTHER column's index is — per-column sidecars must never
+    // cross-contaminate (shared-source-snapshot bugs would surface as a
+    // skipped rebuild or duplicated delta here)
+    for (seed <- Seq(7, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val loc = tmpLoc(s"lc-fuzz2-$seed")
+      var next = 100L
+      def withCols(df: DataFrame) = df.withColumn("emb2", reverse(col("emb")))
+      val t = GraftTable.create(spark, loc,
+        withCols(mkEmbeddings(0, 1)).schema, TableConfig())
+      t.write(withCols(mkEmbeddings(0, next.toInt)))
+      Seq("emb", "emb2").foreach { c =>
+        Procedures.call(spark, t, "create_global_index",
+          Map("index_column" -> c, "index_type" -> "ivf", "clusters" -> "4")).collect()
+      }
+      def tableIds = t.read().select("vid").as[Long].collect().toSet
+      def idxIds(c: String) = GraftTable.load(spark,
+        IndexLifecycle.vectorIndexLoc(loc, c)).read()
+        .select("vid").as[Long].collect().toSeq
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 =>
+            val n = 15 + rnd.nextInt(30)
+            t.write(withCols(mkEmbeddings(next.toInt, next.toInt + n))); next += n
+          case 1 =>
+            import graft.core.RowOps._
+            val (p, r) = (2 + rnd.nextInt(5), rnd.nextInt(2))
+            t.delete(col("vid") % p === r)
+          case k =>
+            val c = if (k == 2) "emb" else "emb2"
+            Procedures.call(spark, t, "refresh_global_index",
+              Map("index_type" -> "ivf", "index_column" -> c)).collect()
+            val ii = idxIds(c)
+            assert(ii.size == ii.distinct.size, s"seed=$seed: dup ids in $c index")
+            assert(ii.toSet == tableIds,
+              s"seed=$seed: $c index diverged (missing=${tableIds -- ii.toSet}, " +
+                s"extra=${ii.toSet -- tableIds})")
+        }
+      }
+      Seq("emb", "emb2").foreach { c =>
+        Procedures.call(spark, t, "refresh_global_index",
+          Map("index_type" -> "ivf", "index_column" -> c)).collect()
+        assert(idxIds(c).toSet == tableIds, s"seed=$seed: final $c refresh diverged")
+      }
+    }
+  }
+
   test("PK table: ivf create delegates to the file-aligned route; full-text only registers") {
     val loc = tmpLoc("lc-pk")
     val e0 = mkEmbeddings(0, 200).withColumnRenamed("vid", "k")
