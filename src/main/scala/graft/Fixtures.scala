@@ -1116,6 +1116,24 @@ object Fixtures {
       t
     }
 
+  /** Embeddings copy whose CALL-managed IVF index is built with
+    * `distance.metric=l2` (reference `<index-type>.distance.metric`,
+    * vector.mdx:184): the recorded metric becomes the TABLE path's query
+    * metric, surviving the delta refresh. */
+  def lcEmbL2(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_emb_l2") { loc =>
+      val emb = src(spark, sfDir, "embeddings")
+      val t = GraftTable.createOrReplace(spark, loc, emb.schema, TableConfig())
+      t.write(emb.filter(col("vec_id") % 10 =!= 0))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "embedding", "index_type" -> "ivf",
+          "clusters" -> "8", "distance.metric" -> "l2")).collect()
+      t.write(emb.filter(col("vec_id") % 10 === 0))
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "ivf")).collect()
+      t
+    }
+
   /** Append-table documents copy with a CALL-managed COMPOSITE (es) index:
     * text + bloom-keyword lang/source, create on 90%, append, refresh. */
   def lcEsDocs(spark: SparkSession, sfDir: String): GraftTable =

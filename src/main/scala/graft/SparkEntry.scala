@@ -1069,6 +1069,18 @@ object SparkEntry {
       tbl.read().select(col("user_id"), col("first_t"),
         explode(col("kinds")).as(Seq("kind", "mult")))
     }),
+    // build-time distance.metric recorded in the index meta drives the
+    // TABLE-path query metric (reference vector.mdx:184,292): an l2 index
+    // returns squared distances ranked ASCENDING, nprobe=all → exact
+    "q_vector_tvf_l2" -> ((s, d) => {
+      val tbl = Fixtures.lcEmbL2(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, round(score, 4) AS dist
+           |FROM graft_vector_search('${tbl.location}', 10, 8, $arr)""".stripMargin)
+    }),
     // TWO CALL-managed vector indexes on ONE table (per-column
     // back-references — the reference tracks many indexes per table,
     // TableIndexesTable.java): each column created and refreshed
@@ -2314,6 +2326,13 @@ object SparkEntry {
         |  e.event_type AS kind, CAST(count(*) AS INT) AS mult
         |FROM events e JOIN m USING (user_id)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_vector_tvf_l2" ->
+      """SELECT vec_id, round(dist, 4) AS dist FROM (
+        |  SELECT e.vec_id,
+        |    list_distance(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[])^2 AS dist
+        |  FROM embeddings e)
+        |ORDER BY dist ASC, vec_id LIMIT 10""".stripMargin,
     "q_call_index_multi" ->
       """WITH qv AS (
         |  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 1)

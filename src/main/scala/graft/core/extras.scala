@@ -231,9 +231,15 @@ object Procedures {
             graft.pipeline.GlobalIndex.build(spark, table.location, col)
             ok(s"global index built on $col")
           case "ivf" | "vector" =>
+            // cluster count and metric: CALL argument wins, else the
+            // per-field / shared table options resolve inside createVector
             ok(graft.pipeline.IndexLifecycle.createVector(table, col,
-              nClusters = args.getOrElse("clusters", "16").toInt,
-              seed = args.getOrElse("seed", "42").toLong))
+              nClusters = args.get("clusters").orElse(args.get("ivf.nlist"))
+                .orElse(args.get("nlist")).map(_.toInt),
+              seed = args.getOrElse("seed", "42").toLong,
+              metric = args.get("distance.metric")
+                .orElse(args.get("ivf.distance.metric"))
+                .orElse(args.get("metric"))))
           case "full-text" | "fulltext" =>
             ok(graft.pipeline.IndexLifecycle.createFullText(table,
               args.getOrElse("id_column",

@@ -273,23 +273,29 @@ object GraftTableFunctions {
               s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass the index " +
               "column as the 6th argument")
         else refs.values.headOption
+      // the index's BUILD-TIME metric is the query metric (the reference's
+      // use-the-same-metric-at-build-and-query contract, vector.mdx:292)
+      def metricOf(loc: String) = graft.pipeline.Indexes.ivfMetric(spark, loc)
       plan(refOpt match {
         case Some(ref) if ref.kind == "pk" =>
           graft.pipeline.PkSearch.vectorSearch(t, ref.idxLoc, ref.embedCol,
-            vec, k, np, scoreCol = "score", partitionFilter = filter)
+            vec, k, np, metric = metricOf(ref.idxLoc), scoreCol = "score",
+            partitionFilter = filter)
         case Some(ref) => // "plain": CALL-created persisted IVF index
           graft.pipeline.Indexes.ivfSearch(spark, ref.idxLoc, ref.embedCol,
-            vec, k, np, scoreCol = "score", filter = filter)
+            vec, k, np, metric = metricOf(ref.idxLoc), scoreCol = "score",
+            filter = filter)
         case None if graft.pipeline.Indexes.isRqIndex(spark, t.location) =>
           graft.pipeline.Indexes.rqSearch(spark, t.location,
             graft.pipeline.Indexes.ivfEmbedCol(spark, t.location)
               .getOrElse("embedding"),
-            vec, k, np, scoreCol = "score", filter = filter)
+            vec, k, np, metric = metricOf(t.location), scoreCol = "score",
+            filter = filter)
         case None =>
           val e = graft.pipeline.Indexes.ivfEmbedCol(spark, t.location)
             .getOrElse("embedding")
           graft.pipeline.Indexes.ivfSearch(spark, t.location, e, vec, k, np,
-            scoreCol = "score", filter = filter)
+            metric = metricOf(t.location), scoreCol = "score", filter = filter)
       })
     },
     // hybrid search — two spellings:

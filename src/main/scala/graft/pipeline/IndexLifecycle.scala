@@ -74,20 +74,34 @@ object IndexLifecycle {
 
   /** CREATE index_type=ivf: file-aligned for PK tables, persisted
     * IVF-partitioned index + source sidecar for append tables. Either way
-    * the back-reference makes `graft_vector_search('<table>', …)` work. */
+    * the back-reference makes `graft_vector_search('<table>', …)` work.
+    * `nClusters`/`metric` resolve CALL argument → per-field table option
+    * (`fields.<col>.nlist` / `fields.<col>.distance.metric`) → shared table
+    * option (`ivf.nlist` / `ivf.distance.metric`) → default — the
+    * reference's per-field option precedence (vector.mdx "Per-Field
+    * Options"); the metric is recorded in the index meta and becomes the
+    * TABLE path's query metric. */
   def createVector(tbl: GraftTable, embedCol: String,
-                   nClusters: Int = 16, seed: Long = 42L): String = {
+                   nClusters: Option[Int] = None, seed: Long = 42L,
+                   metric: Option[String] = None): String = {
+    def opt(field: String, shared: String): Option[String] =
+      tbl.config.options.get(s"fields.$embedCol.$field")
+        .orElse(tbl.config.options.get(shared))
+    val n = nClusters.orElse(opt("nlist", "ivf.nlist").map(_.toInt)).getOrElse(16)
+    val m = Indexes.normalizeMetric(
+      metric.orElse(opt("distance.metric", "ivf.distance.metric"))
+        .getOrElse("cosine"))
     val loc = vectorIndexLoc(tbl.location, embedCol)
     if (tbl.config.isPrimaryKeyed) {
-      PkSearch.buildVectorIndex(tbl, embedCol, loc, nClusters, seed)
-      s"file-aligned ivf index built at $loc"
+      PkSearch.buildVectorIndex(tbl, embedCol, loc, n, seed, m)
+      s"file-aligned ivf index built at $loc (metric $m)"
     } else {
       val snap = currentSnapshot(tbl)
       Indexes.buildIvf(tbl.spark, tbl.read(None, Some(snap)), embedCol, loc,
-        nClusters, seed)
+        n, seed, metric = m)
       writeSource(tbl.spark, loc, snap)
       PkSearch.writeVectorRef(tbl, PkSearch.VectorRef(loc, embedCol, "plain"))
-      s"ivf index built at $loc (snapshot $snap)"
+      s"ivf index built at $loc (snapshot $snap, metric $m)"
     }
   }
 
@@ -144,8 +158,9 @@ object IndexLifecycle {
       if (cur == s0) return s"ivf index already at snapshot $cur"
       if (!appendOnlySince(tbl, s0, cur)) {
         val n = Indexes.loadIvfModel(tbl.spark, ref.idxLoc).centroids.length
+        // a rebuild PRESERVES the index's build-time metric
         Indexes.buildIvf(tbl.spark, tbl.read(None, Some(cur)), ref.embedCol,
-          ref.idxLoc, n)
+          ref.idxLoc, n, metric = Indexes.ivfMetric(tbl.spark, ref.idxLoc))
         writeSource(tbl.spark, ref.idxLoc, cur)
         return s"ivf index rebuilt at snapshot $cur (non-append or unreadable history)"
       }
@@ -335,22 +350,29 @@ object IndexLifecycle {
       // route per FIELD through that column's own back-reference: a PK ref
       // gets the reconciled file-aligned search even when several embedding
       // columns are indexed (the pre-r9 single-ref layout silently fell back
-      // to the unreconciled plain search for all but the newest index)
-      val df = vecRefs.get(r.field) match {
+      // to the unreconciled plain search for all but the newest index); each
+      // route scores with ITS index's build-time metric
+      val (df0, metric) = vecRefs.get(r.field) match {
         case Some(ref) if ref.kind == "pk" =>
-          PkSearch.vectorSearch(tbl, ref.idxLoc, ref.embedCol, r.query, lim,
-            r.nprobe, scoreCol = "score")
+          val m = Indexes.ivfMetric(spark, ref.idxLoc)
+          (PkSearch.vectorSearch(tbl, ref.idxLoc, ref.embedCol, r.query, lim,
+            r.nprobe, metric = m, scoreCol = "score"), m)
         case Some(ref) =>
-          Indexes.ivfSearch(spark, ref.idxLoc, ref.embedCol, r.query, lim,
-            r.nprobe, scoreCol = "score")
+          val m = Indexes.ivfMetric(spark, ref.idxLoc)
+          (Indexes.ivfSearch(spark, ref.idxLoc, ref.embedCol, r.query, lim,
+            r.nprobe, metric = m, scoreCol = "score"), m)
         case None =>
           val loc = vectorIndexLoc(tbl.location, r.field)
           require(GraftTable.exists(spark, loc),
             s"no ivf index on ${r.field} — CALL create_global_index(" +
               s"index_column => '${r.field}', index_type => 'ivf') first")
-          Indexes.ivfSearch(spark, loc, r.field, r.query, lim, r.nprobe,
-            scoreCol = "score")
+          val m = Indexes.ivfMetric(spark, loc)
+          (Indexes.ivfSearch(spark, loc, r.field, r.query, lim, r.nprobe,
+            metric = m, scoreCol = "score"), m)
       }
+      // l2 scores are DISTANCES (smaller = better): negate before fusion so
+      // every ranker's larger-is-better route ordering holds uniformly
+      val df = if (metric == "l2") df0.withColumn("score", -col("score")) else df0
       (df.select(col(idCol).as("id"), col("score")), r.weight)
     }
     val txtDfs = textRoutes.map { r =>

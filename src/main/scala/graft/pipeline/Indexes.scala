@@ -199,13 +199,28 @@ object Indexes {
     }
   }
 
+  /** Normalize a distance-metric spelling to [[Similarity.bruteForceTopK]]'s
+    * vocabulary (the reference accepts l2 | cosine | inner_product,
+    * global-index/vector.mdx:184). */
+  def normalizeMetric(m: String): String = m.trim.toLowerCase match {
+    case "inner_product" | "inner-product" | "ip" | "dot" => "dot"
+    case "l2" | "euclidean" => "l2"
+    case "cosine" | "" => "cosine"
+    case other => throw new IllegalArgumentException(
+      s"unknown distance metric $other (l2 | cosine | inner_product)")
+  }
+
   /** Build (or replace) an IVF index table: rows + `__ivf_cluster` partition
-    * column, centroids in a sidecar. `extraOptions` reach the index table's
+    * column, centroids in a sidecar. The build-time `metric` is RECORDED in
+    * the meta sidecar and becomes the index's default query metric (the
+    * reference's `<index-type>.distance.metric`, set at build, used at
+    * query — vector.mdx:184,292). `extraOptions` reach the index table's
     * TableConfig (es-index uses this for bloom file-indexes on companion
     * keyword columns). */
   def buildIvf(spark: SparkSession, df: DataFrame, embedCol: String,
                loc: String, nClusters: Int, seed: Long = 42L,
-               extraOptions: Map[String, String] = Map.empty): GraftTable = {
+               extraOptions: Map[String, String] = Map.empty,
+               metric: String = "cosine"): GraftTable = {
     val model = Similarity.trainIvf(df, embedCol, nClusters, seed = seed)
     val indexed = df.withColumn("__ivf_cluster", assignUdf(model)(col(embedCol)))
     val t = GraftTable.createOrReplace(spark, loc, indexed.schema,
@@ -214,22 +229,31 @@ object Indexes {
     t.sm.writeString(statsPath(loc, "ivf-centroids"),
       Json.write(model.centroids.map(_.toSeq)))
     t.sm.writeString(statsPath(loc, "ivf-meta"),
-      Json.write(Map("embedCol" -> embedCol)))
+      Json.write(Map("embedCol" -> embedCol,
+        "metric" -> normalizeMetric(metric))))
     t
+  }
+
+  private def ivfMeta(spark: SparkSession,
+                      loc: String): Option[java.util.Map[String, String]] = {
+    val t = GraftTable.load(spark, loc)
+    val p = statsPath(loc, "ivf-meta")
+    if (!t.sm.fs.exists(p)) None
+    else Some(Json.mapper.readValue(t.sm.readString(p),
+      classOf[java.util.Map[String, String]]))
   }
 
   /** The embedding column an IVF/IVF-RQ index was built over, from its meta
     * sidecar — lets SQL spellings (hybrid TVF) omit the column name. None
     * for indexes built before the sidecar existed. */
-  def ivfEmbedCol(spark: SparkSession, loc: String): Option[String] = {
-    val t = GraftTable.load(spark, loc)
-    val p = statsPath(loc, "ivf-meta")
-    if (!t.sm.fs.exists(p)) None
-    else Json.mapper.readValue(t.sm.readString(p),
-      classOf[java.util.Map[String, String]]) match {
-      case m => Option(m.get("embedCol"))
-    }
-  }
+  def ivfEmbedCol(spark: SparkSession, loc: String): Option[String] =
+    ivfMeta(spark, loc).flatMap(m => Option(m.get("embedCol")))
+
+  /** The index's build-time distance metric (cosine for indexes built
+    * before the field existed) — what a TABLE-path search scores with when
+    * the caller names none. */
+  def ivfMetric(spark: SparkSession, loc: String): String =
+    ivfMeta(spark, loc).flatMap(m => Option(m.get("metric"))).getOrElse("cosine")
 
   /** Incremental IVF maintenance: assign ONLY the new batch against the
     * EXISTING centroids and append into the cluster-partitioned index —
@@ -362,7 +386,7 @@ object Indexes {
   def buildIvfRq(spark: SparkSession, df: DataFrame, embedCol: String,
                  loc: String, dim: Int, nClusters: Int = 8, m: Int = 8,
                  ks: Int = 16, sampleFraction: Double = 1.0,
-                 seed: Long = 42L): GraftTable = {
+                 seed: Long = 42L, metric: String = "cosine"): GraftTable = {
     val model = Similarity.trainRq(df, embedCol, dim, nClusters, m, ks,
       sampleFraction, seed)
     val indexed = encodeRq(df, embedCol, model)
@@ -374,7 +398,8 @@ object Indexes {
     t.sm.writeString(statsPath(loc, "rq-codebooks"),
       Json.write(model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
     t.sm.writeString(statsPath(loc, "ivf-meta"),
-      Json.write(Map("embedCol" -> embedCol)))
+      Json.write(Map("embedCol" -> embedCol,
+        "metric" -> normalizeMetric(metric))))
     t
   }
 

@@ -187,12 +187,13 @@ object PkSearch {
     * merged (MOR + DV-applied) rows, IVF-cluster-partitioned; the sidecar
     * records the source snapshot for reconciliation at query time. */
   def buildVectorIndex(tbl: GraftTable, embedCol: String, loc: String,
-                       nClusters: Int, seed: Long = 42L): GraftTable = {
+                       nClusters: Int, seed: Long = 42L,
+                       metric: String = "cosine"): GraftTable = {
     require(tbl.config.isPrimaryKeyed, "PkSearch indexes a primary-key table")
     val snap = tbl.sm.latestSnapshotId
       .getOrElse(throw new IllegalStateException(s"${tbl.location}: empty table"))
     val idx = Indexes.buildIvf(tbl.spark, tbl.read(None, Some(snap)), embedCol,
-      loc, nClusters, seed)
+      loc, nClusters, seed, metric = metric)
     idx.sm.writeString(sidecar(loc),
       Json.write(Map("sourceSnapshot" -> snap, "sourceLocation" -> tbl.location)))
     writeVectorRef(tbl, VectorRef(loc, embedCol, "pk"))
@@ -217,7 +218,8 @@ object PkSearch {
     if (cur == s0) return s"file-aligned ivf index already at snapshot $cur"
     def rebuild(): String = {
       buildVectorIndex(tbl, embedCol, idxLoc,
-        Indexes.loadIvfModel(spark, idxLoc).centroids.length)
+        Indexes.loadIvfModel(spark, idxLoc).centroids.length,
+        metric = Indexes.ivfMetric(spark, idxLoc)) // preserve the metric
       s"file-aligned ivf index rebuilt at $idxLoc (snapshot $cur)"
     }
     val pks = tbl.config.primaryKeys

@@ -480,6 +480,38 @@ class IndexLifecycleSpec extends SparkTestBase {
     }
   }
 
+  test("build-time distance.metric resolves per-field options and survives rebuilds") {
+    import graft.pipeline.Indexes
+    val loc = tmpLoc("lc-metric")
+    val e0 = mkEmbeddings(0, 200)
+    // metric + nlist from TABLE options (CALL names neither): the per-field
+    // spelling wins for its column, the shared ivf.* form supplies the rest
+    val t = GraftTable.create(spark, loc, e0.schema, TableConfig(
+      options = Map("fields.emb.distance.metric" -> "l2", "ivf.nlist" -> "4")))
+    t.write(e0)
+    val msg = Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb", "index_type" -> "ivf")).head().getString(0)
+    assert(msg.contains("metric l2"), msg)
+    val idxLoc = IndexLifecycle.vectorIndexLoc(loc, "emb")
+    assert(Indexes.ivfMetric(spark, idxLoc) == "l2")
+    assert(Indexes.loadIvfModel(spark, idxLoc).centroids.length == 4)
+    val q = e0.filter(col("vid") === 3).select("emb").first().getSeq[Float](0)
+    def tvf() = spark.sql(
+      s"SELECT vid FROM graft_vector_search('$loc', 10, 4, ${arr(q)})")
+      .as[Long].collect().toSeq
+    def exactL2() = Similarity.bruteForceTopK(t.read(), "emb", q, 10, "l2", "s")
+      .select("vid").as[Long].collect().toSeq
+    assert(tvf() == exactL2(), "table path must score with the index's l2 metric")
+    // a COW delete forces the rebuild branch: the metric must survive it
+    import graft.core.RowOps._
+    t.delete(col("vid") % 9 === 0)
+    val rmsg = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "ivf")).head().getString(0)
+    assert(rmsg.contains("rebuilt"), rmsg)
+    assert(Indexes.ivfMetric(spark, idxLoc) == "l2", "rebuild dropped the metric")
+    assert(tvf() == exactL2(), "post-rebuild table path still scores l2")
+  }
+
   test("randomized multi-column differential: per-column refreshes converge independently") {
     // two vector indexes on one table under random {append, COW delete,
     // refresh-emb, refresh-emb2} interleavings: after refreshing column c,
