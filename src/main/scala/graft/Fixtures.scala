@@ -1116,6 +1116,27 @@ object Fixtures {
       t
     }
 
+  /** Documents copy whose CALL-managed full-text index uses the NGRAM
+    * tokenizer (reference full-text.tokenizer=ngram,
+    * global-index/full-text.mdx:59-67): 3-grams of the whole value enable
+    * substring-like search; the spec persists with the index so the delta
+    * refresh grams identically and the TVF grams the query. */
+  def lcDocsNgram(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_docs_ngram") { loc =>
+      val docs = src(spark, sfDir, "documents").select("doc_id", "text")
+      val t = GraftTable.createOrReplace(spark, loc, docs.schema, TableConfig())
+      t.write(docs.filter(col("doc_id") % 10 =!= 0))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "text", "index_type" -> "full-text",
+          "id_column" -> "doc_id", "full-text.tokenizer" -> "ngram",
+          "full-text.ngram.min-gram" -> "3",
+          "full-text.ngram.max-gram" -> "3")).collect()
+      t.write(docs.filter(col("doc_id") % 10 === 0))
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "full-text")).collect()
+      t
+    }
+
   /** Embeddings copy whose CALL-managed IVF index is built with
     * `distance.metric=l2` (reference `<index-type>.distance.metric`,
     * vector.mdx:184): the recorded metric becomes the TABLE path's query

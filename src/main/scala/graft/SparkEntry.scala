@@ -1069,6 +1069,16 @@ object SparkEntry {
       tbl.read().select(col("user_id"), col("first_t"),
         explode(col("kinds")).as(Seq("kind", "mult")))
     }),
+    // NGRAM tokenizer (full-text.tokenizer=ngram): the index grams each
+    // document, the TVF grams the query — substring-like search; the spec
+    // persisted with the index drives BOTH (delta refresh included)
+    "q_fulltext_ngram" -> ((s, d) => {
+      val tbl = Fixtures.lcDocsNgram(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${tbl.location}', 'scanner', 1000000)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
     // build-time distance.metric recorded in the index meta drives the
     // TABLE-path query metric (reference vector.mdx:184,292): an l2 index
     // returns squared distances ranked ASCENDING, nprobe=all → exact
@@ -2326,6 +2336,27 @@ object SparkEntry {
         |  e.event_type AS kind, CAST(count(*) AS INT) AS mult
         |FROM events e JOIN m USING (user_id)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_fulltext_ngram" ->
+      """WITH grams AS (
+        |  SELECT doc_id, len(t) - 2 AS doc_len, substr(t, gs, 3) AS term
+        |  FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |        WHERE len(lower(trim(text))) >= 3) d,
+        |       unnest(range(1, len(d.t) - 1)) AS g(gs)),
+        |postings AS (
+        |  SELECT term, doc_id, doc_len, count(*) AS tf FROM grams GROUP BY 1,2,3),
+        |stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl
+        |          FROM (SELECT DISTINCT doc_id, doc_len FROM postings)),
+        |hits AS (SELECT * FROM postings
+        |         WHERE term IN ('sca','can','ann','nne','ner')),
+        |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+        |scored AS (
+        |  SELECT h.doc_id,
+        |    sum( ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) * h.tf * (1.2 + 1.0) /
+        |         (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.doc_len / s.avgdl)) ) AS score
+        |  FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+        |  GROUP BY h.doc_id)
+        |SELECT doc_id, round(score, 4) AS score FROM scored
+        |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
     "q_vector_tvf_l2" ->
       """SELECT vec_id, round(dist, 4) AS dist FROM (
         |  SELECT e.vec_id,

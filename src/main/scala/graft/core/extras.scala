@@ -241,12 +241,14 @@ object Procedures {
                 .orElse(args.get("ivf.distance.metric"))
                 .orElse(args.get("metric"))))
           case "full-text" | "fulltext" =>
+            // tokenizer options arrive as full-text.* keys in the CALL
+            // option string (reference spelling) and win over table options
             ok(graft.pipeline.IndexLifecycle.createFullText(table,
               args.getOrElse("id_column",
                 table.config.primaryKeys.headOption.getOrElse(
                   throw new IllegalArgumentException(
                     "id_column required for a full-text index on an append table"))),
-              col))
+              col, callOpts = args))
           case "es" =>
             // composite index: index_column = the vector column (optional),
             // text_column, keyword_columns ';'-separated (the CALL option

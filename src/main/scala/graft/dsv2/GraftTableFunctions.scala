@@ -212,7 +212,7 @@ object GraftTableFunctions {
       require(args.length == 3 || args.length == 4,
         "graft_full_text_search(indexOrPkTable, query, k[, 'indexColumn'])")
       val t = resolveTable(str(args(0)))
-      val terms = str(args(1)).split("\\s+").filter(_.nonEmpty).toSeq
+      val rawQuery = str(args(1))
       val k = lng(args(2)).toInt
       // the optional trailing column picks ONE of a multi-indexed table's
       // back-references; without it a sole index routes and several error
@@ -229,13 +229,19 @@ object GraftTableFunctions {
               s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass the index " +
               "column as the 4th argument")
         else refs.values.headOption
+      // the query tokenizes with the ROUTED index's recorded tokenizer
+      // (an ngram index grams the query; default = whitespace + lowercase)
       plan(refOpt match {
         case Some(ref) if ref.kind == "pk" =>
-          graft.pipeline.PkSearch.fullTextSearch(t, ref.idCol, ref.textCol, terms, k)
+          graft.pipeline.PkSearch.fullTextSearch(t, ref.idCol, ref.textCol,
+            graft.pipeline.FullText.tokenizeQuery(rawQuery, ref.spec), k,
+            spec = ref.spec)
         case Some(ref) => // "plain": CALL-created persisted postings index
-          graft.pipeline.Indexes.fullTextSearch(spark, ref.idxLoc.get, terms, k)
+          graft.pipeline.Indexes.fullTextSearchText(spark, ref.idxLoc.get,
+            rawQuery, k)
         case None =>
-          graft.pipeline.Indexes.fullTextSearch(spark, t.location, terms, k)
+          graft.pipeline.Indexes.fullTextSearchText(spark, t.location,
+            rawQuery, k)
       })
     },
     // vector_search over an IVF / IVF-RQ INDEX path or a PK TABLE path — a

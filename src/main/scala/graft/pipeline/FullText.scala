@@ -18,12 +18,122 @@ import org.apache.spark.sql.functions._
  */
 object FullText {
 
+  /** Configurable index tokenizer (the reference's `full-text.*` option
+    * family, global-index/full-text.mdx:127-138): `default` is the engine's
+    * lowercase whitespace pipeline; `simple` splits on non-alphanumerics;
+    * `whitespace` splits on whitespace without case folding unless asked;
+    * `raw` keeps the whole trimmed value as one token; `ngram` emits
+    * character grams of length minGram..maxGram (prefixOnly = grams
+    * anchored at position 1 only — prefix search). `jieba` (dictionary
+    * segmentation) is rejected with a clear error — declared non-goal.
+    * Settings persist in the index metadata so refresh and query-side
+    * tokenization always match the build. */
+  case class TokenizerSpec(kind: String = "default", minGram: Int = 3,
+                           maxGram: Int = 3, prefixOnly: Boolean = false,
+                           lowerCase: Boolean = true, maxTokenLength: Int = 40) {
+    require(Seq("default", "simple", "whitespace", "raw", "ngram").contains(kind),
+      if (kind == "jieba")
+        "the jieba tokenizer needs a segmentation dictionary (not bundled); " +
+          "use default | simple | whitespace | raw | ngram"
+      else s"unknown tokenizer $kind (default | simple | whitespace | raw | ngram)")
+    require(minGram >= 1 && maxGram >= minGram, "need 1 <= min-gram <= max-gram")
+    def toMap: Map[String, String] = Map(
+      "kind" -> kind, "minGram" -> minGram.toString,
+      "maxGram" -> maxGram.toString, "prefixOnly" -> prefixOnly.toString,
+      "lowerCase" -> lowerCase.toString,
+      "maxTokenLength" -> maxTokenLength.toString)
+  }
+
+  object TokenizerSpec {
+    /** Parse the reference's `full-text.*` option spellings (CALL options or
+      * table options; unknown keys ignored — they belong to other families). */
+    def fromOptions(opts: Map[String, String]): TokenizerSpec = {
+      def g(k: String) = opts.get(s"full-text.$k")
+      TokenizerSpec(
+        kind = g("tokenizer").getOrElse("default").trim.toLowerCase,
+        minGram = g("ngram.min-gram").map(_.toInt).getOrElse(3),
+        maxGram = g("ngram.max-gram").map(_.toInt).getOrElse(3),
+        prefixOnly = g("ngram.prefix-only").exists(_.toBoolean),
+        lowerCase = g("lower-case").forall(_.toBoolean),
+        maxTokenLength = g("max-token-length").map(_.toInt).getOrElse(40))
+    }
+
+    def fromMap(m: Map[String, String]): TokenizerSpec = TokenizerSpec(
+      m.getOrElse("kind", "default"), m.getOrElse("minGram", "3").toInt,
+      m.getOrElse("maxGram", "3").toInt,
+      m.getOrElse("prefixOnly", "false").toBoolean,
+      m.getOrElse("lowerCase", "true").toBoolean,
+      m.getOrElse("maxTokenLength", "40").toInt)
+  }
+
+  /** Column-level tokenization per spec (the build side). */
+  def tokens(text: Column, spec: TokenizerSpec): Column = {
+    def cased(c: Column) = if (spec.lowerCase) lower(c) else c
+    def capped(arr: Column) =
+      filter(arr, w => length(w) > 0 && length(w) <= spec.maxTokenLength)
+    spec.kind match {
+      case "default" => TextOps.words(text)
+      case "whitespace" => capped(split(cased(trim(text)), "\\s+"))
+      case "simple" => capped(split(cased(trim(text)), "[^\\p{L}\\p{N}]+"))
+      case "raw" =>
+        capped(when(length(trim(text)) > 0, array(cased(trim(text))))
+          .otherwise(array().cast("array<string>")))
+      case "ngram" =>
+        val t = cased(trim(text))
+        (spec.minGram to spec.maxGram).map { n =>
+          if (spec.prefixOnly)
+            when(length(t) >= n, array(t.substr(lit(1), lit(n))))
+              .otherwise(array().cast("array<string>"))
+          else
+            when(length(t) >= n,
+              transform(sequence(lit(1), length(t) - n + 1),
+                i => t.substr(i, lit(n))))
+              .otherwise(array().cast("array<string>"))
+        }.reduce(concat(_, _))
+    }
+  }
+
+  /** Driver-side QUERY tokenization — must mirror [[tokens]] so query terms
+    * meet the index's postings (ngram queries gram the query string). */
+  def tokenizeQuery(q: String, spec: TokenizerSpec): Seq[String] = {
+    def cased(s: String) = if (spec.lowerCase) s.toLowerCase else s
+    def capped(ts: Seq[String]) =
+      ts.filter(t => t.nonEmpty && t.length <= spec.maxTokenLength)
+    spec.kind match {
+      case "default" => q.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      case "whitespace" => capped(cased(q.trim).split("\\s+").toSeq)
+      case "simple" => capped(cased(q.trim).split("[^\\p{L}\\p{N}]+").toSeq)
+      case "raw" => capped(Seq(cased(q.trim)))
+      case "ngram" =>
+        val t = cased(q.trim)
+        (spec.minGram to spec.maxGram).flatMap { n =>
+          if (t.length < n) Nil
+          else if (spec.prefixOnly) Seq(t.substring(0, n))
+          else (0 to t.length - n).map(i => t.substring(i, i + n))
+        }.distinct
+    }
+  }
+
+  /** Query-term normalization WITHOUT splitting (terms already tokenized):
+    * the casing/length rules of the spec, applied idempotently — keeps the
+    * pre-split public surfaces (`search(query: Seq[String])`) correct for
+    * every tokenizer. */
+  def normalizeTerms(terms: Seq[String], spec: TokenizerSpec): Seq[String] = {
+    def cased(s: String) = if (spec.lowerCase) s.toLowerCase else s
+    spec.kind match {
+      case "default" => terms.map(_.toLowerCase)
+      case _ => terms.map(cased)
+        .filter(t => t.nonEmpty && t.length <= spec.maxTokenLength)
+    }
+  }
+
   /** Inverted index: one row per (term, doc) with term frequency, plus
     * per-doc length — the postings a search needs for BM25. */
-  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs.select(col(idCol).as("doc_id"),
-      TextOps.words(col(textCol)).as("ws"))
-    tokens
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String,
+                    spec: TokenizerSpec = TokenizerSpec()): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol), spec).as("ws"))
+    toks
       .select(col("doc_id"), size(col("ws")).as("doc_len"), explode(col("ws")).as("term"))
       .groupBy("term", "doc_id", "doc_len")
       .agg(count(lit(1)).as("tf"))
@@ -39,11 +149,13 @@ object FullText {
   /**
    * BM25 top-k for a bag-of-words query. k1/b are the classic defaults.
    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)); deterministic tiebreak doc_id.
+   * `spec` normalizes the query terms the same way the postings were built.
    */
   def search(postings: DataFrame, query: Seq[String], k: Int,
-             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             k1: Double = 1.2, b: Double = 0.75,
+             spec: TokenizerSpec = TokenizerSpec()): DataFrame = {
     val (n, avgdl) = corpusStats(postings)
-    val qTerms = query.map(_.toLowerCase)
+    val qTerms = normalizeTerms(query, spec)
     bm25(postings.filter(col("term").isin(qTerms: _*)), n, avgdl, k, k1, b)
   }
 

@@ -180,21 +180,36 @@ object IndexLifecycle {
 
   /** CREATE index_type=full-text: PK tables only register (idCol, textCol)
     * — merged-state postings derive at query time; append tables build the
-    * persisted postings index + source sidecar. */
-  def createFullText(tbl: GraftTable, idCol: String, textCol: String): String = {
+    * persisted postings index + source sidecar. Tokenizer options resolve
+    * CALL argument → per-field table option (`fields.<col>.<opt>`) → shared
+    * table option (`full-text.<opt>`) → default, and persist with the index
+    * so refresh and query tokenization always match
+    * (global-index/full-text.mdx:127-150). */
+  def createFullText(tbl: GraftTable, idCol: String, textCol: String,
+                     callOpts: Map[String, String] = Map.empty): String = {
+    val suffixes = Seq("tokenizer", "ngram.min-gram", "ngram.max-gram",
+      "ngram.prefix-only", "lower-case", "max-token-length")
+    val resolved = suffixes.flatMap { sfx =>
+      callOpts.get(s"full-text.$sfx")
+        .orElse(tbl.config.options.get(s"fields.$textCol.$sfx"))
+        .orElse(tbl.config.options.get(s"full-text.$sfx"))
+        .map(v => s"full-text.$sfx" -> v)
+    }.toMap
+    val spec = FullText.TokenizerSpec.fromOptions(resolved)
     if (tbl.config.isPrimaryKeyed) {
-      PkSearch.registerFullText(tbl, idCol, textCol)
-      s"merged-state full-text search registered on ($idCol, $textCol)"
+      PkSearch.registerFullText(tbl, idCol, textCol, spec)
+      s"merged-state full-text search registered on ($idCol, $textCol, " +
+        s"tokenizer ${spec.kind})"
     } else {
       val loc = fullTextIndexLoc(tbl.location, textCol)
       val snap = currentSnapshot(tbl)
       Indexes.buildFullText(tbl.spark,
         tbl.read(None, Some(snap)).select(col(idCol), col(textCol)),
-        idCol, textCol, loc)
+        idCol, textCol, loc, spec)
       writeSource(tbl.spark, loc, snap)
       PkSearch.writeFullTextRef(tbl,
-        PkSearch.FullTextRef(idCol, textCol, "plain", Some(loc)))
-      s"full-text index built at $loc (snapshot $snap)"
+        PkSearch.FullTextRef(idCol, textCol, "plain", Some(loc), spec.toMap))
+      s"full-text index built at $loc (snapshot $snap, tokenizer ${spec.kind})"
     }
   }
 
@@ -309,17 +324,20 @@ object IndexLifecycle {
   case class TextRoute(column: String, query: String,
                        limit: Option[Int] = None, weight: Double = 1.0)
 
-  private[graft] def queryTerms(q: String): Seq[String] = {
-    val text =
-      if (q.trim.startsWith("{")) {
-        // the reference's ES-style match object; nested values arrive as
-        // scala Maps (the json mapper carries the scala module)
-        val m = Json.read(q, classOf[Map[String, Any]])
-        String.valueOf(m.getOrElse("match", Map.empty)
-          .asInstanceOf[Map[String, Any]].getOrElse("query", ""))
-      } else q
-    text.split("\\s+").filter(_.nonEmpty).toSeq
-  }
+  /** The query TEXT of a route: either the plain string or the reference's
+    * ES-style `{"match":{"query":…}}` object's query field. Tokenization
+    * happens downstream with the routed index's own tokenizer. */
+  private[graft] def queryText(q: String): String =
+    if (q.trim.startsWith("{")) {
+      // nested values arrive as scala Maps (the json mapper carries the
+      // scala module)
+      val m = Json.read(q, classOf[Map[String, Any]])
+      String.valueOf(m.getOrElse("match", Map.empty)
+        .asInstanceOf[Map[String, Any]].getOrElse("query", ""))
+    } else q
+
+  private[graft] def queryTerms(q: String): Seq[String] =
+    queryText(q).split("\\s+").filter(_.nonEmpty).toSeq
 
   /** The id column hybrid fusion joins routes on: the table's primary key,
     * else the id a registered full-text/es index recorded. */
@@ -377,18 +395,20 @@ object IndexLifecycle {
     }
     val txtDfs = textRoutes.map { r =>
       val lim = r.limit.getOrElse(k)
-      val terms = queryTerms(r.query)
+      val raw = queryText(r.query)
+      // each route tokenizes its query with ITS index's recorded tokenizer
       val df = txtRefs.get(r.column) match {
         case Some(ref) if ref.kind == "pk" =>
-          PkSearch.fullTextSearch(tbl, ref.idCol, ref.textCol, terms, lim)
+          PkSearch.fullTextSearch(tbl, ref.idCol, ref.textCol,
+            FullText.tokenizeQuery(raw, ref.spec), lim, spec = ref.spec)
         case Some(ref) =>
-          Indexes.fullTextSearch(spark, ref.idxLoc.get, terms, lim)
+          Indexes.fullTextSearchText(spark, ref.idxLoc.get, raw, lim)
         case None =>
           val loc = fullTextIndexLoc(tbl.location, r.column)
           require(GraftTable.exists(spark, loc),
             s"no full-text index on ${r.column} — CALL create_global_index(" +
               s"index_column => '${r.column}', index_type => 'full-text') first")
-          Indexes.fullTextSearch(spark, loc, terms, lim)
+          Indexes.fullTextSearchText(spark, loc, raw, lim)
       }
       (df.select(col("doc_id").as("id"), col("score")), r.weight)
     }

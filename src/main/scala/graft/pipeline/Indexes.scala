@@ -61,13 +61,28 @@ object Indexes {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** The tokenizer an index was built with — persisted at build so refresh
+    * and query-side tokenization always match (the reference stores
+    * tokenizer settings in the index file metadata,
+    * global-index/full-text.mdx:150). Default for pre-tokenizer indexes. */
+  def readTokenizer(spark: SparkSession, loc: String): FullText.TokenizerSpec = {
+    val t = GraftTable.load(spark, loc)
+    val p = statsPath(loc, "fulltext-tokenizer")
+    if (!t.sm.fs.exists(p)) FullText.TokenizerSpec()
+    else FullText.TokenizerSpec.fromMap(
+      Json.read(t.sm.readString(p), classOf[Map[String, String]]))
+  }
+
   /** Build (or replace) the postings index table at `loc`, plus the per-term
     * df table and corpus-stat sidecar. All three support INCREMENTAL
-    * maintenance via [[appendToFullText]]. */
+    * maintenance via [[appendToFullText]]. The tokenizer spec persists in
+    * the index metadata. */
   def buildFullText(spark: SparkSession, docs: DataFrame, idCol: String,
-                    textCol: String, loc: String): GraftTable = {
+                    textCol: String, loc: String,
+                    spec: FullText.TokenizerSpec = FullText.TokenizerSpec())
+      : GraftTable = {
     import graft.core.RowOps._
-    val postings = FullText.buildPostings(docs, idCol, textCol)
+    val postings = FullText.buildPostings(docs, idCol, textCol, spec)
     val t = GraftTable.createOrReplace(spark, loc, postings.schema, TableConfig())
     t.write(postings)
     // cluster files by term range → a query's terms prune to few files
@@ -84,6 +99,7 @@ object Indexes {
     st.compact()
     val (n, totalLen) = batchCorpus(postings)
     writeCorpusSidecar(t, loc, n, totalLen)
+    t.sm.writeString(statsPath(loc, "fulltext-tokenizer"), Json.write(spec.toMap))
     t
   }
 
@@ -94,7 +110,9 @@ object Indexes {
     * restore term-range clustering over the appended files. */
   def appendToFullText(spark: SparkSession, newDocs: DataFrame, idCol: String,
                        textCol: String, loc: String): GraftTable = {
-    val postings = FullText.buildPostings(newDocs, idCol, textCol)
+    // the delta tokenizes with the INDEX's recorded spec, never a default
+    val postings = FullText.buildPostings(newDocs, idCol, textCol,
+      readTokenizer(spark, loc))
     val t = GraftTable.load(spark, loc)
     t.write(postings)
     GraftTable.load(spark, termStatsLoc(loc))
@@ -131,7 +149,7 @@ object Indexes {
     * one query term). */
   def termDfRows(spark: SparkSession, loc: String,
                  query: Seq[String]): Array[org.apache.spark.sql.Row] = {
-    val qTerms = query.map(_.toLowerCase)
+    val qTerms = FullText.normalizeTerms(query, readTokenizer(spark, loc))
     GraftTable.load(spark, termStatsLoc(loc))
       .read(filter = Some(col("term").isin(qTerms: _*)))
       .select(col("term"), col("df").cast("long").as("df")).collect()
@@ -148,7 +166,7 @@ object Indexes {
     val t = GraftTable.load(spark, loc)
     val (n, totalLen) = readCorpusSidecar(t, loc)
     val avgdl = if (n == 0) 0.0 else totalLen.toDouble / n
-    val qTerms = query.map(_.toLowerCase)
+    val qTerms = FullText.normalizeTerms(query, readTokenizer(spark, loc))
     val hits = t.read(filter = Some(col("term").isin(qTerms: _*)))
     val dfs = spark.createDataFrame(
       java.util.Arrays.asList(dfRows: _*),
@@ -175,6 +193,14 @@ object Indexes {
                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     fullTextScores(spark, loc, query, k1, b)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  /** [[fullTextSearch]] from a RAW query string: tokenized with the INDEX's
+    * recorded tokenizer (an ngram index grams the query; a raw index matches
+    * the whole value) — the SQL TVF's text entry point. */
+  def fullTextSearchText(spark: SparkSession, loc: String, query: String,
+                         k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    fullTextSearch(spark, loc,
+      FullText.tokenizeQuery(query, readTokenizer(spark, loc)), k, k1, b)
 
   // ------------------------------------------------------------------
   // IVF (persisted coarse-quantizer index, cluster = partition column)

@@ -121,22 +121,37 @@ object PkSearch {
     * TVF (`graft_full_text_search('<pk-table>', …)`) can route a TABLE path
     * through the merged-state BM25 search. Kind "plain" (written by
     * [[IndexLifecycle.createFullText]]) instead points at a PERSISTED
-    * postings index for the append-table route. One ref per text column. */
+    * postings index for the append-table route. One ref per text column.
+    * `tokenizer` carries the column's [[FullText.TokenizerSpec]] (as its
+    * map form) so PK merged-state searches tokenize like the registration
+    * asked, not like a default. */
   case class FullTextRef(idCol: String, textCol: String, kind: String = "pk",
-                         idxLoc: Option[String] = None)
+                         idxLoc: Option[String] = None,
+                         tokenizer: Map[String, String] = Map.empty) {
+    def spec: FullText.TokenizerSpec =
+      if (tokenizer.isEmpty) FullText.TokenizerSpec()
+      else FullText.TokenizerSpec.fromMap(tokenizer)
+  }
 
-  def registerFullText(tbl: GraftTable, idCol: String, textCol: String): Unit =
-    writeFullTextRef(tbl, FullTextRef(idCol, textCol))
+  def registerFullText(tbl: GraftTable, idCol: String, textCol: String,
+      spec: FullText.TokenizerSpec = FullText.TokenizerSpec()): Unit =
+    writeFullTextRef(tbl, FullTextRef(idCol, textCol, tokenizer = spec.toMap))
 
   private def parseFullTextRef(json: String): FullTextRef = {
-    val m = Json.mapper.readValue(json, classOf[java.util.Map[String, String]])
-    FullTextRef(m.get("idCol"), m.get("textCol"),
-      Option(m.get("kind")).getOrElse("pk"), Option(m.get("idxLoc")))
+    val m0 = Json.mapper.readValue(json, classOf[java.util.Map[String, String]])
+    import scala.jdk.CollectionConverters._
+    val m = m0.asScala
+    FullTextRef(m("idCol"), m("textCol"), m.getOrElse("kind", "pk"),
+      m.get("idxLoc"),
+      // tokenizer settings ride the same flat map under a "tok." prefix
+      m.collect { case (k, v) if k.startsWith("tok.") =>
+        k.stripPrefix("tok.") -> v }.toMap)
   }
 
   private def ftRefJson(ref: FullTextRef): String =
     Json.write(Map("idCol" -> ref.idCol, "textCol" -> ref.textCol,
-      "kind" -> ref.kind) ++ ref.idxLoc.map("idxLoc" -> _))
+      "kind" -> ref.kind) ++ ref.idxLoc.map("idxLoc" -> _) ++
+      ref.tokenizer.map { case (k, v) => s"tok.$k" -> v })
 
   private[pipeline] def writeFullTextRef(tbl: GraftTable, ref: FullTextRef): Unit = {
     val legacy = legacyFtRefPath(tbl.location)
@@ -313,9 +328,12 @@ object PkSearch {
   def fullTextSearch(tbl: GraftTable, idCol: String, textCol: String,
                      query: Seq[String], k: Int,
                      partitionFilter: Option[Column] = None,
-                     snapshotId: Option[Long] = None): DataFrame = {
+                     snapshotId: Option[Long] = None,
+                     spec: FullText.TokenizerSpec = FullText.TokenizerSpec())
+      : DataFrame = {
     require(tbl.config.isPrimaryKeyed, "PkSearch searches a primary-key table")
     val docs = tbl.read(partitionFilter, snapshotId)
-    FullText.search(FullText.buildPostings(docs, idCol, textCol), query, k)
+    FullText.search(FullText.buildPostings(docs, idCol, textCol, spec),
+      query, k, spec = spec)
   }
 }

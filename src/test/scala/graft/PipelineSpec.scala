@@ -276,6 +276,49 @@ class PipelineSpec extends SparkTestBase {
       s"cap must leave only exact-duplicate pairs: $capped")
   }
 
+  test("full-text tokenizers: build-side and query-side agree per kind") {
+    import graft.pipeline.FullText
+    import graft.pipeline.FullText.TokenizerSpec
+    val text = "Spark-SQL scans  Parquet FAST"
+    def colTokens(spec: TokenizerSpec): Seq[String] =
+      Seq(text).toDF("t").select(FullText.tokens(col("t"), spec).as("w"))
+        .head().getSeq[String](0)
+    // default: lowercase + whitespace (the pre-tokenizer behavior, so every
+    // existing index keeps its semantics)
+    assert(colTokens(TokenizerSpec()) ==
+      Seq("spark-sql", "scans", "parquet", "fast"))
+    // simple splits on non-alphanumerics; whitespace keeps case when asked
+    assert(colTokens(TokenizerSpec("simple")) ==
+      Seq("spark", "sql", "scans", "parquet", "fast"))
+    assert(colTokens(TokenizerSpec("whitespace", lowerCase = false)) ==
+      Seq("Spark-SQL", "scans", "Parquet", "FAST"))
+    // raw keeps one token; max-token-length drops oversized tokens
+    assert(colTokens(TokenizerSpec("raw")) == Seq("spark-sql scans  parquet fast"))
+    assert(colTokens(TokenizerSpec("raw", maxTokenLength = 5)).isEmpty)
+    // ngram: grams of the whole value; prefix-only anchors at position 1
+    assert(colTokens(TokenizerSpec("ngram", minGram = 4, maxGram = 4)).take(3) ==
+      Seq("spar", "park", "ark-"))
+    assert(colTokens(TokenizerSpec("ngram", minGram = 4, maxGram = 5,
+      prefixOnly = true)) == Seq("spar", "spark"))
+    // query-side tokenization mirrors the build side for every kind
+    for (spec <- Seq(TokenizerSpec(), TokenizerSpec("simple"),
+        TokenizerSpec("whitespace", lowerCase = false), TokenizerSpec("raw"),
+        TokenizerSpec("ngram", minGram = 4, maxGram = 4))) {
+      assert(FullText.tokenizeQuery(text, spec).toSet ==
+        colTokens(spec).toSet, spec.toString)
+    }
+    // jieba needs a segmentation dictionary: rejected loudly, never silent
+    val ex = intercept[IllegalArgumentException] { TokenizerSpec("jieba") }
+    assert(ex.getMessage.contains("jieba"), ex.getMessage)
+    // option-spelling parser (the reference's full-text.* keys)
+    val parsed = TokenizerSpec.fromOptions(Map(
+      "full-text.tokenizer" -> "ngram", "full-text.ngram.min-gram" -> "2",
+      "full-text.ngram.max-gram" -> "3", "full-text.lower-case" -> "false",
+      "full-text.ngram.prefix-only" -> "true"))
+    assert(parsed == TokenizerSpec("ngram", 2, 3, prefixOnly = true,
+      lowerCase = false))
+  }
+
   test("simhash pairs: near-dups at small hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
       .select("v1", "v2").as[(Long, Long)].collect().toSet
