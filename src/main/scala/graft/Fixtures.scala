@@ -1116,6 +1116,23 @@ object Fixtures {
       t
     }
 
+  /** Events copy PARTITIONED by event_type, with a bitmap index on user_id
+    * RESTRICTED to the 'click' partition (the reference's partition-scoped
+    * `create_global_index(partitions => …)` build): lookups stay exact
+    * because uncovered partitions remain full candidates. */
+  def eventsGiPartial(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "events_gi_partial") { loc =>
+      val ev = src(spark, sfDir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val t = GraftTable.createOrReplace(spark, loc, ev.schema,
+        TableConfig(partitionKeys = Seq("event_type")))
+      t.write(ev)
+      Procedures.call(spark, t, "create_global_index",
+        Map("column" -> "user_id", "index_type" -> "bitmap",
+          "partitions" -> "event_type=click")).collect()
+      t
+    }
+
   /** Documents copy whose CALL-managed full-text index uses the NGRAM
     * tokenizer (reference full-text.tokenizer=ngram,
     * global-index/full-text.mdx:59-67): 3-grams of the whole value enable

@@ -383,6 +383,15 @@ object SparkEntry {
       graft.pipeline.GlobalIndex.readEquality(s, gi.location, "l_orderkey", Seq(k))
         .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
     }),
+    // PARTITION-SCOPED index build (reference create_global_index
+    // partitions => …): only event_type=click is indexed; the equality
+    // lookup is exact anyway because uncovered partitions stay candidates
+    "q_bitmap_partial" -> ((s, d) => {
+      val gi = Fixtures.eventsGiPartial(s, d)
+      graft.pipeline.GlobalIndex.readEquality(s, gi.location, "user_id", Seq(13L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+    }),
     "q_btree_topn" -> ((s, d) => {
       val gi = Fixtures.ordersGi(s, d)
       graft.pipeline.GlobalIndex
@@ -1892,6 +1901,10 @@ object SparkEntry {
         |FROM events e JOIN (SELECT DISTINCT event_type FROM events
         |                    WHERE event_type LIKE 'c%') d
         |  ON e.event_type = d.event_type""".stripMargin,
+    "q_bitmap_partial" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(value), 2) AS total
+        |FROM events WHERE user_id = 13 GROUP BY event_type""".stripMargin,
     "q_bitmap_eq" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(l_extendedprice), 2) AS total
         |FROM lineitem

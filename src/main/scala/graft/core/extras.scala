@@ -228,8 +228,14 @@ object Procedures {
           throw new IllegalArgumentException("index_column required")))
         args.getOrElse("index_type", "btree") match {
           case "btree" | "bitmap" =>
-            graft.pipeline.GlobalIndex.build(spark, table.location, col)
-            ok(s"global index built on $col")
+            // optional partition restriction (the reference's
+            // `partitions => …` build argument): specs ';'-separated,
+            // key=value pairs within a spec '/'-separated
+            val parts = args.get("partitions")
+              .map(graft.pipeline.GlobalIndex.parsePartitions).getOrElse(Nil)
+            graft.pipeline.GlobalIndex.build(spark, table.location, col, parts)
+            ok(s"global index built on $col" +
+              (if (parts.isEmpty) "" else s" (${parts.size} partition specs)"))
           case "ivf" | "vector" =>
             // cluster count and metric: CALL argument wins, else the
             // per-field / shared table options resolve inside createVector

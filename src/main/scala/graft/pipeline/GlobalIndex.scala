@@ -38,28 +38,70 @@ object GlobalIndex {
   private def metaPath(tableLoc: String, colName: String) =
     new Path(tableLoc, s"index/global-$colName.json")
 
+  /** Parse the CALL spelling of a partition restriction: specs separated by
+    * ';', key=value pairs within a spec by '/' (the CALL option string owns
+    * ','), e.g. "dt=2026-06-18;dt=2026-06-19" or "dt=a/region=eu". */
+  def parsePartitions(s: String): Seq[Map[String, String]] =
+    s.split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { spec =>
+      spec.split('/').map(_.trim).filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+    }
+
+  private def entryCovered(e: ManifestEntry,
+                           specs: Seq[Map[String, String]]): Boolean =
+    specs.isEmpty ||
+      specs.exists(_.forall { case (k, v) => e.partition.get(k).contains(v) })
+
+  private def readCovered(m: java.util.Map[String, Any]): Seq[Map[String, String]] =
+    Option(m.get("partitions")).map(_.asInstanceOf[String])
+      .filter(_.nonEmpty).map(parsePartitions).getOrElse(Nil)
+
+  private def coveredJson(specs: Seq[Map[String, String]]): String =
+    specs.map(_.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("/")).mkString(";")
+
   /** Build (or replace) the global index for `colName`. One distributed
     * pass: distinct (value, file) pairs + per-pair row count, persisted
     * value-clustered. Requires a raw-convertible snapshot (append table or
-    * compacted PK table) so file contents equal table contents. */
-  def build(spark: SparkSession, tableLoc: String, colName: String): GraftTable = {
+    * compacted PK table) so file contents equal table contents.
+    *
+    * `partitions` restricts the BUILD to the named partition specs (the
+    * reference's `create_global_index(partitions => …)` — at 100 TB the
+    * operational mode is indexing each day's partition as it lands, never
+    * rebuilding history). Coverage is recorded with the index; lookups stay
+    * EXACT under partial coverage because files of uncovered partitions are
+    * always candidates (the index prunes only what it covers). */
+  def build(spark: SparkSession, tableLoc: String, colName: String,
+            partitions: Seq[Map[String, String]] = Nil): GraftTable = {
     import graft.core.RowOps._
     val t = GraftTable.load(spark, tableLoc)
-    val entries = t.rawPlan(None, None).getOrElse(throw new IllegalStateException(
+    val all = t.rawPlan(None, None).getOrElse(throw new IllegalStateException(
       "global index build needs a raw-convertible (compacted, DV-free) snapshot"))
+    val entries = all.filter(entryCovered(_, partitions))
     val paths = entries.map(e => new Path(t.location, e.path).toString)
-    val rows = t.readDataFiles(t.fileSchema, paths)
-      .select(col(colName).as("value"),
-        // relative path, stable across filesystems (URI-decoded by regexp
-        // on the path tail: data/c-<uuid>/... is the manifest-relative form)
-        regexp_extract(input_file_name(), "(data/.*)$", 1).as("file"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("value",
+        t.fileSchema(colName).dataType),
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType)))
+    val rows =
+      if (paths.isEmpty) // restriction matched no files: an EMPTY covered set
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else t.readDataFiles(t.fileSchema, paths)
+        .select(col(colName).as("value"),
+          // relative path, stable across filesystems (URI-decoded by regexp
+          // on the path tail: data/c-<uuid>/... is the manifest-relative form)
+          regexp_extract(input_file_name(), "(data/.*)$", 1).as("file"))
     val pairs = rows.groupBy("value", "file").agg(count(lit(1)).as("cnt"))
     val idx = GraftTable.createOrReplace(spark, indexLoc(tableLoc, colName),
       pairs.schema, TableConfig())
     idx.write(pairs)
     idx.compactSorted("order", Seq("value")) // value-range file clustering
     t.sm.writeString(metaPath(tableLoc, colName), Json.write(Map(
-      "column" -> colName, "snapshot" -> t.sm.latestSnapshotId.getOrElse(0L))))
+      "column" -> colName, "snapshot" -> t.sm.latestSnapshotId.getOrElse(0L),
+      "partitions" -> coveredJson(partitions))))
     idx
   }
 
@@ -80,12 +122,15 @@ object GlobalIndex {
     val m = Json.mapper.readValue(t.sm.readString(mp),
       classOf[java.util.Map[String, Any]])
     val at = m.get("snapshot").asInstanceOf[Number].longValue()
+    val covered = readCovered(m) // refresh keeps the recorded coverage
     val cur = t.sm.latestSnapshotId.getOrElse(0L)
     if (cur == at) return GraftTable.load(spark, indexLoc(tableLoc, colName))
-    if (!t.sm.snapshotExists(at)) return build(spark, tableLoc, colName)
+    if (!t.sm.snapshotExists(at)) return build(spark, tableLoc, colName, covered)
     val entries = t.rawPlan(None, None).getOrElse(throw new IllegalStateException(
       "global index refresh needs a raw-convertible (compacted, DV-free) snapshot"))
-    val oldFiles = t.planFiles(Some(at)).map(_.path).toSet
+      .filter(entryCovered(_, covered))
+    val oldFiles = t.planFiles(Some(at)).filter(entryCovered(_, covered))
+      .map(_.path).toSet
     val nowByPath = entries.map(e => e.path -> e).toMap
     val dead = oldFiles -- nowByPath.keySet
     val fresh = entries.filterNot(e => oldFiles.contains(e.path))
@@ -99,14 +144,16 @@ object GlobalIndex {
       idx.write(rows.groupBy("value", "file").agg(count(lit(1)).as("cnt")))
       idx.clusterIncremental("order", Seq("value"))
     }
-    t.sm.writeString(mp, Json.write(Map("column" -> colName, "snapshot" -> cur)))
+    t.sm.writeString(mp, Json.write(Map("column" -> colName, "snapshot" -> cur,
+      "partitions" -> coveredJson(covered))))
     GraftTable.load(spark, indexLoc(tableLoc, colName))
   }
 
-  /** Index freshness: Some(index) iff it exists and covers the CURRENT
-    * snapshot; None → caller falls back to a plain scan. */
-  private def freshIndex(spark: SparkSession, tableLoc: String,
-                         colName: String): Option[GraftTable] = {
+  /** Index freshness: Some(index, covered partition specs) iff it exists
+    * and covers the CURRENT snapshot; None → caller falls back to a plain
+    * scan. Empty specs = the whole table is covered. */
+  private def freshIndex(spark: SparkSession, tableLoc: String, colName: String)
+      : Option[(GraftTable, Seq[Map[String, String]])] = {
     val t = GraftTable.load(spark, tableLoc)
     val mp = metaPath(tableLoc, colName)
     if (!t.sm.fs.exists(mp)) return None
@@ -114,18 +161,27 @@ object GlobalIndex {
       classOf[java.util.Map[String, Any]])
     val at = m.get("snapshot").asInstanceOf[Number].longValue()
     if (!t.sm.latestSnapshotId.contains(at)) None
-    else Some(GraftTable.load(spark, indexLoc(tableLoc, colName)))
+    else Some((GraftTable.load(spark, indexLoc(tableLoc, colName)),
+      readCovered(m)))
   }
 
   /** Data files containing any of `values` in `colName`, from the index
     * (the index read itself is stats-pruned to the values' file ranges).
+    * Under PARTIAL partition coverage, every file of an uncovered partition
+    * is a candidate — lookups stay exact, the index prunes what it covers.
     * None = no fresh index. */
   def lookupFiles(spark: SparkSession, tableLoc: String, colName: String,
                   values: Seq[Any]): Option[Seq[String]] =
-    freshIndex(spark, tableLoc, colName).map { idx =>
-      idx.read(filter = Some(col("value").isin(values: _*)))
+    freshIndex(spark, tableLoc, colName).map { case (idx, covered) =>
+      val hits = idx.read(filter = Some(col("value").isin(values: _*)))
         .select("file").distinct()
         .collect().map(_.getString(0)).toSeq
+      if (covered.isEmpty) hits
+      else {
+        val uncovered = GraftTable.load(spark, tableLoc).planFiles()
+          .filterNot(entryCovered(_, covered)).map(_.path)
+        (hits ++ uncovered).distinct
+      }
     }
 
   /** Equality/IN read through the index: plans ONLY the files the index
@@ -163,7 +219,7 @@ object GlobalIndex {
     val t = GraftTable.load(spark, tableLoc)
     freshIndex(spark, tableLoc, colName) match {
       case None => t.read(Some(col(colName).isNotNull))
-      case Some(idx) =>
+      case Some((idx, covered)) =>
         // TopN pushdown on the INDEX table through the DSv2 scan
         val idxDf = spark.read.format("graft").load(idx.location)
           .filter(col("value").isNotNull)
@@ -178,7 +234,17 @@ object GlobalIndex {
         val entries = t.planFiles().filter(e => files.contains(e.path))
         val dataCond =
           if (desc) col(colName) >= lit(boundary) else col(colName) <= lit(boundary)
-        t.readFiles(entries).filter(dataCond && col(colName).isNotNull)
+        val fromCovered = t.readFiles(entries).filter(dataCond && col(colName).isNotNull)
+        if (covered.isEmpty) fromCovered
+        else {
+          // PARTIAL coverage: the covered boundary cannot bound uncovered
+          // partitions' values — their files join the candidate set whole
+          // (the true top-k is a subset of boundary-file rows ∪ uncovered
+          // rows; caller re-sorts)
+          val uncov = t.planFiles().filterNot(entryCovered(_, covered))
+          fromCovered.unionByName(
+            t.readFiles(uncov).filter(col(colName).isNotNull))
+        }
     }
   }
 
@@ -187,7 +253,7 @@ object GlobalIndex {
                           colName: String, k: Int, desc: Boolean): Int = {
     freshIndex(spark, tableLoc, colName) match {
       case None => GraftTable.load(spark, tableLoc).planFiles().size
-      case Some(idx) =>
+      case Some((idx, covered)) =>
         val idxDf = spark.read.format("graft").load(idx.location)
           .filter(col("value").isNotNull)
         val ord = if (desc) col("value").desc else col("value").asc
@@ -196,7 +262,11 @@ object GlobalIndex {
         val boundary = top.last.get(0)
         val fileCond =
           if (desc) col("value") >= lit(boundary) else col("value") <= lit(boundary)
-        idx.read(filter = Some(fileCond)).select("file").distinct().count().toInt
+        val covFiles =
+          idx.read(filter = Some(fileCond)).select("file").distinct().count().toInt
+        covFiles + (if (covered.isEmpty) 0
+          else GraftTable.load(spark, tableLoc).planFiles()
+            .count(e => !entryCovered(e, covered)))
     }
   }
 }

@@ -37,6 +37,51 @@ class GlobalIndexSpec extends SparkTestBase {
     assertSameRows(got, t.read().filter(col("v").isin(4242L, 7L)))
   }
 
+  test("partition-restricted build: exact lookups under partial coverage") {
+    // the 100-TB operational mode (reference create_global_index
+    // partitions => ...): index ONLY region=eu; region=us files must stay
+    // full candidates so equality/TopN remain exact, while covered-side
+    // pruning still works
+    val loc = tmpLoc("gi-part")
+    val df = spark.range(8000).select(
+      col("id").as("v"),
+      when(col("id") % 2 === 0, "eu").otherwise("us").as("region"),
+      concat(lit("p"), col("id")).as("payload"))
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(partitionKeys = Seq("region")))
+    t.write(df.repartition(8))
+    Procedures.call(spark, t, "create_global_index",
+      Map("column" -> "v", "index_type" -> "bitmap",
+        "partitions" -> "region=eu")).collect()
+    val total = t.planFiles().size
+    val usFiles = t.planFiles().count(_.partition.get("region").contains("us"))
+    // equality on an EU value: covered side prunes to its file; US files ride
+    val evenPlanned = GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(4242L))
+    assert(evenPlanned < total && evenPlanned <= usFiles + 1,
+      s"covered-side pruning: planned=$evenPlanned total=$total us=$usFiles")
+    // results are EXACT for values in covered AND uncovered partitions
+    assertSameRows(GlobalIndex.readEquality(spark, loc, "v", Seq(4242L, 7L)),
+      t.read().filter(col("v").isin(4242L, 7L)))
+    // TopN stays exact: global top rows live in BOTH partitions
+    val cands = GlobalIndex.topNCandidates(spark, loc, "v", 5, desc = true)
+    val got = cands.orderBy(col("v").desc).limit(5)
+      .select("v").as[Long].collect().toSeq
+    assert(got == (7995L to 7999L).reverse, s"got $got")
+    // refresh after an append stays scoped to the covered partition
+    t.write(spark.range(8000, 8400).select(col("id").as("v"),
+      when(col("id") % 2 === 0, "eu").otherwise("us").as("region"),
+      concat(lit("p"), col("id")).as("payload")))
+    GlobalIndex.refresh(spark, loc, "v")
+    assertSameRows(GlobalIndex.readEquality(spark, loc, "v", Seq(8100L, 8101L)),
+      t.read().filter(col("v").isin(8100L, 8101L)))
+    // no US row ever entered the index: every indexed (value,file) pair's
+    // value is even (region=eu ⇔ even v)
+    val vals = GraftTable.load(spark, s"$loc/index/global-v").read()
+      .select("value").as[Long].collect()
+    assert(vals.nonEmpty && vals.forall(_ % 2 == 0),
+      "index must hold only the covered partition's values")
+  }
+
   test("sorted TopN reads only boundary files and stays exact") {
     val (loc, t) = mkIndexed("gi-topn")
     val total = t.planFiles().size
