@@ -1220,6 +1220,15 @@ object Fixtures {
         src(spark, sfDir, "documents"), "doc_id", "text", loc)
     }
 
+  /** Postings index WITH per-term position arrays
+    * (full-text.with-position=true) — what match_phrase queries need. */
+  def ftIndexPos(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "ft_index_pos") { loc =>
+      graft.pipeline.Indexes.buildFullText(spark,
+        src(spark, sfDir, "documents"), "doc_id", "text", loc,
+        withPositions = true)
+    }
+
   /** Persisted IVF index over embeddings (cluster-partitioned graft table +
     * centroid sidecar). */
   def ivfIndex(spark: SparkSession, sfDir: String): GraftTable =

@@ -1078,6 +1078,45 @@ object SparkEntry {
       tbl.read().select(col("user_id"), col("first_t"),
         explode(col("kinds")).as(Seq("kind", "mult")))
     }),
+    // FULL-TEXT QUERY DSL (reference full-text.mdx "Query DSL"): match with
+    // operator=And, fuzziness expansion over the term dictionary, boolean
+    // must/should/must_not composition, and match_phrase over a
+    // with-position index — all served from the persisted postings index
+    // through the same TVF (a JSON query routes through the DSL)
+    "q_fulltext_and" -> ((s, d) => {
+      val ftI = Fixtures.ftIndex(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${ftI.location}',
+           |  '{"match":{"query":"table scan","operator":"And"}}', 1000000)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
+    "q_fulltext_bool" -> ((s, d) => {
+      val ftI = Fixtures.ftIndex(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${ftI.location}',
+           |  '{"boolean":{"must":[{"match":{"query":"table"}}],
+           |    "should":[{"match":{"query":"merge"}}],
+           |    "must_not":[{"match":{"query":"fast"}}]}}', 1000000)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
+    "q_fulltext_fuzzy" -> ((s, d) => {
+      val ftI = Fixtures.ftIndex(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${ftI.location}',
+           |  '{"match":{"query":"scann","fuzziness":1}}', 1000000)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
+    "q_fulltext_phrase" -> ((s, d) => {
+      val ftI = Fixtures.ftIndexPos(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${ftI.location}',
+           |  '{"match_phrase":{"query":"table scan"}}', 1000000)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
     // NGRAM tokenizer (full-text.tokenizer=ngram): the index grams each
     // document, the TVF grams the query — substring-like search; the spec
     // persisted with the index drives BOTH (delta refresh included)
@@ -2349,6 +2388,78 @@ object SparkEntry {
         |  e.event_type AS kind, CAST(count(*) AS INT) AS mult
         |FROM events e JOIN m USING (user_id)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_fulltext_and" ->
+      s"""WITH ${bm25Cte()}
+         |SELECT doc_id, round(score, 4) AS score FROM (
+         |  SELECT h.doc_id,
+         |    sum( ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) * h.tf * 2.2 /
+         |         (h.tf + 1.2 * (0.25 + 0.75 * h.doc_len / s.avgdl)) ) AS score,
+         |    count(DISTINCT h.term) AS nt
+         |  FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+         |  WHERE h.term IN ('table','scan')
+         |  GROUP BY h.doc_id)
+         |WHERE nt = 2
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    "q_fulltext_bool" ->
+      s"""WITH ${bm25Cte()},
+         |m AS (SELECT h.doc_id,
+         |    ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) * h.tf * 2.2 /
+         |      (h.tf + 1.2 * (0.25 + 0.75 * h.doc_len / s.avgdl)) AS score
+         |  FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+         |  WHERE h.term = 'table'),
+         |sh AS (SELECT h.doc_id,
+         |    ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) * h.tf * 2.2 /
+         |      (h.tf + 1.2 * (0.25 + 0.75 * h.doc_len / s.avgdl)) AS score
+         |  FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+         |  WHERE h.term = 'merge')
+         |SELECT m.doc_id, round(m.score + coalesce(sh.score, 0.0), 4) AS score
+         |FROM m LEFT JOIN sh USING (doc_id)
+         |WHERE m.doc_id NOT IN (
+         |  SELECT DISTINCT doc_id FROM postings WHERE term = 'fast')
+         |ORDER BY round(m.score + coalesce(sh.score, 0.0), 4) DESC, m.doc_id
+         |LIMIT 10""".stripMargin,
+    "q_fulltext_fuzzy" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),'\s+'), w -> length(w)>0) AS ws
+        |  FROM documents),
+        |postings AS (
+        |  SELECT term, doc_id, doc_len, count(*) AS tf
+        |  FROM (SELECT doc_id, len(ws) AS doc_len, unnest(ws) AS term FROM words)
+        |  GROUP BY term, doc_id, doc_len),
+        |stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl
+        |          FROM (SELECT DISTINCT doc_id, doc_len FROM postings)),
+        |qs AS (SELECT DISTINCT term FROM postings
+        |       WHERE levenshtein(term, 'scann') <= 1
+        |       UNION SELECT 'scann' AS term),
+        |hits AS (SELECT p.* FROM postings p JOIN qs USING (term)),
+        |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+        |scored AS (
+        |  SELECT h.doc_id,
+        |    sum( ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) * h.tf * 2.2 /
+        |         (h.tf + 1.2 * (0.25 + 0.75 * h.doc_len / s.avgdl)) ) AS score
+        |  FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+        |  GROUP BY h.doc_id)
+        |SELECT doc_id, round(score, 4) AS score FROM scored
+        |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    "q_fulltext_phrase" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),'\s+'), w -> length(w)>0) AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(ws) AS doc_len,
+        |        ' ' || array_to_string(ws, '  ') || ' ' AS joined
+        |      FROM words WHERE len(ws) > 0),
+        |stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM s),
+        |m AS (SELECT doc_id, doc_len,
+        |        CAST((length(joined) - length(replace(joined, ' table  scan ', '')))
+        |          / length(' table  scan ') AS BIGINT) AS tfp
+        |      FROM s),
+        |mm AS (SELECT * FROM m WHERE tfp > 0),
+        |pdf AS (SELECT count(*) AS df FROM mm)
+        |SELECT doc_id,
+        |  round(ln(1.0 + (st.n - pdf.df + 0.5)/(pdf.df + 0.5)) * tfp * 2.2 /
+        |    (tfp + 1.2 * (0.25 + 0.75 * doc_len / st.avgdl)), 4) AS score
+        |FROM mm CROSS JOIN pdf CROSS JOIN stats st
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_fulltext_ngram" ->
       """WITH grams AS (
         |  SELECT doc_id, len(t) - 2 AS doc_len, substr(t, gs, 3) AS term

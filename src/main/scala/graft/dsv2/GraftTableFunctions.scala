@@ -229,9 +229,14 @@ object GraftTableFunctions {
               s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass the index " +
               "column as the 4th argument")
         else refs.values.headOption
-      // the query tokenizes with the ROUTED index's recorded tokenizer
-      // (an ngram index grams the query; default = whitespace + lowercase)
+      // a JSON query routes through the full Query DSL (match operators,
+      // fuzziness, phrase, boolean, boost); plain text tokenizes with the
+      // ROUTED index's recorded tokenizer (an ngram index grams the query)
+      val isDsl = rawQuery.trim.startsWith("{")
       plan(refOpt match {
+        case Some(ref) if ref.kind == "pk" && isDsl =>
+          graft.pipeline.PkSearch.fullTextDslSearch(t, ref.idCol, ref.textCol,
+            rawQuery, k, ref.spec)
         case Some(ref) if ref.kind == "pk" =>
           graft.pipeline.PkSearch.fullTextSearch(t, ref.idCol, ref.textCol,
             graft.pipeline.FullText.tokenizeQuery(rawQuery, ref.spec), k,

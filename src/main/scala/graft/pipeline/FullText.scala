@@ -128,15 +128,27 @@ object FullText {
   }
 
   /** Inverted index: one row per (term, doc) with term frequency, plus
-    * per-doc length — the postings a search needs for BM25. */
+    * per-doc length — the postings a search needs for BM25. With
+    * `withPositions` (the reference's `full-text.with-position=true`) each
+    * row also carries the term's sorted in-document positions, the input
+    * phrase search needs; the array is bounded by that term's tf in that
+    * one document. */
   def buildPostings(docs: DataFrame, idCol: String, textCol: String,
-                    spec: TokenizerSpec = TokenizerSpec()): DataFrame = {
+                    spec: TokenizerSpec = TokenizerSpec(),
+                    withPositions: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol), spec).as("ws"))
-    toks
-      .select(col("doc_id"), size(col("ws")).as("doc_len"), explode(col("ws")).as("term"))
-      .groupBy("term", "doc_id", "doc_len")
-      .agg(count(lit(1)).as("tf"))
+    if (!withPositions)
+      toks.select(col("doc_id"), size(col("ws")).as("doc_len"),
+          explode(col("ws")).as("term"))
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(count(lit(1)).as("tf"))
+    else
+      toks.select(col("doc_id"), size(col("ws")).as("doc_len"),
+          posexplode(col("ws")).as(Seq("pos", "term")))
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
   }
 
   /** Corpus stats needed at query time: N docs, average doc length. */
@@ -159,18 +171,249 @@ object FullText {
     bm25(postings.filter(col("term").isin(qTerms: _*)), n, avgdl, k, k1, b)
   }
 
-  /** BM25 scoring over pre-filtered postings rows (the query terms' hits)
-    * with externally supplied corpus stats — the path the persisted index
-    * takes ([[Indexes.fullTextSearch]]): df comes exactly from the hits. */
-  def bm25(hits: DataFrame, n: Long, avgdl: Double, k: Int,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** UN-truncated BM25 per-doc scores over pre-filtered postings rows (the
+    * query terms' hits) with externally supplied corpus stats: df comes
+    * exactly from the hits. (doc_id, score). */
+  def bm25Scores(hits: DataFrame, n: Long, avgdl: Double,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val df_ = hits.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
-    val scored = hits.join(broadcast(df_), "term")
+    hits.join(broadcast(df_), "term")
       .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w", col("idf") * col("tf") * (lit(k1) + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / lit(avgdl))))
       .groupBy("doc_id").agg(sum("w").as("score"))
-    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** BM25 top-k over pre-filtered postings rows — the path the persisted
+    * index takes ([[Indexes.fullTextSearch]]). */
+  def bm25(hits: DataFrame, n: Long, avgdl: Double, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(hits, n, avgdl, k1, b)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  // ------------------------------------------------------------------
+  // QUERY DSL (the reference's full-text Query DSL,
+  // global-index/full-text.mdx "Query DSL": match with operator/boost/
+  // fuzziness, match_phrase, boolean must/should/must_not, boost demotion)
+  // ------------------------------------------------------------------
+
+  sealed trait Dsl
+  case class DslMatch(query: String, operator: String = "Or",
+                      boost: Double = 1.0, fuzziness: Int = 0,
+                      prefixLength: Int = 0, maxExpansions: Int = 50) extends Dsl
+  /** Ordered-terms phrase. `slop` is the per-gap tolerance: term i+1 may sit
+    * up to `slop` positions past its exact slot (the reference's positional
+    * move budget, approximated per gap; slop=0 is the exact phrase). */
+  case class DslPhrase(query: String, slop: Int = 0) extends Dsl
+  case class DslBool(must: Seq[Dsl], should: Seq[Dsl], mustNot: Seq[Dsl]) extends Dsl
+  case class DslBoost(positive: Dsl, negative: Dsl,
+                      negativeBoost: Double = 0.5) extends Dsl
+
+  /** Parse the JSON query DSL (one top-level query type per node). */
+  def parseDsl(json: String): Dsl =
+    parseDslNode(graft.core.Json.read(json, classOf[Map[String, Any]]))
+
+  private def parseDslNode(m: Map[String, Any]): Dsl = {
+    require(m.size == 1, s"a DSL node has ONE top-level query type, got " +
+      m.keys.mkString(", "))
+    def num(v: Any): Double = v match {
+      case s: String => s.toDouble
+      case n => n.asInstanceOf[Number].doubleValue()
+    }
+    def subqs(v: Any): Seq[Dsl] = v.asInstanceOf[Seq[Any]]
+      .map(x => parseDslNode(x.asInstanceOf[Map[String, Any]]))
+    val (kind, body0) = m.head
+    val body = body0.asInstanceOf[Map[String, Any]]
+    kind match {
+      case "match" =>
+        DslMatch(String.valueOf(body("query")),
+          body.get("operator").map(String.valueOf).getOrElse("Or"),
+          body.get("boost").map(num).getOrElse(1.0),
+          body.get("fuzziness").map {
+            case s: String if s.equalsIgnoreCase("auto") => 2
+            case v => num(v).toInt
+          }.getOrElse(0),
+          body.get("prefix_length").orElse(body.get("prefixLength"))
+            .map(v => num(v).toInt).getOrElse(0),
+          body.get("max_expansions").orElse(body.get("maxExpansions"))
+            .map(v => num(v).toInt).getOrElse(50))
+      case "match_phrase" =>
+        DslPhrase(String.valueOf(body("query")),
+          body.get("slop").map(v => num(v).toInt).getOrElse(0))
+      case "boolean" | "bool" =>
+        body.get("queries") match {
+          case Some(pairs) =>
+            // the native reader's occurrence/query pair array form
+            val tagged = pairs.asInstanceOf[Seq[Any]].map { p =>
+              val pair = p.asInstanceOf[Seq[Any]]
+              String.valueOf(pair.head).toLowerCase.replace("_", "") ->
+                parseDslNode(pair(1).asInstanceOf[Map[String, Any]])
+            }
+            DslBool(tagged.collect { case ("must", q) => q },
+              tagged.collect { case ("should", q) => q },
+              tagged.collect { case ("mustnot", q) => q })
+          case None =>
+            DslBool(body.get("must").map(subqs).getOrElse(Nil),
+              body.get("should").map(subqs).getOrElse(Nil),
+              body.get("must_not").orElse(body.get("mustNot"))
+                .map(subqs).getOrElse(Nil))
+        }
+      case "boost" =>
+        DslBoost(parseDslNode(body("positive").asInstanceOf[Map[String, Any]]),
+          parseDslNode(body("negative").asInstanceOf[Map[String, Any]]),
+          body.get("negative_boost").orElse(body.get("negativeBoost"))
+            .map(num).getOrElse(0.5))
+      case other => throw new IllegalArgumentException(
+        s"unsupported query DSL type $other " +
+          "(match | match_phrase | boolean | boost)")
+    }
+  }
+
+  /** True when any node of the DSL is a phrase — the caller must then serve
+    * positions (an index built with full-text.with-position=true, or
+    * query-time postings built with positions). */
+  def needsPositions(q: Dsl): Boolean = q match {
+    case _: DslPhrase => true
+    case _: DslMatch => false
+    case DslBool(m, s, n) => (m ++ s ++ n).exists(needsPositions)
+    case DslBoost(p, n, _) => needsPositions(p) || needsPositions(n)
+  }
+
+  /** The index-shaped operations the DSL evaluator composes — implemented by
+    * the persisted-index route ([[Indexes.IndexDslScorer]]: term-pruned
+    * postings scans, term-stats point reads) and the PK merged-state route
+    * ([[PostingsDslScorer]]). Every frame is bounded by the query terms'
+    * posting sizes, never the corpus. */
+  trait DslScorer {
+    def spec: TokenizerSpec
+    /** UN-truncated BM25 per-doc scores of `terms` (already normalized). */
+    def termScores(terms: Seq[String]): DataFrame // (doc_id, score)
+    /** Postings rows of `terms` INCLUDING the positions column. */
+    def positionRows(terms: Seq[String]): DataFrame
+    def corpus: (Long, Double) // (n docs, avg doc length)
+    /** Dictionary terms within `fuzz` edits of `term` (sharing its first
+      * `prefixLen` chars), ranked (distance asc, df desc, term), capped. */
+    def expand(term: String, fuzz: Int, prefixLen: Int, maxExp: Int): Seq[String]
+  }
+
+  /** DSL scorer over an in-memory/merged-state postings frame (the PK-table
+    * route: postings derive from the merged snapshot at query time). */
+  case class PostingsDslScorer(postings: DataFrame,
+                               spec: TokenizerSpec) extends DslScorer {
+    lazy val corpus: (Long, Double) = corpusStats(postings)
+    def termScores(terms: Seq[String]): DataFrame = {
+      val (n, avgdl) = corpus
+      bm25Scores(postings.filter(col("term").isin(terms: _*)), n, avgdl)
+    }
+    def positionRows(terms: Seq[String]): DataFrame = {
+      require(postings.columns.contains("positions"),
+        "phrase search needs positions (full-text.with-position=true)")
+      postings.filter(col("term").isin(terms: _*))
+    }
+    def expand(term: String, fuzz: Int, prefixLen: Int, maxExp: Int): Seq[String] = {
+      val pref = term.take(prefixLen)
+      postings.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+        .filter(length(col("term")).between(term.length - fuzz, term.length + fuzz) &&
+          (if (prefixLen > 0) col("term").startsWith(pref) else lit(true)))
+        .withColumn("__d", levenshtein(col("term"), lit(term)))
+        .filter(col("__d") <= fuzz && col("__d") > 0)
+        .orderBy(col("__d").asc, col("df").desc, col("term"))
+        .limit(maxExp).select("term").collect().map(_.getString(0)).toSeq
+    }
+  }
+
+  private def innerSum(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("doc_id"), col("score").as("__a"))
+      .join(b.select(col("doc_id"), col("score").as("__b")), "doc_id")
+      .select(col("doc_id"), (col("__a") + col("__b")).as("score"))
+
+  private def outerSum(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("doc_id"), col("score").as("__a"))
+      .join(b.select(col("doc_id"), col("score").as("__b")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("__a"), lit(0.0)) + coalesce(col("__b"), lit(0.0))).as("score"))
+
+  /** Evaluate a DSL query to UN-truncated (doc_id, score) rows. Shapes:
+    *  - match Or: one term-pruned scan over all (possibly fuzzy-expanded)
+    *    variants; And: per-base-term frames inner-joined (each base term —
+    *    or one of its fuzzy variants — must match; BM25 is per-term
+    *    additive, so the joined sum equals the Or score on matching docs);
+    *  - match_phrase: position-array alignment inside each candidate doc,
+    *    BM25 over phrase frequency with df = matching-doc count;
+    *  - boolean: musts inner-join (sum), shoulds add via left join (pure
+    *    shoulds union-sum), must_nots anti-join;
+    *  - boost: negative matches multiply the positive score by
+    *    negativeBoost. Every stage is bounded by query-term posting sizes. */
+  def evalDsl(q: Dsl, s: DslScorer): DataFrame = q match {
+    case m: DslMatch =>
+      val baseTerms = normalizeTerms(
+        tokenizeQuery(m.query, s.spec), s.spec).distinct
+      require(baseTerms.nonEmpty, s"match query '${m.query}' has no terms")
+      def variants(t: String): Seq[String] =
+        if (m.fuzziness <= 0) Seq(t)
+        else (t +: s.expand(t, m.fuzziness, m.prefixLength, m.maxExpansions)).distinct
+      val frames =
+        if (m.operator.equalsIgnoreCase("and") && baseTerms.size > 1)
+          baseTerms.map(t => s.termScores(variants(t)))
+        else Seq(s.termScores(baseTerms.flatMap(variants).distinct))
+      val joined = frames.reduce(innerSum)
+      if (m.boost == 1.0) joined
+      else joined.select(col("doc_id"), (col("score") * m.boost).as("score"))
+    case p: DslPhrase =>
+      val ts = normalizeTerms(tokenizeQuery(p.query, s.spec), s.spec)
+      require(ts.nonEmpty, s"phrase query '${p.query}' has no terms")
+      if (ts.size == 1) return evalDsl(DslMatch(p.query), s)
+      val rows = s.positionRows(ts.distinct)
+      val frames = ts.zipWithIndex.map { case (t, i) =>
+        val f = rows.filter(col("term") === t)
+        if (i == 0) f.select(col("doc_id"), col("doc_len"),
+          col("positions").as("__p0"))
+        else f.select(col("doc_id"), col("positions").as(s"__p$i"))
+      }
+      val aligned = frames.reduce(_.join(_, "doc_id"))
+      // phrase occurrences: starts in term-0's positions whose every
+      // successor term has a position in [start+i, start+i+slop] (slop = a
+      // shared rightward displacement budget; slop=0 is the exact phrase)
+      val tfp = size(filter(col("__p0"), start =>
+        (1 until ts.size).map { i =>
+          exists(col(s"__p$i"), q =>
+            q >= start + i && q <= start + i + p.slop)
+        }.reduce(_ && _)))
+      val matched = aligned.withColumn("__tfp", tfp).filter(col("__tfp") > 0)
+        .select(col("doc_id"), col("doc_len"), col("__tfp"))
+      val (n, avgdl) = s.corpus
+      // phrase df = matching docs; the matched set is bounded by the rarest
+      // term's postings, so the unpartitioned count window stays tiny
+      matched
+        .withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .select(col("doc_id"),
+          (log(lit(1.0) + (lit(n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5)) *
+            col("__tfp") * (lit(1.2) + 1.0) /
+            (col("__tfp") + lit(1.2) * (lit(1.0) - 0.75 +
+              lit(0.75) * col("doc_len") / lit(avgdl)))).as("score"))
+    case DslBool(must, should, mustNot) =>
+      require(must.nonEmpty || should.nonEmpty,
+        "boolean query needs at least one must or should")
+      val base =
+        if (must.nonEmpty) must.map(evalDsl(_, s)).reduce(innerSum)
+        else should.map(evalDsl(_, s)).reduce(outerSum)
+      val withShould =
+        if (must.isEmpty) base
+        else should.map(evalDsl(_, s)).foldLeft(base) { (acc, sh) =>
+          acc.join(sh.withColumnRenamed("score", "__sh"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (col("score") + coalesce(col("__sh"), lit(0.0))).as("score"))
+        }
+      mustNot.map(evalDsl(_, s)).foldLeft(withShould)((acc, mn) =>
+        acc.join(mn.select("doc_id"), Seq("doc_id"), "left_anti"))
+    case DslBoost(pos, neg, nb) =>
+      val p = evalDsl(pos, s)
+      val n = evalDsl(neg, s).select(col("doc_id"), lit(true).as("__neg"))
+      p.join(n, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__neg").isNotNull, col("score") * nb)
+            .otherwise(col("score")).as("score"))
   }
 
   /** Reciprocal-rank-fusion of two ranked result sets (paimon hybrid_search

@@ -196,7 +196,13 @@ object IndexLifecycle {
         .map(v => s"full-text.$sfx" -> v)
     }.toMap
     val spec = FullText.TokenizerSpec.fromOptions(resolved)
+    val withPos = callOpts.get("full-text.with-position")
+      .orElse(tbl.config.options.get(s"fields.$textCol.with-position"))
+      .orElse(tbl.config.options.get("full-text.with-position"))
+      .exists(_.toBoolean)
     if (tbl.config.isPrimaryKeyed) {
+      // merged-state postings derive at query time, positions included when
+      // a phrase query asks — nothing to persist
       PkSearch.registerFullText(tbl, idCol, textCol, spec)
       s"merged-state full-text search registered on ($idCol, $textCol, " +
         s"tokenizer ${spec.kind})"
@@ -205,7 +211,7 @@ object IndexLifecycle {
       val snap = currentSnapshot(tbl)
       Indexes.buildFullText(tbl.spark,
         tbl.read(None, Some(snap)).select(col(idCol), col(textCol)),
-        idCol, textCol, loc, spec)
+        idCol, textCol, loc, spec, withPos)
       writeSource(tbl.spark, loc, snap)
       PkSearch.writeFullTextRef(tbl,
         PkSearch.FullTextRef(idCol, textCol, "plain", Some(loc), spec.toMap))
@@ -395,20 +401,25 @@ object IndexLifecycle {
     }
     val txtDfs = textRoutes.map { r =>
       val lim = r.limit.getOrElse(k)
-      val raw = queryText(r.query)
-      // each route tokenizes its query with ITS index's recorded tokenizer
+      // a JSON route query is the full Query DSL (a bare {"match":…} scores
+      // identically to its plain-text spelling); plain text tokenizes with
+      // the route's index tokenizer
+      val isDsl = r.query.trim.startsWith("{")
       val df = txtRefs.get(r.column) match {
+        case Some(ref) if ref.kind == "pk" && isDsl =>
+          PkSearch.fullTextDslSearch(tbl, ref.idCol, ref.textCol, r.query,
+            lim, ref.spec)
         case Some(ref) if ref.kind == "pk" =>
           PkSearch.fullTextSearch(tbl, ref.idCol, ref.textCol,
-            FullText.tokenizeQuery(raw, ref.spec), lim, spec = ref.spec)
+            FullText.tokenizeQuery(r.query, ref.spec), lim, spec = ref.spec)
         case Some(ref) =>
-          Indexes.fullTextSearchText(spark, ref.idxLoc.get, raw, lim)
+          Indexes.fullTextSearchText(spark, ref.idxLoc.get, r.query, lim)
         case None =>
           val loc = fullTextIndexLoc(tbl.location, r.column)
           require(GraftTable.exists(spark, loc),
             s"no full-text index on ${r.column} — CALL create_global_index(" +
               s"index_column => '${r.column}', index_type => 'full-text') first")
-          Indexes.fullTextSearchText(spark, loc, raw, lim)
+          Indexes.fullTextSearchText(spark, loc, r.query, lim)
       }
       (df.select(col("doc_id").as("id"), col("score")), r.weight)
     }

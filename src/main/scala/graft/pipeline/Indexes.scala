@@ -73,16 +73,28 @@ object Indexes {
       Json.read(t.sm.readString(p), classOf[Map[String, String]]))
   }
 
+  /** True when the index at `loc` carries per-term position arrays (built
+    * with full-text.with-position=true) — what phrase search needs. */
+  def readWithPositions(spark: SparkSession, loc: String): Boolean = {
+    val t = GraftTable.load(spark, loc)
+    val p = statsPath(loc, "fulltext-tokenizer")
+    t.sm.fs.exists(p) && Json.read(t.sm.readString(p),
+      classOf[Map[String, String]]).get("withPositions").contains("true")
+  }
+
   /** Build (or replace) the postings index table at `loc`, plus the per-term
     * df table and corpus-stat sidecar. All three support INCREMENTAL
     * maintenance via [[appendToFullText]]. The tokenizer spec persists in
-    * the index metadata. */
+    * the index metadata; `withPositions` (full-text.with-position) stores
+    * per-term position arrays for phrase search. */
   def buildFullText(spark: SparkSession, docs: DataFrame, idCol: String,
                     textCol: String, loc: String,
-                    spec: FullText.TokenizerSpec = FullText.TokenizerSpec())
+                    spec: FullText.TokenizerSpec = FullText.TokenizerSpec(),
+                    withPositions: Boolean = false)
       : GraftTable = {
     import graft.core.RowOps._
-    val postings = FullText.buildPostings(docs, idCol, textCol, spec)
+    val postings = FullText.buildPostings(docs, idCol, textCol, spec,
+      withPositions)
     val t = GraftTable.createOrReplace(spark, loc, postings.schema, TableConfig())
     t.write(postings)
     // cluster files by term range → a query's terms prune to few files
@@ -99,7 +111,8 @@ object Indexes {
     st.compact()
     val (n, totalLen) = batchCorpus(postings)
     writeCorpusSidecar(t, loc, n, totalLen)
-    t.sm.writeString(statsPath(loc, "fulltext-tokenizer"), Json.write(spec.toMap))
+    t.sm.writeString(statsPath(loc, "fulltext-tokenizer"),
+      Json.write(spec.toMap + ("withPositions" -> withPositions.toString)))
     t
   }
 
@@ -110,9 +123,10 @@ object Indexes {
     * restore term-range clustering over the appended files. */
   def appendToFullText(spark: SparkSession, newDocs: DataFrame, idCol: String,
                        textCol: String, loc: String): GraftTable = {
-    // the delta tokenizes with the INDEX's recorded spec, never a default
+    // the delta tokenizes with the INDEX's recorded spec (positions
+    // included when the index carries them), never a default
     val postings = FullText.buildPostings(newDocs, idCol, textCol,
-      readTokenizer(spark, loc))
+      readTokenizer(spark, loc), readWithPositions(spark, loc))
     val t = GraftTable.load(spark, loc)
     t.write(postings)
     GraftTable.load(spark, termStatsLoc(loc))
@@ -194,13 +208,57 @@ object Indexes {
     fullTextScores(spark, loc, query, k1, b)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
 
-  /** [[fullTextSearch]] from a RAW query string: tokenized with the INDEX's
-    * recorded tokenizer (an ngram index grams the query; a raw index matches
-    * the whole value) — the SQL TVF's text entry point. */
+  /** [[fullTextSearch]] from a RAW query string: a JSON object routes
+    * through the full Query DSL ([[FullText.parseDsl]] — match operators,
+    * fuzziness, phrase, boolean, boost); plain text tokenizes with the
+    * INDEX's recorded tokenizer (an ngram index grams the query; a raw
+    * index matches the whole value). The SQL TVF's text entry point. */
   def fullTextSearchText(spark: SparkSession, loc: String, query: String,
                          k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    fullTextSearch(spark, loc,
+    if (query.trim.startsWith("{"))
+      FullText.evalDsl(FullText.parseDsl(query), IndexDslScorer(spark, loc))
+        .orderBy(col("score").desc, col("doc_id")).limit(k)
+    else fullTextSearch(spark, loc,
       FullText.tokenizeQuery(query, readTokenizer(spark, loc)), k, k1, b)
+
+  /** DSL scorer over a PERSISTED postings index: every operation is a
+    * term-pruned scan or a term-stats point read — bounded by the query
+    * terms' posting sizes, never the corpus. */
+  case class IndexDslScorer(spark: SparkSession,
+                            loc: String) extends FullText.DslScorer {
+    val spec: FullText.TokenizerSpec = readTokenizer(spark, loc)
+    def termScores(terms: Seq[String]): DataFrame =
+      fullTextScores(spark, loc, terms)
+    def positionRows(terms: Seq[String]): DataFrame = {
+      val t = GraftTable.load(spark, loc)
+      val rows = t.read(filter = Some(col("term").isin(terms: _*)))
+      require(rows.columns.contains("positions"),
+        s"$loc: phrase search needs an index built with " +
+          "full-text.with-position=true")
+      rows
+    }
+    def corpus: (Long, Double) = {
+      val t = GraftTable.load(spark, loc)
+      val (n, totalLen) = readCorpusSidecar(t, loc)
+      (n, if (n == 0) 0.0 else totalLen.toDouble / n)
+    }
+    def expand(term: String, fuzz: Int, prefixLen: Int,
+               maxExp: Int): Seq[String] = {
+      // dictionary scan over the (metadata-scale) term-stats table:
+      // prefix + length push down to stats pruning; levenshtein filters
+      val st = GraftTable.load(spark, termStatsLoc(loc))
+      val pref = term.take(prefixLen)
+      val base = st.read(filter =
+        if (prefixLen > 0) Some(col("term").startsWith(pref)) else None)
+      base
+        .filter(length(col("term"))
+          .between(term.length - fuzz, term.length + fuzz))
+        .withColumn("__d", levenshtein(col("term"), lit(term)))
+        .filter(col("__d") <= fuzz && col("__d") > 0)
+        .orderBy(col("__d").asc, col("df").desc, col("term"))
+        .limit(maxExp).select("term").collect().map(_.getString(0)).toSeq
+    }
+  }
 
   // ------------------------------------------------------------------
   // IVF (persisted coarse-quantizer index, cluster = partition column)

@@ -336,4 +336,20 @@ object PkSearch {
     FullText.search(FullText.buildPostings(docs, idCol, textCol, spec),
       query, k, spec = spec)
   }
+
+  /** Query-DSL search over a PK table's MERGED state (match operators,
+    * fuzziness, phrase, boolean, boost — [[FullText.parseDsl]]): postings
+    * derive from the current snapshot at query time, with positions exactly
+    * when the query carries a phrase. */
+  def fullTextDslSearch(tbl: GraftTable, idCol: String, textCol: String,
+                        json: String, k: Int,
+                        spec: FullText.TokenizerSpec = FullText.TokenizerSpec())
+      : DataFrame = {
+    require(tbl.config.isPrimaryKeyed, "PkSearch searches a primary-key table")
+    val dsl = FullText.parseDsl(json)
+    val postings = FullText.buildPostings(tbl.read(), idCol, textCol, spec,
+      withPositions = FullText.needsPositions(dsl))
+    FullText.evalDsl(dsl, FullText.PostingsDslScorer(postings, spec))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
 }

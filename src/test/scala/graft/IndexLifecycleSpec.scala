@@ -563,6 +563,32 @@ class IndexLifecycleSpec extends SparkTestBase {
     }
   }
 
+  test("query DSL on a PK table: phrase + boolean served from the merged state") {
+    // the TVF routes a JSON query through the DSL; PK tables derive
+    // postings (positions included, when a phrase asks) from the CURRENT
+    // merged state, so upserts re-rank immediately with no index refresh
+    val loc = tmpLoc("lc-pk-dsl")
+    val df = Seq(
+      (1L, "fast table scan wins"),
+      (2L, "table scan is slow here"),
+      (3L, "scan table inverted")).toDF("k", "txt")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    t.write(df)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "txt", "index_type" -> "full-text",
+        "id_column" -> "k")).collect()
+    def q(json: String) = spark.sql(
+      s"SELECT doc_id FROM graft_full_text_search('$loc', '$json', 10)")
+      .as[Long].collect().toSet
+    assert(q("""{"match_phrase":{"query":"table scan"}}""") == Set(1L, 2L))
+    assert(q("""{"boolean":{"must":[{"match":{"query":"scan"}}],
+      "must_not":[{"match":{"query":"slow"}}]}}""") == Set(1L, 3L))
+    // an upsert moves the merged state; the DSL search reflects it at once
+    t.write(Seq((2L, "entirely different content")).toDF("k", "txt"))
+    assert(q("""{"match_phrase":{"query":"table scan"}}""") == Set(1L))
+  }
+
   test("PK table: ivf create delegates to the file-aligned route; full-text only registers") {
     val loc = tmpLoc("lc-pk")
     val e0 = mkEmbeddings(0, 200).withColumnRenamed("vid", "k")

@@ -319,6 +319,73 @@ class PipelineSpec extends SparkTestBase {
       lowerCase = false))
   }
 
+  test("full-text query DSL: operators, boolean, boost, fuzzy, phrase, slop") {
+    import graft.pipeline.FullText
+    import graft.pipeline.FullText._
+    val corpus = Seq(
+      (1L, "spark reads parquet fast and spark scans tables"),
+      (2L, "parquet scans are fast"),
+      (3L, "tables without the magic word"),
+      (4L, "spark writes parquet slowly"),
+      (5L, "fast spark fast parquet")).toDF("doc_id", "text")
+    val spec = TokenizerSpec()
+    val postings = FullText
+      .buildPostings(corpus, "doc_id", "text", spec, withPositions = true)
+      .persist()
+    val s = PostingsDslScorer(postings, spec)
+    def ids(json: String): Seq[Long] =
+      evalDsl(parseDsl(json), s).orderBy(col("score").desc, col("doc_id"))
+        .select("doc_id").as[Long].collect().toSeq
+    // operator And requires every term; Or matches any
+    assert(ids("""{"match":{"query":"spark parquet","operator":"And"}}""")
+      .toSet == Set(1L, 4L, 5L))
+    assert(ids("""{"match":{"query":"spark parquet"}}""")
+      .toSet == Set(1L, 2L, 4L, 5L))
+    // boolean must + must_not (object form AND the native queries-pair form)
+    assert(ids("""{"boolean":{"must":[{"match":{"query":"parquet"}}],
+      "must_not":[{"match":{"query":"fast"}}]}}""").toSet == Set(4L))
+    assert(ids("""{"boolean":{"queries":[["Must",{"match":{"query":"parquet"}}],
+      ["MustNot",{"match":{"query":"fast"}}]]}}""").toSet == Set(4L))
+    // boost demotion: a negative match multiplies by negative_boost; a
+    // non-matching doc keeps its exact positive score
+    def scores(json: String): Map[Long, Double] =
+      evalDsl(parseDsl(json), s).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val demoted = scores("""{"boost":{"positive":{"match":{"query":"parquet"}},
+      "negative":{"match":{"query":"fast"}},"negative_boost":0.5}}""")
+    val plain = scores("""{"match":{"query":"parquet"}}""")
+    assert(math.abs(demoted(4L) - plain(4L)) < 1e-12, "no-negative doc unchanged")
+    assert(math.abs(demoted(2L) - plain(2L) / 2) < 1e-12, "negative match halves")
+    // match boost scales the contribution
+    val doubled = scores("""{"match":{"query":"parquet","boost":2.0}}""")
+    assert(math.abs(doubled(2L) - 2 * plain(2L)) < 1e-12)
+    // fuzziness: 'spak' expands to 'spark' through the term dictionary
+    assert(ids("""{"match":{"query":"spak","fuzziness":1}}""")
+      .toSet == Set(1L, 4L, 5L))
+    // phrase: exact adjacency at slop 0; slop extends the window
+    assert(ids("""{"match_phrase":{"query":"spark reads"}}""") == Seq(1L))
+    assert(ids("""{"match_phrase":{"query":"spark parquet"}}""").isEmpty)
+    // slop 1 admits one-word gaps: 'spark reads parquet' (1), 'spark writes
+    // parquet' (4), 'spark fast parquet' (5)
+    assert(ids("""{"match_phrase":{"query":"spark parquet","slop":1}}""")
+      .toSet == Set(1L, 4L, 5L))
+    // phrase frequency counts every occurrence: doc 1 has 'spark' twice but
+    // 'spark reads' once — tf comes from position alignment, not term tf
+    val phr = scores("""{"match_phrase":{"query":"spark reads"}}""")
+    assert(phr.keySet == Set(1L))
+    // a phrase against positions-less postings fails loudly
+    val noPos = PostingsDslScorer(
+      FullText.buildPostings(corpus, "doc_id", "text", spec), spec)
+    val ex = intercept[Exception] {
+      evalDsl(parseDsl("""{"match_phrase":{"query":"spark reads"}}"""), noPos)
+        .collect() }
+    assert(ex.getMessage.contains("with-position"), ex.getMessage)
+    // unknown node types are rejected with the supported list
+    val bad = intercept[IllegalArgumentException] { parseDsl("""{"nope":{}}""") }
+    assert(bad.getMessage.contains("match | match_phrase"), bad.getMessage)
+    postings.unpersist()
+  }
+
   test("simhash pairs: near-dups at small hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
       .select("v1", "v2").as[(Long, Long)].collect().toSet
