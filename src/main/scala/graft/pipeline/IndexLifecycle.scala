@@ -330,20 +330,8 @@ object IndexLifecycle {
   case class TextRoute(column: String, query: String,
                        limit: Option[Int] = None, weight: Double = 1.0)
 
-  /** The query TEXT of a route: either the plain string or the reference's
-    * ES-style `{"match":{"query":…}}` object's query field. Tokenization
-    * happens downstream with the routed index's own tokenizer. */
-  private[graft] def queryText(q: String): String =
-    if (q.trim.startsWith("{")) {
-      // nested values arrive as scala Maps (the json mapper carries the
-      // scala module)
-      val m = Json.read(q, classOf[Map[String, Any]])
-      String.valueOf(m.getOrElse("match", Map.empty)
-        .asInstanceOf[Map[String, Any]].getOrElse("query", ""))
-    } else q
-
-  private[graft] def queryTerms(q: String): Seq[String] =
-    queryText(q).split("\\s+").filter(_.nonEmpty).toSeq
+  // route query strings: plain text tokenizes with the routed index's
+  // tokenizer; a JSON object is the full Query DSL ([[FullText.parseDsl]])
 
   /** The id column hybrid fusion joins routes on: the table's primary key,
     * else the id a registered full-text/es index recorded. */
