@@ -1154,6 +1154,25 @@ object Fixtures {
       t
     }
 
+  /** Documents with TWO text columns ('title' = the first three words,
+    * 'body' = the full text), EACH with its own CALL-managed full-text
+    * index — the per-column shape multi_match queries search in one go. */
+  def lcDocsMulti(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_docs_multi") { loc =>
+      val docs = src(spark, sfDir, "documents").select(col("doc_id"),
+        array_join(slice(filter(split(col("text"), "\\s+"),
+          w => length(w) > 0), 1, 3), " ").as("title"),
+        col("text").as("body"))
+      val t = GraftTable.createOrReplace(spark, loc, docs.schema, TableConfig())
+      t.write(docs)
+      Seq("title", "body").foreach { c =>
+        Procedures.call(spark, t, "create_global_index",
+          Map("index_column" -> c, "index_type" -> "full-text",
+            "id_column" -> "doc_id")).collect()
+      }
+      t
+    }
+
   /** Embeddings copy whose CALL-managed IVF index is built with
     * `distance.metric=l2` (reference `<index-type>.distance.metric`,
     * vector.mdx:184): the recorded metric becomes the TABLE path's query

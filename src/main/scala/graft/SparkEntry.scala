@@ -1109,6 +1109,15 @@ object SparkEntry {
            |  '{"match":{"query":"scann","fuzziness":1}}', 1000000)
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
     }),
+    "q_fulltext_multi" -> ((s, d) => {
+      val tbl = Fixtures.lcDocsMulti(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${tbl.location}',
+           |  '{"multi_match":{"query":"table scan",
+           |    "columns":["title","body"],"boosts":[2.0,1.0]}}', 1000000)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
     "q_fulltext_phrase" -> ((s, d) => {
       val ftI = Fixtures.ftIndexPos(s, d)
       s.sql(
@@ -2441,6 +2450,42 @@ object SparkEntry {
         |  GROUP BY h.doc_id)
         |SELECT doc_id, round(score, 4) AS score FROM scored
         |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    "q_fulltext_multi" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(list_filter(
+        |      regexp_split_to_array(text,'\s+'), w -> length(w)>0),1,3),' ') AS title,
+        |    text AS body
+        |  FROM documents),
+        |tw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(title)),'\s+'), w -> length(w)>0) AS ws FROM base),
+        |tp AS (SELECT term, doc_id, doc_len, count(*) AS tf
+        |       FROM (SELECT doc_id, len(ws) AS doc_len, unnest(ws) AS term FROM tw)
+        |       GROUP BY 1,2,3),
+        |tst AS (SELECT count(*) AS n, avg(doc_len) AS avgdl
+        |        FROM (SELECT DISTINCT doc_id, doc_len FROM tp)),
+        |th AS (SELECT * FROM tp WHERE term IN ('table','scan')),
+        |td AS (SELECT term, count(DISTINCT doc_id) AS df FROM th GROUP BY term),
+        |tsc AS (SELECT h.doc_id,
+        |    sum( ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) * h.tf * 2.2 /
+        |         (h.tf + 1.2 * (0.25 + 0.75 * h.doc_len / s.avgdl)) ) AS score
+        |  FROM th h JOIN td d USING (term) CROSS JOIN tst s GROUP BY h.doc_id),
+        |bw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(body)),'\s+'), w -> length(w)>0) AS ws FROM base),
+        |bp AS (SELECT term, doc_id, doc_len, count(*) AS tf
+        |       FROM (SELECT doc_id, len(ws) AS doc_len, unnest(ws) AS term FROM bw)
+        |       GROUP BY 1,2,3),
+        |bst AS (SELECT count(*) AS n, avg(doc_len) AS avgdl
+        |        FROM (SELECT DISTINCT doc_id, doc_len FROM bp)),
+        |bh AS (SELECT * FROM bp WHERE term IN ('table','scan')),
+        |bd AS (SELECT term, count(DISTINCT doc_id) AS df FROM bh GROUP BY term),
+        |bsc AS (SELECT h.doc_id,
+        |    sum( ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) * h.tf * 2.2 /
+        |         (h.tf + 1.2 * (0.25 + 0.75 * h.doc_len / s.avgdl)) ) AS score
+        |  FROM bh h JOIN bd d USING (term) CROSS JOIN bst s GROUP BY h.doc_id)
+        |SELECT doc_id,
+        |  round(coalesce(t.score, 0.0) * 2.0 + coalesce(b.score, 0.0), 4) AS score
+        |FROM tsc t FULL OUTER JOIN bsc b USING (doc_id)
+        |ORDER BY round(coalesce(t.score, 0.0) * 2.0 + coalesce(b.score, 0.0), 4) DESC,
+        |  doc_id LIMIT 10""".stripMargin,
     "q_fulltext_phrase" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),'\s+'), w -> length(w)>0) AS ws

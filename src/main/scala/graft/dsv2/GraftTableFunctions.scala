@@ -217,37 +217,64 @@ object GraftTableFunctions {
       // the optional trailing column picks ONE of a multi-indexed table's
       // back-references; without it a sole index routes and several error
       val refs = graft.pipeline.PkSearch.fullTextRefs(t)
-      val refOpt =
-        if (args.length == 4) {
-          val c = str(args(3))
-          Some(refs.getOrElse(c, throw new IllegalArgumentException(
-            s"${t.location}: no full-text index on column $c " +
-              s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})")))
-        } else if (refs.size > 1)
-          throw new IllegalArgumentException(
-            s"${t.location}: multiple full-text indexes " +
-              s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass the index " +
-              "column as the 4th argument")
-        else refs.values.headOption
-      // a JSON query routes through the full Query DSL (match operators,
-      // fuzziness, phrase, boolean, boost); plain text tokenizes with the
-      // ROUTED index's recorded tokenizer (an ngram index grams the query)
-      val isDsl = rawQuery.trim.startsWith("{")
-      plan(refOpt match {
-        case Some(ref) if ref.kind == "pk" && isDsl =>
-          graft.pipeline.PkSearch.fullTextDslSearch(t, ref.idCol, ref.textCol,
-            rawQuery, k, ref.spec)
-        case Some(ref) if ref.kind == "pk" =>
-          graft.pipeline.PkSearch.fullTextSearch(t, ref.idCol, ref.textCol,
-            graft.pipeline.FullText.tokenizeQuery(rawQuery, ref.spec), k,
-            spec = ref.spec)
-        case Some(ref) => // "plain": CALL-created persisted postings index
-          graft.pipeline.Indexes.fullTextSearchText(spark, ref.idxLoc.get,
-            rawQuery, k)
+      // a top-level multi_match names ITS columns — one scorer per column,
+      // boost-weighted union-sum (the reference's several-columns query
+      // over per-column indexes)
+      val multi = if (!rawQuery.trim.startsWith("{")) None
+        else graft.pipeline.FullText.parseDsl(rawQuery) match {
+          case mm: graft.pipeline.FullText.DslMultiMatch => Some(mm)
+          case _ => None
+        }
+      multi match {
+        case Some(mm) =>
+          import graft.pipeline.{FullText, Indexes}
+          import org.apache.spark.sql.functions.col
+          val scorers = mm.columns.map { c =>
+            refs.get(c) match {
+              case Some(ref) if ref.kind == "pk" =>
+                FullText.PostingsDslScorer(FullText.buildPostings(
+                  t.read(), ref.idCol, ref.textCol, ref.spec), ref.spec)
+              case Some(ref) => Indexes.IndexDslScorer(spark, ref.idxLoc.get)
+              case None => throw new IllegalArgumentException(
+                s"${t.location}: no full-text index on column $c " +
+                  s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})")
+            }
+          }
+          plan(FullText.evalMultiMatch(mm, scorers)
+            .orderBy(col("score").desc, col("doc_id")).limit(k))
         case None =>
-          graft.pipeline.Indexes.fullTextSearchText(spark, t.location,
-            rawQuery, k)
-      })
+          val refOpt =
+            if (args.length == 4) {
+              val c = str(args(3))
+              Some(refs.getOrElse(c, throw new IllegalArgumentException(
+                s"${t.location}: no full-text index on column $c " +
+                  s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})")))
+            } else if (refs.size > 1)
+              throw new IllegalArgumentException(
+                s"${t.location}: multiple full-text indexes " +
+                  s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass the index " +
+                  "column as the 4th argument")
+            else refs.values.headOption
+          // a JSON query routes through the full Query DSL (match operators,
+          // fuzziness, phrase, boolean, boost); plain text tokenizes with the
+          // ROUTED index's recorded tokenizer (an ngram index grams the query)
+          val isDsl = rawQuery.trim.startsWith("{")
+          plan(refOpt match {
+            case Some(ref) if ref.kind == "pk" && isDsl =>
+              graft.pipeline.PkSearch.fullTextDslSearch(t, ref.idCol, ref.textCol,
+                rawQuery, k, ref.spec)
+            case Some(ref) if ref.kind == "pk" =>
+              graft.pipeline.PkSearch.fullTextSearch(t, ref.idCol, ref.textCol,
+                graft.pipeline.FullText.tokenizeQuery(rawQuery, ref.spec), k,
+                spec = ref.spec)
+            case Some(ref) => // "plain": CALL-created persisted postings index
+              graft.pipeline.Indexes.fullTextSearchText(spark, ref.idxLoc.get,
+                rawQuery, k)
+            case None =>
+              graft.pipeline.Indexes.fullTextSearchText(spark, t.location,
+                rawQuery, k)
+          })
+      }
     },
     // vector_search over an IVF / IVF-RQ INDEX path or a PK TABLE path — a
     // PK table with a file-aligned index (PkSearch.buildVectorIndex writes

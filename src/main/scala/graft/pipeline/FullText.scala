@@ -208,6 +208,12 @@ object FullText {
   case class DslBool(must: Seq[Dsl], should: Seq[Dsl], mustNot: Seq[Dsl]) extends Dsl
   case class DslBoost(positive: Dsl, negative: Dsl,
                       negativeBoost: Double = 0.5) extends Dsl
+  /** Search several TABLE columns in one query (one index per column, the
+    * reference's per-column build path): per-column match scores
+    * boost-weighted and union-summed. Evaluated at the ROUTING layer (one
+    * scorer per column) — top level only. */
+  case class DslMultiMatch(query: String, columns: Seq[String],
+                           boosts: Seq[Double]) extends Dsl
 
   /** Parse the JSON query DSL (one top-level query type per node). */
   def parseDsl(json: String): Dsl =
@@ -263,6 +269,13 @@ object FullText {
           parseDslNode(body("negative").asInstanceOf[Map[String, Any]]),
           body.get("negative_boost").orElse(body.get("negativeBoost"))
             .map(num).getOrElse(0.5))
+      case "multi_match" =>
+        val cols = body("columns").asInstanceOf[Seq[Any]].map(String.valueOf)
+        val boosts = body.get("boosts")
+          .map(_.asInstanceOf[Seq[Any]].map(num))
+          .getOrElse(Seq.fill(cols.size)(1.0))
+        require(boosts.size == cols.size, "multi_match: one boost per column")
+        DslMultiMatch(String.valueOf(body("query")), cols, boosts)
       case other => throw new IllegalArgumentException(
         s"unsupported query DSL type $other " +
           "(match | match_phrase | boolean | boost)")
@@ -274,7 +287,7 @@ object FullText {
     * query-time postings built with positions). */
   def needsPositions(q: Dsl): Boolean = q match {
     case _: DslPhrase => true
-    case _: DslMatch => false
+    case _: DslMatch | _: DslMultiMatch => false
     case DslBool(m, s, n) => (m ++ s ++ n).exists(needsPositions)
     case DslBoost(p, n, _) => needsPositions(p) || needsPositions(n)
   }
@@ -414,6 +427,20 @@ object FullText {
         .select(col("doc_id"),
           when(col("__neg").isNotNull, col("score") * nb)
             .otherwise(col("score")).as("score"))
+    case _: DslMultiMatch => throw new IllegalArgumentException(
+      "multi_match needs one scorer per column — supported at the table-path" +
+        " TVF (graft_full_text_search('<table>', …)); per-column indexes " +
+        "compose through boolean/hybrid otherwise")
+  }
+
+  /** Evaluate a top-level multi_match given one scorer per column: each
+    * column's Or-match, boost-weighted, union-summed across columns. */
+  def evalMultiMatch(m: DslMultiMatch,
+                     scorers: Seq[DslScorer]): DataFrame = {
+    require(scorers.size == m.columns.size, "one scorer per column")
+    m.columns.indices.map { i =>
+      evalDsl(DslMatch(m.query, boost = m.boosts(i)), scorers(i))
+    }.reduce(outerSum)
   }
 
   /** Reciprocal-rank-fusion of two ranked result sets (paimon hybrid_search

@@ -383,6 +383,20 @@ class PipelineSpec extends SparkTestBase {
     // unknown node types are rejected with the supported list
     val bad = intercept[IllegalArgumentException] { parseDsl("""{"nope":{}}""") }
     assert(bad.getMessage.contains("match | match_phrase"), bad.getMessage)
+    // multi_match: parses with per-column boosts; column-wise union-sum of
+    // per-column scorers (here: the same corpus serving both "columns")
+    val mm = parseDsl("""{"multi_match":{"query":"parquet",
+      "columns":["title","body"],"boosts":[2.0,1.0]}}""")
+      .asInstanceOf[DslMultiMatch]
+    assert(mm.columns == Seq("title", "body") && mm.boosts == Seq(2.0, 1.0))
+    val fused = evalMultiMatch(mm, Seq(s, s)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet == fused.keySet &&
+      plain.forall { case (id, sc) => math.abs(fused(id) - 3 * sc) < 1e-12 },
+      "2x + 1x of the same column = 3x the plain score")
+    // single-scorer evaluation rejects it with routing guidance
+    val mmErr = intercept[IllegalArgumentException] { evalDsl(mm, s) }
+    assert(mmErr.getMessage.contains("one scorer per column"), mmErr.getMessage)
     postings.unpersist()
   }
 
