@@ -144,13 +144,27 @@ class GraftTable private (
   /** Align an input frame to the table schema (by name, with implicit cast —
     * cf. paimon PaimonAnalysis.scala output resolution). Missing columns
     * take their configured DEFAULT value (`fields.<name>.default-value`,
-    * paimon column default values) or null. */
+    * paimon column default values) or null. A FIXED vector dimension
+    * (`fields.<name>.dimension`, the reference's VECTOR<t, n> metadata —
+    * vector.mdx:184 `<index-type>.dimension` per-field form) is enforced at
+    * write: a mismatched array fails the job instead of silently corrupting
+    * every index built over the column. */
   private def align(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val cols = dataSchema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else config.options.get(s"fields.${f.name}.default-value")
-        .map(v => lit(v).cast(f.dataType).as(f.name))
-        .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      val base =
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else config.options.get(s"fields.${f.name}.default-value")
+          .map(v => lit(v).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType))
+      val checked = config.options.get(s"fields.${f.name}.dimension") match {
+        case Some(d) if f.dataType.isInstanceOf[ArrayType] =>
+          when(base.isNull || size(base) === d.toInt, base)
+            .otherwise(raise_error(concat(
+              lit(s"${f.name}: fixed vector dimension $d, got length "),
+              size(base).cast("string"))))
+        case _ => base
+      }
+      checked.as(f.name)
     } ++ keep.filter(df.columns.contains).map(col)
     df.select(cols.toIndexedSeq: _*)
   }

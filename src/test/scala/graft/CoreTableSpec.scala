@@ -47,6 +47,24 @@ class CoreTableSpec extends SparkTestBase {
     (4L, "C", 40.0, "2024-01-02")
   ).toDF("k", "status", "price", "dt")
 
+  test("fixed vector dimension (fields.<col>.dimension) enforced at write") {
+    val loc = tmpLoc("vecdim")
+    val df = Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("k", "emb")
+    val t = GraftTable.create(spark, loc, df.schema,
+      TableConfig(options = Map("fields.emb.dimension" -> "4")))
+    t.write(df) // conforming write lands
+    t.write(Seq((2L, null.asInstanceOf[Seq[Float]])).toDF("k", "emb")) // nulls pass
+    assert(t.read().count() == 2)
+    // a mismatched dimension fails the write instead of silently corrupting
+    // every index later built over the column
+    val ex = intercept[Exception] {
+      t.write(Seq((3L, Seq(1f, 2f))).toDF("k", "emb"))
+    }
+    assert(ex.getMessage.contains("dimension") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimension")), ex.toString)
+    assert(t.read().count() == 2, "failed write must not commit")
+  }
+
   test("chain table: anchor merge, compact_chain_table materializes the chain") {
     import graft.core.RowOps._
     val loc = tmpLoc("chain")
