@@ -66,6 +66,14 @@ object FullText {
       m.getOrElse("maxTokenLength", "40").toInt)
   }
 
+  /** Whitespace trim covering ALL \s (Spark's `trim` strips only spaces;
+    * the driver side mirrors with the same regex — a tab-prefixed document
+    * must tokenize identically on both sides). */
+  private def wsTrim(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+  private def wsTrim(s: String): String =
+    s.replaceAll("^\\s+|\\s+$", "")
+
   /** Column-level tokenization per spec (the build side). */
   def tokens(text: Column, spec: TokenizerSpec): Column = {
     def cased(c: Column) = if (spec.lowerCase) lower(c) else c
@@ -73,13 +81,13 @@ object FullText {
       filter(arr, w => length(w) > 0 && length(w) <= spec.maxTokenLength)
     spec.kind match {
       case "default" => TextOps.words(text)
-      case "whitespace" => capped(split(cased(trim(text)), "\\s+"))
-      case "simple" => capped(split(cased(trim(text)), "[^\\p{L}\\p{N}]+"))
+      case "whitespace" => capped(split(cased(wsTrim(text)), "\\s+"))
+      case "simple" => capped(split(cased(wsTrim(text)), "[^\\p{L}\\p{N}]+"))
       case "raw" =>
-        capped(when(length(trim(text)) > 0, array(cased(trim(text))))
+        capped(when(length(wsTrim(text)) > 0, array(cased(wsTrim(text))))
           .otherwise(array().cast("array<string>")))
       case "ngram" =>
-        val t = cased(trim(text))
+        val t = cased(wsTrim(text))
         (spec.minGram to spec.maxGram).map { n =>
           if (spec.prefixOnly)
             when(length(t) >= n, array(t.substr(lit(1), lit(n))))
@@ -94,22 +102,33 @@ object FullText {
   }
 
   /** Driver-side QUERY tokenization — must mirror [[tokens]] so query terms
-    * meet the index's postings (ngram queries gram the query string). */
+    * meet the index's postings (ngram queries gram the query string). The
+    * mirror is exact down to the character model: Spark's length/substr
+    * count CODE POINTS, so grams and length caps here do too (a naive
+    * String.substring would split an emoji's surrogate pair and the query
+    * grams would never match the index), and lowercasing is locale-ROOT
+    * (Spark's lower is locale-independent; default-locale toLowerCase would
+    * diverge under e.g. a Turkish JVM). */
   def tokenizeQuery(q: String, spec: TokenizerSpec): Seq[String] = {
-    def cased(s: String) = if (spec.lowerCase) s.toLowerCase else s
+    def cased(s: String) =
+      if (spec.lowerCase) s.toLowerCase(java.util.Locale.ROOT) else s
+    def cpLen(s: String) = s.codePointCount(0, s.length)
     def capped(ts: Seq[String]) =
-      ts.filter(t => t.nonEmpty && t.length <= spec.maxTokenLength)
+      ts.filter(t => t.nonEmpty && cpLen(t) <= spec.maxTokenLength)
     spec.kind match {
-      case "default" => q.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-      case "whitespace" => capped(cased(q.trim).split("\\s+").toSeq)
-      case "simple" => capped(cased(q.trim).split("[^\\p{L}\\p{N}]+").toSeq)
-      case "raw" => capped(Seq(cased(q.trim)))
+      case "default" =>
+        q.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty).toSeq
+      case "whitespace" => capped(cased(wsTrim(q)).split("\\s+").toSeq)
+      case "simple" => capped(cased(wsTrim(q)).split("[^\\p{L}\\p{N}]+").toSeq)
+      case "raw" => capped(Seq(cased(wsTrim(q))))
       case "ngram" =>
-        val t = cased(q.trim)
+        val cps = cased(wsTrim(q)).codePoints().toArray
+        def sub(from: Int, n: Int) = new String(cps, from, n)
         (spec.minGram to spec.maxGram).flatMap { n =>
-          if (t.length < n) Nil
-          else if (spec.prefixOnly) Seq(t.substring(0, n))
-          else (0 to t.length - n).map(i => t.substring(i, i + n))
+          if (cps.length < n) Nil
+          else if (spec.prefixOnly) Seq(sub(0, n))
+          else (0 to cps.length - n).map(i => sub(i, n))
         }.distinct
     }
   }
@@ -119,11 +138,13 @@ object FullText {
     * pre-split public surfaces (`search(query: Seq[String])`) correct for
     * every tokenizer. */
   def normalizeTerms(terms: Seq[String], spec: TokenizerSpec): Seq[String] = {
-    def cased(s: String) = if (spec.lowerCase) s.toLowerCase else s
+    def cased(s: String) =
+      if (spec.lowerCase) s.toLowerCase(java.util.Locale.ROOT) else s
     spec.kind match {
-      case "default" => terms.map(_.toLowerCase)
+      case "default" => terms.map(_.toLowerCase(java.util.Locale.ROOT))
       case _ => terms.map(cased)
-        .filter(t => t.nonEmpty && t.length <= spec.maxTokenLength)
+        .filter(t => t.nonEmpty &&
+          t.codePointCount(0, t.length) <= spec.maxTokenLength)
     }
   }
 

@@ -319,6 +319,45 @@ class PipelineSpec extends SparkTestBase {
       lowerCase = false))
   }
 
+  test("randomized tokenizer parity: column tokens == driver query tokens") {
+    // the DSL's correctness hinges on query-side (driver Java) tokenization
+    // producing EXACTLY the build-side (Spark SQL expression) tokens — a
+    // divergence (split semantics, casing, offsets) silently empties search
+    // results. Differential over random strings per tokenizer kind.
+    import graft.pipeline.FullText
+    import graft.pipeline.FullText.TokenizerSpec
+    val rnd = new scala.util.Random(97)
+    // CODE POINTS, not chars — the astral emoji is a surrogate pair and a
+    // lone surrogate would be invalid UTF-16, not a tokenizer case
+    val alphabet = Seq("a", "b", " ", "C", ".", ",", "-", "_", "\t", "\n",
+      "X", "y", "z", "0", "9", " ", "é", "汉", "t", "a", " ", "😀")
+    val strings = ((1 to 60).map { _ =>
+      (0 until rnd.nextInt(24)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "" :+ "   " :+ "one" :+ " lead trail " :+ "a😀b c").distinct
+    val specs = Seq(TokenizerSpec(), TokenizerSpec("simple"),
+      TokenizerSpec("whitespace"), TokenizerSpec("whitespace", lowerCase = false),
+      TokenizerSpec("raw"), TokenizerSpec("ngram", minGram = 2, maxGram = 3),
+      TokenizerSpec("ngram", minGram = 3, maxGram = 3, prefixOnly = true),
+      TokenizerSpec("simple", maxTokenLength = 3))
+    val df = strings.toDF("t")
+    for (spec <- specs) {
+      val colSide = df.select(col("t"),
+        FullText.tokens(col("t"), spec).as("w")).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      strings.foreach { s =>
+        val q = FullText.tokenizeQuery(s, spec)
+        // tokenizeQuery dedups ngram QUERY grams (a query term set);
+        // compare as multisets for the others, sets for ngram
+        if (spec.kind == "ngram")
+          assert(q.toSet == colSide(s).toSet,
+            s"$spec on '$s': query=${q.toSet} column=${colSide(s).toSet}")
+        else assert(q == colSide(s),
+          s"$spec on '$s': query=$q column=${colSide(s)}")
+      }
+    }
+  }
+
   test("full-text query DSL: operators, boolean, boost, fuzzy, phrase, slop") {
     import graft.pipeline.FullText
     import graft.pipeline.FullText._
