@@ -439,6 +439,136 @@ class PipelineSpec extends SparkTestBase {
     postings.unpersist()
   }
 
+  test("randomized DSL differential: evalDsl equals an independent scoring model") {
+    // random query-DSL trees evaluated two ways: the DataFrame evaluator
+    // (PostingsDslScorer) vs a from-scratch in-memory model that computes
+    // BM25/phrase/boolean/boost semantics over plain Maps — same doc sets,
+    // same scores to 1e-9, across 2 seeds x 25 trees incl. fuzzy and slop
+    import graft.pipeline.FullText
+    import graft.pipeline.FullText._
+    val vocab = Vector("table", "scan", "merge", "fast", "slow", "spark",
+      "row", "batch", "query", "join")
+    for (seed <- Seq(5, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val docsM: Map[Long, Vector[String]] = (0L until 60L).map { id =>
+        id -> Vector.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+      }.toMap
+      val corpus = docsM.toSeq.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val spec = TokenizerSpec()
+      val postings = FullText
+        .buildPostings(corpus, "doc_id", "text", spec, withPositions = true)
+        .persist()
+      val scorer = PostingsDslScorer(postings, spec)
+      // ---- the independent model ----
+      val n = docsM.size
+      val avgdl = docsM.values.map(_.size).sum.toDouble / n
+      def dfOf(t: String) = docsM.count(_._2.contains(t))
+      def idf(df: Int) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      def w(tf: Int, len: Int, df: Int) =
+        idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      def modelMatch(m: DslMatch): Map[Long, Double] = {
+        val base = m.query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        def variants(t: String) =
+          if (m.fuzziness <= 0) Seq(t)
+          else (t +: vocab.filter(v => v != t && lev(v, t) <= m.fuzziness)).distinct
+        def orScore(ts: Seq[String]): Map[Long, Double] =
+          docsM.flatMap { case (id, ws) =>
+            val sc = ts.distinct.collect {
+              case t if ws.contains(t) => w(ws.count(_ == t), ws.size, dfOf(t))
+            }.sum
+            if (sc > 0) Some(id -> sc) else None
+          }
+        val frames =
+          if (m.operator.equalsIgnoreCase("and") && base.length > 1)
+            base.toSeq.map(t => orScore(variants(t)))
+          else Seq(orScore(base.toSeq.flatMap(variants).distinct))
+        val joined = frames.reduce { (a, b) =>
+          a.keySet.intersect(b.keySet).map(k => k -> (a(k) + b(k))).toMap }
+        joined.map { case (k, v) => k -> v * m.boost }
+      }
+      def modelPhrase(p: DslPhrase): Map[Long, Double] = {
+        val ts = p.query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (ts.length == 1) return modelMatch(DslMatch(p.query))
+        val tfp = docsM.flatMap { case (id, ws) =>
+          val c = ws.indices.count { s =>
+            ws(s) == ts(0) && ts.indices.drop(1).forall(i =>
+              (s + i to s + i + p.slop).exists(q =>
+                q < ws.size && ws(q) == ts(i)))
+          }
+          if (c > 0) Some(id -> c) else None
+        }
+        val df = tfp.size
+        tfp.map { case (id, c) => id -> w2(c, docsM(id).size, df) }
+      }
+      def w2(tfp: Int, len: Int, df: Int) =
+        idf(df) * tfp * 2.2 / (tfp + 1.2 * (0.25 + 0.75 * len / avgdl))
+      def model(q: Dsl): Map[Long, Double] = q match {
+        case m: DslMatch => modelMatch(m)
+        case p: DslPhrase => modelPhrase(p)
+        case DslBool(must, should, mustNot) =>
+          val base =
+            if (must.nonEmpty) must.map(model).reduce { (a, b) =>
+              a.keySet.intersect(b.keySet).map(k => k -> (a(k) + b(k))).toMap }
+            else should.map(model).reduce { (a, b) =>
+              (a.keySet ++ b.keySet).map(k =>
+                k -> (a.getOrElse(k, 0.0) + b.getOrElse(k, 0.0))).toMap }
+          val withSh =
+            if (must.isEmpty) base
+            else should.map(model).foldLeft(base) { (acc, sh) =>
+              acc.map { case (k, v) => k -> (v + sh.getOrElse(k, 0.0)) } }
+          val excluded = mustNot.map(model).flatMap(_.keySet).toSet
+          withSh.filterNot { case (k, _) => excluded(k) }
+        case DslBoost(pos, neg, nb) =>
+          val negKeys = model(neg).keySet
+          model(pos).map { case (k, v) =>
+            k -> (if (negKeys(k)) v * nb else v) }
+        case _: DslMultiMatch => throw new IllegalStateException("not generated")
+      }
+      // ---- random tree generator ----
+      def word() = vocab(rnd.nextInt(vocab.size))
+      def nearMiss() = { val t = word(); t.dropRight(1) + "x" }
+      def leaf(): Dsl = rnd.nextInt(5) match {
+        case 0 => DslMatch(s"${word()} ${word()}",
+          if (rnd.nextBoolean()) "And" else "Or")
+        case 1 => DslMatch(word(), boost = 1 + rnd.nextInt(3))
+        case 2 => DslMatch(if (rnd.nextBoolean()) nearMiss() else word(),
+          fuzziness = 1)
+        case 3 => DslPhrase(s"${word()} ${word()}", slop = rnd.nextInt(2))
+        case _ => DslMatch(s"${word()} ${word()} ${word()}")
+      }
+      def tree(): Dsl = rnd.nextInt(4) match {
+        case 0 => leaf()
+        case 1 => DslBool(Seq.fill(1 + rnd.nextInt(2))(leaf()),
+          if (rnd.nextBoolean()) Seq(leaf()) else Nil,
+          if (rnd.nextBoolean()) Seq(leaf()) else Nil)
+        case 2 => DslBool(Nil, Seq.fill(1 + rnd.nextInt(2))(leaf()), Nil)
+        case _ => DslBoost(leaf(), leaf(), 0.25 + rnd.nextDouble() / 2)
+      }
+      (1 to 25).foreach { i =>
+        val q = tree()
+        val got = evalDsl(q, scorer).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val want = model(q)
+        assert(got.keySet == want.keySet,
+          s"seed=$seed tree#$i $q:\nmissing=${want.keySet -- got.keySet} " +
+            s"extra=${got.keySet -- want.keySet}")
+        want.foreach { case (k, v) =>
+          assert(math.abs(got(k) - v) < 1e-9,
+            s"seed=$seed tree#$i $q doc=$k: got ${got(k)} want $v") }
+      }
+      postings.unpersist()
+    }
+  }
+
   test("simhash pairs: near-dups at small hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
       .select("v1", "v2").as[(Long, Long)].collect().toSet
