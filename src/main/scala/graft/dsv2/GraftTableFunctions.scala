@@ -208,6 +208,9 @@ object GraftTableFunctions {
     // (file-aligned, merged-state search — reference FullTextScan.java routes
     // PK tables through the snapshot-consistent, DV-aware path). A PK table
     // registers its (idCol, textCol) once via PkSearch.registerFullText.
+    // The query is plain terms OR the reference's JSON Query DSL (match with
+    // operator/boost/fuzziness, match_phrase, boolean, boost demotion,
+    // multi_match across per-column indexes — full-text.mdx "Query DSL").
     fd("graft_full_text_search") { args =>
       require(args.length == 3 || args.length == 4,
         "graft_full_text_search(indexOrPkTable, query, k[, 'indexColumn'])")
