@@ -15,6 +15,21 @@ import java.util.UUID
  */
 object Procedures {
 
+  /** Per-column back-reference resolution shared by the dry-run drops:
+    * explicit column wins, a sole index is unambiguous, several error. */
+  private def pickRef[R](refs: Map[String, R], column: Option[String],
+                         kind: String, loc: String): R = column match {
+    case Some(c) => refs.getOrElse(c, throw new IllegalArgumentException(
+      s"$loc: no $kind index on column $c " +
+        s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})"))
+    case None if refs.size == 1 => refs.values.head
+    case None if refs.isEmpty =>
+      throw new IllegalArgumentException(s"$loc: no $kind index")
+    case None => throw new IllegalArgumentException(
+      s"$loc: multiple $kind indexes " +
+        s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass index_column")
+  }
+
   def call(spark: SparkSession, table: GraftTable, name: String,
            args: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
@@ -293,21 +308,63 @@ object Procedures {
             throw new IllegalArgumentException(s"unknown index_type $other")
         }
       case "drop_global_index" =>
+        // dry_run => 'true' (reference drop_global_index dry_run): report
+        // the matched index files WITHOUT deleting anything
+        val dryRun = args.get("dry_run").exists(_.toBoolean)
+        def countFiles(p: Path): Long = {
+          val fs = table.sm.fs
+          if (!fs.exists(p)) 0L
+          else {
+            val it = fs.listFiles(p, true)
+            var n = 0L
+            while (it.hasNext) { it.next(); n += 1 }
+            n
+          }
+        }
         args.getOrElse("index_type", "btree") match {
           case "btree" | "bitmap" =>
             val fs = table.sm.fs
             val c = args.getOrElse("index_column", args("column"))
-            fs.delete(new Path(table.location, s"index/global-$c"), true)
-            fs.delete(new Path(table.location, s"index/global-$c.json"), false)
-            ok(s"global index on $c dropped")
+            val dir = new Path(table.location, s"index/global-$c")
+            if (dryRun) ok(s"dry run: would drop ${countFiles(dir)} files of " +
+              s"the global index on $c")
+            else {
+              fs.delete(dir, true)
+              fs.delete(new Path(table.location, s"index/global-$c.json"), false)
+              ok(s"global index on $c dropped")
+            }
           case "ivf" | "vector" =>
-            ok(graft.pipeline.IndexLifecycle.dropVector(table,
-              args.get("index_column").orElse(args.get("column"))))
+            val c = args.get("index_column").orElse(args.get("column"))
+            if (dryRun) {
+              // same resolution rules as the real drop: explicit column,
+              // else the sole index, else an ambiguity error
+              val ref = pickRef(graft.pipeline.PkSearch.vectorRefs(table),
+                c, "vector", table.location)
+              ok(s"dry run: would drop ${countFiles(new Path(ref.idxLoc))} " +
+                s"files of the vector index on ${ref.embedCol}")
+            } else ok(graft.pipeline.IndexLifecycle.dropVector(table, c))
           case "full-text" | "fulltext" =>
-            ok(graft.pipeline.IndexLifecycle.dropFullText(table,
-              args.get("index_column").orElse(args.get("column"))))
+            val c = args.get("index_column").orElse(args.get("column"))
+            if (dryRun) {
+              val ref = pickRef(graft.pipeline.PkSearch.fullTextRefs(table),
+                c, "full-text", table.location)
+              val n = ref.idxLoc.map(l => countFiles(new Path(l)) +
+                countFiles(new Path(graft.pipeline.Indexes.termStatsLoc(l))))
+                .getOrElse(0L)
+              ok(s"dry run: would drop $n files of the full-text index on " +
+                ref.textCol)
+            } else ok(graft.pipeline.IndexLifecycle.dropFullText(table, c))
           case "es" =>
-            ok(graft.pipeline.IndexLifecycle.dropEs(table))
+            if (dryRun) {
+              val loc = graft.pipeline.IndexLifecycle.esRef(table)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"${table.location}: no es index"))
+              val n = countFiles(new Path(loc)) +
+                countFiles(new Path(loc + "__text")) +
+                countFiles(new Path(
+                  graft.pipeline.Indexes.termStatsLoc(loc + "__text")))
+              ok(s"dry run: would drop $n files of the es index")
+            } else ok(graft.pipeline.IndexLifecycle.dropEs(table))
           case other =>
             throw new IllegalArgumentException(s"unknown index_type $other")
         }

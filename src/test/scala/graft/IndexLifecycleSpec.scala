@@ -94,6 +94,37 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(got == want, "rebuilt index serves the full current snapshot")
   }
 
+  test("drop_global_index dry_run reports matched files without deleting") {
+    val loc = tmpLoc("lc-dryrun")
+    val e0 = mkEmbeddings(0, 150)
+      .withColumn("txt", concat(lit("doc words here "), col("vid")))
+    val t = GraftTable.create(spark, loc, e0.schema, TableConfig())
+    t.write(e0)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4")).collect()
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "txt", "index_type" -> "full-text",
+        "id_column" -> "vid")).collect()
+    val vmsg = Procedures.call(spark, t, "drop_global_index",
+      Map("index_type" -> "ivf", "dry_run" -> "true")).head().getString(0)
+    assert(vmsg.contains("dry run") && vmsg.contains("files"), vmsg)
+    assert("\\d+".r.findFirstIn(vmsg).exists(_.toInt > 0), vmsg)
+    val fmsg = Procedures.call(spark, t, "drop_global_index",
+      Map("index_type" -> "full-text", "dry_run" -> "true")).head().getString(0)
+    assert(fmsg.contains("dry run"), fmsg)
+    // nothing was deleted: both indexes still route
+    assert(PkSearch.vectorRefs(t).keySet == Set("emb"))
+    assert(PkSearch.fullTextRefs(t).keySet == Set("txt"))
+    val q = e0.filter(col("vid") === 3).select("emb").first().getSeq[Float](0)
+    assert(spark.sql(
+      s"SELECT vid FROM graft_vector_search('$loc', 5, 4, ${arr(q)})")
+      .count() == 5)
+    // the real drop still works after a dry run
+    Procedures.call(spark, t, "drop_global_index",
+      Map("index_type" -> "ivf")).collect()
+    assert(PkSearch.vectorRefs(t).isEmpty)
+  }
+
   test("filtered search with nprobe=0 terminates (clamped to 1 probe)") {
     // escalateNprobe used to loop forever: min(0*4, n)=0 never progresses;
     // reachable from SQL via graft_vector_search(idx, k, 0, vec, 'filter')
