@@ -20,6 +20,18 @@ object Fixtures {
 
   private val built = TrieMap[(String, String), GraftTable]()
 
+  private val queryVecs = TrieMap[(String, Long), Seq[Float]]()
+
+  /** Memoized ANN query vector (one embeddings-row point read per (sfDir,
+    * id) per JVM): the benched search queries must not pay a Spark action
+    * fetching their query vector inside the timed lambda — fetch-once here,
+    * reuse everywhere (same prepare/measure separation as the fixture
+    * builds). */
+  def queryVec(spark: SparkSession, sfDir: String, vecId: Long): Seq[Float] =
+    queryVecs.getOrElseUpdate((sfDir, vecId),
+      src(spark, sfDir, "embeddings").filter(col("vec_id") === vecId)
+        .select("embedding").first().getSeq[Float](0))
+
   // v2: bucket routing changed to trimmed-pk keys (paimon alignment) —
   // the versioned root invalidates fixtures persisted under the old layout
   // v3: bucket.key-layout stamping landed — v2 fixtures carry trimmed-

@@ -694,15 +694,13 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.simhash32(col("text")).as("sh"))),
     "q_ann_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 1).select("embedding")
-        .first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       Similarity.bruteForceTopK(emb, "embedding", q, 10, "cosine", "sim")
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
     "q_ann_int8" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 1).select("embedding")
-        .first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val coded = emb.withColumn("__q8", Similarity.quantizeInt8(col("embedding")))
       Similarity.quantizedTopK(coded, "embedding", "__q8", q, 10,
           rerank = 100, scoreCol = "sim")
@@ -710,8 +708,7 @@ object SparkEntry {
     }),
     "q_ann_pq" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 1).select("embedding")
-        .first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val model = Similarity.trainPq(emb, "embedding", dim = 64, m = 8, ks = 16)
       val coded = emb.withColumn("__pq", model.encodeUdf(col("embedding")))
       Similarity.pqTopK(coded, "embedding", "__pq", model, q, 10,
@@ -720,8 +717,7 @@ object SparkEntry {
     }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 1).select("embedding")
-        .first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val model = Similarity.trainIvf(emb, "embedding", 8)
       val indexed = emb.withColumn("__ivf_cluster", model.assignExpr(col("embedding")))
       Similarity.ivfTopK(indexed, model, "embedding", "__ivf_cluster", q, 10,
@@ -800,8 +796,7 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> ((s, d) => {
       val idx = Fixtures.ivfIndex(s, d)
       val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 1).select("embedding")
-        .first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       graft.pipeline.Indexes.ivfSearch(s, idx.location, "embedding", q, 10,
         nprobe = 8, scoreCol = "sim") // nprobe = all clusters → exact
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
@@ -814,8 +809,7 @@ object SparkEntry {
     // swept by AnnRecallSpec's filtered plain-index grid
     "q_ann_ivf_filtered" -> ((s, d) => {
       val idx = Fixtures.ivfIndex(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       graft.pipeline.Indexes.ivfSearch(s, idx.location, "embedding", q, 10,
         nprobe = 1, scoreCol = "sim", filter = Some(col("label") === 3),
         escalateFactor = 1000000)
@@ -836,8 +830,7 @@ object SparkEntry {
     // nprobe = all clusters at oracle SF so the row stays deterministic
     "q_vector_tvf_filtered" -> ((s, d) => {
       val idx = Fixtures.ivfIndex(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
         s"""SELECT vec_id, round(score, 4) AS sim
@@ -846,8 +839,7 @@ object SparkEntry {
     }),
     "q_vector_tvf" -> ((s, d) => {
       val idx = Fixtures.ivfIndex(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
         s"""SELECT vec_id, round(score, 4) AS sim
@@ -860,8 +852,7 @@ object SparkEntry {
     "q_ann_ivf_rq" -> ((s, d) => {
       val idx = Fixtures.ivfRqIndex(s, d)
       val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 1).select("embedding")
-        .first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       // nprobe = all clusters and rerank ≥ corpus size: at oracle SF the
       // exact re-rank covers every row, so the row checks the PIPELINE
       // (assign/encode/ADC/re-rank plumbing) exactly; recall of the
@@ -872,6 +863,39 @@ object SparkEntry {
         nprobe = 8, rerank = 1000, scoreCol = "sim")
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
+    // Per-query search options through the TVF (reference
+    // vector.mdx:284-297): ivf.refine_factor sizes the exact re-rank
+    // window (k × factor) on the compressed RQ route, ivf.nprobe sets the
+    // probe — here factor 100 re-ranks 1000 ≥ corpus candidates, so the
+    // row is exact against the brute-force oracle; the recall UPLIFT of
+    // factor 4 vs factor 1 on a clustered corpus is asserted in
+    // AnnRecallSpec. Also exercises the reference's argument shape
+    // (table, 'column', queryVec, k[, options]) end-to-end.
+    "q_ann_refine" -> ((s, d) => {
+      val idx = Fixtures.ivfRqIndex(s, d)
+      val q = Fixtures.queryVec(s, d, 1)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, round(score, 4) AS sim
+           |FROM graft_vector_search('${idx.location}', 'embedding', $arr, 10,
+           |  'ivf.nprobe=8;ivf.refine_factor=100')""".stripMargin)
+    }),
+    // The reference's TVF argument shape (vector.mdx:306,
+    // PaimonTableValuedFunctions.scala:473 — table, column, query_vector,
+    // limit[, options]) with the MAP options form: must return the same
+    // rows as q_vector_tvf's positional spelling. ivf.nprobe=8 probes all
+    // clusters so the row is exact against the brute-force oracle (the
+    // options-less AUTOMATIC width is √nClusters — asserted in
+    // AnnRecallSpec, where partial-probe recall is quantifiable).
+    "q_vector_tvf_ref" -> ((s, d) => {
+      val idx = Fixtures.ivfIndex(s, d)
+      val q = Fixtures.queryVec(s, d, 1)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, round(score, 4) AS sim
+           |FROM graft_vector_search('${idx.location}', 'embedding', $arr,
+           |  10, map('ivf.nprobe', '8'))""".stripMargin)
+    }),
     "q_hybrid_search" -> ((s, d) => {
       val ft = graft.pipeline.FullText
       val idx = Fixtures.ftIndex(s, d)
@@ -881,7 +905,7 @@ object SparkEntry {
           .select(col("doc_id"), round(col("score"), 4).as("score")),
         "doc_id", "score")
       val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 1).select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val vecR = ft.ranked(
         Similarity.bruteForceTopK(emb, "embedding", q, 1000000, "cosine", "sim")
           .select(col("vec_id").as("doc_id"), round(col("sim"), 4).as("sim")),
@@ -897,8 +921,7 @@ object SparkEntry {
     "q_es_filtered_ann" -> ((s, d) => {
       val idx = Fixtures.esEmbIndex(s, d)
       val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 1).select("embedding")
-        .first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       graft.pipeline.EsIndex.search(s, idx.location, k = 10,
         vector = Some(q), filter = Some(col("label") === 3),
         nprobe = 8) // nprobe = all clusters → exact
@@ -938,8 +961,7 @@ object SparkEntry {
     // fused as Σ 1/(60+rank))
     "q_es_hybrid" -> ((s, d) => {
       val idx = Fixtures.esHybridIndex(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       graft.pipeline.EsIndex.search(s, idx.location, k = 10,
         vector = Some(q), terms = Seq("table", "scan", "fast", "merge"),
         filter = Some(col("lang") === "en"), nprobe = 8) // nprobe = all → exact
@@ -949,8 +971,7 @@ object SparkEntry {
     // two k-truncated rankings (exact rank arithmetic — engine-independent)
     "q_es_hybrid_mrr" -> ((s, d) => {
       val idx = Fixtures.esHybridIndex(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       graft.pipeline.EsIndex.search(s, idx.location, k = 10,
         vector = Some(q), terms = Seq("table", "scan", "fast", "merge"),
         filter = Some(col("lang") === "en"), nprobe = 8, ranker = "mrr")
@@ -960,8 +981,7 @@ object SparkEntry {
     // the SQL spelling of a non-default ranker
     "q_es_tvf_hybrid" -> ((s, d) => {
       val idx = Fixtures.esHybridIndex(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
         s"""SELECT doc_id, round(score, 6) AS mrr
@@ -972,8 +992,7 @@ object SparkEntry {
     // normalized to [0,1], fused 0.5·s1 + 0.5·s2
     "q_es_hybrid_weighted" -> ((s, d) => {
       val idx = Fixtures.esHybridIndex(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       graft.pipeline.EsIndex.search(s, idx.location, k = 10,
         vector = Some(q), terms = Seq("table", "scan", "fast", "merge"),
         filter = Some(col("lang") === "en"), nprobe = 8,
@@ -986,8 +1005,7 @@ object SparkEntry {
     // upsert wave + a DV delete) from the changelog — no rebuild.
     "q_pk_vector_search" -> ((s, d) => {
       val tbl = Fixtures.embedPk(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       graft.pipeline.PkSearch.vectorSearch(tbl, Fixtures.embedPkIdxLoc(d),
         "embedding", q, 10, nprobe = 8, scoreCol = "sim") // nprobe = all → exact
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
@@ -1007,8 +1025,7 @@ object SparkEntry {
     // like the Scala API rows above
     "q_pk_search_tvf" -> ((s, d) => {
       val tbl = Fixtures.embedPk(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
         s"""SELECT vec_id, round(score, 4) AS sim
@@ -1044,8 +1061,7 @@ object SparkEntry {
     }),
     "q_call_index_vector" -> ((s, d) => {
       val tbl = Fixtures.lcEmb(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
         s"""SELECT vec_id, round(score, 4) AS sim
@@ -1141,8 +1157,7 @@ object SparkEntry {
     // returns squared distances ranked ASCENDING, nprobe=all → exact
     "q_vector_tvf_l2" -> ((s, d) => {
       val tbl = Fixtures.lcEmbL2(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
         s"""SELECT vec_id, round(score, 4) AS dist
@@ -1155,8 +1170,7 @@ object SparkEntry {
     // trailing index-column argument ('' = no filter)
     "q_call_index_multi" -> ((s, d) => {
       val tbl = Fixtures.lcMultiEmb(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
         s"""SELECT 'embedding' AS route, vec_id, round(score, 4) AS sim
@@ -1173,8 +1187,7 @@ object SparkEntry {
     // weighted mrr fusion Σ weight/rank
     "q_hybrid_routes" -> ((s, d) => {
       val tbl = Fixtures.lcHybrid(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
         s"""SELECT doc_id, round(score, 6) AS mrr
@@ -1194,8 +1207,7 @@ object SparkEntry {
     "q_hybrid_tvf" -> ((s, d) => {
       val ftI = Fixtures.ftIndex(s, d)
       val ivI = Fixtures.ivfIndex(s, d)
-      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
-        .select("embedding").first().getSeq[Float](0)
+      val q = Fixtures.queryVec(s, d, 1)
       val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
         s"""SELECT vec_id AS id, round(score, 6) AS rrf
@@ -2233,6 +2245,22 @@ object SparkEntry {
         |  FROM embeddings e)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf_rq" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // refine_factor=100 re-ranks ≥ corpus candidates over the RQ route →
+    // exact top-10; the oracle is plain brute force
+    "q_ann_refine" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vector_tvf_ref" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
         |  SELECT e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[],

@@ -80,7 +80,7 @@ object GraftTableFunctions {
   // ---- multi-route hybrid_search struct parsing (reference named_struct
   // route configs, hybrid-search.mdx:73-90) ----
 
-  import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+  import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType}
 
   /** Evaluate an `array(named_struct(...), ...)` argument into per-route
     * field maps; a bare `array()` (NullType elements) is an empty list. */
@@ -139,6 +139,24 @@ object GraftTableFunctions {
         case o => throw new IllegalArgumentException(s"options must be a map, got $o")
       }
     }.getOrElse(Map.empty)
+
+  /** Per-query search options argument: a `k=v` string (';' or ','
+    * separated — both the reference TVF's string form and the CALL options
+    * form) or a map literal. NULL/'' = no options. */
+  private def searchOpts(e: Expression): graft.pipeline.Indexes.SearchOptions =
+    e.eval() match {
+      case null => graft.pipeline.Indexes.SearchOptions.empty
+      case s: UTF8String => graft.pipeline.Indexes.SearchOptions.parse(s.toString)
+      case m: org.apache.spark.sql.catalyst.util.MapData =>
+        val mt = e.dataType.asInstanceOf[MapType]
+        graft.pipeline.Indexes.SearchOptions.fromMap(
+          (0 until m.numElements()).map { j =>
+            m.keyArray().get(j, mt.keyType).toString ->
+              m.valueArray().get(j, mt.valueType).toString
+          }.toMap)
+      case o => throw new IllegalArgumentException(
+        s"search options must be a 'k=v[;k=v]' string or a map, got $o")
+    }
 
   /** Resolve a path or `catalog.db.table` identifier to an engine table. */
   def resolveTable(ref: String): GraftTable = {
@@ -288,55 +306,92 @@ object GraftTableFunctions {
     // the search (recall-ladder semantics, reference
     // global-index.mdx:297-305) — filtering the returned top-k instead
     // silently yields < k rows.
+    // vector_search — two argument shapes:
+    //  (a) graft's original:  (ivfOrPkTable, k, nprobe, queryVec
+    //        [, 'filterSql'[, 'indexColumn'[, options]]])
+    //  (b) the reference's (vector.mdx:306, PaimonTableValuedFunctions:473):
+    //        (table, 'column', queryVec, k[, options[, 'filterSql']])
+    //      where nprobe is AUTOMATIC (derived from the index + k) unless
+    //      `ivf.nprobe` is given.
+    // `options` in either shape is a `k=v` string (';' or ',' separated) or
+    // a map literal with the reference's per-query search options:
+    // ivf.nprobe widens/narrows the probe (overriding shape (a)'s
+    // positional value), ivf.refine_factor sizes the exact re-rank window
+    // (k × factor) on compressed (RQ) routes — uncompressed IVF/PK routes
+    // already score candidates exactly, so the factor adds no work there.
     fd("graft_vector_search") { args =>
-      require(args.length >= 4 && args.length <= 6,
+      val refShape = args.length >= 4 && args(1).dataType == StringType
+      require(args.length >= 4 && args.length <= (if (refShape) 6 else 7),
         "graft_vector_search(ivfOrPkTable, k, nprobe, queryVec" +
-          "[, 'filterSql'[, 'indexColumn']])")
+          "[, 'filterSql'[, 'indexColumn'[, options]]]) | " +
+          "graft_vector_search(table, 'column', queryVec, k" +
+          "[, options[, 'filterSql']])")
+      def filterOf(e: Expression) = Option(e.eval())
+        .map(_.toString.trim).filter(_.nonEmpty)
+        .map(org.apache.spark.sql.functions.expr)
       val t = resolveTable(str(args(0)))
-      val (k, np, vec) = (lng(args(1)).toInt, lng(args(2)).toInt, floats(args(3)))
-      val filter =
-        if (args.length < 5) None
-        else Option(args(4).eval()).map(_.toString.trim).filter(_.nonEmpty)
-          .map(org.apache.spark.sql.functions.expr)
-      // 6th arg picks ONE of a multi-indexed table's per-column
-      // back-references (pass '' as the filter to skip filtering); without
-      // it a sole index routes and several indexed columns error
+      val (k, vec, colOpt, opts, filter, np0) =
+        if (refShape)
+          (lng(args(3)).toInt, floats(args(2)), Some(str(args(1))),
+            if (args.length >= 5) searchOpts(args(4))
+            else graft.pipeline.Indexes.SearchOptions.empty,
+            if (args.length == 6) filterOf(args(5)) else None,
+            None)
+        else
+          (lng(args(1)).toInt, floats(args(3)),
+            if (args.length >= 6) Some(str(args(5))).filter(_.nonEmpty) else None,
+            if (args.length == 7) searchOpts(args(6))
+            else graft.pipeline.Indexes.SearchOptions.empty,
+            if (args.length >= 5) filterOf(args(4)) else None,
+            Some(lng(args(2)).toInt))
+      // the index column picks ONE of a multi-indexed table's per-column
+      // back-references; without it a sole index routes and several indexed
+      // columns error
       val refs = graft.pipeline.PkSearch.vectorRefs(t)
-      val refOpt =
-        if (args.length == 6) {
-          val c = str(args(5))
-          Some(refs.getOrElse(c, throw new IllegalArgumentException(
-            s"${t.location}: no vector index on column $c " +
-              s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})")))
-        } else if (refs.size > 1)
+      val refOpt = colOpt match {
+        case Some(c) if refs.nonEmpty || refShape =>
+          // shape (b) also reaches here with a bare index path + column
+          // name: no refs registered means route the path directly below
+          refs.get(c).orElse {
+            if (refs.isEmpty) None
+            else throw new IllegalArgumentException(
+              s"${t.location}: no vector index on column $c " +
+                s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})")
+          }
+        case _ if refs.size > 1 =>
           throw new IllegalArgumentException(
             s"${t.location}: multiple vector indexes " +
               s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass the index " +
-              "column as the 6th argument")
-        else refs.values.headOption
+              "column argument")
+        case _ => refs.values.headOption
+      }
+      import graft.pipeline.Indexes
+      // ivf.nprobe (per-query option) > positional nprobe > automatic width
+      def npFor(loc: String): Int = opts.nprobe.orElse(np0)
+        .getOrElse(Indexes.autoNprobe(Indexes.ivfNClusters(spark, loc), k))
+      val rerank = opts.rerankFor(k)
       // the index's BUILD-TIME metric is the query metric (the reference's
       // use-the-same-metric-at-build-and-query contract, vector.mdx:292)
-      def metricOf(loc: String) = graft.pipeline.Indexes.ivfMetric(spark, loc)
+      def metricOf(loc: String) = Indexes.ivfMetric(spark, loc)
+      def routeLoc(loc: String, embedCol: String) =
+        if (Indexes.isRqIndex(spark, loc))
+          Indexes.rqSearch(spark, loc, embedCol, vec, k, npFor(loc),
+            rerank = rerank, metric = metricOf(loc), scoreCol = "score",
+            filter = filter)
+        else
+          Indexes.ivfSearch(spark, loc, embedCol, vec, k, npFor(loc),
+            metric = metricOf(loc), scoreCol = "score", filter = filter)
       plan(refOpt match {
         case Some(ref) if ref.kind == "pk" =>
           graft.pipeline.PkSearch.vectorSearch(t, ref.idxLoc, ref.embedCol,
-            vec, k, np, metric = metricOf(ref.idxLoc), scoreCol = "score",
-            partitionFilter = filter)
-        case Some(ref) => // "plain": CALL-created persisted IVF index
-          graft.pipeline.Indexes.ivfSearch(spark, ref.idxLoc, ref.embedCol,
-            vec, k, np, metric = metricOf(ref.idxLoc), scoreCol = "score",
-            filter = filter)
-        case None if graft.pipeline.Indexes.isRqIndex(spark, t.location) =>
-          graft.pipeline.Indexes.rqSearch(spark, t.location,
-            graft.pipeline.Indexes.ivfEmbedCol(spark, t.location)
-              .getOrElse("embedding"),
-            vec, k, np, metric = metricOf(t.location), scoreCol = "score",
-            filter = filter)
+            vec, k, npFor(ref.idxLoc), metric = metricOf(ref.idxLoc),
+            scoreCol = "score", partitionFilter = filter)
+        case Some(ref) => // "plain": CALL-created persisted IVF/RQ index
+          routeLoc(ref.idxLoc, ref.embedCol)
         case None =>
-          val e = graft.pipeline.Indexes.ivfEmbedCol(spark, t.location)
-            .getOrElse("embedding")
-          graft.pipeline.Indexes.ivfSearch(spark, t.location, e, vec, k, np,
-            metric = metricOf(t.location), scoreCol = "score", filter = filter)
+          routeLoc(t.location,
+            colOpt.orElse(Indexes.ivfEmbedCol(spark, t.location))
+              .getOrElse("embedding"))
       })
     },
     // hybrid search — two spellings:
@@ -357,6 +412,8 @@ object GraftTableFunctions {
         import graft.pipeline.IndexLifecycle
         val t = resolveTable(str(args(0)))
         val vecRoutes = routeStructs(args(1)).map { case (st, row) =>
+          val o = graft.pipeline.Indexes.SearchOptions.fromMap(
+            optsAt(st, row, Seq("options")))
           IndexLifecycle.VectorRoute(
             strAt(st, row, Seq("field", "vector_column")).getOrElse(
               throw new IllegalArgumentException("vector route needs field")),
@@ -364,8 +421,7 @@ object GraftTableFunctions {
               throw new IllegalArgumentException("vector route needs query_vector")),
             numAt(st, row, Seq("limit")).map(_.toInt),
             numAt(st, row, Seq("weight")).getOrElse(1.0),
-            optsAt(st, row, Seq("options"))
-              .getOrElse("ivf.nprobe", "8").toInt)
+            o.nprobe.getOrElse(8), o.refineFactor)
         }
         val txtRoutes = routeStructs(args(2)).map { case (st, row) =>
           IndexLifecycle.TextRoute(

@@ -161,10 +161,17 @@ object Blob {
       s"&X-Graft-Signature=$sig"
   }
 
+  /** Clock-skew tolerance for the not-yet-valid check: a URL dated up to
+    * this many seconds in the future still validates (signer/validator
+    * clocks drift); anything further is rejected — a mis-set signer clock
+    * must not mint URLs that become valid before they were issued. */
+  val PresignSkewToleranceSec = 60L
+
   /** Stateless validation of a [[signPresignedUrl]] URL: recompute the
     * signature over the URL's own parameters (constant-time compare) and
-    * check the validity window. Returns the rejection reason; None =
-    * accepted. */
+    * check the validity window — both ends: expired AND not-yet-valid
+    * (future-dated beyond [[PresignSkewToleranceSec]]) URLs are rejected.
+    * Returns the rejection reason; None = accepted. */
   def validatePresignedUrl(url: String, secret: String,
                            nowEpochSec: Long): Option[String] =
     try {
@@ -186,25 +193,43 @@ object Blob {
           want.getBytes("UTF-8"), params("X-Graft-Signature").getBytes("UTF-8")))
         Some("signature mismatch")
       else if (nowEpochSec > date + expires) Some("expired")
+      else if (nowEpochSec < date - PresignSkewToleranceSec)
+        Some("not yet valid (future-dated)")
       else None
     } catch { case e: Exception => Some(s"malformed url: ${e.getMessage}") }
 
   /** Presigned URL for a descriptor's byte range (paimon
     * sys.descriptor_to_presigned_url; reference paimon-spark descriptor
     * functions): real HMAC-SHA256 query-string signing against the session's
-    * configured base URL + secret — set `graft.blob.presign.base-url` and
-    * `graft.blob.presign.secret` (OVERRIDE the dev-default secret in
-    * production). `tryMode` maps row-level failures to NULL (the try_
-    * variant); the non-try form fails loudly. */
+    * configured base URL + secret. Configure with
+    * `spark.graft.blob.presign.base-url` / `.secret` — these are re-read at
+    * QUERY time (spark.-prefixed SQL confs propagate to task threads), so
+    * setting the secret after catalog init takes effect immediately. The
+    * unprefixed legacy spellings (`graft.blob.presign.*`) only reach the
+    * driver and are captured once at registration as fallbacks. Using the
+    * well-known dev-default secret off-local fails registration loudly.
+    * `tryMode` maps row-level failures to NULL (the try_ variant); the
+    * non-try form fails loudly. */
   def descriptorToPresignedUrl(spark: SparkSession,
                                tryMode: Boolean): UserDefinedFunction = {
-    val base = spark.conf.get("graft.blob.presign.base-url",
+    val legacyBase = spark.conf.get("graft.blob.presign.base-url",
       "https://blob.example.com")
-    val secret = spark.conf.get("graft.blob.presign.secret", "graft-dev-secret")
+    val legacySecret =
+      spark.conf.get("graft.blob.presign.secret", "graft-dev-secret")
+    if (!spark.sparkContext.isLocal && legacySecret == "graft-dev-secret" &&
+        spark.conf.getOption("spark.graft.blob.presign.secret").isEmpty)
+      throw new IllegalStateException(
+        "presigned-url signing would use the well-known dev-default secret " +
+          "on a cluster: set spark.graft.blob.presign.secret")
     udf { (desc: Row, validitySeconds: Long) =>
       try {
         require(desc != null, "null descriptor")
         require(validitySeconds > 0, "validity must be positive seconds")
+        val conf = org.apache.spark.sql.internal.SQLConf.get
+        val base =
+          conf.getConfString("spark.graft.blob.presign.base-url", legacyBase)
+        val secret =
+          conf.getConfString("spark.graft.blob.presign.secret", legacySecret)
         signPresignedUrl(base, secret, desc.getAs[String]("uri"),
           desc.getAs[Long]("offset"), desc.getAs[Long]("length"),
           validitySeconds, System.currentTimeMillis() / 1000)

@@ -21,7 +21,9 @@ object FullText {
   /** Configurable index tokenizer (the reference's `full-text.*` option
     * family, global-index/full-text.mdx:127-138): `default` is the engine's
     * lowercase whitespace pipeline; `simple` splits on non-alphanumerics;
-    * `whitespace` splits on whitespace without case folding unless asked;
+    * `whitespace` splits on whitespace without case folding (fromOptions
+    * defaults lower-case OFF for this kind; `full-text.lower-case=true`
+    * turns it back on);
     * `raw` keeps the whole trimmed value as one token; `ngram` emits
     * character grams of length minGram..maxGram (prefixOnly = grams
     * anchored at position 1 only — prefix search). `jieba` (dictionary
@@ -49,12 +51,16 @@ object FullText {
       * table options; unknown keys ignored — they belong to other families). */
     def fromOptions(opts: Map[String, String]): TokenizerSpec = {
       def g(k: String) = opts.get(s"full-text.$k")
+      val kind = g("tokenizer").getOrElse("default").trim.toLowerCase
       TokenizerSpec(
-        kind = g("tokenizer").getOrElse("default").trim.toLowerCase,
+        kind = kind,
         minGram = g("ngram.min-gram").map(_.toInt).getOrElse(3),
         maxGram = g("ngram.max-gram").map(_.toInt).getOrElse(3),
         prefixOnly = g("ngram.prefix-only").exists(_.toBoolean),
-        lowerCase = g("lower-case").forall(_.toBoolean),
+        // whitespace tokenizers conventionally do NOT fold case; every
+        // other kind folds unless `full-text.lower-case=false`
+        lowerCase = g("lower-case").map(_.toBoolean)
+          .getOrElse(kind != "whitespace"),
         maxTokenLength = g("max-token-length").map(_.toInt).getOrElse(40))
     }
 
@@ -219,6 +225,9 @@ object FullText {
   // ------------------------------------------------------------------
 
   sealed trait Dsl
+  /** `fuzziness` -1 means AUTO: resolved PER TERM at expansion time the way
+    * the reference/ES family does — 0 edits for 1-2 char terms, 1 for 3-5,
+    * 2 for 6+ (a constant 2 would let 2-char terms match almost anything). */
   case class DslMatch(query: String, operator: String = "Or",
                       boost: Double = 1.0, fuzziness: Int = 0,
                       prefixLength: Int = 0, maxExpansions: Int = 50) extends Dsl
@@ -257,7 +266,7 @@ object FullText {
           body.get("operator").map(String.valueOf).getOrElse("Or"),
           body.get("boost").map(num).getOrElse(1.0),
           body.get("fuzziness").map {
-            case s: String if s.equalsIgnoreCase("auto") => 2
+            case s: String if s.equalsIgnoreCase("auto") => -1 // per-term AUTO
             case v => num(v).toInt
           }.getOrElse(0),
           body.get("prefix_length").orElse(body.get("prefixLength"))
@@ -383,9 +392,15 @@ object FullText {
       val baseTerms = normalizeTerms(
         tokenizeQuery(m.query, s.spec), s.spec).distinct
       require(baseTerms.nonEmpty, s"match query '${m.query}' has no terms")
-      def variants(t: String): Seq[String] =
-        if (m.fuzziness <= 0) Seq(t)
-        else (t +: s.expand(t, m.fuzziness, m.prefixLength, m.maxExpansions)).distinct
+      def variants(t: String): Seq[String] = {
+        // AUTO (-1) resolves per term length like the reference/ES family
+        val fuzz =
+          if (m.fuzziness >= 0) m.fuzziness
+          else { val n = t.codePointCount(0, t.length)
+                 if (n < 3) 0 else if (n < 6) 1 else 2 }
+        if (fuzz <= 0) Seq(t)
+        else (t +: s.expand(t, fuzz, m.prefixLength, m.maxExpansions)).distinct
+      }
       val frames =
         if (m.operator.equalsIgnoreCase("and") && baseTerms.size > 1)
           baseTerms.map(t => s.termScores(variants(t)))

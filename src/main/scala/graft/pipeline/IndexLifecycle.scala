@@ -232,9 +232,15 @@ object IndexLifecycle {
     val cur = currentSnapshot(tbl)
     if (cur == s0) return s"full-text index already at snapshot $cur"
     if (!appendOnlySince(tbl, s0, cur)) {
+      // A rebuild must keep the index's RECORDED tokenizer + positions flag
+      // (the vector path likewise keeps its recorded metric): resetting to
+      // the default tokenizer would silently change query semantics for
+      // ngram/whitespace/raw indexes and break phrase queries.
+      val spec = Indexes.readTokenizer(tbl.spark, loc)
+      val withPos = Indexes.readWithPositions(tbl.spark, loc)
       Indexes.buildFullText(tbl.spark,
         tbl.read(None, Some(cur)).select(col(ref.idCol), col(ref.textCol)),
-        ref.idCol, ref.textCol, loc)
+        ref.idCol, ref.textCol, loc, spec, withPos)
       writeSource(tbl.spark, loc, cur)
       return s"full-text index rebuilt at snapshot $cur (non-append or unreadable history)"
     }
@@ -319,10 +325,13 @@ object IndexLifecycle {
   /** One vector route of the reference's multi-route hybrid_search
     * (hybrid-search.mdx:73-81): search `field`'s index with `query`,
     * keep `limit` candidates (defaults to the final limit), contribute with
-    * `weight`. `nprobe` comes from the route's options (`ivf.nprobe`). */
+    * `weight`. `nprobe` and `refineFactor` come from the route's options
+    * (`ivf.nprobe` / `ivf.refine_factor` — the reference's per-query
+    * search-time options, vector.mdx:284-297); the refine factor sizes the
+    * exact re-rank window (`limit × factor`) on compressed (RQ) routes. */
   case class VectorRoute(field: String, query: Seq[Float],
                          limit: Option[Int] = None, weight: Double = 1.0,
-                         nprobe: Int = 8)
+                         nprobe: Int = 8, refineFactor: Option[Int] = None)
 
   /** One full-text route (hybrid-search.mdx:84-90): `query` is either a
     * plain terms string or the reference's JSON match form
@@ -364,6 +373,18 @@ object IndexLifecycle {
       // columns are indexed (the pre-r9 single-ref layout silently fell back
       // to the unreconciled plain search for all but the newest index); each
       // route scores with ITS index's build-time metric
+      // a compressed (RQ) index honors the route's refine factor: the exact
+      // re-rank window is limit × factor; uncompressed IVF scores its probed
+      // candidates exactly already
+      def searchLoc(loc: String, embedCol: String,
+                    m: String): org.apache.spark.sql.DataFrame =
+        if (Indexes.isRqIndex(spark, loc))
+          Indexes.rqSearch(spark, loc, embedCol, r.query, lim, r.nprobe,
+            rerank = r.refineFactor.map(_ * lim).getOrElse(0), metric = m,
+            scoreCol = "score")
+        else
+          Indexes.ivfSearch(spark, loc, embedCol, r.query, lim, r.nprobe,
+            metric = m, scoreCol = "score")
       val (df0, metric) = vecRefs.get(r.field) match {
         case Some(ref) if ref.kind == "pk" =>
           val m = Indexes.ivfMetric(spark, ref.idxLoc)
@@ -371,16 +392,14 @@ object IndexLifecycle {
             r.nprobe, metric = m, scoreCol = "score"), m)
         case Some(ref) =>
           val m = Indexes.ivfMetric(spark, ref.idxLoc)
-          (Indexes.ivfSearch(spark, ref.idxLoc, ref.embedCol, r.query, lim,
-            r.nprobe, metric = m, scoreCol = "score"), m)
+          (searchLoc(ref.idxLoc, ref.embedCol, m), m)
         case None =>
           val loc = vectorIndexLoc(tbl.location, r.field)
           require(GraftTable.exists(spark, loc),
             s"no ivf index on ${r.field} — CALL create_global_index(" +
               s"index_column => '${r.field}', index_type => 'ivf') first")
           val m = Indexes.ivfMetric(spark, loc)
-          (Indexes.ivfSearch(spark, loc, r.field, r.query, lim, r.nprobe,
-            metric = m, scoreCol = "score"), m)
+          (searchLoc(loc, r.field, m), m)
       }
       // l2 scores are DISTANCES (smaller = better): negate before fusion so
       // every ranker's larger-is-better route ordering holds uniformly

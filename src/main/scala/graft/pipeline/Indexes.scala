@@ -294,6 +294,75 @@ object Indexes {
       s"unknown distance metric $other (l2 | cosine | inner_product)")
   }
 
+  /** Per-QUERY vector search options (the reference's search-time option
+    * map, vector.mdx:284-297): `ivf.nprobe` widens/narrows the probe,
+    * `ivf.refine_factor` sizes the exact re-rank window as
+    * `top_k × refine_factor` on compressed (RQ/PQ/SQ) routes. Spelling
+    * tolerance mirrors the reference's resolver
+    * (VectorSearchRefineOptions-style): an optional `ivf*`-family prefix
+    * (`ivf.`, `ivf-pq.`, `ivf_rq.`, …) and `refine_factor` /
+    * `refine-factor` / `rerank_factor` / `rerank-factor` all name the same
+    * dial. Unknown keys fail loudly — a typo must not silently run with
+    * defaults. */
+  case class SearchOptions(nprobe: Option[Int] = None,
+                           refineFactor: Option[Int] = None) {
+    nprobe.foreach(n => require(n > 0, s"ivf.nprobe must be positive, got $n"))
+    refineFactor.foreach(r => require(r > 0,
+      s"ivf.refine_factor must be positive, got $r"))
+    /** The exact-rerank candidate count for `k` results; 0 = caller default. */
+    def rerankFor(k: Int): Int = refineFactor.map { r =>
+      require(k <= Int.MaxValue / r, s"rerank overflow: k=$k × factor=$r")
+      k * r
+    }.getOrElse(0)
+  }
+
+  object SearchOptions {
+    val empty: SearchOptions = SearchOptions()
+
+    /** Parse `k=v` pairs separated by `;` (the reference TVF string form) or
+      * `,` (the CALL options form). */
+    def parse(s: String): SearchOptions =
+      if (s == null || s.trim.isEmpty) empty
+      else fromMap(s.split("[;,]").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val parts = kv.split("=", 2)
+          require(parts.length == 2, s"invalid search option '$kv' (key=value)")
+          parts(0).trim -> parts(1).trim
+        }.toMap)
+
+    def fromMap(m: Map[String, String]): SearchOptions = {
+      var np: Option[Int] = None
+      var rf: Option[Int] = None
+      m.foreach { case (k0, v) =>
+        val k = k0.trim.toLowerCase
+        val (prefix, name0) = k.lastIndexOf('.') match {
+          case -1 => ("", k)
+          case i => (k.substring(0, i), k.substring(i + 1))
+        }
+        require(prefix.isEmpty || prefix.replace('-', '_').startsWith("ivf"),
+          s"unknown search-option prefix '$prefix' in '$k0' " +
+            "(ivf-family options only)")
+        name0.replace('-', '_') match {
+          case "nprobe" => np = Some(v.trim.toInt)
+          case "refine_factor" | "rerank_factor" => rf = Some(v.trim.toInt)
+          case other => throw new IllegalArgumentException(
+            s"unknown search option '$k0' " +
+              "(supported: ivf.nprobe, ivf.refine_factor)")
+        }
+      }
+      SearchOptions(np, rf)
+    }
+  }
+
+  /** Default probe width when the query gives no `ivf.nprobe` (the
+    * reference's "Automatic": derived from the index and top_k,
+    * vector.mdx:288): √nClusters scaled up for large k, clamped to the
+    * cluster count — wide enough for recall on typical nlist sizings,
+    * narrow enough to keep the partition-pruned read small. */
+  def autoNprobe(nClusters: Int, k: Int): Int =
+    math.min(nClusters,
+      math.max(math.ceil(math.sqrt(nClusters)).toInt, (k + 15) / 16))
+
   /** Build (or replace) an IVF index table: rows + `__ivf_cluster` partition
     * column, centroids in a sidecar. The build-time `metric` is RECORDED in
     * the meta sidecar and becomes the index's default query metric (the
@@ -338,6 +407,14 @@ object Indexes {
     * the caller names none. */
   def ivfMetric(spark: SparkSession, loc: String): String =
     ivfMeta(spark, loc).flatMap(m => Option(m.get("metric"))).getOrElse("cosine")
+
+  /** Cluster count of a persisted IVF/IVF-RQ index (centroids-sidecar point
+    * read) — sizes [[autoNprobe]] when a query passes no `ivf.nprobe`. */
+  def ivfNClusters(spark: SparkSession, loc: String): Int = {
+    val t = GraftTable.load(spark, loc)
+    Json.mapper.readValue(t.sm.readString(statsPath(loc, "ivf-centroids")),
+      classOf[Array[Array[Double]]]).length
+  }
 
   /** Incremental IVF maintenance: assign ONLY the new batch against the
     * EXISTING centroids and append into the cluster-partitioned index —

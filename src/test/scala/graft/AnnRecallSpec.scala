@@ -146,6 +146,58 @@ class AnnRecallSpec extends SparkTestBase {
     assert(rL2 >= 0.9, f"l2 RQ-route recall@10 was $rL2%.3f")
   }
 
+  test("refine_factor: recall@10 strictly improves from factor 1 to 4 on " +
+      "the compressed RQ route (the reference's recall/latency dial)") {
+    val loc = tmpLoc("rq-refine")
+    Indexes.buildIvfRq(spark, corpus, "emb", loc, dim, nClusters = nCenters,
+      m = 8, ks = 16, sampleFraction = 0.2, seed = 42L)
+    val exact = queries.map(exactTop)
+    // factor f = rerank window k×f (SearchOptions.rerankFor — the same
+    // mapping the TVF options surface uses); factor 1 STILL exact-reranks
+    // the k ADC candidates (reference vector.mdx:296-298)
+    def got(factor: Int): Seq[Set[Long]] = {
+      val rerank = Indexes.SearchOptions(refineFactor = Some(factor)).rerankFor(k)
+      queries.map(q =>
+        Indexes.rqSearch(spark, loc, "emb", q, k, nprobe = 8, rerank = rerank)
+          .select("vid").as[Long].collect().toSet)
+    }
+    val r1 = recall(got(1), exact)
+    val r4 = recall(got(4), exact)
+    info(f"refine_factor=1 recall@10=$r1%.3f  refine_factor=4 recall@10=$r4%.3f")
+    assert(r4 > r1,
+      f"refine_factor=4 must beat factor=1: $r4%.3f vs $r1%.3f")
+    assert(r4 >= 0.85, f"refine_factor=4 recall@10 was $r4%.3f")
+  }
+
+  test("per-query search options: spellings, prefixes, validation, auto nprobe") {
+    import Indexes.SearchOptions
+    // both separators, underscore/hyphen names, ivf-family prefixes
+    assert(SearchOptions.parse("ivf.nprobe=16,ivf.refine_factor=4") ==
+      SearchOptions(Some(16), Some(4)))
+    assert(SearchOptions.parse("ivf.nprobe=16;ivf.refine-factor=4") ==
+      SearchOptions(Some(16), Some(4)))
+    assert(SearchOptions.parse("rerank_factor=2") == SearchOptions(None, Some(2)))
+    assert(SearchOptions.parse("ivf-pq.refine-factor=3").refineFactor.contains(3))
+    assert(SearchOptions.parse("IVF_RQ.RERANK-FACTOR=5").refineFactor.contains(5))
+    assert(SearchOptions.parse("nprobe=4") == SearchOptions(Some(4), None))
+    assert(SearchOptions.parse("") == SearchOptions.empty)
+    assert(SearchOptions.parse(" ivf.nprobe = 8 ") == SearchOptions(Some(8), None))
+    // rerank window mapping (reference VectorSearchRefineOptions.searchLimit)
+    assert(SearchOptions(refineFactor = Some(4)).rerankFor(10) == 40)
+    assert(SearchOptions.empty.rerankFor(10) == 0)
+    // loud failures: unknown keys/prefixes, malformed pairs, bad values
+    intercept[IllegalArgumentException](SearchOptions.parse("diskann.l_search=100"))
+    intercept[IllegalArgumentException](SearchOptions.parse("typo_factor=2"))
+    intercept[IllegalArgumentException](SearchOptions.parse("ivf.nprobe"))
+    intercept[IllegalArgumentException](SearchOptions.parse("ivf.nprobe=0"))
+    intercept[IllegalArgumentException](SearchOptions.parse("ivf.refine_factor=-1"))
+    // automatic probe width: √nClusters, k-scaled, clamped to the index
+    assert(Indexes.autoNprobe(64, 10) == 8)
+    assert(Indexes.autoNprobe(8, 10) == 3)
+    assert(Indexes.autoNprobe(4, 1000) == 4)
+    assert(Indexes.autoNprobe(1024, 1000) == 63)
+  }
+
   test("es-index filtered recall@10 across filter selectivities; starved case exact") {
     // EsIndex filtered vector search: recall@10 vs EXACT filtered brute force
     // at filter selectivities 50% / 10% / 1% (filter independent of the

@@ -1136,6 +1136,43 @@ class Dsv2Spec extends SparkTestBase {
       .contains("signature mismatch"))
     // a garbage url is a malformed rejection, not an exception
     assert(Blob.validatePresignedUrl("https://x/y", secret, 0L).nonEmpty)
+    // future-dated URLs are rejected (signer clock error) — but small skew
+    // inside the tolerance window still validates
+    assert(Blob.validatePresignedUrl(url, secret,
+      1700000000L - Blob.PresignSkewToleranceSec).isEmpty,
+      "within clock-skew tolerance")
+    assert(Blob.validatePresignedUrl(url, secret,
+      1700000000L - Blob.PresignSkewToleranceSec - 1)
+      .contains("not yet valid (future-dated)"))
+  }
+
+  test("presign conf is re-read at query time (spark.-prefixed spelling)") {
+    import graft.pipeline.Blob
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db") // triggers registration
+    val f = Files.createTempFile("graft-blobconf", ".bin")
+    Files.write(f, Array[Byte](9, 8, 7))
+    def sign(): String = spark.sql(
+      s"""SELECT graft_descriptor_to_presigned_url(
+         |  graft_path_to_descriptor('${f.toString}'), 300)""".stripMargin)
+      .head.getString(0)
+    val now = System.currentTimeMillis() / 1000
+    // default secret first (registration-time fallback)
+    assert(Blob.validatePresignedUrl(sign(), "graft-dev-secret", now).isEmpty)
+    // setting the spark.-prefixed conf AFTER registration must take effect
+    // on the very next query — no re-registration, no silent stale secret
+    try {
+      spark.conf.set("spark.graft.blob.presign.secret", "rotated-secret")
+      spark.conf.set("spark.graft.blob.presign.base-url",
+        "https://rotated.example.com")
+      val rotated = sign()
+      assert(rotated.startsWith("https://rotated.example.com/"), rotated)
+      assert(Blob.validatePresignedUrl(rotated, "rotated-secret", now).isEmpty)
+      assert(Blob.validatePresignedUrl(rotated, "graft-dev-secret", now)
+        .contains("signature mismatch"))
+    } finally {
+      spark.conf.unset("spark.graft.blob.presign.secret")
+      spark.conf.unset("spark.graft.blob.presign.base-url")
+    }
   }
 
   test("COPY INTO: csv import with history/PATTERN/SKIP_FILE, export round-trip") {

@@ -469,6 +469,44 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(viaTvf == direct, s"TVF must take the ADC route:\n$viaTvf\n$direct")
   }
 
+  test("per-query search options: both TVF shapes, string + map forms, " +
+      "refine_factor drives the RQ rerank, ivf.nprobe overrides positional") {
+    val loc = tmpLoc("lc-rq-opts")
+    val emb = mkEmbeddings(0, 400)
+    graft.pipeline.Indexes.buildIvfRq(spark, emb, "emb", loc, dim,
+      nClusters = 4, m = 4, ks = 16)
+    val q = emb.filter(col("vid") === 3).select("emb").first().getSeq[Float](0)
+    def run(sql: String): Seq[Long] = spark.sql(sql).as[Long].collect().toSeq
+    // the reference's shape (table, column, vec, k) with AUTOMATIC nprobe
+    // (vector.mdx:306): docs examples run verbatim
+    val auto = run(
+      s"SELECT vid FROM graft_vector_search('$loc', 'emb', ${arr(q)}, 10)")
+    assert(auto.size == 10, s"automatic-nprobe search returned ${auto.size}")
+    // refine_factor=40 re-ranks 400 ≥ corpus candidates — exact, and every
+    // spelling (string/map options, reference/positional shape) must take
+    // the same rerank machinery as the direct Scala call
+    val direct = graft.pipeline.Indexes
+      .rqSearch(spark, loc, "emb", q, 10, nprobe = 4, rerank = 400)
+      .select("vid").as[Long].collect().toSeq
+    val viaStr = run(s"SELECT vid FROM graft_vector_search('$loc', 'emb', " +
+      s"${arr(q)}, 10, 'ivf.nprobe=4;ivf.refine_factor=40')")
+    val viaMap = run(s"SELECT vid FROM graft_vector_search('$loc', 'emb', " +
+      s"${arr(q)}, 10, map('ivf.nprobe', '4', 'rerank-factor', '40'))")
+    val viaPos = run(s"SELECT vid FROM graft_vector_search('$loc', 10, 4, " +
+      s"${arr(q)}, '', '', 'ivf.refine_factor=40')")
+    assert(viaStr == direct, s"string options: $viaStr vs $direct")
+    assert(viaMap == direct, s"map options: $viaMap vs $direct")
+    assert(viaPos == direct, s"positional shape + options: $viaPos vs $direct")
+    // the per-query ivf.nprobe option overrides the positional nprobe
+    val overridden = run(s"SELECT vid FROM graft_vector_search('$loc', 10, 1, " +
+      s"${arr(q)}, '', '', 'ivf.nprobe=4,ivf.refine_factor=40')")
+    assert(overridden == direct, s"ivf.nprobe override: $overridden vs $direct")
+    // unknown options fail loudly (typo safety), as do non-ivf prefixes
+    val ex = intercept[Exception] { run(s"SELECT vid FROM graft_vector_search(" +
+      s"'$loc', 'emb', ${arr(q)}, 10, 'diskann.l_search=10')") }
+    assert(ex.getMessage.contains("ivf"), ex.getMessage)
+  }
+
   test("randomized lifecycle differential: refresh always converges to the table state") {
     // random interleavings of {append, COW delete, refresh} against a model:
     // after every refresh the index must hold EXACTLY the table's current

@@ -401,6 +401,17 @@ class PipelineSpec extends SparkTestBase {
     // fuzziness: 'spak' expands to 'spark' through the term dictionary
     assert(ids("""{"match":{"query":"spak","fuzziness":1}}""")
       .toSet == Set(1L, 4L, 5L))
+    // AUTO fuzziness is length-dependent (0 for 1-2 chars, 1 for 3-5,
+    // 2 for 6+): 'spak' (4) gets 1 edit and finds 'spark'; 'fa' (2) gets 0
+    // edits so it does NOT match 'fast'; 'parqXXt' (7) gets 2 edits and
+    // finds 'parquet'
+    assert(parseDsl("""{"match":{"query":"x","fuzziness":"auto"}}""")
+      .asInstanceOf[DslMatch].fuzziness == -1)
+    assert(ids("""{"match":{"query":"spak","fuzziness":"auto"}}""")
+      .toSet == Set(1L, 4L, 5L))
+    assert(ids("""{"match":{"query":"fa","fuzziness":"auto"}}""").isEmpty)
+    assert(ids("""{"match":{"query":"parqxxt","fuzziness":"auto"}}""")
+      .toSet == Set(1L, 2L, 4L, 5L))
     // phrase: exact adjacency at slop 0; slop extends the window
     assert(ids("""{"match_phrase":{"query":"spark reads"}}""") == Seq(1L))
     assert(ids("""{"match_phrase":{"query":"spark parquet"}}""").isEmpty)
