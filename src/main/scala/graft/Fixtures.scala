@@ -1103,6 +1103,22 @@ object Fixtures {
       t
     }
 
+  /** Table declared DDL-FIRST with the reference's `VECTOR<FLOAT, 64>`
+    * dialect type: [[graft.core.RefTypes.impliedOptions]] turns the declared
+    * dimension into `fields.emb.dimension`, so the write-time enforcement is
+    * armed by the TYPE alone (no hand-set option) — reference
+    * VectorType.java:40, vector.mdx:78. */
+  def vectorDdlTbl(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "vector_ddl") { loc =>
+      val fields = Seq("vec_id" -> "BIGINT", "emb" -> "VECTOR<FLOAT, 64>")
+      val t = GraftTable.createOrReplace(spark, loc,
+        graft.core.RefTypes.schemaToSpark(fields),
+        TableConfig(options = graft.core.RefTypes.impliedOptions(fields)))
+      t.write(src(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("emb")))
+      t
+    }
+
   /** Embeddings copy with TWO embedding columns — `embedding` plus a derived
     * stand-in `emb2` (image-embedding shape: same table, second vector
     * column, the multimodal norm per-column back-references exist for) —

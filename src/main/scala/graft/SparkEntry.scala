@@ -1094,6 +1094,18 @@ object SparkEntry {
       tbl.read().select(col("user_id"), col("first_t"),
         explode(col("kinds")).as(Seq("kind", "mult")))
     }),
+    // VECTOR<FLOAT, 64> declared in the reference dialect: the DDL alone
+    // arms the write-time dimension enforcement (impliedOptions →
+    // fields.emb.dimension) and the data round-trips through the table —
+    // size + boundary elements are exact value checks (no float
+    // accumulation)
+    "q_vector_ddl" -> ((s, d) => {
+      val tbl = Fixtures.vectorDdlTbl(s, d)
+      tbl.read().select(col("vec_id"), size(col("emb")).as("dim"),
+          round(element_at(col("emb"), 1).cast("double"), 4).as("e_first"),
+          round(element_at(col("emb"), 64).cast("double"), 4).as("e_last"))
+        .orderBy("vec_id").limit(25)
+    }),
     // FULL-TEXT QUERY DSL (reference full-text.mdx "Query DSL"): match with
     // operator=And, fuzziness expansion over the term dictionary, boolean
     // must/should/must_not composition, and match_phrase over a
@@ -2425,6 +2437,11 @@ object SparkEntry {
         |  e.event_type AS kind, CAST(count(*) AS INT) AS mult
         |FROM events e JOIN m USING (user_id)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_vector_ddl" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(embedding[1]::DOUBLE, 4) AS e_first,
+        |  round(embedding[64]::DOUBLE, 4) AS e_last
+        |FROM embeddings ORDER BY vec_id LIMIT 25""".stripMargin,
     "q_fulltext_and" ->
       s"""WITH ${bm25Cte()}
          |SELECT doc_id, round(score, 4) AS score FROM (

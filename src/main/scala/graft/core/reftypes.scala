@@ -45,6 +45,32 @@ object RefTypes {
   def schemaToSpark(fields: Seq[(String, String)]): StructType =
     StructType(fields.map { case (n, t) => fieldToSpark(n, t) })
 
+  /** The declared dimension of a TOP-LEVEL `VECTOR<t, n>` spelling (the
+    * reference's VectorType carries it as part of the type,
+    * paimon-api VectorType.java:40); None for any other type. Nested
+    * vectors (`ARRAY<VECTOR<FLOAT, 4>>`) parse but carry no per-column
+    * dimension — enforcement is a column-level contract. */
+  def vectorDim(refType: String): Option[Int] = {
+    val s = refType.trim
+    val u = s.toUpperCase
+    if (!u.startsWith("VECTOR<")) None
+    else {
+      parseType(if (u.endsWith(" NOT NULL")) s.dropRight(9).trim else s)
+      Some(splitTop(s.substring(s.indexOf('<') + 1, s.lastIndexOf('>')))(1)
+        .trim.toInt)
+    }
+  }
+
+  /** Table options a reference-dialect schema IMPLIES: every top-level
+    * `VECTOR<t, n>` column contributes `fields.<name>.dimension = n`, so
+    * declaring the type is enough to arm the write-time dimension
+    * enforcement (table.scala fixed-dimension check) — the DDL-first loop
+    * of the reference's VECTOR type (vector.mdx:78 dimension directive). */
+  def impliedOptions(fields: Seq[(String, String)]): Map[String, String] =
+    fields.flatMap { case (n, t) =>
+      vectorDim(t).map(d => s"fields.$n.dimension" -> d.toString)
+    }.toMap
+
   private def parse(s0: String): (DataType, Boolean) = {
     val upper = s0.toUpperCase
     val (s, nullable) =
@@ -69,7 +95,11 @@ object RefTypes {
         MapType(parse(arg)._1, IntegerType, valueContainsNull = false)
       case _ if u.startsWith("VECTOR<") =>
         // VECTOR<t, n>: the trailing dimension is table metadata
+        // ([[vectorDim]] surfaces it; [[impliedOptions]] turns it into the
+        // fields.<col>.dimension option the write path enforces)
         val parts = splitTop(arg)
+        require(parts.size == 2 && parts(1).trim.toInt > 0,
+          s"VECTOR needs <element-type, positive-dimension>, got $s")
         ArrayType(parse(parts.head)._1, containsNull = false)
       case "BLOB" => BinaryType
       case _ if u == "TIMESTAMP_LTZ" || u.startsWith("TIMESTAMP_LTZ(") ||

@@ -188,22 +188,31 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint(true)
+    // convergence detection rides the SAME job that materializes the round's
+    // labels: a LongAccumulator bumped per shrunken label inside the
+    // checkpoint job (kept as a column so pruning can't drop it) — no
+    // second per-round driver job probing for changes. Task retries can
+    // only overcount, and the accumulator is read as a boolean.
+    val spark = pairs.sparkSession
+    val changedAcc = spark.sparkContext.longAccumulator("cc-changed")
+    val bump = udf { (ch: Boolean) => if (ch) changedAcc.add(1); ch }
+      .asNondeterministic()
     var i = 0
     var changed = true
     while (changed && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("component").as("dc")), "dst")
         .groupBy("src").agg(min("dc").as("nmin"))
+      val newComp =
+        least(col("component"), coalesce(col("nmin"), col("component")))
+      changedAcc.reset()
       val updated = labels
         .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .select(col("node"), newComp.as("component"),
+          bump(newComp =!= col("component")).as("__chg"))
         .localCheckpoint(true)
-      changed = updated.alias("u")
-        .join(labels.alias("l"), "node")
-        .filter(col("u.component") =!= col("l.component"))
-        .limit(1).count() > 0
-      labels = updated
+      changed = changedAcc.value > 0
+      labels = updated.drop("__chg")
       i += 1
     }
     labels

@@ -69,18 +69,17 @@ class BenchBaselineSpec extends SparkTestBase {
     val qs = SparkEntry.queries
     // warm: builds every fixture and memoizes every query vector
     Bench.headline.foreach(n => qs(n)(spark, sfDir).collect())
-    val sites = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[String]())
+    // a Dataset ACTION (first/collect/count — the r8/r9 pattern was a
+    // .first() query-vector fetch) always runs under a SQL execution id;
+    // parquet footer schema-inference jobs (metadata reads every
+    // direct-Spark plan pays too) carry none — count executions, not jobs
+    val execs = java.util.Collections.synchronizedSet(
+      new java.util.HashSet[String]())
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        sites.add(Option(j.properties)
-          .map(_.getProperty("callSite.short", "")).getOrElse(""))
+        Option(j.properties.getProperty("spark.sql.execution.root.id"))
+          .foreach(execs.add)
     }
-    // DATA actions a query definition must not run once fixtures are warm
-    // (the r8/r9 pattern was a .first() query-vector fetch); parquet footer
-    // schema-inference jobs ("parquet at ...") are metadata reads every
-    // direct-Spark plan pays too and stay allowed
-    val action = "^(first|collect|count|head|take|show|reduce|foreach) at ".r
     // construction-time point reads that ARE the measured search:
     // q_fulltext_bm25 builds its (term, df) broadcast relation from a
     // term-pruned point read — bounded by #query terms, part of every BM25
@@ -91,13 +90,12 @@ class BenchBaselineSpec extends SparkTestBase {
       val offenders = Bench.headline
         .filterNot(constructionIsSearch).flatMap { n =>
           SparkShims.waitListenerBus(spark)
-          sites.clear()
+          execs.clear()
           qs(n)(spark, sfDir) // construct the DataFrame, run NO action
           SparkShims.waitListenerBus(spark)
-          val bad = sites.toArray(Array.empty[String])
-            .filter(s => action.findFirstIn(s).nonEmpty)
-          if (bad.nonEmpty) Some(s"$n ran action(s) at construction: " +
-            bad.mkString(", ")) else None
+          if (!execs.isEmpty)
+            Some(s"$n ran ${execs.size} action(s) at construction")
+          else None
         }
       assert(offenders.isEmpty, offenders.mkString("; "))
     } finally spark.sparkContext.removeSparkListener(l)

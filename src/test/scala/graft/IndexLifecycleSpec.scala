@@ -295,6 +295,43 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(PkSearch.fullTextRef(GraftTable.load(spark, loc)).isEmpty)
   }
 
+  test("full-text REBUILD preserves the recorded tokenizer + positions " +
+      "(non-append history must not reset ngram/phrase semantics)") {
+    import graft.core.RowOps._
+    import graft.pipeline.Indexes
+    val loc = tmpLoc("lc-ft-rebuild")
+    val docs0 = Seq(
+      (1L, "spark table scan"), (2L, "sparkly stable plans"),
+      (3L, "unrelated words entirely")).toDF("doc_id", "text")
+    val t = GraftTable.create(spark, loc, docs0.schema, TableConfig())
+    t.write(docs0)
+    // an ngram(3) index WITH positions — both settings must survive rebuild
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "text", "index_type" -> "full-text",
+        "id_column" -> "doc_id", "full-text.tokenizer" -> "ngram",
+        "full-text.with-position" -> "true")).collect()
+    val idxLoc = IndexLifecycle.fullTextIndexLoc(loc, "text")
+    val spec0 = Indexes.readTokenizer(spark, idxLoc)
+    assert(spec0.kind == "ngram")
+    def substrHits(): Set[Long] = spark.sql(
+      s"""SELECT doc_id FROM graft_full_text_search('$loc', 'park', 10)"""
+      ).as[Long].collect().toSet
+    assert(substrHits() == Set(1L, 2L), "ngram substring search works")
+    // COW delete forces the REBUILD branch (non-append history)
+    t.delete(col("doc_id") === 3L)
+    val rmsg = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "full-text")).head().getString(0)
+    assert(rmsg.contains("rebuilt"), rmsg)
+    // pre-fix, the rebuild silently reset to the default tokenizer and
+    // dropped positions: substring queries found nothing, phrase broke
+    val spec1 = Indexes.readTokenizer(spark, idxLoc)
+    assert(spec1 == spec0, s"rebuild changed the tokenizer: $spec0 -> $spec1")
+    assert(Indexes.readWithPositions(spark, idxLoc),
+      "rebuild dropped the positions flag")
+    assert(substrHits() == Set(1L, 2L),
+      "ngram substring search must survive the rebuild")
+  }
+
   test("append table es: CALL create -> graft_es_search on the TABLE path; refresh; drop") {
     val loc = tmpLoc("lc-es")
     val docs0 = Seq(

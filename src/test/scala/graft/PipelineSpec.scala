@@ -121,6 +121,45 @@ class PipelineSpec extends SparkTestBase {
     assert(canon(99L) == 99L && canon(4L) == 1L && canon(11L) == 10L)
   }
 
+  test("connected components: ONE driver action per propagation round " +
+      "(convergence rides the label-materialization job, no probe action)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // a single edge converges in EXACTLY two rounds (one label move + one
+    // confirming round), so the action budget is fully determined
+    val pairs = Seq((2L, 1L)).toDF("v1", "v2")
+    // one Dataset action = one root SQL execution; AQE stage and broadcast
+    // jobs all ride under their action's root id, so counting DISTINCT
+    // root ids counts driver ACTIONS (Spark 4 job properties carry no
+    // callSite — execution ids are the reliable signal)
+    val roots = java.util.Collections.synchronizedSet(
+      new java.util.HashSet[String]())
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val p = j.properties
+        val root = Option(p.getProperty("spark.sql.execution.root.id"))
+          .orElse(Option(p.getProperty("spark.sql.execution.id")))
+          .getOrElse(s"job-${j.jobId}")
+        roots.add(root)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val cc =
+      try {
+        roots.clear()
+        val out = Dedup.connectedComponents(pairs, "v1", "v2")
+          .as[(Long, Long)].collect().toMap
+        org.apache.spark.sql.graft.SparkShims.waitListenerBus(spark)
+        out
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(cc == Map(1L -> 1L, 2L -> 1L), cc)
+    // budget: edges checkpoint + initial-labels checkpoint + 1 checkpoint
+    // per round (2 rounds) + the test's own collect = 5. The pre-fusion
+    // per-round limit(1).count() probe would add one more action per round
+    // (7 total) — this pins it out
+    assert(roots.size <= 5,
+      s"expected ≤ 5 driver actions (one per round), saw ${roots.size}")
+  }
+
   test("native shingle hashes equal the relational form on adversarial inputs") {
     val rows = Seq(
       "alpha Beta GAMMA delta epsilon",  // case folding

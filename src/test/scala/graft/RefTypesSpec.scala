@@ -45,6 +45,44 @@ class RefTypesSpec extends SparkTestBase {
       StructField("t", IntegerType, nullable = false))
   }
 
+  test("VECTOR<t, n>: dimension extraction, implied options, nested parse, " +
+      "DDL-armed write enforcement") {
+    // the declared dimension surfaces (incl. NOT NULL suffix); non-vector
+    // types carry none
+    assert(RefTypes.vectorDim("VECTOR<FLOAT, 768>").contains(768))
+    assert(RefTypes.vectorDim("vector<double,4> NOT NULL").contains(4))
+    assert(RefTypes.vectorDim("ARRAY<FLOAT>").isEmpty)
+    // nested vectors parse (type mapping recurses) but imply no per-column
+    // dimension option — enforcement is a column-level contract
+    assert(RefTypes.toSpark("ARRAY<VECTOR<FLOAT, 4>>") ==
+      ArrayType(ArrayType(FloatType, containsNull = false)))
+    assert(RefTypes.vectorDim("ARRAY<VECTOR<FLOAT, 4>>").isEmpty)
+    // malformed dimensions fail loudly
+    intercept[Exception](RefTypes.toSpark("VECTOR<FLOAT>"))
+    intercept[Exception](RefTypes.toSpark("VECTOR<FLOAT, 0>"))
+    intercept[Exception](RefTypes.toSpark("VECTOR<FLOAT, x>"))
+    // impliedOptions: one fields.<col>.dimension entry per vector column
+    val fields = Seq("id" -> "BIGINT", "emb" -> "VECTOR<FLOAT, 3>",
+      "img" -> "VECTOR<FLOAT, 2>", "tags" -> "ARRAY<STRING>")
+    assert(RefTypes.impliedOptions(fields) == Map(
+      "fields.emb.dimension" -> "3", "fields.img.dimension" -> "2"))
+    // declaring the type ARMS the write-time enforcement: a conforming
+    // write lands, a wrong-dimension write fails with the column's contract
+    val loc = tmpLoc("vector-ddl")
+    val t = GraftTable.createOrReplace(spark, loc,
+      RefTypes.schemaToSpark(fields.take(2)),
+      TableConfig(options = RefTypes.impliedOptions(fields.take(2))))
+    import spark.implicits._
+    t.write(Seq((1L, Seq(1f, 2f, 3f))).toDF("id", "emb"))
+    assert(t.read().count() == 1)
+    val ex = intercept[Exception] {
+      t.write(Seq((2L, Seq(1f, 2f))).toDF("id", "emb"))
+    }
+    assert(ex.getMessage.contains("fixed vector dimension") ||
+      Option(ex.getCause).exists(_.getMessage.contains("fixed vector dimension")),
+      s"wrong-dimension write must name the contract: ${ex.getMessage}")
+  }
+
   test("TIME + MULTISET columns round-trip through a table and schema-evolve") {
     val loc = tmpLoc("reftypes-rt")
     val schema = RefTypes.schemaToSpark(Seq(
