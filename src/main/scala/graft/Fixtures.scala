@@ -1030,6 +1030,25 @@ object Fixtures {
       t
     }
 
+  /** Append-table embeddings copy with a CALL-managed COMPRESSED (ivf-rq)
+    * index — reference `index_type => 'ivf-rq'` with `<index-type>.*`
+    * options (vector.mdx:58,190): create on 90%, append the rest, refresh
+    * (delta assigned + residual-encoded against the stored model). */
+  def lcEmbRq(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_emb_rq") { loc =>
+      val emb = src(spark, sfDir, "embeddings")
+      val t = GraftTable.createOrReplace(spark, loc, emb.schema, TableConfig())
+      t.write(emb.filter(col("vec_id") % 10 =!= 0))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "embedding", "index_type" -> "ivf-rq",
+          "ivf-rq.nlist" -> "8", "ivf-rq.rq.bits" -> "4",
+          "ivf-rq.distance.metric" -> "cosine")).collect()
+      t.write(emb.filter(col("vec_id") % 10 === 0))
+      Procedures.call(spark, t, "refresh_global_index",
+        Map("index_type" -> "ivf-rq")).collect()
+      t
+    }
+
   private val objDirs = TrieMap[String, String]()
 
   /** Deterministic object-store directory for the object-table row: one

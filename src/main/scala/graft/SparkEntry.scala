@@ -1067,6 +1067,20 @@ object SparkEntry {
         s"""SELECT vec_id, round(score, 4) AS sim
            |FROM graft_vector_search('${tbl.location}', 10, 8, $arr)""".stripMargin)
     }),
+    // CALL-managed COMPRESSED index (reference index_type => 'ivf-rq',
+    // vector.mdx:58): created with <index-type>.* options, delta-refreshed
+    // (assign + residual-encode only the appended rows), routed through the
+    // TABLE path's back-reference; refine_factor 100 re-ranks ≥ corpus
+    // candidates so the row is exact against the brute-force oracle
+    "q_call_index_rq" -> ((s, d) => {
+      val tbl = Fixtures.lcEmbRq(s, d)
+      val q = Fixtures.queryVec(s, d, 1)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, round(score, 4) AS sim
+           |FROM graft_vector_search('${tbl.location}', 'embedding', $arr, 10,
+           |  'ivf.nprobe=8;ivf.refine_factor=100')""".stripMargin)
+    }),
     // compaction-coordination system tables (reference CompactBucketsTable /
     // FileMonitorTable): per-commit file changes and per-bucket current file
     // lists over a deterministic two-bucket PK fixture (base, update wave,
@@ -2407,6 +2421,13 @@ object SparkEntry {
          |WHERE lang = 'en'
          |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
     "q_call_index_vector" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_call_index_rq" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
         |  SELECT e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[],

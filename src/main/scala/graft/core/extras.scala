@@ -251,9 +251,11 @@ object Procedures {
             graft.pipeline.GlobalIndex.build(spark, table.location, col, parts)
             ok(s"global index built on $col" +
               (if (parts.isEmpty) "" else s" (${parts.size} partition specs)"))
-          case "ivf" | "vector" =>
+          case "ivf" | "ivf-flat" | "ivf_flat" | "vector" =>
             // cluster count and metric: CALL argument wins, else the
             // per-field / shared table options resolve inside createVector
+            // (ivf-flat is the reference's name for the uncompressed family,
+            // vector.mdx:58)
             ok(graft.pipeline.IndexLifecycle.createVector(table, col,
               nClusters = args.get("clusters").orElse(args.get("ivf.nlist"))
                 .orElse(args.get("nlist")).map(_.toInt),
@@ -261,6 +263,19 @@ object Procedures {
               metric = args.get("distance.metric")
                 .orElse(args.get("ivf.distance.metric"))
                 .orElse(args.get("metric"))))
+          case "ivf-rq" | "ivf_rq" =>
+            // compressed persisted family: cluster partitions + residual
+            // codes; ivf-rq.* option spellings resolve inside
+            ok(graft.pipeline.IndexLifecycle.createVectorRq(table, col, args))
+          case t @ ("ivf-pq" | "ivf-sq" | "diskann" | "ivf-hnsw-flat" |
+                    "ivf-hnsw-sq") =>
+            // graph ANN and the PQ/SQ spellings are declared non-goals —
+            // the engine's compressed persisted family is ivf-rq (same
+            // probe/ADC/re-rank contract); reject loudly, never silently
+            // build something else
+            throw new IllegalArgumentException(
+              s"index_type $t is not supported; the compressed persisted " +
+                "vector family here is ivf-rq (uncompressed: ivf)")
           case "full-text" | "fulltext" =>
             // tokenizer options arrive as full-text.* keys in the CALL
             // option string (reference spelling) and win over table options
@@ -294,9 +309,11 @@ object Procedures {
             val col = args.getOrElse("index_column", args("column"))
             graft.pipeline.GlobalIndex.refresh(spark, table.location, col)
             ok(s"global index on $col refreshed incrementally")
-          case "ivf" | "vector" =>
+          case "ivf" | "ivf-flat" | "ivf_flat" | "ivf-rq" | "ivf_rq" | "vector" =>
             // optional index_column disambiguates when several embedding
-            // columns carry indexes (per-column back-references)
+            // columns carry indexes (per-column back-references); the
+            // refresh dispatches on the PERSISTED kind, so both families
+            // share this entry point
             ok(graft.pipeline.IndexLifecycle.refreshVector(table,
               args.get("index_column").orElse(args.get("column"))))
           case "full-text" | "fulltext" =>
@@ -333,7 +350,7 @@ object Procedures {
               fs.delete(new Path(table.location, s"index/global-$c.json"), false)
               ok(s"global index on $c dropped")
             }
-          case "ivf" | "vector" =>
+          case "ivf" | "ivf-flat" | "ivf_flat" | "ivf-rq" | "ivf_rq" | "vector" =>
             val c = args.get("index_column").orElse(args.get("column"))
             if (dryRun) {
               // same resolution rules as the real drop: explicit column,

@@ -231,11 +231,18 @@ object GraftTableFunctions {
     // multi_match across per-column indexes — full-text.mdx "Query DSL").
     fd("graft_full_text_search") { args =>
       require(args.length == 3 || args.length == 4,
-        "graft_full_text_search(indexOrPkTable, query, k[, 'indexColumn'])")
+        "graft_full_text_search(indexOrPkTable, query, k[, 'indexColumn']) | " +
+          "graft_full_text_search(table, 'column', query, k)")
       val t = resolveTable(str(args(0)))
-      val rawQuery = str(args(1))
-      val k = lng(args(2)).toInt
-      // the optional trailing column picks ONE of a multi-indexed table's
+      // the reference's argument order (PaimonTableValuedFunctions:906 —
+      // table, column, query, limit) puts the integer LAST; graft's original
+      // puts it third with the column trailing. Disjoint by arg-3's type.
+      val refShape = args.length == 4 && args(3).dataType != StringType
+      val (rawQuery, k, colArg) =
+        if (refShape) (str(args(2)), lng(args(3)).toInt, Some(str(args(1))))
+        else (str(args(1)), lng(args(2)).toInt,
+          if (args.length == 4) Some(str(args(3))) else None)
+      // the column argument picks ONE of a multi-indexed table's
       // back-references; without it a sole index routes and several error
       val refs = graft.pipeline.PkSearch.fullTextRefs(t)
       // a top-level multi_match names ITS columns — one scorer per column,
@@ -264,18 +271,19 @@ object GraftTableFunctions {
           plan(FullText.evalMultiMatch(mm, scorers)
             .orderBy(col("score").desc, col("doc_id")).limit(k))
         case None =>
-          val refOpt =
-            if (args.length == 4) {
-              val c = str(args(3))
+          val refOpt = colArg match {
+            case Some(c) if refs.nonEmpty =>
               Some(refs.getOrElse(c, throw new IllegalArgumentException(
                 s"${t.location}: no full-text index on column $c " +
                   s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})")))
-            } else if (refs.size > 1)
+            case Some(_) => None // bare index path + column name: route it
+            case None if refs.size > 1 =>
               throw new IllegalArgumentException(
                 s"${t.location}: multiple full-text indexes " +
                   s"(${refs.keys.toSeq.sorted.mkString(", ")}) — pass the index " +
-                  "column as the 4th argument")
-            else refs.values.headOption
+                  "column argument")
+            case None => refs.values.headOption
+          }
           // a JSON query routes through the full Query DSL (match operators,
           // fuzziness, phrase, boolean, boost); plain text tokenizes with the
           // ROUTED index's recorded tokenizer (an ngram index grams the query)

@@ -105,6 +105,51 @@ object IndexLifecycle {
     }
   }
 
+  /** CREATE index_type=ivf-rq: the persisted COMPRESSED vector family
+    * (reference paimon-vindex `ivf-rq`, vector.mdx:58,190) — unit-space
+    * cluster partitions + m-byte residual codes per row; search is
+    * partition-pruned probe → ADC over code bytes → exact re-rank (honors
+    * per-query ivf.refine_factor). Option resolution follows the
+    * reference's `<index-type>.*` spellings (vector.mdx:179-192):
+    * `ivf-rq.nlist`, `ivf-rq.distance.metric`, `ivf-rq.rq.bits` (code
+    * width per subspace — ks = 2^bits, rebuild required to change),
+    * `ivf-rq.pq.m` (subspace count), `ivf-rq.dimension` /
+    * `fields.<col>.dimension` (else probed from the data); CALL argument →
+    * per-field table option → shared table option → default. Delta refresh
+    * assigns + encodes only appended rows against the stored model
+    * ([[refreshVector]] dispatches on the index kind). PK tables keep the
+    * file-aligned exact family — rejected loudly here. */
+  def createVectorRq(tbl: GraftTable, embedCol: String,
+                     callOpts: Map[String, String] = Map.empty): String = {
+    require(!tbl.config.isPrimaryKeyed,
+      "ivf-rq is the append-table compressed index; a PK table keeps the " +
+        "file-aligned exact family (index_type => 'ivf')")
+    def opt(field: String): Option[String] =
+      callOpts.get(s"ivf-rq.$field").orElse(callOpts.get(field))
+        .orElse(tbl.config.options.get(s"fields.$embedCol.$field"))
+        .orElse(tbl.config.options.get(s"ivf-rq.$field"))
+    val n = opt("nlist").orElse(callOpts.get("clusters")).map(_.toInt)
+      .getOrElse(16)
+    val metric = Indexes.normalizeMetric(
+      opt("distance.metric").orElse(callOpts.get("metric")).getOrElse("cosine"))
+    val bits = opt("rq.bits").map(_.toInt).getOrElse(4)
+    require(bits >= 1 && bits <= 8, s"ivf-rq.rq.bits must be 1..8, got $bits")
+    val m = opt("pq.m").map(_.toInt).getOrElse(8)
+    val seed = callOpts.getOrElse("seed", "42").toLong
+    val snap = currentSnapshot(tbl)
+    val df = tbl.read(None, Some(snap))
+    val dim = opt("dimension").map(_.toInt)
+      .getOrElse(df.select(embedCol).first().getSeq[Float](0).size)
+    require(dim % m == 0, s"dimension $dim must divide by pq.m $m")
+    val loc = vectorIndexLoc(tbl.location, embedCol)
+    Indexes.buildIvfRq(tbl.spark, df, embedCol, loc, dim, n, m,
+      ks = 1 << bits, seed = seed, metric = metric)
+    writeSource(tbl.spark, loc, snap)
+    PkSearch.writeVectorRef(tbl, PkSearch.VectorRef(loc, embedCol, "plain"))
+    s"ivf-rq index built at $loc (snapshot $snap, metric $metric, " +
+      s"nlist $n, bits $bits)"
+  }
+
   /** Resolve ONE of the table's per-column vector refs: an explicit
     * `index_column` wins; with none given the sole index is unambiguous and
     * several indexed columns are an error naming them. */
@@ -156,18 +201,35 @@ object IndexLifecycle {
       val s0 = readSource(tbl.spark, ref.idxLoc)
       val cur = currentSnapshot(tbl)
       if (cur == s0) return s"ivf index already at snapshot $cur"
+      // the ref points at either family: dispatch on the persisted kind so
+      // an ivf-rq index never degrades to plain ivf on rebuild (and its
+      // delta never hits the plain append path, whose schema lacks codes)
+      val isRq = Indexes.isRqIndex(tbl.spark, ref.idxLoc)
+      val kind = if (isRq) "ivf-rq" else "ivf"
       if (!appendOnlySince(tbl, s0, cur)) {
-        val n = Indexes.loadIvfModel(tbl.spark, ref.idxLoc).centroids.length
-        // a rebuild PRESERVES the index's build-time metric
-        Indexes.buildIvf(tbl.spark, tbl.read(None, Some(cur)), ref.embedCol,
-          ref.idxLoc, n, metric = Indexes.ivfMetric(tbl.spark, ref.idxLoc))
+        // a rebuild PRESERVES the index's build-time metric and, for the
+        // compressed family, its recorded nlist / subspace / code-width
+        val metric = Indexes.ivfMetric(tbl.spark, ref.idxLoc)
+        if (isRq) {
+          val model = Indexes.loadRqModel(tbl.spark, ref.idxLoc)
+          val m = model.pq.codebooks.length
+          Indexes.buildIvfRq(tbl.spark, tbl.read(None, Some(cur)),
+            ref.embedCol, ref.idxLoc, dim = m * model.pq.dsub,
+            nClusters = model.ivf.centroids.length, m = m,
+            ks = model.pq.codebooks(0).length, metric = metric)
+        } else {
+          val n = Indexes.loadIvfModel(tbl.spark, ref.idxLoc).centroids.length
+          Indexes.buildIvf(tbl.spark, tbl.read(None, Some(cur)), ref.embedCol,
+            ref.idxLoc, n, metric = metric)
+        }
         writeSource(tbl.spark, ref.idxLoc, cur)
-        return s"ivf index rebuilt at snapshot $cur (non-append or unreadable history)"
+        return s"$kind index rebuilt at snapshot $cur (non-append or unreadable history)"
       }
       val delta = tbl.incremental(s0, cur)
-      Indexes.appendToIvf(tbl.spark, delta, ref.embedCol, ref.idxLoc)
+      if (isRq) Indexes.appendToIvfRq(tbl.spark, delta, ref.embedCol, ref.idxLoc)
+      else Indexes.appendToIvf(tbl.spark, delta, ref.embedCol, ref.idxLoc)
       writeSource(tbl.spark, ref.idxLoc, cur)
-      s"ivf index refreshed ${s0}→$cur (delta only)"
+      s"$kind index refreshed ${s0}→$cur (delta only)"
     }
   }
 

@@ -295,6 +295,96 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(PkSearch.fullTextRef(GraftTable.load(spark, loc)).isEmpty)
   }
 
+  test("CALL index_type=ivf-rq: compressed index lifecycle — create with " +
+      "<index-type>.* options, delta refresh, RQ-preserving rebuild, TVF route") {
+    import graft.core.RowOps._
+    import graft.pipeline.Indexes
+    val loc = tmpLoc("lc-rq-call")
+    val e0 = mkEmbeddings(0, 300)
+    val t = GraftTable.create(spark, loc, e0.schema, TableConfig())
+    t.write(e0)
+    val cmsg = Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb", "index_type" -> "ivf-rq",
+        "ivf-rq.nlist" -> "4", "ivf-rq.rq.bits" -> "4",
+        "ivf-rq.pq.m" -> "4")).head().getString(0)
+    assert(cmsg.contains("ivf-rq index built") && cmsg.contains("bits 4"), cmsg)
+    val idxLoc = IndexLifecycle.vectorIndexLoc(loc, "emb")
+    assert(Indexes.isRqIndex(spark, idxLoc), "persisted kind is RQ")
+    val q = e0.filter(col("vid") === 3).select("emb").first().getSeq[Float](0)
+    // the TABLE path routes through the back-reference onto the RQ search;
+    // refine 40×10 ≥ corpus → exact re-rank == direct rqSearch
+    def tvf(): Seq[Long] = spark.sql(
+      s"SELECT vid FROM graft_vector_search('$loc', 'emb', ${arr(q)}, 10, " +
+        "'ivf.nprobe=4;ivf.refine_factor=40')").as[Long].collect().toSeq
+    def direct(): Seq[Long] = Indexes
+      .rqSearch(spark, idxLoc, "emb", q, 10, nprobe = 4, rerank = 400)
+      .select("vid").as[Long].collect().toSeq
+    assert(tvf() == direct(), s"TVF vs direct:\n${tvf()}\n${direct()}")
+    // delta refresh: appended rows assign + encode against the STORED model
+    t.write(mkEmbeddings(300, 400))
+    val rmsg = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "ivf-rq")).head().getString(0)
+    assert(rmsg.contains("ivf-rq index refreshed") &&
+      rmsg.contains("delta only"), rmsg)
+    assert(tvf() == direct(), "post-refresh TVF equals direct RQ search")
+    // COW delete → rebuild branch: the index must STAY ivf-rq with its
+    // recorded geometry, never degrade to plain ivf
+    t.delete(col("vid") % 5 === 0)
+    val rb = Procedures.call(spark, t, "refresh_global_index",
+      Map("index_type" -> "ivf-rq")).head().getString(0)
+    assert(rb.contains("ivf-rq index rebuilt"), rb)
+    assert(Indexes.isRqIndex(spark, idxLoc), "rebuild preserved the RQ kind")
+    val model = Indexes.loadRqModel(spark, idxLoc)
+    assert(model.ivf.centroids.length == 4 &&
+      model.pq.codebooks.length == 4 && model.pq.codebooks(0).length == 16,
+      "rebuild preserved nlist/pq.m/code width")
+    assert(tvf() == direct(), "post-rebuild TVF equals direct RQ search")
+    // unsupported compressed spellings are rejected loudly, naming ivf-rq
+    val ex = intercept[Exception] { Procedures.call(spark, t,
+      "create_global_index", Map("index_column" -> "emb",
+        "index_type" -> "ivf-pq")).collect() }
+    assert(ex.getMessage.contains("ivf-rq"), ex.getMessage)
+    // drop accepts the family alias
+    Procedures.call(spark, t, "drop_global_index",
+      Map("index_type" -> "ivf-rq")).collect()
+    assert(PkSearch.vectorRef(GraftTable.load(spark, loc)).isEmpty)
+  }
+
+  test("graft_full_text_search accepts the reference's argument order " +
+      "(table, column, query, limit)") {
+    val loc = tmpLoc("lc-ft-refshape")
+    val docs0 = Seq(
+      (1L, "spark table scan performance"),
+      (2L, "merge on read table"),
+      (3L, "unrelated words entirely")).toDF("doc_id", "text")
+    val t = GraftTable.create(spark, loc, docs0.schema, TableConfig())
+    t.write(docs0)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "text", "index_type" -> "full-text",
+        "id_column" -> "doc_id")).collect()
+    val viaGraft = spark.sql(
+      s"""SELECT doc_id, round(score, 4) AS s
+         |FROM graft_full_text_search('$loc', 'table scan', 10)""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    val viaRef = spark.sql(
+      s"""SELECT doc_id, round(score, 4) AS s
+         |FROM graft_full_text_search('$loc', 'text', 'table scan', 10)""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaRef == viaGraft, s"$viaRef vs $viaGraft")
+    // the reference shape + JSON query routes the DSL too
+    val viaDsl = spark.sql(
+      s"""SELECT doc_id, round(score, 4) AS s FROM graft_full_text_search(
+         |'$loc', 'text', '{"match":{"query":"table scan"}}', 10)""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaDsl == viaGraft, s"$viaDsl vs $viaGraft")
+    // a wrong column still errors with the indexed list
+    val ex = intercept[Exception] { spark.sql(
+      s"SELECT doc_id FROM graft_full_text_search('$loc', 'nope', 'x', 5)")
+      .collect() }
+    assert(ex.getMessage.contains("no full-text index on column nope"),
+      ex.getMessage)
+  }
+
   test("full-text REBUILD preserves the recorded tokenizer + positions " +
       "(non-append history must not reset ngram/phrase semantics)") {
     import graft.core.RowOps._
