@@ -350,6 +350,41 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(PkSearch.vectorRef(GraftTable.load(spark, loc)).isEmpty)
   }
 
+  test("hybrid vector route honors ivf.refine_factor on a CALL-managed " +
+      "RQ index (route options drive the rerank window)") {
+    import graft.pipeline.Indexes
+    val loc = tmpLoc("lc-hyb-rq")
+    val emb = mkEmbeddings(0, 300)
+    // a text column rides along so the table carries a full-text ref (the
+    // id-column source for hybrid fusion on an append table)
+    val docs = emb.withColumn("text",
+      concat(lit("doc word"), (col("vid") % 3).cast("string")))
+    val t = GraftTable.create(spark, loc, docs.schema, TableConfig())
+    t.write(docs)
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "text", "index_type" -> "full-text",
+        "id_column" -> "vid")).collect()
+    Procedures.call(spark, t, "create_global_index",
+      Map("index_column" -> "emb", "index_type" -> "ivf-rq",
+        "ivf-rq.nlist" -> "4", "ivf-rq.pq.m" -> "4")).collect()
+    val idxLoc = IndexLifecycle.vectorIndexLoc(loc, "emb")
+    assert(Indexes.isRqIndex(spark, idxLoc))
+    val q = emb.filter(col("vid") === 3).select("emb").first().getSeq[Float](0)
+    // ONE vector route ⇒ fusion order = route order; refine 40×10 ≥ corpus
+    // ⇒ the route must equal the direct RQ search with rerank 400
+    def hyb(opts: String): Seq[Long] = spark.sql(
+      s"""SELECT vid FROM graft_hybrid_search('$loc',
+         |  array(named_struct('field', 'emb', 'query_vector', ${arr(q)},
+         |    'limit', 10, 'weight', CAST(1.0 AS DOUBLE),
+         |    'options', map($opts))),
+         |  array(), 10, 'rrf')""".stripMargin).as[Long].collect().toSeq
+    val direct = Indexes
+      .rqSearch(spark, idxLoc, "emb", q, 10, nprobe = 4, rerank = 400)
+      .select("vid").as[Long].collect().toSeq
+    assert(hyb("'ivf.nprobe', '4', 'ivf.refine_factor', '40'") == direct,
+      "hybrid RQ route with refine must equal the direct RQ search")
+  }
+
   test("graft_full_text_search accepts the reference's argument order " +
       "(table, column, query, limit)") {
     val loc = tmpLoc("lc-ft-refshape")
