@@ -673,16 +673,26 @@ class IndexLifecycleSpec extends SparkTestBase {
     // random interleavings of {append, COW delete, refresh} against a model:
     // after every refresh the index must hold EXACTLY the table's current
     // rows (delta refreshes over pure-append runs, rebuilds after deletes),
-    // with no duplicated or resurrected ids — 2 seeds
-    for (seed <- Seq(11, 23)) {
+    // with no duplicated or resurrected ids — 2 seeds per index family
+    // (plain ivf AND compressed ivf-rq, which must also never degrade to
+    // plain on a rebuild)
+    for ((seed, family) <- Seq(11 -> "ivf", 23 -> "ivf", 31 -> "ivf-rq",
+                               47 -> "ivf-rq")) {
       val rnd = new scala.util.Random(seed)
-      val loc = tmpLoc(s"lc-fuzz-$seed")
+      val loc = tmpLoc(s"lc-fuzz-$family-$seed")
       var next = 120L
       val t = GraftTable.create(spark, loc, mkEmbeddings(0, 1).schema, TableConfig())
       t.write(mkEmbeddings(0, next.toInt))
-      Procedures.call(spark, t, "create_global_index",
-        Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4")).collect()
+      val createArgs =
+        if (family == "ivf")
+          Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4")
+        else Map("index_column" -> "emb", "index_type" -> "ivf-rq",
+          "ivf-rq.nlist" -> "4", "ivf-rq.pq.m" -> "4")
+      Procedures.call(spark, t, "create_global_index", createArgs).collect()
       val idxLoc = IndexLifecycle.vectorIndexLoc(loc, "emb")
+      def checkKind(): Unit = if (family == "ivf-rq")
+        assert(graft.pipeline.Indexes.isRqIndex(spark, idxLoc),
+          s"seed=$seed: refresh degraded the RQ index to plain ivf")
       def tableIds = t.read().select("vid").as[Long].collect().toSeq
       def idxIds = GraftTable.load(spark, idxLoc).read()
         .select("vid").as[Long].collect().toSeq
@@ -697,7 +707,8 @@ class IndexLifecycleSpec extends SparkTestBase {
             t.delete(col("vid") % p === r)
           case 2 =>
             Procedures.call(spark, t, "refresh_global_index",
-              Map("index_type" -> "ivf")).collect()
+              Map("index_type" -> family)).collect()
+            checkKind()
             val (ti, ii) = (tableIds, idxIds)
             assert(ii.size == ii.distinct.size, s"seed=$seed: duplicated ids in index")
             assert(ii.toSet == ti.toSet,
@@ -706,7 +717,8 @@ class IndexLifecycleSpec extends SparkTestBase {
         }
       }
       Procedures.call(spark, t, "refresh_global_index",
-        Map("index_type" -> "ivf")).collect()
+        Map("index_type" -> family)).collect()
+      checkKind()
       assert(idxIds.toSet == tableIds.toSet, s"seed=$seed: final refresh diverged")
     }
   }

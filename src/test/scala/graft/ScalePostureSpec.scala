@@ -203,6 +203,10 @@ class ScalePostureSpec extends SparkTestBase {
     val cases = Seq(
       "ivf" -> Map("index_column" -> "emb", "index_type" -> "ivf",
         "clusters" -> "4"),
+      // the compressed family: delta rows assign + residual-encode against
+      // the stored model — same O(delta) contract as plain ivf
+      "ivf-rq" -> Map("index_column" -> "emb", "index_type" -> "ivf-rq",
+        "ivf-rq.nlist" -> "4", "ivf-rq.pq.m" -> "4"),
       "full-text" -> Map("index_column" -> "text",
         "index_type" -> "full-text", "id_column" -> "doc_id"),
       "es" -> Map("index_type" -> "es", "id_column" -> "doc_id",
