@@ -1014,6 +1014,24 @@ object Fixtures {
       t
     }
 
+  /** [[lcDocs]] variant that STOPS after the append — NO refresh — with
+    * `full-text-index.search-mode=full` (reference full-text.mdx:285):
+    * searches must cover the unindexed 10% at query time by tokenizing the
+    * delta and scoring under merged corpus statistics, so the TVF's answer
+    * equals full-corpus BM25 even though the persisted index holds 90%. */
+  def lcDocsModeFull(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_docs_mode_full") { loc =>
+      val docs = src(spark, sfDir, "documents").select("doc_id", "text")
+      val t = GraftTable.createOrReplace(spark, loc, docs.schema,
+        TableConfig(options = Map("full-text-index.search-mode" -> "full")))
+      t.write(docs.filter(col("doc_id") % 10 =!= 0))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "text", "index_type" -> "full-text",
+          "id_column" -> "doc_id")).collect()
+      t.write(docs.filter(col("doc_id") % 10 === 0))
+      t
+    }
+
   /** Append-table embeddings copy with a CALL-managed IVF index: create on
     * 90%, append the rest, refresh (delta assigned to existing centroids). */
   def lcEmb(spark: SparkSession, sfDir: String): GraftTable =

@@ -1052,6 +1052,18 @@ object SparkEntry {
            |  'table scan fast merge', 1000000)
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
     }),
+    // search-mode=full (reference full-text.mdx:285): the index holds 90%
+    // of the corpus and the appended 10% is UNREFRESHED — the query
+    // tokenizes the delta at query time and scores under merged corpus
+    // statistics, so the answer equals full-corpus BM25
+    "q_fulltext_mode_full" -> ((s, d) => {
+      val tbl = Fixtures.lcDocsModeFull(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${tbl.location}',
+           |  'table scan fast merge', 1000000)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
     "q_call_index_es" -> ((s, d) => {
       val tbl = Fixtures.lcEsDocs(s, d)
       s.sql(
@@ -2414,6 +2426,7 @@ object SparkEntry {
     "q_fulltext_bm25" -> bm25Oracle,
     "q_fulltext_tvf" -> bm25Oracle,
     "q_call_index_fulltext" -> bm25Oracle,
+    "q_fulltext_mode_full" -> bm25Oracle,
     "q_call_index_es" ->
       s"""WITH ${bm25Cte()}
          |SELECT doc_id, round(score, 4) AS score

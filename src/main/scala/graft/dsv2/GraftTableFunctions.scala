@@ -296,9 +296,10 @@ object GraftTableFunctions {
               graft.pipeline.PkSearch.fullTextSearch(t, ref.idCol, ref.textCol,
                 graft.pipeline.FullText.tokenizeQuery(rawQuery, ref.spec), k,
                 spec = ref.spec)
-            case Some(ref) => // "plain": CALL-created persisted postings index
-              graft.pipeline.Indexes.fullTextSearchText(spark, ref.idxLoc.get,
-                rawQuery, k)
+            case Some(ref) => // "plain": CALL-created persisted postings
+              // index — the TABLE route honors full-text-index.search-mode
+              // (fast | full | detail, reference full-text.mdx:285)
+              graft.pipeline.IndexLifecycle.fullTextQuery(t, ref, rawQuery, k)
             case None =>
               graft.pipeline.Indexes.fullTextSearchText(spark, t.location,
                 rawQuery, k)

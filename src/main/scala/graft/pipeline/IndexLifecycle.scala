@@ -281,6 +281,44 @@ object IndexLifecycle {
     }
   }
 
+  /** Query entry for a PLAIN (persisted) full-text ref honoring the
+    * reference's `full-text-index.search-mode` table option
+    * (full-text.mdx:285-288): `fast` (default) serves the indexed snapshot
+    * only; `full` / `detail` also cover rows appended since the index's
+    * recorded snapshot, by tokenizing the delta at query time with the
+    * index's recorded tokenizer and scoring under merged corpus statistics
+    * ([[Indexes.MergedDslScorer]] — results equal a post-refresh search).
+    * The per-field spelling `fields.<col>.search-mode` wins over the shared
+    * option. Non-append history since the build (deletes) cannot be covered
+    * by an unindexed-range read — the search falls back to the indexed
+    * snapshot until the next refresh rebuilds. */
+  def fullTextQuery(tbl: GraftTable, ref: PkSearch.FullTextRef,
+                    rawQuery: String, k: Int): DataFrame = {
+    val loc = ref.idxLoc.get
+    val mode = tbl.config.options.getOrElse(
+      s"fields.${ref.textCol}.search-mode",
+      tbl.config.options.getOrElse("full-text-index.search-mode", "fast"))
+    require(Seq("fast", "full", "detail").contains(mode),
+      s"unknown full-text-index.search-mode $mode (fast | full | detail)")
+    lazy val s0 = readSource(tbl.spark, loc)
+    lazy val cur = currentSnapshot(tbl)
+    if (mode == "fast" || cur == s0 || !appendOnlySince(tbl, s0, cur))
+      Indexes.fullTextSearchText(tbl.spark, loc, rawQuery, k)
+    else {
+      val spec = Indexes.readTokenizer(tbl.spark, loc)
+      val withPos = Indexes.readWithPositions(tbl.spark, loc)
+      val delta = FullText.buildPostings(
+        tbl.incremental(s0, cur).select(col(ref.idCol), col(ref.textCol)),
+        ref.idCol, ref.textCol, spec, withPos)
+      val scorer = Indexes.MergedDslScorer(tbl.spark, loc, delta)
+      val dsl =
+        if (rawQuery.trim.startsWith("{")) FullText.parseDsl(rawQuery)
+        else FullText.DslMatch(rawQuery)
+      FullText.evalDsl(dsl, scorer)
+        .orderBy(col("score").desc, col("doc_id")).limit(k)
+    }
+  }
+
   /** REFRESH index_type=full-text: append tables tokenize only the delta
     * rows and MERGE their df/corpus-stat contributions (aggregation-engine
     * term stats); PK registration needs no refresh. `column` names the index
@@ -482,7 +520,9 @@ object IndexLifecycle {
           PkSearch.fullTextSearch(tbl, ref.idCol, ref.textCol,
             FullText.tokenizeQuery(r.query, ref.spec), lim, spec = ref.spec)
         case Some(ref) =>
-          Indexes.fullTextSearchText(spark, ref.idxLoc.get, r.query, lim)
+          // plain persisted ref: same mode-aware entry as the TVF (honors
+          // full-text-index.search-mode)
+          fullTextQuery(tbl, ref, r.query, lim)
         case None =>
           val loc = fullTextIndexLoc(tbl.location, r.column)
           require(GraftTable.exists(spark, loc),

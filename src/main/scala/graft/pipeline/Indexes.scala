@@ -260,6 +260,81 @@ object Indexes {
     }
   }
 
+  /** DSL scorer for `full-text-index.search-mode = full | detail`
+    * (reference full-text.mdx:285-288): the persisted postings PLUS a
+    * query-time-tokenized `delta` postings frame covering rows appended
+    * since the index snapshot, scored under MERGED document-frequency and
+    * corpus statistics — results equal what the index would return right
+    * after a refresh (differential-tested), while the persisted index stays
+    * untouched. Cost: the usual term-pruned scan + O(delta) tokenize; the
+    * delta between refreshes is bounded by the refresh cadence, so `fast`
+    * remains the scale default. */
+  case class MergedDslScorer(spark: SparkSession, loc: String,
+                             delta: DataFrame) extends FullText.DslScorer {
+    val spec: FullText.TokenizerSpec = readTokenizer(spark, loc)
+    private val base = IndexDslScorer(spark, loc)
+    private lazy val d = delta.persist()
+    private lazy val deltaCorpus = batchCorpus(d)
+    def corpus: (Long, Double) = {
+      val t = GraftTable.load(spark, loc)
+      val (n0, l0) = readCorpusSidecar(t, loc)
+      val n = n0 + deltaCorpus._1
+      (n, if (n == 0) 0.0 else (l0 + deltaCorpus._2).toDouble / n)
+    }
+    def termScores(terms: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.types._
+      val t = GraftTable.load(spark, loc)
+      val (nAll, avgdl) = corpus
+      val cols = Seq("term", "doc_id", "tf", "doc_len").map(col)
+      val hits = t.read(filter = Some(col("term").isin(terms: _*)))
+        .select(cols: _*)
+        .unionByName(d.filter(col("term").isin(terms: _*)).select(cols: _*))
+      // merged df: the terms' point read + a bounded delta aggregate
+      val dfIdx = termDfRows(spark, loc, terms)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dfDelta = d.filter(col("term").isin(terms: _*))
+        .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rows: Seq[org.apache.spark.sql.Row] = terms.distinct.flatMap { tm =>
+        val df = dfIdx.getOrElse(tm, 0L) + dfDelta.getOrElse(tm, 0L)
+        if (df == 0) None else Some(org.apache.spark.sql.Row(tm, df))
+      }
+      val dfs = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("term", StringType),
+          StructField("df", LongType))))
+      val (k1, b) = (1.2, 0.75)
+      hits.join(broadcast(dfs), "term")
+        .withColumn("idf", log(lit(1.0) +
+          (lit(nAll.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("w", col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - b + lit(b) * col("doc_len") / lit(avgdl))))
+        .groupBy("doc_id").agg(sum("w").as("score"))
+    }
+    def positionRows(terms: Seq[String]): DataFrame = {
+      val idx = base.positionRows(terms)
+      require(d.columns.contains("positions"),
+        s"$loc: phrase search in full mode needs the delta tokenized with " +
+          "positions (index built with full-text.with-position=true)")
+      val cols = Seq("term", "doc_id", "doc_len", "positions").map(col)
+      idx.select(cols: _*)
+        .unionByName(d.filter(col("term").isin(terms: _*)).select(cols: _*))
+    }
+    def expand(term: String, fuzz: Int, prefixLen: Int,
+               maxExp: Int): Seq[String] = {
+      val pref = term.take(prefixLen)
+      val fromDelta = d.select(col("term")).distinct()
+        .filter(if (prefixLen > 0) col("term").startsWith(pref) else lit(true))
+        .filter(length(col("term")).between(term.length - fuzz, term.length + fuzz))
+        .withColumn("__d", levenshtein(col("term"), lit(term)))
+        .filter(col("__d") <= fuzz && col("__d") > 0)
+        .orderBy(col("__d").asc, col("term")).limit(maxExp)
+        .select("term").collect().map(_.getString(0)).toSeq
+      (base.expand(term, fuzz, prefixLen, maxExp) ++ fromDelta)
+        .distinct.take(maxExp)
+    }
+  }
+
   // ------------------------------------------------------------------
   // IVF (persisted coarse-quantizer index, cluster = partition column)
   // ------------------------------------------------------------------

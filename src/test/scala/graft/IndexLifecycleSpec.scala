@@ -350,6 +350,61 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(PkSearch.vectorRef(GraftTable.load(spark, loc)).isEmpty)
   }
 
+  test("search-mode=full covers unindexed rows: equals the post-refresh " +
+      "search across match/And/fuzzy/phrase, fast mode stays snapshot-bound") {
+    import graft.pipeline.Indexes
+    val docs0 = Seq(
+      (1L, "spark reads parquet fast and spark scans tables"),
+      (2L, "parquet scans are fast"),
+      (3L, "tables without the magic word"),
+      (4L, "spark writes parquet slowly")).toDF("doc_id", "text")
+    val delta = Seq(
+      (5L, "fast spark fast parquet"),
+      (6L, "spark scans parquet tables")).toDF("doc_id", "text")
+    def mk(mode: String, name: String): GraftTable = {
+      val loc = tmpLoc(name)
+      val t = GraftTable.create(spark, loc, docs0.schema, TableConfig(
+        options = Map("full-text-index.search-mode" -> mode)))
+      t.write(docs0)
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "text", "index_type" -> "full-text",
+          "id_column" -> "doc_id", "full-text.with-position" -> "true")).collect()
+      t.write(delta) // unindexed rows
+      t
+    }
+    def search(t: GraftTable, q: String): Seq[(Long, Double)] = spark.sql(
+      s"""SELECT doc_id, round(score, 6) AS s
+         |FROM graft_full_text_search('${t.location}', '$q', 100)
+         |ORDER BY s DESC, doc_id""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    val full = mk("full", "lc-mode-full")
+    val fast = mk("fast", "lc-mode-fast")
+    // the post-refresh ground truth: same corpus, index refreshed
+    val refreshed = mk("fast", "lc-mode-refd")
+    Procedures.call(spark, refreshed, "refresh_global_index",
+      Map("index_type" -> "full-text")).collect()
+    val queries = Seq(
+      "spark parquet",                                      // plain Or
+      """{"match":{"query":"spark parquet","operator":"And"}}""",
+      """{"match":{"query":"spak","fuzziness":1}}""",       // delta term hits
+      """{"match_phrase":{"query":"spark scans"}}""",       // delta doc 6
+      """{"boolean":{"must":[{"match":{"query":"parquet"}}],
+        |"must_not":[{"match":{"query":"slowly"}}]}}""".stripMargin)
+    queries.foreach { q =>
+      assert(search(full, q) == search(refreshed, q),
+        s"mode=full must equal post-refresh for $q")
+    }
+    // fast mode stays bound to the indexed snapshot: doc 5/6 invisible
+    assert(!search(fast, "fast spark").exists(r => r._1 == 5L || r._1 == 6L),
+      "fast mode must not see unindexed rows")
+    // and mode=full sees them
+    assert(search(full, "fast spark").exists(_._1 == 5L))
+    // unknown mode fails loudly
+    val bad = mk("nope", "lc-mode-bad")
+    val ex = intercept[Exception] { search(bad, "spark") }
+    assert(ex.getMessage.contains("search-mode"), ex.getMessage)
+  }
+
   test("hybrid vector route honors ivf.refine_factor on a CALL-managed " +
       "RQ index (route options drive the rerank window)") {
     import graft.pipeline.Indexes
