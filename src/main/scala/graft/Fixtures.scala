@@ -1048,6 +1048,24 @@ object Fixtures {
       t
     }
 
+  /** [[lcEmb]] variant that STOPS after the append — NO refresh — with
+    * `vector-index.search-mode=full` (reference global-index.mdx:314-359):
+    * searches must cover the unindexed 10% with an exact raw-data
+    * brute-force merged into the index candidates, so with nprobe=all the
+    * TVF's answer equals full-corpus exact search. */
+  def lcEmbModeFull(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "lc_emb_mode_full") { loc =>
+      val emb = src(spark, sfDir, "embeddings")
+      val t = GraftTable.createOrReplace(spark, loc, emb.schema, TableConfig(
+        options = Map("vector-index.search-mode" -> "full")))
+      t.write(emb.filter(col("vec_id") % 10 =!= 0))
+      Procedures.call(spark, t, "create_global_index",
+        Map("index_column" -> "embedding", "index_type" -> "ivf",
+          "clusters" -> "8")).collect()
+      t.write(emb.filter(col("vec_id") % 10 === 0))
+      t
+    }
+
   /** Append-table embeddings copy with a CALL-managed COMPRESSED (ivf-rq)
     * index — reference `index_type => 'ivf-rq'` with `<index-type>.*`
     * options (vector.mdx:58,190): create on 90%, append the rest, refresh

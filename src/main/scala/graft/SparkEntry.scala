@@ -1079,6 +1079,18 @@ object SparkEntry {
         s"""SELECT vec_id, round(score, 4) AS sim
            |FROM graft_vector_search('${tbl.location}', 10, 8, $arr)""".stripMargin)
     }),
+    // vector-index.search-mode=full (reference global-index.mdx:314): the
+    // index holds 90% and the appended 10% is UNREFRESHED — the search
+    // brute-forces the delta and merges it with the index candidates, so
+    // with nprobe=all the answer equals full-corpus exact search
+    "q_vector_mode_full" -> ((s, d) => {
+      val tbl = Fixtures.lcEmbModeFull(s, d)
+      val q = Fixtures.queryVec(s, d, 1)
+      val arr = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, round(score, 4) AS sim
+           |FROM graft_vector_search('${tbl.location}', 10, 8, $arr)""".stripMargin)
+    }),
     // CALL-managed COMPRESSED index (reference index_type => 'ivf-rq',
     // vector.mdx:58): created with <index-type>.* options, delta-refreshed
     // (assign + residual-encode only the appended rows), routed through the
@@ -2434,6 +2446,13 @@ object SparkEntry {
          |WHERE lang = 'en'
          |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
     "q_call_index_vector" ->
+      """SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) AS sim
+        |  FROM embeddings e)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vector_mode_full" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
         |  SELECT e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[],

@@ -395,8 +395,11 @@ object GraftTableFunctions {
           graft.pipeline.PkSearch.vectorSearch(t, ref.idxLoc, ref.embedCol,
             vec, k, npFor(ref.idxLoc), metric = metricOf(ref.idxLoc),
             scoreCol = "score", partitionFilter = filter)
-        case Some(ref) => // "plain": CALL-created persisted IVF/RQ index
-          routeLoc(ref.idxLoc, ref.embedCol)
+        case Some(ref) => // "plain": CALL-created persisted IVF/RQ index —
+          // the TABLE route honors vector-index.search-mode (fast | full |
+          // detail, reference global-index.mdx:314-359)
+          graft.pipeline.IndexLifecycle.vectorQuery(t, ref, vec, k,
+            npFor(ref.idxLoc), rerank = rerank, filter = filter)
         case None =>
           routeLoc(t.location,
             colOpt.orElse(Indexes.ivfEmbedCol(spark, t.location))

@@ -150,6 +150,51 @@ object IndexLifecycle {
       s"nlist $n, bits $bits)"
   }
 
+  /** Query entry for a PLAIN (persisted ivf / ivf-rq) vector ref honoring
+    * the reference's `vector-index.search-mode` table option
+    * (global-index.mdx:314-359; legacy fallback `global-index.search-mode`,
+    * per-field `fields.<col>.search-mode` wins): `fast` (default) serves
+    * the indexed snapshot only; `full` / `detail` also cover rows appended
+    * since the index's recorded snapshot with an EXACT brute-force over the
+    * delta (the reference's raw-data search of unindexed row ranges),
+    * merged with the index candidates and re-top-k'd — vector scores are
+    * corpus-independent, so the merge is exact. Non-append history since
+    * the build (deletes/rewrites) falls back to the indexed snapshot until
+    * the next refresh rebuilds. */
+  def vectorQuery(tbl: GraftTable, ref: PkSearch.VectorRef, vec: Seq[Float],
+                  k: Int, nprobe: Int, rerank: Int = 0,
+                  filter: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = tbl.spark
+    val loc = ref.idxLoc
+    val metric = Indexes.ivfMetric(spark, loc)
+    def idxSearch() =
+      if (Indexes.isRqIndex(spark, loc))
+        Indexes.rqSearch(spark, loc, ref.embedCol, vec, k, nprobe,
+          rerank = rerank, metric = metric, scoreCol = "score", filter = filter)
+      else
+        Indexes.ivfSearch(spark, loc, ref.embedCol, vec, k, nprobe,
+          metric = metric, scoreCol = "score", filter = filter)
+    val mode = tbl.config.options.getOrElse(
+      s"fields.${ref.embedCol}.search-mode",
+      tbl.config.options.getOrElse("vector-index.search-mode",
+        tbl.config.options.getOrElse("global-index.search-mode", "fast")))
+    require(Seq("fast", "full", "detail").contains(mode),
+      s"unknown vector-index.search-mode $mode (fast | full | detail)")
+    lazy val s0 = readSource(spark, loc)
+    lazy val cur = currentSnapshot(tbl)
+    if (mode == "fast" || cur == s0 || !appendOnlySince(tbl, s0, cur))
+      idxSearch()
+    else {
+      val delta0 = tbl.incremental(s0, cur)
+      val delta = filter.map(delta0.filter).getOrElse(delta0)
+      val deltaTop =
+        Similarity.bruteForceTopK(delta, ref.embedCol, vec, k, metric, "score")
+      val ord = if (metric == "l2") col("score").asc else col("score").desc
+      idxSearch().unionByName(deltaTop).orderBy(ord).limit(k)
+    }
+  }
+
   /** Resolve ONE of the table's per-column vector refs: an explicit
     * `index_column` wins; with none given the sole index is unambiguous and
     * several indexed columns are an error naming them. */
@@ -297,7 +342,8 @@ object IndexLifecycle {
     val loc = ref.idxLoc.get
     val mode = tbl.config.options.getOrElse(
       s"fields.${ref.textCol}.search-mode",
-      tbl.config.options.getOrElse("full-text-index.search-mode", "fast"))
+      tbl.config.options.getOrElse("full-text-index.search-mode",
+        tbl.config.options.getOrElse("global-index.search-mode", "fast")))
     require(Seq("fast", "full", "detail").contains(mode),
       s"unknown full-text-index.search-mode $mode (fast | full | detail)")
     lazy val s0 = readSource(tbl.spark, loc)
@@ -491,8 +537,11 @@ object IndexLifecycle {
           (PkSearch.vectorSearch(tbl, ref.idxLoc, ref.embedCol, r.query, lim,
             r.nprobe, metric = m, scoreCol = "score"), m)
         case Some(ref) =>
+          // plain persisted ref: the same mode-aware entry as the TVF
+          // (honors vector-index.search-mode)
           val m = Indexes.ivfMetric(spark, ref.idxLoc)
-          (searchLoc(ref.idxLoc, ref.embedCol, m), m)
+          (vectorQuery(tbl, ref, r.query, lim, r.nprobe,
+            rerank = r.refineFactor.map(_ * lim).getOrElse(0)), m)
         case None =>
           val loc = vectorIndexLoc(tbl.location, r.field)
           require(GraftTable.exists(spark, loc),

@@ -405,6 +405,46 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(ex.getMessage.contains("search-mode"), ex.getMessage)
   }
 
+  test("vector-index.search-mode=full covers unindexed rows: equals the " +
+      "post-refresh search for ivf AND ivf-rq; fast stays snapshot-bound") {
+    import graft.pipeline.Indexes
+    for (family <- Seq("ivf", "ivf-rq")) {
+      val createArgs =
+        if (family == "ivf")
+          Map("index_column" -> "emb", "index_type" -> "ivf", "clusters" -> "4")
+        else Map("index_column" -> "emb", "index_type" -> "ivf-rq",
+          "ivf-rq.nlist" -> "4", "ivf-rq.pq.m" -> "4")
+      def mk(mode: String, name: String): GraftTable = {
+        val loc = tmpLoc(name)
+        val e0 = mkEmbeddings(0, 200)
+        val t = GraftTable.create(spark, loc, e0.schema, TableConfig(
+          options = Map("vector-index.search-mode" -> mode)))
+        t.write(e0)
+        Procedures.call(spark, t, "create_global_index", createArgs).collect()
+        t.write(mkEmbeddings(200, 260)) // unindexed rows
+        t
+      }
+      val q = mkEmbeddings(0, 200).filter(col("vid") === 3)
+        .select("emb").first().getSeq[Float](0)
+      // refine 40×10 ≥ corpus on the RQ route so both families are exact
+      // within their probed candidates — the full/refreshed equality is
+      // then deterministic
+      def search(t: GraftTable): Seq[Long] = spark.sql(
+        s"SELECT vid FROM graft_vector_search('${t.location}', 10, 4, " +
+          s"${arr(q)}, '', '', 'ivf.refine_factor=40')")
+        .as[Long].collect().toSeq
+      val full = mk("full", s"lc-vmode-full-$family")
+      val fast = mk("fast", s"lc-vmode-fast-$family")
+      val refreshed = mk("fast", s"lc-vmode-refd-$family")
+      Procedures.call(spark, refreshed, "refresh_global_index",
+        Map("index_type" -> family)).collect()
+      assert(search(full) == search(refreshed),
+        s"$family: mode=full must equal the post-refresh search")
+      assert(!search(fast).exists(_ >= 200L),
+        s"$family: fast mode must not see unindexed rows")
+    }
+  }
+
   test("hybrid vector route honors ivf.refine_factor on a CALL-managed " +
       "RQ index (route options drive the rerank window)") {
     import graft.pipeline.Indexes
