@@ -149,12 +149,17 @@ object GlobalIndex {
     GraftTable.load(spark, indexLoc(tableLoc, colName))
   }
 
-  /** Index freshness: Some(index, covered partition specs) iff it exists
-    * and covers the CURRENT snapshot; None → caller falls back to a plain
-    * scan. Empty specs = the whole table is covered. */
+  /** Index freshness: Some(index, covered partition specs) iff index use is
+    * enabled, it exists and covers the CURRENT snapshot; None → caller
+    * falls back to a plain scan. Empty specs = the whole table is covered.
+    * `global-index.enabled=false` (reference global-index.mdx:361-383)
+    * disables acceleration while KEEPING the index files — flip it back to
+    * resume using them. */
   private def freshIndex(spark: SparkSession, tableLoc: String, colName: String)
       : Option[(GraftTable, Seq[Map[String, String]])] = {
     val t = GraftTable.load(spark, tableLoc)
+    if (!t.config.options.getOrElse("global-index.enabled", "true").toBoolean)
+      return None
     val mp = metaPath(tableLoc, colName)
     if (!t.sm.fs.exists(mp)) return None
     val m = Json.mapper.readValue(t.sm.readString(mp),

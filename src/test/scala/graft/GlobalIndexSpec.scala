@@ -37,6 +37,24 @@ class GlobalIndexSpec extends SparkTestBase {
     assertSameRows(got, t.read().filter(col("v").isin(4242L, 7L)))
   }
 
+  test("global-index.enabled=false disables acceleration, keeps the files, " +
+      "and flips back on (reference ALTER TABLE toggle)") {
+    val (loc, t) = mkIndexed("gi-toggle")
+    val total = t.planFiles().size
+    assert(GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(4242L)) == 1)
+    // disable: lookups fall back to the plain scan, results stay correct,
+    // index files stay on disk
+    t.setOption("global-index.enabled", "false")
+    assert(GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(4242L))
+      == total, "disabled index must not prune")
+    assertSameRows(
+      GlobalIndex.readEquality(spark, loc, "v", Seq(4242L)),
+      t.read().filter(col("v") === 4242L))
+    // re-enable: the KEPT files accelerate again, no rebuild needed
+    GraftTable.load(spark, loc).setOption("global-index.enabled", "true")
+    assert(GlobalIndex.plannedFilesForEquality(spark, loc, "v", Seq(4242L)) == 1)
+  }
+
   test("partition-restricted build: exact lookups under partial coverage") {
     // the 100-TB operational mode (reference create_global_index
     // partitions => ...): index ONLY region=eu; region=us files must stay
