@@ -134,6 +134,34 @@ object Fixtures {
       t
     }
 
+  /** Table created ENTIRELY through the DataFrame writer API (reference
+    * docs/spark/dataframe.md): create-on-write with `primary-key` option +
+    * `partitionBy`, then a dynamic-partition overwrite of the 1-URGENT
+    * partition (totalprice halved) via `.mode("overwrite")`. Exercises the
+    * CreatableRelationProvider create path AND the DSv2 dynamic-overwrite
+    * path with zero SQL. */
+  def ordersDfw(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_dfw") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      orders.write.format("graft")
+        .option("primary-key", "o_orderkey,o_orderpriority")
+        .option("bucket", "4")
+        .partitionBy("o_orderpriority")
+        .save(loc)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try {
+        orders.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+          .write.format("graft").mode("overwrite").save(loc)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      GraftTable.load(spark, loc)
+    }
+
   /** PK dedup table over orders; snapshots: 1 = orders, 2 = +10%-key updates
     * (price*2, priority X-UPD), 3 = COMPACT. Tag v1 → snapshot 1. */
   def ordersPk(spark: SparkSession, sfDir: String): GraftTable =
@@ -939,6 +967,16 @@ object Fixtures {
     catalogFixture(spark, sfDir, "events_sql",
       s"($cols) PARTITIONED BY (event_type)", "events")
   }
+
+  /** Catalog-SQL fixture: embeddings table whose vector column is declared
+    * via the reference's `__VECTOR_FIELD;64` COMMENT directive (vector.mdx
+    * "Create Table") — the directive alone registers the column in the
+    * `vector-field` option and arms write-time dimension enforcement. */
+  def sqlVectorDirective(spark: SparkSession, sfDir: String): String =
+    catalogFixture(spark, sfDir, "emb_directive",
+      """(vec_id BIGINT,
+          embedding ARRAY<FLOAT> COMMENT '__VECTOR_FIELD;64; unit embedding',
+          label INT)""", "embeddings")
 
   /** PK table over embeddings with a FILE-ALIGNED vector index: the index is
     * built at snapshot 1, then the table advances — an upsert reverses every

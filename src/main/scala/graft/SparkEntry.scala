@@ -411,6 +411,11 @@ object SparkEntry {
     }),
     "q_overwrite_dynamic" -> ((s, d) => Fixtures.eventsOw(s, d).read()
       .groupBy("event_type").agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
+    // DataFrame-writer-API table: created via save() with primary-key +
+    // partitionBy, 1-URGENT partition dynamically overwritten at half price
+    "q_df_write" -> ((s, d) => Fixtures.ordersDfw(s, d).read()
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
     "q_schema_evolution" -> ((s, d) => Fixtures.ordersEvo(s, d).read()
       .groupBy(coalesce(col("comment"), lit("-")).as("comment"))
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
@@ -1143,6 +1148,16 @@ object SparkEntry {
           round(element_at(col("emb"), 1).cast("double"), 4).as("e_first"),
           round(element_at(col("emb"), 64).cast("double"), 4).as("e_last"))
         .orderBy("vec_id").limit(25)
+    }),
+    // __VECTOR_FIELD;64 comment directive (vector.mdx "Create Table"): the
+    // SQL comment alone declares the vector column — dimension enforced,
+    // vector-field option registered, directive stripped from the comment
+    "q_vector_directive" -> ((s, d) => {
+      val tbl = Fixtures.sqlVectorDirective(s, d)
+      s.sql(s"""SELECT vec_id, size(embedding) AS dim,
+                round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS e_first,
+                round(CAST(element_at(embedding, 64) AS DOUBLE), 4) AS e_last
+                FROM $tbl ORDER BY vec_id LIMIT 25""")
     }),
     // FULL-TEXT QUERY DSL (reference full-text.mdx "Query DSL"): match with
     // operator=And, fuzziness expansion over the term dictionary, boolean
@@ -2034,6 +2049,11 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(CASE WHEN event_type = 'error' THEN 0 ELSE value END), 2) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_df_write" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |               THEN o_totalprice * 0.5 ELSE o_totalprice END), 2) AS total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_merge_schema" ->
       """SELECT n_nationkey,
         |  CAST(CASE WHEN n_nationkey >= 20 THEN n_regionkey + 4000000000
@@ -2491,6 +2511,11 @@ object SparkEntry {
         |FROM events e JOIN m USING (user_id)
         |GROUP BY 1, 2, 3""".stripMargin,
     "q_vector_ddl" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(embedding[1]::DOUBLE, 4) AS e_first,
+        |  round(embedding[64]::DOUBLE, 4) AS e_last
+        |FROM embeddings ORDER BY vec_id LIMIT 25""".stripMargin,
+    "q_vector_directive" ->
       """SELECT vec_id, len(embedding) AS dim,
         |  round(embedding[1]::DOUBLE, 4) AS e_first,
         |  round(embedding[64]::DOUBLE, 4) AS e_last

@@ -67,9 +67,11 @@ case class TableConfig(
   * yet) ⇒ children take their position as id — consistent, because a version
   * without the map is by construction prior to any nested change. */
 case class FieldDef(id: Int, name: String, dataType: String, nullable: Boolean = true,
-                    nestedIds: Option[Map[String, Int]] = None) {
+                    nestedIds: Option[Map[String, Int]] = None,
+                    comment: Option[String] = None) {
   /** Null-safe accessor (jackson-scala leaves absent Options null). */
   def nestedIdMap: Option[Map[String, Int]] = Option(nestedIds).flatten
+  def commentOpt: Option[String] = Option(comment).flatten
 }
 case class TableSchema(
     id: Long,
@@ -78,12 +80,15 @@ case class TableSchema(
     timestampMs: Long) {
   // lazy: DataType.fromDDL runs the SQL parser per field — parse once
   lazy val sparkSchema: StructType =
-    StructType(fields.map(f => StructField(f.name, DataType.fromDDL(f.dataType), f.nullable)))
+    StructType(fields.map { f =>
+      val sf = StructField(f.name, DataType.fromDDL(f.dataType), f.nullable)
+      f.commentOpt.fold(sf)(sf.withComment)
+    })
 }
 object TableSchema {
   def fromSpark(id: Long, st: StructType, config: TableConfig): TableSchema =
     TableSchema(id, st.fields.zipWithIndex.map { case (f, i) =>
-      FieldDef(i, f.name, f.dataType.sql, f.nullable)
+      FieldDef(i, f.name, f.dataType.sql, f.nullable, comment = f.getComment())
     }.toSeq, config, System.currentTimeMillis())
 }
 

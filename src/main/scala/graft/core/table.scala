@@ -1627,7 +1627,8 @@ class GraftTable private (
     val maxId = (0L to sm.latestSchemaId)
       .flatMap(id => sm.readSchema(id).fields.map(_.id)).max
     val added = newCols.zipWithIndex.map { case (f, i) =>
-      FieldDef(maxId + 1 + i, f.name, f.dataType.sql, nullable = true)
+      FieldDef(maxId + 1 + i, f.name, f.dataType.sql, nullable = true,
+        comment = f.getComment())
     }
     sm.writeSchema(TableSchema(cur.id + 1, cur.fields ++ added, cur.config,
       System.currentTimeMillis()))
@@ -1666,6 +1667,39 @@ class GraftTable private (
       s"cannot rename key/partition/sequence column $oldName")
     val fields = cur.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f)
+    sm.writeSchema(TableSchema(cur.id + 1, fields, cur.config,
+      System.currentTimeMillis()))
+  }
+
+  /** ALTER TABLE … ALTER COLUMN c COMMENT '…' (sql-alter.md "Changing
+    * Column Comment"): metadata-only schema bump. Empty string clears. */
+  def setColumnComment(name: String, comment: Option[String]): Unit = {
+    val cur = schema
+    require(cur.fields.exists(_.name == name), s"no column $name")
+    val fields = cur.fields.map(f =>
+      if (f.name == name) f.copy(comment = comment.filter(_.nonEmpty)) else f)
+    sm.writeSchema(TableSchema(cur.id + 1, fields, cur.config,
+      System.currentTimeMillis()))
+  }
+
+  /** Reorder a column (paimon SchemaChange.Move / Spark ALTER COLUMN …
+    * FIRST | AFTER x, reference docs/spark/sql-alter.md "Changing Column
+    * Position"): metadata-only — field ids are untouched, so files written
+    * under any order keep serving their data through the id remap. `after`
+    * None ⇒ FIRST. */
+  def moveColumn(name: String, after: Option[String]): Unit = {
+    val cur = schema
+    val field = cur.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    require(!after.contains(name), s"cannot move $name after itself")
+    val rest = cur.fields.filterNot(_.name == name)
+    val fields = after match {
+      case None => field +: rest
+      case Some(anchor) =>
+        val i = rest.indexWhere(_.name == anchor)
+        require(i >= 0, s"no column $anchor")
+        (rest.take(i + 1) :+ field) ++ rest.drop(i + 1)
+    }
     sm.writeSchema(TableSchema(cur.id + 1, fields, cur.config,
       System.currentTimeMillis()))
   }

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util
@@ -112,9 +112,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sessionState.newHadoopConf())
   private def dbPath(ns: String): Path = new Path(warehouse, s"$ns.db")
-  private def tablePath(ident: Identifier): String = {
+  /** Catalog slot for the table — for EXTERNAL tables this directory holds
+    * only the `_external.json` pointer, never data. */
+  private def rawTablePath(ident: Identifier): String = {
     val ns = ident.namespace().mkString(".")
     new Path(dbPath(ns), ident.name()).toString
+  }
+
+  private def externalPointer(raw: String): Path = new Path(raw, "_external.json")
+
+  /** Data location: the external pointer's target when one exists
+    * (reference docs/spark/sql-ddl.md "Create External Table"), else the
+    * catalog slot itself (managed). */
+  private def tablePath(ident: Identifier): String = {
+    val raw = rawTablePath(ident)
+    val m = externalPointer(raw)
+    if (fs.exists(m)) Json.read(readString(m), classOf[GraftExternalDef]).location
+    else raw
   }
   /** Location of `db.table` (used by the TVF identifier resolution). */
   def tableLocation(db: String, table: String): String =
@@ -253,28 +267,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   /** Session-level option injection (paimon spark/auxiliary.md `SET
     * spark.paimon.*`): `SET spark.graft.<key> = v` applies `<key>` as a read
     * option on every graft table of the session; `SET
-    * spark.graft.<db>.<table>.<key> = v` scopes it to one table (the scoped
-    * form wins). Lets ops pin e.g. `scan.snapshot-id` or `scan.fallback-
-    * branch` without rewriting queries. */
+    * spark.graft.<db>.<table>.<key> = v` scopes it to one table; `SET
+    * spark.graft.<catalog>.<db>.<table>.<key> = v` is the reference's full
+    * form where each of catalog/db/table may be `*` (matching everything in
+    * that position). More specific scopes win — exact segments beat `*`,
+    * any scoped form beats the global key. Lets ops pin e.g.
+    * `scan.snapshot-id` or `scan.fallback-branch` without rewriting
+    * queries. */
   private def sessionOptionOverrides(ident: Identifier): Map[String, String] = {
     val graftKeys = spark.conf.getAll.collect {
       case (k, v) if k.startsWith("spark.graft.") =>
         k.stripPrefix("spark.graft.") -> v
     }
     if (graftKeys.isEmpty) return Map.empty
-    val scopedPrefix = s"${ident.namespace().mkString(".")}.${ident.name()}."
-    // a key is table-scoped iff its first segment names an existing database
-    // (option keys — scan.*, read.*, metadata.* — never collide with one)
-    def scopedToOtherTable(key: String): Boolean = {
-      val parts = key.split('.')
-      parts.length >= 3 && namespaceExists(Array(parts(0)))
+    val db = ident.namespace().mkString(".")
+    val tbl = ident.name()
+    // (specificity, optionKey, value): global = 0, legacy db.table = 3,
+    // full form = 1 + number of non-wildcard segments (max 4, so an exact
+    // catalog.db.table pin outranks the legacy spelling outranks wildcards)
+    val resolved = graftKeys.flatMap { case (k, v) =>
+      val parts = k.split('.')
+      def matches(pat: String, actual: String) = pat == "*" || pat == actual
+      if (parts.length >= 4 &&
+          (parts(0) == "*" || parts(0) == catalogName) &&
+          // full catalog.db.table form — never mistaken for an option key:
+          // option keys (scan.*, read.*, …) don't start with the catalog
+          // name or `*`
+          (parts(0) == "*" || parts(1) == "*" || parts(2) == "*" ||
+            namespaceExists(Array(parts(1))))) {
+        if (matches(parts(0), catalogName) && matches(parts(1), db) &&
+            matches(parts(2), tbl))
+          Some((1 + parts.take(3).count(_ != "*"),
+            parts.drop(3).mkString("."), v))
+        else None // scoped to some other table: drop entirely
+      } else if (parts.length >= 3 && namespaceExists(Array(parts(0)))) {
+        // legacy db.table form (first segment names an existing database —
+        // option keys never collide with one)
+        if (parts(0) == db && parts(1) == tbl)
+          Some((3, parts.drop(2).mkString("."), v))
+        else None
+      } else Some((0, k, v))
     }
-    val global = graftKeys.filter { case (k, _) =>
-      !k.startsWith(scopedPrefix) && !scopedToOtherTable(k) }
-    val scoped = graftKeys.collect {
-      case (k, v) if k.startsWith(scopedPrefix) => k.stripPrefix(scopedPrefix) -> v
+    resolved.groupBy(_._2).map { case (optKey, hits) =>
+      optKey -> hits.maxBy(_._1)._3
     }
-    global ++ scoped
   }
 
   /** VERSION AS OF: numeric snapshot id or tag name. */
@@ -316,10 +352,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       else throw new UnsupportedOperationException(
         s"graft supports identity partitioning only, got $tr")
     }
-    val fieldAggs = props.collect {
-      case (k, v) if k.startsWith("fields.") && k.endsWith(".aggregate-function") =>
-        k.stripPrefix("fields.").stripSuffix(".aggregate-function") -> v
-    }
     // iceberg hadoop-catalog storage: all tables' iceberg metadata under one
     // <warehouse>/iceberg tree, so the whole catalog mounts as an Iceberg
     // Hadoop-catalog warehouse (paimon metadata.iceberg.storage=hadoop-catalog)
@@ -330,17 +362,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           new Path(warehouse,
             s"iceberg/${ident.namespace().mkString(".")}/${ident.name()}/metadata").toString)
       else Map.empty
-    val config = TableConfig(
-      primaryKeys = props.get("primary-key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
-      partitionKeys = partitionKeys,
-      numBuckets = props.getOrElse("bucket", "4").toInt,
-      mergeEngine = props.getOrElse("merge-engine", "deduplicate"),
-      sequenceField = props.get("sequence.field"),
-      fieldAggregates = fieldAggs,
-      defaultAggregate = props.get("fields.default-aggregate-function"),
-      options = (props -- Seq("primary-key", "bucket", "merge-engine", "sequence.field",
-        "path", "provider", "location", "owner")) ++ icebergLoc)
-    new GraftSparkTable(GraftTable.create(spark, tablePath(ident), schema, config))
+    val (schemaV, vectorProps) = GraftCatalog.applyVectorDirectives(schema)
+    val config = GraftCatalog.configFromProps(
+      props ++ vectorProps ++ icebergLoc, partitionKeys)
+    // CREATE [EXTERNAL] TABLE … LOCATION '/path' (reference
+    // docs/spark/sql-ddl.md "Create External Table"): the catalog slot holds
+    // only a pointer; DROP removes the pointer, never the data. If the
+    // location already stores a graft table, adopt its metadata — any
+    // explicitly specified schema/keys must agree with it.
+    props.get("location").filter(_.nonEmpty) match {
+      case Some(loc0) =>
+        val loc = new Path(loc0).toString
+        val raw = rawTablePath(ident)
+        require(loc != raw, "explicit LOCATION equals the managed path")
+        require(!fs.exists(new Path(raw)), s"table $ident exists")
+        val t =
+          if (GraftTable.exists(spark, loc)) {
+            val existing = GraftTable.load(spark, loc)
+            if (schemaV.nonEmpty)
+              require(schemaV.map(f => (f.name, f.dataType)) ==
+                  existing.schema.sparkSchema.map(f => (f.name, f.dataType)),
+                s"declared schema does not match the table at $loc")
+            if (partitionKeys.nonEmpty)
+              require(partitionKeys == existing.config.partitionKeys,
+                s"declared partitioning does not match the table at $loc")
+            if (config.primaryKeys.nonEmpty)
+              require(config.primaryKeys == existing.config.primaryKeys,
+                s"declared primary key does not match the table at $loc")
+            config.options.filterNot(_._1 == "external").foreach { case (k, v) =>
+              require(existing.config.options.get(k).contains(v),
+                s"property $k does not match the table at $loc")
+            }
+            existing
+          } else GraftTable.create(spark, loc, schemaV,
+            config.copy(options = config.options - "external"))
+        val m = externalPointer(raw)
+        fs.mkdirs(m.getParent)
+        val out = fs.create(m, false)
+        try out.write(Json.write(GraftExternalDef(loc))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        new GraftSparkTable(t)
+      case None =>
+        new GraftSparkTable(GraftTable.create(spark, tablePath(ident), schemaV, config))
+    }
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -350,6 +415,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         t.addColumns(org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType(), add.isNullable))
+        // ADD COLUMN … FIRST | AFTER x (sql-alter.md "Adding Column
+        // Position"): append under a fresh id, then the metadata-only move
+        add.position() match {
+          case null => ()
+          case _: TableChange.First => t.moveColumn(add.fieldNames()(0), None)
+          case a: TableChange.After =>
+            t.moveColumn(add.fieldNames()(0), Some(a.column()))
+          case other => throw new UnsupportedOperationException(
+            s"column position $other")
+        }
       case add: TableChange.AddColumn if add.fieldNames().length == 2 =>
         t.addNestedColumn(add.fieldNames()(0), add.fieldNames()(1), add.dataType())
       case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
@@ -363,6 +438,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames().length == 1, "nested retype not supported")
         t.updateColumnType(ut.fieldNames()(0), ut.newDataType())
+      case cc: TableChange.UpdateColumnComment =>
+        require(cc.fieldNames().length == 1, "nested comment not supported")
+        t.setColumnComment(cc.fieldNames()(0), Option(cc.newComment()))
+      case mv: TableChange.UpdateColumnPosition =>
+        require(mv.fieldNames().length == 1, "nested reorder not supported")
+        t.moveColumn(mv.fieldNames()(0), mv.position() match {
+          case _: TableChange.First => None
+          case a: TableChange.After => Some(a.column())
+        })
       case sp: TableChange.SetProperty =>
         t.setOption(sp.property(), sp.value())
       case rp: TableChange.RemoveProperty =>
@@ -374,12 +458,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def dropTable(ident: Identifier): Boolean = {
     requirePriv("DROP_TABLE", ident.namespace().mkString("."), ident.name())
-    fs.delete(new Path(tablePath(ident)), true)
+    // external tables: drop the catalog pointer, keep the data
+    // (sql-ddl.md "Create External Table" drop semantics)
+    fs.delete(new Path(rawTablePath(ident)), true)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    fs.mkdirs(new Path(tablePath(newIdent)).getParent)
-    if (!fs.rename(new Path(tablePath(oldIdent)), new Path(tablePath(newIdent))))
+    // rename moves the catalog slot (pointer for external tables — their
+    // data never moves; whole data dir for managed ones)
+    fs.mkdirs(new Path(rawTablePath(newIdent)).getParent)
+    if (!fs.rename(new Path(rawTablePath(oldIdent)), new Path(rawTablePath(newIdent))))
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
   }
 
@@ -542,6 +630,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     fs.delete(viewPath(oldIdent), false)
   }
 }
+
+object GraftCatalog {
+  /** Table-property map → [[TableConfig]] (shared by the catalog CREATE
+    * TABLE path and the DataFrame-API create-on-write path —
+    * `df.write.format("graft").option("primary-key", ...)`, reference
+    * docs/spark/dataframe.md "Create Table"). Reserved writer/catalog keys
+    * are stripped from the persisted option map. */
+  /** `__VECTOR_FIELD;{dim}[; comment]` column-comment directive (reference
+    * docs/multimodal-table/vector.mdx "Create Table"): an `ARRAY<FLOAT>` /
+    * `ARRAY<DOUBLE>` column commented with the directive is registered as a
+    * vector field — `fields.<col>.dimension` arms the write-time dimension
+    * check, the column joins the `vector-field` option list, and the
+    * directive is stripped from the stored comment (the optional trailing
+    * text is kept). */
+  private[dsv2] def applyVectorDirectives(
+      schema: StructType): (StructType, Map[String, String]) = {
+    val directive = """^__VECTOR_FIELD;(\d+)\s*(?:;\s*(.*))?$""".r
+    var props = Map.empty[String, String]
+    var vectorFields = List.empty[String]
+    val fields = schema.fields.map { f =>
+      f.getComment() match {
+        case Some(directive(dim, rest)) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType |
+                org.apache.spark.sql.types.DoubleType, _) => ()
+            case other => throw new IllegalArgumentException(
+              s"__VECTOR_FIELD directive on '${f.name}' requires ARRAY<FLOAT>" +
+                s" or ARRAY<DOUBLE>, got ${other.simpleString}")
+          }
+          props += s"fields.${f.name}.dimension" -> dim
+          vectorFields ::= f.name
+          Option(rest).map(_.trim).filter(_.nonEmpty) match {
+            case Some(c) => f.withComment(c)
+            case None => StructField(f.name, f.dataType, f.nullable)
+          }
+        case _ => f
+      }
+    }
+    if (vectorFields.isEmpty) (schema, Map.empty)
+    else (StructType(fields),
+      props + ("vector-field" -> vectorFields.reverse.mkString(",")))
+  }
+
+  private[dsv2] def configFromProps(props: Map[String, String],
+                                    partitionKeys: Seq[String]): TableConfig = {
+    val fieldAggs = props.collect {
+      case (k, v) if k.startsWith("fields.") && k.endsWith(".aggregate-function") =>
+        k.stripPrefix("fields.").stripSuffix(".aggregate-function") -> v
+    }
+    TableConfig(
+      primaryKeys = props.get("primary-key")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      partitionKeys = partitionKeys,
+      numBuckets = props.getOrElse("bucket", "4").toInt,
+      mergeEngine = props.getOrElse("merge-engine", "deduplicate"),
+      sequenceField = props.get("sequence.field"),
+      fieldAggregates = fieldAggs,
+      defaultAggregate = props.get("fields.default-aggregate-function"),
+      options = props -- Seq("primary-key", "bucket", "merge-engine", "sequence.field",
+        "path", "provider", "location", "owner"))
+  }
+}
+
+/** External-table pointer (JSON `_external.json` inside the catalog slot):
+  * the table's data lives at `location`; the slot holds only this file. */
+case class GraftExternalDef(location: String)
 
 /** Persisted view definition (JSON under `<db>.db/_views/<name>.json`). */
 case class GraftViewDef(

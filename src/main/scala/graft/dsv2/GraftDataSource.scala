@@ -31,8 +31,65 @@ import scala.jdk.CollectionConverters._
  * pruning only, never for correctness.
  */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with StreamSinkProvider {
+    with StreamSinkProvider with CreatableRelationProvider {
   override def shortName(): String = "graft"
+
+  /** V1 batch-write bridge (paimon SparkSource.scala:74 createRelation):
+    * `df.write.format("graft").save(path)`. Spark routes ErrorIfExists /
+    * Ignore saves here (the DSv2 TableProvider path only accepts Append /
+    * Overwrite), which is exactly where the reference's DataFrame-API
+    * "create table on first write" lives (docs/spark/dataframe.md): a fresh
+    * path + `primary-key` / table options + `partitionBy(...)` creates the
+    * table, then appends. Append/Overwrite on an EXISTING table never reach
+    * here (they take the DSv2 path); they do for a fresh path, where they
+    * also create first — matching the reference's FileStoreTableFactory
+    * create-from-options behavior. One knowing divergence: Ignore /
+    * ErrorIfExists against an EXISTING table raise Spark's
+    * UNSUPPORTED_DATA_SOURCE_SAVE_MODE (the V2 writer path refuses those
+    * modes before any fallback) — ErrorIfExists still errors as required,
+    * Ignore errors instead of silently skipping. */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: 'path' option required"))
+    // DataFrameWriter.partitionBy columns arrive JSON-encoded under this key
+    // (Spark DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+    val partCols: Seq[String] = parameters.get("__partition_columns")
+      .map(s => Json.read(s, classOf[Array[String]]).toSeq).getOrElse(Nil)
+    val exists = GraftTable.exists(spark, path)
+    val skip = mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft: table exists at $path (SaveMode.ErrorIfExists); " +
+            "use mode(\"append\") or mode(\"overwrite\")")
+      case SaveMode.Ignore if exists => true
+      case _ => false
+    }
+    if (!skip) {
+      val t =
+        if (exists) GraftTable.load(spark, path)
+        else GraftTable.create(spark, path, data.schema,
+          GraftCatalog.configFromProps(parameters - "__partition_columns", partCols))
+      mode match {
+        case SaveMode.Overwrite if exists =>
+          val dynamic = spark.conf
+            .get("spark.sql.sources.partitionOverwriteMode", "static")
+            .equalsIgnoreCase("dynamic")
+          t.overwrite(data, dynamic = dynamic)
+        case _ => t.write(data)
+      }
+    }
+    val schema0 = GraftTable.load(spark, path).schema.sparkSchema
+    val ctx = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = schema0
+    }
+  }
 
   /** V1 streaming-sink bridge (paimon SparkSource.scala:85 createSink):
     * `writeStream.format("graft")` — the DSv2 table does not declare
@@ -50,13 +107,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     new GraftSink(sqlContext, t, outputMode, prefix)
   }
 
-  private def loadTable(options: CaseInsensitiveStringMap): GraftTable = {
-    val path = Option(options.get("path"))
-      .getOrElse(throw new IllegalArgumentException("graft: 'path' option required"))
-    GraftTable.load(SparkSession.active, path)
+  private def loadTable(options: CaseInsensitiveStringMap): GraftTable =
+    GraftDataSource.resolveTable(SparkSession.active, options.asScala.toMap)
+
+  /** Path-only resolution with no `catalog` routing and the table absent:
+    * the signal that a DataFrameWriter save is about to CREATE the table
+    * (`getTable` then hands back a capability-less placeholder so Spark
+    * falls through to the V1 createRelation path above). */
+  private def missingAtPath(opts: Map[String, String]): Option[String] = {
+    val ci = opts.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    ci.get("path").filter(p =>
+      !ci.contains("catalog") && !GraftTable.exists(SparkSession.active, p))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    if (missingAtPath(options.asScala.toMap).isDefined) return new StructType()
     val t = loadTable(options)
     if (options.getBoolean("read-binlog", false))
       GraftBinlog.schema(t.schema.sparkSchema, t.config.primaryKeys)
@@ -66,8 +131,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     GraftVariantPrune.register(SparkSession.active)
-    val t = GraftTable.load(SparkSession.active, properties.get("path"))
     val props = properties.asScala.toMap
+    missingAtPath(props) match {
+      case Some(path) => return new Table {
+        override def name(): String = s"nonexistent graft table at $path"
+        override def schema(): StructType = new StructType()
+        override def capabilities(): util.Set[TableCapability] =
+          util.Collections.emptySet()
+      }
+      case None => ()
+    }
+    val t = GraftDataSource.resolveTable(SparkSession.active, props)
     // read-binlog=true: the path-based spelling of `t$binlog` (batch packed
     // last commit + per-snapshot packed changelog streaming)
     if (props.get("read-binlog").contains("true"))
@@ -76,6 +150,44 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 
   override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftDataSource {
+  /** Reference `SparkSource.loadTable` routing (SparkSource.scala:99 in the
+    * paimon spark connector; docs/spark/dataframe.md "Query"): when the
+    * `catalog` option names a registered catalog, resolve through it —
+    * keeping that catalog's privilege checks and session option overrides —
+    * with `database`/`table` options defaulting from the path's
+    * `<db>.db/<table>` layout. Without `catalog`, load directly by path. */
+  private[dsv2] def resolveTable(spark: SparkSession,
+                                 opts: Map[String, String]): GraftTable = {
+    val ci = opts.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    def path: Option[String] = ci.get("path")
+    ci.get("catalog") match {
+      case Some(cat) =>
+        val db = ci.get("database").orElse(path.map(p =>
+          new org.apache.hadoop.fs.Path(p).getParent.getName.stripSuffix(".db")))
+          .getOrElse(throw new IllegalArgumentException(
+            "graft: 'database' option (or a path) required with 'catalog'"))
+        val tbl = ci.get("table").orElse(path.map(p =>
+          new org.apache.hadoop.fs.Path(p).getName))
+          .getOrElse(throw new IllegalArgumentException(
+            "graft: 'table' option (or a path) required with 'catalog'"))
+        spark.sessionState.catalogManager.catalog(cat) match {
+          case tc: TableCatalog =>
+            tc.loadTable(Identifier.of(Array(db), tbl)) match {
+              case g: GraftSparkTable => g.t
+              case other => throw new IllegalArgumentException(
+                s"graft: $cat.$db.$tbl is not a graft table (${other.getClass.getName})")
+            }
+          case other => throw new IllegalArgumentException(
+            s"graft: catalog '$cat' is not a table catalog (${other.getClass.getName})")
+        }
+      case None =>
+        GraftTable.load(spark, path.getOrElse(throw new IllegalArgumentException(
+          "graft: 'path' option required")))
+    }
+  }
 }
 
 /** DSv2 Table over a graft table (optionally pinned to a snapshot for
@@ -142,7 +254,8 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
       "partition" -> c.partitionKeys.mkString(","),
       "bucket" -> c.numBuckets.toString,
       "merge-engine" -> c.mergeEngine,
-      "path" -> t.location) ++ c.options).asJava
+      "path" -> t.location) ++
+      c.sequenceField.map("sequence.field" -> _) ++ c.options).asJava
   }
 
   override def partitioning(): Array[Transform] = {
@@ -896,7 +1009,16 @@ class GraftWriteBuilder(t: GraftTable) extends WriteBuilder
             case EqualNullSafe(a, v) if t.config.partitionKeys.contains(a) =>
               a -> String.valueOf(v)
           }.toMap
-          t.overwrite(data, dynamic = false, staticPartition = static)
+          // DataFrameWriter.save(path) plans a plain truncate even under
+          // partitionOverwriteMode=dynamic (the dynamic rewrite only runs
+          // for INSERT INTO statements); file sources apply the conf inside
+          // the source, so we do too — an explicit static spec still wins
+          val dynamicConf = data.sparkSession.conf
+            .get("spark.sql.sources.partitionOverwriteMode", "static")
+            .equalsIgnoreCase("dynamic")
+          if (static.isEmpty && dynamicConf && t.config.partitionKeys.nonEmpty)
+            t.overwrite(data, dynamic = true)
+          else t.overwrite(data, dynamic = false, staticPartition = static)
       }
     }
   }

@@ -39,6 +39,7 @@ import org.apache.spark.sql.graft.SparkShims
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => new GraftRowLevelSql(session))
+    ext.injectPostHocResolutionRule(session => GraftCreateTableLike(session))
     ext.injectResolutionRule(session => GraftViewResolver(session))
     // CALL sys.* / SHOW TAGS / tag DDL (reference grammar
     // PaimonSqlExtensions.g4:72-89); everything else delegates to Spark

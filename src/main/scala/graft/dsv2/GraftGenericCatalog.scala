@@ -57,8 +57,12 @@ class GraftGenericCatalog extends DelegatingCatalogExtension {
                            properties: JMap[String, String]): Table =
     if (isGraftProvider(properties))
       createTable(ident,
-        StructType(columns.map(c =>
-          org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))),
+        StructType(columns.map { c =>
+          val f = org.apache.spark.sql.types.StructField(
+            c.name(), c.dataType(), c.nullable())
+          // keep COMMENTs — the __VECTOR_FIELD directive rides on them
+          Option(c.comment()).fold(f)(f.withComment)
+        }),
         partitions, properties)
     else super.createTable(ident, columns, partitions, properties)
 

@@ -46,6 +46,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           GraftCallCommand(splitIdent(table), proc, args - "table")
         }
       case GraftCopyInto.HeadRe(target, rest) => GraftCopyInto.plan(target, rest)
+      // catalog-qualified CREATE TABLE LIKE: Spark's own grammar caps the
+      // identifiers at db.table, so 3-part spellings re-parse through a
+      // placeholder statement and the real names are restored on the parsed
+      // command (reference PaimonSqlExtensions.g4:87 #createTableLike +
+      // PaimonSqlExtensionsAstBuilder.visitCreateTableLike)
+      case CreateTableLikeRe(ifNx, tgt, src, rest)
+          if splitIdent(tgt).length > 2 || splitIdent(src).length > 2 =>
+        val inx = if (ifNx != null) "IF NOT EXISTS " else ""
+        delegate.parsePlan(
+          s"CREATE TABLE ${inx}__graft_like_tgt LIKE __graft_like_src $rest") match {
+          case c: org.apache.spark.sql.execution.command.CreateTableLikeCommand =>
+            c.copy(targetTable = toTableIdent(splitIdent(tgt)),
+              sourceTable = toTableIdent(splitIdent(src)))
+          case other => other
+        }
       case ShowTagsRe(ident) => GraftShowTagsCommand(splitIdent(ident))
       case ShowBranchesRe(ident) => GraftShowBranchesCommand(splitIdent(ident))
       case CreateBranchRe(ident, branch, version) =>
@@ -133,8 +148,19 @@ object GraftSqlParser {
       "drop_privileged_user", "grant_privilege_to_user",
       "revoke_privilege_from_user")
 
+  private val CreateTableLikeRe =
+    """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w`.]+)\s+LIKE\s+([\w`.]+)\s*(.*)$""".r
+
   private[dsv2] def splitIdent(s: String): Seq[String] =
     s.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
+
+  private[dsv2] def toTableIdent(parts: Seq[String]): TableIdentifier = parts match {
+    case Seq(t) => TableIdentifier(t)
+    case Seq(d, t) => TableIdentifier(t, Some(d))
+    case Seq(c, d, t) => TableIdentifier(t, Some(d), Some(c))
+    case _ => throw new IllegalArgumentException(
+      s"expected [catalog.][db.]table, got ${parts.mkString(".")}")
+  }
 
   /** `k => v` pairs; values are 'quoted strings' or bare literals. */
   private[dsv2] def parseArgs(s: String): Map[String, String] = {

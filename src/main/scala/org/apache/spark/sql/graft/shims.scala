@@ -24,6 +24,22 @@ object SparkShims {
                     name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
     spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.catalog(name)
 
+  /** Resolve a multipart identifier to (catalog, identifier) with Spark's
+    * own lookup rules (current catalog/namespace defaults) — the
+    * `private[sql]` LookupCatalog.CatalogAndIdentifier extractor. */
+  def catalogAndIdentifier(spark: SparkSession, parts: Seq[String])
+      : Option[(org.apache.spark.sql.connector.catalog.CatalogPlugin,
+                org.apache.spark.sql.connector.catalog.Identifier)] = {
+    val lookup = new org.apache.spark.sql.connector.catalog.LookupCatalog {
+      override val catalogManager =
+        spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+    }
+    parts match {
+      case lookup.CatalogAndIdentifier(cat, ident) => Some((cat, ident))
+      case _ => None
+    }
+  }
+
   /** Drain the listener bus — lets tests that aggregate task metrics via a
     * SparkListener read a complete total (the bus is async). */
   def waitListenerBus(spark: SparkSession): Unit =

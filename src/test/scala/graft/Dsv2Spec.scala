@@ -77,6 +77,185 @@ class Dsv2Spec extends SparkTestBase {
     assert(got == Seq((1L, None), (2L, Some("hello"))))
   }
 
+  test("DataFrame API create-on-write: save/append/overwrite modes") {
+    // reference docs/spark/dataframe.md "Create Table": a fresh path +
+    // primary-key option + partitionBy creates the table, then appends
+    val loc = Files.createTempDirectory("graft-dfw").toString + "/default.db/dfw"
+    Seq((1L, "x1", "p1"), (2L, "x2", "p2")).toDF("a", "b", "pt")
+      .write.format("graft")
+      .option("primary-key", "a,pt").option("bucket", "2")
+      .option("k1", "v1")
+      .partitionBy("pt")
+      .save(loc)
+    val t = GraftTable.load(spark, loc)
+    assert(t.config.primaryKeys == Seq("a", "pt"))
+    assert(t.config.partitionKeys == Seq("pt"))
+    assert(t.config.numBuckets == 2)
+    assert(t.config.options.get("k1").contains("v1"))
+    // default ErrorIfExists on the now-existing table fails (Spark's V2
+    // path raises UNSUPPORTED_DATA_SOURCE_SAVE_MODE once the table exists —
+    // an error either way, matching ErrorIfExists semantics)
+    intercept[Exception] {
+      Seq((9L, "z", "p1")).toDF("a", "b", "pt").write.format("graft").save(loc)
+    }
+    assert(spark.read.format("graft").load(loc).count() == 2)
+    // Ignore on a FRESH path creates (create-if-missing semantics)
+    val locIgn = Files.createTempDirectory("graft-dfwi").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.format("graft").mode("ignore").save(locIgn)
+    assert(spark.read.format("graft").load(locIgn).count() == 1)
+    // append (DSv2 path) — PK upsert on (a, pt)
+    Seq((1L, "x1b", "p1"), (3L, "x3", "p1")).toDF("a", "b", "pt")
+      .write.format("graft").mode("append").save(loc)
+    val afterAppend = spark.read.format("graft").load(loc)
+      .orderBy("a").select("a", "b").as[(Long, String)].collect().toSeq
+    assert(afterAppend == Seq((1L, "x1b"), (2L, "x2"), (3L, "x3")))
+    // dynamic partition overwrite replaces only pt=p1
+    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      Seq((7L, "seven", "p1")).toDF("a", "b", "pt")
+        .write.format("graft").mode("overwrite").save(loc)
+    }
+    val afterDyn = spark.read.format("graft").load(loc)
+      .orderBy("a").select("a", "b").as[(Long, String)].collect().toSeq
+    assert(afterDyn == Seq((2L, "x2"), (7L, "seven")))
+    // static overwrite replaces the whole table
+    Seq((5L, "five", "p9")).toDF("a", "b", "pt")
+      .write.format("graft").mode("overwrite").save(loc)
+    assert(spark.read.format("graft").load(loc)
+      .select("a", "b").as[(Long, String)].collect().toSeq == Seq((5L, "five")))
+    // overwrite straight onto a fresh path also creates first
+    val loc2 = Files.createTempDirectory("graft-dfw2").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.format("graft").mode("overwrite").save(loc2)
+    assert(spark.read.format("graft").load(loc2).count() == 1)
+  }
+
+  test("CREATE TABLE LIKE copies schema/partitioning/properties") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.like_src (
+        id INT, name STRING, pt STRING)
+        PARTITIONED BY (pt)
+        TBLPROPERTIES ('primary-key'='id,pt', 'bucket'='5', 'k1'='v1')""")
+    spark.sql("INSERT INTO graft.db.like_src VALUES (1,'a','p1')")
+    spark.sql("CREATE TABLE graft.db.like_tgt LIKE graft.db.like_src")
+    val tgt = GraftTable.load(spark, s"$wh/db.db/like_tgt")
+    assert(tgt.config.primaryKeys == Seq("id", "pt"))
+    assert(tgt.config.partitionKeys == Seq("pt"))
+    assert(tgt.config.numBuckets == 5)
+    assert(tgt.config.options.get("k1").contains("v1"))
+    // data is NOT copied; schema is
+    assert(spark.sql("SELECT count(*) FROM graft.db.like_tgt").head().getLong(0) == 0)
+    assert(spark.table("graft.db.like_tgt").columns.toSeq == Seq("id", "name", "pt"))
+    spark.sql("INSERT INTO graft.db.like_tgt VALUES (1,'b','p1'),(1,'c','p1')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.like_tgt").head().getLong(0) == 1)
+    // user TBLPROPERTIES override the inherited ones
+    spark.sql("""CREATE TABLE graft.db.like_tgt2 LIKE graft.db.like_src
+                 TBLPROPERTIES ('bucket'='2', 'k1'='v2')""")
+    val tgt2 = GraftTable.load(spark, s"$wh/db.db/like_tgt2")
+    assert(tgt2.config.numBuckets == 2)
+    assert(tgt2.config.options.get("k1").contains("v2"))
+    // IF NOT EXISTS short-circuits
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.db.like_tgt LIKE graft.db.like_src")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.like_tgt LIKE graft.db.like_src")
+    }
+  }
+
+  test("CREATE TABLE ... LOCATION: external tables adopt and survive DROP") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val extLoc = Files.createTempDirectory("graft-ext").toString + "/t"
+    // fresh location: create-at-location, catalog slot is only a pointer
+    spark.sql(s"""CREATE TABLE graft.db.ext1 (k BIGINT, v STRING)
+                  TBLPROPERTIES ('primary-key'='k', 'bucket'='2')
+                  LOCATION '$extLoc'""")
+    spark.sql("INSERT INTO graft.db.ext1 VALUES (1,'a'),(2,'b')")
+    assert(GraftTable.exists(spark, extLoc))
+    assert(spark.sql("SELECT count(*) FROM graft.db.ext1").head().getLong(0) == 2)
+    // DROP removes only the pointer; the data stays
+    spark.sql("DROP TABLE graft.db.ext1")
+    assert(GraftTable.exists(spark, extLoc))
+    assert(GraftTable.load(spark, extLoc).read().count() == 2)
+    // re-register WITHOUT schema: everything inherited from the location
+    spark.sql(s"CREATE TABLE graft.db.ext2 LOCATION '$extLoc'")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ext2").head().getLong(0) == 2)
+    assert(spark.table("graft.db.ext2").columns.toSeq == Seq("k", "v"))
+    // PK semantics came along: upsert on k
+    spark.sql("INSERT INTO graft.db.ext2 VALUES (2,'b2')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ext2").head().getLong(0) == 2)
+    // re-register WITH a matching schema is fine; a conflicting one is not
+    spark.sql(s"""CREATE TABLE graft.db.ext3 (k BIGINT, v STRING)
+                  LOCATION '$extLoc'""")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ext3").head().getLong(0) == 2)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.db.ext4 (wrong DOUBLE) LOCATION '$extLoc'")
+    }
+    spark.sql("DROP TABLE graft.db.ext2")
+    spark.sql("DROP TABLE graft.db.ext3")
+  }
+
+  test("ALTER TABLE column position: ADD AFTER, ALTER FIRST/AFTER") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.cpos (a BIGINT, b STRING, c DOUBLE)")
+    spark.sql("INSERT INTO graft.db.cpos VALUES (1, 'x', 2.5)")
+    // ADD COLUMN ... AFTER: new column lands mid-schema, old rows read null
+    spark.sql("ALTER TABLE graft.db.cpos ADD COLUMN n INT AFTER a")
+    assert(spark.table("graft.db.cpos").columns.toSeq == Seq("a", "n", "b", "c"))
+    // reorder an existing column to FIRST and AFTER — metadata-only, data
+    // written under the old order still reads correctly by field id
+    spark.sql("ALTER TABLE graft.db.cpos ALTER COLUMN c FIRST")
+    assert(spark.table("graft.db.cpos").columns.toSeq == Seq("c", "a", "n", "b"))
+    spark.sql("ALTER TABLE graft.db.cpos ALTER COLUMN c AFTER b")
+    assert(spark.table("graft.db.cpos").columns.toSeq == Seq("a", "n", "b", "c"))
+    spark.sql("INSERT INTO graft.db.cpos VALUES (2, 7, 'y', 9.5)")
+    val rows = spark.sql(
+      "SELECT a, n, b, c FROM graft.db.cpos ORDER BY a")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2), r.getDouble(3))).toSeq
+    assert(rows == Seq((1L, None, "x", 2.5), (2L, Some(7), "y", 9.5)))
+  }
+
+  test("__VECTOR_FIELD comment directive declares vector columns") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.vdir (
+        id BIGINT,
+        emb ARRAY<FLOAT> COMMENT '__VECTOR_FIELD;4; product embedding',
+        emb2 ARRAY<FLOAT> COMMENT '__VECTOR_FIELD;2')""")
+    val t = GraftTable.load(spark, s"$wh/db.db/vdir")
+    assert(t.config.options.get("fields.emb.dimension").contains("4"))
+    assert(t.config.options.get("fields.emb2.dimension").contains("2"))
+    assert(t.config.options.get("vector-field").contains("emb,emb2"))
+    // directive stripped; the trailing human comment survives
+    val emb = t.schema.sparkSchema.fields.find(_.name == "emb").get
+    assert(emb.getComment().contains("product embedding"))
+    assert(t.schema.sparkSchema.fields.find(_.name == "emb2").get.getComment().isEmpty)
+    // declared dimension is enforced at write
+    spark.sql("INSERT INTO graft.db.vdir VALUES " +
+      "(1, array(1.0f, 0.0f, 0.0f, 0.0f), array(1.0f, 0.0f))")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.vdir VALUES " +
+        "(2, array(1.0f, 0.0f), array(1.0f, 0.0f))")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.db.vdir").head().getLong(0) == 1)
+    // directive on a non-array column is rejected at CREATE
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE graft.db.vdir_bad (
+          id BIGINT COMMENT '__VECTOR_FIELD;4')""")
+    }
+  }
+
+  test("DataFrame API read routing: catalog/database/table options") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.db.routed (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.db.routed VALUES (41,'r')")
+    // explicit catalog+database+table options, no path (reference
+    // docs/spark/dataframe.md "Query")
+    val viaOpts = spark.read.format("graft")
+      .option("catalog", "graft").option("database", "db").option("table", "routed")
+      .load()
+    assert(viaOpts.where($"k" === 41L).count() == 1)
+    // catalog + path: db/table inferred from the <db>.db/<table> layout
+    val viaPath = spark.read.format("graft")
+      .option("catalog", "graft").load(s"$wh/db.db/routed")
+    assert(viaPath.where($"k" === 41L).count() == 1)
+  }
+
   test("SQL DELETE / UPDATE on pk and append tables") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.rl (k BIGINT, s STRING, p DOUBLE)
@@ -1235,6 +1414,36 @@ class Dsv2Spec extends SparkTestBase {
       assert(cnt == 1)
     } finally spark.conf.unset("spark.graft.scan.snapshot-id")
     assert(cnt == 2)
+    // reference full form with wildcards (auxiliary.md: SET
+    // spark.paimon.${catalog}.${db}.${table}.${key}, parts may be *)
+    Seq("spark.graft.*.db.soverride.scan.snapshot-id",
+        "spark.graft.*.*.soverride.scan.snapshot-id",
+        "spark.graft.graft.db.soverride.scan.snapshot-id").foreach { k =>
+      try {
+        spark.conf.set(k, "1")
+        assert(cnt == 1, s"override via $k")
+      } finally spark.conf.unset(k)
+      assert(cnt == 2)
+    }
+    // scoped to a DIFFERENT table: must not leak onto this one
+    try {
+      spark.conf.set("spark.graft.*.*.othertable.scan.snapshot-id", "1")
+      assert(cnt == 2)
+    } finally spark.conf.unset("spark.graft.*.*.othertable.scan.snapshot-id")
+    // wrong catalog name: must not apply either
+    try {
+      spark.conf.set("spark.graft.nosuchcat.db.soverride.scan.snapshot-id", "1")
+      assert(cnt == 2)
+    } finally spark.conf.unset("spark.graft.nosuchcat.db.soverride.scan.snapshot-id")
+    // precedence: exact catalog.db.table pin beats a wildcard pin
+    try {
+      spark.conf.set("spark.graft.*.*.soverride.scan.snapshot-id", "1")
+      spark.conf.set("spark.graft.graft.db.soverride.scan.snapshot-id", "2")
+      assert(cnt == 2) // snapshot 2 == full table here
+    } finally {
+      spark.conf.unset("spark.graft.*.*.soverride.scan.snapshot-id")
+      spark.conf.unset("spark.graft.graft.db.soverride.scan.snapshot-id")
+    }
   }
 
   test("generic session catalog: spark_catalog serves graft AND parquet tables") {
