@@ -54,8 +54,7 @@ object Fixtures {
     * scans report KeyGroupedPartitioning only under it), then atomically
     * builds `graft_fix.db.<table>` via CREATE + INSERT from the named
     * source parquet. `ddlBody` is the column list + suffix clauses. */
-  private def catalogFixture(spark: SparkSession, sfDir: String, table: String,
-                             ddlBody: String, srcName: String): String = {
+  private def ensureFixCatalog(spark: SparkSession, sfDir: String): String = {
     val prev = catalogSfDir.getAndUpdate(v => if (v == null) sfDir else v)
     require(prev == null || prev == sfDir,
       s"graft_fix catalog already bound to $prev; cannot serve $sfDir")
@@ -63,6 +62,12 @@ object Fixtures {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.catalog.graft_fix", "graft.dsv2.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    wh
+  }
+
+  private def catalogFixture(spark: SparkSession, sfDir: String, table: String,
+                             ddlBody: String, srcName: String): String = {
+    val wh = ensureFixCatalog(spark, sfDir)
     built.getOrElseUpdate((sfDir, s"__cat_$table"), {
       val loc = s"$wh/db.db/$table"
       val p = new org.apache.hadoop.fs.Path(loc)
@@ -75,6 +80,43 @@ object Fixtures {
       GraftTable.load(spark, loc)
     })
     s"graft_fix.db.$table"
+  }
+
+  /** Catalog-SQL blob tables (reference multimodal-table/blob.mdx): a
+    * `__BLOB_FIELD` table storing documents' text payloads OUT OF LINE
+    * (descriptors inline, bytes in shared .bin files), plus a
+    * `__BLOB_VIEW_FIELD` table whose refs — built with the
+    * `graft_blob_view` SQL function over the upstream row-tracking ids —
+    * resolve to the same payloads at read without copying a byte. Returns
+    * the qualified name prefix (`graft_fix.db`). */
+  def sqlBlobTables(spark: SparkSession, sfDir: String): String = {
+    ensureFixCatalog(spark, sfDir)
+    built.getOrElseUpdate((sfDir, "__cat_docs_blob"), {
+      val wh = s"${fixRoot(sfDir)}/sql-warehouse"
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Seq("docs_blob", "docs_blob_view").foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$wh/db.db/$t")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
+      spark.sql("""CREATE TABLE graft_fix.db.docs_blob (
+          doc_id BIGINT,
+          blob BINARY COMMENT '__BLOB_FIELD; document payload')
+          TBLPROPERTIES ('row-tracking.enabled'='true')""")
+      src(spark, sfDir, "documents").filter(col("doc_id") < 200)
+        .createOrReplaceTempView("docs_blob_src_v")
+      spark.sql("""INSERT INTO graft_fix.db.docs_blob
+          SELECT doc_id, encode(text, 'UTF-8') FROM docs_blob_src_v""")
+      spark.sql("""CREATE TABLE graft_fix.db.docs_blob_view (
+          doc_id BIGINT,
+          ref BINARY COMMENT '__BLOB_VIEW_FIELD')""")
+      spark.sql("""INSERT INTO graft_fix.db.docs_blob_view
+          SELECT doc_id, graft_blob_view('db.docs_blob', 'blob', row_id)
+          FROM graft_fix.db.`docs_blob$row_tracking`""")
+      GraftTable.load(spark, s"$wh/db.db/docs_blob")
+    })
+    "graft_fix.db"
   }
 
   def src(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -1439,6 +1439,20 @@ object SparkEntry {
       withDesc.select(col("doc_id"), col("blob.length").as("byte_len"),
         md5(graft.pipeline.Blob.readBlob(s)(col("blob"))).as("content_hash"))
     }),
+    // table-integrated blob storage (__BLOB_FIELD directive): payloads out
+    // of line in shared .bin files, descriptors inline, reads transparent
+    "q_blob_table" -> ((s, d) => {
+      val db = Fixtures.sqlBlobTables(s, d)
+      s.sql(s"""SELECT doc_id, CAST(length(blob) AS INT) AS byte_len,
+                md5(blob) AS content_hash FROM $db.docs_blob""")
+    }),
+    // blob views (__BLOB_VIEW_FIELD + graft_blob_view): refs into the
+    // upstream table's row ids resolve to the payload bytes at read
+    "q_blob_view" -> ((s, d) => {
+      val db = Fixtures.sqlBlobTables(s, d)
+      s.sql(s"""SELECT doc_id, md5(ref) AS content_hash
+                FROM $db.docs_blob_view""")
+    }),
     "q_multimodal_blob" -> ((s, d) => {
       // BLOB column plumbing: text → opaque binary + typed metadata; the
       // "decode" is a deterministic stand-in (real image/audio codecs are
@@ -2237,6 +2251,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
         | md5(text) AS content_hash
         |FROM documents WHERE doc_id < 100""".stripMargin,
+    "q_blob_table" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | md5(text) AS content_hash
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q_blob_view" ->
+      """SELECT doc_id, md5(text) AS content_hash
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "q_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, octet_length(encode(text)) AS blen

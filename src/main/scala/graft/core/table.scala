@@ -390,6 +390,29 @@ class GraftTable private (
    * `preMerged` marks frames that already carry the LSM envelope
    * (compaction / upsert-with-kinds paths).
    */
+  /** Declared blob-storage columns (reference multimodal-table/blob.mdx
+    * comment directives → table options): `blob-field` splits payloads to
+    * `.bin` files under `<loc>/blob/` at write; `blob-descriptor-field`
+    * stores serialized descriptor bytes inline; `blob-view-field` stores
+    * serialized upstream references resolved at read. */
+  private def optCols(key: String): Seq[String] =
+    config.options.get(key).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  private[graft] def blobFieldCols: Seq[String] = optCols("blob-field")
+  private[graft] def blobDescriptorCols: Seq[String] = optCols("blob-descriptor-field")
+  private[graft] def blobViewCols: Seq[String] = optCols("blob-view-field")
+
+  /** Columns whose READ output differs from the stored bytes under the
+    * given per-read options — the DSv2 scan serves projections touching
+    * them through the DataFrame plan (where [[resolveBlobRead]] runs). */
+  private[graft] def blobReadTransformCols(readOpts: Map[String, String]): Set[String] = {
+    def opt(k: String, dflt: String) = readOpts.getOrElse(k, config.option(k, dflt))
+    val resolveBytes = opt("blob-as-descriptor", "false") != "true"
+    val resolveViews = opt("blob-view.resolve.enabled", "true") != "false"
+    ((if (resolveBytes) blobFieldCols ++ blobDescriptorCols else Nil) ++
+      (if (resolveViews) blobViewCols else Nil)).toSet
+  }
+
   def writeFiles(dfIn: DataFrame, preMerged: Boolean = false,
                  commitSeqOverride: Option[Long] = None,
                  level: Int = 0): Seq[ManifestEntry] = {
@@ -478,6 +501,15 @@ class GraftTable private (
         }
         d
       }
+
+    // declared blob-field columns: inline payloads split into shared .bin
+    // files, descriptors stay in the row (magic-guarded, so compaction
+    // rewrites and pre-merged flushes whose values are ALREADY descriptors
+    // pass through untouched — only fresh payload bytes move out of line)
+    val blobSplit = blobFieldCols.filter(df.columns.contains)
+    if (blobSplit.nonEmpty)
+      df = graft.pipeline.Blob.splitBlobColumns(df, blobSplit,
+        new Path(location, "blob").toString)
 
     // partition + bucket routing. PT is a filesystem-safe 64-bit hash of the
     // partition values (real values live inside the files and in manifest
@@ -1292,15 +1324,82 @@ class GraftTable private (
   /** Snapshot read with merge-on-read. Buckets already reduced to a single
     * tombstone-free file skip the merge (raw path, cf. paimon
     * DataSplit.rawConvertible, table/source/DataSplit.java:83). */
-  def read(filter: Option[Column] = None, snapshotId: Option[Long] = None): DataFrame = {
+  def read(filter: Option[Column] = None, snapshotId: Option[Long] = None): DataFrame =
+    read(filter, snapshotId, Map.empty[String, String])
+
+  /** Read with per-call options (DSv2 passes the scan's read options here so
+    * e.g. `blob-view.resolve.enabled=false` works per query). */
+  def read(filter: Option[Column], snapshotId: Option[Long],
+           readOpts: Map[String, String]): DataFrame = {
     // fallback branch (paimon scan.fallback-branch / FallbackReadFileStoreTable):
     // partitions missing on the main table serve from the named branch
-    config.options.get("scan.fallback-branch") match {
+    val base = config.options.get("scan.fallback-branch") match {
       case Some(fb) if sm.branch.isEmpty && snapshotId.isEmpty =>
-        return readFallback(fb, filter)
-      case _ =>
+        readFallback(fb, filter)
+      case _ => readMain(filter, snapshotId)
     }
-    readMain(filter, snapshotId)
+    resolveBlobRead(base, readOpts)
+  }
+
+  /** Read-side blob semantics (reference blob.mdx): declared blob /
+    * descriptor columns resolve their serialized descriptors to the actual
+    * byte ranges unless `blob-as-descriptor=true`; declared blob-view
+    * columns resolve upstream references through a rowId join unless
+    * `blob-view.resolve.enabled=false`. Inline payload bytes (row-level-op
+    * leftovers) always pass through unchanged. */
+  private def resolveBlobRead(df: DataFrame,
+                              readOpts: Map[String, String]): DataFrame = {
+    def opt(k: String, dflt: String) = readOpts.getOrElse(k, config.option(k, dflt))
+    val present = df.columns.toSet
+    val bCols = (blobFieldCols ++ blobDescriptorCols).filter(present)
+    val vCols = blobViewCols.filter(present)
+    if (bCols.isEmpty && vCols.isEmpty) return df
+    var out = df
+    if (opt("blob-as-descriptor", "false") != "true")
+      bCols.foreach { c =>
+        out = out.withColumn(c, graft.pipeline.Blob.resolveBlobBytes(spark)(col(c)))
+      }
+    if (vCols.nonEmpty && opt("blob-view.resolve.enabled", "true") != "false")
+      vCols.foreach { c => out = resolveBlobViewColumn(out, c) }
+    out
+  }
+
+  /** Resolve one blob-view column: the distinct upstream (location, field)
+    * pairs are collected first (a tiny partial-agg job — table-count scale,
+    * never row scale), each upstream's (rowId → resolved bytes) projection
+    * is unioned, and the view rows join on rowId. Non-reference bytes keep
+    * their value (forwarded refs written under resolve=false stay intact
+    * until read with resolution on). */
+  private def resolveBlobViewColumn(df: DataFrame, c: String): DataFrame = {
+    val keyCol = s"__bv_key_$c"
+    val withKey = df.withColumn(keyCol, graft.pipeline.Blob.parseViewKey(col(c)))
+    val pairs = withKey.filter(col(keyCol).isNotNull)
+      .select(col(s"$keyCol.location"), col(s"$keyCol.field"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    if (pairs.isEmpty) return df
+    val lookups = pairs.map { case (loc, fld) =>
+      val up = GraftTable.load(spark, loc)
+      require(up.isRowTracking,
+        s"blob view upstream $loc does not have row-tracking.enabled")
+      require(up.dataSchema.fieldNames.contains(fld),
+        s"blob view upstream $loc has no column $fld")
+      val raw = up.readEntries(up.planFiles(), withInternal = true, up.dvFor(None))
+      // outstanding data-evolution column patches must be visible through
+      // the view (an UPDATE on the upstream blob column lands as a patch
+      // until the next compaction)
+      val rows =
+        if (up.isRowTracking) up.applyPatches(raw, up.patchesFor(None)) else raw
+      rows.select(lit(loc).as("__bv_loc"), lit(fld).as("__bv_fld"),
+        col(GraftTable.ROW_ID).as("__bv_rid"),
+        graft.pipeline.Blob.resolveBlobBytes(spark)(col(fld)).as("__bv_bytes"))
+    }.reduce(_ unionAll _)
+    withKey.join(lookups,
+        col(s"$keyCol.location") === col("__bv_loc") &&
+          col(s"$keyCol.field") === col("__bv_fld") &&
+          col(s"$keyCol.rowId") === col("__bv_rid"), "left")
+      .withColumn(c,
+        when(col(keyCol).isNotNull, col("__bv_bytes")).otherwise(col(c)))
+      .drop(keyCol, "__bv_loc", "__bv_fld", "__bv_rid", "__bv_bytes")
   }
 
   /** Fallback-branch composition: main partitions read from main, partitions

@@ -68,6 +68,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           graft.pipeline.Blob.descriptorToPresignedUrl(s, tryMode = true))
         s.conf.set("graft.internal.blob-fns-registered", "true")
       }
+      // per-catalog: resolves db.table against THIS catalog's warehouse
+      // (reference sys.blob_view, blob.mdx "Blob View"); last-initialized
+      // catalog wins the session-global name, same as re-registration
+      s.udf.register("graft_blob_view",
+        graft.pipeline.Blob.blobViewFn(warehouse, name,
+          new org.apache.spark.util.SerializableConfiguration(
+            s.sessionState.newHadoopConf())))
+      // serialized descriptor bytes (blob-as-descriptor=true reads) → the
+      // struct form graft_descriptor_to_string / presigned-url take
+      s.udf.register("graft_descriptor_from_bytes",
+        graft.pipeline.Blob.descriptorFromBytes)
     } catch { case _: Exception => /* no active session yet */ }
   }
   override def name(): String = catalogName
@@ -637,21 +648,30 @@ object GraftCatalog {
     * `df.write.format("graft").option("primary-key", ...)`, reference
     * docs/spark/dataframe.md "Create Table"). Reserved writer/catalog keys
     * are stripped from the persisted option map. */
-  /** `__VECTOR_FIELD;{dim}[; comment]` column-comment directive (reference
-    * docs/multimodal-table/vector.mdx "Create Table"): an `ARRAY<FLOAT>` /
-    * `ARRAY<DOUBLE>` column commented with the directive is registered as a
-    * vector field — `fields.<col>.dimension` arms the write-time dimension
-    * check, the column joins the `vector-field` option list, and the
-    * directive is stripped from the stored comment (the optional trailing
-    * text is kept). */
+  /** Column-comment directives (reference docs/multimodal-table —
+    * vector.mdx and blob.mdx "Creating a Table"): `__VECTOR_FIELD;{dim}`,
+    * `__BLOB_FIELD`, `__BLOB_DESCRIPTOR_FIELD`, `__BLOB_VIEW_FIELD`. Each
+    * registers its column in the matching table option (`vector-field` /
+    * `blob-field` / `blob-descriptor-field` / `blob-view-field`; the vector
+    * one also sets `fields.<col>.dimension`, arming the write-time dimension
+    * check) and is stripped from the stored comment — the optional text
+    * after the directive's `;` survives as the real comment. */
   private[dsv2] def applyVectorDirectives(
       schema: StructType): (StructType, Map[String, String]) = {
-    val directive = """^__VECTOR_FIELD;(\d+)\s*(?:;\s*(.*))?$""".r
+    val vectorRe = """^__VECTOR_FIELD;(\d+)\s*(?:;\s*(.*))?$""".r
+    val blobRe = """^__(BLOB|BLOB_DESCRIPTOR|BLOB_VIEW)_FIELD\s*(?:;\s*(.*))?$""".r
     var props = Map.empty[String, String]
-    var vectorFields = List.empty[String]
+    var lists = Map.empty[String, List[String]] // option key -> cols (reversed)
+    def register(key: String, colName: String): Unit =
+      lists += key -> (colName :: lists.getOrElse(key, Nil))
+    def keep(f: StructField, rest: String): StructField =
+      Option(rest).map(_.trim).filter(_.nonEmpty) match {
+        case Some(c) => f.withComment(c)
+        case None => StructField(f.name, f.dataType, f.nullable)
+      }
     val fields = schema.fields.map { f =>
       f.getComment() match {
-        case Some(directive(dim, rest)) =>
+        case Some(vectorRe(dim, rest)) =>
           f.dataType match {
             case org.apache.spark.sql.types.ArrayType(
                 org.apache.spark.sql.types.FloatType |
@@ -661,17 +681,24 @@ object GraftCatalog {
                 s" or ARRAY<DOUBLE>, got ${other.simpleString}")
           }
           props += s"fields.${f.name}.dimension" -> dim
-          vectorFields ::= f.name
-          Option(rest).map(_.trim).filter(_.nonEmpty) match {
-            case Some(c) => f.withComment(c)
-            case None => StructField(f.name, f.dataType, f.nullable)
-          }
+          register("vector-field", f.name)
+          keep(f, rest)
+        case Some(blobRe(kind, rest)) =>
+          require(f.dataType == org.apache.spark.sql.types.BinaryType,
+            s"__${kind}_FIELD directive on '${f.name}' requires BINARY, " +
+              s"got ${f.dataType.simpleString}")
+          register(kind match {
+            case "BLOB" => "blob-field"
+            case "BLOB_DESCRIPTOR" => "blob-descriptor-field"
+            case "BLOB_VIEW" => "blob-view-field"
+          }, f.name)
+          keep(f, rest)
         case _ => f
       }
     }
-    if (vectorFields.isEmpty) (schema, Map.empty)
+    if (lists.isEmpty) (schema, Map.empty)
     else (StructType(fields),
-      props + ("vector-field" -> vectorFields.reverse.mkString(",")))
+      props ++ lists.map { case (k, cols) => k -> cols.reverse.mkString(",") })
   }
 
   private[dsv2] def configFromProps(props: Map[String, String],

@@ -635,6 +635,13 @@ class GraftScanBuilder(t: GraftTable, snapshotId: Option[Long],
     if (required.exists(_.fieldNames.exists(GraftTable.METADATA_COLS.contains)))
       return new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions,
         withMeta = true)
+    // declared blob / blob-view columns whose read output differs from the
+    // stored bytes (descriptor resolution, upstream view join) serve through
+    // the DataFrame plan; projections NOT touching them stay native columnar
+    val blobTransform = t.blobReadTransformCols(readOptions)
+    if (blobTransform.nonEmpty &&
+        required.map(_.fieldNames.exists(blobTransform)).getOrElse(true))
+      return new GraftV1Scan(t, snapshotId, pushed, required, limit, readOptions)
     // non-parquet data formats (file.format = orc/csv/json) read through the
     // V1 DataFrame plan — the native scan wraps Spark's parquet factory
     if (t.fileFormat != "parquet")
@@ -821,7 +828,7 @@ class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
         var df =
           if (withMeta)
             pruneCond.foldLeft(t.readWithMetadata(snapshotId))(_ filter _)
-          else t.read(pruneCond, snapshotId)
+          else t.read(pruneCond, snapshotId, readOptions)
         required.foreach { rs =>
           df = df.select(rs.fieldNames.map(col).toIndexedSeq: _*)
         }

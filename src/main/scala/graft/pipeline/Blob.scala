@@ -92,6 +92,188 @@ object Blob {
     spark.createDataFrame(outRdd, outSchema)
   }
 
+  // ---- table-integrated blob columns (reference multimodal-table/blob.mdx:
+  // __BLOB_FIELD / __BLOB_DESCRIPTOR_FIELD / __BLOB_VIEW_FIELD comment
+  // directives). Physical form inside parquet is BINARY: a magic-prefixed
+  // JSON descriptor (out-of-line payload) or view reference; any OTHER bytes
+  // in a declared blob column are an inline payload (e.g. a MERGE-inserted
+  // row) — reads pass them through, the next compaction re-splits them.
+
+  private val DESC_MAGIC: Array[Byte] =
+    Array(0x89.toByte, 'G'.toByte, 'B'.toByte, 'D'.toByte, '1'.toByte, 0.toByte)
+  private val VIEW_MAGIC: Array[Byte] =
+    Array(0x89.toByte, 'G'.toByte, 'B'.toByte, 'V'.toByte, '1'.toByte, 0.toByte)
+
+  private def hasMagic(bytes: Array[Byte], magic: Array[Byte]): Boolean =
+    bytes != null && bytes.length > magic.length &&
+      java.util.Arrays.equals(bytes, 0, magic.length, magic, 0, magic.length)
+
+  /** Upstream reference stored by a `__BLOB_VIEW_FIELD` column: the
+    * qualified table NAME (display / re-resolution), its resolved LOCATION
+    * (what reads join against), the upstream blob field and the row-tracking
+    * id (reference BlobViewStruct — blob.mdx "Blob View"). */
+  case class BlobViewRef(table: String, location: String, field: String, rowId: Long)
+
+  def serializeDesc(uri: String, offset: Long, length: Long): Array[Byte] =
+    DESC_MAGIC ++ graft.core.Json.write(BlobDesc(uri, offset, length))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  def tryParseDesc(bytes: Array[Byte]): Option[BlobDesc] =
+    if (!hasMagic(bytes, DESC_MAGIC)) None
+    else Some(graft.core.Json.read(new String(bytes, DESC_MAGIC.length,
+      bytes.length - DESC_MAGIC.length, java.nio.charset.StandardCharsets.UTF_8),
+      classOf[BlobDesc]))
+
+  def serializeViewRef(ref: BlobViewRef): Array[Byte] =
+    VIEW_MAGIC ++ graft.core.Json.write(ref)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  def tryParseViewRef(bytes: Array[Byte]): Option[BlobViewRef] =
+    if (!hasMagic(bytes, VIEW_MAGIC)) None
+    else Some(graft.core.Json.read(new String(bytes, VIEW_MAGIC.length,
+      bytes.length - VIEW_MAGIC.length, java.nio.charset.StandardCharsets.UTF_8),
+      classOf[BlobViewRef]))
+
+  /** Library-side view-reference builder (the SQL spelling is
+    * `graft_blob_view('db.t', 'field', row_id)` registered by the catalog):
+    * a column of serialized refs into `upstreamLoc`'s `field`. */
+  def blobViewRef(upstreamName: String, upstreamLoc: String, field: String,
+                  rowId: Column): Column = {
+    val f = udf { (rid: Long) =>
+      serializeViewRef(BlobViewRef(upstreamName, upstreamLoc, field, rid)) }
+    f(rowId)
+  }
+
+  /** Write-path split for declared `blob-field` columns: inline payloads in
+    * `cols` move to shared `.bin` files under `blobDir` (ONE file per task —
+    * sequential large writes) and the column keeps a serialized descriptor.
+    * Values that already carry a descriptor/view magic pass through, so
+    * compaction rewrites and pre-merged PK flushes never double-wrap. */
+  def splitBlobColumns(df: DataFrame, cols: Seq[String], blobDir: String): DataFrame = {
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return df
+    val spark = df.sparkSession
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val idxs = present.map(df.schema.fieldIndex)
+    val schema = df.schema
+    val outRdd = df.rdd.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else new Iterator[Row] {
+        private val path =
+          new Path(blobDir, s"blob-${UUID.randomUUID().toString.take(16)}.bin")
+        private lazy val out = {
+          val fs = path.getFileSystem(conf.value)
+          fs.mkdirs(path.getParent)
+          fs.create(path, true)
+        }
+        private var offset = 0L
+        private var opened = false
+        private var closed = false
+        override def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && opened && !closed) { out.close(); closed = true }
+          h
+        }
+        override def next(): Row = {
+          val r = rows.next()
+          var vals = r.toSeq
+          idxs.foreach { i =>
+            vals(i) match {
+              case b: Array[Byte]
+                  if !hasMagic(b, DESC_MAGIC) && !hasMagic(b, VIEW_MAGIC) =>
+                opened = true
+                out.write(b)
+                vals = vals.updated(i,
+                  serializeDesc(path.toString, offset, b.length.toLong))
+                offset += b.length
+              case _ => ()
+            }
+          }
+          val o = Row.fromSeq(vals)
+          if (!rows.hasNext && opened && !closed) { out.close(); closed = true }
+          o
+        }
+      }
+    }
+    spark.createDataFrame(outRdd, schema)
+  }
+
+  /** Read-path resolution of a blob/descriptor column: serialized
+    * descriptors fetch their byte range; inline payloads pass through. */
+  def resolveBlobBytes(spark: SparkSession): UserDefinedFunction = {
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    udf { (bytes: Array[Byte]) =>
+      tryParseDesc(bytes) match {
+        case None => bytes
+        case Some(d) =>
+          val p = new Path(d.uri)
+          val in = p.getFileSystem(conf.value).open(p)
+          try {
+            val buf = new Array[Byte](d.length.toInt)
+            in.seek(d.offset)
+            in.readFully(buf)
+            buf
+          } finally in.close()
+      }
+    }
+  }
+
+  /** Bridge: serialized descriptor bytes → the struct form the existing
+    * descriptor functions take (paimon's BLOB read surface returns
+    * serialized descriptor bytes under `blob-as-descriptor=true`). */
+  def descriptorFromBytes: UserDefinedFunction =
+    udf { (bytes: Array[Byte]) => tryParseDesc(bytes).orNull }
+
+  /** `graft_blob_view(table, field, row_id)` SQL function (reference
+    * sys.blob_view, blob.mdx "Blob View"): builds a serialized upstream
+    * reference. Registered per catalog — the catalog's warehouse resolves
+    * `db.table` to a location executor-side (external-table pointers
+    * honored, memoized per slot). Unqualified names are rejected, matching
+    * the reference. */
+  def blobViewFn(warehouse: String, catalogName: String,
+                 conf: SerializableConfiguration): UserDefinedFunction =
+    udf { (tableName: String, field: String, rowId: Long) =>
+      require(tableName != null && tableName.contains("."),
+        "blob_view: table must be qualified db.table or catalog.db.table")
+      val parts = tableName.split('.')
+      val (db, tbl) = parts.length match {
+        case 2 => (parts(0), parts(1))
+        case 3 =>
+          require(parts(0) == catalogName,
+            s"blob_view: table '$tableName' names catalog '${parts(0)}' but " +
+              s"the function is bound to '$catalogName'")
+          (parts(1), parts(2))
+        case _ => throw new IllegalArgumentException(
+          s"blob_view: expected db.table or catalog.db.table, got '$tableName'")
+      }
+      val slot = s"$warehouse/$db.db/$tbl"
+      val loc = blobViewLocCache.computeIfAbsent(slot, { _ =>
+        val m = new Path(slot, "_external.json")
+        val fs = m.getFileSystem(conf.value)
+        if (!fs.exists(m)) slot
+        else {
+          val len = fs.getFileStatus(m).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = fs.open(m)
+          try in.readFully(buf) finally in.close()
+          val s = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          String.valueOf(graft.core.Json.mapper
+            .readValue(s, classOf[Map[String, Any]])("location"))
+        }
+      })
+      serializeViewRef(BlobViewRef(s"$db.$tbl", loc, field, rowId))
+    }
+
+  private val blobViewLocCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Join key of a serialized view reference (null for non-view bytes). */
+  case class BlobViewKey(location: String, field: String, rowId: Long)
+
+  def parseViewKey: UserDefinedFunction =
+    udf { (b: Array[Byte]) =>
+      tryParseViewRef(b).map(r => BlobViewKey(r.location, r.field, r.rowId)).orNull }
+
   /** Fetch a descriptor's byte range (executor-side ranged read). */
   def readBlob(spark: SparkSession): UserDefinedFunction = {
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())

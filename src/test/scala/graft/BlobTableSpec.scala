@@ -1,0 +1,180 @@
+package graft
+
+import graft.core._
+import graft.pipeline.Blob
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** Table-integrated blob storage (reference multimodal-table/blob.mdx):
+  * `__BLOB_FIELD` / `__BLOB_DESCRIPTOR_FIELD` / `__BLOB_VIEW_FIELD` comment
+  * directives, transparent out-of-line payload storage, the
+  * `blob-as-descriptor` read switch, and blob views resolved from an
+  * upstream row-tracking table. */
+class BlobTableSpec extends SparkTestBase {
+
+  private lazy val wh = Files.createTempDirectory("graft-blob-wh").toString
+
+  override lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-blob-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.gb", "graft.dsv2.GraftCatalog")
+    .config("spark.sql.catalog.gb.warehouse", wh)
+    .config("spark.sql.extensions", "graft.dsv2.GraftSparkExtensions")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def payload(i: Int): Array[Byte] =
+    (s"payload-$i-" + ("x" * 64)).getBytes(UTF_8)
+
+  test("__BLOB_FIELD directive: out-of-line write, transparent read") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    spark.sql("""CREATE TABLE gb.db.images (
+        id INT,
+        name STRING,
+        image BINARY COMMENT '__BLOB_FIELD; product image')
+        TBLPROPERTIES ('row-tracking.enabled'='true')""")
+    val t = GraftTable.load(spark, s"$wh/db.db/images")
+    assert(t.config.options.get("blob-field").contains("image"))
+    assert(t.schema.sparkSchema.fields.find(_.name == "image")
+      .get.getComment().contains("product image"))
+    (1 to 6).map(i => (i, s"n$i", payload(i))).toDF("id", "name", "image")
+      .createOrReplaceTempView("img_src")
+    spark.sql("INSERT INTO gb.db.images SELECT * FROM img_src")
+    // payloads moved out of line into <loc>/blob
+    val blobDir = new org.apache.hadoop.fs.Path(s"$wh/db.db/images/blob")
+    val fs = blobDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(blobDir) && fs.listStatus(blobDir).nonEmpty)
+    // stored form is a descriptor, not the payload
+    val stored = t.readRaw().select("image").as[Array[Byte]].head()
+    assert(Blob.tryParseDesc(stored).isDefined)
+    // transparent read returns the original bytes (SQL + library paths)
+    val viaSql = spark.sql("SELECT id, image FROM gb.db.images ORDER BY id")
+      .as[(Int, Array[Byte])].collect()
+    assert(viaSql.forall { case (i, b) => b.sameElements(payload(i)) })
+    val viaLib = t.read().select("id", "image").as[(Int, Array[Byte])].collect()
+    assert(viaLib.forall { case (i, b) => b.sameElements(payload(i)) })
+    // projections not touching the blob column stay on the native scan
+    val plan = spark.sql("SELECT id, name FROM gb.db.images")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BatchScan"), s"expected native scan, got:\n$plan")
+    // blob-as-descriptor=true returns the serialized descriptor; the bridge
+    // functions render it
+    spark.sql("ALTER TABLE gb.db.images SET TBLPROPERTIES ('blob-as-descriptor'='true')")
+    val rendered = spark.sql(
+      """SELECT graft_descriptor_to_string(graft_descriptor_from_bytes(image))
+         FROM gb.db.images WHERE id = 1""").as[String].head()
+    assert(rendered.startsWith("BlobDescriptor{uri="))
+    spark.sql("ALTER TABLE gb.db.images SET TBLPROPERTIES ('blob-as-descriptor'='false')")
+  }
+
+  test("blob table: compaction and row-level ops keep payloads intact") {
+    val loc = Files.createTempDirectory("graft-blob-lib").toString + "/t"
+    val t = GraftTable.create(spark, loc,
+      Seq((1, payload(1))).toDF("id", "image").schema,
+      TableConfig(primaryKeys = Seq("id"), numBuckets = 1,
+        options = Map("blob-field" -> "image")))
+    t.write((1 to 4).map(i => (i, payload(i))).toDF("id", "image"))
+    t.write(Seq((2, payload(200))).toDF("id", "image")) // PK upsert
+    import graft.core.RowOps._
+    t.compact()
+    val afterCompact = t.read().select("id", "image")
+      .as[(Int, Array[Byte])].collect().toMap
+    assert(afterCompact(1).sameElements(payload(1)))
+    assert(afterCompact(2).sameElements(payload(200)))
+    // stored form after compaction is still a descriptor (no double wrap,
+    // no inlined bytes)
+    val stored = t.readRaw().select("image").as[Array[Byte]].collect()
+    assert(stored.forall(b => Blob.tryParseDesc(b).isDefined))
+    // SQL DELETE against the pk table leaves the survivors readable
+    t.delete(col("id") === 3)
+    assert(t.read().count() == 3)
+    assert(t.read().where(col("id") === 4).select("image")
+      .as[Array[Byte]].head().sameElements(payload(4)))
+  }
+
+  test("__BLOB_VIEW_FIELD: upstream refs resolve at read; resolve switch; forwarding") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    spark.sql("""CREATE TABLE gb.db.up (
+        id INT,
+        image BINARY COMMENT '__BLOB_FIELD')
+        TBLPROPERTIES ('row-tracking.enabled'='true')""")
+    (1 to 5).map(i => (i, payload(i))).toDF("id", "image")
+      .createOrReplaceTempView("up_src")
+    spark.sql("INSERT INTO gb.db.up SELECT * FROM up_src")
+    spark.sql("""CREATE TABLE gb.db.view1 (
+        id INT,
+        label STRING,
+        image_ref BINARY COMMENT '__BLOB_VIEW_FIELD')
+        TBLPROPERTIES ('row-tracking.enabled'='true')""")
+    // write refs via the SQL function over the upstream row-tracking table
+    spark.sql("""INSERT INTO gb.db.view1
+        SELECT id, concat('L', id), graft_blob_view('db.up', 'image', row_id)
+        FROM gb.db.`up$row_tracking`""")
+    // resolved read returns the upstream payloads without copying them
+    val got = spark.sql("SELECT id, image_ref FROM gb.db.view1 ORDER BY id")
+      .as[(Int, Array[Byte])].collect()
+    assert(got.length == 5)
+    assert(got.forall { case (i, b) => b.sameElements(payload(i)) })
+    // no .blob files were created for the view table
+    val fs = new org.apache.hadoop.fs.Path(s"$wh/db.db/view1")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/db.db/view1/blob")))
+    // resolve switch off: the serialized ref comes back verbatim
+    val raw = spark.read.format("graft")
+      .option("blob-view.resolve.enabled", "false")
+      .load(s"$wh/db.db/view1").select("image_ref").as[Array[Byte]].head()
+    val ref = Blob.tryParseViewRef(raw)
+    assert(ref.isDefined && ref.get.table == "db.up" && ref.get.field == "image")
+    // forwarding: importing refs read under resolve=false into another view
+    // table keeps them pointing at the ORIGINAL upstream
+    spark.sql("""CREATE TABLE gb.db.view2 (
+        id INT,
+        image_ref BINARY COMMENT '__BLOB_VIEW_FIELD')""")
+    spark.read.format("graft").option("blob-view.resolve.enabled", "false")
+      .load(s"$wh/db.db/view1").select(col("id"), col("image_ref"))
+      .createOrReplaceTempView("fwd_src")
+    spark.sql("INSERT INTO gb.db.view2 SELECT * FROM fwd_src")
+    val storedV2 = GraftTable.load(spark, s"$wh/db.db/view2")
+      .readRaw().select("image_ref").as[Array[Byte]].head()
+    assert(Blob.tryParseViewRef(storedV2).exists(_.table == "db.up"))
+    val got2 = spark.sql("SELECT id, image_ref FROM gb.db.view2 ORDER BY id")
+      .as[(Int, Array[Byte])].collect()
+    assert(got2.forall { case (i, b) => b.sameElements(payload(i)) })
+    // upstream mutation is visible through the view (row ids survive)
+    spark.sql("UPDATE gb.db.up SET image = CAST('fresh-bytes' AS BINARY) WHERE id = 2")
+    val after = spark.sql("SELECT image_ref FROM gb.db.view1 WHERE id = 2")
+      .as[Array[Byte]].head()
+    assert(new String(after, UTF_8) == "fresh-bytes")
+  }
+
+  test("__BLOB_DESCRIPTOR_FIELD: external descriptors stored inline, resolved on read") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    // an external payload file the descriptor points at
+    val extDir = Files.createTempDirectory("graft-blob-ext")
+    val extFile = extDir.resolve("payload.bin")
+    Files.write(extFile, "external-payload-bytes".getBytes(UTF_8))
+    spark.sql("""CREATE TABLE gb.db.descs (
+        id INT,
+        thumb BINARY COMMENT '__BLOB_DESCRIPTOR_FIELD; thumbnail')""")
+    val t = GraftTable.load(spark, s"$wh/db.db/descs")
+    assert(t.config.options.get("blob-descriptor-field").contains("thumb"))
+    val desc = Blob.serializeDesc(s"file:$extFile", 0L,
+      Files.size(extFile))
+    Seq((1, desc)).toDF("id", "thumb").createOrReplaceTempView("desc_src")
+    spark.sql("INSERT INTO gb.db.descs SELECT * FROM desc_src")
+    // descriptor bytes stay inline (no blob split for descriptor fields)
+    val fs = new org.apache.hadoop.fs.Path(s"$wh/db.db/descs")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/db.db/descs/blob")))
+    // default read resolves the external range
+    val b = spark.sql("SELECT thumb FROM gb.db.descs").as[Array[Byte]].head()
+    assert(new String(b, UTF_8) == "external-payload-bytes")
+  }
+}
