@@ -507,9 +507,15 @@ class GraftTable private (
     // rewrites and pre-merged flushes whose values are ALREADY descriptors
     // pass through untouched — only fresh payload bytes move out of line)
     val blobSplit = blobFieldCols.filter(df.columns.contains)
-    if (blobSplit.nonEmpty)
+    if (blobSplit.nonEmpty) {
+      // blob.target-file-size (blob.mdx options, default = target-file-size
+      // = 128mb): roll each task's shared payload file at the bound
+      val target = graft.pipeline.Blob.parseMemorySize(
+        config.option("blob.target-file-size",
+          config.option("target-file-size", "128mb")))
       df = graft.pipeline.Blob.splitBlobColumns(df, blobSplit,
-        new Path(location, "blob").toString)
+        new Path(location, "blob").toString, target)
+    }
 
     // partition + bucket routing. PT is a filesystem-safe 64-bit hash of the
     // partition values (real values live inside the files and in manifest

@@ -144,12 +144,32 @@ object Blob {
     f(rowId)
   }
 
+  /** Memory-size option values (`128mb`, `1 GB`, `4096`): bytes. */
+  private[graft] def parseMemorySize(s: String): Long = {
+    val m = """(?i)^\s*(\d+)\s*(b|kb|k|mb|m|gb|g|tb|t)?\s*$""".r
+    s match {
+      case m(n, unit) =>
+        val mult = Option(unit).map(_.toLowerCase.charAt(0)).getOrElse('b') match {
+          case 'b' => 1L
+          case 'k' => 1L << 10
+          case 'm' => 1L << 20
+          case 'g' => 1L << 30
+          case 't' => 1L << 40
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"invalid memory size '$s'")
+    }
+  }
+
   /** Write-path split for declared `blob-field` columns: inline payloads in
-    * `cols` move to shared `.bin` files under `blobDir` (ONE file per task —
-    * sequential large writes) and the column keeps a serialized descriptor.
-    * Values that already carry a descriptor/view magic pass through, so
-    * compaction rewrites and pre-merged PK flushes never double-wrap. */
-  def splitBlobColumns(df: DataFrame, cols: Seq[String], blobDir: String): DataFrame = {
+    * `cols` move to shared `.bin` files under `blobDir` (sequential large
+    * writes, one open file per task ROLLED at `targetBytes` — the
+    * reference's `blob.target-file-size`) and the column keeps a serialized
+    * descriptor. Values that already carry a descriptor/view magic pass
+    * through, so compaction rewrites and pre-merged PK flushes never
+    * double-wrap. */
+  def splitBlobColumns(df: DataFrame, cols: Seq[String], blobDir: String,
+                       targetBytes: Long = Long.MaxValue): DataFrame = {
     val present = cols.filter(df.columns.contains)
     if (present.isEmpty) return df
     val spark = df.sparkSession
@@ -159,19 +179,26 @@ object Blob {
     val outRdd = df.rdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else new Iterator[Row] {
-        private val path =
-          new Path(blobDir, s"blob-${UUID.randomUUID().toString.take(16)}.bin")
-        private lazy val out = {
-          val fs = path.getFileSystem(conf.value)
-          fs.mkdirs(path.getParent)
-          fs.create(path, true)
-        }
+        private lazy val fs =
+          new Path(blobDir).getFileSystem(conf.value)
+        private var path: Path = null
+        private var out: org.apache.hadoop.fs.FSDataOutputStream = null
         private var offset = 0L
-        private var opened = false
-        private var closed = false
+        private def ensureOpen(): Unit = {
+          if (out != null && offset >= targetBytes) { out.close(); out = null }
+          if (out == null) {
+            path = new Path(blobDir,
+              s"blob-${UUID.randomUUID().toString.take(16)}.bin")
+            fs.mkdirs(path.getParent)
+            out = fs.create(path, true)
+            offset = 0L
+          }
+        }
+        private def closeOut(): Unit =
+          if (out != null) { out.close(); out = null }
         override def hasNext: Boolean = {
           val h = rows.hasNext
-          if (!h && opened && !closed) { out.close(); closed = true }
+          if (!h) closeOut()
           h
         }
         override def next(): Row = {
@@ -181,7 +208,7 @@ object Blob {
             vals(i) match {
               case b: Array[Byte]
                   if !hasMagic(b, DESC_MAGIC) && !hasMagic(b, VIEW_MAGIC) =>
-                opened = true
+                ensureOpen()
                 out.write(b)
                 vals = vals.updated(i,
                   serializeDesc(path.toString, offset, b.length.toLong))
@@ -190,7 +217,7 @@ object Blob {
             }
           }
           val o = Row.fromSeq(vals)
-          if (!rows.hasNext && opened && !closed) { out.close(); closed = true }
+          if (!rows.hasNext) closeOut()
           o
         }
       }

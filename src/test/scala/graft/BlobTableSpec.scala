@@ -99,6 +99,30 @@ class BlobTableSpec extends SparkTestBase {
       .as[Array[Byte]].head().sameElements(payload(4)))
   }
 
+  test("blob.target-file-size rolls the per-task payload file") {
+    val loc = Files.createTempDirectory("graft-blob-roll").toString + "/t"
+    val t = GraftTable.create(spark, loc,
+      Seq((1, payload(1))).toDF("id", "image").schema,
+      TableConfig(options = Map("blob-field" -> "image",
+        "blob.target-file-size" -> "200b")))
+    // ~76-byte payloads, 200-byte target → several files even in one task
+    t.write((1 to 20).map(i => (i, payload(i))).toDF("id", "image").coalesce(1))
+    val fs = new org.apache.hadoop.fs.Path(s"$loc/blob")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/blob"))
+    assert(files.length > 3, s"expected rolled blob files, got ${files.length}")
+    assert(files.forall(_.getLen <= 300), "rolled files stay near the target")
+    val got = t.read().select("id", "image").as[(Int, Array[Byte])].collect()
+    assert(got.length == 20 && got.forall { case (i, b) => b.sameElements(payload(i)) })
+    // bad size strings fail loudly
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Blob.parseMemorySize("12 parsecs")
+    }
+    assert(graft.pipeline.Blob.parseMemorySize("1 GB") == (1L << 30))
+    assert(graft.pipeline.Blob.parseMemorySize("128mb") == (128L << 20))
+    assert(graft.pipeline.Blob.parseMemorySize("4096") == 4096L)
+  }
+
   test("__BLOB_VIEW_FIELD: upstream refs resolve at read; resolve switch; forwarding") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
     spark.sql("""CREATE TABLE gb.db.up (
