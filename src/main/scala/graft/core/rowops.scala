@@ -959,7 +959,8 @@ object RowOps {
       val fs = t.sm.fs
       val dataRoot = t.sm.dataDir
       if (!fs.exists(dataRoot)) return 0
-      if (metadataIsBig) return removeOrphanFilesDistributed(olderThanMs)
+      val blobDeleted = removeOrphanBlobFiles(olderThanMs)
+      if (metadataIsBig) return blobDeleted + removeOrphanFilesDistributed(olderThanMs)
       val referenced: Set[String] = t.sm.snapshotIds.flatMap { id =>
         t.sm.readSnapshot(id).manifests.flatMap(m =>
           t.sm.readManifest(m).filter(_.kind == 0).map(_.path))
@@ -972,6 +973,57 @@ object RowOps {
         val rel = st.getPath.toUri.getPath.substring(rootLen).stripPrefix("/")
         val isDataFile = st.isFile && RowOps.dataFileExts.exists(rel.endsWith)
         if (isDataFile && !referenced.contains(rel) &&
+            st.getModificationTime < olderThanMs) {
+          fs.delete(st.getPath, false)
+          deleted += 1
+        }
+      }
+      deleted + blobDeleted
+    }
+
+    /** Orphan cleaning for the shared blob payload files of `blob-field`
+      * tables: a `.bin` file under `<loc>/blob` is live iff ANY data file
+      * of ANY retained snapshot carries a descriptor into it. COW rewrites
+      * re-split payloads, so blob files referenced only by expired
+      * snapshots become unreferenced here. Cost: one column-pruned
+      * distributed read of the blob columns across every ever-ADDed data
+      * file (descriptors are tiny); URI distinct is blob-FILE scale. Only
+      * files inside `<loc>/blob` are candidates — external descriptor
+      * targets are never touched. */
+    private def removeOrphanBlobFiles(olderThanMs: Long): Int = {
+      if (t.blobFieldCols.isEmpty || t.fileFormat != "parquet") return 0
+      val fs = t.sm.fs
+      val blobRoot = new Path(t.location, "blob")
+      if (!fs.exists(blobRoot)) return 0
+      // union of LIVE files across retained snapshots (raw ADD entries
+      // would include overwritten files expire already deleted physically)
+      val everAdded = t.sm.snapshotIds.flatMap { id =>
+        t.planFiles(Some(id)).map(_.path)
+      }.distinct
+      val referencedUris: Set[String] =
+        if (everAdded.isEmpty) Set.empty
+        else {
+          val paths = everAdded.map(p => new Path(t.location, p).toString)
+          val cols = t.blobFieldCols
+          val parse = udf { (b: Array[Byte]) =>
+            graft.pipeline.Blob.tryParseDesc(b).map(_.uri).orNull }
+          // mergeSchema: files predating a blob column read it as null
+          val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          val present = cols.filter(raw.columns.contains)
+          if (present.isEmpty) Set.empty[String]
+          else raw
+            .select(present.map(c => parse(col(c)).as(c)).toIndexedSeq: _*)
+            .selectExpr(s"stack(${present.length}, " +
+              s"${present.map(c => s"`$c`").mkString(",")}) as uri")
+            .filter(col("uri").isNotNull).distinct()
+            .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+        }
+      val refPaths = referencedUris.map(u => new Path(u).toUri.getPath)
+      var deleted = 0
+      val it = fs.listFiles(blobRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !refPaths.contains(st.getPath.toUri.getPath) &&
             st.getModificationTime < olderThanMs) {
           fs.delete(st.getPath, false)
           deleted += 1

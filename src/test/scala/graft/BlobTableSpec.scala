@@ -178,6 +178,36 @@ class BlobTableSpec extends SparkTestBase {
     assert(new String(after, UTF_8) == "fresh-bytes")
   }
 
+  test("remove_orphan_files cleans blob files only expired snapshots referenced") {
+    val loc = Files.createTempDirectory("graft-blob-orph").toString + "/t"
+    import graft.core.RowOps._
+    val t = GraftTable.create(spark, loc,
+      Seq((1, payload(1))).toDF("id", "image").schema,
+      TableConfig(options = Map("blob-field" -> "image")))
+    t.write((1 to 4).map(i => (i, payload(i))).toDF("id", "image").coalesce(1))
+    val blobRoot = new org.apache.hadoop.fs.Path(s"$loc/blob")
+    val fs = blobRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    def blobFiles = fs.listStatus(blobRoot).map(_.getPath.getName).toSet
+    val firstGen = blobFiles
+    assert(firstGen.nonEmpty)
+    // a full overwrite writes fresh payloads into NEW blob files
+    t.overwrite((1 to 4).map(i => (i, payload(i + 100)))
+      .toDF("id", "image").coalesce(1))
+    assert((blobFiles -- firstGen).nonEmpty)
+    // the pre-overwrite snapshot still references the first generation: an
+    // aggressive orphan sweep must keep it
+    assert(t.removeOrphanFiles(System.currentTimeMillis() + 60000) == 0)
+    // expire it; now the first generation is orphaned
+    t.expireSnapshots(1)
+    val deleted = t.removeOrphanFiles(System.currentTimeMillis() + 60000)
+    assert(deleted >= firstGen.size, s"deleted=$deleted of ${firstGen.size}")
+    assert(blobFiles.intersect(firstGen).isEmpty)
+    // survivors read intact
+    val got = t.read().select("id", "image").as[(Int, Array[Byte])].collect()
+    assert(got.length == 4)
+    assert(got.forall { case (i, b) => b.sameElements(payload(i + 100)) })
+  }
+
   test("__BLOB_DESCRIPTOR_FIELD: external descriptors stored inline, resolved on read") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
     // an external payload file the descriptor points at
