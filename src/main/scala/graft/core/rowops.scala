@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
 
 import java.util.UUID
 
@@ -1011,10 +1012,18 @@ object RowOps {
           val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
           val present = cols.filter(raw.columns.contains)
           if (present.isEmpty) Set.empty[String]
-          else raw
-            .select(present.map(c => parse(col(c)).as(c)).toIndexedSeq: _*)
-            .selectExpr(s"stack(${present.length}, " +
-              s"${present.map(c => s"`$c`").mkString(",")}) as uri")
+          else present.map { c =>
+            // one uri-array expression per storage shape (scalar blob,
+            // ARRAY<BLOB> elements, MAP<K, BLOB> values)
+            val uris = raw.schema(c).dataType match {
+              case BinaryType => array(parse(col(c)))
+              case ArrayType(BinaryType, _) => transform(col(c), x => parse(x))
+              case MapType(_, BinaryType, _) =>
+                transform(map_values(col(c)), x => parse(x))
+              case _ => array(lit(null).cast("string"))
+            }
+            raw.select(explode_outer(uris).as("uri"))
+          }.reduce(_ unionAll _)
             .filter(col("uri").isNotNull).distinct()
             .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
         }

@@ -1361,10 +1361,20 @@ class GraftTable private (
     val vCols = blobViewCols.filter(present)
     if (bCols.isEmpty && vCols.isEmpty) return df
     var out = df
-    if (opt("blob-as-descriptor", "false") != "true")
+    if (opt("blob-as-descriptor", "false") != "true") {
+      val resolve = graft.pipeline.Blob.resolveBlobBytes(spark)
       bCols.foreach { c =>
-        out = out.withColumn(c, graft.pipeline.Blob.resolveBlobBytes(spark)(col(c)))
+        val resolved = df.schema(c).dataType match {
+          case BinaryType => resolve(col(c))
+          // collection storage: every element/value resolves independently
+          case ArrayType(BinaryType, _) => transform(col(c), x => resolve(x))
+          case MapType(_, BinaryType, _) => map_from_arrays(
+            map_keys(col(c)), transform(map_values(col(c)), x => resolve(x)))
+          case _ => col(c)
+        }
+        out = out.withColumn(c, resolved)
       }
+    }
     if (vCols.nonEmpty && opt("blob-view.resolve.enabled", "true") != "false")
       vCols.foreach { c => out = resolveBlobViewColumn(out, c) }
     out

@@ -684,9 +684,19 @@ object GraftCatalog {
           register("vector-field", f.name)
           keep(f, rest)
         case Some(blobRe(kind, rest)) =>
-          require(f.dataType == org.apache.spark.sql.types.BinaryType,
-            s"__${kind}_FIELD directive on '${f.name}' requires BINARY, " +
-              s"got ${f.dataType.simpleString}")
+          // collection storage (ARRAY<BLOB> / MAP<K, BLOB>) is raw managed
+          // blob only — descriptor/view fields stay scalar (blob.mdx §6)
+          import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
+          val okType = f.dataType match {
+            case BinaryType => true
+            case ArrayType(BinaryType, _) | MapType(_, BinaryType, _) =>
+              kind == "BLOB"
+            case _ => false
+          }
+          require(okType,
+            s"__${kind}_FIELD directive on '${f.name}' requires BINARY" +
+              (if (kind == "BLOB") ", ARRAY<BINARY> or MAP<K, BINARY>" else "") +
+              s", got ${f.dataType.simpleString}")
           register(kind match {
             case "BLOB" => "blob-field"
             case "BLOB_DESCRIPTOR" => "blob-descriptor-field"

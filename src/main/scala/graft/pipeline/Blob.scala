@@ -201,21 +201,26 @@ object Blob {
           if (!h) closeOut()
           h
         }
+        private def externalize(v: Any): Any = v match {
+          case b: Array[Byte]
+              if !hasMagic(b, DESC_MAGIC) && !hasMagic(b, VIEW_MAGIC) =>
+            ensureOpen()
+            out.write(b)
+            val d = serializeDesc(path.toString, offset, b.length.toLong)
+            offset += b.length
+            d
+          // collection storage (ARRAY<BLOB> / MAP<K, BLOB>, reference
+          // pk-table blob-storage.md): each non-null element/value
+          // externalizes independently
+          case seq: scala.collection.Seq[_] => seq.map(externalize)
+          case m: scala.collection.Map[_, _] =>
+            m.map { case (k, x) => k -> externalize(x) }
+          case other => other
+        }
         override def next(): Row = {
           val r = rows.next()
           var vals = r.toSeq
-          idxs.foreach { i =>
-            vals(i) match {
-              case b: Array[Byte]
-                  if !hasMagic(b, DESC_MAGIC) && !hasMagic(b, VIEW_MAGIC) =>
-                ensureOpen()
-                out.write(b)
-                vals = vals.updated(i,
-                  serializeDesc(path.toString, offset, b.length.toLong))
-                offset += b.length
-              case _ => ()
-            }
-          }
+          idxs.foreach { i => vals = vals.updated(i, externalize(vals(i))) }
           val o = Row.fromSeq(vals)
           if (!rows.hasNext) closeOut()
           o

@@ -178,6 +178,45 @@ class BlobTableSpec extends SparkTestBase {
     assert(new String(after, UTF_8) == "fresh-bytes")
   }
 
+  test("collection blob storage: ARRAY<BINARY> and MAP<K, BINARY> blob fields") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    spark.sql("""CREATE TABLE gb.db.media (
+        id INT,
+        content BINARY COMMENT '__BLOB_FIELD; media content',
+        attachments ARRAY<BINARY> COMMENT '__BLOB_FIELD; related files',
+        renditions MAP<STRING, BINARY> COMMENT '__BLOB_FIELD; named renditions')
+        TBLPROPERTIES ('primary-key'='id', 'bucket'='1')""")
+    spark.sql("""INSERT INTO gb.db.media VALUES
+        (1, X'89504E470D0A1A0A', array(X'25504446', CAST(NULL AS BINARY)),
+         map('thumbnail', X'89504E47'))""")
+    // each non-null element/value externalized, stored form descriptors
+    val t = GraftTable.load(spark, s"$wh/db.db/media")
+    val raw = t.readRaw().selectExpr("content", "attachments[0]", "renditions['thumbnail']")
+      .as[(Array[Byte], Array[Byte], Array[Byte])].head()
+    assert(Blob.tryParseDesc(raw._1).isDefined)
+    assert(Blob.tryParseDesc(raw._2).isDefined)
+    assert(Blob.tryParseDesc(raw._3).isDefined)
+    // read resolves scalar, array elements (nulls preserved) and map values
+    val got = spark.sql(
+      """SELECT hex(content), hex(attachments[0]), attachments[1] IS NULL,
+                hex(renditions['thumbnail'])
+         FROM gb.db.media""").as[(String, String, Boolean, String)].head()
+    assert(got == (("89504E470D0A1A0A", "25504446", true, "89504E47")))
+    // PK upsert + compaction keep collection payloads intact
+    spark.sql("""INSERT INTO gb.db.media VALUES
+        (1, X'FF', array(X'AA'), map('k', X'BB'))""")
+    graft.core.Procedures.call(spark, t, "compact", Map.empty).collect()
+    val after = spark.sql(
+      """SELECT hex(content), hex(attachments[0]), hex(renditions['k'])
+         FROM gb.db.media""").as[(String, String, String)].head()
+    assert(after == (("FF", "AA", "BB")))
+    // descriptor/view directives stay scalar-only
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE gb.db.media_bad (
+          id INT, refs ARRAY<BINARY> COMMENT '__BLOB_VIEW_FIELD')""")
+    }
+  }
+
   test("remove_orphan_files cleans blob files only expired snapshots referenced") {
     val loc = Files.createTempDirectory("graft-blob-orph").toString + "/t"
     import graft.core.RowOps._
