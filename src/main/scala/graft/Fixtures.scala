@@ -184,6 +184,11 @@ object Fixtures {
     * path with zero SQL. */
   def ordersDfw(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "orders_dfw") { loc =>
+      // the writer-API create is ErrorIfExists by design — clear any stale
+      // build from a previous JVM (other fixtures get this via createOrReplace)
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val pfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (pfs.exists(p)) pfs.delete(p, true)
       val orders = src(spark, sfDir, "orders")
       orders.write.format("graft")
         .option("primary-key", "o_orderkey,o_orderpriority")
