@@ -95,7 +95,7 @@ object Fixtures {
       val wh = s"${fixRoot(sfDir)}/sql-warehouse"
       val fs = new org.apache.hadoop.fs.Path(wh)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      Seq("docs_blob", "docs_blob_view").foreach { t =>
+      Seq("docs_blob", "docs_blob_view", "docs_blob_arr").foreach { t =>
         val p = new org.apache.hadoop.fs.Path(s"$wh/db.db/$t")
         if (fs.exists(p)) fs.delete(p, true)
       }
@@ -114,6 +114,15 @@ object Fixtures {
       spark.sql("""INSERT INTO graft_fix.db.docs_blob_view
           SELECT doc_id, graft_blob_view('db.docs_blob', 'blob', row_id)
           FROM graft_fix.db.`docs_blob$row_tracking`""")
+      // collection storage: ARRAY<BLOB> of fixed-width text chunks
+      spark.sql("""CREATE TABLE graft_fix.db.docs_blob_arr (
+          doc_id BIGINT,
+          chunks ARRAY<BINARY> COMMENT '__BLOB_FIELD; 64-byte chunks')""")
+      spark.sql("""INSERT INTO graft_fix.db.docs_blob_arr
+          SELECT doc_id,
+                 transform(sequence(0, greatest(CAST(ceil(octet_length(encode(text, 'UTF-8')) / 64.0) AS INT), 1) - 1),
+                           i -> substring(encode(text, 'UTF-8'), i * 64 + 1, 64))
+          FROM docs_blob_src_v""")
       GraftTable.load(spark, s"$wh/db.db/docs_blob")
     })
     "graft_fix.db"

@@ -1453,6 +1453,15 @@ object SparkEntry {
       s.sql(s"""SELECT doc_id, md5(ref) AS content_hash
                 FROM $db.docs_blob_view""")
     }),
+    // collection blob storage (ARRAY<BLOB>): per-element descriptors in
+    // shared packs; read reassembles the chunks to the original payload
+    "q_blob_collection" -> ((s, d) => {
+      val db = Fixtures.sqlBlobTables(s, d)
+      s.sql(s"""SELECT doc_id, size(chunks) AS n_chunks,
+                md5(aggregate(chunks, CAST('' AS BINARY),
+                              (acc, x) -> concat(acc, x))) AS content_hash
+                FROM $db.docs_blob_arr""")
+    }),
     "q_multimodal_blob" -> ((s, d) => {
       // BLOB column plumbing: text → opaque binary + typed metadata; the
       // "decode" is a deterministic stand-in (real image/audio codecs are
@@ -2257,6 +2266,11 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 200""".stripMargin,
     "q_blob_view" ->
       """SELECT doc_id, md5(text) AS content_hash
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q_blob_collection" ->
+      """SELECT doc_id,
+        |  CAST(greatest(ceil(octet_length(encode(text)) / 64.0), 1) AS INT) AS n_chunks,
+        |  md5(text) AS content_hash
         |FROM documents WHERE doc_id < 200""".stripMargin,
     "q_frame_sample" ->
       """WITH f AS (
