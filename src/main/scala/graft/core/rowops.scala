@@ -423,7 +423,7 @@ object RowOps {
       val hit = coalesce(cond, lit(false))
       val positions =
         if (t.isPk) {
-          val deletedKeys = t.read(None, None).filter(hit)
+          val deletedKeys = t.readStored().filter(hit)
             .select(cfg.primaryKeys.map(col).toIndexedSeq: _*)
           withMeta.join(deletedKeys, cfg.primaryKeys, "left_semi")
             .select(col("__fp"), col("__ri"))
@@ -1084,7 +1084,7 @@ object RowOps {
       * counts in ONE distributed pass; persisted next to snapshots. */
     def analyze(): DataFrame = {
       val live = t.planFiles()
-      val df = t.read()
+      val df = t.readStored() // stats over stored bytes; no blob resolution
       val cols = t.dataSchema.fields.map(_.name)
       val aggs = cols.flatMap { c =>
         Seq(approx_count_distinct(col(c)).as(s"ndv__$c"),
@@ -1212,7 +1212,9 @@ object RowOps {
       val spark = t.spark
       val commitSeq = t.nextCommitSeq
       val dataCols = t.dataSchema.fields.map(_.name).toSeq
-      val tgt = t.read().alias("t")
+      // stored form: blob descriptors / view refs re-commit untouched —
+      // a MERGE must never freeze a view reference into materialized bytes
+      val tgt = t.readStored().alias("t")
       val src = source.alias("s")
 
       def envelope(df: DataFrame, kind: Int): DataFrame =

@@ -1347,6 +1347,17 @@ class GraftTable private (
     resolveBlobRead(base, readOpts)
   }
 
+  /** Stored-form read for the maintenance/row-op plane: blob descriptors
+    * and view references stay serialized (no resolution, no upstream join,
+    * no plan-time collect). MERGE/DELETE/ANALYZE operate here so rewrites
+    * re-commit the stable stored bytes — the reference's managed-blob
+    * posture (pk-table blob-storage.md: merges reorder rows "without
+    * rewriting the surviving payload bytes"). Consequence, documented: a
+    * row-op predicate over a blob column sees descriptor bytes, not
+    * payloads. */
+  private[graft] def readStored(filter: Option[Column] = None): DataFrame =
+    read(filter, None, GraftTable.STORED_READ_OPTS)
+
   /** Read-side blob semantics (reference blob.mdx): declared blob /
     * descriptor columns resolve their serialized descriptors to the actual
     * byte ranges unless `blob-as-descriptor=true`; declared blob-view
@@ -1389,9 +1400,17 @@ class GraftTable private (
   private def resolveBlobViewColumn(df: DataFrame, c: String): DataFrame = {
     val keyCol = s"__bv_key_$c"
     val withKey = df.withColumn(keyCol, graft.pipeline.Blob.parseViewKey(col(c)))
-    val pairs = withKey.filter(col(keyCol).isNotNull)
-      .select(col(s"$keyCol.location"), col(s"$keyCol.field"))
-      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // distinct upstream pairs are computed over the FULL column once per
+    // (table, snapshot) and memoized — repeated reads of a view table pay
+    // no further plan-time job; filters only shrink the join's left side
+    val pairs = GraftTable.blobViewPairCache.getOrElseUpdate(
+      (location, sm.latestSnapshotId.getOrElse(0L), c), {
+        readEntries(planFiles(), withInternal = false)
+          .select(graft.pipeline.Blob.parseViewKey(col(c)).as("k"))
+          .filter(col("k").isNotNull)
+          .select(col("k.location"), col("k.field"))
+          .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      })
     if (pairs.isEmpty) return df
     val lookups = pairs.map { case (loc, fld) =>
       val up = GraftTable.load(spark, loc)
@@ -1495,6 +1514,12 @@ class GraftTable private (
             morPlanEntries(snapshotId, None).isDefined) {
           var r = spark.read.format("graft")
           snapshotId.foreach(id => r = r.option("scan.snapshot-id", id.toString))
+          // pin the STORED blob form on the bounce: blob resolution belongs
+          // to the OUTER read()'s resolveBlobRead wrapper — without the pin
+          // the connector's blob routing would send the scan back to the V1
+          // DataFrame plan, which re-enters this bounce (infinite recursion,
+          // exactly the bounce-back hazard noted above)
+          GraftTable.STORED_READ_OPTS.foreach { case (k, v) => r = r.option(k, v) }
           return filter.foldLeft(r.load(location))((d, c) => d.filter(c))
         }
         // raw buckets are fully merged: their rows are final, so the FULL
@@ -1695,13 +1720,18 @@ class GraftTable private (
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
     }
     val dv = dvFor(snapshotId)
-    if (!isPk) finish(readEntries(entries, withInternal = false, dv, withMeta = true))
-    else {
-      val merged = MergeEngines.merge(
-        readEntries(entries, withInternal = true, dv, withMeta = true),
-        config, dataSchema)
-      finish(merged)
-    }
+    val out =
+      if (!isPk) finish(readEntries(entries, withInternal = false, dv, withMeta = true))
+      else {
+        val merged = MergeEngines.merge(
+          readEntries(entries, withInternal = true, dv, withMeta = true),
+          config, dataSchema)
+        finish(merged)
+      }
+    // same blob read semantics as plain read(): a projection that happens
+    // to also ask for __graft_file_path must not flip blob columns to
+    // their serialized stored form
+    resolveBlobRead(out, Map.empty)
   }
 
   /** Full rows incl. LSM envelope, rowkind as string (paimon `t$audit_log`). */
@@ -1782,7 +1812,26 @@ class GraftTable private (
       s"cannot rename key/partition/sequence column $oldName")
     val fields = cur.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f)
-    sm.writeSchema(TableSchema(cur.id + 1, fields, cur.config,
+    // column-registered options must follow the rename or their capability
+    // silently detaches: per-field keys (fields.<col>.dimension /
+    // .aggregate-function / …) and comma-list memberships (vector-field,
+    // blob-*-field, bucket-key, file-index.*.columns)
+    val listKey = (k: String) => k.endsWith("-field") || k == "bucket-key" ||
+      (k.startsWith("file-index.") && k.endsWith(".columns"))
+    val renamedOpts = cur.config.options.map {
+      case (k, v) if k.startsWith(s"fields.$oldName.") =>
+        s"fields.$newName.${k.stripPrefix(s"fields.$oldName.")}" -> v
+      case (k, v) if listKey(k) =>
+        k -> v.split(",").map(_.trim)
+          .map(c => if (c == oldName) newName else c).mkString(",")
+      case kv => kv
+    }
+    val renamedAggs = cur.config.fieldAggregates.map {
+      case (c, fn) if c == oldName => newName -> fn
+      case kv => kv
+    }
+    sm.writeSchema(TableSchema(cur.id + 1, fields,
+      cur.config.copy(options = renamedOpts, fieldAggregates = renamedAggs),
       System.currentTimeMillis()))
   }
 
@@ -2249,6 +2298,15 @@ object GraftTable {
       case _ => evolveExpr(src, dst, e)
     }
   }
+
+  /** Per-read options pinning the STORED form of blob columns. */
+  val STORED_READ_OPTS: Map[String, String] =
+    Map("blob-as-descriptor" -> "true", "blob-view.resolve.enabled" -> "false")
+
+  /** (table location, snapshot id, view column) → distinct upstream
+    * (location, field) pairs — safe to cache: snapshots are immutable. */
+  private[core] val blobViewPairCache =
+    scala.collection.concurrent.TrieMap[(String, Long, String), Seq[(String, String)]]()
 
   // internal (LSM envelope / routing) column names
   val SEQ = "__seq"

@@ -50,9 +50,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     authUser = Option(options.get("user"))
     authPassword = Option(options.get("password"))
     // blob descriptor SQL surface (paimon sys.* functions): session UDFs,
-    // registered once per session on first catalog init
-    try {
-      val s = SparkSession.active
+    // registered once per session on first catalog init. Only the
+    // no-active-session probe is soft — a real registration failure must
+    // surface, not silently skip the remaining functions.
+    val sessionOpt =
+      try Some(SparkSession.active) catch { case _: Exception => None }
+    sessionOpt.foreach { s =>
       GraftVariantPrune.register(s)
       // NOT under spark.graft.* — that prefix is the session read-option
       // injection namespace and would leak into every table's options
@@ -79,7 +82,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       // struct form graft_descriptor_to_string / presigned-url take
       s.udf.register("graft_descriptor_from_bytes",
         graft.pipeline.Blob.descriptorFromBytes)
-    } catch { case _: Exception => /* no active session yet */ }
+    }
   }
   override def name(): String = catalogName
 
@@ -424,8 +427,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val t = GraftTable.load(spark, tablePath(ident))
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        t.addColumns(org.apache.spark.sql.types.StructField(
-          add.fieldNames()(0), add.dataType(), add.isNullable))
+        val f0 = org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), add.isNullable)
+        val f1 = Option(add.comment()).fold(f0)(f0.withComment)
+        // the comment may carry a __VECTOR_FIELD / __BLOB_*_FIELD directive
+        // (blob.mdx "Adding a Blob Column"): register its option exactly
+        // like the CREATE path, merging comma lists with existing members
+        val (schemaV, props) =
+          GraftCatalog.applyVectorDirectives(StructType(Array(f1)))
+        t.addColumns(schemaV.fields.head)
+        if (props.nonEmpty) {
+          val cur = GraftTable.load(spark, tablePath(ident)).config.options
+          t.setOptions(props.map {
+            case (k, v) if k.endsWith("-field") && cur.contains(k) =>
+              k -> (cur(k).split(",").map(_.trim).filter(_.nonEmpty) :+ v)
+                .distinct.mkString(",")
+            case kv => kv
+          })
+        }
         // ADD COLUMN … FIRST | AFTER x (sql-alter.md "Adding Column
         // Position"): append under a fresh id, then the metadata-only move
         add.position() match {

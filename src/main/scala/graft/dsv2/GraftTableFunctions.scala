@@ -262,7 +262,10 @@ object GraftTableFunctions {
               case Some(ref) if ref.kind == "pk" =>
                 FullText.PostingsDslScorer(FullText.buildPostings(
                   t.read(), ref.idCol, ref.textCol, ref.spec), ref.spec)
-              case Some(ref) => Indexes.IndexDslScorer(spark, ref.idxLoc.get)
+              // search-mode-aware (full/detail cover the unindexed delta) —
+              // a multi_match spelling must see the same corpus as match
+              case Some(ref) =>
+                graft.pipeline.IndexLifecycle.fullTextScorer(t, ref)
               case None => throw new IllegalArgumentException(
                 s"${t.location}: no full-text index on column $c " +
                   s"(indexed: ${refs.keys.toSeq.sorted.mkString(", ")})")

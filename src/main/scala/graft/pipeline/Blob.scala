@@ -230,6 +230,42 @@ object Blob {
     spark.createDataFrame(outRdd, schema)
   }
 
+  /** Bounded per-JVM cache of open payload-pack streams: ranged reads use
+    * the thread-safe positioned `readFully(pos, …)` (PositionedReadable),
+    * so many rows share one open stream per pack instead of an
+    * open/seek/close round trip per VALUE — on an object store that is the
+    * difference between O(values) and O(distinct packs) metadata calls.
+    * Size-capped FIFO; evicted streams close, late readers reopen. */
+  private val blobStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.hadoop.fs.FSDataInputStream]()
+  private val blobStreamOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def pread(uri: String, offset: Long, length: Int,
+                    conf: Configuration): Array[Byte] = {
+    val in = blobStreamCache.computeIfAbsent(uri, { u =>
+      blobStreamOrder.add(u)
+      while (blobStreamCache.size() > 64) {
+        Option(blobStreamOrder.poll())
+          .flatMap(k => Option(blobStreamCache.remove(k)))
+          .foreach(s => try s.close() catch { case _: Exception => () })
+      }
+      val p = new Path(u)
+      p.getFileSystem(conf).open(p)
+    })
+    val buf = new Array[Byte](length)
+    try in.readFully(offset, buf)
+    catch {
+      case _: Exception =>
+        // stream evicted+closed by a concurrent reader, or gone stale:
+        // reopen once, uncached
+        val p = new Path(uri)
+        val in2 = p.getFileSystem(conf).open(p)
+        try in2.readFully(offset, buf) finally in2.close()
+    }
+    buf
+  }
+
   /** Read-path resolution of a blob/descriptor column: serialized
     * descriptors fetch their byte range; inline payloads pass through. */
   def resolveBlobBytes(spark: SparkSession): UserDefinedFunction = {
@@ -237,15 +273,7 @@ object Blob {
     udf { (bytes: Array[Byte]) =>
       tryParseDesc(bytes) match {
         case None => bytes
-        case Some(d) =>
-          val p = new Path(d.uri)
-          val in = p.getFileSystem(conf.value).open(p)
-          try {
-            val buf = new Array[Byte](d.length.toInt)
-            in.seek(d.offset)
-            in.readFully(buf)
-            buf
-          } finally in.close()
+        case Some(d) => pread(d.uri, d.offset, d.length.toInt, conf.value)
       }
     }
   }
@@ -311,16 +339,8 @@ object Blob {
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     udf { (desc: Row) =>
       if (desc == null) null
-      else {
-        val p = new Path(desc.getAs[String]("uri"))
-        val in = p.getFileSystem(conf.value).open(p)
-        try {
-          val buf = new Array[Byte](desc.getAs[Long]("length").toInt)
-          in.seek(desc.getAs[Long]("offset"))
-          in.readFully(buf)
-          buf
-        } finally in.close()
-      }
+      else pread(desc.getAs[String]("uri"), desc.getAs[Long]("offset"),
+        desc.getAs[Long]("length").toInt, conf.value)
     }
   }
 
@@ -430,11 +450,12 @@ object Blob {
       "https://blob.example.com")
     val legacySecret =
       spark.conf.get("graft.blob.presign.secret", "graft-dev-secret")
-    if (!spark.sparkContext.isLocal && legacySecret == "graft-dev-secret" &&
-        spark.conf.getOption("spark.graft.blob.presign.secret").isEmpty)
-      throw new IllegalStateException(
-        "presigned-url signing would use the well-known dev-default secret " +
-          "on a cluster: set spark.graft.blob.presign.secret")
+    // the dev-default-secret-on-a-cluster guard runs at QUERY time, not at
+    // registration: the secret may legitimately be SET after catalog init
+    // (it is re-read per call below), and a registration-time throw would
+    // be swallowed by the catalog's init guard, silently skipping the
+    // remaining function registrations
+    val isLocalMaster = spark.sparkContext.isLocal
     udf { (desc: Row, validitySeconds: Long) =>
       try {
         require(desc != null, "null descriptor")
@@ -444,10 +465,17 @@ object Blob {
           conf.getConfString("spark.graft.blob.presign.base-url", legacyBase)
         val secret =
           conf.getConfString("spark.graft.blob.presign.secret", legacySecret)
+        if (!isLocalMaster && secret == "graft-dev-secret")
+          throw new IllegalStateException(
+            "presigned-url signing would use the well-known dev-default " +
+              "secret on a cluster: set spark.graft.blob.presign.secret")
         signPresignedUrl(base, secret, desc.getAs[String]("uri"),
           desc.getAs[Long]("offset"), desc.getAs[Long]("length"),
           validitySeconds, System.currentTimeMillis() / 1000)
       } catch {
+        // the dev-secret misconfiguration is never a row-level error —
+        // try_ must not soften it to NULL
+        case e: IllegalStateException => throw e
         case e: Exception if tryMode => null
       }
     }

@@ -365,6 +365,32 @@ object IndexLifecycle {
     }
   }
 
+  /** Search-mode-aware DSL scorer for ONE CALL-managed full-text index —
+    * the per-column building block of a top-level multi_match (which unions
+    * several columns' scorers and so cannot route through [[fullTextQuery]]
+    * directly). Same mode resolution and delta coverage as fullTextQuery:
+    * `full`/`detail` merge rows appended since the indexed snapshot. */
+  def fullTextScorer(tbl: GraftTable,
+                     ref: PkSearch.FullTextRef): FullText.DslScorer = {
+    val loc = ref.idxLoc.get
+    val mode = tbl.config.options.getOrElse(
+      s"fields.${ref.textCol}.search-mode",
+      tbl.config.options.getOrElse("full-text-index.search-mode",
+        tbl.config.options.getOrElse("global-index.search-mode", "fast")))
+    lazy val s0 = readSource(tbl.spark, loc)
+    lazy val cur = currentSnapshot(tbl)
+    if (mode == "fast" || cur == s0 || !appendOnlySince(tbl, s0, cur))
+      Indexes.IndexDslScorer(tbl.spark, loc)
+    else {
+      val spec = Indexes.readTokenizer(tbl.spark, loc)
+      val withPos = Indexes.readWithPositions(tbl.spark, loc)
+      val delta = FullText.buildPostings(
+        tbl.incremental(s0, cur).select(col(ref.idCol), col(ref.textCol)),
+        ref.idCol, ref.textCol, spec, withPos)
+      Indexes.MergedDslScorer(tbl.spark, loc, delta)
+    }
+  }
+
   /** REFRESH index_type=full-text: append tables tokenize only the delta
     * rows and MERGE their df/corpus-stat contributions (aggregation-engine
     * term stats); PK registration needs no refresh. `column` names the index

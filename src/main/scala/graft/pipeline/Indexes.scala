@@ -269,11 +269,24 @@ object Indexes {
     * untouched. Cost: the usual term-pruned scan + O(delta) tokenize; the
     * delta between refreshes is bounded by the refresh cadence, so `fast`
     * remains the scale default. */
+  object MergedDslScorer {
+    // bounded cache registry: each search-mode=full query persists its
+    // delta-postings frame (it is read 3-4× while scoring); without a cap a
+    // long-lived session would accumulate one cached RDD per query. Evicted
+    // frames recompute if a straggling plan still references them — safe.
+    private val persisted = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private def track(df: DataFrame): DataFrame = {
+      persisted.add(df)
+      while (persisted.size > 4) Option(persisted.poll()).foreach(_.unpersist(false))
+      df
+    }
+  }
+
   case class MergedDslScorer(spark: SparkSession, loc: String,
                              delta: DataFrame) extends FullText.DslScorer {
     val spec: FullText.TokenizerSpec = readTokenizer(spark, loc)
     private val base = IndexDslScorer(spark, loc)
-    private lazy val d = delta.persist()
+    private lazy val d = MergedDslScorer.track(delta.persist())
     private lazy val deltaCorpus = batchCorpus(d)
     def corpus: (Long, Double) = {
       val t = GraftTable.load(spark, loc)

@@ -247,6 +247,81 @@ class BlobTableSpec extends SparkTestBase {
     assert(got.forall { case (i, b) => b.sameElements(payload(i + 100)) })
   }
 
+  test("row-level ops keep stored blob forms: MERGE never freezes a view ref") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    spark.sql("""CREATE TABLE gb.db.up2 (
+        id INT, image BINARY COMMENT '__BLOB_FIELD')
+        TBLPROPERTIES ('row-tracking.enabled'='true')""")
+    (1 to 3).map(i => (i, payload(i))).toDF("id", "image")
+      .createOrReplaceTempView("up2_src")
+    spark.sql("INSERT INTO gb.db.up2 SELECT * FROM up2_src")
+    spark.sql("""CREATE TABLE gb.db.pkview (
+        id INT, label STRING, image_ref BINARY COMMENT '__BLOB_VIEW_FIELD')
+        TBLPROPERTIES ('primary-key'='id', 'bucket'='1')""")
+    spark.sql("""INSERT INTO gb.db.pkview
+        SELECT id, concat('L', id), graft_blob_view('db.up2', 'image', row_id)
+        FROM gb.db.`up2$row_tracking`""")
+    // MERGE updates an unrelated column — the stored ref must survive
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW pkv_src AS SELECT 2 AS id, 'L2x' AS label")
+    spark.sql("""MERGE INTO gb.db.pkview t USING pkv_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET label = s.label""")
+    val stored = GraftTable.load(spark, s"$wh/db.db/pkview")
+      .readRaw().where(col("id") === 2).select("image_ref").as[Array[Byte]].head()
+    assert(Blob.tryParseViewRef(stored).exists(_.table == "db.up2"),
+      "MERGE materialized the view reference into frozen bytes")
+    // an upstream UPDATE still propagates through the merged row's ref
+    spark.sql("UPDATE gb.db.up2 SET image = CAST('v2' AS BINARY) WHERE id = 2")
+    val after = spark.sql(
+      "SELECT label, image_ref FROM gb.db.pkview WHERE id = 2")
+      .as[(String, Array[Byte])].head()
+    assert(after._1 == "L2x" && new String(after._2, UTF_8) == "v2")
+  }
+
+  test("ALTER ADD COLUMN: comment persists, blob/vector directives register") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    spark.sql("CREATE TABLE gb.db.addc (id INT, b0 BINARY COMMENT '__BLOB_FIELD')")
+    spark.sql("ALTER TABLE gb.db.addc ADD COLUMN note STRING COMMENT 'customer note'")
+    spark.sql("ALTER TABLE gb.db.addc ADD COLUMN pic BINARY COMMENT '__BLOB_FIELD; the pic'")
+    spark.sql("ALTER TABLE gb.db.addc ADD COLUMN emb ARRAY<FLOAT> COMMENT '__VECTOR_FIELD;2'")
+    val t = GraftTable.load(spark, s"$wh/db.db/addc")
+    val bySchema = t.schema.sparkSchema.fields.map(f => f.name -> f.getComment()).toMap
+    assert(bySchema("note").contains("customer note"))
+    assert(bySchema("pic").contains("the pic"))
+    // list option merged with the CREATE-time member; dimension armed
+    assert(t.config.options.get("blob-field").contains("b0,pic"))
+    assert(t.config.options.get("fields.emb.dimension").contains("2"))
+    spark.sql("INSERT INTO gb.db.addc VALUES (1, X'01', 'n', X'0203', array(1.0f, 0.0f))")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gb.db.addc VALUES (2, X'01', 'n', X'02', array(1.0f))")
+    }
+    val got = spark.sql("SELECT hex(pic) FROM gb.db.addc").as[String].head()
+    assert(got == "0203")
+    assert(Blob.tryParseDesc(t.readRaw().select("pic").as[Array[Byte]].head()).isDefined)
+  }
+
+  test("RENAME COLUMN carries blob/vector option registrations along") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    spark.sql("""CREATE TABLE gb.db.rn (
+        id INT, blob BINARY COMMENT '__BLOB_FIELD',
+        emb ARRAY<FLOAT> COMMENT '__VECTOR_FIELD;2')""")
+    spark.sql("INSERT INTO gb.db.rn VALUES (1, X'AB', array(1.0f, 0.0f))")
+    spark.sql("ALTER TABLE gb.db.rn RENAME COLUMN blob TO payload")
+    spark.sql("ALTER TABLE gb.db.rn RENAME COLUMN emb TO vec")
+    val t = GraftTable.load(spark, s"$wh/db.db/rn")
+    assert(t.config.options.get("blob-field").contains("payload"))
+    assert(t.config.options.get("fields.vec.dimension").contains("2"))
+    assert(!t.config.options.contains("fields.emb.dimension"))
+    // resolution keeps working under the new name; enforcement too
+    assert(spark.sql("SELECT hex(payload) FROM gb.db.rn").as[String].head() == "AB")
+    spark.sql("INSERT INTO gb.db.rn VALUES (2, X'CD', array(0.0f, 1.0f))")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gb.db.rn VALUES (3, X'EF', array(1.0f))")
+    }
+    assert(GraftTable.load(spark, s"$wh/db.db/rn").readRaw()
+      .select("payload").as[Array[Byte]].collect()
+      .forall(b => Blob.tryParseDesc(b).isDefined))
+  }
+
   test("__BLOB_DESCRIPTOR_FIELD: external descriptors stored inline, resolved on read") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
     // an external payload file the descriptor points at
