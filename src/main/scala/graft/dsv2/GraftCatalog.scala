@@ -157,20 +157,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
+  private def dbPropsPath(db: String): Path = new Path(dbPath(db), "_dbprops.json")
+
+  private def readDbProps(db: String): Map[String, String] = {
+    val p = dbPropsPath(db)
+    if (!fs.exists(p)) Map.empty
+    else Json.mapper.readValue(readString(p), classOf[Map[String, String]])
+      .map { case (k, v) => k -> String.valueOf(v) }
+  }
+
+  private def writeDbProps(db: String, props: Map[String, String]): Unit = {
+    val out = fs.create(dbPropsPath(db), true)
+    try out.write(Json.write(props)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    Map("location" -> dbPath(namespace.mkString(".")).toString).asJava
+    val db = namespace.mkString(".")
+    (readDbProps(db) + ("location" -> dbPath(db).toString)).asJava
   }
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.length == 1 && fs.exists(dbPath(namespace.mkString(".")))
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String]): Unit = {
     requirePriv("CREATE_DATABASE", namespace.mkString("."))
-    fs.mkdirs(dbPath(namespace.mkString(".")))
-    ()
+    val db = namespace.mkString(".")
+    fs.mkdirs(dbPath(db))
+    // persist CREATE DATABASE ... WITH DBPROPERTIES / COMMENT (paimon
+    // Database properties); the location is structural here (warehouse
+    // layout) and cannot be overridden per database
+    val props = metadata.asScala.toMap - "location" - "owner"
+    require(!metadata.containsKey("location") ||
+        metadata.get("location") == dbPath(db).toString,
+      "graft databases live at <warehouse>/<db>.db — per-database LOCATION " +
+        "is not supported (use table-level CREATE TABLE ... LOCATION)")
+    if (props.nonEmpty) writeDbProps(db, props)
   }
+  /** ALTER DATABASE SET/UNSET DBPROPERTIES persist; SET LOCATION is
+    * rejected loudly (the warehouse layout is structural — the reference's
+    * movable database location maps to table-level external LOCATIONs
+    * here). */
   override def alterNamespace(namespace: Array[String],
-                              changes: NamespaceChange*): Unit = ()
+                              changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val db = namespace.mkString(".")
+    val props = changes.foldLeft(readDbProps(db)) { (m, ch) =>
+      ch match {
+        case s: NamespaceChange.SetProperty if s.property() == "location" =>
+          throw new UnsupportedOperationException(
+            "ALTER DATABASE ... SET LOCATION is not supported: graft " +
+              "databases live at <warehouse>/<db>.db; use table-level " +
+              "CREATE TABLE ... LOCATION for external placement")
+        case s: NamespaceChange.SetProperty => m + (s.property() -> s.value())
+        case r: NamespaceChange.RemoveProperty => m - r.property()
+        case other => throw new UnsupportedOperationException(s"alter database: $other")
+      }
+    }
+    writeDbProps(db, props)
+  }
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     requirePriv("DROP_DATABASE", namespace.mkString("."))
     fs.delete(dbPath(namespace.mkString(".")), cascade)
@@ -223,7 +269,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (!fs.exists(p)) return Array.empty
     fs.listStatus(p).toSeq.filter(_.isDirectory)
       .filter(s => GraftTable.exists(spark, s.getPath.toString) ||
-        isFormatTable(s.getPath.toString))
+        isFormatTable(s.getPath.toString) ||
+        // external tables: the slot holds only the location pointer
+        fs.exists(externalPointer(s.getPath.toString)))
       .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
   }
 

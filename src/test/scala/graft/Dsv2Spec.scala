@@ -187,8 +187,26 @@ class Dsv2Spec extends SparkTestBase {
     intercept[Exception] {
       spark.sql(s"CREATE TABLE graft.db.ext4 (wrong DOUBLE) LOCATION '$extLoc'")
     }
+    // external tables appear in SHOW TABLES (the slot holds only a pointer)
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("ext2"))
     spark.sql("DROP TABLE graft.db.ext2")
     spark.sql("DROP TABLE graft.db.ext3")
+  }
+
+  test("ALTER DATABASE properties persist; SET LOCATION rejected loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbp")
+    spark.sql("ALTER DATABASE graft.dbp SET DBPROPERTIES ('team'='ml', 'tier'='gold')")
+    val props = spark.sql("DESCRIBE DATABASE EXTENDED graft.dbp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("Properties").exists(p => p.contains("team") && p.contains("ml")))
+    spark.sql("ALTER DATABASE graft.dbp UNSET DBPROPERTIES ('tier')")
+    val after = spark.sql("DESCRIBE DATABASE EXTENDED graft.dbp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after.get("Properties").exists(p => !p.contains("tier")))
+    intercept[Exception] {
+      spark.sql("ALTER DATABASE graft.dbp SET LOCATION '/tmp/elsewhere'")
+    }
   }
 
   test("ALTER TABLE column position: ADD AFTER, ALTER FIRST/AFTER") {
