@@ -188,9 +188,10 @@ object Fixtures {
   /** Table created ENTIRELY through the DataFrame writer API (reference
     * docs/spark/dataframe.md): create-on-write with `primary-key` option +
     * `partitionBy`, then a dynamic-partition overwrite of the 1-URGENT
-    * partition (totalprice halved) via `.mode("overwrite")`. Exercises the
-    * CreatableRelationProvider create path AND the DSv2 dynamic-overwrite
-    * path with zero SQL. */
+    * partition (totalprice + 1000 — exact at 2 decimals, so the oracle sum
+    * can't land on a half-cent rounding boundary the way `* 0.5` did) via
+    * `.mode("overwrite")`. Exercises the CreatableRelationProvider create
+    * path AND the DSv2 dynamic-overwrite path with zero SQL. */
   def ordersDfw(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "orders_dfw") { loc =>
       // the writer-API create is ErrorIfExists by design — clear any stale
@@ -209,7 +210,7 @@ object Fixtures {
       spark.conf.set(key, "dynamic")
       try {
         orders.filter(col("o_orderpriority") === "1-URGENT")
-          .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
           .write.format("graft").mode("overwrite").save(loc)
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)

@@ -412,7 +412,7 @@ object SparkEntry {
     "q_overwrite_dynamic" -> ((s, d) => Fixtures.eventsOw(s, d).read()
       .groupBy("event_type").agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))),
     // DataFrame-writer-API table: created via save() with primary-key +
-    // partitionBy, 1-URGENT partition dynamically overwritten at half price
+    // partitionBy, 1-URGENT partition dynamically overwritten at price+1000
     "q_df_write" -> ((s, d) => Fixtures.ordersDfw(s, d).read()
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
@@ -2075,7 +2075,7 @@ object SparkEntry {
     "q_df_write" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-        |               THEN o_totalprice * 0.5 ELSE o_totalprice END), 2) AS total
+        |               THEN o_totalprice + 1000 ELSE o_totalprice END), 2) AS total
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_merge_schema" ->
       """SELECT n_nationkey,

@@ -992,27 +992,31 @@ object RowOps {
       * files inside `<loc>/blob` are candidates — external descriptor
       * targets are never touched. */
     private def removeOrphanBlobFiles(olderThanMs: Long): Int = {
-      if (t.blobFieldCols.isEmpty || t.fileFormat != "parquet") return 0
+      if (t.blobFieldCols.isEmpty) return 0
       val fs = t.sm.fs
       val blobRoot = new Path(t.location, "blob")
       if (!fs.exists(blobRoot)) return 0
       // union of LIVE files across retained snapshots (raw ADD entries
-      // would include overwritten files expire already deleted physically)
-      val everAdded = t.sm.snapshotIds.flatMap { id =>
-        t.planFiles(Some(id)).map(_.path)
-      }.distinct
+      // would include overwritten files expire already deleted physically).
+      // Dedupe by path — the same file shows up in every snapshot that
+      // retains it — but keep the ManifestEntry so the read below goes
+      // through the field-id-remapped engine path: a blob column RENAMED
+      // since a file was written keeps its OLD physical parquet name, so a
+      // raw name-based spark.read.parquet would miss its descriptors and
+      // delete still-referenced payloads. readEntries resolves old physical
+      // names to current field names per write-schema, and we skip DV
+      // filtering on purpose (a DV-deleted row is still reachable via time
+      // travel to a retained snapshot, so its payload stays live).
+      val everAdded = t.sm.snapshotIds.flatMap(id => t.planFiles(Some(id)))
+        .groupBy(_.path).map(_._2.head).toSeq
       val referencedUris: Set[String] =
         if (everAdded.isEmpty) Set.empty
         else {
-          val paths = everAdded.map(p => new Path(t.location, p).toString)
           val cols = t.blobFieldCols
           val parse = udf { (b: Array[Byte]) =>
             graft.pipeline.Blob.tryParseDesc(b).map(_.uri).orNull }
-          // mergeSchema: files predating a blob column read it as null
-          val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-          val present = cols.filter(raw.columns.contains)
-          if (present.isEmpty) Set.empty[String]
-          else present.map { c =>
+          val raw = t.readEntries(everAdded, withInternal = false)
+          cols.map { c =>
             // one uri-array expression per storage shape (scalar blob,
             // ARRAY<BLOB> elements, MAP<K, BLOB> values)
             val uris = raw.schema(c).dataType match {

@@ -1341,10 +1341,10 @@ class GraftTable private (
     // partitions missing on the main table serve from the named branch
     val base = config.options.get("scan.fallback-branch") match {
       case Some(fb) if sm.branch.isEmpty && snapshotId.isEmpty =>
-        readFallback(fb, filter)
+        readFallback(fb, filter, readOpts)
       case _ => readMain(filter, snapshotId)
     }
-    resolveBlobRead(base, readOpts)
+    resolveBlobRead(base, readOpts, snapshotId)
   }
 
   /** Stored-form read for the maintenance/row-op plane: blob descriptors
@@ -1364,8 +1364,8 @@ class GraftTable private (
     * columns resolve upstream references through a rowId join unless
     * `blob-view.resolve.enabled=false`. Inline payload bytes (row-level-op
     * leftovers) always pass through unchanged. */
-  private def resolveBlobRead(df: DataFrame,
-                              readOpts: Map[String, String]): DataFrame = {
+  private def resolveBlobRead(df: DataFrame, readOpts: Map[String, String],
+                              snapshotId: Option[Long] = None): DataFrame = {
     def opt(k: String, dflt: String) = readOpts.getOrElse(k, config.option(k, dflt))
     val present = df.columns.toSet
     val bCols = (blobFieldCols ++ blobDescriptorCols).filter(present)
@@ -1387,7 +1387,7 @@ class GraftTable private (
       }
     }
     if (vCols.nonEmpty && opt("blob-view.resolve.enabled", "true") != "false")
-      vCols.foreach { c => out = resolveBlobViewColumn(out, c) }
+      vCols.foreach { c => out = resolveBlobViewColumn(out, c, snapshotId) }
     out
   }
 
@@ -1397,15 +1397,21 @@ class GraftTable private (
     * is unioned, and the view rows join on rowId. Non-reference bytes keep
     * their value (forwarded refs written under resolve=false stay intact
     * until read with resolution on). */
-  private def resolveBlobViewColumn(df: DataFrame, c: String): DataFrame = {
+  private def resolveBlobViewColumn(df: DataFrame, c: String,
+                                    snapshotId: Option[Long] = None): DataFrame = {
     val keyCol = s"__bv_key_$c"
     val withKey = df.withColumn(keyCol, graft.pipeline.Blob.parseViewKey(col(c)))
     // distinct upstream pairs are computed over the FULL column once per
-    // (table, snapshot) and memoized — repeated reads of a view table pay
-    // no further plan-time job; filters only shrink the join's left side
+    // (table, branch, snapshot) and memoized — repeated reads of a view
+    // table pay no further plan-time job; filters only shrink the join's
+    // left side. The discovery scan targets the SAME snapshot the read
+    // serves: a time-travel read of an old snapshot must see the pairs
+    // present in THAT snapshot's rows, not the current one's (a ref whose
+    // upstream pair has since vanished would otherwise resolve to null).
+    val snapKey = snapshotId.orElse(sm.latestSnapshotId).getOrElse(0L)
     val pairs = GraftTable.blobViewPairCache.getOrElseUpdate(
-      (location, sm.latestSnapshotId.getOrElse(0L), c), {
-        readEntries(planFiles(), withInternal = false)
+      (location, sm.branch.getOrElse(""), snapKey, c), {
+        readEntries(planFiles(snapshotId), withInternal = false)
           .select(graft.pipeline.Blob.parseViewKey(col(c)).as("k"))
           .filter(col("k").isNotNull)
           .select(col("k.location"), col("k.field"))
@@ -1440,11 +1446,13 @@ class GraftTable private (
   /** Fallback-branch composition: main partitions read from main, partitions
     * with no main data read from the fallback branch. The partition-set diff
     * is manifest metadata (partition values, not files). */
-  private def readFallback(branchName: String, filter: Option[Column]): DataFrame = {
+  private def readFallback(branchName: String, filter: Option[Column],
+                           readOpts: Map[String, String]): DataFrame = {
     val fb = GraftTable.load(spark, location, Some(branchName))
     val mainDf = readMain(filter, None)
     if (config.partitionKeys.isEmpty)
-      return if (planFiles(None, None).nonEmpty) mainDf else fb.read(filter)
+      return if (planFiles(None, None).nonEmpty) mainDf
+             else fb.read(filter, None, readOpts)
     val mainParts = planFiles(None, None).map(_.partition).distinct.toSet
     val missing = fb.planFiles(None, None).map(_.partition).distinct
       .filterNot(mainParts.contains)
@@ -1457,7 +1465,7 @@ class GraftTable private (
         }
       }.reduce(_ && _)
     }.reduce(_ || _)
-    mainDf.unionAll(fb.read(filter.map(_ && cond).orElse(Some(cond))))
+    mainDf.unionAll(fb.read(filter.map(_ && cond).orElse(Some(cond)), None, readOpts))
   }
 
   /** File creation time, manifest-resident (stamped at write — paimon
@@ -1693,7 +1701,8 @@ class GraftTable private (
     * aggregation combine several rows, leaving no well-defined origin.
     * Partition values live in the data columns (only hashed `__pt` dirs are
     * on disk) and the bucket is parsed from the file path — no extra join. */
-  def readWithMetadata(snapshotId: Option[Long] = None): DataFrame = {
+  def readWithMetadata(snapshotId: Option[Long] = None,
+                       readOpts: Map[String, String] = Map.empty): DataFrame = {
     require(fileFormat == "parquet",
       "metadata columns require parquet data files (_metadata.row_index)")
     if (isPk) require(Set("deduplicate", "first-row").contains(config.mergeEngine),
@@ -1730,8 +1739,10 @@ class GraftTable private (
       }
     // same blob read semantics as plain read(): a projection that happens
     // to also ask for __graft_file_path must not flip blob columns to
-    // their serialized stored form
-    resolveBlobRead(out, Map.empty)
+    // their serialized stored form — and the scan's per-read options
+    // (blob-as-descriptor / blob-view.resolve.enabled) are honored exactly
+    // like read() honors them
+    resolveBlobRead(out, readOpts, snapshotId)
   }
 
   /** Full rows incl. LSM envelope, rowkind as string (paimon `t$audit_log`). */
@@ -2303,10 +2314,10 @@ object GraftTable {
   val STORED_READ_OPTS: Map[String, String] =
     Map("blob-as-descriptor" -> "true", "blob-view.resolve.enabled" -> "false")
 
-  /** (table location, snapshot id, view column) → distinct upstream
+  /** (table location, branch, snapshot id, view column) → distinct upstream
     * (location, field) pairs — safe to cache: snapshots are immutable. */
   private[core] val blobViewPairCache =
-    scala.collection.concurrent.TrieMap[(String, Long, String), Seq[(String, String)]]()
+    scala.collection.concurrent.TrieMap[(String, String, Long, String), Seq[(String, String)]]()
 
   // internal (LSM envelope / routing) column names
   val SEQ = "__seq"

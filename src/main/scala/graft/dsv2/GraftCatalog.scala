@@ -347,10 +347,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // (specificity, optionKey, value): global = 0, legacy db.table = 3,
     // full form = 1 + number of non-wildcard segments (max 4, so an exact
     // catalog.db.table pin outranks the legacy spelling outranks wildcards)
+    // a first segment naming a DIFFERENT registered catalog scopes the key
+    // to that catalog's tables — it must be dropped here, never applied as
+    // a global option key to THIS catalog's tables
+    def namesOtherCatalog(seg: String): Boolean =
+      seg != catalogName && seg != "*" &&
+        (seg == "spark_catalog" ||
+          spark.conf.getOption(s"spark.sql.catalog.$seg").isDefined)
     val resolved = graftKeys.flatMap { case (k, v) =>
       val parts = k.split('.')
       def matches(pat: String, actual: String) = pat == "*" || pat == actual
-      if (parts.length >= 4 &&
+      if (parts.length >= 3 && namesOtherCatalog(parts(0))) {
+        None // scoped to another catalog entirely
+      } else if (parts.length >= 4 &&
           (parts(0) == "*" || parts(0) == catalogName) &&
           // full catalog.db.table form — never mistaken for an option key:
           // option keys (scan.*, read.*, …) don't start with the catalog

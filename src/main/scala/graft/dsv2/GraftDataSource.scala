@@ -827,7 +827,7 @@ class GraftV1Scan(t: GraftTable, snapshotId: Option[Long],
           .reduceOption(_ && _)
         var df =
           if (withMeta)
-            pruneCond.foldLeft(t.readWithMetadata(snapshotId))(_ filter _)
+            pruneCond.foldLeft(t.readWithMetadata(snapshotId, readOptions))(_ filter _)
           else t.read(pruneCond, snapshotId, readOptions)
         required.foreach { rs =>
           df = df.select(rs.fieldNames.map(col).toIndexedSeq: _*)

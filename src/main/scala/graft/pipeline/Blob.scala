@@ -235,24 +235,44 @@ object Blob {
     * so many rows share one open stream per pack instead of an
     * open/seek/close round trip per VALUE — on an object store that is the
     * difference between O(values) and O(distinct packs) metadata calls.
-    * Size-capped FIFO; evicted streams close, late readers reopen. */
+    * Implementation: access-ordered LinkedHashMap with removeEldestEntry
+    * under a single lock — NOT a ConcurrentHashMap computeIfAbsent that
+    * evicts inside its own mapping function (the CHM contract forbids
+    * mutating other mappings mid-compute, and a racing evictor could leak
+    * an entry past the cap). Opens happen under the lock: at most
+    * O(distinct packs) of them ever, so the serialization is bounded;
+    * evicted streams close, late readers reopen via pread's fallback. */
+  private val blobStreamLock = new Object
   private val blobStreamCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.hadoop.fs.FSDataInputStream]()
-  private val blobStreamOrder =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    new java.util.LinkedHashMap[String, org.apache.hadoop.fs.FSDataInputStream](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.hadoop.fs.FSDataInputStream]): Boolean =
+        if (size() > 64) {
+          try e.getValue.close() catch { case _: Exception => () }
+          true
+        } else false
+    }
+  private val blobStreamHits = new java.util.concurrent.atomic.AtomicLong()
+  private val blobStreamOpens = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (hits, opens) since JVM start or last reset — posture tests assert a
+    * blob scan opens O(distinct packs) streams, not O(values). */
+  def streamCacheStats: (Long, Long) = (blobStreamHits.get(), blobStreamOpens.get())
+  def resetStreamCacheStats(): Unit = { blobStreamHits.set(0L); blobStreamOpens.set(0L) }
 
   private def pread(uri: String, offset: Long, length: Int,
                     conf: Configuration): Array[Byte] = {
-    val in = blobStreamCache.computeIfAbsent(uri, { u =>
-      blobStreamOrder.add(u)
-      while (blobStreamCache.size() > 64) {
-        Option(blobStreamOrder.poll())
-          .flatMap(k => Option(blobStreamCache.remove(k)))
-          .foreach(s => try s.close() catch { case _: Exception => () })
+    val in = blobStreamLock.synchronized {
+      val existing = blobStreamCache.get(uri)
+      if (existing != null) { blobStreamHits.incrementAndGet(); existing }
+      else {
+        val p = new Path(uri)
+        val s = p.getFileSystem(conf).open(p)
+        blobStreamOpens.incrementAndGet()
+        blobStreamCache.put(uri, s)
+        s
       }
-      val p = new Path(u)
-      p.getFileSystem(conf).open(p)
-    })
+    }
     val buf = new Array[Byte](length)
     try in.readFully(offset, buf)
     catch {

@@ -345,4 +345,76 @@ class BlobTableSpec extends SparkTestBase {
     val b = spark.sql("SELECT thumb FROM gb.db.descs").as[Array[Byte]].head()
     assert(new String(b, UTF_8) == "external-payload-bytes")
   }
+
+  test("orphan sweep survives blob column rename (field-id remapped discovery)") {
+    val loc = Files.createTempDirectory("graft-blob-ren-orph").toString + "/t"
+    import graft.core.RowOps._
+    val t = GraftTable.create(spark, loc,
+      Seq((1, payload(1))).toDF("id", "image").schema,
+      TableConfig(options = Map("blob-field" -> "image")))
+    t.write((1 to 4).map(i => (i, payload(i))).toDF("id", "image").coalesce(1))
+    // rename the blob column: gen-1 files keep the OLD physical parquet
+    // name; orphan discovery must still see their descriptors through the
+    // field-id remap (a raw current-name read would treat gen-1 payloads
+    // as orphans and delete them — silent data loss)
+    t.renameColumn("image", "picture")
+    val t2 = GraftTable.load(spark, loc)
+    t2.write((5 to 6).map(i => (i, payload(i))).toDF("id", "picture").coalesce(1))
+    val blobRoot = new org.apache.hadoop.fs.Path(s"$loc/blob")
+    val fs = blobRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    def blobFiles = fs.listStatus(blobRoot).map(_.getPath.getName).toSet
+    val before = blobFiles
+    assert(before.size >= 2)
+    // aggressive cutoff, nothing expired: every payload is still referenced
+    assert(t2.removeOrphanFiles(System.currentTimeMillis() + 60000) == 0)
+    assert(blobFiles == before)
+    val got = t2.read().select("id", "picture").as[(Int, Array[Byte])].collect()
+    assert(got.length == 6)
+    assert(got.forall { case (i, bts) => bts.sameElements(payload(i)) })
+  }
+
+  test("blob view resolves through time travel after refs leave the current snapshot") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    spark.sql("""CREATE TABLE gb.db.up_tt (
+        id INT, image BINARY COMMENT '__BLOB_FIELD')
+        TBLPROPERTIES ('row-tracking.enabled'='true')""")
+    (1 to 3).map(i => (i, payload(i))).toDF("id", "image")
+      .createOrReplaceTempView("up_tt_src")
+    spark.sql("INSERT INTO gb.db.up_tt SELECT * FROM up_tt_src")
+    spark.sql("""CREATE TABLE gb.db.view_tt (
+        id INT, ref BINARY COMMENT '__BLOB_VIEW_FIELD')""")
+    // snapshot 1: refs into up_tt
+    spark.sql("""INSERT INTO gb.db.view_tt
+        SELECT id, graft_blob_view('db.up_tt', 'image', row_id)
+        FROM gb.db.`up_tt$row_tracking`""")
+    // snapshot 2: full overwrite with NULL refs — the upstream pair is now
+    // absent from the current snapshot's rows
+    spark.sql("""INSERT OVERWRITE gb.db.view_tt
+        SELECT id, CAST(NULL AS BINARY) FROM gb.db.up_tt""")
+    val vt = GraftTable.load(spark, s"$wh/db.db/view_tt")
+    assert(vt.read().where(col("ref").isNotNull).count() == 0)
+    // the time-travel read must discover the pairs in SNAPSHOT 1, not the
+    // current one, and resolve the payload bytes
+    val rows = vt.read(None, Some(1L)).select("id", "ref")
+      .as[(Int, Array[Byte])].collect()
+    assert(rows.length == 3)
+    assert(rows.forall { case (i, bts) =>
+      bts != null && bts.sameElements(payload(i)) }, "time-travel refs must resolve")
+  }
+
+  test("concurrent blob reads across >cap packs stay correct under LRU eviction") {
+    val loc = Files.createTempDirectory("graft-blob-conc").toString + "/t"
+    // tiny target size → many payload packs; a parallel read then churns
+    // the 64-entry stream cache from many tasks at once (the old
+    // ConcurrentHashMap computeIfAbsent eviction was UB under this load)
+    val n = 300
+    val t = GraftTable.create(spark, loc,
+      Seq((1, payload(1))).toDF("id", "image").schema,
+      TableConfig(options = Map("blob-field" -> "image",
+        "blob.target-file-size" -> "150b")))
+    t.write((1 to n).map(i => (i, payload(i))).toDF("id", "image").repartition(8))
+    val got = t.read().select("id", "image").as[(Int, Array[Byte])].collect()
+    assert(got.length == n)
+    assert(got.forall { case (i, bts) => bts.sameElements(payload(i)) })
+  }
 }

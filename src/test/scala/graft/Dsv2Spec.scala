@@ -1462,6 +1462,20 @@ class Dsv2Spec extends SparkTestBase {
       spark.conf.unset("spark.graft.*.*.soverride.scan.snapshot-id")
       spark.conf.unset("spark.graft.graft.db.soverride.scan.snapshot-id")
     }
+    // scoped to a DIFFERENT registered catalog: applies there, never here —
+    // and never falls through to the global branch as a verbatim option key
+    spark.conf.set("spark.sql.catalog.cat2", "graft.dsv2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cat2.warehouse", wh)
+    try {
+      spark.conf.set("spark.graft.cat2.db.soverride.scan.snapshot-id", "1")
+      assert(cnt == 2, "cat2-scoped key must not touch catalog graft")
+      assert(spark.sql("SELECT count(*) FROM cat2.db.soverride").head().getLong(0) == 1,
+        "cat2-scoped key must apply inside catalog cat2")
+    } finally {
+      spark.conf.unset("spark.graft.cat2.db.soverride.scan.snapshot-id")
+      spark.conf.unset("spark.sql.catalog.cat2")
+      spark.conf.unset("spark.sql.catalog.cat2.warehouse")
+    }
   }
 
   test("generic session catalog: spark_catalog serves graft AND parquet tables") {
