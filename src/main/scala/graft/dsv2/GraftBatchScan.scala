@@ -65,6 +65,25 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
     * tests assert on it. */
   def plannedEntryCount: Int = entries.size
 
+  /** Set by [[DisableUnnecessaryGraftBucketedScan]]: stop reporting the
+    * key-grouped layout and bin-pack files ACROSS key groups. */
+  private var bucketedDisabled = false
+
+  def bucketedScanDisabled: Boolean = bucketedDisabled
+
+  /** A copy of this scan with the bucketed layout turned off — used by the
+    * AQE query-stage-prep rule when no downstream operator cares about the
+    * partitioning: a 32-bucket table scanned for a plain projection should
+    * pack its many small per-bucket files into few balanced tasks instead
+    * of pinning one task per (partition, bucket) group (reference
+    * PaimonScan.disableBucketedScan,
+    * execution/adaptive/DisableUnnecessaryPaimonBucketedScan.scala:1). */
+  def disableBucketedScan(): GraftBatchScan = {
+    val s = new GraftBatchScan(t, entries, pushed, required, readOptions, dv)
+    s.bucketedDisabled = true
+    s
+  }
+
   override def readSchema(): StructType = required.getOrElse(t.schema.sparkSchema)
 
   override def toBatch: Batch = this
@@ -158,7 +177,8 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
 
   override def outputPartitioning(): Partitioning = {
     val transforms = clusteringTransforms
-    if (transforms.isEmpty || entries.isEmpty) new UnknownPartitioning(entries.size)
+    if (bucketedDisabled || transforms.isEmpty || entries.isEmpty)
+      new UnknownPartitioning(planInputPartitions().length)
     else new KeyGroupedPartitioning(
       transforms.map(x => x: org.apache.spark.sql.connector.expressions.Expression),
       planInputPartitions().length)
@@ -175,6 +195,7 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (entries.isEmpty) return Array.empty
     val locRoot = new Path(t.location)
     def toFile(e: ManifestEntry): PartitionedFile = {
       val abs = new Path(locRoot, e.path)
@@ -192,9 +213,14 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
     val conf = t.spark.sessionState.conf
     val maxBytes = conf.filesMaxPartitionBytes
     val openCost = conf.filesOpenCostInBytes
-    entries.groupBy(e => (e.partition.toSeq.sortBy(_._1), e.bucket)).toSeq
-      .sortBy(_._1.toString)
-      .flatMap { case (_, group) =>
+    // bucketed-scan-disabled: one big group, so packing crosses (partition,
+    // bucket) boundaries — legal because the layout is no longer reported
+    // (partition values live in the data columns, not the directory row)
+    val groups: Seq[Seq[ManifestEntry]] =
+      if (bucketedDisabled) Seq(entries.sortBy(_.path))
+      else entries.groupBy(e => (e.partition.toSeq.sortBy(_._1), e.bucket)).toSeq
+        .sortBy(_._1.toString).map(_._2)
+    groups.flatMap { group =>
         val key = partitionKeyRow(group.head)
         val (dvFiles, plain) =
           group.partition(e => dv.contains(GraftTable.dvKey(e.path)))

@@ -44,6 +44,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // CALL sys.* / SHOW TAGS / tag DDL (reference grammar
     // PaimonSqlExtensions.g4:72-89); everything else delegates to Spark
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // AQE stage prep: drop the key-grouped scan layout when no operator
+    // downstream exploits it (lets small per-bucket files bin-pack across
+    // buckets instead of pinning one task per bucket)
+    ext.injectQueryStagePrepRule(_ => DisableUnnecessaryGraftBucketedScan)
     GraftTableFunctions.all.foreach(ext.injectTableFunction)
     // scalar fn: graft_bucket(numBuckets, key...) — the write path's exact
     // bucket routing, exposed for debugging/repartitioning (paimon

@@ -345,6 +345,58 @@ class Dsv2Spec extends SparkTestBase {
     assert(stats.rowCount.contains(BigInt(3)), s"stats: $stats")
   }
 
+  test("AQE disables the bucketed scan layout when nothing downstream uses it") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.dsv2.GraftBatchScan
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.buckdis (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='8')""")
+    spark.sql("INSERT INTO graft.db.buckdis SELECT id, id * 1.0 FROM range(400)")
+    import graft.core.RowOps._
+    GraftTable.load(spark, s"$wh/db.db/buckdis").compact()
+    // query stages are leaf wrappers: flatten through them to the scans
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[GraftBatchScan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(st.plan)
+        case b: BatchScanExec => b.scan match {
+          case g: GraftBatchScan => Seq(g)
+          case _ => Nil
+        }
+      }.flatten
+    def scanOf(df: org.apache.spark.sql.DataFrame): GraftBatchScan = {
+      df.collect()
+      val scans = scansIn(df.queryExecution.executedPlan)
+      assert(scans.nonEmpty, s"no GraftBatchScan in:\n${df.queryExecution.executedPlan}")
+      scans.head
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "true") {
+      // plain scan-side aggregate with a shuffle above: layout is useless —
+      // the rule must turn it off and pack the 8 per-bucket files together.
+      // (agg pushdown would swallow a bare count(*), so aggregate over an
+      // expression it can't serve from stats)
+      val agg = spark.sql("SELECT sum(v + 1.0) FROM graft.db.buckdis")
+      val s1 = scanOf(agg)
+      assert(s1.bucketedScanDisabled, "expected bucketed scan disabled")
+      assert(s1.planInputPartitions().length < 8,
+        s"expected cross-bucket packing, got ${s1.planInputPartitions().length}")
+      // a join on the bucket key exploits the layout: it must survive
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val j = spark.sql(
+          """SELECT a.k FROM graft.db.buckdis a
+             JOIN graft.db.buckdis b ON a.k = b.k""")
+        j.collect()
+        val scans = scansIn(j.queryExecution.executedPlan)
+        assert(scans.nonEmpty && scans.forall(!_.bucketedScanDisabled),
+          "SPJ-eligible scans must keep the bucketed layout")
+      }
+    }
+    spark.sql("DROP TABLE graft.db.buckdis")
+  }
+
   test("storage-partitioned join: co-bucketed pk tables join without exchange") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     for (n <- Seq("spj_a", "spj_b")) {
