@@ -155,6 +155,34 @@ object Fixtures {
                      (build: String => GraftTable): GraftTable =
     built.getOrElseUpdate((sfDir, name), build(s"${fixRoot(sfDir)}/$name"))
 
+  /** Bench-scale blob pair: EVERY document's text payload stored out of
+    * line in rolled .bin packs (row-tracking on), plus a blob-view table
+    * whose refs point at it. The headline blob query reads the VIEW —
+    * a rowId join into the upstream followed by positioned payload reads
+    * through the bounded per-JVM stream cache — so the bench times the
+    * whole blob read path, not just descriptor parsing. */
+  def docsBlobBench(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "docs_blob_bench_view") { loc =>
+      import graft.core.RowOps._
+      val upLoc = s"${fixRoot(sfDir)}/docs_blob_bench_up"
+      val docs = src(spark, sfDir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val up = GraftTable.createOrReplace(spark, upLoc, docs.schema,
+        TableConfig(options = Map("blob-field" -> "payload",
+          "row-tracking.enabled" -> "true")))
+      up.write(docs)
+      val refFn = udf { (rowId: Long) =>
+        graft.pipeline.Blob.serializeViewRef(graft.pipeline.Blob.BlobViewRef(
+          "bench.docs_blob_bench_up", upLoc, "payload", rowId))
+      }
+      val viewDf = up.systemTable("row_tracking")
+        .select(col("doc_id"), refFn(col("row_id")).as("ref"))
+      val vt = GraftTable.createOrReplace(spark, loc, viewDf.schema,
+        TableConfig(options = Map("blob-view-field" -> "ref")))
+      vt.write(viewDf)
+      vt
+    }
+
   /** Append orders table with per-file secondary indexes (bloom on
     * o_custkey, bitmap on o_orderpriority, bsi on o_orderkey), written as 4
     * interleaved slices so every file's min/max envelope overlaps — only

@@ -1453,6 +1453,13 @@ object SparkEntry {
       s.sql(s"""SELECT doc_id, md5(ref) AS content_hash
                 FROM $db.docs_blob_view""")
     }),
+    // headline blob read: resolve a bench-scale blob VIEW over every
+    // document — rowId join into the upstream + positioned payload reads
+    // through the bounded stream cache — and digest the payload bytes
+    "q_blob_bench" -> ((s, d) => Fixtures.docsBlobBench(s, d).read()
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("ref"))).cast("long").as("bytes"),
+        countDistinct(md5(col("ref"))).as("hashes"))),
     // collection blob storage (ARRAY<BLOB>): per-element descriptors in
     // shared packs; read reassembles the chunks to the original payload
     "q_blob_collection" -> ((s, d) => {
@@ -2272,6 +2279,11 @@ object SparkEntry {
         |  CAST(greatest(ceil(octet_length(encode(text)) / 64.0), 1) AS INT) AS n_chunks,
         |  md5(text) AS content_hash
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q_blob_bench" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes,
+        | CAST(count(DISTINCT md5(text)) AS BIGINT) AS hashes
+        |FROM documents""".stripMargin,
     "q_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, octet_length(encode(text)) AS blen

@@ -40,14 +40,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     * Overwrite), which is exactly where the reference's DataFrame-API
     * "create table on first write" lives (docs/spark/dataframe.md): a fresh
     * path + `primary-key` / table options + `partitionBy(...)` creates the
-    * table, then appends. Append/Overwrite on an EXISTING table never reach
-    * here (they take the DSv2 path); they do for a fresh path, where they
-    * also create first — matching the reference's FileStoreTableFactory
-    * create-from-options behavior. One knowing divergence: Ignore /
-    * ErrorIfExists against an EXISTING table raise Spark's
-    * UNSUPPORTED_DATA_SOURCE_SAVE_MODE (the V2 writer path refuses those
-    * modes before any fallback) — ErrorIfExists still errors as required,
-    * Ignore errors instead of silently skipping. */
+    * table, then appends. Path-provider tables hide BATCH_WRITE (see
+    * [[GraftSparkTable.capabilities]]), so DataFrameWriter routes the FULL
+    * SaveMode matrix here for path saves: ErrorIfExists on an existing
+    * table errors loudly below, Ignore is a silent no-op, Append/Overwrite
+    * run the same engine write/overwrite the V2 writer's V1 fallback ran —
+    * matching the reference's FileStoreTableFactory create-from-options
+    * behavior and Spark's documented SaveMode semantics. */
   override def createRelation(sqlContext: SQLContext,
                               mode: org.apache.spark.sql.SaveMode,
                               parameters: Map[String, String],
@@ -146,7 +145,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     // last commit + per-snapshot packed changelog streaming)
     if (props.get("read-binlog").contains("true"))
       new GraftBinlogTable(t, props)
-    else new GraftSparkTable(t, readOptions = props)
+    else {
+      val ci = props.keySet.map(_.toLowerCase(java.util.Locale.ROOT))
+      // catalog-routed loads keep V2 writes; pure path loads take the V1
+      // save bridge (full SaveMode matrix incl. Ignore — see capabilities)
+      new GraftSparkTable(t, readOptions = props,
+        v1PathWrites = !ci.contains("catalog"))
+    }
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -195,7 +200,8 @@ object GraftDataSource {
   * paimon-spark/.../SparkCatalog.java:315). */
 class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
                       val readOptions: Map[String, String] = Map.empty,
-                      val writable: Boolean = true)
+                      val writable: Boolean = true,
+                      val v1PathWrites: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns with GraftPartitionManagement {
 
@@ -241,11 +247,22 @@ class GraftSparkTable(val t: GraftTable, val snapshotId: Option[Long] = None,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.MICRO_BATCH_READ)
+    // path-provider loads (df.write.format("graft").save(path)) hide the
+    // batch-write capability: DataFrameWriter then routes EVERY SaveMode
+    // through the V1 createRelation bridge, which implements the full
+    // matrix — including SaveMode.Ignore as a silent no-op on an existing
+    // table, which the V2 writer path would refuse with
+    // UNSUPPORTED_DATA_SOURCE_SAVE_MODE before any fallback could run.
+    // Execution is identical either way (the V2 write was a V1_BATCH_WRITE
+    // fallback into the same engine calls).
+    val caps = if (v1PathWrites)
+      base - TableCapability.BATCH_WRITE - TableCapability.V1_BATCH_WRITE
+    else base
     // write.merge-schema: let mismatched batches through Spark's analyzer —
     // GraftWriteBuilder aligns positionally-shaped inputs and GraftTable
     // evolves the schema (paimon gates ACCEPT_ANY_SCHEMA the same way)
     (if (t.config.option("write.merge-schema", "false") == "true")
-      base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
+      caps + TableCapability.ACCEPT_ANY_SCHEMA else caps).asJava
   }
 
   override def properties(): util.Map[String, String] = {

@@ -101,6 +101,36 @@ class BenchBaselineSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("pruned-family timed runs stay metadata-bounded (no plan-time job creep)") {
+    // r10 watch item: the in-JVM ratios of the metadata-bound queries crept
+    // up; re-measurement showed host noise, but this pins the invariant the
+    // creep WOULD have signaled — a warmed pruned-family query executes in
+    // a small fixed number of Spark jobs (the scan itself + a possible AQE
+    // stage), with no per-run filesystem-probe or planning jobs sneaking in
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.graft.SparkShims
+    val qs = SparkEntry.queries
+    val pruned = Seq("q_topn", "q_partition_prune", "q_zorder_scan", "q_time_travel")
+    pruned.foreach(n => qs(n)(spark, sfDir).collect()) // warm fixtures + plans
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val counts = pruned.map { n =>
+        SparkShims.waitListenerBus(spark)
+        jobs.set(0)
+        qs(n)(spark, sfDir).collect()
+        SparkShims.waitListenerBus(spark)
+        n -> jobs.get()
+      }
+      val offenders = counts.filter(_._2 > 4)
+      assert(offenders.isEmpty,
+        s"metadata-bound queries ran too many jobs: $counts")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("bench output: compact stdout line fits the driver's 2000-char tail; " +
       "full artifact carries runs/baselines/ratios and round-trips a file") {
     // realistic shape: 19 headline queries with real-length names, 5 runs

@@ -92,9 +92,7 @@ class Dsv2Spec extends SparkTestBase {
     assert(t.config.partitionKeys == Seq("pt"))
     assert(t.config.numBuckets == 2)
     assert(t.config.options.get("k1").contains("v1"))
-    // default ErrorIfExists on the now-existing table fails (Spark's V2
-    // path raises UNSUPPORTED_DATA_SOURCE_SAVE_MODE once the table exists —
-    // an error either way, matching ErrorIfExists semantics)
+    // default ErrorIfExists on the now-existing table fails loudly
     intercept[Exception] {
       Seq((9L, "z", "p1")).toDF("a", "b", "pt").write.format("graft").save(loc)
     }
@@ -103,6 +101,11 @@ class Dsv2Spec extends SparkTestBase {
     val locIgn = Files.createTempDirectory("graft-dfwi").toString + "/t"
     Seq((1L, "a")).toDF("k", "v").write.format("graft").mode("ignore").save(locIgn)
     assert(spark.read.format("graft").load(locIgn).count() == 1)
+    // Ignore on the EXISTING table is a silent no-op (Spark SaveMode.Ignore
+    // contract): no error, data unchanged
+    Seq((99L, "zz")).toDF("k", "v").write.format("graft").mode("ignore").save(locIgn)
+    assert(spark.read.format("graft").load(locIgn)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
     // append (DSv2 path) — PK upsert on (a, pt)
     Seq((1L, "x1b", "p1"), (3L, "x3", "p1")).toDF("a", "b", "pt")
       .write.format("graft").mode("append").save(loc)

@@ -259,4 +259,38 @@ class ScalePostureSpec extends SparkTestBase {
       s"expected only f3 to survive pruning, read schema: ${rs.catalogString}")
     assert(!rs.fieldNames.contains("id"), rs.catalogString)
   }
+
+  test("blob payload reads open O(distinct packs) streams, not O(values)") {
+    // at 100 TB blob payloads dominate bytes: the read path must share one
+    // positioned stream per .bin pack across all the values inside it —
+    // per-VALUE opens would be an object-store metadata storm. Asserted via
+    // the stream-cache counters: opens ≤ distinct packs, the rest are hits.
+    import graft.core.{GraftTable, TableConfig}
+    val loc = java.nio.file.Files.createTempDirectory("graft-posture-blob")
+      .toString + "/t"
+    val n = 500
+    val payload = (i: Long) => ("p-" + i + "-" + "y" * 100).getBytes("UTF-8")
+    val pUdf = udf(payload)
+    val df = spark.range(n).select(col("id"), pUdf(col("id")).as("blob"))
+    val t = GraftTable.createOrReplace(spark, loc, df.schema,
+      TableConfig(options = Map("blob-field" -> "blob",
+        "blob.target-file-size" -> "4kb")))
+    t.write(df.repartition(4))
+    val packs = {
+      val fs = new org.apache.hadoop.fs.Path(s"$loc/blob")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/blob")).length
+    }
+    assert(packs > 4, s"expected rolled packs, got $packs")
+    graft.pipeline.Blob.resetStreamCacheStats()
+    val got = t.read().select("id", "blob").as[(Long, Array[Byte])].collect()
+    assert(got.length == n)
+    assert(got.forall { case (i, b) => b.sameElements(payload(i)) })
+    val (hits, opens) = graft.pipeline.Blob.streamCacheStats
+    assert(hits + opens == n.toLong,
+      s"every value resolves through the cache: hits=$hits opens=$opens")
+    assert(opens <= packs.toLong,
+      s"opens must be bounded by distinct packs: opens=$opens packs=$packs")
+    assert(opens < n / 4, s"opens=$opens must be far below values=$n")
+  }
 }
