@@ -92,6 +92,9 @@ object GraftMetrics {
     m.gauge("lastCommitDuration", durationMs)
     m.observe("commitDuration", durationMs)
     m.gauge("lastCommitAttempts", attempts)
+    // cumulative CAS-race losses (attempts beyond the first) — the
+    // cross-process commit-race differential asserts this goes positive
+    if (attempts > 1L) m.inc("totalCommitRetries", attempts - 1L)
     m.gauge("lastTableFilesAdded", filesAdded)
     m.gauge("lastTableFilesDeleted", filesDeleted)
     m.gauge("lastChangelogFilesAppended", changelogFiles)
