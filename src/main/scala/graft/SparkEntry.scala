@@ -1172,6 +1172,17 @@ object SparkEntry {
            |  '{"match":{"query":"table scan","operator":"And"}}', 1000000)
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
     }),
+    // the same AND query via PER-QUERY OPTIONS (map form, '' column
+    // placeholder): options compile a plain-text query into the DSL match,
+    // so this must score byte-identically to q_fulltext_and
+    "q_fulltext_opts" -> ((s, d) => {
+      val ftI = Fixtures.ftIndex(s, d)
+      s.sql(
+        s"""SELECT doc_id, round(score, 4) AS score
+           |FROM graft_full_text_search('${ftI.location}',
+           |  'table scan', 1000000, '', map('operator', 'And'))
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    }),
     "q_fulltext_bool" -> ((s, d) => {
       val ftI = Fixtures.ftIndex(s, d)
       s.sql(
@@ -1804,7 +1815,12 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracles
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracles +
+    // per-query options spelling scores identically to its DSL spelling —
+    // the oracle IS q_fulltext_and's (same match, operator=And)
+    ("q_fulltext_opts" -> baseOracles("q_fulltext_and"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "q_pk_dedup" -> dedupOracle,
     "q_compact_partial" -> dedupOracle,
     "q_record_expire" ->

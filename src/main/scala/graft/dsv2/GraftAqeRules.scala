@@ -63,7 +63,11 @@ object DisableUnnecessaryGraftBucketedScan extends Rule[SparkPlan] {
   private def graftBucketedScan(p: SparkPlan): Option[(BatchScanExec, GraftBatchScan)] =
     p match {
       case b: BatchScanExec => b.scan match {
-        case g: GraftBatchScan if !g.bucketedScanDisabled => Some((b, g))
+        // only scans that actually REPORT the key-grouped layout — an
+        // unbucketed/unpartitioned scan already packs freely and must not
+        // be copied (same gate as the reference's
+        // `scan.inputPartitions.forall(_.bucketed)`)
+        case g: GraftBatchScan if g.reportsBucketedLayout => Some((b, g))
         case _ => None
       }
       case _ => None

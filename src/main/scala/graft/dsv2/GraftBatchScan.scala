@@ -71,6 +71,18 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
 
   def bucketedScanDisabled: Boolean = bucketedDisabled
 
+  /** True when this scan actually reports a key-grouped layout — the only
+    * scans the AQE disable rule may rewrite. */
+  def reportsBucketedLayout: Boolean =
+    !bucketedDisabled && clusteringTransforms.nonEmpty && entries.nonEmpty
+
+  /** Same-class copy over the given entries — MUST be overridden by every
+    * subclass (the variant scan carries struct-view state a plain
+    * GraftBatchScan copy would silently drop, crashing the columnar read
+    * with a VariantType→StructType cast). */
+  protected def freshCopy(es: Seq[ManifestEntry]): GraftBatchScan =
+    new GraftBatchScan(t, es, pushed, required, readOptions, dv)
+
   /** A copy of this scan with the bucketed layout turned off — used by the
     * AQE query-stage-prep rule when no downstream operator cares about the
     * partitioning: a 32-bucket table scanned for a plain projection should
@@ -79,7 +91,7 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
     * PaimonScan.disableBucketedScan,
     * execution/adaptive/DisableUnnecessaryPaimonBucketedScan.scala:1). */
   def disableBucketedScan(): GraftBatchScan = {
-    val s = new GraftBatchScan(t, entries, pushed, required, readOptions, dv)
+    val s = freshCopy(entries)
     s.bucketedDisabled = true
     s
   }
@@ -163,7 +175,7 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
   }
 
   // ---- partitioning report ----
-  private def clusteringTransforms: Array[Transform] = {
+  private[dsv2] def clusteringTransforms: Array[Transform] = {
     val parts = t.config.partitionKeys.map(Expressions.identity(_): Transform)
     // PK tables bucket by the primary key; bucketed append tables by
     // bucket-key — both fixed layouts support storage-partitioned joins
@@ -535,6 +547,10 @@ class GraftVariantBatchScan(t: GraftTable, entries: Seq[ManifestEntry],
 
   override def variantColsMap: Map[String, Seq[(StructField, String)]] =
     variantCols
+
+  override protected def freshCopy(es: Seq[ManifestEntry]): GraftBatchScan =
+    new GraftVariantBatchScan(t, es, pushedF, variantCols, readOpts, dvMap,
+      shredPruned)
 
   /** Stats-prune the planned entries by a predicate over the SHREDDED
     * physical columns ([[GraftVariantPrune]]): this scan serves only FINAL

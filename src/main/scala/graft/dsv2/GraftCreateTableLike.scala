@@ -43,7 +43,8 @@ case class GraftCreateTableLike(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some((tc: GraftCatalog, tIdent)) =>
           if (hiveStorage(c.fileFormat))
             throw new UnsupportedOperationException(
-              "CREATE TABLE LIKE ... STORED AS is not supported for graft tables")
+              "graft tables manage their own storage layout; drop the " +
+                "STORED AS / ROW FORMAT clause from CREATE TABLE LIKE")
           require(c.provider.forall(_.equalsIgnoreCase("graft")),
             s"graft catalog can only create graft tables, got USING ${c.provider.get}")
           rewrite(c, tc, tIdent).getOrElse(c)

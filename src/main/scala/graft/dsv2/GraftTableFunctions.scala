@@ -158,6 +158,53 @@ object GraftTableFunctions {
         s"search options must be a 'k=v[;k=v]' string or a map, got $o")
     }
 
+  /** Raw per-query options argument as a string map: a `k=v` string (';'
+    * or ',' separated) or a map literal; NULL/'' = none. */
+  private def rawOptsMap(e: Expression): Map[String, String] =
+    e.eval() match {
+      case null => Map.empty
+      case s: UTF8String =>
+        val str = s.toString
+        if (str.trim.isEmpty) Map.empty
+        else str.split("[;,]").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+          val p = kv.split("=", 2)
+          require(p.length == 2, s"invalid search option '$kv' (key=value)")
+          p(0).trim -> p(1).trim
+        }.toMap
+      case m: org.apache.spark.sql.catalyst.util.MapData =>
+        val mt = e.dataType.asInstanceOf[MapType]
+        (0 until m.numElements()).map { j =>
+          m.keyArray().get(j, mt.keyType).toString ->
+            m.valueArray().get(j, mt.valueType).toString
+        }.toMap
+      case o => throw new IllegalArgumentException(
+        s"search options must be a 'k=v[;k=v]' string or a map, got $o")
+    }
+
+  /** Per-query FULL-TEXT search options. The reference reserves the
+    * full-text options map and accepts only an empty one
+    * (hybrid-search.mdx "Reserved for future full-text search options");
+    * graft additionally accepts the Query-DSL match keys — operator,
+    * fuzziness, prefix_length, max_expansions, boost — by compiling a
+    * plain-text query + options into the equivalent `{"match": …}` DSL
+    * query, and rejects every other key loudly. A DSL query already
+    * carries its own options, so combining the two forms is an error. */
+  private def applyTextOpts(query: String, opts0: Map[String, String]): String = {
+    if (opts0.isEmpty) return query
+    val allowed = Set("operator", "fuzziness", "prefix_length",
+      "max_expansions", "boost")
+    val norm = opts0.map { case (k, v) =>
+      k.trim.toLowerCase.replace('-', '_') -> v.trim
+    }
+    val bad = norm.keys.filterNot(allowed).toSeq.sorted
+    require(bad.isEmpty, s"unknown full-text search option(s): " +
+      s"${bad.mkString(", ")} (supported: ${allowed.toSeq.sorted.mkString(", ")})")
+    require(!query.trim.startsWith("{"),
+      "per-query options apply to plain-text queries; a DSL query carries " +
+        "its own options inside the JSON")
+    graft.core.Json.write(Map("match" -> (Map("query" -> query) ++ norm)))
+  }
+
   /** Resolve a path or `catalog.db.table` identifier to an engine table. */
   def resolveTable(ref: String): GraftTable = {
     if (ref.contains("/")) return GraftTable.load(spark, ref)
@@ -230,18 +277,25 @@ object GraftTableFunctions {
     // operator/boost/fuzziness, match_phrase, boolean, boost demotion,
     // multi_match across per-column indexes — full-text.mdx "Query DSL").
     fd("graft_full_text_search") { args =>
-      require(args.length == 3 || args.length == 4,
-        "graft_full_text_search(indexOrPkTable, query, k[, 'indexColumn']) | " +
-          "graft_full_text_search(table, 'column', query, k)")
+      require(args.length >= 3 && args.length <= 5,
+        "graft_full_text_search(indexOrPkTable, query, k[, 'indexColumn'[, options]]) | " +
+          "graft_full_text_search(table, 'column', query, k[, options])")
       val t = resolveTable(str(args(0)))
       // the reference's argument order (PaimonTableValuedFunctions:906 —
       // table, column, query, limit) puts the integer LAST; graft's original
       // puts it third with the column trailing. Disjoint by arg-3's type.
-      val refShape = args.length == 4 && args(3).dataType != StringType
-      val (rawQuery, k, colArg) =
-        if (refShape) (str(args(2)), lng(args(3)).toInt, Some(str(args(1))))
+      val refShape = args.length >= 4 && args(3).dataType != StringType
+      val (rawQuery0, k, colArg, ftOpts) =
+        if (refShape) (str(args(2)), lng(args(3)).toInt, Some(str(args(1))),
+          if (args.length == 5) rawOptsMap(args(4)) else Map.empty[String, String])
         else (str(args(1)), lng(args(2)).toInt,
-          if (args.length == 4) Some(str(args(3))) else None)
+          // '' routes like an absent column (the 5-arg spelling needs the
+          // placeholder to reach the options slot on single-index tables)
+          if (args.length >= 4) Some(str(args(3))).filter(_.nonEmpty) else None,
+          if (args.length == 5) rawOptsMap(args(4)) else Map.empty[String, String])
+      // per-query options (operator / fuzziness / …) compile a plain query
+      // into the equivalent Query-DSL match — one scoring path either way
+      val rawQuery = applyTextOpts(rawQuery0, ftOpts)
       // the column argument picks ONE of a multi-indexed table's
       // back-references; without it a sole index routes and several error
       val refs = graft.pipeline.PkSearch.fullTextRefs(t)
@@ -439,11 +493,17 @@ object GraftTableFunctions {
             o.nprobe.getOrElse(8), o.refineFactor)
         }
         val txtRoutes = routeStructs(args(2)).map { case (st, row) =>
+          // the text route's options map: empty per the reference contract,
+          // or graft's DSL-key extension (operator/fuzziness/…) — compiled
+          // into the route query; unknown keys reject loudly
+          val q = applyTextOpts(
+            strAt(st, row, Seq("query")).getOrElse(
+              throw new IllegalArgumentException("text route needs query")),
+            optsAt(st, row, Seq("options")))
           IndexLifecycle.TextRoute(
             strAt(st, row, Seq("column")).getOrElse(
               throw new IllegalArgumentException("text route needs column")),
-            strAt(st, row, Seq("query")).getOrElse(
-              throw new IllegalArgumentException("text route needs query")),
+            q,
             numAt(st, row, Seq("limit")).map(_.toInt),
             numAt(st, row, Seq("weight")).getOrElse(1.0))
         }

@@ -31,6 +31,15 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
       case x => x
     }.toList: Seq[Any]).toSet
 
+  def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
     val (ra, rb) = (rowsOf(a), rowsOf(b))
     assert(ra == rb, s"\nonly in left: ${(ra -- rb).take(5)}\nonly in right: ${(rb -- ra).take(5)}")

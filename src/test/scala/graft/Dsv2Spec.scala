@@ -516,15 +516,6 @@ class Dsv2Spec extends SparkTestBase {
     spark.sql("DROP TABLE graft.db.icb_hc")
   }
 
-  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
-    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("streaming: admission control bounds batches; scan.mode latest skips history") {
     import graft.core.RowOps._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")

@@ -683,6 +683,34 @@ class IndexLifecycleSpec extends SparkTestBase {
     assert(textOnly.nonEmpty && textOnly.forall(_ % 3 == 0),
       s"text route must only surface 'table scan' docs: $textOnly")
 
+    // text-route per-query options: an empty map passes (the reference
+    // contract), the DSL-key extension compiles into the route query
+    // (operator=And narrows to docs carrying BOTH terms), and an unknown
+    // key rejects loudly instead of silently steering the search
+    val emptyOpts = spark.sql(
+      s"""SELECT doc_id FROM graft_hybrid_search('$loc', array(),
+         |  array(named_struct('column', 'text', 'query', 'table scan',
+         |    'limit', 10, 'weight', CAST(1.0 AS DOUBLE),
+         |    'options', map())), 5, 'rrf')""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(emptyOpts == textOnly, s"empty options must not change the route")
+    val andOpts = spark.sql(
+      s"""SELECT doc_id FROM graft_hybrid_search('$loc', array(),
+         |  array(named_struct('column', 'text', 'query', 'table scan',
+         |    'limit', 10, 'weight', CAST(1.0 AS DOUBLE),
+         |    'options', map('operator', 'And'))), 5, 'rrf')""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(andOpts.nonEmpty && andOpts.forall(_ % 3 == 0), s"and-opts: $andOpts")
+    val badKey = intercept[Exception] {
+      spark.sql(
+        s"""SELECT doc_id FROM graft_hybrid_search('$loc', array(),
+           |  array(named_struct('column', 'text', 'query', 'table scan',
+           |    'limit', 10, 'weight', CAST(1.0 AS DOUBLE),
+           |    'options', map('es.mystery', '1'))), 5, 'rrf')""".stripMargin).collect()
+    }
+    assert(badKey.getMessage.contains("unknown full-text search option"),
+      badKey.getMessage)
+
     // TWO vector routes, no text route (the reference's doc case): each
     // field served from its own index, empty array() for the text routes
     import graft.core.RowOps._

@@ -293,4 +293,34 @@ class VariantSqlSpec extends SparkTestBase {
     assert(!plan.contains("variant_get"), plan)
     assert(plan.contains("GraftVariantBatchScan"), plan)
   }
+
+  test("variant scan survives the AQE bucketed-scan-disable rule (v2 bucketing on)") {
+    // full-suite regression: with v2 bucketing enabled session-wide (any
+    // catalog fixture does this) the AQE rule used to replace a
+    // GraftVariantBatchScan with a PLAIN GraftBatchScan copy, dropping the
+    // struct-view machinery — VariantType→StructType ClassCastException at
+    // read. The copy is now virtual (freshCopy) and the rule only touches
+    // scans that actually report a key-grouped layout.
+    import graft.core.RowOps._
+    val loc = s"$wh/db.db/t_aqe"
+    val t = GraftTable.create(spark, loc, mkDocs.schema, TableConfig(
+      primaryKeys = Seq("doc_id"), numBuckets = 4,
+      options = Map("fields.meta.shred" -> "$.lang:string,$.text_len:int")))
+    t.write(mkDocs)
+    t.compact() // raw-convertible: native columnar variant scan, bucketed
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "true") {
+      // aggregate over a shuffle: the rule fires and disables the layout
+      val df = spark.sql(
+        s"""SELECT variant_get(meta, '$$.lang', 'string') AS lang,
+           |  sum(variant_get(meta, '$$.text_len', 'int')) AS tl
+           |FROM vsql.db.t_aqe GROUP BY 1 ORDER BY 1""".stripMargin)
+      assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("de", 22L), ("en", 44L), ("fr", 44L)))
+      // the point is the scan CLASS surviving the rule's copy (an
+      // aggregate-input extraction may legitimately stay unpushed)
+      assert(planOf(df).contains("GraftVariantBatchScan"), planOf(df))
+    }
+  }
 }
