@@ -260,8 +260,63 @@ object Blob {
   def streamCacheStats: (Long, Long) = (blobStreamHits.get(), blobStreamOpens.get())
   def resetStreamCacheStats(): Unit = { blobStreamHits.set(0L); blobStreamOpens.set(0L) }
 
+  /** Whole-pack bytes cache for SMALL packs (file ≤ [[MaxCachedPackBytes]],
+    * total budget [[PackCacheBudgetBytes]], access-ordered eviction).
+    * Tiny-payload corpora (text documents) would otherwise funnel thousands
+    * of positioned reads through ONE shared stream per pack — each a
+    * synchronized seek on the stream, so 32 executor threads serialize.
+    * Slicing from memory makes the hot path lock-get + arraycopy and the
+    * total I/O O(packs). Large packs — the multimodal case, MB-scale
+    * payloads — keep the positioned-read path, which is the right shape on
+    * an object store (never buffer a 256 MB pack for one value). */
+  private val MaxCachedPackBytes = 8L << 20
+  private val PackCacheBudgetBytes = 128L << 20
+  private val packLens = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private var packCacheBytes = 0L
+  private val packCache = new java.util.LinkedHashMap[String, Array[Byte]](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Byte]]): Boolean = {
+      // eviction handled manually in loadPack (budget is by BYTES, not count)
+      false
+    }
+  }
+
+  private def packLen(uri: String, conf: Configuration): Long =
+    packLens.computeIfAbsent(uri, { u =>
+      val p = new Path(u)
+      java.lang.Long.valueOf(p.getFileSystem(conf).getFileStatus(p).getLen)
+    }).longValue()
+
+  private def loadPack(uri: String, len: Long, conf: Configuration): Array[Byte] =
+    blobStreamLock.synchronized {
+      val hit = packCache.get(uri)
+      if (hit != null) { blobStreamHits.incrementAndGet(); return hit }
+      // load under the lock: happens once per pack (O(packs) total), and a
+      // racing loader of the SAME pack would otherwise read it twice
+      val p = new Path(uri)
+      val in = p.getFileSystem(conf).open(p)
+      val bytes = try {
+        val b = new Array[Byte](len.toInt)
+        in.readFully(0L, b)
+        b
+      } finally in.close()
+      blobStreamOpens.incrementAndGet()
+      packCache.put(uri, bytes)
+      packCacheBytes += len
+      val it = packCache.entrySet().iterator()
+      while (packCacheBytes > PackCacheBudgetBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != uri) { packCacheBytes -= e.getValue.length; it.remove() }
+      }
+      bytes
+    }
+
   private def pread(uri: String, offset: Long, length: Int,
                     conf: Configuration): Array[Byte] = {
+    val plen = try packLen(uri, conf) catch { case _: Exception => Long.MaxValue }
+    if (plen <= MaxCachedPackBytes && offset + length <= plen) {
+      val pack = loadPack(uri, plen, conf)
+      return java.util.Arrays.copyOfRange(pack, offset.toInt, offset.toInt + length)
+    }
     val in = blobStreamLock.synchronized {
       val existing = blobStreamCache.get(uri)
       if (existing != null) { blobStreamHits.incrementAndGet(); existing }
