@@ -137,6 +137,11 @@ object GraftCopyInto {
   }
 
   // ---- load history (<table>/copy-history.json) ----
+  /** History key: path + length + mtime (the reference's
+    * CopyLoadHistoryManager identity — a re-upload changes len/mtime and
+    * reloads). */
+  def historyKey(path: String, len: Long, mtime: Long): String =
+    s"$path@$len@$mtime"
   case class History(loaded: Seq[String])
   private def historyPath(t: GraftTable) = new Path(t.location, "copy-history.json")
   def loadHistory(fs: FileSystem, t: GraftTable): Seq[String] = {
@@ -208,10 +213,15 @@ case class GraftCopyIntoCommand(
   private def runExport(session: SparkSession): Seq[Row] = {
     val df = sourceQuery.map(session.sql)
       .getOrElse(session.table(sourceTable.get))
-    val rows = df.count()
-    df.write.format(format).options(writerOptions)
+    // one pass: the row count rides the write as an Observation (listener-
+    // backed) instead of a separate count() job — a 100-TB export must not
+    // scan twice
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.format(format).options(writerOptions)
       .mode(if (overwrite) "overwrite" else "errorifexists")
       .save(targetPath.get)
+    val rows = obs.get("rows")
     Seq(Row(s"exported $rows rows to ${targetPath.get}"))
   }
 
@@ -223,12 +233,12 @@ case class GraftCopyIntoCommand(
     // path relative to the source dir (the reference's Snowflake PATTERN)
     val all = {
       val it = fs.listFiles(src, true)
-      val buf = Seq.newBuilder[String]
+      val buf = Seq.newBuilder[(String, Long, Long)]
       while (it.hasNext) {
         val f = it.next()
         val name = f.getPath.getName
         if (!name.startsWith("_") && !name.startsWith("."))
-          buf += f.getPath.toString
+          buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
       }
       buf.result()
     }
@@ -236,12 +246,23 @@ case class GraftCopyIntoCommand(
     val matched = pattern match {
       case Some(re) =>
         val rx = re.r
-        all.filter(p => rx.findFirstIn(p.stripPrefix(base)).isDefined ||
-          rx.findFirstIn(p).isDefined)
+        all.filter { case (p, _, _) =>
+          rx.findFirstIn(p.stripPrefix(base)).isDefined ||
+            rx.findFirstIn(p).isDefined }
       case None => all
     }
+    // history entries key on (path, length, mtime) like the reference's
+    // CopyLoadHistoryManager — a re-uploaded file (same name, new bytes)
+    // must RELOAD, not silently skip. Legacy bare-path entries still match
+    // by path alone.
     val history = GraftCopyInto.loadHistory(fs, t).toSet
-    val fresh = if (force) matched else matched.filterNot(history)
+    def isLoaded(f: (String, Long, Long)): Boolean =
+      history.contains(GraftCopyInto.historyKey(f._1, f._2, f._3)) ||
+        history.contains(f._1)
+    val freshF = if (force) matched else matched.filterNot(isLoaded)
+    val fresh = freshF.map(_._1)
+    val keyOf: Map[String, String] =
+      matched.map(f => f._1 -> GraftCopyInto.historyKey(f._1, f._2, f._3)).toMap
     if (fresh.isEmpty)
       return Seq(Row(s"0 files to load (${matched.size} matched, " +
         s"${matched.size - fresh.size} already loaded)"))
@@ -281,7 +302,8 @@ case class GraftCopyIntoCommand(
 
     val df = readFiles(loadable)
     t.write(df)
-    GraftCopyInto.saveHistory(fs, t, (history ++ loadable).toSeq.sorted)
+    GraftCopyInto.saveHistory(fs, t,
+      (history ++ loadable.map(p => keyOf.getOrElse(p, p))).toSeq.sorted)
     Seq(Row(s"loaded ${loadable.size} files " +
       s"(${skipped.size} skipped, ${matched.size - fresh.size} already loaded)")) ++
       skipped.map(f => Row(s"skipped $f"))

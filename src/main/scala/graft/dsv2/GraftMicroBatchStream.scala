@@ -227,8 +227,26 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
     val s = start.asInstanceOf[GraftOffset].snapshotId
     val e = end.asInstanceOf[GraftOffset].snapshotId
     if (s < 0) {
-      // latest-full: serve the complete current state (raw live files)
+      // latest-full: serve the complete current state
       if (e <= 0) return Array.empty
+      // PK tables must serve the MERGED state — raw live-file emission
+      // would leak superseded key versions and delete tombstones as rows
+      // (paimon's FullStartingScanner plans merged splits the same way).
+      // Route through the in-scan merge reader when eligible; the
+      // from-file-creation-time mode stays raw (an append-table feature —
+      // merging a time-filtered SUBSET of a PK bucket would be wrong in a
+      // different way).
+      if (s != -4L && t.isPk) {
+        t.morPlanEntries(Some(e), None) match {
+          case Some(es) =>
+            return new GraftMorScan(t, es, Array.empty, Some(dataSchema),
+              t.dvFor(Some(e))).planInputPartitions()
+          case None =>
+            // ineligible (evolved schemas / patches / partial-update or
+            // aggregation engine): raw emission below is the documented
+            // approximation — every input version streams as +I
+        }
+      }
       var entries = t.planFiles(Some(e))
       // FROM_FILE_CREATION_TIME: only files created at/after the cutoff
       if (s == -4L) {
@@ -265,7 +283,55 @@ class GraftMicroBatchStream(t: GraftTable, checkpointLocation: String,
   override def createReaderFactory(): PartitionReaderFactory =
     if (binlog)
       new GraftBinlogReaderFactory(dataSchema, t.config.primaryKeys, conf)
-    else new GraftStreamReaderFactory(streamSchema, conf)
+    else {
+      val stream = new GraftStreamReaderFactory(streamSchema, conf)
+      if (!t.isPk) stream
+      else {
+        // PK full-state batches arrive as GraftMorInputPartitions (merged
+        // per bucket); per-snapshot delta batches stay file partitions —
+        // dispatch on the partition type. The MOR factory only needs the
+        // table's schemas, not the planned entries.
+        val mor = new GraftMorScan(t, Nil, Array.empty, Some(dataSchema),
+          Map.empty).createReaderFactory()
+        GraftStreamDispatchFactory(mor, stream,
+          if (readChangelog) Some(dataSchema) else None)
+      }
+    }
+}
+
+/** Routes MOR (full-state) and plain file partitions of one streaming
+  * batch plan to their readers; under read-changelog the merged rows get
+  * the `+I` kind column appended to match the stream schema. */
+case class GraftStreamDispatchFactory(mor: PartitionReaderFactory,
+                                      stream: PartitionReaderFactory,
+                                      appendKindTo: Option[StructType])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case m: GraftMorInputPartition =>
+        val inner = mor.createReader(m)
+        appendKindTo match {
+          case None => inner
+          case Some(schema) =>
+            val types = schema.fields.map(_.dataType)
+            new PartitionReader[InternalRow] {
+              override def next(): Boolean = inner.next()
+              override def get(): InternalRow = {
+                val r = inner.get()
+                val arr = new Array[Any](types.length + 1)
+                var i = 0
+                while (i < types.length) {
+                  arr(i) = if (r.isNullAt(i)) null else r.get(i, types(i))
+                  i += 1
+                }
+                arr(types.length) = UTF8String.fromString("+I")
+                new GenericInternalRow(arr)
+              }
+              override def close(): Unit = inner.close()
+            }
+        }
+      case other => stream.createReader(other)
+    }
 }
 
 object GraftMicroBatchStream {

@@ -1446,12 +1446,23 @@ class Dsv2Spec extends SparkTestBase {
       .collect().map(_.getString(0))
     assert(res.exists(_.contains("skipped")), res.mkString("; "))
     assert(spark.sql("SELECT count(*) FROM graft.db.copyt").head().getLong(0) == 4)
-    // export with header, then read back
+    // RE-UPLOAD: same file name, new content — the history keys on
+    // (path, length, mtime) like the reference, so it must reload
+    Thread.sleep(1100) // local-fs mtime granularity can be 1s
+    put("c.csv", "k|v\n5|u\n6|t\n7|s\n")
+    // (still under SKIP_FILE: bad.csv was never loaded, so it re-skips)
+    val reup = spark.sql(stmt.replace("PATTERN", "ON_ERROR = SKIP_FILE\nPATTERN"))
+      .head().getString(0)
+    assert(reup.contains("loaded 1 files"), reup)
+    assert(spark.sql("SELECT count(*) FROM graft.db.copyt").head().getLong(0) == 7)
+    // export with header, then read back; the row-count report rides the
+    // write as an observation (one pass)
     val outDir = Files.createTempDirectory("graft-copyout").toString + "/out"
-    spark.sql(
+    val exported = spark.sql(
       s"""COPY INTO '$outDir' FROM (SELECT k, v FROM graft.db.copyt WHERE k <= 2)
          |FILE_FORMAT = (TYPE = CSV, HEADER = TRUE)
-         |OVERWRITE = TRUE""".stripMargin).collect()
+         |OVERWRITE = TRUE""".stripMargin).head().getString(0)
+    assert(exported.contains("exported 2 rows"), exported)
     val back = spark.read.option("header", "true").csv(outDir)
     assert(back.count() == 2)
     assert(back.columns.toSeq == Seq("k", "v"))

@@ -38,6 +38,31 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(ids.count(_.startsWith("stream-")) == 2, s"identifiers: $ids")
   }
 
+  test("latest-full first batch of an UNCOMPACTED PK table is the merged state") {
+    // regression: the full-state batch used to emit raw live files — a
+    // superseded key version (and any DV-deleted row) leaked into the
+    // stream as a duplicate. The batch now plans through the in-scan merge
+    // reader (same partitions as GraftMorScan), DVs applied pre-merge.
+    import graft.core.RowOps._
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = tmpLoc("sfull")
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+    t.write((1L to 5L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.write(Seq((2L, "v2b"), (6L, "v6")).toDF("k", "v")) // upsert, NO compaction
+    t.deleteDv(col("k") === 4L)                          // and a DV delete
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sfull-ckpt").toString
+    val q = spark.readStream.format("graft").load(loc) // latest-full default
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("sfull_mem").start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT k, v FROM sfull_mem ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "v1"), (2L, "v2b"), (3L, "v3"), (5L, "v5"), (6L, "v6")),
+      s"got $got")
+  }
+
   test("binlog streaming: per-commit changes pack as [before, after] arrays") {
     import org.apache.spark.sql.streaming.Trigger
     val loc = tmpLoc("binlog-stream")
