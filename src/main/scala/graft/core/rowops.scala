@@ -410,6 +410,11 @@ object RowOps {
       require(t.fileFormat == "parquet",
         "deletion vectors require file.format=parquet (_metadata.row_index)")
       val live = t.planFiles()
+      // empty table: nothing can match — commit the no-op without building
+      // the _metadata plan (the empty-relation early return has no
+      // file-source pseudo-columns to resolve against)
+      if (live.isEmpty)
+        return t.sm.commit(Nil, "OVERWRITE", "delete-dv-noop", t.schema.id)
       val dv = t.dvFor(None)
       // row-tracking: the predicate must see the PATCHED view (outstanding
       // column patches change which rows match)

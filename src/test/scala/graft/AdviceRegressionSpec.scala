@@ -26,6 +26,16 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(keys == (1L to 10L).toSet -- Set(3L, 7L), s"got $keys")
   }
 
+  test("deleteDv on an empty table is a no-op commit, not an analysis crash") {
+    val loc = tmpLoc("dvempty")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a")).toDF("k", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 1))
+    val snap = t.deleteDv(col("k") === 1L) // zero files planned
+    assert(snap.deltaRecords == 0L)
+    assert(t.read().count() == 0)
+  }
+
   test("metadata-only DELETE leaves null-partition files untouched") {
     val loc = tmpLoc("nullpart")
     val df = Seq((1L, "us", 1.0), (2L, "eu", 2.0), (3L, null.asInstanceOf[String], 3.0))

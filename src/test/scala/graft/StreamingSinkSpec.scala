@@ -63,6 +63,44 @@ class StreamingSinkSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("fuzz: latest-full stream state equals the batch read across random LSM histories") {
+    import graft.core.RowOps._
+    import org.apache.spark.sql.streaming.Trigger
+    val rnd = new scala.util.Random(7L)
+    for (round <- 0 until 3) {
+      val loc = tmpLoc(s"sfz$round")
+      val t = GraftTable.create(spark, loc,
+        Seq((1L, "a")).toDF("k", "v").schema,
+        TableConfig(primaryKeys = Seq("k"), numBuckets = 1 + rnd.nextInt(3)))
+      val ops = 3 + rnd.nextInt(3)
+      for (_ <- 0 until ops) {
+        rnd.nextInt(10) match {
+          case n if n < 6 => // upsert wave over a small key space
+            t.write((0 until (5 + rnd.nextInt(15)))
+              .map(_ => (rnd.nextInt(30).toLong, s"r${rnd.nextInt(1000)}"))
+              .toDF("k", "v"))
+          case n if n < 8 => // DV delete of a random key
+            t.deleteDv(col("k") === rnd.nextInt(30).toLong)
+          case _ => t.compact()
+        }
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sfz$round").toString
+      val name = s"sfz_mem_$round"
+      val q = spark.readStream.format("graft").load(loc)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+      q.awaitTermination(120000)
+      val streamed = spark.sql(s"SELECT k, v FROM $name")
+        .as[(Long, String)].collect().toSet
+      val batch = GraftTable.load(spark, loc).read()
+        .as[(Long, String)].collect().toSet
+      assert(streamed == batch,
+        s"round $round:\nstream-only: ${(streamed -- batch).take(5)}" +
+          s"\nbatch-only: ${(batch -- streamed).take(5)}")
+    }
+  }
+
   test("binlog streaming: per-commit changes pack as [before, after] arrays") {
     import org.apache.spark.sql.streaming.Trigger
     val loc = tmpLoc("binlog-stream")
