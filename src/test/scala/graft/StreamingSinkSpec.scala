@@ -101,6 +101,49 @@ class StreamingSinkSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: from-snapshot delta replay into a second PK table reconstructs the state") {
+    // the other streaming direction: raw upsert deltas (changelog-producer
+    // =input semantics) replayed through the sink must converge to the
+    // source's merged state. DV deletes are excluded — a DV mutates
+    // history in place and is invisible to a delta-only replay by design
+    // (the reference replays them via audit_log/changelog, covered by
+    // q_binlog_stream); compactions must be invisible to the stream.
+    import graft.core.RowOps._
+    import org.apache.spark.sql.streaming.Trigger
+    val rnd = new scala.util.Random(11L)
+    for (round <- 0 until 2) {
+      val srcLoc = tmpLoc(s"rpl_src$round")
+      val dstLoc = tmpLoc(s"rpl_dst$round")
+      val schema = Seq((1L, "a")).toDF("k", "v").schema
+      val src = GraftTable.create(spark, srcLoc, schema,
+        TableConfig(primaryKeys = Seq("k"), numBuckets = 2))
+      GraftTable.create(spark, dstLoc, schema,
+        TableConfig(primaryKeys = Seq("k"), numBuckets = 3))
+      for (_ <- 0 until 4 + rnd.nextInt(3)) {
+        src.write((0 until (5 + rnd.nextInt(10)))
+          .map(_ => (rnd.nextInt(25).toLong, s"r${rnd.nextInt(1000)}"))
+          .toDF("k", "v"))
+        if (rnd.nextInt(3) == 0) src.compact()
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-rpl$round").toString
+      val q = spark.readStream.format("graft")
+        .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+        .load(srcLoc)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          GraftTable.load(spark, dstLoc).write(b); ()
+        }.start()
+      q.awaitTermination(120000)
+      val want = src.read().as[(Long, String)].collect().toSet
+      val got = GraftTable.load(spark, dstLoc).read()
+        .as[(Long, String)].collect().toSet
+      assert(got == want,
+        s"round $round:\nreplay-only: ${(got -- want).take(5)}" +
+          s"\nsource-only: ${(want -- got).take(5)}")
+    }
+  }
+
   test("binlog streaming: per-commit changes pack as [before, after] arrays") {
     import org.apache.spark.sql.streaming.Trigger
     val loc = tmpLoc("binlog-stream")
