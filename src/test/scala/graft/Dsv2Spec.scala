@@ -877,10 +877,12 @@ class Dsv2Spec extends SparkTestBase {
       .option("checkpointLocation", ckpt)
       .format("memory").queryName(outName).start()
     q.awaitTermination(60000)
-    // changelog-producer=input semantics: all three upsert records flow
+    // latest-full first batch = the MERGED current state (reference
+    // FullStartingScanner) — the superseded (2,'b') must NOT flow; raw
+    // per-record replay is scan.mode=from-snapshot's contract instead
     val rows = spark.table(outName).orderBy("k", "s")
       .as[(Long, String)].collect().toSeq
-    assert(rows == Seq((1L, "a"), (2L, "b"), (2L, "b2")))
+    assert(rows == Seq((1L, "a"), (2L, "b2")))
   }
 
   test("CALL sys.* / SHOW TAGS / tag DDL parser extension") {
