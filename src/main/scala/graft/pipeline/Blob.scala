@@ -260,25 +260,24 @@ object Blob {
   def streamCacheStats: (Long, Long) = (blobStreamHits.get(), blobStreamOpens.get())
   def resetStreamCacheStats(): Unit = { blobStreamHits.set(0L); blobStreamOpens.set(0L) }
 
-  /** Whole-pack bytes cache for SMALL packs (file ≤ [[MaxCachedPackBytes]],
-    * total budget [[PackCacheBudgetBytes]], access-ordered eviction).
-    * Tiny-payload corpora (text documents) would otherwise funnel thousands
-    * of positioned reads through ONE shared stream per pack — each a
-    * synchronized seek on the stream, so 32 executor threads serialize.
-    * Slicing from memory makes the hot path lock-get + arraycopy and the
-    * total I/O O(packs). Large packs — the multimodal case, MB-scale
-    * payloads — keep the positioned-read path, which is the right shape on
-    * an object store (never buffer a 256 MB pack for one value). */
-  private val MaxCachedPackBytes = 8L << 20
+  /** Chunked pack-bytes cache: 4 MB-aligned slices of payload packs, byte-
+    * budgeted ([[PackCacheBudgetBytes]]) with access-ordered eviction.
+    * Small-payload corpora (text documents) would otherwise funnel
+    * thousands of positioned reads through ONE shared stream per pack —
+    * each a synchronized seek, so 32 executor threads fully serialize (the
+    * sf1 probe measured exactly that: one 15 MB pack, 0.11 ms/value flat).
+    * Chunking keeps the resident unit bounded regardless of pack size
+    * (a 256 MB pack never buffers whole), total I/O stays
+    * O(ceil(packBytes / chunk)) = O(packs), and values read lock-get +
+    * arraycopy. Values LARGER than one chunk — the MB-scale multimodal
+    * case — keep the direct positioned read, the right shape on an object
+    * store (transfer time dominates, no cache value). */
+  private val PackChunkBytes = 4L << 20
   private val PackCacheBudgetBytes = 128L << 20
   private val packLens = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private var packCacheBytes = 0L
-  private val packCache = new java.util.LinkedHashMap[String, Array[Byte]](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Byte]]): Boolean = {
-      // eviction handled manually in loadPack (budget is by BYTES, not count)
-      false
-    }
-  }
+  private val packCache =
+    new java.util.LinkedHashMap[(String, Long), Array[Byte]](64, 0.75f, true)
 
   private def packLen(uri: String, conf: Configuration): Long =
     packLens.computeIfAbsent(uri, { u =>
@@ -286,36 +285,49 @@ object Blob {
       java.lang.Long.valueOf(p.getFileSystem(conf).getFileStatus(p).getLen)
     }).longValue()
 
-  private def loadPack(uri: String, len: Long, conf: Configuration): Array[Byte] =
+  private def loadChunk(uri: String, chunkIdx: Long, plen: Long,
+                        conf: Configuration): Array[Byte] =
     blobStreamLock.synchronized {
-      val hit = packCache.get(uri)
+      val key = (uri, chunkIdx)
+      val hit = packCache.get(key)
       if (hit != null) { blobStreamHits.incrementAndGet(); return hit }
-      // load under the lock: happens once per pack (O(packs) total), and a
-      // racing loader of the SAME pack would otherwise read it twice
+      // load under the lock: once per (pack, chunk) — O(packs) loads total —
+      // and a racing loader of the SAME chunk would otherwise read it twice
+      val base = chunkIdx * PackChunkBytes
+      val n = math.min(PackChunkBytes, plen - base).toInt
       val p = new Path(uri)
       val in = p.getFileSystem(conf).open(p)
       val bytes = try {
-        val b = new Array[Byte](len.toInt)
-        in.readFully(0L, b)
+        val b = new Array[Byte](n)
+        in.readFully(base, b)
         b
       } finally in.close()
       blobStreamOpens.incrementAndGet()
-      packCache.put(uri, bytes)
-      packCacheBytes += len
+      packCache.put(key, bytes)
+      packCacheBytes += n
       val it = packCache.entrySet().iterator()
       while (packCacheBytes > PackCacheBudgetBytes && it.hasNext) {
         val e = it.next()
-        if (e.getKey != uri) { packCacheBytes -= e.getValue.length; it.remove() }
+        if (e.getKey != key) { packCacheBytes -= e.getValue.length; it.remove() }
       }
       bytes
     }
 
   private def pread(uri: String, offset: Long, length: Int,
                     conf: Configuration): Array[Byte] = {
-    val plen = try packLen(uri, conf) catch { case _: Exception => Long.MaxValue }
-    if (plen <= MaxCachedPackBytes && offset + length <= plen) {
-      val pack = loadPack(uri, plen, conf)
-      return java.util.Arrays.copyOfRange(pack, offset.toInt, offset.toInt + length)
+    val plen = try packLen(uri, conf) catch { case _: Exception => -1L }
+    if (length <= PackChunkBytes && plen >= 0 && offset + length <= plen) {
+      val out = new Array[Byte](length)
+      var written = 0
+      while (written < length) {
+        val pos = offset + written
+        val chunk = loadChunk(uri, pos / PackChunkBytes, plen, conf)
+        val inChunk = (pos % PackChunkBytes).toInt
+        val n = math.min(length - written, chunk.length - inChunk)
+        System.arraycopy(chunk, inChunk, out, written, n)
+        written += n
+      }
+      return out
     }
     val in = blobStreamLock.synchronized {
       val existing = blobStreamCache.get(uri)
