@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SortExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.exchange.Exchange
 
 /**
  * Query-stage-prep rule: turn OFF the key-grouped (bucketed) layout of a
@@ -31,8 +31,17 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
  * A scan keeps its bucketed layout only when some ancestor requires a
  * clustering or ordering of its input AND no shuffle sits between that
  * ancestor and the scan (a shuffle re-partitions, so whatever the scan
- * reported is moot). Traversal state is (ancestorWantsLayout, shuffleSeen),
- * reset below any operator that is not a simple pass-through.
+ * reported is moot). Traversal state mirrors Spark's rule exactly —
+ * (ancestorWantsLayout, exchangeSeen, allowedNode):
+ * `ancestorWantsLayout` is PRESERVED through every operator (this rule runs
+ * after EnsureRequirements, so an elided exchange may depend on the scan's
+ * clustering flowing through an operator we can't classify, e.g. a
+ * partitioning-preserving GenerateExec — resetting the flag there would
+ * disable a layout the already-planned exchanges rely on → wrong results);
+ * `allowedNode` is ANDed false at any operator outside the pass-through
+ * set, so the disable in the exchange-present case only fires when the
+ * whole (exchange → scan) path is provably layout-oblivious. Disable iff
+ * `!ancestorWantsLayout || (exchangeSeen && allowedNode)`.
  *
  * Honors the same gates as Spark's v1 rule: both
  * `spark.sql.sources.v2.bucketing.enabled` and
@@ -74,14 +83,15 @@ object DisableUnnecessaryGraftBucketedScan extends Rule[SparkPlan] {
     }
 
   private def rewrite(plan: SparkPlan, ancestorWants: Boolean,
-                      shuffleSeen: Boolean): SparkPlan = plan match {
+                      exchangeSeen: Boolean, allowedNode: Boolean): SparkPlan = plan match {
     case p if wantsLayout(p) =>
-      p.mapChildren(rewrite(_, ancestorWants = true, shuffleSeen = false))
-    case sh: ShuffleExchangeLike =>
-      sh.mapChildren(rewrite(_, ancestorWants, shuffleSeen = true))
+      p.mapChildren(rewrite(_, ancestorWants = true, exchangeSeen = false,
+        allowedNode = true))
+    case ex: Exchange =>
+      ex.mapChildren(rewrite(_, ancestorWants, exchangeSeen = true, allowedNode))
     case p if graftBucketedScan(p).isDefined =>
       val (batch, scan) = graftBucketedScan(p).get
-      if (!ancestorWants || shuffleSeen) {
+      if (!ancestorWants || (exchangeSeen && allowedNode)) {
         // also clear the exec node's cached key grouping: BatchScanExec
         // groups input partitions into one task per distinct partition key
         // when spjParams carries keyGroupedPartitioning, which would fuse
@@ -92,12 +102,12 @@ object DisableUnnecessaryGraftBucketedScan extends Rule[SparkPlan] {
         replaced.copyTagsFrom(batch)
         replaced
       } else batch
-    case p if passThrough(p) =>
-      p.mapChildren(rewrite(_, ancestorWants, shuffleSeen))
     case p =>
-      // unknown operator: its children start a fresh context (we can't
-      // prove the layout requirement survives through it)
-      p.mapChildren(rewrite(_, ancestorWants = false, shuffleSeen = false))
+      // ancestorWants survives EVERY operator (an elided exchange may rely
+      // on the layout flowing through it); only the allowed-path flag
+      // degrades at operators outside the pass-through set
+      p.mapChildren(rewrite(_, ancestorWants, exchangeSeen,
+        allowedNode && passThrough(p)))
   }
 
   override def apply(plan: SparkPlan): SparkPlan = {
@@ -105,6 +115,6 @@ object DisableUnnecessaryGraftBucketedScan extends Rule[SparkPlan] {
       conf.getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
     if (!v2Bucketing || !conf.autoBucketedScanEnabled) return plan
     if (!plan.exists(p => graftBucketedScan(p).isDefined)) return plan
-    rewrite(plan, ancestorWants = false, shuffleSeen = false)
+    rewrite(plan, ancestorWants = false, exchangeSeen = false, allowedNode = true)
   }
 }

@@ -400,6 +400,58 @@ class Dsv2Spec extends SparkTestBase {
     spark.sql("DROP TABLE graft.db.buckdis")
   }
 
+  test("AQE keeps the layout through an unknown partitioning-preserving op (Generate)") {
+    // ADVICE r11 (high): an exchange-free aggregate whose clustering flows
+    // through GenerateExec — an operator the rule can't classify — must NOT
+    // have the scan below it disabled: EnsureRequirements already elided the
+    // exchange based on that layout, so disabling it silently drops the
+    // clustering and each packed partition would aggregate independently
+    // (duplicate groups). Mirrors Spark's DisableUnnecessaryBucketedScan:
+    // ancestorWants survives unknown operators; only allowedNode degrades.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.dsv2.GraftBatchScan
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.buckgen (k BIGINT, arr ARRAY<DOUBLE>)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='4')""")
+    spark.sql(
+      "INSERT INTO graft.db.buckgen SELECT id, array(id*1.0, id*2.0) FROM range(100)")
+    import graft.core.RowOps._
+    GraftTable.load(spark, s"$wh/db.db/buckgen").compact()
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[GraftBatchScan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(st.plan)
+        case b: BatchScanExec => b.scan match {
+          case g: GraftBatchScan => Seq(g)
+          case _ => Nil
+        }
+      }.flatten
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "true") {
+      val df = spark.sql(
+        """SELECT k, sum(x) AS s FROM
+             (SELECT k, explode(arr) AS x FROM graft.db.buckgen)
+           GROUP BY k""")
+      val rows = df.as[(Long, Double)].collect()
+      // correctness first: exactly one group per key, sum = k + 2k
+      assert(rows.length == 100, s"expected 100 groups, got ${rows.length}")
+      assert(rows.forall { case (k, s) => math.abs(s - 3.0 * k) < 1e-9 },
+        s"wrong sums: ${rows.filterNot { case (k, s) => math.abs(s - 3.0 * k) < 1e-9 }.take(5).toSeq}")
+      val plan = df.queryExecution.executedPlan
+      val scans = scansIn(plan)
+      // if the plan is exchange-free (clustering flowed through Generate),
+      // the scan MUST keep its bucketed layout
+      val hasShuffle = plan.toString.contains("Exchange")
+      if (!hasShuffle) {
+        assert(scans.nonEmpty && scans.forall(!_.bucketedScanDisabled),
+          s"scan below an elided exchange was disabled:\n$plan")
+      }
+    }
+    spark.sql("DROP TABLE graft.db.buckgen")
+  }
+
   test("storage-partitioned join: co-bucketed pk tables join without exchange") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     for (n <- Seq("spj_a", "spj_b")) {
