@@ -274,25 +274,76 @@ object Blob {
     * store (transfer time dominates, no cache value). */
   private val PackChunkBytes = 4L << 20
   private val PackCacheBudgetBytes = 128L << 20
-  private val packLens = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // pack-length memo, LRU-bounded: a long-lived executor reading many packs
+  // must not accumulate one entry per pack URI forever (ADVICE r11). A
+  // evicted entry just re-probes getFileStatus on next touch.
+  private val packLens =
+    new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 4096
+    }
   private var packCacheBytes = 0L
   private val packCache =
     new java.util.LinkedHashMap[(String, Long), Array[Byte]](64, 0.75f, true)
+  // one in-flight load per (pack, chunk): waiters for the SAME chunk block
+  // on its future; loads of DIFFERENT chunks/packs proceed concurrently —
+  // the 4 MB readFully must NOT hold the global lock (ADVICE r11: on an
+  // object store a cold multi-pack scan would serialize JVM-wide)
+  private val inFlightChunks = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), java.util.concurrent.CompletableFuture[Array[Byte]]]()
 
-  private def packLen(uri: String, conf: Configuration): Long =
-    packLens.computeIfAbsent(uri, { u =>
-      val p = new Path(u)
-      java.lang.Long.valueOf(p.getFileSystem(conf).getFileStatus(p).getLen)
-    }).longValue()
+  private def packLen(uri: String, conf: Configuration): Long = {
+    val cached = blobStreamLock.synchronized(packLens.get(uri))
+    if (cached != null) return cached.longValue()
+    val p = new Path(uri)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    blobStreamLock.synchronized(packLens.put(uri, java.lang.Long.valueOf(len)))
+    len
+  }
+
+  private def cacheGet(key: (String, Long)): Array[Byte] =
+    blobStreamLock.synchronized {
+      val hit = packCache.get(key)
+      if (hit != null) blobStreamHits.incrementAndGet()
+      hit
+    }
+
+  private def cachePut(key: (String, Long), bytes: Array[Byte]): Unit =
+    blobStreamLock.synchronized {
+      if (packCache.get(key) == null) {
+        packCache.put(key, bytes)
+        packCacheBytes += bytes.length
+        val it = packCache.entrySet().iterator()
+        while (packCacheBytes > PackCacheBudgetBytes && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) { packCacheBytes -= e.getValue.length; it.remove() }
+        }
+      }
+    }
 
   private def loadChunk(uri: String, chunkIdx: Long, plen: Long,
-                        conf: Configuration): Array[Byte] =
-    blobStreamLock.synchronized {
-      val key = (uri, chunkIdx)
-      val hit = packCache.get(key)
-      if (hit != null) { blobStreamHits.incrementAndGet(); return hit }
-      // load under the lock: once per (pack, chunk) — O(packs) loads total —
-      // and a racing loader of the SAME chunk would otherwise read it twice
+                        conf: Configuration): Array[Byte] = {
+    val key = (uri, chunkIdx)
+    val hit = cacheGet(key)
+    if (hit != null) return hit
+    val mine = new java.util.concurrent.CompletableFuture[Array[Byte]]()
+    val existing = inFlightChunks.putIfAbsent(key, mine)
+    if (existing != null) {
+      // another thread is already reading this exact chunk: wait on it
+      // instead of issuing a duplicate read (counts as a hit — the posture
+      // invariant is hits + opens == values resolved)
+      blobStreamHits.incrementAndGet()
+      try return existing.join()
+      catch {
+        case e: java.util.concurrent.CompletionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    }
+    try {
+      // double-check: a prior loader may have completed between our cache
+      // miss and our in-flight claim
+      val again = cacheGet(key)
+      if (again != null) { mine.complete(again); return again }
       val base = chunkIdx * PackChunkBytes
       val n = math.min(PackChunkBytes, plen - base).toInt
       val p = new Path(uri)
@@ -303,15 +354,13 @@ object Blob {
         b
       } finally in.close()
       blobStreamOpens.incrementAndGet()
-      packCache.put(key, bytes)
-      packCacheBytes += n
-      val it = packCache.entrySet().iterator()
-      while (packCacheBytes > PackCacheBudgetBytes && it.hasNext) {
-        val e = it.next()
-        if (e.getKey != key) { packCacheBytes -= e.getValue.length; it.remove() }
-      }
+      cachePut(key, bytes)
+      mine.complete(bytes)
       bytes
-    }
+    } catch {
+      case t: Throwable => mine.completeExceptionally(t); throw t
+    } finally inFlightChunks.remove(key, mine)
+  }
 
   private def pread(uri: String, offset: Long, length: Int,
                     conf: Configuration): Array[Byte] = {
