@@ -274,6 +274,38 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
   }
   /**
+   * Overwrite a small HINT file (e.g. snapshot/LATEST) without a torn-read
+   * window: in-place `fs.create(overwrite=true)` lets a concurrent reader
+   * see a half-rewritten file (on the local FS the checksum sidecar tears —
+   * observed as ChecksumException noise in the cross-JVM race test).
+   * Local scheme: tmp + ATOMIC_MOVE(REPLACE_EXISTING). Remote FS: tmp +
+   * delete + rename — a brief missing-file window, which every hint reader
+   * already tolerates via the list+probe fallback.
+   */
+  def writeHint(target: Path, content: String): Unit = {
+    if (fs.getUri.getScheme == "file") {
+      val t = java.nio.file.Paths.get(target.toUri.getPath)
+      java.nio.file.Files.createDirectories(t.getParent)
+      // drop any stale checksum sidecar a past fs.create left behind: the
+      // nio-written bytes won't match it, and a missing sidecar just means
+      // "read raw" to Hadoop's ChecksumFileSystem
+      java.nio.file.Files.deleteIfExists(
+        t.getParent.resolve("." + t.getFileName.toString + ".crc"))
+      val tmp = t.getParent.resolve(s".hint-${UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, t,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(target.getParent, s".hint-${UUID.randomUUID()}")
+      writeString(tmp, content)
+      try {
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+      } catch { case _: Exception => fs.delete(tmp, false) }
+    }
+  }
+  /**
    * Atomic create-if-absent (the commit CAS). On HDFS-like filesystems,
    * rename-without-overwrite is atomic. On the LOCAL filesystem rename(2)
    * silently REPLACES the destination, so two racing committers would both
@@ -582,7 +614,7 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
           .getOrElse(base.flatMap(b => Option(b.patches).flatten)),
         deltaBytes = Some(delta.filter(_.kind == 0).map(_.fileSize).sum))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
-        writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
+        writeHint(new Path(snapshotDir, "LATEST"), nextId.toString)
         GraftMetrics.recordCommit(tableRoot,
           (System.nanoTime() - commitT0) / 1000000L, attempt + 1L, kind,
           addFiles, delFiles, changelog.size.toLong)
@@ -683,7 +715,7 @@ class SnapshotManager(val tableRoot: String, hadoopConf: Configuration,
         liveFiles = Some(liveCount),
         patches = base.flatMap(b => Option(b.patches).flatten))
       if (casWrite(snapshotPath(nextId), Json.write(snap))) {
-        writeString(new Path(snapshotDir, "LATEST"), nextId.toString)
+        writeHint(new Path(snapshotDir, "LATEST"), nextId.toString)
         return snap
       }
       attempt += 1

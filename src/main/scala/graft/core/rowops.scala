@@ -1128,7 +1128,7 @@ object RowOps {
       val snap = t.sm.readSnapshot(snapId)
       val bdir = new Path(t.sm.branchRootDir, s"$name/snapshot")
       t.sm.writeString(new Path(bdir, s"snapshot-$snapId.json"), Json.write(snap))
-      t.sm.writeString(new Path(bdir, "LATEST"), snapId.toString)
+      t.sm.writeHint(new Path(bdir, "LATEST"), snapId.toString)
     }
 
     def deleteBranch(name: String): Boolean =

@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
  * two processes genuinely interleave their optimistic-commit loops (JVM
  * startup skew would otherwise serialize them). Writer "A" additionally
  * runs a full compaction mid-race, so rewrite-DELETE commits race the other
- * writer's appends too.
+ * writer's appends too. The metadata-only burst phase runs in
+ * coordinator-gated rounds (re-barriered each round) until the coordinator
+ * has observed cross-JVM CAS contention or gives up — a single burst window
+ * can miss under heavy host load, which made the one-shot version flaky.
  *
  * Prints one parseable line:
  * `RACE_RESULT {"writer":...,"commits":N,"retries":R}` where `retries` is
@@ -25,9 +28,9 @@ object RaceWriter {
     val Array(loc, syncDir, writerId, commitsStr) = args.take(4)
     val commits = commitsStr.toInt
     val spark = SparkSession.builder()
-      .master("local[2]")
+      .master("local[1]")
       .appName(s"graft-race-$writerId")
-      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.shuffle.partitions", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,12 +39,16 @@ object RaceWriter {
     // start barrier: announce readiness, then wait for the coordinator
     val sync = new java.io.File(syncDir)
     new java.io.File(sync, s"ready-$writerId").createNewFile()
-    def await(name: String): Unit = {
+    // waits for `name`; returns false if `alt` appeared first (stop signal)
+    def await(name: String, alt: String = ""): Boolean = {
       val f = new java.io.File(sync, name)
+      val a = if (alt.isEmpty) null else new java.io.File(sync, alt)
       val deadline = System.currentTimeMillis() + 120000L
-      while (!f.exists() && System.currentTimeMillis() < deadline)
-        Thread.sleep(50L)
+      while (!f.exists() && (a == null || !a.exists()) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20L)
+      if (a != null && a.exists() && !f.exists()) return false
       require(f.exists(), s"race coordinator never signalled $name")
+      true
     }
     await("go")
     (0 until commits).foreach { i =>
@@ -49,21 +56,39 @@ object RaceWriter {
         .toDF("k", "w"))
       if (writerId == "A" && i == commits / 2) t.compact()
     }
-    // burst phase: metadata-only commits in a tight loop from BOTH JVMs at
-    // once (second barrier) — the pure-CAS duty cycle is ~100%, so at least
-    // one side observably loses rounds; the data phase above rarely
-    // collides because its per-commit Spark job dwarfs the CAS window
-    val burst = 30
-    new java.io.File(sync, s"ready2-$writerId").createNewFile()
-    await("go2")
-    (0 until burst).foreach { i =>
-      t.sm.commit(Nil, "APPEND", s"burst-$writerId-$i", t.schema.id)
-    }
-    val retries = GraftMetrics.forTable(loc).rows
+    def cumulativeRetries(): Long = GraftMetrics.forTable(loc).rows
       .collectFirst { case ("totalCommitRetries", _, v) => v.toLong }
       .getOrElse(0L)
+    // burst phase, in coordinator-gated ROUNDS: metadata-only commits in a
+    // tight loop from BOTH JVMs at once — the pure-CAS duty cycle is ~100%,
+    // so a round where the two JVMs actually overlap observably loses CAS
+    // races. Under heavy host load (the full test suite) a single window
+    // can still miss, so the coordinator re-barriers round after round
+    // until cumulative retries > 0 or its round budget runs out, then
+    // drops the `stopburst` sentinel. Each round reports this JVM's
+    // cumulative retry count via a per-round file.
+    val burstPerRound = 30
+    var round = 0
+    var totalBurst = 0
+    var go = true
+    while (go) {
+      new java.io.File(sync, s"ready2-$writerId-$round").createNewFile()
+      if (!await(s"go2-$round", "stopburst")) { go = false }
+      else {
+        (0 until burstPerRound).foreach { i =>
+          t.sm.commit(Nil, "APPEND", s"burst-$writerId-$round-$i", t.schema.id)
+        }
+        totalBurst += burstPerRound
+        val f = new java.io.File(sync, s"done-$writerId-$round")
+        val tmp = new java.io.File(sync, s".done-$writerId-$round.tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          cumulativeRetries().toString.getBytes("UTF-8"))
+        tmp.renameTo(f)
+        round += 1
+      }
+    }
     // flush stdout as one line the parent can parse
-    println(s"""RACE_RESULT {"writer":"$writerId","commits":$commits,"burst":$burst,"retries":$retries}""")
+    println(s"""RACE_RESULT {"writer":"$writerId","commits":$commits,"burst":$totalBurst,"retries":${cumulativeRetries()}}""")
     spark.stop()
   }
 }
