@@ -435,19 +435,81 @@ object Fixtures {
       t
     }
 
-  /** POSTPONE bucket mode (bucket = -2): orders written shuffle-free into
-    * staging, compacted into 4 real buckets, then an UPDATE batch staged
-    * but NOT compacted — reads must serve the compacted state only. */
+  /** POSTPONE bucket mode, LEGACY flow (`postpone.batch-write-fixed-bucket
+    * = false`): orders written shuffle-free into staging, compacted into 4
+    * real buckets, then an UPDATE batch staged but NOT compacted — reads
+    * must serve the compacted state only. (The reference's DEFAULT flow —
+    * fixed-bucket, immediately visible — is [[ordersPpFixed]].) */
   def ordersPp(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "orders_pp") { loc =>
       import graft.core.RowOps._
       val orders = src(spark, sfDir, "orders")
       val t = GraftTable.createOrReplace(spark, loc, orders.schema,
-        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = -2))
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = -2,
+          options = Map("postpone.batch-write-fixed-bucket" -> "false")))
       t.write(orders)
       t.compact()
       t.write(orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)) // staged, invisible
+      t
+    }
+
+  /** POSTPONE bucket mode, DEFAULT (fixed-bucket) flow: every batch stages
+    * to uncommitted -2 files, infers per-partition bucket counts from the
+    * staged metadata (`postpone.target-row-num-per-bucket` here, so sf0.01
+    * infers a real multi-bucket layout), routes to real buckets and commits
+    * — an INSERT followed by an immediate SELECT serves the merged state
+    * with NO compact call (reference data-distribution.md:73-105). */
+  def ordersPpFixed(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_pp_fixed") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = -2,
+          options = Map("postpone.target-row-num-per-bucket" -> "1000")))
+      t.write(orders)
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)) // visible at once
+      t
+    }
+
+  /** Postpone merge-on-read (`postpone.merge-on-read=true`, reference
+    * POSTPONE_MERGE_ON_READ / PostponeMergeOnReadExec): a LEGACY-staged
+    * batch left in bucket -2 stays readable, merged with the real buckets —
+    * including against a later fixed-bucket batch that overlaps its keys
+    * (later sequence wins). */
+  def ordersPpMor(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_pp_mor") { loc =>
+      import graft.core.RowOps._
+      val orders = src(spark, sfDir, "orders")
+      val t = GraftTable.createOrReplace(spark, loc, orders.schema,
+        TableConfig(primaryKeys = Seq("o_orderkey"), numBuckets = -2,
+          options = Map("postpone.batch-write-fixed-bucket" -> "false",
+            "postpone.merge-on-read" -> "true")))
+      t.write(orders)
+      t.compact() // real buckets
+      t.write(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)) // legacy staged
+      // flip to the default fixed-bucket flow for the third batch
+      t.setOption("postpone.batch-write-fixed-bucket", "true")
+      val t2 = GraftTable.load(spark, loc)
+      t2.write(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)) // fixed, visible
+      t2
+    }
+
+  /** MAP metadata column with declared shredded hot keys
+    * (`fields.attrs.shred-keys`): literal-key access reads only the typed
+    * side columns (GraftMapShredRule), never the map bytes. */
+  def ordersMap(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "orders_map") { loc =>
+      val orders = src(spark, sfDir, "orders")
+      val df = orders.select(col("o_orderkey"), col("o_totalprice"),
+        map(lit("status"), col("o_orderstatus"),
+          lit("prio"), col("o_orderpriority"),
+          lit("cust"), col("o_custkey").cast("string")).as("attrs"))
+      val t = GraftTable.createOrReplace(spark, loc, df.schema,
+        TableConfig(options = Map("fields.attrs.shred-keys" -> "status,prio")))
+      t.write(df)
       t
     }
 

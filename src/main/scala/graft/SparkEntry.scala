@@ -252,11 +252,30 @@ object SparkEntry {
       s.table(outName).select(col("o_orderkey"), col("day"),
         round(col("o_totalprice"), 2).as("price"))
     }),
-    // POSTPONE bucket mode: staged (uncompacted) writes are invisible —
-    // the read serves exactly the last compacted state
+    // POSTPONE bucket mode, legacy flow: staged (uncompacted) writes are
+    // invisible — the read serves exactly the last compacted state
     "q_postpone" -> ((s, d) => Fixtures.ordersPp(s, d).read()
       .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"),
         round(sum("o_totalprice"), 2).as("total"))),
+    // POSTPONE fixed-bucket DEFAULT flow: INSERT then immediate SELECT —
+    // both batches visible and merged with NO compact call
+    "q_postpone_fixed" -> ((s, d) => Fixtures.ordersPpFixed(s, d).read()
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("total"))),
+    // postpone.merge-on-read: a LEGACY-staged leftover batch merges with
+    // real buckets (and loses to a later fixed-bucket batch on overlap)
+    "q_postpone_mor" -> ((s, d) => Fixtures.ordersPpMor(s, d).read()
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("total"))),
+    // Literal-key MAP pruning: attrs['k'] on declared shred-keys reads only
+    // the typed side columns (GraftMapShredBatchScan), never the map bytes
+    "q_map_shred" -> ((s, d) => {
+      val t = Fixtures.ordersMap(s, d)
+      s.read.format("graft").load(t.location)
+        .filter(col("attrs")("prio") =!= "1-URGENT")
+        .groupBy(col("attrs")("status").as("status"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+    }),
     // KEY_DYNAMIC: a PK update that changes the partition column must MOVE
     // the row (tombstone in the old partition) — exactly one row per key
     "q_cross_partition" -> ((s, d) => Fixtures.custXp(s, d).read()
@@ -1878,6 +1897,22 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_postpone_fixed" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |               ELSE o_totalprice END), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_postpone_mor" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000
+        |               WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |               ELSE o_totalprice END), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_map_shred" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_fallback_branch" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2

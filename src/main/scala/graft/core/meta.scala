@@ -126,7 +126,14 @@ case class ManifestEntry(
     // paimon-core/.../io/DataFileMeta.java:253). 0 = unknown (manifests
     // written before the field existed) → readers fall back to a filesystem
     // stat. Stable across byte-copies (sys.copy), unlike filesystem mtime.
-    creationTime: Long = 0L)
+    creationTime: Long = 0L,
+    // bucket count of the routing layout this file was written under (cf.
+    // paimon ManifestEntry.totalBuckets, used by PostponeUtils
+    // .getKnownNumBuckets) — the durable per-PARTITION bucket number for
+    // postpone fixed-bucket tables, where different partitions route with
+    // different moduli. 0 = unknown (pre-field manifests, staging files,
+    // dynamic-bucket entries); real layouts are always >= 1.
+    totalBuckets: Int = 0)
 
 /** Spark-side schema of [[ManifestEntry]] — the shape manifests take when
   * processed as DataFrames (parquet manifests, distributed planning). */
@@ -146,6 +153,7 @@ object ManifestDf {
         v.getField("nullCount").as("nullCount"),
         coalesce(v.getField("inexact"), lit(false)).as("inexact"))))
       .withColumn("creationTime", coalesce(col("creationTime"), lit(0L)))
+      .withColumn("totalBuckets", coalesce(col("totalBuckets"), lit(0)))
   }
   val schema: StructType = StructType(Seq(
     StructField("kind", IntegerType, nullable = false),
@@ -159,7 +167,8 @@ object ManifestDf {
     StructField("level", IntegerType, nullable = false),
     StructField("stats", MapType(StringType, colStatType)),
     StructField("schemaId", LongType, nullable = false),
-    StructField("creationTime", LongType, nullable = false)))
+    StructField("creationTime", LongType, nullable = false),
+    StructField("totalBuckets", IntegerType, nullable = false)))
   def columns: Seq[org.apache.spark.sql.Column] =
     schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col)
 }

@@ -163,6 +163,15 @@ object RowOps {
       if (alreadyCompact) return None
       var clFiles: Seq[String] = Nil
       var clBase: Option[Long] = None
+      // postpone tables route to REAL buckets here: partitions keep their
+      // existing bucket number; first-compacted ones take a configured
+      // default exactly, else an estimate from the staged files
+      // (reference data-distribution.md legacy-compaction paragraph)
+      val (bucketOv, tbByPt) =
+        if (t.isPostpone) {
+          val counts = t.postponeCompactCounts(live)
+          (Some(t.postponeRouteExpr(counts, t.postponeBuckets)), counts)
+        } else (None, Map.empty[String, Int])
       val adds =
         if (t.isPk) {
           // record-level expire (paimon compaction.md record-level.expire):
@@ -180,7 +189,8 @@ object RowOps {
             val (files, base) = t.fullCompactionChangelog(cur)
             clFiles = files; clBase = base
           }
-          t.writeFiles(merged, preMerged = true, level = 1)
+          t.writeFiles(merged, preMerged = true, level = 1,
+            bucketOverride = bucketOv, totalBucketsByPt = tbByPt)
         } else {
           // row-tracking tables carry their ids through the rewrite;
           // outstanding column patches materialize into the rewrite
@@ -225,7 +235,14 @@ object RowOps {
         "partial compaction with outstanding column patches: run compact()")
       val merged = recordLevelExpire(MergeEngines.merge(
         t.readEntries(vEntries, withInternal = true, dv), cfg, t.dataSchema))
-      val adds = t.writeFiles(merged, preMerged = true, level = 1)
+      // postpone: victims are real buckets — keep each partition's layout
+      val (pBucketOv, pTbByPt) =
+        if (t.isPostpone) {
+          val counts = t.knownBucketCounts(all)
+          (Some(t.postponeRouteExpr(counts, t.postponeBuckets)), counts)
+        } else (None, Map.empty[String, Int])
+      val adds = t.writeFiles(merged, preMerged = true, level = 1,
+        bucketOverride = pBucketOv, totalBucketsByPt = pTbByPt)
       // DV index: drop vectors of rewritten files, keep the rest
       val victimPaths = vEntries.map(_.path).toSet
       val remaining = t.sm.latestSnapshot.flatMap(_.dvIndex)

@@ -61,7 +61,40 @@ class GraftTable private (
             val i = s.lastIndexOf(':')
             (s.take(i).trim, s.drop(i + 1).trim)
           }
+    } ++ mapShredKeySpecs
+
+  /** MAP shredding: `fields.<col>.shred-keys = k1,k2` on a MAP<STRING, V>
+    * column materializes each declared key's value as a typed physical
+    * column (same [[GraftTable.shredColName]] scheme and stats as variant
+    * shredding) — `SELECT attrs['k1']` then reads ONLY that sub-column and
+    * filters on it file-skip (capability of paimon shared-shredding MAP
+    * storage + PushDownMapSelectedKeys.scala:36, re-expressed as declared
+    * hot-key side columns). Spec value type = the map's value type. */
+  private def mapShredKeySpecs: Map[String, Seq[(String, String)]] =
+    config.options.collect {
+      case (k, v) if k.startsWith("fields.") && k.endsWith(".shred-keys") =>
+        val c = k.stripPrefix("fields.").stripSuffix(".shred-keys")
+        val vt = dataSchema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(MapType(StringType, valueType, _)) => valueType.sql
+          case Some(other) => throw new IllegalArgumentException(
+            s"fields.$c.shred-keys requires MAP<STRING, ...>, got ${other.sql}")
+          case None => throw new IllegalArgumentException(
+            s"fields.$c.shred-keys: no such column $c")
+        }
+        c -> v.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(key => (key, vt))
     }
+
+  /** Declared map shred keys per MAP column:
+    * column → (value type, key → serving physical shred column). */
+  private[graft] def mapShredSpecs: Map[String, (DataType, Map[String, String])] =
+    shredSpecs.toSeq.flatMap { case (c, specs) =>
+      dataSchema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(MapType(StringType, vt, _)) =>
+          Some(c -> (vt, specs.zipWithIndex.map { case ((k, _), i) =>
+            k -> GraftTable.shredColName(c, i) }.toMap))
+        case _ => None
+      }
+    }.toMap
 
   private[core] def shredFields: Seq[StructField] =
     shredSpecs.toSeq.sortBy(_._1).flatMap { case (c, specs) =>
@@ -218,6 +251,210 @@ class GraftTable private (
   private[graft] def isPostpone: Boolean = isPk && config.numBuckets == -2
   private[core] def postponeBuckets: Int =
     config.option("postpone.default-bucket-num", "4").toInt
+
+  // ------------------------------------------------------------------
+  // POSTPONE FIXED-BUCKET BATCH WRITE (the reference's DEFAULT flow)
+  // ------------------------------------------------------------------
+
+  /** `postpone.batch-write-fixed-bucket` (default true, reference
+    * CoreOptions POSTPONE_BATCH_WRITE_FIXED_BUCKET +
+    * docs/primary-key-table/data-distribution.md:73-105): batch writes to a
+    * postpone table stage to bucket -2, infer per-partition bucket counts
+    * from the STAGED metadata, route to real buckets and commit — every
+    * batch is immediately visible. `false` keeps the legacy flow: staging
+    * commits invisibly and only `CALL compact` makes it readable. */
+  private[graft] def postponeFixedEnabled: Boolean =
+    isPostpone &&
+      config.option("postpone.batch-write-fixed-bucket", "true") == "true"
+
+  /** Explicitly configured `postpone.default-bucket-num` (no default in the
+    * reference — [[postponeBuckets]]' "4" is this repo's legacy-flow
+    * fallback only and must NOT count as "configured" here). */
+  private def configuredPostponeDefault: Option[Int] =
+    config.options.get("postpone.default-bucket-num").map(_.toInt)
+
+  private def postponeTargetRows: Option[Long] =
+    config.options.get("postpone.target-row-num-per-bucket").map(_.toLong)
+  private def postponeTargetBytes: Long =
+    graft.pipeline.Blob.parseMemorySize(
+      config.option("postpone.target-size-per-bucket", "1gb"))
+
+  private def ceilDiv(v: Long, d: Long): Long = if (v <= 0) 0L else (v - 1) / d + 1
+  private def roundUpPow2(v: Long, cap: Int): Int = {
+    val c = math.min(v, cap.toLong).toInt
+    if (c <= 1) 1
+    else math.min(java.lang.Integer.highestOneBit(c - 1) << 1, cap)
+  }
+
+  /** Bucket-count decision for ONE partition from an exactly-measured
+    * staged batch — mirrors the reference's
+    * PostponeUtils.decideFixedBucketNum (paimon-core/.../table/
+    * PostponeUtils.java:284). Returns (targetBucketNum, requiresRescale).
+    * A partition without real buckets uses a configured default EXACTLY;
+    * otherwise the requirement comes from `postpone.target-row-num-per-
+    * bucket` (precedence) or `postpone.target-size-per-bucket` (default
+    * 1 GB), is at least 1, rounds up to a power of two and caps at
+    * `postpone.batch-write-fixed-bucket.max-parallelism`. An existing
+    * layout is kept unless the UNCAPPED requirement exceeds it by
+    * `rescale-load-factor` (default 32) AND the capped suggestion is
+    * actually larger. */
+  private[graft] def decideFixedBucketNum(stagedRows: Long, stagedBytes: Long,
+      existing: Option[Int]): (Int, Boolean) = {
+    if (existing.isEmpty && configuredPostponeDefault.isDefined)
+      return (configuredPostponeDefault.get, false)
+    val maxN = math.max(1, config.option(
+      "postpone.batch-write-fixed-bucket.max-parallelism", "2048").toInt)
+    val loadFactor = math.max(1, config.option(
+      "postpone.batch-write-fixed-bucket.rescale-load-factor", "32").toInt)
+    val required = math.max(1L, postponeTargetRows match {
+      case Some(t) => ceilDiv(stagedRows, t)
+      case None => ceilDiv(stagedBytes, postponeTargetBytes)
+    })
+    val suggested = roundUpPow2(required, maxN)
+    existing match {
+      case None => (suggested, false)
+      case Some(n) =>
+        val rescale = required > n.toLong * loadFactor && suggested > n
+        (if (rescale) suggested else n, rescale)
+    }
+  }
+
+  /** PT-hash → real bucket count for partitions holding real buckets —
+    * durable via ManifestEntry.totalBuckets (cf. reference
+    * PostponeUtils.getKnownNumBuckets reading SimpleFileEntry
+    * .totalBuckets). Pre-field files fall back to the legacy table-wide
+    * routing count (they were routed with it). */
+  private[core] def knownBucketCounts(live: Seq[ManifestEntry]): Map[String, Int] =
+    live.filter(_.bucket >= 0).groupBy(e => GraftTable.ptOfPath(e.path))
+      .map { case (pt, es) =>
+        val stamped = es.map(_.totalBuckets).filter(_ > 0)
+        pt -> (if (stamped.nonEmpty) stamped.max
+               else math.max(es.map(_.bucket).max + 1, postponeBuckets))
+      }
+
+  /** Real-bucket routing for postpone rows with a PER-PARTITION modulus
+    * (different partitions may carry different bucket counts). Row-local
+    * expression: map-literal lookup on the PT hash, no join, no shuffle
+    * beyond the writer's own routing repartition. */
+  private[core] def postponeRouteExpr(countsByPt: Map[String, Int],
+                                      default: Int): Column = {
+    val routeCols = fixedBucketKeys.getOrElse(pks).map(col)
+    val modulus =
+      if (countsByPt.isEmpty) lit(default.toLong)
+      else coalesce(element_at(typedLit(countsByPt), col(PT)), lit(default))
+        .cast(LongType)
+    pmod(xxhash64(routeCols.toIndexedSeq: _*), modulus).cast(IntegerType)
+  }
+
+  /** Legacy-compaction bucket resolution (reference data-distribution.md
+    * `batch-write-fixed-bucket=false` paragraph): partitions with real
+    * buckets keep their number; first-compacted partitions use a configured
+    * `postpone.default-bucket-num` exactly, else estimate from the staged
+    * files' rows/size (no power-of-two rounding in the legacy path). */
+  private[core] def postponeCompactCounts(live: Seq[ManifestEntry]): Map[String, Int] = {
+    val known = knownBucketCounts(live)
+    val staged = live.filter(_.bucket == -2).groupBy(e => GraftTable.ptOfPath(e.path))
+    live.groupBy(e => GraftTable.ptOfPath(e.path)).keySet.map { pt =>
+      pt -> known.getOrElse(pt, configuredPostponeDefault.getOrElse {
+        val es = staged.getOrElse(pt, Nil)
+        val n = postponeTargetRows match {
+          case Some(t) => ceilDiv(es.map(_.rowCount).sum, t)
+          case None => ceilDiv(es.map(_.fileSize).sum, postponeTargetBytes)
+        }
+        math.max(1L, n).toInt
+      })
+    }.toMap
+  }
+
+  /** The reference's DEFAULT postpone batch write (data-distribution
+    * .md:73-105, PaimonSparkWriter.scala:89): (1) stage the batch to
+    * UNCOMMITTED bucket -2 files; (2) derive each touched partition's row
+    * count + file size from the staged metadata alone (no input re-scan,
+    * no caching); (3) decide per-partition real bucket counts; (4) rescale
+    * any partition whose layout must grow as a SEPARATE overwrite commit
+    * (real buckets only — previously committed -2 staging is never read,
+    * rewritten or deleted here); (5) route the staged records to real
+    * buckets and return the ADD entries — the caller's commit makes the
+    * batch visible. Staged files stay uncommitted (orphan-swept later).
+    * The staged envelope (SEQ/COMMIT assigned at staging) rides through
+    * routing, so merge order matches a direct write. */
+  private def postponeFixedAdds(df: DataFrame,
+                                forOverwrite: Boolean = false): Seq[ManifestEntry] = {
+    val liveReal = allLiveEntries().filter(_.bucket >= 0)
+    // direct path (reference PaimonSparkWriter.scala:133): a configured
+    // default is used EXACTLY for overwrites or when no real buckets exist
+    // anywhere yet — skip the staging pass entirely
+    if (configuredPostponeDefault.isDefined && (forOverwrite || liveReal.isEmpty)) {
+      val n = configuredPostponeDefault.get
+      return writeFiles(df, bucketOverride = Some(postponeRouteExpr(Map.empty, n)))
+        .map(e => if (e.bucket >= 0) e.copy(totalBuckets = n) else e)
+    }
+    val staged = writeFiles(df)
+    if (staged.isEmpty) return Nil
+    val stagedByPt = staged.groupBy(e => GraftTable.ptOfPath(e.path))
+    val known = if (forOverwrite) Map.empty[String, Int]
+                else knownBucketCounts(liveReal)
+    val decisions = stagedByPt.map { case (pt, es) =>
+      pt -> decideFixedBucketNum(es.map(_.rowCount).sum,
+        es.map(_.fileSize).sum, known.get(pt))
+    }
+    val rescaleCounts = decisions.collect { case (pt, (n, true)) => pt -> n }
+    if (rescaleCounts.nonEmpty && !forOverwrite)
+      rescalePostponePartitions(rescaleCounts)
+    val counts = decisions.map { case (pt, (n, _)) => pt -> n }
+    val routed = readEntries(staged, withInternal = true)
+    writeFiles(routed, preMerged = true,
+      bucketOverride = Some(postponeRouteExpr(counts, postponeBuckets)),
+      totalBucketsByPt = counts)
+  }
+
+  /** Rescale: rewrite the REAL buckets of the given partitions to their new
+    * counts as one separate overwrite commit (merging while rewriting —
+    * it is a full per-partition rewrite). Deletion vectors of rewritten
+    * files materialize; vectors on untouched files carry forward. */
+  private def rescalePostponePartitions(newCounts: Map[String, Int]): Unit = {
+    val pts = newCounts.keySet
+    val victims = allLiveEntries().filter(e =>
+      e.bucket >= 0 && pts.contains(GraftTable.ptOfPath(e.path)))
+    if (victims.isEmpty) return
+    val dv = dvFor(None)
+    val merged = MergeEngines.merge(
+      readEntries(victims, withInternal = true, dv), config, dataSchema)
+    val adds = writeFiles(merged, preMerged = true, level = 1,
+      bucketOverride = Some(postponeRouteExpr(newCounts, postponeBuckets)),
+      totalBucketsByPt = newCounts)
+    val victimPaths = victims.map(_.path).toSet
+    val remaining = sm.latestSnapshot.flatMap(_.dvIndex)
+      .map(n => sm.readDvIndex(n).filterNot { case (rel, _) =>
+        victimPaths.contains(rel) })
+      .getOrElse(Map.empty)
+    val dvAction: Option[Option[String]] =
+      Some(if (remaining.isEmpty) None else Some(sm.writeDvIndex(remaining)))
+    sm.commit(victims.map(_.copy(kind = 1)) ++ adds, "OVERWRITE",
+      s"rescale-${UUID.randomUUID().toString.take(8)}", schema.id,
+      dvAction = dvAction)
+  }
+
+  /** Committed postpone staging entries (bucket -2) visible to a batch read
+    * under `postpone.merge-on-read=true` (reference CoreOptions
+    * POSTPONE_MERGE_ON_READ, default false; PostponeMergeOnReadExec) —
+    * merged with real buckets instead of waiting for compaction. Pruned by
+    * the same merge-safe stats test as planned entries. */
+  private[graft] def stagedMorEntries(snapshotId: Option[Long],
+                                      filter: Option[Column]): Seq[ManifestEntry] = {
+    if (!isPostpone ||
+        config.option("postpone.merge-on-read", "false") != "true") return Nil
+    val snap = snapshotId.map(sm.readSnapshot).orElse(sm.latestSnapshot)
+      .getOrElse(return Nil)
+    val staged = sm.liveEntries(snap).filter(_.bucket == -2)
+    if (staged.isEmpty) return Nil
+    val fs = fileSchema
+    filter.flatMap(c => pruneExpr(fs, c)) match {
+      case Some(expr) =>
+        staged.filter(e => StatsPrune.mightMatch(expr, fs, e.stats, e.rowCount))
+      case None => staged
+    }
+  }
 
   /** Hash-bucket routing (cf. paimon DefaultBucketFunction.java:31 — ours is
     * xxhash64-based; stability matters only within this format).
@@ -415,7 +652,13 @@ class GraftTable private (
 
   def writeFiles(dfIn: DataFrame, preMerged: Boolean = false,
                  commitSeqOverride: Option[Long] = None,
-                 level: Int = 0): Seq[ManifestEntry] = {
+                 level: Int = 0,
+                 // postpone fixed-bucket routing: a caller-supplied bucket
+                 // expression (per-partition modulus) replaces bucketExpr
+                 bucketOverride: Option[Column] = None,
+                 // PT-hash → bucket count the override routed with; stamps
+                 // ManifestEntry.totalBuckets on the produced entries
+                 totalBucketsByPt: Map[String, Int] = Map.empty): Seq[ManifestEntry] = {
     val commitSeq = commitSeqOverride.getOrElse(nextCommitSeq)
     var df =
       if (preMerged) {
@@ -431,8 +674,12 @@ class GraftTable private (
         // (dedup-family merge keeps whole rows, so a winner's extractions
         // stay consistent with its variant binary)
         shredSpecs.toSeq.sortBy(_._1).foreach { case (c, specs) =>
+          val isMapShred = dataSchema.fields.find(_.name == c)
+            .exists(_.dataType.isInstanceOf[MapType])
           specs.zipWithIndex.foreach { case ((p, tp), i) =>
-            d = d.withColumn(shredColName(c, i), expr(s"variant_get(`$c`, '$p', '$tp')"))
+            d = d.withColumn(shredColName(c, i),
+              if (isMapShred) element_at(col(s"`$c`"), lit(p))
+              else expr(s"variant_get(`$c`, '$p', '$tp')"))
           }
         }
         if (isRowTracking && !d.columns.contains(ROW_ID))
@@ -523,8 +770,9 @@ class GraftTable private (
     val partCols = config.partitionKeys
     df = df.withColumn(PT, ptExpr)
     df = if (isDynamicBucket) assignDynamicBuckets(df)
-         else df.withColumn(BUCKET, bucketExpr(forCompact = preMerged))
-    if (isPk && !(isPostpone && !preMerged)) {
+         else df.withColumn(BUCKET,
+           bucketOverride.getOrElse(bucketExpr(forCompact = preMerged)))
+    if (isPk && (!isPostpone || preMerged || bucketOverride.isDefined)) {
       val routeCols = partCols.map(col) :+ col(BUCKET)
       // pk-clustering-override: physical order = clustering columns, so
       // scans filtering on them prune by file stats; PK uniqueness is
@@ -566,7 +814,21 @@ class GraftTable private (
     // per-file secondary indexes (bloom/bitmap/bsi) for the new files —
     // a second distributed pass, payloads written straight from executors
     FileIndexes.build(this, stagingAbs)
-    entries
+    // stamp the routing layout each real-bucket file was written under
+    // (ManifestEntry.totalBuckets): explicit per-partition counts from a
+    // postpone fixed-bucket route, else the table-wide fixed layout
+    entries.map { e =>
+      val tb =
+        if (e.bucket < 0) 0
+        else totalBucketsByPt.get(GraftTable.ptOfPath(e.path)) match {
+          case Some(n) => n
+          case None =>
+            if (isPostpone) postponeBuckets // legacy compact routing count
+            else if (fixedBucketKeys.isDefined) config.numBuckets
+            else 0
+        }
+      if (tb == e.totalBuckets) e else e.copy(totalBuckets = tb)
+    }
   }
 
   /** `metadata.stats-mode` (paimon CoreOptions.METADATA_STATS_MODE, default
@@ -734,7 +996,10 @@ class GraftTable private (
             identifier: Option[String] = None): SnapshotMeta = {
     mergeSchemaForWrite(df)
     if (isCrossPartition) return writeCrossPartition(df, watermark)
-    val adds = writeFiles(df)
+    // postpone default flow: stage → infer per-partition buckets → route →
+    // commit, immediately visible (rescale, if needed, committed separately
+    // inside postponeFixedAdds before this append)
+    val adds = if (postponeFixedEnabled) postponeFixedAdds(df) else writeFiles(df)
     val clFiles =
       if (isPk && config.option("changelog-producer", "none") == "lookup")
         produceChangelog(adds)
@@ -937,7 +1202,10 @@ class GraftTable private (
                 staticPartition: Map[String, String] = Map.empty,
                 identifier: Option[String] = None): SnapshotMeta = {
     mergeSchemaForWrite(df)
-    val adds = writeFiles(df)
+    // postpone fixed-bucket overwrite: a configured default-bucket-num is
+    // used EXACTLY (no staging, no rescale); otherwise stage + infer
+    val adds = if (postponeFixedEnabled) postponeFixedAdds(df, forOverwrite = true)
+               else writeFiles(df)
     val victims = sm.latestSnapshot match {
       case None => Nil
       case Some(snap) =>
@@ -1497,7 +1765,11 @@ class GraftTable private (
       case Some(c) => entries0.filter(entryCreationTime(_) >= c)
       case None => entries0
     }
-    if (entries.isEmpty) return filter.foldLeft(emptyDf)((d, c) => d.filter(c))
+    // postpone.merge-on-read: committed -2 staging joins the merge set
+    // instead of waiting for compaction (reference POSTPONE_MERGE_ON_READ)
+    val stagedMor = if (isPk) stagedMorEntries(snapshotId, filter) else Nil
+    if (entries.isEmpty && stagedMor.isEmpty)
+      return filter.foldLeft(emptyDf)((d, c) => d.filter(c))
     val dv = dvFor(snapshotId)
     val out =
       if (!isPk)
@@ -1508,7 +1780,11 @@ class GraftTable private (
         // output (possibly several size-rolled, key-disjoint files) or a
         // single dedup level-0 file. partial-update/aggregation level-0
         // files may hold several versions of a key, so they must merge.
-        val (rawB, mergeB) = byBucket.partition { case (_, es) => rawBucket(es) }
+        // A partition with visible staging can't serve ANY bucket raw: a
+        // staged version of a key must merge against its real-bucket rows.
+        val stagedParts = stagedMor.map(_.partition).toSet
+        val (rawB, mergeB) = byBucket.partition { case ((p, _), es) =>
+          rawBucket(es) && !stagedParts.contains(p) }
         // merge work needed + merge-in-scan eligible → route THIS read
         // through the DSv2 connector (GraftMorScan): per-bucket in-scan
         // merge, zero exchanges, instead of the relational Window/max_by
@@ -1518,7 +1794,7 @@ class GraftTable private (
         // subset, so its entry set is a superset — the uniform-schema
         // check must hold for all live entries or the connector could
         // bounce back here (V1 fallback) and loop.
-        if (mergeB.nonEmpty && sm.branch.isEmpty &&
+        if (stagedMor.isEmpty && mergeB.nonEmpty && sm.branch.isEmpty &&
             morPlanEntries(snapshotId, None).isDefined) {
           var r = spark.read.format("graft")
           snapshotId.foreach(id => r = r.option("scan.snapshot-id", id.toString))
@@ -1535,7 +1811,7 @@ class GraftTable private (
         // where post-compaction value-filter file skipping happens for PK
         // tables (planFiles itself only pruned on merge-safe columns)
         val rawEntries = fullPrune(rawB.values.flatten.toSeq, filter)
-        val mergeEntries = mergeB.values.flatten.toSeq
+        val mergeEntries = mergeB.values.flatten.toSeq ++ stagedMor
         // version-pileup estimate: rows per bucket vs the bucket's largest
         // file (a lower bound on distinct keys). High ratio → hash-agg merge
         // (map-side duplicate collapse); low ratio → sort window.
@@ -1623,6 +1899,8 @@ class GraftTable private (
       return None
     if (fileFormat != "parquet") return None
     if (isRowTracking && patchesFor(snapshotId).nonEmpty) return None
+    // visible postpone staging (-2) needs the V1 merge plan
+    if (stagedMorEntries(snapshotId, None).nonEmpty) return None
     if (sm.branch.isEmpty && config.options.contains("scan.fallback-branch"))
       return None
     val entries = planFiles(snapshotId, filter)
@@ -1638,6 +1916,8 @@ class GraftTable private (
     if (!allowDv && dvFor(snapshotId).nonEmpty) return None
     // outstanding column patches need the patch-join plan
     if (isRowTracking && patchesFor(snapshotId).nonEmpty) return None
+    // visible postpone staging (-2) must merge → never raw-servable
+    if (stagedMorEntries(snapshotId, None).nonEmpty) return None
     // fallback-branch reads compose two tables — DataFrame plan only
     if (sm.branch.isEmpty && config.options.contains("scan.fallback-branch"))
       return None
@@ -2327,6 +2607,14 @@ object GraftTable {
   val KIND = "__kind"
   val PT = "__pt"
   val BUCKET = "__bucket"
+
+  /** PT-hash of the partition directory a data-file path sits under —
+    * the per-partition key for postpone bucket-count bookkeeping. */
+  private val PtDirRe = ("(?:^|/)" +
+    java.util.regex.Pattern.quote(PT) + "=([^/]+)").r
+  private[core] def ptOfPath(path: String): String =
+    PtDirRe.findFirstMatchIn(path).map(_.group(1)).getOrElse("-")
+
   val KIND_INSERT = 0
   val KIND_UPDATE_AFTER = 2
   val KIND_DELETE = 3

@@ -65,6 +65,16 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
     * tests assert on it. */
   def plannedEntryCount: Int = entries.size
 
+  private[dsv2] def graftTable: GraftTable = t
+
+  /** Swap for a scan serving the given MAP columns as structs of their
+    * declared shredded key sub-columns ([[GraftMapShredRule]]): the parquet
+    * read decodes ONLY those typed side columns, never the map. */
+  private[dsv2] def withMapShred(
+      mapCols: Map[String, Seq[(StructField, String)]]): GraftMapShredBatchScan =
+    new GraftMapShredBatchScan(t, entries, pushed, readSchema(), mapCols,
+      readOptions, dv)
+
   /** Set by [[DisableUnnecessaryGraftBucketedScan]]: stop reporting the
     * key-grouped layout and bin-pack files ACROSS key groups. */
   private var bucketedDisabled = false
@@ -607,6 +617,81 @@ class GraftVariantBatchScan(t: GraftTable, entries: Seq[ManifestEntry],
   override def description(): String =
     s"GraftVariantBatchScan(${t.location}, files=${entries.size}, " +
       s"pushedExtractions=${variantCols.map { case (c, fs) =>
+        c + ":" + fs.map(_._2).mkString("[", ",", "]") }.mkString(",")}" +
+      (if (shredPruned) ", shredPruned=true" else "") + ")"
+}
+
+/** Native columnar scan for a literal-key MAP access rewritten by
+  * [[GraftMapShredRule]] (capability of the reference's shared-shredding
+  * MAP storage + PushDownMapSelectedKeys.scala:36): each selected MAP
+  * column is served as a struct of its declared shredded key sub-columns —
+  * the parquet read decodes ONLY those typed side columns, the map value
+  * bytes are never touched. Unlike the variant scan this one starts from
+  * the already-PRUNED base read schema (the rule runs post-pushdown).
+  * Implements [[GraftVariantPrunable]] so filters on `attrs['k']`
+  * additionally file-skip via the side columns' min/max stats. */
+class GraftMapShredBatchScan(t: GraftTable, entries: Seq[ManifestEntry],
+                             pushedF: Array[Filter],
+                             baseSchema: StructType,
+                             mapCols: Map[String, Seq[(StructField, String)]],
+                             readOpts: Map[String, String],
+                             dvMap: Map[String, Array[Byte]],
+                             shredPruned: Boolean = false)
+    extends GraftBatchScan(t, entries, pushedF, Some(baseSchema), readOpts, dvMap)
+    with GraftVariantPrunable {
+
+  override def variantColsMap: Map[String, Seq[(StructField, String)]] = mapCols
+
+  override protected def freshCopy(es: Seq[ManifestEntry]): GraftBatchScan =
+    new GraftMapShredBatchScan(t, es, pushedF, baseSchema, mapCols, readOpts,
+      dvMap, shredPruned)
+
+  override def withShredPrune(extra: org.apache.spark.sql.Column)
+      : GraftMapShredBatchScan = {
+    if (shredPruned) return this
+    val fs = t.fileSchema
+    val expr = StatsPrune.resolve(t.spark, fs, extra)
+    val kept = entries.filter(e =>
+      StatsPrune.mightMatch(expr, fs, e.stats, e.rowCount))
+    new GraftMapShredBatchScan(t, kept, pushedF, baseSchema, mapCols, readOpts,
+      dvMap, shredPruned = true)
+  }
+
+  private def logicalSchema: StructType =
+    StructType(baseSchema.fields.map { f =>
+      mapCols.get(f.name)
+        .map(fs => f.copy(dataType = StructType(fs.map(_._1))))
+        .getOrElse(f)
+    })
+
+  private def physicalSchema: StructType = {
+    val fields = baseSchema.fields.flatMap { f =>
+      mapCols.get(f.name) match {
+        case Some(fs) => fs.map(_._2).distinct.map { src =>
+          t.fileSchema.fields.find(_.name == src).getOrElse(
+            throw new IllegalStateException(s"missing map shred column $src"))
+        }
+        case None => Seq(f)
+      }
+    }
+    StructType(fields.groupBy(_.name).map(_._2.head).toSeq
+      .sortBy(f => fields.indexWhere(_.name == f.name)))
+  }
+
+  override def readSchema(): StructType = logicalSchema
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val pf = GraftBatchScan.parquetFactory(t, physicalSchema, pushedF)
+    val dvf =
+      if (dvMap.isEmpty) null
+      else GraftBatchScan.parquetFactory(t, physicalSchema, Array.empty)
+    GraftVariantReaderFactory(GraftReaderFactory(pf, dvf),
+      physicalSchema, logicalSchema, mapCols)
+  }
+
+  override def description(): String =
+    s"GraftMapShredBatchScan(${t.location}, files=${entries.size}, " +
+      s"mapKeys=${mapCols.map { case (c, fs) =>
         c + ":" + fs.map(_._2).mkString("[", ",", "]") }.mkString(",")}" +
       (if (shredPruned) ", shredPruned=true" else "") + ")"
 }

@@ -56,7 +56,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val sessionOpt =
       try Some(SparkSession.active) catch { case _: Exception => None }
     sessionOpt.foreach { s =>
-      GraftVariantPrune.register(s)
+      GraftMapShredRule.register(s) // before the prune rule: it swaps in the
+      GraftVariantPrune.register(s) // prunable scan the prune rule extends
       // NOT under spark.graft.* — that prefix is the session read-option
       // injection namespace and would leak into every table's options
       if (s.conf.getOption("graft.internal.blob-fns-registered").isEmpty) {

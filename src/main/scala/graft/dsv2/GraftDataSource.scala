@@ -129,6 +129,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
+    GraftMapShredRule.register(SparkSession.active)
     GraftVariantPrune.register(SparkSession.active)
     val props = properties.asScala.toMap
     missingAtPath(props) match {

@@ -137,12 +137,15 @@ class CrossPartitionSpec extends SparkTestBase {
   }
 
   test("postpone bucket mode: zero-shuffle writes invisible until compaction") {
+    // LEGACY flow (batch-write-fixed-bucket=false): the reference's DEFAULT
+    // immediately-visible fixed-bucket flow is PostponeFixedBucketSpec
     val loc = tmpLoc("postpone")
     val df = spark.range(100).select(col("id").as("k"),
       concat(lit("v"), col("id")).as("s"))
     val t = GraftTable.create(spark, loc, df.schema,
       TableConfig(primaryKeys = Seq("k"), numBuckets = -2,
-        options = Map("postpone.default-bucket-num" -> "3")))
+        options = Map("postpone.default-bucket-num" -> "3",
+          "postpone.batch-write-fixed-bucket" -> "false")))
     t.write(df)
     // staged in bucket -2, not readable yet
     assert(t.sm.liveEntries(t.sm.latestSnapshot.get).forall(_.bucket == -2))
