@@ -1125,6 +1125,18 @@ object Fixtures {
           embedding ARRAY<FLOAT> COMMENT '__VECTOR_FIELD;64; unit embedding',
           label INT)""", "embeddings")
 
+  /** Plain PK embeddings table for the SQL LATERAL vector-search spelling —
+    * unmutated, so the lateral result must equal q_ann_batch's batched-API
+    * answer over the raw parquet. */
+  def embLateral(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "emb_lateral") { loc =>
+      val emb = src(spark, sfDir, "embeddings").select("vec_id", "label", "embedding")
+      val t = GraftTable.createOrReplace(spark, loc, emb.schema,
+        TableConfig(primaryKeys = Seq("vec_id"), numBuckets = 4))
+      t.write(emb)
+      t
+    }
+
   /** PK table over embeddings with a FILE-ALIGNED vector index: the index is
     * built at snapshot 1, then the table advances — an upsert reverses every
     * 10th vector and a DV delete drops every 7th — so searches must

@@ -758,6 +758,19 @@ object SparkEntry {
       Similarity.batchTopK(emb, "vec_id", "embedding", qs, 5)
         .select(col("qid"), col("vec_id"), round(col("__score"), 4).as("sim"))
     }),
+    // SQL LATERAL spelling of the batched per-row ANN: the correlated
+    // graft_vector_search collapses into ONE batched corpus pass
+    // (GraftLateralSearch) — same expected rows as q_ann_batch
+    "q_ann_lateral" -> ((s, d) => {
+      val tbl = Fixtures.embLateral(s, d)
+      t(s, d, "embeddings").filter(col("vec_id").isin(1L, 2L, 3L))
+        .select("vec_id", "embedding").createOrReplaceTempView("ann_lateral_q")
+      s.sql(
+        s"""SELECT q.vec_id AS qid, r.vec_id, round(r.score, 4) AS sim
+           |FROM ann_lateral_q q,
+           |LATERAL (SELECT * FROM graft_vector_search('${tbl.location}',
+           |         'embedding', q.embedding, 5)) r""".stripMargin)
+    }),
     "q_semantic_dedup" -> ((s, d) => {
       // SemDeDup: planted exact duplicates (id+1e6) collapse to their
       // min-id representative; organic pairs stay below the 0.9999 bar
@@ -2528,6 +2541,16 @@ object SparkEntry {
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2 FROM embeddings""".stripMargin,
     "q_semantic_dedup" -> "SELECT vec_id FROM embeddings",
     "q_ann_batch" ->
+      """SELECT qid, vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (1,2,3)) q)
+        |WHERE rn <= 5""".stripMargin,
+    "q_ann_lateral" ->
       """SELECT qid, vec_id, round(sim, 4) AS sim FROM (
         |  SELECT q.vec_id AS qid, e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,

@@ -49,6 +49,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // buckets instead of pinning one task per bucket)
     ext.injectQueryStagePrepRule(_ => DisableUnnecessaryGraftBucketedScan)
     GraftTableFunctions.all.foreach(ext.injectTableFunction)
+    // SQL LATERAL vector search: collapse LateralJoin over a correlated
+    // graft_vector_search into ONE batched top-k corpus pass (the
+    // reference's resolveLateralVectorSearch surface, batched shape)
+    ext.injectResolutionRule(session => GraftLateralVectorSearchRule(session))
+    ext.injectPlannerStrategy(_ => GraftLateralStrategy)
     // scalar fn: graft_bucket(numBuckets, key...) — the write path's exact
     // bucket routing, exposed for debugging/repartitioning (paimon
     // `fixed_bucket` SQL function, docs/spark/sql-functions.md)

@@ -386,6 +386,28 @@ object GraftTableFunctions {
     // (k × factor) on compressed (RQ) routes — uncompressed IVF/PK routes
     // already score candidates exactly, so the factor adds no work there.
     fd("graft_vector_search") { args =>
+      // LATERAL (correlated) form — reference shape (b) with a NON-literal
+      // query vector (`q.embedding` from the outer row): return a
+      // placeholder leaf; GraftLateralVectorSearchRule collapses the
+      // enclosing LateralJoin into one batched search (GraftLateralSearch)
+      def litStr(e: Expression): Option[String] = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: UTF8String, org.apache.spark.sql.types.StringType) => Some(s.toString)
+        case _ => None
+      }
+      def litInt(e: Expression): Option[Int] = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v.isInstanceOf[java.lang.Number] => Some(v.toString.toInt)
+        case _ => None
+      }
+      val dynShape = args.length == 4 && litStr(args(0)).isDefined &&
+        litStr(args(1)).isDefined && litInt(args(3)).isDefined &&
+        !(args(2).resolved && args(2).foldable)
+      if (dynShape) {
+        val t0 = resolveTable(litStr(args(0)).get)
+        GraftDynamicVectorSearch(t0.location, litStr(args(1)).get,
+          args(2), litInt(args(3)).get, GraftLateralSearch.outputFor(t0))
+      } else {
       val refShape = args.length >= 4 && args(1).dataType == StringType
       require(args.length >= 4 && args.length <= (if (refShape) 6 else 7),
         "graft_vector_search(ivfOrPkTable, k, nprobe, queryVec" +
@@ -462,6 +484,7 @@ object GraftTableFunctions {
             colOpt.orElse(Indexes.ivfEmbedCol(spark, t.location))
               .getOrElse("embedding"))
       })
+      }
     },
     // hybrid search — two spellings:
     //  (a) the reference's MULTI-ROUTE shape (hybrid-search.mdx:61):
