@@ -350,7 +350,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // catalog.db.table pin outranks the legacy spelling outranks wildcards)
     // a first segment naming a DIFFERENT registered catalog scopes the key
     // to that catalog's tables — it must be dropped here, never applied as
-    // a global option key to THIS catalog's tables
+    // a global option key to THIS catalog's tables. UNLESS this catalog
+    // also has a DATABASE of that name (ADVICE r11): then the key is the
+    // legacy db.table.option spelling for that local database and must
+    // apply — the local database wins the reserved-name collision, and a
+    // misparse can never leak (the legacy branch only fires on an exact
+    // db.table match, never as a global key).
     def namesOtherCatalog(seg: String): Boolean =
       seg != catalogName && seg != "*" &&
         (seg == "spark_catalog" ||
@@ -358,7 +363,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val resolved = graftKeys.flatMap { case (k, v) =>
       val parts = k.split('.')
       def matches(pat: String, actual: String) = pat == "*" || pat == actual
-      if (parts.length >= 3 && namesOtherCatalog(parts(0))) {
+      if (parts.length >= 3 && namesOtherCatalog(parts(0)) &&
+          !namespaceExists(Array(parts(0)))) {
         None // scoped to another catalog entirely
       } else if (parts.length >= 4 &&
           (parts(0) == "*" || parts(0) == catalogName) &&

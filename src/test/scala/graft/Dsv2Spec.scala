@@ -1587,6 +1587,30 @@ class Dsv2Spec extends SparkTestBase {
       spark.conf.unset("spark.sql.catalog.cat2")
       spark.conf.unset("spark.sql.catalog.cat2.warehouse")
     }
+    // ADVICE r11: a legacy db.table-scoped key whose DATABASE is named like
+    // a registered catalog must still apply — only the full 4-part form
+    // carries a catalog qualifier, so the 3-part spelling is unambiguous
+    spark.conf.set("spark.sql.catalog.cat3", "graft.dsv2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cat3.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat3")
+      spark.sql("""CREATE TABLE graft.cat3.dbclash (k BIGINT)
+                   TBLPROPERTIES ('primary-key'='k', 'bucket'='1')""")
+      spark.sql("INSERT INTO graft.cat3.dbclash VALUES (1)")
+      spark.sql("INSERT INTO graft.cat3.dbclash VALUES (2)")
+      def clashCnt = spark.sql("SELECT count(*) FROM graft.cat3.dbclash")
+        .head().getLong(0)
+      assert(clashCnt == 2)
+      try {
+        spark.conf.set("spark.graft.cat3.dbclash.scan.snapshot-id", "1")
+        assert(clashCnt == 1,
+          "db named like a catalog must still receive its db.table-scoped key")
+      } finally spark.conf.unset("spark.graft.cat3.dbclash.scan.snapshot-id")
+      spark.sql("DROP TABLE graft.cat3.dbclash")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cat3")
+      spark.conf.unset("spark.sql.catalog.cat3.warehouse")
+    }
   }
 
   test("generic session catalog: spark_catalog serves graft AND parquet tables") {
