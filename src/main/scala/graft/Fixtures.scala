@@ -497,6 +497,25 @@ object Fixtures {
       t2
     }
 
+  /** Persisted minhash signature index over the q_dedup_minhash corpus
+    * (documents + planted near-dups): built once, then a no-change refresh
+    * must compute ZERO signatures — the O(delta) maintenance gate. Repeat
+    * near-dup runs read signatures here instead of rescanning text. */
+  def minhashIndex(spark: SparkSession, sfDir: String): GraftTable =
+    fixture(spark, sfDir, "minhash_idx") { loc =>
+      val docs = src(spark, sfDir, "documents").select("doc_id", "text")
+      val d2 = docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" xq yq zq")).as("text")))
+      val idx = graft.pipeline.Dedup.createMinhashIndex(spark, loc, "doc_id",
+        shingleN = 3, sigLen = 8)
+      val first = graft.pipeline.Dedup.refreshMinhashIndex(idx, d2, "doc_id", "text")
+      require(first > 0, "initial refresh must compute signatures")
+      val second = graft.pipeline.Dedup.refreshMinhashIndex(idx, d2, "doc_id", "text")
+      require(second == 0L,
+        s"O(delta) gate: no-change refresh computed $second signatures")
+      idx
+    }
+
   /** MAP metadata column with declared shredded hot keys
     * (`fields.attrs.shred-keys`): literal-key access reads only the typed
     * side columns (GraftMapShredRule), never the map bytes. */

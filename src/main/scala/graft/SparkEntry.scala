@@ -1330,6 +1330,12 @@ object SparkEntry {
       graft.pipeline.Dedup.minhashLshPairs(d2, "doc_id", "text",
         shingleN = 3, sigLen = 8, nBands = 4, threshold = 0.8)
     }),
+    // near-dup pairs from the PERSISTED signature index: no text scan, no
+    // signature recompute (index maintained O(delta) — see Fixtures gate);
+    // must equal q_dedup_minhash's pairs exactly
+    "q_dedup_minhash_idx" -> ((s, d) =>
+      graft.pipeline.Dedup.minhashPairsFromIndex(
+        Fixtures.minhashIndex(s, d), "doc_id", nBands = 4, threshold = 0.8)),
     "q_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val train = docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -2878,6 +2884,7 @@ object SparkEntry {
          |SELECT doc_id, round(mrr, 6) AS mrr FROM fused
          |ORDER BY round(mrr, 6) DESC, doc_id LIMIT 10""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_minhash_idx" -> minhashOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_simhash" -> simhashOracle,

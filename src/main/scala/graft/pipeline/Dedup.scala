@@ -48,18 +48,14 @@ object Dedup {
    * inherently O(m²) for an m-clique (that IS the requested result);
    * compose [[exactGroups]] upstream when group-level output suffices.
    */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int = 3, sigLen: Int = 8, nBands: Int = 4,
-                      threshold: Double = 0.8,
-                      maxBucketIds: Int = 1024): DataFrame = {
-    require(sigLen % nBands == 0, "sigLen must be divisible by nBands")
-    val rpb = sigLen / nBands
-    // ONE native byte-scan per doc — content fingerprint + shingle hashes +
-    // signature, no token/shingle-string materialization — persisted so the
-    // collapse, the banding and the verify all reuse it. Shingle STRINGS
-    // never leave the map side; the verify joins shuffle 8-byte hash arrays.
-    val perDoc = df
-      .select(col(idCol), md5(col(textCol)).as("__fp"),
+  /** Per-document minhash signature material — content fingerprint,
+    * distinct shingle-hash set, signature, set size — in ONE native
+    * byte-scan per doc (no token/shingle-string materialization). This is
+    * the unit the persisted signature index stores, so repeat near-dup
+    * runs never recompute it ([[refreshMinhashIndex]]). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, sigLen: Int): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("__fp"),
         TextOps.shingleHashesNative(col(textCol), shingleN).as("__hs"))
       .filter(size(col("__hs")) > 0)
       .select(col(idCol), col("__fp"),
@@ -68,7 +64,26 @@ object Dedup {
         // would redo the O(n) set build for every pair a doc appears in
         TextOps.minhashFromHashesNative(col("__hs"), sigLen).as("__sig"))
       .withColumn("__n", size(col("__hsd")))
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, sigLen: Int = 8, nBands: Int = 4,
+                      threshold: Double = 0.8,
+                      maxBucketIds: Int = 1024): DataFrame = {
+    // signature scan persisted so the collapse, the banding and the verify
+    // all reuse it. Shingle STRINGS never leave the map side; the verify
+    // joins shuffle 8-byte hash arrays.
+    val perDoc = minhashSignatures(df, idCol, textCol, shingleN, sigLen)
       .persist()
+    pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds)
+  }
+
+  /** The banding + verify half of [[minhashLshPairs]], over precomputed
+    * signature material (inline scan or the persisted index). */
+  private def pairsFromSignatures(perDoc: DataFrame, idCol: String,
+                                  sigLen: Int, nBands: Int, threshold: Double,
+                                  maxBucketIds: Int): DataFrame = {
+    require(sigLen % nBands == 0, "sigLen must be divisible by nBands")
+    val rpb = sigLen / nBands
     // one representative per fingerprint: same text ⇒ same hashes, so
     // first() is value-deterministic, and the aggregation row holds ONE
     // doc's hash set however large the duplicate group
@@ -125,6 +140,70 @@ object Dedup {
       .select(col("v1"), col("v2"), lit(1.0).as("jac"))
     cross.unionByName(within)
       .select(col("v1"), col("v2"), round(col("jac"), 4).as("jac"))
+  }
+
+  // ---- persisted minhash signature index (O(delta) repeat near-dup) ----
+
+  /** Create the persisted signature index: a PK graft table keyed by the
+    * doc id holding each document's [[minhashSignatures]] material. The
+    * shingle/signature configuration pins into the table options so every
+    * refresh computes comparable signatures. Near-dup runs over the index
+    * ([[minhashPairsFromIndex]]) skip the corpus text scan entirely, and
+    * [[refreshMinhashIndex]] maintains it O(delta) — the same maintenance
+    * posture as the vector/full-text indexes (IndexLifecycle). */
+  def createMinhashIndex(spark: org.apache.spark.sql.SparkSession, loc: String,
+                         idCol: String, shingleN: Int = 3, sigLen: Int = 8,
+                         numBuckets: Int = 8): graft.core.GraftTable = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("fp", StringType),
+      StructField("hsd", ArrayType(LongType)),
+      StructField("sig", ArrayType(LongType)),
+      StructField("n", IntegerType)))
+    graft.core.GraftTable.createOrReplace(spark, loc, schema,
+      graft.core.TableConfig(primaryKeys = Seq(idCol), numBuckets = numBuckets,
+        options = Map("minhash.shingle-n" -> shingleN.toString,
+          "minhash.sig-len" -> sigLen.toString)))
+  }
+
+  /** Refresh the signature index from the current corpus: signatures are
+    * computed ONLY for documents that are new or whose content fingerprint
+    * changed (anti-join on (id, md5)) and upserted through the PK merge.
+    * Returns the number of signatures computed — the O(delta) metrics
+    * gate: a no-change refresh returns 0. Deleted docs keep their stale
+    * entry (same posture as the other indexes: drop/recreate to shrink). */
+  def refreshMinhashIndex(index: graft.core.GraftTable, docs: DataFrame,
+                          idCol: String, textCol: String): Long = {
+    val shingleN = index.config.option("minhash.shingle-n", "3").toInt
+    val sigLen = index.config.option("minhash.sig-len", "8").toInt
+    val existing = index.read().select(col(idCol), col("fp").as("__fp_old"))
+    val delta = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .withColumn("__fp_new", md5(col(textCol)))
+      .join(existing, Seq(idCol), "left")
+      .filter(col("__fp_old").isNull || col("__fp_old") =!= col("__fp_new"))
+      .select(col(idCol), col(textCol))
+    val sigs = minhashSignatures(delta, idCol, textCol, shingleN, sigLen)
+      .select(col(idCol), col("__fp").as("fp"), col("__hsd").as("hsd"),
+        col("__sig").as("sig"), col("__n").as("n"))
+      .persist()
+    val computed = sigs.count()
+    if (computed > 0) index.write(sigs)
+    sigs.unpersist()
+    computed
+  }
+
+  /** Near-dup pairs straight from the persisted index — no text scan, no
+    * shingle/signature recompute; banding + capped bucket expansion +
+    * exact hash-set verify run over the stored material. Same output
+    * contract as [[minhashLshPairs]] over the corpus the index reflects. */
+  def minhashPairsFromIndex(index: graft.core.GraftTable, idCol: String,
+                            nBands: Int = 4, threshold: Double = 0.8,
+                            maxBucketIds: Int = 1024): DataFrame = {
+    val sigLen = index.config.option("minhash.sig-len", "8").toInt
+    val perDoc = index.read().select(col(idCol), col("fp").as("__fp"),
+      col("hsd").as("__hsd"), col("sig").as("__sig"), col("n").as("__n"))
+    pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds)
   }
 
   /** All-pairs n-gram Jaccard within blocks (for modest block sizes; the

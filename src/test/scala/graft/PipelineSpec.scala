@@ -226,6 +226,33 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("persisted minhash signature index: O(delta) refresh, identical pairs") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-mh-idx")
+      .toString + "/idx"
+    val idx = Dedup.createMinhashIndex(spark, loc, "doc_id",
+      shingleN = 3, sigLen = 8)
+    // initial refresh computes one signature per non-empty doc
+    val n0 = Dedup.refreshMinhashIndex(idx, docs, "doc_id", "text")
+    assert(n0 == docs.count(), s"initial refresh computed $n0")
+    // no-change refresh computes ZERO — the O(delta) gate
+    assert(Dedup.refreshMinhashIndex(idx, docs, "doc_id", "text") == 0L)
+    // index pairs == inline pairs, byte-identical
+    val fromIdx = Dedup.minhashPairsFromIndex(idx, "doc_id",
+      nBands = 4, threshold = 0.5).select("v1", "v2", "jac")
+    val inline = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, sigLen = 8, nBands = 4, threshold = 0.5)
+      .select("v1", "v2", "jac")
+    assert(rowsOf(fromIdx) == rowsOf(inline))
+    // appending k new docs computes exactly k signatures; a CHANGED doc
+    // recomputes (fingerprint mismatch) and the upsert replaces its entry
+    val more = Seq((100L, "totally new text about ships and sails and sea"),
+      (1L, "alpha beta gamma delta epsilon zeta CHANGED"))
+      .toDF("doc_id", "text")
+    assert(Dedup.refreshMinhashIndex(idx, more, "doc_id", "text") == 2L)
+    val stored = idx.read().count()
+    assert(stored == docs.count() + 1, s"stored=$stored") // 1L replaced, 100L new
+  }
+
   /** The UNGUARDED pre-r9 minhash pipeline (collect_list of raw doc ids per
     * bucket, no exact-duplicate collapse) — the differential baseline for the
     * mega-cluster guard: on any corpus the guarded path must emit the
