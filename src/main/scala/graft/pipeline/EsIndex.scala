@@ -185,7 +185,8 @@ object EsIndex {
       effNprobe = np
       val hits = Indexes.readProbed(t, model.nearestClusters(q, np),
         model.centroids.length, filter)
-      Similarity.bruteForceTopK(hits, e, q, k, metric, "score")
+      Similarity.bruteForceTopK(hits, e, q, k, metric, "score",
+        tieBreak = Seq(id))
         .select(id.as("id"), col("score"))
     }
 

@@ -43,7 +43,12 @@ object Similarity {
     * `metric`: cosine | dot | l2 (l2 ranks ascending). */
   def bruteForceTopK(df: DataFrame, embedCol: String, query: Seq[Float],
                      k: Int, metric: String = "cosine",
-                     scoreCol: String = "__score"): DataFrame = {
+                     scoreCol: String = "__score",
+                     // deterministic tie order at the k boundary: EXACT
+                     // duplicate vectors tie on score, and without a
+                     // tiebreak the kept row depends on partition order
+                     // (observed as a load-order flake at top-1)
+                     tieBreak: Seq[Column] = Nil): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val e = col(embedCol)
     val (score, asc) = metric match {
@@ -53,7 +58,8 @@ object Similarity {
       case other => throw new IllegalArgumentException(s"unknown metric $other")
     }
     val scored = df.withColumn(scoreCol, score)
-    scored.orderBy(if (asc) col(scoreCol).asc else col(scoreCol).desc).limit(k)
+    scored.orderBy(((if (asc) col(scoreCol).asc else col(scoreCol).desc) +:
+      tieBreak.map(_.asc)): _*).limit(k)
   }
 
   // ------------------------------------------------------------------

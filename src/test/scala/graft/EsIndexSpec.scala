@@ -134,10 +134,14 @@ class EsIndexSpec extends SparkTestBase {
     EsIndex.append(spark, extra, l)
     val hit = EsIndex.search(spark, l, k = 5, terms = Seq("zebra"))
     assert(hit.select("id").as[Long].collect().toSet == Set(10000L, 10001L, 10002L))
-    // vector search still finds an appended row exactly (nprobe = all)
+    // vector search still finds an appended row exactly (nprobe = all).
+    // The appended row shares its embedding with original id 1 (only the
+    // text changed), so the two tie at cosine 1.0 — top-2 must be exactly
+    // that pair, deterministically (bruteForceTopK id tiebreak; the old
+    // top-1 assert flipped with partition order under load)
     val v = extra.filter(col("id") === 10001L).select("emb").head().getSeq[Float](0)
-    val top = EsIndex.search(spark, l, k = 1, vector = Some(v), nprobe = 8)
-    assert(top.select("id").as[Long].head() == 10001L)
+    val top = EsIndex.search(spark, l, k = 2, vector = Some(v), nprobe = 8)
+    assert(top.select("id").as[Long].collect().toSet == Set(1L, 10001L))
   }
 
   test("filtered text search past the df gate plans a NON-broadcast join") {
