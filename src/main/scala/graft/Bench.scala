@@ -18,7 +18,8 @@ object Bench {
     "q1_agg", "q_join_broadcast", "q_window", "q_rollup",
     "q_pk_dedup", "q_mor_read", "q_filter_pushdown", "q_time_travel",
     "q_partition_prune", "q_zorder_scan", "q_topn", "q_agg_pushdown",
-    "q_dedup_exact", "q_dedup_minhash", "q_text_tokens", "q_lang_id",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_idx",
+    "q_text_tokens", "q_lang_id",
     "q_fulltext_bm25", "q_ann_cosine", "q_embed_neardup", "q_blob_bench")
 
   /** Direct-Spark baselines for the engine-backed headline queries: what a
