@@ -380,11 +380,13 @@ class GraftTable private (
     * routing, so merge order matches a direct write. */
   private def postponeFixedAdds(df: DataFrame,
                                 forOverwrite: Boolean = false): Seq[ManifestEntry] = {
-    val liveReal = allLiveEntries().filter(_.bucket >= 0)
     // direct path (reference PaimonSparkWriter.scala:133): a configured
     // default is used EXACTLY for overwrites or when no real buckets exist
-    // anywhere yet — skip the staging pass entirely
-    if (configuredPostponeDefault.isDefined && (forOverwrite || liveReal.isEmpty)) {
+    // anywhere yet — skip the staging pass entirely. The existence check is
+    // a bounded probe (driver fold small tables, executor limit-1 above the
+    // plan threshold), never a full live-set materialization.
+    if (configuredPostponeDefault.isDefined &&
+        (forOverwrite || !anyLiveRealBucket())) {
       val n = configuredPostponeDefault.get
       return writeFiles(df, bucketOverride = Some(postponeRouteExpr(Map.empty, n)))
         .map(e => if (e.bucket >= 0) e.copy(totalBuckets = n) else e)
@@ -392,8 +394,16 @@ class GraftTable private (
     val staged = writeFiles(df)
     if (staged.isEmpty) return Nil
     val stagedByPt = staged.groupBy(e => GraftTable.ptOfPath(e.path))
-    val known = if (forOverwrite) Map.empty[String, Int]
-                else knownBucketCounts(liveReal)
+    // existing layouts of the TOUCHED partitions only — executor-side fold
+    // above the plan threshold (a batch touches its partitions, not the
+    // table's 10^7-file manifest set)
+    val stagedPts = stagedByPt.keySet
+    val known =
+      if (forOverwrite) Map.empty[String, Int]
+      else knownBucketCounts(sm.latestSnapshot.map(snap =>
+        liveEntriesWhere(snap)(e =>
+          e.bucket >= 0 && stagedPts.contains(GraftTable.ptOfPath(e.path))))
+        .getOrElse(Nil))
     val decisions = stagedByPt.map { case (pt, es) =>
       pt -> decideFixedBucketNum(es.map(_.rowCount).sum,
         es.map(_.fileSize).sum, known.get(pt))
@@ -414,8 +424,8 @@ class GraftTable private (
     * files materialize; vectors on untouched files carry forward. */
   private def rescalePostponePartitions(newCounts: Map[String, Int]): Unit = {
     val pts = newCounts.keySet
-    val victims = allLiveEntries().filter(e =>
-      e.bucket >= 0 && pts.contains(GraftTable.ptOfPath(e.path)))
+    val victims = sm.latestSnapshot.map(snap => liveEntriesWhere(snap)(e =>
+      e.bucket >= 0 && pts.contains(GraftTable.ptOfPath(e.path)))).getOrElse(Nil)
     if (victims.isEmpty) return
     val dv = dvFor(None)
     val merged = MergeEngines.merge(
@@ -435,18 +445,28 @@ class GraftTable private (
       dvAction = dvAction)
   }
 
+  /** Bounded existence probe for real-bucket entries: driver fold below
+    * the plan threshold, executor limit-1 above it — never a full live-set
+    * materialization (the fixed-bucket direct-path gate at 10^7 files). */
+  private def anyLiveRealBucket(): Boolean = sm.latestSnapshot.exists { snap =>
+    if (snap.liveFilesLong.exists(_ >= sm.planDfThreshold))
+      !sm.liveEntriesDf(spark, snap).filter(col("bucket") >= 0).limit(1).isEmpty
+    else sm.liveEntries(snap).exists(_.bucket >= 0)
+  }
+
   /** Committed postpone staging entries (bucket -2) visible to a batch read
     * under `postpone.merge-on-read=true` (reference CoreOptions
     * POSTPONE_MERGE_ON_READ, default false; PostponeMergeOnReadExec) —
     * merged with real buckets instead of waiting for compaction. Pruned by
-    * the same merge-safe stats test as planned entries. */
+    * the same merge-safe stats test as planned entries; the staging fold
+    * runs executor-side above the plan threshold. */
   private[graft] def stagedMorEntries(snapshotId: Option[Long],
                                       filter: Option[Column]): Seq[ManifestEntry] = {
     if (!isPostpone ||
         config.option("postpone.merge-on-read", "false") != "true") return Nil
     val snap = snapshotId.map(sm.readSnapshot).orElse(sm.latestSnapshot)
       .getOrElse(return Nil)
-    val staged = sm.liveEntries(snap).filter(_.bucket == -2)
+    val staged = liveEntriesWhere(snap)(_.bucket == -2)
     if (staged.isEmpty) return Nil
     val fs = fileSchema
     filter.flatMap(c => pruneExpr(fs, c)) match {
