@@ -172,6 +172,66 @@ class PostponeFixedBucketSpec extends SparkTestBase {
     assert(f.length == 5 && f.toMap.forall { case (k, v) => v == k + 9000.0 })
   }
 
+  test("fuzz: random fixed-bucket batches agree with a last-write-wins model (3 seeds)") {
+    Seq(11L, 77L, 4242L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val loc = tmpLoc(s"pp-fuzz-$seed")
+      // random knobs: target rows per bucket, rescale factor, partitions
+      val targetRows = 5 + rnd.nextInt(40)
+      val loadFactor = 1 + rnd.nextInt(4)
+      val parted = rnd.nextBoolean()
+      val t = GraftTable.create(spark, loc,
+        Seq((1L, "p0", 1.0)).toDF("k", "p", "v").schema,
+        TableConfig(primaryKeys = Seq("k"),
+          partitionKeys = if (parted) Seq("p") else Nil,
+          numBuckets = -2,
+          options = Map(
+            "postpone.target-row-num-per-bucket" -> targetRows.toString,
+            "postpone.batch-write-fixed-bucket.rescale-load-factor" -> loadFactor.toString)))
+      val model = scala.collection.mutable.Map[Long, (String, Double)]()
+      (0 until 6).foreach { b =>
+        val n = 1 + rnd.nextInt(300)
+        val rows = (0 until n).map { _ =>
+          val k = rnd.nextInt(400).toLong
+          // partition is a FUNCTION of the key (pk tables route per
+          // partition; a moving key would need cross-partition mode)
+          val part = if (parted) s"p${k % 3}" else "p0"
+          (k, part, rnd.nextDouble())
+        }
+        // last-write-wins within a batch resolves by input order
+        rows.foreach { case (k, p, v) => model(k) = (p, v) }
+        // batch pre-merge keeps the LAST input occurrence per key
+        val df = rows.toDF("k", "p", "v")
+          .withColumn("__o", monotonically_increasing_id())
+        import org.apache.spark.sql.expressions.Window
+        val lastPer = df.withColumn("__rn", row_number().over(
+            Window.partitionBy("k").orderBy(col("__o").desc)))
+          .filter(col("__rn") === 1).drop("__rn", "__o")
+        t.write(lastPer)
+        // invariant after every batch: immediately visible + fully merged
+        val got = t.read().select("k", "p", "v")
+          .as[(Long, String, Double)].collect()
+        assert(got.length == model.size,
+          s"seed=$seed batch=$b rows=${got.length} model=${model.size}")
+        got.foreach { case (k, p, v) =>
+          val (mp, mv) = model(k)
+          assert(p == mp && math.abs(v - mv) < 1e-12,
+            s"seed=$seed batch=$b key=$k got=($p,$v) want=($mp,$mv)")
+        }
+        // invariant: committed entries are real buckets with a consistent
+        // per-partition layout stamp
+        val live = t.sm.latestSnapshot.map(t.sm.liveEntries).getOrElse(Nil)
+        assert(live.forall(e => e.bucket >= 0 && e.totalBuckets >= 1))
+        live.groupBy(_.partition).foreach { case (pt, es) =>
+          assert(es.map(_.totalBuckets).distinct.size == 1,
+            s"seed=$seed batch=$b partition $pt has mixed layouts: " +
+              es.map(e => (e.bucket, e.totalBuckets)).distinct)
+          assert(es.forall(e => e.bucket < e.totalBuckets))
+        }
+      }
+    }
+  }
+
   test("legacy compact keeps existing layouts; first compaction estimates") {
     val loc = tmpLoc("pp-compact")
     val t = mk(loc, Map("postpone.batch-write-fixed-bucket" -> "false",
