@@ -17,7 +17,9 @@ object ShowQ {
       .config("spark.sql.extensions", "graft.dsv2.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.SparkEntry.queries(name)(spark, sfDir).show(50, truncate = false)
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.show(50, truncate = false)
+    if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
     spark.stop()
   }
 }
