@@ -24,6 +24,30 @@ class Dsv2Spec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("SQL postpone table: INSERT is immediately visible (fixed-bucket default)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.pp_sql (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES ('primary-key'='k', 'bucket'='-2',
+                   'postpone.target-row-num-per-bucket'='50')""")
+    spark.sql("INSERT INTO graft.db.pp_sql SELECT id, id * 1.0 FROM range(200)")
+    // reference default flow: no compact call, the batch is visible
+    assert(spark.sql("SELECT count(*) FROM graft.db.pp_sql").head().getLong(0) == 200)
+    spark.sql("INSERT INTO graft.db.pp_sql SELECT id, id + 1000.0 FROM range(50)")
+    val got = spark.sql("SELECT k, v FROM graft.db.pp_sql")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 200)
+    assert((0 until 50).forall(i => got(i.toLong) == i + 1000.0))
+    assert((50 until 200).forall(i => got(i.toLong) == i.toDouble))
+    // the committed layout is real buckets (pow2(ceil(200/50)) = 4)
+    import graft.core.GraftTable
+    val live = GraftTable.load(spark, s"$wh/db.db/pp_sql").sm
+      .latestSnapshot.map(s => GraftTable.load(spark, s"$wh/db.db/pp_sql").sm.liveEntries(s))
+      .getOrElse(Nil)
+    assert(live.nonEmpty && live.forall(e => e.bucket >= 0 && e.totalBuckets == 4),
+      s"got ${live.map(e => (e.bucket, e.totalBuckets)).distinct}")
+    spark.sql("DROP TABLE graft.db.pp_sql")
+  }
+
   test("SQL end-to-end: DDL, INSERT, dedup SELECT, time travel, tag") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.t1 (k BIGINT, s STRING, p DOUBLE)
