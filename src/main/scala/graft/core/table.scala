@@ -445,6 +445,24 @@ class GraftTable private (
       dvAction = dvAction)
   }
 
+  /** Partitions whose real-bucket files carry MORE THAN ONE routing layout
+    * (distinct positive totalBuckets stamps). Possible only on postpone
+    * fixed-bucket tables, when an append routed with a stale per-partition
+    * count commits concurrently with a rescale (both commits are valid —
+    * optimistic concurrency doesn't serialize decisions). The same pk can
+    * then live in two different buckets, so NO bucket of such a partition
+    * may serve raw: the global-by-pk merge resolves it correctly, and the
+    * next compaction/rescale heals the layout. (The reference throws on
+    * this mismatch — getKnownNumBuckets IllegalStateException; merging is
+    * the strictly friendlier recovery.) */
+  private def mixedLayoutParts(entries: Seq[ManifestEntry])
+      : Set[Map[String, String]] =
+    if (!isPostpone) Set.empty
+    else entries.filter(e => e.bucket >= 0 && e.totalBuckets > 0)
+      .groupBy(_.partition)
+      .filter { case (_, es) => es.map(_.totalBuckets).distinct.size > 1 }
+      .keySet
+
   /** Bounded existence probe for real-bucket entries: driver fold below
     * the plan threshold, executor limit-1 above it — never a full live-set
     * materialization (the fixed-bucket direct-path gate at 10^7 files). */
@@ -1802,7 +1820,10 @@ class GraftTable private (
         // files may hold several versions of a key, so they must merge.
         // A partition with visible staging can't serve ANY bucket raw: a
         // staged version of a key must merge against its real-bucket rows.
-        val stagedParts = stagedMor.map(_.partition).toSet
+        // Same for a partition with MIXED routing layouts (concurrent
+        // fixed-bucket append vs rescale): a pk may span two buckets.
+        val stagedParts = stagedMor.map(_.partition).toSet ++
+          mixedLayoutParts(entries)
         val (rawB, mergeB) = byBucket.partition { case ((p, _), es) =>
           rawBucket(es) && !stagedParts.contains(p) }
         // merge work needed + merge-in-scan eligible → route THIS read
@@ -1927,6 +1948,9 @@ class GraftTable private (
     if (entries.isEmpty) return None
     // old-schema files need the field-id remap (V1 evolution read)
     if (entries.exists(_.schemaId != schema.id)) return None
+    // mixed routing layouts: a pk may span buckets — the per-bucket in-scan
+    // merge would miss the cross-bucket duplicate; V1's global merge wins
+    if (mixedLayoutParts(entries).nonEmpty) return None
     Some(entries)
   }
 
@@ -1946,8 +1970,9 @@ class GraftTable private (
     // the native columnar scan reads strictly by current column names
     if (entries.exists(_.schemaId != schema.id)) return None
     if (!isPk) return Some(entries)
-    val ok = entries.groupBy(e => (e.partition, e.bucket))
-      .forall { case (_, es) => rawBucket(es) }
+    val ok = mixedLayoutParts(entries).isEmpty &&
+      entries.groupBy(e => (e.partition, e.bucket))
+        .forall { case (_, es) => rawBucket(es) }
     // every bucket fully merged → rows are final → the full filter (value
     // conjuncts included) may prune per-file, and so may the file indexes
     if (!ok) None

@@ -141,6 +141,39 @@ class PostponeFixedBucketSpec extends SparkTestBase {
     assert(got.size == 20 && got.forall { case (k, v) => v == k + 9.0 })
   }
 
+  test("mixed routing layouts force the merge path (concurrent-rescale recovery)") {
+    // two optimistic writers can commit files routed with DIFFERENT moduli
+    // into one partition (append with a stale count racing a rescale) — a
+    // pk then spans two buckets, and serving either raw would duplicate it.
+    // Forge that state: batch 1 under the inferred 1-bucket layout, then a
+    // directly-committed update batch routed mod 4.
+    val loc = tmpLoc("pp-mixed")
+    val t = mk(loc, Map("postpone.target-row-num-per-bucket" -> "1000"))
+    t.write(rows(50))
+    val live1 = t.sm.latestSnapshot.map(t.sm.liveEntries).getOrElse(Nil)
+    assert(live1.forall(_.totalBuckets == 1))
+    val forged = t.writeFiles(rows(50, bump = 777.0),
+      bucketOverride = Some(pmod(xxhash64(col("k")), lit(4L)).cast("int")),
+      totalBucketsByPt = Map("-" -> 4))
+    assert(forged.exists(_.bucket > 0) && forged.forall(_.totalBuckets == 4))
+    t.sm.commit(forged, "APPEND", "forged-conflicting-layout", t.schema.id)
+    // the read must merge across buckets: one row per key, updates win
+    val got = t.read().select("k", "v").as[(Long, Double)].collect()
+    assert(got.length == 50, s"duplicate pks across layouts: ${got.length}")
+    assert(got.toMap.forall { case (k, v) => v == k + 777.0 })
+    // dsv2 fast paths refuse the mixed state too (global merge required)
+    assert(t.rawPlan().isEmpty && t.morPlanEntries().isEmpty)
+    // the next write keeps the larger layout and a compaction heals it
+    t.write(rows(10, bump = 900.0))
+    import graft.core.RowOps._
+    t.compact()
+    val live2 = t.sm.latestSnapshot.map(t.sm.liveEntries).getOrElse(Nil)
+    assert(live2.map(_.totalBuckets).distinct == Seq(4),
+      s"compaction should heal to one layout, got ${live2.map(_.totalBuckets).distinct}")
+    val healed = t.read().select("k", "v").as[(Long, Double)].collect().toMap
+    assert(healed.size == 50 && healed(5L) == 905.0 && healed(30L) == 807.0)
+  }
+
   // ---- merge-on-read over leftover legacy staging ----
 
   test("postpone.merge-on-read: committed -2 staging merges with real buckets") {
