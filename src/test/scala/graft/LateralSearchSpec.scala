@@ -71,6 +71,19 @@ class LateralSearchSpec extends SparkTestBase {
     assert(res.length == 2 && res.head._2 == 0L, res.toSeq) // (0,0,1) is the exact hit
   }
 
+  test("empty query side yields an empty result (no crash, no corpus work)") {
+    val loc = tmpLoc("lat-empty")
+    mkCorpus(loc, 10)
+    spark.range(0).select(col("id"),
+      array(lit(1.0f), lit(1.0f), lit(1.0f)).as("v"))
+      .createOrReplaceTempView("lat_q0")
+    val res = spark.sql(
+      s"""SELECT q.id, r.vec_id FROM lat_q0 q,
+         |LATERAL (SELECT * FROM graft_vector_search('$loc', 'embedding',
+         |                                           q.v, 3)) r""".stripMargin)
+    assert(res.count() == 0)
+  }
+
   test("unsupported shapes and bounds reject loudly") {
     val loc = tmpLoc("lat-err")
     mkCorpus(loc, 10)
