@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Benchmark main (driver contract): times headline queries at
@@ -62,9 +63,163 @@ object Bench {
     "q_partition_prune" -> SparkEntry.oracleSql("q_partition_prune"),
     "q_zorder_scan" -> SparkEntry.oracleSql("q_zorder_scan"),
     "q_topn" -> SparkEntry.oracleSql("q_topn"),
-    "q_agg_pushdown" -> SparkEntry.oracleSql("q_agg_pushdown"))
+    "q_agg_pushdown" -> SparkEntry.oracleSql("q_agg_pushdown"),
+    // delegated scan-family queries: the oracle SQL IS the direct plan a
+    // plain-Spark user runs over the source parquet (Spark-compatible SQL)
+    "q1_agg" -> SparkEntry.oracleSql("q1_agg"),
+    "q_join_broadcast" -> SparkEntry.oracleSql("q_join_broadcast"),
+    "q_window" -> SparkEntry.oracleSql("q_window"),
+    "q_rollup" -> SparkEntry.oracleSql("q_rollup"),
+    "q_dedup_exact" -> SparkEntry.oracleSql("q_dedup_exact"),
+    // blob-store read: a direct user keeps payload bytes in a parquet
+    // binary column and scans it (vs the engine's descriptor + pack reads)
+    "q_blob_bench" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(octet_length(encode(text, 'UTF-8'))) AS BIGINT) AS bytes,
+        | CAST(count(DISTINCT md5(encode(text, 'UTF-8'))) AS BIGINT) AS hashes
+        |FROM documents""".stripMargin)
 
-  private val baselined = baselineSql.keys.toSeq.sorted
+  // ---- DataFrame-shaped direct-Spark baselines -----------------------
+  // For headline queries whose honest plain-Spark equivalent needs
+  // expressions the oracle spells in DuckDB-only SQL. Every expression here
+  // is a stock `org.apache.spark.sql.functions` builtin (the relational
+  // forms kept in TextOps for cross-checking) — no graft tables, no graft
+  // native expressions, no persisted indexes: exactly the work the engine's
+  // native expressions / postings / signature index replace.
+
+  /** Whitespace words (the relational tokenizer a plain user writes). */
+  private def bWords(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** Builtin cosine similarity of a float-array column vs a literal query
+    * vector (zip_with dot + aggregate norms). */
+  private def bCosine(e: Column, q: Seq[Float]): Column = {
+    val qn = math.sqrt(q.map(v => v.toDouble * v).sum)
+    val qArr = array(q.map(v => lit(v.toDouble)): _*)
+    val dotp = aggregate(zip_with(e, qArr, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val en = sqrt(aggregate(e, lit(0.0), (acc, v) => acc + v * v))
+    when(en === 0.0 || lit(qn) === 0.0, 0.0).otherwise(dotp / (en * lit(qn)))
+  }
+
+  /** Doubled documents corpus (the dedup fixtures' input shape). */
+  private def bDocs2(s: SparkSession, sfDir: String,
+                     suffixed: Boolean): DataFrame = {
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      (if (suffixed) concat(col("text"), lit(" xq yq zq")) else col("text"))
+        .as("text")))
+  }
+
+  /** Relational MinHash+LSH near-dup (the direct-Spark form of
+    * q_dedup_minhash): per-shingle md5 hashing + k array re-walks for the
+    * signature, a banded SELF-JOIN for candidates, per-pair hash-set
+    * verify. This is what the engine's native one-pass signatures + single-
+    * shuffle banding (and, for _idx, the persisted signature index) replace. */
+  private def bMinhash(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.TextOps
+    val sigLen = 8; val nBands = 4; val rpb = sigLen / nBands
+    val hv = bDocs2(s, sfDir, suffixed = true)
+      .withColumn("__sh", TextOps.shingles(col("text"), 3))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingleHashes(col("__sh"))).as("hs"),
+        TextOps.minhashFromHashes(TextOps.shingleHashes(col("__sh")), sigLen).as("sg"))
+      .persist()
+    val banded = hv.select(col("doc_id"), explode(array((0 until nBands).map(b =>
+      struct(lit(b).as("band"), TextOps.bandKey(col("sg"), b, rpb).as("bk"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bk"))
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("v1"), col("b.doc_id").as("v2")).distinct()
+    val out = cand
+      .join(hv.select(col("doc_id").as("v1"), col("hs").as("h1")), "v1")
+      .join(hv.select(col("doc_id").as("v2"), col("hs").as("h2")), "v2")
+      .withColumn("__i", size(array_intersect(col("h1"), col("h2"))).cast("double"))
+      .withColumn("jac", col("__i") / (size(col("h1")) + size(col("h2")) - col("__i")))
+      .filter(col("jac") >= 0.8)
+      .select(col("v1"), col("v2"), round(col("jac"), 4).as("jac"))
+    val rows = out.collect()
+    hv.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
+  private[graft] lazy val baselineFns: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> ((s, sfDir) =>
+      s.read.parquet(s"$sfDir/documents.parquet").groupBy("lang")
+        .agg(sum(when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+")))).as("n_tokens"),
+          count(lit(1)).as("docs"))),
+    "q_lang_id" -> ((s, sfDir) => {
+      import graft.pipeline.TextOps
+      val langs = Seq("en", "de", "fr", "es")
+      val ws = bWords(col("text"))
+      val scored = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(langs.map(l => size(filter(ws,
+          w => TextOps.langMarkers(l).map(m => w === m).reduce(_ || _)))
+          .as(s"s_$l")): _*)
+        .withColumn("best", greatest(langs.map(l => col(s"s_$l")): _*))
+      val pred = langs.foldRight(lit("und")) { (l, e) =>
+        when(col(s"s_$l") === col("best") && col("best") > 0, lit(l)).otherwise(e)
+      }
+      scored.groupBy(pred.as("lang_pred")).agg(count(lit(1)).as("cnt"))
+    }),
+    "q_ann_cosine" -> ((s, sfDir) => {
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 1L).select("embedding")
+        .collect().head.getSeq[Float](0)
+      emb.select(col("vec_id"), round(bCosine(col("embedding"), q), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+    "q_dedup_minhash" -> (bMinhash _),
+    "q_dedup_minhash_idx" -> (bMinhash _),
+    "q_fulltext_bm25" -> ((s, sfDir) => {
+      // brute BM25: full tokenize + postings + score per query, NO index —
+      // what the persisted postings index replaces
+      val terms = Seq("table", "scan", "fast", "merge")
+      val words = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), bWords(col("text")).as("ws"))
+      val postings = words
+        .select(col("doc_id"), size(col("ws")).as("doc_len"),
+          explode(col("ws")).as("term"))
+        .groupBy("term", "doc_id", "doc_len").agg(count(lit(1)).as("tf"))
+      val stats = postings.select("doc_id", "doc_len").distinct()
+        .agg(count(lit(1)).as("n"), avg("doc_len").as("avgdl"))
+      val hits = postings.filter(col("term").isin(terms: _*))
+      val dfs = hits.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"))
+      hits.join(dfs, "term").crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(sum(log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (lit(1.2) + 1.0) /
+          (col("tf") + lit(1.2) * (lit(1.0) - 0.75 +
+            lit(0.75) * col("doc_len") / col("avgdl")))).as("score"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+    "q_embed_neardup" -> ((s, sfDir) => {
+      // blocked EXACT cosine self-join (no sign-LSH prefilter): every
+      // same-label pair pays a full dot product
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+      val e2 = emb.unionAll(emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("label"), col("embedding")))
+      val dotp = aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+        (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      def nrm(side: String) = sqrt(aggregate(col(s"$side.embedding"),
+        lit(0.0), (acc, v) => acc + v * v))
+      e2.alias("a").join(e2.alias("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("__sim", when(nrm("a") * nrm("b") === 0.0, 0.0)
+          .otherwise(dotp / (nrm("a") * nrm("b"))))
+        .filter(col("__sim") >= 0.9999)
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    }))
+
+  private val baselined =
+    (baselineSql.keys ++ baselineFns.keys).toSeq.distinct.sorted
 
   /** Time `body` n times, recording per-run seconds of the SUCCESSFUL runs
     * plus how many runs threw. A failed run's time-to-throw never enters the
@@ -191,13 +346,19 @@ object Bench {
       "q_pk_dedup" -> Seq("orders"), "q_mor_read" -> Seq("orders"),
       "q_filter_pushdown" -> Seq("orders"), "q_time_travel" -> Seq("orders"),
       "q_partition_prune" -> Seq("events"), "q_agg_pushdown" -> Seq("events"),
-      "q_zorder_scan" -> Seq("lineitem"), "q_topn" -> Seq("lineitem"))
+      "q_zorder_scan" -> Seq("lineitem"), "q_topn" -> Seq("lineitem"),
+      "q1_agg" -> Seq("lineitem"), "q_rollup" -> Seq("lineitem"),
+      "q_join_broadcast" -> Seq("orders", "customer", "nation"),
+      "q_window" -> Seq("orders"), "q_dedup_exact" -> Seq("documents"),
+      "q_blob_bench" -> Seq("documents"))
     val baseResults = baselined.flatMap { name =>
-      def run(): Unit = {
-        baselineTables(name).foreach { t =>
-          spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
-        }
-        spark.sql(baselineSql(name)).collect()
+      def run(): Unit = baselineFns.get(name) match {
+        case Some(fn) => fn(spark, sfDir).collect()
+        case None =>
+          baselineTables(name).foreach { t =>
+            spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+          }
+          spark.sql(baselineSql(name)).collect()
       }
       try {
         run() // warm

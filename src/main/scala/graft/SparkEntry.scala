@@ -276,6 +276,15 @@ object SparkEntry {
         .groupBy(col("attrs")("status").as("status"))
         .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
     }),
+    // Aggregate-over-Filter shape with NO Project of the map: the filter's
+    // literal-key access alone triggers the side-column rewrite (beyond the
+    // reference rule, which matches only Project shapes)
+    "q_map_shred_agg" -> ((s, d) => {
+      val t = Fixtures.ordersMap(s, d)
+      s.read.format("graft").load(t.location)
+        .filter(col("attrs")("prio") === "1-URGENT")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+    }),
     // KEY_DYNAMIC: a PK update that changes the partition column must MOVE
     // the row (tombstone in the old partition) — exactly one row per key
     "q_cross_partition" -> ((s, d) => Fixtures.custXp(s, d).read()
@@ -1932,6 +1941,10 @@ object SparkEntry {
         | round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_map_shred_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q_fallback_branch" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2

@@ -45,9 +45,11 @@ import org.apache.spark.sql.Row
  * partitions (hence its repartition-input rule); this engine's batched form
  * instead broadcasts the query set and pays ONE corpus scan regardless of
  * left parallelism, so that rule has no equivalent here. The flip side is
- * the query batch must be driver-bounded:
- * `graft.vector-search.lateral.max-queries` (default 10000) guards it, and
- * a larger left side should use the DataFrame `batchTopK` API directly.
+ * the query batch is driver-collected: up to
+ * `graft.vector-search.lateral.max-queries` (default 10000) rows search in
+ * one pass; a larger left side degrades to chunked corpus passes (with a
+ * warning) instead of failing — the DataFrame `batchTopK` API remains the
+ * preferred spelling for corpus-scale query sets.
  */
 object GraftLateralSearch {
   val ScoreCol = "score"
@@ -207,11 +209,24 @@ object GraftLateralStrategy extends SparkStrategy {
   }
 }
 
-/** Executes the batched lateral search: collect the (bounded) query rows,
-  * evaluate each row's query vector, run ONE batched top-k corpus pass,
-  * then join the per-query hits back to corpus columns and query rows
-  * (both tiny → broadcast). The distributed work is exactly one corpus
-  * scan — no |left|×|corpus| shuffle anywhere. */
+object GraftLateralVectorSearchExec {
+  /** Test diagnostic: the physical plan of the last lateral search's inner
+    * DataFrame (LateralSearchSpec asserts it holds exactly ONE corpus
+    * scan). Written on every execution; never read by the engine. */
+  val lastInnerPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
+}
+
+/** Executes the batched lateral search: collect the query rows, evaluate
+  * each row's query vector, run ONE batched top-k corpus pass that CARRIES
+  * the projected corpus columns through its per-partition bounded heaps
+  * ([[graft.pipeline.Similarity.batchTopKCols]]) — the hits never need a
+  * second corpus scan to re-attach columns — then join the |q|·k hits to
+  * the (tiny, broadcast) query rows. The distributed work is exactly one
+  * corpus scan — no |left|×|corpus| shuffle anywhere. A query side larger
+  * than `graft.vector-search.lateral.max-queries` degrades gracefully:
+  * the query set chunks into max-queries-sized batches, each paying its
+  * own corpus pass (ceil(|q|/max) passes total) — correct for any left
+  * size, with the broadcast footprint still bounded per pass. */
 case class GraftLateralVectorSearchExec(child: SparkPlan,
                                         loc: String, column: String,
                                         vecExpr: Expression, k: Int,
@@ -228,10 +243,12 @@ case class GraftLateralVectorSearchExec(child: SparkPlan,
     val maxQ = session.conf
       .getOption(GraftLateralSearch.MaxQueriesKey).map(_.toInt).getOrElse(10000)
     val rows = child.executeCollect()
-    require(rows.length <= maxQ,
+    if (rows.length > maxQ) logWarning(
       s"LATERAL vector search input has ${rows.length} rows, over the " +
-        s"${GraftLateralSearch.MaxQueriesKey}=$maxQ bound — use the batched " +
-        "DataFrame API (Similarity.batchTopK) for corpus-scale query sets")
+        s"${GraftLateralSearch.MaxQueriesKey}=$maxQ per-pass bound — " +
+        s"degrading to ${(rows.length + maxQ - 1) / maxQ} chunked corpus " +
+        "passes; prefer the batched DataFrame API (Similarity.batchTopK) " +
+        "for corpus-scale query sets")
     val qid = "__graft_lateral_qid"
     val leftSchema = StructType(child.output.zipWithIndex.map { case (a, i) =>
       StructField(s"__l_$i", a.dataType, a.nullable) })
@@ -264,30 +281,31 @@ case class GraftLateralVectorSearchExec(child: SparkPlan,
     }))
     // inner WHERE pushes into the read → manifest stats / file-index skip
     val corpus = t.read(filterCol, None)
-    val topk = graft.pipeline.Similarity
-      .batchTopK(corpus, idCol, column, queries, k)
-      .withColumnRenamed("qid", qid)
-      .withColumnRenamed("__score", GraftLateralSearch.ScoreCol)
-      .withColumnRenamed(idCol, "__graft_lateral_id")
-    // per-query hits are |queries|·k rows and the query rows were already
-    // collected — broadcast both; the corpus side streams through one scan
-    val rightFull = corpus
-      .join(broadcast(topk),
-        col(idCol).cast(LongType) === col("__graft_lateral_id"))
+    // the hit rows' columns ride the top-k heaps themselves (bounded at
+    // |q|·k entries per partition) — ONE corpus scan, no re-attach join
+    val carry = rightNames.filter(_ != GraftLateralSearch.ScoreCol).distinct
+    val chunks = queries.grouped(math.max(1, maxQ)).toSeq
+    val topkParts =
+      (if (chunks.isEmpty) Seq(Seq.empty[(Long, Seq[Float])]) else chunks)
+        .map(c => graft.pipeline.Similarity
+          .batchTopKCols(corpus, idCol, column, c, k, carry))
+    val topk = topkParts.reduce(_ unionAll _).withColumnRenamed("qid", qid)
     val rightSel = rightNames.zipWithIndex.map { case (n, i) =>
-      (if (n == GraftLateralSearch.ScoreCol) col(GraftLateralSearch.ScoreCol)
-       else col(n)).as(s"__r_$i")
+      (if (n == GraftLateralSearch.ScoreCol) col("__score")
+       else col(s"__c_${carry.indexOf(n)}")).as(s"__r_$i")
     }
     val leftDf = session.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(leftRows).asJava),
       StructType(leftSchema.fields :+ StructField(qid, LongType, false)))
-    val joined = rightFull.select((col(qid) +: rightSel).toIndexedSeq: _*)
+    val joined = topk.select((col(qid) +: rightSel).toIndexedSeq: _*)
       .join(broadcast(leftDf), qid)
     val ordered = joined.select(
       (child.output.indices.map(i => col(s"__l_$i")) ++
         rightNames.indices.map(i => col(s"__r_$i"))).toIndexedSeq: _*)
-    ordered.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-      .queryExecution.toRdd
+    val qe = ordered.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution
+    GraftLateralVectorSearchExec.lastInnerPlan.set(qe.executedPlan.toString)
+    qe.toRdd
   }
 }

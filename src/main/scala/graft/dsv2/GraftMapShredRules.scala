@@ -2,7 +2,7 @@ package graft.dsv2
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -26,14 +26,19 @@ import scala.collection.mutable
  *
  * Runs in the session's post-optimization user batch (after Early Scan
  * Push-Down, so the scan and its pruned read schema exist). Shapes handled:
- * Project over the scan relation, and Project over Filter over it (the
- * filter condition is rewritten too, which lets [[GraftVariantPrune]] —
- * same batch, fixed-point — file-skip on the side columns' stats). A MAP
- * column used WHOLESALE anywhere (projected as a value, non-literal key,
- * undeclared key) is left untouched; only columns whose every use is a
- * declared literal-key lookup are rewritten. Merge-needing PK reads keep
- * the V1 plan (correct, unpruned), mirroring the reference's
- * PaimonScan-only match.
+ * Project over the scan relation, Project over Filter over it, and
+ * Aggregate over either (`SELECT count(*) FROM t WHERE attrs['k'] > 5` has
+ * no Project of the map — the filter's map access still rewrites to the
+ * side columns; the reference rule matches only the Project shape). Filter
+ * conditions are rewritten too, which lets [[GraftVariantPrune]] — same
+ * batch, fixed-point — file-skip on the side columns' stats. The rewritten
+ * node is always a uses-boundary (a Project list or an Aggregate's output
+ * aliases), so the retyped attribute never escapes to an unrewritten
+ * parent. A MAP column used WHOLESALE anywhere in the matched shape
+ * (projected as a value, non-literal key, undeclared key) is left
+ * untouched; only columns whose every use is a declared literal-key lookup
+ * are rewritten. Merge-needing PK reads keep the V1 plan (correct,
+ * unpruned), mirroring the reference's PaimonScan-only match.
  */
 object GraftMapShredRule extends Rule[LogicalPlan] {
 
@@ -47,18 +52,34 @@ object GraftMapShredRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(_, rel: DataSourceV2ScanRelation) =>
-      rewrite(p.projectList, None, rel)
-        .map { case (list, r, _) => Project(list, r) }.getOrElse(p)
+      rewriter(p.projectList, rel).map { case (rw, r) =>
+        Project(p.projectList.map(named(rw)), r)
+      }.getOrElse(p)
     case p @ Project(_, LFilter(cond, rel: DataSourceV2ScanRelation)) =>
-      rewrite(p.projectList, Some(cond), rel)
-        .map { case (list, r, c) => Project(list, LFilter(c.get, r)) }
-        .getOrElse(p)
+      rewriter(p.projectList :+ cond, rel).map { case (rw, r) =>
+        Project(p.projectList.map(named(rw)), LFilter(rw(cond), r))
+      }.getOrElse(p)
+    case a @ Aggregate(ge, ae, rel: DataSourceV2ScanRelation, _) =>
+      rewriter(ae ++ ge, rel).map { case (rw, r) =>
+        a.copy(groupingExpressions = ge.map(rw),
+          aggregateExpressions = ae.map(named(rw)), child = r)
+      }.getOrElse(a)
+    case a @ Aggregate(ge, ae, LFilter(cond, rel: DataSourceV2ScanRelation), _) =>
+      rewriter((ae ++ ge) :+ cond, rel).map { case (rw, r) =>
+        a.copy(groupingExpressions = ge.map(rw),
+          aggregateExpressions = ae.map(named(rw)),
+          child = LFilter(rw(cond), r))
+      }.getOrElse(a)
   }
 
-  private def rewrite(projectList: Seq[NamedExpression],
-                      cond: Option[Expression],
-                      rel: DataSourceV2ScanRelation)
-      : Option[(Seq[NamedExpression], DataSourceV2ScanRelation, Option[Expression])] = {
+  private def named(rw: Expression => Expression)(e: NamedExpression): NamedExpression =
+    rw(e).asInstanceOf[NamedExpression]
+
+  /** If every use of a declared MAP column in `uses` is a declared
+    * literal-key lookup, returns the expression rewriter (map access →
+    * struct field) and the relation over the side-column-serving scan. */
+  private def rewriter(uses: Seq[Expression], rel: DataSourceV2ScanRelation)
+      : Option[(Expression => Expression, DataSourceV2ScanRelation)] = {
     val scan = rel.scan match {
       // plain raw scans only: the variant/map-shred subclasses are already
       // rewritten (idempotence under the fixed-point batch), merge scans
@@ -83,7 +104,7 @@ object GraftMapShredRule extends Rule[LogicalPlan] {
         failed += a.exprId
       case other => other.children.foreach(walk)
     }
-    (projectList ++ cond).foreach(walk)
+    uses.foreach(walk)
     val selected = keysByAttr.filterNot { case (id, _) => failed.contains(id) }
     if (selected.isEmpty) return None
 
@@ -113,7 +134,6 @@ object GraftMapShredRule extends Rule[LogicalPlan] {
         GetStructField(newAttr, ordered.indexOf(k.toString),
           Some(s"${a.name}[${k.toString}]"))
     }
-    val newList = projectList.map(rw(_).asInstanceOf[NamedExpression])
-    Some((newList, newRel, cond.map(rw)))
+    Some((rw _, newRel))
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -461,27 +461,54 @@ object Similarity {
   def batchTopK(corpus: DataFrame, idCol: String, embedCol: String,
                 queries: Seq[(Long, Seq[Float])], k: Int,
                 clusterCol: String = "", clusterProbes: Map[Long, Set[Int]] = Map.empty)
-               : DataFrame = {
+               : DataFrame =
+    batchTopKCols(corpus, idCol, embedCol, queries, k, Nil, clusterCol,
+      clusterProbes)
+      .select(col("qid"), col("__id").as(idCol), col("__score"))
+
+  /**
+   * [[batchTopK]] that additionally CARRIES corpus columns through the
+   * per-partition heaps, so a caller needing hit-row columns (the SQL
+   * LATERAL exec) pays exactly one corpus scan — no second scan to
+   * re-attach columns to the |q|·k hit ids. Heap entries hold the carried
+   * values, so per-partition memory stays bounded at |q|·k rows of the
+   * carried projection. Returns (qid, __id, __score, __c_0..__c_n) where
+   * __c_i is `carryCols(i)`'s value (original type).
+   */
+  def batchTopKCols(corpus: DataFrame, idCol: String, embedCol: String,
+                    queries: Seq[(Long, Seq[Float])], k: Int,
+                    carryCols: Seq[String],
+                    clusterCol: String = "", clusterProbes: Map[Long, Set[Int]] = Map.empty)
+                   : DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val qArr = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
     val probesB = spark.sparkContext.broadcast(clusterProbes)
     val qB = spark.sparkContext.broadcast(qArr)
     val withCluster = clusterCol.nonEmpty
-    val cols = Seq(col(idCol).cast("long"), col(embedCol)) ++
+    val baseCols = Seq(col(idCol).cast("long"), col(embedCol)) ++
       (if (withCluster) Seq(col(clusterCol).cast("int")) else Nil)
-    val rows = corpus.select(cols: _*)
-    val candidates = rows.mapPartitions { it =>
+    val carryStart = baseCols.length
+    val nCarry = carryCols.length
+    val rows = corpus.select((baseCols ++ carryCols.map(col)): _*)
+    val outSchema = StructType(
+      Seq(StructField("qid", LongType, nullable = false),
+        StructField("__id", LongType, nullable = false),
+        StructField("__score", DoubleType, nullable = false)) ++
+        carryCols.indices.map { i =>
+          val f = rows.schema.fields(carryStart + i)
+          StructField(s"__c_$i", f.dataType, f.nullable)
+        })
+    val candidates = rows.mapPartitions { (it: Iterator[Row]) =>
       val qs = qB.value
       val probes = probesB.value
       // per-query bounded heap keeping the k best under (score desc, id
       // asc) — the id tiebreak MUST match the global merge's, or a tied
       // boundary row could be evicted differently than the window ranks it.
       // PriorityQueue dequeues its ordering's maximum, so "greater" = worse.
-      val worstFirst = Ordering.fromLessThan[(Double, Long)]((a, b) =>
+      val worstFirst = Ordering.fromLessThan[(Double, Long, Array[Any])]((a, b) =>
         a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
-      val heaps = Array.fill(qs.length)(
-        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+      val heaps = Array.fill(qs.length)(scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long, Array[Any])](worstFirst))
       // query norms computed once
       val qNorms = qs.map { case (_, v) =>
         var s = 0.0; var i = 0
@@ -498,6 +525,16 @@ object Similarity {
         var i = 0
         while (i < dim) { ev(i) = e(i).toDouble; nsum += ev(i) * ev(i); i += 1 }
         val en = math.sqrt(nsum)
+        // carried values extracted lazily — only rows that actually enter a
+        // heap pay the copy (most corpus rows never do)
+        var carried: Array[Any] = null
+        def payload(): Array[Any] = {
+          if (carried == null)
+            carried =
+              if (nCarry == 0) Array.empty[Any]
+              else Array.tabulate[Any](nCarry)(j => r.get(carryStart + j))
+          carried
+        }
         var qi = 0
         while (qi < qs.length) {
           val (qid, qv) = qs(qi)
@@ -507,21 +544,26 @@ object Similarity {
             while (j < n) { d += ev(j) * qv(j); j += 1 }
             val score = if (en == 0.0 || qNorms(qi) == 0.0) 0.0 else d / (en * qNorms(qi))
             val h = heaps(qi)
-            if (h.size < k) h.enqueue((score, id))
-            else if (worstFirst.lt((score, id), h.head)) {
-              h.dequeue(); h.enqueue((score, id))
+            if (h.size < k) h.enqueue((score, id, payload()))
+            else if (score > h.head._1 ||
+              (score == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((score, id, payload()))
             }
           }
           qi += 1
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
+        h.iterator.map { case (s, id, c) =>
+          // Seq[Any] — an untyped Seq(Long, Long, Double) would widen the
+          // longs to Double (weak conformance) and corrupt qid/id
+          Row.fromSeq(Seq[Any](qs(qi)._1, id, s) ++ c)
+        }
       }
-    }.toDF("qid", idCol, "__score")
+    }(Encoders.row(outSchema))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid")
-      .orderBy(col("__score").desc, col(idCol))
+      .orderBy(col("__score").desc, col("__id"))
     candidates.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }

@@ -42,6 +42,11 @@ class LateralSearchSpec extends SparkTestBase {
       .select(col("qid"), col("vec_id"), round(col("__score"), 6).as("s"))
     assert(rowsOf(sqlRes) == rowsOf(apiRes))
     assert(sqlRes.count() == 16) // 4 queries × k=4
+    // exactly ONE corpus scan: the hit columns ride the top-k heaps — there
+    // is no second scan re-attaching columns to the |q|·k hit ids
+    val inner = graft.dsv2.GraftLateralVectorSearchExec.lastInnerPlan.get()
+    val scans = "BatchScan|FileScan".r.findAllIn(inner).length
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$inner")
   }
 
   test("inner WHERE pushes into the corpus read and masks candidates") {
@@ -84,6 +89,31 @@ class LateralSearchSpec extends SparkTestBase {
     assert(res.count() == 0)
   }
 
+  test("query side over max-queries degrades to chunked passes, same result") {
+    val loc = tmpLoc("lat-chunk")
+    val t = mkCorpus(loc, 40)
+    val corpus = t.read()
+    corpus.filter(col("vec_id") < 5).select("vec_id", "embedding")
+      .createOrReplaceTempView("lat_qc")
+    val sql =
+      s"""SELECT q.vec_id AS qid, r.vec_id, round(r.score, 6) AS s
+         |FROM lat_qc q,
+         |LATERAL (SELECT * FROM graft_vector_search('$loc', 'embedding',
+         |                                           q.embedding, 3)) r""".stripMargin
+    val qs = corpus.filter(col("vec_id") < 5).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val apiRows = rowsOf(graft.pipeline.Similarity
+      .batchTopK(corpus, "vec_id", "embedding", qs, 3)
+      .select(col("qid"), col("vec_id"), round(col("__score"), 6).as("s")))
+    withSQLConf("graft.vector-search.lateral.max-queries" -> "2") {
+      val res = spark.sql(sql)
+      assert(rowsOf(res) == apiRows) // 5 queries → 3 chunks, identical rows
+      val inner = graft.dsv2.GraftLateralVectorSearchExec.lastInnerPlan.get()
+      val scans = "BatchScan|FileScan".r.findAllIn(inner).length
+      assert(scans == 3, s"expected ceil(5/2)=3 chunked scans, got $scans")
+    }
+  }
+
   test("unsupported shapes and bounds reject loudly") {
     val loc = tmpLoc("lat-err")
     mkCorpus(loc, 10)
@@ -97,14 +127,6 @@ class LateralSearchSpec extends SparkTestBase {
          |  WHERE vec_id > q.id) r""".stripMargin).collect())
     assert(e1.getMessage.contains("LATERAL graft_vector_search supports only"),
       e1.getMessage)
-    // query-batch bound
-    withSQLConf("graft.vector-search.lateral.max-queries" -> "2") {
-      val e2 = intercept[Exception](spark.sql(
-        s"""SELECT * FROM lat_q3 q, LATERAL (
-           |  SELECT * FROM graft_vector_search('$loc', 'embedding', q.v, 2)) r""".stripMargin)
-        .collect())
-      assert(e2.getMessage.contains("max-queries"), e2.getMessage)
-    }
     // static (literal-vector) spelling keeps its existing contract: it
     // routes through a persisted index and rejects an unindexed table
     // (the lateral form brute-forces by design — one batched corpus pass)

@@ -91,6 +91,35 @@ class MapShredSpec extends SparkTestBase {
     assert(q3.count() == 200)
   }
 
+  test("aggregate shapes rewrite: count over a shredded-key filter reads side columns") {
+    val loc = tmpLoc("mapshred-agg")
+    mkTable(loc)
+    // Filter under Aggregate, NO Project of the map anywhere — the shape
+    // the reference rule (Project-only) misses
+    val q = dsv2(loc).filter(col("attrs")("score") === "5")
+      .agg(count(lit(1)).as("cnt"))
+    val plan = scanDesc(q)
+    assert(plan.contains("GraftMapShredBatchScan"),
+      s"filter-under-aggregate not pushed to shred columns:\n$plan")
+    assert(plan.contains("shredPruned=true"), plan) // side-column file skip
+    assert(q.collect().head.getLong(0) == 2L) // ids 5 and 105
+    // grouped aggregate keyed on a declared key, no filter
+    val q2 = dsv2(loc).groupBy(col("attrs")("status").as("st"))
+      .agg(count(lit(1)).as("cnt"))
+    val p2 = scanDesc(q2)
+    assert(p2.contains("GraftMapShredBatchScan"), p2)
+    val g2 = q2.as[(String, Long)].collect().toMap
+    assert(g2 == Map("s0" -> 67L, "s1" -> 67L, "s2" -> 66L), g2)
+    // wholesale use inside the aggregate still refuses the rewrite (NB:
+    // count(attrs) would not do — the optimizer folds count(non-nullable)
+    // to count(1) before this rule runs, legitimately leaving only the
+    // literal-key use; max(size(attrs)) keeps the wholesale reference)
+    val q3 = dsv2(loc).filter(col("attrs")("score") === "5")
+      .agg(max(size(col("attrs"))).as("mx"))
+    assert(!scanDesc(q3).contains("GraftMapShredBatchScan"))
+    assert(q3.collect().head.getInt(0) == 3)
+  }
+
   test("shred-keys on a PK table: merge path stays correct, compacted reads prune") {
     val loc = tmpLoc("mapshred-pk")
     val df = spark.range(100).select(col("id").as("k"),
