@@ -1216,6 +1216,35 @@ object Fixtures {
     * SQL procedure lifecycle: CALL create_global_index on 90% of the corpus,
     * append the rest, CALL refresh_global_index (delta-only postings +
     * df/corpus-stat merge) — one oracle row covers create AND refresh. */
+  /** Catalog corpus table + `CALL sys.dedup_corpus` components output: the
+    * dedup pipeline's SQL spelling — doubled documents (planted exact
+    * duplicates) dedup to a PK components table (doc_id, canonical) written
+    * by the procedure; returns that output table. */
+  def dedupCorpusCall(spark: SparkSession, sfDir: String): GraftTable = {
+    val wh = ensureFixCatalog(spark, sfDir)
+    built.getOrElseUpdate((sfDir, "__cat_docs_dedup"), {
+      val loc = s"$wh/db.db/docs_dedup"
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Seq(loc, s"${loc}_cc").foreach { l =>
+        val p = new org.apache.hadoop.fs.Path(l)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_fix.db")
+      spark.sql("""CREATE TABLE graft_fix.db.docs_dedup (doc_id BIGINT, text STRING)
+                   TBLPROPERTIES ('primary-key'='doc_id', 'bucket'='4')""")
+      val docs = src(spark, sfDir, "documents").select("doc_id", "text")
+      docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .createOrReplaceTempView("docs_dedup_src_v")
+      spark.sql("INSERT INTO graft_fix.db.docs_dedup SELECT * FROM docs_dedup_src_v")
+      spark.sql(
+        s"""CALL sys.dedup_corpus(table => 'graft_fix.db.docs_dedup',
+           |  id_col => 'doc_id', text_col => 'text', method => 'exact',
+           |  output => '${loc}_cc')""".stripMargin).collect()
+      GraftTable.load(spark, s"${loc}_cc")
+    })
+  }
+
   def lcDocs(spark: SparkSession, sfDir: String): GraftTable =
     fixture(spark, sfDir, "lc_docs") { loc =>
       val docs = src(spark, sfDir, "documents").select("doc_id", "text")

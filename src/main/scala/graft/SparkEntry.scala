@@ -690,6 +690,12 @@ object SparkEntry {
         .select(col("a.doc_id").as("v1"), col("b.doc_id").as("v2"))
       graft.pipeline.Dedup.canonicalize(d2, "doc_id", pairs)
     }),
+    // SQL spelling of the dedup pipeline (CALL sys.dedup_corpus): the
+    // procedure runs pairs -> connected components -> canonicalize and
+    // WRITES a PK components table; the row reads it — same answer as the
+    // library-API q_dedup_cluster
+    "q_dedup_corpus_call" -> ((s, d) => Fixtures.dedupCorpusCall(s, d).read()
+      .select(col("doc_id"), col("canonical"))),
     "q_text_tokens" -> ((s, d) => t(s, d, "documents")
       .groupBy("lang")
       .agg(sum(TextOps.tokenCount(col("text"))).as("n_tokens"), count(lit(1)).as("docs"))),
@@ -2300,6 +2306,13 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS cnt
         |FROM d2 GROUP BY md5(text)""".stripMargin,
     "q_dedup_cluster" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT doc_id,
+        | CAST(min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS canonical
+        |FROM d2""".stripMargin,
+    "q_dedup_corpus_call" ->
       """WITH d2 AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)

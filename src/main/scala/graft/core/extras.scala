@@ -585,6 +585,50 @@ object Procedures {
         }
         if (table.sm.listTags().exists(_.name == name)) ok(s"tag $name already exists")
         else { table.sm.createTag(name, latest); ok(s"tag $name -> snapshot $latest") }
+      case "dedup_corpus" =>
+        // SQL surface of the dedup pipeline (the LLM-training-data
+        // operators' CALL spelling, parity with the index lifecycle): runs
+        // the chosen candidate generator + connected components +
+        // canonicalization over the table's corpus and WRITES a PK
+        // components table (id, canonical) at `output` — the keep/drop
+        // input of any downstream dedup filter. Methods map to the library
+        // operators: exact (content-hash groups), minhash (banded LSH +
+        // exact verify), simhash (banded hamming). All stay
+        // candidate-bucketed — no all-pairs stage at any scale.
+        val idCol = args.getOrElse("id_col", "id")
+        val textCol = args.getOrElse("text_col", "text")
+        val method = args.getOrElse("method", "exact")
+        val out = args.getOrElse("output", s"${table.location}_dedup")
+        val docs = table.read()
+        val pairs = method match {
+          case "exact" =>
+            val fp = docs.select(col(idCol), md5(col(textCol)).as("__fp"))
+            fp.alias("a").join(fp.alias("b"),
+                col("a.__fp") === col("b.__fp") &&
+                  col(s"a.$idCol") < col(s"b.$idCol"))
+              .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"))
+          case "minhash" =>
+            graft.pipeline.Dedup.minhashLshPairs(docs, idCol, textCol,
+              shingleN = args.getOrElse("shingle_n", "3").toInt,
+              sigLen = args.getOrElse("sig_len", "8").toInt,
+              nBands = args.getOrElse("n_bands", "4").toInt,
+              threshold = args.getOrElse("threshold", "0.8").toDouble)
+              .select("v1", "v2")
+          case "simhash" =>
+            graft.pipeline.Dedup.simhashPairs(docs, idCol, textCol,
+              maxHamming = args.getOrElse("max_hamming", "3").toInt)
+              .select("v1", "v2")
+          case other => throw new IllegalArgumentException(
+            s"dedup_corpus method => '$other' (exact|minhash|simhash)")
+        }
+        val components = graft.pipeline.Dedup.canonicalize(docs, idCol, pairs)
+        val outT = GraftTable.createOrReplace(spark, out, components.schema,
+          TableConfig(primaryKeys = Seq(idCol),
+            numBuckets = args.getOrElse("output_buckets", "4").toInt))
+        outT.write(components)
+        val total = outT.read().count()
+        val kept = outT.read().filter(col(idCol) === col("canonical")).count()
+        ok(s"dedup_corpus($method): $total docs -> $kept canonical at $out")
       case other => throw new IllegalArgumentException(s"unknown procedure $other")
     }
   }

@@ -57,7 +57,8 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
                      readOptions: Map[String, String] = Map.empty,
                      dv: Map[String, Array[Byte]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with SupportsReportOrdering {
 
   private var entries: Seq[ManifestEntry] = initial
 
@@ -214,6 +215,31 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
     val vals =
       if (t.fixedBucketKeys.isDefined) partVals :+ e.bucket else partVals
     new GenericInternalRow(vals.toArray[Any])
+  }
+
+  // ---- ordering report ----
+  /** Per-partition PK sort order (reference PaimonScan.scala:122
+    * outputOrdering via SupportsReportOrdering), reported only in the SAFE
+    * case: a PK table whose physical order IS the primary key (no
+    * pk-clustering override), bucketed layout still reported, the PKs
+    * surviving the projection, and every (partition, bucket) key group
+    * holding exactly ONE data file — i.e. fully-compacted buckets, where
+    * each file serves rows PK-sorted and nothing concatenates behind it
+    * (bin-packed multi-file groups would interleave key ranges). A window
+    * or sort-merge join keyed on the PK over such a read then plans with
+    * neither Exchange nor Sort. DV-filtered reads keep file order, so the
+    * report survives deletion vectors. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val pks = t.config.primaryKeys
+    val out = readSchema().fieldNames.toSet
+    val safe = pks.nonEmpty && !bucketedDisabled && entries.nonEmpty &&
+      t.config.option("pk-clustering-override", "false") != "true" &&
+      pks.forall(out.contains) &&
+      entries.groupBy(e => (e.partition.toSeq.sortBy(_._1), e.bucket))
+        .forall(_._2.size == 1)
+    if (!safe) Array.empty
+    else pks.map(pk => Expressions.sort(Expressions.column(pk),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -78,10 +78,15 @@ object Dedup {
   }
 
   /** The banding + verify half of [[minhashLshPairs]], over precomputed
-    * signature material (inline scan or the persisted index). */
+    * signature material (inline scan or the persisted index). `touch`:
+    * delta scope — (delta member ids, delta (band, bk) keys); when set,
+    * only band buckets containing a delta signature enter the candidate
+    * aggregation (banding work O(touched buckets)) and only pairs touching
+    * a delta id are emitted ([[minhashPairsFromIndexSince]]). */
   private def pairsFromSignatures(perDoc: DataFrame, idCol: String,
                                   sigLen: Int, nBands: Int, threshold: Double,
-                                  maxBucketIds: Int): DataFrame = {
+                                  maxBucketIds: Int,
+                                  touch: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(sigLen % nBands == 0, "sigLen must be divisible by nBands")
     val rpb = sigLen / nBands
     // one representative per fingerprint: same text ⇒ same hashes, so
@@ -92,10 +97,17 @@ object Dedup {
         first(col("__n")).as("__n"))
       .persist()
     val memb = perDoc.select(col("__fp"), col(idCol).as("__m"))
-    val banded = reps.select(col("__fp"),
+    val bandedAll = reps.select(col("__fp"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), TextOps.bandKey(col("__sig"), b, rpb).as("bk"))): _*)).as("b"))
       .select(col("__fp"), col("b.band").as("band"), col("b.bk").as("bk"))
+    // delta scope: only buckets a delta signature touches survive — the
+    // broadcast semi-join runs map-side, so untouched buckets never shuffle
+    val banded = touch match {
+      case Some((_, keys)) =>
+        bandedAll.join(broadcast(keys), Seq("band", "bk"), "left_semi")
+      case None => bandedAll
+    }
     // candidate rep pairs by bucket aggregation, not a banded self-join: ONE
     // shuffle of the (fp, band, key) set, then capped in-bucket expansion
     // (the row_number rides the same hash partitioning the aggregation
@@ -129,15 +141,33 @@ object Dedup {
     // re-expand through the fingerprint groups: cross-group pairs inherit
     // their reps' jaccard; within-group pairs are exact duplicates (the
     // threshold guard only matters for a nonsensical threshold > 1)
-    val cross = repPairs
+    val crossAll = repPairs
       .join(memb.select(col("__fp").as("f1"), col("__m").as("m1")), "f1")
       .join(memb.select(col("__fp").as("f2"), col("__m").as("m2")), "f2")
       .select(least(col("m1"), col("m2")).as("v1"),
         greatest(col("m1"), col("m2")).as("v2"), col("jac"))
-    val within = memb.select(col("__fp"), col("__m").as("v1"))
-      .join(memb.select(col("__fp"), col("__m").as("v2")), "__fp")
-      .filter(col("v1") < col("v2") && lit(1.0) >= lit(threshold))
-      .select(col("v1"), col("v2"), lit(1.0).as("jac"))
+    val (cross, within) = touch match {
+      case None =>
+        (crossAll,
+          memb.select(col("__fp"), col("__m").as("v1"))
+            .join(memb.select(col("__fp"), col("__m").as("v2")), "__fp")
+            .filter(col("v1") < col("v2") && lit(1.0) >= lit(threshold))
+            .select(col("v1"), col("v2"), lit(1.0).as("jac")))
+      case Some((ids, _)) =>
+        val tids = broadcast(ids.select(col(ids.columns.head).cast("long")
+          .as("__tid")).distinct())
+        // within-group pairs expand only against DELTA members (O(group ×
+        // delta-in-group), never all within pairs re-enumerated)
+        val membDelta = memb.join(tids, col("__m") === col("__tid"), "left_semi")
+          .select(col("__fp"), col("__m").as("__md"))
+        (crossAll.join(tids,
+          col("v1") === col("__tid") || col("v2") === col("__tid"), "left_semi"),
+          memb.join(membDelta, "__fp")
+            .filter(col("__m") =!= col("__md") && lit(1.0) >= lit(threshold))
+            .select(least(col("__m"), col("__md")).as("v1"),
+              greatest(col("__m"), col("__md")).as("v2"), lit(1.0).as("jac"))
+            .distinct())
+    }
     cross.unionByName(within)
       .select(col("v1"), col("v2"), round(col("jac"), 4).as("jac"))
   }
@@ -204,6 +234,56 @@ object Dedup {
     val perDoc = index.read().select(col(idCol), col("fp").as("__fp"),
       col("hsd").as("__hsd"), col("sig").as("__sig"), col("n").as("__n"))
     pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds)
+  }
+
+  /** DELTA-scoped near-dup pairs from the persisted index: exactly the
+    * full run's pairs that TOUCH a document new/changed since
+    * `sinceSnapshot` (the index table's snapshot id before the refresh).
+    * Banding work is O(touched buckets): the delta rows' own signatures
+    * yield the touched (band, key) set, a broadcast semi-join keeps only
+    * those buckets ahead of the candidate aggregation, and within-group
+    * expansion pairs members only against delta members. Metrics gate (the
+    * index-maintenance posture, cf. [[refreshMinhashIndex]]):
+    * `lastMinhashDeltaDocs` / `lastMinhashTouchedBuckets` gauges — both 0
+    * on a no-change repeat, which also short-circuits to an empty result
+    * with zero banding work. */
+  def minhashPairsFromIndexSince(index: graft.core.GraftTable, idCol: String,
+                                 sinceSnapshot: Long,
+                                 nBands: Int = 4, threshold: Double = 0.8,
+                                 maxBucketIds: Int = 1024): DataFrame = {
+    val sigLen = index.config.option("minhash.sig-len", "8").toInt
+    require(sigLen % nBands == 0, "sigLen must be divisible by nBands")
+    val rpb = sigLen / nBands
+    val metrics = graft.core.GraftMetrics.forTable(index.location)
+    val latest = index.sm.snapshotIds.maxOption.getOrElse(0L)
+    val empty = index.read()
+      .select(col(idCol).as("v1"), col(idCol).as("v2"), lit(1.0).as("jac"))
+      .limit(0)
+    if (sinceSnapshot >= latest) {
+      metrics.gauge("lastMinhashDeltaDocs", 0L)
+      metrics.gauge("lastMinhashTouchedBuckets", 0L)
+      return empty
+    }
+    val delta = index.incremental(sinceSnapshot, latest)
+      .select(col(idCol), col("sig")).persist()
+    val deltaDocs = delta.count()
+    metrics.gauge("lastMinhashDeltaDocs", deltaDocs)
+    if (deltaDocs == 0) {
+      metrics.gauge("lastMinhashTouchedBuckets", 0L)
+      delta.unpersist()
+      return empty
+    }
+    // the delta docs' band keys ARE their fingerprint reps' keys (same
+    // text ⇒ same signature), so they cover every bucket a delta rep sits in
+    val deltaKeys = delta.select(explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), TextOps.bandKey(col("sig"), b, rpb).as("bk"))): _*)).as("b"))
+      .select(col("b.band").as("band"), col("b.bk").as("bk"))
+      .distinct().persist()
+    metrics.gauge("lastMinhashTouchedBuckets", deltaKeys.count())
+    val perDoc = index.read().select(col(idCol), col("fp").as("__fp"),
+      col("hsd").as("__hsd"), col("sig").as("__sig"), col("n").as("__n"))
+    pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds,
+      touch = Some((delta.select(col(idCol)), deltaKeys)))
   }
 
   /** All-pairs n-gram Jaccard within blocks (for modest block sizes; the

@@ -27,6 +27,7 @@ object RaceWriter {
   def main(args: Array[String]): Unit = {
     val Array(loc, syncDir, writerId, commitsStr) = args.take(4)
     val commits = commitsStr.toInt
+    val mode = if (args.length > 4) args(4) else "append"
     val spark = SparkSession.builder()
       .master("local[1]")
       .appName(s"graft-race-$writerId")
@@ -50,15 +51,55 @@ object RaceWriter {
       require(f.exists(), s"race coordinator never signalled $name")
       true
     }
+    def cumulativeRetries(): Long = GraftMetrics.forTable(loc).rows
+      .collectFirst { case ("totalCommitRetries", _, v) => v.toLong }
+      .getOrElse(0L)
+    // ---- postpone fixed-bucket arm: coordinator-gated rounds where writer
+    // A's big batch forces a RESCALE (separate overwrite commit) while
+    // writer B concurrently appends with the per-partition count it read —
+    // the real-interleaving version of PostponeFixedBucketSpec's forged
+    // mixed-layout state. Each round targets a fresh partition p<r> with
+    // round-scoped keys (partition stays a function of the key); B jitters
+    // its start across rounds to sweep the commit-window offsets. The
+    // coordinator stops the rounds once it observes a mixed layout.
+    if (mode == "postpone") {
+      await("go")
+      var round = 0
+      var waves = 0
+      var go2 = true
+      while (go2) {
+        new java.io.File(sync, s"ready2-$writerId-$round").createNewFile()
+        if (!await(s"go2-$round", "stopburst")) go2 = false
+        else {
+          if (writerId == "B") Thread.sleep((round % 8) * 40L)
+          val keyBase = round * 1000L
+          val df =
+            if (writerId == "A")
+              (0 until 300).map(j => (keyBase + j, s"p$round", j.toDouble))
+                .toDF("k", "p", "v")
+            else
+              (0 until 50).map(j => (keyBase + j, s"p$round", j + 0.5))
+                .toDF("k", "p", "v")
+          t.write(df)
+          waves += 1
+          val f = new java.io.File(sync, s"done-$writerId-$round")
+          val tmp = new java.io.File(sync, s".done-$writerId-$round.tmp")
+          java.nio.file.Files.write(tmp.toPath,
+            cumulativeRetries().toString.getBytes("UTF-8"))
+          tmp.renameTo(f)
+          round += 1
+        }
+      }
+      println(s"""RACE_RESULT {"writer":"$writerId","commits":$waves,"burst":0,"retries":${cumulativeRetries()}}""")
+      spark.stop()
+      return
+    }
     await("go")
     (0 until commits).foreach { i =>
       t.write((0 until 10).map(j => (s"$writerId-$i-$j", writerId))
         .toDF("k", "w"))
       if (writerId == "A" && i == commits / 2) t.compact()
     }
-    def cumulativeRetries(): Long = GraftMetrics.forTable(loc).rows
-      .collectFirst { case ("totalCommitRetries", _, v) => v.toLong }
-      .getOrElse(0L)
     // burst phase, in coordinator-gated ROUNDS: metadata-only commits in a
     // tight loop from BOTH JVMs at once — the pure-CAS duty cycle is ~100%,
     // so a round where the two JVMs actually overlap observably loses CAS

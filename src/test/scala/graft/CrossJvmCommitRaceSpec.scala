@@ -136,4 +136,116 @@ class CrossJvmCommitRaceSpec extends SparkTestBase {
       pa.destroyForcibly(); pb2.destroyForcibly()
     }
   }
+
+  test("postpone fixed-bucket: concurrent append vs rescale across two JVMs — merge, refusal, healing") {
+    val loc = tmpLoc("xrace-pp")
+    val syncDir = java.nio.file.Files.createTempDirectory("graft-xrace-pp-sync").toFile
+    GraftTable.create(spark, loc,
+      Seq((1L, "p0", 1.0)).toDF("k", "p", "v").schema,
+      TableConfig(primaryKeys = Seq("k"), partitionKeys = Seq("p"),
+        numBuckets = -2, options = Map(
+          "postpone.target-row-num-per-bucket" -> "10",
+          "postpone.batch-write-fixed-bucket.rescale-load-factor" -> "8")))
+    val javaBin = new File(new File(System.getProperty("java.home"), "bin"), "java").getPath
+    def spawn(id: String): (Process, File) = {
+      val out = File.createTempFile(s"xrace-pp-$id", ".log")
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx1500m", "-cp", classpath,
+        "graft.tools.RaceWriter", loc, syncDir.getPath, id, "0", "postpone"))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(out)
+      (pb.start(), out)
+    }
+    val (pa, oa) = spawn("A")
+    val (pb2, ob) = spawn("B")
+    try {
+      val deadline = System.currentTimeMillis() + 120000L
+      def ready(id: String) = new File(syncDir, s"ready-$id").exists()
+      while ((!ready("A") || !ready("B")) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+      assert(ready("A") && ready("B"), s"writers never became ready:" +
+        s"\nA:\n${scala.io.Source.fromFile(oa).mkString.takeRight(2000)}" +
+        s"\nB:\n${scala.io.Source.fromFile(ob).mkString.takeRight(2000)}")
+      new File(syncDir, "go").createNewFile()
+      // coordinator-gated rounds (the CAS-burst deflake pattern): each
+      // round both JVMs write the SAME fresh partition at one barrier —
+      // writer A infers/rescales to 32 buckets while writer B routes with
+      // whatever count it read; re-barrier until a mixed layout is live
+      def mixedParts(): Set[String] = {
+        val t = GraftTable.load(spark, loc)
+        t.sm.latestSnapshot.map(t.sm.liveEntries).getOrElse(Nil)
+          .filter(e => e.bucket >= 0 && e.totalBuckets > 0)
+          .groupBy(e => e.partition.toString)
+          .filter { case (_, es) => es.map(_.totalBuckets).distinct.size > 1 }
+          .keySet
+      }
+      val maxRounds = 15
+      val roundDeadline = deadline + 240000L
+      def waitFor(f: File): Boolean = {
+        while (!f.exists() && System.currentTimeMillis() < roundDeadline)
+          Thread.sleep(50L)
+        f.exists()
+      }
+      var roundsRun = 0
+      var continue = true
+      while (continue && roundsRun < maxRounds && mixedParts().isEmpty) {
+        val r = roundsRun
+        continue = waitFor(new File(syncDir, s"ready2-A-$r")) &&
+          waitFor(new File(syncDir, s"ready2-B-$r"))
+        if (continue) {
+          new File(syncDir, s"go2-$r").createNewFile()
+          continue = waitFor(new File(syncDir, s"done-A-$r")) &&
+            waitFor(new File(syncDir, s"done-B-$r"))
+          if (continue) roundsRun += 1
+        }
+      }
+      new File(syncDir, "stopburst").createNewFile()
+      assert(roundsRun > 0, "no postpone round completed before the deadline")
+      val mixed = mixedParts()
+      assert(mixed.nonEmpty,
+        s"no mixed routing layout arose in $roundsRun rounds — raise the budget")
+      assert(pa.waitFor(180, TimeUnit.SECONDS), "writer A timed out")
+      assert(pb2.waitFor(180, TimeUnit.SECONDS), "writer B timed out")
+      assert(pa.exitValue() == 0, scala.io.Source.fromFile(oa).mkString.takeRight(2000))
+      assert(pb2.exitValue() == 0, scala.io.Source.fromFile(ob).mkString.takeRight(2000))
+      // fast paths refuse the mixed state: the global-by-pk merge serves it
+      val tMixed = GraftTable.load(spark, loc)
+      assert(tMixed.rawPlan().isEmpty && tMixed.morPlanEntries().isEmpty,
+        "raw/MOR fast paths must refuse a mixed-layout table")
+      // merged-read integrity under REAL interleaving: per round-partition,
+      // exactly one row per key (the mixed-layout hazard is a pk living in
+      // two buckets) and every value is one of the two writers' writes
+      def readAll(t: GraftTable): Map[(String, Long), Double] = t.read()
+        .select("p", "k", "v").as[(String, Long, Double)].collect()
+        .map { case (p, k, v) => (p, k) -> v }.toMap
+      val merged = readAll(tMixed)
+      val byPart = merged.groupBy(_._1._1)
+      byPart.foreach { case (p, rows) =>
+        val r = p.drop(1).toInt
+        // A wrote 300 keys; B's 50 overlap A's — if only B's wave landed
+        // in a partial last round, 50 keys is also a legal state
+        assert(rows.size == 300 || rows.size == 50,
+          s"$p: ${rows.size} rows — duplicate pks across layouts?")
+        rows.foreach { case ((_, k), v) =>
+          val j = k - r * 1000L
+          assert(v == j.toDouble || v == j + 0.5,
+            s"$p key $k carries a value neither writer wrote: $v")
+        }
+      }
+      // compaction heals: one layout per partition, merged answer unchanged
+      import graft.core.RowOps._
+      tMixed.compact()
+      val tHealed = GraftTable.load(spark, loc)
+      val layouts = tHealed.sm.latestSnapshot.map(tHealed.sm.liveEntries).getOrElse(Nil)
+        .filter(e => e.bucket >= 0 && e.totalBuckets > 0)
+        .groupBy(e => e.partition.toString)
+        .map { case (p, es) => p -> es.map(_.totalBuckets).distinct }
+      assert(layouts.values.forall(_.size == 1),
+        s"compaction should heal to one layout per partition, got $layouts")
+      assert(readAll(tHealed) == merged,
+        "compaction changed the merged answer")
+    } finally {
+      pa.destroyForcibly(); pb2.destroyForcibly()
+    }
+  }
 }

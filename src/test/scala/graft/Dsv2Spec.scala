@@ -547,6 +547,44 @@ class Dsv2Spec extends SparkTestBase {
     }
   }
 
+  test("compacted PK read reports PK ordering: sort-merge SPJ plans with no exchange AND no sort") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    for (n <- Seq("sord_a", "sord_b")) {
+      spark.sql(s"""CREATE TABLE graft.db.$n (k BIGINT, v DOUBLE)
+                   TBLPROPERTIES ('primary-key'='k', 'bucket'='4')""")
+      spark.sql(s"INSERT INTO graft.db.$n SELECT id AS k, id * 1.0 AS v FROM range(120)")
+      import graft.core.RowOps._
+      GraftTable.load(spark, s"$wh/db.db/$n").compact()
+    }
+    val joinSql =
+      """SELECT a.k, a.v + b.v AS s FROM graft.db.sord_a a
+         JOIN graft.db.sord_b b ON a.k = b.k"""
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // fully compacted → each bucket is ONE PK-sorted file: the scan
+      // reports the PK ordering (SupportsReportOrdering — reference
+      // PaimonScan.outputOrdering), so the sort-merge join plans with
+      // neither Exchange (clustering from storage) nor Sort (ordering
+      // from storage)
+      val j = spark.sql(joinSql)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"SPJ should have no exchange:\n$plan")
+      assert(!plan.contains("Sort "), s"expected sort-free SMJ:\n$plan")
+      assert(j.count() == 120)
+      // an overlapping second write makes one side's buckets multi-file:
+      // its ordering report must retract (Sort returns; rows stay correct)
+      spark.sql("INSERT INTO graft.db.sord_a SELECT id AS k, id * 2.0 AS v FROM range(30)")
+      val j2 = spark.sql(joinSql)
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(plan2.contains("Sort "),
+        s"multi-file buckets must not report ordering:\n$plan2")
+      assert(j2.count() == 120)
+    }
+  }
+
   test("storage-partitioned join: co-bucketed APPEND tables (bucket-key) skip exchanges") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     for (n <- Seq("spjap_a", "spjap_b")) {

@@ -253,6 +253,51 @@ class PipelineSpec extends SparkTestBase {
     assert(stored == docs.count() + 1, s"stored=$stored") // 1L replaced, 100L new
   }
 
+  test("delta-scoped index pairs: O(touched buckets), equal to the full run's new-pair subset") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-mh-since")
+      .toString + "/idx"
+    val idx = Dedup.createMinhashIndex(spark, loc, "doc_id",
+      shingleN = 3, sigLen = 8)
+    Dedup.refreshMinhashIndex(idx, docs, "doc_id", "text")
+    val snap0 = idx.sm.snapshotIds.max
+    val metrics = graft.core.GraftMetrics.forTable(idx.location)
+    def gauge(n: String): Long = metrics.rows
+      .collectFirst { case (`n`, _, v) => v.toLong }.getOrElse(-1L)
+    // no-change repeat: empty output, ZERO delta docs, ZERO touched buckets
+    val none = Dedup.minhashPairsFromIndexSince(idx, "doc_id", snap0,
+      nBands = 4, threshold = 0.5)
+    assert(none.count() == 0)
+    assert(gauge("lastMinhashDeltaDocs") == 0L &&
+      gauge("lastMinhashTouchedBuckets") == 0L)
+    // delta: a near-dup of doc 1 (cross-group pair), an EXACT dup of doc 3
+    // (within-group pair), and an unrelated new doc (no pair)
+    val doc3Text = docs.filter(col("doc_id") === 3L).select("text").first().getString(0)
+    val more = Seq(
+      (501L, "the quick brown fox jumps over the lazy dog near the river bank today more"),
+      (600L, doc3Text),
+      (700L, "nothing shares any shingle with this isolated brand new sentence at all"))
+      .toDF("doc_id", "text")
+    assert(Dedup.refreshMinhashIndex(idx, more, "doc_id", "text") == 3L)
+    val since = Dedup.minhashPairsFromIndexSince(idx, "doc_id", snap0,
+      nBands = 4, threshold = 0.5)
+    val deltaIds = Set(501L, 600L, 700L)
+    val full = Dedup.minhashPairsFromIndex(idx, "doc_id",
+      nBands = 4, threshold = 0.5)
+    val expected = full.filter(col("v1").isin(deltaIds.toSeq: _*) ||
+      col("v2").isin(deltaIds.toSeq: _*))
+    assert(rowsOf(since.select("v1", "v2", "jac")) ==
+      rowsOf(expected.select("v1", "v2", "jac")))
+    val got = since.select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(got.contains((3L, 600L)), s"within-group delta pair missing: $got") // exact dup
+    assert(got.exists { case (a, b) => a == 501L || b == 501L },
+      s"cross-group delta pair missing: $got")
+    assert(got.forall { case (a, b) => deltaIds(a) || deltaIds(b) }, got)
+    // metrics gate: banding touched at most |delta| × nBands buckets
+    assert(gauge("lastMinhashDeltaDocs") == 3L)
+    val touched = gauge("lastMinhashTouchedBuckets")
+    assert(touched > 0L && touched <= 3L * 4L, s"touched=$touched")
+  }
+
   /** The UNGUARDED pre-r9 minhash pipeline (collect_list of raw doc ids per
     * bucket, no exact-duplicate collapse) — the differential baseline for the
     * mega-cluster guard: on any corpus the guarded path must emit the
