@@ -1736,17 +1736,24 @@ class GraftTable private (
       // until the next compaction)
       val rows =
         if (up.isRowTracking) up.applyPatches(raw, up.patchesFor(None)) else raw
+      // the join side carries DESCRIPTORS (~100 B), never payloads: the
+      // pread happens AFTER the join, on exactly the rows the view keeps —
+      // payload bytes never enter a shuffle, and a filtered view read never
+      // resolves upstream rows it dropped (the 100-TB shape; locally the
+      // descriptor shuffle is also strictly smaller)
       rows.select(lit(loc).as("__bv_loc"), lit(fld).as("__bv_fld"),
         col(GraftTable.ROW_ID).as("__bv_rid"),
-        graft.pipeline.Blob.resolveBlobBytes(spark)(col(fld)).as("__bv_bytes"))
+        col(fld).as("__bv_desc"))
     }.reduce(_ unionAll _)
     withKey.join(lookups,
         col(s"$keyCol.location") === col("__bv_loc") &&
           col(s"$keyCol.field") === col("__bv_fld") &&
           col(s"$keyCol.rowId") === col("__bv_rid"), "left")
       .withColumn(c,
-        when(col(keyCol).isNotNull, col("__bv_bytes")).otherwise(col(c)))
-      .drop(keyCol, "__bv_loc", "__bv_fld", "__bv_rid", "__bv_bytes")
+        when(col(keyCol).isNotNull,
+          graft.pipeline.Blob.resolveBlobBytes(spark)(col("__bv_desc")))
+          .otherwise(col(c)))
+      .drop(keyCol, "__bv_loc", "__bv_fld", "__bv_rid", "__bv_desc")
   }
 
   /** Fallback-branch composition: main partitions read from main, partitions

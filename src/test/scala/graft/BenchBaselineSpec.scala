@@ -11,15 +11,23 @@ class BenchBaselineSpec extends SparkTestBase {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("every bench baseline computes the same answer as its graft query") {
-    Seq("orders", "events", "lineitem").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
-    }
+    Seq("orders", "events", "lineitem", "customer", "nation", "documents")
+      .foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+      }
     Bench.baselineSql.foreach { case (name, sql) =>
       val base = spark.sql(sql)
       val graft = SparkEntry.queries(name)(spark, sfDir)
       // align by position: baselines use the same column order as the query
       val renamed = base.toDF(graft.columns: _*)
       assertSameRows(graft, renamed)
+    }
+    // DataFrame-shaped baselines (the LLM-pipeline headline queries) hold
+    // the same contract: answer-equivalent to the graft query they gate
+    Bench.baselineFns.foreach { case (name, fn) =>
+      val base = fn(spark, sfDir)
+      val graft = SparkEntry.queries(name)(spark, sfDir)
+      assertSameRows(graft, base.toDF(graft.columns: _*))
     }
   }
 
