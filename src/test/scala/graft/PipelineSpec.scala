@@ -817,6 +817,35 @@ class PipelineSpec extends SparkTestBase {
     emb.unpersist()
   }
 
+  test("batchTopKCols: carried columns survive the heaps — nulls, arrays, strings") {
+    val n = 200; val dim = 6
+    val emb = spark.range(n).select(col("id").as("vid"),
+      array((0 until dim).map(i => (rand(seed = 40 + i) * 2 - 1).cast("float")): _*)
+        .as("emb"),
+      when(col("id") % 3 === 0, lit(null: String))
+        .otherwise(concat(lit("t"), col("id"))).as("tag"),
+      array(col("id"), col("id") * 2).as("pair")).cache()
+    val queries = Seq(5L, 9L).map { q =>
+      q -> emb.filter(col("vid") === q).select("emb").first().getSeq[Float](0)
+    }
+    val got = Similarity.batchTopKCols(emb, "vid", "emb", queries, 7,
+      Seq("tag", "pair"))
+    // ids + scores identical to the carry-free path
+    assertSameRows(
+      got.select(col("qid"), col("__id"), round(col("__score"), 6)),
+      Similarity.batchTopK(emb, "vid", "emb", queries, 7)
+        .select(col("qid"), col("vid"), round(col("__score"), 6)))
+    // carried values are the hit rows' own (incl. null tags), never crossed
+    val ref = emb.select(col("vid"), col("tag"), col("pair")).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getSeq[Long](2))).toMap
+    got.select(col("__id"), col("__c_0"), col("__c_1")).collect().foreach { r =>
+      val (tag, pair) = ref(r.getLong(0))
+      assert(Option(r.getString(1)) == tag, s"tag mismatch for id ${r.getLong(0)}")
+      assert(r.getSeq[Long](2) == pair, s"pair mismatch for id ${r.getLong(0)}")
+    }
+    emb.unpersist()
+  }
+
   test("persisted IVF index: probe = partition pruning; full probe = exact") {
     val loc = tmpLoc("ivfidx")
     val rnd = new scala.util.Random(7)
