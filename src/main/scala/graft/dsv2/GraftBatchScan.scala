@@ -218,29 +218,86 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
   }
 
   // ---- ordering report ----
-  /** Per-partition PK sort order (reference PaimonScan.scala:122
-    * outputOrdering via SupportsReportOrdering), reported only in the SAFE
-    * case: a PK table whose physical order IS the primary key (no
-    * pk-clustering override), bucketed layout still reported, the PKs
-    * surviving the projection, and every (partition, bucket) key group
-    * holding exactly ONE data file — i.e. fully-compacted buckets, where
-    * each file serves rows PK-sorted and nothing concatenates behind it
-    * (bin-packed multi-file groups would interleave key ranges). A window
-    * or sort-merge join keyed on the PK over such a read then plans with
-    * neither Exchange nor Sort. DV-filtered reads keep file order, so the
-    * report survives deletion vectors. */
-  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+  /** Per-group file runs proving the scan can serve every (partition,
+    * bucket) key group PK-sorted — the gate behind [[outputOrdering]] and
+    * the matching one-partition-per-group layout in
+    * [[planInputPartitions]]. A group qualifies when it holds:
+    *  - exactly ONE data file (with or without a DV — the DV filter keeps
+    *    file order), the fully-compacted small-bucket case; or
+    *  - a DV-free size-rolled compaction run whose files are STRICTLY
+    *    disjoint on the first PK column by manifest bounds, concatenated
+    *    in min-bound order. Strict `<` between a file's recorded max and
+    *    the next file's recorded min proves no pk1 value spans two files,
+    *    so the concatenation preserves the full composite-PK order (equal
+    *    pk1 rows are confined to one file, which is internally sorted by
+    *    the whole key). Truncated (inexact) string stats stay safe: the
+    *    writer records a true lower bound for min and INCREMENTS a
+    *    truncated max into a true upper bound, so the check is
+    *    conservative. This is the at-scale shape — a 1 GB-target
+    *    compaction rolls a big bucket into several key-disjoint sorted
+    *    files, which must not lose the report the single-file case has.
+    *    Multi-file runs additionally require v2 bucketing (then the
+    *    reported key grouping makes each group ONE task, so the
+    *    consolidated partition layout costs no parallelism; without it we
+    *    must not pin a group to a single task just to keep an ordering
+    *    the session cannot exploit exchange-free anyway).
+    * Returns None — and [[outputOrdering]] reports nothing — unless EVERY
+    * group qualifies. */
+  private def orderedGroupRuns(): Option[Seq[Seq[ManifestEntry]]] = {
     val pks = t.config.primaryKeys
-    val out = readSchema().fieldNames.toSet
-    val safe = pks.nonEmpty && !bucketedDisabled && entries.nonEmpty &&
-      t.config.option("pk-clustering-override", "false") != "true" &&
-      pks.forall(out.contains) &&
-      entries.groupBy(e => (e.partition.toSeq.sortBy(_._1), e.bucket))
-        .forall(_._2.size == 1)
-    if (!safe) Array.empty
-    else pks.map(pk => Expressions.sort(Expressions.column(pk),
-      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+    if (pks.isEmpty || bucketedDisabled || entries.isEmpty ||
+        t.config.option("pk-clustering-override", "false") == "true" ||
+        !pks.forall(readSchema().fieldNames.toSet.contains)) return None
+    val cached = orderedRunsCache
+    if (cached != null && (cached._1 eq entries)) return cached._2
+    val pk1 = pks.head
+    val dt = t.dataSchema.fields.find(_.name == pk1).map(_.dataType)
+      .getOrElse(return None)
+    val v2Bucketing = t.spark.sessionState.conf
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    val groups = entries.groupBy(e => (e.partition.toSeq.sortBy(_._1), e.bucket))
+      .toSeq.sortBy(_._1.toString).map(_._2)
+    val runs: Seq[Option[Seq[ManifestEntry]]] = groups.map {
+      case g if g.size == 1 => Some(g)
+      case g if !v2Bucketing ||
+          g.exists(e => dv.contains(GraftTable.dvKey(e.path))) => None
+      case g =>
+        val bounds = g.map(e => e.stats.get(pk1)
+          .filter(s => s.min != null && s.max != null).map(s => (e, s)))
+        if (bounds.exists(_.isEmpty)) None
+        else {
+          val run = bounds.flatten
+            .sortWith((a, b) => graft.core.StatsPrune.compare(dt, a._2.min, b._2.min) < 0)
+          val disjoint = run.zip(run.drop(1)).forall { case ((_, a), (_, b)) =>
+            graft.core.StatsPrune.compare(dt, a.max, b.min) < 0 }
+          if (disjoint) Some(run.map(_._1)) else None
+        }
+    }
+    val out = if (runs.exists(_.isEmpty)) None else Some(runs.map(_.get))
+    orderedRunsCache = (entries, out)
+    out
   }
+
+  /** Memo keyed on the entries reference — runtime filtering swaps the
+    * seq, invalidating it; outputPartitioning/outputOrdering/
+    * planInputPartitions may each consult the runs several times per
+    * plan. */
+  @volatile private var orderedRunsCache
+      : (Seq[ManifestEntry], Option[Seq[Seq[ManifestEntry]]]) = null
+
+  /** Per-partition PK sort order (reference PaimonScan.scala:122
+    * outputOrdering via SupportsReportOrdering), reported only when
+    * [[orderedGroupRuns]] proves every key group serves PK-sorted: a PK
+    * table whose physical order IS the primary key (no pk-clustering
+    * override), bucketed layout still reported, the PKs surviving the
+    * projection, and each group either a single file or a stats-disjoint
+    * compaction run read in bound order. A window or sort-merge join keyed
+    * on the PK over such a read then plans with neither Exchange nor
+    * Sort. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (orderedGroupRuns().isEmpty) Array.empty
+    else t.config.primaryKeys.map(pk => Expressions.sort(Expressions.column(pk),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (entries.isEmpty) return Array.empty
@@ -264,6 +321,29 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
     // bucketed-scan-disabled: one big group, so packing crosses (partition,
     // bucket) boundaries — legal because the layout is no longer reported
     // (partition values live in the data columns, not the directory row)
+    val orderedRuns = orderedGroupRuns()
+    // ordering reported → each multi-file group becomes ONE partition with
+    // its files in the proven concatenation (min-bound) order, so the task
+    // streams the group PK-sorted regardless of how Spark assembles grouped
+    // partitions. Costs no parallelism: the runs only exist under v2
+    // bucketing, where the reported key grouping already pins one task per
+    // group.
+    orderedRuns match {
+      case Some(runs) if runs.exists(_.size > 1) =>
+        return runs.map { run =>
+          val key = partitionKeyRow(run.head)
+          run match {
+            case Seq(e) if dv.contains(GraftTable.dvKey(e.path)) =>
+              val b = dv(GraftTable.dvKey(e.path))
+              GraftInputPartition(Array(toFile(e)), key,
+                DvCache.fingerprint(GraftTable.dvKey(e.path), b), b)
+            case es =>
+              // multi-file runs are DV-free by the gate; order is the run's
+              GraftInputPartition(es.map(toFile).toArray, key)
+          }
+        }.toArray[InputPartition]
+      case _ => ()
+    }
     val groups: Seq[Seq[ManifestEntry]] =
       if (bucketedDisabled) Seq(entries.sortBy(_.path))
       else entries.groupBy(e => (e.partition.toSeq.sortBy(_._1), e.bucket)).toSeq

@@ -580,8 +580,70 @@ class Dsv2Spec extends SparkTestBase {
       val j2 = spark.sql(joinSql)
       val plan2 = j2.queryExecution.executedPlan.toString
       assert(plan2.contains("Sort "),
-        s"multi-file buckets must not report ordering:\n$plan2")
+        s"overlapping level-0 writes must not report ordering:\n$plan2")
       assert(j2.count() == 120)
+    }
+  }
+
+  test("size-rolled compaction keeps the ordering report: multi-file disjoint buckets, no sort") {
+    // the at-scale shape: a 1 GB-target compaction rolls one bucket into
+    // SEVERAL key-disjoint pk-sorted files — the report must survive it,
+    // not just the single-file-per-bucket demo case
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    for (n <- Seq("sroll_a", "sroll_b")) {
+      spark.sql(s"""CREATE TABLE graft.db.$n (k BIGINT, v DOUBLE)
+                   TBLPROPERTIES ('primary-key'='k', 'bucket'='2',
+                                  'write.max-records-per-file'='20')""")
+      spark.sql(s"INSERT INTO graft.db.$n SELECT id AS k, id * 1.0 AS v FROM range(120)")
+      import graft.core.RowOps._
+      GraftTable.load(spark, s"$wh/db.db/$n").compact()
+      // the premise: at least one (partition, bucket) group really is
+      // multi-file after compaction (rolled at 20 records)
+      val groups = GraftTable.load(spark, s"$wh/db.db/$n").planFiles()
+        .groupBy(_.bucket).values
+      assert(groups.exists(_.size > 1),
+        s"fixture defeated: compaction did not roll multiple files per bucket")
+    }
+    val joinSql =
+      """SELECT a.k, a.v + b.v AS s FROM graft.db.sroll_a a
+         JOIN graft.db.sroll_b b ON a.k = b.k"""
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = spark.sql(joinSql)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"SPJ should have no exchange:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"disjoint rolled files must keep the sort-free SMJ:\n$plan")
+      // the report is a promise about DATA, not just plan shape: the join
+      // result is exact (an unsorted stream under a sort-free SMJ would
+      // silently drop matches), and every scan task streams k ascending
+      assert(j.count() == 120)
+      assert(j.agg(sum(col("s"))).head().getDouble(0) == (0 until 120).map(_ * 2.0).sum)
+      val unsortedTasks = spark.sql("SELECT k FROM graft.db.sroll_a")
+        .rdd.mapPartitions { it =>
+          var prev = Long.MinValue; var bad = 0
+          it.foreach { r =>
+            val k = r.getLong(0)
+            if (k <= prev) bad += 1
+            prev = k
+          }
+          Iterator.single(bad)
+        }.collect().sum
+      assert(unsortedTasks == 0,
+        s"$unsortedTasks out-of-order rows inside scan tasks")
+    }
+    // without v2 bucketing the key grouping is not in force (a group may
+    // split across tasks), so multi-file groups must RETRACT the report
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan3 = spark.sql(joinSql).queryExecution.executedPlan.toString
+      assert(plan3.contains("Sort "),
+        s"multi-file groups without v2 bucketing must not report ordering:\n$plan3")
     }
   }
 
