@@ -40,8 +40,11 @@ object Fixtures {
   // v4: PK-search TVF routing sidecars landed (pk-search-ref / pk-fulltext
   // back-references written at fixture build) — v3 embed_pk/docs_pk
   // fixtures lack them, so the TVF rows would silently take the wrong route
+  // v5: the sorted-write guarantee (writeFiles (pt, bucket, pks) local
+  // sort) — v4 fixtures may hold preMerged files in scrambled order, which
+  // the k-way MOR merge now refuses loudly
   private def fixRoot(sfDir: String): String =
-    s"/tmp/graft-fixtures/v4/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    s"/tmp/graft-fixtures/v5/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
 
   /** One sfDir per session for catalog fixtures: Spark caches the
     * instantiated `graft_fix` catalog, so a later warehouse-conf change is

@@ -817,16 +817,25 @@ class GraftTable private (
       // unaffected (MOR merge + DVs are order-independent)
       val sortCols =
         if (clusteringOverride.nonEmpty) clusteringOverride else pks
-      // key order: (BUCKET, PT, data sort). Deliberately NOT the writer's
-      // required (PT, BUCKET) prefix: when the orderings match, the planned-
-      // write path + AQE treat our local sort as unneeded and DROP it
-      // (empirically: every rolled file then spans the full sort-key range);
-      // mismatched, the writer adds its own (PT, BUCKET) sort on top, which
-      // sorts equal-key runs stably over our pre-sorted input — rolled files
-      // carry tight disjoint sort-key ranges (verified by probe + tests)
+      // key order: (PT, BUCKET, data sort) — the writer's required
+      // (PT, BUCKET) prefix first, so the write needs NO sort of its own
+      // and every file comes out data-sorted within its (pt, bucket)
+      // directory. In-file data order is a CORRECTNESS invariant (the
+      // k-way MOR merge and the multi-file ordering report both consume
+      // it), which is why saves below run with the PLANNED-WRITE rewrite
+      // disabled: V1Writes (Spark 3.4+) re-plans the write's ordering
+      // requirement logically and, for window-shaped frames (compaction's
+      // merge) or frames whose sort keys fold differently than the
+      // requirement's, replaces this local sort with its own
+      // partition-columns-only Sort — scrambling data order inside each
+      // directory. The legacy runtime path compares the CHILD's physical
+      // ordering against the requirement and keeps our sort when it
+      // matches. tools/ProbeWriteSort reproduces the failure modes;
+      // CoreTableSpec pins file-sortedness across
+      // plain/merge-into/compaction/rolled.
       df = df.repartition(routeCols: _*)
         .sortWithinPartitions(
-          (Seq(col(BUCKET), col(PT)) ++ sortCols.map(col)).toIndexedSeq: _*)
+          (Seq(col(PT), col(BUCKET)) ++ sortCols.map(col)).toIndexedSeq: _*)
     } else if (!isPk && fixedBucketKeys.isDefined) {
       // bucketed append: co-locate each bucket's rows so a write emits one
       // file per (partition, bucket), not tasks × buckets small files
@@ -846,7 +855,18 @@ class GraftTable private (
     val writer = df.write.options(fmtOptions)
     config.options.get("write.max-records-per-file")
       .foreach(n => writer.option("maxRecordsPerFile", n))
-    writer.partitionBy(PT, BUCKET).format(formatProvider).save(stagingAbs)
+    // planned-write OFF for the save: see the routing-sort comment above —
+    // the legacy write path is what keeps the per-(pt, bucket) data sort
+    // (scoped set/restore; graft writes are driver-side and sequential
+    // per session)
+    val pwKey = "spark.sql.optimizer.plannedWrite.enabled"
+    val pwPrev = spark.conf.getOption(pwKey)
+    spark.conf.set(pwKey, "false")
+    try writer.partitionBy(PT, BUCKET).format(formatProvider).save(stagingAbs)
+    finally pwPrev match {
+      case Some(v) => spark.conf.set(pwKey, v)
+      case None => spark.conf.unset(pwKey)
+    }
 
     val entries = collectStats(stagingAbs, level)
     // per-file secondary indexes (bloom/bitmap/bsi) for the new files —

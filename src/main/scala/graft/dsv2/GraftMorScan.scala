@@ -132,6 +132,28 @@ case class GraftMorInputPartition(files: Array[PartitionedFile],
   override def preferredLocations(): Array[String] = Array.empty
 }
 
+object GraftMorReaderFactory {
+  /** Fresh factory clone via a serialization round-trip. Two readers
+    * created from ONE ParquetPartitionReaderFactory corrupt each other
+    * when their next() calls interleave (ProbeMorInterleave reproduces
+    * it: the earlier reader starts returning all-zero rows after the
+    * later one advances — Spark only ever drains a factory's readers
+    * sequentially, so the factory keeps per-reader lazy state it never
+    * expects to share). The k-way merge holds all of a group's readers
+    * open at once, so each gets its own clone; the round-trip resets
+    * every transient/lazy field to its freshly-deserialized state. */
+  private[dsv2] def cloneFactory(f: ParquetPartitionReaderFactory)
+      : ParquetPartitionReaderFactory = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(f); oos.close()
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    try ois.readObject().asInstanceOf[ParquetPartitionReaderFactory]
+    finally ois.close()
+  }
+}
+
 case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
                                  dvDelegate: ParquetPartitionReaderFactory,
                                  pkIdx: Array[Int], seqIdx: Int, seq2Idx: Int, commitIdx: Int,
@@ -141,13 +163,22 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
-  private def fileReader(gp: GraftMorInputPartition, i: Int)
+  /** One file's reader. `isolated` = give the reader ITS OWN factory
+    * clone — required whenever several of a group's readers are open at
+    * once (the k-way merge): see GraftMorReaderFactory.cloneFactory. The
+    * raw streamed path drains files one at a time and keeps the shared
+    * factories (Spark's own sequential pattern). */
+  private def fileReader(gp: GraftMorInputPartition, i: Int,
+                         isolated: Boolean = false)
       : PartitionReader[InternalRow] = {
     val fp = FilePartition(0, Array(gp.files(i)))
-    if (gp.dvBytes(i) == null) delegate.createReader(fp)
+    if (gp.dvBytes(i) == null)
+      (if (isolated) GraftMorReaderFactory.cloneFactory(delegate)
+       else delegate).createReader(fp)
     else {
       val bm = DvCache.bitmapFp(gp.dvFps(i), gp.dvBytes(i))
-      val inner = dvDelegate.createReader(fp)
+      val inner = (if (isolated) GraftMorReaderFactory.cloneFactory(dvDelegate)
+                   else dvDelegate).createReader(fp)
       new PartitionReader[InternalRow] {
         private var pos = -1L
         private var cur: InternalRow = _
@@ -173,48 +204,136 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
     new PartitionReader[InternalRow] {
       private var it: Iterator[InternalRow] = _
       private var cur: InternalRow = _
+      private var openReaders: Array[PartitionReader[InternalRow]] = _
 
+      /** Streaming K-WAY merge over the group's PK-SORTED files (every
+        * PK write sorts within (bucket, pt) by the primary key — see
+        * GraftTable.writeFiles — so file streams arrive key-ordered; the
+        * reference merges the same way, mergetree/MergeTreeReaders.java:44
+        * via SortMergeReader). Per key, candidate versions are adjacent at
+        * the heap front: readers are drained for the key in ascending file
+        * index and rows within a reader in stream order — the SAME
+        * encounter order the previous hash implementation used, so the
+        * (seq, seq2, commit, pos) winner (strict-improvement comparator)
+        * is bit-identical. Memory is O(#files) head rows per task instead
+        * of O(distinct keys) winner rows — the at-scale bound a merge
+        * over a 1-GB-target bucket needs — and the emission is PK-sorted,
+        * which is what lets the scan report SupportsReportOrdering. */
       private def merged(): Iterator[InternalRow] = {
-        val pkProj = UnsafeProjection.create(
+        val n = gp.files.length
+        val readers = Array.tabulate(n)(fileReader(gp, _, isolated = true))
+        openReaders = readers
+        // one pk projection per reader: a projection's result buffer is
+        // stable until ITS next apply, and a reader re-projects only when
+        // it advances (outside the heap), so heads compare safely
+        // TWO alternating projections per reader: the freshly-projected pk
+        // lands in the buffer the PREVIOUS row didn't use, so the
+        // sortedness guard compares prev vs current with zero copies
+        val pkProjs = Array.fill(2 * n)(UnsafeProjection.create(
           pkIdx.map(i => BoundReference(i, wideTypes(i), true)
-            : org.apache.spark.sql.catalyst.expressions.Expression))
-        // pk -> (seq, commit, pos, winning row copy)
-        val winners = new java.util.HashMap[UnsafeRow, Array[Any]]()
-        var i = 0
-        while (i < gp.files.length) {
-          val r = fileReader(gp, i)
-          try {
-            while (r.next()) {
-              val row = r.get()
-              val seq = row.getLong(seqIdx)
-              val seq2 = if (row.isNullAt(seq2Idx)) 0L else row.getLong(seq2Idx)
-              val cm = row.getLong(commitIdx)
-              val pos = if (row.isNullAt(posIdx)) Long.MinValue
-                        else row.getLong(posIdx)
-              val key = pkProj(row)
-              val prev = winners.get(key)
-              val better = prev == null || {
-                val c =
-                  if (seq != prev(0).asInstanceOf[Long])
-                    java.lang.Long.compare(seq, prev(0).asInstanceOf[Long])
-                  else if (seq2 != prev(1).asInstanceOf[Long])
-                    java.lang.Long.compare(seq2, prev(1).asInstanceOf[Long])
-                  else if (cm != prev(2).asInstanceOf[Long])
-                    java.lang.Long.compare(cm, prev(2).asInstanceOf[Long])
-                  else java.lang.Long.compare(pos, prev(3).asInstanceOf[Long])
-                if (latestFirst) c > 0 else c < 0
-              }
-              if (better)
-                winners.put(key.copy(), Array[Any](seq, seq2, cm, pos, row.copy()))
-            }
-          } finally r.close()
-          i += 1
+            : org.apache.spark.sql.catalyst.expressions.Expression)))
+        val pkOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(
+            pkIdx.toIndexedSeq.map(wideTypes(_)))
+        val heads = new Array[InternalRow](n) // current row of reader i
+        val headPks = new Array[UnsafeRow](n) // its projected pk
+        val flip = new Array[Boolean](n)
+        def advance(i: Int): Boolean = {
+          if (readers(i).next()) {
+            // the reader's row buffer stays valid until ITS next next() —
+            // reader i advances only while outside the heap, so the head
+            // needs no copy (winners copy in offer)
+            heads(i) = readers(i).get()
+            val prev = headPks(i)
+            headPks(i) =
+              pkProjs(if (flip(i)) n + i else i)(heads(i))
+            flip(i) = !flip(i)
+            // the merge is only correct over PK-sorted files (the write
+            // path guarantees it — GraftTable.writeFiles sorts every pk
+            // write by (pt, bucket, pks)); a file written before that
+            // guarantee (or by an external tool) must fail LOUDLY, never
+            // mis-merge silently. compact() rewrites it sorted.
+            if (prev != null && pkOrd.compare(prev, headPks(i)) > 0)
+              throw new IllegalStateException(
+                s"data file ${gp.files(i).filePath} is not sorted by the " +
+                  "primary key (written before the sorted-write guarantee, " +
+                  "or externally); run compact() on the table to rewrite it")
+            true
+          } else {
+            readers(i).close(); readers(i) = null
+            heads(i) = null; headPks(i) = null
+            false
+          }
         }
-        import scala.jdk.CollectionConverters._
-        winners.values().iterator().asScala
-          .map(_(4).asInstanceOf[InternalRow])
-          .filter(_.getInt(kindIdx) != GraftTable.KIND_DELETE)
-          .map(outProj(_))
+        val heap = new java.util.PriorityQueue[Integer](math.max(1, n),
+          (a: Integer, b: Integer) => {
+            val c = pkOrd.compare(headPks(a), headPks(b))
+            if (c != 0) c else Integer.compare(a, b)
+          })
+        (0 until n).foreach(i => if (advance(i)) heap.add(i))
+
+        new Iterator[InternalRow] {
+          private var nxt: InternalRow = _
+          private var ready = false
+          private def computeNext(): Unit = {
+            nxt = null
+            while (nxt == null && !heap.isEmpty) {
+              val first = heap.poll()
+              // the run's key outlives its readers' head buffers
+              val key = headPks(first).copy()
+              var wSeq = 0L; var wSeq2 = 0L; var wCm = 0L; var wPos = 0L
+              var winner: InternalRow = null
+              def offer(row: InternalRow): Unit = {
+                val seq = row.getLong(seqIdx)
+                val seq2 = if (row.isNullAt(seq2Idx)) 0L else row.getLong(seq2Idx)
+                val cm = row.getLong(commitIdx)
+                val pos = if (row.isNullAt(posIdx)) Long.MinValue
+                          else row.getLong(posIdx)
+                val better = winner == null || {
+                  val c =
+                    if (seq != wSeq) java.lang.Long.compare(seq, wSeq)
+                    else if (seq2 != wSeq2) java.lang.Long.compare(seq2, wSeq2)
+                    else if (cm != wCm) java.lang.Long.compare(cm, wCm)
+                    else java.lang.Long.compare(pos, wPos)
+                  if (latestFirst) c > 0 else c < 0
+                }
+                if (better) {
+                  wSeq = seq; wSeq2 = seq2; wCm = cm; wPos = pos
+                  winner = row.copy()
+                }
+              }
+              // drain every reader holding this key, ascending file index
+              // (the heap tiebreak), rows in stream order
+              var r = first
+              var more = true
+              while (more) {
+                var inRun = true
+                while (inRun) {
+                  offer(heads(r))
+                  inRun = advance(r) && pkOrd.compare(headPks(r), key) == 0
+                }
+                if (heads(r) != null) heap.add(r)
+                more = !heap.isEmpty && pkOrd.compare(headPks(heap.peek()), key) == 0
+                if (more) r = heap.poll()
+              }
+              if (winner.getInt(kindIdx) != GraftTable.KIND_DELETE)
+                nxt = outProj(winner)
+            }
+          }
+          // LAZY: outProj reuses its result buffer, so the next row may
+          // only be computed after the caller is done with the previous
+          // one (a row handed out stays valid until the next next() —
+          // the standard volatile-row contract Spark readers rely on)
+          override def hasNext: Boolean = {
+            if (!ready) { computeNext(); ready = true }
+            nxt != null
+          }
+          override def next(): InternalRow = {
+            if (!ready) { computeNext(); ready = true }
+            ready = false
+            nxt
+          }
+        }
       }
 
       /** Raw group: stream files (tombstone-free by rawBucket), project. */
@@ -226,11 +345,12 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
           nxt = null
           while (nxt == null) {
             if (r == null) {
-              if (fi >= gp.files.length) return
+              if (fi >= gp.files.length) { openReaders = null; return }
               r = fileReader(gp, fi); fi += 1
+              openReaders = Array(r)
             }
             if (r.next()) nxt = r.get()
-            else { r.close(); r = null }
+            else { r.close(); r = null; openReaders = null }
           }
         }
         advance()
@@ -245,7 +365,12 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
         if (it.hasNext) { cur = it.next(); true } else false
       }
       override def get(): InternalRow = cur
-      override def close(): Unit = ()
+      // release parquet readers a limit/short-circuit left open
+      override def close(): Unit = {
+        val rs = openReaders
+        if (rs != null) rs.foreach(r => if (r != null) r.close())
+        openReaders = null
+      }
     }
   }
 }

@@ -1372,6 +1372,48 @@ class CoreTableSpec extends SparkTestBase {
     assert(upgraded.read(filter = Some(col("k") === 9L)).count() == 1)
     assert(upgraded.read().count() == 40)
   }
+
+  test("every PK data file is written pk-sorted: plain, merge-into, compaction, rolled") {
+    // in-file PK order is a CORRECTNESS invariant — the k-way MOR merge
+    // and the multi-file ordering report both consume it. The hazard this
+    // pins: a DETERMINISTIC write frame (no nondeterministic POS
+    // projection) lets the V1 writer replace our local sort with its own
+    // non-stable (pt, bucket) sort, scrambling data order inside each
+    // directory — exactly what the prefix-matched (pt, bucket, pks)
+    // arrangement prevents (tools/ProbeWriteSort)
+    val rnd = new scala.util.Random(11)
+    val loc = tmpLoc("wsort")
+    val data = rnd.shuffle((0L until 200L).toList)
+      .map(k => (k, s"v$k", k * 1.0)).toDF("k", "v", "p")
+    val t = GraftTable.create(spark, loc, data.schema,
+      TableConfig(primaryKeys = Seq("k"), numBuckets = 2,
+        options = Map("write.max-records-per-file" -> "30")))
+    t.write(data)
+    def assertFilesSorted(label: String): Unit =
+      t.planFiles().foreach { e =>
+        val ks = spark.read.schema(t.fileSchema).parquet(s"$loc/${e.path}")
+          .select("k").collect().map(_.getLong(0)).toList
+        assert(ks == ks.sorted,
+          s"$label: file ${e.path} not pk-sorted: ${ks.take(12)}")
+      }
+    assertFilesSorted("plain+rolled")
+    // merge-into writes a preMerged (deterministic) frame
+    val src = rnd.shuffle((100L until 300L).toList).map(k => (k, s"m$k"))
+      .toDF("sk", "sv")
+    t.mergeInto(src, col("sk") === col("k"))
+      .whenMatchedUpdate(set = Map("v" -> col("sv")))
+      .whenNotMatchedInsert(values = Map(
+        "k" -> col("sk"), "v" -> col("sv"), "p" -> lit(0.0)))
+      .execute()
+    assertFilesSorted("merge-into")
+    // and the merged read over those files is exact
+    assert(t.read().count() == 300)
+    assert(t.read().filter(col("k") === 150L).select("v").head().getString(0) == "m150")
+    t.compact()
+    assertFilesSorted("compaction+rolled")
+    assert(t.read().count() == 300)
+  }
+
 }
 
 class DeletionVectorSpec extends SparkTestBase {
@@ -1734,5 +1776,6 @@ class ConcurrencySpec extends SparkTestBase {
     t2.write(Seq((2L, "b", "-D")).toDF("k", "v", "rk"))
     assert(t2.read().count() == 2)
   }
+
 
 }
