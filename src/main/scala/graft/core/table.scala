@@ -1967,6 +1967,12 @@ class GraftTable private (
       return None
     if (fileFormat != "parquet") return None
     if (isRowTracking && patchesFor(snapshotId).nonEmpty) return None
+    // pk-clustering-override files are CLUSTERING-sorted, not pk-sorted —
+    // the in-scan k-way merge requires pk order, so those tables merge
+    // through the V1 relational plan (their raw compacted reads are
+    // unaffected; uncompacted merge reads are the rare state the
+    // override trades away for value-column file skipping)
+    if (config.option("pk-clustering-override", "false") == "true") return None
     // visible postpone staging (-2) needs the V1 merge plan
     if (stagedMorEntries(snapshotId, None).nonEmpty) return None
     if (sm.branch.isEmpty && config.options.contains("scan.fallback-branch"))

@@ -186,17 +186,8 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
   }
 
   // ---- partitioning report ----
-  private[dsv2] def clusteringTransforms: Array[Transform] = {
-    val parts = t.config.partitionKeys.map(Expressions.identity(_): Transform)
-    // PK tables bucket by the primary key; bucketed append tables by
-    // bucket-key — both fixed layouts support storage-partitioned joins
-    val bucket = t.fixedBucketKeys match {
-      case Some(keys) =>
-        Seq(Expressions.bucket(t.config.numBuckets, keys: _*): Transform)
-      case None => Nil
-    }
-    (parts ++ bucket).toArray
-  }
+  private[dsv2] def clusteringTransforms: Array[Transform] =
+    GraftBatchScan.clusteringTransforms(t)
 
   override def outputPartitioning(): Partitioning = {
     val transforms = clusteringTransforms
@@ -207,15 +198,8 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
       planInputPartitions().length)
   }
 
-  private def partitionKeyRow(e: ManifestEntry): InternalRow = {
-    val partVals = t.config.partitionKeys.map { pc =>
-      val dt = t.dataSchema.fields.find(_.name == pc).get.dataType
-      GraftBatchScan.statValue(dt, e.partition.getOrElse(pc, null))
-    }
-    val vals =
-      if (t.fixedBucketKeys.isDefined) partVals :+ e.bucket else partVals
-    new GenericInternalRow(vals.toArray[Any])
-  }
+  private def partitionKeyRow(e: ManifestEntry): InternalRow =
+    GraftBatchScan.partitionKeyRow(t, e)
 
   // ---- ordering report ----
   /** Per-group file runs proving the scan can serve every (partition,
@@ -261,17 +245,7 @@ class GraftBatchScan(t: GraftTable, initial: Seq[ManifestEntry],
       case g if g.size == 1 => Some(g)
       case g if !v2Bucketing ||
           g.exists(e => dv.contains(GraftTable.dvKey(e.path))) => None
-      case g =>
-        val bounds = g.map(e => e.stats.get(pk1)
-          .filter(s => s.min != null && s.max != null).map(s => (e, s)))
-        if (bounds.exists(_.isEmpty)) None
-        else {
-          val run = bounds.flatten
-            .sortWith((a, b) => graft.core.StatsPrune.compare(dt, a._2.min, b._2.min) < 0)
-          val disjoint = run.zip(run.drop(1)).forall { case ((_, a), (_, b)) =>
-            graft.core.StatsPrune.compare(dt, a.max, b.min) < 0 }
-          if (disjoint) Some(run.map(_._1)) else None
-        }
+      case g => GraftBatchScan.disjointRun(g, pk1, dt)
     }
     val out = if (runs.exists(_.isEmpty)) None else Some(runs.map(_.get))
     orderedRunsCache = (entries, out)
@@ -432,6 +406,56 @@ class GraftScanMetric(n: String, d: String)
 }
 
 object GraftBatchScan {
+  /** Clustering transforms of a table's fixed layout (partition identity
+    * columns + the bucket transform) — the KeyGroupedPartitioning shape
+    * both the batch scan and the merge-in-scan report. */
+  private[dsv2] def clusteringTransforms(t: GraftTable): Array[Transform] = {
+    val parts = t.config.partitionKeys.map(Expressions.identity(_): Transform)
+    // PK tables bucket by the primary key; bucketed append tables by
+    // bucket-key — both fixed layouts support storage-partitioned joins
+    val bucket = t.fixedBucketKeys match {
+      case Some(keys) =>
+        Seq(Expressions.bucket(t.config.numBuckets, keys: _*): Transform)
+      case None => Nil
+    }
+    (parts ++ bucket).toArray
+  }
+
+  /** The HasPartitionKey row matching [[clusteringTransforms]] for one
+    * key group's entries. */
+  private[dsv2] def partitionKeyRow(t: GraftTable, e: ManifestEntry): InternalRow = {
+    val partVals = t.config.partitionKeys.map { pc =>
+      val dt = t.dataSchema.fields.find(_.name == pc).get.dataType
+      GraftBatchScan.statValue(dt, e.partition.getOrElse(pc, null))
+    }
+    val vals =
+      if (t.fixedBucketKeys.isDefined) partVals :+ e.bucket else partVals
+    new GenericInternalRow(vals.toArray[Any])
+  }
+
+  /** A multi-file group ordered into a provably PK-sorted concatenation
+    * run, or None: every file must carry pk1 min/max bounds, and sorted
+    * by min bound the files must be STRICTLY disjoint on pk1 (strict `<`
+    * between a file's recorded max and the next one's recorded min means
+    * no pk1 value spans files, so bound-order concatenation preserves the
+    * full composite-key order — equal-pk1 rows sit inside one internally
+    * sorted file). Truncated (inexact) stats stay safe: recorded min is a
+    * true lower bound and a truncated max is incremented into a true
+    * upper bound, so the check is conservative. */
+  private[dsv2] def disjointRun(g: Seq[ManifestEntry], pk1: String,
+                                dt: DataType): Option[Seq[ManifestEntry]] = {
+    val bounds = g.map(e => e.stats.get(pk1)
+      .filter(s => s.min != null && s.max != null).map(s => (e, s)))
+    if (bounds.exists(_.isEmpty)) None
+    else {
+      val run = bounds.flatten
+        .sortWith((a, b) => graft.core.StatsPrune.compare(dt, a._2.min, b._2.min) < 0)
+      val disjoint = run.zip(run.drop(1)).forall { case ((_, a), (_, b)) =>
+        graft.core.StatsPrune.compare(dt, a.max, b.min) < 0 }
+      if (disjoint) Some(run.map(_._1)) else None
+    }
+  }
+
   /** Build Spark's vectorized parquet reader factory for graft files.
     * Delegates construction to Spark's own ParquetScan so the hadoopConf
     * carries the full reader setup (ReadSupport class, requested schema,

@@ -66,6 +66,18 @@ class GraftGenericCatalog extends DelegatingCatalogExtension {
         partitions, properties)
     else super.createTable(ident, columns, partitions, properties)
 
+  /** V2ScanPartitioningAndOrdering resolves a scan's reported `bucket`
+    * transform by loading the function from the table's catalog with an
+    * EMPTY namespace — V2SessionCatalog throws REQUIRES_SINGLE_PART_
+    * NAMESPACE on that shape, which would fail ANALYSIS of any graft
+    * read reporting KeyGroupedPartitioning through spark_catalog. Serve
+    * the engine's bucket function here (same as [[GraftCatalog]]); other
+    * lookups delegate. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket" && ident.namespace().isEmpty) GraftBucketFunction
+    else super.loadFunction(ident)
+
   override def loadTable(ident: Identifier): Table =
     try super.loadTable(ident)
     catch {

@@ -41,7 +41,9 @@ class GraftMorScan(t: GraftTable, entries: Seq[ManifestEntry],
                    pushed: Array[Filter], required: Option[StructType],
                    dv: Map[String, Array[Byte]],
                    readOptions: Map[String, String] = Map.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private val latestFirst = t.config.mergeEngine == "deduplicate"
   private val outSchema = required.getOrElse(t.dataSchema)
@@ -71,6 +73,31 @@ class GraftMorScan(t: GraftTable, entries: Seq[ManifestEntry],
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
+  /** One key group per partition, always. Raw (fully-merged) multi-file
+    * groups additionally REORDER their files into the stats-proven
+    * min-bound concatenation run when one exists — harmless for the
+    * result set (raw files are key-disjoint) and what lets the group
+    * stream PK-sorted for [[outputOrdering]]. */
+  private lazy val groupedPartitions
+      : Seq[(Seq[ManifestEntry], Boolean, Boolean)] = {
+    val pk1 = t.config.primaryKeys.head
+    val dt = t.dataSchema.fields.find(_.name == pk1).map(_.dataType)
+    entries.groupBy(e => (e.partition.toSeq.sortBy(_._1), e.bucket)).toSeq
+      .sortBy(_._1.toString)
+      .map { case (_, group) =>
+        val raw = t.rawBucket(group) &&
+          group.forall(e => !dv.contains(GraftTable.dvKey(e.path)))
+        if (!raw || group.size == 1)
+          // merged groups emit PK-sorted by construction (the k-way
+          // merge); single raw files are internally sorted
+          (group.sortBy(_.path), raw, true)
+        else dt.flatMap(GraftBatchScan.disjointRun(group, pk1, _)) match {
+          case Some(run) => (run, raw, true)
+          case None => (group.sortBy(_.path), raw, false)
+        }
+      }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val locRoot = new Path(t.location)
     def toFile(e: ManifestEntry): PartitionedFile = {
@@ -78,18 +105,47 @@ class GraftMorScan(t: GraftTable, entries: Seq[ManifestEntry],
       PartitionedFile(InternalRow.empty, SparkPath.fromPath(abs), 0L,
         e.fileSize, Array.empty[String], 0L, e.fileSize, Map.empty)
     }
-    entries.groupBy(e => (e.partition.toSeq.sortBy(_._1), e.bucket)).toSeq
-      .sortBy(_._1.toString)
-      .map { case (_, group) =>
-        val files = group.sortBy(_.path).toArray
-        val fps = files.map(e =>
-          dv.get(GraftTable.dvKey(e.path))
-            .map(b => DvCache.fingerprint(GraftTable.dvKey(e.path), b)).orNull)
-        val bytes = files.map(e => dv.get(GraftTable.dvKey(e.path)).orNull)
-        // fully-merged groups stream through (tombstone-free by rawBucket)
-        val raw = t.rawBucket(group) && fps.forall(_ == null)
-        GraftMorInputPartition(files.map(toFile), fps, bytes, raw)
-      }.toArray
+    groupedPartitions.map { case (files, raw, _) =>
+      val fps = files.map(e =>
+        dv.get(GraftTable.dvKey(e.path))
+          .map(b => DvCache.fingerprint(GraftTable.dvKey(e.path), b)).orNull)
+      val bytes = files.map(e => dv.get(GraftTable.dvKey(e.path)).orNull)
+      GraftMorInputPartition(files.map(toFile).toArray, fps.toArray,
+        bytes.toArray, raw, GraftBatchScan.partitionKeyRow(t, files.head))
+    }.toArray
+  }
+
+  // ---- partitioning + ordering reports ----
+  // The merge-in-scan serves each (partition, bucket) key group as ONE
+  // task, so the fixed layout is reportable exactly like the batch scan's
+  // (KeyGroupedPartitioning → storage-partitioned joins / exchange-free
+  // keyed aggregation over UNCOMPACTED pk tables), and the k-way merge
+  // emits each group PK-sorted, so ordering is reportable whenever every
+  // raw group also streams in a proven sorted run (single file or
+  // stats-disjoint bound-ordered concatenation). morPlanEntries already
+  // excludes pk-clustering-override tables (clustering-sorted files).
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val transforms = GraftBatchScan.clusteringTransforms(t)
+    if (transforms.isEmpty || entries.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        planInputPartitions().length)
+    else new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      transforms.map(x => x: org.apache.spark.sql.connector.expressions.Expression),
+      planInputPartitions().length)
+  }
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val pks = t.config.primaryKeys
+    val out = outSchema.fieldNames.toSet
+    val safe = pks.nonEmpty && entries.nonEmpty && pks.forall(out.contains) &&
+      groupedPartitions.forall(_._3)
+    if (!safe) Array.empty
+    else pks.map(pk =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(pk),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -128,7 +184,11 @@ object GraftMorScan {
 case class GraftMorInputPartition(files: Array[PartitionedFile],
                                   dvFps: Array[String],
                                   dvBytes: Array[Array[Byte]],
-                                  raw: Boolean) extends InputPartition {
+                                  raw: Boolean,
+                                  key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
   override def preferredLocations(): Array[String] = Array.empty
 }
 

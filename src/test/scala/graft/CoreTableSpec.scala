@@ -1104,6 +1104,13 @@ class CoreTableSpec extends SparkTestBase {
     t.write(df)
     // updates on 100 keys, then compact (full rewrite, clustering-sorted)
     t.write(df.filter(col("k") < 100).withColumn("amount", col("amount") + 1))
+    // UNCOMPACTED read: clustering-sorted files can't serve the pk-ordered
+    // in-scan k-way merge — the read must route through the V1 relational
+    // merge (not throw) and still answer exactly
+    assert(t.morPlanEntries().isEmpty,
+      "clustering-override tables must not take the in-scan merge")
+    assert(t.read().count() == 1000)
+    assert(t.read().filter(col("k") === 5L).select("amount").head().getLong(0) == 11L)
     t.compact()
     val t2 = GraftTable.load(spark, loc)
     // uniqueness + update semantics hold

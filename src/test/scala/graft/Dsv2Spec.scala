@@ -574,14 +574,35 @@ class Dsv2Spec extends SparkTestBase {
       assert(!plan.contains("Exchange"), s"SPJ should have no exchange:\n$plan")
       assert(!plan.contains("Sort "), s"expected sort-free SMJ:\n$plan")
       assert(j.count() == 120)
-      // an overlapping second write makes one side's buckets multi-file:
-      // its ordering report must retract (Sort returns; rows stay correct)
+      // an overlapping second write puts one side into the merge-on-read
+      // state — which now ALSO reports ordering (the k-way merge emits
+      // PK-sorted), so the join stays sort-free and exact
       spark.sql("INSERT INTO graft.db.sord_a SELECT id AS k, id * 2.0 AS v FROM range(30)")
       val j2 = spark.sql(joinSql)
       val plan2 = j2.queryExecution.executedPlan.toString
-      assert(plan2.contains("Sort "),
-        s"overlapping level-0 writes must not report ordering:\n$plan2")
+      assert(plan2.contains("GraftMorScan"), plan2)
+      assert(!plan2.contains("Sort "),
+        s"merge-in-scan reads serve sorted — expected sort-free SMJ:\n$plan2")
       assert(j2.count() == 120)
+      assert(spark.sql("SELECT v FROM graft.db.sord_a WHERE k = 5").head().getDouble(0) == 10.0)
+      // PK stats are STRUCTURAL (always collected, even under
+      // metadata.stats-mode none — statsModeFor's early return), so the
+      // multi-file disjointness proof and the ordering report survive a
+      // stats-degraded table; the sort-free plan holds
+      spark.sql("""CREATE TABLE graft.db.sord_ns (k BIGINT, v DOUBLE)
+                   TBLPROPERTIES ('primary-key'='k', 'bucket'='4',
+                     'metadata.stats-mode'='none',
+                     'write.max-records-per-file'='10')""")
+      spark.sql("INSERT INTO graft.db.sord_ns SELECT id AS k, id * 1.0 AS v FROM range(120)")
+      import graft.core.RowOps._
+      GraftTable.load(spark, s"$wh/db.db/sord_ns").compact()
+      val j3 = spark.sql(
+        """SELECT a.k, a.v + b.v AS s FROM graft.db.sord_ns a
+           JOIN graft.db.sord_b b ON a.k = b.k""")
+      val plan3 = j3.queryExecution.executedPlan.toString
+      assert(!plan3.contains("Sort "),
+        s"structural pk stats must keep the report under stats-mode none:\n$plan3")
+      assert(j3.count() == 120)
     }
   }
 
@@ -644,6 +665,48 @@ class Dsv2Spec extends SparkTestBase {
       val plan3 = spark.sql(joinSql).queryExecution.executedPlan.toString
       assert(plan3.contains("Sort "),
         s"multi-file groups without v2 bucketing must not report ordering:\n$plan3")
+    }
+  }
+
+  test("UNCOMPACTED merge reads report layout + ordering: exchange-free sort-free SMJ through the k-way merge") {
+    // the merge-in-scan serves one key group per task and the k-way merge
+    // emits PK-sorted, so keyed plans over tables with PENDING merges —
+    // the common live state — need neither Exchange nor Sort
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    for (n <- Seq("smor_a", "smor_b")) {
+      spark.sql(s"""CREATE TABLE graft.db.$n (k BIGINT, v DOUBLE)
+                   TBLPROPERTIES ('primary-key'='k', 'bucket'='4')""")
+      spark.sql(s"INSERT INTO graft.db.$n SELECT id AS k, id * 1.0 AS v FROM range(120)")
+      // overlapping second write → level-0 versions pending merge
+      spark.sql(s"INSERT INTO graft.db.$n SELECT id AS k, id * 10.0 AS v FROM range(40)")
+    }
+    val joinSql =
+      """SELECT a.k, a.v + b.v AS s FROM graft.db.smor_a a
+         JOIN graft.db.smor_b b ON a.k = b.k"""
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = spark.sql(joinSql)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftMorScan"), s"expected merge-in-scan reads:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"uncompacted SPJ should have no exchange:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"k-way merged reads serve sorted — expected sort-free SMJ:\n$plan")
+      // exactness: latest version per key on both sides
+      assert(j.count() == 120)
+      val expect = (0 until 120).map(k => if (k < 40) k * 20.0 else k * 2.0).sum
+      assert(j.agg(sum(col("s"))).head().getDouble(0) == expect)
+      // and every scan task streams k ascending through the merge
+      val bad = spark.sql("SELECT k FROM graft.db.smor_a")
+        .rdd.mapPartitions { it =>
+          var prev = Long.MinValue; var n = 0
+          it.foreach { r => if (r.getLong(0) <= prev) n += 1; prev = r.getLong(0) }
+          Iterator.single(n)
+        }.collect().sum
+      assert(bad == 0, s"$bad out-of-order rows inside merge-scan tasks")
     }
   }
 
