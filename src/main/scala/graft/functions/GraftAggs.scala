@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.SparkShims
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.roaringbitmap.RoaringBitmap
 import org.roaringbitmap.longlong.Roaring64Bitmap
 
@@ -42,6 +43,10 @@ object GraftAggs {
     SparkShims.expression(c.cast("long"))
 
   def thetaSketch(c: Column): Column = agg(ThetaSketchAgg(longChild(c)))
+  /** Bounded sorted set of the `cap` smallest distinct string values per
+    * group — see [[CappedSortedSetAgg]]. */
+  def cappedSortedSet(c: Column, cap: Int): Column =
+    agg(CappedSortedSetAgg(SparkShims.expression(c), cap))
   def rbm32(c: Column): Column = agg(Rbm32Agg(longChild(c)))
   def rbm64(c: Column): Column = agg(Rbm64Agg(longChild(c)))
   def hllSketch(c: Column): Column = hll_sketch_agg(c)
@@ -156,4 +161,89 @@ case class ThetaSketchAgg(child: Expression,
   override def withNewInputAggBufferOffset(n: Int): ThetaSketchAgg =
     copy(inputAggBufferOffset = n)
   override def prettyName: String = "theta_sketch"
+}
+
+/** Bounded sorted-set aggregate over a STRING key: keeps the `cap` SMALLEST
+  * distinct values per group, emitted as a sorted array. Replaces the
+  * window-rank + collect_list spelling of LSH candidate buckets
+  * (Dedup.pairsFromSignatures): a `row_number() OVER (PARTITION BY bucket
+  * ORDER BY key) <= cap` filter forces a FULL SORT of every banded row
+  * before the aggregation, while this TypedImperativeAggregate rides the
+  * ObjectHashAggregate path — no sort anywhere, map-side partial buffers
+  * already capped (guide §2.3/§2.4: fewer bytes into the exchange, no
+  * exchange-adjacent sort). Semantics are identical by construction: the
+  * "cap smallest distinct per group, sorted" set is exactly what the rank
+  * filter + post-hoc sort produced. */
+case class CappedSortedSetAgg(child: Expression, cap: Int,
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[UTF8String]]
+    with UnaryLike[Expression] {
+  require(cap > 0, "cap must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
+    new java.util.TreeSet[UTF8String]()
+  override def update(b: java.util.TreeSet[UTF8String],
+                      input: InternalRow): java.util.TreeSet[UTF8String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      // below-cap or smaller than the current cap boundary → admit (copy:
+      // the input row's UTF8String points into a reused scan buffer)
+      if (b.size < cap) b.add(s.clone())
+      else if (s.compareTo(b.last()) < 0) {
+        if (b.add(s.clone())) b.pollLast()
+      }
+    }
+    b
+  }
+  override def merge(b: java.util.TreeSet[UTF8String],
+                     o: java.util.TreeSet[UTF8String]): java.util.TreeSet[UTF8String] = {
+    val it = o.iterator()
+    var continue = true
+    while (continue && it.hasNext) {
+      val s = it.next() // already copied at update
+      if (b.size < cap) b.add(s)
+      else if (s.compareTo(b.last()) < 0) { if (b.add(s)) b.pollLast() }
+      else continue = false // o is sorted: the rest can only be larger
+    }
+    b
+  }
+  override def eval(b: java.util.TreeSet[UTF8String]): Any = {
+    val arr = new Array[AnyRef](b.size)
+    val it = b.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+  override def serialize(b: java.util.TreeSet[UTF8String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    val it = b.iterator()
+    while (it.hasNext) {
+      val bytes = it.next().getBytes
+      out.writeInt(bytes.length); out.write(bytes)
+    }
+    out.flush(); bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[UTF8String] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt(); val sb = new Array[Byte](len)
+      in.readFully(sb); b.add(UTF8String.fromBytes(sb)); i += 1
+    }
+    b
+  }
+  override protected def withNewChildInternal(newChild: Expression): CappedSortedSetAgg =
+    copy(child = newChild)
+  override def withNewMutableAggBufferOffset(n: Int): CappedSortedSetAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CappedSortedSetAgg =
+    copy(inputAggBufferOffset = n)
+  override def prettyName: String = "capped_sorted_set"
 }

@@ -109,16 +109,18 @@ object Dedup {
       case None => bandedAll
     }
     // candidate rep pairs by bucket aggregation, not a banded self-join: ONE
-    // shuffle of the (fp, band, key) set, then capped in-bucket expansion
-    // (the row_number rides the same hash partitioning the aggregation
-    // needs). distinct() dedups pairs sharing several bands; it shuffles
-    // only the candidate set.
+    // shuffle of the (fp, band, key) set, then capped in-bucket expansion.
+    // The cap ("keep the maxBucketIds smallest fps per bucket") is the
+    // aggregate itself (CappedSortedSetAgg): the former row_number spelling
+    // forced a full sort of every banded row ahead of the aggregation,
+    // while the bounded-set aggregate rides ObjectHashAggregate sort-free
+    // with map-side partial buffers already capped (guide §2: remove the
+    // exchange-adjacent sort, aggregate before the shuffle). distinct()
+    // dedups pairs sharing several bands; it shuffles only the candidate
+    // set.
     val cand = banded
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("band", "bk").orderBy(col("__fp"))))
-      .filter(col("__rn") <= maxBucketIds)
       .groupBy("band", "bk")
-      .agg(collect_list(col("__fp")).as("__ids"))
+      .agg(graft.functions.GraftAggs.cappedSortedSet(col("__fp"), maxBucketIds).as("__ids"))
       .filter(size(col("__ids")) > 1)
       .select(explode(expr(
         """flatten(transform(__ids, (x, i) ->
@@ -231,8 +233,13 @@ object Dedup {
                             nBands: Int = 4, threshold: Double = 0.8,
                             maxBucketIds: Int = 1024): DataFrame = {
     val sigLen = index.config.option("minhash.sig-len", "8").toInt
+    // persisted like the inline path's signature scan: pairsFromSignatures
+    // reads perDoc from several subtrees (reps build + 4 membership joins)
+    // — uncached, each one re-ran the whole index scan (measured 5 scans
+    // in the r13 before-plan; guide §5 cache-when-reused)
     val perDoc = index.read().select(col(idCol), col("fp").as("__fp"),
       col("hsd").as("__hsd"), col("sig").as("__sig"), col("n").as("__n"))
+      .persist()
     pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds)
   }
 
