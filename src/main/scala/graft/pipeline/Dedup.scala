@@ -53,15 +53,32 @@ object Dedup {
     * byte-scan per doc (no token/shingle-string materialization). This is
     * the unit the persisted signature index stores, so repeat near-dup
     * runs never recompute it ([[refreshMinhashIndex]]). */
+  /** SORTED distinct set form of a hash array (native one-pass sort+dedup;
+    * idempotent, so it doubles as the compat wrapper over index tables
+    * whose stored sets predate the sorted guarantee). Sorted sets let the
+    * verify run a two-pointer merge per candidate pair instead of a
+    * hash-set build ([[graft.functions.SortedIntersectCount]]). */
+  private def sortedSet(c: Column): Column =
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.SortedDistinctLongs(
+        org.apache.spark.sql.graft.SparkShims.expression(c)))
+
+  private def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.graft.SparkShims.expression(a),
+        org.apache.spark.sql.graft.SparkShims.expression(b)))
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, sigLen: Int): DataFrame =
     df.select(col(idCol), md5(col(textCol)).as("__fp"),
         TextOps.shingleHashesNative(col(textCol), shingleN).as("__hs"))
       .filter(size(col("__hs")) > 0)
       .select(col(idCol), col("__fp"),
-        array_distinct(col("__hs")).as("__hsd"), // set form, ONCE per doc —
-        // verify evaluates jaccard per candidate PAIR; distincting there
-        // would redo the O(n) set build for every pair a doc appears in
+        sortedSet(col("__hs")).as("__hsd"), // SORTED set form, ONCE per doc —
+        // verify evaluates jaccard per candidate PAIR via two-pointer
+        // merge; building the set there would redo the O(n) work for
+        // every pair a doc appears in
         TextOps.minhashFromHashesNative(col("__hs"), sigLen).as("__sig"))
       .withColumn("__n", size(col("__hsd")))
 
@@ -128,14 +145,15 @@ object Dedup {
           .stripMargin)).as("p"))
       .select(col("p.f1"), col("p.f2"))
       .distinct()
-    // exact verify on the representatives' hash SETS (same Jaccard as the
-    // string shingles modulo 32-bit collisions; identical md5-prefix hashing
-    // on the oracle side keeps the comparison deterministic).
-    // |A∪B| = |A|+|B|-|A∩B| — one array_intersect per pair.
+    // exact verify on the representatives' SORTED hash SETS (same Jaccard
+    // as the string shingles modulo 32-bit collisions; identical md5-prefix
+    // hashing on the oracle side keeps the comparison deterministic).
+    // |A∪B| = |A|+|B|-|A∩B| — one two-pointer merge per pair (guide §4:
+    // array_intersect built a hash set per PAIR evaluation).
     val s1 = reps.select(col("__fp").as("f1"), col("__hsd").as("sh1"), col("__n").as("n1"))
     val s2 = reps.select(col("__fp").as("f2"), col("__hsd").as("sh2"), col("__n").as("n2"))
     val repPairs = cand.join(s1, "f1").join(s2, "f2")
-      .withColumn("__i", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("__i", sortedIntersectCount(col("sh1"), col("sh2")).cast("double"))
       .withColumn("jac", when(col("n1") + col("n2") === col("__i"), lit(1.0))
         .otherwise(col("__i") / (col("n1") + col("n2") - col("__i"))))
       .filter(col("jac") >= threshold)
@@ -238,7 +256,7 @@ object Dedup {
     // — uncached, each one re-ran the whole index scan (measured 5 scans
     // in the r13 before-plan; guide §5 cache-when-reused)
     val perDoc = index.read().select(col(idCol), col("fp").as("__fp"),
-      col("hsd").as("__hsd"), col("sig").as("__sig"), col("n").as("__n"))
+      sortedSet(col("hsd")).as("__hsd"), col("sig").as("__sig"), col("n").as("__n"))
       .persist()
     pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds)
   }
@@ -288,7 +306,7 @@ object Dedup {
       .distinct().persist()
     metrics.gauge("lastMinhashTouchedBuckets", deltaKeys.count())
     val perDoc = index.read().select(col(idCol), col("fp").as("__fp"),
-      col("hsd").as("__hsd"), col("sig").as("__sig"), col("n").as("__n"))
+      sortedSet(col("hsd")).as("__hsd"), col("sig").as("__sig"), col("n").as("__n"))
     pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds,
       touch = Some((delta.select(col(idCol)), deltaKeys)))
   }

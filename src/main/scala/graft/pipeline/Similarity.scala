@@ -11,33 +11,37 @@ import org.apache.spark.sql.types._
  * (reference: paimon-vector/.../IvfFlatVectorGlobalIndexerFactory.java:24,
  * metrics per paimon-core/.../globalindex/VectorSearchMetric.java), JNI-free.
  *
- * Score math runs on codegen'd higher-order functions (`zip_with` +
- * `aggregate`), all in double precision. Top-k uses `orderBy().limit(k)` —
+ * Score math runs on native one-pass codegen expressions
+ * (functions/VectorExprs.scala — round 13; formerly `zip_with` +
+ * `aggregate` higher-order functions, which Catalyst evaluates INTERPRETED
+ * with a boxed intermediate array per row per call), all in double
+ * precision with bit-identical results. Top-k uses `orderBy().limit(k)` —
  * Spark plans that as per-partition TakeOrdered + driver merge, the same
  * distributed top-k-merge shape the reference implements by hand.
  */
 object Similarity {
+  import org.apache.spark.sql.graft.SparkShims
 
-  /** Dot product of two numeric arrays (double math). */
+  private def vec2(a: Column, b: Column,
+                   f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                       org.apache.spark.sql.catalyst.expressions.Expression)
+                     => org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    SparkShims.column(f(SparkShims.expression(a), SparkShims.expression(b)))
+
+  /** Dot product of two float/double arrays (double math, one pass). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    vec2(a, b, graft.functions.VecDot(_, _))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, 0.0).otherwise(d / nn)
-  }
+  /** Cosine similarity; 0 when either vector has zero norm. One pass:
+    * dot and both norms share the loop. */
+  def cosine(a: Column, b: Column): Column =
+    vec2(a, b, graft.functions.VecCosine(_, _))
 
-  /** Squared L2 distance. */
+  /** Squared L2 distance (one pass). */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val diff = x.cast(DoubleType) - y.cast(DoubleType)
-      diff * diff
-    }), lit(0.0), (acc, v) => acc + v)
+    vec2(a, b, graft.functions.VecL2Sq(_, _))
 
   /** Exact brute-force top-k by metric against a literal query vector.
     * `metric`: cosine | dot | l2 (l2 ranks ascending). */
