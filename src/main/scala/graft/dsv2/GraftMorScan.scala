@@ -193,22 +193,30 @@ case class GraftMorInputPartition(files: Array[PartitionedFile],
 }
 
 object GraftMorReaderFactory {
-  /** Fresh factory clone via a serialization round-trip. Two readers
-    * created from ONE ParquetPartitionReaderFactory corrupt each other
-    * when their next() calls interleave (ProbeMorInterleave reproduces
-    * it: the earlier reader starts returning all-zero rows after the
-    * later one advances — Spark only ever drains a factory's readers
-    * sequentially, so the factory keeps per-reader lazy state it never
-    * expects to share). The k-way merge holds all of a group's readers
-    * open at once, so each gets its own clone; the round-trip resets
-    * every transient/lazy field to its freshly-deserialized state. */
-  private[dsv2] def cloneFactory(f: ParquetPartitionReaderFactory)
-      : ParquetPartitionReaderFactory = {
+  /** Pristine serialized form of a factory, captured at CONSTRUCTION time
+    * (driver side, before any reader exists). Isolated readers are built
+    * by deserializing these bytes ([[fromBytes]]): two readers created
+    * from ONE ParquetPartitionReaderFactory corrupt each other when their
+    * next() calls interleave (ProbeMorInterleave reproduces it — the
+    * factory keeps per-reader lazy state it never expects to share), and
+    * serializing the LIVE factory on demand is not safe either: one Spark
+    * task can drain SEVERAL key groups (DataSourceRDD packs multiple
+    * input partitions per task), so a raw group streamed through the
+    * shared delegate leaves non-serializable reader state
+    * (RecordReaderIterator) inside it, and a later merged group's
+    * on-demand clone then throws NotSerializableException
+    * (CrossPartitionSpec "chained moves" reproduces the mix). Bytes
+    * captured while pristine sidestep both hazards. */
+  private[dsv2] def toBytes(f: ParquetPartitionReaderFactory): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos)
     oos.writeObject(f); oos.close()
+    bos.toByteArray
+  }
+
+  private[dsv2] def fromBytes(bytes: Array[Byte]): ParquetPartitionReaderFactory = {
     val ois = new java.io.ObjectInputStream(
-      new java.io.ByteArrayInputStream(bos.toByteArray))
+      new java.io.ByteArrayInputStream(bytes))
     try ois.readObject().asInstanceOf[ParquetPartitionReaderFactory]
     finally ois.close()
   }
@@ -221,11 +229,16 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
                                  wideTypes: Array[DataType], latestFirst: Boolean)
     extends PartitionReaderFactory {
 
+  // pristine clone blueprints, captured while the delegates are untouched
+  // (see GraftMorReaderFactory.toBytes)
+  private val delegateBlueprint: Array[Byte] = GraftMorReaderFactory.toBytes(delegate)
+  private val dvBlueprint: Array[Byte] = GraftMorReaderFactory.toBytes(dvDelegate)
+
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   /** One file's reader. `isolated` = give the reader ITS OWN factory
-    * clone — required whenever several of a group's readers are open at
-    * once (the k-way merge): see GraftMorReaderFactory.cloneFactory. The
+    * clone deserialized from the pristine blueprint — required whenever
+    * several of a group's readers are open at once (the k-way merge). The
     * raw streamed path drains files one at a time and keeps the shared
     * factories (Spark's own sequential pattern). */
   private def fileReader(gp: GraftMorInputPartition, i: Int,
@@ -233,11 +246,11 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
       : PartitionReader[InternalRow] = {
     val fp = FilePartition(0, Array(gp.files(i)))
     if (gp.dvBytes(i) == null)
-      (if (isolated) GraftMorReaderFactory.cloneFactory(delegate)
+      (if (isolated) GraftMorReaderFactory.fromBytes(delegateBlueprint)
        else delegate).createReader(fp)
     else {
       val bm = DvCache.bitmapFp(gp.dvFps(i), gp.dvBytes(i))
-      val inner = (if (isolated) GraftMorReaderFactory.cloneFactory(dvDelegate)
+      val inner = (if (isolated) GraftMorReaderFactory.fromBytes(dvBlueprint)
                    else dvDelegate).createReader(fp)
       new PartitionReader[InternalRow] {
         private var pos = -1L

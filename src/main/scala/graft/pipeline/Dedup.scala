@@ -316,13 +316,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleN: Int = 3,
                         threshold: Double = 0.8): DataFrame = {
+    // distinct the shingle set ONCE per row, not per pair: jaccard() used
+    // to re-run array_distinct on both sides inside the join, i.e. O(n)
+    // set builds per PAIR a row appears in (r13 guide §4 sweep; identical
+    // output — jaccard over pre-distincted arrays is the same value)
     val base = df.withColumn("__sh", TextOps.shingles(col(textCol), shingleN))
       .filter(size(col("__sh")) > 0)
-      .select(col(idCol), col(blockCol), col("__sh"))
+      .select(col(idCol), col(blockCol), array_distinct(col("__sh")).as("__sh"))
     val a = base.alias("a"); val b = base.alias("b")
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("jac", TextOps.jaccard(col("a.__sh"), col("b.__sh")))
+      .withColumn("jac", TextOps.jaccardOnSets(col("a.__sh"), col("b.__sh")))
       .filter(col("jac") >= threshold)
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
         round(col("jac"), 4).as("jac"))

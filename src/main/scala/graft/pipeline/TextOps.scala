@@ -244,9 +244,13 @@ object TextOps {
   }
 
   /** Jaccard similarity of two string arrays (as sets). */
-  def jaccard(a: Column, b: Column): Column = {
-    val ad = array_distinct(a)
-    val bd = array_distinct(b)
+  def jaccard(a: Column, b: Column): Column =
+    jaccardOnSets(array_distinct(a), array_distinct(b))
+
+  /** [[jaccard]] over arrays that are ALREADY distinct — callers that
+    * evaluate per candidate pair distinct once per row instead
+    * (ngramJaccardPairs; identical value either way). */
+  def jaccardOnSets(ad: Column, bd: Column): Column = {
     val inter = size(array_intersect(ad, bd)).cast(DoubleType)
     val uni = size(array_union(ad, bd)).cast(DoubleType)
     when(uni === 0, 0.0).otherwise(inter / uni)
