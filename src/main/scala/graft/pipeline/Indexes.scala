@@ -152,8 +152,20 @@ object Indexes {
     * limit (ES filter semantics: the filter masks candidates but corpus
     * statistics stay whole-index). */
   def fullTextScores(spark: SparkSession, loc: String, query: Seq[String],
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    fullTextScoresFromDf(spark, loc, query, termDfRows(spark, loc, query), k1, b)
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // the (term, df) side joins as a BROADCAST of the term-stats point
+    // read rather than a driver collect: same rows, but the df lookup
+    // becomes part of the ONE search job instead of a separate collect
+    // job per query (r13 — a fixed job-dispatch floor paid by every
+    // full-text/hybrid/es search). Callers that also need df sums on the
+    // driver (es gate, fuzzy expansion) keep [[termDfRows]] +
+    // [[fullTextScoresFromDf]], which still scan term-stats exactly once.
+    val qTerms = FullText.normalizeTerms(query, readTokenizer(spark, loc))
+    val dfs = GraftTable.load(spark, termStatsLoc(loc))
+      .read(filter = Some(col("term").isin(qTerms: _*)))
+      .select(col("term"), col("df").cast("long").as("df"))
+    scoresWithDfSide(spark, loc, qTerms, broadcast(dfs), k1, b)
+  }
 
   /** (term, df) rows of `query` terms — ONE point read of the term-stats
     * table (bounded by #query terms), collected so callers can reuse it for
@@ -177,15 +189,25 @@ object Indexes {
                            dfRows: Array[org.apache.spark.sql.Row],
                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.types._
-    val t = GraftTable.load(spark, loc)
-    val (n, totalLen) = readCorpusSidecar(t, loc)
-    val avgdl = if (n == 0) 0.0 else totalLen.toDouble / n
     val qTerms = FullText.normalizeTerms(query, readTokenizer(spark, loc))
-    val hits = t.read(filter = Some(col("term").isin(qTerms: _*)))
     val dfs = spark.createDataFrame(
       java.util.Arrays.asList(dfRows: _*),
       StructType(Seq(StructField("term", StringType), StructField("df", LongType))))
-    hits.join(broadcast(dfs), "term")
+    scoresWithDfSide(spark, loc, qTerms, broadcast(dfs), k1, b)
+  }
+
+  /** Shared BM25 scoring body: posting hits of `qTerms` joined with a
+    * caller-supplied (term, df) side (broadcast local relation or the
+    * broadcast term-stats point read). */
+  private def scoresWithDfSide(spark: SparkSession, loc: String,
+                               qTerms: Seq[String],
+                               dfs: DataFrame,
+                               k1: Double, b: Double): DataFrame = {
+    val t = GraftTable.load(spark, loc)
+    val (n, totalLen) = readCorpusSidecar(t, loc)
+    val avgdl = if (n == 0) 0.0 else totalLen.toDouble / n
+    val hits = t.read(filter = Some(col("term").isin(qTerms: _*)))
+    hits.join(dfs, "term")
       .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w", col("idf") * col("tf") * (lit(k1) + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / lit(avgdl))))
