@@ -48,11 +48,6 @@ object Dedup {
    * inherently O(m²) for an m-clique (that IS the requested result);
    * compose [[exactGroups]] upstream when group-level output suffices.
    */
-  /** Per-document minhash signature material — content fingerprint,
-    * distinct shingle-hash set, signature, set size — in ONE native
-    * byte-scan per doc (no token/shingle-string materialization). This is
-    * the unit the persisted signature index stores, so repeat near-dup
-    * runs never recompute it ([[refreshMinhashIndex]]). */
   /** SORTED distinct set form of a hash array (native one-pass sort+dedup;
     * idempotent, so it doubles as the compat wrapper over index tables
     * whose stored sets predate the sorted guarantee). Sorted sets let the
@@ -69,6 +64,11 @@ object Dedup {
         org.apache.spark.sql.graft.SparkShims.expression(a),
         org.apache.spark.sql.graft.SparkShims.expression(b)))
 
+  /** Per-document minhash signature material — content fingerprint,
+    * SORTED distinct shingle-hash set, signature, set size — in ONE native
+    * byte-scan per doc (no token/shingle-string materialization). This is
+    * the unit the persisted signature index stores, so repeat near-dup
+    * runs never recompute it ([[refreshMinhashIndex]]). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, sigLen: Int): DataFrame =
     df.select(col(idCol), md5(col(textCol)).as("__fp"),
