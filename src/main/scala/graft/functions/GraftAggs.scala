@@ -167,13 +167,17 @@ case class ThetaSketchAgg(child: Expression,
   * distinct values per group, emitted as a sorted array. Replaces the
   * window-rank + collect_list spelling of LSH candidate buckets
   * (Dedup.pairsFromSignatures): a `row_number() OVER (PARTITION BY bucket
-  * ORDER BY key) <= cap` filter forces a FULL SORT of every banded row
-  * before the aggregation, while this TypedImperativeAggregate rides the
-  * ObjectHashAggregate path — no sort anywhere, map-side partial buffers
-  * already capped (guide §2.3/§2.4: fewer bytes into the exchange, no
-  * exchange-adjacent sort). Semantics are identical by construction: the
-  * "cap smallest distinct per group, sorted" set is exactly what the rank
-  * filter + post-hoc sort produced. */
+  * ORDER BY key) <= cap` filter forces a FULL SORT of every banded row in
+  * a SEPARATE window stage before the aggregation even starts, while this
+  * TypedImperativeAggregate is the aggregation itself — one stage fewer,
+  * and map-side partial buffers already capped (guide §2.3/§2.4: fewer
+  * bytes into the exchange). ObjectHashAggregate may still fall back to
+  * sort-based aggregation past its in-memory group threshold
+  * (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) — that sort
+  * is by the grouping key only and replaces the window's, never adds to
+  * it. Semantics are identical by construction: the "cap smallest distinct
+  * per group, sorted" set is exactly what the rank filter + post-hoc sort
+  * produced. */
 case class CappedSortedSetAgg(child: Expression, cap: Int,
                               mutableAggBufferOffset: Int = 0,
                               inputAggBufferOffset: Int = 0)

@@ -129,10 +129,11 @@ object Dedup {
     // shuffle of the (fp, band, key) set, then capped in-bucket expansion.
     // The cap ("keep the maxBucketIds smallest fps per bucket") is the
     // aggregate itself (CappedSortedSetAgg): the former row_number spelling
-    // forced a full sort of every banded row ahead of the aggregation,
-    // while the bounded-set aggregate rides ObjectHashAggregate sort-free
-    // with map-side partial buffers already capped (guide §2: remove the
-    // exchange-adjacent sort, aggregate before the shuffle). distinct()
+    // forced a full sort of every banded row in a separate window stage
+    // ahead of the aggregation, while the bounded-set aggregate IS the
+    // aggregation — one stage fewer, map-side partial buffers already
+    // capped (guide §2: aggregate before the shuffle; see the aggregate's
+    // scaladoc for the ObjectHashAggregate fallback caveat). distinct()
     // dedups pairs sharing several bands; it shuffles only the candidate
     // set.
     val cand = banded
