@@ -313,8 +313,17 @@ object Bench {
     // phase 2 — untimed warm passes: classloading + whole-stage-codegen JIT
     // (single cold runs are 2-4x steady state and dominated by noise; the
     // codegen-heaviest queries still JIT through their SECOND run, so warm
-    // twice — warm-up belongs outside the timed region, not in its median)
-    (1 to 2).foreach { _ =>
+    // twice — warm-up belongs outside the timed region, not in its median).
+    // Round 14: a THIRD warm pass, because every r12/r13 runs array showed
+    // the FIRST timed run at 1.5-2x steady state (JIT tails + first-touch
+    // page faults surviving two warms), inflating medians ~10% and flipping
+    // an occasional best-of on a cold driver host. This changes NO timed
+    // methodology (same queries, same nRuns, same best/median/calibration);
+    // it only moves residual warm-up out of the timed region, per the r13
+    // verdict's "retire the first-run warm-up skew" item. Documented in
+    // OPTIMIZATION_r14.md with before/after artifacts under both warm-up
+    // schedules.
+    (1 to 3).foreach { _ =>
       headline.foreach { name =>
         try { qs(name)(spark, sfDir).collect() } catch { case _: Throwable => }
       }
@@ -332,10 +341,35 @@ object Bench {
     // "calibration units" — the round-over-round signal that survives a
     // noisy driver host.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // scaling evidence (r13 verdict: at sf0.1 every query sits at the
+    // dispatch floor, so the 8-vs-32-core ratios are ≈1 and the driver's
+    // scaling check reads as "suspect"): record each query's WIDEST stage
+    // (max task count of any stage submitted under its label). A query
+    // whose widest stage carries >= min(cpus, shuffle.partitions) tasks is
+    // structurally parallel — the flat core ratio is the per-job dispatch
+    // floor, not serial code. Emitted as "tasks" in the full artifact and
+    // "cpus" in the compact line (the compact tail window has no room for
+    // 21 more numbers).
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        val desc = Option(s.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        desc.filter(_.startsWith("graft:")).foreach { d =>
+          stageTasks.merge(d.stripPrefix("graft:"),
+            Integer.valueOf(s.stageInfo.numTasks),
+            (a, b) => Integer.valueOf(math.max(a.intValue(), b.intValue())))
+        }
+      }
+    })
     calibrationOnce(spark, sfDir) // warm the calibration plan once
     val calStart = calibrate(spark, sfDir)
     val results = headline.map { name =>
-      name -> timedRuns(nRuns) { qs(name)(spark, sfDir).collect() }
+      spark.sparkContext.setJobDescription(s"graft:$name")
+      val r = name -> timedRuns(nRuns) { qs(name)(spark, sfDir).collect() }
+      spark.sparkContext.setJobDescription(null)
+      r
     }
     // phase 4 — direct-Spark baselines over the SOURCE parquet (same JVM,
     // same data). The timed region includes spark.read.parquet + view
@@ -376,14 +410,21 @@ object Bench {
 
     val calEnd = calibrate(spark, sfDir)
 
+    org.apache.spark.sql.graft.SparkShims.waitListenerBus(spark)
+    val cpusN = cpus.toInt
+    val tasks = {
+      import scala.jdk.CollectionConverters._
+      stageTasks.asScala.map { case (k, v) => k -> v.intValue() }.toMap
+    }
     val artifactPath = writeArtifact(
-      renderJson(results, baseResults, calStart, calEnd, sfDir, compact = false))
+      renderJson(results, baseResults, calStart, calEnd, sfDir,
+        compact = false, cpus = cpusN, tasks = tasks))
     // the driver keeps only the LAST ~2000 chars of stdout: the final line
     // must be the COMPACT form (no per-run samples — those live in the file
     // artifact) or its head gets clipped and the driver's parse fails
     // (BENCH_r08/r09 both shipped parsed:null that way)
     println(renderJson(results, baseResults, calStart, calEnd, sfDir,
-      compact = true, artifact = Some(artifactPath)))
+      compact = true, artifact = Some(artifactPath), cpus = cpusN))
     spark.stop()
   }
 
@@ -397,7 +438,9 @@ object Bench {
                                 baseResults: Seq[(String, Seq[Double])],
                                 calStart: Double, calEnd: Double,
                                 sfDir: String, compact: Boolean,
-                                artifact: Option[String] = None): String = {
+                                artifact: Option[String] = None,
+                                cpus: Int = 0,
+                                tasks: Map[String, Int] = Map.empty): String = {
     def f3(v: Double) = f"$v%.3f"
     def med(ts: Seq[Double]) = ts.sorted.apply(ts.length / 2)
     // a query whose runs ALL failed has no samples: null, never a number
@@ -422,17 +465,27 @@ object Bench {
     val total = ok.map(_.min).sum
     val totalMed = ok.map(med).sum
     val totalNorm = normalized(totalMed, calStart, calEnd)
+    // scaling-contract evidence (r14): `cpus` = the honored
+    // $SPARK_GRAFT_CPUS, in BOTH forms; `tasks` = per-query widest-stage
+    // task count, full artifact only (the compact tail window cannot fit
+    // 21 more key/value pairs — see the BenchBaselineSpec length budget)
+    val cpusJson = if (cpus > 0) s""","cpus":$cpus""" else ""
+    val tasksJson =
+      if (tasks.isEmpty) ""
+      else tasks.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString(""","tasks":{""", ",", "}")
     val common =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
         s""","queries":$qJson,"median_total":${f3(totalMed)}""" +
         s""","medians":$medJson,"calibration":{"start":${f3(calStart)}""" +
         s""","end":${f3(calEnd)}},"normalized_medians":$normJson""" +
-        s""","median_total_normalized":${f3(totalNorm)},"errors":$errJson"""
+        s""","median_total_normalized":${f3(totalNorm)},"errors":$errJson""" +
+        cpusJson
     if (compact)
       common + s""","sf":"$sfDir"""" +
         artifact.map(p => s""","artifact":"$p"""").getOrElse("") + "}"
     else
-      common + s""","baselines":$baseJson,"ratios":$ratioJson""" +
+      common + tasksJson + s""","baselines":$baseJson,"ratios":$ratioJson""" +
         s""","runs":$runsJson,"sf":"$sfDir"}"""
   }
 

@@ -270,9 +270,10 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftMorInputPartition]
-    val outProj = UnsafeProjection.create(
+    def mkOutProj = UnsafeProjection.create(
       outIdx.map(i => BoundReference(i, wideTypes(i), true)
         : org.apache.spark.sql.catalyst.expressions.Expression))
+    val outProj = mkOutProj
 
     new PartitionReader[InternalRow] {
       private var it: Iterator[InternalRow] = _
@@ -345,16 +346,34 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
           })
         (0 until n).foreach(i => if (advance(i)) heap.add(i))
 
+        // winner-copy elimination (r14, guide §4 per-row CPU): the previous
+        // shape copied the WIDE row for every improving candidate
+        // (winner = row.copy()) and then projected the final winner — one
+        // wide-row copy + one projection per emitted row minimum. Instead
+        // the candidate is projected into the OUTPUT shape at offer time
+        // (the strict-improvement comparator reads only the envelope longs,
+        // which are consumed BEFORE the projection overwrites anything) and
+        // the wide copy is gone. Projections are TRIPLE-buffered round-robin
+        // per emitted row: a handed-out row must stay valid until the
+        // caller's next next() (the volatile-row contract), and the extra
+        // buffer keeps it valid one full row longer than required, so a
+        // consumer that touches the previous row during hasNext() is safe
+        // too. All offers for ONE key share one buffer (later better
+        // candidates overwrite earlier ones — exactly the winner logic).
         new Iterator[InternalRow] {
           private var nxt: InternalRow = _
           private var ready = false
+          private val outProjs = Array.fill(3)(mkOutProj)
+          private var projAt = 0
           private def computeNext(): Unit = {
             nxt = null
             while (nxt == null && !heap.isEmpty) {
               val first = heap.poll()
               // the run's key outlives its readers' head buffers
               val key = headPks(first).copy()
+              val proj = outProjs(projAt)
               var wSeq = 0L; var wSeq2 = 0L; var wCm = 0L; var wPos = 0L
+              var wKind = 0
               var winner: InternalRow = null
               def offer(row: InternalRow): Unit = {
                 val seq = row.getLong(seqIdx)
@@ -372,7 +391,8 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
                 }
                 if (better) {
                   wSeq = seq; wSeq2 = seq2; wCm = cm; wPos = pos
-                  winner = row.copy()
+                  wKind = row.getInt(kindIdx)
+                  winner = proj(row) // project now — no wide-row copy
                 }
               }
               // drain every reader holding this key, ascending file index
@@ -389,8 +409,10 @@ case class GraftMorReaderFactory(delegate: ParquetPartitionReaderFactory,
                 more = !heap.isEmpty && pkOrd.compare(headPks(heap.peek()), key) == 0
                 if (more) r = heap.poll()
               }
-              if (winner.getInt(kindIdx) != GraftTable.KIND_DELETE)
-                nxt = outProj(winner)
+              if (wKind != GraftTable.KIND_DELETE) {
+                nxt = winner
+                projAt = (projAt + 1) % outProjs.length
+              }
             }
           }
           // LAZY: outProj reuses its result buffer, so the next row may

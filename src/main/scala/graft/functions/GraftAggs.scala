@@ -4,6 +4,7 @@ import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{SetOperation, Sketches, Union}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -43,8 +44,8 @@ object GraftAggs {
     SparkShims.expression(c.cast("long"))
 
   def thetaSketch(c: Column): Column = agg(ThetaSketchAgg(longChild(c)))
-  /** Bounded sorted set of the `cap` smallest distinct string values per
-    * group — see [[CappedSortedSetAgg]]. */
+  /** Bounded sorted set of the `cap` smallest distinct STRING or BINARY
+    * values per group — see [[CappedSortedSetAgg]]. */
   def cappedSortedSet(c: Column, cap: Int): Column =
     agg(CappedSortedSetAgg(SparkShims.expression(c), cap))
   def rbm32(c: Column): Column = agg(Rbm32Agg(longChild(c)))
@@ -163,12 +164,15 @@ case class ThetaSketchAgg(child: Expression,
   override def prettyName: String = "theta_sketch"
 }
 
-/** Bounded sorted-set aggregate over a STRING key: keeps the `cap` SMALLEST
-  * distinct values per group, emitted as a sorted array. Replaces the
-  * window-rank + collect_list spelling of LSH candidate buckets
-  * (Dedup.pairsFromSignatures): a `row_number() OVER (PARTITION BY bucket
-  * ORDER BY key) <= cap` filter forces a FULL SORT of every banded row in
-  * a SEPARATE window stage before the aggregation even starts, while this
+/** Bounded sorted-set aggregate over a STRING or BINARY key: keeps the
+  * `cap` SMALLEST distinct values per group (unsigned byte-lexicographic
+  * order for both types — UTF8String.compareTo IS unsigned byte order, so
+  * a hex fingerprint and its unhexed binary form rank isomorphically),
+  * emitted as a sorted array. Replaces the window-rank + collect_list
+  * spelling of LSH candidate buckets (Dedup.pairsFromSignatures): a
+  * `row_number() OVER (PARTITION BY bucket ORDER BY key) <= cap` filter
+  * forces a FULL SORT of every banded row in a SEPARATE window stage
+  * before the aggregation even starts, while this
   * TypedImperativeAggregate is the aggregation itself — one stage fewer,
   * and map-side partial buffers already capped (guide §2.3/§2.4: fewer
   * bytes into the exchange). ObjectHashAggregate may still fall back to
@@ -177,69 +181,95 @@ case class ThetaSketchAgg(child: Expression,
   * is by the grouping key only and replaces the window's, never adds to
   * it. Semantics are identical by construction: the "cap smallest distinct
   * per group, sorted" set is exactly what the rank filter + post-hoc sort
-  * produced. */
+  * produced. Input assumption of the DISTINCT semantics (vs the replaced
+  * row_number cap, which counted duplicates): callers feed one row per
+  * distinct key per group — Dedup bands reps-collapsed fingerprints, which
+  * are unique per (band, bucket) by construction. */
 case class CappedSortedSetAgg(child: Expression, cap: Int,
                               mutableAggBufferOffset: Int = 0,
                               inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[UTF8String]]
+    extends TypedImperativeAggregate[java.util.TreeSet[AnyRef]]
     with UnaryLike[Expression] {
   require(cap > 0, "cap must be positive")
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private def binary: Boolean = child.dataType == BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING or BINARY child, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = false
-  override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
-    new java.util.TreeSet[UTF8String]()
-  override def update(b: java.util.TreeSet[UTF8String],
-                      input: InternalRow): java.util.TreeSet[UTF8String] = {
+  // unsigned byte-lexicographic for both element kinds. LAZY: reads
+  // child.dataType, which is only legal once the child is resolved (the
+  // analyzer copies this node via withNewChildInternal while unresolved).
+  private lazy val ord: java.util.Comparator[AnyRef] =
+    if (binary)
+      (a: AnyRef, b: AnyRef) => java.util.Arrays.compareUnsigned(
+        a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    else
+      (a: AnyRef, b: AnyRef) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+  override def createAggregationBuffer(): java.util.TreeSet[AnyRef] =
+    new java.util.TreeSet[AnyRef](ord)
+  override def update(b: java.util.TreeSet[AnyRef],
+                      input: InternalRow): java.util.TreeSet[AnyRef] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      // below-cap or smaller than the current cap boundary → admit (copy:
-      // the input row's UTF8String points into a reused scan buffer)
-      if (b.size < cap) b.add(s.clone())
-      else if (s.compareTo(b.last()) < 0) {
-        if (b.add(s.clone())) b.pollLast()
+      // copy on admit: a UTF8String from the input row points into a reused
+      // scan buffer (getBinary copies already; cloning 16 B is noise)
+      def owned: AnyRef = v match {
+        case s: UTF8String => s.clone()
+        case a: Array[Byte] => a.clone()
+      }
+      if (b.size < cap) b.add(owned)
+      else if (ord.compare(v.asInstanceOf[AnyRef], b.last()) < 0) {
+        if (b.add(owned)) b.pollLast()
       }
     }
     b
   }
-  override def merge(b: java.util.TreeSet[UTF8String],
-                     o: java.util.TreeSet[UTF8String]): java.util.TreeSet[UTF8String] = {
+  override def merge(b: java.util.TreeSet[AnyRef],
+                     o: java.util.TreeSet[AnyRef]): java.util.TreeSet[AnyRef] = {
     val it = o.iterator()
     var continue = true
     while (continue && it.hasNext) {
       val s = it.next() // already copied at update
       if (b.size < cap) b.add(s)
-      else if (s.compareTo(b.last()) < 0) { if (b.add(s)) b.pollLast() }
+      else if (ord.compare(s, b.last()) < 0) { if (b.add(s)) b.pollLast() }
       else continue = false // o is sorted: the rest can only be larger
     }
     b
   }
-  override def eval(b: java.util.TreeSet[UTF8String]): Any = {
+  override def eval(b: java.util.TreeSet[AnyRef]): Any = {
     val arr = new Array[AnyRef](b.size)
     val it = b.iterator()
     var i = 0
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
-  override def serialize(b: java.util.TreeSet[UTF8String]): Array[Byte] = {
+  override def serialize(b: java.util.TreeSet[AnyRef]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.size)
     val it = b.iterator()
     while (it.hasNext) {
-      val bytes = it.next().getBytes
+      val bytes = it.next() match {
+        case s: UTF8String => s.getBytes
+        case a: Array[Byte] => a
+      }
       out.writeInt(bytes.length); out.write(bytes)
     }
     out.flush(); bos.toByteArray
   }
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[UTF8String] = {
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[AnyRef] = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val b = new java.util.TreeSet[UTF8String]()
+    val b = new java.util.TreeSet[AnyRef](ord)
     var i = 0
     while (i < n) {
       val len = in.readInt(); val sb = new Array[Byte](len)
-      in.readFully(sb); b.add(UTF8String.fromBytes(sb)); i += 1
+      in.readFully(sb)
+      b.add(if (binary) sb else UTF8String.fromBytes(sb)); i += 1
     }
     b
   }

@@ -18,11 +18,17 @@ import org.apache.spark.sql.types._
  * near-dup verify, so the interpreter overhead IS the operator cost at
  * scale.
  *
- * Bit-exact contract with the replaced forms (oracle hashes depend on it):
- * accumulation runs in index order over doubles (floats widen exactly);
- * any null element, or a length mismatch (zip_with pads with null), yields
- * NULL; cosine returns 0.0 when either norm is zero, computed as
- * `sqrt(sum a²) * sqrt(sum b²)` exactly like `norm(a) * norm(b)`.
+ * Bit-exact contract with the replaced forms, scoped to EQUAL-LENGTH
+ * inputs (every in-repo caller; oracle hashes depend on it): accumulation
+ * runs in index order over doubles (floats widen exactly); any null
+ * element yields NULL; cosine returns 0.0 when either norm is zero,
+ * computed as `sqrt(sum a²) * sqrt(sum b²)` exactly like
+ * `norm(a) * norm(b)`. Length-MISMATCHED inputs return NULL here, which
+ * differs from the old HOF cosine in one corner: the old
+ * `when(norm == 0, 0.0)` guard fired before the null dot propagated, so a
+ * mismatched pair whose shorter-prefix norm was zero returned 0.0 (r13
+ * ADVICE). No caller compares mismatched vectors — fixed-dimension
+ * embedding columns — so NULL-on-mismatch is kept as the saner contract.
  */
 abstract class VecBinaryExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -117,6 +123,35 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** |A ∩ B| of two SORTED ascending ARRAY<STRING> sets by two-pointer merge
+  * — the string-set twin of [[SortedIntersectCount]] (r14 verdict item 7:
+  * `array_intersect`/`array_union` hash-build a set per candidate PAIR in
+  * the n-gram jaccard verify; with per-row pre-sorted distinct shingle
+  * sets, one zero-allocation merge per pair replaces both). Inputs must be
+  * distinct + ascending in UTF8String (unsigned byte) order —
+  * [[SortedDistinctStrings]] produces exactly that. */
+case class SortedIntersectCountStrings(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING> inputs, got ${l.sql}, ${r.sql}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVec.sortedIntersectCountStrings(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftVec.sortedIntersectCountStrings($a, $b)")
+  override def prettyName: String = "graft_sorted_intersect_count_strings"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCountStrings =
+    copy(left = l, right = r)
+}
+
 object GraftVec {
   // All loops replicate the folds they replace element-for-element:
   // accumulate in index order, bail to null on a null element or a length
@@ -191,6 +226,45 @@ object GraftVec {
       java.util.Arrays.copyOf(arr, w))
   }
 
+  /** Sort + adjacent-dedup of a string array in one pass (the UTF8String
+    * twin of [[sortedDistinct]]); ascending unsigned-byte order, null
+    * elements dropped. Output elements reference the input's UTF8Strings
+    * (no byte copies) — valid under the standard expression contract (the
+    * consumer copies into its own row before the next input row). */
+  def sortedDistinctStrings(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val arr = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { arr(m) = a.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]], 0, m)
+    val out = new Array[AnyRef](m)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || !arr(i).equals(out(w - 1))) { out(w) = arr(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (w == m) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Two-pointer |A ∩ B| over sorted ascending distinct string sets. */
+  def sortedIntersectCountStrings(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Two-pointer |A ∩ B| over sorted ascending long sets. */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -225,5 +299,27 @@ case class SortedDistinctLongs(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.sortedDistinct($c)")
   override def prettyName: String = "graft_sorted_distinct"
   override protected def withNewChildInternal(newChild: Expression): SortedDistinctLongs =
+    copy(child = newChild)
+}
+
+/** Sorted distinct ARRAY<STRING> in one sort+dedup pass — the set form
+  * [[SortedIntersectCountStrings]] consumes (ascending unsigned-byte
+  * order). Replaces `array_distinct` (per-row hash-set build) where the
+  * consumer wants sorted sets anyway. Null input → null; null elements
+  * dropped (shingle arrays are null-free). */
+case class SortedDistinctStrings(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    GraftVec.sortedDistinctStrings(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.sortedDistinctStrings($c)")
+  override def prettyName: String = "graft_sorted_distinct_strings"
+  override protected def withNewChildInternal(newChild: Expression): SortedDistinctStrings =
     copy(child = newChild)
 }

@@ -292,12 +292,39 @@ object Blob {
   private val inFlightChunks = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), java.util.concurrent.CompletableFuture[Array[Byte]]]()
 
+  /** Per-thread memo of the last (pack uri → length) and the last chunk
+    * touched (r14, q_blob_bench): payload values are read roughly in write
+    * order, so a task's consecutive values overwhelmingly land in the SAME
+    * 4 MB chunk of the SAME pack — the memo turns that common case into
+    * two field reads and an arraycopy with ZERO shared-lock traffic, where
+    * previously EVERY value paid the global `blobStreamLock` twice (packLen
+    * get + chunk get) and 32 scan threads serialized on it. Misses fall
+    * through to the shared bounded caches unchanged; chunk byte arrays are
+    * immutable once loaded, so memoizing references is safe. */
+  private final class ThreadBlobMemo {
+    var lenUri: String = null
+    var len: Long = -1L
+    var chunkUri: String = null
+    var chunkIdx: Long = -1L
+    var chunk: Array[Byte] = null
+  }
+  private val threadMemo = new ThreadLocal[ThreadBlobMemo] {
+    override def initialValue(): ThreadBlobMemo = new ThreadBlobMemo
+  }
+
   private def packLen(uri: String, conf: Configuration): Long = {
+    val memo = threadMemo.get()
+    if (uri == memo.lenUri) return memo.len
     val cached = blobStreamLock.synchronized(packLens.get(uri))
-    if (cached != null) return cached.longValue()
-    val p = new Path(uri)
-    val len = p.getFileSystem(conf).getFileStatus(p).getLen
-    blobStreamLock.synchronized(packLens.put(uri, java.lang.Long.valueOf(len)))
+    val len =
+      if (cached != null) cached.longValue()
+      else {
+        val p = new Path(uri)
+        val l = p.getFileSystem(conf).getFileStatus(p).getLen
+        blobStreamLock.synchronized(packLens.put(uri, java.lang.Long.valueOf(l)))
+        l
+      }
+    memo.lenUri = uri; memo.len = len
     len
   }
 
@@ -366,11 +393,22 @@ object Blob {
                     conf: Configuration): Array[Byte] = {
     val plen = try packLen(uri, conf) catch { case _: Exception => -1L }
     if (length <= PackChunkBytes && plen >= 0 && offset + length <= plen) {
+      val memo = threadMemo.get()
       val out = new Array[Byte](length)
       var written = 0
       while (written < length) {
         val pos = offset + written
-        val chunk = loadChunk(uri, pos / PackChunkBytes, plen, conf)
+        val ci = pos / PackChunkBytes
+        // thread-local fast path: consecutive values of a task share chunks
+        val chunk =
+          if (memo.chunk != null && ci == memo.chunkIdx && uri == memo.chunkUri) {
+            blobStreamHits.incrementAndGet() // posture: hits+opens == values
+            memo.chunk
+          } else {
+            val c = loadChunk(uri, ci, plen, conf)
+            memo.chunkUri = uri; memo.chunkIdx = ci; memo.chunk = c
+            c
+          }
         val inChunk = (pos % PackChunkBytes).toInt
         val n = math.min(length - written, chunk.length - inChunk)
         System.arraycopy(chunk, inChunk, out, written, n)

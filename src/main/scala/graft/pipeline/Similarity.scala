@@ -28,6 +28,12 @@ object Similarity {
                      => org.apache.spark.sql.catalyst.expressions.Expression): Column =
     SparkShims.column(f(SparkShims.expression(a), SparkShims.expression(b)))
 
+  // Supported input types for dot/cosine/l2sq: ARRAY<FLOAT> / ARRAY<DOUBLE>
+  // only (analysis-time typecheck in VecBinaryExpr). The pre-r13 zip_with
+  // spellings implicitly cast any numeric array — callers that relied on
+  // ARRAY<INT> literals must cast explicitly (`transform(a, x -> double(x))`)
+  // (r13 ADVICE; every in-repo caller passes float/double embeddings).
+
   /** Dot product of two float/double arrays (double math, one pass). */
   def dot(a: Column, b: Column): Column =
     vec2(a, b, graft.functions.VecDot(_, _))

@@ -31,6 +31,11 @@ object PlanDump {
       .config("spark.sql.extensions", "graft.dsv2.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dedup pair pipelines materialize eagerly (cache-hygiene boundary,
+    // r14); for PLAN EVIDENCE we want the physical operators, not the
+    // checkpoint's RDD scan — lazy mode computes the identical result
+    // through the identical operators, it just skips the checkpoint
+    spark.conf.set("spark.graft.dedup.materialize", "false")
     Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
       try {

@@ -93,10 +93,19 @@ class BenchBaselineSpec extends SparkTestBase {
     // term-pruned point read — bounded by #query terms, part of every BM25
     // search by design
     val constructionIsSearch = Set("q_fulltext_bm25")
+    // r14: the dedup pair pipelines MATERIALIZE at construction (eager
+    // localCheckpoint — the boundary that releases their internal persists
+    // so no plan-keyed cache outlives a call). Bench times construction +
+    // collect together, so prepare/measure separation holds; the INVERTED
+    // assertion below is the cache-hygiene guard — a fresh construction
+    // must run its computation EVERY time (the r13 leak showed up as
+    // timed runs reusing warm-phase caches and running ~no jobs).
+    val constructionMaterializes = Set("q_dedup_minhash", "q_dedup_minhash_idx")
     spark.sparkContext.addSparkListener(l)
     try {
       val offenders = Bench.headline
-        .filterNot(constructionIsSearch).flatMap { n =>
+        .filterNot(constructionIsSearch ++ constructionMaterializes)
+        .flatMap { n =>
           SparkShims.waitListenerBus(spark)
           execs.clear()
           qs(n)(spark, sfDir) // construct the DataFrame, run NO action
@@ -106,6 +115,17 @@ class BenchBaselineSpec extends SparkTestBase {
           else None
         }
       assert(offenders.isEmpty, offenders.mkString("; "))
+      val lazyOffenders = constructionMaterializes.toSeq.flatMap { n =>
+        SparkShims.waitListenerBus(spark)
+        execs.clear()
+        qs(n)(spark, sfDir) // construction IS the (timed) computation
+        SparkShims.waitListenerBus(spark)
+        if (execs.isEmpty)
+          Some(s"$n ran NO action on a fresh construction — cached state " +
+            "leaked across calls (r13 verdict What's-wrong #2)")
+        else None
+      }
+      assert(lazyOffenders.isEmpty, lazyOffenders.mkString("; "))
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
@@ -150,11 +170,12 @@ class BenchBaselineSpec extends SparkTestBase {
     val results = names.map(n =>
       n -> ((Seq(1.234, 1.111, 0.987, 1.045, 1.2), 0)))
     val bases = names.take(8).map(n => n -> Seq(2.345, 2.1, 2.2, 2.4, 2.3))
+    val tasks = names.map(n => n -> 32).toMap
     val compact = Bench.renderJson(results, bases, 0.233, 0.217,
       "/root/testdata/sf0.1", compact = true,
-      artifact = Some("/root/repo/target/bench.json"))
+      artifact = Some("/root/repo/target/bench.json"), cpus = 32)
     val full = Bench.renderJson(results, bases, 0.233, 0.217,
-      "/root/testdata/sf0.1", compact = false)
+      "/root/testdata/sf0.1", compact = false, cpus = 32, tasks = tasks)
     // the driver keeps the last 2000 stdout chars INCLUDING sbt's ~80-char
     // success trailer — leave real headroom
     assert(compact.length < 1800,
@@ -164,11 +185,17 @@ class BenchBaselineSpec extends SparkTestBase {
     val om = graft.core.Json.mapper
     val cj = om.readValue(compact, classOf[java.util.Map[String, Any]])
     Seq("metric", "value", "queries", "medians", "calibration",
-      "normalized_medians", "median_total", "errors", "sf", "artifact")
+      "normalized_medians", "median_total", "errors", "sf", "artifact", "cpus")
       .foreach(k => assert(cj.containsKey(k), s"compact missing $k"))
     val fj = om.readValue(full, classOf[java.util.Map[String, Any]])
-    Seq("runs", "baselines", "ratios", "calibration", "normalized_medians")
+    Seq("runs", "baselines", "ratios", "calibration", "normalized_medians",
+      "cpus", "tasks")
       .foreach(k => assert(fj.containsKey(k), s"full missing $k"))
+    // the scaling-contract evidence: honored cpu count + widest-stage tasks
+    assert(cj.get("cpus") == 32)
+    val tj = om.readTree(full).get("tasks")
+    assert(tj != null && tj.get("q_dedup_minhash").asInt() == 32,
+      s"full artifact tasks: $tj")
     // atomic artifact write round-trips
     val p = java.nio.file.Files.createTempDirectory("graft-bench-art")
       .resolve("bench.json").toString

@@ -26,6 +26,9 @@ class BlobTableSpec extends SparkTestBase {
     .config("spark.sql.catalog.gb", "graft.dsv2.GraftCatalog")
     .config("spark.sql.catalog.gb.warehouse", wh)
     .config("spark.sql.extensions", "graft.dsv2.GraftSparkExtensions")
+    .config("spark.hadoop.fs.file.impl", classOf[NoForkLocalFileSystem].getName)
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      classOf[NoForkLocalFs].getName)
     .getOrCreate()
 
   import spark.implicits._

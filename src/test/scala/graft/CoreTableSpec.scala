@@ -18,6 +18,11 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.extensions", "graft.dsv2.GraftSparkExtensions")
+    // no-fork local FS: Hadoop's chmod shell-out per checkpoint mkdir/create
+    // can die on a loaded host (r13 driver run) — see TestLocalFs.scala
+    .config("spark.hadoop.fs.file.impl", classOf[NoForkLocalFileSystem].getName)
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      classOf[NoForkLocalFs].getName)
     .getOrCreate()
 
   override def afterAll(): Unit = { /* shared session across suites */ }

@@ -20,6 +20,9 @@ class Dsv2Spec extends SparkTestBase {
     .config("spark.sql.catalog.graft", "graft.dsv2.GraftCatalog")
     .config("spark.sql.catalog.graft.warehouse", wh)
     .config("spark.sql.extensions", "graft.dsv2.GraftSparkExtensions")
+    .config("spark.hadoop.fs.file.impl", classOf[NoForkLocalFileSystem].getName)
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      classOf[NoForkLocalFs].getName)
     .getOrCreate()
 
   import spark.implicits._
