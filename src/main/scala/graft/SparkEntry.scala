@@ -1497,9 +1497,12 @@ object SparkEntry {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       val blobDir = java.nio.file.Files.createTempDirectory("graft-blobs").toString
       // materialize descriptors BEFORE ranged reads: blob files must be
-      // closed (write job finished) before a reader opens them
-      val withDesc = graft.pipeline.Blob.writeBlobs(docs, "blob", blobDir).cache()
-      withDesc.count()
+      // closed (write job finished) before a reader opens them. Eager
+      // localCheckpoint, not cache+count: pins the descriptor rows (a lazy
+      // re-execution would write a fresh blob-file set) WITHOUT leaving a
+      // session-lifetime CacheManager entry per call (r14 cache hygiene)
+      val withDesc = graft.pipeline.Blob.writeBlobs(docs, "blob", blobDir)
+        .localCheckpoint(true)
       withDesc.select(col("doc_id"), col("blob.length").as("byte_len"),
         md5(graft.pipeline.Blob.readBlob(s)(col("blob"))).as("content_hash"))
     }),

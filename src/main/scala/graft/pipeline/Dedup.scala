@@ -66,6 +66,13 @@ object Dedup {
   private def bandKeyBin(sig: Column, b: Int, rpb: Int): Column =
     unhex(TextOps.bandKey(sig, b, rpb))
 
+  /** False under `spark.graft.dedup.materialize=false` (plan-inspection
+    * mode): the pipelines then return LAZY and keep their persists alive —
+    * the r13 behavior — so the dumped plan shows the cache reuse the
+    * materialized execution actually has. Default: materialize + release. */
+  private def materializeEnabled(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.dedup.materialize", "true") != "false"
+
   private def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.SparkShims.column(
       graft.functions.SortedIntersectCount(
@@ -113,8 +120,9 @@ object Dedup {
     // across calls and warmed repeat-run benchmarks).
     val perDoc = minhashSignatures(df, idCol, textCol, shingleN, sigLen)
       .persist()
-    try pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds)
-    finally perDoc.unpersist(false)
+    val out = pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds)
+    if (materializeEnabled(perDoc)) perDoc.unpersist(false)
+    out
   }
 
   /** The banding + verify half of [[minhashLshPairs]], over precomputed
@@ -308,8 +316,9 @@ object Dedup {
     val perDoc = index.read().select(col(idCol), unhex(col("fp")).as("__fp"),
       sortedSet(col("hsd")).as("__hsd"), col("sig").as("__sig"), col("n").as("__n"))
       .persist()
-    try pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds)
-    finally perDoc.unpersist(false)
+    val out = pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds)
+    if (materializeEnabled(perDoc)) perDoc.unpersist(false)
+    out
   }
 
   /** DELTA-scoped near-dup pairs from the persisted index: exactly the
@@ -358,9 +367,10 @@ object Dedup {
     metrics.gauge("lastMinhashTouchedBuckets", deltaKeys.count())
     val perDoc = index.read().select(col(idCol), unhex(col("fp")).as("__fp"),
       sortedSet(col("hsd")).as("__hsd"), col("sig").as("__sig"), col("n").as("__n"))
-    try pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds,
+    val out = pairsFromSignatures(perDoc, idCol, sigLen, nBands, threshold, maxBucketIds,
       touch = Some((delta.select(col(idCol)), deltaKeys)))
-    finally { delta.unpersist(false); deltaKeys.unpersist(false) }
+    if (materializeEnabled(perDoc)) { delta.unpersist(false); deltaKeys.unpersist(false) }
+    out
   }
 
   /** All-pairs n-gram Jaccard within blocks (for modest block sizes; the

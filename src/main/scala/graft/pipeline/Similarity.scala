@@ -436,6 +436,11 @@ object Similarity {
     // self-join reuse them (unpersisted, each side would recompute the
     // nBits·dim dot products), and the pair verify is dot/(n_a·n_b) with
     // the per-row norms precomputed instead of re-derived per candidate.
+    // Like Dedup.pairsFromSignatures (r14 cache hygiene): the pair set
+    // MATERIALIZES eagerly and the persist is released before returning —
+    // no plan-keyed cache outlives the call, every invocation pays its
+    // full computation (`spark.graft.dedup.materialize=false` keeps the
+    // lazy r13 shape for plan inspection).
     val sig = df
       .select((Seq(col(idCol), col(embedCol)) ++ blockCols.map(col)): _*)
       .withColumn("__sig", signSignature(col(embedCol), dim))
@@ -446,12 +451,18 @@ object Similarity {
       col(s"a.$idCol") < col(s"b.$idCol")) ++
       blockCols.map(c => col(s"a.$c") === col(s"b.$c"))).reduce(_ && _)
     val nn = col("a.__n") * col("b.__n")
-    a.join(b, joinCond)
+    val out = a.join(b, joinCond)
       .withColumn("__sim", when(nn === 0.0, 0.0)
         .otherwise(dot(col(s"a.$embedCol"), col(s"b.$embedCol")) / nn))
       .filter(col("__sim") >= threshold)
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
         col("__sim").as("sim"))
+    if (df.sparkSession.conf.get(
+        "spark.graft.dedup.materialize", "true") == "false")
+      return out // plan-inspection mode: keep lazy, keep the persist
+    val mat = out.localCheckpoint(true)
+    sig.unpersist(false)
+    mat
   }
 
   /**

@@ -57,7 +57,11 @@ object GenSf1 {
               concat(lit("r"), col("__rep"), lit(" "), col("text")))
           df.drop("__rep").select(base.columns.map(col).toIndexedSeq: _*)
         }
-      tiled.coalesce(8).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // 64 output files (not 8): the scaling probe's dominant stages are
+      // the SCANS, and at 8 files a 32-core session can never run more
+      // than ~8 scan tasks — the r14 first probe measured exactly that
+      // (8 cores tying 32 on every query). 64 files ≈ 2 waves at 32 cores.
+      tiled.repartition(64).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[gensf1] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
     spark.stop()

@@ -100,7 +100,8 @@ class BenchBaselineSpec extends SparkTestBase {
     // assertion below is the cache-hygiene guard — a fresh construction
     // must run its computation EVERY time (the r13 leak showed up as
     // timed runs reusing warm-phase caches and running ~no jobs).
-    val constructionMaterializes = Set("q_dedup_minhash", "q_dedup_minhash_idx")
+    val constructionMaterializes =
+      Set("q_dedup_minhash", "q_dedup_minhash_idx", "q_embed_neardup")
     spark.sparkContext.addSparkListener(l)
     try {
       val offenders = Bench.headline

@@ -107,4 +107,53 @@ class VectorExprSpec extends SparkTestBase {
       .groupBy("bk").agg(sort_array(collect_list($"fp")).as("ids"))
     assertSameRows(viaAgg, viaWindow)
   }
+
+  test("CappedSortedSetAgg over BINARY == the STRING form hexed (r14: " +
+    "16-byte md5 fingerprints rank isomorphically to their lowercase hex)") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 1500).map { i =>
+      (rnd.nextInt(30), f"v${rnd.nextInt(if (i % 4 == 0) 40 else 5)}%03d")
+    }
+    val df = rows.toDF("bk", "s").withColumn("fp", md5($"s"))
+      .repartition(7)
+    val viaBinary = df.groupBy("bk")
+      .agg(GraftAggs.cappedSortedSet(unhex($"fp"), 8).as("ids"))
+      .select($"bk", transform($"ids", b => lower(hex(b))).as("ids"))
+    val viaString = df.groupBy("bk")
+      .agg(GraftAggs.cappedSortedSet($"fp", 8).as("ids"))
+    assertSameRows(viaBinary, viaString)
+    // non-orderable child types are rejected at analysis, not execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("bk").agg(GraftAggs.cappedSortedSet($"bk", 8)).collect()
+    }
+  }
+
+  test("SortedDistinctStrings + SortedIntersectCountStrings == " +
+    "sort_array(array_distinct) + size(array_intersect) on random arrays") {
+    import org.apache.spark.sql.graft.SparkShims
+    def sortedSetStr(c: org.apache.spark.sql.Column) = SparkShims.column(
+      graft.functions.SortedDistinctStrings(SparkShims.expression(c)))
+    def intersectStr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      SparkShims.column(graft.functions.SortedIntersectCountStrings(
+        SparkShims.expression(a), SparkShims.expression(b)))
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 400).map { _ =>
+      def arr = Seq.fill(rnd.nextInt(30))(f"w${rnd.nextInt(20)}%02d")
+      (arr, arr)
+    }
+    val df = rows.toDF("a", "b")
+    val cmp = df.select(
+      sortedSetStr($"a").as("sa"),
+      sort_array(array_distinct($"a")).as("ra"),
+      intersectStr(sortedSetStr($"a"), sortedSetStr($"b")).as("ni"),
+      size(array_intersect(array_distinct($"a"), array_distinct($"b"))).as("ri"),
+      (size(array_distinct($"a")) + size(array_distinct($"b"))).as("nsum"),
+      size(array_union($"a", $"b")).as("ru"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "sorted distinct differs")
+      assert(r.getInt(2) == r.getInt(3), "intersect count differs")
+      // |A∪B| == |A|+|B|-|A∩B| — the identity ngramJaccardPairs relies on
+      assert(r.getInt(5) == r.getInt(4) - r.getInt(2), "union identity broken")
+    }
+  }
 }
