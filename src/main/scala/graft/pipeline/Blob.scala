@@ -118,11 +118,71 @@ object Blob {
     DESC_MAGIC ++ graft.core.Json.write(BlobDesc(uri, offset, length))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
+  // ---- fast-path parsing of the two fixed-shape descriptor JSONs -------
+  // Every blob VALUE resolved pays a descriptor parse (and every view value
+  // a ref parse first): at 100 TB that is one JSON parse per payload, per
+  // read. The writer is our own Json.write over a case class (stable field
+  // order, no extra whitespace), so the common case is a fixed template —
+  // parse it with two index scans and Long.parseLong instead of a Jackson
+  // tree. ANY irregularity (escapes, quotes in strings, reordered or
+  // unexpected fields, foreign writers) falls back to Jackson, so the wire
+  // contract is unchanged.
+
+  /** Value of `"key":"` → (string, index after closing quote), or null on
+    * any escape/irregularity (caller falls back to Jackson). */
+  private def fastStr(s: String, from: Int, key: String): (String, Int) = {
+    val pat = "\"" + key + "\":\""
+    if (!s.startsWith(pat, from)) return null
+    val start = from + pat.length
+    val end = s.indexOf('"', start)
+    if (end < 0 || s.lastIndexOf('\\', end - 1) >= start) return null
+    (s.substring(start, end), end + 1)
+  }
+
+  /** Value of `"key":` digits → (long, index after digits), or null. */
+  private def fastLong(s: String, from: Int, key: String): (Long, Int) = {
+    val pat = "\"" + key + "\":"
+    if (!s.startsWith(pat, from)) return null
+    var i = from + pat.length
+    val start = i
+    while (i < s.length && (s.charAt(i).isDigit || (i == start && s.charAt(i) == '-'))) i += 1
+    if (i == start) return null
+    try ((s.substring(start, i).toLong, i)) catch { case _: Exception => null }
+  }
+
+  private def fastParseDesc(s: String): BlobDesc = {
+    if (!s.startsWith("{")) return null
+    val u = fastStr(s, 1, "uri"); if (u == null) return null
+    if (!s.startsWith(",", u._2)) return null
+    val o = fastLong(s, u._2 + 1, "offset"); if (o == null) return null
+    if (!s.startsWith(",", o._2)) return null
+    val l = fastLong(s, o._2 + 1, "length"); if (l == null) return null
+    if (!s.startsWith("}", l._2)) return null
+    BlobDesc(u._1, o._1, l._1)
+  }
+
+  private def fastParseViewRef(s: String): BlobViewRef = {
+    if (!s.startsWith("{")) return null
+    val t = fastStr(s, 1, "table"); if (t == null) return null
+    if (!s.startsWith(",", t._2)) return null
+    val loc = fastStr(s, t._2 + 1, "location"); if (loc == null) return null
+    if (!s.startsWith(",", loc._2)) return null
+    val f = fastStr(s, loc._2 + 1, "field"); if (f == null) return null
+    if (!s.startsWith(",", f._2)) return null
+    val r = fastLong(s, f._2 + 1, "rowId"); if (r == null) return null
+    if (!s.startsWith("}", r._2)) return null
+    BlobViewRef(t._1, loc._1, f._1, r._1)
+  }
+
   def tryParseDesc(bytes: Array[Byte]): Option[BlobDesc] =
     if (!hasMagic(bytes, DESC_MAGIC)) None
-    else Some(graft.core.Json.read(new String(bytes, DESC_MAGIC.length,
-      bytes.length - DESC_MAGIC.length, java.nio.charset.StandardCharsets.UTF_8),
-      classOf[BlobDesc]))
+    else {
+      val s = new String(bytes, DESC_MAGIC.length,
+        bytes.length - DESC_MAGIC.length, java.nio.charset.StandardCharsets.UTF_8)
+      val fast = fastParseDesc(s)
+      if (fast != null) Some(fast)
+      else Some(graft.core.Json.read(s, classOf[BlobDesc]))
+    }
 
   def serializeViewRef(ref: BlobViewRef): Array[Byte] =
     VIEW_MAGIC ++ graft.core.Json.write(ref)
@@ -130,9 +190,13 @@ object Blob {
 
   def tryParseViewRef(bytes: Array[Byte]): Option[BlobViewRef] =
     if (!hasMagic(bytes, VIEW_MAGIC)) None
-    else Some(graft.core.Json.read(new String(bytes, VIEW_MAGIC.length,
-      bytes.length - VIEW_MAGIC.length, java.nio.charset.StandardCharsets.UTF_8),
-      classOf[BlobViewRef]))
+    else {
+      val s = new String(bytes, VIEW_MAGIC.length,
+        bytes.length - VIEW_MAGIC.length, java.nio.charset.StandardCharsets.UTF_8)
+      val fast = fastParseViewRef(s)
+      if (fast != null) Some(fast)
+      else Some(graft.core.Json.read(s, classOf[BlobViewRef]))
+    }
 
   /** Library-side view-reference builder (the SQL spelling is
     * `graft_blob_view('db.t', 'field', row_id)` registered by the catalog):

@@ -420,4 +420,23 @@ class BlobTableSpec extends SparkTestBase {
     assert(got.length == n)
     assert(got.forall { case (i, bts) => bts.sameElements(payload(i)) })
   }
+
+  test("descriptor/view-ref fast-path parse == Jackson on round trips, " +
+    "falls back on escapes and foreign spellings") {
+    // round trips through the writer (the fast path's template)
+    for (uri <- Seq("/a/b/pack-1.bin", "file:/tmp/x y/blob.bin", "");
+         off <- Seq(0L, 123456789L); len <- Seq(0L, 17L)) {
+      val d = Blob.tryParseDesc(Blob.serializeDesc(uri, off, len)).get
+      assert(d == Blob.BlobDesc(uri, off, len), s"desc $uri $off $len -> $d")
+    }
+    val ref = Blob.BlobViewRef("db.t", "/wh/db.db/t", "payload", 42L)
+    assert(Blob.tryParseViewRef(Blob.serializeViewRef(ref)).contains(ref))
+    // strings needing JSON escapes round-trip via the Jackson fallback
+    val tricky = Blob.BlobViewRef("db.t", "/wh/we\"ird\\path", "pay\"load", -7L)
+    assert(Blob.tryParseViewRef(Blob.serializeViewRef(tricky)).contains(tricky))
+    // foreign spelling (reordered fields, whitespace) still parses
+    val foreign = ("\u0089GBD1\u0000".map(_.toByte).toArray ++
+      """{ "length": 5, "offset": 7, "uri": "/p" }""".getBytes("UTF-8"))
+    assert(Blob.tryParseDesc(foreign).contains(Blob.BlobDesc("/p", 7L, 5L)))
+  }
 }
